@@ -1,0 +1,297 @@
+package graft
+
+/** DuckDB oracle SQL for SparkEntry.queries (driver contract, SURVEY.md §5).
+  *
+  * Each statement is the ANSI-SQL twin of the Spark query with identical
+  * column aliases, identical arithmetic structure (same fold order, same
+  * decimal casts), and the same total ORDER BY. Approximate operators whose
+  * randomness lives in the JVM (q40 LSH hyperplanes, q41 IVF) have no
+  * oracle — the driver records a rows-only check for them.
+  */
+object OracleSql {
+
+  /** Word-trigram shingle list from a pre-split word list `l`. */
+  private val trigrams =
+    "list_distinct(list_transform(generate_series(1, len(l)-2), i -> l[i]||' '||l[i+1]||' '||l[i+2]))"
+
+  private val q01Inner =
+    """SELECT user_id, CAST(count(*) AS BIGINT) AS count_temp,
+      | CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS start_sec
+      |FROM events WHERE value > 30
+      |GROUP BY user_id, floor(epoch(ts)/86400)
+      |HAVING count(*) > 3""".stripMargin
+
+  private val cosExpr =
+    "list_sum(list_transform(list_zip(qv, cv), x -> x[1]*x[2])) / " +
+      "(sqrt(list_sum(list_transform(qv, x -> x*x))) * sqrt(list_sum(list_transform(cv, x -> x*x))))"
+
+  val all: Map[String, String] = Map(
+    "q01_tumble_alerts" ->
+      s"$q01Inner\nORDER BY start_sec, user_id",
+
+    "q02_tumble_avg_parts" ->
+      """SELECT user_id, avg_temp, start_sec,
+        | year(make_timestamp(start_sec*1000000)) AS "year",
+        | month(make_timestamp(start_sec*1000000)) AS "month",
+        | dayofmonth(make_timestamp(start_sec*1000000)) AS "day",
+        | hour(make_timestamp(start_sec*1000000)) AS "hour"
+        |FROM (
+        |  SELECT user_id,
+        |   CAST(floor(epoch(ts)/900)*900 AS BIGINT) AS start_sec,
+        |   CAST(floor(CAST(sum(CAST(floor(value) AS BIGINT)) AS DOUBLE)/count(*)) AS BIGINT) AS avg_temp
+        |  FROM events GROUP BY 1, 2)
+        |ORDER BY start_sec, user_id""".stripMargin,
+
+    "q03_filter_project" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem WHERE l_quantity > 45
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q04_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | sum(l_quantity) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        | sum(l_quantity)/count(*) AS avg_qty,
+        | CAST(count(*) AS BIGINT) AS count_order
+        |FROM lineitem GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    "q05_join_agg" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q06_join5_revenue" ->
+      """SELECT r_name, n_name,
+        | CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        | CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    "q07_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q08_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q09_outer_join_count" ->
+      """SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS n_orders
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q10_distinct" ->
+      "SELECT DISTINCT user_id, event_type FROM events ORDER BY 1, 2",
+
+    "q11_rollup" ->
+      """SELECT n_name, CAST(count(*) AS BIGINT) AS n_orders,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP(n_name)
+        |ORDER BY n_name NULLS FIRST""".stripMargin,
+
+    "q12_cube" ->
+      """SELECT event_type, user_id % 10 AS user_mod, CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY CUBE(event_type, user_id % 10)
+        |ORDER BY event_type NULLS FIRST, user_mod NULLS FIRST""".stripMargin,
+
+    "q13_rank_topn" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |   CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "q14_running_sum" ->
+      """SELECT user_id, event_id,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+        |   PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_sum
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+
+    "q15_topk_orderby" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_extendedprice
+        |FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+
+    "q16_union" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+        |UNION
+        |SELECT user_id FROM events WHERE value > 400
+        |ORDER BY user_id""".stripMargin,
+
+    "q17_intersect" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+        |INTERSECT
+        |SELECT user_id FROM events WHERE value > 400
+        |ORDER BY user_id""".stripMargin,
+
+    "q18_except" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+        |EXCEPT
+        |SELECT user_id FROM events WHERE value > 400
+        |ORDER BY user_id""".stripMargin,
+
+    "q19_date_parts" ->
+      """SELECT year(o_orderdate) AS "year", month(o_orderdate) AS "month",
+        | CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    "q20_alert_messages" ->
+      s"""SELECT user_id, start_sec,
+         | 'Sensor Id: '||user_id||' has exceeded the temperature threshold '||count_temp||' times' AS message
+         |FROM (
+         |$q01Inner
+         |) ORDER BY start_sec, user_id""".stripMargin,
+
+    "q21_json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q22_case_math" ->
+      """SELECT CASE WHEN value < 10 THEN 'low' WHEN value < 100 THEN 'mid' ELSE 'high' END AS bucket,
+        | CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sum_floor
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q24_derived_having" ->
+      """SELECT user_id,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)/count(*) AS avg_val
+        |FROM events GROUP BY 1
+        |HAVING CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)/count(*) > 60
+        |ORDER BY user_id""".stripMargin,
+
+    "q25_sliding_window" ->
+      """SELECT CAST((floor(epoch(ts)/1800) - o)*1800 AS BIGINT) AS start_sec,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM events CROSS JOIN (VALUES (0),(1)) t(o)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q26_session_window" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id,
+        |   CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w >= INTERVAL 6 HOUR
+        |        THEN 1 ELSE 0 END AS ns
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        | s AS (
+        |  SELECT user_id, ts, sum(ns) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM o)
+        |SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS start_sec,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, start_sec""".stripMargin,
+
+    "q30_token_freq" ->
+      """SELECT w AS token, CAST(count(*) AS BIGINT) AS freq
+        |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q31_doc_stats" ->
+      """SELECT doc_id,
+        | CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+        | CAST(list_sum(list_transform(string_split(text,' '), w -> 1 + length(w)//6)) AS BIGINT) AS n_subwords,
+        | round(0.4*least(len(string_split(text,' '))/50.0, 1.0)
+        |     + 0.3*(len(list_distinct(string_split(text,' ')))::DOUBLE/len(string_split(text,' ')))
+        |     + 0.3*least(((length(text) - (len(string_split(text,' '))-1))::DOUBLE/len(string_split(text,' ')))/8.0, 1.0), 4) AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q32_lang_id" ->
+      """WITH sc AS (SELECT doc_id,
+        | len(list_filter(string_split(text,' '), w -> w='the' OR w='a' OR w='of' OR w='and' OR w='is')) AS en_h,
+        | len(list_filter(string_split(text,' '), w -> w='der' OR w='die' OR w='das' OR w='und' OR w='ist')) AS de_h,
+        | len(list_filter(string_split(text,' '), w -> w='el' OR w='la' OR w='los' OR w='de' OR w='es')) AS es_h,
+        | len(list_filter(string_split(text,' '), w -> w='le' OR w='la' OR w='les' OR w='et' OR w='est')) AS fr_h,
+        | len(list_filter(string_split(text,' '), w -> w='的' OR w='是' OR w='了' OR w='在' OR w='我')) AS zh_h
+        | FROM documents)
+        |SELECT doc_id, CASE
+        | WHEN en_h > 0 AND en_h >= greatest(en_h,de_h,es_h,fr_h,zh_h) THEN 'en'
+        | WHEN de_h > 0 AND de_h >= greatest(en_h,de_h,es_h,fr_h,zh_h) THEN 'de'
+        | WHEN es_h > 0 AND es_h >= greatest(en_h,de_h,es_h,fr_h,zh_h) THEN 'es'
+        | WHEN fr_h > 0 AND fr_h >= greatest(en_h,de_h,es_h,fr_h,zh_h) THEN 'fr'
+        | WHEN zh_h > 0 AND zh_h >= greatest(en_h,de_h,es_h,fr_h,zh_h) THEN 'zh'
+        | ELSE 'und' END AS lang_guess
+        |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "q33_fingerprints" ->
+      s"""SELECT doc_id, md5(text) AS fp,
+         | CAST(list_min(list_transform($trigrams, s -> ('0x'||substr(md5('0:'||s),1,8))::BIGINT)) AS BIGINT) AS rolling_fp
+         |FROM (SELECT doc_id, text, string_split(text,' ') AS l FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+
+    "q34_dedup_exact" ->
+      """SELECT md5(text) AS fp, CAST(min(doc_id) AS BIGINT) AS keep_id,
+        | CAST(count(*) AS BIGINT) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+
+    "q35_jaccard_pairs" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text,' ') AS l FROM documents),
+         | sh AS (SELECT doc_id AS id, unnest($trigrams) AS sh FROM d),
+         | sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY 1),
+         | inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+         |           FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id GROUP BY 1,2)
+         |SELECT id_a, id_b, round(inter::DOUBLE/(sa.n + sb.n - inter), 6) AS jaccard
+         |FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+         |WHERE inter::DOUBLE/(sa.n + sb.n - inter) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q36_minhash_pairs" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text,' ') AS l FROM documents),
+         | sh AS (SELECT doc_id AS id, unnest($trigrams) AS sh FROM d),
+         | h AS (SELECT id, j, min(('0x'||substr(md5(j::VARCHAR||':'||sh),1,8))::BIGINT) AS mh
+         |       FROM sh CROSS JOIN (SELECT unnest(generate_series(0,15)) AS j) g GROUP BY 1,2),
+         | b AS (SELECT id, j//4 AS band, string_agg(mh::VARCHAR, ',' ORDER BY j) AS bkey
+         |       FROM h GROUP BY 1,2)
+         |SELECT DISTINCT a.id AS id_a, c.id AS id_b
+         |FROM b a JOIN b c ON a.band = c.band AND a.bkey = c.bkey AND a.id < c.id
+         |ORDER BY 1,2""".stripMargin,
+
+    "q37_cosine_topk" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+         | c AS (SELECT vec_id AS vid, embedding::DOUBLE[] AS cv FROM embeddings),
+         | s AS (SELECT qid, vid, $cosExpr AS cos FROM q, c WHERE qid <> vid),
+         | r AS (SELECT qid, vid, cos,
+         |        CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS BIGINT) AS "rank"
+         |       FROM s)
+         |SELECT qid, vid, round(cos, 6) AS cos, "rank" FROM r WHERE "rank" <= 10
+         |ORDER BY qid, "rank"""".stripMargin,
+
+    "q38_embed_neardup" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        | s AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |        list_sum(list_transform(list_zip(a.v, b.v), x -> x[1]*x[2])) /
+        |        (sqrt(list_sum(list_transform(a.v, x -> x*x))) * sqrt(list_sum(list_transform(b.v, x -> x*x)))) AS cos
+        |       FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, round(cos, 6) AS cos FROM s WHERE cos >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q39_simhash" ->
+      """WITH t AS (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS tok FROM documents),
+        | bits AS (SELECT doc_id, i,
+        |   sum(CASE WHEN (('0x'||substr(md5('0:'||tok),1,8))::BIGINT >> i) % 2 = 1 THEN 1 ELSE -1 END) AS sgn
+        |  FROM t CROSS JOIN (SELECT unnest(generate_series(0,31)) AS i) g GROUP BY 1,2)
+        |SELECT doc_id, CAST(sum(CASE WHEN sgn > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS simhash
+        |FROM bits GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q42_multimodal" ->
+      """SELECT doc_id,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        | CAST(h % 1280 + 1 AS BIGINT) AS width,
+        | CAST(CAST(floor(h/1280) AS BIGINT) % 720 + 1 AS BIGINT) AS height,
+        | CAST(h % 60000 AS BIGINT) AS duration_ms,
+        | round(h/4294967296.0, 6) AS f0
+        |FROM (SELECT doc_id, text, ('0x'||substr(md5('0:'||text),1,8))::BIGINT AS h FROM documents)
+        |ORDER BY doc_id""".stripMargin
+  )
+}

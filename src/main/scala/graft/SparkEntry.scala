@@ -1,13 +1,392 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.Tables
+import graft.ext.{Dedup, Multimodal, SimSearch, TextOps}
+import graft.functions.{Hashing, VectorOps}
+import graft.ops.{SensorOps, Windows}
+
+/** Driver contract (SURVEY.md §5, §7): one query per implemented operator,
+  * each with an ANSI-SQL DuckDB oracle over the same parquet tables.
+  *
+  * Oracle-parity conventions (the driver hash-compares values after sorting
+  * columns by name):
+  *  - every aggregate/computed column is aliased identically on both sides;
+  *  - window keys are emitted as epoch seconds (BIGINT), never timestamps,
+  *    to sidestep timezone-annotation differences between writers;
+  *  - inexact-double sums go through DECIMAL(18,2) so results are
+  *    order-independent and bit-identical across engines; integral-valued
+  *    doubles (e.g. l_quantity) sum exactly as doubles already;
+  *  - every query ends in a total ORDER BY (Spark + SQL) so row order can
+  *    never matter;
+  *  - NULL-producing queries (rollup/cube/outer join) order NULLS FIRST on
+  *    both sides.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private val dec = DecimalType(18, 2)
+
+  /** Flagship on sf0.001 (driver smoke-checks rows > 0): the reference's Q1
+    * alert pipeline (filter → tumble → count → having → project,
+    * `PythonKafkaSink/main.py:79-86`) over the events table, keyed by
+    * event_type so the tiny sf0.001 slice still fires alerts.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    SensorOps.alerts(
+      Tables.events(spark, "/root/testdata/sf0.001"),
+      keyCol = "event_type", valueCol = "value", tsCol = "ts",
+      windowLen = "1 day", threshold = 30, minCount = 3)
+
+  // =====================================================================
+  // Core relational surface (SURVEY.md §2.2 R1–R13, §2.3 built-ins)
+  // =====================================================================
+
+  /** Q1 batch analog — R1 filter, R2 tumble, R4 count, R7 having, R6/R8
+    * projection. Day-long tumble so sf0.01 per-user counts clear the
+    * strict `> 3` threshold.
+    */
+  private def q01(s: SparkSession, dir: String): DataFrame =
+    SensorOps.alerts(Tables.events(s, dir),
+      keyCol = "user_id", valueCol = "value", tsCol = "ts",
+      windowLen = "1 day", threshold = 30, minCount = 3)
+      .select(col("user_id"), col("count_temp"),
+        unix_timestamp(col("start_event_time")).as("start_sec"))
+      .orderBy("start_sec", "user_id")
+
+  /** Q2 batch analog — R3 tumble, R5 truncated AVG(BIGINT), R9 star
+    * expansion, R11 date parts (`main.py:90-96`).
+    */
+  private def q02(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    e.groupBy(Windows.tumble(col("ts"), "15 minutes"), col("user_id"))
+      .agg(SensorOps.truncatedAvg("value").as("avg_temp"))
+      .select(col("user_id"), col("avg_temp"),
+        unix_timestamp(col("window.start")).as("start_sec"),
+        year(col("window.start")).cast("long").as("year"),
+        month(col("window.start")).cast("long").as("month"),
+        dayofmonth(col("window.start")).cast("long").as("day"),
+        hour(col("window.start")).cast("long").as("hour"))
+      .orderBy("start_sec", "user_id")
+  }
+
+  private def q03(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_quantity") > 45)
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** TPC-H Q1-style pricing summary: two-phase hash agg, decimal-exact
+    * money sums.
+    */
+  private def q04(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        sum(col("l_extendedprice").cast(dec)).cast("double").as("sum_base_price"),
+        sum((col("l_extendedprice").cast(dec) * (lit(1).cast(dec) - col("l_discount").cast(dec)))
+          .cast(DecimalType(18, 4))).cast("double").as("sum_disc_price"),
+        (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private def q05(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .join(Tables.customer(s, dir),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(dec)).cast("double").as("revenue"))
+      .orderBy("c_mktsegment")
+
+  /** TPC-H Q5-style 5-way join; nation/region are broadcast (truly small
+    * dims at any scale), the fact-side joins shuffle on their keys.
+    */
+  private def q06(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        sum((col("l_extendedprice").cast(dec) * (lit(1).cast(dec) - col("l_discount").cast(dec)))
+          .cast(DecimalType(18, 4))).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("r_name", "n_name")
+
+  private def q07(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+
+  /** Anti join against a filtered right side (customers with no
+    * high-value order) — every customer has *some* order in the fixtures,
+    * so the unfiltered variant would be vacuous.
+    */
+  private def q08(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir).filter(col("o_totalprice") > 450000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+
+  private def q09(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .orderBy("c_custkey")
+
+  private def q10(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"))
+      .distinct()
+      .orderBy("user_id", "event_type")
+
+  private def q11(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .rollup(col("n_name"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(dec)).cast("double").as("revenue"))
+      .orderBy(col("n_name").asc_nulls_first)
+
+  private def q12(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .cube(col("event_type"), (col("user_id") % 10).as("user_mod"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type").asc_nulls_first, col("user_mod").asc_nulls_first)
+
+  private def q13(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, dir)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+      .orderBy("o_custkey", "rn")
+  }
+
+  private def q14(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .withColumn("run_sum", sum(col("value").cast(dec)).over(w).cast("double"))
+      .select(col("user_id"), col("event_id"), col("run_sum"))
+      .orderBy("user_id", "event_id")
+  }
+
+  private def q15(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(100)
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        col("l_extendedprice"))
+
+  private def clickUsers(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).filter(col("event_type") === "click").select(col("user_id"))
+
+  private def bigValueUsers(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).filter(col("value") > 400).select(col("user_id"))
+
+  private def q16(s: SparkSession, dir: String): DataFrame =
+    clickUsers(s, dir).union(bigValueUsers(s, dir)).distinct().orderBy("user_id")
+
+  private def q17(s: SparkSession, dir: String): DataFrame =
+    clickUsers(s, dir).intersect(bigValueUsers(s, dir)).orderBy("user_id")
+
+  private def q18(s: SparkSession, dir: String): DataFrame =
+    clickUsers(s, dir).except(bigValueUsers(s, dir)).orderBy("user_id")
+
+  private def q19(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(
+        year(col("o_orderdate")).cast("long").as("year"),
+        month(col("o_orderdate")).cast("long").as("month"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("year", "month")
+
+  /** R13 — the consumer Lambda's message template over Q1 alerts
+    * (`kfpLambdaConsumerSNS.py:17-18`).
+    */
+  private def q20(s: SparkSession, dir: String): DataFrame =
+    q01(s, dir)
+      .withColumn("message", SensorOps.alertMessage(keyCol = "user_id"))
+      .select(col("user_id"), col("start_sec"), col("message"))
+      .orderBy("start_sec", "user_id")
+
+  /** S2 analog — JSON field extraction from the events.props payload. */
+  private def q21(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_val"))
+      .orderBy("event_id")
+
+  private def q22(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("bucket",
+        when(col("value") < 10, "low").when(col("value") < 100, "mid").otherwise("high"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value"))).as("sum_floor"))
+      .orderBy("bucket")
+
+  /** R10 — derived-table subquery with HAVING-style outer filter. */
+  private def q24(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg((sum(col("value").cast(dec)).cast("double") / count(lit(1))).as("avg_val"))
+      .filter(col("avg_val") > 60)
+      .orderBy("user_id")
+
+  /** Sliding (hopping) window — built-in capability (SURVEY.md §2.3). */
+  private def q25(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(Windows.sliding(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("window.start")).as("start_sec"), col("n"))
+      .orderBy("start_sec")
+
+  /** Session window (6 h gap) — built-in capability (SURVEY.md §2.3). */
+  private def q26(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(session_window(col("ts"), "6 hours"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"),
+        unix_timestamp(col("session_window.start")).as("start_sec"), col("n"))
+      .orderBy("user_id", "start_sec")
+
+  // =====================================================================
+  // North-star extensions (SURVEY.md §2.4)
+  // =====================================================================
+
+  private def q30(s: SparkSession, dir: String): DataFrame =
+    TextOps.tokenStats(Tables.documents(s, dir)).orderBy("token")
+
+  private def q31(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        TextOps.approxSubwordCount(col("text")).as("n_subwords"),
+        round(TextOps.qualityScore(col("text")), 4).as("quality"))
+      .orderBy("doc_id")
+
+  private def q32(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), TextOps.langId(col("text")).as("lang_guess"))
+      .orderBy("doc_id")
+
+  private def q33(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        TextOps.fingerprint(col("text")).as("fp"),
+        TextOps.rollingFingerprint(col("text")).as("rolling_fp"))
+      .orderBy("doc_id")
+
+  private def q34(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(Tables.documents(s, dir))
+      .select(md5(col("text")).as("fp"), col("keep_id"), col("n_copies"))
+      .orderBy("keep_id")
+
+  private def q35(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(Tables.documents(s, dir), threshold = 0.5)
+      .orderBy("id_a", "id_b")
+
+  private def q36(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashPairs(Tables.documents(s, dir), numHashes = 16, rowsPerBand = 4)
+      .orderBy("id_a", "id_b")
+
+  private def q37(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    SimSearch.topKBruteForce(emb, emb.filter(col("vec_id") < 5), k = 10)
+      .select(col("qid"), col("vid"), col("cos"), col("rank").cast("long").as("rank"))
+      .orderBy("qid", "rank")
+  }
+
+  private def q38(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDupPairs(Tables.embeddings(s, dir), threshold = 0.3)
+      .orderBy("id_a", "id_b")
+
+  private def q39(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhash(Tables.documents(s, dir))
+      .select(col("id").as("doc_id"), col("simhash"))
+      .orderBy("doc_id")
+
+  /** ANN via random-hyperplane LSH — approximate by design; hyperplanes are
+    * seeded JVM Gaussians, so no SQL oracle (driver rows-only check).
+    */
+  private def q40(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    SimSearch.topKLsh(emb, emb.filter(col("vec_id") < 5), k = 10, dim = 64)
+      .select(col("qid"), col("vid"), col("cos"), col("rank").cast("long").as("rank"))
+      .orderBy("qid", "rank")
+  }
+
+  /** ANN via IVF probing — approximate by design; rows-only check. */
+  private def q41(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    SimSearch.topKIvf(emb, emb.filter(col("vec_id") < 5), k = 10)
+      .select(col("qid"), col("vid"), col("cos"), col("rank").cast("long").as("rank"))
+      .orderBy("qid", "rank")
+  }
+
+  private def q42(s: SparkSession, dir: String): DataFrame =
+    Multimodal.mediaTable(Tables.documents(s, dir))
+      .select(col("doc_id"), col("n_bytes"),
+        col("media.width").as("width"), col("media.height").as("height"),
+        col("media.duration_ms").as("duration_ms"),
+        round(element_at(col("feature"), 1), 6).as("f0"))
+      .orderBy("doc_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_tumble_alerts" -> q01 _,
+    "q02_tumble_avg_parts" -> q02 _,
+    "q03_filter_project" -> q03 _,
+    "q04_pricing_summary" -> q04 _,
+    "q05_join_agg" -> q05 _,
+    "q06_join5_revenue" -> q06 _,
+    "q07_semi_join" -> q07 _,
+    "q08_anti_join" -> q08 _,
+    "q09_outer_join_count" -> q09 _,
+    "q10_distinct" -> q10 _,
+    "q11_rollup" -> q11 _,
+    "q12_cube" -> q12 _,
+    "q13_rank_topn" -> q13 _,
+    "q14_running_sum" -> q14 _,
+    "q15_topk_orderby" -> q15 _,
+    "q16_union" -> q16 _,
+    "q17_intersect" -> q17 _,
+    "q18_except" -> q18 _,
+    "q19_date_parts" -> q19 _,
+    "q20_alert_messages" -> q20 _,
+    "q21_json_extract" -> q21 _,
+    "q22_case_math" -> q22 _,
+    "q24_derived_having" -> q24 _,
+    "q25_sliding_window" -> q25 _,
+    "q26_session_window" -> q26 _,
+    "q30_token_freq" -> q30 _,
+    "q31_doc_stats" -> q31 _,
+    "q32_lang_id" -> q32 _,
+    "q33_fingerprints" -> q33 _,
+    "q34_dedup_exact" -> q34 _,
+    "q35_jaccard_pairs" -> q35 _,
+    "q36_minhash_pairs" -> q36 _,
+    "q37_cosine_topk" -> q37 _,
+    "q38_embed_neardup" -> q38 _,
+    "q39_simhash" -> q39 _,
+    "q40_ann_lsh" -> q40 _,
+    "q41_ann_ivf" -> q41 _,
+    "q42_multimodal" -> q42 _
+  )
+
+  val oracleSql: Map[String, String] = OracleSql.all
 }

@@ -1,0 +1,133 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps
+
+/** Similarity search over embedding columns (north-star extensions,
+  * SURVEY.md §2.4): brute-force cosine top-k as the exact baseline, and
+  * random-hyperplane LSH / IVF bucketing as the 100 TB scale paths.
+  *
+  * The query set is always assumed small relative to the corpus and is
+  * broadcast — the corpus side never shuffles for brute force (map-side
+  * crossJoin with broadcast), and the bucketed variants turn the search
+  * into an equi-join on bucket ids.
+  */
+object SimSearch {
+
+  /** Exact top-k by cosine: broadcast the queries, scan the corpus once,
+    * per-query heap via window rank. Deterministic tie-break on candidate
+    * id.
+    */
+  def topKBruteForce(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qv")))
+    val c = corpus.select(col(idCol).as("vid"), col(vecCol).as("cv"))
+    val scored = c.crossJoin(q)
+      .filter(col("qid") =!= col("vid"))
+      .withColumn("cos", VectorOps.cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vid"), round(col("cos"), 6).as("cos"), col("rank"))
+  }
+
+  /** Random-hyperplane LSH bucket id (`numPlanes`-bit signature).
+    * Hyperplanes are drawn from a fixed-seed Gaussian so bucketing is
+    * deterministic across runs and executors; computed with codegen'd
+    * higher-order functions (no UDF).
+    */
+  def hyperplaneBucket(vecCol: Column, dim: Int, numPlanes: Int = 12, seed: Long = 42L): Column = {
+    val rnd = new java.util.Random(seed)
+    val planes: Seq[Array[Double]] =
+      Seq.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+    planes.zipWithIndex.map { case (p, i) =>
+      val planeLit = array(p.map(lit): _*)
+      when(VectorOps.dot(vecCol, planeLit) > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** ANN via LSH: bucket corpus and queries, equi-join on bucket, exact
+    * rerank inside buckets. Recall < 1 by design; multi-probe by flipping
+    * one bit when `probeBits > 0`.
+    */
+  def topKLsh(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      dim: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      numPlanes: Int = 12,
+      probeBits: Int = 2,
+      seed: Long = 42L
+  ): DataFrame = {
+    val bucket = hyperplaneBucket(col(vecCol), dim, numPlanes, seed)
+    val c = corpus.select(col(idCol).as("vid"), col(vecCol).as("cv"), bucket.as("bucket"))
+    // multi-probe: each query also probes buckets at Hamming distance 1 on
+    // the first `probeBits` planes
+    val probes = explode(array(
+      (lit(0L) +: (0 until probeBits).map(i => lit(1L << i))): _*)).as("flip")
+    val q = broadcast(
+      queries.select(col(idCol).as("qid"), col(vecCol).as("qv"), bucket.as("qbucket"))
+        .select(col("qid"), col("qv"), col("qbucket"), probes)
+        .withColumn("bucket", col("qbucket").bitwiseXOR(col("flip")))
+        .select("qid", "qv", "bucket"))
+    val scored = c.join(q, "bucket")
+      .filter(col("qid") =!= col("vid"))
+      .withColumn("cos", VectorOps.cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vid"), round(col("cos"), 6).as("cos"), col("rank"))
+  }
+
+  /** IVF (inverted-file) index: partition the corpus by nearest centroid;
+    * queries probe the `nprobe` nearest centroid lists only. Centroids here
+    * are the first `nlist` corpus vectors (deterministic training stub —
+    * swap in sampled k-means offline for production; the probe/rerank
+    * dataflow is the part that must scale).
+    */
+  def topKIvf(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      nlist: Int = 16,
+      nprobe: Int = 4
+  ): DataFrame = {
+    val centroids = corpus.orderBy(col(idCol)).limit(nlist)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("cent_v"))
+    val centB = broadcast(centroids)
+
+    def nearestCentroids(df: DataFrame, side: String, n: Int): DataFrame = {
+      val w = Window.partitionBy(col(s"${side}id")).orderBy(col("d"), col("cent_id"))
+      df.crossJoin(centB)
+        .withColumn("d", VectorOps.l2(col(s"${side}v"), col("cent_v")))
+        .withColumn("cr", row_number().over(w))
+        .filter(col("cr") <= n)
+        .drop("d", "cr", "cent_v")
+    }
+
+    val c = nearestCentroids(
+      corpus.select(col(idCol).as("vid"), col(vecCol).as("vv")), "v", 1)
+      .withColumnRenamed("vv", "cv")
+    val q = nearestCentroids(
+      queries.select(col(idCol).as("qid"), col(vecCol).as("qv")), "q", nprobe)
+    val scored = c.join(q, "cent_id")
+      .filter(col("qid") =!= col("vid"))
+      .withColumn("cos", VectorOps.cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vid"), round(col("cos"), 6).as("cos"), col("rank"))
+  }
+}

@@ -1,0 +1,110 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
+
+/** Text-analysis operators for a training-data pipeline over the
+  * `documents` table (north-star extensions, SURVEY.md §2.4): token
+  * counting, quality scoring, language-ID, fingerprinting, shingling.
+  *
+  * Everything is expression-based (no UDFs) — whole-stage codegen end to
+  * end, linear scans with at most one shuffle per aggregate, so each
+  * operator scales to arbitrarily many documents.
+  */
+object TextOps {
+
+  /** Whitespace tokenizer. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Token count (whitespace tokens). */
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** BPE-ish subword count approximation: whitespace tokens plus an extra
+    * unit per 6 characters of word length beyond the first 6 — a
+    * deterministic, regex-free stand-in for a real tokenizer's
+    * length-scaling behavior.
+    */
+  def approxSubwordCount(text: Column): Column =
+    aggregate(
+      tokens(text),
+      lit(0L),
+      (acc, w) => acc + lit(1L) + floor(length(w) / lit(6)).cast("long"))
+
+  /** Word n-gram shingles (n ≥ 1) as an array of strings, empty when the
+    * document has fewer than n tokens.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    val count = size(toks) - (n - 1)
+    when(count >= 1,
+      transform(sequence(lit(1), count),
+        i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Distinct shingle set (the MinHash/Jaccard input). */
+  def shingleSet(text: Column, n: Int): Column = array_distinct(shingles(text, n))
+
+  /** Per-language stopword lists for the n-gram/stopword language-ID
+    * heuristic. Tiny on purpose: language-ID at scale is a per-row scalar
+    * scan; the lists are the model.
+    */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "la", "los", "de", "es"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "zh" -> Seq("的", "是", "了", "在", "我")
+  )
+
+  private def stopwordHits(text: Column, words: Seq[String]): Column = {
+    val toks = tokens(text)
+    words.map(w => size(filter(toks, t => t === w)).cast("long"))
+      .reduce(_ + _)
+  }
+
+  /** Language-ID: argmax of stopword hits with deterministic tie-break
+    * (first language in list order wins; `und` when nothing matches).
+    */
+  def langId(text: Column): Column = {
+    val scores = stopwords.map { case (lang, words) => lang -> stopwordHits(text, words) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val (firstLang, firstScore) = scores.head
+    scores.tail
+      .foldLeft(when(firstScore > 0 && firstScore === best, lit(firstLang))) {
+        case (acc, (lang, s)) => acc.when(s > 0 && s === best, lit(lang))
+      }
+      .otherwise(lit("und"))
+  }
+
+  /** Heuristic quality score in [0,1]:
+    * 0.4·min(tokens/50,1) + 0.3·(distinct/total tokens) +
+    * 0.3·min(avgWordLen/8,1). Pure per-row scalar double math —
+    * order-stable and oracle-reproducible.
+    */
+  def qualityScore(text: Column): Column = {
+    val total = tokenCount(text).cast("double")
+    val distinctToks = size(array_distinct(tokens(text))).cast("double")
+    val avgLen = (length(text).cast("double") - (total - 1)) / total
+    lit(0.4) * least(total / 50.0, lit(1.0)) +
+      lit(0.3) * (distinctToks / total) +
+      lit(0.3) * least(avgLen / 8.0, lit(1.0))
+  }
+
+  /** 128-bit content fingerprint (exact-dup key). */
+  def fingerprint(text: Column): Column = Hashing.fingerprint(text)
+
+  /** Winnowing-style rolling fingerprint: minimum 32-bit hash over the
+    * document's 3-gram shingles — robust to local edits, cheap to band.
+    */
+  def rollingFingerprint(text: Column, n: Int = 3, seed: Int = 0): Column =
+    array_min(transform(shingleSet(text, n), s => Hashing.md5Hash32(seed, s)))
+
+  /** Corpus-level token statistics (one shuffle). */
+  def tokenStats(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("freq"))
+}

@@ -1,0 +1,32 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Portable deterministic hash family used by dedup / fingerprint operators.
+  *
+  * Built on `md5` (identical across Spark, DuckDB, and virtually every
+  * engine) rather than Spark's murmur3 `hash()`, so every hash-based
+  * operator stays oracle-checkable bit-for-bit. The first 8 hex chars of
+  * the digest give an unsigned 32-bit value — plenty for MinHash/SimHash
+  * banding, and cheap to compute in whole-stage codegen (md5 + substring +
+  * conv are all codegen'd built-ins).
+  */
+object Hashing {
+
+  /** h_seed(s) = uint32 from md5("<seed>:<s>"). Seeded family for MinHash. */
+  def md5Hash32(seed: Column, s: Column): Column =
+    conv(substring(md5(concat(seed.cast("string"), lit(":"), s)), 1, 8), 16, 10)
+      .cast("long")
+
+  def md5Hash32(seed: Int, s: Column): Column = md5Hash32(lit(seed), s)
+
+  /** Full 128-bit content fingerprint as hex (document identity hash). */
+  def fingerprint(s: Column): Column = md5(s)
+
+  /** Uniform double in [0,1) derived from the hash — deterministic
+    * pseudo-randomness usable inside SQL-expressible operators.
+    */
+  def hashUnit(seed: Column, s: Column): Column =
+    md5Hash32(seed, s).cast("double") / lit(4294967296.0)
+}

@@ -1,0 +1,51 @@
+package graft.io
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+/** S4 — partitioned filesystem JSON sink (SURVEY.md §2.1).
+  *
+  * Mirrors the reference's S3 sink table (`PythonKafkaSink/main.py:59-76`):
+  * JSON-lines files under Hive-style `year=/month=/day=/hour=` directories
+  * (`PARTITIONED BY`, `main.py:69`). Exactly-once via Spark's
+  * `_spark_metadata` commit log (the Flink analog is checkpoint-based
+  * partition commit, `main.py:74-75`).
+  *
+  * The reference additionally drops a `_SUCCESS` marker per partition with a
+  * 1-minute commit delay (`'sink.partition-commit.policy.kind'='success-file'`,
+  * `'sink.partition-commit.delay'='1 min'`, `main.py:74-75`). Spark's
+  * streaming file sink has no partition-commit policy, so byte-compatible
+  * layout is offered through [[withSuccessMarkers]] (foreachBatch path,
+  * SURVEY.md §7.4 item 3).
+  */
+object PartitionedJsonSink {
+  val partitionCols: Seq[String] = Seq("year", "month", "day", "hour") // main.py:69
+
+  def writer(df: DataFrame, path: String, checkpointDir: String): DataStreamWriter[Row] =
+    df.writeStream
+      .format("json")
+      .partitionBy(partitionCols: _*)
+      .option("path", path)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+
+  /** Batch-side helper used by the foreachBatch fan-out: write one
+    * micro-batch partition-dir-compatible with the reference layout and drop
+    * `_SUCCESS` markers in every partition directory touched.
+    */
+  def writeBatchWithSuccessMarkers(batch: DataFrame, path: String): Unit = {
+    batch.write.mode("append").partitionBy(partitionCols: _*).json(path)
+    val parts = batch.select(partitionCols.map(org.apache.spark.sql.functions.col): _*)
+      .distinct().collect()
+    parts.foreach { r =>
+      val dir = partitionCols.zipWithIndex
+        .map { case (c, i) => s"$c=${r.get(i)}" }.mkString("/")
+      val marker = Paths.get(path, dir, "_SUCCESS")
+      if (Files.exists(marker.getParent)) {
+        Files.write(marker, Array.emptyByteArray)
+      }
+    }
+  }
+}
