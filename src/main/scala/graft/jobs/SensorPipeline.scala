@@ -27,7 +27,7 @@ object SensorPipeline {
     * (SURVEY.md §1.4).
     */
   def alertStream(telemetry: DataFrame, conf: EngineConf): DataFrame =
-    SensorOps.alerts(
+    SensorOps.alertsStreaming(
       telemetry.withWatermark("event_time", conf.watermarkDelay),
       windowLen = conf.alertWindow,
       threshold = conf.hotThreshold.toDouble,

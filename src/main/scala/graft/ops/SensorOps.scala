@@ -53,6 +53,35 @@ object SensorOps {
         col("count_temp"),
         col("window.start").as("start_event_time"))
 
+  /** Streaming-safe Q1. The batch [[alerts]] filters before aggregating —
+    * optimal for scans, but in a stream Catalyst pushes that filter BELOW
+    * the `EventTimeWatermark` node (the predicate doesn't reference the
+    * watermark column), so records failing `temperature > 30` would never
+    * advance the watermark. Flink assigns watermarks at the source, before
+    * any WHERE (`main.py:18`), so a quiet-but-cold sensor still closes
+    * windows. This variant keeps every record flowing through the watermark
+    * and counts hot rows conditionally — output contents identical to the
+    * reference, watermark driven by all records. Cost: per-(window,key)
+    * state exists for cold-only groups too; the HAVING drops them at emit.
+    */
+  def alertsStreaming(
+      watermarked: DataFrame,
+      keyCol: String = "sensor_id",
+      valueCol: String = "temperature",
+      tsCol: String = "event_time",
+      windowLen: String = "30 seconds",
+      threshold: Double = 30,
+      minCount: Long = 3
+  ): DataFrame =
+    watermarked
+      .groupBy(Windows.tumble(col(tsCol), windowLen), col(keyCol))
+      .agg(count(when(col(valueCol) > threshold, 1)).as("count_temp"))
+      .filter(col("count_temp") > minCount)
+      .select(
+        col(keyCol),
+        col("count_temp"),
+        col("window.start").as("start_event_time"))
+
   /** Flink's `AVG(BIGINT)` returns BIGINT — integer division truncated
     * toward zero (reference sink column `avg_temp BIGINT NOT NULL`,
     * `main.py:62,94`). Spark's `avg` returns DOUBLE, so the engine

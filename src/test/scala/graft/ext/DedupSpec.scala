@@ -1,0 +1,62 @@
+package graft.ext
+
+import graft.SparkTestBase
+
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val doc = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+  private val near = "alpha beta gamma delta epsilon zeta eta theta iota lambda" // 1 word differs
+  private val far = "one two three four five six seven eight nine ten"
+
+  private def docs = Seq(
+    (0L, doc), (1L, doc), (2L, near), (3L, far)
+  ).toDF("doc_id", "text")
+
+  test("exactGroups keeps lowest id and counts copies") {
+    val g = Dedup.exactGroups(docs).as[(String, Long, Long)].collect()
+      .map { case (_, keep, n) => keep -> n }.toMap
+    assert(g == Map(0L -> 2L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("exactDedup drops exact copies, keeps lowest id") {
+    val kept = Dedup.exactDedup(docs).select("doc_id").as[Long].collect().sorted
+    assert(kept.toList == List(0L, 2L, 3L))
+  }
+
+  test("minhashPairs finds identical and near-identical docs, not unrelated ones") {
+    val pairs = Dedup.minhashPairs(docs).as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)), "identical docs must share all bands")
+    assert(!pairs.contains((0L, 3L)) && !pairs.contains((2L, 3L)),
+      "unrelated docs share no shingle, so no band can match")
+  }
+
+  test("jaccardPairs computes exact trigram Jaccard") {
+    val pairs = Dedup.jaccardPairs(docs, threshold = 0.1)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    assert(pairs((0L, 1L)) == 1.0)
+    // doc vs near: 8 shingles each, 7 shared -> 7/9
+    assert(math.abs(pairs((0L, 2L)) - 7.0 / 9.0) < 1e-6)
+    assert(!pairs.contains((0L, 3L)))
+  }
+
+  test("simhash: identical docs hash equal; near docs within small hamming") {
+    val h = Dedup.simhash(docs).as[(Long, Long)].collect().toMap
+    assert(h(0L) == h(1L))
+    assert(java.lang.Long.bitCount(h(0L) ^ h(3L)) > 0)
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 8).as[(Long, Long, Long)].collect()
+      .map(p => (p._1, p._2)).toSet
+    assert(pairs.contains((0L, 1L)))
+  }
+
+  test("embeddingNearDupPairs flags high-cosine pairs only") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f)),
+      (1L, Array(0.99f, 0.1f, 0f)),
+      (2L, Array(0f, 1f, 0f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDupPairs(vecs, threshold = 0.9)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+}

@@ -1,0 +1,37 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class MultimodalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docs = Seq((1L, "hello world media payload")).toDF("doc_id", "text")
+
+  test("withPayload produces a binary column of the UTF-8 bytes") {
+    val r = Multimodal.withPayload(docs).select("payload").collect().head
+    assert(new String(r.getAs[Array[Byte]]("payload"), "UTF-8") == "hello world media payload")
+  }
+
+  test("mediaTable: byte length, deterministic stub metadata, feature vector shape") {
+    val m = Multimodal.mediaTable(docs)
+    val r = m.collect().head
+    assert(r.getAs[Long]("n_bytes") == 25L)
+    val media = r.getStruct(r.fieldIndex("media"))
+    assert(media.getAs[Long]("width") >= 1 && media.getAs[Long]("width") <= 1280)
+    assert(media.getAs[Long]("height") >= 1 && media.getAs[Long]("height") <= 720)
+    assert(r.getAs[collection.Seq[Double]]("feature").size == 4)
+    assert(r.getAs[collection.Seq[Double]]("feature").forall(f => f >= 0.0 && f < 1.0))
+    // deterministic: same input -> same stub output
+    assert(Multimodal.mediaTable(docs).collect().head == r)
+  }
+
+  test("sampleSlices returns n byte-slices of the payload") {
+    val s = Multimodal.withPayload(docs)
+      .select(Multimodal.sampleSlices(col("payload"), 3, 4).as("slices"))
+      .collect().head.getAs[collection.Seq[Array[Byte]]]("slices")
+    assert(s.size == 3)
+    assert(new String(s.head, "UTF-8") == "hell")
+  }
+}

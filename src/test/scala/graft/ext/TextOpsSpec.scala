@@ -1,0 +1,62 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class TextOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column, text: String): T =
+    Seq(text).toDF("text").select(c.as("r")).collect().head.getAs[T]("r")
+
+  test("tokenCount counts whitespace tokens") {
+    assert(one[Long](TextOps.tokenCount(col("text")), "a b c") == 3L)
+    assert(one[Long](TextOps.tokenCount(col("text")), "solo") == 1L)
+  }
+
+  test("shingles: positional word n-grams; short docs yield empty") {
+    assert(one[collection.Seq[String]](TextOps.shingles(col("text"), 3), "a b c d")
+      .toList == List("a b c", "b c d"))
+    assert(one[collection.Seq[String]](TextOps.shingles(col("text"), 3), "a b").isEmpty)
+  }
+
+  test("langId picks the language with most stopword hits; first wins ties; und when none") {
+    assert(one[String](TextOps.langId(col("text")), "the cat and the dog is here") == "en")
+    assert(one[String](TextOps.langId(col("text")), "der hund und die katze") == "de")
+    assert(one[String](TextOps.langId(col("text")), "xyz qrs tuv") == "und")
+    // 'la' is in both es and fr lists -> es declared first wins
+    assert(one[String](TextOps.langId(col("text")), "la casa") == "es")
+  }
+
+  test("qualityScore is in (0,1] and rewards length/diversity") {
+    val short = one[Double](TextOps.qualityScore(col("text")), "a a a a")
+    val rich = one[Double](TextOps.qualityScore(col("text")),
+      (1 to 60).map(i => s"word$i").mkString(" "))
+    assert(short > 0 && short <= 1.0)
+    assert(rich > short)
+  }
+
+  test("fingerprints: md5 is stable; rollingFingerprint survives prefix edits") {
+    val doc = "alpha beta gamma delta epsilon zeta eta theta"
+    val fp1 = one[String](TextOps.fingerprint(col("text")), doc)
+    val fp2 = one[String](TextOps.fingerprint(col("text")), doc)
+    assert(fp1 == fp2 && fp1.length == 32)
+    val r1 = one[Long](TextOps.rollingFingerprint(col("text")), doc)
+    // same doc with a new prefix: min-shingle-hash often unchanged (the
+    // winnowing property); identical suffix must at least keep r1 reachable
+    val r2 = one[Long](TextOps.rollingFingerprint(col("text")), "zzz " + doc)
+    assert(r2 <= r1) // adding shingles can only lower or keep the min
+  }
+
+  test("approxSubwordCount adds length penalty beyond 6 chars") {
+    assert(one[Long](TextOps.approxSubwordCount(col("text")), "short words here") == 3L)
+    assert(one[Long](TextOps.approxSubwordCount(col("text")), "internationalization") == 1L + 3L)
+  }
+
+  test("tokenStats aggregates corpus frequencies") {
+    val df = Seq("a b a", "b c").toDF("text")
+    val stats = TextOps.tokenStats(df).as[(String, Long)].collect().toMap
+    assert(stats == Map("a" -> 2L, "b" -> 2L, "c" -> 1L))
+  }
+}
