@@ -246,16 +246,22 @@ object OracleSql {
          |WHERE inter::DOUBLE/(sa.n + sb.n - inter) >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
 
-    "q36_minhash_pairs" ->
+    "q36_minhash_pairs" -> {
+      // identical universal-hash constants as the Scala operator
+      val (as, bs) = graft.functions.Hashing.minhashParams(16)
+      val p = graft.functions.Hashing.MinhashPrime
       s"""WITH d AS (SELECT doc_id, string_split(text,' ') AS l FROM documents),
          | sh AS (SELECT doc_id AS id, unnest($trigrams) AS sh FROM d),
-         | h AS (SELECT id, j, min(('0x'||substr(md5(j::VARCHAR||':'||sh),1,8))::BIGINT) AS mh
-         |       FROM sh CROSS JOIN (SELECT unnest(generate_series(0,15)) AS j) g GROUP BY 1,2),
+         | hb AS (SELECT id, ('0x'||substr(md5('0:'||sh),1,8))::BIGINT AS h0 FROM sh),
+         | h AS (SELECT id, j,
+         |        min((([${as.mkString(",")}])[j+1]*h0 + ([${bs.mkString(",")}])[j+1]) % $p) AS mh
+         |       FROM hb CROSS JOIN (SELECT unnest(generate_series(0,15)) AS j) g GROUP BY 1,2),
          | b AS (SELECT id, j//4 AS band, string_agg(mh::VARCHAR, ',' ORDER BY j) AS bkey
          |       FROM h GROUP BY 1,2)
          |SELECT DISTINCT a.id AS id_a, c.id AS id_b
          |FROM b a JOIN b c ON a.band = c.band AND a.bkey = c.bkey AND a.id < c.id
-         |ORDER BY 1,2""".stripMargin,
+         |ORDER BY 1,2""".stripMargin
+    },
 
     "q37_cosine_topk" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),

@@ -41,9 +41,9 @@ object Dedup {
 
   // -------------------------------------------------------------- minhash
 
-  /** MinHash signature rows `(id, j, mh)` for `numHashes` seeded hash
-    * functions over distinct n-gram shingles. One explode + one (id, j)
-    * shuffle; linear in corpus size.
+  /** MinHash signature rows `(id, j, mh)` — row-shaped variant of
+    * [[minhashSignatureArray]] (same hash family, same values). One
+    * explode + one (id, j) shuffle; linear in corpus size.
     */
   def minhashSignatures(
       docs: DataFrame,
@@ -51,12 +51,17 @@ object Dedup {
       textCol: String = "text",
       numHashes: Int = 16,
       shingleN: Int = 3
-  ): DataFrame =
+  ): DataFrame = {
+    val (as, bs) = Hashing.minhashParams(numHashes)
+    val (aLit, bLit) = (typedlit(as), typedlit(bs))
     docs.select(col(idCol).as("id"),
         explode(TextOps.shingleSet(col(textCol), shingleN)).as("sh"))
-      .select(col("id"), explode(sequence(lit(0), lit(numHashes - 1))).as("j"), col("sh"))
+      .select(col("id"), Hashing.md5Hash32(0, col("sh")).as("h0"))
+      .select(col("id"), explode(sequence(lit(0), lit(numHashes - 1))).as("j"), col("h0"))
       .groupBy("id", "j")
-      .agg(min(Hashing.md5Hash32(col("j"), col("sh"))).as("mh"))
+      .agg(min((element_at(aLit, col("j") + 1) * col("h0") + element_at(bLit, col("j") + 1))
+        % lit(Hashing.MinhashPrime)).as("mh"))
+  }
 
   /** LSH band keys `(id, band, bkey)` — signature values of each band
     * concatenated in hash order.
@@ -69,6 +74,41 @@ object Dedup {
         transform(sort_array(collect_list(struct(col("j"), col("mh")))),
           s => s.getField("mh").cast("string"))).as("bkey"))
 
+  /** Whole MinHash signature as one array column — no shuffle (the
+    * row-per-(id,j) variant shuffles docs×shingles×numHashes rows; this
+    * shuffles nothing). Hash family: ONE md5 base hash per shingle, then
+    * numHashes affine transforms (a_j·h+b_j) mod p — higher-order-function
+    * lambdas are interpreted, so the md5 count, not the arithmetic, is
+    * what matters.
+    */
+  def minhashSignatureArray(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      numHashes: Int = 16,
+      shingleN: Int = 3
+  ): DataFrame = {
+    val (as, bs) = Hashing.minhashParams(numHashes)
+    val (aLit, bLit) = (typedlit(as), typedlit(bs))
+    // Single aggregate fold over the base-hash array. Shape matters:
+    // `transform(j -> array_min(transform(hs, ...)))` would let
+    // CollapseProject inline `hs` into all numHashes lambdas, recomputing
+    // every md5 numHashes times (measured 16× slower). Here the md5 array
+    // is the fold input — evaluated exactly once per row — and the merge
+    // step is cheap affine arithmetic.
+    docs.select(col(idCol).as("id"), TextOps.shingleSet(col(textCol), shingleN).as("shs"))
+      .filter(size(col("shs")) > 0)
+      .select(col("id"),
+        aggregate(
+          transform(col("shs"), s => Hashing.md5Hash32(0, s)),
+          array_repeat(lit(Hashing.MinhashPrime), numHashes),
+          (acc, h) => transform(sequence(lit(0), lit(numHashes - 1)),
+            j => least(
+              element_at(acc, j + 1),
+              (element_at(aLit, j + 1) * h + element_at(bLit, j + 1))
+                % lit(Hashing.MinhashPrime)))).as("sig"))
+  }
+
   /** Candidate near-dup pairs: docs sharing at least one full LSH band.
     * Equi-join on (band, bkey) — shuffle-scalable, no cross product.
     */
@@ -80,8 +120,14 @@ object Dedup {
       rowsPerBand: Int = 4,
       shingleN: Int = 3
   ): DataFrame = {
-    val bands = lshBandKeys(
-      minhashSignatures(docs, idCol, textCol, numHashes, shingleN), rowsPerBand)
+    val bands = minhashSignatureArray(docs, idCol, textCol, numHashes, shingleN)
+      .select(col("id"),
+        explode(sequence(lit(0), lit(numHashes / rowsPerBand - 1))).as("band"),
+        col("sig"))
+      .withColumn("bkey", concat_ws(",",
+        transform(sequence(lit(0), lit(rowsPerBand - 1)),
+          r => element_at(col("sig"), col("band") * rowsPerBand + r + 1).cast("string"))))
+      .drop("sig")
     val a = bands.select(col("band"), col("bkey"), col("id").as("id_a"))
     val b = bands.select(col("band"), col("bkey"), col("id").as("id_b"))
     a.join(b, Seq("band", "bkey"))
@@ -160,7 +206,12 @@ object Dedup {
   // ---------------------------------------------------- embedding near-dup
 
   /** Exact embedding-cosine near-dup pairs (all-pairs; verifier scale).
-    * The 100 TB path buckets by LSH first (see SimSearch.hyperplaneLsh).
+    * The 100 TB path buckets by LSH first (see SimSearch.topKLsh).
+    *
+    * Norms are computed once per input row (n sqrt-folds), not once per
+    * pair (n² would be 3× the work of the dot products themselves);
+    * `dot/(na*nb)` is the same double expression as `dot/(norm(a)*norm(b))`
+    * so results — and the oracle hash — are bit-identical.
     */
   def embeddingNearDupPairs(
       embeddings: DataFrame,
@@ -168,11 +219,13 @@ object Dedup {
       vecCol: String = "embedding",
       threshold: Double = 0.9
   ): DataFrame = {
-    val a = embeddings.select(col(idCol).as("id_a"), col(vecCol).as("va"))
-    val b = embeddings.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    val withNorm = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"),
+      VectorOps.norm(col(vecCol)).as("nrm"))
+    val a = withNorm.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = withNorm.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
     a.crossJoin(b)
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", VectorOps.cosine(col("va"), col("vb")))
+      .withColumn("cos", VectorOps.dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }

@@ -28,11 +28,14 @@ object SimSearch {
       idCol: String = "vec_id",
       vecCol: String = "embedding"
   ): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qv")))
-    val c = corpus.select(col(idCol).as("vid"), col(vecCol).as("cv"))
+    // norms once per row, not per pair; dot/(nq*nc) ≡ dot/(norm(q)*norm(c))
+    val q = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+      VectorOps.norm(col(vecCol)).as("nq")))
+    val c = corpus.select(col(idCol).as("vid"), col(vecCol).as("cv"),
+      VectorOps.norm(col(vecCol)).as("nc"))
     val scored = c.crossJoin(q)
       .filter(col("qid") =!= col("vid"))
-      .withColumn("cos", VectorOps.cosine(col("qv"), col("cv")))
+      .withColumn("cos", VectorOps.dot(col("qv"), col("cv")) / (col("nq") * col("nc")))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -46,10 +49,12 @@ object SimSearch {
     */
   def hyperplaneBucket(vecCol: Column, dim: Int, numPlanes: Int = 12, seed: Long = 42L): Column = {
     val rnd = new java.util.Random(seed)
-    val planes: Seq[Array[Double]] =
-      Seq.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+    val planes: Seq[Seq[Double]] =
+      Seq.fill(numPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
     planes.zipWithIndex.map { case (p, i) =>
-      val planeLit = array(p.map(lit): _*)
+      // typedlit → one foldable ArrayType literal; array(lit,…) would
+      // rebuild the array per row inside codegen
+      val planeLit = typedlit(p)
       when(VectorOps.dot(vecCol, planeLit) > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
   }

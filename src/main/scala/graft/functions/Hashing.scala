@@ -29,4 +29,24 @@ object Hashing {
     */
   def hashUnit(seed: Column, s: Column): Column =
     md5Hash32(seed, s).cast("double") / lit(4294967296.0)
+
+  /** Largest prime below 2^32 — modulus of the MinHash universal-hash
+    * family.
+    */
+  val MinhashPrime = 4294967291L
+
+  /** Affine universal-hash coefficients (a_j, b_j) for h_j(x) =
+    * (a_j·x + b_j) mod [[MinhashPrime]]. One expensive base hash per
+    * shingle, then numHashes cheap affine transforms — 16× fewer md5
+    * evaluations than a seeded-md5 family. a_j < 2^20 keeps a_j·x < 2^52,
+    * safely inside BIGINT (and even double) range for any engine.
+    * Deterministic (java.util.Random sequence is specified), and exposed
+    * so the SQL oracle can inline the identical constants.
+    */
+  def minhashParams(numHashes: Int, seed: Long = 7L): (Seq[Long], Seq[Long]) = {
+    val rnd = new java.util.Random(seed)
+    val as = Seq.fill(numHashes)(1L + rnd.nextInt((1 << 20) - 1).toLong)
+    val bs = Seq.fill(numHashes)(rnd.nextInt(1 << 30).toLong)
+    (as, bs)
+  }
 }
