@@ -193,6 +193,14 @@ object OracleSql {
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, start_sec""".stripMargin,
 
+    "q27_asof_join" ->
+      """SELECT e.event_id, e.user_id, o.o_orderkey AS last_orderkey
+        |FROM events e
+        |ASOF LEFT JOIN (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+        |                FROM orders GROUP BY 1,2) o
+        |ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        |ORDER BY event_id""".stripMargin,
+
     "q30_token_freq" ->
       """SELECT w AS token, CAST(count(*) AS BIGINT) AS freq
         |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)

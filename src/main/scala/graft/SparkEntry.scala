@@ -8,7 +8,7 @@ import org.apache.spark.sql.types.DecimalType
 import graft.core.Tables
 import graft.ext.{Dedup, Multimodal, SimSearch, TextOps}
 import graft.functions.{Hashing, VectorOps}
-import graft.ops.{SensorOps, Windows}
+import graft.ops.{AsOfJoin, SensorOps, Windows}
 
 /** Driver contract (SURVEY.md §5, §7): one query per implemented operator,
   * each with an ANSI-SQL DuckDB oracle over the same parquet tables.
@@ -265,6 +265,32 @@ object SparkEntry {
         unix_timestamp(col("session_window.start")).as("start_sec"), col("n"))
       .orderBy("user_id", "start_sec")
 
+  /** As-of join: each event joined to the user's latest order at or before
+    * the event time (right side pre-aggregated to unique (key, time)).
+    */
+  private def q27(s: SparkSession, dir: String): DataFrame = {
+    val uniqueOrders = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"))
+    AsOfJoin.backwardSelect(
+      Tables.events(s, dir).select(col("event_id"), col("user_id"), col("ts")),
+      uniqueOrders,
+      leftKey = "user_id", rightKey = "o_custkey",
+      leftTime = "ts", rightTime = "o_orderdate",
+      pick = "o_orderkey")
+      .select(col("event_id"), col("user_id"), col("o_orderkey").as("last_orderkey"))
+      .orderBy("event_id")
+  }
+
+  /** approx_count_distinct — sketch differs across engines by design, so
+    * rows-only check (no oracle).
+    */
+  private def q28(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+      .orderBy("event_type")
+
   // =====================================================================
   // North-star extensions (SURVEY.md §2.4)
   // =====================================================================
@@ -373,6 +399,8 @@ object SparkEntry {
     "q24_derived_having" -> q24 _,
     "q25_sliding_window" -> q25 _,
     "q26_session_window" -> q26 _,
+    "q27_asof_join" -> q27 _,
+    "q28_approx_distinct" -> q28 _,
     "q30_token_freq" -> q30 _,
     "q31_doc_stats" -> q31 _,
     "q32_lang_id" -> q32 _,

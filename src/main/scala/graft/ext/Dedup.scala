@@ -19,6 +19,15 @@ import graft.functions.{Hashing, VectorOps}
   */
 object Dedup {
 
+  /** All ordered pairs (a<b) from a SORTED id array — used to emit
+    * candidate pairs inside a bucket without a second scan of the corpus
+    * (a self-join would recompute the whole upstream pipeline per side).
+    */
+  private def pairCombos(ids: Column): Column =
+    flatten(transform(ids, (x, i) =>
+      transform(slice(ids, i + 2, size(ids)),
+        y => struct(x.as("a"), y.as("b")))))
+
   // ---------------------------------------------------------------- exact
 
   /** Exact-dup groups: one row per distinct content with the id kept
@@ -128,11 +137,13 @@ object Dedup {
         transform(sequence(lit(0), lit(rowsPerBand - 1)),
           r => element_at(col("sig"), col("band") * rowsPerBand + r + 1).cast("string"))))
       .drop("sig")
-    val a = bands.select(col("band"), col("bkey"), col("id").as("id_a"))
-    val b = bands.select(col("band"), col("bkey"), col("id").as("id_b"))
-    a.join(b, Seq("band", "bkey"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
+    // group per bucket and emit in-bucket combinations — ONE pass over the
+    // signature pipeline (a self-join would compute it twice)
+    bands.groupBy("band", "bkey")
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(pairCombos(col("ids"))).as("p"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
       .distinct()
   }
 
@@ -150,12 +161,18 @@ object Dedup {
       shingleN: Int = 3,
       threshold: Double = 0.5
   ): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"),
-      explode(TextOps.shingleSet(col(textCol), shingleN)).as("sh"))
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
-    val inter = sh.select(col("id").as("id_a"), col("sh"))
-      .join(sh.select(col("id").as("id_b"), col("sh")), Seq("sh"))
-      .filter(col("id_a") < col("id_b"))
+    val shingleArr = TextOps.shingleSet(col(textCol), shingleN)
+    // set sizes come from a plain projection (no explode/shuffle), and the
+    // intersection counts from ONE explode -> bucket-combos pass; the
+    // textbook shingle self-join would scan and shuffle the corpus twice
+    val sizes = docs.select(col(idCol).as("id"), size(shingleArr).as("n"))
+      .filter(col("n") > 0)
+    val inter = docs.select(col(idCol).as("id"), explode(shingleArr).as("sh"))
+      .groupBy("sh")
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(pairCombos(col("ids"))).as("p"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("inter"))
     inter

@@ -2,15 +2,17 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
 
 /** Vector math over `ArrayType(FloatType)` embedding columns.
   *
   * All arithmetic is promoted to double and folded sequentially in array
-  * order (`aggregate` is a left fold), which keeps results bit-identical
-  * across engines that fold the same way — required for the DuckDB oracle
-  * and good practice anyway (order-stable floating point). Everything here
-  * is built-in higher-order functions → whole-stage codegen, no UDF
-  * serialization on the 100 TB hot path.
+  * order, which keeps results bit-identical across engines that fold the
+  * same way — required for the DuckDB oracle and good practice anyway
+  * (order-stable floating point). The hot path (dot product) is a custom
+  * codegen'd [[DotProductExpr]] — higher-order-function lambdas are
+  * interpreted per element, which measured ~10× slower on all-pairs
+  * similarity workloads.
   */
 object VectorOps {
 
@@ -18,12 +20,14 @@ object VectorOps {
   private def foldSum(arr: Column): Column =
     aggregate(arr, lit(0.0), (acc, x) => acc + x)
 
-  /** Dot product in double precision. */
+  /** Dot product in double precision (codegen'd; bit-identical to the
+    * `aggregate(zip_with(...))` fold it replaces).
+    */
   def dot(a: Column, b: Column): Column =
-    foldSum(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
+    ColumnBridge.column(DotProductExpr(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
-  def normSq(a: Column): Column =
-    foldSum(transform(a, x => x.cast("double") * x.cast("double")))
+  def normSq(a: Column): Column = dot(a, a)
 
   def norm(a: Column): Column = sqrt(normSq(a))
 

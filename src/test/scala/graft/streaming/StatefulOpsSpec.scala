@@ -1,0 +1,54 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkTestBase
+import graft.core.Telemetry
+
+class StatefulOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("sessionize: gap closes inline, watermark timeout closes the tail session") {
+    val mem = MemoryStream[Telemetry](spark)
+    val query = StatefulOps.sessionize(mem.toDS(), gapMs = 30000L)
+      .writeStream.format("memory").queryName("sessions_out").outputMode("append").start()
+    try {
+      // session A: two events 10s apart
+      mem.addData(Seq(
+        Telemetry("s1", 30, ts("2024-01-01 00:00:00")),
+        Telemetry("s1", 30, ts("2024-01-01 00:00:10"))))
+      query.processAllAvailable()
+      // 110s later: closes session A inline, opens session B
+      mem.addData(Seq(Telemetry("s1", 30, ts("2024-01-01 00:02:00"))))
+      query.processAllAvailable()
+      // advance the watermark far past B's gap -> timeout closes B
+      mem.addData(Seq(Telemetry("s2", 30, ts("2024-01-01 00:10:00"))))
+      query.processAllAvailable()
+      mem.addData(Seq(Telemetry("s2", 30, ts("2024-01-01 00:20:00"))))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val out = spark.table("sessions_out").as[StatefulOps.SessionOut]
+      .collect().filter(_.sensor_id == "s1")
+      .map(s => (s.session_start, s.n_events)).sortBy(_._1.getTime).toList
+    assert(out == List(
+      (ts("2024-01-01 00:00:00"), 2L),
+      (ts("2024-01-01 00:02:00"), 1L)))
+  }
+
+  test("dedupWithinWatermark drops duplicate keys inside the horizon") {
+    val mem = MemoryStream[Telemetry](spark)
+    val deduped = StatefulOps.dedupWithinWatermark(
+      mem.toDF().withWatermark("event_time", "10 seconds"), Seq("sensor_id"))
+    val query = deduped.writeStream.format("memory")
+      .queryName("dedup_out").outputMode("append").start()
+    try {
+      mem.addData(Seq(
+        Telemetry("s1", 30, ts("2024-01-01 00:00:00")),
+        Telemetry("s1", 31, ts("2024-01-01 00:00:01")),
+        Telemetry("s2", 32, ts("2024-01-01 00:00:02"))))
+      query.processAllAvailable()
+    } finally query.stop()
+    assert(spark.table("dedup_out").count() == 2)
+  }
+}
