@@ -44,8 +44,14 @@ object TextOps {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** Distinct shingle set (the MinHash/Jaccard input). */
-  def shingleSet(text: Column, n: Int): Column = array_distinct(shingles(text, n))
+  /** Distinct shingle set (the MinHash/Jaccard input) — single-pass
+    * [[graft.functions.ShingleSetExpr]]; semantically
+    * `array_distinct(shingles(text, n))`.
+    */
+  def shingleSet(text: Column, n: Int): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.ShingleSetExpr(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(text), n))
 
   /** Per-language stopword lists for the n-gram/stopword language-ID
     * heuristic. Tiny on purpose: language-ID at scale is a per-row scalar

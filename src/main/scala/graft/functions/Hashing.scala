@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
 
 /** Portable deterministic hash family used by dedup / fingerprint operators.
   *
@@ -14,10 +15,13 @@ import org.apache.spark.sql.functions._
   */
 object Hashing {
 
-  /** h_seed(s) = uint32 from md5("<seed>:<s>"). Seeded family for MinHash. */
+  /** h_seed(s) = uint32 from md5("<seed>:<s>") — via the codegen'd
+    * [[Md5Hash32Expr]] (bit-identical to
+    * `conv(substring(md5(...),1,8),16,10)`, which the SQL oracles use).
+    */
   def md5Hash32(seed: Column, s: Column): Column =
-    conv(substring(md5(concat(seed.cast("string"), lit(":"), s)), 1, 8), 16, 10)
-      .cast("long")
+    ColumnBridge.column(Md5Hash32Expr(
+      ColumnBridge.expression(concat(seed.cast("string"), lit(":"), s))))
 
   def md5Hash32(seed: Int, s: Column): Column = md5Hash32(lit(seed), s)
 
