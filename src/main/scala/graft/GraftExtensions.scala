@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+import graft.functions.{DotProductExpr, Md5Hash32Expr, ShingleSetExpr}
+
+/** SQL registration of the engine's custom Catalyst expressions — both as
+  * a `SparkSessionExtensions` class (`--conf
+  * spark.sql.extensions=graft.GraftExtensions`) and as a programmatic
+  * registrar for an existing session. After registration the functions are
+  * usable from plain SQL:
+  *
+  * {{{
+  *   SELECT dot_product(a.embedding, b.embedding)        -- codegen'd
+  *   SELECT md5_hash32('seed:' || token)                 -- portable uint32
+  *   SELECT shingle_set(text, 3)                         -- distinct n-grams
+  * }}}
+  */
+object GraftFunctions {
+
+  private def info(name: String, clazz: Class[_]): ExpressionInfo =
+    new ExpressionInfo(clazz.getName, name)
+
+  private def intLiteral(e: Expression, arg: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$arg must be an integer literal, got $other")
+  }
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("dot_product"), info("dot_product", classOf[DotProductExpr]),
+      (es: Seq[Expression]) => DotProductExpr(es(0), es(1))),
+    (FunctionIdentifier("md5_hash32"), info("md5_hash32", classOf[Md5Hash32Expr]),
+      (es: Seq[Expression]) => Md5Hash32Expr(es.head)),
+    (FunctionIdentifier("shingle_set"), info("shingle_set", classOf[ShingleSetExpr]),
+      (es: Seq[Expression]) => ShingleSetExpr(es(0), intLiteral(es(1), "shingle size")))
+  )
+
+  /** Register into an already-running session. */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (id, i, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, i, builder)
+    }
+}
+
+/** `spark.sql.extensions` entry point. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.functions.foreach(ext.injectFunction)
+}

@@ -1,0 +1,82 @@
+package graft.jobs
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkTestBase
+import graft.core.{EngineConf, Telemetry}
+import graft.io.{AlertDispatch, CollectingAlertSink, PartitionedJsonSink}
+
+/** End-to-end: telemetry → Q2 → partitioned JSON file sink (S4 layout:
+  * `year=/month=/day=/hour=` dirs, `main.py:69`), and Q1 → per-record
+  * alert dispatch (S7, `kfpLambdaConsumerSNS.py:12-23`).
+  */
+class PipelineE2ESpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val conf = EngineConf.default
+
+  test("Q2 streaming writes Hive-partitioned JSON files") {
+    val outDir = Files.createTempDirectory("graft_s4_").toString
+    val chkDir = Files.createTempDirectory("graft_chk_").toString
+    val mem = MemoryStream[Telemetry](spark)
+    val query = PartitionedJsonSink.writer(
+      SensorPipeline.avgStream(mem.toDF(), conf), outDir, chkDir).start()
+    try {
+      mem.addData(Seq(
+        Telemetry("s1", 31, ts("2024-03-05 17:00:01")),
+        Telemetry("s1", 32, ts("2024-03-05 17:00:02"))))
+      query.processAllAvailable()
+      mem.addData(Seq(Telemetry("s2", 20, ts("2024-03-05 17:05:00"))))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val partDir = Paths.get(outDir, "year=2024", "month=3", "day=5", "hour=17")
+    assert(Files.isDirectory(partDir), s"expected Hive-style partition dirs under $outDir")
+    val rows = spark.read.schema("sensor_id STRING, avg_temp LONG, start_event_time TIMESTAMP")
+      .json(s"$outDir/year=*/month=*/day=*/hour=*/*.json")
+      .select("sensor_id", "avg_temp").as[(String, Long)].collect().toList
+    assert(rows == List(("s1", 31L)))
+  }
+
+  test("Q1 alerts fan out one message per record through the AlertSink") {
+    CollectingAlertSink.drain()
+    val mem = MemoryStream[Telemetry](spark)
+    val query = AlertDispatch.messages(SensorPipeline.alertStream(mem.toDF(), conf))
+      .writeStream
+      .foreach(AlertDispatch.writer(new CollectingAlertSink))
+      .outputMode("append")
+      .start()
+    try {
+      mem.addData((0 until 4).map(i => Telemetry("s9", 31, ts(s"2024-01-01 00:00:0$i"))))
+      query.processAllAvailable()
+      mem.addData(Seq(Telemetry("s2", 20, ts("2024-01-01 00:05:00"))))
+      query.processAllAvailable()
+      mem.addData(Seq(Telemetry("s2", 20, ts("2024-01-01 00:10:00"))))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val sent = CollectingAlertSink.drain()
+    assert(sent == List(
+      ("Temperature Alert",
+        "Sensor Id: s9 has exceeded the temperature threshold 4 times")))
+  }
+
+  test("shared-scan batch fan-out writes partitioned files with _SUCCESS markers") {
+    val outDir = Files.createTempDirectory("graft_s4b_").toString
+    val batch = Seq(
+      Telemetry("s1", 31, ts("2024-03-05 17:00:01")),
+      Telemetry("s1", 33, ts("2024-03-05 17:00:02"))).toDF()
+    val avgs = graft.ops.SensorOps.avgWithPartitions(batch)
+    PartitionedJsonSink.writeBatchWithSuccessMarkers(avgs, outDir)
+    val partDir = Paths.get(outDir, "year=2024", "month=3", "day=5", "hour=17")
+    assert(Files.isDirectory(partDir))
+    assert(Files.exists(partDir.resolve("_SUCCESS")),
+      "reference partition-commit success-file policy (main.py:74-75)")
+    val files = Files.list(partDir).iterator().asScala.map(_.getFileName.toString).toList
+    assert(files.exists(_.endsWith(".json")))
+  }
+}
