@@ -193,6 +193,28 @@ object OracleSql {
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, start_sec""".stripMargin,
 
+    "q23_grouping_sets" ->
+      """SELECT event_type, user_id % 10 AS user_mod, CAST(count(*) AS BIGINT) AS n
+        |FROM events
+        |GROUP BY GROUPING SETS ((event_type), (user_id % 10), ())
+        |ORDER BY event_type NULLS FIRST, user_mod NULLS FIRST""".stripMargin,
+
+    "q29_interval_join" ->
+      """SELECT e.event_id, CAST(count(o.o_custkey) AS BIGINT) AS n_orders
+        |FROM events e LEFT JOIN orders o
+        | ON e.user_id = o.o_custkey
+        | AND o.o_orderdate BETWEEN e.ts - INTERVAL 7 DAY AND e.ts
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q45_pivot" ->
+      """SELECT user_id,
+        | CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+        | CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+        | CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+        | CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+        | CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS "view"
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q27_asof_join" ->
       """SELECT e.event_id, e.user_id, o.o_orderkey AS last_orderkey
         |FROM events e

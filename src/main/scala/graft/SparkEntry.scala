@@ -240,6 +240,18 @@ object SparkEntry {
         sum(floor(col("value"))).as("sum_floor"))
       .orderBy("bucket")
 
+  /** GROUPING SETS — via the SQL entry point (the DataFrame API only
+    * exposes rollup/cube; arbitrary sets go through `spark.sql`).
+    */
+  private def q23(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events_v")
+    s.sql(
+      """SELECT event_type, user_id % 10 AS user_mod, count(*) AS n
+        |FROM events_v
+        |GROUP BY GROUPING SETS ((event_type), (user_id % 10), ())
+        |ORDER BY event_type ASC NULLS FIRST, user_mod ASC NULLS FIRST""".stripMargin)
+  }
+
   /** R10 — derived-table subquery with HAVING-style outer filter. */
   private def q24(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -280,6 +292,33 @@ object SparkEntry {
       pick = "o_orderkey")
       .select(col("event_id"), col("user_id"), col("o_orderkey").as("last_orderkey"))
       .orderBy("event_id")
+  }
+
+  /** Interval (range) join: orders within the 7 days before each event. */
+  private def q29(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(col("event_id"), col("user_id"), col("ts"))
+    val o = Tables.orders(s, dir).select(col("o_custkey"), col("o_orderdate"))
+    e.join(o,
+        col("user_id") === col("o_custkey") &&
+          col("o_orderdate") >= col("ts") - expr("INTERVAL 7 DAY") &&
+          col("o_orderdate") <= col("ts"),
+        "left")
+      .groupBy(col("event_id"))
+      .agg(count(col("o_custkey")).as("n_orders"))
+      .orderBy("event_id")
+  }
+
+  /** Pivot: per-user event-type counts as columns (0-filled like the SQL
+    * FILTER-aggregate formulation).
+    */
+  private def q45(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0, types)
+      .orderBy("user_id")
   }
 
   /** approx_count_distinct — sketch differs across engines by design, so
@@ -399,8 +438,11 @@ object SparkEntry {
     "q24_derived_having" -> q24 _,
     "q25_sliding_window" -> q25 _,
     "q26_session_window" -> q26 _,
+    "q23_grouping_sets" -> q23 _,
     "q27_asof_join" -> q27 _,
     "q28_approx_distinct" -> q28 _,
+    "q29_interval_join" -> q29 _,
+    "q45_pivot" -> q45 _,
     "q30_token_freq" -> q30 _,
     "q31_doc_stats" -> q31 _,
     "q32_lang_id" -> q32 _,

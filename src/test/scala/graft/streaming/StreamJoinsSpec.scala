@@ -1,0 +1,42 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.core.Telemetry
+
+class StreamJoinsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("stream-stream interval join matches keys within the time bound, evicts outside it") {
+    val lMem = MemoryStream[Telemetry](spark)
+    val rMem = MemoryStream[Telemetry](spark)
+    val l = lMem.toDF().withWatermark("event_time", "5 seconds")
+      .select(col("sensor_id").as("l_id"), col("event_time").as("l_time"))
+    val r = rMem.toDF().withWatermark("event_time", "5 seconds")
+      .select(col("sensor_id").as("r_id"), col("event_time").as("r_time"),
+        col("temperature").as("r_temp"))
+    val joined = StreamJoins.interval(l, r,
+      col("l_id") === col("r_id"), col("l_time"), col("r_time"),
+      "INTERVAL 0 SECONDS", "INTERVAL 30 SECONDS")
+
+    val query = joined.writeStream.format("memory")
+      .queryName("ssj_out").outputMode("append").start()
+    try {
+      lMem.addData(Seq(Telemetry("s1", 30, ts("2024-01-01 00:00:00"))))
+      rMem.addData(Seq(
+        Telemetry("s1", 41, ts("2024-01-01 00:00:10")), // inside [0, 30s]
+        Telemetry("s1", 42, ts("2024-01-01 00:01:10")), // outside
+        Telemetry("s2", 43, ts("2024-01-01 00:00:10")))) // wrong key
+      query.processAllAvailable()
+      lMem.addData(Seq(Telemetry("s9", 30, ts("2024-01-01 00:10:00"))))
+      rMem.addData(Seq(Telemetry("s9", 30, ts("2024-01-01 00:10:31"))))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val out = spark.table("ssj_out").select("l_id", "r_temp")
+      .as[(String, Long)].collect().toList
+    assert(out == List(("s1", 41L)))
+  }
+}
