@@ -21,6 +21,24 @@ object OracleSql {
       |GROUP BY user_id, floor(epoch(ts)/86400)
       |HAVING count(*) > 3""".stripMargin
 
+  /** Shared CTE chain producing MinHash-LSH candidate pairs `px(id_a,
+    * id_b)` — identical universal-hash constants as the Scala operator.
+    */
+  private lazy val minhashCtes: String = {
+    val (as, bs) = graft.functions.Hashing.minhashParams(16)
+    val p = graft.functions.Hashing.MinhashPrime
+    s"""d AS (SELECT doc_id, string_split(text,' ') AS l FROM documents),
+       | sh AS (SELECT doc_id AS id, unnest($trigrams) AS sh FROM d),
+       | hb AS (SELECT id, ('0x'||substr(md5('0:'||sh),1,8))::BIGINT AS h0 FROM sh),
+       | h AS (SELECT id, j,
+       |        min((([${as.mkString(",")}])[j+1]*h0 + ([${bs.mkString(",")}])[j+1]) % $p) AS mh
+       |       FROM hb CROSS JOIN (SELECT unnest(generate_series(0,15)) AS j) g GROUP BY 1,2),
+       | b AS (SELECT id, j//4 AS band, string_agg(mh::VARCHAR, ',' ORDER BY j) AS bkey
+       |       FROM h GROUP BY 1,2),
+       | px AS (SELECT DISTINCT a.id AS id_a, c.id AS id_b
+       |        FROM b a JOIN b c ON a.band = c.band AND a.bkey = c.bkey AND a.id < c.id)""".stripMargin
+  }
+
   private val cosExpr =
     "list_sum(list_transform(list_zip(qv, cv), x -> x[1]*x[2])) / " +
       "(sqrt(list_sum(list_transform(qv, x -> x*x))) * sqrt(list_sum(list_transform(cv, x -> x*x))))"
@@ -276,22 +294,21 @@ object OracleSql {
          |WHERE inter::DOUBLE/(sa.n + sb.n - inter) >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
 
-    "q36_minhash_pairs" -> {
-      // identical universal-hash constants as the Scala operator
-      val (as, bs) = graft.functions.Hashing.minhashParams(16)
-      val p = graft.functions.Hashing.MinhashPrime
-      s"""WITH d AS (SELECT doc_id, string_split(text,' ') AS l FROM documents),
-         | sh AS (SELECT doc_id AS id, unnest($trigrams) AS sh FROM d),
-         | hb AS (SELECT id, ('0x'||substr(md5('0:'||sh),1,8))::BIGINT AS h0 FROM sh),
-         | h AS (SELECT id, j,
-         |        min((([${as.mkString(",")}])[j+1]*h0 + ([${bs.mkString(",")}])[j+1]) % $p) AS mh
-         |       FROM hb CROSS JOIN (SELECT unnest(generate_series(0,15)) AS j) g GROUP BY 1,2),
-         | b AS (SELECT id, j//4 AS band, string_agg(mh::VARCHAR, ',' ORDER BY j) AS bkey
-         |       FROM h GROUP BY 1,2)
-         |SELECT DISTINCT a.id AS id_a, c.id AS id_b
-         |FROM b a JOIN b c ON a.band = c.band AND a.bkey = c.bkey AND a.id < c.id
-         |ORDER BY 1,2""".stripMargin
-    },
+    "q36_minhash_pairs" ->
+      s"""WITH $minhashCtes
+         |SELECT id_a, id_b FROM px
+         |ORDER BY 1,2""".stripMargin,
+
+    "q46_dedup_clusters" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         | edges AS (SELECT id_a AS src, id_b AS dst FROM px
+         |           UNION ALL SELECT id_b, id_a FROM px),
+         | reach(id, r) AS (
+         |   SELECT doc_id, doc_id FROM documents
+         |   UNION
+         |   SELECT e.src, reach.r FROM reach JOIN edges e ON e.dst = reach.id)
+         |SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+         |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q37_cosine_topk" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),

@@ -370,6 +370,15 @@ object SparkEntry {
     Dedup.minhashPairs(Tables.documents(s, dir), numHashes = 16, rowsPerBand = 4)
       .orderBy("id_a", "id_b")
 
+  /** Near-dup clustering: connected components over MinHash candidate
+    * pairs; cluster_id = min reachable doc id (own id for singletons).
+    */
+  private def q46(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Dedup.nearDupClusters(docs, Dedup.minhashPairs(docs))
+      .orderBy("doc_id")
+  }
+
   private def q37(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     SimSearch.topKBruteForce(emb, emb.filter(col("vec_id") < 5), k = 10)
@@ -443,6 +452,7 @@ object SparkEntry {
     "q28_approx_distinct" -> q28 _,
     "q29_interval_join" -> q29 _,
     "q45_pivot" -> q45 _,
+    "q46_dedup_clusters" -> q46 _,
     "q30_token_freq" -> q30 _,
     "q31_doc_stats" -> q31 _,
     "q32_lang_id" -> q32 _,

@@ -220,6 +220,59 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  // ------------------------------------------------------------ clustering
+
+  /** Connected components over near-dup candidate pairs: every doc gets
+    * `cluster_id` = the minimum doc id reachable through pair edges (its
+    * own id for singletons). Distributed min-label propagation — each
+    * iteration is one join + one aggregate, loop count = graph diameter
+    * (tiny for near-dup clusters, which are cliques-ish).
+    * `localCheckpoint` cuts lineage between iterations. At extreme scale
+    * swap in large-star/small-star (Kiveris et al.) — same join/agg
+    * primitives, fewer rounds.
+    */
+  def nearDupClusters(
+      docs: DataFrame,
+      pairs: DataFrame,
+      idCol: String = "doc_id",
+      maxIterations: Int = 20
+  ): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = docs.select(col(idCol).as("id"), col(idCol).as("label"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIterations) {
+      val neighborMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
+      val updated = labels.join(neighborMin, labels("id") === neighborMin("src"), "left")
+        .select(labels("id"),
+          labels("label"),
+          least(labels("label"), coalesce(col("nlabel"), labels("label"))).as("newLabel"))
+        .localCheckpoint(true)
+      changed = updated.filter(col("newLabel") < col("label")).count()
+      labels = updated.select(col("id"), col("newLabel").as("label"))
+      iter += 1
+    }
+    labels.select(col("id").as(idCol), col("label").as("cluster_id"))
+  }
+
+  /** Near-dup dedup end to end: keep the canonical (minimum-id) document
+    * of every cluster.
+    */
+  def keepCanonical(
+      docs: DataFrame,
+      pairs: DataFrame,
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    val clusters = nearDupClusters(docs, pairs, idCol)
+      .filter(col(idCol) === col("cluster_id"))
+      .select(col(idCol))
+    docs.join(clusters, Seq(idCol), "left_semi")
+  }
+
   // ---------------------------------------------------- embedding near-dup
 
   /** Exact embedding-cosine near-dup pairs (all-pairs; verifier scale).

@@ -94,11 +94,32 @@ object SimSearch {
       .select(col("qid"), col("vid"), round(col("cos"), 6).as("cos"), col("rank"))
   }
 
+  /** Train IVF centroids with k-means (seeded, deterministic per input
+    * partitioning). MLlib's KMeans is the idiomatic Spark trainer — at
+    * 100 TB run it on a sample; assignment below stays a broadcast
+    * map-side computation either way.
+    */
+  def trainIvfCentroids(
+      corpus: DataFrame,
+      vecCol: String = "embedding",
+      nlist: Int = 16,
+      seed: Long = 42L
+  ): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val features = corpus.select(
+      array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(5).fit(features)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    model.clusterCenters.zipWithIndex
+      .map { case (v, i) => (i.toLong, v.toArray) }.toSeq
+      .toDF("cent_id", "cent_v")
+  }
+
   /** IVF (inverted-file) index: partition the corpus by nearest centroid;
-    * queries probe the `nprobe` nearest centroid lists only. Centroids here
-    * are the first `nlist` corpus vectors (deterministic training stub —
-    * swap in sampled k-means offline for production; the probe/rerank
-    * dataflow is the part that must scale).
+    * queries probe the `nprobe` nearest centroid lists only, then rerank
+    * exactly. Centroids from [[trainIvfCentroids]] (k-means).
     */
   def topKIvf(
       corpus: DataFrame,
@@ -109,9 +130,7 @@ object SimSearch {
       nlist: Int = 16,
       nprobe: Int = 4
   ): DataFrame = {
-    val centroids = corpus.orderBy(col(idCol)).limit(nlist)
-      .select(col(idCol).as("cent_id"), col(vecCol).as("cent_v"))
-    val centB = broadcast(centroids)
+    val centB = broadcast(trainIvfCentroids(corpus, vecCol, nlist))
 
     def nearestCentroids(df: DataFrame, side: String, n: Int): DataFrame = {
       val w = Window.partitionBy(col(s"${side}id")).orderBy(col("d"), col("cent_id"))

@@ -49,6 +49,15 @@ class DedupSpec extends SparkTestBase {
     assert(pairs.contains((0L, 1L)))
   }
 
+  test("nearDupClusters: min-label connected components; keepCanonical keeps one per cluster") {
+    val ids = (0L to 6L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val clusters = Dedup.nearDupClusters(ids, pairs).as[(Long, Long)].collect().toMap
+    assert(clusters == Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L))
+    val kept = Dedup.keepCanonical(ids, pairs).select("doc_id").as[Long].collect().sorted
+    assert(kept.toList == List(0L, 1L, 4L, 5L))
+  }
+
   test("embeddingNearDupPairs flags high-cosine pairs only") {
     val vecs = Seq(
       (0L, Array(1f, 0f, 0f)),
