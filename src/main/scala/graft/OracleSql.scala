@@ -337,6 +337,15 @@ object OracleSql {
         |SELECT doc_id, CAST(sum(CASE WHEN sgn > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS simhash
         |FROM bits GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "q47_multimodal_batched" ->
+      """SELECT doc_id,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        | CAST(h % 1280 + 1 AS BIGINT) AS width,
+        | CAST(CAST(floor(h/1280) AS BIGINT) % 720 + 1 AS BIGINT) AS height,
+        | CAST(h % 60000 AS BIGINT) AS duration_ms
+        |FROM (SELECT doc_id, text, ('0x'||substr(md5('0:'||text),1,8))::BIGINT AS h FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
     "q42_multimodal" ->
       """SELECT doc_id,
         | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -421,6 +421,13 @@ object SparkEntry {
         round(element_at(col("feature"), 1), 6).as("f0"))
       .orderBy("doc_id")
 
+  /** Batched (mapPartitions) decode seam — must agree with q42's
+    * expression path; oracle shares the same SQL definition.
+    */
+  private def q47(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeBatched(Tables.documents(s, dir))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_tumble_alerts" -> q01 _,
     "q02_tumble_avg_parts" -> q02 _,
@@ -453,6 +460,7 @@ object SparkEntry {
     "q29_interval_join" -> q29 _,
     "q45_pivot" -> q45 _,
     "q46_dedup_clusters" -> q46 _,
+    "q47_multimodal_batched" -> q47 _,
     "q30_token_freq" -> q30 _,
     "q31_doc_stats" -> q31 _,
     "q32_lang_id" -> q32 _,

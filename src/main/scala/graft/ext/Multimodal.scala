@@ -15,6 +15,10 @@ import graft.functions.Hashing
   * for a real decoder (e.g. a JNI/codec mapPartitions) without touching
   * the surrounding dataflow.
   */
+/** Output row of the batched decode seam. */
+case class DecodedMedia(doc_id: Long, n_bytes: Long, width: Long, height: Long,
+                        duration_ms: Long)
+
 object Multimodal {
 
   /** Attach a binary payload column derived from text (test harness for
@@ -58,6 +62,33 @@ object Multimodal {
   def featureStub(payload: Column, dim: Int = 4): Column =
     transform(sequence(lit(0), lit(dim - 1)),
       i => Hashing.hashUnit(i, payload.cast("string")))
+
+  /** Batched decode seam: the place a REAL media decoder (JNI codec,
+    * ONNX feature extractor, …) plugs in. `mapPartitions` gives the
+    * decoder a whole partition iterator — amortize model/codec init once
+    * per partition, process records in batches, never per-row JNI calls.
+    * The decode itself is the same deterministic STUB as [[decodeStub]];
+    * the partition-batched dataflow (init-once, iterator-in/iterator-out,
+    * schema contract) is the production-shaped part.
+    */
+  def decodeBatched(df: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val withBin = withPayload(df).select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+    withBin.mapPartitions { rows =>
+      // per-partition init happens HERE (load codec / model once)
+      val digest = java.security.MessageDigest.getInstance("MD5")
+      rows.map { case (id, payload) =>
+        digest.reset()
+        val d = digest.digest(("0:" + new String(payload, "UTF-8")).getBytes("UTF-8"))
+        val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+        DecodedMedia(id, payload.length.toLong,
+          h % 1280 + 1, h / 1280 % 720 + 1, h % 60000)
+      }
+    }.toDF()
+  }
 
   /** Media metadata table: id, byte length, decoded header fields, feature
     * vector — the canonical multimodal projection.

@@ -27,6 +27,18 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.mediaTable(docs).collect().head == r)
   }
 
+  test("decodeBatched (mapPartitions seam) agrees with the expression-based stub") {
+    val many = (0L until 50L).map(i => (i, s"payload number $i with content")).toDF("doc_id", "text")
+    val viaExpr = Multimodal.mediaTable(many)
+      .select(col("doc_id"), col("n_bytes"),
+        col("media.width").as("width"), col("media.height").as("height"),
+        col("media.duration_ms").as("duration_ms"))
+      .as[DecodedMedia].collect().sortBy(_.doc_id)
+    val viaBatch = Multimodal.decodeBatched(many)
+      .as[DecodedMedia].collect().sortBy(_.doc_id)
+    assert(viaBatch.toList == viaExpr.toList)
+  }
+
   test("sampleSlices returns n byte-slices of the payload") {
     val s = Multimodal.withPayload(docs)
       .select(Multimodal.sampleSlices(col("payload"), 3, 4).as("slices"))
