@@ -346,6 +346,20 @@ object OracleSql {
         |FROM (SELECT doc_id, text, ('0x'||substr(md5('0:'||text),1,8))::BIGINT AS h FROM documents)
         |ORDER BY doc_id""".stripMargin,
 
+    "q48_scalar_funcs" ->
+      """SELECT c_custkey,
+        | upper(c_name) AS name_upper,
+        | lower(c_mktsegment) AS seg_lower,
+        | substr(c_name, 1, 8) AS name_prefix,
+        | regexp_replace(c_name, '0', '#', 'g') AS name_masked,
+        | CAST(length(c_name) AS BIGINT) AS name_len,
+        | abs(c_acctbal) AS abs_bal,
+        | CAST(floor(c_acctbal) AS BIGINT) AS floor_bal,
+        | CAST(ceil(c_acctbal) AS BIGINT) AS ceil_bal,
+        | sqrt(abs(c_acctbal)) AS sqrt_bal,
+        | c_custkey % 97 AS mod_key
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
     "q42_multimodal" ->
       """SELECT doc_id,
         | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -421,6 +421,26 @@ object SparkEntry {
         round(element_at(col("feature"), 1), 6).as("f0"))
       .orderBy("doc_id")
 
+  /** String/math scalar function coverage (IEEE-exact only: sqrt is
+    * correctly rounded everywhere; exp/log/pow are libm-dependent and
+    * deliberately excluded from oracle queries).
+    */
+  private def q48(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .select(
+        col("c_custkey"),
+        upper(col("c_name")).as("name_upper"),
+        lower(col("c_mktsegment")).as("seg_lower"),
+        substring(col("c_name"), 1, 8).as("name_prefix"),
+        regexp_replace(col("c_name"), "0", "#").as("name_masked"),
+        length(col("c_name")).cast("long").as("name_len"),
+        abs(col("c_acctbal")).as("abs_bal"),
+        floor(col("c_acctbal")).as("floor_bal"),
+        ceil(col("c_acctbal")).as("ceil_bal"),
+        sqrt(abs(col("c_acctbal"))).as("sqrt_bal"),
+        pmod(col("c_custkey"), lit(97)).as("mod_key"))
+      .orderBy("c_custkey")
+
   /** Batched (mapPartitions) decode seam — must agree with q42's
     * expression path; oracle shares the same SQL definition.
     */
@@ -461,6 +481,7 @@ object SparkEntry {
     "q45_pivot" -> q45 _,
     "q46_dedup_clusters" -> q46 _,
     "q47_multimodal_batched" -> q47 _,
+    "q48_scalar_funcs" -> q48 _,
     "q30_token_freq" -> q30 _,
     "q31_doc_stats" -> q31 _,
     "q32_lang_id" -> q32 _,

@@ -33,6 +33,19 @@ object TelemetryGenerator {
         timestamp_seconds(lit(startEpochSec) + (col("id") / recordsPerSecond))
           .as("event_time"))
 
+  /** Streaming generator: the `rate` source mapped to the producer's
+    * distributions — the unbounded analog of the Lambda's EventBridge
+    * loop for load tests without a broker.
+    */
+  def rateStream(spark: SparkSession, rowsPerSecond: Int = 100): DataFrame =
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond)
+      .load()
+      .select(
+        (pmod(col("value"), lit(5)) + 1).cast("string").as("sensor_id"),
+        (pmod(col("value") * 31 + 7, lit(6)) + 27).cast("long").as("temperature"),
+        col("timestamp").as("event_time"))
+
   /** In-memory rows for MemoryStream-based streaming tests. */
   def rows(n: Int, startEpochSec: Long, seed: Long = 42L): Seq[Telemetry] = {
     val rnd = new scala.util.Random(seed)
