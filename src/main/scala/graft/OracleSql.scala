@@ -346,6 +346,42 @@ object OracleSql {
         |FROM (SELECT doc_id, text, ('0x'||substr(md5('0:'||text),1,8))::BIGINT AS h FROM documents)
         |ORDER BY doc_id""".stripMargin,
 
+    "q49_quantize" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        | s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x)))/127.0 AS scale FROM e),
+        | q AS (SELECT vec_id, v, scale,
+        |        list_transform(v, x -> CAST(floor(x/scale) AS INTEGER)) AS codes FROM s)
+        |SELECT vec_id, scale,
+        | CAST(codes[1] AS BIGINT) AS c0, CAST(codes[2] AS BIGINT) AS c1,
+        | CAST(codes[3] AS BIGINT) AS c2, CAST(codes[4] AS BIGINT) AS c3,
+        | round(list_sum(list_transform(list_zip(v, list_transform(codes, c -> c*scale)),
+        |         x -> (x[1]-x[2])*(x[1]-x[2])))/len(v), 9) AS mse
+        |FROM q ORDER BY vec_id""".stripMargin,
+
+    "q50_hash_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE ('0x'||substr(md5('1:'||doc_id),1,8))::BIGINT % 10000 < 1000
+        |ORDER BY doc_id""".stripMargin,
+
+    "q51_stratified_split" ->
+      """WITH b AS (SELECT doc_id, lang,
+        |  ('0x'||substr(md5('1:'||doc_id),1,8))::BIGINT % 10000 AS bk FROM documents)
+        |SELECT doc_id, lang,
+        | CASE WHEN bk < 9000 THEN 'train' WHEN bk < 9500 THEN 'valid' ELSE 'test' END AS split
+        |FROM b
+        |WHERE bk < CASE WHEN lang = 'en' THEN 500 WHEN lang = 'zh' THEN 5000 ELSE 1000 END
+        |ORDER BY doc_id""".stripMargin,
+
+    "q52_tfidf" ->
+      """WITH t AS (SELECT doc_id AS id, unnest(string_split(text,' ')) AS token FROM documents),
+        | tf AS (SELECT id, token, count(*) AS tf FROM t GROUP BY 1,2),
+        | dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        | n AS (SELECT count(*) AS n FROM documents)
+        |SELECT id, token, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+        | round(tf * ln(n::DOUBLE/df), 6) AS tf_idf
+        |FROM tf JOIN dfq USING (token), n
+        |ORDER BY id, token""".stripMargin,
+
     "q48_scalar_funcs" ->
       """SELECT c_custkey,
         | upper(c_name) AS name_upper,

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.core.Tables
-import graft.ext.{Dedup, Multimodal, SimSearch, TextOps}
+import graft.ext.{Dedup, Multimodal, Quantize, Sampling, SimSearch, TextOps}
 import graft.functions.{Hashing, VectorOps}
 import graft.ops.{AsOfJoin, SensorOps, Windows}
 
@@ -421,6 +421,44 @@ object SparkEntry {
         round(element_at(col("feature"), 1), 6).as("f0"))
       .orderBy("doc_id")
 
+  /** int8 embedding quantization: per-vector scale, codes, reconstruction
+    * MSE — floor-based so the arithmetic is engine-portable.
+    */
+  private def q49(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"),
+        Quantize.scaleOf(col("embedding")).as("scale"))
+      .select(col("vec_id"), col("embedding"), col("scale"),
+        Quantize.quantize(col("embedding"), col("scale")).as("codes"))
+      .select(col("vec_id"), col("scale"),
+        element_at(col("codes"), 1).cast("long").as("c0"),
+        element_at(col("codes"), 2).cast("long").as("c1"),
+        element_at(col("codes"), 3).cast("long").as("c2"),
+        element_at(col("codes"), 4).cast("long").as("c3"),
+        round(Quantize.mse(col("embedding"), col("codes"), col("scale")), 9).as("mse"))
+      .orderBy("vec_id")
+
+  /** Deterministic hash sampling: ~10% of documents by doc_id hash. */
+  private def q50(s: SparkSession, dir: String): DataFrame =
+    Sampling.hashSample(Tables.documents(s, dir), col("doc_id"), fractionBp = 1000)
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+
+  /** Stratified sampling + deterministic train/valid/test split tags. */
+  private def q51(s: SparkSession, dir: String): DataFrame =
+    Sampling.stratifiedHashSample(Tables.documents(s, dir),
+        col("doc_id"), col("lang"), Map("en" -> 500, "zh" -> 5000), defaultBp = 1000)
+      .select(col("doc_id"), col("lang"),
+        Sampling.splitTag(col("doc_id")).as("split"))
+      .orderBy("doc_id")
+
+  /** TF-IDF per (doc, token). */
+  private def q52(s: SparkSession, dir: String): DataFrame =
+    TextOps.tfIdf(Tables.documents(s, dir))
+      .select(col("id"), col("token"), col("tf"), col("df"),
+        round(col("tf_idf"), 6).as("tf_idf"))
+      .orderBy("id", "token")
+
   /** String/math scalar function coverage (IEEE-exact only: sqrt is
     * correctly rounded everywhere; exp/log/pow are libm-dependent and
     * deliberately excluded from oracle queries).
@@ -482,6 +520,10 @@ object SparkEntry {
     "q46_dedup_clusters" -> q46 _,
     "q47_multimodal_batched" -> q47 _,
     "q48_scalar_funcs" -> q48 _,
+    "q49_quantize" -> q49 _,
+    "q50_hash_sample" -> q50 _,
+    "q51_stratified_split" -> q51 _,
+    "q52_tfidf" -> q52 _,
     "q30_token_freq" -> q30 _,
     "q31_doc_stats" -> q31 _,
     "q32_lang_id" -> q32 _,

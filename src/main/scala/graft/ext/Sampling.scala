@@ -1,0 +1,51 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
+
+/** Deterministic sampling for training-data pipelines.
+  *
+  * `rand()`-based sampling is irreproducible across runs/engines; these
+  * operators key the decision on a content hash, so the same row is
+  * selected everywhere, every time — reproducible dataset splits, safe
+  * re-runs, and cross-engine verifiability. Pure projections: zero
+  * shuffle, linear at any scale.
+  */
+object Sampling {
+
+  /** Hash of the key into [0, 10000) — basis points of the sample space. */
+  private def bucket(keyCol: Column, seed: Int): Column =
+    Hashing.md5Hash32(lit(seed), keyCol.cast("string")) % 10000
+
+  /** Keep ~`fractionBp`/10000 of rows, decided by key hash (seeded). */
+  def hashSample(df: DataFrame, keyCol: Column, fractionBp: Int, seed: Int = 1): DataFrame =
+    df.filter(bucket(keyCol, seed) < fractionBp)
+
+  /** Per-stratum rates: `rates` maps stratum value → basis points; strata
+    * not listed get `defaultBp`. The standard quality-weighted corpus
+    * sampling shape (e.g. keep 100% of high-quality docs, 5% of the rest).
+    */
+  def stratifiedHashSample(
+      df: DataFrame,
+      keyCol: Column,
+      strataCol: Column,
+      rates: Map[String, Int],
+      defaultBp: Int = 0,
+      seed: Int = 1
+  ): DataFrame = {
+    val rateExpr = rates.foldLeft(lit(defaultBp)) { case (acc, (value, bp)) =>
+      when(strataCol === value, lit(bp)).otherwise(acc)
+    }
+    df.filter(bucket(keyCol, seed) < rateExpr)
+  }
+
+  /** Deterministic train/validation/test split tag from the key hash. */
+  def splitTag(keyCol: Column, trainBp: Int = 9000, validBp: Int = 500, seed: Int = 1): Column = {
+    val b = bucket(keyCol, seed)
+    when(b < trainBp, "train")
+      .when(b < trainBp + validBp, "valid")
+      .otherwise("test")
+  }
+}

@@ -113,4 +113,19 @@ object TextOps {
     docs.select(explode(tokens(col(textCol))).as("token"))
       .groupBy("token")
       .agg(count(lit(1)).as("freq"))
+
+  /** TF-IDF per (doc, token): tf × ln(N / df), df = docs containing the
+    * token. Two shuffles (doc-term counts; document frequencies joined
+    * back — df table is tiny after aggregation and broadcast-joins).
+    * N is computed from the corpus, not passed in.
+    */
+  def tfIdf(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val terms = docs.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("token"))
+    val tf = terms.groupBy("id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = docs.count()
+    tf.join(broadcast(dfreq), "token")
+      .withColumn("tf_idf", col("tf") * log(lit(n.toDouble) / col("df")))
+      .select(col("id"), col("token"), col("tf"), col("df"), col("tf_idf"))
+  }
 }
