@@ -103,11 +103,23 @@ object SimSearch {
       corpus: DataFrame,
       vecCol: String = "embedding",
       nlist: Int = 16,
-      seed: Long = 42L
+      seed: Long = 42L,
+      idColForSample: Option[String] = None,
+      sampleBp: Int = 10000
   ): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val features = corpus.select(
+    // train on a deterministic hash-sample — k-means quality needs only a
+    // representative sample, not the full corpus (at 100 TB training on
+    // everything would dominate the whole search)
+    val trainSet = idColForSample match {
+      case Some(id) if sampleBp < 10000 =>
+        val sampled = Sampling.hashSample(corpus, col(id), sampleBp)
+        // tiny corpora: the sample may undershoot k — fall back to full
+        if (sampled.limit(nlist).count() < nlist) corpus else sampled
+      case _ => corpus
+    }
+    val features = trainSet.select(
       array_to_vector(col(vecCol).cast("array<double>")).as("features"))
     val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(5).fit(features)
     val spark = corpus.sparkSession
@@ -130,7 +142,8 @@ object SimSearch {
       nlist: Int = 16,
       nprobe: Int = 4
   ): DataFrame = {
-    val centB = broadcast(trainIvfCentroids(corpus, vecCol, nlist))
+    val centB = broadcast(trainIvfCentroids(corpus, vecCol, nlist,
+      idColForSample = Some(idCol), sampleBp = 4000))
 
     def nearestCentroids(df: DataFrame, side: String, n: Int): DataFrame = {
       val w = Window.partitionBy(col(s"${side}id")).orderBy(col("d"), col("cent_id"))
