@@ -346,6 +346,23 @@ object OracleSql {
         |FROM (SELECT doc_id, text, ('0x'||substr(md5('0:'||text),1,8))::BIGINT AS h FROM documents)
         |ORDER BY doc_id""".stripMargin,
 
+    "q53_window_suite" ->
+      """SELECT user_id, event_id,
+        | lag(event_id, 1) OVER w AS prev_id,
+        | lead(event_id, 1) OVER w AS next_id,
+        | CAST(dense_rank() OVER (PARTITION BY user_id ORDER BY floor(value)) AS BIGINT) AS value_rank,
+        | CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        | first_value(event_id) OVER wf AS first_id,
+        | last_value(event_id) OVER wf AS last_id
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+        |       wf AS (PARTITION BY user_id ORDER BY ts, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q54_sql_alerts" ->
+      s"$q01Inner\nORDER BY start_sec, user_id",
+
     "q49_quantize" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         | s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x)))/127.0 AS scale FROM e),

@@ -421,6 +421,41 @@ object SparkEntry {
         round(element_at(col("feature"), 1), 6).as("f0"))
       .orderBy("doc_id")
 
+  /** Window-function suite: offsets (lag/lead), ranking (dense_rank,
+    * ntile), frame endpoints (first/last value) — one deterministic
+    * windowed query over events.
+    */
+  private def q53(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wr = Window.partitionBy(col("user_id")).orderBy(floor(col("value")))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        lag(col("event_id"), 1).over(w).as("prev_id"),
+        lead(col("event_id"), 1).over(w).as("next_id"),
+        dense_rank().over(wr).cast("long").as("value_rank"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        first(col("event_id")).over(wf).as("first_id"),
+        last(col("event_id")).over(wf).as("last_id"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** The reference queries as literal Spark SQL (`window()` in SQL is
+    * Flink's `TUMBLE`): same engine, SQL-first entry point. Shares q01's
+    * oracle semantics.
+    */
+  private def q54(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events_v")
+    s.sql(
+      """SELECT user_id, count(*) AS count_temp,
+        |       unix_timestamp(window.start) AS start_sec
+        |FROM events_v
+        |WHERE value > 30
+        |GROUP BY window(ts, '1 day'), user_id
+        |HAVING count(*) > 3
+        |ORDER BY start_sec, user_id""".stripMargin)
+  }
+
   /** int8 embedding quantization: per-vector scale, codes, reconstruction
     * MSE — floor-based so the arithmetic is engine-portable.
     */
@@ -524,6 +559,8 @@ object SparkEntry {
     "q50_hash_sample" -> q50 _,
     "q51_stratified_split" -> q51 _,
     "q52_tfidf" -> q52 _,
+    "q53_window_suite" -> q53 _,
+    "q54_sql_alerts" -> q54 _,
     "q30_token_freq" -> q30 _,
     "q31_doc_stats" -> q31 _,
     "q32_lang_id" -> q32 _,
