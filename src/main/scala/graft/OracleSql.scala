@@ -145,19 +145,19 @@ object OracleSql {
     "q16_union" ->
       """SELECT user_id FROM events WHERE event_type = 'click'
         |UNION
-        |SELECT user_id FROM events WHERE value > 400
+        |SELECT user_id FROM events WHERE value > 200
         |ORDER BY user_id""".stripMargin,
 
     "q17_intersect" ->
       """SELECT user_id FROM events WHERE event_type = 'click'
         |INTERSECT
-        |SELECT user_id FROM events WHERE value > 400
+        |SELECT user_id FROM events WHERE value > 200
         |ORDER BY user_id""".stripMargin,
 
     "q18_except" ->
       """SELECT user_id FROM events WHERE event_type = 'click'
         |EXCEPT
-        |SELECT user_id FROM events WHERE value > 400
+        |SELECT user_id FROM events WHERE value > 200
         |ORDER BY user_id""".stripMargin,
 
     "q19_date_parts" ->
@@ -250,9 +250,10 @@ object OracleSql {
       """SELECT doc_id,
         | CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
         | CAST(list_sum(list_transform(string_split(text,' '), w -> 1 + length(w)//6)) AS BIGINT) AS n_subwords,
-        | round(0.4*least(len(string_split(text,' '))/50.0, 1.0)
-        |     + 0.3*(len(list_distinct(string_split(text,' ')))::DOUBLE/len(string_split(text,' ')))
-        |     + 0.3*least(((length(text) - (len(string_split(text,' '))-1))::DOUBLE/len(string_split(text,' ')))/8.0, 1.0), 4) AS quality
+        | CAST(8000*least(len(string_split(text,' ')), 50)
+        |     + (300000*len(list_distinct(string_split(text,' ')))) // len(string_split(text,' '))
+        |     + least(300000, (300000*(length(text) - (len(string_split(text,' '))-1)))
+        |                     // (8*len(string_split(text,' ')))) AS BIGINT) AS quality_ppm
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q32_lang_id" ->
@@ -289,7 +290,8 @@ object OracleSql {
          | sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY 1),
          | inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
          |           FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id GROUP BY 1,2)
-         |SELECT id_a, id_b, round(inter::DOUBLE/(sa.n + sb.n - inter), 6) AS jaccard
+         |SELECT id_a, id_b,
+         | CAST((inter*1000000) // (sa.n + sb.n - inter) AS BIGINT) AS jaccard_ppm
          |FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
          |WHERE inter::DOUBLE/(sa.n + sb.n - inter) >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,

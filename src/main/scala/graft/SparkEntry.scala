@@ -196,7 +196,7 @@ object SparkEntry {
     Tables.events(s, dir).filter(col("event_type") === "click").select(col("user_id"))
 
   private def bigValueUsers(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir).filter(col("value") > 400).select(col("user_id"))
+    Tables.events(s, dir).filter(col("value") > 200).select(col("user_id"))
 
   private def q16(s: SparkSession, dir: String): DataFrame =
     clickUsers(s, dir).union(bigValueUsers(s, dir)).distinct().orderBy("user_id")
@@ -342,7 +342,7 @@ object SparkEntry {
       .select(col("doc_id"),
         TextOps.tokenCount(col("text")).as("n_tokens"),
         TextOps.approxSubwordCount(col("text")).as("n_subwords"),
-        round(TextOps.qualityScore(col("text")), 4).as("quality"))
+        TextOps.qualityScorePpm(col("text")).as("quality_ppm"))
       .orderBy("doc_id")
 
   private def q32(s: SparkSession, dir: String): DataFrame =

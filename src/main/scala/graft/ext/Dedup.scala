@@ -181,7 +181,13 @@ object Dedup {
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      // ppm via integer floor-division: Jaccard values are small-
+      // denominator rationals, which sit exactly on round() boundaries
+      // where engines' rounding modes disagree — integer division is
+      // bit-exact everywhere
+      .select(col("id_a"), col("id_b"),
+        floor(col("inter") * 1000000L / (col("na") + col("nb") - col("inter")))
+          .cast("long").as("jaccard_ppm"))
   }
 
   // -------------------------------------------------------------- simhash

@@ -99,6 +99,25 @@ object TextOps {
       lit(0.3) * least(avgLen / 8.0, lit(1.0))
   }
 
+  /** [[qualityScore]] in exact integer parts-per-million. The double
+    * version's components are simple rationals (distinct/total etc.) that
+    * frequently land on exact round() boundaries, where Spark's
+    * BigDecimal HALF_UP and other engines' double rounding disagree by
+    * 1e-4 — observed in cross-engine verification. Integer floor-division
+    * is bit-exact everywhere: 400000·min(total,50)/50 +
+    * 300000·distinct/total + min(300000, 300000·avgLenNum/(8·total)).
+    */
+  def qualityScorePpm(text: Column): Column = {
+    val total = tokenCount(text)
+    val distinctToks = size(array_distinct(tokens(text))).cast("long")
+    val avgLenNum = length(text).cast("long") - (total - 1)
+    val p1 = lit(8000L) * least(total, lit(50L))
+    val p2 = floor(lit(300000L) * distinctToks / total).cast("long")
+    val p3 = least(lit(300000L),
+      floor(lit(300000L) * avgLenNum / (lit(8L) * total)).cast("long"))
+    p1 + p2 + p3
+  }
+
   /** 128-bit content fingerprint (exact-dup key). */
   def fingerprint(text: Column): Column = Hashing.fingerprint(text)
 

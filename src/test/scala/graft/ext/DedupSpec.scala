@@ -31,12 +31,12 @@ class DedupSpec extends SparkTestBase {
       "unrelated docs share no shingle, so no band can match")
   }
 
-  test("jaccardPairs computes exact trigram Jaccard") {
+  test("jaccardPairs computes exact trigram Jaccard (ppm)") {
     val pairs = Dedup.jaccardPairs(docs, threshold = 0.1)
-      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3).toMap
-    assert(pairs((0L, 1L)) == 1.0)
-    // doc vs near: 8 shingles each, 7 shared -> 7/9
-    assert(math.abs(pairs((0L, 2L)) - 7.0 / 9.0) < 1e-6)
+      .as[(Long, Long, Long)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    assert(pairs((0L, 1L)) == 1000000L)
+    // doc vs near: 8 shingles each, 7 shared -> floor(7e6/9)
+    assert(pairs((0L, 2L)) == 7000000L / 9L)
     assert(!pairs.contains((0L, 3L)))
   }
 
