@@ -384,9 +384,10 @@ object OracleSql {
 
     "q51_stratified_split" ->
       """WITH b AS (SELECT doc_id, lang,
-        |  ('0x'||substr(md5('1:'||doc_id),1,8))::BIGINT % 10000 AS bk FROM documents)
+        |  ('0x'||substr(md5('1:'||doc_id),1,8))::BIGINT % 10000 AS bk,
+        |  ('0x'||substr(md5('2:'||doc_id),1,8))::BIGINT % 10000 AS sk FROM documents)
         |SELECT doc_id, lang,
-        | CASE WHEN bk < 9000 THEN 'train' WHEN bk < 9500 THEN 'valid' ELSE 'test' END AS split
+        | CASE WHEN sk < 9000 THEN 'train' WHEN sk < 9500 THEN 'valid' ELSE 'test' END AS split
         |FROM b
         |WHERE bk < CASE WHEN lang = 'en' THEN 500 WHEN lang = 'zh' THEN 5000 ELSE 1000 END
         |ORDER BY doc_id""".stripMargin,

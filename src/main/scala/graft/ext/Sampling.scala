@@ -41,8 +41,12 @@ object Sampling {
     df.filter(bucket(keyCol, seed) < rateExpr)
   }
 
-  /** Deterministic train/validation/test split tag from the key hash. */
-  def splitTag(keyCol: Column, trainBp: Int = 9000, validBp: Int = 500, seed: Int = 1): Column = {
+  /** Deterministic train/validation/test split tag from the key hash.
+    * Default seed differs from [[hashSample]]'s: with the same seed the
+    * split would correlate with the sampling filter (every sampled row
+    * would land in "train" — the buckets are the same numbers).
+    */
+  def splitTag(keyCol: Column, trainBp: Int = 9000, validBp: Int = 500, seed: Int = 2): Column = {
     val b = bucket(keyCol, seed)
     when(b < trainBp, "train")
       .when(b < trainBp + validBp, "valid")
