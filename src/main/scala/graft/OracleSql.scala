@@ -348,6 +348,21 @@ object OracleSql {
         |FROM (SELECT doc_id, text, ('0x'||substr(md5('0:'||text),1,8))::BIGINT AS h FROM documents)
         |ORDER BY doc_id""".stripMargin,
 
+    "q55_array_funcs" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        | CAST(len(generate_series(1, l_linenumber)) AS BIGINT) AS arr_len,
+        | CAST(generate_series(1, l_linenumber)[1] AS BIGINT) AS first_el,
+        | list_contains(generate_series(1, l_linenumber), 3) AS has3,
+        | array_to_string(list_transform(generate_series(1, l_linenumber), x -> x::VARCHAR), '-') AS arr_str
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q56_map_funcs" ->
+      """SELECT event_id,
+        | CAST(len(json_keys(props)) AS BIGINT) AS m_size,
+        | json_keys(props)[1] AS first_key,
+        | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+        |FROM events ORDER BY event_id""".stripMargin,
+
     "q53_window_suite" ->
       """SELECT user_id, event_id,
         | lag(event_id, 1) OVER w AS prev_id,

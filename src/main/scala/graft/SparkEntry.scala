@@ -456,6 +456,34 @@ object SparkEntry {
         |ORDER BY start_sec, user_id""".stripMargin)
   }
 
+  /** Array-function coverage: construction, size, indexing, membership,
+    * string join — scalar-verifiable outputs.
+    */
+  private def q55(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        sequence(lit(1), col("l_linenumber")).as("arr"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        size(col("arr")).cast("long").as("arr_len"),
+        element_at(col("arr"), 1).cast("long").as("first_el"),
+        array_contains(col("arr"), 3).as("has3"),
+        array_join(transform(col("arr"), x => x.cast("string")), "-").as("arr_str"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Map-type coverage: JSON → MapType, size/keys/lookup. */
+  private def q56(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_id"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.LongType)).as("m"))
+      .select(col("event_id"),
+        size(col("m")).cast("long").as("m_size"),
+        element_at(map_keys(col("m")), 1).as("first_key"),
+        element_at(col("m"), "k").as("k_val"))
+      .orderBy("event_id")
+
   /** int8 embedding quantization: per-vector scale, codes, reconstruction
     * MSE — floor-based so the arithmetic is engine-portable.
     */
@@ -561,6 +589,8 @@ object SparkEntry {
     "q52_tfidf" -> q52 _,
     "q53_window_suite" -> q53 _,
     "q54_sql_alerts" -> q54 _,
+    "q55_array_funcs" -> q55 _,
+    "q56_map_funcs" -> q56 _,
     "q30_token_freq" -> q30 _,
     "q31_doc_stats" -> q31 _,
     "q32_lang_id" -> q32 _,
