@@ -348,6 +348,28 @@ object OracleSql {
         |FROM (SELECT doc_id, text, ('0x'||substr(md5('0:'||text),1,8))::BIGINT AS h FROM documents)
         |ORDER BY doc_id""".stripMargin,
 
+    "q57_percentiles" ->
+      """WITH r AS (SELECT event_type, value,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+        |  count(*) OVER (PARTITION BY event_type) AS n
+        | FROM events)
+        |SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+        | max(CASE WHEN rn = CAST(ceil(0.5*n) AS BIGINT) THEN value END) AS p50,
+        | max(CASE WHEN rn = CAST(ceil(0.9*n) AS BIGINT) THEN value END) AS p90,
+        | max(CASE WHEN rn = CAST(ceil(0.99*n) AS BIGINT) THEN value END) AS p99
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q58_stats" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+        | (CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE)
+        |   - CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |     * CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*)) / (count(*) - 1) AS variance,
+        | sqrt((CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE)
+        |   - CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |     * CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*)) / (count(*) - 1)) AS stddev
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q55_array_funcs" ->
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
         | CAST(len(generate_series(1, l_linenumber)) AS BIGINT) AS arr_len,

@@ -456,6 +456,44 @@ object SparkEntry {
         |ORDER BY start_sec, user_id""".stripMargin)
   }
 
+  /** Exact discrete percentiles via rank selection — no interpolation
+    * arithmetic, so the chosen VALUES are engine-exact (interpolated
+    * percentile_cont formulas differ by ulps across engines).
+    */
+  private def q57(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
+    val wn = Window.partitionBy(col("event_type"))
+    Tables.events(s, dir)
+      .select(col("event_type"), col("value"),
+        row_number().over(w).as("rn"), count(lit(1)).over(wn).as("n"))
+      .groupBy(col("event_type"))
+      .agg(
+        max(col("n")).as("n"),
+        max(when(col("rn") === ceil(col("n") * 0.5).cast("long"), col("value"))).as("p50"),
+        max(when(col("rn") === ceil(col("n") * 0.9).cast("long"), col("value"))).as("p90"),
+        max(when(col("rn") === ceil(col("n") * 0.99).cast("long"), col("value"))).as("p99"))
+      .orderBy("event_type")
+  }
+
+  /** Variance/stddev from exact decimal sums (Σx, Σx² in DECIMAL), so the
+    * result is order-independent — naive double accumulation would differ
+    * run to run and engine to engine.
+    */
+  private def q58(s: SparkSession, dir: String): DataFrame = {
+    val v = col("value").cast(dec)
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(v).cast("double").as("sum_v"),
+        sum((v * v).cast(DecimalType(38, 4))).cast("double").as("sum_sq"))
+      .select(col("event_type"), col("n"), col("sum_v"),
+        ((col("sum_sq") - col("sum_v") * col("sum_v") / col("n")) / (col("n") - 1))
+          .as("variance"),
+        sqrt((col("sum_sq") - col("sum_v") * col("sum_v") / col("n")) / (col("n") - 1))
+          .as("stddev"))
+      .orderBy("event_type")
+  }
+
   /** Array-function coverage: construction, size, indexing, membership,
     * string join — scalar-verifiable outputs.
     */
@@ -591,6 +629,8 @@ object SparkEntry {
     "q54_sql_alerts" -> q54 _,
     "q55_array_funcs" -> q55 _,
     "q56_map_funcs" -> q56 _,
+    "q57_percentiles" -> q57 _,
+    "q58_stats" -> q58 _,
     "q30_token_freq" -> q30 _,
     "q31_doc_stats" -> q31 _,
     "q32_lang_id" -> q32 _,
