@@ -348,6 +348,12 @@ object OracleSql {
         |FROM (SELECT doc_id, text, ('0x'||substr(md5('0:'||text),1,8))::BIGINT AS h FROM documents)
         |ORDER BY doc_id""".stripMargin,
 
+    "q59_posexplode" ->
+      """SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, l[i] AS token
+        |FROM (SELECT doc_id, l, unnest(generate_series(1, len(l))) AS i
+        |      FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents))
+        |ORDER BY doc_id, pos""".stripMargin,
+
     "q57_percentiles" ->
       """WITH r AS (SELECT event_type, value,
         |  row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,

@@ -456,6 +456,15 @@ object SparkEntry {
         |ORDER BY start_sec, user_id""".stripMargin)
   }
 
+  /** Generator / table-function surface (UDTF row of SURVEY §2.3):
+    * posexplode — one output row per token with its position.
+    */
+  private def q59(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("token"))
+      .orderBy("doc_id", "pos")
+
   /** Exact discrete percentiles via rank selection — no interpolation
     * arithmetic, so the chosen VALUES are engine-exact (interpolated
     * percentile_cont formulas differ by ulps across engines).
@@ -631,6 +640,7 @@ object SparkEntry {
     "q56_map_funcs" -> q56 _,
     "q57_percentiles" -> q57 _,
     "q58_stats" -> q58 _,
+    "q59_posexplode" -> q59 _,
     "q30_token_freq" -> q30 _,
     "q31_doc_stats" -> q31 _,
     "q32_lang_id" -> q32 _,
