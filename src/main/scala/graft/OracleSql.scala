@@ -4,9 +4,10 @@ package graft
   *
   * Each statement is the ANSI-SQL twin of the Spark query with identical
   * column aliases, identical arithmetic structure (same fold order, same
-  * decimal casts), and the same total ORDER BY. Approximate operators whose
-  * randomness lives in the JVM (q40 LSH hyperplanes, q41 IVF) have no
-  * oracle — the driver records a rows-only check for them.
+  * decimal casts), and the same total ORDER BY. Approximate operators are
+  * approximate in RECALL but deterministic in output: their seeded
+  * constants (MinHash coefficients, LSH hyperplanes, IVF pivot hashes) are
+  * inlined below so DuckDB recomputes the identical candidates.
   */
 object OracleSql {
 
@@ -43,6 +44,25 @@ object OracleSql {
     "list_sum(list_transform(list_zip(qv, cv), x -> x[1]*x[2])) / " +
       "(sqrt(list_sum(list_transform(qv, x -> x*x))) * sqrt(list_sum(list_transform(cv, x -> x*x))))"
 
+  /** q40's LSH bucket id of DOUBLE[] column `v` — the same fixed-seed
+    * hyperplane constants as `SimSearch.hyperplaneBucket` (JDK Random's
+    * Gaussian sequence is specified, and Double.toString round-trips), so
+    * DuckDB buckets identically bit-for-bit.
+    */
+  private lazy val lshBucketSql: String =
+    graft.ext.SimSearch.hyperplanes(dim = 64, numPlanes = 6).zipWithIndex.map {
+      case (p, i) =>
+        s"(CASE WHEN list_sum(list_transform(list_zip(v, ${p.mkString("[", ",", "]")}), " +
+          s"x -> x[1]*x[2])) > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+
+  /** q41's rank-only pivot distance |p|² − 2·v·p (shared by corpus assign
+    * and query probe CTEs).
+    */
+  private val pivotDist =
+    "list_sum(list_transform(p.pv, x -> x*x)) - " +
+      "2.0*list_sum(list_transform(list_zip(e.v, p.pv), x -> x[1]*x[2]))"
+
   val all: Map[String, String] = Map(
     "q01_tumble_alerts" ->
       s"$q01Inner\nORDER BY start_sec, user_id",
@@ -56,7 +76,7 @@ object OracleSql {
         |FROM (
         |  SELECT user_id,
         |   CAST(floor(epoch(ts)/900)*900 AS BIGINT) AS start_sec,
-        |   CAST(floor(CAST(sum(CAST(floor(value) AS BIGINT)) AS DOUBLE)/count(*)) AS BIGINT) AS avg_temp
+        |   CAST(sum(CAST(floor(value) AS BIGINT)) // count(*) AS BIGINT) AS avg_temp
         |  FROM events GROUP BY 1, 2)
         |ORDER BY start_sec, user_id""".stripMargin,
 
@@ -167,7 +187,8 @@ object OracleSql {
 
     "q20_alert_messages" ->
       s"""SELECT user_id, start_sec,
-         | 'Sensor Id: '||user_id||' has exceeded the temperature threshold '||count_temp||' times' AS message
+         | 'Sensor Id: '||user_id||' has exceeded the set threshold at the window start time: '
+         |   ||strftime(make_timestamp(start_sec*1000000), '%Y-%m-%dT%H:%M:%S') AS message
          |FROM (
          |$q01Inner
          |) ORDER BY start_sec, user_id""".stripMargin,
@@ -216,6 +237,13 @@ object OracleSql {
         |FROM events
         |GROUP BY GROUPING SETS ((event_type), (user_id % 10), ())
         |ORDER BY event_type NULLS FIRST, user_mod NULLS FIRST""".stripMargin,
+
+    // The HLL sketch value is engine-specific, so q28 emits the exact
+    // distinct count plus an accuracy flag the Spark side computes from
+    // its sketch; the oracle asserts the flag is uniformly true.
+    "q28_approx_distinct" ->
+      """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users, true AS ok
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q29_interval_join" ->
       """SELECT e.event_id, CAST(count(o.o_custkey) AS BIGINT) AS n_orders
@@ -316,6 +344,41 @@ object OracleSql {
       s"""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
          | c AS (SELECT vec_id AS vid, embedding::DOUBLE[] AS cv FROM embeddings),
          | s AS (SELECT qid, vid, $cosExpr AS cos FROM q, c WHERE qid <> vid),
+         | r AS (SELECT qid, vid, cos,
+         |        CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS BIGINT) AS "rank"
+         |       FROM s)
+         |SELECT qid, vid, round(cos, 6) AS cos, "rank" FROM r WHERE "rank" <= 10
+         |ORDER BY qid, "rank"""".stripMargin,
+
+    "q40_ann_lsh" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         | c AS (SELECT vec_id AS vid, v AS cv, $lshBucketSql AS bucket FROM e),
+         | q0 AS (SELECT vec_id AS qid, v AS qv, $lshBucketSql AS qbucket FROM e WHERE vec_id < 5),
+         | q AS (SELECT qid, qv, xor(qbucket, f.flip) AS bucket
+         |       FROM q0, (SELECT unnest([0, 1, 2, 4, 8, 16, 32]) AS flip) f),
+         | s AS (SELECT qid, vid, $cosExpr AS cos FROM q JOIN c USING (bucket) WHERE qid <> vid),
+         | r AS (SELECT qid, vid, cos,
+         |        CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS BIGINT) AS "rank"
+         |       FROM s)
+         |SELECT qid, vid, round(cos, 6) AS cos, "rank" FROM r WHERE "rank" <= 10
+         |ORDER BY qid, "rank"""".stripMargin,
+
+    "q41_ann_ivf" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         | hp AS (SELECT vec_id AS pid, v AS pv,
+         |         ('0x'||substr(md5('9:'||CAST(vec_id AS VARCHAR)),1,8))::BIGINT AS hsh FROM e),
+         | p AS (SELECT pid, pv, cent_id FROM (
+         |        SELECT pid, pv, CAST(row_number() OVER (ORDER BY hsh, pid) AS BIGINT) AS cent_id
+         |        FROM hp) WHERE cent_id <= 32),
+         | ac AS (SELECT vid, cv, cent_id FROM (
+         |        SELECT e.vec_id AS vid, e.v AS cv, p.cent_id,
+         |         row_number() OVER (PARTITION BY e.vec_id ORDER BY $pivotDist, p.cent_id) AS cr
+         |        FROM e CROSS JOIN p) WHERE cr = 1),
+         | aq AS (SELECT qid, qv, cent_id FROM (
+         |        SELECT e.vec_id AS qid, e.v AS qv, p.cent_id,
+         |         row_number() OVER (PARTITION BY e.vec_id ORDER BY $pivotDist, p.cent_id) AS cr
+         |        FROM e CROSS JOIN p WHERE e.vec_id < 5) WHERE cr <= 8),
+         | s AS (SELECT qid, vid, $cosExpr AS cos FROM aq JOIN ac USING (cent_id) WHERE qid <> vid),
          | r AS (SELECT qid, vid, cos,
          |        CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS BIGINT) AS "rank"
          |       FROM s)

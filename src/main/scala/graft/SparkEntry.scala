@@ -220,7 +220,8 @@ object SparkEntry {
     */
   private def q20(s: SparkSession, dir: String): DataFrame =
     q01(s, dir)
-      .withColumn("message", SensorOps.alertMessage(keyCol = "user_id"))
+      .withColumn("message",
+        SensorOps.alertMessage(timestamp_seconds(col("start_sec")), keyCol = "user_id"))
       .select(col("user_id"), col("start_sec"), col("message"))
       .orderBy("start_sec", "user_id")
 
@@ -321,13 +322,22 @@ object SparkEntry {
       .orderBy("user_id")
   }
 
-  /** approx_count_distinct — sketch differs across engines by design, so
-    * rows-only check (no oracle).
+  /** approx_count_distinct — the HLL++ sketch value itself differs across
+    * engines by design, so the oracle-checked output is the exact distinct
+    * count plus an `ok` flag asserting the sketch landed within its
+    * configured error envelope (rsd 0.05, checked at 2×rsd). DuckDB emits
+    * the same exact counts and literal `true` — a hash match proves both
+    * the exact path and the sketch's accuracy contract.
     */
   private def q28(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy(col("event_type"))
-      .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+      .agg(
+        approx_count_distinct(col("user_id"), rsd = 0.05).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users"))
+          <= col("exact_users") * lit(0.10)).as("ok"))
       .orderBy("event_type")
 
   // =====================================================================
@@ -395,20 +405,30 @@ object SparkEntry {
       .select(col("id").as("doc_id"), col("simhash"))
       .orderBy("doc_id")
 
-  /** ANN via random-hyperplane LSH — approximate by design; hyperplanes are
-    * seeded JVM Gaussians, so no SQL oracle (driver rows-only check).
+  /** ANN via random-hyperplane LSH. Approximate in RECALL, but fully
+    * deterministic: the fixed-seed hyperplane constants are inlined into
+    * the DuckDB oracle (`OracleSql`), which recomputes the same buckets,
+    * probes, and rerank — exact hash-match. 6 planes = 64 buckets, sized
+    * for the test corpora (500–2000 vectors); the 100 TB path raises
+    * numPlanes to keep bucket occupancy bounded.
     */
   private def q40(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    SimSearch.topKLsh(emb, emb.filter(col("vec_id") < 5), k = 10, dim = 64)
+    SimSearch.topKLsh(emb, emb.filter(col("vec_id") < 5), k = 10, dim = 64,
+      numPlanes = 6, probeBits = 6)
       .select(col("qid"), col("vid"), col("cos"), col("rank").cast("long").as("rank"))
       .orderBy("qid", "rank")
   }
 
-  /** ANN via IVF probing — approximate by design; rows-only check. */
+  /** ANN via IVF with deterministic hash-pivot centroids — exact DuckDB
+    * oracle (the k-means-trained variant stays in `SimSearch.topKIvf`,
+    * covered by SimSearchSpec; its distributed float reductions aren't
+    * bit-reproducible across engines).
+    */
   private def q41(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    SimSearch.topKIvf(emb, emb.filter(col("vec_id") < 5), k = 10)
+    SimSearch.topKIvfPivots(emb, emb.filter(col("vec_id") < 5), k = 10,
+      nlist = 32, nprobe = 8)
       .select(col("qid"), col("vid"), col("cos"), col("rank").cast("long").as("rank"))
       .orderBy("qid", "rank")
   }

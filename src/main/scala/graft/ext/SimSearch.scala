@@ -42,16 +42,29 @@ object SimSearch {
       .select(col("qid"), col("vid"), round(col("cos"), 6).as("cos"), col("rank"))
   }
 
+  /** The fixed-seed Gaussian hyperplanes behind [[hyperplaneBucket]].
+    * `java.util.Random`'s sequence is specified by the JDK, so these
+    * constants are stable across JVMs — and exposed so the SQL oracle can
+    * inline the identical values (same pattern as
+    * [[graft.functions.Hashing.minhashParams]]).
+    */
+  def hyperplanes(dim: Int, numPlanes: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rnd = new java.util.Random(seed)
+    Seq.fill(numPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
   /** Random-hyperplane LSH bucket id (`numPlanes`-bit signature).
     * Hyperplanes are drawn from a fixed-seed Gaussian so bucketing is
-    * deterministic across runs and executors; computed with codegen'd
-    * higher-order functions (no UDF).
+    * deterministic across runs and executors; computed with the codegen'd
+    * dot-product expression (no UDF).
+    *
+    * Sizing: expected bucket occupancy is |corpus| / 2^numPlanes — pick
+    * numPlanes ≈ log2(|corpus| / targetBucketSize). The 100 TB path uses
+    * more planes (and more probes); small test corpora need few, or every
+    * vector lands alone and candidate sets go empty.
     */
   def hyperplaneBucket(vecCol: Column, dim: Int, numPlanes: Int = 12, seed: Long = 42L): Column = {
-    val rnd = new java.util.Random(seed)
-    val planes: Seq[Seq[Double]] =
-      Seq.fill(numPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
-    planes.zipWithIndex.map { case (p, i) =>
+    hyperplanes(dim, numPlanes, seed).zipWithIndex.map { case (p, i) =>
       // typedlit → one foldable ArrayType literal; array(lit,…) would
       // rebuild the array per row inside codegen
       val planeLit = typedlit(p)
@@ -129,9 +142,81 @@ object SimSearch {
       .toDF("cent_id", "cent_v")
   }
 
+  /** Deterministic coarse quantizer: `nlist` pivot vectors chosen by
+    * md5-hash order of their ids (a deterministic uniform sample — the
+    * classic "random pivots" coarse quantizer, trading a little list
+    * balance for exact reproducibility). Fully SQL-expressible, so IVF
+    * search over pivots is oracle-checkable bit-for-bit, unlike k-means
+    * centroids whose distributed mean updates are float-order-dependent.
+    *
+    * Scale: `orderBy(...).limit(nlist)` is a distributed TakeOrdered (no
+    * global sort); the tiny pivot set is then broadcast.
+    */
+  def pivotCentroids(
+      corpus: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      nlist: Int = 16,
+      seed: Int = 9
+  ): DataFrame = {
+    import graft.functions.Hashing
+    val picked = corpus
+      .select(col(idCol).as("pid"), col(vecCol).as("pv"),
+        Hashing.md5Hash32(seed, col(idCol).cast("string")).as("hsh"))
+      .orderBy(col("hsh"), col("pid"))
+      .limit(nlist)
+    picked
+      .withColumn("cent_id",
+        row_number().over(Window.orderBy(col("hsh"), col("pid"))).cast("long"))
+      .drop("hsh")
+  }
+
+  /** IVF over deterministic pivots ([[pivotCentroids]]): assign every
+    * corpus vector to its nearest pivot (broadcast map-side compute, no
+    * shuffle), probe the `nprobe` nearest pivot lists per query, rerank
+    * exactly by cosine. Ranking distance is `|p|² − 2·v·p` — equal to L2²
+    * minus the per-vector constant `|v|²`, so one fold cheaper and still
+    * order-identical.
+    */
+  def topKIvfPivots(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      seed: Int = 9
+  ): DataFrame = {
+    val centB = broadcast(pivotCentroids(corpus, idCol, vecCol, nlist, seed))
+
+    def assign(df: DataFrame, side: String, n: Int): DataFrame = {
+      val w = Window.partitionBy(col(s"${side}id")).orderBy(col("d"), col("cent_id"))
+      df.crossJoin(centB)
+        .withColumn("d",
+          VectorOps.normSq(col("pv")) - lit(2.0) * VectorOps.dot(col(s"${side}v"), col("pv")))
+        .withColumn("cr", row_number().over(w))
+        .filter(col("cr") <= n)
+        .drop("d", "cr", "pv", "pid")
+    }
+
+    val c = assign(corpus.select(col(idCol).as("vid"), col(vecCol).as("vv")), "v", 1)
+      .withColumnRenamed("vv", "cv")
+    val q = assign(queries.select(col(idCol).as("qid"), col(vecCol).as("qv")), "q", nprobe)
+    val scored = c.join(q, "cent_id")
+      .filter(col("qid") =!= col("vid"))
+      .withColumn("cos", VectorOps.cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vid"), round(col("cos"), 6).as("cos"), col("rank"))
+  }
+
   /** IVF (inverted-file) index: partition the corpus by nearest centroid;
     * queries probe the `nprobe` nearest centroid lists only, then rerank
-    * exactly. Centroids from [[trainIvfCentroids]] (k-means).
+    * exactly. Centroids from [[trainIvfCentroids]] (k-means) — higher
+    * recall per probe than [[topKIvfPivots]], but not oracle-checkable
+    * (distributed float reduction order); covered by SimSearchSpec.
     */
   def topKIvf(
       corpus: DataFrame,

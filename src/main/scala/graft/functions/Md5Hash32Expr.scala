@@ -47,11 +47,21 @@ case class Md5Hash32Expr(child: Expression) extends UnaryExpression {
               |""".stripMargin)
     nullSafeCodeGen(ctx, ev, c => {
       val d = ctx.freshName("digest")
+      val h = ctx.freshName("h")
+      // stepwise base-256 accumulation, NOT `(a << 24) | (b << 16) | …`:
+      // janino (Spark's codegen compiler) misparses that shift-or chain as
+      // a cast ("Expression ... is not a type") and the whole stage falls
+      // back to interpreted execution — silently, at ~10× cost on
+      // hash-heavy plans
       s"""
          |$md.reset();
          |byte[] $d = $md.digest($c.getBytes());
-         |${ev.value} = (($d[0] & 0xffL) << 24) | (($d[1] & 0xffL) << 16)
-         |  | (($d[2] & 0xffL) << 8) | ($d[3] & 0xffL);
+         |long $h = 0L;
+         |$h = $h * 256L + ($d[0] & 0xffL);
+         |$h = $h * 256L + ($d[1] & 0xffL);
+         |$h = $h * 256L + ($d[2] & 0xffL);
+         |$h = $h * 256L + ($d[3] & 0xffL);
+         |${ev.value} = $h;
        """.stripMargin
     })
   }

@@ -43,8 +43,10 @@ object CollectingAlertSink {
 }
 
 object AlertDispatch {
-  /** Subject used by the reference consumer (`kfpLambdaConsumerSNS.py:20`). */
-  val subject = "Temperature Alert"
+  /** Subject used by the reference consumer, verbatim
+    * (`kfpLambdaConsumerSNS.py:17`).
+    */
+  val subject = "The sensor reading has exceeded the threshold"
 
   /** ForeachWriter bridging a streaming alert DataFrame to an AlertSink;
     * expects a `message` column (built by [[SensorOps.alertMessage]]).

@@ -82,15 +82,22 @@ object SensorOps {
         col("count_temp"),
         col("window.start").as("start_event_time"))
 
-  /** Flink's `AVG(BIGINT)` returns BIGINT — integer division truncated
-    * toward zero (reference sink column `avg_temp BIGINT NOT NULL`,
-    * `main.py:62,94`). Spark's `avg` returns DOUBLE, so the engine
-    * reproduces the reference semantics as floor(sum/count), equal to
-    * truncation for the non-negative inputs the generator produces
-    * (SURVEY.md §7.4 item 1).
+  /** Flink's `AVG(BIGINT)` returns BIGINT — integer division with the
+    * quotient truncated toward zero (reference sink column `avg_temp
+    * BIGINT NOT NULL`, `main.py:62,94`). Spark's `avg` returns DOUBLE, so
+    * the engine reproduces the reference semantics exactly as
+    * `sum DIV count` — Spark's `DIV` (IntegralDivide) truncates toward
+    * zero like Java/Flink long division, for negative sums too
+    * (sum=-11,count=2 → -5, where floor-division would give -6).
+    *
+    * Non-BIGINT inputs are first quantized with `floor()` (not a plain
+    * long cast, which truncates toward zero): the DuckDB oracle applies
+    * `floor(value)`, and the two differ on negative fractional inputs
+    * (floor(-0.5) = -1 vs cast -0). The reference itself only ever feeds
+    * BIGINT temperatures, where floor is the identity.
     */
   def truncatedAvg(valueCol: String): Column =
-    floor(sum(col(valueCol).cast("long")) / count(lit(1))).cast("long")
+    expr(s"CAST(sum(CAST(floor(`$valueCol`) AS BIGINT)) DIV count(1) AS BIGINT)")
 
   /** Q2 inner query — per-window truncated average (reference
     * `main.py:93-96`). R3 tumble(60 s) → R5 avg → R6/R8 projection.
@@ -132,13 +139,22 @@ object SensorOps {
   ): DataFrame =
     withDateParts(windowedAvg(df, keyCol, valueCol, tsCol, windowLen))
 
-  /** R13 — the consumer Lambda's per-alert message template
-    * (`kfpLambdaConsumerSNS.py:17-18`):
-    * `"Sensor Id: {sensor_id} has exceeded the temperature threshold {count_temp} times"`.
+  /** R13 — the consumer Lambda's per-alert message template, verbatim
+    * (`kfpLambdaConsumerSNS.py:18`):
+    * `"Sensor Id: {sensor_id} has exceeded the set threshold at the window start time: {start_event_time}"`.
+    *
+    * The Lambda interpolates `start_event_time` as it appears in the Kafka
+    * JSON record, which Flink's sink serializes ISO-8601
+    * (`'json.timestamp-format.standard'='ISO-8601'`, `main.py:50`) — and
+    * window starts are whole seconds, so the fractional part never prints:
+    * `2024-01-01T00:00:30`. [[alertMessage]] renders the same string from
+    * a timestamp column via `date_format` (session timezone is UTC).
     */
-  def alertMessage(keyCol: String = "sensor_id", countCol: String = "count_temp"): Column =
+  def alertMessage(start: Column, keyCol: String = "sensor_id"): Column =
     concat(
       lit("Sensor Id: "), col(keyCol).cast("string"),
-      lit(" has exceeded the temperature threshold "),
-      col(countCol).cast("string"), lit(" times"))
+      lit(" has exceeded the set threshold at the window start time: "),
+      date_format(start, "yyyy-MM-dd'T'HH:mm:ss"))
+
+  def alertMessage(): Column = alertMessage(col("start_event_time"))
 }

@@ -44,26 +44,29 @@ object StatefulOps {
             state.remove()
             Iterator.single(SessionOut(key, new Timestamp(s.start), s.count))
           } else {
+            // Interval-merge semantics, matching Spark's session_window:
+            // treat the stored session and each event as [start, last]
+            // intervals, sort by start, and merge any pair within gapMs —
+            // so an out-of-order event with t < state.start (still above
+            // the watermark) extends the session's start BACKWARD to
+            // min(t, start), and events bridging two intervals merge them.
             val events = rows.filter(_.event_time != null).toSeq
               .map(_.event_time.getTime).sorted
-            var closed = List.empty[SessionOut]
-            var cur = state.getOption
-            events.foreach { t =>
-              cur match {
-                case Some(s) if t - s.last > gapMs =>
-                  closed ::= SessionOut(key, new Timestamp(s.start), s.count)
-                  cur = Some(SessionAgg(t, t, 1))
-                case Some(s) =>
-                  cur = Some(SessionAgg(s.start, math.max(s.last, t), s.count + 1))
-                case None =>
-                  cur = Some(SessionAgg(t, t, 1))
-              }
-            }
-            cur.foreach { s =>
+            val intervals = (state.getOption.toSeq ++ events.map(t => SessionAgg(t, t, 1)))
+              .sortBy(s => (s.start, s.last))
+            val merged = intervals.foldLeft(List.empty[SessionAgg]) {
+              case (cur :: done, s) if s.start - cur.last <= gapMs =>
+                SessionAgg(cur.start, math.max(cur.last, s.last), cur.count + s.count) :: done
+              case (acc, s) => s :: acc
+            }.reverse
+            // all but the newest session have a gap to their successor and
+            // close inline; the newest stays in state until its timeout
+            merged.lastOption.foreach { s =>
               state.update(s)
               state.setTimeoutTimestamp(s.last + gapMs)
             }
-            closed.reverseIterator
+            merged.dropRight(1).iterator
+              .map(s => SessionOut(key, new Timestamp(s.start), s.count))
           }
       }
   }

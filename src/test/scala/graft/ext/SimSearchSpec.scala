@@ -36,6 +36,48 @@ class SimSearchSpec extends SparkTestBase {
     assert(out.nonEmpty && out.head._2 == 5L)
   }
 
+  test("topKIvfPivots assigns to deterministic pivots and reranks exactly") {
+    val out = SimSearch.topKIvfPivots(vecs, vecs.filter(col("vec_id") === 0), k = 2,
+      nlist = 2, nprobe = 2)
+      .as[(Long, Long, Double, Int)].collect().sortBy(_._4)
+    // probing every list == exhaustive: the exact duplicate must rank first
+    assert(out.nonEmpty && out.head._2 == 5L, s"got ${out.toList}")
+  }
+
+  test("topKIvfPivots is deterministic across runs (same pivots, same output)") {
+    val q = vecs.filter(col("vec_id") < 2)
+    val a = SimSearch.topKIvfPivots(vecs, q, k = 3, nlist = 3, nprobe = 2)
+      .collect().map(_.toString).sorted.toList
+    val b = SimSearch.topKIvfPivots(vecs, q, k = 3, nlist = 3, nprobe = 2)
+      .collect().map(_.toString).sorted.toList
+    assert(a == b)
+  }
+
+  test("ANN recall on the real fixture corpus beats its scan fraction (sf0.001)") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+    def top10(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("qid", "vid").as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (q, vs) => q -> vs.map(_._2).toSet }
+    val truth = top10(SimSearch.topKBruteForce(emb, queries, k = 10))
+    def recall(got: Map[Long, Set[Long]]): Double =
+      truth.map { case (q, t) =>
+        got.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+      }.sum / truth.size
+    // the fixture embeddings are isotropic (no cluster structure), so
+    // recall ~ tracks candidate-scan fraction; these bounds pin that each
+    // method retrieves real neighbors, not noise (random scan of the same
+    // fraction would land near it, the methods must clear it)
+    val lsh = recall(top10(SimSearch.topKLsh(emb, queries, k = 10, dim = 64,
+      numPlanes = 6, probeBits = 6)))
+    val ivf = recall(top10(SimSearch.topKIvfPivots(emb, queries, k = 10,
+      nlist = 32, nprobe = 8)))
+    assert(lsh >= 0.10, s"LSH recall@10 too low: $lsh")
+    assert(ivf >= 0.30, s"IVF recall@10 too low: $ivf")
+  }
+
   test("VectorOps cosine/dot/l2 compute in double precision") {
     import graft.functions.VectorOps
     val df = Seq((Array(3f, 4f), Array(4f, 3f))).toDF("a", "b")

@@ -61,8 +61,8 @@ class PipelineE2ESpec extends SparkTestBase {
 
     val sent = CollectingAlertSink.drain()
     assert(sent == List(
-      ("Temperature Alert",
-        "Sensor Id: s9 has exceeded the temperature threshold 4 times")))
+      ("The sensor reading has exceeded the threshold",
+        "Sensor Id: s9 has exceeded the set threshold at the window start time: 2024-01-01T00:00:00")))
   }
 
   test("shared-scan batch fan-out writes partitioned files with _SUCCESS markers") {

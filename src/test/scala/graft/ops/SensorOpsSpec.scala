@@ -59,9 +59,21 @@ class SensorOpsSpec extends SparkTestBase {
   }
 
   test("alert message matches the consumer Lambda template (kfpLambdaConsumerSNS.py:17-18)") {
-    val df = Seq(("s7", 5L)).toDF("sensor_id", "count_temp")
+    val df = Seq(("s7", ts("2024-01-01 00:00:30"))).toDF("sensor_id", "start_event_time")
       .withColumn("message", SensorOps.alertMessage())
     assert(df.select("message").as[String].head() ==
-      "Sensor Id: s7 has exceeded the temperature threshold 5 times")
+      "Sensor Id: s7 has exceeded the set threshold at the window start time: 2024-01-01T00:00:30")
+  }
+
+  test("truncatedAvg: Flink AVG(BIGINT) truncates toward zero, incl. negatives") {
+    import org.apache.spark.sql.functions.window
+    val data = Seq(("s1", -5L, ts("2024-01-01 00:00:01")),
+      ("s1", -6L, ts("2024-01-01 00:00:02")))
+      .toDF("sensor_id", "temperature", "event_time")
+    val out = data.groupBy($"sensor_id")
+      .agg(SensorOps.truncatedAvg("temperature").as("avg_temp"))
+      .as[(String, Long)].collect().toList
+    // sum=-11, count=2: Flink integer division gives -5; floor would give -6
+    assert(out == List(("s1", -5L)))
   }
 }

@@ -36,6 +36,28 @@ class StatefulOpsSpec extends SparkTestBase {
       (ts("2024-01-01 00:02:00"), 1L)))
   }
 
+  test("sessionize: out-of-order event above the watermark extends the session start backward") {
+    val mem = MemoryStream[Telemetry](spark)
+    // long watermark delay so the out-of-order event is NOT late
+    val query = StatefulOps.sessionize(mem.toDS(), gapMs = 30000L,
+      watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("sessions_ooo").outputMode("append").start()
+    try {
+      mem.addData(Seq(Telemetry("s1", 30, ts("2024-01-01 00:01:00"))))
+      query.processAllAvailable()
+      // arrives in a later batch with t 20s BEFORE the session start
+      mem.addData(Seq(Telemetry("s1", 30, ts("2024-01-01 00:00:40"))))
+      query.processAllAvailable()
+      // close the session by gap: session_start must have moved to 00:00:40
+      mem.addData(Seq(Telemetry("s1", 30, ts("2024-01-01 00:05:00"))))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val out = spark.table("sessions_ooo").as[StatefulOps.SessionOut]
+      .collect().map(s => (s.session_start, s.n_events)).toList
+    assert(out == List((ts("2024-01-01 00:00:40"), 2L)))
+  }
+
   test("dedupWithinWatermark drops duplicate keys inside the horizon") {
     val mem = MemoryStream[Telemetry](spark)
     val deduped = StatefulOps.dedupWithinWatermark(
