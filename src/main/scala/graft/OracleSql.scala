@@ -252,6 +252,35 @@ object OracleSql {
         | AND o.o_orderdate BETWEEN e.ts - INTERVAL 7 DAY AND e.ts
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // q43/q44 derive deterministic noisy text per document (the fixture is
+    // clean lowercase ASCII) so normalization/scrubbing are non-vacuous.
+    "q43_text_normalize" ->
+      """WITH n AS (SELECT doc_id,
+        |  upper(substr(text, 1, 20))||'... (NOISE!!) "quoted"; '||text AS noisy
+        |  FROM documents),
+        | c AS (SELECT doc_id,
+        |  trim(regexp_replace(
+        |    translate(lower(noisy), '.,!?;:()[]{}"''-', '               '),
+        |    ' +', ' ', 'g')) AS norm FROM n)
+        |SELECT doc_id, substr(norm, 1, 80) AS norm_prefix,
+        | CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_tokens
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q44_pii_scrub" ->
+      """WITH n AS (SELECT doc_id,
+        |  text||' Contact: user'||CAST(doc_id AS VARCHAR)
+        |    ||'@example.com or +1 (555) 010-'||lpad(CAST(doc_id AS VARCHAR), 4, '0')
+        |    ||' now.' AS noisy
+        |  FROM documents),
+        | s AS (SELECT doc_id, noisy,
+        |  regexp_replace(
+        |    regexp_replace(noisy, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+?[0-9][0-9()\- ]{6,}[0-9]', '<PHONE>', 'g') AS scrubbed FROM n)
+        |SELECT doc_id, scrubbed,
+        | CAST(len(regexp_split_to_array(noisy, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) - 1 AS BIGINT) AS n_emails,
+        | CAST(len(string_split(scrubbed, '<PHONE>')) - 1 AS BIGINT) AS n_phones
+        |FROM s ORDER BY doc_id""".stripMargin,
+
     "q45_pivot" ->
       """SELECT user_id,
         | CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,

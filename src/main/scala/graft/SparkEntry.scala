@@ -441,6 +441,41 @@ object SparkEntry {
         round(element_at(col("feature"), 1), 6).as("f0"))
       .orderBy("doc_id")
 
+  /** Text normalization (lowercase / punctuation-fold / whitespace
+    * collapse). The fixture text is already clean lowercase ASCII, so the
+    * query first derives a noisy variant (uppercased prefix + injected
+    * punctuation) deterministically per document — the oracle builds the
+    * identical noise and must produce the identical cleanup.
+    */
+  private def q43(s: SparkSession, dir: String): DataFrame = {
+    val noisy = concat(upper(substring(col("text"), 1, 20)),
+      lit("... (NOISE!!) \"quoted\"; "), col("text"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        substring(TextOps.normalize(noisy), 1, 80).as("norm_prefix"),
+        TextOps.tokenCount(TextOps.normalize(noisy)).as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** PII scrubbing: inject a deterministic email + phone per document,
+    * scrub, and count the redactions — proving both patterns fire and the
+    * replacement semantics (ALL occurrences; email digits removed before
+    * phone matching) agree with the oracle.
+    */
+  private def q44(s: SparkSession, dir: String): DataFrame = {
+    val noisy = concat(col("text"),
+      lit(" Contact: user"), col("doc_id").cast("string"),
+      lit("@example.com or +1 (555) 010-"),
+      lpad(col("doc_id").cast("string"), 4, "0"), lit(" now."))
+    val scrubbed = TextOps.scrubPii(noisy)
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        scrubbed.as("scrubbed"),
+        (size(split(noisy, TextOps.emailRe, -1)) - 1).cast("long").as("n_emails"),
+        (size(split(scrubbed, "<PHONE>", -1)) - 1).cast("long").as("n_phones"))
+      .orderBy("doc_id")
+  }
+
   /** Window-function suite: offsets (lag/lead), ranking (dense_rank,
     * ntile), frame endpoints (first/last value) — one deterministic
     * windowed query over events.
@@ -646,6 +681,8 @@ object SparkEntry {
     "q27_asof_join" -> q27 _,
     "q28_approx_distinct" -> q28 _,
     "q29_interval_join" -> q29 _,
+    "q43_text_normalize" -> q43 _,
+    "q44_pii_scrub" -> q44 _,
     "q45_pivot" -> q45 _,
     "q46_dedup_clusters" -> q46 _,
     "q47_multimodal_batched" -> q47 _,

@@ -118,6 +118,37 @@ object TextOps {
     p1 + p2 + p3
   }
 
+  /** Punctuation set folded to spaces by [[normalize]]. */
+  val punctuation = ".,!?;:()[]{}\"'-"
+
+  /** Text normalization for dedup/pretraining: lowercase, punctuation →
+    * space, whitespace collapse, trim. Built from `translate` plus ONE
+    * trivial regex (`" +"`) so Java (Spark) and RE2 (DuckDB et al.) agree
+    * character-for-character — POSIX classes and unicode properties are
+    * exactly where regex dialects diverge. Non-ASCII letters (CJK,
+    * accents) pass through untouched.
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(
+      translate(lower(text), punctuation, " " * punctuation.length),
+      " +", " "))
+
+  /** Email pattern shared with the SQL oracle (plain classes only — same
+    * semantics under Java regex and RE2).
+    */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Phone-like digit run: leading digit (optional +), ≥6 chars of
+    * digits/space/()- then a closing digit.
+    */
+  val phoneRe = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
+
+  /** PII scrubbing: emails → `<EMAIL>` first (removing their digits), then
+    * phone-like runs → `<PHONE>`. Linear per-row scan, no shuffle.
+    */
+  def scrubPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, emailRe, "<EMAIL>"), phoneRe, "<PHONE>")
+
   /** 128-bit content fingerprint (exact-dup key). */
   def fingerprint(text: Column): Column = Hashing.fingerprint(text)
 

@@ -59,4 +59,24 @@ class TextOpsSpec extends SparkTestBase {
     val stats = TextOps.tokenStats(df).as[(String, Long)].collect().toMap
     assert(stats == Map("a" -> 2L, "b" -> 2L, "c" -> 1L))
   }
+
+  test("normalize lowercases, folds punctuation, collapses whitespace") {
+    assert(one[String](TextOps.normalize(col("text")),
+      "  Hello,   WORLD!! (really) \"quoted\"; it's-fine  ") ==
+      "hello world really quoted it s fine")
+    // non-ASCII letters pass through untouched
+    assert(one[String](TextOps.normalize(col("text")), "的是 了!") == "的是 了")
+  }
+
+  test("scrubPii redacts every email and phone, emails first") {
+    val in = "mail a.b+c@ex-1.org or bob@x.io, call +1 (555) 010-1234 / 555 010 2244 end"
+    assert(one[String](TextOps.scrubPii(col("text")), in) ==
+      "mail <EMAIL> or <EMAIL>, call <PHONE> / <PHONE> end")
+    // 7 digits is below the pattern's 8-char minimum — left alone
+    assert(one[String](TextOps.scrubPii(col("text")), "id 5550102 end") ==
+      "id 5550102 end")
+    // no false positive on clean text
+    assert(one[String](TextOps.scrubPii(col("text")), "plain words only") ==
+      "plain words only")
+  }
 }
