@@ -246,7 +246,13 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint(true)
-    var labels = docs.select(col(idCol).as("id"), col(idCol).as("label"))
+    // Only nodes incident to an edge can ever change label — iterate over
+    // the (near-dup subgraph) node set, not the whole corpus. At 100 TB
+    // the corpus is billions of docs but the dup subgraph is a small
+    // fraction; every iteration's join/agg then scales with dup volume,
+    // and the corpus is touched exactly once by the final label join.
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
       .localCheckpoint(true)
     var changed = 1L
     var iter = 0
@@ -262,7 +268,12 @@ object Dedup {
       labels = updated.select(col("id"), col("newLabel").as("label"))
       iter += 1
     }
-    labels.select(col("id").as(idCol), col("label").as("cluster_id"))
+    // singletons (no edges) label themselves; the converged sub-labels are
+    // tiny and broadcast-join back onto the corpus
+    docs.select(col(idCol).as("id"))
+      .join(labels.withColumnRenamed("label", "cluster_id"), Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("cluster_id"), col("id")).as("cluster_id"))
   }
 
   /** Near-dup dedup end to end: keep the canonical (minimum-id) document

@@ -1,0 +1,75 @@
+package graft
+
+/** Plan-shape proofs for the scale claims in SCALE.md: the point is not
+  * that these queries return the right rows (the oracle gate covers that)
+  * but that Catalyst produces the plan we designed for — filters reach the
+  * parquet scan, projections prune the read schema, small sides broadcast,
+  * aggregates are partial+final, and the hot paths stay inside
+  * whole-stage codegen. A regression here is invisible to correctness
+  * checks and only shows up as a 100× scan at scale.
+  */
+class PlanShapeSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.01"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  /** Final adaptive plan — AQE inserts WholeStageCodegen per query stage
+    * only at execution, so codegen assertions must run the query first.
+    */
+  private def finalPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.collect() // count() would build a NEW plan; collect() runs THIS one
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q03 filter+project: predicate pushed to parquet, read schema pruned") {
+    val p = plan("q03_filter_project")
+    val scan = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(scan.contains("GreaterThan(l_quantity"),
+      s"l_quantity > 45 must reach the scan as a pushed filter: $scan")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("l_orderkey") && !read.contains("l_shipdate"),
+      s"read schema must contain only referenced columns: $read")
+  }
+
+  test("q01 windowed alert: partial+final hash aggregation (map-side combine)") {
+    val p = plan("q01_tumble_alerts")
+    val aggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(aggs >= 2, s"expected partial+final HashAggregate, got $aggs in:\n${p.take(800)}")
+    assert(p.contains("partial_count"), "partial aggregation (map-side combine) missing")
+  }
+
+  test("q06 five-way join: dimension sides broadcast, no cartesian anywhere") {
+    val p = plan("q06_join5_revenue")
+    assert(p.contains("BroadcastHashJoin"),
+      s"small dims must broadcast:\n${p.take(800)}")
+    assert(!p.contains("CartesianProduct"), "no cartesian product expected")
+  }
+
+  test("q37 brute-force cosine: query side broadcast, corpus never shuffles pre-rank") {
+    val p = plan("q37_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"broadcast queries x corpus scan expected:\n${p.take(800)}")
+    // the only hash exchanges are for the per-query window rank + ordering
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 1, s"corpus must not shuffle before ranking ($exchanges exchanges)")
+  }
+
+  test("q41 pivot-IVF: centroids broadcast for map-side assignment") {
+    val p = plan("q41_ann_ivf")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"pivot set must broadcast:\n${p.take(800)}")
+  }
+
+  test("q35 whole-stage codegen covers the shingle/hash hot path") {
+    val p = finalPlan("q35_jaccard_pairs")
+    assert(p.contains("WholeStageCodegen"), s"hot path fell out of codegen:\n${p.take(900)}")
+  }
+
+  test("q36 minhash: signature pipeline runs inside codegen stages") {
+    val p = finalPlan("q36_minhash_pairs")
+    assert(p.contains("WholeStageCodegen"), s"hot path fell out of codegen:\n${p.take(900)}")
+  }
+}

@@ -27,6 +27,13 @@ object JaccardProfile {
     val docs = Tables.documents(spark, dir)
     docs.count()
 
+    if (args.contains("--plan")) {
+      println(graft.SparkEntry.queries("q35_jaccard_pairs")(spark, dir)
+        .queryExecution.executedPlan.toString)
+      spark.stop()
+      return
+    }
+
     for (round <- 1 to 2) {
       println(s"--- round $round")
       val shingleArr = TextOps.shingleSet(col("text"), 3)
