@@ -36,9 +36,13 @@ object Bench {
     val failed = results.collect { case (k, _, Some(e)) => s"\"$k\":\"$e\"" }
       .mkString("{", ",", "}")
     val nFailed = results.count(_._3.isDefined)
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_failed":$nFailed,"failed":$failed,"sf":"$sfDir"}""")
+    // "value" sums only succeeded queries — a query that dies in 0.1s must
+    // not deflate the benchmark total; its elapsed time is reported
+    // separately under "failed_sec".
+    val total = results.collect { case (_, v, None) => v }.sum
+    val failedSec = results.collect { case (_, v, Some(_)) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_failed":$nFailed,"failed":$failed,"failed_sec":$failedSec,"sf":"$sfDir"}""")
     spark.stop()
-    if (nFailed > 0) sys.exit(0) // failures are flagged in the JSON, not via rc
+    if (nFailed > 0) sys.exit(1) // a failed query is a failed benchmark run
   }
 }

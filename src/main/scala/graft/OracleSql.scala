@@ -275,7 +275,7 @@ object OracleSql {
         | s AS (SELECT doc_id, noisy,
         |  regexp_replace(
         |    regexp_replace(noisy, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |    '\+?[0-9][0-9()\- ]{6,}[0-9]', '<PHONE>', 'g') AS scrubbed FROM n)
+        |    '\+?[0-9](?:[()\- ]{0,3}[0-9]){8,14}', '<PHONE>', 'g') AS scrubbed FROM n)
         |SELECT doc_id, scrubbed,
         | CAST(len(regexp_split_to_array(noisy, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) - 1 AS BIGINT) AS n_emails,
         | CAST(len(string_split(scrubbed, '<PHONE>')) - 1 AS BIGINT) AS n_phones

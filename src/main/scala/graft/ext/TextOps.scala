@@ -138,10 +138,16 @@ object TextOps {
     */
   val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 
-  /** Phone-like digit run: leading digit (optional +), ≥6 chars of
-    * digits/space/()- then a closing digit.
+  /** Phone-like run: 9–15 actual digits (optional leading +) with at most
+    * 3 separator chars (space/()-) between consecutive digits. The digit
+    * COUNT bound — not a raw character count — keeps ISO dates
+    * (`2024-01-01`, 8 digits) and small thousand-separated numbers
+    * (`1 000 000`, 7 digits) unredacted. Deliberate over-match, documented:
+    * any bare ≥9-digit run (account-number-ish ids, `1 000 000 000`) still
+    * redacts — for a pretraining scrub, erring toward redaction on long
+    * digit runs is the safer default.
     */
-  val phoneRe = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
+  val phoneRe = "\\+?[0-9](?:[()\\- ]{0,3}[0-9]){8,14}"
 
   /** PII scrubbing: emails → `<EMAIL>` first (removing their digits), then
     * phone-like runs → `<PHONE>`. Linear per-row scan, no shuffle.

@@ -10,15 +10,24 @@ package graft
   */
 class PlanShapeSpec extends SparkTestBase {
 
-  private val dir = "/root/testdata/sf0.01"
+  private val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
-  private def plan(name: String): String =
+  /** Skip (not fail) the suite on machines without the generated fixtures,
+    * same contract as SimSearchSpec's recall test.
+    */
+  private def requireFixtures(): Unit =
+    assume(new java.io.File(dir).isDirectory, s"fixture dir $dir not present")
+
+  private def plan(name: String): String = {
+    requireFixtures()
     SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+  }
 
   /** Final adaptive plan — AQE inserts WholeStageCodegen per query stage
     * only at execution, so codegen assertions must run the query first.
     */
   private def finalPlan(name: String): String = {
+    requireFixtures()
     val df = SparkEntry.queries(name)(spark, dir)
     df.collect() // count() would build a NEW plan; collect() runs THIS one
     df.queryExecution.executedPlan.toString

@@ -72,9 +72,15 @@ class TextOpsSpec extends SparkTestBase {
     val in = "mail a.b+c@ex-1.org or bob@x.io, call +1 (555) 010-1234 / 555 010 2244 end"
     assert(one[String](TextOps.scrubPii(col("text")), in) ==
       "mail <EMAIL> or <EMAIL>, call <PHONE> / <PHONE> end")
-    // 7 digits is below the pattern's 8-char minimum — left alone
+    // 7 digits is below the pattern's 9-digit minimum — left alone
     assert(one[String](TextOps.scrubPii(col("text")), "id 5550102 end") ==
       "id 5550102 end")
+    // ISO dates (8 digits) and small thousand-separated numbers escape
+    assert(one[String](TextOps.scrubPii(col("text")), "on 2024-01-01 pay 1 000 000") ==
+      "on 2024-01-01 pay 1 000 000")
+    // a bare 9-digit run still redacts (documented over-match toward safety)
+    assert(one[String](TextOps.scrubPii(col("text")), "acct 123456789 end") ==
+      "acct <PHONE> end")
     // no false positive on clean text
     assert(one[String](TextOps.scrubPii(col("text")), "plain words only") ==
       "plain words only")

@@ -48,14 +48,54 @@ class StatefulOpsSpec extends SparkTestBase {
       // arrives in a later batch with t 20s BEFORE the session start
       mem.addData(Seq(Telemetry("s1", 30, ts("2024-01-01 00:00:40"))))
       query.processAllAvailable()
-      // close the session by gap: session_start must have moved to 00:00:40
       mem.addData(Seq(Telemetry("s1", 30, ts("2024-01-01 00:05:00"))))
+      query.processAllAvailable()
+      // sessions are held until the watermark passes end+gap — advance it
+      // (wm during the last batch: 00:20:00 - 10 min = 00:10:00)
+      mem.addData(Seq(Telemetry("s1", 30, ts("2024-01-01 00:20:00"))))
+      query.processAllAvailable()
+      mem.addData(Seq(Telemetry("s1", 30, ts("2024-01-01 00:40:00"))))
       query.processAllAvailable()
     } finally query.stop()
 
     val out = spark.table("sessions_ooo").as[StatefulOps.SessionOut]
-      .collect().map(s => (s.session_start, s.n_events)).toList
-    assert(out == List((ts("2024-01-01 00:00:40"), 2L)))
+      .collect().map(s => (s.session_start, s.n_events))
+      .filter(_._1.getTime < ts("2024-01-01 00:10:00").getTime)
+      .sortBy(_._1.getTime).toList
+    // session_start moved backward to 00:00:40; 00:05:00 closed by gap
+    assert(out == List(
+      (ts("2024-01-01 00:00:40"), 2L),
+      (ts("2024-01-01 00:05:00"), 1L)))
+  }
+
+  test("sessionize: out-of-order event bridges two HELD sessions into one (no overlapping emission)") {
+    val mem = MemoryStream[Telemetry](spark)
+    val query = StatefulOps.sessionize(mem.toDS(), gapMs = 30000L,
+      watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("sessions_bridge").outputMode("append").start()
+    try {
+      mem.addData(Seq(Telemetry("s1", 30, ts("2024-01-01 00:00:00"))))
+      query.processAllAvailable()
+      // 60s later: > gap, so this LOOKS like a second session — but both
+      // must be held (not emitted) while the watermark still admits events
+      mem.addData(Seq(Telemetry("s1", 30, ts("2024-01-01 00:01:00"))))
+      query.processAllAvailable()
+      // the bridge: lands exactly between, within gap of both → one session
+      mem.addData(Seq(Telemetry("s1", 30, ts("2024-01-01 00:00:30"))))
+      query.processAllAvailable()
+      // advance the watermark to flush (00:20:00 - 10 min = 00:10:00)
+      mem.addData(Seq(Telemetry("s1", 30, ts("2024-01-01 00:20:00"))))
+      query.processAllAvailable()
+      mem.addData(Seq(Telemetry("s1", 30, ts("2024-01-01 00:40:00"))))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val out = spark.table("sessions_bridge").as[StatefulOps.SessionOut]
+      .collect().map(s => (s.session_start, s.n_events))
+      .filter(_._1.getTime < ts("2024-01-01 00:10:00").getTime).toList
+    // ONE merged session of 3 events — an eager-close implementation would
+    // have emitted (00:00:00) early and then a second overlapping row
+    assert(out == List((ts("2024-01-01 00:00:00"), 3L)))
   }
 
   test("dedupWithinWatermark drops duplicate keys inside the horizon") {
