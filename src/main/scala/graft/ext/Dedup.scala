@@ -19,14 +19,20 @@ import graft.functions.{Hashing, VectorOps}
   */
 object Dedup {
 
-  /** All ordered pairs (a<b) from a SORTED id array — used to emit
-    * candidate pairs inside a bucket without a second scan of the corpus
-    * (a self-join would recompute the whole upstream pipeline per side).
+  /** All ordered pairs (a<b) from a SORTED `ids` array column — used to
+    * emit candidate pairs inside a bucket without a second scan of the
+    * corpus (a self-join would recompute the whole upstream pipeline per
+    * side). Two chained generators (posexplode, then explode of the
+    * array's tail slice) — both run inside whole-stage codegen, where the
+    * equivalent `flatten(transform(...transform(slice(...))))` lambda
+    * formulation evaluates interpreted and allocates a fresh slice per
+    * element (measured ~0.4 s of the q35 bench time at sf0.1).
     */
-  private def pairCombos(ids: Column): Column =
-    flatten(transform(ids, (x, i) =>
-      transform(slice(ids, i + 2, size(ids)),
-        y => struct(x.as("a"), y.as("b")))))
+  private def explodePairs(buckets: DataFrame): DataFrame =
+    buckets
+      .select(posexplode(col("ids")).as(Seq("i", "id_a")), col("ids"))
+      .select(col("id_a"),
+        explode(slice(col("ids"), col("i") + lit(2), size(col("ids")))).as("id_b"))
 
   // ---------------------------------------------------------------- exact
 
@@ -98,24 +104,17 @@ object Dedup {
       shingleN: Int = 3
   ): DataFrame = {
     val (as, bs) = Hashing.minhashParams(numHashes)
-    val (aLit, bLit) = (typedlit(as), typedlit(bs))
-    // Single aggregate fold over the base-hash array. Shape matters:
-    // `transform(j -> array_min(transform(hs, ...)))` would let
-    // CollapseProject inline `hs` into all numHashes lambdas, recomputing
-    // every md5 numHashes times (measured 16× slower). Here the md5 array
-    // is the fold input — evaluated exactly once per row — and the merge
-    // step is cheap affine arithmetic.
+    // Fused single-pass signature expression — one JVM loop per row. The
+    // lambda formulation it replaces (aggregate-fold of affine transforms
+    // over the md5 array) is bit-identical but evaluates interpreted:
+    // higher-order functions never reach whole-stage codegen, and its
+    // numHashes×shingles interpreted steps dominated the signature scan.
+    import org.apache.spark.sql.graftbridge.ColumnBridge
     docs.select(col(idCol).as("id"), TextOps.shingleSet(col(textCol), shingleN).as("shs"))
       .filter(size(col("shs")) > 0)
       .select(col("id"),
-        aggregate(
-          transform(col("shs"), s => Hashing.md5Hash32(0, s)),
-          array_repeat(lit(Hashing.MinhashPrime), numHashes),
-          (acc, h) => transform(sequence(lit(0), lit(numHashes - 1)),
-            j => least(
-              element_at(acc, j + 1),
-              (element_at(aLit, j + 1) * h + element_at(bLit, j + 1))
-                % lit(Hashing.MinhashPrime)))).as("sig"))
+        ColumnBridge.column(graft.functions.MinhashSigExpr(
+          ColumnBridge.expression(col("shs")), 0, as, bs)).as("sig"))
   }
 
   /** Candidate near-dup pairs: docs sharing at least one full LSH band.
@@ -139,11 +138,10 @@ object Dedup {
       .drop("sig")
     // group per bucket and emit in-bucket combinations — ONE pass over the
     // signature pipeline (a self-join would compute it twice)
-    bands.groupBy("band", "bkey")
-      .agg(sort_array(collect_list(col("id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(pairCombos(col("ids"))).as("p"))
-      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+    explodePairs(
+      bands.groupBy("band", "bkey")
+        .agg(sort_array(collect_list(col("id"))).as("ids"))
+        .filter(size(col("ids")) > 1))
       .distinct()
   }
 
@@ -167,12 +165,11 @@ object Dedup {
     // textbook shingle self-join would scan and shuffle the corpus twice
     val sizes = docs.select(col(idCol).as("id"), size(shingleArr).as("n"))
       .filter(col("n") > 0)
-    val inter = docs.select(col(idCol).as("id"), explode(shingleArr).as("sh"))
-      .groupBy("sh")
-      .agg(sort_array(collect_list(col("id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(pairCombos(col("ids"))).as("p"))
-      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+    val inter = explodePairs(
+      docs.select(col(idCol).as("id"), explode(shingleArr).as("sh"))
+        .groupBy("sh")
+        .agg(sort_array(collect_list(col("id"))).as("ids"))
+        .filter(size(col("ids")) > 1))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("inter"))
     inter
@@ -243,6 +240,7 @@ object Dedup {
       idCol: String = "doc_id",
       maxIterations: Int = 20
   ): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint(true)
@@ -251,21 +249,34 @@ object Dedup {
     // the corpus is billions of docs but the dup subgraph is a small
     // fraction; every iteration's join/agg then scales with dup volume,
     // and the corpus is touched exactly once by the final label join.
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("label"))
+    //
+    // Seed labels WITH the first hop folded in (min of self and direct
+    // neighbors — one aggregate, no join), then each iteration is one
+    // join + one union + one min-aggregate: two shuffles, versus three for
+    // the textbook join/agg/join-back formulation.
+    var labels = edges.groupBy(col("src"))
+      .agg(min(col("dst")).as("nmin"))
+      .select(col("src").as("id"), least(col("src"), col("nmin")).as("label"))
       .localCheckpoint(true)
-    var changed = 1L
+    // Convergence check: labels only ever decrease under min-propagation,
+    // so Σ(label) strictly decreases iff any label changed — one scalar
+    // aggregate over the already-checkpointed iterate, instead of a
+    // join-old-vs-new + filter + count job.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast(DecimalType(38, 0)))).head.getDecimal(0)
+    var prevSum = labelSum(labels)
+    var changed = true
     var iter = 0
-    while (changed > 0 && iter < maxIterations) {
-      val neighborMin = edges.join(labels, edges("dst") === labels("id"))
-        .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
-      val updated = labels.join(neighborMin, labels("id") === neighborMin("src"), "left")
-        .select(labels("id"),
-          labels("label"),
-          least(labels("label"), coalesce(col("nlabel"), labels("label"))).as("newLabel"))
+    while (changed && iter < maxIterations) {
+      val updated = edges.join(labels, edges("dst") === labels("id"))
+        .select(edges("src").as("id"), col("label"))
+        .union(labels)
+        .groupBy("id").agg(min(col("label")).as("label"))
         .localCheckpoint(true)
-      changed = updated.filter(col("newLabel") < col("label")).count()
-      labels = updated.select(col("id"), col("newLabel").as("label"))
+      val s = labelSum(updated)
+      changed = s.compareTo(prevSum) != 0
+      prevSum = s
+      labels = updated
       iter += 1
     }
     // singletons (no edges) label themselves; the converged sub-labels are

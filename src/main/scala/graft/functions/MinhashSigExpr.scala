@@ -1,0 +1,77 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+
+/** Whole MinHash signature of a shingle array in one pass: for each
+  * shingle s, base hash h = uint32(md5("<seed>:" + s)), then
+  * sig[j] = min(sig[j], (a_j·h + b_j) mod prime) for every j.
+  *
+  * Bit-identical to the portable formulation the SQL oracles use —
+  * `aggregate(transform(shs, s -> md5_hash32(s)), array_repeat(prime, n),
+  * (acc, h) -> transform(0..n-1, j -> least(acc[j], (a_j·h+b_j) % p)))` —
+  * but one tight JVM loop per row instead of numHashes interpreted
+  * lambda evaluations per shingle (higher-order functions never reach
+  * whole-stage codegen; measured ~0.4 s of q36's sf0.1 bench time).
+  * Empty shingle arrays yield the fold seed: an all-`prime` signature.
+  */
+case class MinhashSigExpr(child: Expression, seed: Int, as: Seq[Long], bs: Seq[Long],
+                          prime: Long = Hashing.MinhashPrime)
+    extends UnaryExpression with CodegenFallback {
+
+  require(as.nonEmpty && as.length == bs.length, "coefficient arrays must match")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<string> input, got ${other.sql}")
+    }
+
+  @transient private lazy val aArr = as.toArray
+  @transient private lazy val bArr = bs.toArray
+  @transient private lazy val prefixBytes = s"$seed:".getBytes("UTF-8")
+  @transient private lazy val localDigest =
+    new ThreadLocal[MessageDigest] {
+      override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = aArr.length
+    val sig = Array.fill(n)(prime)
+    val md = localDigest.get()
+    var i = 0
+    while (i < arr.numElements()) {
+      md.reset()
+      md.update(prefixBytes)
+      val d = md.digest(arr.getUTF8String(i).getBytes)
+      var h = 0L
+      h = h * 256L + (d(0) & 0xffL)
+      h = h * 256L + (d(1) & 0xffL)
+      h = h * 256L + (d(2) & 0xffL)
+      h = h * 256L + (d(3) & 0xffL)
+      var j = 0
+      while (j < n) {
+        val v = (aArr(j) * h + bArr(j)) % prime
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "minhash_sig"
+}
