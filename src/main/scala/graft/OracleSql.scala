@@ -559,6 +559,105 @@ object OracleSql {
         | CAST(h % 60000 AS BIGINT) AS duration_ms,
         | round(h/4294967296.0, 6) AS f0
         |FROM (SELECT doc_id, text, ('0x'||substr(md5('0:'||text),1,8))::BIGINT AS h FROM documents)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    "q60_exists_in_subquery" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+        |  AND c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey < 3)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q61_scalar_subquery" ->
+      """SELECT o_orderkey, o_totalprice,
+        | (SELECT count(*) FROM lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey) AS n_items,
+        | (SELECT count(*) FROM lineitem) AS n_lines_total
+        |FROM orders o WHERE o_totalprice > 450000
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q62_lateral_topn" ->
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer c, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |ORDER BY c_custkey, o_orderkey""".stripMargin,
+
+    "q63_string_suite" ->
+      """SELECT c_custkey,
+        | translate(c_name, '#0', '_O') AS name_tr,
+        | reverse(c_name) AS name_rev,
+        | lpad(CAST(c_custkey AS VARCHAR), 12, '*') AS key_pad,
+        | repeat(substring(c_mktsegment, 1, 2), 3) AS seg_rep,
+        | CAST(instr(c_name, '1') AS BIGINT) AS pos1,
+        | CAST(levenshtein(c_name, 'Customer#000000000') AS BIGINT) AS lev,
+        | concat_ws('|', c_mktsegment, c_name) AS seg_name,
+        | CAST(ascii(c_mktsegment) AS BIGINT) AS seg_ascii,
+        | trim(substring(c_name, 10, 9), '0') AS key_digits
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q64_repetition" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text,' ') AS l FROM documents),
+        | m AS (SELECT doc_id,
+        |   len(l) AS total, len(list_distinct(l)) AS uniq,
+        |   list_transform(generate_series(1, len(l)-1), i -> l[i]||' '||l[i+1]) AS bi,
+        |   length(text) AS nchars
+        |  FROM t)
+        |SELECT doc_id,
+        | CAST(total AS BIGINT) AS n_tokens,
+        | CAST(floor((total - uniq) * 1000000 / total) AS BIGINT) AS dup_word_ppm,
+        | CAST(CASE WHEN len(bi) > 0
+        |   THEN floor((len(bi) - len(list_distinct(bi))) * 1000000 / len(bi))
+        |   ELSE 0 END AS BIGINT) AS dup_bigram_ppm,
+        | CAST(floor((nchars - (total - 1)) * 100 / total) AS BIGINT) AS mean_word_len_c
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q65_url_domains" ->
+      """WITH n AS (SELECT doc_id, text
+        |  ||' see https://www.site.example'||CAST(doc_id % 7 AS VARCHAR)||'.com/p/'||CAST(doc_id AS VARCHAR)
+        |  ||CASE WHEN doc_id % 3 = 0
+        |     THEN ' and http://cdn.assets'||CAST(doc_id % 5 AS VARCHAR)||'.org/img_'||CAST(doc_id AS VARCHAR)||'.png'
+        |     ELSE '' END AS noisy
+        |  FROM documents),
+        | u AS (SELECT doc_id,
+        |   unnest(regexp_extract_all(noisy, 'https?://[A-Za-z0-9.-]+(/[A-Za-z0-9./_-]*)?')) AS url FROM n),
+        | d AS (SELECT doc_id, regexp_extract(url, 'https?://([A-Za-z0-9.-]+)', 1) AS host FROM u),
+        | dom AS (SELECT doc_id, CASE WHEN len(string_split(host,'.')) <= 2 THEN host
+        |   ELSE string_split(host,'.')[-2]||'.'||string_split(host,'.')[-1] END AS domain FROM d)
+        |SELECT domain, CAST(count(*) AS BIGINT) AS n_urls, CAST(min(doc_id) AS BIGINT) AS min_doc
+        |FROM dom GROUP BY 1 ORDER BY domain""".stripMargin,
+
+    "q66_packing" ->
+      """WITH t AS (SELECT doc_id, lang, len(string_split(text,' ')) AS n_tokens FROM documents),
+        | b AS (SELECT lang, n_tokens,
+        |   COALESCE(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_before
+        |  FROM t)
+        |SELECT lang, CAST(floor(tok_before / 512) AS BIGINT) AS bin,
+        | CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+        |FROM b GROUP BY 1, 2 ORDER BY lang, bin""".stripMargin,
+
+    "q67_mixture_sample" ->
+      """WITH w AS (SELECT doc_id, source,
+        |   CASE source WHEN 'src0' THEN 2500 WHEN 'src1' THEN 1500 WHEN 'src2' THEN 300
+        |    ELSE 1000 END AS wm,
+        |   ('0x'||substr(md5('3:'||CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 10000 AS b
+        |  FROM documents),
+        | n AS (SELECT doc_id, source,
+        |   wm // 1000 + CASE WHEN b < (wm % 1000) * 10 THEN 1 ELSE 0 END AS n FROM w)
+        |SELECT doc_id, source, CAST(unnest(generate_series(1, n)) AS BIGINT) AS copy
+        |FROM n WHERE n > 0
+        |ORDER BY doc_id, copy""".stripMargin,
+
+    "q68_contamination" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text,' ') AS l FROM documents),
+         | sh AS (SELECT doc_id AS id, unnest(list_distinct(list_transform(
+         |   generate_series(1, len(l)-4),
+         |   i -> l[i]||' '||l[i+1]||' '||l[i+2]||' '||l[i+3]||' '||l[i+4]))) AS sh FROM d),
+         | bench AS (SELECT DISTINCT sh FROM sh WHERE id % 20 = 0)
+         |SELECT c.id AS doc_id, CAST(count(b.sh) AS BIGINT) AS n_hits
+         |FROM (SELECT * FROM sh WHERE id % 20 != 0) c LEFT JOIN bench b ON c.sh = b.sh
+         |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

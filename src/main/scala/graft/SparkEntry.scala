@@ -651,6 +651,148 @@ object SparkEntry {
     Multimodal.decodeBatched(Tables.documents(s, dir))
       .orderBy("doc_id")
 
+  // =====================================================================
+  // SQL subquery / lateral surface (q60–q63)
+  // =====================================================================
+
+  private def tpchViews(s: SparkSession, dir: String): Unit = {
+    Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+    Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+    Tables.nation(s, dir).createOrReplaceTempView("nation_v")
+  }
+
+  /** Correlated EXISTS + uncorrelated IN subqueries through the SQL
+    * parser — exercises Catalyst's RewritePredicateSubquery decorrelation
+    * (plans as semi joins; the DataFrame twins are q07/q08).
+    */
+  private def q60(s: SparkSession, dir: String): DataFrame = {
+    tpchViews(s, dir)
+    s.sql(
+      """SELECT c_custkey, c_name FROM customer_v c
+        |WHERE EXISTS (SELECT 1 FROM orders_v o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+        |  AND c_nationkey IN (SELECT n_nationkey FROM nation_v WHERE n_regionkey < 3)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** Correlated scalar subquery (per-row aggregate, decorrelated by
+    * Catalyst to an outer-join aggregate) + uncorrelated scalar subquery.
+    */
+  private def q61(s: SparkSession, dir: String): DataFrame = {
+    tpchViews(s, dir)
+    s.sql(
+      """SELECT o_orderkey, o_totalprice,
+        | (SELECT count(*) FROM lineitem_v l
+        |  WHERE l.l_orderkey = o.o_orderkey) AS n_items,
+        | (SELECT count(*) FROM lineitem_v) AS n_lines_total
+        |FROM orders_v o WHERE o_totalprice > 450000
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  /** LATERAL correlated derived table: top-2 orders per customer by price
+    * — the SQL twin of the window-rank top-N (q13), planned through
+    * Catalyst's lateral-join decorrelation.
+    */
+  private def q62(s: SparkSession, dir: String): DataFrame = {
+    tpchViews(s, dir)
+    s.sql(
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer_v c, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders_v o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |ORDER BY c_custkey, o_orderkey""".stripMargin)
+  }
+
+  /** String-function suite beyond q48: translate, reverse, pad, repeat,
+    * position, edit distance, trim-characters — cross-engine-exact
+    * functions only, with INT-returning ones cast to BIGINT on both
+    * sides.
+    */
+  private def q63(s: SparkSession, dir: String): DataFrame = {
+    tpchViews(s, dir)
+    s.sql(
+      """SELECT c_custkey,
+        | translate(c_name, '#0', '_O') AS name_tr,
+        | reverse(c_name) AS name_rev,
+        | lpad(CAST(c_custkey AS STRING), 12, '*') AS key_pad,
+        | repeat(substring(c_mktsegment, 1, 2), 3) AS seg_rep,
+        | CAST(instr(c_name, '1') AS BIGINT) AS pos1,
+        | CAST(levenshtein(c_name, 'Customer#000000000') AS BIGINT) AS lev,
+        | concat_ws('|', c_mktsegment, c_name) AS seg_name,
+        | CAST(ascii(c_mktsegment) AS BIGINT) AS seg_ascii,
+        | trim(BOTH '0' FROM substring(c_name, 10, 9)) AS key_digits
+        |FROM customer_v ORDER BY c_custkey""".stripMargin)
+  }
+
+  // =====================================================================
+  // Training-data pipeline extensions, round 3 (q64–q68)
+  // =====================================================================
+
+  /** Gopher-style repetition / length quality signals (integer-exact). */
+  private def q64(s: SparkSession, dir: String): DataFrame = {
+    val (nTok, dupW, dupB, mwl) = TextOps.repetitionStats(col("text"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), nTok.as("n_tokens"),
+        dupW.as("dup_word_ppm"), dupB.as("dup_bigram_ppm"),
+        mwl.as("mean_word_len_c"))
+      .orderBy("doc_id")
+  }
+
+  /** URL extraction + registrable-domain aggregation over deterministic
+    * injected URLs (the documents fixture has none) — the
+    * domain-blocklist/stats pass of a web-corpus pipeline.
+    */
+  private def q65(s: SparkSession, dir: String): DataFrame = {
+    val noisy = concat(col("text"),
+      lit(" see https://www.site.example"), (col("doc_id") % 7).cast("string"),
+      lit(".com/p/"), col("doc_id").cast("string"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" and http://cdn.assets"), (col("doc_id") % 5).cast("string"),
+          lit(".org/img_"), col("doc_id").cast("string"), lit(".png")))
+        .otherwise(lit("")))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(TextOps.urls(noisy)).as("url"))
+      .select(col("doc_id"), TextOps.urlDomain(col("url")).as("domain"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_urls"), min(col("doc_id")).as("min_doc"))
+      .orderBy("domain")
+  }
+
+  /** Sequence packing: contiguous next-fit bin assignment (512-token
+    * bins per language), summarized per bin.
+    */
+  private def q66(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), TextOps.tokenCount(col("text")).as("n_tokens"))
+    ext.Packing.packSummary(docs, col("lang"), col("doc_id"), col("n_tokens"), 512L)
+      .select(col("grp").as("lang"), col("bin"), col("n_docs"), col("sum_tokens"))
+      .orderBy("lang", "bin")
+  }
+
+  /** Mixture weighting: deterministic per-source up/down-sampling with
+    * repetition indices (src0 2.5×, src1 1.5×, src2 0.3×, rest 1×).
+    */
+  private def q67(s: SparkSession, dir: String): DataFrame =
+    Sampling.mixtureSample(Tables.documents(s, dir), col("doc_id"), col("source"),
+      Map("src0" -> 2500, "src1" -> 1500, "src2" -> 300), defaultMilli = 1000)
+      .select(col("doc_id"), col("source"), col("copy"))
+      .orderBy("doc_id", "copy")
+
+  /** Benchmark-contamination scan: distinct 5-gram overlap of every
+    * corpus doc (doc_id % 20 != 0) against the held-out benchmark slice
+    * (doc_id % 20 = 0); benchmark shingles broadcast.
+    */
+  private def q68(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Dedup.contamination(
+      docs.filter(col("doc_id") % 20 =!= 0),
+      docs.filter(col("doc_id") % 20 === 0), n = 5)
+      .select(col("id").as("doc_id"), col("n_hits"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_tumble_alerts" -> q01 _,
     "q02_tumble_avg_parts" -> q02 _,
@@ -710,7 +852,16 @@ object SparkEntry {
     "q39_simhash" -> q39 _,
     "q40_ann_lsh" -> q40 _,
     "q41_ann_ivf" -> q41 _,
-    "q42_multimodal" -> q42 _
+    "q42_multimodal" -> q42 _,
+    "q60_exists_in_subquery" -> q60 _,
+    "q61_scalar_subquery" -> q61 _,
+    "q62_lateral_topn" -> q62 _,
+    "q63_string_suite" -> q63 _,
+    "q64_repetition" -> q64 _,
+    "q65_url_domains" -> q65 _,
+    "q66_packing" -> q66 _,
+    "q67_mixture_sample" -> q67 _,
+    "q68_contamination" -> q68 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

@@ -301,6 +301,37 @@ object Dedup {
     docs.join(clusters, Seq(idCol), "left_semi")
   }
 
+  // ---------------------------------------------------------- contamination
+
+  /** Benchmark-contamination check: for every corpus document, the number
+    * of distinct word n-gram shingles it shares with ANY document of the
+    * benchmark (eval-set) corpus — the standard n-gram-overlap
+    * decontamination pass run before pretraining.
+    *
+    * Scale shape: the benchmark side is small by construction (eval sets
+    * are thousands of docs), so its distinct shingle set is broadcast; the
+    * corpus is one linear scan + broadcast join, and the only shuffle is
+    * the per-doc hit count over MATCHED rows (a tiny fraction of the
+    * corpus). Docs with fewer than n tokens have no shingles and are
+    * absent from the output — mirrored in the oracle.
+    */
+  def contamination(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 5
+  ): DataFrame = {
+    val benchShingles = benchmark
+      .select(explode(TextOps.shingleSet(col(textCol), n)).as("sh"))
+      .distinct()
+      .withColumn("__hit", lit(1L))
+    corpus.select(col(idCol).as("id"), explode(TextOps.shingleSet(col(textCol), n)).as("sh"))
+      .join(broadcast(benchShingles), Seq("sh"), "left")
+      .groupBy("id")
+      .agg(count(col("__hit")).as("n_hits"))
+  }
+
   // ---------------------------------------------------- embedding near-dup
 
   /** Exact embedding-cosine near-dup pairs (all-pairs; verifier scale).

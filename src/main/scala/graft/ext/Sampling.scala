@@ -41,6 +41,35 @@ object Sampling {
     df.filter(bucket(keyCol, seed) < rateExpr)
   }
 
+  /** Mixture weighting: resample each source to its target weight, in
+    * milli-multiples (1000 = keep as-is, 500 = downsample to half, 2500 =
+    * upsample 2.5×). A row with weight w emits `w div 1000` full copies
+    * plus one more with probability `(w mod 1000)/1000`, decided by the
+    * key hash — the deterministic version of the per-source temperature /
+    * mixture sampling every pretraining data pipeline runs. Output adds
+    * `copy` (1-based repetition index) so downstream shuffling can spread
+    * the copies. Pure projection + generator: zero shuffle, linear at any
+    * scale.
+    */
+  def mixtureSample(
+      df: DataFrame,
+      keyCol: Column,
+      sourceCol: Column,
+      weightsMilli: Map[String, Int],
+      defaultMilli: Int = 1000,
+      seed: Int = 3
+  ): DataFrame = {
+    val wExpr = weightsMilli.foldLeft(lit(defaultMilli)) { case (acc, (value, w)) =>
+      when(sourceCol === value, lit(w)).otherwise(acc)
+    }
+    df.withColumn("__n",
+        (wExpr / 1000).cast("long") +
+          when(bucket(keyCol, seed) < (wExpr % 1000) * 10, 1L).otherwise(0L))
+      .filter(col("__n") > 0)
+      .withColumn("copy", explode(sequence(lit(1L), col("__n"))))
+      .drop("__n")
+  }
+
   /** Deterministic train/validation/test split tag from the key hash.
     * Default seed differs from [[hashSample]]'s: with the same seed the
     * split would correlate with the sampling filter (every sampled row

@@ -164,6 +164,50 @@ object TextOps {
   def rollingFingerprint(text: Column, n: Int = 3, seed: Int = 0): Column =
     array_min(transform(shingleSet(text, n), s => Hashing.md5Hash32(seed, s)))
 
+  /** Gopher-style repetition signals, integer-exact (ppm / centichars so
+    * every engine agrees bit-for-bit). Per document:
+    *  - `n_tokens` — whitespace token count;
+    *  - `dup_word_ppm` — fraction of tokens that are repeats of an
+    *    earlier token, ppm (Gopher's duplicate-word-fraction rule);
+    *  - `dup_bigram_ppm` — same over positional word bigrams (repeated
+    *    phrases score high even when individual words differ);
+    *  - `mean_word_len_c` — mean word length in centichars (Gopher drops
+    *    docs with extreme mean word length).
+    * Pure per-row scalar scan: no shuffle, linear at any corpus size.
+    */
+  def repetitionStats(text: Column): (Column, Column, Column, Column) = {
+    val toks = tokens(text)
+    val total = size(toks).cast("long")
+    val uniq = size(array_distinct(toks)).cast("long")
+    val bi = shingles(text, 2)
+    val nBi = size(bi).cast("long")
+    val uniqBi = size(array_distinct(bi)).cast("long")
+    val dupWordPpm = floor((total - uniq) * 1000000L / total).cast("long")
+    val dupBigramPpm = when(nBi > 0, floor((nBi - uniqBi) * 1000000L / nBi))
+      .otherwise(0L).cast("long")
+    val meanLenC = floor((length(text).cast("long") - (total - 1)) * 100L / total)
+      .cast("long")
+    (total, dupWordPpm, dupBigramPpm, meanLenC)
+  }
+
+  /** URL pattern shared with the SQL oracles — plain character classes
+    * only, so Java regex and RE2 agree.
+    */
+  val urlRe = "https?://[A-Za-z0-9.-]+(/[A-Za-z0-9./_-]*)?"
+
+  /** All URLs in a document (regexp_extract_all — codegen'd, per-row). */
+  def urls(text: Column): Column = regexp_extract_all(text, lit(urlRe), lit(0))
+
+  /** Registrable domain of a URL string: the host with at most its last
+    * two labels kept (`a.b.c.example.com` → `example.com`).
+    */
+  def urlDomain(url: Column): Column = {
+    val host = regexp_extract(url, "https?://([A-Za-z0-9.-]+)", 1)
+    val parts = split(host, "\\.")
+    when(size(parts) <= 2, host)
+      .otherwise(concat_ws(".", element_at(parts, -2), element_at(parts, -1)))
+  }
+
   /** Corpus-level token statistics (one shuffle). */
   def tokenStats(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.select(explode(tokens(col(textCol))).as("token"))

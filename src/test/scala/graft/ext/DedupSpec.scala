@@ -58,6 +58,24 @@ class DedupSpec extends SparkTestBase {
     assert(kept.toList == List(0L, 1L, 4L, 5L))
   }
 
+  test("contamination counts distinct shared n-grams against the benchmark; misses count 0") {
+    // benchmark doc = `doc`; corpus: an exact copy (all 6 5-grams hit),
+    // a partial overlap (prefix shares some 5-grams), and an unrelated doc
+    val bench = Seq((100L, doc)).toDF("doc_id", "text")
+    val corpus = Seq(
+      (0L, doc),                                          // 6/6 shingles shared
+      (1L, "alpha beta gamma delta epsilon zeta QQQ"),    // first 3 of its 3 shingles... shares 2
+      (2L, far)                                           // nothing shared
+    ).toDF("doc_id", "text")
+    val hits = Dedup.contamination(corpus, bench, n = 5)
+      .as[(Long, Long)].collect().toMap
+    // doc has 10 tokens -> 6 distinct 5-grams, all shared by the copy
+    assert(hits(0L) == 6L)
+    // doc 1 has 7 tokens -> 3 5-grams, of which the first two appear in doc
+    assert(hits(1L) == 2L)
+    assert(hits(2L) == 0L)
+  }
+
   test("embeddingNearDupPairs flags high-cosine pairs only") {
     val vecs = Seq(
       (0L, Array(1f, 0f, 0f)),

@@ -1,0 +1,51 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class SamplingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def corpus = (0L until 2000L).map { i =>
+    (i, s"src${(i % 4)}")
+  }.toDF("doc_id", "source")
+
+  test("hashSample keeps roughly the requested fraction, deterministically") {
+    val a = Sampling.hashSample(corpus, col("doc_id"), fractionBp = 1000)
+      .select("doc_id").as[Long].collect().sorted.toList
+    val b = Sampling.hashSample(corpus, col("doc_id"), fractionBp = 1000)
+      .select("doc_id").as[Long].collect().sorted.toList
+    assert(a == b, "hash sampling must be reproducible")
+    assert(a.size > 130 && a.size < 270, s"~10% of 2000 expected, got ${a.size}")
+  }
+
+  test("mixtureSample: integer weight part is exact, fractional part is hash-decided") {
+    val out = Sampling.mixtureSample(corpus, col("doc_id"), col("source"),
+      Map("src0" -> 2500, "src1" -> 500, "src2" -> 0), defaultMilli = 1000)
+      .groupBy("source").agg(count(lit(1)).as("n"), max(col("copy")).as("maxc"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+
+    // src0 (500 docs, 2.5x): every doc emits >= 2 copies, ~half emit 3
+    val (n0, max0) = out("src0")
+    assert(max0 == 3L)
+    assert(n0 >= 1000L && n0 <= 1500L, s"2.5x of 500 docs in [1000,1500], got $n0")
+    assert(n0 > 1150L && n0 < 1350L, s"~1250 expected, got $n0")
+    // src1 (0.5x): subsample, no doc repeated
+    val (n1, max1) = out("src1")
+    assert(max1 == 1L)
+    assert(n1 > 180L && n1 < 320L, s"~250 of 500 expected, got $n1")
+    // src2 (0x): dropped entirely
+    assert(!out.contains("src2"))
+    // src3 unlisted -> defaultMilli 1000 -> exactly one copy each
+    assert(out("src3") == (500L, 1L))
+  }
+
+  test("mixtureSample copies are indexed 1..n for downstream spreading") {
+    val copies = Sampling.mixtureSample(corpus.filter(col("source") === "src0"),
+      col("doc_id"), col("source"), Map("src0" -> 3000))
+      .groupBy("doc_id").agg(collect_list(col("copy")).as("cs"))
+      .select("cs").as[Seq[Long]].collect()
+    copies.foreach(cs => assert(cs.sorted == Seq(1L, 2L, 3L)))
+  }
+}

@@ -68,6 +68,31 @@ class TextOpsSpec extends SparkTestBase {
     assert(one[String](TextOps.normalize(col("text")), "的是 了!") == "的是 了")
   }
 
+  test("repetitionStats: dup fractions and mean word length, integer-exact") {
+    def stats(text: String): (Long, Long, Long, Long) = {
+      val (a, b, c, d) = TextOps.repetitionStats(col("text"))
+      val r = Seq(text).toDF("text")
+        .select(a.as("nt"), b.as("dw"), c.as("db"), d.as("ml")).collect().head
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    // "a a a b": 4 tokens, 2 distinct -> dup_word = 2/4 = 500000 ppm;
+    // bigrams [a a, a a, a b]: 3 total, 2 distinct -> 333333 ppm;
+    // 7 chars - 3 spaces = 4 letters / 4 tokens -> 100 centichars
+    assert(stats("a a a b") == (4L, 500000L, 333333L, 100L))
+    // no repetition at all
+    assert(stats("one two three") == (3L, 0L, 0L, 366L))
+    // single token: no bigrams -> 0 ppm (not NULL/division error)
+    assert(stats("solo") == (1L, 0L, 0L, 400L))
+  }
+
+  test("urls + urlDomain: extraction and registrable-domain folding") {
+    val us = one[collection.Seq[String]](TextOps.urls(col("text")),
+      "go to https://a.b.example.com/x/y_1.png then http://plain.org stop")
+    assert(us.toList == List("https://a.b.example.com/x/y_1.png", "http://plain.org"))
+    assert(one[String](TextOps.urlDomain(lit("https://a.b.example.com/x")), "") == "example.com")
+    assert(one[String](TextOps.urlDomain(lit("http://plain.org")), "") == "plain.org")
+  }
+
   test("scrubPii redacts every email and phone, emails first") {
     val in = "mail a.b+c@ex-1.org or bob@x.io, call +1 (555) 010-1234 / 555 010 2244 end"
     assert(one[String](TextOps.scrubPii(col("text")), in) ==
