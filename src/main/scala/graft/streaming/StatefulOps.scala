@@ -2,8 +2,9 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout,
+  OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 import graft.core.Telemetry
 
@@ -55,14 +56,8 @@ object StatefulOps {
           // merges — an out-of-order event with t < start extends the
           // session backward, and an event bridging two intervals (or two
           // held sessions) merges them.
-          val intervals =
-            (state.getOption.map(_.sessions).getOrElse(Nil) ++
-              events.map(t => SessionAgg(t, t, 1))).sortBy(s => (s.start, s.last))
-          val merged = intervals.foldLeft(List.empty[SessionAgg]) {
-            case (cur :: done, s) if s.start - cur.last <= gapMs =>
-              SessionAgg(cur.start, math.max(cur.last, s.last), cur.count + s.count) :: done
-            case (acc, s) => s :: acc
-          }.reverse
+          val merged = mergeIntervals(
+            state.getOption.map(_.sessions).getOrElse(Nil), events, gapMs)
           // Safe to emit once the watermark is strictly past last + gap:
           // any future admissible event has t >= wm > last + gap and
           // cannot merge into the session.
@@ -77,5 +72,84 @@ object StatefulOps {
           }
           safe.iterator.map(s => SessionOut(key, new Timestamp(s.start), s.count))
       }
+  }
+
+  /** Shared interval-merge: held sessions + new event timestamps →
+    * merged session list (any adjacent pair within gapMs merges).
+    */
+  private[streaming] def mergeIntervals(
+      prior: List[SessionAgg], events: Seq[Long], gapMs: Long): List[SessionAgg] = {
+    val intervals = (prior ++ events.map(t => SessionAgg(t, t, 1)))
+      .sortBy(s => (s.start, s.last))
+    intervals.foldLeft(List.empty[SessionAgg]) {
+      case (cur :: done, s) if s.start - cur.last <= gapMs =>
+        SessionAgg(cur.start, math.max(cur.last, s.last), cur.count + s.count) :: done
+      case (acc, s) => s :: acc
+    }.reverse
+  }
+
+  /** [[sessionize]] re-expressed on Spark 4's `transformWithState`
+    * arbitrary-state API (`StatefulProcessor` + typed `ValueState` +
+    * explicit event-time timers) — same hold-until-watermark semantics,
+    * same output. The processor keeps the held-session list in one
+    * `ValueState` and one registered timer at the earliest
+    * `session end + gap`, re-armed as sessions merge or flush. Requires
+    * the RocksDB state-store provider (a transformWithState constraint).
+    */
+  class SessionProcessor(gapMs: Long)
+      extends StatefulProcessor[String, Telemetry, SessionOut] {
+    @transient private var sessions: ValueState[SessionList] = _
+    @transient private var armed: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      sessions = getHandle.getValueState[SessionList](
+        "sessions", Encoders.product[SessionList], TTLConfig.NONE)
+      armed = getHandle.getValueState[Long]("armed", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    private def mergeAndEmit(key: String, events: Seq[Long], wm: Long): Iterator[SessionOut] = {
+      val prior = if (sessions.exists()) sessions.get().sessions else Nil
+      val merged = mergeIntervals(prior, events, gapMs)
+      val (safe, held) = merged.partition(s => s.last + gapMs < wm)
+      if (held.isEmpty) {
+        sessions.clear()
+        if (armed.exists()) { getHandle.deleteTimer(armed.get()); armed.clear() }
+      } else {
+        sessions.update(SessionList(held))
+        val t = math.max(held.map(_.last + gapMs).min, wm + 1)
+        if (!armed.exists() || armed.get() != t) {
+          if (armed.exists()) getHandle.deleteTimer(armed.get())
+          getHandle.registerTimer(t)
+          armed.update(t)
+        }
+      }
+      safe.iterator.map(s => SessionOut(key, new Timestamp(s.start), s.count))
+    }
+
+    override def handleInputRows(key: String, rows: Iterator[Telemetry],
+                                 timerValues: TimerValues): Iterator[SessionOut] =
+      mergeAndEmit(key,
+        rows.filter(_.event_time != null).map(_.event_time.getTime).toSeq.sorted,
+        timerValues.getCurrentWatermarkInMs())
+
+    override def handleExpiredTimer(key: String, timerValues: TimerValues,
+                                    expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionOut] = {
+      armed.clear() // the fired timer is consumed; mergeAndEmit re-arms if needed
+      mergeAndEmit(key, Nil, timerValues.getCurrentWatermarkInMs())
+    }
+  }
+
+  /** Gap-based sessionization via `transformWithState` — see
+    * [[SessionProcessor]]; drained-stream output is identical to
+    * [[sessionize]] (pinned by StatefulOpsSpec's parity test).
+    */
+  def sessionizeTws(telemetry: Dataset[Telemetry], gapMs: Long,
+                    watermarkDelay: String = "5 seconds"): Dataset[SessionOut] = {
+    import telemetry.sparkSession.implicits._
+    telemetry
+      .withWatermark("event_time", watermarkDelay)
+      .groupByKey(_.sensor_id)
+      .transformWithState(new SessionProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 }

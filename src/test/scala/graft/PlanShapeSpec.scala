@@ -79,6 +79,22 @@ class PlanShapeSpec extends SparkTestBase {
   private def hasCodegenStage(p: String): Boolean =
     p.contains("WholeStageCodegen") || "\\*\\(\\d+\\)".r.findFirstIn(p).isDefined
 
+  test("q62 lateral top-N: decorrelated to WindowGroupLimit (partial before shuffle), no nested loop") {
+    val p = plan("q62_lateral_topn")
+    assert(p.contains("WindowGroupLimit"),
+      s"LATERAL ... LIMIT must decorrelate to a rank-limit pushdown:\n${p.take(800)}")
+    assert(p.contains("Partial"),
+      "top-k must be applied map-side before the o_custkey shuffle")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "per-customer correlation must become an equi-join, not a nested loop")
+  }
+
+  test("q68 contamination: benchmark shingle dictionary broadcasts, corpus side never shuffles pre-count") {
+    val p = plan("q68_contamination")
+    assert(p.contains("BroadcastHashJoin"),
+      s"benchmark side must broadcast:\n${p.take(800)}")
+  }
+
   test("q35 whole-stage codegen covers the shingle/hash hot path") {
     val p = finalPlan("q35_jaccard_pairs")
     assert(hasCodegenStage(p), s"hot path fell out of codegen:\n${p.take(900)}")

@@ -98,6 +98,45 @@ class StatefulOpsSpec extends SparkTestBase {
     assert(out == List((ts("2024-01-01 00:00:00"), 3L)))
   }
 
+  test("sessionizeTws (transformWithState) matches sessionize on the same stream") {
+    // transformWithState requires the RocksDB state-store provider
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val batches = Seq(
+        Seq(Telemetry("s1", 30, ts("2024-01-01 00:00:00")),
+          Telemetry("s1", 30, ts("2024-01-01 00:00:10")),
+          Telemetry("s2", 30, ts("2024-01-01 00:00:05"))),
+        Seq(Telemetry("s1", 30, ts("2024-01-01 00:02:00"))), // closes s1's first session
+        // out-of-order but above the watermark (00:01:55): extends backward
+        Seq(Telemetry("s1", 30, ts("2024-01-01 00:01:58"))),
+        Seq(Telemetry("s2", 30, ts("2024-01-01 00:10:00"))),
+        Seq(Telemetry("s1", 30, ts("2024-01-01 00:20:00")),
+          Telemetry("s2", 30, ts("2024-01-01 00:20:00"))))
+
+      def run(name: String,
+              f: org.apache.spark.sql.Dataset[Telemetry] => org.apache.spark.sql.Dataset[StatefulOps.SessionOut]): Set[(String, java.sql.Timestamp, Long)] = {
+        val mem = MemoryStream[Telemetry](spark)
+        val query = f(mem.toDS()).writeStream.format("memory")
+          .queryName(name).outputMode("append").start()
+        try {
+          batches.foreach { b => mem.addData(b); query.processAllAvailable() }
+        } finally query.stop()
+        spark.table(name).as[StatefulOps.SessionOut]
+          .collect().map(s => (s.sensor_id, s.session_start, s.n_events)).toSet
+      }
+
+      val viaFmgws = run("p_fmgws", ds => StatefulOps.sessionize(ds, gapMs = 30000L))
+      val viaTws = run("p_tws", ds => StatefulOps.sessionizeTws(ds, gapMs = 30000L))
+      assert(viaTws == viaFmgws,
+        s"transformWithState sessionizer diverged:\n tws=$viaTws\n fmgws=$viaFmgws")
+      // and the merged-backward session actually appears
+      assert(viaFmgws.contains(("s1", ts("2024-01-01 00:01:58"), 2L)))
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("dedupWithinWatermark drops duplicate keys inside the horizon") {
     val mem = MemoryStream[Telemetry](spark)
     val deduped = StatefulOps.dedupWithinWatermark(
