@@ -344,9 +344,10 @@ object OracleSql {
     "q35_jaccard_pairs" ->
       s"""WITH d AS (SELECT doc_id, string_split(text,' ') AS l FROM documents),
          | sh AS (SELECT doc_id AS id, unnest($trigrams) AS sh FROM d),
+         | hb AS (SELECT id, ('0x'||substr(md5('0:'||sh),1,8))::BIGINT AS h FROM sh),
          | sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY 1),
          | inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
-         |           FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id GROUP BY 1,2)
+         |           FROM hb a JOIN hb b ON a.h = b.h AND a.id < b.id GROUP BY 1,2)
          |SELECT id_a, id_b,
          | CAST((inter*1000000) // (sa.n + sb.n - inter) AS BIGINT) AS jaccard_ppm
          |FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id

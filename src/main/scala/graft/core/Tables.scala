@@ -11,8 +11,21 @@ import org.apache.spark.sql.types.LongType
   * single seam where that swap happens, so no query code changes.
   */
 object Tables {
+
+  /** Plan cache: `spark.read.parquet` builds a fresh file index (listing
+    * + footer read) on every call, which the 68-query harness pays per
+    * query. Caching the analyzed DataFrame per (session, path) removes
+    * that fixed cost — the metadata-caching role a catalog/metastore
+    * plays in production. Keyed on the session's identity so a stopped
+    * session's plans are never reused by a new one.
+    */
+  private val planCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    planCache.computeIfAbsent(
+      (System.identityHashCode(spark), s"$dir/$name.parquet"),
+      key => spark.read.parquet(key._2))
 
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark cannot read as a
     * timestamp (PARQUET_TYPE_ILLEGAL). Read it as raw nanos (legacy conf,

@@ -162,14 +162,22 @@ object Dedup {
     val shingleArr = TextOps.shingleSet(col(textCol), shingleN)
     // set sizes come from a plain projection (no explode/shuffle), and the
     // intersection counts from ONE explode -> bucket-combos pass; the
-    // textbook shingle self-join would scan and shuffle the corpus twice
+    // textbook shingle self-join would scan and shuffle the corpus twice.
+    // Buckets are keyed on the codegen'd 32-bit shingle hash, not the
+    // shingle string: the shuffle moves 8-byte longs instead of ~30-byte
+    // strings and the hash-aggregate compares primitives. A hash collision
+    // merges two buckets (probability < 2^-32 per distinct-shingle pair,
+    // deterministic, and the oracle hashes identically); the id_a != id_b
+    // guard drops the self-pairs a within-document collision would emit.
     val sizes = docs.select(col(idCol).as("id"), size(shingleArr).as("n"))
       .filter(col("n") > 0)
     val inter = explodePairs(
       docs.select(col(idCol).as("id"), explode(shingleArr).as("sh"))
-        .groupBy("sh")
+        .select(col("id"), Hashing.md5Hash32(0, col("sh")).as("h"))
+        .groupBy("h")
         .agg(sort_array(collect_list(col("id"))).as("ids"))
         .filter(size(col("ids")) > 1))
+      .filter(col("id_a") =!= col("id_b"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("inter"))
     inter
