@@ -659,6 +659,45 @@ object OracleSql {
          | bench AS (SELECT DISTINCT sh FROM sh WHERE id % 20 = 0)
          |SELECT c.id AS doc_id, CAST(count(b.sh) AS BIGINT) AS n_hits
          |FROM (SELECT * FROM sh WHERE id % 20 != 0) c LEFT JOIN bench b ON c.sh = b.sh
-         |GROUP BY 1 ORDER BY 1""".stripMargin
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q69_range_frame" ->
+      """WITH t AS (SELECT o_orderkey, o_custkey,
+        |   CAST(floor(epoch(o_orderdate)) AS BIGINT) AS ts_sec FROM orders)
+        |SELECT o_orderkey, o_custkey, ts_sec,
+        | CAST(count(*) OVER (PARTITION BY o_custkey ORDER BY ts_sec
+        |   RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_trailing_week
+        |FROM t ORDER BY o_orderkey""".stripMargin,
+
+    "q70_gap_fill" ->
+      """WITH c AS (SELECT user_id, CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS day_sec,
+        |   count(*) AS n FROM events GROUP BY 1, 2),
+        | s AS (SELECT user_id, min(day_sec) AS lo, max(day_sec) AS hi FROM c GROUP BY 1),
+        | g AS (SELECT user_id, unnest(generate_series(lo, hi, 86400)) AS day_sec FROM s)
+        |SELECT g.user_id AS user_id, g.day_sec AS day_sec,
+        | CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
+        |FROM g LEFT JOIN c ON g.user_id = c.user_id AND g.day_sec = c.day_sec
+        |ORDER BY g.user_id, g.day_sec""".stripMargin,
+
+    "q71_bm25" -> {
+      // constants interpolated from the SAME Scala doubles the operator
+      // uses (Double.toString round-trips, so DuckDB parses identical
+      // values — including k1+1, which is NOT the double literal 2.2)
+      val k1 = 1.2; val b = 0.75
+      s"""WITH tk AS (SELECT doc_id AS id, string_split(text,' ') AS toks FROM documents),
+         | dls AS (SELECT id, len(toks) AS dl FROM tk),
+         | t AS (SELECT id, unnest(toks) AS token FROM tk),
+         | tf AS (SELECT id, token, count(*) AS tf FROM t GROUP BY 1, 2),
+         | df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+         | st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dls)
+         |SELECT tf.id AS id, tf.token AS token,
+         | CAST(tf.tf AS BIGINT) AS tf, CAST(df.df AS BIGINT) AS df,
+         | round(
+         |   ln(1.0 + (CAST(st.n_docs AS DOUBLE) - df.df + 0.5) / (df.df + 0.5))
+         |   * (tf.tf * ${k1 + 1.0})
+         |   / (tf.tf + $k1 * (${1.0 - b} + $b * dls.dl / (CAST(st.sum_dl AS DOUBLE) / st.n_docs))), 6) AS bm25
+         |FROM tf JOIN df USING (token) JOIN dls ON tf.id = dls.id CROSS JOIN st
+         |ORDER BY tf.id, tf.token""".stripMargin
+    }
   )
 }

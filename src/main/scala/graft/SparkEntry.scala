@@ -805,6 +805,38 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** RANGE window frame (value-based, vs q14/q53's ROWS frames): per
+    * customer, orders placed in the trailing 7 days of each order — peers
+    * at the same timestamp are all included, which is what makes RANGE
+    * deterministic under ties where ROWS would not be.
+    */
+  private def q69(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("ts_sec"))
+      .rangeBetween(-604800L, 0L)
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        unix_timestamp(col("o_orderdate")).as("ts_sec"))
+      .withColumn("n_trailing_week", count(lit(1)).over(w))
+      .orderBy("o_orderkey")
+  }
+
+  /** Time-series gap fill: per-user daily event counts with missing days
+    * zero-filled across each user's observed span.
+    */
+  private def q70(s: SparkSession, dir: String): DataFrame =
+    ops.TimeSeries.gapFillDaily(Tables.events(s, dir), col("user_id"), col("ts"))
+      .select(col("key").as("user_id"), col("day_sec"), col("n_events"))
+      .orderBy("user_id", "day_sec")
+
+  /** Okapi BM25 per (doc, token) — doc-length-normalized retrieval
+    * scoring over the corpus.
+    */
+  private def q71(s: SparkSession, dir: String): DataFrame =
+    TextOps.bm25(Tables.documents(s, dir))
+      .select(col("id"), col("token"), col("tf"), col("df"),
+        round(col("bm25"), 6).as("bm25"))
+      .orderBy("id", "token")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_tumble_alerts" -> q01 _,
     "q02_tumble_avg_parts" -> q02 _,
@@ -873,7 +905,10 @@ object SparkEntry {
     "q65_url_domains" -> q65 _,
     "q66_packing" -> q66 _,
     "q67_mixture_sample" -> q67 _,
-    "q68_contamination" -> q68 _
+    "q68_contamination" -> q68 _,
+    "q69_range_frame" -> q69 _,
+    "q70_gap_fill" -> q70 _,
+    "q71_bm25" -> q71 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

@@ -228,4 +228,33 @@ object TextOps {
       .withColumn("tf_idf", col("tf") * log(lit(n.toDouble) / col("df")))
       .select(col("id"), col("token"), col("tf"), col("df"), col("tf_idf"))
   }
+
+  /** Okapi BM25 per (doc, token) — TF-IDF's production successor for
+    * retrieval-quality scoring and data curation:
+    * `idf(df) × tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))` with the standard
+    * `idf = ln(1 + (N−df+0.5)/(df+0.5))`. Same two-shuffle shape as
+    * [[tfIdf]]: doc-term counts, broadcast df table, plus one scalar
+    * aggregate for avg document length. Float transcendental (`ln`) —
+    * same cross-engine-agreement footing as tfIdf's, proven by its
+    * oracle at three SFs.
+    */
+  def bm25(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val base = docs.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+    val withDl = base.select(col("id"), col("toks"), size(col("toks")).cast("long").as("dl"))
+    val stats = withDl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .head()
+    val nDocs = stats.getLong(0)
+    val avgdl = stats.getLong(1).toDouble / nDocs
+    val tf = withDl.select(col("id"), col("dl"), explode(col("toks")).as("token"))
+      .groupBy("id", "dl", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), "token")
+      .withColumn("idf",
+        log(lit(1.0) + (lit(nDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("bm25",
+        col("idf") * (col("tf") * (k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl)))
+      .select(col("id"), col("token"), col("tf"), col("df"), col("bm25"))
+  }
 }
