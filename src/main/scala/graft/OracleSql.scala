@@ -698,6 +698,22 @@ object OracleSql {
          |   / (tf.tf + $k1 * (${1.0 - b} + $b * dls.dl / (CAST(st.sum_dl AS DOUBLE) / st.n_docs))), 6) AS bm25
          |FROM tf JOIN df USING (token) JOIN dls ON tf.id = dls.id CROSS JOIN st
          |ORDER BY tf.id, tf.token""".stripMargin
-    }
+    },
+
+    "q72_media_pipeline" ->
+      """WITH m AS (SELECT doc_id, encode(text) AS payload,
+        |    ('0x'||substr(md5('0:'||text),1,8))::BIGINT AS h FROM documents),
+        | d AS (SELECT doc_id, hex(payload) AS hx, octet_length(payload) AS total,
+        |    CAST(h % 1280 + 1 AS BIGINT) AS width,
+        |    CAST(CAST(floor(h/1280) AS BIGINT) % 720 + 1 AS BIGINT) AS height
+        |   FROM m),
+        | e AS (SELECT *, CAST(greatest(floor((total - 8) / 2), 0) AS BIGINT) AS step FROM d)
+        |SELECT doc_id, width, height,
+        | CAST(floor(width * 224 / greatest(width, height)) AS BIGINT) AS rw,
+        | CAST(floor(height * 224 / greatest(width, height)) AS BIGINT) AS rh,
+        | substring(hx, 1, 16) AS s0,
+        | substring(hx, CAST(step*2 + 1 AS BIGINT), 16) AS s1,
+        | substring(hx, CAST(step*4 + 1 AS BIGINT), 16) AS s2
+        |FROM e ORDER BY doc_id""".stripMargin
   )
 }

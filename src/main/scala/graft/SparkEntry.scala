@@ -837,6 +837,28 @@ object SparkEntry {
         round(col("bm25"), 6).as("bm25"))
       .orderBy("id", "token")
 
+  /** Multimodal transform pipeline: decode → resize (aspect-preserving
+    * integer metadata math) → frame-sample (3 evenly spaced slices,
+    * compared in hex — byte offsets, so multi-byte text exercises the
+    * binary path). Extends q42's decode with the transform stages.
+    */
+  private def q72(s: SparkSession, dir: String): DataFrame = {
+    val payload = col("payload")
+    val total = octet_length(payload)
+    val step = greatest(floor((total - lit(8)) / 2).cast("long"), lit(0L))
+    def sliceHex(i: Int): Column =
+      hex(payload).substr((lit(i) * step * 2 + 1).cast("int"), lit(16))
+    Multimodal.withPayload(Tables.documents(s, dir))
+      .select(col("doc_id"), payload,
+        Multimodal.decodeStub(payload).as("media"))
+      .select(col("doc_id"),
+        col("media.width").as("width"), col("media.height").as("height"),
+        Multimodal.resizeStub(col("media")).getField("rw").as("rw"),
+        Multimodal.resizeStub(col("media")).getField("rh").as("rh"),
+        sliceHex(0).as("s0"), sliceHex(1).as("s1"), sliceHex(2).as("s2"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_tumble_alerts" -> q01 _,
     "q02_tumble_avg_parts" -> q02 _,
@@ -908,7 +930,8 @@ object SparkEntry {
     "q68_contamination" -> q68 _,
     "q69_range_frame" -> q69 _,
     "q70_gap_fill" -> q70 _,
-    "q71_bm25" -> q71 _
+    "q71_bm25" -> q71 _,
+    "q72_media_pipeline" -> q72 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

@@ -47,13 +47,27 @@ object Multimodal {
 
   /** Frame-sampling analog: byte-range slices at `n` evenly spaced offsets
     * (for real video this is keyframe extraction; the slicing/batching
-    * dataflow is identical).
+    * dataflow is identical). Integer-exact step so the offsets are
+    * engine-portable.
     */
   def sampleSlices(payload: Column, n: Int, sliceLen: Int = 8): Column = {
     val total = octet_length(payload)
-    val step = greatest((total - sliceLen) / lit(math.max(n - 1, 1)), lit(0))
+    val step = greatest(
+      floor((total - sliceLen) / lit(math.max(n - 1, 1))).cast("long"), lit(0L))
     transform(sequence(lit(0), lit(n - 1)),
-      i => payload.substr(i * step + 1, lit(sliceLen)))
+      i => payload.substr((i * step + 1).cast("int"), lit(sliceLen)))
+  }
+
+  /** Resize analog: fit the decoded (width, height) into a square target
+    * box preserving aspect ratio — pure integer metadata arithmetic (a
+    * real implementation resizes pixels; the dimension contract is what
+    * downstream batching/padding logic consumes).
+    */
+  def resizeStub(media: Column, target: Int = 224): Column = {
+    val longest = greatest(media.getField("width"), media.getField("height"))
+    struct(
+      floor(media.getField("width") * target / longest).cast("long").as("rw"),
+      floor(media.getField("height") * target / longest).cast("long").as("rh"))
   }
 
   /** Deterministic fixed-width feature vector from the payload (stand-in

@@ -46,4 +46,17 @@ class MultimodalSpec extends SparkTestBase {
     assert(s.size == 3)
     assert(new String(s.head, "UTF-8") == "hell")
   }
+
+  test("resizeStub fits dimensions into the target box, preserving aspect") {
+    def resize(w: Long, h: Long): (Long, Long) = {
+      val r = Seq((w, h)).toDF("w", "h")
+        .select(Multimodal.resizeStub(
+          struct(col("w").as("width"), col("h").as("height"))).as("r"))
+        .select(col("r.rw"), col("r.rh")).collect().head
+      (r.getLong(0), r.getLong(1))
+    }
+    assert(resize(1280L, 720L) == (224L, 126L)) // floor(720*224/1280)
+    assert(resize(720L, 1280L) == (126L, 224L)) // portrait mirrors
+    assert(resize(100L, 100L) == (224L, 224L))  // upscales to the box
+  }
 }
