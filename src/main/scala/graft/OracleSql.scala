@@ -714,6 +714,21 @@ object OracleSql {
         | substring(hx, 1, 16) AS s0,
         | substring(hx, CAST(step*2 + 1 AS BIGINT), 16) AS s1,
         | substring(hx, CAST(step*4 + 1 AS BIGINT), 16) AS s2
-        |FROM e ORDER BY doc_id""".stripMargin
+        |FROM e ORDER BY doc_id""".stripMargin,
+
+    "q73_cdc_compact" ->
+      """WITH r AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_usec, value,
+        |   row_number() OVER (PARTITION BY user_id
+        |     ORDER BY epoch_ns(ts) // 1000 DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, event_id, CAST(ts_usec AS BIGINT) AS ts_usec, value
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q74_corrupt_quarantine" ->
+      """SELECT doc_id,
+        | doc_id % 7 != 0 AS ok,
+        | CASE WHEN doc_id % 7 != 0 THEN doc_id END AS a,
+        | CASE WHEN doc_id % 7 != 0 THEN 'x' END AS b
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -859,6 +859,45 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** CDC-style compaction: latest record per key (by event time, id as
+    * tie-break) — the upsert/merge view every changelog consumer
+    * materializes. Ordering uses MICROSECOND-truncated time on both
+    * sides: the fixture's timestamps are nanos, which Spark truncates on
+    * read, so the oracle must truncate too or ns-level ties would rank
+    * differently.
+    */
+  private def q73(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_usec"), col("value"))
+      .orderBy("user_id")
+  }
+
+  /** Corrupt-record quarantine: PERMISSIVE JSON parse where failed rows
+    * surface as null fields — the filter-to-side-channel pattern every
+    * ingest pipeline needs. Corruption is injected deterministically
+    * (every 7th record is truncated mid-object).
+    */
+  private def q74(s: SparkSession, dir: String): DataFrame = {
+    val raw = when(col("doc_id") % 7 === 0,
+      concat(lit("{\"a\":"), col("doc_id").cast("string")))
+      .otherwise(concat(lit("{\"a\":"), col("doc_id").cast("string"), lit(",\"b\":\"x\"}")))
+    val parsed = from_json(raw,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("a", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("b", org.apache.spark.sql.types.StringType))))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), parsed.as("p"))
+      .select(col("doc_id"),
+        col("p.a").isNotNull.as("ok"),
+        col("p.a").as("a"), col("p.b").as("b"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_tumble_alerts" -> q01 _,
     "q02_tumble_avg_parts" -> q02 _,
@@ -931,7 +970,9 @@ object SparkEntry {
     "q69_range_frame" -> q69 _,
     "q70_gap_fill" -> q70 _,
     "q71_bm25" -> q71 _,
-    "q72_media_pipeline" -> q72 _
+    "q72_media_pipeline" -> q72 _,
+    "q73_cdc_compact" -> q73 _,
+    "q74_corrupt_quarantine" -> q74 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all
