@@ -729,6 +729,26 @@ object OracleSql {
         | doc_id % 7 != 0 AS ok,
         | CASE WHEN doc_id % 7 != 0 THEN doc_id END AS a,
         | CASE WHEN doc_id % 7 != 0 THEN 'x' END AS b
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q75_rollup_cascade" ->
+      """WITH h AS (SELECT user_id, CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS hour_sec,
+        |    count(*) AS n, sum(CAST(floor(value) AS BIGINT)) AS sum_v
+        |   FROM events GROUP BY 1, 2)
+        |SELECT user_id, CAST(floor(hour_sec/86400)*86400 AS BIGINT) AS day_sec,
+        | CAST(count(*) AS BIGINT) AS n_hours, CAST(sum(n) AS BIGINT) AS n_events,
+        | CAST(sum(sum_v) AS BIGINT) AS sum_v
+        |FROM h GROUP BY 1, 2 ORDER BY user_id, day_sec""".stripMargin,
+
+    // like q28: the sketch value is engine-specific, so the oracle emits
+    // the exact rank-selected median and asserts the accuracy flag
+    "q76_approx_percentile" ->
+      """WITH e AS (SELECT event_type, CAST(floor(value) AS BIGINT) AS v FROM events),
+        | r AS (SELECT event_type, v,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS cnt FROM e)
+        |SELECT event_type, v AS exact_p50, true AS ok
+        |FROM r WHERE rn = (cnt + 1) // 2
+        |ORDER BY event_type""".stripMargin
   )
 }

@@ -898,6 +898,50 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Multi-resolution aggregation cascade: daily totals computed FROM
+    * hourly partials (sum-of-sums) — the rollup-reuse pattern that makes
+    * multi-grain dashboards affordable at scale (aggregate once at fine
+    * grain, re-aggregate partials upward; never rescan raw data per
+    * grain). Long-typed value floor keeps the cascade integer-exact.
+    */
+  private def q75(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .select(col("user_id"),
+        (floor(unix_timestamp(col("ts")) / 3600L) * 3600L).cast("long").as("hour_sec"),
+        floor(col("value")).cast("long").as("v"))
+      .groupBy("user_id", "hour_sec")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"))
+    hourly
+      .withColumn("day_sec", (floor(col("hour_sec") / 86400L) * 86400L).cast("long"))
+      .groupBy("user_id", "day_sec")
+      .agg(count(lit(1)).as("n_hours"), sum(col("n")).as("n_events"),
+        sum(col("sum_v")).as("sum_v"))
+      .orderBy("user_id", "day_sec")
+  }
+
+  /** Approximate percentile sketch with an accuracy contract (q28's
+    * pattern): exact discrete p50 via rank selection + a flag asserting
+    * the sketch lands within the tolerance. The sketch value itself is
+    * engine-specific and never compared.
+    */
+  private def q76(s: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(s, dir)
+      .select(col("event_type"), floor(col("value")).cast("long").as("v"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("v"))
+    val exact = events
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .filter(col("rn") === ((col("cnt") + 1) / 2).cast("long"))
+      .select(col("event_type"), col("v").as("exact_p50"))
+    val approx = events.groupBy(col("event_type"))
+      .agg(percentile_approx(col("v"), lit(0.5), lit(1000)).as("ap"))
+    exact.join(approx, "event_type")
+      .select(col("event_type"), col("exact_p50"),
+        (abs(col("ap") - col("exact_p50")) <= greatest(abs(col("exact_p50")) * 0.05, lit(2.0)))
+          .as("ok"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_tumble_alerts" -> q01 _,
     "q02_tumble_avg_parts" -> q02 _,
@@ -972,7 +1016,9 @@ object SparkEntry {
     "q71_bm25" -> q71 _,
     "q72_media_pipeline" -> q72 _,
     "q73_cdc_compact" -> q73 _,
-    "q74_corrupt_quarantine" -> q74 _
+    "q74_corrupt_quarantine" -> q74 _,
+    "q75_rollup_cascade" -> q75 _,
+    "q76_approx_percentile" -> q76 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

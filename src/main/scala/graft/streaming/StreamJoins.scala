@@ -31,4 +31,21 @@ object StreamJoins {
         rightTime >= leftTime + expr(lowerBound) &&
         rightTime <= leftTime + expr(upperBound))
   }
+
+  /** Stream–static dimension enrichment: join each streaming record to a
+    * (small) static dimension table, broadcast so the stream side never
+    * shuffles and no join state accumulates — the standard lookup-table
+    * enrichment every alerting/ETL pipeline performs. Left join so
+    * records with no dimension row survive (nulls, not drops); the static
+    * side is re-resolvable per micro-batch, so a dimension refresh (file
+    * overwrite) is picked up without restarting the query.
+    */
+  def enrich(
+      stream: DataFrame,
+      dim: DataFrame,
+      keys: Seq[String]
+  ): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    stream.join(broadcast(dim), keys, "left")
+  }
 }

@@ -39,4 +39,22 @@ class StreamJoinsSpec extends SparkTestBase {
       .as[(String, Long)].collect().toList
     assert(out == List(("s1", 41L)))
   }
+
+  test("stream-static enrich: broadcast dimension lookup, unmatched keys survive with nulls") {
+    val dim = Seq(("s1", "lab"), ("s2", "roof")).toDF("sensor_id", "location")
+    val mem = MemoryStream[Telemetry](spark)
+    val enriched = StreamJoins.enrich(mem.toDF(), dim, Seq("sensor_id"))
+    val query = enriched.writeStream.format("memory")
+      .queryName("enrich_out").outputMode("append").start()
+    try {
+      mem.addData(Seq(
+        Telemetry("s1", 30, ts("2024-01-01 00:00:00")),
+        Telemetry("s3", 31, ts("2024-01-01 00:00:01")))) // no dim row
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val out = spark.table("enrich_out").select("sensor_id", "location")
+      .as[(String, Option[String])].collect().toMap
+    assert(out == Map("s1" -> Some("lab"), "s3" -> None))
+  }
 }
