@@ -28,4 +28,33 @@ class CorpusCurationSpec extends SparkTestBase {
     assert(again.collect().map(_.getAs[Long]("doc_id")).sorted.toList ==
       rows.map(_.getAs[Long]("doc_id")).sorted.toList)
   }
+
+  test("curateAndPack adds repetition/PII/decontamination/mixture/packing stages") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val benchmark = docs.filter(col("doc_id") % 20 === 0)
+    val corpus = docs.filter(col("doc_id") % 20 =!= 0)
+    val (packed, stats) = CorpusCuration.curateAndPack(corpus, benchmark,
+      allowedLangs = Set("en", "und"), minQualityPpm = 300000L,
+      mixtureMilli = Map("en" -> 2000), capacity = 512L)
+
+    assert(stats.afterRepetition <= stats.base.sampled)
+    assert(stats.afterDecontamination <= stats.afterRepetition)
+    // en upsampled 2x: more output rows than surviving docs (unless none)
+    assert(stats.mixtureRows >= stats.afterDecontamination)
+    assert(stats.bins > 0)
+
+    val rows = packed.collect()
+    assert(rows.nonEmpty)
+    // packing is per language: bins numbered from 0 within each group
+    val langs = rows.map(_.getAs[String]("lang_guess")).distinct
+    langs.foreach { l =>
+      val bins = rows.filter(_.getAs[String]("lang_guess") == l)
+        .map(_.getAs[Long]("bin"))
+      assert(bins.min == 0L)
+    }
+    // upsampled docs appear with distinct copy indices
+    assert(rows.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("copy"))).distinct.length
+      == rows.length)
+  }
 }
