@@ -137,6 +137,58 @@ class StatefulOpsSpec extends SparkTestBase {
     }
   }
 
+  test("sessionizeTws recovers held-session state across query restarts (RocksDB checkpoint)") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.streaming.Trigger
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = Files.createTempDirectory("graft_tws_in_")
+    val out = Files.createTempDirectory("graft_tws_out_").toString
+    val chk = Files.createTempDirectory("graft_tws_chk_").toString
+    val schema = Seq.empty[Telemetry].toDS().schema
+    try {
+      def writeBatch(name: String, rows: Seq[Telemetry]): Unit =
+        rows.toDS().coalesce(1).write.parquet(s"$in/$name")
+
+      def runOnce(): Unit = {
+        val stream = spark.readStream.schema(schema).option("latestFirst", "false")
+          .parquet(s"$in/*/")
+        val query = StatefulOps.sessionizeTws(stream.as[Telemetry], gapMs = 30000L)
+          .writeStream.format("json")
+          .option("path", out).option("checkpointLocation", chk)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        query.awaitTermination(120000)
+      }
+
+      // run 1: open a session for s1 — held in state (watermark low)
+      writeBatch("b1", Seq(
+        Telemetry("s1", 30, ts("2024-01-01 00:00:00")),
+        Telemetry("s1", 30, ts("2024-01-01 00:00:10"))))
+      runOnce()
+      // run 2 (restart from checkpoint): extend the SAME session — only
+      // possible if the held state survived the restart — then advance
+      // the watermark far enough to flush it
+      writeBatch("b2", Seq(Telemetry("s1", 30, ts("2024-01-01 00:00:20"))))
+      runOnce()
+      writeBatch("b3", Seq(
+        Telemetry("s2", 30, ts("2024-01-01 00:05:00")),
+        Telemetry("s2", 30, ts("2024-01-01 00:10:00"))))
+      runOnce()
+
+      val sessions = spark.read
+        .schema("sensor_id STRING, session_start TIMESTAMP, n_events LONG")
+        .json(s"$out/*.json")
+        .as[(String, java.sql.Timestamp, Long)].collect()
+        .filter(_._1 == "s1").toList
+      // ONE session of 3 events: the restart neither dropped the held
+      // state (would give n_events=1 for b2's event) nor re-emitted
+      assert(sessions == List(("s1", ts("2024-01-01 00:00:00"), 3L)),
+        s"got $sessions")
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("dedupWithinWatermark drops duplicate keys inside the horizon") {
     val mem = MemoryStream[Telemetry](spark)
     val deduped = StatefulOps.dedupWithinWatermark(
