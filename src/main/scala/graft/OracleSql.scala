@@ -749,6 +749,24 @@ object OracleSql {
         |    count(*) OVER (PARTITION BY event_type) AS cnt FROM e)
         |SELECT event_type, v AS exact_p50, true AS ok
         |FROM r WHERE rn = (cnt + 1) // 2
-        |ORDER BY event_type""".stripMargin
+        |ORDER BY event_type""".stripMargin,
+
+    "q77_inverted_index" ->
+      """WITH t AS (SELECT doc_id AS id, unnest(list_distinct(string_split(text,' '))) AS token
+        |   FROM documents),
+        | ii AS (SELECT token, count(*) AS df,
+        |    string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS postings
+        |   FROM t GROUP BY 1),
+        | n AS (SELECT count(*) AS n FROM documents)
+        |SELECT token, CAST(df AS BIGINT) AS df, postings
+        |FROM ii, n WHERE df * 20 >= n ORDER BY token""".stripMargin,
+
+    "q78_boolean_search" ->
+      """WITH t AS (SELECT doc_id AS id, unnest(list_distinct(string_split(text,' '))) AS token
+        |   FROM documents)
+        |SELECT id AS doc_id FROM t
+        |WHERE token IN ('batch', 'scan', 'join')
+        |GROUP BY 1 HAVING count(*) = 3
+        |ORDER BY doc_id""".stripMargin
   )
 }

@@ -942,6 +942,28 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** Inverted index over the corpus, restricted to tokens with df ≥ 5%
+    * of the corpus (integer-exact threshold `df*20 >= N`, so the same
+    * slice selects at every scale factor). Posting lists emitted as
+    * comma-joined strings — scalar columns keep the oracle compare
+    * simple.
+    */
+  private def q77(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val n = docs.count()
+    TextOps.invertedIndex(docs)
+      .filter(col("df") * 20 >= n)
+      .select(col("token"), col("df"),
+        concat_ws(",", transform(col("postings"), x => x.cast("string"))).as("postings"))
+      .orderBy("token")
+  }
+
+  /** Boolean AND search: documents containing every query term. */
+  private def q78(s: SparkSession, dir: String): DataFrame =
+    TextOps.searchAll(Tables.documents(s, dir), Seq("batch", "scan", "join"))
+      .select(col("id").as("doc_id"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_tumble_alerts" -> q01 _,
     "q02_tumble_avg_parts" -> q02 _,
@@ -1018,7 +1040,9 @@ object SparkEntry {
     "q73_cdc_compact" -> q73 _,
     "q74_corrupt_quarantine" -> q74 _,
     "q75_rollup_cascade" -> q75 _,
-    "q76_approx_percentile" -> q76 _
+    "q76_approx_percentile" -> q76 _,
+    "q77_inverted_index" -> q77 _,
+    "q78_boolean_search" -> q78 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

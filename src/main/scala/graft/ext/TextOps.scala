@@ -229,6 +229,35 @@ object TextOps {
       .select(col("id"), col("token"), col("tf"), col("df"), col("tf_idf"))
   }
 
+  /** Inverted index: one row per token with its document frequency and
+    * the sorted posting list — the retrieval structure BM25/boolean
+    * search consume. One explode + one shuffle on token; posting lists
+    * are per-token (bounded by df), so the only scale hazard is
+    * stop-word-grade tokens — cap or drop them upstream at 100 TB
+    * (`maxDf`).
+    */
+  def invertedIndex(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text", maxDf: Long = Long.MaxValue): DataFrame =
+    docs.select(col(idCol).as("id"),
+        explode(array_distinct(tokens(col(textCol)))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("df"), sort_array(collect_list(col("id"))).as("postings"))
+      .filter(col("df") <= maxDf)
+
+  /** Boolean AND search over the corpus: documents containing EVERY query
+    * term. Distinct-token explode + broadcast of the (tiny) term set +
+    * per-doc match count — the corpus never self-joins.
+    */
+  def searchAll(docs: DataFrame, terms: Seq[String], idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("id"),
+        explode(array_distinct(tokens(col(textCol)))).as("token"))
+      .filter(col("token").isInCollection(terms))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_terms"))
+      .filter(col("n_terms") === terms.length)
+      .select(col("id"))
+
   /** Okapi BM25 per (doc, token) — TF-IDF's production successor for
     * retrieval-quality scoring and data curation:
     * `idf(df) × tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))` with the standard
