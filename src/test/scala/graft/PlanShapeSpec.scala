@@ -95,6 +95,23 @@ class PlanShapeSpec extends SparkTestBase {
       s"benchmark side must broadcast:\n${p.take(800)}")
   }
 
+  test("q75 rollup cascade: daily grain computed from hourly partials, events scanned ONCE") {
+    val p = plan("q75_rollup_cascade")
+    assert(p.linesIterator.count(_.contains("FileScan")) == 1,
+      s"cascade must not rescan raw events per grain:\n${p.take(800)}")
+    val aggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(aggs >= 4, s"two partial+final aggregation levels expected, got $aggs")
+  }
+
+  test("q66 packing: one per-group sort shuffle feeds both the window and the bin aggregate") {
+    val p = plan("q66_packing")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 2,
+      s"packing should shuffle on lang once for the window (+1 for the bin agg), got $exchanges")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"),
+      "running token total must be a window, not a self-join")
+  }
+
   test("q35 whole-stage codegen covers the shingle/hash hot path") {
     val p = finalPlan("q35_jaccard_pairs")
     assert(hasCodegenStage(p), s"hot path fell out of codegen:\n${p.take(900)}")
