@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{DotProductExpr, Md5Hash32Expr, ShingleSetExpr}
+import graft.functions.{DotProductExpr, Hashing, Md5Hash32Expr, MinhashSigExpr, ShingleSetExpr}
 
 /** SQL registration of the engine's custom Catalyst expressions — both as
   * a `SparkSessionExtensions` class (`--conf
@@ -36,7 +36,15 @@ object GraftFunctions {
     (FunctionIdentifier("md5_hash32"), info("md5_hash32", classOf[Md5Hash32Expr]),
       (es: Seq[Expression]) => Md5Hash32Expr(es.head)),
     (FunctionIdentifier("shingle_set"), info("shingle_set", classOf[ShingleSetExpr]),
-      (es: Seq[Expression]) => ShingleSetExpr(es(0), intLiteral(es(1), "shingle size")))
+      (es: Seq[Expression]) => ShingleSetExpr(es(0), intLiteral(es(1), "shingle size"))),
+    // minhash_sig(shingles, numHashes): whole signature with the engine's
+    // seeded universal-hash family (the same constants the oracles inline)
+    (FunctionIdentifier("minhash_sig"), info("minhash_sig", classOf[MinhashSigExpr]),
+      (es: Seq[Expression]) => {
+        val n = intLiteral(es(1), "numHashes")
+        val (as, bs) = Hashing.minhashParams(n)
+        MinhashSigExpr(es(0), 0, as, bs)
+      })
   )
 
   /** Register into an already-running session. */

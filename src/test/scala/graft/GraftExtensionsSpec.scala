@@ -19,6 +19,20 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(shingles.toList == List("a b c", "b c d"))
   }
 
+  test("minhash_sig from SQL equals the operator's signature array") {
+    import org.apache.spark.sql.functions.col
+    GraftFunctions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT minhash_sig(shingle_set('alpha beta gamma delta epsilon', 3), 16) AS sig")
+      .collect().head.getAs[collection.Seq[Long]](0)
+    import spark.implicits._
+    val viaOp = graft.ext.Dedup.minhashSignatureArray(
+      Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text"))
+      .select(col("sig")).collect().head.getAs[collection.Seq[Long]](0)
+    assert(viaSql.toList == viaOp.toList)
+    assert(viaSql.length == 16 && viaSql.forall(_ < graft.functions.Hashing.MinhashPrime))
+  }
+
   test("shingle_set rejects a non-literal size") {
     GraftFunctions.register(spark)
     val e = intercept[Exception] {
