@@ -26,9 +26,14 @@ object TimeSeries {
       maxBuckets: Int = 100000
   ): DataFrame = {
     val daySec = (floor(unix_timestamp(tsCol) / 86400L) * 86400L).cast("long")
+    // counts feed BOTH the span aggregate and the final join — without
+    // materialization the raw table is scanned twice (plan-audited);
+    // the per-(key, day) aggregate is tiny relative to raw, so cutting
+    // lineage here is the 100 TB-correct shape.
     val counts = df.select(keyCol.as("key"), daySec.as("day_sec"))
       .groupBy("key", "day_sec")
       .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
     val spans = counts.groupBy("key")
       .agg(min(col("day_sec")).as("lo"), max(col("day_sec")).as("hi"))
       .filter((col("hi") - col("lo")) / 86400L < maxBuckets)
