@@ -249,7 +249,9 @@ object TextOps {
     * per-doc match count — the corpus never self-joins.
     */
   def searchAll(docs: DataFrame, terms: Seq[String], idCol: String = "doc_id",
-                textCol: String = "text"): DataFrame =
+                textCol: String = "text"): DataFrame = {
+    require(terms.nonEmpty, "searchAll needs at least one term " +
+      "(an empty conjunction would vacuously match every document)")
     docs.select(col(idCol).as("id"),
         explode(array_distinct(tokens(col(textCol)))).as("token"))
       .filter(col("token").isInCollection(terms))
@@ -257,6 +259,7 @@ object TextOps {
       .agg(count(lit(1)).as("n_terms"))
       .filter(col("n_terms") === terms.length)
       .select(col("id"))
+  }
 
   /** Okapi BM25 per (doc, token) — TF-IDF's production successor for
     * retrieval-quality scoring and data curation:

@@ -18,6 +18,11 @@ object TimeSeries {
   /** Per-key, per-day event counts with missing days zero-filled across
     * each key's observed [min-day, max-day] span. Output: key, `day_sec`
     * (epoch seconds of day start, BIGINT), `n_events` (0 for gap days).
+    *
+    * NOT a silent cap: a key whose span exceeds `maxBuckets` days is
+    * DROPPED from the output entirely (not truncated) — callers that
+    * need those keys should pre-split their spans or raise the bound;
+    * rows with NULL timestamps never join a day bucket and are excluded.
     */
   def gapFillDaily(
       df: DataFrame,
