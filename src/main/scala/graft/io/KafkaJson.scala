@@ -16,6 +16,13 @@ import graft.core.TelemetrySchema
   * Sink mirrors `create_table_output_kafka` (`main.py:38-56`): JSON-encoded
   * value, at-least-once (Spark's Kafka sink default, same contract as the
   * Flink 1.13 SQL connector — SURVEY.md §7.4 item 7).
+  *
+  * Deployment note: `format("kafka")` resolves lazily at `load()`/query
+  * start and requires the standard `spark-sql-kafka-0-10` connector
+  * artifact on the classpath (shipped with every Spark distribution's
+  * Kafka integration; NOT present in this test container, which has no
+  * broker either — hence the streaming tests exercise the decode/encode
+  * halves over MemoryStream, and source/sink construction, only).
   */
 object KafkaJson {
 
