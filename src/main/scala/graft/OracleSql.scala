@@ -767,6 +767,24 @@ object OracleSql {
         |SELECT id AS doc_id FROM t
         |WHERE token IN ('batch', 'scan', 'join')
         |GROUP BY 1 HAVING count(*) = 3
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    "q79_rank_stats" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+        | percent_rank() OVER (PARTITION BY c_mktsegment
+        |   ORDER BY c_acctbal, c_custkey) AS pr,
+        | cume_dist() OVER (PARTITION BY c_mktsegment
+        |   ORDER BY c_acctbal, c_custkey) AS cd
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q80_date_arithmetic" ->
+      """SELECT o_orderkey,
+        | CAST(floor(epoch(o_orderdate)) AS BIGINT) AS ts_sec,
+        | CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE)::VARCHAR AS due_date,
+        | CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2025-01-01') AS BIGINT)
+        |   AS days_to_2025,
+        | CAST(floor(epoch(date_trunc('month', o_orderdate))) AS BIGINT) AS month_start_sec,
+        | last_day(CAST(o_orderdate AS DATE))::VARCHAR AS month_end
+        |FROM orders ORDER BY o_orderkey""".stripMargin
   )
 }

@@ -964,6 +964,32 @@ object SparkEntry {
       .select(col("id").as("doc_id"))
       .orderBy("doc_id")
 
+  /** Rank-statistics windows (percent_rank, cume_dist) — exact
+    * small-denominator rationals, IEEE-identical across engines.
+    */
+  private def q79(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .orderBy("c_custkey")
+  }
+
+  /** Date arithmetic suite: add/diff/trunc/last_day over order dates
+    * (q19 covers extraction; this covers the calendar math).
+    */
+  private def q80(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"),
+        unix_timestamp(col("o_orderdate")).as("ts_sec"),
+        date_add(col("o_orderdate").cast("date"), 30).cast("string").as("due_date"),
+        datediff(lit("2025-01-01").cast("date"), col("o_orderdate").cast("date"))
+          .cast("long").as("days_to_2025"),
+        unix_timestamp(date_trunc("month", col("o_orderdate"))).as("month_start_sec"),
+        last_day(col("o_orderdate").cast("date")).cast("string").as("month_end"))
+      .orderBy("o_orderkey")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_tumble_alerts" -> q01 _,
     "q02_tumble_avg_parts" -> q02 _,
@@ -1042,7 +1068,9 @@ object SparkEntry {
     "q75_rollup_cascade" -> q75 _,
     "q76_approx_percentile" -> q76 _,
     "q77_inverted_index" -> q77 _,
-    "q78_boolean_search" -> q78 _
+    "q78_boolean_search" -> q78 _,
+    "q79_rank_stats" -> q79 _,
+    "q80_date_arithmetic" -> q80 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all
