@@ -785,6 +785,23 @@ object OracleSql {
         |   AS days_to_2025,
         | CAST(floor(epoch(date_trunc('month', o_orderdate))) AS BIGINT) AS month_start_sec,
         | last_day(CAST(o_orderdate AS DATE))::VARCHAR AS month_end
-        |FROM orders ORDER BY o_orderkey""".stripMargin
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q81_nested_types" ->
+      """WITH x AS (SELECT o_orderkey, o_orderstatus AS status, o_totalprice AS total,
+        |   unnest([struct_pack(seq := 1, part := o_totalprice*0.5),
+        |           struct_pack(seq := 2, part := o_totalprice*0.5)]) AS h
+        |  FROM orders)
+        |SELECT o_orderkey, status, total,
+        | CAST(h.seq AS BIGINT) AS seq, h.part AS part
+        |FROM x ORDER BY o_orderkey, seq""".stripMargin,
+
+    "q82_conditional_aggs" ->
+      """SELECT o_orderpriority,
+        | CAST(count(*) FILTER (o_totalprice > 200000) AS BIGINT) AS n_big,
+        | bool_or(o_totalprice > 500000) AS any_huge,
+        | bool_and(o_totalprice > 1000) AS all_over_1k,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

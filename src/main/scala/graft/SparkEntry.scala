@@ -990,6 +990,40 @@ object SparkEntry {
         last_day(col("o_orderdate").cast("date")).cast("string").as("month_end"))
       .orderBy("o_orderkey")
 
+  /** Nested types end to end: struct construction + field access +
+    * array-of-structs + explode back to scalars (the reference's data
+    * model is flat — SURVEY §1.2 — so this pins the engine's nested-type
+    * support). The 0.5 split factor is exact in binary, keeping the
+    * doubles hashable.
+    */
+  private def q81(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"),
+        struct(col("o_orderstatus").as("st"), col("o_totalprice").as("tp")).as("meta"),
+        array(
+          struct(lit(1L).as("seq"), (col("o_totalprice") * 0.5).as("part")),
+          struct(lit(2L).as("seq"), (col("o_totalprice") * 0.5).as("part"))).as("halves"))
+      .select(col("o_orderkey"),
+        col("meta.st").as("status"), col("meta.tp").as("total"),
+        explode(col("halves")).as("h"))
+      .select(col("o_orderkey"), col("status"), col("total"),
+        col("h.seq").as("seq"), col("h.part").as("part"))
+      .orderBy("o_orderkey", "seq")
+
+  /** Conditional aggregates: count_if / bool_or / bool_and — the
+    * FILTER-clause family under its function names (q45's pivot covers
+    * the FILTER spelling).
+    */
+  private def q82(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count_if(col("o_totalprice") > 200000).as("n_big"),
+        bool_or(col("o_totalprice") > 500000).as("any_huge"),
+        bool_and(col("o_totalprice") > 1000).as("all_over_1k"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_tumble_alerts" -> q01 _,
     "q02_tumble_avg_parts" -> q02 _,
@@ -1070,7 +1104,9 @@ object SparkEntry {
     "q77_inverted_index" -> q77 _,
     "q78_boolean_search" -> q78 _,
     "q79_rank_stats" -> q79 _,
-    "q80_date_arithmetic" -> q80 _
+    "q80_date_arithmetic" -> q80 _,
+    "q81_nested_types" -> q81 _,
+    "q82_conditional_aggs" -> q82 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all
