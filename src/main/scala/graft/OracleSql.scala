@@ -724,12 +724,19 @@ object OracleSql {
         |SELECT user_id, event_id, CAST(ts_usec AS BIGINT) AS ts_usec, value
         |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
+    // the oracle PARSES the same malformed payloads (json_valid +
+    // json_extract) rather than recomputing the expected outcome — so a
+    // Spark-side parse-behavior regression cannot cancel out
     "q74_corrupt_quarantine" ->
-      """SELECT doc_id,
-        | doc_id % 7 != 0 AS ok,
-        | CASE WHEN doc_id % 7 != 0 THEN doc_id END AS a,
-        | CASE WHEN doc_id % 7 != 0 THEN 'x' END AS b
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      """WITH r AS (SELECT doc_id,
+        |   CASE WHEN doc_id % 7 = 0 THEN '{"a":'||CAST(doc_id AS VARCHAR)
+        |    ELSE '{"a":'||CAST(doc_id AS VARCHAR)||',"b":"x"}' END AS raw
+        |  FROM documents)
+        |SELECT doc_id, json_valid(raw) AS ok,
+        | CASE WHEN json_valid(raw)
+        |   THEN CAST(json_extract_string(raw, '$.a') AS BIGINT) END AS a,
+        | CASE WHEN json_valid(raw) THEN json_extract_string(raw, '$.b') END AS b
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     "q75_rollup_cascade" ->
       """WITH h AS (SELECT user_id, CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS hour_sec,
