@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.ext.{Dedup, Sampling}
+
+/** Distributed-correctness pins: operator results must be invariant to
+  * physical row placement (input repartitioning) and to the shuffle
+  * width (`spark.sql.shuffle.partitions`). The oracle gate proves
+  * determinism at ONE configuration; these tests prove the property that
+  * actually matters on a 1000-executor cluster, where both vary.
+  */
+class PartitionInvarianceSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def requireFixtures(): Unit =
+    assume(new java.io.File(dir).isDirectory, s"fixture dir $dir not present")
+
+  private def rows(df: org.apache.spark.sql.DataFrame): List[String] =
+    df.collect().map(_.toString).sorted.toList
+
+  test("hash sampling, mixture, and split tags are invariant to input repartitioning") {
+    requireFixtures()
+    val docs = Tables.documents(spark, dir)
+    val shuffled = docs.repartition(7, col("lang")) // co-locate by an unrelated key
+    assert(rows(Sampling.hashSample(docs, col("doc_id"), 1000)) ==
+      rows(Sampling.hashSample(shuffled, col("doc_id"), 1000)))
+    assert(rows(Sampling.mixtureSample(docs, col("doc_id"), col("source"), Map("src0" -> 2500))) ==
+      rows(Sampling.mixtureSample(shuffled, col("doc_id"), col("source"), Map("src0" -> 2500))))
+    assert(rows(docs.select(col("doc_id"), Sampling.splitTag(col("doc_id")).as("s"))) ==
+      rows(shuffled.select(col("doc_id"), Sampling.splitTag(col("doc_id")).as("s"))))
+  }
+
+  test("dedup keep-sets and cluster labels are invariant to input repartitioning") {
+    requireFixtures()
+    val docs = Tables.documents(spark, dir)
+    val shuffled = docs.repartition(5)
+    assert(rows(Dedup.exactDedup(docs).select("doc_id")) ==
+      rows(Dedup.exactDedup(shuffled).select("doc_id")))
+    assert(rows(Dedup.nearDupClusters(docs, Dedup.minhashPairs(docs))) ==
+      rows(Dedup.nearDupClusters(shuffled, Dedup.minhashPairs(shuffled))))
+  }
+
+  test("query results are invariant to the shuffle width") {
+    requireFixtures()
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    // partition-count-sensitive shapes: bucket collect_list (q35),
+    // iterative clustering (q46), rank selection (q57), window+bin (q66)
+    val sensitive = Seq("q35_jaccard_pairs", "q46_dedup_clusters",
+      "q57_percentiles", "q66_packing")
+    def run(n: String): Map[String, List[String]] = {
+      spark.conf.set("spark.sql.shuffle.partitions", n)
+      sensitive.map(q => q -> rows(SparkEntry.queries(q)(spark, dir))).toMap
+    }
+    try {
+      val narrow = run("3")
+      val wide = run("17")
+      sensitive.foreach { q =>
+        assert(narrow(q) == wide(q), s"$q diverged across shuffle widths")
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+}
