@@ -809,6 +809,163 @@ object OracleSql {
         | bool_or(o_totalprice > 500000) AS any_huge,
         | bool_and(o_totalprice > 1000) AS all_over_1k,
         | CAST(count(*) AS BIGINT) AS n
-        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q83_histogram" ->
+      """WITH h AS (SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bin,
+        |    count(*) AS n FROM orders GROUP BY 1)
+        |SELECT bin, CAST(bin * 50000 AS BIGINT) AS bin_lo, CAST(n AS BIGINT) AS n,
+        | CAST(floor(n * 1000000 / sum(n) OVER ()) AS BIGINT) AS share_ppm
+        |FROM h ORDER BY bin""".stripMargin,
+
+    // product sums as BIGINT in 1e-4 units: their unscaled decimals pass
+    // 2^53, where DECIMAL→DOUBLE casts differ by 1 ulp across engines
+    "q84_corr_components" ->
+      """WITH a AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_x,
+        |   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_y,
+        |   CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) * 10000 AS BIGINT) AS sum_xy_e4,
+        |   CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4))) * 10000 AS BIGINT) AS sum_x2_e4,
+        |   CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) * 10000 AS BIGINT) AS sum_y2_e4
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n, sum_x, sum_y,
+        | sum_xy_e4, sum_x2_e4, sum_y2_e4,
+        | round((n::DOUBLE * (sum_xy_e4::DOUBLE * 1e-4) - sum_x * sum_y) /
+        |   (sqrt(n::DOUBLE * (sum_x2_e4::DOUBLE * 1e-4) - sum_x * sum_x)
+        |    * sqrt(n::DOUBLE * (sum_y2_e4::DOUBLE * 1e-4) - sum_y * sum_y)), 6) AS corr6
+        |FROM a ORDER BY l_returnflag""".stripMargin,
+
+    "q85_html_strip" ->
+      """WITH n AS (SELECT doc_id,
+        |  '<div id="d' || CAST(doc_id AS VARCHAR) || '"><p>Intro &amp; stuff</p> '
+        |   || text || ' <br/>tail &lt;x&gt; &#39;q&#39;</div>' AS noisy
+        |  FROM documents),
+        | c AS (SELECT doc_id, noisy,
+        |  trim(regexp_replace(
+        |   replace(replace(replace(replace(replace(
+        |    regexp_replace(noisy, '<[^>]*>', ' ', 'g'),
+        |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+        |   ' +', ' ', 'g')) AS clean
+        |  FROM n)
+        |SELECT doc_id, substr(clean, 1, 60) AS clean_prefix,
+        | CAST(length(clean) AS BIGINT) AS n_chars_clean,
+        | CAST(len(string_split_regex(noisy, '<[^>]*>')) - 1 AS BIGINT) AS n_tags
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q86_quality_funnel" ->
+      """WITH m AS (SELECT doc_id, n_chars, text, string_split(text,' ') AS l FROM documents),
+        | s AS (SELECT CASE
+        |    WHEN NOT (n_chars >= 200) THEN 0
+        |    WHEN NOT (len(l) BETWEEN 30 AND 2000) THEN 1
+        |    WHEN NOT (floor((len(l) - len(list_distinct(l))) * 1000000 / len(l)) < 300000) THEN 2
+        |    WHEN NOT (floor((length(text) - (len(l) - 1)) * 100 / len(l)) BETWEEN 300 AND 1000) THEN 3
+        |    ELSE 4 END AS d
+        |   FROM m),
+        | a AS (SELECT count(*) FILTER (d >= 1) AS p0, count(*) FILTER (d >= 2) AS p1,
+        |    count(*) FILTER (d >= 3) AS p2, count(*) FILTER (d >= 4) AS p3 FROM s)
+        |SELECT * FROM (
+        | SELECT CAST(1 AS BIGINT) AS stage, 'min_chars' AS stage_name, CAST(p0 AS BIGINT) AS n_pass FROM a
+        | UNION ALL SELECT 2, 'token_range', CAST(p1 AS BIGINT) FROM a
+        | UNION ALL SELECT 3, 'low_repetition', CAST(p2 AS BIGINT) FROM a
+        | UNION ALL SELECT 4, 'word_len', CAST(p3 AS BIGINT) FROM a)
+        |ORDER BY stage""".stripMargin,
+
+    // the bloom pre-filter is a pure optimization: the exact semi join it
+    // feeds makes the result equal the plain EXISTS
+    "q87_bloom_semi_join" ->
+      """SELECT o_orderkey, o_totalprice FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 49)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q88_zipf_coverage" ->
+      """WITH tok AS (SELECT unnest(string_split(text,' ')) AS token FROM documents),
+        | c AS (SELECT token, count(*) AS freq FROM tok GROUP BY 1),
+        | tot AS (SELECT sum(len(string_split(text,' '))) AS total FROM documents),
+        | top AS (SELECT token, freq FROM c ORDER BY freq DESC, token LIMIT 100),
+        | r AS (SELECT token, freq,
+        |    row_number() OVER (ORDER BY freq DESC, token) AS rank,
+        |    sum(freq) OVER (ORDER BY freq DESC, token
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |   FROM top)
+        |SELECT CAST(rank AS BIGINT) AS rank, token, CAST(freq AS BIGINT) AS freq,
+        | CAST(floor(cum * 1000000 / total) AS BIGINT) AS cum_ppm
+        |FROM r, tot ORDER BY rank""".stripMargin,
+
+    "q89_bigram_lm" ->
+      """WITH d AS (SELECT doc_id, string_split(text,' ') AS l FROM documents),
+        | bi AS (SELECT unnest(list_transform(generate_series(1, len(l)-1),
+        |    i -> l[i] || ' ' || l[i+1])) AS b FROM d),
+        | c AS (SELECT split_part(b, ' ', 1) AS w1, split_part(b, ' ', 2) AS w2,
+        |    count(*) AS n FROM bi GROUP BY 1, 2)
+        |SELECT w1, w2, CAST(n AS BIGINT) AS n,
+        | CAST(floor(n * 1000000 / sum(n) OVER (PARTITION BY w1)) AS BIGINT) AS cond_ppm
+        |FROM c ORDER BY n DESC, w1, w2 LIMIT 200""".stripMargin,
+
+    "q90_full_outer" ->
+      """WITH s AS (SELECT s_nationkey, count(*) AS n_supp FROM supplier
+        |   WHERE s_acctbal > 5000 GROUP BY 1),
+        | c AS (SELECT c_nationkey, count(*) AS n_cust FROM customer
+        |   WHERE c_acctbal > 9800 GROUP BY 1)
+        |SELECT CAST(coalesce(s_nationkey, c_nationkey) AS BIGINT) AS nationkey,
+        | CAST(n_supp AS BIGINT) AS n_supp, CAST(n_cust AS BIGINT) AS n_cust
+        |FROM s FULL OUTER JOIN c ON s_nationkey = c_nationkey
+        |ORDER BY nationkey""".stripMargin,
+
+    // same gaps-and-islands CTE chain as q26 (which oracles the built-in
+    // session_window) extended with session end — q91 is the
+    // window-function twin computed by the ENGINE, so the two queries
+    // pin builtin ≡ formulation across both engines
+    "q91_sessionize_batch" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id,
+        |   CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w >= INTERVAL 6 HOUR
+        |        THEN 1 ELSE 0 END AS ns
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        | s AS (
+        |  SELECT user_id, ts, sum(ns) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM o)
+        |SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS start_sec,
+        | CAST(floor(epoch(max(ts))) AS BIGINT) AS end_sec,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, start_sec""".stripMargin,
+
+    "q92_lexical_diversity" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text,' ')) AS token FROM documents),
+        | c AS (SELECT doc_id, token, count(*) AS c FROM t GROUP BY 1, 2),
+        | a AS (SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct,
+        |    count(*) FILTER (c = 1) AS n_hapax FROM c GROUP BY 1)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        | CAST(n_distinct AS BIGINT) AS n_distinct, CAST(n_hapax AS BIGINT) AS n_hapax,
+        | CAST(floor(n_distinct * 1000000 / n_tokens) AS BIGINT) AS ttr_ppm,
+        | CAST(floor(n_hapax * 1000000 / n_tokens) AS BIGINT) AS hapax_ppm
+        |FROM a ORDER BY doc_id""".stripMargin,
+
+    "q93_lsh_band_stats" ->
+      s"""WITH $minhashCtes,
+         | k AS (SELECT band, bkey, count(*) AS k FROM b GROUP BY 1, 2)
+         |SELECT CAST(band AS BIGINT) AS band, CAST(count(*) AS BIGINT) AS n_buckets,
+         | CAST(count(*) FILTER (k > 1) AS BIGINT) AS n_colliding,
+         | CAST(sum(k * (k - 1) // 2) AS BIGINT) AS n_candidate_pairs
+         |FROM k GROUP BY 1 ORDER BY band""".stripMargin,
+
+    // salting only changes the shuffle layout; the merged result must
+    // equal the plain aggregate, which is what this oracle is
+    "q94_salted_agg" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sum_v
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q95_topk_aggregator" ->
+      """WITH r AS (SELECT o_custkey, o_orderkey, o_totalprice,
+        |   row_number() OVER (PARTITION BY o_custkey
+        |     ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn
+        |FROM r WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
   )
 }

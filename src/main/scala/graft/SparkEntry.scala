@@ -1024,6 +1024,230 @@ object SparkEntry {
         count(lit(1)).as("n"))
       .orderBy("o_orderpriority")
 
+  // =====================================================================
+  // Round-4 additions (q83–q95): distribution stats, web-corpus text ops,
+  // scale-technique queries (bloom pre-filter, salting, LSH diagnostics),
+  // typed-UDAF surface.
+  // =====================================================================
+
+  /** Fixed-width histogram of order totals (50k-wide bins) with each
+    * bin's corpus share in exact ppm — the distribution profile every
+    * data-quality dashboard starts from. The share window runs over the
+    * BIN table (tiny at any scale), not the fact table.
+    */
+  private def q83(s: SparkSession, dir: String): DataFrame = {
+    val all = Window.partitionBy()
+    ops.Stats.histogram(Tables.orders(s, dir), col("o_totalprice"), 50000L)
+      .withColumn("share_ppm",
+        floor(col("n") * 1000000L / sum(col("n")).over(all)).cast("long"))
+      .select(col("bin"), col("bin_lo"), col("n"), col("share_ppm"))
+      .orderBy("bin")
+  }
+
+  /** Pearson correlation of quantity vs extended price per return flag,
+    * from exact decimal component sums (order-independent; the only
+    * double step is the final closed-form expression, rounded to 6).
+    */
+  private def q84(s: SparkSession, dir: String): DataFrame =
+    ops.Stats.corrComponents(Tables.lineitem(s, dir),
+        col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+      .orderBy("l_returnflag")
+
+  /** Markup stripping over deterministically injected HTML (the fixture
+    * text contains no `<`/`&`, verified — so the injected wrapper is the
+    * only markup): tags out, entities unescaped one level, whitespace
+    * collapsed.
+    */
+  private def q85(s: SparkSession, dir: String): DataFrame = {
+    val noisy = concat(
+      lit("<div id=\"d"), col("doc_id").cast("string"),
+      lit("\"><p>Intro &amp; stuff</p> "), col("text"),
+      lit(" <br/>tail &lt;x&gt; &#39;q&#39;</div>"))
+    val clean = TextOps.stripMarkup(noisy)
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        substring(clean, 1, 60).as("clean_prefix"),
+        length(clean).cast("long").as("n_chars_clean"),
+        (size(split(noisy, "<[^>]*>", -1)) - 1).cast("long").as("n_tags"))
+      .orderBy("doc_id")
+  }
+
+  /** C4/Gopher-style quality-filter funnel: per stage, how many documents
+    * survive ALL stages up to it. One scan computes each doc's pass depth
+    * (number of leading stages passed); one aggregate counts the funnel —
+    * no per-stage rescans, so the funnel costs the same as one filter.
+    */
+  private def q86(s: SparkSession, dir: String): DataFrame = {
+    val (nTok, dupW, _, mwl) = TextOps.repetitionStats(col("text"))
+    val depth = when(not(col("n_chars") >= 200), 0)
+      .when(not(nTok.between(30, 2000)), 1)
+      .when(not(dupW < 300000), 2)
+      .when(not(mwl.between(300, 1000)), 3)
+      .otherwise(4)
+    val stages = Seq("min_chars", "token_range", "low_repetition", "word_len")
+    val aggs = stages.indices.map(i => count_if(col("d") >= i + 1).as(s"p$i"))
+    val agg = Tables.documents(s, dir)
+      .withColumn("d", depth)
+      .agg(aggs.head, aggs.tail: _*)
+    agg.select(explode(array(stages.indices.map(i =>
+        struct(lit((i + 1).toLong).as("stage"), lit(stages(i)).as("stage_name"),
+          col(s"p$i").as("n_pass"))): _*)).as("r"))
+      .select(col("r.stage").as("stage"), col("r.stage_name").as("stage_name"),
+        col("r.n_pass").as("n_pass"))
+      .orderBy("stage")
+  }
+
+  /** Bloom-filter pre-filtered semi join: orders having a line item with
+    * quantity > 49. The sketch drops non-matching orders before the
+    * shuffle; the exact semi join removes false positives, so the result
+    * equals the plain semi join (which is the oracle).
+    */
+  private def q87(s: SparkSession, dir: String): DataFrame =
+    ops.BloomJoin.semiJoin(
+        Tables.orders(s, dir), "o_orderkey",
+        Tables.lineitem(s, dir).filter(col("l_quantity") > 49), "l_orderkey",
+        expectedItems = 100000L)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy("o_orderkey")
+
+  /** Zipf / vocabulary-coverage curve: top-100 tokens by corpus frequency
+    * with cumulative coverage in exact ppm. The grand total comes from a
+    * per-document scan (no second pass over the exploded token table);
+    * the cumulative window runs over the 100-row top slice only.
+    */
+  private def q88(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val total = docs.agg(sum(TextOps.tokenCount(col("text"))).as("total"))
+    val top = TextOps.tokenStats(docs)
+      .orderBy(col("freq").desc, col("token"))
+      .limit(100)
+    val w = Window.orderBy(col("freq").desc, col("token"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    top.crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("freq").desc, col("token"))).cast("long"))
+      .withColumn("cum_ppm", floor(sum(col("freq")).over(w) * 1000000L / col("total"))
+        .cast("long"))
+      .select(col("rank"), col("token"), col("freq"), col("cum_ppm"))
+      .orderBy("rank")
+  }
+
+  /** Bigram language-model table: positional word bigrams with count and
+    * conditional probability ppm (count / occurrences of the first word
+    * as a bigram head). Top 200 under a total order. The head-count
+    * window runs over the aggregated bigram table (vocab², small); at
+    * web scale swap it for a groupBy + broadcast join on w1.
+    */
+  private def q89(s: SparkSession, dir: String): DataFrame = {
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val wHead = Window.partitionBy(col("w1"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "w1")))
+      .withColumn("w2", lead(col("w1"), 1).over(wDoc))
+      .filter(col("w2").isNotNull)
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("cond_ppm",
+        floor(col("n") * 1000000L / sum(col("n")).over(wHead)).cast("long"))
+      .orderBy(col("n").desc, col("w1"), col("w2"))
+      .limit(200)
+  }
+
+  /** Full outer join with preserved NULLs: high-balance supplier counts
+    * vs high-balance customer counts per nation — each side's threshold
+    * leaves nations present on only one side at the smaller SFs.
+    */
+  private def q90(s: SparkSession, dir: String): DataFrame = {
+    val su = Tables.supplier(s, dir).filter(col("s_acctbal") > 5000)
+      .groupBy(col("s_nationkey")).agg(count(lit(1)).as("n_supp"))
+    val cu = Tables.customer(s, dir).filter(col("c_acctbal") > 9800)
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_cust"))
+    su.join(cu, col("s_nationkey") === col("c_nationkey"), "full_outer")
+      .select(
+        coalesce(col("s_nationkey"), col("c_nationkey")).cast("long").as("nationkey"),
+        col("n_supp"), col("n_cust"))
+      .orderBy("nationkey")
+  }
+
+  /** Batch sessionization via gaps-and-islands window functions (6 h gap)
+    * — the SQL-surface twin of q26's `session_window`, proving the
+    * window-function formulation reproduces the built-in operator (their
+    * oracles share the same CTE chain). Adds session end + duration.
+    */
+  private def q91(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .withColumn("ns",
+        when(lag(col("ts"), 1).over(w).isNull ||
+          unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)) >= 21600000000L, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum(col("ns")).over(wRun))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(
+        floor(min(unix_micros(col("ts"))) / 1000000L).cast("long").as("start_sec"),
+        floor(max(unix_micros(col("ts"))) / 1000000L).cast("long").as("end_sec"),
+        count(lit(1)).as("n"))
+      .select(col("user_id"), col("start_sec"), col("end_sec"), col("n"))
+      .orderBy("user_id", "start_sec")
+  }
+
+  /** Lexical diversity (type/token ratio, hapax fraction) per document —
+    * integer-exact ppm.
+    */
+  private def q92(s: SparkSession, dir: String): DataFrame =
+    TextOps.lexicalDiversity(Tables.documents(s, dir))
+      .select(col("id").as("doc_id"), col("n_tokens"), col("n_distinct"),
+        col("n_hapax"), col("ttr_ppm"), col("hapax_ppm"))
+      .orderBy("doc_id")
+
+  /** LSH band diagnostics for the MinHash dedup path: bucket counts,
+    * collision counts, and candidate-pair volume per band — the skew
+    * observability run before unleashing q36 at scale.
+    */
+  private def q93(s: SparkSession, dir: String): DataFrame =
+    Dedup.lshBandStats(Tables.documents(s, dir))
+      .select(col("band").cast("long").as("band"), col("n_buckets"),
+        col("n_colliding"), col("n_candidate_pairs"))
+      .orderBy("band")
+
+  /** Salted aggregation (hot-key mitigation): per event type, count and
+    * exact long sum via salt → partial → merge. Result is identical to
+    * the plain groupBy — the salt only changes the shuffle layout — which
+    * is exactly what the plain-SQL oracle asserts.
+    */
+  private def q94(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val counts = ops.Skew.saltedCount(e, Seq("event_type"))
+      .withColumnRenamed("count", "n")
+    val sums = ops.Skew.saltedSum(e, Seq("event_type"),
+        floor(col("value")).cast("long"))
+      .withColumnRenamed("sum", "sum_v")
+    counts.join(sums, "event_type").orderBy("event_type")
+  }
+
+  /** Typed-UDAF surface in the oracle gate: top-3 orders per customer via
+    * the bounded `TopKAggregator` (k-row partial state per group) — the
+    * oracle is the window-rank formulation, proving the Aggregator's
+    * (score desc, id asc) ordering matches ROW_NUMBER semantics.
+    */
+  private def q95(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.{Scored, TopKAggregator}
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .as[(Long, Long, Double)]
+      .map { case (k, id, price) => (k, Scored(id, price)) }
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(TopKAggregator(3).toColumn.name("top"))
+      .toDF("o_custkey", "top")
+      .select(col("o_custkey"), posexplode(col("top")).as(Seq("pos", "r")))
+      .select(col("o_custkey"), col("r.id").as("o_orderkey"),
+        col("r.score").as("o_totalprice"), (col("pos") + 1).cast("long").as("rn"))
+      .orderBy("o_custkey", "rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_tumble_alerts" -> q01 _,
     "q02_tumble_avg_parts" -> q02 _,
@@ -1106,7 +1330,20 @@ object SparkEntry {
     "q79_rank_stats" -> q79 _,
     "q80_date_arithmetic" -> q80 _,
     "q81_nested_types" -> q81 _,
-    "q82_conditional_aggs" -> q82 _
+    "q82_conditional_aggs" -> q82 _,
+    "q83_histogram" -> q83 _,
+    "q84_corr_components" -> q84 _,
+    "q85_html_strip" -> q85 _,
+    "q86_quality_funnel" -> q86 _,
+    "q87_bloom_semi_join" -> q87 _,
+    "q88_zipf_coverage" -> q88 _,
+    "q89_bigram_lm" -> q89 _,
+    "q90_full_outer" -> q90 _,
+    "q91_sessionize_batch" -> q91 _,
+    "q92_lexical_diversity" -> q92 _,
+    "q93_lsh_band_stats" -> q93 _,
+    "q94_salted_agg" -> q94 _,
+    "q95_topk_aggregator" -> q95 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

@@ -145,6 +145,37 @@ object Dedup {
       .distinct()
   }
 
+  /** LSH tuning diagnostics: per band, the bucket count, how many buckets
+    * collide (≥2 docs), and the candidate-pair volume Σ k·(k−1)/2 those
+    * buckets emit. This is the observability an operator needs BEFORE
+    * running [[minhashPairs]] at scale — a hot bucket here is the skew
+    * that would blow up the pair explosion. Same signature pipeline as
+    * minhashPairs plus one (band,bkey) aggregate; never materializes the
+    * pairs themselves.
+    */
+  def lshBandStats(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      numHashes: Int = 16,
+      rowsPerBand: Int = 4,
+      shingleN: Int = 3
+  ): DataFrame =
+    minhashSignatureArray(docs, idCol, textCol, numHashes, shingleN)
+      .select(col("id"),
+        explode(sequence(lit(0), lit(numHashes / rowsPerBand - 1))).as("band"),
+        col("sig"))
+      .withColumn("bkey", concat_ws(",",
+        transform(sequence(lit(0), lit(rowsPerBand - 1)),
+          r => element_at(col("sig"), col("band") * rowsPerBand + r + 1).cast("string"))))
+      .groupBy("band", "bkey")
+      .agg(count(lit(1)).as("k"))
+      .groupBy("band")
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        count_if(col("k") > 1).as("n_colliding"),
+        sum(expr("k * (k - 1) div 2")).as("n_candidate_pairs"))
+
   // -------------------------------------------------------------- jaccard
 
   /** Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.

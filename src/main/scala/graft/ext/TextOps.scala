@@ -208,6 +208,40 @@ object TextOps {
       .otherwise(concat_ws(".", element_at(parts, -2), element_at(parts, -1)))
   }
 
+  /** HTML/XML-ish markup removal for web-corpus text: tags → space, the
+    * five predefined character entities unescaped, whitespace collapsed.
+    * Tag pattern is `<[^>]*>` (plain classes — Java regex and RE2 agree);
+    * entities are fixed-string replaces with `&amp;` LAST so an escaped
+    * escape (`&amp;lt;`) unescapes exactly one level, like every real
+    * entity decoder. Per-row scalar scan, no shuffle.
+    */
+  def stripMarkup(text: Column): Column = {
+    val noTags = regexp_replace(text, "<[^>]*>", " ")
+    val unescaped = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (from, to)) => replace(c, lit(from), lit(to)) }
+    trim(regexp_replace(unescaped, " +", " "))
+  }
+
+  /** Lexical-diversity signals per document — type/token ratio and hapax
+    * (once-only token) fraction, the classic gibberish/boilerplate
+    * detectors. Integer-exact (ppm): one explode + one (id, token)
+    * shuffle, linear in corpus size.
+    */
+  def lexicalDiversity(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("token"))
+      .groupBy("id", "token")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("id")
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        count_if(col("c") === 1).as("n_hapax"))
+      .select(col("id"), col("n_tokens"), col("n_distinct"), col("n_hapax"),
+        floor(col("n_distinct") * 1000000L / col("n_tokens")).cast("long").as("ttr_ppm"),
+        floor(col("n_hapax") * 1000000L / col("n_tokens")).cast("long").as("hapax_ppm"))
+
   /** Corpus-level token statistics (one shuffle). */
   def tokenStats(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.select(explode(tokens(col(textCol))).as("token"))

@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Distribution statistics beyond the plain aggregate surface (the
+  * reference has only COUNT/AVG — `PythonKafkaSink/main.py:82,94` — so
+  * these are engine extensions): fixed-width histograms and exact
+  * correlation components.
+  *
+  * Everything is a single hash-aggregate shuffle over the fact table —
+  * the same plan shape as a `groupBy().count()`, so it scales to any
+  * corpus size without special handling.
+  */
+object Stats {
+
+  /** Fixed-width histogram of `value`: one row per occupied bin with the
+    * bin's inclusive lower bound and the row count. `floor(v / width)`
+    * bins exactly like SQL's `width_bucket` over a zero-anchored grid but
+    * stays integer-exact cross-engine (width_bucket's bounds arithmetic
+    * is double-typed). Empty bins are absent — at 100 TB the occupied-bin
+    * set is what fits in memory, not the value range.
+    */
+  def histogram(df: DataFrame, value: Column, width: Long): DataFrame =
+    df.groupBy(floor(value / width).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("bin_lo", (col("bin") * width).cast("long"))
+
+  /** Pearson correlation from exact decimal component sums (n, Σx, Σy,
+    * Σxy, Σx², Σy²) — decimal addition is associative, so the sums are
+    * order-independent and identical across engines/partitionings, unlike
+    * a streaming double `corr()`.
+    *
+    * The product sums are emitted as BIGINT in 10⁻⁴ units (`*_e4`), not
+    * as doubles: their unscaled decimal values exceed 2^53, where a
+    * DECIMAL→DOUBLE cast is no longer exact and engines legitimately
+    * disagree by 1 ulp (int128→double then ÷10⁴ double-rounds; a
+    * BigDecimal cast rounds once — observed on the fixtures). Integers
+    * compare bit-exact; BIGINT headroom runs out when Σy²·10⁴ nears
+    * 9.2e18 — at that scale emit coarser units. `corr6` is a fixed IEEE
+    * expression over bit-identical inputs, so it is engine-exact before
+    * its final round(6).
+    */
+  def corrComponents(df: DataFrame, groupCol: Column, x: Column, y: Column): DataFrame = {
+    val dec2 = DecimalType(18, 2)
+    val dec4 = DecimalType(38, 4)
+    val xd = x.cast(dec2)
+    val yd = y.cast(dec2)
+    val agg = df.groupBy(groupCol)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(xd).cast("double").as("sum_x"),
+        sum(yd).cast("double").as("sum_y"),
+        (sum((xd * yd).cast(dec4)) * 10000).cast("long").as("sum_xy_e4"),
+        (sum((xd * xd).cast(dec4)) * 10000).cast("long").as("sum_x2_e4"),
+        (sum((yd * yd).cast(dec4)) * 10000).cast("long").as("sum_y2_e4"))
+    val n = col("n").cast("double")
+    def e4(c: String): Column = col(c).cast("double") * 1e-4
+    val cov = n * e4("sum_xy_e4") - col("sum_x") * col("sum_y")
+    val vx = n * e4("sum_x2_e4") - col("sum_x") * col("sum_x")
+    val vy = n * e4("sum_y2_e4") - col("sum_y") * col("sum_y")
+    agg.withColumn("corr6", round(cov / (sqrt(vx) * sqrt(vy)), 6))
+  }
+}
