@@ -1139,6 +1139,10 @@ object SparkEntry {
     * web scale swap it for a groupBy + broadcast join on w1.
     */
   private def q89(s: SparkSession, dir: String): DataFrame = {
+    // posexplode + lead window, NOT a per-row shingle lambda: the
+    // higher-order-function transform is interpreted (~3.5× slower here
+    // measured at sf0.1), while the generator + window pipeline stays in
+    // codegen end to end and the (doc_id) shuffle it pays is linear.
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val wHead = Window.partitionBy(col("w1"))
     Tables.documents(s, dir)

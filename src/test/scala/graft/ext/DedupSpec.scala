@@ -31,6 +31,24 @@ class DedupSpec extends SparkTestBase {
       "unrelated docs share no shingle, so no band can match")
   }
 
+  test("lshBandStats: per-band accounting is consistent with minhashPairs") {
+    val stats = Dedup.lshBandStats(docs).as[(Int, Long, Long, Long)].collect()
+      .map { case (band, nb, nc, np) => band -> ((nb, nc, np)) }.toMap
+    assert(stats.keySet == Set(0, 1, 2, 3), "16 hashes / 4 rows = 4 bands")
+    // every band partitions the 4 shingled docs into buckets
+    stats.values.foreach { case (nBuckets, nColliding, _) =>
+      assert(nBuckets >= 1 && nBuckets <= 4)
+      assert(nColliding <= nBuckets)
+    }
+    // docs 0 and 1 are identical -> every band has >=1 colliding bucket
+    // emitting >=1 candidate pair
+    assert(stats.values.forall { case (_, nc, np) => nc >= 1 && np >= 1 })
+    // candidate volume across bands bounds the DISTINCT pair count
+    val distinctPairs = Dedup.minhashPairs(docs).count()
+    val totalCandidates = stats.values.map(_._3).sum
+    assert(totalCandidates >= distinctPairs)
+  }
+
   test("jaccardPairs computes exact trigram Jaccard (ppm)") {
     val pairs = Dedup.jaccardPairs(docs, threshold = 0.1)
       .as[(Long, Long, Long)].collect().map(p => (p._1, p._2) -> p._3).toMap

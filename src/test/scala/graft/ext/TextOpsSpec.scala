@@ -93,6 +93,27 @@ class TextOpsSpec extends SparkTestBase {
     assert(one[String](TextOps.urlDomain(lit("http://plain.org")), "") == "plain.org")
   }
 
+  test("stripMarkup removes tags, unescapes one entity level, collapses whitespace") {
+    assert(one[String](TextOps.stripMarkup(col("text")),
+      "<div id=\"x\"><p>a  b</p> c <br/> d</div>") == "a b c d")
+    assert(one[String](TextOps.stripMarkup(col("text")),
+      "x &lt;tag&gt; &amp; &quot;q&quot; &#39;s&#39; y") == "x <tag> & \"q\" 's' y")
+    // escaped escape unescapes exactly ONE level: &amp;lt; -> &lt;
+    assert(one[String](TextOps.stripMarkup(col("text")), "a &amp;lt;b y") == "a &lt;b y")
+    // markup-free text passes through (modulo whitespace collapse)
+    assert(one[String](TextOps.stripMarkup(col("text")), "plain  text") == "plain text")
+  }
+
+  test("lexicalDiversity: TTR and hapax fractions, integer-exact") {
+    val docs = Seq((1L, "a b a c b a"), (2L, "x y z"), (3L, "w w w w")).toDF("doc_id", "text")
+    val m = TextOps.lexicalDiversity(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(m(1L) == (6L, 3L, 1L, 500000L, 166666L)) // a×3 b×2 c×1: hapax = c
+    assert(m(2L) == (3L, 3L, 3L, 1000000L, 1000000L)) // all distinct
+    assert(m(3L) == (4L, 1L, 0L, 250000L, 0L)) // one type, no hapax
+  }
+
   test("scrubPii redacts every email and phone, emails first") {
     val in = "mail a.b+c@ex-1.org or bob@x.io, call +1 (555) 010-1234 / 555 010 2244 end"
     assert(one[String](TextOps.scrubPii(col("text")), in) ==
