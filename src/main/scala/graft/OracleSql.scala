@@ -966,6 +966,35 @@ object OracleSql {
         |     ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |  FROM orders)
         |SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn
-        |FROM r WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
+        |FROM r WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "q96_grouping_id" ->
+      """SELECT event_type, user_id % 10 AS user_mod,
+        | CAST(GROUPING(event_type) AS BIGINT) AS g_type,
+        | CAST(GROUPING(user_id % 10) AS BIGINT) AS g_mod,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM events
+        |GROUP BY ROLLUP (event_type, user_id % 10)
+        |ORDER BY g_type, g_mod, event_type NULLS FIRST, user_mod NULLS FIRST""".stripMargin,
+
+    // the grid formulation IS the round trip: every (user, type) cell,
+    // zeros included
+    "q97_unpivot" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        | t AS (SELECT unnest(['click', 'purchase', 'view']) AS event_type),
+        | c AS (SELECT user_id, event_type, count(*) AS n FROM events
+        |   WHERE event_type IN ('click', 'purchase', 'view') GROUP BY 1, 2)
+        |SELECT u.user_id, t.event_type, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+        |FROM u CROSS JOIN t
+        |LEFT JOIN c ON u.user_id = c.user_id AND t.event_type = c.event_type
+        |ORDER BY u.user_id, t.event_type""".stripMargin,
+
+    "q98_recursive_cte" ->
+      """WITH RECURSIVE chain(k, cur, depth) AS (
+        |  SELECT c_custkey, c_custkey, 0 FROM customer
+        |  UNION ALL
+        |  SELECT k, cur // 10, depth + 1 FROM chain WHERE cur > 0)
+        |SELECT k AS c_custkey, CAST(max(depth) AS BIGINT) AS chain_len
+        |FROM chain GROUP BY k ORDER BY c_custkey""".stripMargin
   )
 }

@@ -1252,6 +1252,58 @@ object SparkEntry {
       .orderBy("o_custkey", "rn")
   }
 
+  /** GROUPING() / grouping_id over a rollup — distinguishes subtotal rows
+    * from genuine NULL group keys, completing the rollup/cube/grouping-
+    * sets family (q11/q12/q23).
+    */
+  private def q96(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      // user_mod is materialized BEFORE the rollup: grouping() resolves
+      // against the grouping columns, and an alias born inside rollup()
+      // is a lateral reference it cannot match
+      .withColumn("user_mod", col("user_id") % 10)
+      .rollup(col("event_type"), col("user_mod"))
+      // grouping() must be computed IN the aggregate — after .agg the
+      // grouping bits are gone and a later select can't recover them
+      .agg(
+        grouping(col("event_type")).cast("long").as("g_type"),
+        grouping(col("user_mod")).cast("long").as("g_mod"),
+        count(lit(1)).as("n"))
+      .select(col("event_type"), col("user_mod"), col("g_type"), col("g_mod"), col("n"))
+      .orderBy(col("g_type"), col("g_mod"),
+        col("event_type").asc_nulls_first, col("user_mod").asc_nulls_first)
+
+  /** Pivot → unpivot round trip: per-user event-type counts widened to
+    * columns (q45's operator) then melted back to rows — the unpivot/
+    * stack surface. Zero cells survive the round trip as explicit 0s.
+    */
+  private def q97(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "purchase", "view")
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0, types)
+      .unpivot(Array(col("user_id")), types.map(col).toArray, "event_type", "n")
+      .orderBy("user_id", "event_type")
+  }
+
+  /** Recursive CTE (Spark 4 WITH RECURSIVE): digit-chopping parent chain
+    * c → c div 10 → … → 0 per customer key, emitting the chain length —
+    * the hierarchy-walk shape (org charts, category trees) that needed
+    * iterative driver loops before recursive CTEs landed.
+    */
+  private def q98(s: SparkSession, dir: String): DataFrame = {
+    tpchViews(s, dir)
+    s.sql(
+      """WITH RECURSIVE chain(k, cur, depth) AS (
+        |  SELECT c_custkey, c_custkey, 0 FROM customer_v
+        |  UNION ALL
+        |  SELECT k, cur DIV 10, depth + 1 FROM chain WHERE cur > 0)
+        |SELECT k AS c_custkey, CAST(max(depth) AS BIGINT) AS chain_len
+        |FROM chain GROUP BY k ORDER BY c_custkey""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_tumble_alerts" -> q01 _,
     "q02_tumble_avg_parts" -> q02 _,
@@ -1347,7 +1399,10 @@ object SparkEntry {
     "q92_lexical_diversity" -> q92 _,
     "q93_lsh_band_stats" -> q93 _,
     "q94_salted_agg" -> q94 _,
-    "q95_topk_aggregator" -> q95 _
+    "q95_topk_aggregator" -> q95 _,
+    "q96_grouping_id" -> q96 _,
+    "q97_unpivot" -> q97 _,
+    "q98_recursive_cte" -> q98 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

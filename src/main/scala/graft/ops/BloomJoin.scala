@@ -27,7 +27,9 @@ object BloomJoin {
   def semiJoin(left: DataFrame, leftKey: String, right: DataFrame, rightKey: String,
                expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
     val bloom = right.stat.bloomFilter(rightKey, expectedItems, fpp)
-    val mightContain = udf((k: Long) => bloom.mightContainLong(k))
+    // boxed Long, not Long: a NULL probe key must drop (like the equi
+    // join will anyway), not NPE inside the UDF's unboxing
+    val mightContain = udf((k: java.lang.Long) => k != null && bloom.mightContainLong(k))
     left.filter(mightContain(col(leftKey)))
       .join(right.select(col(rightKey)), col(leftKey) === col(rightKey), "left_semi")
   }
