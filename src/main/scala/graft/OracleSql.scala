@@ -995,6 +995,19 @@ object OracleSql {
         |  UNION ALL
         |  SELECT k, cur // 10, depth + 1 FROM chain WHERE cur > 0)
         |SELECT k AS c_custkey, CAST(max(depth) AS BIGINT) AS chain_len
-        |FROM chain GROUP BY k ORDER BY c_custkey""".stripMargin
+        |FROM chain GROUP BY k ORDER BY c_custkey""".stripMargin,
+
+    "q99_array_hof" ->
+      """WITH x AS (SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |   generate_series(1, CAST(l_linenumber AS BIGINT) * 2) AS arr
+        |  FROM lineitem)
+        |SELECT l_orderkey, l_linenumber,
+        | CAST(len(list_filter(arr, y -> y % 2 = 0)) AS BIGINT) AS n_even,
+        | len(list_filter(arr, y -> y % 3 = 0)) > 0 AS any_div3,
+        | len(list_filter(arr, y -> NOT (y > 0))) = 0 AS all_pos,
+        | CAST(list_sum(arr) AS BIGINT) AS sum_fold,
+        | CAST(list_sum(list_transform(list_zip(arr, list_reverse(arr)),
+        |   p -> p[1] * p[2])) AS BIGINT) AS dot_rev
+        |FROM x ORDER BY l_orderkey, l_linenumber""".stripMargin
   )
 }

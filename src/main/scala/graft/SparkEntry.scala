@@ -1304,6 +1304,24 @@ object SparkEntry {
         |FROM chain GROUP BY k ORDER BY c_custkey""".stripMargin)
   }
 
+  /** Array higher-order functions (filter/exists/forall/zip_with/
+    * aggregate) — integer-exact outputs so every engine agrees. HOFs run
+    * interpreted in Spark (documented tax, see q89); this suite pins
+    * their SEMANTICS — hot paths use codegen'd expressions instead.
+    */
+  private def q99(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        sequence(lit(1L), col("l_linenumber").cast("long") * 2).as("arr"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        size(filter(col("arr"), x => x % 2 === 0)).cast("long").as("n_even"),
+        exists(col("arr"), x => x % 3 === 0).as("any_div3"),
+        forall(col("arr"), x => x > 0).as("all_pos"),
+        aggregate(col("arr"), lit(0L), (acc, x) => acc + x).as("sum_fold"),
+        aggregate(zip_with(col("arr"), reverse(col("arr")), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x).as("dot_rev"))
+      .orderBy("l_orderkey", "l_linenumber")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_tumble_alerts" -> q01 _,
     "q02_tumble_avg_parts" -> q02 _,
@@ -1402,7 +1420,8 @@ object SparkEntry {
     "q95_topk_aggregator" -> q95 _,
     "q96_grouping_id" -> q96 _,
     "q97_unpivot" -> q97 _,
-    "q98_recursive_cte" -> q98 _
+    "q98_recursive_cte" -> q98 _,
+    "q99_array_hof" -> q99 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all
