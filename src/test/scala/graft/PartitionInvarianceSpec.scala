@@ -42,13 +42,36 @@ class PartitionInvarianceSpec extends SparkTestBase {
       rows(Dedup.nearDupClusters(shuffled, Dedup.minhashPairs(shuffled))))
   }
 
+  test("round-4 operators are invariant to input repartitioning") {
+    requireFixtures()
+    import graft.ops.{Skew, Stats}
+    val events = Tables.events(spark, dir)
+    val eventsShuffled = events.repartition(7, col("event_type"))
+    // salted aggregation: rand() salt values differ per layout, the
+    // merged aggregate must not
+    assert(rows(Skew.saltedSum(events, Seq("event_type"), floor(col("value")).cast("long"))) ==
+      rows(Skew.saltedSum(eventsShuffled, Seq("event_type"), floor(col("value")).cast("long"))))
+    // decimal component sums: order-independent by construction
+    val li = Tables.lineitem(spark, dir)
+    assert(rows(Stats.corrComponents(li, col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))) ==
+      rows(Stats.corrComponents(li.repartition(9), col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))))
+    // typed top-k aggregator: k-bounded partial merge must keep the
+    // deterministic (score desc, id asc) order whatever the partial split
+    assert(rows(SparkEntry.queries("q95_topk_aggregator")(spark, dir)) ==
+      rows(SparkEntry.queries("q95_topk_aggregator")(spark, dir)))
+  }
+
   test("query results are invariant to the shuffle width") {
     requireFixtures()
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     // partition-count-sensitive shapes: bucket collect_list (q35),
-    // iterative clustering (q46), rank selection (q57), window+bin (q66)
+    // iterative clustering (q46), rank selection (q57), window+bin (q66);
+    // round 4: typed top-k partial merge (q95), gaps-and-islands windows
+    // (q91), bigram head-count window (q89), LSH band buckets (q93)
     val sensitive = Seq("q35_jaccard_pairs", "q46_dedup_clusters",
-      "q57_percentiles", "q66_packing")
+      "q57_percentiles", "q66_packing",
+      "q95_topk_aggregator", "q91_sessionize_batch", "q89_bigram_lm",
+      "q93_lsh_band_stats")
     def run(n: String): Map[String, List[String]] = {
       spark.conf.set("spark.sql.shuffle.partitions", n)
       sensitive.map(q => q -> rows(SparkEntry.queries(q)(spark, dir))).toMap

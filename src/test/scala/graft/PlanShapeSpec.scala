@@ -112,6 +112,38 @@ class PlanShapeSpec extends SparkTestBase {
       "running token total must be a window, not a self-join")
   }
 
+  test("q87 bloom semi join: probe-side pre-filter sits above the scan, join broadcasts") {
+    val p = plan("q87_bloom_semi_join")
+    assert(p.contains("LeftSemi"), s"exact semi join expected:\n${p.take(800)}")
+    // the bloom predicate must prune the probe side BEFORE the join
+    val filterIdx = p.indexOf("Filter")
+    val joinIdx = p.indexOf("Join")
+    assert(filterIdx >= 0 && (joinIdx < 0 || p.contains("UDF")),
+      s"bloom pre-filter (UDF) missing from the probe side:\n${p.take(800)}")
+    assert(!p.contains("CartesianProduct"), "no cartesian expected")
+  }
+
+  test("q86 quality funnel: single scan, no per-stage rescans") {
+    val p = plan("q86_quality_funnel")
+    assert(p.linesIterator.count(_.contains("FileScan")) == 1,
+      s"funnel must compute all stages in ONE pass over documents:\n${p.take(800)}")
+  }
+
+  test("q96 grouping_id: rollup plans as Expand + partial/final aggregation") {
+    val p = plan("q96_grouping_id")
+    assert(p.contains("Expand"), s"rollup must plan as Expand:\n${p.take(800)}")
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      "partial+final aggregation expected over the expanded rows")
+  }
+
+  test("q83 histogram: one partial+final aggregate, bin share windows over the bin table") {
+    val p = plan("q83_histogram")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 1,
+      s"histogram must shuffle once on the bin key, got $exchanges:\n${p.take(800)}")
+    assert(p.contains("partial_count"), "map-side combine missing")
+  }
+
   test("q35 whole-stage codegen covers the shingle/hash hot path") {
     val p = finalPlan("q35_jaccard_pairs")
     assert(hasCodegenStage(p), s"hot path fell out of codegen:\n${p.take(900)}")
