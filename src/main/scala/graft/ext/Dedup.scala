@@ -277,12 +277,42 @@ object Dedup {
       docs: DataFrame,
       pairs: DataFrame,
       idCol: String = "doc_id",
-      maxIterations: Int = 20
+      maxIterations: Int = 20,
+      driverMaxEdges: Long = 4L << 20
   ): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint(true)
+    // Hybrid strategy: near-dup subgraphs are a small fraction of any
+    // corpus (the edges are CANDIDATE DUPLICATES, not the corpus), so up
+    // to `driverMaxEdges` the component labels come from a driver-side
+    // union-find over the checkpointed edge list — one collect replaces
+    // ~3 jobs per propagation round, the same small-side trade a
+    // broadcast join makes. Past the threshold (pathological dup volume)
+    // the distributed min-label loop below takes over unchanged.
+    // Labels are identical either way: min reachable id per component.
+    if (edges.count() <= driverMaxEdges) {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edges.select(col("src"), col("dst")).collect().foreach { row =>
+        val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+        if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+      }
+      val session = docs.sparkSession
+      import session.implicits._
+      val labels = parent.keys.map(k => (k, find(k))).toSeq.toDF("id", "cluster_id")
+      return docs.select(col(idCol).as("id"))
+        .join(broadcast(labels), Seq("id"), "left")
+        .select(col("id").as(idCol),
+          coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+    }
     // Only nodes incident to an edge can ever change label — iterate over
     // the (near-dup subgraph) node set, not the whole corpus. At 100 TB
     // the corpus is billions of docs but the dup subgraph is a small
