@@ -88,6 +88,87 @@ object StatefulOps {
     }.reverse
   }
 
+  case class BandDoc(id: Long, band: Int, bkey: String, event_time: Timestamp)
+  case class BandHit(id: Long, band: Int, first_id: Long)
+  case class MinSeen(id: Long)
+
+  /** Streaming near-dup detection — the streaming analog of
+    * `Dedup.minhashPairs`: each arriving document's MinHash LSH band keys
+    * are checked against per-band-key state; a `BandHit(id, band,
+    * first_id)` is emitted for every band the document shares with an
+    * EARLIER document (min id wins, intra-batch included). A document is
+    * a near-dup candidate iff it has ≥1 hit (distinct ids downstream —
+    * one doc can hit on several bands).
+    *
+    * Scale shape: the signature is a per-row projection (the same fused
+    * codegen expression as the batch path); the only shuffle is the
+    * (band, bkey) key grouping, and state per key is ONE long (the
+    * minimum id seen). State is evicted by event-time timeout once a
+    * band key goes `ttl` past the watermark without traffic — so state
+    * size tracks the ACTIVE key horizon, not stream history, and the
+    * operator runs indefinitely. Deduplicate hits per id downstream for
+    * a doc-level verdict (`groupBy(id).agg(min(first_id))`).
+    */
+  def nearDupHits(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      tsCol: String = "event_time",
+      watermarkDelay: String = "10 seconds",
+      ttlMs: Long = 3600000L,
+      numHashes: Int = 16,
+      rowsPerBand: Int = 4,
+      shingleN: Int = 3
+  ): Dataset[BandHit] = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import docs.sparkSession.implicits._
+    val (as, bs) = graft.functions.Hashing.minhashParams(numHashes)
+    // same signature + band-key pipeline as Dedup.minhashPairs, with the
+    // event-time column threaded through for the watermark
+    val bands = docs
+      .select(col(idCol).as("id"), col(tsCol).as("event_time"),
+        graft.ext.TextOps.shingleSet(col(textCol), shingleN).as("shs"))
+      .filter(size(col("shs")) > 0)
+      .select(col("id"), col("event_time"),
+        ColumnBridge.column(graft.functions.MinhashSigExpr(
+          ColumnBridge.expression(col("shs")), 0, as, bs)).as("sig"))
+      .select(col("id"), col("event_time"),
+        explode(sequence(lit(0), lit(numHashes / rowsPerBand - 1))).as("band"),
+        col("sig"))
+      .withColumn("bkey", concat_ws(",",
+        transform(sequence(lit(0), lit(rowsPerBand - 1)),
+          r => element_at(col("sig"), col("band") * rowsPerBand + r + 1).cast("string"))))
+      .select(col("id"), col("band"), col("bkey"), col("event_time"))
+      .withWatermark("event_time", watermarkDelay)
+      .as[BandDoc]
+    bands
+      .groupByKey(r => s"${r.band}:${r.bkey}")
+      .flatMapGroupsWithState[MinSeen, BandHit](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: String, rows: Iterator[BandDoc], state: GroupState[MinSeen]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val rs = rows.toSeq.sortBy(_.id)
+            var minSeen = state.getOption.map(_.id).getOrElse(Long.MaxValue)
+            val hits = rs.flatMap { r =>
+              val hit = if (minSeen < r.id) Some(BandHit(r.id, r.band, minSeen)) else None
+              if (r.id < minSeen) minSeen = r.id
+              hit
+            }
+            state.update(MinSeen(minSeen))
+            // sliding TTL anchored on event time, not the watermark alone:
+            // during the FIRST batch the watermark is still 0 (it advances
+            // after the batch), so wm+ttl would arm a timeout in the past
+            // and evict the key immediately
+            val maxTs = rs.map(_.event_time.getTime).foldLeft(
+              state.getCurrentWatermarkMs())(math.max)
+            state.setTimeoutTimestamp(maxTs + ttlMs)
+            hits.iterator
+          }
+      }
+  }
+
   /** [[sessionize]] re-expressed on Spark 4's `transformWithState`
     * arbitrary-state API (`StatefulProcessor` + typed `ValueState` +
     * explicit event-time timers) — same hold-until-watermark semantics,

@@ -36,6 +36,81 @@ class StatefulOpsSpec extends SparkTestBase {
       (ts("2024-01-01 00:02:00"), 1L)))
   }
 
+  test("nearDupHits: later near-dups flag against the earliest doc, unrelated docs never flag") {
+    val doc = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val near = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    val far = "one two three four five six seven eight nine ten"
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)](spark)
+    val stream = mem.toDS().toDF("doc_id", "text", "event_time")
+    val query = StatefulOps.nearDupHits(stream, watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("neardup_hits").outputMode("append").start()
+    try {
+      // batch 1: originals
+      mem.addData(Seq((0L, doc, ts("2024-01-01 00:00:00")), (3L, far, ts("2024-01-01 00:00:01"))))
+      query.processAllAvailable()
+      // batch 2: an exact copy and a near copy arrive later
+      mem.addData(Seq((1L, doc, ts("2024-01-01 00:01:00")), (2L, near, ts("2024-01-01 00:01:01"))))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val hits = spark.table("neardup_hits").as[StatefulOps.BandHit].collect()
+    val flagged = hits.map(h => h.id -> h.first_id).distinct.groupBy(_._1)
+    // doc 1 (exact copy) shares every band with doc 0
+    assert(flagged(1L).forall(_._2 == 0L))
+    assert(hits.count(_.id == 1L) == 4, "exact copy must hit on all 4 bands")
+    // doc 2 (near copy) shares at least one band, always against doc 0
+    assert(flagged(2L).nonEmpty && flagged(2L).forall(_._2 == 0L))
+    // originals and the unrelated doc never flag
+    assert(!flagged.contains(0L) && !flagged.contains(3L))
+  }
+
+  test("nearDupHits: intra-batch duplicates flag against the batch minimum id") {
+    val doc = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)](spark)
+    val stream = mem.toDS().toDF("doc_id", "text", "event_time")
+    val query = StatefulOps.nearDupHits(stream, watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("neardup_intra").outputMode("append").start()
+    try {
+      mem.addData(Seq(
+        (7L, doc, ts("2024-01-01 00:00:00")),
+        (5L, doc, ts("2024-01-01 00:00:01")),
+        (9L, doc, ts("2024-01-01 00:00:02"))))
+      query.processAllAvailable()
+    } finally query.stop()
+    val hits = spark.table("neardup_intra").as[StatefulOps.BandHit].collect()
+    val flagged = hits.map(h => h.id -> h.first_id).distinct.sorted.toList
+    // 5 is the minimum: 7 and 9 flag against it on every band; 5 never flags
+    assert(flagged == List(7L -> 5L, 9L -> 5L))
+    assert(hits.count(_.id == 7L) == 4 && hits.count(_.id == 9L) == 4)
+  }
+
+  test("nearDupHits: band state evicts after the TTL horizon — a re-arrival is fresh") {
+    val doc = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val far = "one two three four five six seven eight nine ten"
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)](spark)
+    val stream = mem.toDS().toDF("doc_id", "text", "event_time")
+    val query = StatefulOps.nearDupHits(stream,
+      watermarkDelay = "1 second", ttlMs = 60000L)
+      .writeStream.format("memory").queryName("neardup_ttl").outputMode("append").start()
+    try {
+      mem.addData(Seq((0L, doc, ts("2024-01-01 00:00:00"))))
+      query.processAllAvailable()
+      // push the watermark far beyond 00:00:00 + 60s -> doc 0's band keys evict
+      mem.addData(Seq((3L, far, ts("2024-01-01 01:00:00"))))
+      query.processAllAvailable()
+      mem.addData(Seq((8L, far, ts("2024-01-01 01:00:01"))))
+      query.processAllAvailable()
+      // same content again, long after the horizon: no state left to hit
+      mem.addData(Seq((10L, doc, ts("2024-01-01 01:00:02"))))
+      query.processAllAvailable()
+    } finally query.stop()
+    val hits = spark.table("neardup_ttl").as[StatefulOps.BandHit].collect()
+    assert(!hits.exists(_.id == 10L),
+      s"doc 10 must not flag against evicted state: ${hits.toList}")
+    // doc 8 (same content as 3, within horizon) still flags normally
+    assert(hits.exists(h => h.id == 8L && h.first_id == 3L))
+  }
+
   test("sessionize: out-of-order event above the watermark extends the session start backward") {
     val mem = MemoryStream[Telemetry](spark)
     // long watermark delay so the out-of-order event is NOT late
