@@ -128,6 +128,9 @@ object Dedup {
       rowsPerBand: Int = 4,
       shingleN: Int = 3
   ): DataFrame = {
+    require(numHashes % rowsPerBand == 0,
+      s"rowsPerBand ($rowsPerBand) must divide numHashes ($numHashes) — " +
+        "a remainder would silently drop signature rows from banding")
     val bands = minhashSignatureArray(docs, idCol, textCol, numHashes, shingleN)
       .select(col("id"),
         explode(sequence(lit(0), lit(numHashes / rowsPerBand - 1))).as("band"),

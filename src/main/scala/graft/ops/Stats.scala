@@ -22,10 +22,12 @@ object Stats {
     * is double-typed). Empty bins are absent — at 100 TB the occupied-bin
     * set is what fits in memory, not the value range.
     */
-  def histogram(df: DataFrame, value: Column, width: Long): DataFrame =
+  def histogram(df: DataFrame, value: Column, width: Long): DataFrame = {
+    require(width > 0, s"bin width must be positive, got $width")
     df.groupBy(floor(value / width).cast("long").as("bin"))
       .agg(count(lit(1)).as("n"))
       .withColumn("bin_lo", (col("bin") * width).cast("long"))
+  }
 
   /** Pearson correlation from exact decimal component sums (n, Σx, Σy,
     * Σxy, Σx², Σy²) — decimal addition is associative, so the sums are

@@ -120,6 +120,9 @@ object StatefulOps {
       rowsPerBand: Int = 4,
       shingleN: Int = 3
   ): Dataset[BandHit] = {
+    require(numHashes % rowsPerBand == 0,
+      s"rowsPerBand ($rowsPerBand) must divide numHashes ($numHashes) — " +
+        "a remainder would silently drop signature rows from banding")
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.graftbridge.ColumnBridge
     import docs.sparkSession.implicits._

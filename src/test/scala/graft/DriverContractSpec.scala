@@ -24,6 +24,13 @@ class DriverContractSpec extends SparkTestBase {
     assert(nums.distinct.size == nums.size, "duplicate query numbers")
   }
 
+  test("every oracle ends in a total ORDER BY (row order must never matter)") {
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      assert(sql.contains("ORDER BY"),
+        s"$name oracle has no ORDER BY — the hash compare is order-sensitive")
+    }
+  }
+
   test("oracle SQL contains no tab or carriage-return control characters") {
     // Verify escapes them correctly, but builder-authored SQL should not
     // need escaping in the first place — a tab usually means a paste error
