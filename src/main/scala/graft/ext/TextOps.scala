@@ -242,6 +242,25 @@ object TextOps {
         floor(col("n_distinct") * 1000000L / col("n_tokens")).cast("long").as("ttr_ppm"),
         floor(col("n_hapax") * 1000000L / col("n_tokens")).cast("long").as("hapax_ppm"))
 
+  /** Sentence segmentation: split after `.`/`!`/`?` followed by
+    * whitespace (Java-regex lookbehind — no oracle twin: RE2 engines
+    * lack lookbehind, so this operator is spec-verified only). Empty
+    * segments from trailing punctuation are dropped. Per-row scalar op.
+    */
+  def sentences(text: Column): Column =
+    filter(split(text, "(?<=[.!?])\\s+"), s => length(trim(s)) > 0)
+
+  /** Per-document sentence statistics: count and mean sentence length in
+    * centitokens (integer-exact).
+    */
+  def sentenceStats(text: Column): (Column, Column) = {
+    val sents = sentences(text)
+    val n = size(sents).cast("long")
+    val totalToks = tokenCount(text)
+    val meanLenC = when(n > 0, floor(totalToks * 100L / n)).otherwise(0L).cast("long")
+    (n, meanLenC)
+  }
+
   /** Corpus-level token statistics (one shuffle). */
   def tokenStats(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.select(explode(tokens(col(textCol))).as("token"))

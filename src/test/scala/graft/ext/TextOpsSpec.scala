@@ -93,6 +93,22 @@ class TextOpsSpec extends SparkTestBase {
     assert(one[String](TextOps.urlDomain(lit("http://plain.org")), "") == "plain.org")
   }
 
+  test("sentences: splits after terminal punctuation, drops empty tails") {
+    assert(one[collection.Seq[String]](TextOps.sentences(col("text")),
+      "First one. Second two! Third three? tail").toList ==
+      List("First one.", "Second two!", "Third three?", "tail"))
+    // trailing punctuation leaves no empty segment
+    assert(one[collection.Seq[String]](TextOps.sentences(col("text")),
+      "Only one sentence.").toList == List("Only one sentence."))
+    // no punctuation -> the whole doc is one sentence
+    assert(one[collection.Seq[String]](TextOps.sentences(col("text")),
+      "no punctuation here").toList == List("no punctuation here"))
+    // abbreviation-style periods split too (documented naive heuristic)
+    val (n, meanC) = TextOps.sentenceStats(col("text"))
+    assert(one[Long](n, "a b. c d. e f.") == 3L)
+    assert(one[Long](meanC, "a b. c d. e f.") == 200L) // 6 tokens / 3 = 2.00
+  }
+
   test("stripMarkup removes tags, unescapes one entity level, collapses whitespace") {
     assert(one[String](TextOps.stripMarkup(col("text")),
       "<div id=\"x\"><p>a  b</p> c <br/> d</div>") == "a b c d")
