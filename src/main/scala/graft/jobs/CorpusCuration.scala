@@ -127,4 +127,47 @@ object CorpusCuration {
 
     (packed, StatsV2(stats, afterRepetition, afterDecontamination, mixtureRows, bins))
   }
+
+  /** Curation AT INGEST — the streaming twin of [[curate]]'s per-document
+    * stages over an unbounded document stream:
+    *
+    *  - exact dedup within the watermark horizon (128-bit content
+    *    fingerprint + `dropDuplicatesWithinWatermark` — the one stateful
+    *    op, state evicted as the watermark advances);
+    *  - language / quality / repetition gates and PII scrubbing as
+    *    inline projections (stateless, embarrassingly parallel);
+    *  - deterministic train/valid/test split tags.
+    *
+    * Near-dup detection runs as the COMPANION query
+    * `streaming.StatefulOps.nearDupHits` on the same stream: its
+    * `BandHit` output is an id blocklist the consumer anti-joins per
+    * micro-batch (`foreachBatch`) or downstream — chaining a second
+    * stateful operator inside this query would couple the two state
+    * lifetimes for no gain. Output columns match [[curate]]:
+    * (doc_id, text, lang_guess, quality_ppm, split) + event_time.
+    */
+  def curateAtIngest(
+      docs: DataFrame,
+      tsCol: String = "event_time",
+      watermarkDelay: String = "10 minutes",
+      allowedLangs: Set[String] = Set("en"),
+      minQualityPpm: Long = 500000L,
+      maxDupWordPpm: Long = 500000L
+  ): DataFrame = {
+    val (_, dupWordPpm, _, _) = TextOps.repetitionStats(col("text"))
+    docs
+      .withWatermark(tsCol, watermarkDelay)
+      .withColumn("fp", TextOps.fingerprint(col("text")))
+      .dropDuplicatesWithinWatermark("fp")
+      .withColumn("lang_guess", TextOps.langId(col("text")))
+      .filter(col("lang_guess").isInCollection(allowedLangs))
+      .withColumn("quality_ppm", TextOps.qualityScorePpm(col("text")))
+      .filter(col("quality_ppm") >= minQualityPpm)
+      .withColumn("dup_word_ppm", dupWordPpm)
+      .filter(col("dup_word_ppm") <= maxDupWordPpm)
+      .withColumn("text", TextOps.scrubPii(col("text")))
+      .withColumn("split", Sampling.splitTag(col("doc_id")))
+      .select(col("doc_id"), col("text"), col("lang_guess"),
+        col("quality_ppm"), col("split"), col(tsCol))
+  }
 }

@@ -57,4 +57,35 @@ class CorpusCurationSpec extends SparkTestBase {
     assert(rows.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("copy"))).distinct.length
       == rows.length)
   }
+
+  test("curateAtIngest: streaming stages mirror the batch pipeline on a drained stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // varied wording: the repetition gate (correctly) drops phrase-repeat docs
+    val good = "the quick brown fox jumps over a lazy dog while many other animals " +
+      "watch from tall green trees near a quiet river bank and the sun sets slowly " +
+      "behind distant hills casting long soft shadows across wide open fields"
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)](spark)
+    val stream = mem.toDS().toDF("doc_id", "text", "event_time")
+    val query = CorpusCuration.curateAtIngest(stream)
+      .writeStream.format("memory").queryName("ingest_out").outputMode("append").start()
+    try {
+      mem.addData(Seq(
+        (1L, good, t("2024-01-01 00:00:00")),
+        (2L, good, t("2024-01-01 00:00:01")),            // exact dup of 1 -> dropped
+        (3L, "el la los de es " * 10, t("2024-01-01 00:00:02")), // non-en -> dropped
+        (4L, "word " * 60, t("2024-01-01 00:00:03")),    // all-repeat -> repetition gate
+        (5L, good + " mail me: a@b.co now", t("2024-01-01 00:00:04")))) // PII scrubbed
+      query.processAllAvailable()
+    } finally query.stop()
+    val out = spark.table("ingest_out")
+      .select("doc_id", "text", "lang_guess", "quality_ppm", "split")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(1L, 5L), s"survivors: ${out.keySet}")
+    assert(out(5L).getString(1).contains("<EMAIL>"))
+    assert(out(1L).getString(2) == "en")
+    assert(Set("train", "valid", "test").contains(out(1L).getString(4)))
+  }
 }
