@@ -52,6 +52,15 @@ object GraftFunctions {
     functions.foreach { case (id, i, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, i, builder)
     }
+
+  /** SQL surface for the Misra–Gries heavy-hitters Aggregator. `k` is
+    * fixed per registered NAME (SQL UDAFs take no constructor args per
+    * call) — register under several names for several sketch widths.
+    */
+  def registerHeavyHitters(spark: SparkSession,
+                           name: String = "heavy_hitters", k: Int = 100): Unit =
+    spark.udf.register(name,
+      org.apache.spark.sql.functions.udaf(graft.functions.HeavyHitters(k)))
 }
 
 /** `spark.sql.extensions` entry point. */

@@ -33,6 +33,18 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(viaSql.length == 16 && viaSql.forall(_ < graft.functions.Hashing.MinhashPrime))
   }
 
+  test("heavy_hitters registers as a SQL UDAF and finds the dominant token") {
+    GraftFunctions.registerHeavyHitters(spark, "heavy_hitters", k = 5)
+    import spark.implicits._
+    val tokens = (1 to 900).map(i => if (i % 3 == 0) "big" else s"t${i % 40}")
+    tokens.toDF("token").createOrReplaceTempView("hh_tokens")
+    val out = spark.sql("SELECT heavy_hitters(token) AS hh FROM hh_tokens")
+      .collect().head.getAs[collection.Seq[org.apache.spark.sql.Row]](0)
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.contains("big"), s"dominant token missing from $out")
+    assert(out("big") <= 300L && out("big") >= 300L - 900L / 6)
+  }
+
   test("shingle_set rejects a non-literal size") {
     GraftFunctions.register(spark)
     val e = intercept[Exception] {
