@@ -335,7 +335,7 @@ object Dedup {
     // aggregate over the already-checkpointed iterate, instead of a
     // join-old-vs-new + filter + count job.
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast(DecimalType(38, 0)))).head.getDecimal(0)
+      df.agg(sum(col("label").cast(DecimalType(38, 0)))).head().getDecimal(0)
     var prevSum = labelSum(labels)
     var changed = true
     var iter = 0
