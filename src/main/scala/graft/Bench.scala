@@ -43,7 +43,10 @@ object Bench {
     // the last ~2000 chars of stdout (round 3's 82 full-name entries blew
     // past that window and the line went unparsed). Short `qNN` keys +
     // millisecond precision keep the line ~1.2 kB at 100 queries.
-    def fmt(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: the f interpolator honors the JVM default locale, and
+    // a comma-decimal locale would make the report line invalid JSON
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val shortKeys = results.map { case (k, _, _) => k.takeWhile(_ != '_') }
     require(shortKeys.distinct.size == shortKeys.size,
       "query short names (qNN prefixes) must be unique")

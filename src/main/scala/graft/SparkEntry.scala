@@ -1220,15 +1220,11 @@ object SparkEntry {
     * the plain groupBy — the salt only changes the shuffle layout — which
     * is exactly what the plain-SQL oracle asserts.
     */
-  private def q94(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(s, dir)
-    val counts = ops.Skew.saltedCount(e, Seq("event_type"))
-      .withColumnRenamed("count", "n")
-    val sums = ops.Skew.saltedSum(e, Seq("event_type"),
+  private def q94(s: SparkSession, dir: String): DataFrame =
+    ops.Skew.saltedCountSum(Tables.events(s, dir), Seq("event_type"),
         floor(col("value")).cast("long"))
       .withColumnRenamed("sum", "sum_v")
-    counts.join(sums, "event_type").orderBy("event_type")
-  }
+      .orderBy("event_type")
 
   /** Typed-UDAF surface in the oracle gate: top-3 orders per customer via
     * the bounded `TopKAggregator` (k-row partial state per group) — the

@@ -117,6 +117,28 @@ object Dedup {
           ColumnBridge.expression(col("shs")), 0, as, bs)).as("sig"))
   }
 
+  /** THE banding scheme, shared by every LSH consumer ([[minhashPairs]],
+    * [[lshBandStats]], streaming `StatefulOps.nearDupHits`): from a frame
+    * holding a `sig` MinHash-signature array, one row per (row, band)
+    * with the band's signature slice as a comma-joined `bkey`, all other
+    * input columns carried through. Centralized so the batch dedup, its
+    * diagnostics, and the streaming detector can never silently diverge
+    * on key formatting or slice offsets.
+    */
+  private[graft] def bandKeys(withSig: DataFrame, numHashes: Int,
+                              rowsPerBand: Int): DataFrame = {
+    require(numHashes % rowsPerBand == 0,
+      s"rowsPerBand ($rowsPerBand) must divide numHashes ($numHashes) — " +
+        "a remainder would silently drop signature rows from banding")
+    withSig
+      .withColumn("band",
+        explode(sequence(lit(0), lit(numHashes / rowsPerBand - 1))))
+      .withColumn("bkey", concat_ws(",",
+        transform(sequence(lit(0), lit(rowsPerBand - 1)),
+          r => element_at(col("sig"), col("band") * rowsPerBand + r + 1).cast("string"))))
+      .drop("sig")
+  }
+
   /** Candidate near-dup pairs: docs sharing at least one full LSH band.
     * Equi-join on (band, bkey) — shuffle-scalable, no cross product.
     */
@@ -128,17 +150,9 @@ object Dedup {
       rowsPerBand: Int = 4,
       shingleN: Int = 3
   ): DataFrame = {
-    require(numHashes % rowsPerBand == 0,
-      s"rowsPerBand ($rowsPerBand) must divide numHashes ($numHashes) — " +
-        "a remainder would silently drop signature rows from banding")
-    val bands = minhashSignatureArray(docs, idCol, textCol, numHashes, shingleN)
-      .select(col("id"),
-        explode(sequence(lit(0), lit(numHashes / rowsPerBand - 1))).as("band"),
-        col("sig"))
-      .withColumn("bkey", concat_ws(",",
-        transform(sequence(lit(0), lit(rowsPerBand - 1)),
-          r => element_at(col("sig"), col("band") * rowsPerBand + r + 1).cast("string"))))
-      .drop("sig")
+    val bands = bandKeys(
+      minhashSignatureArray(docs, idCol, textCol, numHashes, shingleN),
+      numHashes, rowsPerBand)
     // group per bucket and emit in-bucket combinations — ONE pass over the
     // signature pipeline (a self-join would compute it twice)
     explodePairs(
@@ -164,13 +178,8 @@ object Dedup {
       rowsPerBand: Int = 4,
       shingleN: Int = 3
   ): DataFrame =
-    minhashSignatureArray(docs, idCol, textCol, numHashes, shingleN)
-      .select(col("id"),
-        explode(sequence(lit(0), lit(numHashes / rowsPerBand - 1))).as("band"),
-        col("sig"))
-      .withColumn("bkey", concat_ws(",",
-        transform(sequence(lit(0), lit(rowsPerBand - 1)),
-          r => element_at(col("sig"), col("band") * rowsPerBand + r + 1).cast("string"))))
+    bandKeys(minhashSignatureArray(docs, idCol, textCol, numHashes, shingleN),
+        numHashes, rowsPerBand)
       .groupBy("band", "bkey")
       .agg(count(lit(1)).as("k"))
       .groupBy("band")
@@ -281,7 +290,7 @@ object Dedup {
       pairs: DataFrame,
       idCol: String = "doc_id",
       maxIterations: Int = 20,
-      driverMaxEdges: Long = 4L << 20
+      driverMaxEdges: Long = 1L << 20
   ): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
@@ -295,7 +304,12 @@ object Dedup {
     // broadcast join makes. Past the threshold (pathological dup volume)
     // the distributed min-label loop below takes over unchanged.
     // Labels are identical either way: min reachable id per component.
+    // The 1M-edge default bounds driver heap: the collect materializes
+    // ~2M (Long, Long) tuples (tens of MB) — raise it only alongside
+    // spark.driver.memory.
     if (edges.count() <= driverMaxEdges) {
+      val session = pairs.sparkSession
+      import session.implicits._
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -304,12 +318,10 @@ object Dedup {
         while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
         r
       }
-      edges.select(col("src"), col("dst")).collect().foreach { row =>
-        val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+      edges.as[(Long, Long)].collect().foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
         if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
       }
-      val session = docs.sparkSession
-      import session.implicits._
       val labels = parent.keys.map(k => (k, find(k))).toSeq.toDF("id", "cluster_id")
       return docs.select(col(idCol).as("id"))
         .join(broadcast(labels), Seq("id"), "left")

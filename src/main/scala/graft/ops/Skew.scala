@@ -37,4 +37,20 @@ object Skew {
       .groupBy(keys: _*)
       .agg(sum(col("__partial")).as("sum"))
   }
+
+  /** count(*) AND sum(valueCol) per key in ONE salted pass — half the
+    * scans/shuffles of running [[saltedCount]] + [[saltedSum]] separately,
+    * and no key-equality join between them (a plain join would drop a
+    * NULL-keyed group that GROUP BY retains).
+    */
+  def saltedCountSum(df: DataFrame, keyCols: Seq[String], valueCol: Column,
+                     saltBuckets: Int = 16): DataFrame = {
+    val keys = keyCols.map(col)
+    df.withColumn("__salt", (rand(7L) * saltBuckets).cast("int"))
+      .withColumn("__v", valueCol)
+      .groupBy(keys :+ col("__salt"): _*)
+      .agg(count(lit(1)).as("__pn"), sum(col("__v")).as("__ps"))
+      .groupBy(keys: _*)
+      .agg(sum(col("__pn")).as("n"), sum(col("__ps")).as("sum"))
+  }
 }

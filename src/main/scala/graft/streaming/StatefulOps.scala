@@ -120,28 +120,22 @@ object StatefulOps {
       rowsPerBand: Int = 4,
       shingleN: Int = 3
   ): Dataset[BandHit] = {
-    require(numHashes % rowsPerBand == 0,
-      s"rowsPerBand ($rowsPerBand) must divide numHashes ($numHashes) — " +
-        "a remainder would silently drop signature rows from banding")
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.graftbridge.ColumnBridge
     import docs.sparkSession.implicits._
     val (as, bs) = graft.functions.Hashing.minhashParams(numHashes)
-    // same signature + band-key pipeline as Dedup.minhashPairs, with the
-    // event-time column threaded through for the watermark
-    val bands = docs
+    // signature projection with the event-time column threaded through,
+    // then the SAME banding scheme as the batch path (Dedup.bandKeys) —
+    // shared code, so batch diagnostics (lshBandStats) describe exactly
+    // the buckets this detector forms
+    val withSig = docs
       .select(col(idCol).as("id"), col(tsCol).as("event_time"),
         graft.ext.TextOps.shingleSet(col(textCol), shingleN).as("shs"))
       .filter(size(col("shs")) > 0)
       .select(col("id"), col("event_time"),
         ColumnBridge.column(graft.functions.MinhashSigExpr(
           ColumnBridge.expression(col("shs")), 0, as, bs)).as("sig"))
-      .select(col("id"), col("event_time"),
-        explode(sequence(lit(0), lit(numHashes / rowsPerBand - 1))).as("band"),
-        col("sig"))
-      .withColumn("bkey", concat_ws(",",
-        transform(sequence(lit(0), lit(rowsPerBand - 1)),
-          r => element_at(col("sig"), col("band") * rowsPerBand + r + 1).cast("string"))))
+    val bands = graft.ext.Dedup.bandKeys(withSig, numHashes, rowsPerBand)
       .select(col("id"), col("band"), col("bkey"), col("event_time"))
       .withWatermark("event_time", watermarkDelay)
       .as[BandDoc]

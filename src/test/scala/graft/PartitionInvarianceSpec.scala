@@ -57,8 +57,19 @@ class PartitionInvarianceSpec extends SparkTestBase {
       rows(Stats.corrComponents(li.repartition(9), col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))))
     // typed top-k aggregator: k-bounded partial merge must keep the
     // deterministic (score desc, id asc) order whatever the partial split
-    assert(rows(SparkEntry.queries("q95_topk_aggregator")(spark, dir)) ==
-      rows(SparkEntry.queries("q95_topk_aggregator")(spark, dir)))
+    import graft.functions.{Scored, TopKAggregator}
+    import spark.implicits._
+    def topk(orders: org.apache.spark.sql.DataFrame): List[String] = rows {
+      orders.select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .as[(Long, Long, Double)]
+        .map { case (k, id, price) => (k, Scored(id, price)) }
+        .groupByKey(_._1)
+        .mapValues(_._2)
+        .agg(TopKAggregator(3).toColumn.name("top"))
+        .toDF("o_custkey", "top")
+    }
+    val orders = Tables.orders(spark, dir)
+    assert(topk(orders) == topk(orders.repartition(11)))
   }
 
   test("query results are invariant to the shuffle width") {

@@ -112,14 +112,17 @@ class PlanShapeSpec extends SparkTestBase {
       "running token total must be a window, not a self-join")
   }
 
-  test("q87 bloom semi join: probe-side pre-filter sits above the scan, join broadcasts") {
+  test("q87 bloom semi join: probe-side pre-filter sits BELOW the join, join broadcasts") {
     val p = plan("q87_bloom_semi_join")
-    assert(p.contains("LeftSemi"), s"exact semi join expected:\n${p.take(800)}")
-    // the bloom predicate must prune the probe side BEFORE the join
-    val filterIdx = p.indexOf("Filter")
-    val joinIdx = p.indexOf("Join")
-    assert(filterIdx >= 0 && (joinIdx < 0 || p.contains("UDF")),
-      s"bloom pre-filter (UDF) missing from the probe side:\n${p.take(800)}")
+    val joinIdx = p.indexOf("LeftSemi")
+    val udfIdx = p.indexOf("UDF")
+    assert(joinIdx >= 0, s"exact semi join expected:\n${p.take(800)}")
+    // the plan tree prints root-first, so a child appears AFTER its
+    // parent in the string: the bloom UDF filter pruning the probe side
+    // must sit strictly below the join node
+    assert(udfIdx > joinIdx,
+      s"bloom pre-filter (UDF) must prune the probe side UNDER the join " +
+        s"(udf@$udfIdx, join@$joinIdx):\n${p.take(800)}")
     assert(!p.contains("CartesianProduct"), "no cartesian expected")
   }
 
