@@ -261,6 +261,40 @@ object TextOps {
     (n, meanLenC)
   }
 
+  /** Corpus-self bigram language-model score per document: the mean
+    * negative log conditional probability −ln p(w2|w1) of the document's
+    * positional bigrams, with probabilities estimated from the corpus
+    * itself (the q89 bigram table). Low = predictable/templated text,
+    * high = rare transitions — the cheap perplexity-style quality signal
+    * (fluent-vs-gibberish) that needs no external model. Output
+    * `lm_score_unats` is integer micro-nats (floor), order-independent.
+    *
+    * Scale shape: one positional explode + lead window for bigrams (the
+    * codegen-friendly formulation, see q89), one (w1,w2) aggregate for
+    * the model, a broadcast join of the model onto the bigram stream
+    * (bigram vocab ≪ corpus), and one per-doc aggregate. Docs with no
+    * bigrams (< 2 tokens) are absent from the output.
+    */
+  def bigramLmScore(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wDoc = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val bigrams = docs
+      .select(col(idCol).as("id"), posexplode(tokens(col(textCol))).as(Seq("pos", "w1")))
+      .withColumn("w2", lead(col("w1"), 1).over(wDoc))
+      .filter(col("w2").isNotNull)
+    val model = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+      .withColumn("n_head", sum(col("n")).over(Window.partitionBy(col("w1"))))
+      // -ln p(w2|w1) in micro-nats, floored to an exact integer per bigram
+      .withColumn("unats",
+        floor(-log(col("n").cast("double") / col("n_head")) * 1000000d).cast("long"))
+      .select(col("w1"), col("w2"), col("unats"))
+    bigrams.join(broadcast(model), Seq("w1", "w2"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        floor(sum(col("unats")) / count(lit(1))).cast("long").as("lm_score_unats"))
+  }
+
   /** Corpus-level token statistics (one shuffle). */
   def tokenStats(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.select(explode(tokens(col(textCol))).as("token"))

@@ -93,6 +93,30 @@ class TextOpsSpec extends SparkTestBase {
     assert(one[String](TextOps.urlDomain(lit("http://plain.org")), "") == "plain.org")
   }
 
+  test("bigramLmScore: templated text scores more predictable than rare transitions") {
+    // corpus: "a b" dominates after 'a'; one doc takes the rare "a z" path
+    val docs = Seq(
+      (1L, "a b a b a b a b"),
+      (2L, "a b a b a b a b"),
+      (3L, "a b a b a b a b"),
+      (4L, "a z a z"),
+      (5L, "x")) // single token: no bigrams -> absent
+      .toDF("doc_id", "text")
+    val m = TextOps.bigramLmScore(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(!m.contains(5L))
+    // p(b|a) = 12/14, p(z|a) = 2/14: rare-path docs must score higher
+    assert(m(4L)._2 > m(1L)._2,
+      s"rare transitions must score above templated text: $m")
+    // identical docs score identically; score is deterministic
+    assert(m(1L) == m(2L) && m(2L) == m(3L))
+    // exact pin: doc 1 bigrams = 4x(a b) + 3x(b a), all p known
+    val pAB = 12.0 / 14.0; val pBA = 9.0 / 9.0
+    val expect = math.floor((4 * math.floor(-math.log(pAB) * 1e6) +
+      3 * math.floor(-math.log(pBA) * 1e6)) / 7).toLong
+    assert(m(1L) == (7L, expect))
+  }
+
   test("sentences: splits after terminal punctuation, drops empty tails") {
     assert(one[collection.Seq[String]](TextOps.sentences(col("text")),
       "First one. Second two! Third three? tail").toList ==
