@@ -54,6 +54,22 @@ object Dedup {
       .drop("__keep")
   }
 
+  /** [[exactDedup]] that also carries `n_copies` (the duplicate-group
+    * size) on each kept row — same single window shuffle, one extra
+    * aggregate over the same frame. Lets a pipeline recover the pre-dedup
+    * row count as `sum(n_copies)` from the deduped (and typically cached)
+    * output instead of a second scan of the input (see
+    * `jobs.CorpusCuration`).
+    */
+  def exactDedupCounted(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy(TextOps.fingerprint(col(textCol)))
+    docs.withColumn("__keep", min(col(idCol)).over(w))
+      .withColumn("n_copies", count(lit(1)).over(w))
+      .filter(col(idCol) === col("__keep"))
+      .drop("__keep")
+  }
+
   // -------------------------------------------------------------- minhash
 
   /** MinHash signature rows `(id, j, mh)` — row-shaped variant of

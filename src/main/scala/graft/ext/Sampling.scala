@@ -23,6 +23,25 @@ object Sampling {
   def hashSample(df: DataFrame, keyCol: Column, fractionBp: Int, seed: Int = 1): DataFrame =
     df.filter(bucket(keyCol, seed) < fractionBp)
 
+  /** The stratified-sample keep decision as a standalone boolean Column —
+    * lets a pipeline carry the decision as a flag column (so one stats
+    * aggregate covers every stage in a single pass, see
+    * `jobs.CorpusCuration`) instead of filtering eagerly.
+    * [[stratifiedHashSample]] is exactly `df.filter` of this expression.
+    */
+  def stratifiedKeepExpr(
+      keyCol: Column,
+      strataCol: Column,
+      rates: Map[String, Int],
+      defaultBp: Int = 0,
+      seed: Int = 1
+  ): Column = {
+    val rateExpr = rates.foldLeft(lit(defaultBp)) { case (acc, (value, bp)) =>
+      when(strataCol === value, lit(bp)).otherwise(acc)
+    }
+    bucket(keyCol, seed) < rateExpr
+  }
+
   /** Per-stratum rates: `rates` maps stratum value → basis points; strata
     * not listed get `defaultBp`. The standard quality-weighted corpus
     * sampling shape (e.g. keep 100% of high-quality docs, 5% of the rest).
@@ -34,12 +53,8 @@ object Sampling {
       rates: Map[String, Int],
       defaultBp: Int = 0,
       seed: Int = 1
-  ): DataFrame = {
-    val rateExpr = rates.foldLeft(lit(defaultBp)) { case (acc, (value, bp)) =>
-      when(strataCol === value, lit(bp)).otherwise(acc)
-    }
-    df.filter(bucket(keyCol, seed) < rateExpr)
-  }
+  ): DataFrame =
+    df.filter(stratifiedKeepExpr(keyCol, strataCol, rates, defaultBp, seed))
 
   /** Mixture weighting: resample each source to its target weight, in
     * milli-multiples (1000 = keep as-is, 500 = downsample to half, 2500 =

@@ -2,6 +2,7 @@ package graft.jobs
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.ext.{Dedup, Packing, Sampling, TextOps}
 
@@ -29,6 +30,31 @@ object CorpusCuration {
 
   /** Curate a document corpus. Returns the curated DataFrame
     * (doc_id, text, lang_guess, quality_ppm, split) and per-stage counts.
+    *
+    * Stage counts come out of a SINGLE execution of the pipeline, not one
+    * per stage (an earlier formulation chained six `.count()`s on an
+    * uncached lineage, re-running exact dedup + MinHash + clustering from
+    * the corpus scan up for every stage — a ~5× multiplier on the most
+    * expensive stages at 100 TB):
+    *
+    *  - the exact-dedup boundary is persisted — it is consumed twice
+    *    regardless (near-dup join input AND MinHash signature input) — and
+    *    [[Dedup.exactDedupCounted]] carries the duplicate-group size, so
+    *    `input` is `sum(n_copies)` over the deduped cache instead of a
+    *    second corpus scan;
+    *  - every post-near-dup stage is a *flag column*, not a filter, so one
+    *    aggregate over the enriched frame yields all remaining stage
+    *    counts in one pass;
+    *  - the returned frame is the flag-filtered projection, persisted so
+    *    consumers don't re-run the dedup chain (callers should
+    *    `.unpersist()` it when done); the intermediate caches are released
+    *    before returning.
+    *
+    * `df.observe()`/CollectMetrics was deliberately rejected for the stage
+    * counts: a metrics node below a `persist()` boundary disappears from
+    * the executed plan once the cache is substituted in (the cached
+    * subtree is replaced by `InMemoryRelation`), so the observation never
+    * fires and `Observation.get` blocks forever.
     */
   def curate(
       docs: DataFrame,
@@ -37,31 +63,46 @@ object CorpusCuration {
       sampleRates: Map[String, Int] = Map("en" -> 10000),
       defaultSampleBp: Int = 1000
   ): (DataFrame, Stats) = {
-    val input = docs.count()
+    val exact = Dedup.exactDedupCounted(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    // action 1: the only scan of the input — materializes the dedup cache
+    // and recovers both pre- and post-dedup counts from it
+    val exactStats = exact.agg(count(lit(1)).as("n"),
+      coalesce(sum(col("n_copies")), lit(0L)).as("input")).head()
+    val (afterExact, input) = (exactStats.getLong(0), exactStats.getLong(1))
 
-    val exact = Dedup.exactDedup(docs)
-    val afterExact = exact.count()
-
-    val near = Dedup.keepCanonical(exact, Dedup.minhashPairs(exact))
-    val afterNear = near.count()
-
-    val withLang = near.withColumn("lang_guess", TextOps.langId(col("text")))
-      .filter(col("lang_guess").isInCollection(allowedLangs))
-    val afterLang = withLang.count()
-
-    val withQuality = withLang
+    val exactDocs = exact.drop("n_copies")
+    val near = Dedup.keepCanonical(exactDocs, Dedup.minhashPairs(exactDocs))
+    val enriched = near
+      .withColumn("lang_guess", TextOps.langId(col("text")))
+      .withColumn("__lang_ok", col("lang_guess").isInCollection(allowedLangs))
       .withColumn("quality_ppm", TextOps.qualityScorePpm(col("text")))
-      .filter(col("quality_ppm") >= minQualityPpm)
-    val afterQuality = withQuality.count()
+      .withColumn("__quality_ok",
+        col("__lang_ok") && col("quality_ppm") >= minQualityPpm)
+      .withColumn("__samp_ok", col("__quality_ok") && Sampling.stratifiedKeepExpr(
+        col("doc_id"), col("lang_guess"), sampleRates, defaultSampleBp))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // action 2: near-dup dedup + all downstream stage counts in one pass
+    // (MinHash signatures + clustering execute exactly once, off the
+    // exact-dedup cache)
+    val stageStats = enriched.agg(
+      count(lit(1)).as("after_near"),
+      count_if(col("__lang_ok")).as("after_lang"),
+      count_if(col("__quality_ok")).as("after_quality"),
+      count_if(col("__samp_ok")).as("sampled")).head()
 
-    val sampled = Sampling.stratifiedHashSample(withQuality,
-        col("doc_id"), col("lang_guess"), sampleRates, defaultSampleBp)
+    val sampled = enriched.filter(col("__samp_ok"))
       .withColumn("split", Sampling.splitTag(col("doc_id")))
       .select(col("doc_id"), col("text"), col("lang_guess"),
         col("quality_ppm"), col("split"))
-    val nSampled = sampled.count()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // action 3: cheap in-memory pass that pins the result cache so the
+    // upstream caches can be released before returning
+    sampled.count()
+    enriched.unpersist()
+    exact.unpersist()
 
-    (sampled, Stats(input, afterExact, afterNear, afterLang, afterQuality, nSampled))
+    (sampled, Stats(input, afterExact, stageStats.getLong(0),
+      stageStats.getLong(1), stageStats.getLong(2), stageStats.getLong(3)))
   }
 
   case class StatsV2(
@@ -99,23 +140,29 @@ object CorpusCuration {
     val (curated, stats) = curate(docs, allowedLangs, minQualityPpm,
       sampleRates = Map.empty, defaultSampleBp = 10000)
 
+    // Same single-execution discipline as [[curate]]: each stage boundary
+    // that is both counted and re-consumed is persisted, counted once, and
+    // released as soon as its successor's cache is materialized — no stage
+    // ever re-executes for a stats count.
     val (_, dupWordPpm, _, _) = TextOps.repetitionStats(col("text"))
     val lowRepetition = curated
       .withColumn("dup_word_ppm", dupWordPpm)
       .filter(col("dup_word_ppm") <= maxDupWordPpm)
       .withColumn("text", TextOps.scrubPii(col("text")))
-    val afterRepetition = lowRepetition.count()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val afterRepetition = lowRepetition.count() // one pass over curate's cache
+    curated.unpersist()
 
     val contaminatedIds = Dedup.contamination(lowRepetition, benchmark)
       .filter(col("n_hits") >= maxOverlap)
       .select(col("id").as("doc_id"))
     val clean = lowRepetition.join(contaminatedIds, Seq("doc_id"), "left_anti")
-    val afterDecontamination = clean.count()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val afterDecontamination = clean.count() // shingle overlap computed once
+    lowRepetition.unpersist()
 
     val mixed = Sampling.mixtureSample(clean, col("doc_id"), col("lang_guess"),
       mixtureMilli)
-    val mixtureRows = mixed.count()
-
     val packed = Packing.assignBins(
       mixed.withColumn("n_tokens", TextOps.tokenCount(col("text"))),
       groupCol = col("lang_guess"),
@@ -123,9 +170,16 @@ object CorpusCuration {
       tokensCol = col("n_tokens"),
       capacity = capacity)
       .select(col("doc_id"), col("copy"), col("lang_guess"), col("split"), col("bin"))
-    val bins = packed.select(col("lang_guess"), col("bin")).distinct().count()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // assignBins is row-preserving, so the mixture row count and the bin
+    // count both come off the final (persisted) frame in one action;
+    // callers should `.unpersist()` the returned frame when done
+    val packedStats = packed.agg(count(lit(1)).as("mixture_rows"),
+      count_distinct(col("lang_guess"), col("bin")).as("bins")).head()
+    clean.unpersist()
 
-    (packed, StatsV2(stats, afterRepetition, afterDecontamination, mixtureRows, bins))
+    (packed, StatsV2(stats, afterRepetition, afterDecontamination,
+      packedStats.getLong(0), packedStats.getLong(1)))
   }
 
   /** Curation AT INGEST — the streaming twin of [[curate]]'s per-document

@@ -5,6 +5,89 @@ import graft.core.Tables
 
 class CorpusCurationSpec extends SparkTestBase {
 
+  /** Parquet scans actually present in an executed plan, unwrapping AQE
+    * wrappers and runtime query stages. Deliberately does NOT descend into
+    * `InMemoryTableScanExec` (a leaf): a scan living only inside a cached
+    * plan executes at most once — at cache materialization — which is
+    * exactly the property the single-scan test below pins.
+    */
+  private def parquetScans(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    p match {
+      case a: AdaptiveSparkPlanExec => parquetScans(a.executedPlan)
+      case q: QueryStageExec        => parquetScans(q.plan)
+      case f: FileSourceScanExec    => Seq(f)
+      case other                    => other.children.flatMap(parquetScans)
+    }
+  }
+
+  test("curate computes stage stats in a single pipeline execution (corpus scanned at most once)") {
+    import org.apache.spark.sql.execution.{QueryExecution, SparkPlan}
+    import org.apache.spark.sql.util.QueryExecutionListener
+    import org.apache.spark.sql.functions.col
+    import scala.jdk.CollectionConverters._
+
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[SparkPlan]()
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+        seen.add(qe.executedPlan)
+      override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit =
+        seen.add(qe.executedPlan)
+    }
+    spark.listenerManager.register(listener)
+    val (stats, nRows) = try {
+      val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      // probe action: ONE deliberate uncached scan, proving the collector
+      // below actually sees parquet scans (a vacuous collector would pass
+      // any threshold)
+      docs.count()
+      val (curated, st) = CorpusCuration.curate(docs,
+        allowedLangs = Set("en", "und"), minQualityPpm = 300000L)
+      val n = curated.count()
+      curated.unpersist()
+      // listener delivery is async — wait until the execution stream drains
+      var size = -1
+      var stable = 0
+      val deadline = System.nanoTime + 10000000000L
+      while (stable < 3 && System.nanoTime < deadline) {
+        if (seen.size == size) stable += 1 else { stable = 0; size = seen.size }
+        Thread.sleep(100)
+      }
+      (st, n)
+    } finally spark.listenerManager.unregister(listener)
+
+    val docScans = seen.asScala.toList.flatMap(parquetScans)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("documents")))
+    // exactly the probe's scan: curate() itself must add zero uncached
+    // scans of the corpus (its only read is the cache-materializing one,
+    // which lives inside InMemoryRelation and is executed at most once)
+    assert(docScans.size == 1,
+      s"documents.parquet appeared uncached in ${docScans.size} executed plans " +
+        "(expected only the probe count) — per-stage stats are re-executing the pipeline")
+
+    // the single-pass stats must equal the naively recomputed stage counts
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    assert(stats.input == docs.count())
+    val exact = graft.ext.Dedup.exactDedup(docs)
+    assert(stats.afterExactDedup == exact.count())
+    val near = graft.ext.Dedup.keepCanonical(exact, graft.ext.Dedup.minhashPairs(exact))
+    assert(stats.afterNearDedup == near.count())
+    val withLang = near
+      .withColumn("lang_guess", graft.ext.TextOps.langId(col("text")))
+      .filter(col("lang_guess").isInCollection(Set("en", "und")))
+    assert(stats.afterLangFilter == withLang.count())
+    val withQuality = withLang
+      .withColumn("quality_ppm", graft.ext.TextOps.qualityScorePpm(col("text")))
+      .filter(col("quality_ppm") >= 300000L)
+    assert(stats.afterQuality == withQuality.count())
+    val sampled = graft.ext.Sampling.stratifiedHashSample(withQuality,
+      col("doc_id"), col("lang_guess"), Map("en" -> 10000), 1000)
+    assert(stats.sampled == sampled.count())
+    assert(nRows == stats.sampled)
+  }
+
   test("curation pipeline composes dedup -> lang -> quality -> sample -> split on the fixtures") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val (curated, stats) = CorpusCuration.curate(docs,
