@@ -60,6 +60,13 @@ object Dedup {
     * row count as `sum(n_copies)` from the deduped (and typically cached)
     * output instead of a second scan of the input (see
     * `jobs.CorpusCuration`).
+    *
+    * PRECONDITION: `idCol` must be unique across the input (as it is for
+    * `documents.doc_id`). If two rows of one fingerprint group tie on the
+    * minimum id, both survive the `id === min(id)` keep-filter (exactly
+    * like [[exactDedup]]) and EACH carries the full group size, so
+    * `sum(n_copies)` — and hence `CorpusCuration.Stats.input` — would
+    * overcount the true input row count.
     */
   def exactDedupCounted(docs: DataFrame, idCol: String = "doc_id",
                         textCol: String = "text"): DataFrame = {

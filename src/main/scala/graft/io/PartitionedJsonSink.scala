@@ -31,14 +31,33 @@ object PartitionedJsonSink {
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
 
+  /** Max partition tuples one micro-batch may touch before the marker pass
+    * refuses to collect them to the driver. The reference layout is
+    * year/month/day/hour — a batch spanning even a full year is ~8.8k
+    * directories — so the bound only trips when a caller repurposes the
+    * sink with a high-cardinality partition key.
+    */
+  val MaxMarkerPartitions: Int = 10000
+
   /** Batch-side helper used by the foreachBatch fan-out: write one
     * micro-batch partition-dir-compatible with the reference layout and drop
     * `_SUCCESS` markers in every partition directory touched.
+    *
+    * The marker pass `collect()`s the DISTINCT partition tuples of the
+    * batch — bounded by directory count, not row count, and guarded by
+    * [[MaxMarkerPartitions]] so a high-cardinality partitioning fails fast
+    * instead of OOM-ing the driver.
     */
-  def writeBatchWithSuccessMarkers(batch: DataFrame, path: String): Unit = {
+  def writeBatchWithSuccessMarkers(batch: DataFrame, path: String,
+                                   maxPartitions: Int = MaxMarkerPartitions): Unit = {
     batch.write.mode("append").partitionBy(partitionCols: _*).json(path)
-    val parts = batch.select(partitionCols.map(org.apache.spark.sql.functions.col): _*)
-      .distinct().collect()
+    val distinctParts = batch
+      .select(partitionCols.map(org.apache.spark.sql.functions.col): _*).distinct()
+    val parts = distinctParts.limit(maxPartitions + 1).collect()
+    require(parts.length <= maxPartitions,
+      s"batch touches > $maxPartitions partition directories; " +
+        "refusing to collect the partition list to the driver for _SUCCESS " +
+        "markers — repartition time or use Spark's _spark_metadata commit log")
     parts.foreach { r =>
       val dir = partitionCols.zipWithIndex
         .map { case (c, i) => s"$c=${r.get(i)}" }.mkString("/")

@@ -174,6 +174,10 @@ object CorpusCuration {
     // assignBins is row-preserving, so the mixture row count and the bin
     // count both come off the final (persisted) frame in one action;
     // callers should `.unpersist()` the returned frame when done
+    // count_distinct skips rows where either argument is NULL — safe here
+    // because curate's language filter guarantees non-null lang_guess and
+    // assignBins always emits a bin; if upstream ever admits null strata,
+    // this undercounts vs a distinct().count() of the null tuple
     val packedStats = packed.agg(count(lit(1)).as("mixture_rows"),
       count_distinct(col("lang_guess"), col("bin")).as("bins")).head()
     clean.unpersist()

@@ -13,6 +13,7 @@ object CurationDrive {
     println(s"[curate] $stats")
     curated.groupBy("lang_guess", "split").count().orderBy("lang_guess", "split")
       .collect().foreach(r => println(s"[curate] ${r.mkString(" ")}"))
+    curated.unpersist()
     spark.stop()
   }
 }

@@ -47,7 +47,10 @@ class CorpusCurationSpec extends SparkTestBase {
         allowedLangs = Set("en", "und"), minQualityPpm = 300000L)
       val n = curated.count()
       curated.unpersist()
-      // listener delivery is async — wait until the execution stream drains
+      // listener delivery is async — wait until the execution stream drains.
+      // Timing-based (100ms polls, 3 stable reads, 10s deadline): if this
+      // ever flakes under load, raise the deadline / require more stable
+      // reads rather than asserting on a partially drained queue.
       var size = -1
       var stable = 0
       val deadline = System.nanoTime + 10000000000L
@@ -102,14 +105,16 @@ class CorpusCurationSpec extends SparkTestBase {
     assert(stats.sampled > 0, s"curation must keep some docs: $stats")
 
     val rows = curated.collect()
+    curated.unpersist()
     assert(rows.forall(_.getAs[Long]("quality_ppm") >= 300000L))
     assert(rows.forall(r => Set("train", "valid", "test").contains(r.getAs[String]("split"))))
     assert(rows.forall(r => Set("en", "und").contains(r.getAs[String]("lang_guess"))))
     // determinism: same input -> identical output set
     val (again, _) = CorpusCuration.curate(docs,
       allowedLangs = Set("en", "und"), minQualityPpm = 300000L)
-    assert(again.collect().map(_.getAs[Long]("doc_id")).sorted.toList ==
-      rows.map(_.getAs[Long]("doc_id")).sorted.toList)
+    val againIds = again.collect().map(_.getAs[Long]("doc_id")).sorted.toList
+    again.unpersist()
+    assert(againIds == rows.map(_.getAs[Long]("doc_id")).sorted.toList)
   }
 
   test("curateAndPack adds repetition/PII/decontamination/mixture/packing stages") {
@@ -128,6 +133,7 @@ class CorpusCurationSpec extends SparkTestBase {
     assert(stats.bins > 0)
 
     val rows = packed.collect()
+    packed.unpersist()
     assert(rows.nonEmpty)
     // packing is per language: bins numbered from 0 within each group
     val langs = rows.map(_.getAs[String]("lang_guess")).distinct

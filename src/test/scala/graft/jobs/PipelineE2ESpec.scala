@@ -79,4 +79,18 @@ class PipelineE2ESpec extends SparkTestBase {
     val files = Files.list(partDir).iterator().asScala.map(_.getFileName.toString).toList
     assert(files.exists(_.endsWith(".json")))
   }
+
+  test("marker pass refuses to collect a high-cardinality partition list") {
+    val outDir = Files.createTempDirectory("graft_s4c_").toString
+    // 3 distinct (year,month,day,hour) tuples against a guard of 2
+    val batch = Seq(
+      Telemetry("s1", 31, ts("2024-03-05 15:00:01")),
+      Telemetry("s1", 31, ts("2024-03-05 16:00:01")),
+      Telemetry("s1", 31, ts("2024-03-05 17:00:01"))).toDF()
+    val avgs = graft.ops.SensorOps.avgWithPartitions(batch)
+    val e = intercept[IllegalArgumentException] {
+      PartitionedJsonSink.writeBatchWithSuccessMarkers(avgs, outDir, maxPartitions = 2)
+    }
+    assert(e.getMessage.contains("partition directories"))
+  }
 }
