@@ -2,22 +2,36 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
 
-import graft.functions.Hashing
+import graft.functions.{Hashing, ImageMeta, ImageMetaExpr}
 
 /** Multimodal-column plumbing (north-star extensions, SURVEY.md §2.4).
   *
   * Images/audio/video are carried as opaque `binary` columns plus typed
   * metadata. The Spark-side contract — schema, partition-friendly batch
-  * shape, expression/`mapPartitions` seams — is real and tested; the actual
-  * media decode is STUBBED (`decodeStub`) with a deterministic fake because
-  * no media codec libraries ship in this environment. Swap `decodeStub`
-  * for a real decoder (e.g. a JNI/codec mapPartitions) without touching
-  * the surrounding dataflow.
+  * shape, expression/`mapPartitions` seams — is real and tested.
+  *
+  * IMAGE decode is REAL: [[decodeImageMeta]] / [[decodeImageBatched]]
+  * decode PNG/BMP/GIF/JPEG bytes with the JDK's `javax.imageio` (no
+  * external codec dependency) and emit exact integer pixel statistics.
+  * AUDIO/VIDEO decode (duration, frames) remains STUBBED
+  * (`decodeStub`) with a deterministic fake because no media codec
+  * libraries ship in this environment; swap it for a real decoder (e.g.
+  * a JNI codec in the [[decodeBatched]] seam) without touching the
+  * surrounding dataflow. The oracle queries (q42/q47/q72) gate the
+  * stub plumbing — schema, batching, determinism — which is shared by
+  * both paths.
   */
 /** Output row of the batched decode seam. */
 case class DecodedMedia(doc_id: Long, n_bytes: Long, width: Long, height: Long,
                         duration_ms: Long)
+
+/** Output row of the REAL image decode seam; meta fields are None for
+  * payloads no ImageIO reader understands.
+  */
+case class DecodedImage(doc_id: Long, n_bytes: Long, width: Option[Long],
+                        height: Option[Long], mean_pixel_ppm: Option[Long])
 
 object Multimodal {
 
@@ -100,6 +114,40 @@ object Multimodal {
           ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
         DecodedMedia(id, payload.length.toLong,
           h % 1280 + 1, h / 1280 % 720 + 1, h % 60000)
+      }
+    }.toDF()
+  }
+
+  /** REAL image decode, expression path: binary column →
+    * `struct<width, height, mean_pixel_ppm>` via JDK ImageIO, NULL for
+    * undecodable bytes. Exact integer stats — see
+    * [[graft.functions.ImageMeta.decode]].
+    */
+  def decodeImageMeta(payload: Column): Column =
+    ColumnBridge.column(ImageMetaExpr(ColumnBridge.expression(payload)))
+
+  /** REAL image decode, batched `mapPartitions` path — the production
+    * shape for heavy decodes: per-partition init (here: switching ImageIO
+    * off its temp-file stream cache) happens once, then the partition
+    * iterator streams through the decoder. Bit-identical metadata to
+    * [[decodeImageMeta]]; rows with undecodable payloads surface as
+    * None/NULL meta rather than vanishing, so corrupt-payload rates stay
+    * observable downstream.
+    */
+  def decodeImageBatched(df: DataFrame, idCol: String = "doc_id",
+                         payloadCol: String = "payload"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val withBin = df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+    withBin.mapPartitions { rows =>
+      ImageMeta.disableDiskCache() // init-once per partition
+      rows.map { case (id, payload) =>
+        ImageMeta.decode(payload) match {
+          case Some(m) => DecodedImage(id, payload.length.toLong,
+            Some(m.width), Some(m.height), Some(m.meanPixelPpm))
+          case None => DecodedImage(id, payload.length.toLong, None, None, None)
+        }
       }
     }.toDF()
   }

@@ -1,5 +1,10 @@
 package graft.ext
 
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.functions._
 
 import graft.SparkTestBase
@@ -8,6 +13,26 @@ class MultimodalSpec extends SparkTestBase {
   import spark.implicits._
 
   private def docs = Seq((1L, "hello world media payload")).toDF("doc_id", "text")
+
+  /** Encode a BufferedImage to bytes in the given ImageIO format. */
+  private def imageBytes(img: BufferedImage, format: String): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    assert(ImageIO.write(img, format, out), s"no ImageIO writer for $format")
+    out.toByteArray
+  }
+
+  /** 2×2 RGB test card: red, green / blue, white.
+    * Channel sum = 255 + 255 + 255 + 765 = 1530 over 4 px · 3 ch
+    * → mean_pixel_ppm = 1530·10⁶ / (3·255·4) = 500000 exactly.
+    */
+  private def testCard(): BufferedImage = {
+    val img = new BufferedImage(2, 2, BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xff0000)
+    img.setRGB(1, 0, 0x00ff00)
+    img.setRGB(0, 1, 0x0000ff)
+    img.setRGB(1, 1, 0xffffff)
+    img
+  }
 
   test("withPayload produces a binary column of the UTF-8 bytes") {
     val r = Multimodal.withPayload(docs).select("payload").collect().head
@@ -58,5 +83,54 @@ class MultimodalSpec extends SparkTestBase {
     assert(resize(1280L, 720L) == (224L, 126L)) // floor(720*224/1280)
     assert(resize(720L, 1280L) == (126L, 224L)) // portrait mirrors
     assert(resize(100L, 100L) == (224L, 224L))  // upscales to the box
+  }
+
+  test("decodeImageMeta: exact pixel stats on hand-built PNG and BMP bytes") {
+    val png = imageBytes(testCard(), "png")
+    // 3×1 BMP, all pixels gray 128 → mean_pixel_ppm = floor(128e6/255) = 501960
+    val grayImg = new BufferedImage(3, 1, BufferedImage.TYPE_INT_RGB)
+    (0 until 3).foreach(x => grayImg.setRGB(x, 0, 0x808080))
+    val bmp = imageBytes(grayImg, "bmp")
+
+    val out = Seq((1L, png), (2L, bmp), (3L, "not an image".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+      .select(col("doc_id"), Multimodal.decodeImageMeta(col("payload")).as("m"))
+      .select(col("doc_id"), col("m.width"), col("m.height"), col("m.mean_pixel_ppm"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+    assert(out(1L).getLong(1) == 2L && out(1L).getLong(2) == 2L)
+    assert(out(1L).getLong(3) == 500000L) // (255+255+255+765)·1e6 / (3·255·4)
+    assert(out(2L).getLong(1) == 3L && out(2L).getLong(2) == 1L)
+    assert(out(2L).getLong(3) == 501960L) // floor(128·1e6 / 255)
+    assert(out(3L).isNullAt(1) && out(3L).isNullAt(3), "non-image bytes → NULL meta")
+  }
+
+  test("decodeImageBatched agrees bit-for-bit with the expression path") {
+    // mixed formats, sizes and a corrupt row, across multiple partitions
+    val rng = new scala.util.Random(7)
+    val rows = (0L until 40L).map { i =>
+      if (i % 10 == 9) (i, Array.fill[Byte](16)((i % 120).toByte)) // undecodable
+      else {
+        val w = 1 + rng.nextInt(9)
+        val h = 1 + rng.nextInt(9)
+        val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+        (0 until w).foreach(x => (0 until h).foreach(y =>
+          img.setRGB(x, y, rng.nextInt(0x1000000))))
+        (i, imageBytes(img, if (i % 2 == 0) "png" else "bmp"))
+      }
+    }
+    val df = rows.toDF("doc_id", "payload").repartition(7)
+    val viaExpr = df
+      .select(col("doc_id"), octet_length(col("payload")).cast("long").as("n_bytes"),
+        Multimodal.decodeImageMeta(col("payload")).as("m"))
+      .select(col("doc_id"), col("n_bytes"),
+        col("m.width"), col("m.height"), col("m.mean_pixel_ppm"))
+      .as[DecodedImage].collect().sortBy(_.doc_id)
+    val viaBatch = Multimodal.decodeImageBatched(df)
+      .as[DecodedImage].collect().sortBy(_.doc_id)
+    assert(viaBatch.toList == viaExpr.toList)
+    assert(viaBatch.count(_.width.isEmpty) == 4, "corrupt rows surface as NULL meta")
+    assert(viaBatch.forall(r => r.width.isEmpty ||
+      (r.mean_pixel_ppm.get >= 0L && r.mean_pixel_ppm.get <= 1000000L)))
   }
 }
