@@ -18,7 +18,7 @@ object Bench {
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
     }
-    // Two timed passes over the full query set, reporting each query's
+    // Three timed passes over the full query set, reporting each query's
     // MINIMUM elapsed time — the standard way to strip scheduler/GC noise
     // from a wall-clock microbenchmark (observed ±15% run-to-run variance
     // on a single pass). A failed query still reports its elapsed time
@@ -35,9 +35,11 @@ object Bench {
           }
         (name, (System.nanoTime() - t0) / 1e9, err)
       }
-    val results = timedPass().zip(timedPass()).map {
-      case ((name, t1, e1), (_, t2, e2)) =>
-        (name, math.min(t1, t2), e1.orElse(e2))
+    val passes = Seq.fill(3)(timedPass())
+    val results = passes.transpose.map { runs =>
+      val name = runs.head._1
+      (name, runs.map(_._2).min, runs.flatMap(_._3).headOption,
+        runs.map(_._2).max)
     }
     // The whole report must be ONE short JSON line: the driver keeps only
     // the last ~2000 chars of stdout (round 3's 82 full-name entries blew
@@ -47,20 +49,36 @@ object Bench {
     // a comma-decimal locale would make the report line invalid JSON
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val shortKeys = results.map { case (k, _, _) => k.takeWhile(_ != '_') }
+    val shortKeys = results.map { case (k, _, _, _) => k.takeWhile(_ != '_') }
     require(shortKeys.distinct.size == shortKeys.size,
       "query short names (qNN prefixes) must be unique")
-    val qs = shortKeys.zip(results).map { case (sk, (_, v, _)) => s"\"$sk\":${fmt(v)}" }
+    val qs = shortKeys.zip(results).map { case (sk, (_, v, _, _)) => s"\"$sk\":${fmt(v)}" }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, Some(e)) => s"\"$k\":\"$e\"" }
+    val failed = results.collect { case (k, _, Some(e), _) => s"\"$k\":\"$e\"" }
       .mkString("{", ",", "}")
     val nFailed = results.count(_._3.isDefined)
     // "value" sums only succeeded queries — a query that dies in 0.1s must
     // not deflate the benchmark total; its elapsed time is reported
     // separately under "failed_sec".
-    val total = results.collect { case (_, v, None) => v }.sum
-    val failedSec = results.collect { case (_, v, Some(_)) => v }.sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"n_failed":$nFailed,"failed":$failed,"failed_sec":${fmt(failedSec)},"sf":"$sfDir"}""")
+    val total = results.collect { case (_, v, None, _) => v }.sum
+    val failedSec = results.collect { case (_, v, Some(_), _) => v }.sum
+    // Run-to-run spread evidence, so a round-over-round total drift can be
+    // attributed to noise vs code without re-running: relative spread
+    // (max-min)/min over the three passes, summarized as median + max over
+    // queries big enough for relative spread to mean anything (min >= 0.1s)
+    // and the three noisiest of those by name. Aggregates, not per-query —
+    // 99 per-query spreads would blow the driver's ~2 kB stdout tail.
+    val spreads = shortKeys.zip(results).collect {
+      case (sk, (_, mn, None, mx)) if mn >= 0.1 => (sk, (mx - mn) / mn * 100.0)
+    }
+    val spreadJson = if (spreads.isEmpty) """{"med_pct":0,"max_pct":0,"top":{}}""" else {
+      val sorted = spreads.map(_._2).sorted
+      val med = sorted(sorted.size / 2)
+      val top = spreads.sortBy(-_._2).take(3)
+        .map { case (k, p) => s"\"$k\":${fmt(p)}" }.mkString("{", ",", "}")
+      s"""{"med_pct":${fmt(med)},"max_pct":${fmt(sorted.last)},"top":$top}"""
+    }
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"n_failed":$nFailed,"failed":$failed,"failed_sec":${fmt(failedSec)},"spread":$spreadJson,"sf":"$sfDir"}""")
     spark.stop()
     if (nFailed > 0) sys.exit(1) // a failed query is a failed benchmark run
   }
