@@ -305,8 +305,8 @@ object Dedup {
     * iteration is one join + one aggregate, loop count = graph diameter
     * (tiny for near-dup clusters, which are cliques-ish).
     * `localCheckpoint` cuts lineage between iterations. At extreme scale
-    * swap in large-star/small-star (Kiveris et al.) — same join/agg
-    * primitives, fewer rounds.
+    * (or high-diameter dup graphs) swap in [[nearDupClustersLSS]] —
+    * large-star/small-star, same primitives, O(log² n) rounds.
     */
   def nearDupClusters(
       docs: DataFrame,
@@ -390,6 +390,93 @@ object Dedup {
     // tiny and broadcast-join back onto the corpus
     docs.select(col(idCol).as("id"))
       .join(labels.withColumnRenamed("label", "cluster_id"), Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+  }
+
+  /** Connected components via alternating LARGE-STAR / SMALL-STAR rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — the documented extreme-scale swap for
+    * [[nearDupClusters]]'s min-label loop. Identical output contract:
+    * every doc labeled with the minimum id reachable through pair edges,
+    * own id for singletons.
+    *
+    * Why it exists: min-label propagation needs DIAMETER rounds — a
+    * pathological chain of near-dup docs (a↔b, b↔c, …) makes the round
+    * count linear in chain length. Large-star/small-star converges in
+    * O(log² n) rounds worst-case (≈5 in practice) regardless of diameter,
+    * with the same per-round primitives (one shuffle per star step, as a
+    * window-min over the grouping endpoint).
+    *
+    *  - large-star: per node u, hook every LARGER neighbor to
+    *    m = min(Γ(u) ∪ u) — edges (m, v) for v ∈ Γ(u), v > u;
+    *  - small-star: per node u over its SMALLER neighbors, hook them and
+    *    u itself to m = min(Γ≤(u) ∪ u);
+    *  - fixed point: a forest of stars centered at component minima
+    *    (checked exactly with an anti-join, one cheap job per round —
+    *    edge sums can collide across different edge sets, so a checksum
+    *    shortcut like [[nearDupClusters]]'s Σ(label) is not sound here).
+    *
+    * Edge volume never grows (every emitted edge replaces one incident
+    * edge with a star edge to a smaller node), so each round's shuffle is
+    * bounded by the candidate-pair volume — at 100 TB this scales with
+    * dup density, not corpus size, and the corpus itself is touched once
+    * by the final broadcast label join.
+    */
+  def nearDupClustersLSS(
+      docs: DataFrame,
+      pairs: DataFrame,
+      idCol: String = "doc_id",
+      maxIterations: Int = 30
+  ): DataFrame = {
+    // canonical distinct undirected edges, lo < hi
+    var edges = pairs
+      .select(least(col("id_a"), col("id_b")).as("lo"),
+        greatest(col("id_a"), col("id_b")).as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .distinct()
+      .localCheckpoint(true)
+
+    def largeStar(e: DataFrame): DataFrame = {
+      // both orientations: every node sees its full neighborhood
+      val nbrs = e.select(col("lo").as("a"), col("hi").as("b"))
+        .union(e.select(col("hi").as("a"), col("lo").as("b")))
+      val m = least(min(col("b")).over(Window.partitionBy(col("a"))), col("a"))
+      nbrs.withColumn("m", m)
+        .filter(col("b") > col("a")) // hook only larger neighbors: m <= a < b
+        .select(col("m").as("lo"), col("b").as("hi"))
+        .distinct()
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      // orient towards the larger endpoint: group a = hi over neighbors b < a
+      val oriented = e.select(col("hi").as("a"), col("lo").as("b"))
+      val withMin = oriented
+        .withColumn("m", min(col("b")).over(Window.partitionBy(col("a"))))
+      // hook every smaller neighbor except the min itself (m < b), and a
+      withMin.filter(col("b") =!= col("m"))
+        .select(col("m").as("lo"), col("b").as("hi"))
+        .union(withMin.select(col("m").as("lo"), col("a").as("hi")))
+        .distinct()
+    }
+
+    var converged = edges.isEmpty
+    var iter = 0
+    while (!converged && iter < maxIterations) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      // exact fixed-point check: equal edge count and no edge outside the
+      // previous set (anti-join) — both one small job over star edges
+      converged = next.count() == edges.count() &&
+        next.join(edges, Seq("lo", "hi"), "left_anti").isEmpty
+      edges = next
+      iter += 1
+    }
+    // fixed point = stars centered at component minima: every non-min node
+    // appears exactly once as `hi` with its component min as `lo`
+    val labels = edges.select(col("hi").as("id"), col("lo").as("cluster_id"))
+      .groupBy("id").agg(min(col("cluster_id")).as("cluster_id"))
+    docs.select(col(idCol).as("id"))
+      .join(labels, Seq("id"), "left")
       .select(col("id").as(idCol),
         coalesce(col("cluster_id"), col("id")).as("cluster_id"))
   }

@@ -48,6 +48,8 @@ object DedupThroughput {
     println(s"[dedup-tput] candidate pairs: ${pairs.count()}")
     time("nearDupClusters")(
       graft.ext.Dedup.nearDupClusters(docs, pairs).count())
+    time("nearDupClustersLSS")(
+      graft.ext.Dedup.nearDupClustersLSS(docs, pairs).count())
     spark.stop()
   }
 }

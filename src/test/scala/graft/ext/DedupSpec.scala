@@ -76,6 +76,50 @@ class DedupSpec extends SparkTestBase {
     assert(kept.toList == List(0L, 1L, 4L, 5L))
   }
 
+  private def lssLabels(n: Long, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val ids = (0L until n).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = edges.toDF("id_a", "id_b")
+    Dedup.nearDupClustersLSS(ids, pairs).as[(Long, Long)].collect().toMap
+  }
+
+  test("nearDupClustersLSS matches both min-label paths on random graphs") {
+    val rng = new scala.util.Random(42)
+    for (trial <- 0 until 3) {
+      val n = 60 + trial * 40
+      val edges = Seq.fill(n)((rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val ids = (0L until n.toLong).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+      val pairs = edges.toDF("id_a", "id_b")
+      val viaLss = Dedup.nearDupClustersLSS(ids, pairs).as[(Long, Long)].collect().toMap
+      // driver union-find path (default threshold)
+      val viaUf = Dedup.nearDupClusters(ids, pairs).as[(Long, Long)].collect().toMap
+      // distributed min-label path (threshold 0 disables the driver path)
+      val viaMinLabel = Dedup.nearDupClusters(ids, pairs, driverMaxEdges = 0L,
+        maxIterations = 64).as[(Long, Long)].collect().toMap
+      assert(viaLss == viaUf, s"trial $trial: LSS vs union-find")
+      assert(viaLss == viaMinLabel, s"trial $trial: LSS vs distributed min-label")
+    }
+  }
+
+  test("nearDupClustersLSS converges in O(log n) rounds on a long path graph") {
+    // a 4096-node chain has diameter 4095: min-label propagation would
+    // need ~4095 rounds, LSS's 30-round default must label every node 0
+    val n = 4096L
+    val chain = (0L until n - 1).map(i => (i, i + 1))
+    val labels = lssLabels(n, chain)
+    assert(labels.size == n.toInt)
+    assert(labels.values.forall(_ == 0L),
+      s"chain must collapse to component min 0; distinct labels: ${labels.values.toSet.take(5)}")
+  }
+
+  test("nearDupClustersLSS handles cliques, singletons and duplicate/reversed edges") {
+    // component {1,2,3} given as a clique with both orientations and dups,
+    // component {5,6}, singletons 0 and 4
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 3L), (6L, 5L), (6L, 5L))
+    val labels = lssLabels(7L, edges)
+    assert(labels == Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L))
+  }
+
   test("contamination counts distinct shared n-grams against the benchmark; misses count 0") {
     // benchmark doc = `doc`; corpus: an exact copy (all 6 5-grams hit),
     // a partial overlap (prefix shares some 5-grams), and an unrelated doc
