@@ -243,12 +243,19 @@ object TextOps {
         floor(col("n_hapax") * 1000000L / col("n_tokens")).cast("long").as("hapax_ppm"))
 
   /** Sentence segmentation: split after `.`/`!`/`?` followed by
-    * whitespace (Java-regex lookbehind — no oracle twin: RE2 engines
-    * lack lookbehind, so this operator is spec-verified only). Empty
-    * segments from trailing punctuation are dropped. Per-row scalar op.
+    * whitespace. RE2-safe formulation — mark each terminator+whitespace
+    * boundary with a sentinel (`\u001F`, the ASCII unit separator) via a
+    * capture-group replace, then split on the sentinel. No lookbehind, so
+    * the rule set is expressible verbatim in RE2 engines (DuckDB
+    * `regexp_replace(..., 'g')` + `string_split`); a spec pins equality
+    * with the previous `(?<=[.!?])\s+` lookbehind split on the fixture
+    * corpus. Empty segments from trailing punctuation are dropped.
+    * Per-row scalar op. Input containing a literal `\u001F` (a control
+    * char no real text carries) would gain extra split points.
     */
   def sentences(text: Column): Column =
-    filter(split(text, "(?<=[.!?])\\s+"), s => length(trim(s)) > 0)
+    filter(split(regexp_replace(text, "([.!?])\\s+", "$1\u001F"), "\u001F"),
+      s => length(trim(s)) > 0)
 
   /** Per-document sentence statistics: count and mean sentence length in
     * centitokens (integer-exact).

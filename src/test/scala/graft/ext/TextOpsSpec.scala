@@ -133,6 +133,36 @@ class TextOpsSpec extends SparkTestBase {
     assert(one[Long](meanC, "a b. c d. e f.") == 200L) // 6 tokens / 3 = 2.00
   }
 
+  test("sentences: RE2-safe sentinel split equals the lookbehind formulation") {
+    // the previous implementation, kept here as the behavioral reference
+    val reference = org.apache.spark.sql.functions.filter(
+      split(col("text"), "(?<=[.!?])\\s+"),
+      s => length(trim(s)) > 0)
+
+    // tricky hand cases: terminator runs, tabs/newlines, abbreviations,
+    // unicode, punctuation-only docs, empty-ish strings
+    val tricky = Seq(
+      "Dr. No! Right? yes.. end", "a.. b", "a.\t\nb", "x!?  y", "...",
+      "one. two.  three.", " leading. ", "no terminators at all",
+      "¿qué? sí. 好。中文! ok", "a . b", "e.g. i.e. etc.", "!bang", "")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val trickyDf = tricky.toDF("doc_id", "text")
+    val trickyOut = trickyDf.select(col("doc_id"),
+      TextOps.sentences(col("text")).as("now"), reference.as("ref"))
+      .collect()
+    trickyOut.foreach { r =>
+      assert(r.getAs[collection.Seq[String]]("now") == r.getAs[collection.Seq[String]]("ref"),
+        s"doc ${r.getLong(0)}: '${tricky(r.getLong(0).toInt)._2}'")
+    }
+
+    // property: equality over the whole fixture corpus
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val mismatches = docs.select(
+      TextOps.sentences(col("text")).as("now"), reference.as("ref"))
+      .filter(col("now") =!= col("ref")).count()
+    assert(mismatches == 0L, s"$mismatches fixture docs segment differently")
+  }
+
   test("stripMarkup removes tags, unescapes one entity level, collapses whitespace") {
     assert(one[String](TextOps.stripMarkup(col("text")),
       "<div id=\"x\"><p>a  b</p> c <br/> d</div>") == "a b c d")
