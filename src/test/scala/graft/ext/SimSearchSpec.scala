@@ -53,11 +53,13 @@ class SimSearchSpec extends SparkTestBase {
     assert(a == b)
   }
 
-  test("ANN recall on the real fixture corpus beats its scan fraction (sf0.001)") {
+  test("ANN recall@10 floor on the real fixture corpus (q40/q41 parameters)") {
     val dir = "/root/testdata/sf0.001"
     assume(new java.io.File(s"$dir/embeddings.parquet").exists())
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
-    val queries = emb.filter(col("vec_id") < 5)
+    // 50 query vectors: recall@10 run-to-run spread at nq=5 is wide enough
+    // to mask a real regression; 50 stabilizes the mean
+    val queries = emb.filter(col("vec_id") < 50)
     def top10(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
       df.select("qid", "vid").as[(Long, Long)].collect()
         .groupBy(_._1).map { case (q, vs) => q -> vs.map(_._2).toSet }
@@ -66,16 +68,20 @@ class SimSearchSpec extends SparkTestBase {
       truth.map { case (q, t) =>
         got.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
       }.sum / truth.size
-    // the fixture embeddings are isotropic (no cluster structure), so
-    // recall ~ tracks candidate-scan fraction; these bounds pin that each
-    // method retrieves real neighbors, not noise (random scan of the same
-    // fraction would land near it, the methods must clear it)
+    // The fixture embeddings are isotropic (no cluster structure), so
+    // recall tracks candidate-scan fraction: LSH at probeBits=6 scans
+    // 7/64 buckets (~11%), IVF at nprobe=8/32 scans ~25%. Measured
+    // recall@10 at these params (RecallProbe): LSH 0.23, IVF 0.54 —
+    // about 2x the random-scan baseline. The floors sit between measured
+    // and baseline, so a parameter/bucketing change that silently
+    // degrades retrieval to random-scan quality (LSH ~0.11, IVF ~0.25)
+    // FAILS, while ordinary fixture-level variance passes.
     val lsh = recall(top10(SimSearch.topKLsh(emb, queries, k = 10, dim = 64,
       numPlanes = 6, probeBits = 6)))
     val ivf = recall(top10(SimSearch.topKIvfPivots(emb, queries, k = 10,
       nlist = 32, nprobe = 8)))
-    assert(lsh >= 0.10, s"LSH recall@10 too low: $lsh")
-    assert(ivf >= 0.30, s"IVF recall@10 too low: $ivf")
+    assert(lsh >= 0.15, s"LSH recall@10 regressed toward random-scan: $lsh")
+    assert(ivf >= 0.40, s"IVF recall@10 regressed toward random-scan: $ivf")
   }
 
   test("VectorOps cosine/dot/l2 compute in double precision") {

@@ -62,4 +62,43 @@ class StreamBatchParitySpec extends SparkTestBase {
     assert(stream == batch,
       s"drained stream must equal batch on closed windows; stream=${stream.size} batch=${batch.size}")
   }
+
+  test("near-dup: drained stream hit ids equal the batch LSH candidate ids") {
+    import graft.ext.Dedup
+    import graft.streaming.StatefulOps
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    // batch candidates: every doc that shares a band bucket with a
+    // SMALLER id — exactly the ids minhashPairs emits on the larger side
+    val batchHitIds = Dedup.minhashPairs(docs)
+      .select(col("id_b")).distinct().as[Long].collect().toSet
+
+    // stage the corpus as ONE parquet file with a synthetic event time:
+    // availableNow then drains it in a single micro-batch, within which
+    // the detector is arrival-order independent (it sorts each band
+    // group by id). TTL far beyond the (constant) event-time span.
+    val stageDir = Files.createTempDirectory("graft_ndparity_in_").toString
+    docs.withColumn("event_time",
+        lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .coalesce(1).write.mode("overwrite").parquet(stageDir)
+    val schema = spark.read.parquet(stageDir).schema
+
+    val hits = StatefulOps.nearDupHits(
+      spark.readStream.schema(schema).parquet(stageDir), ttlMs = 86400000L)
+    val chk = Files.createTempDirectory("graft_ndparity_chk_").toString
+    val query = hits.writeStream.format("memory").queryName("ndparity_out")
+      .option("checkpointLocation", chk)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    query.awaitTermination(120000)
+
+    val streamHitIds = spark.table("ndparity_out")
+      .select(col("id")).distinct().as[Long].collect().toSet
+    assert(batchHitIds.nonEmpty, "fixture must contain near-dup candidates")
+    assert(streamHitIds == batchHitIds,
+      s"stream=${streamHitIds.size} batch=${batchHitIds.size}; " +
+        s"onlyStream=${(streamHitIds -- batchHitIds).take(5)} " +
+        s"onlyBatch=${(batchHitIds -- streamHitIds).take(5)}")
+  }
 }
