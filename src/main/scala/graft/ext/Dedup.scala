@@ -552,4 +552,75 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }
+
+  // ------------------------------------------------------------- semantic
+
+  /** SemDeDup-style semantic near-dup pairs (Abbas et al., 2023:
+    * cluster the embedding space, compare only within clusters): assign
+    * every vector to its `nprobe` nearest of `nlist` deterministic pivot
+    * centroids ([[SimSearch.pivotCentroids]] — broadcast, map-side, no
+    * shuffle), then emit pairs with cosine ≥ `threshold` among vectors
+    * sharing a pivot. Output `(id_a, id_b, cos)` with `id_a < id_b`,
+    * matching [[embeddingNearDupPairs]] — and always a SUBSET of it
+    * (same threshold), reaching equality at `nlist = 1`.
+    *
+    * Scale shape: one broadcast-assign scan + one shuffle on `cent_id` +
+    * within-cluster pair scoring — Σ cluster² · d work instead of the
+    * exact verifier's n² · d; cluster granularity (`nlist` ∝ corpus/
+    * target-cluster-size) bounds both skew and per-cluster cost. Pairs
+    * straddling cluster boundaries are missed by construction —
+    * `nprobe > 1` trades shuffle volume for boundary recall. At 100 TB
+    * replace the hash pivots with trained k-means centroids
+    * ([[SimSearch.trainIvfCentroids]]) for tighter clusters; the
+    * dataflow is unchanged.
+    */
+  def semanticDupPairs(
+      embeddings: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      threshold: Double = 0.9,
+      nlist: Int = 16,
+      nprobe: Int = 1,
+      seed: Int = 9
+  ): DataFrame = {
+    val centB = broadcast(SimSearch.pivotCentroids(embeddings, idCol, vecCol, nlist, seed))
+    val wAssign = Window.partitionBy(col("id")).orderBy(col("d"), col("cent_id"))
+    val assigned = embeddings
+      .select(col(idCol).as("id"), col(vecCol).as("v"),
+        VectorOps.norm(col(vecCol)).as("nrm"))
+      .crossJoin(centB) // broadcast NLJ: corpus × nlist pivots, map-side
+      .withColumn("d",
+        VectorOps.normSq(col("pv")) - lit(2.0) * VectorOps.dot(col("v"), col("pv")))
+      .withColumn("cr", row_number().over(wAssign))
+      .filter(col("cr") <= nprobe)
+      .select(col("cent_id"), col("id"), col("v"), col("nrm"))
+    val a = assigned.select(col("cent_id"), col("id").as("id_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = assigned.select(col("cent_id"), col("id").as("id_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("cent_id"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", VectorOps.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= threshold)
+      // nprobe > 1 can surface one pair under several shared pivots
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+      .distinct()
+  }
+
+  /** Semantic dedup end to end: keep the canonical (minimum-id) vector of
+    * every semantic-duplicate component. Composes [[semanticDupPairs]]
+    * with the same keep rule as [[keepCanonical]].
+    */
+  def semanticDedup(
+      embeddings: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      threshold: Double = 0.9,
+      nlist: Int = 16,
+      nprobe: Int = 1,
+      seed: Int = 9
+  ): DataFrame = {
+    val pairs = semanticDupPairs(embeddings, idCol, vecCol, threshold, nlist, nprobe, seed)
+    keepCanonical(embeddings, pairs, idCol)
+  }
 }

@@ -138,6 +138,41 @@ class DedupSpec extends SparkTestBase {
     assert(hits(2L) == 0L)
   }
 
+  test("semanticDupPairs: subset of exact pairs; equality at nlist=1; dedup keeps canonical") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+
+    // threshold low enough that the isotropic fixture yields real pairs
+    // (max pairwise cosine in the fixture is ~0.48)
+    val th = 0.35
+    val exact = pairSet(Dedup.embeddingNearDupPairs(emb, threshold = th))
+    assert(exact.nonEmpty, "fixture must contain semantic pairs at this threshold")
+
+    // nlist=1: one cluster = the full all-pairs comparison
+    assert(pairSet(Dedup.semanticDupPairs(emb, threshold = th, nlist = 1)) == exact)
+
+    // clustered: strict subset semantics (never a false pair), sane recall
+    val clustered = pairSet(Dedup.semanticDupPairs(emb, threshold = th, nlist = 8))
+    assert(clustered.subsetOf(exact), s"false pairs: ${(clustered -- exact).take(3)}")
+    val recall1 = clustered.size.toDouble / exact.size
+    // nprobe=2 must not lose pairs vs nprobe=1 and should help boundary recall
+    val probed = pairSet(Dedup.semanticDupPairs(emb, threshold = th, nlist = 8, nprobe = 2))
+    assert(clustered.subsetOf(probed))
+    assert(probed.subsetOf(exact))
+    assert(probed.size.toDouble / exact.size >= recall1)
+
+    // end-to-end keep rule: dropped ids are exactly the non-min members of
+    // the pair components
+    val kept = Dedup.semanticDedup(emb, threshold = th, nlist = 1)
+      .select("vec_id").as[Long].collect().toSet
+    val exactKept = Dedup.keepCanonical(emb, Dedup.embeddingNearDupPairs(emb, threshold = th),
+      idCol = "vec_id").select("vec_id").as[Long].collect().toSet
+    assert(kept == exactKept)
+  }
+
   test("embeddingNearDupPairs flags high-cosine pairs only") {
     val vecs = Seq(
       (0L, Array(1f, 0f, 0f)),
