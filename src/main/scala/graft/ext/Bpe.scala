@@ -1,0 +1,113 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+import graft.functions.BpeSegmentExpr
+
+/** Byte-pair-encoding tokenizer (Sennrich et al., 2016) — trained on the
+  * corpus, applied as a codegen-era expression. Upgrades the pipeline's
+  * token accounting from whitespace counts ([[TextOps.tokenCount]]) and
+  * the length heuristic ([[TextOps.approxSubwordCount]]) to
+  * tokenizer-EXACT subword counts — what sequence packing
+  * ([[Packing.assignBins]]) actually needs to fill context windows.
+  *
+  * Scale shape, split by phase:
+  *  - WORD COUNTING is the corpus-scale part: one `explode` + one
+  *    hash-aggregate shuffle over 100 TB — the same plan as any
+  *    `groupBy(word).count()`.
+  *  - MERGE TRAINING runs over the DISTINCT-WORD table, which is bounded
+  *    by vocabulary (Heaps' law), not corpus size — and is further capped
+  *    to the `maxTrainWords` most frequent words (distributed top-k),
+  *    which carry virtually all token mass under Zipf. The capped table
+  *    collects to the driver for the classic iterative merge loop: the
+  *    same deliberate small-side trade as broadcast joins and
+  *    [[Dedup.nearDupClusters]]'s union-find path, versus ~2 distributed
+  *    jobs per merge × thousands of merges.
+  *  - APPLICATION is a per-row scalar expression with broadcast-cloned
+  *    merge ranks and a per-thread Zipf memo — embarrassingly parallel.
+  */
+object Bpe {
+
+  /** Corpus word counts: one explode + one shuffle. */
+  def wordCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(explode(TextOps.tokens(col(textCol))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("n"))
+
+  /** Train `numMerges` BPE merge rules on the corpus. Deterministic:
+    * ties on pair frequency break on the lexicographically smaller pair,
+    * and the training set is the `maxTrainWords` most frequent words
+    * (ties on count break on the lexicographically smaller word).
+    */
+  def trainMerges(
+      docs: DataFrame,
+      numMerges: Int,
+      textCol: String = "text",
+      maxTrainWords: Int = 1 << 20
+  ): Seq[(String, String)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val top = wordCounts(docs, textCol)
+      .orderBy(col("n").desc, col("word"))
+      .limit(maxTrainWords)
+      .as[(String, Long)].collect()
+
+    // classic driver loop over (symbol-sequence, count) vocab entries
+    var vocab: Array[(Array[String], Long)] =
+      top.map { case (w, n) => (w.map(_.toString).toArray, n) }
+    val out = Vector.newBuilder[(String, String)]
+    var m = 0
+    var exhausted = false
+    while (m < numMerges && !exhausted) {
+      val counts = new java.util.HashMap[(String, String), Long]()
+      vocab.foreach { case (parts, n) =>
+        var i = 0
+        while (i < parts.length - 1) {
+          counts.merge((parts(i), parts(i + 1)), n, _ + _)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        var best: (String, String) = null
+        var bestN = -1L
+        counts.forEach { (p, n) =>
+          if (n > bestN || (n == bestN &&
+              (p._1 < best._1 || (p._1 == best._1 && p._2 < best._2)))) {
+            best = p; bestN = n
+          }
+        }
+        out += best
+        val (a, b) = best
+        vocab = vocab.map { case (parts, n) =>
+          if (!parts.indices.init.exists(i => parts(i) == a && parts(i + 1) == b))
+            (parts, n)
+          else {
+            val nb = Array.newBuilder[String]
+            var j = 0
+            while (j < parts.length) {
+              if (j < parts.length - 1 && parts(j) == a && parts(j + 1) == b) {
+                nb += a + b; j += 2
+              } else { nb += parts(j); j += 1 }
+            }
+            (nb.result(), n)
+          }
+        }
+        m += 1
+      }
+    }
+    out.result()
+  }
+
+  /** Subword token array of `text` under the trained merge table. */
+  def segment(text: Column, merges: Seq[(String, String)]): Column =
+    ColumnBridge.column(BpeSegmentExpr(ColumnBridge.expression(text), merges))
+
+  /** Tokenizer-exact token count — the drop-in for
+    * [[TextOps.approxSubwordCount]] once a merge table is trained.
+    */
+  def tokenCount(text: Column, merges: Seq[(String, String)]): Column =
+    size(segment(text, merges)).cast("long")
+}
