@@ -302,6 +302,40 @@ object TextOps {
         floor(sum(col("unats")) / count(lit(1))).cast("long").as("lm_score_unats"))
   }
 
+  /** CCNet-style perplexity bucketing on top of [[bigramLmScore]]: split
+    * the corpus into `nBuckets` quantile bands of the LM score (CCNet
+    * keeps the "head"/"middle" of the perplexity distribution and drops
+    * the tail). Scale-correct formulation: ONE aggregate computes the
+    * exact score quantile cutoffs, which are collected (nBuckets−1
+    * doubles) and inlined into a per-row bucket assignment — no
+    * global-sort `ntile` single-partition window. Output: bigramLmScore
+    * columns + `bucket` (1 = most predictable … nBuckets = rarest).
+    * Ties at a cutoff fall into the lower bucket, so bucket populations
+    * can be uneven when scores repeat — deterministic, engine-portable.
+    */
+  def lmScoreBuckets(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text", nBuckets: Int = 3): DataFrame =
+    // two passes over the score pipeline by construction (cutoffs, then
+    // assignment) — pre-compute bigramLmScore onto a persisted frame and
+    // call [[bucketsByScore]] directly when the upstream is expensive
+    bucketsByScore(bigramLmScore(docs, idCol, textCol), "lm_score_unats", nBuckets)
+
+  /** Quantile-band assignment for any numeric score column (the reusable
+    * half of [[lmScoreBuckets]]).
+    */
+  def bucketsByScore(scored: DataFrame, scoreCol: String,
+                     nBuckets: Int): DataFrame = {
+    require(nBuckets >= 2, "need at least 2 buckets")
+    val qs = (1 until nBuckets).map(_.toDouble / nBuckets)
+    val cuts = scored.agg(
+      percentile_approx(col(scoreCol), typedlit(qs), lit(10000)).as("cuts"))
+      .head().getSeq[Any](0)
+    val bucket = cuts.foldLeft(lit(1)) { (acc, c) =>
+      acc + when(col(scoreCol) > lit(c), 1).otherwise(0)
+    }
+    scored.withColumn("bucket", bucket.cast("long"))
+  }
+
   /** Corpus-level token statistics (one shuffle). */
   def tokenStats(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.select(explode(tokens(col(textCol))).as("token"))

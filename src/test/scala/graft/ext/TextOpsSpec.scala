@@ -117,6 +117,29 @@ class TextOpsSpec extends SparkTestBase {
     assert(m(1L) == (7L, expect))
   }
 
+  test("lmScoreBuckets: CCNet-style quantile bands over the bigram LM score") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = TextOps.lmScoreBuckets(docs, nBuckets = 3)
+      .select("id", "lm_score_unats", "bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    assert(out.map(_._3).toSet.subsetOf(Set(1L, 2L, 3L)))
+    // banding is monotone in the score: every head doc scores <= every
+    // tail doc
+    val byBucket = out.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+    assert(byBucket.keySet == Set(1L, 2L, 3L), s"bands seen: ${byBucket.keySet}")
+    assert(byBucket(1L).max <= byBucket(3L).min)
+    assert(byBucket(1L).max <= byBucket(2L).min || byBucket(2L).isEmpty)
+    // roughly balanced thirds (ties at a cutoff may skew populations)
+    val n = out.length
+    byBucket.values.foreach(b =>
+      assert(b.length > n / 6 && b.length < n / 2, s"band sizes: ${byBucket.view.mapValues(_.length).toMap}"))
+    // deterministic
+    val again = TextOps.lmScoreBuckets(docs, nBuckets = 3)
+      .select("id", "bucket").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out.forall { case (id, _, b) => again(id) == b })
+  }
+
   test("sentences: splits after terminal punctuation, drops empty tails") {
     assert(one[collection.Seq[String]](TextOps.sentences(col("text")),
       "First one. Second two! Third three? tail").toList ==
