@@ -553,6 +553,85 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }
 
+  // ------------------------------------------------------------ substring
+
+  /** Cross-document duplicate SPANS — the substring-granular dedup of
+    * Lee et al., 2022 ("Deduplicating Training Data Makes Language
+    * Models Better"), re-expressed Spark-first: where the paper builds a
+    * corpus-wide suffix array (inherently sequential), this finds every
+    * word `k`-gram occurring in ≥ `minDocs` distinct documents — one
+    * explode + one fingerprint shuffle, the same cost class as the
+    * shingle ops — and merges OVERLAPPING duplicated windows per document
+    * into maximal spans with a gaps-and-islands window pass.
+    *
+    * Output `(id, start_tok, end_tok, n_tokens)` with token-index spans
+    * (`[start_tok, end_tok)`, 0-based): every token inside a span lies in
+    * at least one k-gram shared with another document. Boilerplate
+    * headers, license blocks and templated passages surface here even
+    * when whole-document near-dup misses them.
+    *
+    * Scale shape: k-gram explode is ~tokens-per-doc rows per document
+    * (linear); the duplicate-gram filter is one hash-agg on the 128-bit
+    * gram fingerprint; span assembly windows on `id` — shuffles scale
+    * with corpus token count, never quadratic. `minDocs` > 2 turns the
+    * operator into a boilerplate detector (spans shared by many docs).
+    */
+  def duplicateSpans(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 8,
+      minDocs: Int = 2
+  ): DataFrame = {
+    val grams = docs.select(col(idCol).as("id"),
+        posexplode(TextOps.shingles(col(textCol), k)).as(Seq("pos", "gram")))
+      .select(col("id"), col("pos"), TextOps.fingerprint(col("gram")).as("g"))
+    val dupGrams = grams.groupBy("g")
+      .agg(count_distinct(col("id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("g")
+    val occ = grams.join(dupGrams, Seq("g")).select("id", "pos")
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    occ.withColumn("prev", lag(col("pos"), 1).over(w))
+      // overlap iff pos < prev + k; adjacent-but-disjoint windows stay
+      // separate spans (the text crossing the boundary is not itself a
+      // duplicated k-gram)
+      .withColumn("brk",
+        when(col("prev").isNull || col("pos") >= col("prev") + k, 1).otherwise(0))
+      .withColumn("island", sum(col("brk")).over(w))
+      .groupBy(col("id"), col("island"))
+      .agg(min(col("pos")).as("start_tok"), (max(col("pos")) + k).as("end_tok"))
+      .select(col("id"), col("start_tok"), col("end_tok"),
+        (col("end_tok") - col("start_tok")).as("n_tokens"))
+  }
+
+  /** Remove every [[duplicateSpans]] token range from the text (the
+    * aggressive every-copy policy — callers wanting keep-one-copy
+    * semantics anti-join a canonical doc choice out of `spans` first).
+    * Per-row lambda filtering over the token array — the HOF tax is per
+    * row and bounded by doc length; spans per doc arrive as one small
+    * broadcast-shaped array column.
+    */
+  def scrubDuplicateSpans(
+      docs: DataFrame,
+      spans: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    val spanArr = spans.groupBy(col("id").as(idCol))
+      .agg(collect_list(struct(col("start_tok"), col("end_tok"))).as("__spans"))
+    val toks = TextOps.tokens(col(textCol))
+    val keep = filter(
+      zip_with(toks, sequence(lit(0), size(toks) - 1), (t, i) => struct(t.as("t"), i.as("i"))),
+      p => !exists(col("__spans"), s =>
+        p.getField("i") >= s.getField("start_tok") && p.getField("i") < s.getField("end_tok")))
+    docs.join(spanArr, Seq(idCol), "left")
+      .withColumn(textCol,
+        when(col("__spans").isNull, col(textCol))
+          .otherwise(concat_ws(" ", transform(keep, p => p.getField("t")))))
+      .drop("__spans")
+  }
+
   // ------------------------------------------------------------- semantic
 
   /** SemDeDup-style semantic near-dup pairs (Abbas et al., 2023:

@@ -1,5 +1,7 @@
 package graft.ext
 
+import org.apache.spark.sql.functions.col
+
 import graft.SparkTestBase
 
 class DedupSpec extends SparkTestBase {
@@ -136,6 +138,58 @@ class DedupSpec extends SparkTestBase {
     // doc 1 has 7 tokens -> 3 5-grams, of which the first two appear in doc
     assert(hits(1L) == 2L)
     assert(hits(2L) == 0L)
+  }
+
+  test("duplicateSpans finds maximal cross-doc spans; scrub removes exactly those tokens") {
+    // 10-token passage shared by docs 1 and 2 at different offsets
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val a = s"intro one two $shared outro three"
+    val b = s"$shared completely different ending here"
+    val c = "nothing in common with anything else at all"
+    val docs3 = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+
+    val spans = Dedup.duplicateSpans(docs3, k = 4)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(s => s._1 -> (s._2, s._3)).groupBy(_._1).view.mapValues(_.map(_._2).toList).toMap
+    // doc 1: shared passage = tokens [3, 13); doc 2: [0, 10); doc 3: none
+    assert(spans(1L) == List((3L, 13L)), s"doc1 spans: ${spans.get(1L)}")
+    assert(spans(2L) == List((0L, 10L)), s"doc2 spans: ${spans.get(2L)}")
+    assert(!spans.contains(3L))
+
+    val scrubbed = Dedup.scrubDuplicateSpans(docs3, Dedup.duplicateSpans(docs3, k = 4))
+      .as[(Long, String)].collect().toMap
+    assert(scrubbed(1L) == "intro one two outro three")
+    assert(scrubbed(2L) == "completely different ending here")
+    assert(scrubbed(3L) == c)
+  }
+
+  test("duplicateSpans: adjacent-but-disjoint duplicated windows stay separate spans") {
+    // docs share tokens [0,4) and [5,9) of doc 1 but NOT the bridging
+    // token "x", so no k-gram crosses position 4 — two spans, not one
+    val docs3 = Seq(
+      (1L, "p q r s x t u v w"),
+      (2L, "p q r s BREAK1 other words here"),
+      (3L, "other BREAK2 t u v w trailing")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(docs3, k = 4)
+      .filter(col("id") === 1L).orderBy("start_tok")
+      .as[(Long, Long, Long, Long)].collect().map(s => (s._2, s._3)).toList
+    assert(spans == List((0L, 4L), (5L, 9L)), s"got $spans")
+  }
+
+  test("duplicateSpans with minDocs=3 acts as a boilerplate detector") {
+    val boiler = "this license text appears on every single page footer"
+    val docs4 = Seq(
+      (1L, s"$boiler unique one"), (2L, s"unique two $boiler"),
+      (3L, s"$boiler unique three"), (4L, "independent text no footer at all today")
+    ).toDF("doc_id", "text")
+    val pair = Dedup.duplicateSpans(docs4, k = 5, minDocs = 2)
+    val tri = Dedup.duplicateSpans(docs4, k = 5, minDocs = 3)
+    assert(tri.filter(col("id") === 4L).isEmpty)
+    // the 3-doc boilerplate survives the stricter threshold in docs 1-3
+    assert(tri.select("id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+    // and minDocs=2 can only widen coverage
+    assert(pair.count() >= tri.count())
   }
 
   test("semanticDupPairs: subset of exact pairs; equality at nlist=1; dedup keeps canonical") {
