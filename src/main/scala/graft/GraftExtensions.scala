@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{DotProductExpr, Hashing, Md5Hash32Expr, MinhashSigExpr, ShingleSetExpr}
+import graft.functions.{DotProductExpr, Hashing, ImageMetaExpr, Md5Hash32Expr, MinhashSigExpr, ShingleSetExpr}
 
 /** SQL registration of the engine's custom Catalyst expressions — both as
   * a `SparkSessionExtensions` class (`--conf
@@ -44,7 +44,10 @@ object GraftFunctions {
         val n = intLiteral(es(1), "numHashes")
         val (as, bs) = Hashing.minhashParams(n)
         MinhashSigExpr(es(0), 0, as, bs)
-      })
+      }),
+    // image_meta(binary): JDK-ImageIO decode to struct<width,height,mean_pixel_ppm>
+    (FunctionIdentifier("image_meta"), info("image_meta", classOf[ImageMetaExpr]),
+      (es: Seq[Expression]) => ImageMetaExpr(es.head))
   )
 
   /** Register into an already-running session. */

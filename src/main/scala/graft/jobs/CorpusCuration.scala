@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
-import graft.ext.{Dedup, Packing, Sampling, TextOps}
+import graft.ext.{Bpe, Dedup, Packing, QualityModel, Sampling, TextOps}
 
 /** End-to-end corpus curation — the composed training-data pipeline the
   * extension operators exist for:
@@ -127,6 +127,15 @@ object CorpusCuration {
     * Output: one row per packed copy with (doc_id, copy, lang_guess,
     * split, bin). Per-stage counts come back in [[StatsV2]].
     */
+  /** Optional learned/tokenizer stages (defaults preserve the classic
+    * pipeline exactly):
+    *  - `qualityWeights` — trained [[graft.ext.QualityModel]] weights:
+    *    adds the model-based quality gate (score ≥ `minModelScore`)
+    *    right after the repetition gate, inside the same counted stage;
+    *  - `bpeMerges` — trained [[graft.ext.Bpe]] merge table: packing
+    *    bins fill by tokenizer-exact subword counts instead of
+    *    whitespace token counts.
+    */
   def curateAndPack(
       docs: DataFrame,
       benchmark: DataFrame,
@@ -135,7 +144,10 @@ object CorpusCuration {
       maxDupWordPpm: Long = 500000L,
       maxOverlap: Long = 3L,
       mixtureMilli: Map[String, Int] = Map("en" -> 1000),
-      capacity: Long = 2048L
+      capacity: Long = 2048L,
+      qualityWeights: Option[Array[Double]] = None,
+      minModelScore: Double = 0.5,
+      bpeMerges: Seq[(String, String)] = Nil
   ): (DataFrame, StatsV2) = {
     val (curated, stats) = curate(docs, allowedLangs, minQualityPpm,
       sampleRates = Map.empty, defaultSampleBp = 10000)
@@ -145,9 +157,14 @@ object CorpusCuration {
     // released as soon as its successor's cache is materialized — no stage
     // ever re-executes for a stats count.
     val (_, dupWordPpm, _, _) = TextOps.repetitionStats(col("text"))
-    val lowRepetition = curated
+    val heuristicGated = curated
       .withColumn("dup_word_ppm", dupWordPpm)
       .filter(col("dup_word_ppm") <= maxDupWordPpm)
+    // optional learned gate, counted inside the same stage (the model
+    // score is a flat scalar expression — no extra pass, no shuffle)
+    val modelGated = qualityWeights.fold(heuristicGated)(w =>
+      heuristicGated.filter(QualityModel.score(col("text"), w) >= minModelScore))
+    val lowRepetition = modelGated
       .withColumn("text", TextOps.scrubPii(col("text")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val afterRepetition = lowRepetition.count() // one pass over curate's cache
@@ -163,8 +180,11 @@ object CorpusCuration {
 
     val mixed = Sampling.mixtureSample(clean, col("doc_id"), col("lang_guess"),
       mixtureMilli)
+    val countTokens =
+      if (bpeMerges.nonEmpty) Bpe.tokenCount(col("text"), bpeMerges)
+      else TextOps.tokenCount(col("text"))
     val packed = Packing.assignBins(
-      mixed.withColumn("n_tokens", TextOps.tokenCount(col("text"))),
+      mixed.withColumn("n_tokens", countTokens),
       groupCol = col("lang_guess"),
       orderCol = struct(col("doc_id"), col("copy")),
       tokensCol = col("n_tokens"),

@@ -45,6 +45,22 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(out("big") <= 300L && out("big") >= 300L - 900L / 6)
   }
 
+  test("image_meta decodes PNG bytes from SQL") {
+    GraftFunctions.register(spark)
+    val img = new java.awt.image.BufferedImage(2, 1, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xffffff)
+    img.setRGB(1, 0, 0x000000)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    import spark.implicits._
+    Seq(Tuple1(out.toByteArray)).toDF("payload").createOrReplaceTempView("im_t")
+    val r = spark.sql(
+      "SELECT image_meta(payload).width w, image_meta(payload).height h, " +
+        "image_meta(payload).mean_pixel_ppm p FROM im_t").collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 1L)
+    assert(r.getLong(2) == 500000L) // (765 + 0) * 1e6 / (3*255*2)
+  }
+
   test("shingle_set rejects a non-literal size") {
     GraftFunctions.register(spark)
     val e = intercept[Exception] {

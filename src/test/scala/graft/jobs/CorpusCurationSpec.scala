@@ -147,6 +147,46 @@ class CorpusCurationSpec extends SparkTestBase {
       == rows.length)
   }
 
+  test("curateAndPack optional stages: model quality gate and BPE-exact packing") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val benchmark = docs.filter(col("doc_id") % 20 === 0)
+    val corpus = docs.filter(col("doc_id") % 20 =!= 0)
+    def run(qw: Option[Array[Double]], merges: Seq[(String, String)]) =
+      CorpusCuration.curateAndPack(corpus, benchmark,
+        allowedLangs = Set("en", "und"), minQualityPpm = 300000L,
+        mixtureMilli = Map("en" -> 2000), capacity = 512L,
+        qualityWeights = qw, minModelScore = 0.5, bpeMerges = merges)
+
+    val (basePacked, base) = run(None, Nil)
+    val baseRows = basePacked.collect(); basePacked.unpersist()
+
+    // an adversarial model that labels everything junk must gate docs out
+    val rejectAll = Array(-10.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+    val (gatedPacked, gated) = run(Some(rejectAll), Nil)
+    gatedPacked.unpersist()
+    assert(gated.afterRepetition == 0L,
+      s"score≈0 model must reject every doc, kept ${gated.afterRepetition}")
+
+    // a permissive model keeps the pipeline identical to the baseline
+    val acceptAll = Array(10.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+    val (samePacked, same) = run(Some(acceptAll), Nil)
+    samePacked.unpersist()
+    assert(same == base)
+
+    // BPE counts are >= whitespace counts, so bins can only multiply
+    val merges = graft.ext.Bpe.trainMerges(corpus, numMerges = 30)
+    val (bpePacked, bpe) = run(None, merges)
+    val bpeRows = bpePacked.collect(); bpePacked.unpersist()
+    assert(bpe.base == base.base && bpe.mixtureRows == base.mixtureRows,
+      "upstream stages must not depend on the packing tokenizer")
+    assert(bpe.bins >= base.bins, s"bpe bins ${bpe.bins} < baseline ${base.bins}")
+    assert(bpeRows.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("copy"))).toSet ==
+      baseRows.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("copy"))).toSet,
+      "packing is row-preserving under either tokenizer")
+  }
+
   test("curateAtIngest: streaming stages mirror the batch pipeline on a drained stream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions.col
