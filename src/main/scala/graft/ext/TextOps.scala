@@ -336,6 +336,33 @@ object TextOps {
     scored.withColumn("bucket", bucket.cast("long"))
   }
 
+  /** Context-window chunking: split the document into token windows of
+    * `size` tokens, consecutive windows sharing `overlap` tokens — the
+    * standard prep for fixed-context training and retrieval indexing.
+    * Pure per-row generator arithmetic (stride = size − overlap, window i
+    * covers tokens [i·stride, i·stride + size)): no UDF, no shuffle; pair
+    * with `posexplode` for one row per chunk. The final window is the
+    * only one allowed to be short; a document shorter than `size` yields
+    * exactly one chunk. Empty text yields an empty array.
+    */
+  def chunkTokens(text: Column, size: Int, overlap: Int = 0): Column = {
+    require(size > 0 && overlap >= 0 && overlap < size,
+      s"need 0 <= overlap < size, got size=$size overlap=$overlap")
+    val stride = size - overlap
+    val toks = tokens(text)
+    val n = size_(toks)
+    // number of windows: 1 + ceil(max(n - size, 0) / stride)
+    val extra = greatest(n - lit(size), lit(0))
+    val nWin = lit(1) + floor((extra + lit(stride - 1)) / lit(stride)).cast("int")
+    when(length(text) === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), nWin - 1),
+        i => concat_ws(" ", slice(toks, i * lit(stride) + lit(1), lit(size)))))
+  }
+
+  // `size` the sql function, shadow-safe alias (chunkTokens takes a
+  // `size` parameter)
+  private def size_(c: Column): Column = org.apache.spark.sql.functions.size(c)
+
   /** Corpus-level token statistics (one shuffle). */
   def tokenStats(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.select(explode(tokens(col(textCol))).as("token"))

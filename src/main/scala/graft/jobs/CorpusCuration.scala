@@ -230,10 +230,12 @@ object CorpusCuration {
       watermarkDelay: String = "10 minutes",
       allowedLangs: Set[String] = Set("en"),
       minQualityPpm: Long = 500000L,
-      maxDupWordPpm: Long = 500000L
+      maxDupWordPpm: Long = 500000L,
+      qualityWeights: Option[Array[Double]] = None,
+      minModelScore: Double = 0.5
   ): DataFrame = {
     val (_, dupWordPpm, _, _) = TextOps.repetitionStats(col("text"))
-    docs
+    val gated = docs
       .withWatermark(tsCol, watermarkDelay)
       .withColumn("fp", TextOps.fingerprint(col("text")))
       .dropDuplicatesWithinWatermark("fp")
@@ -243,6 +245,11 @@ object CorpusCuration {
       .filter(col("quality_ppm") >= minQualityPpm)
       .withColumn("dup_word_ppm", dupWordPpm)
       .filter(col("dup_word_ppm") <= maxDupWordPpm)
+    // optional learned gate — stateless scalar filter, streaming-safe
+    // (mirrors the batch pipeline's model stage in curateAndPack)
+    val modelGated = qualityWeights.fold(gated)(w =>
+      gated.filter(graft.ext.QualityModel.score(col("text"), w) >= minModelScore))
+    modelGated
       .withColumn("text", TextOps.scrubPii(col("text")))
       .withColumn("split", Sampling.splitTag(col("doc_id")))
       .select(col("doc_id"), col("text"), col("lang_guess"),

@@ -117,6 +117,28 @@ class TextOpsSpec extends SparkTestBase {
     assert(m(1L) == (7L, expect))
   }
 
+  test("chunkTokens windows with stride and a short final chunk") {
+    def chunks(s: String, size: Int, overlap: Int): List[String] =
+      one[collection.Seq[String]](TextOps.chunkTokens(col("text"), size, overlap), s).toList
+    // 7 tokens, size 3, no overlap: 3 + 3 + 1
+    assert(chunks("a b c d e f g", 3, 0) == List("a b c", "d e f", "g"))
+    // overlap 1 -> stride 2: windows at 0,2,4 cover all 7 tokens
+    assert(chunks("a b c d e f g", 3, 1) == List("a b c", "c d e", "e f g"))
+    // exact multiple: no dangling window
+    assert(chunks("a b c d", 2, 0) == List("a b", "c d"))
+    // shorter than one window: the doc is its own chunk
+    assert(chunks("a b", 5, 2) == List("a b"))
+    assert(chunks("", 4, 0) == Nil)
+    // reconstruction at overlap 0: concatenating chunks restores the text
+    val doc = (1 to 23).map(i => s"w$i").mkString(" ")
+    assert(chunks(doc, 5, 0).mkString(" ") == doc)
+    // every chunk except the last is exactly `size` tokens
+    val cs = chunks(doc, 5, 2)
+    assert(cs.init.forall(_.split(" ").length == 5) && cs.last.split(" ").length <= 5)
+    assert(intercept[IllegalArgumentException](
+      TextOps.chunkTokens(col("text"), 3, 3)).getMessage.contains("overlap"))
+  }
+
   test("lmScoreBuckets: CCNet-style quantile bands over the bigram LM score") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val out = TextOps.lmScoreBuckets(docs, nBuckets = 3)

@@ -217,4 +217,22 @@ class CorpusCurationSpec extends SparkTestBase {
     assert(out(1L).getString(2) == "en")
     assert(Set("train", "valid", "test").contains(out(1L).getString(4)))
   }
+
+  test("curateAtIngest applies the optional model gate statelessly") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val good = "the quick brown fox jumps over a lazy dog while many other animals " +
+      "watch from tall green trees near a quiet river bank as the sun sets"
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)](spark)
+    val stream = mem.toDS().toDF("doc_id", "text", "event_time")
+    val rejectAll = Array(-10.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+    val query = CorpusCuration.curateAtIngest(stream, qualityWeights = Some(rejectAll))
+      .writeStream.format("memory").queryName("ingest_gated").outputMode("append").start()
+    try {
+      mem.addData(Seq((1L, good, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))))
+      query.processAllAvailable()
+    } finally query.stop()
+    assert(spark.table("ingest_gated").isEmpty,
+      "a score~0 model must gate every doc out of the stream")
+  }
 }
