@@ -142,7 +142,9 @@ object Multimodal {
       .as[(Long, Array[Byte])]
     withBin.mapPartitions { rows =>
       ImageMeta.disableDiskCache() // init-once per partition
-      rows.map { case (id, payload) =>
+      rows.map { case (id, rawPayload) =>
+        // NULL payloads surface as (n_bytes=0, NULL meta) rows, not NPEs
+        val payload = if (rawPayload == null) Array.emptyByteArray else rawPayload
         ImageMeta.decode(payload) match {
           case Some(m) => DecodedImage(id, payload.length.toLong,
             Some(m.width), Some(m.height), Some(m.meanPixelPpm))

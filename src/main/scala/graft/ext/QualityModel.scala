@@ -27,8 +27,11 @@ object QualityModel {
 
   /** Deterministic per-document feature columns, each in [0, 1]:
     * bias, saturating token count, type-token ratio, saturating mean word
-    * length, duplicate-word fraction, alphabetic-character fraction.
-    * Built from the same integer-exact signals the heuristic gates use.
+    * length, duplicate-BIGRAM fraction (phrase repetition — independent
+    * of the unigram type-token ratio, unlike the duplicate-word fraction,
+    * which is exactly 1 − TTR and would be collinear), and
+    * alphabetic-character fraction. Built from the same integer-exact
+    * signals the heuristic gates use.
     */
   def features(text: Column): Seq[Column] = {
     val total = TextOps.tokenCount(text)
@@ -38,12 +41,17 @@ object QualityModel {
     val safeTotal = greatest(total, lit(1L))
     val safeChars = greatest(chars, lit(1L))
     val meanWordLen = (chars - (total - 1)).cast("double") / safeTotal
+    val bi = TextOps.shingles(text, 2)
+    val nBi = size(bi).cast("long")
+    val dupBiFrac = when(nBi > 0,
+      (nBi - size(array_distinct(bi)).cast("long")).cast("double") / nBi)
+      .otherwise(lit(0.0))
     Seq(
       lit(1.0),
       least(total.cast("double") / 100.0, lit(1.0)),
       distinctToks.cast("double") / safeTotal,
       least(meanWordLen / 10.0, lit(1.0)),
-      lit(1.0) - distinctToks.cast("double") / safeTotal,
+      dupBiFrac,
       alpha.cast("double") / safeChars)
   }
 
@@ -62,6 +70,9 @@ object QualityModel {
   ): Array[Double] = {
     val fs = features(col(textCol))
     val rows = labeled
+      // labeled samples routinely carry nulls; a null text/label would
+      // otherwise surface as an opaque unboxing NPE mid-collect
+      .filter(col(textCol).isNotNull && col(labelCol).isNotNull)
       .select(array(fs: _*).as("f"), col(labelCol).cast("double").as("y"))
       .limit(maxRows + 1)
       .collect()

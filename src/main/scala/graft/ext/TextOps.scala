@@ -305,13 +305,15 @@ object TextOps {
   /** CCNet-style perplexity bucketing on top of [[bigramLmScore]]: split
     * the corpus into `nBuckets` quantile bands of the LM score (CCNet
     * keeps the "head"/"middle" of the perplexity distribution and drops
-    * the tail). Scale-correct formulation: ONE aggregate computes the
-    * exact score quantile cutoffs, which are collected (nBuckets−1
-    * doubles) and inlined into a per-row bucket assignment — no
-    * global-sort `ntile` single-partition window. Output: bigramLmScore
-    * columns + `bucket` (1 = most predictable … nBuckets = rarest).
-    * Ties at a cutoff fall into the lower bucket, so bucket populations
-    * can be uneven when scores repeat — deterministic, engine-portable.
+    * the tail). Scale-correct formulation: ONE aggregate computes
+    * approximate score quantile cutoffs (see [[bucketsByScore]] for the
+    * approximation contract), which are collected (nBuckets−1 scalars)
+    * and inlined into a per-row bucket assignment — no global-sort
+    * `ntile` single-partition window. Output: bigramLmScore columns +
+    * `bucket` (1 = most predictable … nBuckets = rarest). Ties at a
+    * cutoff fall into the lower bucket, so bucket populations can be
+    * uneven when scores repeat — deterministic for a fixed partition
+    * layout.
     */
   def lmScoreBuckets(docs: DataFrame, idCol: String = "doc_id",
                      textCol: String = "text", nBuckets: Int = 3): DataFrame =
@@ -321,15 +323,23 @@ object TextOps {
     bucketsByScore(bigramLmScore(docs, idCol, textCol), "lm_score_unats", nBuckets)
 
   /** Quantile-band assignment for any numeric score column (the reusable
-    * half of [[lmScoreBuckets]]).
+    * half of [[lmScoreBuckets]]). Cutoffs come from `percentile_approx`
+    * (accuracy 10000): APPROXIMATE by design — sketch merges depend on
+    * partition layout, so documents sitting exactly at a cutoff can
+    * change band across different partitionings (CCNet's thresholds are
+    * approximate for the same reason). Deterministic for a fixed layout.
+    * For strictly layout-independent cutoffs swap in the exact
+    * `percentile` aggregate — viable when the score column's distinct
+    * cardinality is bounded, as integer µ-nat scores are.
     */
   def bucketsByScore(scored: DataFrame, scoreCol: String,
                      nBuckets: Int): DataFrame = {
     require(nBuckets >= 2, "need at least 2 buckets")
     val qs = (1 until nBuckets).map(_.toDouble / nBuckets)
-    val cuts = scored.agg(
+    val cuts = Option(scored.agg(
       percentile_approx(col(scoreCol), typedlit(qs), lit(10000)).as("cuts"))
-      .head().getSeq[Any](0)
+      .head().getSeq[Any](0))
+      .getOrElse(Seq.empty) // empty/all-null input: everything lands in band 1
     val bucket = cuts.foldLeft(lit(1)) { (acc, c) =>
       acc + when(col(scoreCol) > lit(c), 1).otherwise(0)
     }

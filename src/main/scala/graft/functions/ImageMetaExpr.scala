@@ -17,6 +17,12 @@ import org.apache.spark.sql.types.{BinaryType, DataType, LongType, StructField, 
   */
 object ImageMeta {
 
+  // process-wide, on first use from EITHER decode path: ImageIO defaults
+  // to spilling every read stream to a temp-FILE cache — per-row disk I/O
+  // on a corpus-scale decode. The expression path has no per-partition
+  // init hook, so the object initializer covers it.
+  disableDiskCache()
+
   /** Decoded header + exact pixel statistic. `meanPixelPpm` is the mean
     * 8-bit channel intensity over R, G and B of every pixel, scaled to
     * parts-per-million of full scale (255) with floor division — pure

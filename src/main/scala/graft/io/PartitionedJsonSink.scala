@@ -50,7 +50,9 @@ object PartitionedJsonSink {
     */
   def writeBatchWithSuccessMarkers(batch: DataFrame, path: String,
                                    maxPartitions: Int = MaxMarkerPartitions): Unit = {
-    batch.write.mode("append").partitionBy(partitionCols: _*).json(path)
+    // guard BEFORE the append write: failing after it would leave the
+    // batch on disk, and a foreachBatch retry would append it again on
+    // every attempt (a poison batch duplicating data until intervention)
     val distinctParts = batch
       .select(partitionCols.map(org.apache.spark.sql.functions.col): _*).distinct()
     val parts = distinctParts.limit(maxPartitions + 1).collect()
@@ -58,6 +60,7 @@ object PartitionedJsonSink {
       s"batch touches > $maxPartitions partition directories; " +
         "refusing to collect the partition list to the driver for _SUCCESS " +
         "markers — repartition time or use Spark's _spark_metadata commit log")
+    batch.write.mode("append").partitionBy(partitionCols: _*).json(path)
     parts.foreach { r =>
       val dir = partitionCols.zipWithIndex
         .map { case (c, i) => s"$c=${r.get(i)}" }.mkString("/")

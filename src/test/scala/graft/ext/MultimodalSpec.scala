@@ -133,4 +133,13 @@ class MultimodalSpec extends SparkTestBase {
     assert(viaBatch.forall(r => r.width.isEmpty ||
       (r.mean_pixel_ppm.get >= 0L && r.mean_pixel_ppm.get <= 1000000L)))
   }
+
+  test("decodeImageBatched: NULL payloads become zero-byte NULL-meta rows, not NPEs") {
+    val df = Seq((1L, imageBytes(testCard(), "png")), (2L, null.asInstanceOf[Array[Byte]]))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.decodeImageBatched(df)
+      .as[DecodedImage].collect().sortBy(_.doc_id)
+    assert(out(0).width.contains(2L))
+    assert(out(1) == DecodedImage(2L, 0L, None, None, None))
+  }
 }

@@ -40,6 +40,24 @@ class QualityModelSpec extends SparkTestBase {
     assert(w1.toList == w2.toList)
   }
 
+  test("train skips NULL text/label rows instead of NPE-ing mid-collect") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+    import scala.jdk.CollectionConverters._
+    // honest nullable schema — a non-nullable schema carrying actual
+    // nulls makes Catalyst elide the isNotNull guard (GIGO by contract)
+    val schema = StructType(Seq(
+      StructField("text", StringType, nullable = true),
+      StructField("label", IntegerType, nullable = true)))
+    val nullRows = spark.createDataFrame(
+      List(Row(null, 1), Row("some text", null)).asJava, schema)
+    val honest = spark.createDataFrame(
+      labeled.collect().toList.asJava, schema)
+    val w = QualityModel.train(honest.union(nullRows))
+    assert(w.toList == QualityModel.train(labeled).toList,
+      "null rows must be dropped, leaving training unchanged")
+  }
+
   test("train refuses an over-sized labeled set instead of collecting it") {
     val e = intercept[IllegalArgumentException] {
       QualityModel.train(labeled, maxRows = 10)

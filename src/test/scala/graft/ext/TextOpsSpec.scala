@@ -160,6 +160,8 @@ class TextOpsSpec extends SparkTestBase {
     val again = TextOps.lmScoreBuckets(docs, nBuckets = 3)
       .select("id", "bucket").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(out.forall { case (id, _, b) => again(id) == b })
+    // empty input: no cutoffs exist; must return an empty frame, not NPE
+    assert(TextOps.lmScoreBuckets(docs.filter(lit(false)), nBuckets = 3).isEmpty)
   }
 
   test("sentences: splits after terminal punctuation, drops empty tails") {

@@ -92,5 +92,9 @@ class PipelineE2ESpec extends SparkTestBase {
       PartitionedJsonSink.writeBatchWithSuccessMarkers(avgs, outDir, maxPartitions = 2)
     }
     assert(e.getMessage.contains("partition directories"))
+    // the guard must trip BEFORE the append write: a post-write failure
+    // would leave a poison batch that re-appends on every retry
+    assert(Files.list(Paths.get(outDir)).iterator().asScala.isEmpty,
+      "guard refused the batch but data was already written")
   }
 }
