@@ -72,6 +72,22 @@ class PartitionInvarianceSpec extends SparkTestBase {
     assert(topk(orders) == topk(orders.repartition(11)))
   }
 
+  test("round-6 operators are invariant to input repartitioning") {
+    requireFixtures()
+    val docs = Tables.documents(spark, dir)
+    val docsShuffled = docs.repartition(7)
+    assert(rows(Dedup.duplicateSpans(docs, k = 6)) ==
+      rows(Dedup.duplicateSpans(docsShuffled, k = 6)))
+    val emb = Tables.embeddings(spark, dir)
+    val embShuffled = emb.repartition(9)
+    assert(rows(Dedup.semanticDupPairs(emb, threshold = 0.35, nlist = 8)) ==
+      rows(Dedup.semanticDupPairs(embShuffled, threshold = 0.35, nlist = 8)))
+    assert(rows(Dedup.semanticDedup(emb, threshold = 0.35, nlist = 8).select("vec_id")) ==
+      rows(Dedup.semanticDedup(embShuffled, threshold = 0.35, nlist = 8).select("vec_id")))
+    // lmScoreBuckets is DELIBERATELY absent: its percentile_approx
+    // cutoffs are layout-dependent by documented contract
+  }
+
   test("query results are invariant to the shuffle width") {
     requireFixtures()
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

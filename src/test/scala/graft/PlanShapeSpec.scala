@@ -156,4 +156,41 @@ class PlanShapeSpec extends SparkTestBase {
     val p = finalPlan("q36_minhash_pairs")
     assert(hasCodegenStage(p), s"hot path fell out of codegen:\n${p.take(900)}")
   }
+
+  test("semanticDupPairs: pivot assign is a broadcast NLJ, cluster join is an equi-join") {
+    requireFixtures()
+    val emb = graft.core.Tables.embeddings(spark, dir)
+    val p = graft.ext.Dedup.semanticDupPairs(emb, threshold = 0.35, nlist = 8)
+      .queryExecution.executedPlan.toString
+    // corpus × nlist pivots: the deliberate BOUNDED broadcast NLJ
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"pivot assignment must broadcast the centroid table:\n${p.take(900)}")
+    // within-cluster scoring joins on cent_id — never an unbounded cartesian
+    assert(!p.contains("CartesianProduct"),
+      s"no cartesian allowed in the cluster pair join:\n${p.take(900)}")
+  }
+
+  test("duplicateSpans: gram dedup is a partial+final aggregate, no cartesian") {
+    requireFixtures()
+    val docs = graft.core.Tables.documents(spark, dir)
+    val p = graft.ext.Dedup.duplicateSpans(docs, k = 8)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"span detection must stay equi-join shaped:\n${p.take(900)}")
+    assert(p.contains("HashAggregate"), "gram-frequency aggregate missing")
+  }
+
+  test("BPE segmentation and model scoring are shuffle-free projections") {
+    requireFixtures()
+    val docs = graft.core.Tables.documents(spark, dir)
+    val merges = Seq(("t", "h"), ("th", "e"))
+    val pBpe = docs.select(graft.ext.Bpe.segment(
+      org.apache.spark.sql.functions.col("text"), merges))
+      .queryExecution.executedPlan.toString
+    assert(!pBpe.contains("Exchange"), s"BPE apply must not shuffle:\n${pBpe.take(600)}")
+    val pChunk = docs.select(graft.ext.TextOps.chunkTokens(
+      org.apache.spark.sql.functions.col("text"), 128, 16))
+      .queryExecution.executedPlan.toString
+    assert(!pChunk.contains("Exchange"), s"chunking must not shuffle:\n${pChunk.take(600)}")
+  }
 }
