@@ -50,6 +50,12 @@ object DedupThroughput {
       graft.ext.Dedup.nearDupClusters(docs, pairs).count())
     time("nearDupClustersLSS")(
       graft.ext.Dedup.nearDupClustersLSS(docs, pairs).count())
+    time("duplicateSpans k=8")(
+      graft.ext.Dedup.duplicateSpans(docs, k = 8).count())
+    time("bpe tokenCount (50 merges)") {
+      val merges = graft.ext.Bpe.trainMerges(docs.limit(20000), numMerges = 50)
+      docs.select(sum(graft.ext.Bpe.tokenCount(col("text"), merges))).collect()
+    }
     spark.stop()
   }
 }
