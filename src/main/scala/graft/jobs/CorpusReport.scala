@@ -60,4 +60,42 @@ object CorpusReport {
       col("n_docs"), col("n_tokens"), col("mean_quality_ppm"))
       .orderBy(col("dimension"), col("value"))
   }
+
+  /** Streaming twin of [[report]]: per-event-time-window marginals over
+    * the ingest stream. GROUPING SETS plans through `Expand`, which the
+    * streaming planner treats conservatively, so the cell multiplication
+    * is hand-rolled as an `explode` of the four dimension cells — a
+    * stateless 4× row projection feeding ONE windowed stateful aggregate
+    * (the only state; evicted as the watermark passes each window).
+    * Output: `(window, dimension, value, n_docs, n_tokens,
+    * mean_quality_ppm)` in append mode once windows close.
+    */
+  def reportStream(
+      docs: DataFrame,
+      tsCol: String = "event_time",
+      windowLen: String = "1 hour",
+      watermarkDelay: String = "10 minutes",
+      textCol: String = "text"
+  ): DataFrame = {
+    val cell = (dim: String, value: org.apache.spark.sql.Column) =>
+      struct(lit(dim).as("dimension"), value.cast("string").as("value"))
+    docs
+      .withWatermark(tsCol, watermarkDelay)
+      .select(col(tsCol),
+        TextOps.tokenCount(col(textCol)).as("n_tokens"),
+        TextOps.qualityScorePpm(col(textCol)).as("quality_ppm"),
+        explode(array(
+          cell("total", lit(null)),
+          cell("lang", TextOps.langId(col(textCol))),
+          cell("quality_quintile",
+            floor(TextOps.qualityScorePpm(col(textCol)) / 200000L).cast("long")),
+          cell("len_magnitude",
+            floor(log10(length(col(textCol)).cast("double") + 1.0)).cast("long"))
+        )).as("cell"))
+      .groupBy(window(col(tsCol), windowLen),
+        col("cell.dimension").as("dimension"), col("cell.value").as("value"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        floor(avg(col("quality_ppm"))).cast("long").as("mean_quality_ppm"))
+  }
 }

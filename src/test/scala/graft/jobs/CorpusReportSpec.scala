@@ -33,6 +33,42 @@ class CorpusReportSpec extends SparkTestBase {
     assert(viaReport == direct)
   }
 
+  test("reportStream: drained windowed marginals match the batch card per window") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val varied = "the quick brown fox jumps over a lazy dog near the river"
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)](spark)
+    val stream = mem.toDS().toDF("doc_id", "text", "event_time")
+    val query = CorpusReport.reportStream(stream, windowLen = "1 hour",
+        watermarkDelay = "1 second")
+      .writeStream.format("memory").queryName("card_out").outputMode("append").start()
+    try {
+      mem.addData(Seq(
+        (1L, varied, t("2024-01-01 00:10:00")),
+        (2L, varied + " extra", t("2024-01-01 00:20:00")),
+        (3L, "el la los de es si no", t("2024-01-01 01:10:00"))))
+      query.processAllAvailable()
+      // close both windows
+      mem.addData(Seq((9L, "flush", t("2024-01-01 05:00:00"))))
+      query.processAllAvailable()
+    } finally query.stop()
+    val out = spark.table("card_out")
+      .select(col("window.start").cast("long").as("w"), col("dimension"),
+        col("value"), col("n_docs"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)) -> r.getLong(3)).toMap
+    val w0 = t("2024-01-01 00:00:00").getTime / 1000
+    val w1 = t("2024-01-01 01:00:00").getTime / 1000
+    assert(out((w0, "total", null)) == 2L)
+    assert(out((w0, "lang", "en")) == 2L)
+    assert(out((w1, "total", null)) == 1L)
+    assert(out((w1, "lang", "es")) == 1L)
+    // every dimension's cells sum to the window total
+    for (w <- Seq(w0, w1); dim <- Seq("lang", "quality_quintile", "len_magnitude")) {
+      val cells = out.collect { case ((ww, d, _), n) if ww == w && d == dim => n }
+      assert(cells.sum == out((w, "total", null)), s"window $w dim $dim")
+    }
+  }
+
   test("report is ONE scan and one aggregate: Expand, not a union of scans") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val plan = CorpusReport.report(docs).queryExecution.executedPlan.toString
