@@ -1,0 +1,46 @@
+package graft.jobs
+
+import java.nio.file.Files
+
+import graft.SparkTestBase
+
+class IncrementalDedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("batches dedup against accumulated history, index grows by accepted docs") {
+    val indexDir = Files.createTempDirectory("graft_incdedup_").toString + "/index"
+
+    // batch 1: one in-batch dup (4 docs, 3 distinct)
+    val b1 = Seq((1L, "aaa"), (2L, "bbb"), (3L, "aaa"), (4L, "ccc"))
+      .toDF("doc_id", "text")
+    val a1 = IncrementalDedup.ingest(b1, indexDir)
+      .select("doc_id").as[Long].collect().sorted
+    assert(a1.toList == List(1L, 2L, 4L), "in-batch dup 3 must lose to min-id 1")
+    assert(IncrementalDedup.indexSize(spark, indexDir) == 3L)
+
+    // batch 2: one cross-batch dup ("bbb"), one in-batch pair, one new doc
+    val b2 = Seq((10L, "bbb"), (11L, "ddd"), (12L, "ddd"), (13L, "eee"))
+      .toDF("doc_id", "text")
+    val a2 = IncrementalDedup.ingest(b2, indexDir)
+      .select("doc_id").as[Long].collect().sorted
+    assert(a2.toList == List(11L, 13L),
+      "cross-batch dup and in-batch loser must both drop")
+    assert(IncrementalDedup.indexSize(spark, indexDir) == 5L)
+
+    // batch 3: all previously seen -> nothing accepted, index unchanged
+    val b3 = Seq((20L, "aaa"), (21L, "ddd"), (22L, "eee")).toDF("doc_id", "text")
+    assert(IncrementalDedup.ingest(b3, indexDir).isEmpty)
+    assert(IncrementalDedup.indexSize(spark, indexDir) == 5L)
+  }
+
+  test("returned frame stays valid after its fingerprints land in the index") {
+    val indexDir = Files.createTempDirectory("graft_incdedup2_").toString + "/index"
+    val accepted = IncrementalDedup.ingest(
+      Seq((1L, "xxx"), (2L, "yyy")).toDF("doc_id", "text"), indexDir)
+    // consume AFTER the index append: without the checkpoint pin this
+    // would re-run the anti-join against an index now containing xxx/yyy
+    // and come back empty
+    assert(accepted.count() == 2L)
+    assert(accepted.count() == 2L) // and stays stable on re-consumption
+  }
+}
