@@ -63,6 +63,57 @@ object IncrementalDedup {
   def indexSize(spark: SparkSession, indexDir: String): Long =
     readIndex(spark, indexDir).map(_.count()).getOrElse(0L)
 
+  /** NEAR-dup ingest against a persisted MinHash BAND-KEY index — the
+    * batch-drop twin of `streaming.StatefulOps.nearDupHits` (which keys
+    * the same band keys in stream state). Returns the batch rows with
+    * `near_dup_hit`: true iff ANY of the doc's band keys was already in
+    * the index, i.e. some previously ingested document agreed on a full
+    * signature band — the standard LSH candidate criterion. All the
+    * batch's band keys are then appended (hits too: their other bands
+    * still index future near-dups).
+    *
+    * Index rows are `(band, bkey)` — a few dozen bytes × bands per
+    * accepted document. Same scale notes as [[ingest]]: bucket or
+    * prefix-partition on `bkey`; the join is keys⋈keys, text never
+    * travels. IN-batch near-dup pairs are this op's non-goal — run
+    * [[graft.ext.Dedup.minhashPairs]] on the batch for those; and since
+    * the append is blind, keys recur across batches (semi-join semantics
+    * are unaffected; compact the index with a periodic `distinct`
+    * rewrite when it matters).
+    */
+  def ingestNearDup(
+      batch: DataFrame,
+      indexDir: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      numHashes: Int = 16,
+      rowsPerBand: Int = 4,
+      shingleN: Int = 3
+  ): DataFrame = {
+    val spark = batch.sparkSession
+    val keys = Dedup.bandKeys(
+      Dedup.minhashSignatureArray(batch, idCol, textCol, numHashes, shingleN),
+      numHashes, rowsPerBand) // (id, band, bkey)
+    val path = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hitIds =
+      if (fs.exists(path) && fs.listStatus(path).nonEmpty) {
+        val index = spark.read.parquet(indexDir)
+        keys.join(index, Seq("band", "bkey"), "left_semi")
+          .select(col("id")).distinct()
+      } else keys.sparkSession.emptyDataFrame
+        .withColumn("id", lit(null).cast("long")).filter(lit(false))
+    val flagged = batch.join(
+        hitIds.withColumn("near_dup_hit", lit(true)),
+        batch(idCol) === hitIds("id"), "left")
+      .drop("id")
+      .withColumn("near_dup_hit", coalesce(col("near_dup_hit"), lit(false)))
+      .localCheckpoint(true) // pin BEFORE the append (same self-dedup trap)
+    keys.select(col("band"), col("bkey")).distinct()
+      .write.mode(SaveMode.Append).parquet(indexDir)
+    flagged
+  }
+
   private def readIndex(spark: SparkSession, dir: String): Option[DataFrame] = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -33,6 +33,32 @@ class IncrementalDedupSpec extends SparkTestBase {
     assert(IncrementalDedup.indexSize(spark, indexDir) == 5L)
   }
 
+  test("near-dup ingest flags cross-batch candidates via the band-key index") {
+    import org.apache.spark.sql.functions.col
+    val indexDir = Files.createTempDirectory("graft_incnd_").toString + "/index"
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val near = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    val far = "one two three four five six seven eight nine ten"
+
+    // batch 1 seeds the index; nothing can be a cross-batch hit yet
+    val f1 = IncrementalDedup.ingestNearDup(
+      Seq((1L, base), (2L, far)).toDF("doc_id", "text"), indexDir)
+    assert(f1.filter(col("near_dup_hit")).isEmpty)
+
+    // batch 2: a near-dup of doc 1, an exact copy of doc 2, and a new doc
+    val f2 = IncrementalDedup.ingestNearDup(
+      Seq((10L, near), (11L, far), (12L, "totally different text right here"))
+        .toDF("doc_id", "text"), indexDir)
+      .select("doc_id", "near_dup_hit").as[(Long, Boolean)].collect().toMap
+    assert(f2 == Map(10L -> true, 11L -> true, 12L -> false), s"got $f2")
+
+    // batch 3: near-dup of the batch-2 newcomer is now a hit too
+    val f3 = IncrementalDedup.ingestNearDup(
+      Seq((20L, "totally different text right there")).toDF("doc_id", "text"), indexDir)
+      .select("near_dup_hit").as[Boolean].collect()
+    assert(f3.toList == List(true))
+  }
+
   test("returned frame stays valid after its fingerprints land in the index") {
     val indexDir = Files.createTempDirectory("graft_incdedup2_").toString + "/index"
     val accepted = IncrementalDedup.ingest(
