@@ -585,11 +585,14 @@ object Dedup {
   ): DataFrame = {
     // the gram table feeds BOTH the duplicate-gram filter and the join
     // probe side — checkpoint it so the explode+fingerprint scan runs
-    // once, not once per consumer (measured 2x on the throughput probe)
+    // once, not once per consumer (measured 2x on the throughput probe).
+    // LAZY checkpoint: constructing the frame (plan inspection, a
+    // conditionally-skipped scrub) must not launch the gram job; the
+    // checkpointed blocks are freed when the plan is GC'd on the driver
     val grams = docs.select(col(idCol).as("id"),
         posexplode(TextOps.shingles(col(textCol), k)).as(Seq("pos", "gram")))
       .select(col("id"), col("pos"), TextOps.fingerprint(col("gram")).as("g"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val dupGrams = grams.groupBy("g")
       .agg(count_distinct(col("id")).as("nd"))
       .filter(col("nd") >= minDocs)

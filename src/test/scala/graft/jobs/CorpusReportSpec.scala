@@ -9,8 +9,13 @@ import graft.ext.TextOps
 class CorpusReportSpec extends SparkTestBase {
   import spark.implicits._
 
+  private val dir = "/root/testdata/sf0.001"
+  private def requireFixtures(): Unit =
+    assume(new java.io.File(dir).isDirectory, s"fixture dir $dir not present")
+
   test("report marginals are consistent: each dimension sums to the grand total") {
-    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    requireFixtures()
+    val docs = Tables.documents(spark, dir)
     val nDocs = docs.count()
     val rows = CorpusReport.report(docs).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
@@ -70,7 +75,8 @@ class CorpusReportSpec extends SparkTestBase {
   }
 
   test("report is ONE scan and one aggregate: Expand, not a union of scans") {
-    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    requireFixtures()
+    val docs = Tables.documents(spark, dir)
     val plan = CorpusReport.report(docs).queryExecution.executedPlan.toString
     assert(plan.contains("Expand"), s"grouping sets must plan as Expand:\n${plan.take(600)}")
     val scans = plan.linesIterator.count(_.contains("FileScan parquet"))

@@ -59,6 +59,40 @@ class IncrementalDedupSpec extends SparkTestBase {
     assert(f3.toList == List(true))
   }
 
+  test("a failed durable write leaves the index untouched, so the retry re-admits") {
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("graft_incretry_").toString
+    val b = Seq((1L, "retry me please"), (2L, "other doc")).toDF("doc_id", "text")
+    intercept[RuntimeException] {
+      IncrementalDedup.ingest(b, root + "/fp",
+        persistOutput = _ => throw new RuntimeException("durable write failed"))
+    }
+    assert(IncrementalDedup.indexSize(spark, root + "/fp") == 0L,
+      "index must not advance past a failed output write")
+    assert(IncrementalDedup.ingest(b, root + "/fp").count() == 2L,
+      "retry must re-admit the whole batch")
+
+    intercept[RuntimeException] {
+      IncrementalDedup.ingestNearDup(b, root + "/nd",
+        persistOutput = _ => throw new RuntimeException("durable write failed"))
+    }
+    val retried = IncrementalDedup.ingestNearDup(b, root + "/nd")
+    assert(retried.filter(col("near_dup_hit")).isEmpty,
+      "retry must not flag the batch against its own keys")
+  }
+
+  test("exact copies of sub-shingle short docs still hit via the fingerprint band") {
+    import org.apache.spark.sql.functions.col
+    val indexDir = Files.createTempDirectory("graft_incshort_").toString + "/index"
+    // 2 tokens < shingleN=3: no LSH bands exist for this doc
+    IncrementalDedup.ingestNearDup(
+      Seq((1L, "hello world")).toDF("doc_id", "text"), indexDir)
+    val f = IncrementalDedup.ingestNearDup(
+      Seq((10L, "hello world"), (11L, "bye world")).toDF("doc_id", "text"), indexDir)
+      .select("doc_id", "near_dup_hit").as[(Long, Boolean)].collect().toMap
+    assert(f == Map(10L -> true, 11L -> false), s"got $f")
+  }
+
   test("returned frame stays valid after its fingerprints land in the index") {
     val indexDir = Files.createTempDirectory("graft_incdedup2_").toString + "/index"
     val accepted = IncrementalDedup.ingest(

@@ -10,8 +10,11 @@ class SketchesSpec extends SparkTestBase {
   import spark.implicits._
 
   private val dir = "/root/testdata/sf0.001"
+  private def requireFixtures(): Unit =
+    assume(new java.io.File(dir).isDirectory, s"fixture dir $dir not present")
 
   test("token sketch estimates the exact distinct-token count within HLL error") {
+    requireFixtures()
     val docs = Tables.documents(spark, dir)
     val exact = docs.select(explode(TextOps.tokens(col("text"))).as("t"))
       .agg(count_distinct(col("t"))).head().getLong(0)
@@ -22,6 +25,7 @@ class SketchesSpec extends SparkTestBase {
   }
 
   test("per-batch sketches merge to the whole-corpus sketch (lossless union)") {
+    requireFixtures()
     val docs = Tables.documents(spark, dir)
     // three "daily" ingest batches
     val batches = (0 until 3).map(i => docs.filter(col("doc_id") % 3 === i))
@@ -37,6 +41,7 @@ class SketchesSpec extends SparkTestBase {
   }
 
   test("content sketch yields a usable exact-dup-rate estimate") {
+    requireFixtures()
     val docs = Tables.documents(spark, dir)
     // duplicate every 4th doc once: true distinct = n, total = n + n/4
     val dups = docs.filter(col("doc_id") % 4 === 0)
