@@ -1008,6 +1008,14 @@ object OracleSql {
         | CAST(list_sum(arr) AS BIGINT) AS sum_fold,
         | CAST(list_sum(list_transform(list_zip(arr, list_reverse(arr)),
         |   p -> p[1] * p[2])) AS BIGINT) AS dot_rev
-        |FROM x ORDER BY l_orderkey, l_linenumber""".stripMargin
+        |FROM x ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q100_dedup_keep" ->
+      """SELECT CAST(d.doc_id AS BIGINT) AS doc_id, md5(d.text) AS fp
+        |FROM documents d
+        |JOIN (SELECT md5(text) AS fp, min(doc_id) AS keep_id
+        |      FROM documents GROUP BY 1) k
+        |  ON md5(d.text) = k.fp AND d.doc_id = k.keep_id
+        |ORDER BY doc_id""".stripMargin
   )
 }

@@ -388,6 +388,15 @@ object SparkEntry {
     Dedup.jaccardPairs(Tables.documents(s, dir), threshold = 0.5)
       .orderBy("id_a", "id_b")
 
+  /** Keep-ROWS gate for the skew-safe exact dedup (q34 gates the duplicate
+    * GROUPS; this gates which corpus rows survive [[Dedup.exactDedup]]'s
+    * groupBy + (fingerprint, id) semi-join formulation).
+    */
+  private def q100(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactDedup(Tables.documents(s, dir))
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+      .orderBy("doc_id")
+
   private def q36(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashPairs(Tables.documents(s, dir), numHashes = 16, rowsPerBand = 4)
       .orderBy("id_a", "id_b")
@@ -1417,7 +1426,8 @@ object SparkEntry {
     "q96_grouping_id" -> q96 _,
     "q97_unpivot" -> q97 _,
     "q98_recursive_cte" -> q98 _,
-    "q99_array_hof" -> q99 _
+    "q99_array_hof" -> q99 _,
+    "q100_dedup_keep" -> q100 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

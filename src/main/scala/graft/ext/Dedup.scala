@@ -44,37 +44,72 @@ object Dedup {
     docs.groupBy(col(textCol))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Exact dedup keeping the lowest-id row of each content group (window
-    * min over the fingerprint — one shuffle, no join).
+  /** Exact dedup keeping the lowest-id row of each content group — the
+    * SKEW-SAFE formulation: `groupBy(fingerprint).agg(min(id))` builds the
+    * keep set with MAP-SIDE PARTIAL aggregation (a hot fingerprint
+    * collapses to one row per task before the shuffle), then a semi join
+    * on (fingerprint, id) keeps exactly those rows. The join key pairs the
+    * fingerprint WITH the id, so even the join shuffle spreads a hot
+    * group across its copies' distinct ids — a boilerplate document
+    * duplicated 10⁸× never lands on one straggler task. (The
+    * `Window.partitionBy(fp)` min this replaces placed EVERY copy of one
+    * fingerprint in a single `WindowExec` task.)
+    *
+    * Cost of skew immunity: the input is consumed twice (keep-set build +
+    * probe), recomputing the fingerprint on each side. Callers that
+    * materialize a fingerprint column anyway should dedup through
+    * [[exactDedupByKey]] over a cached/checkpointed frame — one hash pass
+    * total (see `jobs.IncrementalDedup.ingest`).
+    *
+    * NULL-`textCol` rows form one group (null-safe key equality), matching
+    * the window formulation this replaces.
     */
-  def exactDedup(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val w = Window.partitionBy(TextOps.fingerprint(col(textCol)))
-    docs.withColumn("__keep", min(col(idCol)).over(w))
-      .filter(col(idCol) === col("__keep"))
-      .drop("__keep")
+  def exactDedup(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    exactDedupByKey(docs.withColumn(GroupKey, TextOps.fingerprint(col(textCol))),
+      idCol, GroupKey).drop(GroupKey)
+
+  /** Internal fingerprint column of [[exactDedup]]/[[exactDedupCounted]];
+    * prefixed so it can't silently collide with caller data.
+    */
+  private val GroupKey = "__graft_fp"
+
+  /** [[exactDedup]] over a caller-materialized group-key column (skip the
+    * in-flight fingerprint computation): keeps the lowest-`idCol` row of
+    * every `keyCol` group, all input columns intact. Same skew-safe
+    * groupBy + (key, id) semi-join shape as [[exactDedup]] — point it at a
+    * cached or checkpointed frame and the key bytes are hashed exactly
+    * once for the whole dedup.
+    */
+  def exactDedupByKey(docs: DataFrame, idCol: String, keyCol: String): DataFrame = {
+    val keeps = docs.groupBy(col(keyCol).as("__graft_kfp"))
+      .agg(min(col(idCol)).as("__graft_keep"))
+    docs.join(keeps,
+      col(keyCol) <=> col("__graft_kfp") && col(idCol) === col("__graft_keep"),
+      "left_semi")
   }
 
   /** [[exactDedup]] that also carries `n_copies` (the duplicate-group
-    * size) on each kept row — same single window shuffle, one extra
-    * aggregate over the same frame. Lets a pipeline recover the pre-dedup
-    * row count as `sum(n_copies)` from the deduped (and typically cached)
-    * output instead of a second scan of the input (see
+    * size) on each kept row — same skew-safe aggregate, carried through an
+    * inner join instead of a semi join. Lets a pipeline recover the
+    * pre-dedup row count as `sum(n_copies)` from the deduped (and
+    * typically cached) output instead of a second scan of the input (see
     * `jobs.CorpusCuration`).
     *
     * PRECONDITION: `idCol` must be unique across the input (as it is for
     * `documents.doc_id`). If two rows of one fingerprint group tie on the
-    * minimum id, both survive the `id === min(id)` keep-filter (exactly
+    * minimum id, both survive the (fingerprint, min-id) join (exactly
     * like [[exactDedup]]) and EACH carries the full group size, so
     * `sum(n_copies)` — and hence `CorpusCuration.Stats.input` — would
     * overcount the true input row count.
     */
   def exactDedupCounted(docs: DataFrame, idCol: String = "doc_id",
                         textCol: String = "text"): DataFrame = {
-    val w = Window.partitionBy(TextOps.fingerprint(col(textCol)))
-    docs.withColumn("__keep", min(col(idCol)).over(w))
-      .withColumn("n_copies", count(lit(1)).over(w))
-      .filter(col(idCol) === col("__keep"))
-      .drop("__keep")
+    val withFp = docs.withColumn(GroupKey, TextOps.fingerprint(col(textCol)))
+    val keeps = withFp.groupBy(col(GroupKey).as("__graft_kfp"))
+      .agg(min(col(idCol)).as("__graft_keep"), count(lit(1)).as("n_copies"))
+    withFp.join(keeps,
+      col(GroupKey) <=> col("__graft_kfp") && col(idCol) === col("__graft_keep"))
+      .select(docs.columns.map(col) :+ col("n_copies"): _*)
   }
 
   // -------------------------------------------------------------- minhash
@@ -386,6 +421,14 @@ object Dedup {
       labels = updated
       iter += 1
     }
+    // labels still moving at the round cap = NOT a fixed point: some
+    // component would silently come back split into several clusters.
+    // Fail loud — the caller raises maxIterations (round count is the
+    // graph diameter) or switches to [[nearDupClustersLSS]].
+    if (changed) throw new IllegalStateException(
+      s"min-label propagation did not converge in $maxIterations rounds " +
+        "(dup-graph diameter exceeds the cap); raise maxIterations or " +
+        "use nearDupClustersLSS, whose round count is O(log^2 n)")
     // singletons (no edges) label themselves; the converged sub-labels are
     // tiny and broadcast-join back onto the corpus
     docs.select(col(idCol).as("id"))
@@ -471,6 +514,13 @@ object Dedup {
       edges = next
       iter += 1
     }
+    // a non-fixed-point star forest yields WRONG labels (components still
+    // split across stars) — never return it silently. O(log² n) rounds is
+    // the worst case, so hitting a 30-round cap means something is off;
+    // the remedy is raising maxIterations, not trusting partial output.
+    if (!converged) throw new IllegalStateException(
+      s"large-star/small-star did not reach a fixed point in $maxIterations " +
+        "rounds; raise maxIterations (expected O(log^2 n), ~5 in practice)")
     // fixed point = stars centered at component minima: every non-min node
     // appears exactly once as `hi` with its component min as `lo`
     val labels = edges.select(col("hi").as("id"), col("lo").as("cluster_id"))

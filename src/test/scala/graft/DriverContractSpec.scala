@@ -16,7 +16,7 @@ class DriverContractSpec extends SparkTestBase {
 
   test("query names follow the qNN_snake convention and are unique by number") {
     val names = SparkEntry.queries.keySet.toSeq
-    val pat = "^q(\\d{2})_[a-z0-9_]+$".r
+    val pat = "^q(\\d{2,3})_[a-z0-9_]+$".r
     val nums = names.map {
       case pat(n) => n.toInt
       case bad => fail(s"query name '$bad' breaks the qNN_snake convention")

@@ -26,6 +26,54 @@ class DedupSpec extends SparkTestBase {
     assert(kept.toList == List(0L, 2L, 3L))
   }
 
+  test("exactDedup/exactDedupCounted match the window-min formulation, including under skew") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // one dominant fingerprint (the 100 TB straggler scenario), a block of
+    // unique docs, and many small duplicate groups — spread over partitions
+    val hot = (0 until 5000).map(i => (100000L + i, "hot boilerplate page"))
+    val uniq = (0 until 500).map(i => (i.toLong, s"unique doc number $i"))
+    val dups = (0 until 300).map(i => (10000L + i, s"dup content ${i % 50}"))
+    val all = spark.createDataFrame(hot ++ uniq ++ dups).toDF("doc_id", "text")
+      .repartition(13)
+    val w = Window.partitionBy(TextOps.fingerprint(col("text")))
+    val oldKept = all.withColumn("__keep", min(col("doc_id")).over(w))
+      .filter(col("doc_id") === col("__keep")).drop("__keep")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val newKept = Dedup.exactDedup(all)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(newKept == oldKept)
+
+    val oldCounted = all.withColumn("__keep", min(col("doc_id")).over(w))
+      .withColumn("n_copies", count(lit(1)).over(w))
+      .filter(col("doc_id") === col("__keep")).drop("__keep")
+      .select("doc_id", "n_copies").as[(Long, Long)].collect().sorted.toSeq
+    val newCounted = Dedup.exactDedupCounted(all)
+      .select("doc_id", "n_copies").as[(Long, Long)].collect().sorted.toSeq
+    assert(newCounted == oldCounted)
+    // n_copies still reconstructs the pre-dedup row count (CorpusCuration)
+    assert(newCounted.map(_._2).sum == 5800L)
+  }
+
+  test("exactDedup plans as partial aggregate + semi join, never a fingerprint window") {
+    val p = Dedup.exactDedup(docs).queryExecution.executedPlan.toString
+    assert(!p.contains("Window"),
+      s"a WindowExec over the fingerprint puts every copy of a hot doc in one task:\n${p.take(900)}")
+    assert(p.contains("partial_min"),
+      s"keep-id selection must be a partial+final aggregate (map-side combine):\n${p.take(900)}")
+    assert(p.contains("LeftSemi"), s"keep set must apply as a semi join:\n${p.take(900)}")
+    val pc = Dedup.exactDedupCounted(docs).queryExecution.executedPlan.toString
+    assert(!pc.contains("Window") && pc.contains("partial_min"),
+      s"counted variant must use the same skew-safe aggregate:\n${pc.take(900)}")
+  }
+
+  test("exactDedup groups NULL-text rows together (null-safe key equality)") {
+    val withNulls = Seq((1L, null: String), (2L, "x"), (3L, null: String))
+      .toDF("doc_id", "text")
+    val kept = Dedup.exactDedup(withNulls).select("doc_id").as[Long].collect().sorted
+    assert(kept.toList == List(1L, 2L))
+  }
+
   test("minhashPairs finds identical and near-identical docs, not unrelated ones") {
     val pairs = Dedup.minhashPairs(docs).as[(Long, Long)].collect().toSet
     assert(pairs.contains((0L, 1L)), "identical docs must share all bands")
@@ -112,6 +160,19 @@ class DedupSpec extends SparkTestBase {
     assert(labels.size == n.toInt)
     assert(labels.values.forall(_ == 0L),
       s"chain must collapse to component min 0; distinct labels: ${labels.values.toSet.take(5)}")
+  }
+
+  test("non-converged clustering fails loud instead of returning split components") {
+    val ids = (0L to 5L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val chain = (0L until 5L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    // distributed min-label: diameter 5 cannot converge in 1 round
+    intercept[IllegalStateException] {
+      Dedup.nearDupClusters(ids, chain, driverMaxEdges = 0L, maxIterations = 1)
+    }
+    // LSS: a 0-round cap can never reach the star fixed point
+    intercept[IllegalStateException] {
+      Dedup.nearDupClustersLSS(ids, chain, maxIterations = 0)
+    }
   }
 
   test("nearDupClustersLSS handles cliques, singletons and duplicate/reversed edges") {

@@ -93,6 +93,161 @@ class IncrementalDedupSpec extends SparkTestBase {
     assert(f == Map(10L -> true, 11L -> false), s"got $f")
   }
 
+  test("ingest hashes document bytes once: md5 only in the fp-checkpoint plan, once per row") {
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    val indexDir = Files.createTempDirectory("graft_inconep_").toString + "/index"
+    val plans = scala.collection.mutable.ArrayBuffer.empty[String]
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+        plans.synchronized { plans += qe.executedPlan.toString }
+      override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      IncrementalDedup.ingest(
+        Seq((1L, "aaa"), (2L, "bbb"), (3L, "aaa")).toDF("doc_id", "text"), indexDir)
+      // second batch exercises the anti-join against a non-empty index
+      IncrementalDedup.ingest(
+        Seq((4L, "bbb"), (5L, "ccc")).toDF("doc_id", "text"), indexDir)
+      // listener events arrive async — wait until the stream quiesces
+      var last = -1
+      var stable = 0
+      var spins = 0
+      while (stable < 3 && spins < 50) {
+        Thread.sleep(100)
+        val n = plans.synchronized(plans.size)
+        if (n == last) stable += 1 else { stable = 0; last = n }
+        spins += 1
+      }
+    } finally spark.listenerManager.unregister(listener)
+    val all = plans.synchronized(plans.toList)
+    val hashing = all.filter(_.contains("md5"))
+    assert(hashing.size <= 2,
+      s"only the per-batch fp checkpoint may hash text; ${hashing.size} plans contain md5")
+    // and within that plan md5 appears ONCE (the old formulation hashed the
+    // same bytes in the window partition key AND the fp projection)
+    hashing.foreach { p =>
+      val occurrences = "md5\\(".r.findAllIn(p).size
+      assert(occurrences <= 1, s"plan evaluates md5 $occurrences times:\n${p.take(900)}")
+    }
+  }
+
+  test("bloom-pre-filtered ingest admits exactly the plain path's documents") {
+    val root = Files.createTempDirectory("graft_incbloom_").toString
+    val batches = Seq(
+      Seq((1L, "aaa"), (2L, "bbb"), (3L, "aaa"), (4L, "ccc")),
+      Seq((10L, "bbb"), (11L, "ddd"), (12L, "ddd"), (13L, "eee")),
+      Seq((20L, "aaa"), (21L, "ddd"), (22L, "fff")))
+    for (batch <- batches) {
+      val df = batch.toDF("doc_id", "text")
+      val plain = IncrementalDedup.ingest(df, root + "/plain")
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      val bloomed = IncrementalDedup.ingest(df, root + "/bloom", bloomFpp = Some(0.01))
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(bloomed == plain, s"bloom path diverged on batch $batch")
+    }
+    assert(IncrementalDedup.indexSize(spark, root + "/plain") ==
+      IncrementalDedup.indexSize(spark, root + "/bloom"))
+  }
+
+  test("the batch bloom prunes the overwhelming bulk of a low-hit-rate index") {
+    import org.apache.spark.sql.functions.md5
+    // 5000 indexed fingerprints, a 20-doc batch with 10 true hits: index
+    // rows surviving the batch bloom ≈ hits + fpp·|index|, not |index|
+    val indexFps = (0 until 5000).map(i => s"indexed doc $i")
+      .toDF("text").select(md5($"text").as("fp")).as[String].collect()
+    val batch = ((0 until 10).map(i => s"indexed doc $i") ++
+      (0 until 10).map(i => s"fresh doc $i")).toDF("text")
+      .select(md5($"text").as("fp"))
+    val bloom = batch.stat.bloomFilter("fp", 20, 0.03)
+    val survivors = indexFps.count(bloom.mightContainString)
+    assert(survivors >= 10, "bloom filters must never drop a true hit")
+    assert(survivors < 600, s"bloom pruned too little: $survivors of 5000 survive")
+  }
+
+  test("compactIndex shrinks a blind-append band-key index; decisions unchanged") {
+    import org.apache.spark.sql.functions.col
+    val indexDir = Files.createTempDirectory("graft_inccompact_").toString + "/index"
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val near = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    val far = "one two three four five six seven eight nine ten"
+    // two batches carrying the same document → every band key appended twice
+    IncrementalDedup.ingestNearDup(Seq((1L, base)).toDF("doc_id", "text"), indexDir)
+    IncrementalDedup.ingestNearDup(Seq((2L, base)).toDF("doc_id", "text"), indexDir)
+    val rowsBefore = spark.read.parquet(indexDir).count()
+    val distinctKeys = spark.read.parquet(indexDir).distinct().count()
+    assert(rowsBefore > distinctKeys, "fixture must actually bloat the index")
+    IncrementalDedup.compactIndex(spark, indexDir)
+    assert(spark.read.parquet(indexDir).count() == distinctKeys)
+    // post-compaction decisions identical: near-dup flags, novel doc doesn't
+    val f = IncrementalDedup.ingestNearDup(
+      Seq((10L, near), (11L, far)).toDF("doc_id", "text"), indexDir)
+      .select("doc_id", "near_dup_hit").as[(Long, Boolean)].collect().toMap
+    assert(f == Map(10L -> true, 11L -> false), s"got $f")
+
+    // fp index: simulate a crash-replayed append, compact, re-ingest
+    val fpDir = Files.createTempDirectory("graft_inccompfp_").toString + "/index"
+    IncrementalDedup.ingest(Seq((1L, "aaa"), (2L, "bbb")).toDF("doc_id", "text"), fpDir)
+    val dup = spark.read.parquet(fpDir).collect().map(_.getString(0)).toSeq
+      .toDF("fp")
+    dup.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(fpDir)
+    assert(spark.read.parquet(fpDir).count() == 4L)
+    IncrementalDedup.compactIndex(spark, fpDir)
+    assert(spark.read.parquet(fpDir).count() == 2L)
+    val a = IncrementalDedup.ingest(
+      Seq((10L, "aaa"), (11L, "new one")).toDF("doc_id", "text"), fpDir)
+      .select("doc_id").as[Long].collect().toList
+    assert(a == List(11L), "compacted index must still reject known content")
+  }
+
+  test("a crashed compaction swap heals on the next read, whichever side it died on") {
+    val root = Files.createTempDirectory("graft_increcover_").toString
+    val indexDir = root + "/index"
+    IncrementalDedup.ingest(
+      Seq((1L, "aaa"), (2L, "bbb"), (3L, "ccc")).toDF("doc_id", "text"), indexDir)
+    // crash window 1: live moved aside, replacement never moved in
+    val live = new java.io.File(indexDir)
+    val old = new java.io.File(indexDir + ".old")
+    assert(live.renameTo(old))
+    assert(IncrementalDedup.indexSize(spark, indexDir) == 3L,
+      "readIndex must restore the .old backup when the live dir is missing")
+    assert(!old.exists())
+    // crash window 2: swap completed but the backup was never dropped
+    val staleOld = new java.io.File(indexDir + ".old")
+    assert(staleOld.mkdirs())
+    java.nio.file.Files.write(staleOld.toPath.resolve("junk"), Array[Byte](1, 2, 3))
+    assert(IncrementalDedup.indexSize(spark, indexDir) == 3L)
+    assert(!staleOld.exists(), "a redundant .old backup must be dropped")
+  }
+
+  test("in-batch near-dup pairs flag the larger id when one batch holds both copies") {
+    import org.apache.spark.sql.functions.col
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val near = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    val far = "one two three four five six seven eight nine ten"
+    val indexDir = Files.createTempDirectory("graft_incinb_").toString + "/index"
+    val f = IncrementalDedup.ingestNearDup(
+      Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text"), indexDir)
+      .select("doc_id", "near_dup_hit").as[(Long, Boolean)].collect().toMap
+    assert(f == Map(1L -> false, 2L -> true, 3L -> false),
+      s"smaller id keeps, larger id flags (cross-batch convention): got $f")
+
+    // flagInBatch=false preserves the old cross-batch-only semantics
+    val offDir = Files.createTempDirectory("graft_incinboff_").toString + "/index"
+    val g = IncrementalDedup.ingestNearDup(
+      Seq((1L, base), (2L, near)).toDF("doc_id", "text"), offDir, flagInBatch = false)
+    assert(g.filter(col("near_dup_hit")).isEmpty)
+
+    // sub-shingle short docs: exact in-batch copies flag via the fp band
+    val shortDir = Files.createTempDirectory("graft_incinbshort_").toString + "/index"
+    val h = IncrementalDedup.ingestNearDup(
+      Seq((1L, "hello world"), (2L, "hello world"), (3L, "bye world"))
+        .toDF("doc_id", "text"), shortDir)
+      .select("doc_id", "near_dup_hit").as[(Long, Boolean)].collect().toMap
+    assert(h == Map(1L -> false, 2L -> true, 3L -> false), s"got $h")
+  }
+
   test("returned frame stays valid after its fingerprints land in the index") {
     val indexDir = Files.createTempDirectory("graft_incdedup2_").toString + "/index"
     val accepted = IncrementalDedup.ingest(
