@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{DotProductExpr, Hashing, ImageMetaExpr, Md5Hash32Expr, MinhashSigExpr, ShingleSetExpr}
+import graft.functions.{AudioMetaExpr, DotProductExpr, Hashing, ImageMetaExpr, Md5Hash32Expr, MinhashSigExpr, ShingleSetExpr}
 
 /** SQL registration of the engine's custom Catalyst expressions — both as
   * a `SparkSessionExtensions` class (`--conf
@@ -30,24 +30,44 @@ object GraftFunctions {
       s"$arg must be an integer literal, got $other")
   }
 
+  /** Arity gate for the SQL builders: a builder indexing `es` directly
+    * would surface a wrong-arity call as an opaque
+    * `IndexOutOfBoundsException` (or, worse for `es.head`-style builders,
+    * silently IGNORE extra arguments) — fail with the function's name and
+    * expected count instead.
+    */
+  private def arity(name: String, n: Int, es: Seq[Expression]): Seq[Expression] = {
+    if (es.length != n) throw new IllegalArgumentException(
+      s"$name expects $n argument(s), got ${es.length}")
+    es
+  }
+
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("dot_product"), info("dot_product", classOf[DotProductExpr]),
-      (es: Seq[Expression]) => DotProductExpr(es(0), es(1))),
+      (es: Seq[Expression]) => { val a = arity("dot_product", 2, es); DotProductExpr(a(0), a(1)) }),
     (FunctionIdentifier("md5_hash32"), info("md5_hash32", classOf[Md5Hash32Expr]),
-      (es: Seq[Expression]) => Md5Hash32Expr(es.head)),
+      (es: Seq[Expression]) => Md5Hash32Expr(arity("md5_hash32", 1, es).head)),
     (FunctionIdentifier("shingle_set"), info("shingle_set", classOf[ShingleSetExpr]),
-      (es: Seq[Expression]) => ShingleSetExpr(es(0), intLiteral(es(1), "shingle size"))),
+      (es: Seq[Expression]) => {
+        val a = arity("shingle_set", 2, es)
+        ShingleSetExpr(a(0), intLiteral(a(1), "shingle size"))
+      }),
     // minhash_sig(shingles, numHashes): whole signature with the engine's
     // seeded universal-hash family (the same constants the oracles inline)
     (FunctionIdentifier("minhash_sig"), info("minhash_sig", classOf[MinhashSigExpr]),
       (es: Seq[Expression]) => {
-        val n = intLiteral(es(1), "numHashes")
+        val a = arity("minhash_sig", 2, es)
+        val n = intLiteral(a(1), "numHashes")
         val (as, bs) = Hashing.minhashParams(n)
-        MinhashSigExpr(es(0), 0, as, bs)
+        MinhashSigExpr(a(0), 0, as, bs)
       }),
     // image_meta(binary): JDK-ImageIO decode to struct<width,height,mean_pixel_ppm>
     (FunctionIdentifier("image_meta"), info("image_meta", classOf[ImageMetaExpr]),
-      (es: Seq[Expression]) => ImageMetaExpr(es.head))
+      (es: Seq[Expression]) => ImageMetaExpr(arity("image_meta", 1, es).head)),
+    // audio_meta(binary): javax.sound header decode to
+    // struct<duration_ms,sample_rate_hz,channels>
+    (FunctionIdentifier("audio_meta"), info("audio_meta", classOf[AudioMetaExpr]),
+      (es: Seq[Expression]) => AudioMetaExpr(arity("audio_meta", 1, es).head))
   )
 
   /** Register into an already-running session. */

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.ColumnBridge
 
-import graft.functions.{Hashing, ImageMeta, ImageMetaExpr}
+import graft.functions.{AudioMeta, AudioMetaExpr, Hashing, ImageMeta, ImageMetaExpr}
 
 /** Multimodal-column plumbing (north-star extensions, SURVEY.md §2.4).
   *
@@ -15,13 +15,15 @@ import graft.functions.{Hashing, ImageMeta, ImageMetaExpr}
   * IMAGE decode is REAL: [[decodeImageMeta]] / [[decodeImageBatched]]
   * decode PNG/BMP/GIF/JPEG bytes with the JDK's `javax.imageio` (no
   * external codec dependency) and emit exact integer pixel statistics.
-  * AUDIO/VIDEO decode (duration, frames) remains STUBBED
-  * (`decodeStub`) with a deterministic fake because no media codec
-  * libraries ship in this environment; swap it for a real decoder (e.g.
-  * a JNI codec in the [[decodeBatched]] seam) without touching the
-  * surrounding dataflow. The oracle queries (q42/q47/q72) gate the
-  * stub plumbing — schema, batching, determinism — which is shared by
-  * both paths.
+  * AUDIO decode is REAL too: [[decodeAudioMeta]] / [[decodeAudioBatched]]
+  * parse WAV/AIFF/AU headers with the JDK's `javax.sound.sampled` and
+  * emit exact duration/rate/channel metadata. VIDEO decode (frame counts)
+  * remains STUBBED (`decodeStub`) with a deterministic fake because no
+  * video codec library ships in this environment; swap it for a real
+  * decoder (e.g. a JNI codec in the [[decodeBatched]] seam) without
+  * touching the surrounding dataflow. The oracle queries (q42/q47/q72)
+  * gate the stub plumbing — schema, batching, determinism — which is
+  * shared by all three paths.
   */
 /** Output row of the batched decode seam. */
 case class DecodedMedia(doc_id: Long, n_bytes: Long, width: Long, height: Long,
@@ -32,6 +34,12 @@ case class DecodedMedia(doc_id: Long, n_bytes: Long, width: Long, height: Long,
   */
 case class DecodedImage(doc_id: Long, n_bytes: Long, width: Option[Long],
                         height: Option[Long], mean_pixel_ppm: Option[Long])
+
+/** Output row of the REAL audio decode seam; meta fields are None for
+  * payloads no javax.sound reader understands.
+  */
+case class DecodedAudio(doc_id: Long, n_bytes: Long, duration_ms: Option[Long],
+                        sample_rate_hz: Option[Long], channels: Option[Long])
 
 object Multimodal {
 
@@ -149,6 +157,42 @@ object Multimodal {
           case Some(m) => DecodedImage(id, payload.length.toLong,
             Some(m.width), Some(m.height), Some(m.meanPixelPpm))
           case None => DecodedImage(id, payload.length.toLong, None, None, None)
+        }
+      }
+    }.toDF()
+  }
+
+  /** REAL audio decode, expression path: binary column →
+    * `struct<duration_ms, sample_rate_hz, channels>` via the JDK's
+    * `javax.sound.sampled`, NULL for undecodable bytes (unsupported
+    * codecs included). Header parse only — O(header) per row, never a
+    * sample scan. See [[graft.functions.AudioMeta.decode]].
+    */
+  def decodeAudioMeta(payload: Column): Column =
+    ColumnBridge.column(AudioMetaExpr(ColumnBridge.expression(payload)))
+
+  /** REAL audio decode, batched `mapPartitions` path — same init-once
+    * partition seam as [[decodeImageBatched]] (a compressed-codec plug-in
+    * would load its native library exactly once per partition here).
+    * Bit-identical metadata to [[decodeAudioMeta]]; undecodable payloads
+    * surface as None/NULL meta rather than vanishing, so corrupt-payload
+    * rates stay observable downstream.
+    */
+  def decodeAudioBatched(df: DataFrame, idCol: String = "doc_id",
+                         payloadCol: String = "payload"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val withBin = df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+    withBin.mapPartitions { rows =>
+      // per-partition init seam (the JDK readers need none; a real codec
+      // library loads here, once, not per row)
+      rows.map { case (id, rawPayload) =>
+        val payload = if (rawPayload == null) Array.emptyByteArray else rawPayload
+        AudioMeta.decode(payload) match {
+          case Some(m) => DecodedAudio(id, payload.length.toLong,
+            Some(m.durationMs), Some(m.sampleRateHz), Some(m.channels))
+          case None => DecodedAudio(id, payload.length.toLong, None, None, None)
         }
       }
     }.toDF()

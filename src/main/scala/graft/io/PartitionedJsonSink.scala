@@ -50,24 +50,105 @@ object PartitionedJsonSink {
     */
   def writeBatchWithSuccessMarkers(batch: DataFrame, path: String,
                                    maxPartitions: Int = MaxMarkerPartitions): Unit = {
-    // guard BEFORE the append write: failing after it would leave the
-    // batch on disk, and a foreachBatch retry would append it again on
-    // every attempt (a poison batch duplicating data until intervention)
-    val distinctParts = batch
-      .select(partitionCols.map(org.apache.spark.sql.functions.col): _*).distinct()
-    val parts = distinctParts.limit(maxPartitions + 1).collect()
-    require(parts.length <= maxPartitions,
-      s"batch touches > $maxPartitions partition directories; " +
-        "refusing to collect the partition list to the driver for _SUCCESS " +
-        "markers — repartition time or use Spark's _spark_metadata commit log")
-    batch.write.mode("append").partitionBy(partitionCols: _*).json(path)
-    parts.foreach { r =>
-      val dir = partitionCols.zipWithIndex
-        .map { case (c, i) => s"$c=${r.get(i)}" }.mkString("/")
-      val marker = Paths.get(path, dir, "_SUCCESS")
-      if (Files.exists(marker.getParent)) {
-        Files.write(marker, Array.emptyByteArray)
+    // the guard and the append are two actions over the same micro-batch
+    // plan — persist so an expensive upstream (joins, dedup) executes
+    // once, not once per action; released in `finally` either way
+    val pinned = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // guard BEFORE the append write: failing after it would leave the
+      // batch on disk, and a foreachBatch retry would append it again on
+      // every attempt (a poison batch duplicating data until intervention)
+      val distinctParts = pinned
+        .select(partitionCols.map(org.apache.spark.sql.functions.col): _*).distinct()
+      val parts = distinctParts.limit(maxPartitions + 1).collect()
+      require(parts.length <= maxPartitions,
+        s"batch touches > $maxPartitions partition directories; " +
+          "refusing to collect the partition list to the driver for _SUCCESS " +
+          "markers — repartition time or use Spark's _spark_metadata commit log")
+      pinned.write.mode("append").partitionBy(partitionCols: _*).json(path)
+      parts.foreach { r =>
+        val dir = partitionCols.zipWithIndex
+          .map { case (c, i) => s"$c=${r.get(i)}" }.mkString("/")
+        val marker = Paths.get(path, dir, "_SUCCESS")
+        if (Files.exists(marker.getParent)) {
+          Files.write(marker, Array.emptyByteArray)
+        }
+      }
+    } finally pinned.unpersist()
+  }
+
+  /** [[writeBatchWithSuccessMarkers]] with the reference's partition-commit
+    * DELAY semantics (`'sink.partition-commit.delay'='1 min'` +
+    * watermark policy, `main.py:74-75`): the batch's rows are appended
+    * immediately, but a partition directory earns its `_SUCCESS` marker
+    * only once `watermark` has passed the partition's hour END plus
+    * `delayMinutes` — i.e. the partition can no longer receive late rows,
+    * which is exactly what the marker promises downstream consumers.
+    * Partitions still open are re-examined by every later call
+    * ([[commitClosedPartitions]] scans directories on disk, not just the
+    * batch's), so a partition written in batch N is marked by the first
+    * batch whose watermark clears it — matching Flink, where the commit
+    * trigger is watermark progress, not the write that filled the
+    * partition.
+    *
+    * `watermark` comes from the caller (in `foreachBatch`, track
+    * `query.lastProgress.eventTime` or derive max-event-time − delay from
+    * the batch); partition hours are interpreted in UTC, matching the
+    * UTC-session date-part projections that produced the columns.
+    */
+  def writeBatchWithDelayedMarkers(batch: DataFrame, path: String,
+                                   watermark: java.sql.Timestamp,
+                                   delayMinutes: Long = 1L,
+                                   maxPartitions: Int = MaxMarkerPartitions): Unit = {
+    val pinned = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val guard = pinned
+        .select(partitionCols.map(org.apache.spark.sql.functions.col): _*).distinct()
+        .limit(maxPartitions + 1).collect()
+      require(guard.length <= maxPartitions,
+        s"batch touches > $maxPartitions partition directories; " +
+          "refusing the batch before the append write (poison-batch guard)")
+      pinned.write.mode("append").partitionBy(partitionCols: _*).json(path)
+    } finally pinned.unpersist()
+    commitClosedPartitions(path, watermark, delayMinutes)
+  }
+
+  /** Drop `_SUCCESS` into every on-disk `year=/month=/day=/hour=`
+    * directory whose hour window ended at least `delayMinutes` before
+    * `watermark` and that is not marked yet. Idempotent; returns the
+    * number of markers written. Listing cost is bounded by directory
+    * count (~8.8k dirs per year of data), not rows.
+    */
+  def commitClosedPartitions(path: String, watermark: java.sql.Timestamp,
+                             delayMinutes: Long): Int = {
+    import scala.jdk.CollectionConverters._
+    def children(p: java.nio.file.Path, prefix: String): Seq[java.nio.file.Path] =
+      if (!Files.isDirectory(p)) Seq.empty
+      else {
+        val s = Files.list(p)
+        try s.iterator().asScala.filter(c =>
+          Files.isDirectory(c) && c.getFileName.toString.startsWith(prefix + "=")).toList
+        finally s.close()
+      }
+    def value(p: java.nio.file.Path): Int =
+      p.getFileName.toString.split("=", 2)(1).toInt
+    var marked = 0
+    for {
+      y <- children(Paths.get(path), "year")
+      m <- children(y, "month")
+      d <- children(m, "day")
+      h <- children(d, "hour")
+      if !Files.exists(h.resolve("_SUCCESS"))
+    } {
+      val hourEnd = java.time.LocalDateTime
+        .of(value(y), value(m), value(d), value(h), 0)
+        .plusHours(1)
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      if (hourEnd + delayMinutes * 60000L <= watermark.getTime) {
+        Files.write(h.resolve("_SUCCESS"), Array.emptyByteArray)
+        marked += 1
       }
     }
+    marked
   }
 }

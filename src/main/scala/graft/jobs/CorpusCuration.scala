@@ -105,6 +105,25 @@ object CorpusCuration {
       stageStats.getLong(1), stageStats.getLong(2), stageStats.getLong(3)))
   }
 
+  /** Loan-pattern twin of [[curate]]: hands the curated (persisted) frame
+    * and stats to `f`, then unpersists in `finally` — callers can't leak
+    * the result cache on an exception path or by forgetting the
+    * `.unpersist()` the plain API relies on. Use the plain [[curate]]
+    * only when the frame must outlive a single scope (e.g. handed to a
+    * long-lived consumer that manages the cache itself).
+    */
+  def curateWith[T](
+      docs: DataFrame,
+      allowedLangs: Set[String] = Set("en"),
+      minQualityPpm: Long = 500000L,
+      sampleRates: Map[String, Int] = Map("en" -> 10000),
+      defaultSampleBp: Int = 1000
+  )(f: (DataFrame, Stats) => T): T = {
+    val (curated, stats) = curate(docs, allowedLangs, minQualityPpm,
+      sampleRates, defaultSampleBp)
+    try f(curated, stats) finally curated.unpersist()
+  }
+
   case class StatsV2(
       base: Stats,
       afterRepetition: Long,
@@ -204,6 +223,28 @@ object CorpusCuration {
 
     (packed, StatsV2(stats, afterRepetition, afterDecontamination,
       packedStats.getLong(0), packedStats.getLong(1)))
+  }
+
+  /** Loan-pattern twin of [[curateAndPack]] — same cache-release contract
+    * as [[curateWith]].
+    */
+  def curateAndPackWith[T](
+      docs: DataFrame,
+      benchmark: DataFrame,
+      allowedLangs: Set[String] = Set("en"),
+      minQualityPpm: Long = 500000L,
+      maxDupWordPpm: Long = 500000L,
+      maxOverlap: Long = 3L,
+      mixtureMilli: Map[String, Int] = Map("en" -> 1000),
+      capacity: Long = 2048L,
+      qualityWeights: Option[Array[Double]] = None,
+      minModelScore: Double = 0.5,
+      bpeMerges: Seq[(String, String)] = Nil
+  )(f: (DataFrame, StatsV2) => T): T = {
+    val (packed, stats) = curateAndPack(docs, benchmark, allowedLangs,
+      minQualityPpm, maxDupWordPpm, maxOverlap, mixtureMilli, capacity,
+      qualityWeights, minModelScore, bpeMerges)
+    try f(packed, stats) finally packed.unpersist()
   }
 
   /** Curation AT INGEST — the streaming twin of [[curate]]'s per-document

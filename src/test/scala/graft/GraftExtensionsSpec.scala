@@ -68,4 +68,38 @@ class GraftExtensionsSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("integer literal"))
   }
+
+  test("audio_meta decodes WAV bytes from SQL") {
+    GraftFunctions.register(spark)
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val in = new AudioInputStream(
+      new java.io.ByteArrayInputStream(new Array[Byte](4000 * 2)), fmt, 4000L)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(in, AudioFileFormat.Type.WAVE, out)
+    import spark.implicits._
+    Seq(Tuple1(out.toByteArray)).toDF("payload").createOrReplaceTempView("au_t")
+    val r = spark.sql(
+      "SELECT audio_meta(payload).duration_ms d, audio_meta(payload).sample_rate_hz s, " +
+        "audio_meta(payload).channels c FROM au_t").collect().head
+    assert(r.getLong(0) == 500L && r.getLong(1) == 8000L && r.getLong(2) == 1L)
+  }
+
+  test("SQL builders reject wrong arity by function name, never IndexOutOfBounds") {
+    GraftFunctions.register(spark)
+    val cases = Seq(
+      "SELECT md5_hash32('a', 'b')" -> "md5_hash32",
+      "SELECT md5_hash32()" -> "md5_hash32",
+      "SELECT dot_product(array(1.0D))" -> "dot_product",
+      "SELECT shingle_set('a b c')" -> "shingle_set",
+      "SELECT minhash_sig(shingle_set('a b c', 2))" -> "minhash_sig",
+      "SELECT image_meta()" -> "image_meta",
+      "SELECT audio_meta(CAST('x' AS BINARY), 1)" -> "audio_meta")
+    for ((sql, fn) <- cases) {
+      val e = intercept[Exception] { spark.sql(sql).collect() }
+      assert(e.getMessage.contains(fn) && e.getMessage.contains("expects"),
+        s"$sql must fail naming $fn: ${e.getMessage.take(200)}")
+      assert(!e.getMessage.contains("IndexOutOfBounds"))
+    }
+  }
 }

@@ -142,4 +142,63 @@ class MultimodalSpec extends SparkTestBase {
     assert(out(0).width.contains(2L))
     assert(out(1) == DecodedImage(2L, 0L, None, None, None))
   }
+
+  /** 16-bit little-endian PCM WAV bytes with `nFrames` silent frames —
+    * written through the JDK's own WAV writer, so the header layout is
+    * exactly what a real WAV file carries.
+    */
+  private def wavBytes(sampleRate: Float, channels: Int, nFrames: Int): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val fmt = new AudioFormat(sampleRate, 16, channels, true, false)
+    val pcm = new Array[Byte](nFrames * channels * 2)
+    val in = new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val out = new ByteArrayOutputStream()
+    AudioSystem.write(in, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("decodeAudioMeta: exact duration/rate/channels on hand-built WAV bytes") {
+    val out = Seq(
+      (1L, wavBytes(8000f, 1, 4000)),    // 4000 frames @ 8 kHz mono = 500 ms
+      (2L, wavBytes(44100f, 2, 44100)),  // 1 s of stereo CD-rate audio
+      (3L, wavBytes(8000f, 1, 999)),     // floor(999·1000/8000) = 124 ms
+      (4L, "not audio at all".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+      .select(col("doc_id"), Multimodal.decodeAudioMeta(col("payload")).as("m"))
+      .select(col("doc_id"), col("m.duration_ms"), col("m.sample_rate_hz"), col("m.channels"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+    assert(out(1L).getLong(1) == 500L && out(1L).getLong(2) == 8000L && out(1L).getLong(3) == 1L)
+    assert(out(2L).getLong(1) == 1000L && out(2L).getLong(2) == 44100L && out(2L).getLong(3) == 2L)
+    assert(out(3L).getLong(1) == 124L)
+    assert(out(4L).isNullAt(1) && out(4L).isNullAt(3), "non-audio bytes → NULL meta")
+  }
+
+  test("decodeAudioBatched agrees bit-for-bit with the expression path") {
+    val rng = new scala.util.Random(11)
+    val rows = (0L until 30L).map { i =>
+      if (i % 10 == 9) (i, Array.fill[Byte](24)((i % 100).toByte)) // undecodable
+      else (i, wavBytes(if (i % 2 == 0) 8000f else 16000f,
+        1 + (i % 2).toInt, 100 + rng.nextInt(5000)))
+    }
+    val df = rows.toDF("doc_id", "payload").repartition(5)
+    val viaExpr = df
+      .select(col("doc_id"), octet_length(col("payload")).cast("long").as("n_bytes"),
+        Multimodal.decodeAudioMeta(col("payload")).as("m"))
+      .select(col("doc_id"), col("n_bytes"),
+        col("m.duration_ms"), col("m.sample_rate_hz"), col("m.channels"))
+      .as[DecodedAudio].collect().sortBy(_.doc_id)
+    val viaBatch = Multimodal.decodeAudioBatched(df)
+      .as[DecodedAudio].collect().sortBy(_.doc_id)
+    assert(viaBatch.toList == viaExpr.toList)
+    assert(viaBatch.count(_.duration_ms.isEmpty) == 3, "corrupt rows surface as NULL meta")
+
+    // NULL payloads: zero-byte NULL-meta rows, not NPEs (image-seam parity)
+    val withNull = Seq((1L, wavBytes(8000f, 1, 800)), (2L, null.asInstanceOf[Array[Byte]]))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.decodeAudioBatched(withNull)
+      .as[DecodedAudio].collect().sortBy(_.doc_id)
+    assert(out(0).duration_ms.contains(100L))
+    assert(out(1) == DecodedAudio(2L, 0L, None, None, None))
+  }
 }

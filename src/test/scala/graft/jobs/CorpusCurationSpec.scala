@@ -117,6 +117,33 @@ class CorpusCurationSpec extends SparkTestBase {
     assert(againIds == rows.map(_.getAs[Long]("doc_id")).sorted.toList)
   }
 
+  test("curateWith releases the result cache on normal AND exceptional exit") {
+    import org.apache.spark.storage.StorageLevel
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+
+    var loaned: org.apache.spark.sql.DataFrame = null
+    val n = CorpusCuration.curateWith(docs,
+      allowedLangs = Set("en", "und"), minQualityPpm = 300000L) { (df, stats) =>
+      loaned = df
+      assert(df.storageLevel != StorageLevel.NONE, "frame must be persisted inside the loan")
+      assert(stats.sampled > 0)
+      df.count()
+    }
+    assert(n == loaned.count(), "result usable inside the loan")
+    assert(loaned.storageLevel == StorageLevel.NONE,
+      "cache must be released when the loan returns")
+
+    intercept[RuntimeException] {
+      CorpusCuration.curateWith(docs,
+        allowedLangs = Set("en", "und"), minQualityPpm = 300000L) { (df, _) =>
+        loaned = df
+        throw new RuntimeException("consumer failed")
+      }
+    }
+    assert(loaned.storageLevel == StorageLevel.NONE,
+      "cache must be released on the exception path too")
+  }
+
   test("curateAndPack adds repetition/PII/decontamination/mixture/packing stages") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")

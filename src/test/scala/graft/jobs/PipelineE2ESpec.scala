@@ -80,6 +80,33 @@ class PipelineE2ESpec extends SparkTestBase {
     assert(files.exists(_.endsWith(".json")))
   }
 
+  test("delayed partition commit: _SUCCESS lands only once the watermark clears hour end + delay") {
+    val outDir = Files.createTempDirectory("graft_s4d_").toString
+    val batch = Seq(
+      Telemetry("s1", 31, ts("2024-03-05 16:10:00")),
+      Telemetry("s1", 33, ts("2024-03-05 17:00:02"))).toDF()
+    val avgs = graft.ops.SensorOps.avgWithPartitions(batch)
+    // watermark 17:05 with 1-min delay: hour 16 (ends 17:00) is closed,
+    // hour 17 (ends 18:00) is still open
+    PartitionedJsonSink.writeBatchWithDelayedMarkers(
+      avgs, outDir, ts("2024-03-05 17:05:00"), delayMinutes = 1L)
+    val h16 = Paths.get(outDir, "year=2024", "month=3", "day=5", "hour=16")
+    val h17 = Paths.get(outDir, "year=2024", "month=3", "day=5", "hour=17")
+    assert(Files.isDirectory(h16) && Files.isDirectory(h17), "rows append immediately")
+    assert(Files.exists(h16.resolve("_SUCCESS")),
+      "closed partition must commit (main.py:74-75 delay semantics)")
+    assert(!Files.exists(h17.resolve("_SUCCESS")),
+      "open partition must stay uncommitted until the watermark clears it")
+    // watermark progress alone (no new rows for that dir) commits the rest:
+    // 18:00 end + 1 min delay <= 18:01
+    val n = PartitionedJsonSink.commitClosedPartitions(
+      outDir, ts("2024-03-05 18:01:00"), delayMinutes = 1L)
+    assert(n == 1 && Files.exists(h17.resolve("_SUCCESS")))
+    // idempotent: nothing left to commit
+    assert(PartitionedJsonSink.commitClosedPartitions(
+      outDir, ts("2024-03-05 19:00:00"), delayMinutes = 1L) == 0)
+  }
+
   test("marker pass refuses to collect a high-cardinality partition list") {
     val outDir = Files.createTempDirectory("graft_s4c_").toString
     // 3 distinct (year,month,day,hour) tuples against a guard of 2
