@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{AudioMetaExpr, DotProductExpr, Hashing, ImageMetaExpr, Md5Hash32Expr, MinhashSigExpr, ShingleSetExpr}
+import graft.functions.{AudioMetaExpr, DotProductExpr, Hashing, ImageMetaExpr, Md5Hash32Expr, MinhashSigExpr, ShingleSetExpr, VideoMetaExpr}
 
 /** SQL registration of the engine's custom Catalyst expressions — both as
   * a `SparkSessionExtensions` class (`--conf
@@ -67,7 +67,11 @@ object GraftFunctions {
     // audio_meta(binary): javax.sound header decode to
     // struct<duration_ms,sample_rate_hz,channels>
     (FunctionIdentifier("audio_meta"), info("audio_meta", classOf[AudioMetaExpr]),
-      (es: Seq[Expression]) => AudioMetaExpr(arity("audio_meta", 1, es).head))
+      (es: Seq[Expression]) => AudioMetaExpr(arity("audio_meta", 1, es).head)),
+    // video_meta(binary): ISO-BMFF mvhd header decode to
+    // struct<duration_ms,timescale_hz>
+    (FunctionIdentifier("video_meta"), info("video_meta", classOf[VideoMetaExpr]),
+      (es: Seq[Expression]) => VideoMetaExpr(arity("video_meta", 1, es).head))
   )
 
   /** Register into an already-running session. */

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.ColumnBridge
 
-import graft.functions.{AudioMeta, AudioMetaExpr, Hashing, ImageMeta, ImageMetaExpr}
+import graft.functions.{AudioMeta, AudioMetaExpr, Hashing, ImageMeta, ImageMetaExpr, VideoMeta, VideoMetaExpr}
 
 /** Multimodal-column plumbing (north-star extensions, SURVEY.md §2.4).
   *
@@ -17,13 +17,16 @@ import graft.functions.{AudioMeta, AudioMetaExpr, Hashing, ImageMeta, ImageMetaE
   * external codec dependency) and emit exact integer pixel statistics.
   * AUDIO decode is REAL too: [[decodeAudioMeta]] / [[decodeAudioBatched]]
   * parse WAV/AIFF/AU headers with the JDK's `javax.sound.sampled` and
-  * emit exact duration/rate/channel metadata. VIDEO decode (frame counts)
-  * remains STUBBED (`decodeStub`) with a deterministic fake because no
-  * video codec library ships in this environment; swap it for a real
-  * decoder (e.g. a JNI codec in the [[decodeBatched]] seam) without
-  * touching the surrounding dataflow. The oracle queries (q42/q47/q72)
-  * gate the stub plumbing — schema, batching, determinism — which is
-  * shared by all three paths.
+  * emit exact duration/rate/channel metadata. VIDEO CONTAINER metadata is
+  * REAL as well: [[decodeVideoMeta]] / [[decodeVideoBatched]] walk the
+  * ISO-BMFF (MP4/MOV) box structure to the `mvhd` movie header for exact
+  * duration/timescale — a dependency-free header parse. Only video FRAME
+  * decode (pixels, keyframes) remains STUBBED (`decodeStub`) with a
+  * deterministic fake, because it requires a codec library this
+  * environment doesn't ship; swap it in at the [[decodeBatched]] seam
+  * without touching the surrounding dataflow. The oracle queries
+  * (q42/q47/q72) gate the stub plumbing — schema, batching, determinism —
+  * which is shared by all paths.
   */
 /** Output row of the batched decode seam. */
 case class DecodedMedia(doc_id: Long, n_bytes: Long, width: Long, height: Long,
@@ -40,6 +43,12 @@ case class DecodedImage(doc_id: Long, n_bytes: Long, width: Option[Long],
   */
 case class DecodedAudio(doc_id: Long, n_bytes: Long, duration_ms: Option[Long],
                         sample_rate_hz: Option[Long], channels: Option[Long])
+
+/** Output row of the REAL video container decode seam; meta fields are
+  * None for payloads that are not parseable ISO-BMFF.
+  */
+case class DecodedVideo(doc_id: Long, n_bytes: Long, duration_ms: Option[Long],
+                        timescale_hz: Option[Long])
 
 object Multimodal {
 
@@ -193,6 +202,38 @@ object Multimodal {
           case Some(m) => DecodedAudio(id, payload.length.toLong,
             Some(m.durationMs), Some(m.sampleRateHz), Some(m.channels))
           case None => DecodedAudio(id, payload.length.toLong, None, None, None)
+        }
+      }
+    }.toDF()
+  }
+
+  /** REAL video container decode, expression path: binary column →
+    * `struct<duration_ms, timescale_hz>` via a dependency-free ISO-BMFF
+    * box walk (`moov`/`mvhd`), NULL for non-MP4/MOV bytes. Header parse
+    * only — see [[graft.functions.VideoMeta.decode]].
+    */
+  def decodeVideoMeta(payload: Column): Column =
+    ColumnBridge.column(VideoMetaExpr(ColumnBridge.expression(payload)))
+
+  /** REAL video container decode, batched `mapPartitions` path — same
+    * init-once partition seam as the image/audio twins (a real frame
+    * decoder loads its codec here, once per partition). Bit-identical
+    * metadata to [[decodeVideoMeta]]; unparseable payloads surface as
+    * None/NULL meta rather than vanishing.
+    */
+  def decodeVideoBatched(df: DataFrame, idCol: String = "doc_id",
+                         payloadCol: String = "payload"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val withBin = df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+    withBin.mapPartitions { rows =>
+      rows.map { case (id, rawPayload) =>
+        val payload = if (rawPayload == null) Array.emptyByteArray else rawPayload
+        VideoMeta.decode(payload) match {
+          case Some(m) => DecodedVideo(id, payload.length.toLong,
+            Some(m.durationMs), Some(m.timescaleHz))
+          case None => DecodedVideo(id, payload.length.toLong, None, None)
         }
       }
     }.toDF()

@@ -144,9 +144,12 @@ object IncrementalDedup {
     * the at-least-once caveat above); consuming only the returned frame
     * risks a re-run flagging the batch against its own keys. Same scale
     * notes too: bucket or prefix-partition on `bkey`; only keys travel,
-    * never text. The append is blind, so keys recur across batches —
-    * semi-join semantics are unaffected; run [[compactIndex]]
-    * periodically to rewrite the directory distinct.
+    * never text; `bloomFpp` prunes the index side of the semi join with a
+    * Bloom filter over the batch's (band, bkey) keys — exact results, and
+    * the steady-state index shuffle shrinks to ~|batch keys|·(1+fpp). The
+    * append is blind, so keys recur across batches — semi-join semantics
+    * are unaffected; run [[compactIndex]] periodically to rewrite the
+    * directory distinct.
     */
   def ingestNearDup(
       batch: DataFrame,
@@ -157,7 +160,8 @@ object IncrementalDedup {
       rowsPerBand: Int = 4,
       shingleN: Int = 3,
       persistOutput: DataFrame => Unit = _ => (),
-      flagInBatch: Boolean = true
+      flagInBatch: Boolean = true,
+      bloomFpp: Option[Double] = None
   ): DataFrame = {
     val spark = batch.sparkSession
     require(!batch.columns.contains(FlagCol),
@@ -181,7 +185,21 @@ object IncrementalDedup {
       .localCheckpoint(true) // (id, band, bkey)
     val crossBatchHits = readIndex(spark, indexDir, Seq("band", "bkey")) match {
       case Some(index) =>
-        keys.join(index, Seq("band", "bkey"), "left_semi").select(col("id"))
+        // same bloom trade as [[ingest]], on the composite (band, bkey):
+        // the band-key index is the fastest-growing one, and index rows
+        // whose key no batch document carries cannot affect the semi join
+        val probed = bloomFpp match {
+          case Some(fpp) =>
+            val keyStr = concat_ws(":", col("band"), col("bkey"))
+            val expected = math.max(keys.count(), 1L) // off the checkpoint
+            val bloom = keys.select(keyStr.as("__k")).stat
+              .bloomFilter("__k", expected, fpp)
+            val mightContain =
+              udf((s: String) => s != null && bloom.mightContainString(s))
+            index.filter(mightContain(keyStr))
+          case None => index
+        }
+        keys.join(probed, Seq("band", "bkey"), "left_semi").select(col("id"))
       case None => spark.emptyDataFrame
         .withColumn("id", lit(null).cast("long")).filter(lit(false))
     }

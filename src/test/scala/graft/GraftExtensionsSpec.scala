@@ -85,6 +85,25 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(r.getLong(0) == 500L && r.getLong(1) == 8000L && r.getLong(2) == 1L)
   }
 
+  test("video_meta decodes MP4 container bytes from SQL") {
+    GraftFunctions.register(spark)
+    def box(tpe: String, payload: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(payload.length + 8)
+      b.putInt(payload.length + 8).put(tpe.getBytes("ISO-8859-1")).put(payload)
+      b.array()
+    }
+    val mvhd = java.nio.ByteBuffer.allocate(100)
+      .putInt(0).putInt(0).putInt(0).putInt(600).putInt(1500).array()
+    val mp4 = box("ftyp", "isom   isom".getBytes("ISO-8859-1")) ++
+      box("moov", box("mvhd", mvhd))
+    import spark.implicits._
+    Seq(Tuple1(mp4)).toDF("payload").createOrReplaceTempView("vid_t")
+    val r = spark.sql(
+      "SELECT video_meta(payload).duration_ms d, video_meta(payload).timescale_hz t " +
+        "FROM vid_t").collect().head
+    assert(r.getLong(0) == 2500L && r.getLong(1) == 600L) // 1500/600 s = 2500 ms
+  }
+
   test("SQL builders reject wrong arity by function name, never IndexOutOfBounds") {
     GraftFunctions.register(spark)
     val cases = Seq(
@@ -94,7 +113,8 @@ class GraftExtensionsSpec extends SparkTestBase {
       "SELECT shingle_set('a b c')" -> "shingle_set",
       "SELECT minhash_sig(shingle_set('a b c', 2))" -> "minhash_sig",
       "SELECT image_meta()" -> "image_meta",
-      "SELECT audio_meta(CAST('x' AS BINARY), 1)" -> "audio_meta")
+      "SELECT audio_meta(CAST('x' AS BINARY), 1)" -> "audio_meta",
+      "SELECT video_meta()" -> "video_meta")
     for ((sql, fn) <- cases) {
       val e = intercept[Exception] { spark.sql(sql).collect() }
       assert(e.getMessage.contains(fn) && e.getMessage.contains("expects"),

@@ -201,4 +201,73 @@ class MultimodalSpec extends SparkTestBase {
     assert(out(0).duration_ms.contains(100L))
     assert(out(1) == DecodedAudio(2L, 0L, None, None, None))
   }
+
+  /** One ISO-BMFF box: 32-bit big-endian size + fourcc + payload. */
+  private def box(tpe: String, payload: Array[Byte]): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(payload.length + 8)
+    b.putInt(payload.length + 8).put(tpe.getBytes("ISO-8859-1")).put(payload)
+    b.array()
+  }
+
+  /** Minimal MP4: ftyp + moov(mvhd) with the given movie timescale and
+    * duration, spec-layout byte offsets (ISO 14496-12 §8.2.2).
+    */
+  private def mp4Bytes(timescale: Int, duration: Long, v1: Boolean = false): Array[Byte] = {
+    val mvhd = if (v1) {
+      val b = java.nio.ByteBuffer.allocate(112) // v1 header + rate..next_track_ID
+      b.put(1.toByte).put(Array[Byte](0, 0, 0)) // version, flags
+      b.putLong(0L).putLong(0L)                 // creation, modification
+      b.putInt(timescale).putLong(duration)
+      b.array()
+    } else {
+      val b = java.nio.ByteBuffer.allocate(100) // full v0 mvhd payload
+      b.putInt(0)                               // version 0, flags
+      b.putInt(0).putInt(0)                     // creation, modification
+      b.putInt(timescale).putInt(duration.toInt)
+      b.array()
+    }
+    box("ftyp", "isom   isom".getBytes("ISO-8859-1")) ++
+      box("moov", box("mvhd", mvhd))
+  }
+
+  test("decodeVideoMeta: exact container duration from hand-built MP4 boxes") {
+    val out = Seq(
+      (1L, mp4Bytes(1000, 5400)),                 // 5.4 s at ms timescale
+      (2L, mp4Bytes(90000, 315000, v1 = true)),   // 3.5 s at 90 kHz, 64-bit duration
+      (3L, "definitely not an mp4 container".getBytes("UTF-8")),
+      (4L, wavBytes(8000f, 1, 100)))              // valid audio is NOT a video container
+      .toDF("doc_id", "payload")
+      .select(col("doc_id"), Multimodal.decodeVideoMeta(col("payload")).as("m"))
+      .select(col("doc_id"), col("m.duration_ms"), col("m.timescale_hz"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+    assert(out(1L).getLong(1) == 5400L && out(1L).getLong(2) == 1000L)
+    assert(out(2L).getLong(1) == 3500L && out(2L).getLong(2) == 90000L)
+    assert(out(3L).isNullAt(1), "non-container bytes → NULL meta")
+    assert(out(4L).isNullAt(1), "WAV bytes must not parse as ISO-BMFF")
+  }
+
+  test("decodeVideoBatched agrees bit-for-bit with the expression path") {
+    val rows = (0L until 20L).map { i =>
+      if (i % 5 == 4) (i, Array.fill[Byte](32)((i % 90).toByte)) // undecodable
+      else (i, mp4Bytes(1000 * (1 + (i % 3)).toInt, 1000L + i * 777L, v1 = i % 2 == 1))
+    }
+    val df = rows.toDF("doc_id", "payload").repartition(4)
+    val viaExpr = df
+      .select(col("doc_id"), octet_length(col("payload")).cast("long").as("n_bytes"),
+        Multimodal.decodeVideoMeta(col("payload")).as("m"))
+      .select(col("doc_id"), col("n_bytes"), col("m.duration_ms"), col("m.timescale_hz"))
+      .as[DecodedVideo].collect().sortBy(_.doc_id)
+    val viaBatch = Multimodal.decodeVideoBatched(df)
+      .as[DecodedVideo].collect().sortBy(_.doc_id)
+    assert(viaBatch.toList == viaExpr.toList)
+    assert(viaBatch.count(_.duration_ms.isEmpty) == 4, "corrupt rows surface as NULL meta")
+
+    val withNull = Seq((1L, mp4Bytes(1000, 250)), (2L, null.asInstanceOf[Array[Byte]]))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.decodeVideoBatched(withNull)
+      .as[DecodedVideo].collect().sortBy(_.doc_id)
+    assert(out(0).duration_ms.contains(250L))
+    assert(out(1) == DecodedVideo(2L, 0L, None, None))
+  }
 }

@@ -151,6 +151,29 @@ class IncrementalDedupSpec extends SparkTestBase {
       IncrementalDedup.indexSize(spark, root + "/bloom"))
   }
 
+  test("bloom-pre-filtered near-dup ingest flags exactly the plain path's documents") {
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("graft_incndbloom_").toString
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val near = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    val far = "one two three four five six seven eight nine ten"
+    val batches = Seq(
+      Seq((1L, base), (2L, far), (3L, "hi there")), // incl. a short doc (fp band)
+      Seq((10L, near), (11L, far), (12L, "hi there"), (13L, "fresh text entirely new")),
+      Seq((20L, "fresh text entirely novel"), (21L, base)))
+    for (batch <- batches) {
+      val df = batch.toDF("doc_id", "text")
+      val plain = IncrementalDedup.ingestNearDup(df, root + "/plain")
+        .select("doc_id", "near_dup_hit").as[(Long, Boolean)].collect().sorted.toSeq
+      val bloomed = IncrementalDedup.ingestNearDup(df, root + "/bloom",
+          bloomFpp = Some(0.01))
+        .select("doc_id", "near_dup_hit").as[(Long, Boolean)].collect().sorted.toSeq
+      assert(bloomed == plain, s"bloom path diverged on batch $batch")
+      assert(plain.exists(_._2) || batch == batches.head,
+        "fixture must exercise real hits, not vacuous equality")
+    }
+  }
+
   test("the batch bloom prunes the overwhelming bulk of a low-hit-rate index") {
     import org.apache.spark.sql.functions.md5
     // 5000 indexed fingerprints, a 20-doc batch with 10 true hits: index
