@@ -41,6 +41,23 @@ object DedupThroughput {
 
     time("warmup scan")(docs.count())
     time("exactDedup")(graft.ext.Dedup.exactDedup(docs).count())
+    // hot-fingerprint skew probe: 30% of the corpus is ONE document (the
+    // boilerplate-page scenario). The old fingerprint-window formulation
+    // serialized every copy into a single WindowExec task; the groupBy +
+    // (fp, id) semi join keeps the hot group partition-parallel. The
+    // window formulation is timed alongside for the comparison.
+    val skewed = spark.range(n.toLong).select(col("id").as("doc_id"),
+      when(col("id") % 10 < 3,
+        lit("the same boilerplate page body repeated verbatim across the corpus"))
+        .otherwise(words(col("id"))).as("text"))
+      .localCheckpoint(true)
+    time("exactDedup 30% hot fp")(graft.ext.Dedup.exactDedup(skewed).count())
+    time("window dedup 30% hot fp") {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(graft.ext.TextOps.fingerprint(col("text")))
+      skewed.withColumn("__keep", min(col("doc_id")).over(w))
+        .filter(col("doc_id") === col("__keep")).drop("__keep").count()
+    }
     time("minhash signatures")(
       graft.ext.Dedup.minhashSignatureArray(docs).agg(sum(element_at(col("sig"), 1))).collect())
     val pairs = time("minhashPairs (LSH)")(
