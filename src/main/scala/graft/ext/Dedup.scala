@@ -167,9 +167,16 @@ object Dedup {
     // over the md5 array) is bit-identical but evaluates interpreted:
     // higher-order functions never reach whole-stage codegen, and its
     // numHashes×shingles interpreted steps dominated the signature scan.
+    //
+    // The empty-doc pre-filter tests the TOKEN count, not the shingle
+    // array: `size(tokens) >= n ⟺ shingle set non-empty` (same rows,
+    // single-space split both sides), and predicate pushdown substitutes
+    // project aliases into the filter — a `size(shingle_set(text)) > 0`
+    // formulation built the whole shingle array TWICE per row (once in
+    // the pushed-down predicate, once for the signature).
     import org.apache.spark.sql.graftbridge.ColumnBridge
-    docs.select(col(idCol).as("id"), TextOps.shingleSet(col(textCol), shingleN).as("shs"))
-      .filter(size(col("shs")) > 0)
+    docs.filter(size(TextOps.tokens(col(textCol))) >= shingleN)
+      .select(col(idCol).as("id"), TextOps.shingleSet(col(textCol), shingleN).as("shs"))
       .select(col("id"),
         ColumnBridge.column(graft.functions.MinhashSigExpr(
           ColumnBridge.expression(col("shs")), 0, as, bs)).as("sig"))

@@ -85,8 +85,8 @@ object ImageMeta {
   * `struct<width bigint, height bigint, mean_pixel_ppm bigint>`, NULL for
   * undecodable bytes. CodegenFallback is deliberate: the decode dominates
   * cost by orders of magnitude, so interpreting this one projection node
-  * costs nothing measurable (same trade as [[MinhashSigExpr]], inverse
-  * rationale).
+  * costs nothing measurable (unlike [[MinhashSigExpr]], which sits on the
+  * per-document dedup scan and generates a codegen call instead).
   */
 case class ImageMetaExpr(child: Expression)
     extends UnaryExpression with CodegenFallback {

@@ -3,7 +3,7 @@ package graft.functions
 import java.security.MessageDigest
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
@@ -18,10 +18,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * lambda evaluations per shingle (higher-order functions never reach
   * whole-stage codegen; measured ~0.4 s of q36's sf0.1 bench time).
   * Empty shingle arrays yield the fold seed: an all-`prime` signature.
+  *
+  * Codegen: emits a call into [[compute]] through a reference object —
+  * the md5 loop dominates, but a CodegenFallback demoted the whole
+  * signature projection to interpreted evaluation (boxing every row of
+  * the hottest dedup scan) and split the codegen stage.
   */
 case class MinhashSigExpr(child: Expression, seed: Int, as: Seq[Long], bs: Seq[Long],
                           prime: Long = Hashing.MinhashPrime)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(as.nonEmpty && as.length == bs.length, "coefficient arrays must match")
 
@@ -44,8 +49,10 @@ case class MinhashSigExpr(child: Expression, seed: Int, as: Seq[Long], bs: Seq[L
       override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
     }
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  /** Public so generated code can call it; shared verbatim by the
+    * interpreted path.
+    */
+  def compute(arr: ArrayData): ArrayData = {
     val n = aArr.length
     val sig = Array.fill(n)(prime)
     val md = localDigest.get()
@@ -68,6 +75,14 @@ case class MinhashSigExpr(child: Expression, seed: Int, as: Seq[Long], bs: Seq[L
       i += 1
     }
     new GenericArrayData(sig)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhashSigExpr", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -1,8 +1,8 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -15,9 +15,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * per shingle (measured ~6× on the shingle-heavy dedup operators).
   * Matches `string_split(text, ' ')`-based SQL oracles: single-space
   * splitting, empty tokens preserved.
+  *
+  * Codegen: emits a call into [[compute]] through a reference object, so
+  * the surrounding projection stays inside whole-stage codegen (a
+  * CodegenFallback here demoted the ENTIRE signature projection to
+  * interpreted evaluation — per-row boxing on the hottest dedup scan).
   */
 case class ShingleSetExpr(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(n >= 1, "shingle size must be >= 1")
 
@@ -31,8 +36,11 @@ case class ShingleSetExpr(child: Expression, n: Int)
         s"$prettyName requires a string input, got ${child.dataType.sql}")
     }
 
-  override def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+  /** Public so generated code can call it; shared verbatim by the
+    * interpreted path.
+    */
+  def compute(input: UTF8String): ArrayData = {
+    val toks = input.toString.split(" ", -1)
     if (toks.length < n) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[String]((toks.length - n + 1) * 2)
     var i = 0
@@ -52,6 +60,14 @@ case class ShingleSetExpr(child: Expression, n: Int)
     var j = 0
     while (it.hasNext) { arr(j) = UTF8String.fromString(it.next()); j += 1 }
     new GenericArrayData(arr)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingleSetExpr", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

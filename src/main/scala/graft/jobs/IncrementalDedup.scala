@@ -168,12 +168,13 @@ object IncrementalDedup {
       s"batch already has a '$FlagCol' column — it would collide with " +
         "the flag this operator appends; rename it")
     val docs = batch.filter(col(textCol).isNotNull)
+    // token-count predicate ⟺ empty shingle set (see minhashSignatureArray:
+    // a shingle-emptiness filter would build the shingle array just to
+    // test it, twice per row after pushdown)
     val shortDocKeys = docs
-      .select(col(idCol).as("id"), col(textCol).as("__t"),
-        TextOps.shingleSet(col(textCol), shingleN).as("shs"))
-      .filter(size(col("shs")) === 0)
-      .select(col("id"), lit(-1).cast("int").as("band"),
-        TextOps.fingerprint(col("__t")).cast("string").as("bkey"))
+      .filter(size(TextOps.tokens(col(textCol))) < shingleN)
+      .select(col(idCol).as("id"), lit(-1).cast("int").as("band"),
+        TextOps.fingerprint(col(textCol)).cast("string").as("bkey"))
     // one checkpoint, three consumers (semi-join probe + in-batch collision
     // check + index append): uncached, the signature+banding scan would
     // execute once per consumer

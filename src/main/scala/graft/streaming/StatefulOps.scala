@@ -128,10 +128,13 @@ object StatefulOps {
     // then the SAME banding scheme as the batch path (Dedup.bandKeys) —
     // shared code, so batch diagnostics (lshBandStats) describe exactly
     // the buckets this detector forms
+    // token-count pre-filter ⟺ non-empty shingle set (same rows) — the
+    // shingle-emptiness formulation built the array twice per row after
+    // predicate pushdown; see Dedup.minhashSignatureArray
     val withSig = docs
+      .filter(size(graft.ext.TextOps.tokens(col(textCol))) >= shingleN)
       .select(col(idCol).as("id"), col(tsCol).as("event_time"),
         graft.ext.TextOps.shingleSet(col(textCol), shingleN).as("shs"))
-      .filter(size(col("shs")) > 0)
       .select(col("id"), col("event_time"),
         ColumnBridge.column(graft.functions.MinhashSigExpr(
           ColumnBridge.expression(col("shs")), 0, as, bs)).as("sig"))

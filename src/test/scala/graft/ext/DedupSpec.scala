@@ -74,6 +74,24 @@ class DedupSpec extends SparkTestBase {
     assert(kept.toList == List(1L, 2L))
   }
 
+  test("signature scan: shingle_set built once per row, projection inside codegen") {
+    // a Range-based source: the tiny in-memory fixture constant-folds to
+    // a LocalRelation, which erases the very plan this test pins
+    import org.apache.spark.sql.functions.{concat_ws, lit}
+    val ranged = spark.range(64).select(col("id").as("doc_id"),
+      concat_ws(" ", lit("alpha"), lit("beta"), col("id").cast("string"),
+        lit("gamma"), lit("delta")).as("text"))
+    val sigs = Dedup.minhashSignatureArray(ranged)
+    val opt = sigs.queryExecution.optimizedPlan.toString
+    assert("shingle_set".r.findAllIn(opt).size == 1,
+      s"pushdown duplicated the shingle build into the filter:\n${opt.take(900)}")
+    sigs.collect() // AQE finalizes codegen stages only at execution
+    val phys = sigs.queryExecution.executedPlan.toString
+    val projLine = phys.linesIterator.find(_.contains("minhash_sig")).getOrElse("")
+    assert(projLine.contains("*("),
+      s"signature projection fell out of whole-stage codegen:\n${phys.take(900)}")
+  }
+
   test("minhashPairs finds identical and near-identical docs, not unrelated ones") {
     val pairs = Dedup.minhashPairs(docs).as[(Long, Long)].collect().toSet
     assert(pairs.contains((0L, 1L)), "identical docs must share all bands")
