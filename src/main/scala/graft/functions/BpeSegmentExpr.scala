@@ -1,8 +1,8 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -15,15 +15,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * LOWEST merge rank until no pair is mergeable. Deterministic for a
   * fixed merge table.
   *
-  * Per-row JVM loop as a CodegenFallback expression (the same trade as
-  * [[MinhashSigExpr]]): the merge loop dominates cost, interpreting the
-  * node costs nothing measurable. Words repeat Zipf-style, so a
+  * Per-row JVM loop reached through a codegen reference-object call (the
+  * same pattern as [[MinhashSigExpr]]) so the surrounding projection —
+  * packing's token counting runs this over every curated document —
+  * stays inside whole-stage codegen. Words repeat Zipf-style, so a
   * per-thread bounded memo of word → segmentation short-circuits the
   * merge loop for the hot vocabulary — at 100 TB this makes the common
   * path a hash lookup, not a merge loop.
   */
 case class BpeSegmentExpr(child: Expression, merges: Seq[(String, String)])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
@@ -82,8 +83,11 @@ case class BpeSegmentExpr(child: Expression, merges: Seq[(String, String)])
     parts
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString
+  /** Public so generated code can call it; shared verbatim by the
+    * interpreted path.
+    */
+  def compute(input: UTF8String): ArrayData = {
+    val text = input.toString
     val out = Array.newBuilder[UTF8String]
     var start = 0
     var i = 0
@@ -97,6 +101,14 @@ case class BpeSegmentExpr(child: Expression, merges: Seq[(String, String)])
       i += 1
     }
     new GenericArrayData(out.result().asInstanceOf[Array[Any]])
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeSegmentExpr", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
