@@ -950,7 +950,9 @@ object OracleSql {
          | k AS (SELECT band, bkey, count(*) AS k FROM b GROUP BY 1, 2)
          |SELECT CAST(band AS BIGINT) AS band, CAST(count(*) AS BIGINT) AS n_buckets,
          | CAST(count(*) FILTER (k > 1) AS BIGINT) AS n_colliding,
-         | CAST(sum(k * (k - 1) // 2) AS BIGINT) AS n_candidate_pairs
+         | CAST(sum(k * (k - 1) // 2) AS BIGINT) AS n_candidate_pairs,
+         | CAST(count(*) FILTER (k > 3) AS BIGINT) AS n_dropped_buckets,
+         | CAST(coalesce(sum(k * (k - 1) // 2) FILTER (k > 3), 0) AS BIGINT) AS n_dropped_pairs
          |FROM k GROUP BY 1 ORDER BY band""".stripMargin,
 
     // salting only changes the shuffle layout; the merged result must
@@ -1016,6 +1018,35 @@ object OracleSql {
         |JOIN (SELECT md5(text) AS fp, min(doc_id) AS keep_id
         |      FROM documents GROUP BY 1) k
         |  ON md5(d.text) = k.fp AND d.doc_id = k.keep_id
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    "q101_minhash_pairs_capped" ->
+      s"""WITH $minhashCtes,
+         | k AS (SELECT band, bkey, count(*) AS k FROM b GROUP BY 1, 2),
+         | keep AS (SELECT band, bkey FROM k WHERE k > 1 AND k <= 3)
+         |SELECT DISTINCT a.id AS id_a, c.id AS id_b
+         |FROM b a
+         |JOIN keep USING (band, bkey)
+         |JOIN b c ON a.band = c.band AND a.bkey = c.bkey AND a.id < c.id
+         |ORDER BY 1, 2""".stripMargin,
+
+    // 64-bit SimHash: seed-0 md5 half for bits 0-31, seed-1 half for
+    // 32-63; the HUGEINT power list + explicit two's-complement wrap
+    // sidestep DuckDB's 1<<63 overflow error while matching Java's
+    // signed-long bit layout exactly
+    "q102_simhash64" -> {
+      val powers = (0 until 64).map(i => BigInt(1) << i).mkString("[", ",", "]")
+      s"""WITH t AS (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS tok FROM documents),
+         | bits AS (SELECT doc_id, i,
+         |   sum(CASE WHEN ((CASE WHEN i < 32 THEN ('0x'||substr(md5('0:'||tok),1,8))::BIGINT
+         |                   ELSE ('0x'||substr(md5('1:'||tok),1,8))::BIGINT END)
+         |        >> (i % 32)) % 2 = 1 THEN 1 ELSE -1 END) AS sgn
+         |  FROM t CROSS JOIN (SELECT unnest(generate_series(0,63)) AS i) g GROUP BY 1,2),
+         | v AS (SELECT doc_id, sum(CASE WHEN sgn > 0 THEN ($powers)[i+1] ELSE 0 END) AS v
+         |       FROM bits GROUP BY 1)
+         |SELECT doc_id, CAST(CASE WHEN v >= 9223372036854775808
+         |  THEN v - 18446744073709551616 ELSE v END AS BIGINT) AS simhash64
+         |FROM v ORDER BY 1""".stripMargin
+    }
   )
 }

@@ -401,6 +401,16 @@ object SparkEntry {
     Dedup.minhashPairs(Tables.documents(s, dir), numHashes = 16, rowsPerBand = 4)
       .orderBy("id_a", "id_b")
 
+  /** [[q36]] under a bucket-size cap: LSH candidate pairs with buckets of
+    * more than 3 members dropped — the bounded-collector scale path for
+    * degenerate (boilerplate-flooded) buckets. The oracle recomputes the
+    * same bucket-size exclusion in SQL, so both the capped aggregate and
+    * the drop criterion are value-gated.
+    */
+  private def q101(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashPairs(Tables.documents(s, dir), maxBucketSize = 3)
+      .orderBy("id_a", "id_b")
+
   /** Near-dup clustering: connected components over MinHash candidate
     * pairs; cluster_id = min reachable doc id (own id for singletons).
     */
@@ -424,6 +434,17 @@ object SparkEntry {
   private def q39(s: SparkSession, dir: String): DataFrame =
     Dedup.simhash(Tables.documents(s, dir))
       .select(col("id").as("doc_id"), col("simhash"))
+      .orderBy("doc_id")
+
+  /** [[q39]]'s 64-bit twin: gates [[Dedup.simhash64]], the fingerprint
+    * behind the widened 16-bit-band `simhashPairs` blocking (65k buckets
+    * per band instead of 256 — the structural fix for the quadratic
+    * 8-bit-band join). The oracle rebuilds both md5 halves and the
+    * signed-64 wrap in SQL, so the bit layout is value-gated end to end.
+    */
+  private def q102(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhash64(Tables.documents(s, dir))
+      .select(col("id").as("doc_id"), col("simhash64"))
       .orderBy("doc_id")
 
   /** ANN via random-hyperplane LSH. Approximate in RECALL, but fully
@@ -1219,9 +1240,10 @@ object SparkEntry {
     * observability run before unleashing q36 at scale.
     */
   private def q93(s: SparkSession, dir: String): DataFrame =
-    Dedup.lshBandStats(Tables.documents(s, dir))
+    Dedup.lshBandStats(Tables.documents(s, dir), maxBucketSize = 3)
       .select(col("band").cast("long").as("band"), col("n_buckets"),
-        col("n_colliding"), col("n_candidate_pairs"))
+        col("n_colliding"), col("n_candidate_pairs"),
+        col("n_dropped_buckets"), col("n_dropped_pairs"))
       .orderBy("band")
 
   /** Salted aggregation (hot-key mitigation): per event type, count and
@@ -1427,7 +1449,9 @@ object SparkEntry {
     "q97_unpivot" -> q97 _,
     "q98_recursive_cte" -> q98 _,
     "q99_array_hof" -> q99 _,
-    "q100_dedup_keep" -> q100 _
+    "q100_dedup_keep" -> q100 _,
+    "q101_minhash_pairs_capped" -> q101 _,
+    "q102_simhash64" -> q102 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

@@ -206,6 +206,21 @@ object Dedup {
 
   /** Candidate near-dup pairs: docs sharing at least one full LSH band.
     * Equi-join on (band, bkey) — shuffle-scalable, no cross product.
+    *
+    * `maxBucketSize` (standard LSH practice) bounds the pair explosion
+    * on degenerate buckets: with r=4 bands, buckets hold near-identical
+    * docs — which is exactly the boilerplate failure mode, where 10⁷
+    * template pages land in ONE bucket and emit k² pairs. A finite cap
+    * switches the bucket aggregate to a bounded collector ([[CappedIds]]:
+    * per-bucket buffer never exceeds cap+1 ids, so the hot bucket never
+    * materializes its member array either) and DROPS buckets with more
+    * than `maxBucketSize` members. Dropped buckets are observable before
+    * running this operator via [[lshBandStats]]' `n_dropped_*` columns
+    * with the same cap. Docs in an oversized bucket usually share other,
+    * less degenerate bands, and boilerplate that floods a bucket is
+    * better handled by [[exactDedup]]/[[TextOps]] boilerplate pruning
+    * first — dropping is the standard trade. The default (Int.MaxValue)
+    * keeps the uncapped single-aggregate plan bit-identical.
     */
   def minhashPairs(
       docs: DataFrame,
@@ -213,18 +228,49 @@ object Dedup {
       textCol: String = "text",
       numHashes: Int = 16,
       rowsPerBand: Int = 4,
-      shingleN: Int = 3
+      shingleN: Int = 3,
+      maxBucketSize: Int = Int.MaxValue
   ): DataFrame = {
     val bands = bandKeys(
       minhashSignatureArray(docs, idCol, textCol, numHashes, shingleN),
       numHashes, rowsPerBand)
     // group per bucket and emit in-bucket combinations — ONE pass over the
     // signature pipeline (a self-join would compute it twice)
-    explodePairs(
-      bands.groupBy("band", "bkey")
-        .agg(sort_array(collect_list(col("id"))).as("ids"))
-        .filter(size(col("ids")) > 1))
-      .distinct()
+    val buckets =
+      if (maxBucketSize == Int.MaxValue)
+        bands.groupBy("band", "bkey")
+          .agg(sort_array(collect_list(col("id"))).as("ids"))
+          .filter(size(col("ids")) > 1)
+      else {
+        val bounded = udaf(new BoundedIdCollect(maxBucketSize))
+        bands.groupBy("band", "bkey")
+          .agg(bounded(col("id")).as("c"))
+          // k is the TRUE bucket size even though the buffer is truncated
+          .filter(col("c.k") > 1 && col("c.k") <= maxBucketSize)
+          .select(sort_array(col("c.ids")).as("ids"))
+      }
+    explodePairs(buckets).distinct()
+  }
+
+  /** Bounded bucket accumulator for [[minhashPairs]]' capped path: exact
+    * member count `k` plus at most cap+1 collected ids — enough to decide
+    * `k <= cap` (in which case no truncation occurred and `ids` is the
+    * complete bucket) while a degenerate hot bucket costs O(cap) memory
+    * in the aggregation buffer instead of O(k).
+    */
+  private[graft] case class CappedIds(k: Long, ids: Seq[Long])
+
+  private[graft] class BoundedIdCollect(cap: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[Long, CappedIds, CappedIds] {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    override def zero: CappedIds = CappedIds(0L, Vector.empty)
+    override def reduce(b: CappedIds, id: Long): CappedIds =
+      CappedIds(b.k + 1, if (b.ids.length <= cap) b.ids :+ id else b.ids)
+    override def merge(a: CappedIds, b: CappedIds): CappedIds =
+      CappedIds(a.k + b.k, (a.ids ++ b.ids).take(cap + 1))
+    override def finish(r: CappedIds): CappedIds = r
+    override def bufferEncoder: Encoder[CappedIds] = Encoders.product[CappedIds]
+    override def outputEncoder: Encoder[CappedIds] = Encoders.product[CappedIds]
   }
 
   /** LSH tuning diagnostics: per band, the bucket count, how many buckets
@@ -234,6 +280,13 @@ object Dedup {
     * that would blow up the pair explosion. Same signature pipeline as
     * minhashPairs plus one (band,bkey) aggregate; never materializes the
     * pairs themselves.
+    *
+    * `maxBucketSize` mirrors [[minhashPairs]]' cap: `n_dropped_buckets` /
+    * `n_dropped_pairs` report, per band, how many buckets (and how much
+    * of the candidate-pair volume) THAT cap would discard — run this with
+    * the production cap to see what the capped pair pass will skip. The
+    * first four columns always describe the UNCAPPED totals, so the
+    * diagnostic itself is cap-independent.
     */
   def lshBandStats(
       docs: DataFrame,
@@ -241,7 +294,8 @@ object Dedup {
       textCol: String = "text",
       numHashes: Int = 16,
       rowsPerBand: Int = 4,
-      shingleN: Int = 3
+      shingleN: Int = 3,
+      maxBucketSize: Int = Int.MaxValue
   ): DataFrame =
     bandKeys(minhashSignatureArray(docs, idCol, textCol, numHashes, shingleN),
         numHashes, rowsPerBand)
@@ -251,7 +305,10 @@ object Dedup {
       .agg(
         count(lit(1)).as("n_buckets"),
         count_if(col("k") > 1).as("n_colliding"),
-        sum(expr("k * (k - 1) div 2")).as("n_candidate_pairs"))
+        sum(expr("k * (k - 1) div 2")).as("n_candidate_pairs"),
+        count_if(col("k") > maxBucketSize).as("n_dropped_buckets"),
+        coalesce(sum(when(col("k") > maxBucketSize,
+          expr("k * (k - 1) div 2"))), lit(0L)).as("n_dropped_pairs"))
 
   // -------------------------------------------------------------- jaccard
 
@@ -320,17 +377,69 @@ object Dedup {
       .agg(sum(when(col("s") > 0, call_function("shiftleft", lit(1L), col("i")))
         .otherwise(lit(0L))).as("simhash"))
 
-  /** SimHash near-dup pairs: block on 8-bit bands of the fingerprint, then
-    * keep pairs with Hamming distance ≤ maxHamming. Never all-pairs.
+  /** 64-bit SimHash per document: bit i is the sign of Σ_tokens (±1 per
+    * token's hash bit i). Bits 0–31 come from the seed-0 md5 half, bits
+    * 32–63 from an independent seed-1 half — the same oracle-checkable
+    * 32-bit primitive twice rather than an unsigned-64 parse (which
+    * overflows a signed BIGINT on both engines). Bit 63 makes the
+    * fingerprint negative for half of all documents; every consumer masks
+    * after shifting instead of using `%`, so band keys stay in [0, 2¹⁶).
+    */
+  def simhash64(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("id"),
+        explode(array_distinct(TextOps.tokens(col(textCol)))).as("tok"))
+      .select(col("id"), col("tok"), explode(sequence(lit(0), lit(63))).as("i"))
+      .withColumn("b",
+        (call_function("shiftright",
+          when(col("i") < 32, Hashing.md5Hash32(0, col("tok")))
+            .otherwise(Hashing.md5Hash32(1, col("tok"))),
+          col("i") % 32) % 2) * 2 - 1)
+      .groupBy("id", "i")
+      .agg(sum(col("b")).as("s"))
+      // distinct powers of two, at most one negative term (bit 63 =
+      // Long.MinValue), so the sum stays in range under ANSI arithmetic
+      .groupBy("id")
+      .agg(sum(when(col("s") > 0, call_function("shiftleft", lit(1L), col("i")))
+        .otherwise(lit(0L))).as("simhash64"))
+
+  /** SimHash near-dup pairs: block on 16-bit bands of the 64-BIT
+    * fingerprint, then keep pairs with Hamming distance ≤ maxHamming.
+    * Never all-pairs.
+    *
+    * Why 64/16 and not the 32/8 banding [[simhash]] would suggest: 8-bit
+    * bands give 256 possible keys per band, so bucket size is ~n/256
+    * REGARDLESS of data and the in-bucket join is structurally quadratic —
+    * at 10⁹ docs that is ~4M rows per bucket and ~10¹³ comparisons per
+    * band. 16-bit bands give 65 536 buckets (~n/65k each, 256× fewer
+    * comparisons), and 4×16 preserves the pigeonhole recall guarantee for
+    * `maxHamming ≤ 3`: ≤3 differing bits cannot touch all 4 bands, so
+    * every qualifying pair still shares an identical band. (With
+    * maxHamming > 3 blocking recall is probabilistic — same as before.)
+    * `maxBucketSize` additionally drops still-degenerate buckets (all-same
+    * boilerplate hashes) before the join, mirroring [[minhashPairs]]'
+    * cap; dropped buckets are the capped pair volume an operator can
+    * bound a priori.
     */
   def simhashPairs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
-                   maxHamming: Int = 3): DataFrame = {
-    val sh = simhash(docs, idCol, textCol)
-    val banded = sh.select(col("id"), col("simhash"),
-      explode(sequence(lit(0), lit(3))).as("band"))
-      .withColumn("bkey", call_function("shiftright", col("simhash"), col("band") * 8) % 256)
-    val a = banded.select(col("band"), col("bkey"), col("id").as("id_a"), col("simhash").as("h_a"))
-    val b = banded.select(col("band"), col("bkey"), col("id").as("id_b"), col("simhash").as("h_b"))
+                   maxHamming: Int = 3, maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    // (id, h, band, bkey) is 4 narrow rows per doc; pin it once — the
+    // bucket-size pass and both join sides would otherwise each rerun the
+    // full simhash aggregation pipeline
+    val banded = simhash64(docs, idCol, textCol)
+      .select(col("id"), col("simhash64").as("h"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("bkey",
+        call_function("shiftright", col("h"), col("band") * 16).bitwiseAND(lit(65535L)))
+      .localCheckpoint(true)
+    val kept =
+      if (maxBucketSize == Int.MaxValue) banded
+      else banded.join(
+        banded.groupBy("band", "bkey").agg(count(lit(1)).as("__k"))
+          .filter(col("__k") <= maxBucketSize)
+          .select("band", "bkey"),
+        Seq("band", "bkey"), "left_semi")
+    val a = kept.select(col("band"), col("bkey"), col("id").as("id_a"), col("h").as("h_a"))
+    val b = kept.select(col("band"), col("bkey"), col("id").as("id_b"), col("h").as("h_b"))
     a.join(b, Seq("band", "bkey"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
@@ -455,8 +564,14 @@ object Dedup {
     * pathological chain of near-dup docs (a↔b, b↔c, …) makes the round
     * count linear in chain length. Large-star/small-star converges in
     * O(log² n) rounds worst-case (≈5 in practice) regardless of diameter,
-    * with the same per-round primitives (one shuffle per star step, as a
-    * window-min over the grouping endpoint).
+    * with skew-safe per-round primitives: each star step computes the
+    * per-node neighborhood minimum as a `groupBy(a).agg(min(b))` (map-side
+    * partial combine) joined back onto the edge list — never a window over
+    * the node, which would buffer a component-minimum node's ENTIRE
+    * neighborhood (at the fixed point, its whole component) in one
+    * `WindowExec` task. The join-back costs one extra shuffle per step but
+    * streams through sort-merge join and is AQE-skew-splittable, so no
+    * single-task ceiling exists on hub nodes.
     *
     *  - large-star: per node u, hook every LARGER neighbor to
     *    m = min(Γ(u) ∪ u) — edges (m, v) for v ∈ Γ(u), v > u;
@@ -487,33 +602,10 @@ object Dedup {
       .distinct()
       .localCheckpoint(true)
 
-    def largeStar(e: DataFrame): DataFrame = {
-      // both orientations: every node sees its full neighborhood
-      val nbrs = e.select(col("lo").as("a"), col("hi").as("b"))
-        .union(e.select(col("hi").as("a"), col("lo").as("b")))
-      val m = least(min(col("b")).over(Window.partitionBy(col("a"))), col("a"))
-      nbrs.withColumn("m", m)
-        .filter(col("b") > col("a")) // hook only larger neighbors: m <= a < b
-        .select(col("m").as("lo"), col("b").as("hi"))
-        .distinct()
-    }
-
-    def smallStar(e: DataFrame): DataFrame = {
-      // orient towards the larger endpoint: group a = hi over neighbors b < a
-      val oriented = e.select(col("hi").as("a"), col("lo").as("b"))
-      val withMin = oriented
-        .withColumn("m", min(col("b")).over(Window.partitionBy(col("a"))))
-      // hook every smaller neighbor except the min itself (m < b), and a
-      withMin.filter(col("b") =!= col("m"))
-        .select(col("m").as("lo"), col("b").as("hi"))
-        .union(withMin.select(col("m").as("lo"), col("a").as("hi")))
-        .distinct()
-    }
-
     var converged = edges.isEmpty
     var iter = 0
     while (!converged && iter < maxIterations) {
-      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val next = smallStarStep(largeStarStep(edges)).localCheckpoint(true)
       // exact fixed-point check: equal edge count and no edge outside the
       // previous set (anti-join) — both one small job over star edges
       converged = next.count() == edges.count() &&
@@ -536,6 +628,48 @@ object Dedup {
       .join(labels, Seq("id"), "left")
       .select(col("id").as(idCol),
         coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+  }
+
+  /** One LARGE-STAR round over canonical (lo < hi) edges: per node u,
+    * hook every LARGER neighbor to m = min(Γ(u) ∪ u).
+    *
+    * The neighborhood minimum is a partial-aggregating
+    * `groupBy(a).agg(min(b))` joined back onto the (pre-filtered) larger
+    * neighbors — NOT `min(b).over(Window.partitionBy(a))`, which would
+    * buffer a hub node's entire neighborhood in a single task (the exact
+    * straggler [[exactDedup]] avoids the same way). Exposed package-private
+    * so the spec can pin the no-`WindowExec` plan shape.
+    */
+  private[graft] def largeStarStep(e: DataFrame): DataFrame = {
+    // both orientations: every node sees its full neighborhood
+    val nbrs = e.select(col("lo").as("a"), col("hi").as("b"))
+      .union(e.select(col("hi").as("a"), col("lo").as("b")))
+    // m = min over the full neighborhood AND u itself; `a` is a grouping
+    // key, so it is usable inside the aggregate expression
+    val mins = nbrs.groupBy("a").agg(least(min(col("b")), col("a")).as("m"))
+    nbrs.filter(col("b") > col("a")) // hook only larger neighbors: m <= a < b
+      .join(mins, Seq("a"))
+      .select(col("m").as("lo"), col("b").as("hi"))
+      .distinct()
+  }
+
+  /** One SMALL-STAR round: per node u over its SMALLER neighbors, hook
+    * them and u itself to m = min(Γ≤(u) ∪ u). Same skew-safe
+    * groupBy-min + join-back shape as [[largeStarStep]]; the (m, a) self
+    * edge comes straight off the aggregate (one row per node) instead of
+    * being emitted per neighbor row and de-duplicated.
+    */
+  private[graft] def smallStarStep(e: DataFrame): DataFrame = {
+    // orient towards the larger endpoint: group a = hi over neighbors b < a
+    val oriented = e.select(col("hi").as("a"), col("lo").as("b"))
+    // every b is < a here, so min(b) < a is already the hook target
+    val mins = oriented.groupBy("a").agg(min(col("b")).as("m"))
+    // hook every smaller neighbor except the min itself (m < b), and a
+    oriented.join(mins, Seq("a"))
+      .filter(col("b") =!= col("m"))
+      .select(col("m").as("lo"), col("b").as("hi"))
+      .union(mins.select(col("m").as("lo"), col("a").as("hi")))
+      .distinct()
   }
 
   /** Near-dup dedup end to end: keep the canonical (minimum-id) document

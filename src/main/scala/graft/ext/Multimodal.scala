@@ -20,8 +20,10 @@ import graft.functions.{AudioMeta, AudioMetaExpr, Hashing, ImageMeta, ImageMetaE
   * emit exact duration/rate/channel metadata. VIDEO CONTAINER metadata is
   * REAL as well: [[decodeVideoMeta]] / [[decodeVideoBatched]] walk the
   * ISO-BMFF (MP4/MOV) box structure to the `mvhd` movie header for exact
-  * duration/timescale — a dependency-free header parse. Only video FRAME
-  * decode (pixels, keyframes) remains STUBBED (`decodeStub`) with a
+  * duration/timescale — a dependency-free header parse — and KEYFRAME
+  * byte offsets are REAL from the same walk ([[keyframeOffsets]] /
+  * [[keyframeSlices]] read the `stss`/`stsc`/`stsz`/`stco` sample
+  * tables). Only video FRAME/pixel decode remains STUBBED (`decodeStub`) with a
   * deterministic fake, because it requires a codec library this
   * environment doesn't ship; swap it in at the [[decodeBatched]] seam
   * without touching the surrounding dataflow. The oracle queries
@@ -77,8 +79,10 @@ object Multimodal {
   }
 
   /** Frame-sampling analog: byte-range slices at `n` evenly spaced offsets
-    * (for real video this is keyframe extraction; the slicing/batching
-    * dataflow is identical). Integer-exact step so the offsets are
+    * (the slicing/batching dataflow of keyframe extraction, with synthetic
+    * anchors). For ISO-BMFF payloads [[keyframeSlices]] supersedes this
+    * with TRUE sync-sample offsets; this analog remains for payloads with
+    * no parseable sample table. Integer-exact step so the offsets are
     * engine-portable.
     */
   def sampleSlices(payload: Column, n: Int, sliceLen: Int = 8): Column = {
@@ -214,6 +218,27 @@ object Multimodal {
     */
   def decodeVideoMeta(payload: Column): Column =
     ColumnBridge.column(VideoMetaExpr(ColumnBridge.expression(payload)))
+
+  /** REAL keyframe byte offsets for ISO-BMFF payloads: `array<bigint>` of
+    * each sync sample's first byte, from the `stss`+`stsc`+`stsz`+`stco`/
+    * `co64` sample tables — no codec involved, NULL for non-containers or
+    * tracks without a sync-sample table. See
+    * [[graft.functions.VideoMeta.keyframeOffsets]].
+    */
+  def keyframeOffsets(payload: Column): Column =
+    ColumnBridge.column(graft.functions.VideoKeyframesExpr(
+      ColumnBridge.expression(payload)))
+
+  /** Keyframe byte-range extraction: `sliceLen` bytes of the payload at
+    * each TRUE sync-sample offset — the real-container replacement for
+    * [[sampleSlices]]' evenly-spaced analog (same slicing dataflow, real
+    * anchors). NULL rows propagate from [[keyframeOffsets]]; offsets at
+    * or past the payload end yield empty/short slices (`substr`
+    * semantics), which is exactly what a truncated download looks like.
+    */
+  def keyframeSlices(payload: Column, sliceLen: Int = 8): Column =
+    transform(keyframeOffsets(payload),
+      o => payload.substr((o + 1).cast("int"), lit(sliceLen)))
 
   /** REAL video container decode, batched `mapPartitions` path — same
     * init-once partition seam as the image/audio twins (a real frame

@@ -10,9 +10,11 @@ import org.apache.spark.sql.types.{BinaryType, DataType, LongType, StructField, 
   * `mvhd` movie header for the presentation timescale and duration. This
   * is a pure header walk — no sample data is touched and no codec is
   * needed, so it is O(header) per payload and covers the one piece of
-  * video metadata a curation pipeline filters on (duration). FRAME
-  * decode (pixels, keyframes) still requires a codec library and remains
-  * behind the deterministic stub seams (`ext.Multimodal.decodeStub` /
+  * video metadata a curation pipeline filters on (duration). The same
+  * walk reads the sample tables for TRUE keyframe byte offsets
+  * ([[VideoMeta.keyframeOffsets]]). Only pixel/frame decode at those
+  * offsets still requires a codec library and remains behind the
+  * deterministic stub seams (`ext.Multimodal.decodeStub` /
   * `decodeBatched`).
   *
   * Mirrors [[ImageMeta]]/[[AudioMeta]]: one decode shared by the
@@ -62,6 +64,119 @@ object VideoMeta {
       o = boxEnd
     }
     None
+  }
+
+  /** KEYFRAME byte offsets from the sample tables, still dependency-free:
+    * the `stss` sync-sample box names which samples are keyframes, and
+    * `stsc` (sample→chunk runs) + `stsz` (sample sizes) + `stco`/`co64`
+    * (chunk offsets) locate each sample's first byte — so true keyframe
+    * positions come out of the same header walk that yields duration, no
+    * codec needed (decoding the PIXELS at those offsets still does).
+    * Returns offsets in stss order for the first track that carries an
+    * stss table; `None` for non-containers, tracks without an stss box
+    * (ISO 14496-12 then deems every sample a sync sample — there is no
+    * keyframe TABLE to report), or any inconsistent table (fail closed,
+    * never a partial answer).
+    */
+  def keyframeOffsets(bytes: Array[Byte]): Option[Array[Long]] =
+    try {
+      if (bytes.length < 16) return None
+      findBox(bytes, 0, bytes.length, "moov").flatMap { case (moovS, moovE) =>
+        // first trak with a sync-sample table (audio traks carry none)
+        var o = moovS
+        var found: Option[Array[Long]] = None
+        while (found.isEmpty && o < moovE) {
+          findBox(bytes, o, moovE, "trak") match {
+            case Some((tS, tE)) => found = trakKeyframes(bytes, tS, tE); o = tE
+            case None => o = moovE
+          }
+        }
+        found
+      }
+    } catch {
+      case _: IndexOutOfBoundsException => None
+    }
+
+  private def trakKeyframes(b: Array[Byte], from: Int, until: Int): Option[Array[Long]] =
+    for {
+      (mdS, mdE) <- findBox(b, from, until, "mdia")
+      (mnS, mnE) <- findBox(b, mdS, mdE, "minf")
+      (sbS, sbE) <- findBox(b, mnS, mnE, "stbl")
+      stss <- findBox(b, sbS, sbE, "stss")
+      stsc <- findBox(b, sbS, sbE, "stsc")
+      stsz <- findBox(b, sbS, sbE, "stsz")
+      chunks <- chunkOffsets(b, sbS, sbE)
+      offsets <- sampleOffsets(b, stss, stsc, stsz, chunks)
+    } yield offsets
+
+  /** `stco` 32-bit or `co64` 64-bit chunk offsets (entry count guarded
+    * against the box length so garbage can't allocate).
+    */
+  private def chunkOffsets(b: Array[Byte], sbS: Int, sbE: Int): Option[Array[Long]] = {
+    def table(s: Int, e: Int, w: Int, read: Int => Long): Option[Array[Long]] = {
+      if (s + 8 > e) return None
+      val n = u32(b, s + 4)
+      if (n < 0 || s + 8 + n * w > e) return None
+      Some(Array.tabulate(n.toInt)(i => read(s + 8 + i * w)))
+    }
+    findBox(b, sbS, sbE, "stco").flatMap { case (s, e) => table(s, e, 4, u32(b, _)) }
+      .orElse(findBox(b, sbS, sbE, "co64").flatMap { case (s, e) => table(s, e, 8, u64(b, _)) })
+  }
+
+  /** One forward walk over the sample-to-chunk runs accumulating sizes;
+    * O(total samples), no table materialized beyond the parsed boxes.
+    * Bails to `None` whenever a table contradicts another (sync sample
+    * beyond the size table, chunk run past the chunk-offset count, …).
+    */
+  private def sampleOffsets(b: Array[Byte],
+                            stss: (Int, Int), stsc: (Int, Int), stsz: (Int, Int),
+                            chunks: Array[Long]): Option[Array[Long]] = {
+    val (ssS, ssE) = stss
+    if (ssS + 8 > ssE) return None
+    val nSync = u32(b, ssS + 4)
+    if (nSync <= 0 || ssS + 8 + nSync * 4 > ssE) return None
+    val sync = Array.tabulate(nSync.toInt)(i => u32(b, ssS + 8 + i * 4))
+
+    val (szS, szE) = stsz
+    if (szS + 12 > szE) return None
+    val uniformSize = u32(b, szS + 4)
+    val nSamples = u32(b, szS + 8)
+    // a sample COUNT has no table to bound it when sizes are uniform; cap
+    // it so a garbage header claiming 2³² samples can't spin the walk —
+    // 64M samples is >12 days of 60 fps video, far past any payload that
+    // fits a binary column
+    if (nSamples <= 0 || nSamples > (1L << 26)) return None
+    if (uniformSize == 0 && szS + 12 + nSamples * 4 > szE) return None
+    def sizeOf(sample1: Long): Long = // 1-based
+      if (uniformSize != 0) uniformSize
+      else u32(b, szS + 12 + (sample1.toInt - 1) * 4)
+
+    val (scS, scE) = stsc
+    if (scS + 8 > scE) return None
+    val nRuns = u32(b, scS + 4)
+    if (nRuns <= 0 || scS + 8 + nRuns * 12 > scE) return None
+    def firstChunk(run: Int): Long = u32(b, scS + 8 + run * 12)
+    def samplesPerChunk(run: Int): Long = u32(b, scS + 8 + run * 12 + 4)
+
+    val out = Array.ofDim[Long](sync.length)
+    var si = 0            // next sync sample to locate (stss is ascending)
+    var sample = 1L       // 1-based running sample number
+    var run = 0
+    var chunk = 0         // 0-based into `chunks`
+    while (chunk < chunks.length && si < sync.length && sample <= nSamples) {
+      while (run + 1 < nRuns && firstChunk(run + 1) <= chunk + 1) run += 1
+      val spc = samplesPerChunk(run)
+      var off = chunks(chunk)
+      var k = 0L
+      while (k < spc && si < sync.length && sample <= nSamples) {
+        if (sample == sync(si)) { out(si) = off; si += 1 }
+        off += sizeOf(sample)
+        sample += 1
+        k += 1
+      }
+      chunk += 1
+    }
+    if (si == sync.length) Some(out) else None
   }
 
   /** Decode ISO-BMFF bytes to [[Meta]]; `None` when the bytes are not an
@@ -130,4 +245,39 @@ case class VideoMetaExpr(child: Expression)
     copy(child = newChild)
 
   override def prettyName: String = "video_meta"
+}
+
+/** `video_keyframes(payload)` — sync-sample (keyframe) byte offsets of an
+  * ISO-BMFF binary column as `array<bigint>`, NULL when the payload is not
+  * a parseable container or carries no sync-sample table. Same
+  * dependency-free header walk as [[VideoMetaExpr]] ([[VideoMeta
+  * .keyframeOffsets]]); CodegenFallback for the same reason.
+  */
+case class VideoKeyframesExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  import org.apache.spark.sql.types.ArrayType
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires binary input, got ${other.sql}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    VideoMeta.keyframeOffsets(input.asInstanceOf[Array[Byte]]) match {
+      case Some(offs) => new org.apache.spark.sql.catalyst.util.GenericArrayData(offs)
+      case None       => null
+    }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "video_keyframes"
 }

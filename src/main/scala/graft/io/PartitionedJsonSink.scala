@@ -78,12 +78,19 @@ object PartitionedJsonSink {
   }
 
   /** [[writeBatchWithSuccessMarkers]] with the reference's partition-commit
-    * DELAY semantics (`'sink.partition-commit.delay'='1 min'` +
-    * watermark policy, `main.py:74-75`): the batch's rows are appended
-    * immediately, but a partition directory earns its `_SUCCESS` marker
-    * only once `watermark` has passed the partition's hour END plus
-    * `delayMinutes` — i.e. the partition can no longer receive late rows,
-    * which is exactly what the marker promises downstream consumers.
+    * DELAY (`'sink.partition-commit.delay'='1 min'` + success-file policy,
+    * `main.py:74-75`) under the STRONGER `partition-time` trigger: the
+    * batch's rows are appended immediately, but a partition directory
+    * earns its `_SUCCESS` marker only once `watermark` has passed the
+    * partition's hour END plus `delayMinutes` — i.e. the partition can no
+    * longer receive late rows, which is exactly what the marker promises
+    * downstream consumers. Note the reference config sets only the delay
+    * and policy; Flink's default `sink.partition-commit.trigger` is
+    * `process-time`, so the reference as written commits on processing
+    * time since partition creation. This implements the watermark-driven
+    * semantics the reference would get by also setting
+    * `'sink.partition-commit.trigger'='partition-time'` — a strictly
+    * stronger guarantee (markers never precede the late-data horizon).
     * Partitions still open are re-examined by every later call
     * ([[commitClosedPartitions]] scans directories on disk, not just the
     * batch's), so a partition written in batch N is marked by the first
@@ -122,16 +129,22 @@ object PartitionedJsonSink {
   def commitClosedPartitions(path: String, watermark: java.sql.Timestamp,
                              delayMinutes: Long): Int = {
     import scala.jdk.CollectionConverters._
+    // a dir whose value does not parse as an Int (a stray dir, or
+    // `hour=__HIVE_DEFAULT_PARTITION__` from a null event time) must be
+    // SKIPPED, not thrown on: this runs after the batch append, so a
+    // deterministic throw would make every foreachBatch retry re-append
+    // the batch — the poison-batch loop the pre-append guard exists to stop
+    def intValue(p: java.nio.file.Path): Option[Int] =
+      scala.util.Try(p.getFileName.toString.split("=", 2)(1).toInt).toOption
     def children(p: java.nio.file.Path, prefix: String): Seq[java.nio.file.Path] =
       if (!Files.isDirectory(p)) Seq.empty
       else {
         val s = Files.list(p)
         try s.iterator().asScala.filter(c =>
-          Files.isDirectory(c) && c.getFileName.toString.startsWith(prefix + "=")).toList
+          Files.isDirectory(c) && c.getFileName.toString.startsWith(prefix + "=") &&
+            intValue(c).isDefined).toList
         finally s.close()
       }
-    def value(p: java.nio.file.Path): Int =
-      p.getFileName.toString.split("=", 2)(1).toInt
     var marked = 0
     for {
       y <- children(Paths.get(path), "year")
@@ -139,11 +152,13 @@ object PartitionedJsonSink {
       d <- children(m, "day")
       h <- children(d, "hour")
       if !Files.exists(h.resolve("_SUCCESS"))
-    } {
-      val hourEnd = java.time.LocalDateTime
-        .of(value(y), value(m), value(d), value(h), 0)
+      // out-of-range values (month=13) would throw in LocalDateTime.of —
+      // same post-append hazard as unparseable dirs, so skip those too
+      hourEnd <- scala.util.Try(java.time.LocalDateTime
+        .of(intValue(y).get, intValue(m).get, intValue(d).get, intValue(h).get, 0)
         .plusHours(1)
-        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli).toOption
+    } {
       if (hourEnd + delayMinutes * 60000L <= watermark.getTime) {
         Files.write(h.resolve("_SUCCESS"), Array.emptyByteArray)
         marked += 1

@@ -82,7 +82,8 @@ object IncrementalDedup {
       idCol: String = "doc_id",
       textCol: String = "text",
       persistOutput: DataFrame => Unit = _ => (),
-      bloomFpp: Option[Double] = None
+      bloomFpp: Option[Double] = None,
+      autoCompact: Boolean = false
   ): DataFrame = {
     val spark = batch.sparkSession
     require(!batch.columns.contains(FpCol),
@@ -112,12 +113,48 @@ object IncrementalDedup {
     val pinned = accepted.localCheckpoint(true)
     persistOutput(pinned) // durable output FIRST …
     pinned.select(col(FpCol)).write.mode(SaveMode.Append).parquet(indexDir) // … append LAST
+    // compaction AFTER the append: a crash here just defers the rewrite
+    // (the fp index never gains duplicate ROWS, so only maxFiles fires)
+    if (autoCompact) maybeCompactIndex(spark, indexDir)
     pinned
   }
 
   /** Distinct-document count of the index (monitoring). */
   def indexSize(spark: SparkSession, indexDir: String): Long =
     readIndex(spark, indexDir, Seq(FpCol)).map(_.count()).getOrElse(0L)
+
+  /** Run [[compactIndex]] iff the directory needs it: physical rows have
+    * grown past `maxBloatRatio` × the distinct estimate (the near-dup
+    * band-key append is blind, so repeated keys pile up batch over
+    * batch), OR the directory holds more than `maxFiles` parquet files
+    * (the exact-fp append never duplicates rows but adds files every
+    * batch — the classic small-files decay). Returns true iff a
+    * compaction ran. Cost when it doesn't fire: one FS listing, a
+    * parquet metadata row count, and one `approx_count_distinct` scan of
+    * the (narrow, key-only) index — cheap next to the ingest join that
+    * just scanned the same rows. The distinct estimate errs a few
+    * percent either way, which only shifts WHEN compaction runs, never
+    * its correctness.
+    */
+  def maybeCompactIndex(spark: SparkSession, indexDir: String,
+                        maxBloatRatio: Double = 4.0,
+                        maxFiles: Int = 512): Boolean = {
+    val (fs, live) = fsAndPath(spark, indexDir)
+    recoverSwap(fs, live)
+    if (!fs.exists(live)) return false
+    val nFiles = fs.listStatus(live)
+      .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    if (nFiles == 0) return false
+    val df = spark.read.parquet(indexDir)
+    val physical = df.count() // parquet footer metadata, no data scan
+    val trigger = nFiles > maxFiles || {
+      val est = df.select(approx_count_distinct(
+        concat_ws("\u0001", df.columns.map(col): _*)).as("d")).first().getLong(0)
+      physical.toDouble >= maxBloatRatio * math.max(est, 1L).toDouble
+    }
+    if (trigger) compactIndex(spark, indexDir)
+    trigger
+  }
 
   /** NEAR-dup ingest against a persisted MinHash BAND-KEY index — the
     * batch-drop twin of `streaming.StatefulOps.nearDupHits` (which keys
@@ -129,6 +166,13 @@ object IncrementalDedup {
     * SAME batch, matching the cross-batch "earlier doc wins" convention.
     * All the batch's band keys are then appended (hits too: their other
     * bands still index future near-dups).
+    *
+    * BEHAVIOR NOTE — `flagInBatch = true` is a deliberate default flip:
+    * in-batch duplicates were previously a documented NON-goal of this
+    * operator. A caller that separately runs [[graft.ext.Dedup.minhashPairs]]
+    * on the batch to handle in-batch pairs will now see those duplicates
+    * flagged twice (once here, once in its own pair pass) — pass
+    * `flagInBatch = false` to restore the cross-batch-only semantics.
     *
     * Documents with fewer than `shingleN` tokens have no shingles and
     * therefore no LSH bands; they are indexed under a synthetic band −1
@@ -148,8 +192,10 @@ object IncrementalDedup {
     * Bloom filter over the batch's (band, bkey) keys — exact results, and
     * the steady-state index shuffle shrinks to ~|batch keys|·(1+fpp). The
     * append is blind, so keys recur across batches — semi-join semantics
-    * are unaffected; run [[compactIndex]] periodically to rewrite the
-    * directory distinct.
+    * are unaffected; pass `autoCompact = true` to have each ingest call
+    * [[maybeCompactIndex]] after its append (compaction fires only once
+    * the bloat ratio or file count warrants it), or run [[compactIndex]]
+    * on your own cadence.
     */
   def ingestNearDup(
       batch: DataFrame,
@@ -161,7 +207,8 @@ object IncrementalDedup {
       shingleN: Int = 3,
       persistOutput: DataFrame => Unit = _ => (),
       flagInBatch: Boolean = true,
-      bloomFpp: Option[Double] = None
+      bloomFpp: Option[Double] = None,
+      autoCompact: Boolean = false
   ): DataFrame = {
     val spark = batch.sparkSession
     require(!batch.columns.contains(FlagCol),
@@ -223,6 +270,10 @@ object IncrementalDedup {
     persistOutput(flagged) // durable output FIRST …
     keys.select(col("band"), col("bkey")).distinct()
       .write.mode(SaveMode.Append).parquet(indexDir) // … append LAST
+    // the band-key append IS blind (keys recur batch over batch), so the
+    // bloat-ratio trigger is the one doing the work here; runs after the
+    // append so a crash mid-compaction costs nothing but deferred cleanup
+    if (autoCompact) maybeCompactIndex(spark, indexDir)
     flagged
   }
 
@@ -238,10 +289,17 @@ object IncrementalDedup {
     * Crash-safe by write-temp-then-swap: the compacted copy is fully
     * written to `<dir>.compacting` first, the live index is moved aside
     * to `<dir>.old`, the copy moves in, and only then is the backup
-    * dropped. A crash at ANY step leaves either the live index or the
-    * `.old` backup intact, and [[ingest]]/[[ingestNearDup]]/the next
-    * compaction run the recovery automatically (restore `.old` if the
-    * swap lost the live directory, drop it if the swap completed).
+    * dropped. On a filesystem with ATOMIC rename (HDFS, local, ABFS) a
+    * crash at ANY step leaves either the live index or the `.old` backup
+    * intact, and [[ingest]]/[[ingestNearDup]]/the next compaction run the
+    * recovery automatically (restore `.old` if the swap lost the live
+    * directory, drop it if the swap completed). On object stores whose
+    * "rename" is a non-atomic copy+delete (S3A), that guarantee does NOT
+    * hold — a crash mid-rename can leave a partial directory; run
+    * compaction against such stores only with an atomic-commit layer
+    * (e.g. an HDFS staging dir) or accept re-ingesting from the last
+    * durable output. A rename that returns false (rather than throwing)
+    * aborts loudly below instead of leaving a silent half-swap.
     */
   def compactIndex(spark: SparkSession, indexDir: String): Unit = {
     val (fs, live) = fsAndPath(spark, indexDir)
@@ -251,9 +309,17 @@ object IncrementalDedup {
     val old = backupPath(live)
     spark.read.parquet(indexDir).distinct()
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    // swap: live → .old, .compacting → live, drop .old
-    fs.rename(live, old)
-    fs.rename(tmp, live)
+    // swap: live → .old, .compacting → live, drop .old. HDFS-style
+    // FileSystems signal rename failure via `false` as often as via an
+    // exception — an unchecked false here would strand the index half-
+    // swapped with no error, so both renames are checked
+    def renameOrDie(from: org.apache.hadoop.fs.Path,
+                    to: org.apache.hadoop.fs.Path): Unit =
+      if (!fs.rename(from, to)) throw new java.io.IOException(
+        s"compactIndex: rename $from -> $to returned false; " +
+          "index left recoverable (live or .old backup intact)")
+    renameOrDie(live, old)
+    renameOrDie(tmp, live)
     fs.delete(old, true)
   }
 

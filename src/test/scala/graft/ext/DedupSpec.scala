@@ -99,8 +99,39 @@ class DedupSpec extends SparkTestBase {
       "unrelated docs share no shingle, so no band can match")
   }
 
+  test("maxBucketSize drops a degenerate hot bucket; below the cap results are unchanged") {
+    // 40 identical boilerplate docs: every band has one bucket of size 40
+    // (k² = 780 pairs per band uncapped); plus one small near-dup pair
+    val hot = (100L until 140L).map(i => (i, "the same boilerplate template page text here"))
+    val all = (hot ++ Seq((0L, doc), (1L, near))).toDF("doc_id", "text")
+    val uncapped = Dedup.minhashPairs(all).as[(Long, Long)].collect().toSet
+    assert(uncapped.size >= 780, "hot bucket must emit the quadratic pair set uncapped")
+    val capped = Dedup.minhashPairs(all, maxBucketSize = 10)
+      .as[(Long, Long)].collect().toSet
+    assert(capped == uncapped.filter { case (a, b) => a < 100L && b < 100L },
+      "cap must drop exactly the hot bucket's pairs and keep the small pair")
+    assert(capped.contains((0L, 1L)))
+    // a cap ABOVE every bucket size reproduces the uncapped result exactly
+    assert(Dedup.minhashPairs(all, maxBucketSize = 40)
+      .as[(Long, Long)].collect().toSet == uncapped)
+    // observability: per-band stats report what the cap would discard
+    val stats = Dedup.lshBandStats(all, maxBucketSize = 10)
+      .select("band", "n_candidate_pairs", "n_dropped_buckets", "n_dropped_pairs")
+      .as[(Int, Long, Long, Long)].collect()
+    stats.foreach { case (band, _, nDropB, nDropP) =>
+      assert(nDropB == 1L, s"band $band: the 40-doc bucket is over the cap")
+      assert(nDropP == 780L, s"band $band: 40*39/2 pairs discarded")
+    }
+    // uncapped diagnostics are cap-independent: dropped counts are zero
+    val uncappedStats = Dedup.lshBandStats(all)
+      .select("n_dropped_buckets", "n_dropped_pairs").as[(Long, Long)].collect()
+    assert(uncappedStats.forall(_ == ((0L, 0L))))
+  }
+
   test("lshBandStats: per-band accounting is consistent with minhashPairs") {
-    val stats = Dedup.lshBandStats(docs).as[(Int, Long, Long, Long)].collect()
+    val stats = Dedup.lshBandStats(docs)
+      .select("band", "n_buckets", "n_colliding", "n_candidate_pairs")
+      .as[(Int, Long, Long, Long)].collect()
       .map { case (band, nb, nc, np) => band -> ((nb, nc, np)) }.toMap
     assert(stats.keySet == Set(0, 1, 2, 3), "16 hashes / 4 rows = 4 bands")
     // every band partitions the 4 shingled docs into buckets
@@ -133,6 +164,31 @@ class DedupSpec extends SparkTestBase {
     val pairs = Dedup.simhashPairs(docs, maxHamming = 8).as[(Long, Long, Long)].collect()
       .map(p => (p._1, p._2)).toSet
     assert(pairs.contains((0L, 1L)))
+  }
+
+  test("simhash64: independent halves, 16-bit banding, bucket cap bounds the join") {
+    val h = Dedup.simhash64(docs).as[(Long, Long)].collect().toMap
+    assert(h(0L) == h(1L), "identical docs hash equal")
+    assert(java.lang.Long.bitCount(h(0L) ^ h(3L)) > 0)
+    // the two 32-bit halves are independent hash draws: the low half must
+    // not simply repeat in the high half
+    assert((h(3L) >>> 32) != (h(3L) & 0xFFFFFFFFL))
+    // low half == the 32-bit simhash (shared seed-0 primitive, by design)
+    val h32 = Dedup.simhash(docs).as[(Long, Long)].collect().toMap
+    assert((h(3L) & 0xFFFFFFFFL) == h32(3L))
+    // pigeonhole: identical docs collide in every band, so (0,1) is found
+    // at maxHamming=0 already
+    val p0 = Dedup.simhashPairs(docs, maxHamming = 0).as[(Long, Long, Long)].collect()
+      .map(p => (p._1, p._2)).toSet
+    assert(p0.contains((0L, 1L)))
+    // a flooded bucket (many identical docs) is dropped by the cap but the
+    // small pair survives — join volume is bounded before the a×b join
+    val hot = (100L until 130L).map(i => (i, "same boilerplate text again and again"))
+    val all = (hot ++ Seq((0L, doc), (1L, doc))).toDF("doc_id", "text")
+    val capped = Dedup.simhashPairs(all, maxHamming = 3, maxBucketSize = 10)
+      .as[(Long, Long, Long)].collect().map(p => (p._1, p._2)).toSet
+    assert(capped == Set((0L, 1L)),
+      s"hot-bucket pairs must be dropped, the small pair kept: got $capped")
   }
 
   test("nearDupClusters: min-label connected components; keepCanonical keeps one per cluster") {
@@ -199,6 +255,21 @@ class DedupSpec extends SparkTestBase {
     val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 3L), (6L, 5L), (6L, 5L))
     val labels = lssLabels(7L, edges)
     assert(labels == Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("LSS star steps plan as partial aggregate + join, never a node window") {
+    // at the fixed point a component-minimum node's neighborhood IS its
+    // whole component — a WindowExec over the node id would buffer it in
+    // one task; the groupBy-min + join-back shape must survive planning
+    val e = Seq((0L, 1L), (1L, 2L), (0L, 3L), (2L, 5L)).toDF("lo", "hi")
+    for ((name, step) <- Seq("largeStar" -> Dedup.largeStarStep(e),
+                             "smallStar" -> Dedup.smallStarStep(e))) {
+      val p = step.queryExecution.executedPlan.toString
+      assert(!p.contains("Window"),
+        s"$name: WindowExec over the node serializes a hub's neighborhood into one task:\n${p.take(900)}")
+      assert(p.contains("partial_min"),
+        s"$name: neighborhood min must be a partial+final aggregate (map-side combine):\n${p.take(900)}")
+    }
   }
 
   test("contamination counts distinct shared n-grams against the benchmark; misses count 0") {

@@ -230,6 +230,102 @@ class MultimodalSpec extends SparkTestBase {
       box("moov", box("mvhd", mvhd))
   }
 
+  /** ISO full box: version 0 + zero flags, then the payload. */
+  private def fullBox(tpe: String, payload: Array[Byte]): Array[Byte] =
+    box(tpe, Array[Byte](0, 0, 0, 0) ++ payload)
+
+  private def u32s(xs: Long*): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(xs.length * 4)
+    xs.foreach(x => b.putInt(x.toInt))
+    b.array()
+  }
+
+  /** MP4 with full sample tables (ISO 14496-12 8.6.2/8.7.3-8.7.5):
+    * moov(mvhd, trak(mdia(minf(stbl(stss, stsc, stsz, stco|co64))))).
+    * `sizes` = Left((uniformSize, sampleCount)) or Right(perSampleSizes);
+    * `audioTrakFirst` prepends a trak with no stss (an audio track) to
+    * exercise track selection.
+    */
+  private def mp4WithSampleTables(sync: Seq[Long], stscRuns: Seq[(Long, Long)],
+                                  sizes: Either[(Long, Long), Seq[Long]],
+                                  chunkOffs: Seq[Long], useCo64: Boolean = false,
+                                  audioTrakFirst: Boolean = false): Array[Byte] = {
+    val stss = fullBox("stss", u32s((sync.length.toLong +: sync): _*))
+    val stsc = fullBox("stsc", u32s((stscRuns.length.toLong +:
+      stscRuns.flatMap { case (fc, spc) => Seq(fc, spc, 1L) }): _*))
+    val stsz = sizes match {
+      case Left((uniform, n)) => fullBox("stsz", u32s(uniform, n))
+      case Right(ss)          => fullBox("stsz", u32s((0L +: ss.length.toLong +: ss): _*))
+    }
+    val chunkBox =
+      if (useCo64) {
+        val b = java.nio.ByteBuffer.allocate(4 + chunkOffs.length * 8)
+        b.putInt(chunkOffs.length)
+        chunkOffs.foreach(b.putLong)
+        fullBox("co64", b.array())
+      } else fullBox("stco", u32s((chunkOffs.length.toLong +: chunkOffs): _*))
+    def trak(withStss: Boolean) = box("trak", box("mdia", box("minf", box("stbl",
+      (if (withStss) stss else Array.emptyByteArray) ++ stsc ++ stsz ++ chunkBox))))
+    val mvhd = { // minimal v0 movie header, 1000 Hz, 1 s
+      val b = java.nio.ByteBuffer.allocate(100)
+      b.putInt(0).putInt(0).putInt(0).putInt(1000).putInt(1000)
+      b.array()
+    }
+    box("ftyp", "isomisomiso2".getBytes("ISO-8859-1")) ++
+      box("moov", box("mvhd", mvhd) ++
+        (if (audioTrakFirst) trak(withStss = false) else Array.emptyByteArray) ++
+        trak(withStss = true))
+  }
+
+  test("keyframeOffsets: exact sync-sample offsets from hand-built sample tables") {
+    // 6 samples in 2 chunks of 3 (one stsc run), explicit sizes
+    // 10,20,30,40,50,60; chunks at 1000 and 2000. Sample starts:
+    // s1=1000 s2=1010 s3=1030 | s4=2000 s5=2040 s6=2090
+    val explicit = mp4WithSampleTables(
+      sync = Seq(1L, 3L, 4L, 6L), stscRuns = Seq((1L, 3L)),
+      sizes = Right(Seq(10L, 20L, 30L, 40L, 50L, 60L)), chunkOffs = Seq(1000L, 2000L))
+    // uniform 100-byte samples, one chunk of 4 at 500: s2 = 600
+    val uniform = mp4WithSampleTables(
+      sync = Seq(2L), stscRuns = Seq((1L, 4L)),
+      sizes = Left((100L, 4L)), chunkOffs = Seq(500L))
+    // co64: a chunk offset beyond 2^32, audio trak (no stss) FIRST
+    val big = mp4WithSampleTables(
+      sync = Seq(1L), stscRuns = Seq((1L, 1L)),
+      sizes = Left((7L, 1L)), chunkOffs = Seq(5000000000L),
+      useCo64 = true, audioTrakFirst = true)
+    val out = Seq(
+      (1L, explicit), (2L, uniform), (3L, big),
+      (4L, mp4Bytes(1000, 5400)), // mvhd only: no sample tables -> NULL
+      (5L, "not a container at all".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+      .select(col("doc_id"), Multimodal.keyframeOffsets(col("payload")).as("ko"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[Long](1).toList)).toMap
+    assert(out(1L) == List(1000L, 1030L, 2000L, 2090L))
+    assert(out(2L) == List(600L))
+    assert(out(3L) == List(5000000000L), "co64 offsets past 2^32; audio trak skipped")
+    assert(out(4L) == null, "no stss table -> no keyframe TABLE to report")
+    assert(out(5L) == null)
+  }
+
+  test("keyframeSlices cuts payload bytes at true keyframe offsets") {
+    // place a real mdat after the header and point the chunk table at it:
+    // 2 keyframes of 9 bytes each, back to back
+    val mdatPayload = "KEYFRAME0KEYFRAME1".getBytes("ISO-8859-1")
+    val header = mp4WithSampleTables(
+      sync = Seq(1L, 2L), stscRuns = Seq((1L, 2L)),
+      sizes = Left((9L, 2L)), chunkOffs = Seq(0L)) // sizing pass only
+    val dataStart = header.length + 8L // after the mdat box header
+    val full = mp4WithSampleTables(
+      sync = Seq(1L, 2L), stscRuns = Seq((1L, 2L)),
+      sizes = Left((9L, 2L)), chunkOffs = Seq(dataStart)) ++ box("mdat", mdatPayload)
+    val slices = Seq((1L, full)).toDF("doc_id", "payload")
+      .select(Multimodal.keyframeSlices(col("payload"), sliceLen = 9).as("s"))
+      .collect()(0).getSeq[Array[Byte]](0)
+      .map(new String(_, "ISO-8859-1")).toList
+    assert(slices == List("KEYFRAME0", "KEYFRAME1"))
+  }
+
   test("decodeVideoMeta: exact container duration from hand-built MP4 boxes") {
     val out = Seq(
       (1L, mp4Bytes(1000, 5400)),                 // 5.4 s at ms timescale

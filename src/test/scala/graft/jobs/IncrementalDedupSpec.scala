@@ -224,6 +224,44 @@ class IncrementalDedupSpec extends SparkTestBase {
     assert(a == List(11L), "compacted index must still reject known content")
   }
 
+  test("auto-compaction fires on the bloat ratio mid-ingest and preserves decisions") {
+    import org.apache.spark.sql.functions.col
+    val indexDir = Files.createTempDirectory("graft_incauto_").toString + "/index"
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val near = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    val far = "one two three four five six seven eight nine ten"
+    // identical content batch over batch: the blind band-key append stacks
+    // every key once per batch, so the bloat ratio equals the batch count
+    // (tiny key sets make approx_count_distinct exact — no boundary flake)
+    for (i <- 0L until 3L)
+      IncrementalDedup.ingestNearDup(
+        Seq((i, base)).toDF("doc_id", "text"), indexDir, autoCompact = true)
+    val distinctKeys = spark.read.parquet(indexDir).distinct().count()
+    assert(spark.read.parquet(indexDir).count() == 3 * distinctKeys,
+      "ratio 3 is under the default trigger of 4: bloated but untriggered")
+    IncrementalDedup.ingestNearDup(
+      Seq((3L, base)).toDF("doc_id", "text"), indexDir, autoCompact = true)
+    assert(spark.read.parquet(indexDir).count() == distinctKeys,
+      "4th ingest reaches ratio 4 and compacts to the distinct key set")
+    // decisions preserved across the automatic rewrite
+    val f = IncrementalDedup.ingestNearDup(
+      Seq((10L, near), (11L, far)).toDF("doc_id", "text"), indexDir)
+      .select("doc_id", "near_dup_hit").as[(Long, Boolean)].collect().toMap
+    assert(f == Map(10L -> true, 11L -> false), s"got $f")
+    // a manual probe with a tight file cap also fires (the exact-fp path's
+    // trigger, where rows never duplicate but files accrue per batch)
+    val fpDir = Files.createTempDirectory("graft_incautofp_").toString + "/index"
+    IncrementalDedup.ingest(Seq((1L, "aaa")).toDF("doc_id", "text"), fpDir)
+    IncrementalDedup.ingest(Seq((2L, "bbb")).toDF("doc_id", "text"), fpDir)
+    val filesBefore = new java.io.File(fpDir).listFiles()
+      .count(f2 => f2.isFile && f2.getName.endsWith(".parquet"))
+    assert(!IncrementalDedup.maybeCompactIndex(spark, fpDir, maxFiles = filesBefore),
+      "at the cap: no compaction")
+    assert(IncrementalDedup.maybeCompactIndex(spark, fpDir, maxFiles = filesBefore - 1),
+      "over the cap: compaction runs")
+    assert(spark.read.parquet(fpDir).count() == 2L, "rows survive the rewrite")
+  }
+
   test("a crashed compaction swap heals on the next read, whichever side it died on") {
     val root = Files.createTempDirectory("graft_increcover_").toString
     val indexDir = root + "/index"

@@ -107,6 +107,27 @@ class PipelineE2ESpec extends SparkTestBase {
       outDir, ts("2024-03-05 19:00:00"), delayMinutes = 1L) == 0)
   }
 
+  test("marker pass skips unparseable and out-of-range partition dirs instead of throwing") {
+    val outDir = Files.createTempDirectory("graft_s4e_").toString
+    val batch = Seq(Telemetry("s1", 31, ts("2024-03-05 16:10:00"))).toDF()
+    PartitionedJsonSink.writeBatchWithDelayedMarkers(
+      graft.ops.SensorOps.avgWithPartitions(batch), outDir,
+      ts("2024-03-05 16:30:00"), delayMinutes = 1L)
+    // a null-event-time Hive default dir, a stray non-numeric dir, and an
+    // out-of-range hour: commitClosedPartitions runs AFTER the append, so
+    // a throw here would turn every foreachBatch retry into a re-append
+    val day = Paths.get(outDir, "year=2024", "month=3", "day=5")
+    Files.createDirectories(day.resolve("hour=__HIVE_DEFAULT_PARTITION__"))
+    Files.createDirectories(day.resolve("hour=99"))
+    Files.createDirectories(Paths.get(outDir, "year=junk", "month=3", "day=5", "hour=1"))
+    val n = PartitionedJsonSink.commitClosedPartitions(
+      outDir, ts("2024-03-05 18:01:00"), delayMinutes = 1L)
+    assert(n == 1, "only the real hour=16 partition commits")
+    assert(Files.exists(day.resolve("hour=16").resolve("_SUCCESS")))
+    assert(!Files.exists(day.resolve("hour=__HIVE_DEFAULT_PARTITION__").resolve("_SUCCESS")))
+    assert(!Files.exists(day.resolve("hour=99").resolve("_SUCCESS")))
+  }
+
   test("marker pass refuses to collect a high-cardinality partition list") {
     val outDir = Files.createTempDirectory("graft_s4c_").toString
     // 3 distinct (year,month,day,hour) tuples against a guard of 2
