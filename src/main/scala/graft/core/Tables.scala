@@ -1,8 +1,8 @@
 package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{expr, timestamp_micros}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver's parquet corpus (TESTDATA.md).
   *
@@ -25,22 +25,43 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     planCache.computeIfAbsent(
       (System.identityHashCode(spark), s"$dir/$name.parquet"),
-      key => spark.read.parquet(key._2))
+      key => {
+        // The driver's parquet stores naive timestamp[us] (no UTC
+        // adjustment). Read those as session-TZ TIMESTAMP — not
+        // TIMESTAMP_NTZ — so timestamp arithmetic (unix_micros, interval
+        // subtraction vs TIMESTAMP literals) resolves, matching the DuckDB
+        // oracle's naive read under the UTC sessions every entrypoint
+        // pins. Done by conf at the scan (not a cast above it) so filter
+        // pushdown on timestamp columns survives.
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        spark.read.parquet(key._2)
+      })
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark cannot read as a
-    * timestamp (PARQUET_TYPE_ILLEGAL). Read it as raw nanos (legacy conf,
-    * runtime-settable) and truncate to microseconds with integer division —
-    * double math would lose precision above 2^53 ns.
+  /** `events.ts` has shipped in two physical flavors: parquet
+    * TIMESTAMP(NANOS) — unreadable as a Spark timestamp
+    * (PARQUET_TYPE_ILLEGAL), so the legacy conf reads raw nanos and
+    * [[normalizeTs]] truncates to micros — and naive timestamp[us], which
+    * [[load]]'s NTZ-inference conf already surfaces as TIMESTAMP.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = load(spark, dir, "events")
-    df.schema("ts").dataType match {
+    normalizeTs(load(spark, dir, "events"))
+  }
+
+  /** Normalize an event-time column to session-TZ TIMESTAMP regardless of
+    * the physical flavor it was read as: raw nanos LONG (legacy conf) is
+    * integer-divided to micros — double math would lose precision above
+    * 2^53 ns — and TIMESTAMP_NTZ (a reader that skipped [[load]]'s conf)
+    * is wall-clock cast. Works on batch and streaming frames alike.
+    */
+  def normalizeTs(df: DataFrame, colName: String = "ts"): DataFrame =
+    df.schema(colName).dataType match {
       case LongType =>
-        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        df.withColumn(colName, timestamp_micros(expr(s"`$colName` div 1000")))
+      case TimestampNTZType =>
+        df.withColumn(colName, col(colName).cast(TimestampType))
       case _ => df
     }
-  }
   def lineitem(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "customer")

@@ -21,17 +21,16 @@ class StreamBatchParitySpec extends SparkTestBase {
     val events = Tables.events(spark, dir)
 
     // file source wants a directory; stage the parquet in one, and stream
-    // with the RAW schema (ts as nanos long) + the same ns->us conversion
-    // Tables.events applies
+    // with the RAW schema + the same ts normalization Tables.events
+    // applies (nanos-long and naive-us flavors both occur; TESTDATA.md)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val stageDir = Files.createTempDirectory("graft_parity_in_")
     Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
       stageDir.resolve("events.parquet"))
     val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
 
-    val streamed = spark.readStream.schema(rawSchema)
-      .parquet(stageDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val streamed = Tables.normalizeTs(
+        spark.readStream.schema(rawSchema).parquet(stageDir.toString))
       .withWatermark("ts", "5 seconds")
 
     val alerts = SensorOps.alertsStreaming(streamed,
