@@ -26,7 +26,8 @@ object DedupThroughput {
     def words(id: org.apache.spark.sql.Column) =
       concat_ws(" ", (0 until 55).map(i =>
         concat(lit("w"), pmod(hash(id, lit(i)), lit(5000)).cast("string"))): _*)
-    val docs = spark.range(n.toLong).select(col("id").as("doc_id"),
+    val starsOnly = args.contains("stars")
+    lazy val docs = spark.range(n.toLong).select(col("id").as("doc_id"),
       when(col("id") % 10 === 0 && col("id") > 0, words(col("id") - 1)) // exact dup of prior doc
         .otherwise(words(col("id"))).as("text"))
       .localCheckpoint(true)
@@ -39,6 +40,7 @@ object DedupThroughput {
       r
     }
 
+    if (!starsOnly) {
     time("warmup scan")(docs.count())
     time("exactDedup")(graft.ext.Dedup.exactDedup(docs).count())
     // hot-fingerprint skew probe: 30% of the corpus is ONE document (the
@@ -58,6 +60,37 @@ object DedupThroughput {
       skewed.withColumn("__keep", min(col("doc_id")).over(w))
         .filter(col("doc_id") === col("__keep")).drop("__keep").count()
     }
+    }
+    // hub-skew star-step probe: one hub node adjacent to 30% of all nodes
+    // — the component-minimum shape every LSS run reaches at its fixed
+    // point, where the min-label node's neighborhood IS its component.
+    // The pre-round-9 window-min star step buffered that whole
+    // neighborhood in a single WindowExec task; the groupBy-min +
+    // join-back step keeps it partition-parallel. The window formulation
+    // is timed alongside for the comparison. (`stars` as the second arg
+    // runs ONLY this probe — the hub sizes where the ceiling bites are
+    // larger than the full probe's corpus stages want to run at.)
+    locally {
+      val hub = spark.range(1L, n.toLong * 3 / 10)
+        .select(lit(0L).as("lo"), col("id").as("hi"))
+      val sparse = spark.range(n.toLong * 3 / 10, n.toLong)
+        .select(pmod(hash(col("id")), col("id")).cast("long").as("lo"),
+          col("id").as("hi"))
+        .filter(col("lo") < col("hi"))
+      val edges = hub.union(sparse).localCheckpoint(true)
+      time("largeStarStep hub 30%")(graft.ext.Dedup.largeStarStep(edges).count())
+      time("window largeStar hub 30%") {
+        import org.apache.spark.sql.expressions.Window
+        val nbrs = edges.select(col("lo").as("a"), col("hi").as("b"))
+          .union(edges.select(col("hi").as("a"), col("lo").as("b")))
+        val m = least(min(col("b")).over(Window.partitionBy(col("a"))), col("a"))
+        nbrs.withColumn("m", m)
+          .filter(col("b") > col("a"))
+          .select(col("m").as("lo"), col("b").as("hi"))
+          .distinct().count()
+      }
+    }
+    if (!starsOnly) {
     time("minhash signatures")(
       graft.ext.Dedup.minhashSignatureArray(docs).agg(sum(element_at(col("sig"), 1))).collect())
     val pairs = time("minhashPairs (LSH)")(
@@ -72,6 +105,7 @@ object DedupThroughput {
     time("bpe tokenCount (50 merges)") {
       val merges = graft.ext.Bpe.trainMerges(docs.limit(20000), numMerges = 50)
       docs.select(sum(graft.ext.Bpe.tokenCount(col("text"), merges))).collect()
+    }
     }
     spark.stop()
   }
