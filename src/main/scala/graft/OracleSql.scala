@@ -1047,6 +1047,16 @@ object OracleSql {
          |SELECT doc_id, CAST(CASE WHEN v >= 9223372036854775808
          |  THEN v - 18446744073709551616 ELSE v END AS BIGINT) AS simhash64
          |FROM v ORDER BY 1""".stripMargin
-    }
+    },
+
+    // seeded-hash ordering + row_number, same md5Hash32 primitive as
+    // q50's sampling bucket; ties break on doc_id like the operator
+    "q103_cap_per_key" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source, row_number() OVER (
+        |    PARTITION BY source
+        |    ORDER BY ('0x'||substr(md5('4:'||doc_id),1,8))::BIGINT, doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 10 ORDER BY doc_id""".stripMargin
   )
 }

@@ -447,6 +447,19 @@ object SparkEntry {
       .select(col("id").as("doc_id"), col("simhash64"))
       .orderBy("doc_id")
 
+  /** Per-source document cap ([[Sampling.capPerKey]]): at most 10 docs
+    * per source, chosen by seeded hash order — the corpus-balancing cap
+    * that stops template-heavy domains from dominating a crawl. The
+    * oracle recomputes the hash ordering and row_number in SQL, so both
+    * the selection and the tie-break are value-gated; the plan shape
+    * (partial WindowGroupLimit before the shuffle) is spec-pinned.
+    */
+  private def q103(s: SparkSession, dir: String): DataFrame =
+    Sampling.capPerKey(Tables.documents(s, dir),
+        col("source"), col("doc_id"), n = 10)
+      .select("doc_id", "source")
+      .orderBy("doc_id")
+
   /** ANN via random-hyperplane LSH. Approximate in RECALL, but fully
     * deterministic: the fixed-seed hyperplane constants are inlined into
     * the DuckDB oracle (`OracleSql`), which recomputes the same buckets,
@@ -1451,7 +1464,8 @@ object SparkEntry {
     "q99_array_hof" -> q99 _,
     "q100_dedup_keep" -> q100 _,
     "q101_minhash_pairs_capped" -> q101 _,
-    "q102_simhash64" -> q102 _
+    "q102_simhash64" -> q102 _,
+    "q103_cap_per_key" -> q103 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

@@ -85,6 +85,34 @@ object Sampling {
       .drop("__n")
   }
 
+  /** Per-key cap: keep at most `n` rows per key, selected by seeded
+    * content-hash order — the per-source / per-domain document cap every
+    * corpus-balancing pass applies (a few template-heavy domains
+    * otherwise dominate a crawl). Hash ordering makes the kept set a
+    * uniform deterministic n-subset per key — reproducible across runs,
+    * engines, and partitionings; ties (hash collisions) break on the id
+    * so the result is total-order stable.
+    *
+    * Scale shape: `row_number ≤ n` over the (key, hash) window is
+    * rewritten by Spark's `InferWindowGroupLimit` into a PARTIAL
+    * `WindowGroupLimit` before the shuffle and a FINAL one after — each
+    * map task pre-prunes to n rows per key before anything ships, so a
+    * hot key shuffles ~n·tasks rows, never its full group, and the
+    * post-shuffle sort sees the pruned stream (spec-pinned plan). That
+    * bounded-by-construction profile is why this stays a window and
+    * does not need the groupBy-min reformulation the dedup family uses
+    * for its (unbounded) window aggregates.
+    */
+  def capPerKey(df: DataFrame, keyCol: Column, idCol: Column, n: Int,
+                seed: Int = 4): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol)
+      .orderBy(Hashing.md5Hash32(lit(seed), idCol.cast("string")), idCol)
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= n)
+      .drop("__rk")
+  }
+
   /** Deterministic train/validation/test split tag from the key hash.
     * Default seed differs from [[hashSample]]'s: with the same seed the
     * split would correlate with the sampling filter (every sampled row

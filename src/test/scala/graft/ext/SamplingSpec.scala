@@ -41,6 +41,40 @@ class SamplingSpec extends SparkTestBase {
     assert(out("src3") == (500L, 1L))
   }
 
+  test("capPerKey keeps exactly n per key, deterministically, partition-invariant") {
+    val capped = Sampling.capPerKey(corpus, col("source"), col("doc_id"), n = 7)
+    val perKey = capped.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(perKey.values.toSet == Set(7L), s"every 500-doc source capped to 7: $perKey")
+
+    val a = capped.select("doc_id").as[Long].collect().sorted.toList
+    val b = Sampling.capPerKey(corpus.repartition(17), col("source"), col("doc_id"), n = 7)
+      .select("doc_id").as[Long].collect().sorted.toList
+    assert(a == b, "kept set must not depend on input partitioning")
+
+    // under-cap keys pass through whole
+    val tiny = corpus.filter(col("doc_id") < 20)
+    assert(Sampling.capPerKey(tiny, col("source"), col("doc_id"), n = 7).count() == 20L)
+  }
+
+  test("capPerKey selection is hash-uniform, not an id prefix") {
+    val kept = Sampling.capPerKey(corpus, col("source"), col("doc_id"), n = 100)
+      .filter(col("source") === "src0").select("doc_id").as[Long].collect()
+    // of src0's 500 docs (ids ≡ 0 mod 4, up to 1996), a uniform 100-draw
+    // should straddle the id range, not cluster at the low end
+    assert(kept.count(_ < 1000L) > 20 && kept.count(_ >= 1000L) > 20,
+      s"hash order must spread across the id range: low=${kept.count(_ < 1000L)}")
+  }
+
+  test("capPerKey plans as a partial WindowGroupLimit before the key shuffle") {
+    val capped = Sampling.capPerKey(corpus, col("source"), col("doc_id"), n = 7)
+    capped.collect()
+    val p = capped.queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"),
+      s"rank<=n must trigger InferWindowGroupLimit:\n${p.take(800)}")
+    assert(p.contains("Partial"),
+      "the limit must prune map-side BEFORE the key shuffle — that bound is the operator's skew story")
+  }
+
   test("mixtureSample copies are indexed 1..n for downstream spreading") {
     val copies = Sampling.mixtureSample(corpus.filter(col("source") === "src0"),
       col("doc_id"), col("source"), Map("src0" -> 3000))
