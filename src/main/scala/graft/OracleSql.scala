@@ -1057,6 +1057,17 @@ object OracleSql {
         |    PARTITION BY source
         |    ORDER BY ('0x'||substr(md5('4:'||doc_id),1,8))::BIGINT, doc_id) AS rk
         |  FROM documents)
-        |WHERE rk <= 10 ORDER BY doc_id""".stripMargin
+        |WHERE rk <= 10 ORDER BY doc_id""".stripMargin,
+
+    // same md5-of-sorted-tokens key both sides; min-id keep rule matches
+    // q100's byte-exact formulation
+    "q104_dedup_bow" ->
+      """SELECT d.doc_id, d.source FROM documents d
+        |JOIN (SELECT md5(array_to_string(list_sort(string_split(text, ' ')), ' ')) AS k,
+        |             min(doc_id) AS keep
+        |      FROM documents GROUP BY 1) g
+        |  ON md5(array_to_string(list_sort(string_split(d.text, ' ')), ' ')) = g.k
+        | AND d.doc_id = g.keep
+        |ORDER BY doc_id""".stripMargin
   )
 }

@@ -460,6 +460,18 @@ object SparkEntry {
       .select("doc_id", "source")
       .orderBy("doc_id")
 
+  /** Word-order-insensitive exact dedup
+    * ([[Dedup.exactDedupBagOfWords]]): kept rows after collapsing
+    * documents that contain the same token multiset in any order — the
+    * normalization notch between byte-exact dedup (q34/q100) and MinHash
+    * near-dup (q36). The oracle rebuilds the sorted-token fingerprint
+    * (list_sort + md5) and the min-id keep rule in SQL.
+    */
+  private def q104(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactDedupBagOfWords(Tables.documents(s, dir))
+      .select("doc_id", "source")
+      .orderBy("doc_id")
+
   /** ANN via random-hyperplane LSH. Approximate in RECALL, but fully
     * deterministic: the fixed-seed hyperplane constants are inlined into
     * the DuckDB oracle (`OracleSql`), which recomputes the same buckets,
@@ -1465,7 +1477,8 @@ object SparkEntry {
     "q100_dedup_keep" -> q100 _,
     "q101_minhash_pairs_capped" -> q101 _,
     "q102_simhash64" -> q102 _,
-    "q103_cap_per_key" -> q103 _
+    "q103_cap_per_key" -> q103 _,
+    "q104_dedup_bow" -> q104 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

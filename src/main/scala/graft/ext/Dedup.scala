@@ -73,6 +73,26 @@ object Dedup {
     */
   private val GroupKey = "__graft_fp"
 
+  /** Word-order-insensitive exact dedup: the group key is the md5 of the
+    * doc's SORTED token multiset, so two documents with the same words in
+    * any order (and any single-space layout) collapse to one group —
+    * the standard normalization notch between byte-exact dedup and
+    * MinHash near-dup (catches shuffled boilerplate lists, reordered
+    * key-value dumps, CSV row permutations that byte-exact misses but
+    * that aren't "near" duplicates so much as literal ones). Keeps the
+    * lowest-id row per group via the same skew-safe
+    * groupBy + (key, id) semi-join as [[exactDedup]]; the sort is
+    * per-row over that row's own tokens (codegen'd `sort_array`), so the
+    * operator stays one projection + the exact-dedup shuffles — linear
+    * at any corpus size.
+    */
+  def exactDedupBagOfWords(docs: DataFrame, idCol: String = "doc_id",
+                           textCol: String = "text"): DataFrame =
+    exactDedupByKey(
+      docs.withColumn(GroupKey,
+        md5(concat_ws(" ", sort_array(TextOps.tokens(col(textCol)))))),
+      idCol, GroupKey).drop(GroupKey)
+
   /** [[exactDedup]] over a caller-materialized group-key column (skip the
     * in-flight fingerprint computation): keeps the lowest-`idCol` row of
     * every `keyCol` group, all input columns intact. Same skew-safe

@@ -26,6 +26,21 @@ class DedupSpec extends SparkTestBase {
     assert(kept.toList == List(0L, 2L, 3L))
   }
 
+  test("exactDedupBagOfWords collapses token permutations byte-exact misses") {
+    val df = Seq(
+      (0L, "alpha beta gamma"),
+      (1L, "gamma alpha beta"),  // permutation of 0 -> dropped
+      (2L, "alpha beta"),        // subset, NOT a permutation -> kept
+      (3L, "alpha alpha beta"),  // different multiplicity -> kept
+      (4L, "alpha beta alpha"),  // permutation of 3 -> dropped
+      (5L, "delta")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.exactDedupBagOfWords(df).select("doc_id").as[Long].collect().sorted
+    assert(kept.toList == List(0L, 2L, 3L, 5L))
+    // byte-exact keeps everything here (no two rows are byte-equal)
+    assert(Dedup.exactDedup(df).count() == 6L)
+  }
+
   test("exactDedup/exactDedupCounted match the window-min formulation, including under skew") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
