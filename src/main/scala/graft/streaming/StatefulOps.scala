@@ -92,6 +92,73 @@ object StatefulOps {
   case class BandHit(id: Long, band: Int, first_id: Long)
   case class MinSeen(id: Long)
 
+  case class QuotaDoc(id: Long, key: String, event_time: Timestamp)
+  case class QuotaCount(accepted: Long)
+  case class QuotaVerdict(id: Long, key: String, accepted: Boolean)
+
+  /** Per-key ingest quota — the streaming twin of
+    * `ext.Sampling.capPerKey`: accept the FIRST `n` rows of each key and
+    * flag the rest, so a template-heavy source can't flood a live ingest
+    * the way it would flood a batch corpus. Batch capPerKey draws a
+    * uniform hash-subset (it sees all rows); an ingest quota by nature
+    * takes arrival order — within each micro-batch, arrival is resolved
+    * deterministically as (event_time, id), so a single-batch drain
+    * accepts exactly the batch `row_number() over (partition by key
+    * order by ts, id) <= n` prefix (spec-pinned parity), and replays
+    * reproduce the same verdicts.
+    *
+    * Every row comes back as a [[QuotaVerdict]] (accepted or not) so the
+    * caller can route rejects to a spillover/audit sink instead of
+    * silently dropping — the at-least-once-friendly shape.
+    *
+    * Scale: one shuffle on the key; state is ONE long per key (accepted
+    * count), evicted `ttlMs` past the active event-time horizon (rolling
+    * quota; pass Long.MaxValue/2 for an effectively permanent cap). A hot
+    * key's rows converge on one task per batch — bounded by batch size,
+    * the same profile as any keyed stateful operator.
+    */
+  def capPerKeyStream(
+      df: DataFrame,
+      n: Int,
+      keyCol: String = "source",
+      idCol: String = "doc_id",
+      tsCol: String = "event_time",
+      watermarkDelay: String = "10 seconds",
+      ttlMs: Long = 3600000L
+  ): Dataset[QuotaVerdict] = {
+    import org.apache.spark.sql.functions._
+    import df.sparkSession.implicits._
+    val rows = df
+      .select(col(idCol).as("id"), col(keyCol).cast("string").as("key"),
+        col(tsCol).as("event_time"))
+      .withWatermark("event_time", watermarkDelay)
+      .as[QuotaDoc]
+    rows
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[QuotaCount, QuotaVerdict](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: String, it: Iterator[QuotaDoc], state: GroupState[QuotaCount]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val rs = it.toSeq.sortBy(r => (r.event_time.getTime, r.id))
+            var accepted = state.getOption.map(_.accepted).getOrElse(0L)
+            val out = rs.map { r =>
+              val ok = accepted < n
+              if (ok) accepted += 1
+              QuotaVerdict(r.id, r.key, ok)
+            }
+            state.update(QuotaCount(accepted))
+            // same first-batch TTL anchoring as nearDupHits: the
+            // watermark is still 0 during batch one, so anchor on the
+            // max of (watermark, batch event times)
+            val maxTs = rs.map(_.event_time.getTime)
+              .foldLeft(state.getCurrentWatermarkMs())(math.max)
+            state.setTimeoutTimestamp(maxTs + ttlMs)
+            out.iterator
+          }
+      }
+  }
+
   /** Streaming near-dup detection — the streaming analog of
     * `Dedup.minhashPairs`: each arriving document's MinHash LSH band keys
     * are checked against per-band-key state; a `BandHit(id, band,

@@ -111,6 +111,83 @@ class StatefulOpsSpec extends SparkTestBase {
     assert(hits.exists(h => h.id == 8L && h.first_id == 3L))
   }
 
+  test("capPerKeyStream: accepts the first n per key across batches, flags the rest") {
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)](spark)
+    val stream = mem.toDS().toDF("doc_id", "source", "event_time")
+    val query = StatefulOps.capPerKeyStream(stream, n = 2,
+        watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("quota_out").outputMode("append").start()
+    try {
+      // batch 1: srcA fills its quota (intra-batch order = (ts, id)),
+      // srcB uses one slot
+      mem.addData(Seq(
+        (11L, "srcA", ts("2024-01-01 00:00:02")), // 3rd by ts -> rejected
+        (10L, "srcA", ts("2024-01-01 00:00:00")),
+        (12L, "srcA", ts("2024-01-01 00:00:01")),
+        (20L, "srcB", ts("2024-01-01 00:00:00"))))
+      query.processAllAvailable()
+      // batch 2: srcA is already full; srcB's count CONTINUES (1 + these)
+      mem.addData(Seq(
+        (13L, "srcA", ts("2024-01-01 00:01:00")),
+        (21L, "srcB", ts("2024-01-01 00:01:00")),
+        (22L, "srcB", ts("2024-01-01 00:01:01"))))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val v = spark.table("quota_out").as[StatefulOps.QuotaVerdict].collect()
+      .map(q => q.id -> q.accepted).toMap
+    assert(v == Map(10L -> true, 12L -> true, 11L -> false, 13L -> false,
+      20L -> true, 21L -> true, 22L -> false), s"got $v")
+  }
+
+  test("capPerKeyStream: single-batch drain equals the batch (ts,id) row_number prefix") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, row_number}
+    // 60 rows over 3 sources with shuffled ids and duplicate timestamps
+    val rows = (0 until 60).map { i =>
+      ((i * 37 % 60).toLong, s"src${i % 3}", ts(f"2024-01-01 00:00:${i % 7}%02d"))
+    }
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)](spark)
+    val query = StatefulOps.capPerKeyStream(
+        mem.toDS().toDF("doc_id", "source", "event_time"), n = 5,
+        watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("quota_parity").outputMode("append").start()
+    try { mem.addData(rows); query.processAllAvailable() } finally query.stop()
+
+    val streamed = spark.table("quota_parity").as[StatefulOps.QuotaVerdict]
+      .collect().filter(_.accepted).map(_.id).sorted.toList
+    val batch = rows.toDF("doc_id", "source", "event_time")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("event_time"), col("doc_id"))))
+      .filter(col("rk") <= 5).select("doc_id").as[Long].collect().sorted.toList
+    assert(streamed == batch,
+      s"drained quota must equal the batch row_number prefix: $streamed vs $batch")
+  }
+
+  test("capPerKeyStream: quota state evicts after the TTL horizon — the key starts fresh") {
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)](spark)
+    val query = StatefulOps.capPerKeyStream(
+        mem.toDS().toDF("doc_id", "source", "event_time"), n = 1,
+        watermarkDelay = "1 second", ttlMs = 60000L)
+      .writeStream.format("memory").queryName("quota_ttl").outputMode("append").start()
+    try {
+      mem.addData(Seq((0L, "srcA", ts("2024-01-01 00:00:00"))))
+      query.processAllAvailable()
+      // advance the watermark far past 00:00:00 + 60s via another key
+      mem.addData(Seq((1L, "srcB", ts("2024-01-01 01:00:00"))))
+      query.processAllAvailable()
+      mem.addData(Seq((2L, "srcB", ts("2024-01-01 01:00:01"))))
+      query.processAllAvailable()
+      // srcA's count evicted -> a late arrival gets a fresh quota
+      mem.addData(Seq((3L, "srcA", ts("2024-01-01 01:00:02"))))
+      query.processAllAvailable()
+    } finally query.stop()
+    val v = spark.table("quota_ttl").as[StatefulOps.QuotaVerdict].collect()
+      .map(q => q.id -> q.accepted).toMap
+    assert(v(0L) && v(3L), s"fresh quota after eviction: $v")
+    assert(v(1L) && !v(2L), "srcB within horizon keeps counting")
+  }
+
   test("sessionize: out-of-order event above the watermark extends the session start backward") {
     val mem = MemoryStream[Telemetry](spark)
     // long watermark delay so the out-of-order event is NOT late
