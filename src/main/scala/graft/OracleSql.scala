@@ -1068,6 +1068,28 @@ object OracleSql {
         |      FROM documents GROUP BY 1) g
         |  ON md5(array_to_string(list_sort(string_split(d.text, ' ')), ' ')) = g.k
         | AND d.doc_id = g.keep
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // positional 5-gram join vs the q68 benchmark split, then the same
+    // gaps-and-islands merge the operator runs (break iff pos >= prev+5)
+    "q105_contaminated_spans" ->
+      """WITH d AS (SELECT doc_id, string_split(text,' ') AS l FROM documents),
+        | bsh AS (SELECT DISTINCT unnest(list_transform(generate_series(1, len(l)-4),
+        |     i -> l[i]||' '||l[i+1]||' '||l[i+2]||' '||l[i+3]||' '||l[i+4])) AS sh
+        |   FROM d WHERE doc_id % 20 = 0),
+        | csh AS (SELECT doc_id AS id, unnest(list_transform(generate_series(1, len(l)-4),
+        |     i -> struct_pack(pos := i-1,
+        |       sh := l[i]||' '||l[i+1]||' '||l[i+2]||' '||l[i+3]||' '||l[i+4]))) AS e
+        |   FROM d WHERE doc_id % 20 != 0),
+        | hits AS (SELECT id, (e).pos AS pos FROM csh JOIN bsh ON (e).sh = bsh.sh),
+        | m AS (SELECT id, pos, CASE WHEN lag(pos) OVER w IS NULL
+        |     OR pos >= lag(pos) OVER w + 5 THEN 1 ELSE 0 END AS brk
+        |   FROM hits WINDOW w AS (PARTITION BY id ORDER BY pos)),
+        | isl AS (SELECT id, pos,
+        |     sum(brk) OVER (PARTITION BY id ORDER BY pos) AS island FROM m)
+        |SELECT id AS doc_id, CAST(min(pos) AS BIGINT) AS start_tok,
+        |  CAST(max(pos) + 5 AS BIGINT) AS end_tok,
+        |  CAST(max(pos) + 5 - min(pos) AS BIGINT) AS n_tokens
+        |FROM isl GROUP BY id, island ORDER BY doc_id, start_tok""".stripMargin
   )
 }

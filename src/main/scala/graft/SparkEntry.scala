@@ -472,6 +472,23 @@ object SparkEntry {
       .select("doc_id", "source")
       .orderBy("doc_id")
 
+  /** Span-granular decontamination ([[Dedup.contaminatedSpans]]): exact
+    * token ranges of corpus documents that overlap the benchmark split's
+    * 5-grams — q68's drop-the-document escalation path refined to excise
+    * passages. Same corpus/benchmark split as q68; the oracle rebuilds
+    * the positional gram join AND the gaps-and-islands span merge in
+    * SQL, so start/end/width are all value-gated.
+    */
+  private def q105(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Dedup.contaminatedSpans(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0), n = 5)
+      .select(col("id").as("doc_id"), col("start_tok").cast("long"),
+        col("end_tok").cast("long"), col("n_tokens").cast("long"))
+      .orderBy("doc_id", "start_tok")
+  }
+
   /** ANN via random-hyperplane LSH. Approximate in RECALL, but fully
     * deterministic: the fixed-seed hyperplane constants are inlined into
     * the DuckDB oracle (`OracleSql`), which recomputes the same buckets,
@@ -1478,7 +1495,8 @@ object SparkEntry {
     "q101_minhash_pairs_capped" -> q101 _,
     "q102_simhash64" -> q102 _,
     "q103_cap_per_key" -> q103 _,
-    "q104_dedup_bow" -> q104 _
+    "q104_dedup_bow" -> q104 _,
+    "q105_contaminated_spans" -> q105 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

@@ -737,6 +737,53 @@ object Dedup {
       .agg(count(col("__hit")).as("n_hits"))
   }
 
+  /** Token spans of `docs` overlapping the benchmark's n-gram set — the
+    * span-granular escalation of [[contamination]]: instead of DROPPING a
+    * document that shares n-grams with the eval set, locate the
+    * contaminated PASSAGES so [[scrubContamination]] can excise them and
+    * keep the rest of the document (the quoted-a-benchmark-question case,
+    * where whole-doc dropping throws away good text). Output schema
+    * matches [[duplicateSpans]] — `(id, start_tok, end_tok, n_tokens)` —
+    * so the same scrub applies.
+    *
+    * 100 TB shape: eval sets are small by nature, so the benchmark gram
+    * fingerprints BROADCAST; the corpus side is one posexplode + a
+    * broadcast semi-join + the per-doc (never corpus-wide) island merge.
+    * No shuffle touches corpus text.
+    */
+  def contaminatedSpans(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 5
+  ): DataFrame = {
+    val benchGrams = benchmark
+      .select(explode(TextOps.shingleSet(col(textCol), n)).as("gram"))
+      .select(TextOps.fingerprint(col("gram")).as("g"))
+      .distinct()
+    val occ = docs.select(col(idCol).as("id"),
+        posexplode(TextOps.shingles(col(textCol), n)).as(Seq("pos", "gram")))
+      .select(col("id"), col("pos"), TextOps.fingerprint(col("gram")).as("g"))
+      .join(broadcast(benchGrams), Seq("g"), "left_semi")
+      .select("id", "pos")
+    mergeTokenSpans(occ, n)
+  }
+
+  /** [[contaminatedSpans]] + [[scrubDuplicateSpans]] in one call: every
+    * token range overlapping a benchmark n-gram removed in place, all
+    * other text kept verbatim.
+    */
+  def scrubContamination(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 5
+  ): DataFrame =
+    scrubDuplicateSpans(docs,
+      contaminatedSpans(docs, benchmark, idCol, textCol, n), idCol, textCol)
+
   // ---------------------------------------------------- embedding near-dup
 
   /** Exact embedding-cosine near-dup pairs (all-pairs; verifier scale).
@@ -809,11 +856,20 @@ object Dedup {
       .filter(col("nd") >= minDocs)
       .select("g")
     val occ = grams.join(dupGrams, Seq("g")).select("id", "pos")
+    mergeTokenSpans(occ, k)
+  }
+
+  /** Gaps-and-islands merge of flagged k-gram start positions into
+    * maximal token spans, per doc: `(id, pos)` hits → `(id, start_tok,
+    * end_tok, n_tokens)`. The window is per-doc (partitioned on `id`,
+    * bounded by doc length — never corpus-wide). Overlap iff
+    * pos < prev + k; adjacent-but-disjoint windows stay separate spans
+    * (the text crossing the boundary is not itself a flagged k-gram).
+    * Shared by [[duplicateSpans]] and [[contaminatedSpans]].
+    */
+  private def mergeTokenSpans(occ: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("id")).orderBy(col("pos"))
     occ.withColumn("prev", lag(col("pos"), 1).over(w))
-      // overlap iff pos < prev + k; adjacent-but-disjoint windows stay
-      // separate spans (the text crossing the boundary is not itself a
-      // duplicated k-gram)
       .withColumn("brk",
         when(col("prev").isNull || col("pos") >= col("prev") + k, 1).otherwise(0))
       .withColumn("island", sum(col("brk")).over(w))

@@ -41,6 +41,26 @@ class DedupSpec extends SparkTestBase {
     assert(Dedup.exactDedup(df).count() == 6L)
   }
 
+  test("contaminatedSpans locates the benchmark passage; scrubContamination excises exactly it") {
+    val bench = Seq((0L, "what is the capital of france")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "intro words here what is the capital of france closing words after"),
+      (2L, "completely unrelated text with no overlap at all whatsoever")
+    ).toDF("doc_id", "text")
+
+    // doc 1 tokens: the benchmark phrase occupies positions 3..8; its
+    // 5-grams hit at start positions 3 and 4 -> one span [3, 9)
+    val spans = Dedup.contaminatedSpans(docs, bench, n = 5)
+      .as[(Long, Long, Long, Long)].collect().toList
+    assert(spans == List((1L, 3L, 9L, 6L)), s"got $spans")
+
+    val scrubbed = Dedup.scrubContamination(docs, bench, n = 5)
+      .orderBy("doc_id").select("text").as[String].collect().toList
+    assert(scrubbed == List(
+      "intro words here closing words after",
+      "completely unrelated text with no overlap at all whatsoever"))
+  }
+
   test("exactDedup/exactDedupCounted match the window-min formulation, including under skew") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
