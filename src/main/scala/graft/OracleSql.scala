@@ -1090,6 +1090,18 @@ object OracleSql {
         |SELECT id AS doc_id, CAST(min(pos) AS BIGINT) AS start_tok,
         |  CAST(max(pos) + 5 AS BIGINT) AS end_tok,
         |  CAST(max(pos) + 5 - min(pos) AS BIGINT) AS n_tokens
-        |FROM isl GROUP BY id, island ORDER BY doc_id, start_tok""".stripMargin
+        |FROM isl GROUP BY id, island ORDER BY doc_id, start_tok""".stripMargin,
+
+    // OR-chain lambda instead of IN (DuckDB 1.0 lambda parser); floor-div
+    // ppm matches the operator's integer arithmetic
+    "q106_blocklist" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS l FROM documents),
+        | c AS (SELECT doc_id, len(list_filter(l,
+        |     x -> x = 'spark' OR x = 'window' OR x = 'batch')) AS hits,
+        |   len(l) AS total FROM t)
+        |SELECT doc_id, CAST(hits AS BIGINT) AS n_blocked,
+        |  CAST(CASE WHEN total > 0 THEN hits * 1000000 // total ELSE 0 END AS BIGINT)
+        |    AS blocked_ppm
+        |FROM c ORDER BY doc_id""".stripMargin
   )
 }

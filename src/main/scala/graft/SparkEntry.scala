@@ -489,6 +489,21 @@ object SparkEntry {
       .orderBy("doc_id", "start_tok")
   }
 
+  /** Blocklist screening ([[TextOps.blocklistStats]]): per-doc occurrence
+    * count and integer-ppm share of a blocklisted word set — the word-
+    * list heuristic gate that runs before any model-based toxicity
+    * classifier. The list here is three corpus-vocabulary words so every
+    * SF exercises nonzero counts; the oracle recomputes the filter and
+    * the floor-div ppm in SQL.
+    */
+  private def q106(s: SparkSession, dir: String): DataFrame = {
+    val (hits, ppm) = TextOps.blocklistStats(col("text"),
+      Seq("spark", "window", "batch"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), hits.as("n_blocked"), ppm.as("blocked_ppm"))
+      .orderBy("doc_id")
+  }
+
   /** ANN via random-hyperplane LSH. Approximate in RECALL, but fully
     * deterministic: the fixed-seed hyperplane constants are inlined into
     * the DuckDB oracle (`OracleSql`), which recomputes the same buckets,
@@ -1496,7 +1511,8 @@ object SparkEntry {
     "q102_simhash64" -> q102 _,
     "q103_cap_per_key" -> q103 _,
     "q104_dedup_bow" -> q104 _,
-    "q105_contaminated_spans" -> q105 _
+    "q105_contaminated_spans" -> q105 _,
+    "q106_blocklist" -> q106 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

@@ -190,6 +190,25 @@ object TextOps {
     (total, dupWordPpm, dupBigramPpm, meanLenC)
   }
 
+  /** Blocklist screening — the word-list heuristic gate (NSFW/toxicity
+    * lists) every pipeline runs BEFORE any model-based classifier:
+    * occurrence count of blocklisted tokens and their ppm share of the
+    * doc's tokens (integer-exact, so the oracle matches bit for bit).
+    * ONE pass over the token array — the membership test is an inlined
+    * IN-set per element, not a filter per word like the (5-word)
+    * stopword tables use — no shuffle, linear at any corpus size. Real
+    * deployments load the list from config; it broadcasts by inlining
+    * into the plan, so hundreds of words cost literal-array space, not a
+    * join.
+    */
+  def blocklistStats(text: Column, words: Seq[String]): (Column, Column) = {
+    val toks = tokens(text)
+    val hits = size(filter(toks, t => t.isInCollection(words))).cast("long")
+    val total = size(toks).cast("long")
+    val ppm = when(total > 0, floor(hits * 1000000L / total)).otherwise(0L).cast("long")
+    (hits, ppm)
+  }
+
   /** URL pattern shared with the SQL oracles — plain character classes
     * only, so Java regex and RE2 agree.
     */

@@ -68,6 +68,18 @@ class TextOpsSpec extends SparkTestBase {
     assert(one[String](TextOps.normalize(col("text")), "的是 了!") == "的是 了")
   }
 
+  test("blocklistStats: occurrence counts and integer ppm, one pass") {
+    val df = Seq(
+      (1L, "bad word here bad again"),  // 2 hits of 5 tokens -> 400000 ppm
+      (2L, "clean text only"),
+      (3L, "bad bad bad")               // all 3 -> 1000000 ppm
+    ).toDF("doc_id", "text")
+    val (hits, ppm) = TextOps.blocklistStats(col("text"), Seq("bad", "worse"))
+    val out = df.select(col("doc_id"), hits, ppm)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toList
+    assert(out == List((1L, 2L, 400000L), (2L, 0L, 0L), (3L, 3L, 1000000L)))
+  }
+
   test("repetitionStats: dup fractions and mean word length, integer-exact") {
     def stats(text: String): (Long, Long, Long, Long) = {
       val (a, b, c, d) = TextOps.repetitionStats(col("text"))
