@@ -85,12 +85,18 @@ object Dedup {
     * per-row over that row's own tokens (codegen'd `sort_array`), so the
     * operator stays one projection + the exact-dedup shuffles — linear
     * at any corpus size.
+    *
+    * NULL-`textCol` rows keep a NULL key (one group under the semi-join's
+    * null-safe equality, same as [[exactDedup]]) — without the guard,
+    * `concat_ws` would silently swallow the null token array and merge
+    * NULL-text docs with empty-text docs.
     */
   def exactDedupBagOfWords(docs: DataFrame, idCol: String = "doc_id",
                            textCol: String = "text"): DataFrame =
     exactDedupByKey(
       docs.withColumn(GroupKey,
-        md5(concat_ws(" ", sort_array(TextOps.tokens(col(textCol)))))),
+        when(col(textCol).isNotNull,
+          md5(concat_ws(" ", sort_array(TextOps.tokens(col(textCol))))))),
       idCol, GroupKey).drop(GroupKey)
 
   /** [[exactDedup]] over a caller-materialized group-key column (skip the

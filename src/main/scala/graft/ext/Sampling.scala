@@ -91,7 +91,10 @@ object Sampling {
     * otherwise dominate a crawl). Hash ordering makes the kept set a
     * uniform deterministic n-subset per key — reproducible across runs,
     * engines, and partitionings; ties (hash collisions) break on the id
-    * so the result is total-order stable.
+    * so the result is total-order stable. PRECONDITION: `idCol` is
+    * unique per row (run dedup first) — duplicate (key, id) pairs get
+    * identical sort keys, making which physical row survives the cap
+    * partition-dependent.
     *
     * Scale shape: `row_number ≤ n` over the (key, hash) window is
     * rewritten by Spark's `InferWindowGroupLimit` into a PARTIAL

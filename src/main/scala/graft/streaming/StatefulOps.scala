@@ -90,10 +90,10 @@ object StatefulOps {
 
   case class BandDoc(id: Long, band: Int, bkey: String, event_time: Timestamp)
   case class BandHit(id: Long, band: Int, first_id: Long)
-  case class MinSeen(id: Long)
+  case class MinSeen(id: Long, horizonMs: Long)
 
   case class QuotaDoc(id: Long, key: String, event_time: Timestamp)
-  case class QuotaCount(accepted: Long)
+  case class QuotaCount(accepted: Long, horizonMs: Long)
   case class QuotaVerdict(id: Long, key: String, accepted: Boolean)
 
   /** Per-key ingest quota — the streaming twin of
@@ -147,13 +147,15 @@ object StatefulOps {
               if (ok) accepted += 1
               QuotaVerdict(r.id, r.key, ok)
             }
-            state.update(QuotaCount(accepted))
-            // same first-batch TTL anchoring as nearDupHits: the
-            // watermark is still 0 during batch one, so anchor on the
-            // max of (watermark, batch event times)
-            val maxTs = rs.map(_.event_time.getTime)
-              .foldLeft(state.getCurrentWatermarkMs())(math.max)
-            state.setTimeoutTimestamp(maxTs + ttlMs)
+            // same MONOTONE event-time TTL anchoring as nearDupHits: the
+            // horizon carried in state only ratchets up, so an
+            // out-of-order batch of older (above-watermark) events never
+            // pulls an armed timeout earlier — early eviction here would
+            // hand the key a fresh quota and over-accept past n
+            val horizon = (state.getOption.map(_.horizonMs).toSeq ++
+              rs.map(_.event_time.getTime) :+ state.getCurrentWatermarkMs()).max
+            state.update(QuotaCount(accepted, horizon))
+            state.setTimeoutTimestamp(horizon + ttlMs)
             out.iterator
           }
       }
@@ -223,14 +225,18 @@ object StatefulOps {
               if (r.id < minSeen) minSeen = r.id
               hit
             }
-            state.update(MinSeen(minSeen))
             // sliding TTL anchored on event time, not the watermark alone:
             // during the FIRST batch the watermark is still 0 (it advances
             // after the batch), so wm+ttl would arm a timeout in the past
-            // and evict the key immediately
-            val maxTs = rs.map(_.event_time.getTime).foldLeft(
-              state.getCurrentWatermarkMs())(math.max)
-            state.setTimeoutTimestamp(maxTs + ttlMs)
+            // and evict the key immediately. The horizon is MONOTONE —
+            // carried in state and only ratcheted up — so an out-of-order
+            // batch of older (but above-watermark) events can never pull
+            // an armed timeout EARLIER and evict the key before the
+            // horizon a previous batch established.
+            val horizon = (state.getOption.map(_.horizonMs).toSeq ++
+              rs.map(_.event_time.getTime) :+ state.getCurrentWatermarkMs()).max
+            state.update(MinSeen(minSeen, horizon))
+            state.setTimeoutTimestamp(horizon + ttlMs)
             hits.iterator
           }
       }

@@ -39,6 +39,14 @@ class DedupSpec extends SparkTestBase {
     assert(kept.toList == List(0L, 2L, 3L, 5L))
     // byte-exact keeps everything here (no two rows are byte-equal)
     assert(Dedup.exactDedup(df).count() == 6L)
+
+    // NULL text is ONE group (null-safe key equality, like exactDedup)
+    // and never merges with empty text
+    val withNulls = Seq((0L, null: String), (1L, ""), (2L, null: String))
+      .toDF("doc_id", "text")
+    val keptN = Dedup.exactDedupBagOfWords(withNulls)
+      .select("doc_id").as[Long].collect().sorted
+    assert(keptN.toList == List(0L, 1L))
   }
 
   test("contaminatedSpans locates the benchmark passage; scrubContamination excises exactly it") {

@@ -188,6 +188,38 @@ class StatefulOpsSpec extends SparkTestBase {
     assert(v(1L) && !v(2L), "srcB within horizon keeps counting")
   }
 
+  test("capPerKeyStream: an out-of-order older batch cannot pull the TTL horizon earlier") {
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)](spark)
+    val query = StatefulOps.capPerKeyStream(
+        mem.toDS().toDF("doc_id", "source", "event_time"), n = 1,
+        watermarkDelay = "10 minutes", ttlMs = 60000L)
+      .writeStream.format("memory").queryName("quota_mono").outputMode("append").start()
+    try {
+      // horizon for srcA: 10:00:00 -> timeout armed at 10:01:00
+      mem.addData(Seq((0L, "srcA", ts("2024-01-01 10:00:00"))))
+      query.processAllAvailable()
+      // OLDER but above-watermark srcA event: a non-monotone anchor would
+      // rewrite the timeout to 09:56:00 — before the established horizon
+      mem.addData(Seq((1L, "srcA", ts("2024-01-01 09:55:00"))))
+      query.processAllAvailable()
+      // advance the watermark to 09:57/09:58 via srcB — past the buggy
+      // 09:56:00 anchor but before the true 10:01:00 horizon; srcA gets
+      // no data in these batches, which is when an early timeout fires
+      mem.addData(Seq((2L, "srcB", ts("2024-01-01 10:07:00"))))
+      query.processAllAvailable()
+      mem.addData(Seq((3L, "srcB", ts("2024-01-01 10:08:00"))))
+      query.processAllAvailable()
+      // srcA must still be at quota — a fresh acceptance here means the
+      // state evicted before its horizon
+      mem.addData(Seq((4L, "srcA", ts("2024-01-01 09:59:30"))))
+      query.processAllAvailable()
+    } finally query.stop()
+    val v = spark.table("quota_mono").as[StatefulOps.QuotaVerdict].collect()
+      .map(q => q.id -> q.accepted).toMap
+    assert(v == Map(0L -> true, 1L -> false, 2L -> true, 3L -> false, 4L -> false),
+      s"got $v")
+  }
+
   test("sessionize: out-of-order event above the watermark extends the session start backward") {
     val mem = MemoryStream[Telemetry](spark)
     // long watermark delay so the out-of-order event is NOT late
