@@ -768,8 +768,12 @@ object Dedup {
       .select(explode(TextOps.shingleSet(col(textCol), n)).as("gram"))
       .select(TextOps.fingerprint(col("gram")).as("g"))
       .distinct()
+    // same token-array projection boundary as duplicateSpans — without
+    // it the split re-evaluates under every element_at of the gram build
     val occ = docs.select(col(idCol).as("id"),
-        posexplode(TextOps.shingles(col(textCol), n)).as(Seq("pos", "gram")))
+        TextOps.tokens(col(textCol)).as("__toks"))
+      .select(col("id"),
+        posexplode(TextOps.shinglesFromTokens(col("__toks"), n)).as(Seq("pos", "gram")))
       .select(col("id"), col("pos"), TextOps.fingerprint(col("gram")).as("g"))
       .join(broadcast(benchGrams), Seq("g"), "left_semi")
       .select("id", "pos")
@@ -853,8 +857,13 @@ object Dedup {
     // LAZY checkpoint: constructing the frame (plan inspection, a
     // conditionally-skipped scrub) must not launch the gram job; the
     // checkpointed blocks are freed when the plan is GC'd on the driver
+    // token array projected FIRST (binding boundary): building the gram
+    // list straight off `shingles(text)` re-evaluates the split under
+    // every element_at — ~2k references per row (see shinglesFromTokens)
     val grams = docs.select(col(idCol).as("id"),
-        posexplode(TextOps.shingles(col(textCol), k)).as(Seq("pos", "gram")))
+        TextOps.tokens(col(textCol)).as("__toks"))
+      .select(col("id"),
+        posexplode(TextOps.shinglesFromTokens(col("__toks"), k)).as(Seq("pos", "gram")))
       .select(col("id"), col("pos"), TextOps.fingerprint(col("gram")).as("g"))
       .localCheckpoint(false)
     val dupGrams = grams.groupBy("g")
