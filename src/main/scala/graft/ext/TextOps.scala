@@ -185,6 +185,12 @@ object TextOps {
     *  - `mean_word_len_c` — mean word length in centichars (Gopher drops
     *    docs with extreme mean word length).
     * Pure per-row scalar scan: no shuffle, linear at any corpus size.
+    * Expression-tree caveat (see [[shinglesFromTokens]]): the bigram
+    * columns embed the token split several times per reference; callers
+    * scanning a large corpus for ONLY the bigram signals should bind
+    * `tokens(text)` behind a projection first — the flat word-level
+    * columns (what the curation funnel consumes) evaluate the split a
+    * constant number of times and need no such care.
     */
   def repetitionStats(text: Column): (Column, Column, Column, Column) = {
     val toks = tokens(text)
