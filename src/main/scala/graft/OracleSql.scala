@@ -1060,13 +1060,17 @@ object OracleSql {
         |WHERE rk <= 10 ORDER BY doc_id""".stripMargin,
 
     // same md5-of-sorted-tokens key both sides; min-id keep rule matches
-    // q100's byte-exact formulation
+    // q100's byte-exact formulation. IS NOT DISTINCT FROM mirrors the
+    // operator's null-safe key join: NULL-text rows form ONE group and
+    // keep their min id (md5 of NULL is NULL — a plain '=' would drop
+    // every NULL-text row the Spark side keeps)
     "q104_dedup_bow" ->
       """SELECT d.doc_id, d.source FROM documents d
         |JOIN (SELECT md5(array_to_string(list_sort(string_split(text, ' ')), ' ')) AS k,
         |             min(doc_id) AS keep
         |      FROM documents GROUP BY 1) g
-        |  ON md5(array_to_string(list_sort(string_split(d.text, ' ')), ' ')) = g.k
+        |  ON md5(array_to_string(list_sort(string_split(d.text, ' ')), ' '))
+        |       IS NOT DISTINCT FROM g.k
         | AND d.doc_id = g.keep
         |ORDER BY doc_id""".stripMargin,
 

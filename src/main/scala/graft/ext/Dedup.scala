@@ -768,13 +768,7 @@ object Dedup {
       .select(explode(TextOps.shingleSet(col(textCol), n)).as("gram"))
       .select(TextOps.fingerprint(col("gram")).as("g"))
       .distinct()
-    // same token-array projection boundary as duplicateSpans — without
-    // it the split re-evaluates under every element_at of the gram build
-    val occ = docs.select(col(idCol).as("id"),
-        TextOps.tokens(col(textCol)).as("__toks"))
-      .select(col("id"),
-        posexplode(TextOps.shinglesFromTokens(col("__toks"), n)).as(Seq("pos", "gram")))
-      .select(col("id"), col("pos"), TextOps.fingerprint(col("gram")).as("g"))
+    val occ = posGramTable(docs, idCol, textCol, n)
       .join(broadcast(benchGrams), Seq("g"), "left_semi")
       .select("id", "pos")
     mergeTokenSpans(occ, n)
@@ -857,15 +851,7 @@ object Dedup {
     // LAZY checkpoint: constructing the frame (plan inspection, a
     // conditionally-skipped scrub) must not launch the gram job; the
     // checkpointed blocks are freed when the plan is GC'd on the driver
-    // token array projected FIRST (binding boundary): building the gram
-    // list straight off `shingles(text)` re-evaluates the split under
-    // every element_at — ~2k references per row (see shinglesFromTokens)
-    val grams = docs.select(col(idCol).as("id"),
-        TextOps.tokens(col(textCol)).as("__toks"))
-      .select(col("id"),
-        posexplode(TextOps.shinglesFromTokens(col("__toks"), k)).as(Seq("pos", "gram")))
-      .select(col("id"), col("pos"), TextOps.fingerprint(col("gram")).as("g"))
-      .localCheckpoint(false)
+    val grams = posGramTable(docs, idCol, textCol, k).localCheckpoint(false)
     val dupGrams = grams.groupBy("g")
       .agg(count_distinct(col("id")).as("nd"))
       .filter(col("nd") >= minDocs)
@@ -882,6 +868,23 @@ object Dedup {
     * (the text crossing the boundary is not itself a flagged k-gram).
     * Shared by [[duplicateSpans]] and [[contaminatedSpans]].
     */
+  /** Positional gram-fingerprint table: one row per (doc, gram start
+    * position) with the gram's 128-bit fingerprint. The token array is
+    * projected into a NAMED COLUMN first — the binding boundary that
+    * keeps the split from re-evaluating under every `element_at` of the
+    * gram build (`CollapseProject` won't inline a non-cheap alias
+    * referenced more than once; see [[TextOps.shinglesFromTokens]]).
+    * That boundary is load-bearing for performance (measured ~5× on the
+    * q105 gram scan) — keep it when editing. Shared by
+    * [[duplicateSpans]] and [[contaminatedSpans]].
+    */
+  private def posGramTable(docs: DataFrame, idCol: String, textCol: String,
+                           n: Int): DataFrame =
+    docs.select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("__toks"))
+      .select(col("id"),
+        posexplode(TextOps.shinglesFromTokens(col("__toks"), n)).as(Seq("pos", "gram")))
+      .select(col("id"), col("pos"), TextOps.fingerprint(col("gram")).as("g"))
+
   private def mergeTokenSpans(occ: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("id")).orderBy(col("pos"))
     occ.withColumn("prev", lag(col("pos"), 1).over(w))

@@ -90,6 +90,15 @@ object StatefulOps {
 
   case class BandDoc(id: Long, band: Int, bkey: String, event_time: Timestamp)
   case class BandHit(id: Long, band: Int, first_id: Long)
+
+  /** State of [[nearDupHits]]. MIGRATION NOTE: `horizonMs` was added to
+    * make the TTL anchor monotone — state case-class changes alter the
+    * `flatMapGroupsWithState` state schema, which Spark's checkpoint
+    * schema check (`spark.sql.streaming.stateStore.stateSchemaCheck`,
+    * default on) rejects on restart from a pre-change checkpoint. A
+    * query upgraded across such a change must start a fresh checkpoint
+    * (same for [[QuotaCount]]/[[capPerKeyStream]]).
+    */
   case class MinSeen(id: Long, horizonMs: Long)
 
   case class QuotaDoc(id: Long, key: String, event_time: Timestamp)
