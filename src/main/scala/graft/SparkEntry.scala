@@ -1123,6 +1123,11 @@ object SparkEntry {
     * BIN table (tiny at any scale), not the fact table.
     */
   private def q83(s: SparkSession, dir: String): DataFrame = {
+    // expected "WindowExec: No Partition Defined" warning at runtime: the
+    // window input is the BIN table (≤ ~40 rows at any SF), single
+    // partition is deliberate, and a literal partition key is constant-
+    // folded back to the empty spec so the warning cannot be silenced
+    // without changing the plan (verified on 4.1.2)
     val all = Window.partitionBy()
     ops.Stats.histogram(Tables.orders(s, dir), col("o_totalprice"), 50000L)
       .withColumn("share_ppm",
@@ -1208,6 +1213,10 @@ object SparkEntry {
     val top = TextOps.tokenStats(docs)
       .orderBy(col("freq").desc, col("token"))
       .limit(100)
+    // expected "WindowExec: No Partition Defined" warning at runtime: both
+    // global windows below run over this 100-row top slice only — single
+    // partition is deliberate and unsilenceable (literal partition keys
+    // constant-fold away; see q83)
     val w = Window.orderBy(col("freq").desc, col("token"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     top.crossJoin(broadcast(total))

@@ -22,20 +22,28 @@ object Tables {
   private val planCache =
     new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+  /** NOTE: like [[events]]' nanosAsLong precedent, this mutates the
+    * SESSION-WIDE conf `spark.sql.parquet.inferTimestampNTZ.enabled=false`
+    * as a side effect — any later `spark.read.parquet` in the same session
+    * (graft's or the caller's own) reads naive timestamp[us] as TIMESTAMP,
+    * not TIMESTAMP_NTZ. It is set on EVERY call (not just plan-cache
+    * misses) so cached and fresh loads leave identical session state; a
+    * caller that needs NTZ semantics for its own reads must flip the conf
+    * back after calling graft and before its own read.
+    */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // The driver's parquet stores naive timestamp[us] (no UTC
+    // adjustment). Read those as session-TZ TIMESTAMP — not
+    // TIMESTAMP_NTZ — so timestamp arithmetic (unix_micros, interval
+    // subtraction vs TIMESTAMP literals) resolves, matching the DuckDB
+    // oracle's naive read under the UTC sessions every entrypoint
+    // pins. Done by conf at the scan (not a cast above it) so filter
+    // pushdown on timestamp columns survives.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     planCache.computeIfAbsent(
       (System.identityHashCode(spark), s"$dir/$name.parquet"),
-      key => {
-        // The driver's parquet stores naive timestamp[us] (no UTC
-        // adjustment). Read those as session-TZ TIMESTAMP — not
-        // TIMESTAMP_NTZ — so timestamp arithmetic (unix_micros, interval
-        // subtraction vs TIMESTAMP literals) resolves, matching the DuckDB
-        // oracle's naive read under the UTC sessions every entrypoint
-        // pins. Done by conf at the scan (not a cast above it) so filter
-        // pushdown on timestamp columns survives.
-        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-        spark.read.parquet(key._2)
-      })
+      key => spark.read.parquet(key._2))
+  }
 
   /** `events.ts` has shipped in two physical flavors: parquet
     * TIMESTAMP(NANOS) — unreadable as a Spark timestamp

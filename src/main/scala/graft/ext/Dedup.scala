@@ -342,13 +342,30 @@ object Dedup {
     * Token-join (shuffle on shingle) — exact verifier for MinHash; at
     * 100 TB prefer [[minhashPairs]] (frequent shingles make this join
     * super-linear).
+    *
+    * `maxBucketSize` is the verifier-path analog of [[minhashPairs]]'
+    * cap: a shingle present in more than `maxBucketSize` documents (a
+    * boilerplate trigram — the exact shape that makes this join
+    * super-linear) is DROPPED instead of materializing one giant
+    * `collect_list` row and k² intersection increments. The semantics
+    * differ from the LSH cap, and deliberately so: dropping a bucket
+    * here removes that shingle from the INTERSECTION counts while the
+    * per-doc set sizes keep counting it, so the reported Jaccard is a
+    * lower bound for pairs sharing an ultra-common shingle — the
+    * standard document-frequency cap used by exact-verification passes
+    * (common shingles carry no near-dup signal anyway). Pairs whose
+    * every shared shingle is dropped vanish entirely; with the bounded
+    * collector ([[BoundedIdCollect]]) the hot bucket's aggregation
+    * buffer is O(cap), not O(k). The default (Int.MaxValue) keeps the
+    * uncapped single-aggregate plan bit-identical (`q35`).
     */
   def jaccardPairs(
       docs: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
       shingleN: Int = 3,
-      threshold: Double = 0.5
+      threshold: Double = 0.5,
+      maxBucketSize: Int = Int.MaxValue
   ): DataFrame = {
     val shingleArr = TextOps.shingleSet(col(textCol), shingleN)
     // set sizes come from a plain projection (no explode/shuffle), and the
@@ -362,12 +379,23 @@ object Dedup {
     // guard drops the self-pairs a within-document collision would emit.
     val sizes = docs.select(col(idCol).as("id"), size(shingleArr).as("n"))
       .filter(col("n") > 0)
-    val inter = explodePairs(
-      docs.select(col(idCol).as("id"), explode(shingleArr).as("sh"))
-        .select(col("id"), Hashing.md5Hash32(0, col("sh")).as("h"))
-        .groupBy("h")
-        .agg(sort_array(collect_list(col("id"))).as("ids"))
-        .filter(size(col("ids")) > 1))
+    val hashed = docs.select(col(idCol).as("id"), explode(shingleArr).as("sh"))
+      .select(col("id"), Hashing.md5Hash32(0, col("sh")).as("h"))
+    val buckets =
+      if (maxBucketSize == Int.MaxValue)
+        hashed.groupBy("h")
+          .agg(sort_array(collect_list(col("id"))).as("ids"))
+          .filter(size(col("ids")) > 1)
+      else {
+        val bounded = udaf(new BoundedIdCollect(maxBucketSize))
+        hashed.groupBy("h")
+          .agg(bounded(col("id")).as("c"))
+          // k is the TRUE document frequency even though the buffer is
+          // truncated at cap+1 — the filter decides drop-vs-keep exactly
+          .filter(col("c.k") > 1 && col("c.k") <= maxBucketSize)
+          .select(sort_array(col("c.ids")).as("ids"))
+      }
+    val inter = explodePairs(buckets)
       .filter(col("id_a") =!= col("id_b"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("inter"))
@@ -860,14 +888,6 @@ object Dedup {
     mergeTokenSpans(occ, k)
   }
 
-  /** Gaps-and-islands merge of flagged k-gram start positions into
-    * maximal token spans, per doc: `(id, pos)` hits → `(id, start_tok,
-    * end_tok, n_tokens)`. The window is per-doc (partitioned on `id`,
-    * bounded by doc length — never corpus-wide). Overlap iff
-    * pos < prev + k; adjacent-but-disjoint windows stay separate spans
-    * (the text crossing the boundary is not itself a flagged k-gram).
-    * Shared by [[duplicateSpans]] and [[contaminatedSpans]].
-    */
   /** Positional gram-fingerprint table: one row per (doc, gram start
     * position) with the gram's 128-bit fingerprint. The token array is
     * projected into a NAMED COLUMN first — the binding boundary that
@@ -885,6 +905,14 @@ object Dedup {
         posexplode(TextOps.shinglesFromTokens(col("__toks"), n)).as(Seq("pos", "gram")))
       .select(col("id"), col("pos"), TextOps.fingerprint(col("gram")).as("g"))
 
+  /** Gaps-and-islands merge of flagged k-gram start positions into
+    * maximal token spans, per doc: `(id, pos)` hits → `(id, start_tok,
+    * end_tok, n_tokens)`. The window is per-doc (partitioned on `id`,
+    * bounded by doc length — never corpus-wide). Overlap iff
+    * pos < prev + k; adjacent-but-disjoint windows stay separate spans
+    * (the text crossing the boundary is not itself a flagged k-gram).
+    * Shared by [[duplicateSpans]] and [[contaminatedSpans]].
+    */
   private def mergeTokenSpans(occ: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("id")).orderBy(col("pos"))
     occ.withColumn("prev", lag(col("pos"), 1).over(w))

@@ -166,6 +166,10 @@ object SimSearch {
       .orderBy(col("hsh"), col("pid"))
       .limit(nlist)
     picked
+      // expected "WindowExec: No Partition Defined" warning at runtime:
+      // the window numbers the ≤ nlist picked pivots (≤ a few dozen rows)
+      // — deliberate, and a literal partition key would constant-fold
+      // back to the empty spec anyway
       .withColumn("cent_id",
         row_number().over(Window.orderBy(col("hsh"), col("pid"))).cast("long"))
       .drop("hsh")

@@ -124,12 +124,37 @@ object CorpusCuration {
     try f(curated, stats) finally curated.unpersist()
   }
 
+  /** Benchmark-decontamination policy for [[curateAndPack]]:
+    *  - [[Decontaminate.Drop]] (classic): a document sharing ≥
+    *    `maxOverlap` distinct n-grams with the eval set is removed
+    *    whole — throws away good text when a long doc merely quotes a
+    *    benchmark question, but guarantees zero residual overlap;
+    *  - [[Decontaminate.Scrub]]: only the contaminated token SPANS
+    *    ([[graft.ext.Dedup.contaminatedSpans]]) are excised in place and
+    *    the rest of the document survives. `maxOverlap` does not apply —
+    *    every overlapping span is removed, so the output is overlap-free
+    *    by construction (a stricter guarantee at finer granularity). A
+    *    doc that was ENTIRELY benchmark text survives as an empty row;
+    *    token counting downstream prices it at ~0, and callers wanting
+    *    it gone can filter on `length(text) = 0`.
+    */
+  sealed trait Decontaminate
+  object Decontaminate {
+    case object Drop extends Decontaminate
+    case object Scrub extends Decontaminate
+  }
+
+  /** `scrubbedTokens` is only non-zero under [[Decontaminate.Scrub]]:
+    * the total token count excised across all contaminated spans (Σ
+    * `n_tokens` over [[graft.ext.Dedup.contaminatedSpans]]).
+    */
   case class StatsV2(
       base: Stats,
       afterRepetition: Long,
       afterDecontamination: Long,
       mixtureRows: Long,
-      bins: Long)
+      bins: Long,
+      scrubbedTokens: Long = 0L)
 
   /** The full pretraining-prep pipeline, composing every round-3
     * operator on top of [[curate]]'s output:
@@ -137,8 +162,10 @@ object CorpusCuration {
     *  1. repetition filter (Gopher rule: drop docs whose duplicate-word
     *     fraction exceeds `maxDupWordPpm`),
     *  2. PII scrub (emails/phones redacted in place),
-    *  3. benchmark decontamination (drop docs sharing ≥ `maxOverlap`
-    *     distinct n-grams with the eval set — benchmark side broadcast),
+    *  3. benchmark decontamination — [[Decontaminate.Drop]] removes docs
+    *     sharing ≥ `maxOverlap` distinct n-grams with the eval set;
+    *     [[Decontaminate.Scrub]] excises just the overlapping spans and
+    *     keeps the rest (benchmark side broadcast either way),
     *  4. mixture weighting by language (hash-deterministic up/down
     *     sampling with repetition indices),
     *  5. sequence packing into `capacity`-token bins per language.
@@ -166,7 +193,8 @@ object CorpusCuration {
       capacity: Long = 2048L,
       qualityWeights: Option[Array[Double]] = None,
       minModelScore: Double = 0.5,
-      bpeMerges: Seq[(String, String)] = Nil
+      bpeMerges: Seq[(String, String)] = Nil,
+      decontaminate: Decontaminate = Decontaminate.Drop
   ): (DataFrame, StatsV2) = {
     val (curated, stats) = curate(docs, allowedLangs, minQualityPpm,
       sampleRates = Map.empty, defaultSampleBp = 10000)
@@ -189,12 +217,27 @@ object CorpusCuration {
     val afterRepetition = lowRepetition.count() // one pass over curate's cache
     curated.unpersist()
 
-    val contaminatedIds = Dedup.contamination(lowRepetition, benchmark)
-      .filter(col("n_hits") >= maxOverlap)
-      .select(col("id").as("doc_id"))
-    val clean = lowRepetition.join(contaminatedIds, Seq("doc_id"), "left_anti")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val afterDecontamination = clean.count() // shingle overlap computed once
+    val (clean, afterDecontamination, scrubbedTokens) = decontaminate match {
+      case Decontaminate.Drop =>
+        val contaminatedIds = Dedup.contamination(lowRepetition, benchmark)
+          .filter(col("n_hits") >= maxOverlap)
+          .select(col("id").as("doc_id"))
+        val dropped = lowRepetition.join(contaminatedIds, Seq("doc_id"), "left_anti")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        (dropped, dropped.count(), 0L) // shingle overlap computed once
+      case Decontaminate.Scrub =>
+        // spans feed TWO consumers (the token counter and the scrub join)
+        // — persist so the posexplode + broadcast-semi gram pass runs once
+        val spans = Dedup.contaminatedSpans(lowRepetition, benchmark)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val nScrubbed = spans.agg(coalesce(sum(col("n_tokens")), lit(0L)))
+          .head().getLong(0)
+        val scrubbed = Dedup.scrubDuplicateSpans(lowRepetition, spans)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val n = scrubbed.count() // materialize before releasing spans
+        spans.unpersist()
+        (scrubbed, n, nScrubbed)
+    }
     lowRepetition.unpersist()
 
     val mixed = Sampling.mixtureSample(clean, col("doc_id"), col("lang_guess"),
@@ -222,7 +265,7 @@ object CorpusCuration {
     clean.unpersist()
 
     (packed, StatsV2(stats, afterRepetition, afterDecontamination,
-      packedStats.getLong(0), packedStats.getLong(1)))
+      packedStats.getLong(0), packedStats.getLong(1), scrubbedTokens))
   }
 
   /** Loan-pattern twin of [[curateAndPack]] — same cache-release contract
@@ -239,11 +282,12 @@ object CorpusCuration {
       capacity: Long = 2048L,
       qualityWeights: Option[Array[Double]] = None,
       minModelScore: Double = 0.5,
-      bpeMerges: Seq[(String, String)] = Nil
+      bpeMerges: Seq[(String, String)] = Nil,
+      decontaminate: Decontaminate = Decontaminate.Drop
   )(f: (DataFrame, StatsV2) => T): T = {
     val (packed, stats) = curateAndPack(docs, benchmark, allowedLangs,
       minQualityPpm, maxDupWordPpm, maxOverlap, mixtureMilli, capacity,
-      qualityWeights, minModelScore, bpeMerges)
+      qualityWeights, minModelScore, bpeMerges, decontaminate)
     try f(packed, stats) finally packed.unpersist()
   }
 

@@ -11,7 +11,9 @@ import org.apache.spark.sql.functions._
   */
 object DedupThroughput {
   def main(args: Array[String]): Unit = {
-    val n = args.headOption.map(_.toInt).getOrElse(200000)
+    // args are positionless: the first all-digit arg is n, and the literal
+    // "stars" flag may come before or after it ("stars" alone works too)
+    val n = args.find(a => a.nonEmpty && a.forall(_.isDigit)).map(_.toInt).getOrElse(200000)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()

@@ -200,6 +200,30 @@ class DedupSpec extends SparkTestBase {
     assert(!pairs.contains((0L, 3L)))
   }
 
+  test("jaccardPairs maxBucketSize drops the boilerplate shingle, bounds pair volume") {
+    // 30 docs that are pairwise unrelated EXCEPT for one shared trigram
+    // ("common trigram here") — the boilerplate doc-frequency failure
+    // mode: uncapped, that one shingle bucket emits 30·29/2 = 435 pairs
+    val hot = (100L until 130L).map(i =>
+      (i, s"unique$i token$i filler$i common trigram here"))
+    val all = (hot ++ Seq((0L, doc), (2L, near))).toDF("doc_id", "text")
+    // each hot doc: 6 tokens -> 4 trigram shingles; jaccard = 1/(4+4-1)
+    val uncapped = Dedup.jaccardPairs(all, threshold = 0.1)
+      .as[(Long, Long, Long)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    assert(uncapped.count { case ((a, b), _) => a >= 100L && b >= 100L } == 435,
+      "uncapped, the shared shingle emits the quadratic pair set")
+    assert(uncapped(((0L, 2L))) == 7000000L / 9L)
+    // cap below the hot bucket's doc frequency: its 435 pairs vanish
+    // (their ONLY shared shingle is dropped); the small pair is intact
+    val capped = Dedup.jaccardPairs(all, threshold = 0.1, maxBucketSize = 10)
+      .as[(Long, Long, Long)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    assert(capped == uncapped.filter { case ((a, b), _) => a < 100L && b < 100L },
+      "cap must drop exactly the hot-shingle pairs and leave (0,2) bit-identical")
+    // a cap at-or-above every bucket's doc frequency reproduces uncapped
+    assert(Dedup.jaccardPairs(all, threshold = 0.1, maxBucketSize = 30)
+      .as[(Long, Long, Long)].collect().map(p => (p._1, p._2) -> p._3).toMap == uncapped)
+  }
+
   test("simhash: identical docs hash equal; near docs within small hamming") {
     val h = Dedup.simhash(docs).as[(Long, Long)].collect().toMap
     assert(h(0L) == h(1L))

@@ -214,6 +214,56 @@ class CorpusCurationSpec extends SparkTestBase {
       "packing is row-preserving under either tokenizer")
   }
 
+  test("curateAndPack Scrub mode keeps a partially-contaminated doc with its spans excised") {
+    import spark.implicits._
+    val prefix = "the quick brown fox jumps over a lazy dog"          // 9 tokens
+    val phrase = "what is the capital of france and why exactly"      // 9 tokens
+    val suffix = "while many other animals watch from tall green trees " +
+      "near a quiet river bank and the sun sets slowly behind distant hills"
+    val benchmark = Seq((100L, phrase)).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, s"$prefix $phrase $suffix"), // quotes the benchmark mid-document
+      (2L, "completely different prose about mountains rivers valleys " +
+        "forests deserts oceans islands plains canyons plateaus glaciers " +
+        "meadows swamps tundras savannas cliffs dunes caves springs lagoons")
+    ).toDF("doc_id", "text")
+    def run(mode: CorpusCuration.Decontaminate) =
+      CorpusCuration.curateAndPack(corpus, benchmark,
+        allowedLangs = Set("en", "und"), minQualityPpm = 300000L,
+        decontaminate = mode)
+
+    // doc 1 shares five distinct 5-grams (>= maxOverlap 3) -> Drop removes it whole
+    val (droppedPacked, dropped) = run(CorpusCuration.Decontaminate.Drop)
+    val droppedIds = droppedPacked.select("doc_id").as[Long].collect().toSet
+    droppedPacked.unpersist()
+    assert(dropped.afterRepetition == 2L)
+    assert(dropped.afterDecontamination == 1L && droppedIds == Set(2L),
+      "Drop mode must remove the quoting doc whole")
+    assert(dropped.scrubbedTokens == 0L, "Drop mode never scrubs spans")
+
+    // Scrub keeps BOTH docs; exactly the phrase's 9-token span is excised:
+    // the phrase occupies token positions 9..17, its internal 5-grams hit
+    // at start positions 9..13 -> one merged island [9, 18)
+    val (scrubPacked, scrubbed) = run(CorpusCuration.Decontaminate.Scrub)
+    val scrubIds = scrubPacked.select("doc_id").as[Long].collect().toSet
+    scrubPacked.unpersist()
+    assert(scrubbed.afterDecontamination == 2L && scrubIds == Set(1L, 2L),
+      "Scrub mode must keep the partially-contaminated doc")
+    assert(scrubbed.scrubbedTokens == 9L,
+      s"exactly the quoted passage's tokens are excised: $scrubbed")
+    // stages upstream and downstream of the policy reconcile across modes
+    assert(scrubbed.base == dropped.base && scrubbed.afterRepetition == dropped.afterRepetition)
+    assert(scrubbed.mixtureRows == scrubbed.afterDecontamination,
+      "1000-milli mixture emits one copy per surviving doc")
+
+    // the scrub itself is the independently-tested operator: the kept text
+    // equals prefix + suffix with the quoted passage gone (the corpus has
+    // no PII, so the pipeline's pre-scrub text is the raw fixture text)
+    val scrubbedText = graft.ext.Dedup.scrubContamination(corpus, benchmark)
+      .filter($"doc_id" === 1L).select("text").as[String].head()
+    assert(scrubbedText == s"$prefix $suffix")
+  }
+
   test("curateAtIngest: streaming stages mirror the batch pipeline on a drained stream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions.col
