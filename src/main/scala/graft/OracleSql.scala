@@ -1106,6 +1106,28 @@ object OracleSql {
         |SELECT doc_id, CAST(hits AS BIGINT) AS n_blocked,
         |  CAST(CASE WHEN total > 0 THEN hits * 1000000 // total ELSE 0 END AS BIGINT)
         |    AS blocked_ppm
-        |FROM c ORDER BY doc_id""".stripMargin
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // Mirrors graft.ext.Bmff.synthetic's closed-form container layout
+    // (n samples, per-sample sizes, every-3rd sync samples, two chunks,
+    // co64 base shift on odd ids) — recomputed WITHOUT parsing bytes, so
+    // a sample-table-walk bug on the Spark side cannot cancel out
+    "q107_keyframe_offsets" ->
+      """WITH d AS (SELECT doc_id, 6 + doc_id % 5 AS n,
+        |    4096 + doc_id % 100
+        |      + CASE WHEN doc_id % 2 = 1 THEN 4294967296 ELSE 0 END AS base1
+        |   FROM documents),
+        | s AS (SELECT doc_id, n, base1, unnest(generate_series(1, n)) AS k FROM d),
+        | sz AS (SELECT doc_id, n, base1, k,
+        |    50 + (doc_id * 7 + k * 13) % 40 AS sz,
+        |    CASE WHEN k <= n // 2 THEN 1 ELSE 2 END AS chunk FROM s),
+        | o AS (SELECT doc_id, k,
+        |    CASE WHEN chunk = 1 THEN base1 ELSE base1 + 65536 END
+        |     + COALESCE(sum(sz) OVER (PARTITION BY doc_id, chunk ORDER BY k
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS kf_offset
+        |   FROM sz)
+        |SELECT doc_id, CAST((k - 1) // 3 + 1 AS BIGINT) AS kf_idx,
+        |  CAST(kf_offset AS BIGINT) AS kf_offset
+        |FROM o WHERE (k - 1) % 3 = 0 ORDER BY doc_id, kf_idx""".stripMargin
   )
 }

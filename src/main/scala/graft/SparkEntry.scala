@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.core.Tables
-import graft.ext.{Dedup, Multimodal, Quantize, Sampling, SimSearch, TextOps}
+import graft.ext.{Bmff, Dedup, Multimodal, Quantize, Sampling, SimSearch, TextOps}
 import graft.functions.{Hashing, VectorOps}
 import graft.ops.{AsOfJoin, SensorOps, Windows}
 
@@ -502,6 +502,29 @@ object SparkEntry {
     Tables.documents(s, dir)
       .select(col("doc_id"), hits.as("n_blocked"), ppm.as("blocked_ppm"))
       .orderBy("doc_id")
+  }
+
+  /** REAL keyframe byte offsets over synthetic ISO-BMFF containers
+    * ([[graft.ext.Bmff]]): every document gets a deterministic MP4 whose
+    * `stss`/`stsc`/`stsz`/`stco`|`co64` tables follow a closed form of
+    * the doc id, the Spark side walks the actual container bytes
+    * ([[Multimodal.keyframeOffsets]]), and the oracle recomputes the
+    * expected offsets from the same formulas WITHOUT parsing — the
+    * q40/q41 seeded-constant pattern applied to the sample-table walk.
+    * Odd ids use 64-bit co64 offsets past 2³², even ids 32-bit stco, so
+    * both chunk encodings are oracle-gated. The per-row container build
+    * is a typed `map` (fixture construction, not a hot path — the
+    * production decode seams stay expression/`mapPartitions`-based).
+    */
+  private def q107(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val payloads = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .map(id => (id, Bmff.synthetic(id))).toDF("doc_id", "payload")
+    payloads
+      .select(col("doc_id"),
+        posexplode(Multimodal.keyframeOffsets(col("payload"))).as(Seq("i", "kf_offset")))
+      .select(col("doc_id"), (col("i") + 1).cast("long").as("kf_idx"), col("kf_offset"))
+      .orderBy("doc_id", "kf_idx")
   }
 
   /** ANN via random-hyperplane LSH. Approximate in RECALL, but fully
@@ -1521,7 +1544,8 @@ object SparkEntry {
     "q103_cap_per_key" -> q103 _,
     "q104_dedup_bow" -> q104 _,
     "q105_contaminated_spans" -> q105 _,
-    "q106_blocklist" -> q106 _
+    "q106_blocklist" -> q106 _,
+    "q107_keyframe_offsets" -> q107 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all
