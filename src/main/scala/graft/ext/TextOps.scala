@@ -226,6 +226,39 @@ object TextOps {
     (hits, ppm)
   }
 
+  /** [[blocklistStats]] as a single gate predicate: true iff the
+    * blocked-token share is at or under `maxPpm` (default 0 = any hit
+    * rejects). Stateless scalar expression — batch and streaming apply
+    * it identically, which is what makes batch/stream verdict parity
+    * provable (`CorpusCurationSpec`).
+    */
+  def blocklistOk(text: Column, words: Seq[String], maxPpm: Long = 0L): Column =
+    blocklistStats(text, words)._2 <= maxPpm
+
+  /** The q86 quality funnel collapsed to ONE codegen predicate over the
+    * text alone: minimum length, token-count range, Gopher duplicate-word
+    * cap, and mean-word-length band (centichars). q86 reads the fixture's
+    * stored `n_chars` for its first stage; here `length(text)` stands in
+    * so the predicate works on any text column — including a stream with
+    * no precomputed stats. Thresholds default to q86's constants.
+    * Stateless, no shuffle — safe in batch filters and streaming ingest
+    * alike.
+    */
+  def qualityFunnelOk(
+      text: Column,
+      minChars: Long = 200L,
+      minTokens: Long = 30L,
+      maxTokens: Long = 2000L,
+      maxDupWordPpm: Long = 300000L,
+      minMeanWordLenC: Long = 300L,
+      maxMeanWordLenC: Long = 1000L): Column = {
+    val (nTok, dupW, _, mwl) = repetitionStats(text)
+    length(text).cast("long") >= minChars &&
+      nTok.between(minTokens, maxTokens) &&
+      dupW < maxDupWordPpm &&
+      mwl.between(minMeanWordLenC, maxMeanWordLenC)
+  }
+
   /** URL pattern shared with the SQL oracles — plain character classes
     * only, so Java regex and RE2 agree.
     */

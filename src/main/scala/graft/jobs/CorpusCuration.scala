@@ -1,6 +1,6 @@
 package graft.jobs
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -308,6 +308,17 @@ object CorpusCuration {
     * stateful operator inside this query would couple the two state
     * lifetimes for no gain. Output columns match [[curate]]:
     * (doc_id, text, lang_guess, quality_ppm, split) + event_time.
+    *
+    * Optional stateless gates (both OFF by default, both pure
+    * expressions, so the stream's verdicts provably match the same
+    * predicate applied in batch — spec-pinned):
+    *  - `blocklist` — reject rows whose blocked-token share exceeds
+    *    `maxBlockedPpm` ([[TextOps.blocklistOk]]; 0 = any hit rejects);
+    *  - `extraGate` — any caller-supplied stateless predicate column,
+    *    e.g. [[TextOps.qualityFunnelOk]] for the q86 funnel, or a
+    *    conjunction of custom checks. Stateful expressions don't belong
+    *    here (they'd need their own watermark/state lifecycle — see
+    *    `StatefulOps` for those).
     */
   def curateAtIngest(
       docs: DataFrame,
@@ -317,10 +328,13 @@ object CorpusCuration {
       minQualityPpm: Long = 500000L,
       maxDupWordPpm: Long = 500000L,
       qualityWeights: Option[Array[Double]] = None,
-      minModelScore: Double = 0.5
+      minModelScore: Double = 0.5,
+      blocklist: Seq[String] = Nil,
+      maxBlockedPpm: Long = 0L,
+      extraGate: Option[Column] = None
   ): DataFrame = {
     val (_, dupWordPpm, _, _) = TextOps.repetitionStats(col("text"))
-    val gated = docs
+    val baseGated = docs
       .withWatermark(tsCol, watermarkDelay)
       .withColumn("fp", TextOps.fingerprint(col("text")))
       .dropDuplicatesWithinWatermark("fp")
@@ -330,6 +344,10 @@ object CorpusCuration {
       .filter(col("quality_ppm") >= minQualityPpm)
       .withColumn("dup_word_ppm", dupWordPpm)
       .filter(col("dup_word_ppm") <= maxDupWordPpm)
+    val blockGated =
+      if (blocklist.isEmpty) baseGated
+      else baseGated.filter(TextOps.blocklistOk(col("text"), blocklist, maxBlockedPpm))
+    val gated = extraGate.fold(blockGated)(blockGated.filter)
     // optional learned gate — stateless scalar filter, streaming-safe
     // (mirrors the batch pipeline's model stage in curateAndPack)
     val modelGated = qualityWeights.fold(gated)(w =>

@@ -295,6 +295,49 @@ class CorpusCurationSpec extends SparkTestBase {
     assert(Set("train", "valid", "test").contains(out(1L).getString(4)))
   }
 
+  test("curateAtIngest blocklist + funnel gates match the batch predicates row for row") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    import graft.ext.TextOps
+    val good = "the quick brown fox jumps over a lazy dog while many other animals " +
+      "watch from tall green trees near a quiet river bank and the sun sets slowly " +
+      "behind distant hills casting long soft shadows across wide open fields"
+    val fixtures = Seq(
+      (1L, good),                   // passes every gate
+      (2L, good + " frak attack"),  // one blocklisted token -> blocklist gate
+      // high quality score (distinct stopword-y words) but only 18 tokens
+      // and < 200 chars: passes the BASE gates, fails the q86 funnel
+      (3L, "we need just twenty distinct common words so the gate of a " +
+        "stream can judge token range here"))
+    val blocklist = Seq("frak")
+
+    // batch verdicts from the SAME stateless predicates
+    val batch = fixtures.toDF("doc_id", "text")
+      .select(col("doc_id"),
+        TextOps.blocklistOk(col("text"), blocklist).as("block_ok"),
+        TextOps.qualityFunnelOk(col("text")).as("funnel_ok"))
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getBoolean(2)))).toMap
+    assert(batch == Map(1L -> ((true, true)), 2L -> ((false, true)), 3L -> ((true, false))),
+      s"fixture docs must isolate one gate each: $batch")
+
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)](spark)
+    val stream = mem.toDS().toDF("doc_id", "text", "event_time")
+    val query = CorpusCuration.curateAtIngest(stream,
+        blocklist = blocklist,
+        extraGate = Some(TextOps.qualityFunnelOk(col("text"))))
+      .writeStream.format("memory").queryName("ingest_gates").outputMode("append").start()
+    try {
+      mem.addData(fixtures.zipWithIndex.map { case ((id, text), i) =>
+        (id, text, java.sql.Timestamp.valueOf(s"2024-01-01 00:00:0$i")) })
+      query.processAllAvailable()
+    } finally query.stop()
+    val streamed = spark.table("ingest_gates").select("doc_id").as[Long].collect().toSet
+    val expected = batch.collect { case (id, (b, f)) if b && f => id }.toSet
+    assert(streamed == expected && expected == Set(1L),
+      s"stream survivors $streamed must equal batch-predicate survivors $expected")
+  }
+
   test("curateAtIngest applies the optional model gate statelessly") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
