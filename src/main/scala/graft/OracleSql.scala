@@ -1128,6 +1128,89 @@ object OracleSql {
         |   FROM sz)
         |SELECT doc_id, CAST((k - 1) // 3 + 1 AS BIGINT) AS kf_idx,
         |  CAST(kf_offset AS BIGINT) AS kf_offset
-        |FROM o WHERE (k - 1) % 3 = 0 ORDER BY doc_id, kf_idx""".stripMargin
+        |FROM o WHERE (k - 1) % 3 = 0 ORDER BY doc_id, kf_idx""".stripMargin,
+
+    // first-failing-stage precedence mirrors the curate pipeline:
+    // exact_dup (not the min id of the byte-identical group) -> lang
+    // (q32's argmax) -> quality (q31's integer formula < 500000) ->
+    // repetition (dup-word ppm > 300000) -> kept
+    "q108_curation_audit" ->
+      """WITH u AS (SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 17 = 0),
+        | k AS (SELECT doc_id, text,
+        |    min(doc_id) OVER (PARTITION BY text) AS keep_id FROM u),
+        | sc AS (SELECT doc_id, keep_id, text,
+        |  len(list_filter(string_split(text,' '), w -> w='the' OR w='a' OR w='of' OR w='and' OR w='is')) AS en_h,
+        |  len(list_filter(string_split(text,' '), w -> w='der' OR w='die' OR w='das' OR w='und' OR w='ist')) AS de_h,
+        |  len(list_filter(string_split(text,' '), w -> w='el' OR w='la' OR w='los' OR w='de' OR w='es')) AS es_h,
+        |  len(list_filter(string_split(text,' '), w -> w='le' OR w='la' OR w='les' OR w='et' OR w='est')) AS fr_h,
+        |  len(list_filter(string_split(text,' '), w -> w='的' OR w='是' OR w='了' OR w='在' OR w='我')) AS zh_h
+        |  FROM k),
+        | v AS (SELECT doc_id, keep_id,
+        |   CASE WHEN en_h > 0 AND en_h >= greatest(en_h,de_h,es_h,fr_h,zh_h) THEN 'en'
+        |        WHEN de_h > 0 AND de_h >= greatest(en_h,de_h,es_h,fr_h,zh_h) THEN 'de'
+        |        WHEN es_h > 0 AND es_h >= greatest(en_h,de_h,es_h,fr_h,zh_h) THEN 'es'
+        |        WHEN fr_h > 0 AND fr_h >= greatest(en_h,de_h,es_h,fr_h,zh_h) THEN 'fr'
+        |        WHEN zh_h > 0 AND zh_h >= greatest(en_h,de_h,es_h,fr_h,zh_h) THEN 'zh'
+        |        ELSE 'und' END AS lang_guess,
+        |   8000*least(len(string_split(text,' ')), 50)
+        |     + (300000*len(list_distinct(string_split(text,' ')))) // len(string_split(text,' '))
+        |     + least(300000, (300000*(length(text) - (len(string_split(text,' '))-1)))
+        |                     // (8*len(string_split(text,' ')))) AS quality_ppm,
+        |   ((len(string_split(text,' ')) - len(list_distinct(string_split(text,' '))))
+        |     * 1000000) // len(string_split(text,' ')) AS dup_word_ppm
+        |  FROM sc)
+        |SELECT doc_id, CASE
+        |  WHEN doc_id <> keep_id THEN 'exact_dup'
+        |  WHEN lang_guess <> 'en' THEN 'lang'
+        |  WHEN quality_ppm < 600000 THEN 'quality'
+        |  WHEN dup_word_ppm > 600000 THEN 'repetition'
+        |  ELSE 'kept' END AS verdict
+        |FROM v ORDER BY doc_id""".stripMargin,
+
+    // the oracle rebuilds the SAME deterministic old/new snapshots and
+    // compares text directly (the Spark side compares fingerprints —
+    // identical verdicts by construction)
+    "q109_snapshot_diff" ->
+      """WITH oldt AS (SELECT doc_id, text FROM documents),
+        | newt AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' revised' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 13 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, 'synthetic new doc ' || CAST(doc_id AS VARCHAR)
+        |  FROM documents WHERE doc_id % 11 = 0)
+        |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN o.text = n.text THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM oldt o FULL OUTER JOIN newt n ON o.doc_id = n.doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    // q46's recursive-CTE clusters + q31's integer quality formula;
+    // winner = highest quality per cluster, ties to the lowest id
+    "q110_keep_best" -> {
+      s"""WITH RECURSIVE $minhashCtes,
+         | edges AS (SELECT id_a AS src, id_b AS dst FROM px
+         |           UNION ALL SELECT id_b, id_a FROM px),
+         | reach(id, r) AS (
+         |   SELECT doc_id, doc_id FROM documents
+         |   UNION
+         |   SELECT e.src, reach.r FROM reach JOIN edges e ON e.dst = reach.id),
+         | lab AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1),
+         | q AS (SELECT doc_id,
+         |   CAST(8000*least(len(string_split(text,' ')), 50)
+         |     + (300000*len(list_distinct(string_split(text,' ')))) // len(string_split(text,' '))
+         |     + least(300000, (300000*(length(text) - (len(string_split(text,' '))-1)))
+         |                     // (8*len(string_split(text,' ')))) AS BIGINT) AS quality_ppm
+         |  FROM documents),
+         | w AS (SELECT l.doc_id, q.quality_ppm,
+         |   row_number() OVER (PARTITION BY l.cluster_id
+         |     ORDER BY q.quality_ppm DESC, l.doc_id) AS rn
+         |  FROM lab l JOIN q USING (doc_id))
+         |SELECT doc_id, quality_ppm FROM w WHERE rn = 1 ORDER BY doc_id""".stripMargin
+    }
   )
 }

@@ -8,7 +8,7 @@ import org.apache.spark.sql.types.DecimalType
 import graft.core.Tables
 import graft.ext.{Bmff, Dedup, Multimodal, Quantize, Sampling, SimSearch, TextOps}
 import graft.functions.{Hashing, VectorOps}
-import graft.ops.{AsOfJoin, SensorOps, Windows}
+import graft.ops.{AsOfJoin, SensorOps, Snapshot, Windows}
 
 /** Driver contract (SURVEY.md §5, §7): one query per implemented operator,
   * each with an ANSI-SQL DuckDB oracle over the same parquet tables.
@@ -525,6 +525,58 @@ object SparkEntry {
         posexplode(Multimodal.keyframeOffsets(col("payload"))).as(Seq("i", "kf_offset")))
       .select(col("doc_id"), (col("i") + 1).cast("long").as("kf_idx"), col("kf_offset"))
       .orderBy("doc_id", "kf_idx")
+  }
+
+  /** Per-document curation audit: the first gate that rejects each doc
+    * (`exact_dup`/`lang`/`quality`/`repetition`) or `kept` — the
+    * provenance table a curation run publishes so per-id drop reasons
+    * and per-stage counts need no pipeline re-run. The fixture corpus
+    * has no byte-identical docs, so every 17th doc is re-added under a
+    * shifted id (deterministically, mirrored by the oracle) to exercise
+    * the `exact_dup` precedence; thresholds sit inside the fixture's
+    * quality/repetition distribution so all five verdicts appear.
+    */
+  private def q108(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val withDups = base.unionByName(base.filter(col("doc_id") % 17 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+    jobs.CorpusCuration.auditVerdicts(withDups,
+      allowedLangs = Set("en"), minQualityPpm = 600000L, maxDupWordPpm = 600000L)
+      .orderBy("doc_id")
+  }
+
+  /** Corpus snapshot diff: old = the documents table; new = a
+    * deterministic edit of it (every 13th id removed, every 7th revised,
+    * every 11th re-added under a shifted id) — the oracle rebuilds the
+    * same two snapshots and must classify every id identically. The
+    * Spark side compares 128-bit fingerprints; the oracle compares text
+    * directly — same verdicts, which is the point (the fingerprint is an
+    * implementation detail of moving 16 bytes per row, not semantics).
+    */
+  private def q109(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val revised = base.filter(col("doc_id") % 13 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" revised")))
+          .otherwise(col("text")))
+      .unionByName(base.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(lit("synthetic new doc "), col("doc_id").cast("string")).as("text")))
+    Snapshot.diff(base, revised).orderBy("doc_id")
+  }
+
+  /** Quality-aware near-dup canonical selection: keep the HIGHEST
+    * quality member of each MinHash cluster (ties → lowest id) instead
+    * of q46/keepCanonical's lowest id. Oracle recomputes the clusters
+    * via the recursive-CTE reachability of q46 and the integer-exact
+    * quality score of q31, then ranks within cluster.
+    */
+  private def q110(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Dedup.keepCanonicalBy(docs, Dedup.minhashPairs(docs),
+        TextOps.qualityScorePpm(col("text")))
+      .select(col("doc_id"), TextOps.qualityScorePpm(col("text")).as("quality_ppm"))
+      .orderBy("doc_id")
   }
 
   /** ANN via random-hyperplane LSH. Approximate in RECALL, but fully
@@ -1545,7 +1597,10 @@ object SparkEntry {
     "q104_dedup_bow" -> q104 _,
     "q105_contaminated_spans" -> q105 _,
     "q106_blocklist" -> q106 _,
-    "q107_keyframe_offsets" -> q107 _
+    "q107_keyframe_offsets" -> q107 _,
+    "q108_curation_audit" -> q108 _,
+    "q109_snapshot_diff" -> q109 _,
+    "q110_keep_best" -> q110 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

@@ -740,6 +740,34 @@ object Dedup {
     docs.join(clusters, Seq(idCol), "left_semi")
   }
 
+  /** Quality-aware canonical selection: among each near-dup cluster
+    * ([[nearDupClusters]] over `pairs`) keep the member MAXIMIZING
+    * `score` (ties → lowest id) — the keep-best-copy policy curation
+    * pipelines prefer over [[keepCanonical]]'s keep-lowest-id when
+    * near-dups differ in quality (boilerplate-stripped vs raw copies of
+    * the same page). Use an integer-exact score
+    * ([[TextOps.qualityScorePpm]]) for engine-reproducible winners.
+    *
+    * Scale shape: clustering cost is [[nearDupClusters]]'; the winner
+    * pick is one `groupBy(cluster_id)` over an (id, score) projection
+    * using a struct max — max(score, -id) gives argmax-with-min-id-ties
+    * in a single partial-aggregating shuffle, no window, no skew
+    * ceiling — then a semi-join back onto the corpus.
+    */
+  def keepCanonicalBy(
+      docs: DataFrame,
+      pairs: DataFrame,
+      score: Column,
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    val winners = docs.select(col(idCol), score.as("__score"))
+      .join(nearDupClusters(docs, pairs, idCol), Seq(idCol))
+      .groupBy(col("cluster_id"))
+      .agg(max(struct(col("__score"), (-col(idCol)).as("__negid"))).as("w"))
+      .select((-col("w.__negid")).as(idCol))
+    docs.join(winners, Seq(idCol), "left_semi")
+  }
+
   // ---------------------------------------------------------- contamination
 
   /** Benchmark-contamination check: for every corpus document, the number

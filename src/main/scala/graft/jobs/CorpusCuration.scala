@@ -291,6 +291,49 @@ object CorpusCuration {
     try f(packed, stats) finally packed.unpersist()
   }
 
+  /** Per-document curation provenance: the FIRST stage among [[curate]]/
+    * [[curateAndPack]]'s deterministic per-document gates that rejects
+    * each doc — `exact_dup` (not the lowest id of its byte-identical
+    * group), `lang`, `quality`, `repetition` — or `kept`. This is the
+    * audit table a 100 TB curation run publishes next to its output:
+    * "why did my document disappear" answered per id, and per-stage drop
+    * counts recoverable as `groupBy(verdict)` instead of re-running the
+    * pipeline with counters.
+    *
+    * Deliberately covers only the stages whose verdict is a function of
+    * the document itself (plus the exact-dup group): near-dup canonical
+    * choice, benchmark decontamination and sampling depend on the
+    * cluster graph / eval set / rates — their verdicts come from
+    * [[graft.ext.Dedup.nearDupClusters]] / `contamination` directly.
+    *
+    * Scale shape: one fingerprint groupBy (the exact-dedup shuffle, done
+    * anyway by any dedup pass) + a null-safe join back + flat scalar
+    * expressions; verdict precedence mirrors the pipeline's stage order
+    * so the audit agrees with what [[curate]] actually does.
+    */
+  def auditVerdicts(
+      docs: DataFrame,
+      allowedLangs: Set[String] = Set("en"),
+      minQualityPpm: Long = 500000L,
+      maxDupWordPpm: Long = 500000L,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    val fp = TextOps.fingerprint(col(textCol))
+    val keep = docs
+      .select(fp.as("__kfp"), col(idCol).as("__kid"))
+      .groupBy("__kfp").agg(min(col("__kid")).as("__keep"))
+    val (_, dupWordPpm, _, _) = TextOps.repetitionStats(col(textCol))
+    val withKeep = docs.select(col(idCol), col(textCol), fp.as("__fp"))
+      .join(keep, col("__fp") <=> col("__kfp"))
+    withKeep.select(col(idCol),
+      when(col(idCol) =!= col("__keep"), "exact_dup")
+        .when(!TextOps.langId(col(textCol)).isInCollection(allowedLangs), "lang")
+        .when(TextOps.qualityScorePpm(col(textCol)) < minQualityPpm, "quality")
+        .when(dupWordPpm > maxDupWordPpm, "repetition")
+        .otherwise("kept").as("verdict"))
+  }
+
   /** Curation AT INGEST — the streaming twin of [[curate]]'s per-document
     * stages over an unbounded document stream:
     *

@@ -224,6 +224,24 @@ class DedupSpec extends SparkTestBase {
       .as[(Long, Long, Long)].collect().map(p => (p._1, p._2) -> p._3).toMap == uncapped)
   }
 
+  test("keepCanonicalBy keeps the highest-scoring cluster member, ties to lowest id") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    // three byte-identical docs cluster with certainty (all bands match);
+    // doc 20 is an unrelated singleton
+    val trio = Seq((10L, doc), (11L, doc), (12L, doc), (20L, far))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(trio)
+    val favor11 = when(col("doc_id") === 11L, 5L).otherwise(lit(1L))
+    val best = Dedup.keepCanonicalBy(trio, pairs, favor11)
+      .select("doc_id").as[Long].collect().sorted.toList
+    assert(best == List(11L, 20L),
+      "cluster {10,11,12} keeps its highest-scoring member 11; singleton 20 survives")
+    // tie-break: equal scores -> lowest id, matching keepCanonical
+    val tied = Dedup.keepCanonicalBy(trio, pairs, lit(7L))
+      .select("doc_id").as[Long].collect().sorted.toList
+    assert(tied == List(10L, 20L), "all-equal scores fall back to lowest id")
+  }
+
   test("simhash: identical docs hash equal; near docs within small hamming") {
     val h = Dedup.simhash(docs).as[(Long, Long)].collect().toMap
     assert(h(0L) == h(1L))

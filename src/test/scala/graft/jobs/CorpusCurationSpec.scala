@@ -295,6 +295,34 @@ class CorpusCurationSpec extends SparkTestBase {
     assert(Set("train", "valid", "test").contains(out(1L).getString(4)))
   }
 
+  test("auditVerdicts reports the first failing stage per doc, in pipeline order") {
+    import spark.implicits._
+    val good = "the quick brown fox jumps over a lazy dog while many other animals " +
+      "watch from tall green trees near a quiet river bank and the sun sets slowly " +
+      "behind distant hills casting long soft shadows across wide open fields"
+    val docs = Seq(
+      (1L, good),                          // kept
+      (2L, good),                          // byte-copy of 1 -> exact_dup
+      (3L, "el la los de es " * 10),       // Spanish -> lang
+      (4L, "the tiny"),                    // en but 2 tokens -> quality
+      (5L, good + (" word" * 60)),         // heavy word repeats -> repetition
+      // precedence: doc 6 fails lang AND quality AND repetition, but the
+      // FIRST pipeline stage to reject it is the exact-dup group with 3
+      (6L, "el la los de es " * 10)
+    ).toDF("doc_id", "text")
+    val got = CorpusCuration.auditVerdicts(docs,
+        allowedLangs = Set("en"), minQualityPpm = 500000L, maxDupWordPpm = 300000L)
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(
+      1L -> "kept", 2L -> "exact_dup", 3L -> "lang",
+      4L -> "quality", 5L -> "repetition", 6L -> "exact_dup"), s"got $got")
+    // stage counts without re-running the pipeline
+    val counts = CorpusCuration.auditVerdicts(docs,
+        allowedLangs = Set("en"), minQualityPpm = 500000L, maxDupWordPpm = 300000L)
+      .groupBy("verdict").count().as[(String, Long)].collect().toMap
+    assert(counts("exact_dup") == 2L && counts("kept") == 1L)
+  }
+
   test("curateAtIngest blocklist + funnel gates match the batch predicates row for row") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions.col
