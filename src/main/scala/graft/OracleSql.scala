@@ -44,6 +44,36 @@ object OracleSql {
     "list_sum(list_transform(list_zip(qv, cv), x -> x[1]*x[2])) / " +
       "(sqrt(list_sum(list_transform(qv, x -> x*x))) * sqrt(list_sum(list_transform(cv, x -> x*x))))"
 
+  /** q31's integer-exact quality-ppm formula over the `text` column —
+    * ONE definition shared by q31/q108/q110 so the three oracles cannot
+    * drift (the same role `minhashCtes` plays for cluster definitions).
+    * Callers wrap with `CAST(... AS BIGINT)` / alias as needed.
+    */
+  private val qualityPpmSql: String =
+    "8000*least(len(string_split(text,' ')), 50)" +
+      " + (300000*len(list_distinct(string_split(text,' ')))) // len(string_split(text,' '))" +
+      " + least(300000, (300000*(length(text) - (len(string_split(text,' '))-1)))" +
+      " // (8*len(string_split(text,' '))))"
+
+  /** q32's per-language stopword-hit columns, GENERATED from
+    * `TextOps.stopwords` — the Scala lists and the SQL can't disagree.
+    * Shared by q32 and q108.
+    */
+  private lazy val langHitsSql: String =
+    graft.ext.TextOps.stopwords.map { case (lang, ws) =>
+      s"len(list_filter(string_split(text,' '), w -> ${ws.map(w => s"w='$w'").mkString(" OR ")})) AS ${lang}_h"
+    }.mkString(",\n ")
+
+  /** q32's argmax-with-first-tie-break CASE over the `*_h` hit columns,
+    * generated from the same list order `TextOps.langId` folds in.
+    */
+  private lazy val langCaseSql: String = {
+    val g = s"greatest(${graft.ext.TextOps.stopwords.map(_._1 + "_h").mkString(",")})"
+    "CASE\n" + graft.ext.TextOps.stopwords.map { case (lang, _) =>
+      s" WHEN ${lang}_h > 0 AND ${lang}_h >= $g THEN '$lang'"
+    }.mkString("\n") + "\n ELSE 'und' END"
+  }
+
   /** q40's LSH bucket id of DOUBLE[] column `v` — the same fixed-seed
     * hyperplane constants as `SimSearch.hyperplaneBucket` (JDK Random's
     * Gaussian sequence is specified, and Double.toString round-trips), so
@@ -304,31 +334,18 @@ object OracleSql {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q31_doc_stats" ->
-      """SELECT doc_id,
-        | CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
-        | CAST(list_sum(list_transform(string_split(text,' '), w -> 1 + length(w)//6)) AS BIGINT) AS n_subwords,
-        | CAST(8000*least(len(string_split(text,' ')), 50)
-        |     + (300000*len(list_distinct(string_split(text,' ')))) // len(string_split(text,' '))
-        |     + least(300000, (300000*(length(text) - (len(string_split(text,' '))-1)))
-        |                     // (8*len(string_split(text,' ')))) AS BIGINT) AS quality_ppm
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      s"""SELECT doc_id,
+         | CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+         | CAST(list_sum(list_transform(string_split(text,' '), w -> 1 + length(w)//6)) AS BIGINT) AS n_subwords,
+         | CAST($qualityPpmSql AS BIGINT) AS quality_ppm
+         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q32_lang_id" ->
-      """WITH sc AS (SELECT doc_id,
-        | len(list_filter(string_split(text,' '), w -> w='the' OR w='a' OR w='of' OR w='and' OR w='is')) AS en_h,
-        | len(list_filter(string_split(text,' '), w -> w='der' OR w='die' OR w='das' OR w='und' OR w='ist')) AS de_h,
-        | len(list_filter(string_split(text,' '), w -> w='el' OR w='la' OR w='los' OR w='de' OR w='es')) AS es_h,
-        | len(list_filter(string_split(text,' '), w -> w='le' OR w='la' OR w='les' OR w='et' OR w='est')) AS fr_h,
-        | len(list_filter(string_split(text,' '), w -> w='的' OR w='是' OR w='了' OR w='在' OR w='我')) AS zh_h
-        | FROM documents)
-        |SELECT doc_id, CASE
-        | WHEN en_h > 0 AND en_h >= greatest(en_h,de_h,es_h,fr_h,zh_h) THEN 'en'
-        | WHEN de_h > 0 AND de_h >= greatest(en_h,de_h,es_h,fr_h,zh_h) THEN 'de'
-        | WHEN es_h > 0 AND es_h >= greatest(en_h,de_h,es_h,fr_h,zh_h) THEN 'es'
-        | WHEN fr_h > 0 AND fr_h >= greatest(en_h,de_h,es_h,fr_h,zh_h) THEN 'fr'
-        | WHEN zh_h > 0 AND zh_h >= greatest(en_h,de_h,es_h,fr_h,zh_h) THEN 'zh'
-        | ELSE 'und' END AS lang_guess
-        |FROM sc ORDER BY doc_id""".stripMargin,
+      s"""WITH sc AS (SELECT doc_id,
+         | $langHitsSql
+         | FROM documents)
+         |SELECT doc_id, $langCaseSql AS lang_guess
+         |FROM sc ORDER BY doc_id""".stripMargin,
 
     "q33_fingerprints" ->
       s"""SELECT doc_id, md5(text) AS fp,
@@ -1132,42 +1149,30 @@ object OracleSql {
 
     // first-failing-stage precedence mirrors the curate pipeline:
     // exact_dup (not the min id of the byte-identical group) -> lang
-    // (q32's argmax) -> quality (q31's integer formula < 500000) ->
-    // repetition (dup-word ppm > 300000) -> kept
+    // (q32's argmax) -> quality (q31's integer formula < 600000) ->
+    // repetition (dup-word ppm > 600000) -> kept
     "q108_curation_audit" ->
-      """WITH u AS (SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 17 = 0),
-        | k AS (SELECT doc_id, text,
-        |    min(doc_id) OVER (PARTITION BY text) AS keep_id FROM u),
-        | sc AS (SELECT doc_id, keep_id, text,
-        |  len(list_filter(string_split(text,' '), w -> w='the' OR w='a' OR w='of' OR w='and' OR w='is')) AS en_h,
-        |  len(list_filter(string_split(text,' '), w -> w='der' OR w='die' OR w='das' OR w='und' OR w='ist')) AS de_h,
-        |  len(list_filter(string_split(text,' '), w -> w='el' OR w='la' OR w='los' OR w='de' OR w='es')) AS es_h,
-        |  len(list_filter(string_split(text,' '), w -> w='le' OR w='la' OR w='les' OR w='et' OR w='est')) AS fr_h,
-        |  len(list_filter(string_split(text,' '), w -> w='的' OR w='是' OR w='了' OR w='在' OR w='我')) AS zh_h
-        |  FROM k),
-        | v AS (SELECT doc_id, keep_id,
-        |   CASE WHEN en_h > 0 AND en_h >= greatest(en_h,de_h,es_h,fr_h,zh_h) THEN 'en'
-        |        WHEN de_h > 0 AND de_h >= greatest(en_h,de_h,es_h,fr_h,zh_h) THEN 'de'
-        |        WHEN es_h > 0 AND es_h >= greatest(en_h,de_h,es_h,fr_h,zh_h) THEN 'es'
-        |        WHEN fr_h > 0 AND fr_h >= greatest(en_h,de_h,es_h,fr_h,zh_h) THEN 'fr'
-        |        WHEN zh_h > 0 AND zh_h >= greatest(en_h,de_h,es_h,fr_h,zh_h) THEN 'zh'
-        |        ELSE 'und' END AS lang_guess,
-        |   8000*least(len(string_split(text,' ')), 50)
-        |     + (300000*len(list_distinct(string_split(text,' ')))) // len(string_split(text,' '))
-        |     + least(300000, (300000*(length(text) - (len(string_split(text,' '))-1)))
-        |                     // (8*len(string_split(text,' ')))) AS quality_ppm,
-        |   ((len(string_split(text,' ')) - len(list_distinct(string_split(text,' '))))
-        |     * 1000000) // len(string_split(text,' ')) AS dup_word_ppm
-        |  FROM sc)
-        |SELECT doc_id, CASE
-        |  WHEN doc_id <> keep_id THEN 'exact_dup'
-        |  WHEN lang_guess <> 'en' THEN 'lang'
-        |  WHEN quality_ppm < 600000 THEN 'quality'
-        |  WHEN dup_word_ppm > 600000 THEN 'repetition'
-        |  ELSE 'kept' END AS verdict
-        |FROM v ORDER BY doc_id""".stripMargin,
+      s"""WITH u AS (SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 17 = 0),
+         | k AS (SELECT doc_id, text,
+         |    min(doc_id) OVER (PARTITION BY text) AS keep_id FROM u),
+         | sc AS (SELECT doc_id, keep_id, text,
+         | $langHitsSql
+         |  FROM k),
+         | v AS (SELECT doc_id, keep_id,
+         |   $langCaseSql AS lang_guess,
+         |   $qualityPpmSql AS quality_ppm,
+         |   ((len(string_split(text,' ')) - len(list_distinct(string_split(text,' '))))
+         |     * 1000000) // len(string_split(text,' ')) AS dup_word_ppm
+         |  FROM sc)
+         |SELECT doc_id, CASE
+         |  WHEN doc_id <> keep_id THEN 'exact_dup'
+         |  WHEN lang_guess <> 'en' THEN 'lang'
+         |  WHEN quality_ppm < 600000 THEN 'quality'
+         |  WHEN dup_word_ppm > 600000 THEN 'repetition'
+         |  ELSE 'kept' END AS verdict
+         |FROM v ORDER BY doc_id""".stripMargin,
 
     // the oracle rebuilds the SAME deterministic old/new snapshots and
     // compares text directly (the Spark side compares fingerprints —
@@ -1184,7 +1189,7 @@ object OracleSql {
         |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
         |  CASE WHEN o.doc_id IS NULL THEN 'added'
         |       WHEN n.doc_id IS NULL THEN 'removed'
-        |       WHEN o.text = n.text THEN 'unchanged'
+        |       WHEN o.text IS NOT DISTINCT FROM n.text THEN 'unchanged'
         |       ELSE 'changed' END AS status
         |FROM oldt o FULL OUTER JOIN newt n ON o.doc_id = n.doc_id
         |ORDER BY doc_id""".stripMargin,
@@ -1201,10 +1206,7 @@ object OracleSql {
          |   SELECT e.src, reach.r FROM reach JOIN edges e ON e.dst = reach.id),
          | lab AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1),
          | q AS (SELECT doc_id,
-         |   CAST(8000*least(len(string_split(text,' ')), 50)
-         |     + (300000*len(list_distinct(string_split(text,' ')))) // len(string_split(text,' '))
-         |     + least(300000, (300000*(length(text) - (len(string_split(text,' '))-1)))
-         |                     // (8*len(string_split(text,' ')))) AS BIGINT) AS quality_ppm
+         |   CAST($qualityPpmSql AS BIGINT) AS quality_ppm
          |  FROM documents),
          | w AS (SELECT l.doc_id, q.quality_ppm,
          |   row_number() OVER (PARTITION BY l.cluster_id

@@ -16,12 +16,13 @@ object Snapshot {
 
   /** Per-id diff of two snapshots: `(idCol, status)` with status in
     * {'added','removed','changed','unchanged'}. Content equality is by
-    * 128-bit fingerprint of `textCol` (the exact-dedup key), not string
-    * comparison — the shuffle moves 16 bytes per row instead of
-    * documents, which is what makes the diff run at corpus scale. NULL
-    * text fingerprints NULL and compares null-safely, so a null→null
-    * row is 'unchanged', null→text is 'changed'; presence is tracked by
-    * explicit flags rather than fingerprint nullness.
+    * 128-bit fingerprint of `textCol` (the exact-dedup key) decoded to
+    * BINARY — the shuffle moves 16 bytes per row instead of documents
+    * (the raw md5 hex STRING would be 32), which is what makes the diff
+    * run at corpus scale. NULL text fingerprints NULL and compares
+    * null-safely, so a null→null row is 'unchanged', null→text is
+    * 'changed'; presence is tracked by explicit flags rather than
+    * fingerprint nullness.
     *
     * Scale shape: one projection per side + one full-outer sort-merge
     * join on the id — with both snapshots bucketed by id (the natural
@@ -35,9 +36,9 @@ object Snapshot {
       textCol: String = "text"
   ): DataFrame = {
     val o = oldDf.select(col(idCol).as("id"),
-      Hashing.fingerprint(col(textCol)).as("__ofp"), lit(true).as("__oin"))
+      unhex(Hashing.fingerprint(col(textCol))).as("__ofp"), lit(true).as("__oin"))
     val n = newDf.select(col(idCol).as("id"),
-      Hashing.fingerprint(col(textCol)).as("__nfp"), lit(true).as("__nin"))
+      unhex(Hashing.fingerprint(col(textCol))).as("__nfp"), lit(true).as("__nin"))
     o.join(n, Seq("id"), "full_outer")
       .select(col("id").as(idCol),
         when(col("__oin").isNull, "added")

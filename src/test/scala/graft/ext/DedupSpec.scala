@@ -224,6 +224,33 @@ class DedupSpec extends SparkTestBase {
       .as[(Long, Long, Long)].collect().map(p => (p._1, p._2) -> p._3).toMap == uncapped)
   }
 
+  test("jaccardPairs cap makes ppm a strict lower bound for pairs straddling a dropped bucket") {
+    // docs 50/51 share FOUR shingles, ONE of which ("common trigram
+    // here") is also in all 30 hot docs -> its bucket (df=32) drops
+    // under cap 10, the other three shared buckets (df=2) survive
+    val hot = (100L until 130L).map(i =>
+      (i, s"unique$i token$i filler$i common trigram here"))
+    val all = (hot ++ Seq(
+      (50L, "sharedx alpha beta gamma common trigram here"),
+      (51L, "sharedy alpha beta gamma common trigram here"))).toDF("doc_id", "text")
+    def ppm(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    // uncapped: inter=4 of 5+5 shingles -> floor(4e6/6)
+    val uncapped = ppm(Dedup.jaccardPairs(all, threshold = 0.1))
+    assert(uncapped(((50L, 51L))) == 4000000L / 6L)
+    // capped: the hot shingle leaves the INTERSECTION but not the set
+    // sizes -> inter=3, union=7: a strict lower bound, pair still present
+    val capped = ppm(Dedup.jaccardPairs(all, threshold = 0.1, maxBucketSize = 10))
+    assert(capped(((50L, 51L))) == 3000000L / 7L,
+      "dropped bucket must shrink inter while na/nb keep counting it")
+    assert(capped(((50L, 51L))) < uncapped(((50L, 51L))))
+    // consequence: a threshold between the two values drops the pair
+    // only under the cap (documented lower-bound semantics)
+    assert(ppm(Dedup.jaccardPairs(all, threshold = 0.5)).contains((50L, 51L)))
+    assert(!ppm(Dedup.jaccardPairs(all, threshold = 0.5, maxBucketSize = 10))
+      .contains((50L, 51L)))
+  }
+
   test("keepCanonicalBy keeps the highest-scoring cluster member, ties to lowest id") {
     import org.apache.spark.sql.functions.{col, lit, when}
     // three byte-identical docs cluster with certainty (all bands match);
