@@ -1213,6 +1213,20 @@ object OracleSql {
          |     ORDER BY q.quality_ppm DESC, l.doc_id) AS rn
          |  FROM lab l JOIN q USING (doc_id))
          |SELECT doc_id, quality_ppm FROM w WHERE rn = 1 ORDER BY doc_id""".stripMargin
-    }
+    },
+
+    // windows: 1 + ceil(max(n-64,0)/48) (stride 48 = size 64 - overlap
+    // 16), integer ceil via (x+47)//48; DuckDB 1-based inclusive list
+    // slices truncate at the end exactly like Spark's slice(toks, s, 64)
+    "q111_chunk_tokens" ->
+      """WITH d AS (SELECT doc_id, string_split(text,' ') AS l FROM documents),
+        | w AS (SELECT doc_id, l,
+        |    unnest(generate_series(0, (greatest(len(l) - 64, 0) + 47) // 48)) AS i
+        |   FROM d),
+        | c AS (SELECT doc_id, i, l[(i*48+1):(i*48+64)] AS cl FROM w)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+        |  CAST(len(cl) AS BIGINT) AS n_chunk_tokens,
+        |  md5(array_to_string(cl, ' ')) AS chunk_md5
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
   )
 }

@@ -579,6 +579,21 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Context chunking (size 64, overlap 16) under the oracle gate —
+    * upgrades the round-3 spec-only operator: every window's exact token
+    * slice is recomputed by the oracle via list slicing, compared by
+    * md5 so long chunk text never lands in the diff artifact.
+    */
+  private def q111(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        posexplode(TextOps.chunkTokens(col("text"), size = 64, overlap = 16))
+          .as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        size(split(col("chunk"), " ")).cast("long").as("n_chunk_tokens"),
+        md5(col("chunk")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+
   /** ANN via random-hyperplane LSH. Approximate in RECALL, but fully
     * deterministic: the fixed-seed hyperplane constants are inlined into
     * the DuckDB oracle (`OracleSql`), which recomputes the same buckets,
@@ -1600,7 +1615,8 @@ object SparkEntry {
     "q107_keyframe_offsets" -> q107 _,
     "q108_curation_audit" -> q108 _,
     "q109_snapshot_diff" -> q109 _,
-    "q110_keep_best" -> q110 _
+    "q110_keep_best" -> q110 _,
+    "q111_chunk_tokens" -> q111 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all
