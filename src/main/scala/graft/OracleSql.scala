@@ -1227,6 +1227,74 @@ object OracleSql {
         |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
         |  CAST(len(cl) AS BIGINT) AS n_chunk_tokens,
         |  md5(array_to_string(cl, ' ')) AS chunk_md5
-        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // q41's pivot machinery at nlist=8/nprobe=1, then q38's within-cluster
+    // cosine — SemDeDup's cluster-then-compare, oracle-exact
+    "q112_semantic_pairs" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         | hp AS (SELECT vec_id AS pid, v AS pv,
+         |         ('0x'||substr(md5('9:'||CAST(vec_id AS VARCHAR)),1,8))::BIGINT AS hsh FROM e),
+         | p AS (SELECT pid, pv, cent_id FROM (
+         |        SELECT pid, pv, CAST(row_number() OVER (ORDER BY hsh, pid) AS BIGINT) AS cent_id
+         |        FROM hp) WHERE cent_id <= 8),
+         | ac AS (SELECT vid, cv, cent_id FROM (
+         |        SELECT e.vec_id AS vid, e.v AS cv, p.cent_id,
+         |         row_number() OVER (PARTITION BY e.vec_id ORDER BY $pivotDist, p.cent_id) AS cr
+         |        FROM e CROSS JOIN p) WHERE cr = 1),
+         | s AS (SELECT a.vid AS id_a, b.vid AS id_b,
+         |        list_sum(list_transform(list_zip(a.cv, b.cv), x -> x[1]*x[2])) /
+         |        (sqrt(list_sum(list_transform(a.cv, x -> x*x))) *
+         |         sqrt(list_sum(list_transform(b.cv, x -> x*x)))) AS cos
+         |       FROM ac a JOIN ac b ON a.cent_id = b.cent_id AND a.vid < b.vid)
+         |SELECT id_a, id_b, round(cos, 6) AS cos FROM s WHERE cos >= 0.35
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // isqrt temperature weights (float sqrt + correction step), HUGEINT
+    // floor division twin of the operator's DECIMAL(38,0) DIV, then q67's
+    // hash-driven copy generator
+    "q113_temperature_sample" ->
+      """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY 1),
+        | sq AS (SELECT lang, c, CASE WHEN f*f > c THEN f-1 ELSE f END AS s
+        |        FROM (SELECT lang, c, CAST(floor(sqrt(c)) AS BIGINT) AS f FROM c)),
+        | t AS (SELECT lang, c, s, sum(c) OVER () AS total, sum(s) OVER () AS sum_s FROM sq),
+        | w AS (SELECT lang,
+        |        CAST((1000::HUGEINT * s * total) // (c::HUGEINT * sum_s) AS BIGINT) AS weight_milli
+        |       FROM t),
+        | d AS (SELECT doc_id, d.lang, weight_milli,
+        |        ('0x'||substr(md5('3:'||CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 10000 AS b
+        |       FROM documents d JOIN w ON d.lang IS NOT DISTINCT FROM w.lang),
+        | n AS (SELECT doc_id, lang, weight_milli,
+        |        weight_milli // 1000
+        |         + CASE WHEN b < (weight_milli % 1000) * 10 THEN 1 ELSE 0 END AS n FROM d)
+        |SELECT doc_id, lang, weight_milli,
+        |  CAST(unnest(generate_series(1, n)) AS BIGINT) AS copy
+        |FROM n WHERE n > 0 ORDER BY doc_id, copy""".stripMargin,
+
+    // single global-window greedy formulation — the operator's two-phase
+    // histogram+boundary decomposition must reproduce it row-for-row
+    "q114_token_budget" ->
+      s"""WITH q AS (SELECT doc_id,
+         |    CAST($qualityPpmSql AS BIGINT) AS quality_ppm,
+         |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+         |    ('0x'||substr(md5('5:'||CAST(doc_id AS VARCHAR)),1,8))::BIGINT AS h
+         |   FROM documents),
+         | c AS (SELECT doc_id, quality_ppm, n_tokens,
+         |    COALESCE(sum(n_tokens) OVER (ORDER BY quality_ppm DESC, h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS excl FROM q)
+         |SELECT doc_id, quality_ppm, n_tokens FROM c WHERE excl < 6000
+         |ORDER BY doc_id""".stripMargin,
+
+    // integer floor-division mean per source (sum // count), null-safe
+    // join back — the reputation gate's verdict rows
+    "q115_source_reputation" ->
+      s"""WITH q AS (SELECT doc_id, source,
+         |    CAST($qualityPpmSql AS BIGINT) AS quality_ppm FROM documents),
+         | r AS (SELECT source AS src, CAST(sum(quality_ppm) // count(*) AS BIGINT)
+         |        AS src_quality_ppm FROM q GROUP BY 1)
+         |SELECT doc_id, source, quality_ppm, src_quality_ppm,
+         |  src_quality_ppm >= 650000 AS kept
+         |FROM q JOIN r ON q.source IS NOT DISTINCT FROM r.src
+         |ORDER BY doc_id""".stripMargin
   )
 }

@@ -594,6 +594,55 @@ object SparkEntry {
         md5(col("chunk")).as("chunk_md5"))
       .orderBy("doc_id", "chunk_idx")
 
+  /** SemDeDup pair detection under the oracle gate — upgrades the
+    * round-6 spec-only operator: the deterministic pivot-centroid
+    * assignment inlines into the DuckDB oracle exactly as q41's IVF
+    * does, so cluster assignment, within-cluster cosine, and threshold
+    * all hash-match bit-for-bit.
+    */
+  private def q112(s: SparkSession, dir: String): DataFrame =
+    Dedup.semanticDupPairs(Tables.embeddings(s, dir), threshold = 0.35, nlist = 8)
+      .orderBy("id_a", "id_b")
+
+  /** α=0.5 temperature resampling with weights COMPUTED from the corpus
+    * (not a static mixture map like q67) — the oracle recomputes the
+    * per-language isqrt weights with the same integer arithmetic, then
+    * the same hash-driven copy generator. Keyed on `lang` (the fixture's
+    * skewed column: en dominates) so the gate exercises BOTH directions —
+    * en downsamples below 1000, the tail languages upsample above it.
+    */
+  private def q113(s: SparkSession, dir: String): DataFrame =
+    Sampling.temperatureResample(
+        Tables.documents(s, dir).select("doc_id", "lang"),
+        col("doc_id"), col("lang"))
+      .select(col("doc_id"), col("lang"), col("weight_milli"), col("copy"))
+      .orderBy("doc_id", "copy")
+
+  /** Token-budget data selection: greedy highest-quality prefix under a
+    * 6000-token budget. The operator runs the two-phase scale-safe shape
+    * (per-score histogram + boundary-class window); the oracle runs the
+    * equivalent single global-window formulation — row-identical by
+    * construction, so the gate proves the decomposition.
+    */
+  private def q114(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"),
+      TextOps.qualityScorePpm(col("text")).as("quality_ppm"),
+      TextOps.tokenCount(col("text")).as("n_tokens"))
+    Sampling.selectTokenBudget(docs, col("doc_id"), col("quality_ppm"),
+        col("n_tokens"), budget = 6000L)
+      .select("doc_id", "quality_ppm", "n_tokens")
+      .orderBy("doc_id")
+  }
+
+  /** Source-reputation gate: per-document verdicts from the SOURCE's mean
+    * quality (integer floor-division mean, broadcast back). Threshold
+    * 650000 ppm sits inside the fixture's per-source spread (~630k–680k)
+    * so both verdicts appear.
+    */
+  private def q115(s: SparkSession, dir: String): DataFrame =
+    TextOps.sourceReputation(Tables.documents(s, dir), minMeanPpm = 650000L)
+      .orderBy("doc_id")
+
   /** ANN via random-hyperplane LSH. Approximate in RECALL, but fully
     * deterministic: the fixed-seed hyperplane constants are inlined into
     * the DuckDB oracle (`OracleSql`), which recomputes the same buckets,
@@ -1616,7 +1665,11 @@ object SparkEntry {
     "q108_curation_audit" -> q108 _,
     "q109_snapshot_diff" -> q109 _,
     "q110_keep_best" -> q110 _,
-    "q111_chunk_tokens" -> q111 _
+    "q111_chunk_tokens" -> q111 _,
+    "q112_semantic_pairs" -> q112 _,
+    "q113_temperature_sample" -> q113 _,
+    "q114_token_budget" -> q114 _,
+    "q115_source_reputation" -> q115 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

@@ -77,12 +77,71 @@ object Sampling {
     val wExpr = weightsMilli.foldLeft(lit(defaultMilli)) { case (acc, (value, w)) =>
       when(sourceCol === value, lit(w)).otherwise(acc)
     }
+    resampleByWeight(df, keyCol, wExpr, seed)
+  }
+
+  /** The resample core shared by [[mixtureSample]] and
+    * [[temperatureResample]]: a row with milli-weight w emits `w div
+    * 1000` full copies plus one more with probability `(w mod 1000)/
+    * 1000`, decided by the seeded key hash. Pure projection + generator:
+    * zero shuffle.
+    */
+  private def resampleByWeight(
+      df: DataFrame, keyCol: Column, weightMilli: Column, seed: Int): DataFrame =
     df.withColumn("__n",
-        (wExpr / 1000).cast("long") +
-          when(bucket(keyCol, seed) < (wExpr % 1000) * 10, 1L).otherwise(0L))
+        (weightMilli / 1000).cast("long") +
+          when(bucket(keyCol, seed) < (weightMilli % 1000) * 10, 1L).otherwise(0L))
       .filter(col("__n") > 0)
       .withColumn("copy", explode(sequence(lit(1L), col("__n"))))
       .drop("__n")
+
+  /** α = 0.5 temperature weights computed FROM the corpus — the
+    * multinomial source-rebalancing of multilingual pretraining (XLM-R,
+    * Conneau et al. 2020 §3.1; mC4): resample so source s's share is
+    * ∝ count_s^α instead of count_s, flattening the head without
+    * discarding the tail. Returns `(source, weight_milli)` sized so the
+    * EXPECTED total row count is preserved (rare sources upsample above
+    * 1000, dominant ones downsample below).
+    *
+    * Integer-exact for cross-engine verification: isqrt via
+    * float-sqrt + one correction step (exact for counts < 2⁶²), then
+    * ONE floor division computed in DECIMAL(38,0) so the product
+    * 1000·√c·total cannot overflow at any realistic corpus size.
+    *
+    * Scale shape: one map-side-combined count per source (the only
+    * shuffle), a single-row global total crossed back in — weight table
+    * cardinality = |sources|, broadcast downstream.
+    */
+  def temperatureMilliWeights(df: DataFrame, sourceCol: Column): DataFrame = {
+    val counts = df.groupBy(sourceCol.as("source")).agg(count(lit(1)).as("c"))
+    val f = floor(sqrt(col("c").cast("double"))).cast("long")
+    val withS = counts.withColumn("s", when(f * f > col("c"), f - 1).otherwise(f))
+    val totals = withS.agg(sum("c").as("total"), sum("s").as("sum_s"))
+    withS.crossJoin(broadcast(totals))
+      .withColumn("weight_milli",
+        expr("(CAST(1000 AS DECIMAL(38,0)) * s * total) DIV (CAST(c AS DECIMAL(38,0)) * sum_s)"))
+      .select(col("source"), col("weight_milli"))
+  }
+
+  /** Temperature resampling end to end: [[temperatureMilliWeights]]
+    * joined back (broadcast, null-safe on the source key) and applied
+    * through the same deterministic copy generator as [[mixtureSample]].
+    * Output keeps `weight_milli` and adds `copy` (1-based repetition
+    * index). Two passes over the input by design — the weight scan and
+    * the resample scan — because the weights depend on global counts;
+    * cache the input if it is expensive to recompute.
+    */
+  def temperatureResample(
+      df: DataFrame,
+      keyCol: Column,
+      sourceCol: Column,
+      seed: Int = 3
+  ): DataFrame = {
+    val w = temperatureMilliWeights(df, sourceCol).withColumnRenamed("source", "__src")
+    resampleByWeight(
+      df.join(broadcast(w), sourceCol <=> col("__src")),
+      keyCol, col("weight_milli"), seed)
+      .drop("__src")
   }
 
   /** Per-key cap: keep at most `n` rows per key, selected by seeded
@@ -114,6 +173,69 @@ object Sampling {
     df.withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= n)
       .drop("__rk")
+  }
+
+  /** Highest-value subset under a global token budget — the data-selection
+    * step of a budgeted pretraining run: greedily take documents in
+    * (score DESC, key-hash, id) order until `budget` tokens are spent; a
+    * document is kept iff some budget remains BEFORE it (so the total may
+    * overshoot by at most one document). The hash tie-break makes the
+    * within-score selection a uniform deterministic subset, not an
+    * id-prefix.
+    *
+    * NOT implemented as one global ordered cumulative sum — over an
+    * unpartitioned window that is a single-task sort, the classic
+    * scale-killer. Two-phase instead:
+    *   1. per-score-class token histogram (one map-combined shuffle;
+    *      cardinality ≤ |distinct scores|, ≤ 1e6 for ppm-scaled scores);
+    *   2. exclusive running totals over that TINY histogram mark each
+    *      class keep/drop, leaving exactly ONE boundary class whose
+    *      members get the per-document decision — a window partitioned
+    *      by that single score value, touching only its members.
+    * Equivalent row-for-row to the global-window formulation (the oracle
+    * runs that form), but every big-data stage stays partition-parallel.
+    * The boundary window does land one score class on one task — bounded
+    * by the largest single-score cohort; salt the score into sub-classes
+    * first if one value dominates the corpus.
+    *
+    * Precondition: `scoreCol` non-null (Spark orders null scores last
+    * under DESC, other engines first — filter or coalesce them first),
+    * `idCol` unique, `tokensCol ≥ 0`.
+    */
+  def selectTokenBudget(
+      df: DataFrame,
+      idCol: Column,
+      scoreCol: Column,
+      tokensCol: Column,
+      budget: Long,
+      seed: Int = 5
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.withColumn("__score", scoreCol)
+      .withColumn("__tok", tokensCol.cast("long"))
+      .withColumn("__h", Hashing.md5Hash32(lit(seed), idCol.cast("string")))
+    val hist = base.groupBy(col("__score")).agg(sum(col("__tok")).as("__cls_tok"))
+    // expected "WindowExec: No Partition Defined" warning at runtime: this
+    // window runs over the per-score histogram (bounded cardinality, see
+    // scaladoc), never the corpus
+    val wS = Window.orderBy(col("__score").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = hist.withColumn("__before",
+      coalesce(sum(col("__cls_tok")).over(wS), lit(0L)))
+    val keepCls = cum.filter(col("__before") + col("__cls_tok") < budget)
+      .select(col("__score"))
+    val boundCls = cum.filter(col("__before") < budget &&
+        col("__before") + col("__cls_tok") >= budget)
+      .select(col("__score"), col("__before"))
+    val keptFull = base.join(broadcast(keepCls), Seq("__score"))
+    val wB = Window.partitionBy(col("__score")).orderBy(col("__h"), idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val keptBoundary = base.join(broadcast(boundCls), Seq("__score"))
+      .withColumn("__excl",
+        col("__before") + coalesce(sum(col("__tok")).over(wB), lit(0L)))
+      .filter(col("__excl") < budget)
+      .drop("__excl", "__before")
+    keptFull.unionByName(keptBoundary).drop("__score", "__tok", "__h")
   }
 
   /** Deterministic train/validation/test split tag from the key hash.

@@ -311,6 +311,39 @@ object TextOps {
         floor(col("n_distinct") * 1000000L / col("n_tokens")).cast("long").as("ttr_ppm"),
         floor(col("n_hapax") * 1000000L / col("n_tokens")).cast("long").as("hapax_ppm"))
 
+  /** Source/domain reputation gate — filter by the AGGREGATE quality of a
+    * document's origin, not the document alone (RefinedWeb/C4-style URL
+    * and domain filtering generalized to any source key): a mediocre page
+    * from a consistently high-quality domain survives, a decent-looking
+    * page from a spam farm does not. Emits a verdict row per document
+    * (`kept` flag rather than a filter) so rejects can be audited or
+    * routed, matching `jobs.CorpusCuration`'s flag-column style.
+    *
+    * `src_quality_ppm` is the source's mean [[qualityScorePpm]] as exact
+    * integer floor division (`sum DIV count`) — engine-reproducible.
+    * Null sources group and join null-safely (their own reputation
+    * bucket, not silently dropped).
+    *
+    * Scale shape: one map-combined aggregate to |sources| rows, broadcast
+    * back over the corpus — no corpus-sized shuffle at all.
+    */
+  def sourceReputation(
+      docs: DataFrame,
+      minMeanPpm: Long,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      sourceCol: String = "source"
+  ): DataFrame = {
+    val q = docs.select(col(idCol), col(sourceCol),
+      qualityScorePpm(col(textCol)).as("quality_ppm"))
+    val rep = q.groupBy(col(sourceCol).as("__src"))
+      .agg(expr("sum(quality_ppm) DIV count(1)").as("src_quality_ppm"))
+    q.join(broadcast(rep), col(sourceCol) <=> col("__src"))
+      .select(col(idCol), col(sourceCol), col("quality_ppm"),
+        col("src_quality_ppm"),
+        (col("src_quality_ppm") >= minMeanPpm).as("kept"))
+  }
+
   /** Sentence segmentation: split after `.`/`!`/`?` followed by
     * whitespace. RE2-safe formulation — mark each terminator+whitespace
     * boundary with a sentinel (`\u001F`, the ASCII unit separator) via a

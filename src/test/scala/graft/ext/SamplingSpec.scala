@@ -4,6 +4,9 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkTestBase
 
+/** Top-level so Spark can generate its encoder (inner classes can't). */
+case class BDoc(doc_id: Long, score: Long, tok: Long)
+
 class SamplingSpec extends SparkTestBase {
   import spark.implicits._
 
@@ -81,5 +84,113 @@ class SamplingSpec extends SparkTestBase {
       .groupBy("doc_id").agg(collect_list(col("copy")).as("cs"))
       .select("cs").as[Seq[Long]].collect()
     copies.foreach(cs => assert(cs.sorted == Seq(1L, 2L, 3L)))
+  }
+
+  // 1600 docs of src0 + 100 each of src1..src4: isqrt = (40,10,10,10,10),
+  // sum_s = 80, total = 2000 -> closed-form weights 625 / 2500
+  private def skewed = (0L until 2000L).map { i =>
+    (i, if (i < 1600L) "src0" else s"src${1 + ((i - 1600) / 100)}")
+  }.toDF("doc_id", "source")
+
+  test("temperatureMilliWeights: closed-form isqrt weights, exact integers") {
+    val w = Sampling.temperatureMilliWeights(skewed, col("source"))
+      .as[(String, Long)].collect().toMap
+    assert(w("src0") == 625L, s"1000*40*2000/(1600*80): $w")
+    assert((1 to 4).forall(i => w(s"src$i") == 2500L), s"1000*10*2000/(100*80): $w")
+  }
+
+  test("temperatureResample: head flattened, tail boosted, total size preserved") {
+    val out = Sampling.temperatureResample(skewed, col("doc_id"), col("source"))
+    val perSrc = out.groupBy("source").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    // src0 expected 1600*0.625 = 1000; tail 100*2.5 = 250 each; hash noise
+    assert(perSrc("src0") > 900L && perSrc("src0") < 1100L, s"$perSrc")
+    (1 to 4).foreach { i =>
+      assert(perSrc(s"src$i") >= 200L && perSrc(s"src$i") <= 300L, s"$perSrc")
+    }
+    val total = perSrc.values.sum
+    assert(total > 1800L && total < 2200L,
+      s"expected corpus size preserved (~2000), got $total")
+
+    // deterministic and partition-invariant
+    val a = out.select("doc_id", "copy").as[(Long, Long)].collect().sorted.toList
+    val b = Sampling.temperatureResample(skewed.repartition(13), col("doc_id"), col("source"))
+      .select("doc_id", "copy").as[(Long, Long)].collect().sorted.toList
+    assert(a == b)
+  }
+
+  test("temperatureResample: null source keys group and join null-safely") {
+    val withNull = (0L until 100L).map(i =>
+      (i, if (i % 10 == 0) null else "srcA")).toDF("doc_id", "source")
+    val out = Sampling.temperatureResample(withNull, col("doc_id"), col("source"))
+    // 10 null-source docs form their OWN weight bucket (upsampled vs the
+    // 90-doc srcA head), not silently dropped by an inner equi-join
+    val nullRows = out.filter(col("source").isNull).count()
+    assert(nullRows > 0L, "null-source rows must survive the weight join")
+  }
+
+  /** JVM twin of Hashing.md5Hash32: uint32 from md5("<seed>:<s>"). */
+  private def md5h32(s: String): Long =
+    java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString, 16)
+
+  /** The naive single-ordering greedy the operator must reproduce. */
+  private def greedyOracle(docs: Seq[BDoc], budget: Long, seed: Int): Set[Long] = {
+    val hashed = docs.map(d => (d, md5h32(s"$seed:${d.doc_id}")))
+      .sortBy { case (d, h) => (-d.score, h, d.doc_id) }
+    var spent = 0L
+    val kept = Seq.newBuilder[Long]
+    hashed.foreach { case (d, _) =>
+      if (spent < budget) { kept += d.doc_id; spent += d.tok }
+    }
+    kept.result().toSet
+  }
+
+  test("selectTokenBudget matches the global greedy ordering row-for-row") {
+    // few score classes with many members each -> exercises full-keep,
+    // boundary, and full-drop classes; ties broken by hash inside a class
+    val docs = (0L until 600L).map(i => BDoc(i, 100L - (i % 6), 10L + i % 7))
+    val df = docs.toDF()
+    val kept = Sampling.selectTokenBudget(df, col("doc_id"), col("score"),
+        col("tok"), budget = 2000L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == greedyOracle(docs, 2000L, seed = 5))
+
+    // structural check: at least one class is PARTIALLY kept (the
+    // boundary class got per-document decisions, not a class verdict)
+    val perScoreKept = docs.groupBy(_.score).map { case (s, ds) =>
+      s -> ds.count(d => kept.contains(d.doc_id)) }
+    assert(perScoreKept.values.exists(n => n > 0 && n < 100),
+      s"expected a partially-kept boundary class: $perScoreKept")
+  }
+
+  test("selectTokenBudget edges: zero budget, over-budget, zero-token docs") {
+    val docs = (0L until 50L).map(i => BDoc(i, i % 3, if (i % 5 == 0) 0L else 4L))
+    val df = docs.toDF()
+    assert(Sampling.selectTokenBudget(df, col("doc_id"), col("score"),
+      col("tok"), budget = 0L).count() == 0L)
+    assert(Sampling.selectTokenBudget(df, col("doc_id"), col("score"),
+      col("tok"), budget = 1000000L).count() == 50L)
+    val kept = Sampling.selectTokenBudget(df, col("doc_id"), col("score"),
+        col("tok"), budget = 37L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == greedyOracle(docs, 37L, seed = 5))
+  }
+
+  test("selectTokenBudget is partition-invariant and budget-bounded") {
+    val docs = (0L until 500L).map(i => BDoc(i, i % 11, 3L + i % 13))
+    val df = docs.toDF()
+    val a = Sampling.selectTokenBudget(df, col("doc_id"), col("score"),
+      col("tok"), budget = 900L).select("doc_id").as[Long].collect().sorted.toList
+    val b = Sampling.selectTokenBudget(df.repartition(19), col("doc_id"), col("score"),
+      col("tok"), budget = 900L).select("doc_id").as[Long].collect().sorted.toList
+    assert(a == b)
+    val keptTok = docs.filter(d => a.contains(d.doc_id)).map(_.tok).sum
+    val maxTok = docs.map(_.tok).max
+    assert(keptTok < 900L + maxTok,
+      s"greedy may overshoot by at most one document: $keptTok")
+    assert(keptTok >= 900L - maxTok || a.size == docs.size,
+      s"budget must be nearly exhausted: $keptTok")
   }
 }

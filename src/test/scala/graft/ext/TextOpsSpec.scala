@@ -260,4 +260,34 @@ class TextOpsSpec extends SparkTestBase {
     assert(one[String](TextOps.scrubPii(col("text")), "plain words only") ==
       "plain words only")
   }
+
+  test("sourceReputation: verdict follows the SOURCE mean, not the document") {
+    import spark.implicits._
+    // goodsite: long varied docs; spamfarm: short repetitive ones — but
+    // each hosts ONE document of the opposite character
+    val docs = (
+      (0L until 20L).map(i => (i, s"alpha beta gamma delta epsilon zeta eta theta text$i longer words", "goodsite")) ++
+      Seq((20L, "spam spam", "goodsite")) ++
+      (21L until 41L).map(i => (i, "buy buy buy", "spamfarm")) ++
+      Seq((41L, "alpha beta gamma delta epsilon zeta eta theta unique longer words", "spamfarm")) ++
+      Seq((42L, "orphan doc with a null source and plenty of distinct words", null))
+    ).toDF("doc_id", "text", "source")
+    // threshold = midpoint of the two observed source means, so the test
+    // pins the RELATIVE ordering rather than the absolute formula value
+    val probe = TextOps.sourceReputation(docs, minMeanPpm = 0L)
+      .select("source", "src_quality_ppm").distinct()
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    val midPpm = (probe(Some("goodsite")) + probe(Some("spamfarm"))) / 2
+    val out = TextOps.sourceReputation(docs, minMeanPpm = midPpm)
+    val verdicts = out.select("doc_id", "kept").as[(Long, Boolean)].collect().toMap
+    assert(verdicts.size == 43, "one verdict row per document, nulls included")
+    // the spam doc on the good site survives; the good doc on the farm dies
+    assert(verdicts(20L), "source reputation overrides the bad document")
+    assert(!verdicts(41L), "source reputation overrides the good document")
+    // source mean is an exact integer and constant within a source
+    val means = out.select("source", "src_quality_ppm").distinct()
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(means.size == 3, s"one mean per source incl. null: $means")
+    assert(means(Some("goodsite")) > means(Some("spamfarm")))
+  }
 }
