@@ -113,11 +113,19 @@ object Sampling {
     * cardinality = |sources|, broadcast downstream.
     */
   def temperatureMilliWeights(df: DataFrame, sourceCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val counts = df.groupBy(sourceCol.as("source")).agg(count(lit(1)).as("c"))
     val f = floor(sqrt(col("c").cast("double"))).cast("long")
     val withS = counts.withColumn("s", when(f * f > col("c"), f - 1).otherwise(f))
-    val totals = withS.agg(sum("c").as("total"), sum("s").as("sum_s"))
-    withS.crossJoin(broadcast(totals))
+    // expected "WindowExec: No Partition Defined" warning at runtime: the
+    // totals window runs over the |sources|-row weight table, never the
+    // corpus — a separate `.agg` + crossJoin would instead re-execute the
+    // corpus count lineage a second time (Spark does not dedupe common
+    // subplans across DataFrame branches)
+    val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    withS
+      .withColumn("total", sum("c").over(w))
+      .withColumn("sum_s", sum("s").over(w))
       .withColumn("weight_milli",
         expr("(CAST(1000 AS DECIMAL(38,0)) * s * total) DIV (CAST(c AS DECIMAL(38,0)) * sum_s)"))
       .select(col("source"), col("weight_milli"))
@@ -220,8 +228,13 @@ object Sampling {
     // scaladoc), never the corpus
     val wS = Window.orderBy(col("__score").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
+    // localCheckpoint: the TINY cumulative table feeds two branches
+    // (keep-classes and the boundary class); without the checkpoint each
+    // branch re-executes the corpus histogram scan (Spark does not dedupe
+    // common subplans), doubling the most expensive stage
     val cum = hist.withColumn("__before",
-      coalesce(sum(col("__cls_tok")).over(wS), lit(0L)))
+        coalesce(sum(col("__cls_tok")).over(wS), lit(0L)))
+      .localCheckpoint(false)
     val keepCls = cum.filter(col("__before") + col("__cls_tok") < budget)
       .select(col("__score"))
     val boundCls = cum.filter(col("__before") < budget &&

@@ -95,10 +95,12 @@ class PartitionInvarianceSpec extends SparkTestBase {
     // iterative clustering (q46), rank selection (q57), window+bin (q66);
     // round 4: typed top-k partial merge (q95), gaps-and-islands windows
     // (q91), bigram head-count window (q89), LSH band buckets (q93)
+    // round 11: corpus-derived resample weights (q113), two-phase
+    // histogram+boundary budget selection (q114)
     val sensitive = Seq("q35_jaccard_pairs", "q46_dedup_clusters",
       "q57_percentiles", "q66_packing",
       "q95_topk_aggregator", "q91_sessionize_batch", "q89_bigram_lm",
-      "q93_lsh_band_stats")
+      "q93_lsh_band_stats", "q113_temperature_sample", "q114_token_budget")
     def run(n: String): Map[String, List[String]] = {
       spark.conf.set("spark.sql.shuffle.partitions", n)
       sensitive.map(q => q -> rows(SparkEntry.queries(q)(spark, dir))).toMap

@@ -193,4 +193,45 @@ class PlanShapeSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!pChunk.contains("Exchange"), s"chunking must not shuffle:\n${pChunk.take(600)}")
   }
+
+  test("q113 temperature resample: weights broadcast, corpus never shuffles, one weight scan") {
+    val p = plan("q113_temperature_sample")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the |sources|-row weight table must broadcast (null-safe equi-join):\n${p.take(900)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    // exactly 2 corpus scans: the weight-count pass and the resample pass.
+    // A third scan means the totals window regressed to the agg+crossJoin
+    // shape that re-executes the count lineage
+    val scans = p.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 2, s"two-pass semantics = exactly 2 scans, got $scans")
+    // the corpus side is projection + generate only — its sole Exchange
+    // is the weight aggregation (plus the query's output sort)
+    assert(p.contains("Generate explode"), "copy generator must be a Generate")
+  }
+
+  test("q114 token budget: histogram shared via checkpoint, class joins broadcast") {
+    val p = plan("q114_token_budget")
+    // the tiny cumulative-histogram table is checkpointed and feeds both
+    // the keep-class and boundary-class branches: exactly 2 corpus scans
+    // (histogram + base), not 4
+    val scans = p.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 2, s"checkpoint must dedupe the histogram lineage, got $scans scans")
+    assert(p.contains("BroadcastHashJoin"),
+      s"class lists must broadcast:\n${p.take(900)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    assert(!p.contains("Exchange rangepartitioning(__score"),
+      "no corpus-wide global sort may appear")
+  }
+
+  test("q115 source reputation: partial+final mean agg, reputation broadcast back") {
+    val p = plan("q115_source_reputation")
+    assert(p.contains("partial_sum"),
+      "source mean must map-side combine (partial aggregation)")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the |sources|-row reputation table must broadcast:\n${p.take(900)}")
+    assert(!p.contains("SortMergeJoin"),
+      "the corpus must never shuffle for the reputation join")
+    assert(!p.linesIterator.exists(l => l.contains("Window")),
+      "no window anywhere — this is agg + broadcast join only")
+  }
 }
