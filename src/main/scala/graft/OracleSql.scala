@@ -1285,6 +1285,21 @@ object OracleSql {
          |SELECT doc_id, quality_ppm, n_tokens FROM c WHERE excl < 6000
          |ORDER BY doc_id""".stripMargin,
 
+    // q114's greedy, windowed per language with a CASE budget table
+    "q116_budget_per_lang" ->
+      s"""WITH q AS (SELECT doc_id, lang,
+         |    CAST($qualityPpmSql AS BIGINT) AS quality_ppm,
+         |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+         |    ('0x'||substr(md5('5:'||CAST(doc_id AS VARCHAR)),1,8))::BIGINT AS h
+         |   FROM documents),
+         | c AS (SELECT doc_id, lang, quality_ppm, n_tokens,
+         |    COALESCE(sum(n_tokens) OVER (PARTITION BY lang
+         |      ORDER BY quality_ppm DESC, h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS excl FROM q)
+         |SELECT doc_id, lang, quality_ppm, n_tokens FROM c
+         |WHERE excl < CASE lang WHEN 'en' THEN 2000 ELSE 1000 END
+         |ORDER BY doc_id""".stripMargin,
+
     // integer floor-division mean per source (sum // count), null-safe
     // join back — the reputation gate's verdict rows
     "q115_source_reputation" ->

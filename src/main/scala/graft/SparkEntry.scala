@@ -634,6 +634,23 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Per-language token budgets (q114's selector stratified): en capped
+    * at 2000 tokens, every other language at 1000 — the per-language cap
+    * table of a multilingual data mix. The oracle runs the per-stratum
+    * global-window greedy; the operator's fully-partitioned two-phase
+    * shape must reproduce it.
+    */
+  private def q116(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+      TextOps.qualityScorePpm(col("text")).as("quality_ppm"),
+      TextOps.tokenCount(col("text")).as("n_tokens"))
+    Sampling.selectTokenBudgetPerKey(docs, col("doc_id"), col("lang"),
+        col("quality_ppm"), col("n_tokens"),
+        budgets = Map("en" -> 2000L), defaultBudget = 1000L)
+      .select("doc_id", "lang", "quality_ppm", "n_tokens")
+      .orderBy("doc_id")
+  }
+
   /** Source-reputation gate: per-document verdicts from the SOURCE's mean
     * quality (integer floor-division mean, broadcast back). Threshold
     * 650000 ppm sits inside the fixture's per-source spread (~630k–680k)
@@ -1669,7 +1686,8 @@ object SparkEntry {
     "q112_semantic_pairs" -> q112 _,
     "q113_temperature_sample" -> q113 _,
     "q114_token_budget" -> q114 _,
-    "q115_source_reputation" -> q115 _
+    "q115_source_reputation" -> q115 _,
+    "q116_budget_per_lang" -> q116 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

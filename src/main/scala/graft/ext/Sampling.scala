@@ -251,6 +251,67 @@ object Sampling {
     keptFull.unionByName(keptBoundary).drop("__score", "__tok", "__h")
   }
 
+  /** [[selectTokenBudget]] with an independent budget PER STRATUM (the
+    * per-language token caps of a multilingual data mix: "at most N
+    * billion tokens of each language, best-first"). Same greedy
+    * semantics within each stratum — (score DESC, hash, id) order, keep
+    * while that stratum's budget has room — and the same two-phase
+    * decomposition, except nothing here is ever unpartitioned: the
+    * histogram groups by (stratum, score), the cumulative pass windows
+    * per stratum over the tiny histogram, and the boundary window runs
+    * per (stratum, boundary-score). Strata absent from `budgets` get
+    * `defaultBudget`.
+    *
+    * Preconditions as [[selectTokenBudget]]; additionally `strataCol`
+    * non-null (a null stratum would need its own null-safe join — map it
+    * to a sentinel first).
+    */
+  def selectTokenBudgetPerKey(
+      df: DataFrame,
+      idCol: Column,
+      strataCol: Column,
+      scoreCol: Column,
+      tokensCol: Column,
+      budgets: Map[String, Long],
+      defaultBudget: Long,
+      seed: Int = 5
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budgetExpr = budgets.foldLeft(lit(defaultBudget)) {
+      case (acc, (k, b)) => when(col("__strata") === k, lit(b)).otherwise(acc)
+    }
+    val base = df.withColumn("__strata", strataCol)
+      .withColumn("__score", scoreCol)
+      .withColumn("__tok", tokensCol.cast("long"))
+      .withColumn("__h", Hashing.md5Hash32(lit(seed), idCol.cast("string")))
+    val hist = base.groupBy(col("__strata"), col("__score"))
+      .agg(sum(col("__tok")).as("__cls_tok"))
+    val wS = Window.partitionBy(col("__strata")).orderBy(col("__score").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // same shared-lineage checkpoint as selectTokenBudget: the tiny
+    // cumulative table feeds both class branches
+    val cum = hist
+      .withColumn("__before", coalesce(sum(col("__cls_tok")).over(wS), lit(0L)))
+      .withColumn("__budget", budgetExpr)
+      .localCheckpoint(false)
+    val keepCls = cum.filter(col("__before") + col("__cls_tok") < col("__budget"))
+      .select(col("__strata"), col("__score"))
+    val boundCls = cum.filter(col("__before") < col("__budget") &&
+        col("__before") + col("__cls_tok") >= col("__budget"))
+      .select(col("__strata"), col("__score"), col("__before"), col("__budget"))
+    val keptFull = base.join(broadcast(keepCls), Seq("__strata", "__score"))
+    val wB = Window.partitionBy(col("__strata"), col("__score"))
+      .orderBy(col("__h"), idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val keptBoundary = base.join(broadcast(boundCls), Seq("__strata", "__score"))
+      .withColumn("__excl",
+        col("__before") + coalesce(sum(col("__tok")).over(wB), lit(0L)))
+      .filter(col("__excl") < col("__budget"))
+      .drop("__excl", "__before", "__budget")
+    keptFull.unionByName(keptBoundary)
+      .drop("__strata", "__score", "__tok", "__h")
+  }
+
   /** Deterministic train/validation/test split tag from the key hash.
     * Default seed differs from [[hashSample]]'s: with the same seed the
     * split would correlate with the sampling filter (every sampled row

@@ -180,7 +180,17 @@ object CorpusCuration {
     *    right after the repetition gate, inside the same counted stage;
     *  - `bpeMerges` — trained [[graft.ext.Bpe]] merge table: packing
     *    bins fill by tokenizer-exact subword counts instead of
-    *    whitespace token counts.
+    *    whitespace token counts;
+    *  - `temperatureBalance` — replace the static `mixtureMilli` map
+    *    with α=0.5 weights COMPUTED from the post-decontamination
+    *    language distribution ([[graft.ext.Sampling.temperatureResample]]);
+    *    the weight pass runs off the already-persisted stage cache, so
+    *    it costs no extra corpus scan.
+    *
+    * Origin-level filtering ([[graft.ext.TextOps.sourceReputation]]) is
+    * deliberately a PRE-gate, not a parameter: it needs a source/domain
+    * column this pipeline's (doc_id, text) contract doesn't carry —
+    * filter on its `kept` verdict before calling curate.
     */
   def curateAndPack(
       docs: DataFrame,
@@ -194,7 +204,8 @@ object CorpusCuration {
       qualityWeights: Option[Array[Double]] = None,
       minModelScore: Double = 0.5,
       bpeMerges: Seq[(String, String)] = Nil,
-      decontaminate: Decontaminate = Decontaminate.Drop
+      decontaminate: Decontaminate = Decontaminate.Drop,
+      temperatureBalance: Boolean = false
   ): (DataFrame, StatsV2) = {
     val (curated, stats) = curate(docs, allowedLangs, minQualityPpm,
       sampleRates = Map.empty, defaultSampleBp = 10000)
@@ -240,8 +251,14 @@ object CorpusCuration {
     }
     lowRepetition.unpersist()
 
-    val mixed = Sampling.mixtureSample(clean, col("doc_id"), col("lang_guess"),
-      mixtureMilli)
+    val mixed =
+      if (temperatureBalance)
+        // drop weight_milli so both modes emit the same schema
+        Sampling.temperatureResample(clean, col("doc_id"), col("lang_guess"))
+          .drop("weight_milli")
+      else
+        Sampling.mixtureSample(clean, col("doc_id"), col("lang_guess"),
+          mixtureMilli)
     val countTokens =
       if (bpeMerges.nonEmpty) Bpe.tokenCount(col("text"), bpeMerges)
       else TextOps.tokenCount(col("text"))
@@ -283,11 +300,13 @@ object CorpusCuration {
       qualityWeights: Option[Array[Double]] = None,
       minModelScore: Double = 0.5,
       bpeMerges: Seq[(String, String)] = Nil,
-      decontaminate: Decontaminate = Decontaminate.Drop
+      decontaminate: Decontaminate = Decontaminate.Drop,
+      temperatureBalance: Boolean = false
   )(f: (DataFrame, StatsV2) => T): T = {
     val (packed, stats) = curateAndPack(docs, benchmark, allowedLangs,
       minQualityPpm, maxDupWordPpm, maxOverlap, mixtureMilli, capacity,
-      qualityWeights, minModelScore, bpeMerges, decontaminate)
+      qualityWeights, minModelScore, bpeMerges, decontaminate,
+      temperatureBalance)
     try f(packed, stats) finally packed.unpersist()
   }
 

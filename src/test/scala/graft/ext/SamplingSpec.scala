@@ -178,6 +178,31 @@ class SamplingSpec extends SparkTestBase {
     assert(kept == greedyOracle(docs, 37L, seed = 5))
   }
 
+  test("selectTokenBudgetPerKey: independent per-stratum greedy, default budget applies") {
+    val docs = (0L until 600L).map(i => BDoc(i, 50L - (i % 5), 6L + i % 4))
+    val strata = (i: Long) => s"lang${i % 3}"
+    val df = docs.toDF().withColumn("lang",
+      concat(lit("lang"), col("doc_id") % 3))
+    val budgets = Map("lang0" -> 300L, "lang1" -> 150L)
+    val kept = Sampling.selectTokenBudgetPerKey(df, col("doc_id"), col("lang"),
+        col("score"), col("tok"), budgets, defaultBudget = 450L)
+      .select("doc_id").as[Long].collect().toSet
+    // per-stratum naive greedy, each with its own budget
+    val expected = docs.groupBy(d => strata(d.doc_id)).flatMap { case (k, ds) =>
+      val b = budgets.getOrElse(k, 450L)
+      greedyOracle(ds.toSeq, b, seed = 5)
+    }.toSet
+    assert(kept == expected)
+    // every stratum selected SOMETHING and respected ITS budget
+    (0 to 2).foreach { s =>
+      val mine = docs.filter(d => d.doc_id % 3 == s && kept.contains(d.doc_id))
+      val b = budgets.getOrElse(s"lang$s", 450L)
+      assert(mine.nonEmpty)
+      assert(mine.map(_.tok).sum < b + docs.map(_.tok).max,
+        s"stratum lang$s overshot its budget")
+    }
+  }
+
   test("selectTokenBudget is partition-invariant and budget-bounded") {
     val docs = (0L until 500L).map(i => BDoc(i, i % 11, 3L + i % 13))
     val df = docs.toDF()

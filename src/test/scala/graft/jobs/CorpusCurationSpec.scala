@@ -214,6 +214,35 @@ class CorpusCurationSpec extends SparkTestBase {
       "packing is row-preserving under either tokenizer")
   }
 
+  test("curateAndPack temperatureBalance flattens the language mix from corpus counts") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val benchmark = docs.filter(col("doc_id") % 20 === 0)
+    val corpus = docs.filter(col("doc_id") % 20 =!= 0)
+    def run(balance: Boolean) = CorpusCuration.curateAndPackWith(corpus,
+      benchmark, allowedLangs = Set("en", "und", "es", "de", "fr", "zh"),
+      minQualityPpm = 300000L, mixtureMilli = Map.empty,
+      capacity = 512L, temperatureBalance = balance) { (packed, stats) =>
+      (packed.groupBy("lang_guess").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap, stats)
+    }
+    val (staticMix, staticStats) = run(false) // all-default weights: 1 copy per doc
+    val (balanced, balancedStats) = run(true)
+    assert(staticStats.afterDecontamination == balancedStats.afterDecontamination,
+      "balancing must not change any upstream stage")
+    // total size approximately preserved under temperature resampling
+    val (ns, nb) = (staticMix.values.sum, balanced.values.sum)
+    assert(nb > (ns * 0.7).toLong && nb < (ns * 1.3).toLong, s"static $ns vs balanced $nb")
+    // the dominant language's share must strictly shrink toward the mean
+    val top = staticMix.maxBy(_._2)._1
+    val staticShare = staticMix(top).toDouble / ns
+    val balShare = balanced.getOrElse(top, 0L).toDouble / nb
+    assert(balShare < staticShare,
+      s"α=0.5 must flatten the head: $top $staticShare -> $balShare")
+    // both modes emit the identical packed schema
+    assert(balancedStats.bins > 0)
+  }
+
   test("curateAndPack Scrub mode keeps a partially-contaminated doc with its spans excised") {
     import spark.implicits._
     val prefix = "the quick brown fox jumps over a lazy dog"          // 9 tokens
