@@ -1285,6 +1285,46 @@ object OracleSql {
          |SELECT doc_id, quality_ppm, n_tokens FROM c WHERE excl < 6000
          |ORDER BY doc_id""".stripMargin,
 
+    // both q89-style integer bigram models (corpus + target split), the
+    // offset-shifted mean diff and clamp, then the shared copy generator.
+    // sum() over BIGINT is HUGEINT in DuckDB — arithmetic stays exact
+    "q117_importance_sample" ->
+      """WITH d AS (SELECT doc_id, string_split(text,' ') AS l FROM documents),
+        | cb AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(l)-1),
+        |     i -> struct_pack(w1 := l[i], w2 := l[i+1]))) AS e
+        |   FROM d WHERE doc_id % 10 != 0),
+        | cbi AS (SELECT doc_id, (e).w1 AS w1, (e).w2 AS w2 FROM cb),
+        | cm0 AS (SELECT w1, w2, count(*) AS n FROM cbi GROUP BY 1, 2),
+        | cm AS (SELECT w1, w2,
+        |     CAST(floor(n * 1000000 / sum(n) OVER (PARTITION BY w1)) AS BIGINT) AS ppm_c
+        |   FROM cm0),
+        | tb AS (SELECT unnest(list_transform(generate_series(1, len(l)-1),
+        |     i -> struct_pack(w1 := l[i], w2 := l[i+1]))) AS e
+        |   FROM d WHERE doc_id % 10 = 0),
+        | tm0 AS (SELECT (e).w1 AS w1, (e).w2 AS w2, count(*) AS n FROM tb GROUP BY 1, 2),
+        | tm AS (SELECT w1, w2,
+        |     CAST(floor(n * 1000000 / sum(n) OVER (PARTITION BY w1)) AS BIGINT) AS ppm_t
+        |   FROM tm0),
+        | sc AS (SELECT doc_id, count(*) AS n,
+        |     sum(COALESCE(ppm_t, 0) - ppm_c) AS s
+        |   FROM cbi JOIN cm USING (w1, w2) LEFT JOIN tm USING (w1, w2)
+        |   GROUP BY 1),
+        | wm AS (SELECT doc_id,
+        |     least(5000, greatest(200,
+        |       1000 + ((((s + 1000000*n) // n - 1000000) + 1000000) // 100 - 10000)))
+        |     AS weight_milli
+        |   FROM sc),
+        | f AS (SELECT c.doc_id, COALESCE(weight_milli, 1000) AS weight_milli,
+        |     ('0x'||substr(md5('3:'||CAST(c.doc_id AS VARCHAR)),1,8))::BIGINT % 10000 AS b
+        |   FROM (SELECT doc_id FROM d WHERE doc_id % 10 != 0) c LEFT JOIN wm USING (doc_id)),
+        | nn AS (SELECT doc_id, weight_milli,
+        |     CAST(weight_milli // 1000
+        |      + CASE WHEN b < (weight_milli % 1000) * 10 THEN 1 ELSE 0 END AS BIGINT) AS n
+        |   FROM f)
+        |SELECT doc_id, CAST(weight_milli AS BIGINT) AS weight_milli,
+        |  CAST(unnest(generate_series(1, n)) AS BIGINT) AS copy
+        |FROM nn WHERE n > 0 ORDER BY doc_id, copy""".stripMargin,
+
     // q114's greedy, windowed per language with a CASE budget table
     "q116_budget_per_lang" ->
       s"""WITH q AS (SELECT doc_id, lang,

@@ -651,6 +651,22 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** DSIR importance resampling under the oracle gate: every-10th doc is
+    * the "target domain", the rest the raw corpus; both integer bigram
+    * ppm models, the per-doc mean diff, the clamp, and the copy
+    * generator are recomputed end to end in SQL. Truncation-vs-floor
+    * division is neutralized by the operator's offset shifts — this gate
+    * would catch a regression there on the first negative mean.
+    */
+  private def q117(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Sampling.importanceResample(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0))
+      .select(col("doc_id"), col("weight_milli"), col("copy"))
+      .orderBy("doc_id", "copy")
+  }
+
   /** Source-reputation gate: per-document verdicts from the SOURCE's mean
     * quality (integer floor-division mean, broadcast back). Threshold
     * 650000 ppm sits inside the fixture's per-source spread (~630k–680k)
@@ -1687,7 +1703,8 @@ object SparkEntry {
     "q113_temperature_sample" -> q113 _,
     "q114_token_budget" -> q114 _,
     "q115_source_reputation" -> q115 _,
-    "q116_budget_per_lang" -> q116 _
+    "q116_budget_per_lang" -> q116 _,
+    "q117_importance_sample" -> q117 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

@@ -251,6 +251,31 @@ object Sampling {
     keptFull.unionByName(keptBoundary).drop("__score", "__tok", "__h")
   }
 
+  /** DSIR importance resampling end to end: [[TextOps.importanceWeights]]
+    * (how target-like each document's bigram statistics are) joined back
+    * — LEFT, so documents with no bigrams (< 2 tokens) resample at the
+    * neutral 1000 — and applied through the same deterministic copy
+    * generator as [[mixtureSample]]. Output keeps `weight_milli` and
+    * adds `copy`.
+    */
+  def importanceResample(
+      docs: DataFrame,
+      target: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      seed: Int = 3
+  ): DataFrame = {
+    val w = TextOps.importanceWeights(docs, target, idCol, textCol)
+      .withColumnRenamed(idCol, "__wid")
+    // plain equi-join: the weight table is one row PER CORPUS DOCUMENT
+    // (unlike temperatureResample's |sources| rows) — never broadcast it
+    resampleByWeight(
+      docs.join(w, col(idCol) === col("__wid"), "left")
+        .withColumn("weight_milli", coalesce(col("weight_milli"), lit(1000L))),
+      col(idCol), col("weight_milli"), seed)
+      .drop("__wid")
+  }
+
   /** [[selectTokenBudget]] with an independent budget PER STRATUM (the
     * per-language token caps of a multilingual data mix: "at most N
     * billion tokens of each language, best-first"). Same greedy

@@ -404,6 +404,77 @@ object TextOps {
         floor(sum(col("unats")) / count(lit(1))).cast("long").as("lm_score_unats"))
   }
 
+  /** DSIR-style importance weights (Xie et al., 2023, "Data Selection
+    * for Language Models via Importance Resampling" — hashed-ngram
+    * likelihood ratios, re-expressed with integer-exact statistics): how
+    * much more TARGET-like than corpus-like each document's bigram
+    * transitions are. Both models are the q89 conditional-ppm table
+    * (`floor(n·10⁶ / head_count)`) — deliberately NO transcendental
+    * log-likelihoods: cross-engine `ln` rounds differently at floor
+    * boundaries (why [[bigramLmScore]] is spec-only), while these
+    * weights are exact integers any engine reproduces.
+    *
+    * Per document: the mean over its positional bigrams of
+    * `target_ppm − corpus_ppm`; a bigram absent from the target model
+    * contributes `−corpus_ppm` (unseen-in-target ⇒ un-target-like). The
+    * mean maps linearly to `weight_milli = clamp(1000 + mean/scaleDiv,
+    * minMilli, maxMilli)` for the resample copy generator.
+    *
+    * Negative-division portability: SQL `DIV` truncates toward zero but
+    * e.g. DuckDB's `//` floors, so every division here offset-shifts to
+    * a non-negative numerator first (ppm diffs are ≥ −10⁶ by
+    * construction); `scaleDiv` must divide 10⁶ for the shift to cancel.
+    *
+    * Scale shape: one posexplode+lead bigram stream per side and one
+    * (w1,w2) aggregate per model (same shapes as q89 — swap the
+    * head-count window for a groupBy+broadcast join at web scale); the
+    * corpus stream equi-joins its own model (bigram vocab — may exceed
+    * broadcast size) and BROADCASTS the target model (a target sample is
+    * small by construction); one per-doc aggregate. All linear; the
+    * corpus is scanned twice (model pass + scoring pass) by the same
+    * two-pass necessity as [[graft.ext.Sampling.temperatureResample]].
+    */
+  def importanceWeights(
+      docs: DataFrame,
+      target: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      scaleDiv: Long = 100L,
+      minMilli: Long = 200L,
+      maxMilli: Long = 5000L
+  ): DataFrame = {
+    require(1000000L % scaleDiv == 0, s"scaleDiv must divide 1e6: $scaleDiv")
+    import org.apache.spark.sql.expressions.Window
+    def bigrams(df: DataFrame): DataFrame = {
+      val wDoc = Window.partitionBy(col("id")).orderBy(col("pos"))
+      df.select(col(idCol).as("id"), posexplode(tokens(col(textCol))).as(Seq("pos", "w1")))
+        .withColumn("w2", lead(col("w1"), 1).over(wDoc))
+        .filter(col("w2").isNotNull)
+        .select(col("id"), col("w1"), col("w2"))
+    }
+    def model(bi: DataFrame, ppmName: String): DataFrame =
+      bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
+        .withColumn(ppmName,
+          floor(col("n") * 1000000L / sum(col("n")).over(Window.partitionBy(col("w1"))))
+            .cast("long"))
+        .select(col("w1"), col("w2"), col(ppmName))
+    val corpusBi = bigrams(docs)
+    val corpusModel = model(corpusBi.select(col("w1"), col("w2")), "ppm_c")
+    val targetModel = model(bigrams(target).select(col("w1"), col("w2")), "ppm_t")
+    corpusBi
+      .join(corpusModel, Seq("w1", "w2"))
+      .join(broadcast(targetModel), Seq("w1", "w2"), "left")
+      .withColumn("__diff", coalesce(col("ppm_t"), lit(0L)) - col("ppm_c"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("__n"), sum(col("__diff")).as("__sum"))
+      .withColumn("__mean", expr("(__sum + 1000000 * __n) DIV __n - 1000000"))
+      .withColumn("weight_milli",
+        least(lit(maxMilli), greatest(lit(minMilli),
+          lit(1000L) + (expr(s"(__mean + 1000000) DIV $scaleDiv")
+            - lit(1000000L / scaleDiv)))))
+      .select(col("id").as(idCol), col("weight_milli"))
+  }
+
   /** CCNet-style perplexity bucketing on top of [[bigramLmScore]]: split
     * the corpus into `nBuckets` quantile bands of the LM score (CCNet
     * keeps the "head"/"middle" of the perplexity distribution and drops

@@ -223,6 +223,17 @@ class PlanShapeSpec extends SparkTestBase {
       "no corpus-wide global sort may appear")
   }
 
+  test("q117 importance resample: bigram models partial-agg, no cartesian, generator output") {
+    val p = plan("q117_importance_sample")
+    assert(p.contains("partial_count"),
+      "bigram model counts must map-side combine")
+    assert(!p.contains("CartesianProduct"), "model joins are equi-joins only")
+    assert(p.contains("Generate explode"), "copy generator must be a Generate")
+    // the target model carries an explicit broadcast hint
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"target model must broadcast:\n${p.take(900)}")
+  }
+
   test("q115 source reputation: partial+final mean agg, reputation broadcast back") {
     val p = plan("q115_source_reputation")
     assert(p.contains("partial_sum"),

@@ -261,6 +261,49 @@ class TextOpsSpec extends SparkTestBase {
       "plain words only")
   }
 
+  test("importanceWeights: target-like docs upweight, alien docs downweight, clamps hold") {
+    import spark.implicits._
+    // target: alpha ALWAYS continues to beta (a->b, b->g, g->a all 1e6)
+    val target = (0L until 10L)
+      .map(i => (i, "alpha beta gamma alpha beta gamma alpha beta"))
+      .toDF("doc_id", "text")
+    // corpus: half target-like, half continuing alpha to DELTA instead —
+    // the SAME head words with different continuations, so the corpus
+    // conditionals split (a->b = a->d = 500000) while the target's stay
+    // certain; disjoint vocabularies would NOT separate the weights,
+    // conditional models are per-head
+    val corpus = (
+      (100L until 120L).map(i => (i, "alpha beta gamma alpha beta gamma alpha beta")) ++
+      (200L until 220L).map(i => (i, "alpha delta zeta alpha delta zeta alpha delta"))
+    ).toDF("doc_id", "text")
+    val w = TextOps.importanceWeights(corpus, target)
+      .as[(Long, Long)].collect().toMap
+    // target-like docs: a->b diff +500000 on 3 of 7 bigrams -> upweight
+    (100L until 120L).foreach(i => assert(w(i) > 1000L, s"doc $i: ${w(i)}"))
+    // alien docs: every bigram unseen in target -> mean diff ~ -785k
+    (200L until 220L).foreach(i => assert(w(i) < 1000L, s"doc $i: ${w(i)}"))
+    // clamp floor: with scaleDiv=100 the alien mean (~ -1e6 ppm) maps far
+    // below minMilli and must clamp exactly there
+    assert((200L until 220L).forall(i => w(i) == 200L), s"$w")
+
+    // determinism + partition invariance
+    val w2 = TextOps.importanceWeights(corpus.repartition(7), target.repartition(3))
+      .as[(Long, Long)].collect().toMap
+    assert(w == w2)
+
+    // end-to-end: resampling keeps >= the alien floor share and repeats
+    // no alien doc; docs with < 2 tokens pass through at neutral weight
+    val withTiny = corpus.union(Seq((300L, "solo")).toDF("doc_id", "text"))
+    val out = Sampling.importanceResample(withTiny, target)
+    val tiny = out.filter(col("doc_id") === 300L)
+      .select("weight_milli").as[Long].collect()
+    assert(tiny.toSeq == Seq(1000L), "bigram-less doc must resample neutrally")
+    val alienMax = out.filter(col("doc_id") >= 200L && col("doc_id") < 300L)
+      .groupBy("doc_id").agg(max(col("copy")).as("m"))
+      .select("m").as[Long].collect()
+    assert(alienMax.forall(_ == 1L), "downweighted docs never emit extra copies")
+  }
+
   test("sourceReputation: verdict follows the SOURCE mean, not the document") {
     import spark.implicits._
     // goodsite: long varied docs; spamfarm: short repetitive ones — but
