@@ -1285,6 +1285,25 @@ object OracleSql {
          |SELECT doc_id, quality_ppm, n_tokens FROM c WHERE excl < 6000
          |ORDER BY doc_id""".stripMargin,
 
+    // FastSS deletion-neighborhood signatures (full md5 + one per
+    // delete-one-token variant) recomputed via list slicing, then the
+    // exact levenshtein verify — candidate recall and the filter both
+    // mirrored bit for bit
+    "q118_edit_dist_pairs" ->
+      """WITH d AS (SELECT doc_id AS id, text FROM documents WHERE text IS NOT NULL),
+        | t AS (SELECT id, text, string_split(text,' ') AS l FROM d),
+        | s AS (SELECT id, unnest(list_distinct(list_concat([md5(text)],
+        |     list_transform(generate_series(1, len(l)), i ->
+        |       md5(array_to_string(list_concat(l[1:i-1], l[i+1:len(l)]), ' '))))))
+        |     AS sig FROM t),
+        | px AS (SELECT DISTINCT a.id AS id_a, c.id AS id_b
+        |   FROM s a JOIN s c ON a.sig = c.sig AND a.id < c.id),
+        | v AS (SELECT id_a, id_b,
+        |     CAST(levenshtein(da.text, db.text) AS BIGINT) AS dist
+        |   FROM px JOIN d da ON px.id_a = da.id JOIN d db ON px.id_b = db.id)
+        |SELECT id_a, id_b, dist FROM v WHERE dist <= 10
+        |ORDER BY id_a, id_b""".stripMargin,
+
     // both q89-style integer bigram models (corpus + target split), the
     // offset-shifted mean diff and clamp, then the shared copy generator.
     // sum() over BIGINT is HUGEINT in DuckDB — arithmetic stays exact

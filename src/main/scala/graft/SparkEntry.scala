@@ -651,6 +651,16 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Edit-distance near-dup pairs under the oracle gate: the FastSS
+    * deletion-neighborhood blocking AND the exact levenshtein verify are
+    * both recomputed in SQL — the fixture's planted one-word revisions
+    * (char distance 4–8) are exactly the stratum this operator exists
+    * for and MinHash under-resolves.
+    */
+  private def q118(s: SparkSession, dir: String): DataFrame =
+    Dedup.editDistancePairs(Tables.documents(s, dir), maxDist = 10L)
+      .orderBy("id_a", "id_b")
+
   /** DSIR importance resampling under the oracle gate: every-10th doc is
     * the "target domain", the rest the raw corpus; both integer bigram
     * ppm models, the per-doc mean diff, the clamp, and the copy
@@ -1704,7 +1714,8 @@ object SparkEntry {
     "q114_token_budget" -> q114 _,
     "q115_source_reputation" -> q115 _,
     "q116_budget_per_lang" -> q116 _,
-    "q117_importance_sample" -> q117 _
+    "q117_importance_sample" -> q117 _,
+    "q118_edit_dist_pairs" -> q118 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

@@ -454,6 +454,62 @@ class DedupSpec extends SparkTestBase {
     assert(pair.count() >= tri.count())
   }
 
+  test("editDistancePairs: one-token edits provably found, multi-token edits need minhash") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the dog"),
+      (2L, "the quick brown cat jumps over the dog"),  // substitution
+      (3L, "the quick brown fox jumps over the"),      // deletion
+      (4L, "a the quick brown fox jumps over the dog"),// insertion
+      (5L, "the quick brown fox jumps over the dog"),  // identical to 1
+      (6L, "the slow green cat walks under a dog"),    // 2+ token edits vs all
+      (7L, "completely unrelated text about databases")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.editDistancePairs(docs, maxDist = 10L)
+      .as[(Long, Long, Long)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    // every <=1-token-edit pair of doc 1 found, each exactly once, exact dist
+    assert(pairs((1L, 2L)) == 3L) // fox->cat
+    assert(pairs((1L, 3L)) == 4L) // " dog" removed
+    assert(pairs((1L, 4L)) == 2L) // "a " inserted
+    assert(pairs((1L, 5L)) == 0L) // identical: all sigs shared, ONE pair row
+    // multi-token edits are outside the deletion-neighborhood contract
+    assert(!pairs.contains((1L, 6L)) && !pairs.contains((6L, 7L)))
+    // transitivity of the planted cluster: 2-3, 2-4, 3-4 also within one
+    // edit of each other's shared skeleton? only pairs sharing a sig AND
+    // within maxDist appear — 2 vs 3 differ by TWO token edits
+    assert(!pairs.contains((2L, 3L)))
+
+    // maxDist filters verified candidates: same corpus, tighter budget
+    val tight = Dedup.editDistancePairs(docs, maxDist = 2L)
+      .as[(Long, Long, Long)].collect().map(p => (p._1, p._2)).toSet
+    assert(tight == Set((1L, 4L), (1L, 5L), (4L, 5L)), s"$tight")
+
+    // partition invariance
+    val a = Dedup.editDistancePairs(docs, maxDist = 10L)
+      .as[(Long, Long, Long)].collect().sorted.toList
+    val b = Dedup.editDistancePairs(docs.repartition(5), maxDist = 10L)
+      .as[(Long, Long, Long)].collect().sorted.toList
+    assert(a == b)
+  }
+
+  test("editDistancePairs: bucket cap drops a viral template, leaves the rest intact") {
+    import spark.implicits._
+    // 50 identical copies of a template + one isolated near-pair
+    val docs = ((0L until 50L).map(i => (i, "viral template text repeated everywhere")) ++
+      Seq((100L, "rare doc alpha beta gamma"), (101L, "rare doc alpha beta delta"))
+    ).toDF("doc_id", "text")
+    val capped = Dedup.editDistancePairs(docs, maxDist = 10L, maxBucketSize = 8)
+      .as[(Long, Long, Long)].collect()
+    // the 50-doc bucket (50*49/2 = 1225 pairs) is dropped entirely...
+    assert(!capped.exists(_._1 < 50L), s"viral bucket must be dropped: ${capped.take(5).toSeq}")
+    // ...while the small bucket's pair survives with its exact distance
+    // (gamma -> delta: 4 substitutions, the final 'a' aligns)
+    assert(capped.exists(p => p._1 == 100L && p._2 == 101L && p._3 == 4L),
+      s"${capped.toSeq}")
+    // uncapped finds the full quadratic set — the shape the cap prevents
+    assert(Dedup.editDistancePairs(docs, maxDist = 10L).count() == 1225L + 1L)
+  }
+
   test("semanticDupPairs: subset of exact pairs; equality at nlist=1; dedup keeps canonical") {
     val dir = "/root/testdata/sf0.001"
     assume(new java.io.File(s"$dir/embeddings.parquet").exists())
