@@ -1250,12 +1250,13 @@ object OracleSql {
          |SELECT id_a, id_b, round(cos, 6) AS cos FROM s WHERE cos >= 0.35
          |ORDER BY id_a, id_b""".stripMargin,
 
-    // isqrt temperature weights (float sqrt + correction step), HUGEINT
-    // floor division twin of the operator's DECIMAL(38,0) DIV, then q67's
-    // hash-driven copy generator
+    // isqrt temperature weights (float sqrt + two-sided correction),
+    // HUGEINT floor division twin of the operator's DECIMAL(38,0) DIV,
+    // then q67's hash-driven copy generator
     "q113_temperature_sample" ->
       """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY 1),
-        | sq AS (SELECT lang, c, CASE WHEN f*f > c THEN f-1 ELSE f END AS s
+        | sq AS (SELECT lang, c, CASE WHEN f*f > c THEN f-1
+        |          WHEN (f+1)*(f+1) <= c THEN f+1 ELSE f END AS s
         |        FROM (SELECT lang, c, CAST(floor(sqrt(c)) AS BIGINT) AS f FROM c)),
         | t AS (SELECT lang, c, s, sum(c) OVER () AS total, sum(s) OVER () AS sum_s FROM sq),
         | w AS (SELECT lang,

@@ -466,8 +466,12 @@ object Dedup {
     // 1.1 s at sf0.1), while the generator + per-row CASE stays in
     // whole-stage codegen. i = 0 is the undeleted document; the
     // token array is a NAMED column (posGramTable's binding boundary).
-    // distinct() plays array_distinct's role: identical adjacent tokens
-    // produce identical deletion skeletons within one document
+    // Deliberately NO distinct() here — that would shuffle the dominant
+    // tokens+1-per-doc stream a second time; duplicate skeletons (a doc
+    // with identical adjacent tokens) just emit duplicate CANDIDATES,
+    // deduped at the far cheaper pair level below. Under the cap, `k`
+    // therefore counts signature EMISSIONS, not distinct docs — a
+    // marginally conservative drop for repeated-token docs
     val sigs = base
       .select(col("id"), col("txt"), col("__toks"),
         explode(sequence(lit(0), size(col("__toks")))).as("i"))
@@ -477,7 +481,6 @@ object Dedup {
             concat(slice(col("__toks"), lit(1), col("i") - 1),
               slice(col("__toks"), col("i") + 1, size(col("__toks")))))))
           .as("sig"))
-      .distinct()
     val buckets =
       if (maxBucketSize == Int.MaxValue)
         sigs.groupBy("sig")

@@ -103,10 +103,13 @@ object Sampling {
     * EXPECTED total row count is preserved (rare sources upsample above
     * 1000, dominant ones downsample below).
     *
-    * Integer-exact for cross-engine verification: isqrt via
-    * float-sqrt + one correction step (exact for counts < 2⁶²), then
-    * ONE floor division computed in DECIMAL(38,0) so the product
-    * 1000·√c·total cannot overflow at any realistic corpus size.
+    * Integer-exact for cross-engine verification: isqrt via float-sqrt
+    * + TWO-SIDED correction — above 2⁵² the long→double conversion can
+    * land floor(sqrt) one off in EITHER direction, so both a downward
+    * and an upward step are checked (exact for counts < 2⁶²; one-sided
+    * correction is only exact to ~2⁵²) — then ONE floor division
+    * computed in DECIMAL(38,0) so the product 1000·√c·total cannot
+    * overflow at any realistic corpus size.
     *
     * Scale shape: one map-side-combined count per source (the only
     * shuffle), a single-row global total crossed back in — weight table
@@ -116,7 +119,10 @@ object Sampling {
     import org.apache.spark.sql.expressions.Window
     val counts = df.groupBy(sourceCol.as("source")).agg(count(lit(1)).as("c"))
     val f = floor(sqrt(col("c").cast("double"))).cast("long")
-    val withS = counts.withColumn("s", when(f * f > col("c"), f - 1).otherwise(f))
+    val withS = counts.withColumn("s",
+      when(f * f > col("c"), f - 1)
+        .when((f + 1) * (f + 1) <= col("c"), f + 1)
+        .otherwise(f))
     // expected "WindowExec: No Partition Defined" warning at runtime: the
     // totals window runs over the |sources|-row weight table, never the
     // corpus — a separate `.agg` + crossJoin would instead re-execute the
@@ -287,9 +293,11 @@ object Sampling {
     * per (stratum, boundary-score). Strata absent from `budgets` get
     * `defaultBudget`.
     *
-    * Preconditions as [[selectTokenBudget]]; additionally `strataCol`
-    * non-null (a null stratum would need its own null-safe join — map it
-    * to a sentinel first).
+    * Preconditions as [[selectTokenBudget]]. NULL strata are first-class:
+    * they group, window, and join null-safely as their own stratum under
+    * `defaultBudget` (matching [[temperatureResample]]'s null-source
+    * handling) — an equi-join here would silently drop every null-stratum
+    * document while a plain-window oracle formulation keeps them.
     */
   def selectTokenBudgetPerKey(
       df: DataFrame,
@@ -320,15 +328,20 @@ object Sampling {
       .withColumn("__budget", budgetExpr)
       .localCheckpoint(false)
     val keepCls = cum.filter(col("__before") + col("__cls_tok") < col("__budget"))
-      .select(col("__strata"), col("__score"))
+      .select(col("__strata").as("__ks"), col("__score").as("__kc"))
     val boundCls = cum.filter(col("__before") < col("__budget") &&
         col("__before") + col("__cls_tok") >= col("__budget"))
-      .select(col("__strata"), col("__score"), col("__before"), col("__budget"))
-    val keptFull = base.join(broadcast(keepCls), Seq("__strata", "__score"))
+      .select(col("__strata").as("__bs"), col("__score").as("__bc"),
+        col("__before"), col("__budget"))
+    val keptFull = base.join(broadcast(keepCls),
+        col("__strata") <=> col("__ks") && col("__score") === col("__kc"))
+      .drop("__ks", "__kc")
     val wB = Window.partitionBy(col("__strata"), col("__score"))
       .orderBy(col("__h"), idCol)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val keptBoundary = base.join(broadcast(boundCls), Seq("__strata", "__score"))
+    val keptBoundary = base.join(broadcast(boundCls),
+        col("__strata") <=> col("__bs") && col("__score") === col("__bc"))
+      .drop("__bs", "__bc")
       .withColumn("__excl",
         col("__before") + coalesce(sum(col("__tok")).over(wB), lit(0L)))
       .filter(col("__excl") < col("__budget"))

@@ -223,6 +223,34 @@ class PlanShapeSpec extends SparkTestBase {
       "no corpus-wide global sort may appear")
   }
 
+  test("q116 per-key budget: no single-partition exchange, class joins broadcast") {
+    val p = plan("q116_budget_per_lang")
+    // every stage is partitioned by stratum — the per-key variant has no
+    // unpartitioned window at all (q114's tiny-histogram exception gone)
+    assert(!p.contains("Exchange SinglePartition"),
+      s"nothing may collapse to one partition:\n${p.take(900)}")
+    assert(p.contains("BroadcastHashJoin"), "class lists must broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("q118 edit-distance pairs: codegen generator (no interpreted HOF), one sig shuffle") {
+    val p = plan("q118_edit_dist_pairs")
+    // the deletion variants come from an explode generator + per-row CASE,
+    // never a transform() lambda (interpreted: measured 4.7 s vs 1.1 s)
+    assert(p.contains("Generate explode(sequence"),
+      s"signatures must come from the generator formulation:\n${p.take(900)}")
+    assert(!p.toLowerCase.contains("lambdafunction"),
+      "no interpreted higher-order lambda in the signature path")
+    // exactly ONE aggregate pass over the signature stream (the bucket
+    // build keyed on sig alone) — a distinct() on (id, sig) would
+    // shuffle the dominant stream a second time
+    assert(!p.linesIterator.exists(l =>
+        l.contains("HashAggregate(keys=[id#") && l.contains("sig#")),
+      "no (id, sig) distinct in the signature path")
+    assert(p.contains("partial_"), "bucket build must map-side combine")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q117 importance resample: bigram models partial-agg, no cartesian, generator output") {
     val p = plan("q117_importance_sample")
     assert(p.contains("partial_count"),

@@ -203,6 +203,24 @@ class SamplingSpec extends SparkTestBase {
     }
   }
 
+  test("selectTokenBudgetPerKey: null strata budget as their own stratum, never dropped") {
+    val df = (0L until 90L).map(i => (i, if (i % 3 == 0) null else s"k${i % 3}"))
+      .toDF("doc_id", "strata")
+      .withColumn("score", col("doc_id") % 5)
+      .withColumn("tok", lit(4L))
+    val kept = Sampling.selectTokenBudgetPerKey(df, col("doc_id"), col("strata"),
+        col("score"), col("tok"), budgets = Map.empty, defaultBudget = 40L)
+      .select("doc_id", "strata").collect()
+    // each of the three strata (incl. null) fills its own 40-token budget:
+    // 10 docs of 4 tokens each, with the boundary doc overshoot rule
+    val perStrata = kept.groupBy(r => Option(r.getString(1))).view.mapValues(_.length).toMap
+    assert(perStrata.keySet == Set(None, Some("k1"), Some("k2")),
+      s"null stratum must survive: $perStrata")
+    perStrata.foreach { case (k, n) =>
+      assert(n == 10, s"stratum $k: 40-token budget = 10 four-token docs, got $n")
+    }
+  }
+
   test("selectTokenBudget is partition-invariant and budget-bounded") {
     val docs = (0L until 500L).map(i => BDoc(i, i % 11, 3L + i % 13))
     val df = docs.toDF()
