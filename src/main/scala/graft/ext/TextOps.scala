@@ -425,14 +425,26 @@ object TextOps {
     * a non-negative numerator first (ppm diffs are ≥ −10⁶ by
     * construction); `scaleDiv` must divide 10⁶ for the shift to cancel.
     *
-    * Scale shape: one posexplode+lead bigram stream per side and one
-    * (w1,w2) aggregate per model (same shapes as q89 — swap the
-    * head-count window for a groupBy+broadcast join at web scale); the
-    * corpus stream equi-joins its own model (bigram vocab — may exceed
-    * broadcast size) and BROADCASTS the target model (a target sample is
-    * small by construction); one per-doc aggregate. All linear; the
-    * corpus is scanned twice (model pass + scoring pass) by the same
-    * two-pass necessity as [[graft.ext.Sampling.temperatureResample]].
+    * Scale shape: the bigram stream per side is a per-row 2-shingle
+    * projection + ONE explode — NOT q89's posexplode+lead formulation,
+    * whose per-doc window pays a doc_id shuffle on the full token
+    * stream per pass (twice here: model build + scoring). On the 1M-doc
+    * local probe the two shapes measure at parity (~17–19k docs/s: that
+    * ADVERSARIAL uniform-random corpus makes |model| ≈ |stream| ≈ 54M
+    * near-unique bigrams, so string-keyed model shuffles dominate
+    * either way — real Zipf text compresses the model by orders of
+    * magnitude); the shingle shape is kept for the structural cluster
+    * win of two fewer corpus-stream shuffles. Each model is one
+    * (bigram) aggregate, lazily checkpointed because TWO consumers
+    * derive from it — the ppm join and the head-count re-aggregate
+    * (computed FROM the counts table, never a second pass over the raw
+    * stream); heads attach with a plain equi-join on w1 (≈ |vocab| rows
+    * — AQE broadcasts when it fits). The corpus stream then equi-joins
+    * its own model on the bigram key and BROADCASTS the target model (a
+    * target sample is small by construction); one per-doc aggregate.
+    * All linear; the corpus is scanned twice (model pass + scoring
+    * pass) by the same two-pass necessity as
+    * [[graft.ext.Sampling.temperatureResample]].
     */
   def importanceWeights(
       docs: DataFrame,
@@ -444,26 +456,26 @@ object TextOps {
       maxMilli: Long = 5000L
   ): DataFrame = {
     require(1000000L % scaleDiv == 0, s"scaleDiv must divide 1e6: $scaleDiv")
-    import org.apache.spark.sql.expressions.Window
-    def bigrams(df: DataFrame): DataFrame = {
-      val wDoc = Window.partitionBy(col("id")).orderBy(col("pos"))
-      df.select(col(idCol).as("id"), posexplode(tokens(col(textCol))).as(Seq("pos", "w1")))
-        .withColumn("w2", lead(col("w1"), 1).over(wDoc))
-        .filter(col("w2").isNotNull)
-        .select(col("id"), col("w1"), col("w2"))
+    // bigram = 2-shingle string "w1 w2"; the token array is a NAMED
+    // column (posGramTable's binding boundary)
+    def bigrams(df: DataFrame): DataFrame =
+      df.select(col(idCol).as("id"), tokens(col(textCol)).as("__toks"))
+        .select(col("id"), explode(shinglesFromTokens(col("__toks"), 2)).as("bg"))
+        .select(col("id"), substring_index(col("bg"), " ", 1).as("w1"), col("bg"))
+    def model(bi: DataFrame, ppmName: String): DataFrame = {
+      val counts = bi.groupBy(col("w1"), col("bg")).agg(count(lit(1)).as("n"))
+        .localCheckpoint(false)
+      val heads = counts.groupBy(col("w1")).agg(sum(col("n")).as("n_head"))
+      counts.join(heads, Seq("w1"))
+        .withColumn(ppmName, floor(col("n") * 1000000L / col("n_head")).cast("long"))
+        .select(col("bg"), col(ppmName))
     }
-    def model(bi: DataFrame, ppmName: String): DataFrame =
-      bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
-        .withColumn(ppmName,
-          floor(col("n") * 1000000L / sum(col("n")).over(Window.partitionBy(col("w1"))))
-            .cast("long"))
-        .select(col("w1"), col("w2"), col(ppmName))
     val corpusBi = bigrams(docs)
-    val corpusModel = model(corpusBi.select(col("w1"), col("w2")), "ppm_c")
-    val targetModel = model(bigrams(target).select(col("w1"), col("w2")), "ppm_t")
+    val corpusModel = model(corpusBi.select(col("w1"), col("bg")), "ppm_c")
+    val targetModel = model(bigrams(target).select(col("w1"), col("bg")), "ppm_t")
     corpusBi
-      .join(corpusModel, Seq("w1", "w2"))
-      .join(broadcast(targetModel), Seq("w1", "w2"), "left")
+      .join(corpusModel, Seq("bg"))
+      .join(broadcast(targetModel), Seq("bg"), "left")
       .withColumn("__diff", coalesce(col("ppm_t"), lit(0L)) - col("ppm_c"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("__n"), sum(col("__diff")).as("__sum"))
