@@ -251,6 +251,117 @@ object StatefulOps {
       }
   }
 
+  case class SigDoc(id: Long, txt: String, sig: String, event_time: Timestamp)
+  case class SigSeen(id: Long, txt: String, horizonMs: Long)
+  case class SigHit(id: Long, first_id: Long, dist: Long)
+
+  /** Streaming edit-distance dedup at ingest — the streaming twin of
+    * `Dedup.editDistancePairs`, completing the pattern [[nearDupHits]]
+    * set for MinHash: each arriving document emits its FastSS deletion
+    * signatures (full-text md5 + one per delete-one-token variant, the
+    * same codegen generator formulation as the batch operator), keyed
+    * state per signature holds the CANONICAL (lowest-id) document seen,
+    * and a later arrival sharing a signature is verified in-operator
+    * with exact character levenshtein before a [[SigHit]] is emitted —
+    * so unlike [[nearDupHits]]' band hits (candidates), every emitted
+    * hit is a CONFIRMED ≤ `maxDist` revision of the canonical.
+    *
+    * Semantics: verification is against the signature bucket's canonical
+    * only (the keep-canonical ingest policy), not all prior arrivals —
+    * every hit is therefore also a `editDistancePairs` pair, but a doc
+    * within range of a NON-canonical bucket member alone goes unflagged
+    * (run the batch operator for all-pairs audits). A pair sharing
+    * several signatures emits one hit per shared signature (band-hit
+    * convention); distinct on (id, first_id) downstream if needed.
+    *
+    * State: one (id, text, horizon) per live signature — the TEXT rides
+    * in state for the in-operator verify, which is what bounds this to
+    * FastSS's short-string contract (titles, captions, queries) on top
+    * of the batch operator's O(tokens × chars) signature cost. Eviction
+    * is the same monotone event-time TTL horizon as [[nearDupHits]].
+    */
+  def editDistHits(
+      docs: DataFrame,
+      maxDist: Long = 10L,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      tsCol: String = "event_time",
+      watermarkDelay: String = "10 seconds",
+      ttlMs: Long = 3600000L
+  ): Dataset[SigHit] = {
+    import org.apache.spark.sql.functions._
+    import docs.sparkSession.implicits._
+    val base = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), col(textCol).as("txt"),
+        col(tsCol).as("event_time"), graft.ext.TextOps.tokens(col(textCol)).as("__toks"))
+    val sigs = base
+      .select(col("id"), col("txt"), col("event_time"), col("__toks"),
+        explode(sequence(lit(0), size(col("__toks")))).as("i"))
+      .select(col("id"), col("txt"), col("event_time"),
+        when(col("i") === 0, graft.functions.Hashing.fingerprint(col("txt")))
+          .otherwise(graft.functions.Hashing.fingerprint(concat_ws(" ",
+            concat(slice(col("__toks"), lit(1), col("i") - 1),
+              slice(col("__toks"), col("i") + 1, size(col("__toks")))))))
+          .as("sig"))
+      .withWatermark("event_time", watermarkDelay)
+      .as[SigDoc]
+    sigs
+      .groupByKey(_.sig)
+      .flatMapGroupsWithState[SigSeen, SigHit](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: String, rows: Iterator[SigDoc], state: GroupState[SigSeen]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val rs = rows.toSeq.sortBy(_.id)
+            var cur = state.getOption
+            val hits = rs.flatMap { r =>
+              val hit = cur match {
+                case Some(s) if s.id < r.id =>
+                  val d = StatefulOps.levenshtein(s.txt, r.txt)
+                  if (d <= maxDist) Some(SigHit(r.id, s.id, d)) else None
+                case _ => None
+              }
+              // duplicate skeletons of the SAME doc (repeated adjacent
+              // tokens) hit the equal-id guard above, never self-flag
+              if (cur.forall(_.id > r.id)) cur = Some(SigSeen(r.id, r.txt, 0L))
+              hit
+            }
+            // same monotone event-time TTL anchor as nearDupHits
+            val horizon = (state.getOption.map(_.horizonMs).toSeq ++
+              rs.map(_.event_time.getTime) :+ state.getCurrentWatermarkMs()).max
+            cur.foreach { c =>
+              state.update(SigSeen(c.id, c.txt, horizon))
+              state.setTimeoutTimestamp(horizon + ttlMs)
+            }
+            hits.iterator
+          }
+      }
+  }
+
+  /** Classic DP levenshtein, matching Spark's `levenshtein` function
+    * value-for-value (the batch parity spec pins this) — needed because
+    * the verify runs on JVM strings inside the state function.
+    */
+  private[streaming] def levenshtein(a: String, b: String): Long = {
+    if (a == b) return 0L
+    val (m, n) = (a.length, b.length)
+    var prev = Array.tabulate(n + 1)(identity)
+    val cur = new Array[Int](n + 1)
+    var i = 1
+    while (i <= m) {
+      cur(0) = i
+      var j = 1
+      while (j <= n) {
+        val cost = if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1
+        cur(j) = math.min(math.min(cur(j - 1) + 1, prev(j) + 1), prev(j - 1) + cost)
+        j += 1
+      }
+      val t = prev; System.arraycopy(cur, 0, t, 0, n + 1); prev = t
+      i += 1
+    }
+    prev(n).toLong
+  }
+
   /** [[sessionize]] re-expressed on Spark 4's `transformWithState`
     * arbitrary-state API (`StatefulProcessor` + typed `ValueState` +
     * explicit event-time timers) — same hold-until-watermark semantics,

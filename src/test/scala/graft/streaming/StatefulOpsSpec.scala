@@ -388,4 +388,81 @@ class StatefulOpsSpec extends SparkTestBase {
     } finally query.stop()
     assert(spark.table("dedup_out").count() == 2)
   }
+
+  test("editDistHits: verified revisions flag cross-batch, shared-sig-but-far docs rejected") {
+    val doc = "the quick brown fox jumps over the dog"
+    val oneSub = "the quick brown cat jumps over the dog"          // dist 3
+    val twoEdits = "a quick green fox jumps over the dog"           // 2 token edits
+    // shares the delete-second-token skeleton with `skelMate` but the
+    // differing tokens are long -> candidate that FAILS the verify
+    val skelBase = "anchor aaaaaaaaaaaaaaaaaaaa tail piece here"
+    val skelMate = "anchor bbbbbbbbbbbbbbbbbbbb tail piece here"    // dist 20
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)](spark)
+    val stream = mem.toDS().toDF("doc_id", "text", "event_time")
+    val query = StatefulOps.editDistHits(stream, maxDist = 10L,
+        watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("editdist_hits").outputMode("append").start()
+    try {
+      mem.addData(Seq((0L, doc, ts("2024-01-01 00:00:00")),
+        (5L, skelBase, ts("2024-01-01 00:00:01"))))
+      query.processAllAvailable()
+      mem.addData(Seq(
+        (1L, oneSub, ts("2024-01-01 00:01:00")),
+        (2L, doc, ts("2024-01-01 00:01:01")),      // exact copy
+        (3L, twoEdits, ts("2024-01-01 00:01:02")), // outside 1-edit recall
+        (6L, skelMate, ts("2024-01-01 00:01:03"))))// candidate, dist 20 > 10
+      query.processAllAvailable()
+    } finally query.stop()
+    val hits = spark.table("editdist_hits").as[StatefulOps.SigHit].collect()
+    val byId = hits.map(h => h.id -> (h.first_id, h.dist)).distinct.groupBy(_._1)
+    assert(byId(1L).toSet == Set(1L -> (0L, 3L)), s"one-sub revision: ${byId.get(1L)}")
+    // the exact copy shares EVERY signature -> one hit per signature, dist 0
+    assert(byId(2L).toSet == Set(2L -> (0L, 0L)))
+    assert(hits.count(_.id == 2L) == doc.split(" ").length + 1)
+    // two-token edits share no deletion skeleton with doc 0
+    assert(!byId.contains(3L), s"outside the 1-edit contract: ${byId.get(3L)}")
+    // shared-skeleton candidate fails the in-operator levenshtein verify
+    assert(!byId.contains(6L), s"verify must reject dist-20: ${byId.get(6L)}")
+    assert(!byId.contains(0L) && !byId.contains(5L))
+  }
+
+  test("editDistHits: single-batch hits are a subset of the batch editDistancePairs") {
+    val docs = Seq(
+      (10L, "alpha beta gamma delta"),
+      (11L, "alpha beta gamma delta"),
+      (12L, "alpha beta gamma zeta"),
+      (13L, "totally different words here"),
+      (14L, "alpha beta gamma delta extra"))
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)](spark)
+    val stream = mem.toDS().toDF("doc_id", "text", "event_time")
+    val query = StatefulOps.editDistHits(stream, maxDist = 10L,
+        watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("editdist_parity").outputMode("append").start()
+    try {
+      mem.addData(docs.map { case (i, t) => (i, t, ts("2024-01-01 00:00:00")) })
+      query.processAllAvailable()
+    } finally query.stop()
+    val streamHits = spark.table("editdist_parity").as[StatefulOps.SigHit]
+      .collect().map(h => (h.first_id, h.id, h.dist)).distinct.toSet
+    val batchPairs = graft.ext.Dedup.editDistancePairs(
+        docs.toDF("doc_id", "text"), maxDist = 10L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamHits.subsetOf(batchPairs),
+      s"every verified hit must be a batch pair: ${streamHits -- batchPairs}")
+    // the canonical-vs-all policy still finds each doc's dup of record
+    assert(streamHits.contains((10L, 11L, 0L)) && streamHits.contains((10L, 12L, 2L)))
+  }
+
+  test("editDistHits JVM levenshtein matches Spark's function") {
+    val cases = Seq(("", ""), ("a", ""), ("", "abc"), ("kitten", "sitting"),
+      ("gamma", "delta"), ("the quick brown fox", "the quick brown cat"),
+      ("abcabc", "cbacba"))
+    val fromSpark = cases.toDF("a", "b")
+      .select(org.apache.spark.sql.functions.levenshtein(
+        org.apache.spark.sql.functions.col("a"),
+        org.apache.spark.sql.functions.col("b")).cast("long"))
+      .as[Long].collect().toSeq
+    val fromJvm = cases.map { case (a, b) => StatefulOps.levenshtein(a, b) }
+    assert(fromJvm == fromSpark)
+  }
 }
