@@ -1370,6 +1370,114 @@ object OracleSql {
          |SELECT doc_id, source, quality_ppm, src_quality_ppm,
          |  src_quality_ppm >= 650000 AS kept
          |FROM q JOIN r ON q.source IS NOT DISTINCT FROM r.src
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+
+    // gram doc-frequency -> covered-index union -> token-level scrub,
+    // all recomputed from the raw text; fully-scrubbed docs COALESCE to
+    // '' (Spark's concat_ws over an empty kept-token array)
+    "q119_boilerplate_scrub" ->
+      """WITH d AS (SELECT doc_id, text, string_split(text,' ') AS l FROM documents),
+        | g AS (SELECT doc_id AS id, unnest(list_transform(generate_series(1, len(l)-7),
+        |     i -> struct_pack(pos := i-1,
+        |       sh := list_aggregate(l[i:i+7], 'string_agg', ' ')))) AS e
+        |   FROM d),
+        | df AS (SELECT (e).sh AS sh FROM g GROUP BY 1
+        |   HAVING count(distinct id) >= 2),
+        | hits AS (SELECT id, (e).pos AS pos FROM g JOIN df ON (e).sh = df.sh),
+        | cov AS (SELECT DISTINCT id, unnest(generate_series(pos, pos+7)) AS ti
+        |   FROM hits),
+        | cl AS (SELECT id, list(ti) AS ixs FROM cov GROUP BY id)
+        |SELECT d.doc_id,
+        |  CASE WHEN cl.ixs IS NULL THEN d.text
+        |    ELSE COALESCE(list_aggregate(list_transform(
+        |      list_filter(generate_series(1, len(d.l)),
+        |        i -> NOT list_contains(cl.ixs, i-1)),
+        |      i -> d.l[i]), 'string_agg', ' '), '') END AS text,
+        |  CAST(COALESCE(len(cl.ixs), 0) AS BIGINT) AS n_removed
+        |FROM d LEFT JOIN cl ON d.doc_id = cl.id
+        |ORDER BY doc_id""".stripMargin,
+
+    // same noisy-URL construction, then the canonicalization chain in
+    // RE2: fragment -> lowercase authority (port-stripped, \1 backref)
+    // -> tracking params ('g' flag: DuckDB replaces first-only by
+    // default, Spark replaces all) -> separator cleanup -> slash
+    "q120_url_canonical" ->
+      """WITH b AS (SELECT doc_id,
+        |   CASE WHEN doc_id % 2 = 0
+        |     THEN 'HTTP://WWW.Site' || CAST(doc_id % 5 AS VARCHAR) || '.Example.COM'
+        |     ELSE 'http://www.site' || CAST(doc_id % 5 AS VARCHAR) || '.example.com' END
+        |   || CASE WHEN doc_id % 4 = 0 THEN ':80' ELSE '' END
+        |   || '/Page/' || CAST(doc_id % 7 AS VARCHAR)
+        |   || CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END
+        |   || CASE WHEN doc_id % 4 = 1 THEN '?utm_source=feed&ref=' || CAST(doc_id % 3 AS VARCHAR)
+        |        WHEN doc_id % 4 = 2 THEN '?ref=' || CAST(doc_id % 3 AS VARCHAR)
+        |          || '&fbclid=x' || CAST(doc_id AS VARCHAR)
+        |        WHEN doc_id % 4 = 3 THEN '?gclid=y' || CAST(doc_id AS VARCHAR)
+        |        ELSE '' END
+        |   || CASE WHEN doc_id % 5 = 0 THEN '#sec' || CAST(doc_id AS VARCHAR) ELSE '' END
+        |     AS raw_url FROM documents),
+        | f AS (SELECT doc_id, raw_url,
+        |   regexp_replace(raw_url, '#.*', '', 'g') AS u0 FROM b),
+        | a AS (SELECT doc_id, raw_url, u0,
+        |   regexp_extract(u0, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*') AS auth FROM f),
+        | j AS (SELECT doc_id, raw_url,
+        |   regexp_replace(regexp_replace(lower(auth),
+        |       '^(http://[^/:]*):80$', '\1'), '^(https://[^/:]*):443$', '\1')
+        |     || substr(u0, len(auth) + 1) AS u1 FROM a),
+        | t AS (SELECT doc_id, raw_url,
+        |   regexp_replace(regexp_replace(regexp_replace(regexp_replace(u1,
+        |     '(?:utm_[A-Za-z]+|fbclid|gclid)=[^&#]*&?', '', 'g'),
+        |     '\?&', '?', 'g'), '[?&]+$', '', 'g'), '/$', '', 'g') AS canonical_url
+        |   FROM j)
+        |SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_raw,
+        |  CAST(count(DISTINCT raw_url) AS BIGINT) AS n_distinct_raw,
+        |  min(doc_id) AS min_doc
+        |FROM t GROUP BY 1 ORDER BY canonical_url""".stripMargin,
+
+    // lag-collapse (null-safe IS DISTINCT FROM, (ts, event_id)
+    // tie-break) then lead-close — the textbook SCD2 window build
+    "q121_scd2" ->
+      """WITH o AS (SELECT user_id, ts, event_type, event_id,
+        |   lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+        |   row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        | c AS (SELECT user_id, ts, event_type, event_id FROM o
+        |   WHERE rn = 1 OR event_type IS DISTINCT FROM prev),
+        | v AS (SELECT user_id, event_type, ts AS valid_from,
+        |   lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+        |  FROM c)
+        |SELECT user_id, event_type, valid_from, valid_to,
+        |  valid_to IS NULL AS is_current
+        |FROM v ORDER BY user_id, valid_from""".stripMargin,
+
+    // chained filtered-min joins: each stage's earliest time strictly
+    // after the previous stage's chosen time
+    "q122_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS view_ts FROM events
+        |   WHERE event_type = 'view' GROUP BY 1),
+        | s2 AS (SELECT e.user_id, min(e.ts) AS click_ts FROM events e
+        |   JOIN s1 ON e.user_id = s1.user_id
+        |   WHERE e.event_type = 'click' AND e.ts > s1.view_ts GROUP BY 1),
+        | s3 AS (SELECT e.user_id, min(e.ts) AS purchase_ts FROM events e
+        |   JOIN s2 ON e.user_id = s2.user_id
+        |   WHERE e.event_type = 'purchase' AND e.ts > s2.click_ts GROUP BY 1)
+        |SELECT s1.user_id, view_ts, click_ts, purchase_ts,
+        |  CAST(1 + CASE WHEN click_ts IS NULL THEN 0 ELSE 1 END
+        |         + CASE WHEN purchase_ts IS NULL THEN 0 ELSE 1 END AS BIGINT) AS depth
+        |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+        |  LEFT JOIN s3 ON s1.user_id = s3.user_id
+        |ORDER BY s1.user_id""".stripMargin,
+
+    // Monday-truncated weeks in both engines; offsets are exact
+    // multiples of 7 days by construction
+    "q123_retention" ->
+      """WITH a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+        |   FROM events),
+        | c AS (SELECT user_id, min(week) AS cohort_week FROM a GROUP BY 1)
+        |SELECT cohort_week,
+        |  CAST(date_diff('day', cohort_week, a.week) // 7 AS BIGINT) AS week_offset,
+        |  CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+        |FROM a JOIN c ON a.user_id = c.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

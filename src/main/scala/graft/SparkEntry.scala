@@ -8,7 +8,7 @@ import org.apache.spark.sql.types.DecimalType
 import graft.core.Tables
 import graft.ext.{Bmff, Dedup, Multimodal, Quantize, Sampling, SimSearch, TextOps}
 import graft.functions.{Hashing, VectorOps}
-import graft.ops.{AsOfJoin, SensorOps, Snapshot, Windows}
+import graft.ops.{AsOfJoin, Behavior, SensorOps, Snapshot, Windows}
 
 /** Driver contract (SURVEY.md §5, §7): one query per implemented operator,
   * each with an ANSI-SQL DuckDB oracle over the same parquet tables.
@@ -650,6 +650,99 @@ object SparkEntry {
       .select("doc_id", "lang", "quality_ppm", "n_tokens")
       .orderBy("doc_id")
   }
+
+  /** Cross-document boilerplate scrub under the oracle gate — promotes
+    * the until-now spec-only [[Dedup.duplicateSpans]] +
+    * [[Dedup.scrubDuplicateSpans]] pair: every 8-token gram shared by
+    * ≥ 2 distinct docs is boilerplate, its merged spans are excised from
+    * EVERY copy, and the surviving text is re-assembled. The oracle
+    * rebuilds the gram doc-frequency table, the covered-index union, and
+    * the token-level scrub in SQL, so a span off by one token anywhere
+    * breaks the hash. Spans are lazily checkpointed because two
+    * consumers (the scrub and the removed-token accounting) share them.
+    */
+  private def q119(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    val spans = Dedup.duplicateSpans(docs, k = 8, minDocs = 2).localCheckpoint(false)
+    val removed = spans.groupBy(col("id").as("doc_id"))
+      .agg(sum(col("n_tokens")).as("n_removed"))
+    Dedup.scrubDuplicateSpans(docs, spans)
+      .join(removed, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("text"),
+        coalesce(col("n_removed"), lit(0L)).cast("long").as("n_removed"))
+      .orderBy("doc_id")
+  }
+
+  /** URL canonicalization + canonical-key dedup ([[TextOps.canonicalUrl]]):
+    * deterministic noisy URLs (mixed-case authority, default ports,
+    * utm/fbclid/gclid tracking params, fragments, trailing slashes) are
+    * synthesized per doc, then grouped by canonical form — variants that
+    * differ only in normalized noise MUST merge, and the oracle rebuilds
+    * the full regex chain in RE2, so any canonicalization divergence
+    * between the engines breaks the hash.
+    */
+  private def q120(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val raw = concat(
+      when(d % 2 === 0,
+        concat(lit("HTTP://WWW.Site"), (d % 5).cast("string"), lit(".Example.COM")))
+        .otherwise(
+          concat(lit("http://www.site"), (d % 5).cast("string"), lit(".example.com"))),
+      when(d % 4 === 0, lit(":80")).otherwise(lit("")),
+      lit("/Page/"), (d % 7).cast("string"),
+      when(d % 3 === 0, lit("/")).otherwise(lit("")),
+      when(d % 4 === 1, concat(lit("?utm_source=feed&ref="), (d % 3).cast("string")))
+        .when(d % 4 === 2,
+          concat(lit("?ref="), (d % 3).cast("string"), lit("&fbclid=x"), d.cast("string")))
+        .when(d % 4 === 3, concat(lit("?gclid=y"), d.cast("string")))
+        .otherwise(lit("")),
+      when(d % 5 === 0, concat(lit("#sec"), d.cast("string"))).otherwise(lit("")))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), raw.as("raw_url"))
+      .select(col("doc_id"), col("raw_url"),
+        TextOps.canonicalUrl(col("raw_url")).as("canonical_url"))
+      .groupBy("canonical_url")
+      .agg(count(lit(1)).as("n_raw"),
+        count_distinct(col("raw_url")).as("n_distinct_raw"),
+        min(col("doc_id")).as("min_doc"))
+      .orderBy("canonical_url")
+  }
+
+  /** SCD Type-2 dimension build ([[Behavior.scdType2]]) over the event
+    * log: per-user event_type change history collapsed into validity
+    * intervals. The oracle runs the textbook lag-collapse + lead-close
+    * window formulation; the operator's single-sort two-window plan must
+    * reproduce it row for row, including null-safe attr comparison and
+    * the (ts, event_id) tie-break.
+    */
+  private def q121(s: SparkSession, dir: String): DataFrame =
+    Behavior.scdType2(Tables.events(s, dir),
+        col("user_id"), col("ts"), col("event_type"), col("event_id"))
+      .select(col("key").as("user_id"), col("attr").as("event_type"),
+        col("valid_from"), col("valid_to"), col("is_current"))
+      .orderBy("user_id", "valid_from")
+
+  /** Ordered-sequence funnel ([[Behavior.funnel]]): view → click →
+    * purchase, each stage's time the earliest STRICTLY AFTER the
+    * previous stage's. The oracle recomputes the chained filtered-min
+    * joins; `depth` counts reached stages.
+    */
+  private def q122(s: SparkSession, dir: String): DataFrame =
+    Behavior.funnel(Tables.events(s, dir),
+        col("user_id"), col("ts"), col("event_type"),
+        Seq("view", "click", "purchase"))
+      .select(col("user").as("user_id"), col("t1").as("view_ts"),
+        col("t2").as("click_ts"), col("t3").as("purchase_ts"), col("depth"))
+      .orderBy("user_id")
+
+  /** Weekly cohort retention ([[Behavior.retentionCohorts]]): cohort by
+    * ISO week of first event, count distinct active users per
+    * (cohort_week, week_offset) cell. Both engines truncate weeks to
+    * Monday, so the grid matches exactly.
+    */
+  private def q123(s: SparkSession, dir: String): DataFrame =
+    Behavior.retentionCohorts(Tables.events(s, dir), col("user_id"), col("ts"))
+      .orderBy("cohort_week", "week_offset")
 
   /** Edit-distance near-dup pairs under the oracle gate: the FastSS
     * deletion-neighborhood blocking AND the exact levenshtein verify are
@@ -1715,7 +1808,12 @@ object SparkEntry {
     "q115_source_reputation" -> q115 _,
     "q116_budget_per_lang" -> q116 _,
     "q117_importance_sample" -> q117 _,
-    "q118_edit_dist_pairs" -> q118 _
+    "q118_edit_dist_pairs" -> q118 _,
+    "q119_boilerplate_scrub" -> q119 _,
+    "q120_url_canonical" -> q120 _,
+    "q121_scd2" -> q121 _,
+    "q122_funnel" -> q122 _,
+    "q123_retention" -> q123 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

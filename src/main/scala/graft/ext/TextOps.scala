@@ -277,6 +277,35 @@ object TextOps {
       .otherwise(concat_ws(".", element_at(parts, -2), element_at(parts, -1)))
   }
 
+  /** Canonical URL form for URL-level dedup — the normalization every
+    * web-crawl pipeline runs before treating URLs as document keys:
+    * drop the fragment, lowercase the scheme+authority (path case is
+    * preserved — it is significant on real servers), strip default
+    * ports (`:80` http / `:443` https), remove tracking parameters
+    * (`utm_*`, `fbclid`, `gclid`), collapse the dangling `?`/`&`
+    * separators the removal leaves behind, and drop one trailing
+    * slash. Pure regexp_replace/regexp_extract chain — codegen end to
+    * end, no UDF, no shuffle — written lookbehind/backtracking-free so
+    * Java regex here and RE2 in the DuckDB oracle accept the same
+    * language (the only replacement backreference, `$1`, is spelled
+    * `\1` on the DuckDB side).
+    */
+  def canonicalUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*", "")
+    val auth = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*", 0)
+    val authLower = lower(auth)
+    val authNoPort = regexp_replace(
+      regexp_replace(authLower, "^(http://[^/:]*):80$", "$1"),
+      "^(https://[^/:]*):443$", "$1")
+    val rest = noFrag.substr(length(auth) + 1, length(noFrag))
+    val joined = concat(authNoPort, rest)
+    val noTrack = regexp_replace(joined,
+      "(?:utm_[A-Za-z]+|fbclid|gclid)=[^&#]*&?", "")
+    val fixedSep = regexp_replace(noTrack, "\\?&", "?")
+    val noDangle = regexp_replace(fixedSep, "[?&]+$", "")
+    regexp_replace(noDangle, "/$", "")
+  }
+
   /** HTML/XML-ish markup removal for web-corpus text: tags → space, the
     * five predefined character entities unescaped, whitespace collapsed.
     * Tag pattern is `<[^>]*>` (plain classes — Java regex and RE2 agree);

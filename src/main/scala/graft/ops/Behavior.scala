@@ -1,0 +1,131 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-log analytics over an append-only interaction log — the
+  * warehouse workloads (slowly-changing dimensions, funnel conversion,
+  * cohort retention) that turn the reference's raw telemetry stream
+  * (`PythonKafkaSink/main.py:13-18`) into longitudinal facts. All three
+  * operators shuffle exactly once, on the entity key — at 100 TB the
+  * event log is naturally bucketed by that key, so every shape below
+  * co-locates and the window/agg phases run shuffle-free.
+  */
+object Behavior {
+
+  /** Slowly-changing-dimension Type 2 build: collapse an ordered change
+    * log into validity intervals per key. Rows whose tracked attribute
+    * equals the previous row's (per key, ordered by `tsCol` then
+    * `seqCol` for determinism under equal timestamps) are change-log
+    * noise and collapse away; each surviving row opens an interval
+    * `[valid_from, valid_to)` closed by the NEXT surviving change, with
+    * the latest interval open (`valid_to` NULL, `is_current` true).
+    *
+    * Output: `(key, attr, valid_from, valid_to, is_current)`.
+    *
+    * Scale shape: one shuffle on the key; both windows (the lag-based
+    * change collapse and the lead-based interval close) share the same
+    * partitioning and ordering, so Catalyst plans a single sort + two
+    * window phases over it — no second exchange. Key cardinality bounds
+    * partition size (an entity's history, not the corpus).
+    */
+  def scdType2(
+      changes: DataFrame,
+      keyCol: Column,
+      tsCol: Column,
+      attrCol: Column,
+      seqCol: Column
+  ): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(tsCol, seqCol)
+    val collapsed = changes
+      .select(keyCol.as("key"), tsCol.as("ts"), attrCol.as("attr"), seqCol.as("seq"))
+      .withColumn("__prev", lag(col("attr"), 1).over(
+        Window.partitionBy(col("key")).orderBy(col("ts"), col("seq"))))
+      // null-safe: first row per key has __prev NULL and must survive
+      // even when attr is NULL too — presence, not value, opens it
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("key")).orderBy(col("ts"), col("seq"))))
+      .filter(col("__rn") === 1 || !(col("attr") <=> col("__prev")))
+    val w2 = Window.partitionBy(col("key")).orderBy(col("ts"), col("seq"))
+    collapsed
+      .withColumn("valid_to", lead(col("ts"), 1).over(w2))
+      .select(col("key"), col("attr"), col("ts").as("valid_from"),
+        col("valid_to"), col("valid_to").isNull.as("is_current"))
+  }
+
+  /** Ordered-sequence funnel: for each user, the earliest time of each
+    * stage STRICTLY AFTER the previous stage's chosen time (the
+    * standard "first conversion path", not any-order co-occurrence).
+    * Returns one row per user that reached stage 1, with one nullable
+    * timestamp column per stage (named `t1..tN` in stage order) and
+    * `depth` = number of stages reached.
+    *
+    * Scale shape: stage k is a filtered min-aggregate on the user key
+    * joined back to the stage-(k-1) frontier — every shuffle is on the
+    * same key, so with AQE (or bucketing on user) the exchanges reuse
+    * one partitioning; the frontier shrinks monotonically, and each
+    * events pass is pre-filtered to ONE stage's type before the
+    * shuffle, so map-side partial aggregation sees only that slice.
+    */
+  def funnel(
+      events: DataFrame,
+      userCol: Column,
+      tsCol: Column,
+      typeCol: Column,
+      stages: Seq[String]
+  ): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val base = events.select(userCol.as("user"), tsCol.as("ts"), typeCol.as("et"))
+    val first = base.filter(col("et") === stages.head)
+      .groupBy("user").agg(min("ts").as("t1"))
+    val full = stages.zipWithIndex.drop(1).foldLeft(first) {
+      case (acc, (stage, i)) =>
+        val prev = s"t$i"
+        val cur = s"t${i + 1}"
+        val next = base.filter(col("et") === stage)
+          .join(acc.select(col("user"), col(prev)), Seq("user"))
+          .filter(col("ts") > col(prev))
+          .groupBy("user").agg(min("ts").as(cur))
+          .select(col("user"), col(cur))
+        acc.join(next, Seq("user"), "left")
+    }
+    val depth = stages.indices
+      .map(i => when(col(s"t${i + 1}").isNotNull, 1L).otherwise(0L))
+      .reduce(_ + _)
+    full.withColumn("depth", depth)
+  }
+
+  /** Weekly cohort retention: users are cohorted by the ISO week of
+    * their first event; the output counts, for every (cohort_week,
+    * week_offset) cell, the distinct users from that cohort active in
+    * that week. `week_offset` 0 is the cohort week itself, so every
+    * cohort's offset-0 cell equals its size.
+    *
+    * Output: `(cohort_week, week_offset, n_users)`.
+    *
+    * Scale shape: first-seen is a min-aggregate on the user key; the
+    * (user, week) activity grid is a distinct on the same key plus the
+    * truncated week (map-side partial dedup takes the bulk), and the
+    * final cell count groups a frame already reduced to user×week —
+    * orders of magnitude below the raw log. All shuffles key on user
+    * until the last tiny cell aggregation.
+    */
+  def retentionCohorts(
+      events: DataFrame,
+      userCol: Column,
+      tsCol: Column
+  ): DataFrame = {
+    val activity = events
+      .select(userCol.as("user"), date_trunc("week", tsCol).as("week"))
+      .distinct()
+    val cohort = activity.groupBy("user").agg(min("week").as("cohort_week"))
+    activity.join(cohort, Seq("user"))
+      .select(col("user"), col("cohort_week"),
+        // weeks are truncation-aligned, so the day diff is an exact
+        // multiple of 7 and the division is exact
+        (datediff(col("week"), col("cohort_week")) / 7).cast("long").as("week_offset"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(count_distinct(col("user")).as("n_users"))
+  }
+}

@@ -333,4 +333,26 @@ class TextOpsSpec extends SparkTestBase {
     assert(means.size == 3, s"one mean per source incl. null: $means")
     assert(means(Some("goodsite")) > means(Some("spamfarm")))
   }
+
+  test("canonicalUrl: case, ports, tracking params, fragments, slashes") {
+    def canon(u: String): String =
+      one[String](TextOps.canonicalUrl(col("text")), u)
+    // authority lowercases + default https port drops; PATH case survives
+    assert(canon("HTTPS://WWW.Ex.COM:443/Path/?utm_source=a&b=1#f")
+      == "https://www.ex.com/Path/?b=1")
+    // default http port; trailing slash
+    assert(canon("http://Ex.com:80/a/") == "http://ex.com/a")
+    // sole tracking param leaves no dangling '?'
+    assert(canon("http://ex.com/a?gclid=z123") == "http://ex.com/a")
+    // tracking param LAST leaves no dangling '&'
+    assert(canon("http://ex.com/a?x=1&utm_campaign=c") == "http://ex.com/a?x=1")
+    // tracking param FIRST keeps the following real param
+    assert(canon("http://ex.com/a?fbclid=q&x=1") == "http://ex.com/a?x=1")
+    // non-default port survives; path case preserved
+    assert(canon("http://EX.com:8080/CaseSensitive") ==
+      "http://ex.com:8080/CaseSensitive")
+    // already-canonical URLs are fixpoints
+    val fix = "http://ex.com/a?x=1"
+    assert(canon(canon(fix)) == canon(fix))
+  }
 }

@@ -1,0 +1,97 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class BehaviorSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("scdType2 collapses repeats and closes intervals with the next change") {
+    val log = Seq(
+      (1L, ts("2026-01-01 00:00:00"), "a", 1L),
+      (1L, ts("2026-01-02 00:00:00"), "a", 2L), // repeat -> collapses
+      (1L, ts("2026-01-03 00:00:00"), "b", 3L),
+      (1L, ts("2026-01-04 00:00:00"), "b", 4L), // repeat -> collapses
+      (1L, ts("2026-01-05 00:00:00"), "a", 5L), // back to a: NEW interval
+      (2L, ts("2026-01-01 00:00:00"), null, 1L) // null attr opens fine
+    ).toDF("user_id", "ts", "event_type", "event_id")
+    val got = Behavior.scdType2(log,
+        col("user_id"), col("ts"), col("event_type"), col("event_id"))
+      .orderBy("key", "valid_from")
+      .as[(Long, String, Timestamp, Option[Timestamp], Boolean)].collect().toSeq
+    assert(got == Seq(
+      (1L, "a", ts("2026-01-01 00:00:00"), Some(ts("2026-01-03 00:00:00")), false),
+      (1L, "b", ts("2026-01-03 00:00:00"), Some(ts("2026-01-05 00:00:00")), false),
+      (1L, "a", ts("2026-01-05 00:00:00"), None, true),
+      (2L, null, ts("2026-01-01 00:00:00"), None, true)))
+  }
+
+  test("scdType2 breaks equal-timestamp ties deterministically on seq") {
+    val log = Seq(
+      (1L, ts("2026-01-01 00:00:00"), "y", 2L),
+      (1L, ts("2026-01-01 00:00:00"), "x", 1L)
+    ).toDF("user_id", "ts", "event_type", "event_id")
+    val got = Behavior.scdType2(log,
+        col("user_id"), col("ts"), col("event_type"), col("event_id"))
+      .orderBy("valid_from", "attr")
+      .select("attr", "is_current").as[(String, Boolean)].collect().toSeq
+    // seq order x then y: x's interval closes at the same instant,
+    // y stays current
+    assert(got == Seq(("x", false), ("y", true)))
+  }
+
+  test("funnel: stages must occur strictly in order; depth counts reached stages") {
+    val ev = Seq(
+      // full path
+      (1L, ts("2026-01-01 10:00:00"), "view"),
+      (1L, ts("2026-01-01 11:00:00"), "click"),
+      (1L, ts("2026-01-01 12:00:00"), "purchase"),
+      // click BEFORE the first view: doesn't count
+      (2L, ts("2026-01-01 09:00:00"), "click"),
+      (2L, ts("2026-01-01 10:00:00"), "view"),
+      // no view at all: excluded
+      (3L, ts("2026-01-01 10:00:00"), "click"),
+      // purchase without a click: stops at depth 1
+      (4L, ts("2026-01-01 10:00:00"), "view"),
+      (4L, ts("2026-01-01 11:00:00"), "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val got = Behavior.funnel(ev, col("user_id"), col("ts"), col("event_type"),
+        Seq("view", "click", "purchase"))
+      .orderBy("user")
+      .select("user", "depth").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 3L), (2L, 1L), (4L, 1L)))
+  }
+
+  test("funnel picks the EARLIEST qualifying time per stage") {
+    val ev = Seq(
+      (1L, ts("2026-01-01 10:00:00"), "view"),
+      (1L, ts("2026-01-01 10:30:00"), "click"),
+      (1L, ts("2026-01-01 11:00:00"), "click") // later click ignored
+    ).toDF("user_id", "ts", "event_type")
+    val got = Behavior.funnel(ev, col("user_id"), col("ts"), col("event_type"),
+        Seq("view", "click"))
+      .select("t2").as[Timestamp].collect().head
+    assert(got == ts("2026-01-01 10:30:00"))
+  }
+
+  test("retentionCohorts: offset-0 cell equals cohort size; offsets are week-exact") {
+    // 2026-01-05 and 2026-01-12 are Mondays
+    val ev = Seq(
+      (1L, ts("2026-01-05 10:00:00")), // u1 cohort W0
+      (1L, ts("2026-01-07 10:00:00")), // same week, dedups
+      (1L, ts("2026-01-14 10:00:00")), // active W1
+      (2L, ts("2026-01-06 10:00:00")), // u2 cohort W0, never again
+      (3L, ts("2026-01-12 10:00:00")) // u3 cohort W1
+    ).toDF("user_id", "ts")
+    val got = Behavior.retentionCohorts(ev, col("user_id"), col("ts"))
+      .orderBy("cohort_week", "week_offset")
+      .as[(Timestamp, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (ts("2026-01-05 00:00:00"), 0L, 2L),
+      (ts("2026-01-05 00:00:00"), 1L, 1L),
+      (ts("2026-01-12 00:00:00"), 0L, 1L)))
+  }
+}
