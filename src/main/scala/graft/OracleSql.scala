@@ -1478,6 +1478,51 @@ object OracleSql {
         |  CAST(date_diff('day', cohort_week, a.week) // 7 AS BIGINT) AS week_offset,
         |  CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
         |FROM a JOIN c ON a.user_id = c.user_id
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // three unrolled integer-ppm PageRank rounds; // (floor) mirrors
+    // Spark's DIV on the all-positive ranks, sum() promotes to HUGEINT
+    // so 85*s never overflows before the CAST back
+    "q124_pagerank" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+        | e AS (SELECT doc_id AS src, (doc_id*7+1) % nn.n AS dst FROM documents, nn
+        |   UNION ALL SELECT doc_id, (doc_id*13+5) % nn.n FROM documents, nn
+        |   UNION ALL SELECT doc_id, (doc_id*31+11) % nn.n FROM documents, nn),
+        | od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+        | nd AS (SELECT DISTINCT src AS node FROM e
+        |   UNION SELECT DISTINCT dst FROM e),
+        | r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nd),
+        | c1 AS (SELECT e.dst AS node, sum(r0.r // od.outdeg) AS s FROM e
+        |   JOIN r0 ON e.src = r0.node JOIN od ON e.src = od.src GROUP BY 1),
+        | r1 AS (SELECT nd.node,
+        |   CAST(150000 + (85 * COALESCE(c1.s, 0)) // 100 AS BIGINT) AS r
+        |   FROM nd LEFT JOIN c1 USING (node)),
+        | c2 AS (SELECT e.dst AS node, sum(r1.r // od.outdeg) AS s FROM e
+        |   JOIN r1 ON e.src = r1.node JOIN od ON e.src = od.src GROUP BY 1),
+        | r2 AS (SELECT nd.node,
+        |   CAST(150000 + (85 * COALESCE(c2.s, 0)) // 100 AS BIGINT) AS r
+        |   FROM nd LEFT JOIN c2 USING (node)),
+        | c3 AS (SELECT e.dst AS node, sum(r2.r // od.outdeg) AS s FROM e
+        |   JOIN r2 ON e.src = r2.node JOIN od ON e.src = od.src GROUP BY 1),
+        | r3 AS (SELECT nd.node,
+        |   CAST(150000 + (85 * COALESCE(c3.s, 0)) // 100 AS BIGINT) AS r
+        |   FROM nd LEFT JOIN c3 USING (node))
+        |SELECT node AS doc_id, r AS rank_ppm FROM r3 ORDER BY doc_id""".stripMargin,
+
+    // q37's cosine with the different-label predicate; null labels out
+    // on both sides
+    "q125_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv, label AS qlabel
+         |   FROM embeddings WHERE vec_id < 5 AND label IS NOT NULL),
+         | c AS (SELECT vec_id AS vid, embedding::DOUBLE[] AS cv, label AS clabel
+         |   FROM embeddings WHERE label IS NOT NULL),
+         | s AS (SELECT qid, vid, clabel, $cosExpr AS cos FROM q, c
+         |   WHERE qlabel <> clabel),
+         | r AS (SELECT qid, vid, clabel, cos,
+         |   CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS BIGINT)
+         |     AS "rank" FROM s)
+         |SELECT qid, vid, CAST(clabel AS BIGINT) AS neg_label,
+         |  round(cos, 6) AS cos, "rank"
+         |FROM r WHERE "rank" <= 10 ORDER BY qid, "rank"""".stripMargin
   )
 }

@@ -8,7 +8,7 @@ import org.apache.spark.sql.types.DecimalType
 import graft.core.Tables
 import graft.ext.{Bmff, Dedup, Multimodal, Quantize, Sampling, SimSearch, TextOps}
 import graft.functions.{Hashing, VectorOps}
-import graft.ops.{AsOfJoin, Behavior, SensorOps, Snapshot, Windows}
+import graft.ops.{AsOfJoin, Behavior, Graph, SensorOps, Snapshot, Windows}
 
 /** Driver contract (SURVEY.md §5, §7): one query per implemented operator,
   * each with an ANSI-SQL DuckDB oracle over the same parquet tables.
@@ -743,6 +743,40 @@ object SparkEntry {
   private def q123(s: SparkSession, dir: String): DataFrame =
     Behavior.retentionCohorts(Tables.events(s, dir), col("user_id"), col("ts"))
       .orderBy("cohort_week", "week_offset")
+
+  /** Integer-ppm PageRank ([[Graph.pageRankPpm]]) over a deterministic
+    * synthetic link graph (3 affine-mod out-links per doc — the q65/q120
+    * fixture-synthesis pattern). Every rank update is BIGINT floor
+    * arithmetic, so three unrolled iterations in the oracle reproduce
+    * the distributed loop bit for bit — float PageRank could never
+    * hash-match across engines.
+    */
+  private def q124(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id")
+    val n = docs.count()
+    val e = docs.select(col("doc_id").as("src"),
+      explode(array(
+        (col("doc_id") * 7 + 1) % n,
+        (col("doc_id") * 13 + 5) % n,
+        (col("doc_id") * 31 + 11) % n)).as("dst"))
+    Graph.pageRankPpm(e, col("src"), col("dst"), iters = 3)
+      .select(col("node").as("doc_id"), col("rank_ppm"))
+      .orderBy("doc_id")
+  }
+
+  /** Hard-negative mining ([[SimSearch.hardNegatives]]): top-10
+    * most-similar DIFFERENT-label candidates per query vector — the
+    * contrastive-training companion of q37, sharing its broadcast-scan
+    * shape with the label predicate ahead of the scoring arithmetic.
+    */
+  private def q125(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    SimSearch.hardNegatives(emb, emb.filter(col("vec_id") < 5), k = 10)
+      .select(col("qid"), col("vid"),
+        col("neg_label").cast("long").as("neg_label"),
+        col("cos"), col("rank").cast("long").as("rank"))
+      .orderBy("qid", "rank")
+  }
 
   /** Edit-distance near-dup pairs under the oracle gate: the FastSS
     * deletion-neighborhood blocking AND the exact levenshtein verify are
@@ -1813,7 +1847,9 @@ object SparkEntry {
     "q120_url_canonical" -> q120 _,
     "q121_scd2" -> q121 _,
     "q122_funnel" -> q122 _,
-    "q123_retention" -> q123 _
+    "q123_retention" -> q123 _,
+    "q124_pagerank" -> q124 _,
+    "q125_hard_negatives" -> q125 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

@@ -42,6 +42,48 @@ object SimSearch {
       .select(col("qid"), col("vid"), round(col("cos"), 6).as("cos"), col("rank"))
   }
 
+  /** Hard-negative mining for contrastive training: for each query
+    * vector, the top-k most-similar candidates whose `labelCol` DIFFERS
+    * from the query's — the near-the-decision-boundary negatives that
+    * make contrastive/triplet losses informative (random negatives are
+    * trivially easy; the hard ones are the similar-but-wrong-class
+    * ones). Same broadcast-queries / one-corpus-scan shape as
+    * [[topKBruteForce]]; the label filter runs before the scoring
+    * arithmetic so wrong-label pairs never pay the dot product. Null
+    * labels are excluded from BOTH sides: a null-label candidate is not
+    * provably a negative for anyone.
+    *
+    * Scale: identical contract to [[topKBruteForce]] (broadcast query
+    * set, map-side scan, per-query window heap); at corpus scale swap
+    * the scan for [[topKLsh]]/[[topKIvf]] buckets and apply the same
+    * label predicate after the bucket join.
+    */
+  def hardNegatives(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      labelCol: String = "label"
+  ): DataFrame = {
+    val q = broadcast(queries
+      .filter(col(labelCol).isNotNull)
+      .select(col(idCol).as("qid"), col(vecCol).as("qv"),
+        col(labelCol).as("qlabel"), VectorOps.norm(col(vecCol)).as("nq")))
+    val c = corpus
+      .filter(col(labelCol).isNotNull)
+      .select(col(idCol).as("vid"), col(vecCol).as("cv"),
+        col(labelCol).as("clabel"), VectorOps.norm(col(vecCol)).as("nc"))
+    val scored = c.crossJoin(q)
+      .filter(col("qlabel") =!= col("clabel"))
+      .withColumn("cos", VectorOps.dot(col("qv"), col("cv")) / (col("nq") * col("nc")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vid"), col("clabel").as("neg_label"),
+        round(col("cos"), 6).as("cos"), col("rank"))
+  }
+
   /** The fixed-seed Gaussian hyperplanes behind [[hyperplaneBucket]].
     * `java.util.Random`'s sequence is specified by the JDK, so these
     * constants are stable across JVMs — and exposed so the SQL oracle can

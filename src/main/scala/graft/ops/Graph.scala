@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Link-graph analytics — the iterative-dataflow family (PageRank-style
+  * scoring) that complements the dedup module's connected components
+  * (`ext.Dedup.clusterLabels*`). A web-scale corpus carries a link graph
+  * (URL → URL), and link-based authority is a standard quality prior for
+  * training-data selection (the OPEN web-crawl pipelines gate on
+  * domain-level rank).
+  */
+object Graph {
+
+  /** PageRank with INTEGER ppm arithmetic — every rank is a BIGINT ppm
+    * (initial mass 1,000,000 per node) and every step is a floor
+    * division, so the result is bit-exact across engines, partitionings
+    * and run orders (float PageRank is none of those: the sum order
+    * changes the low bits). Per iteration:
+    * `r'(v) = (100-damp)·10⁴ + (damp · Σ_{u→v} r(u) div outdeg(u)) div 100`.
+    * Nodes without in-links keep the base mass; dangling nodes (no
+    * out-links) leak their mass, the standard simplification.
+    *
+    * Scale shape: each iteration is one join of ranks onto edges keyed
+    * by src (with edges bucketed/pre-partitioned by src this
+    * co-locates) and one sum-aggregate keyed by dst — the canonical
+    * 2-shuffle PageRank round. Ranks are eagerly `localCheckpoint`ed
+    * per iteration so the plan stays O(1) deep regardless of `iters`
+    * (the same lineage-truncation contract as
+    * `Dedup.clusterLabelsLargeSmallStar`). Iterations are a fixed small
+    * count — convergence detection would add a count job per round for
+    * little benefit at 3–10 rounds.
+    */
+  def pageRankPpm(
+      edges: DataFrame,
+      srcCol: Column,
+      dstCol: Column,
+      iters: Int = 3,
+      dampPct: Int = 85
+  ): DataFrame = {
+    require(iters >= 1 && dampPct >= 0 && dampPct <= 100)
+    val e = edges.select(srcCol.as("src"), dstCol.as("dst"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("__outdeg"))
+    val basePpm = (100L - dampPct) * 10000L
+    var ranks = nodes.select(col("node"), lit(1000000L).as("rank_ppm"))
+    for (_ <- 1 to iters) {
+      val contribs = e
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .join(outdeg, Seq("src"))
+        .select(col("dst").as("node"),
+          expr("CAST(rank_ppm DIV __outdeg AS BIGINT)").as("__c"))
+        .groupBy("node").agg(sum(col("__c")).as("__sum"))
+      ranks = nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit(basePpm) +
+            expr(s"CAST(($dampPct * coalesce(__sum, 0L)) DIV 100 AS BIGINT)"))
+            .as("rank_ppm"))
+        .localCheckpoint(true)
+    }
+    ranks
+  }
+
+  /** In/out degree per node (nodes with zero of either still appear). */
+  def degrees(edges: DataFrame, srcCol: Column, dstCol: Column): DataFrame = {
+    val e = edges.select(srcCol.as("src"), dstCol.as("dst"))
+    val out = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("out_deg"))
+    val in = e.groupBy(col("dst").as("node")).agg(count(lit(1)).as("in_deg"))
+    out.join(in, Seq("node"), "full_outer")
+      .select(col("node"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+  }
+}

@@ -26,7 +26,8 @@ object PlanAudit {
     "q37_cosine_topk", "q38_embed_neardup", "q40_ann_lsh", "q41_ann_ivf",
     "q29_interval_join", "q27_asof_join",
     "q88_zipf_coverage", // 1-row grand-total broadcast onto the top-100 slice
-    "q112_semantic_pairs") // corpus × broadcast pivot centroids, q41's shape
+    "q112_semantic_pairs", // corpus × broadcast pivot centroids, q41's shape
+    "q125_hard_negatives") // broadcast queries × corpus scan, q37's shape
 
   def main(args: Array[String]): Unit = {
     val spark = SparkTestBase.spark

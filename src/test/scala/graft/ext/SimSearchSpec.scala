@@ -84,6 +84,23 @@ class SimSearchSpec extends SparkTestBase {
     assert(ivf >= 0.40, s"IVF recall@10 regressed toward random-scan: $ivf")
   }
 
+  test("hardNegatives excludes same-label and null-label candidates") {
+    val labeled = Seq(
+      (0L, Array(1f, 0f, 0f, 0f), Integer.valueOf(1)),
+      (1L, Array(0.99f, 0.1f, 0f, 0f), Integer.valueOf(1)), // same label: never a negative
+      (2L, Array(0.9f, 0.2f, 0f, 0f), Integer.valueOf(2)), // hardest negative
+      (3L, Array(0f, 1f, 0f, 0f), Integer.valueOf(2)),
+      (4L, Array(0.95f, 0f, 0.1f, 0f), null: Integer) // null label: excluded
+    ).toDF("vec_id", "embedding", "label")
+    val out = SimSearch.hardNegatives(labeled,
+        labeled.filter(col("vec_id") === 0), k = 2)
+      .orderBy("rank")
+      .select("vid", "neg_label", "rank").as[(Long, Int, Int)].collect().toSeq
+    // vec 1 (same label) and vec 4 (null label) must not appear even
+    // though both are MORE similar than vec 3
+    assert(out == Seq((2L, 2, 1), (3L, 2, 2)))
+  }
+
   test("VectorOps cosine/dot/l2 compute in double precision") {
     import graft.functions.VectorOps
     val df = Seq((Array(3f, 4f), Array(4f, 3f))).toDF("a", "b")
