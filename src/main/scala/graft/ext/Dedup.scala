@@ -135,7 +135,7 @@ object Dedup {
       .agg(min(col(idCol)).as("__graft_keep"), count(lit(1)).as("n_copies"))
     withFp.join(keeps,
       col(GroupKey) <=> col("__graft_kfp") && col(idCol) === col("__graft_keep"))
-      .select(docs.columns.map(col) :+ col("n_copies"): _*)
+      .select(docs.columns.toIndexedSeq.map(col) :+ col("n_copies"): _*)
   }
 
   // -------------------------------------------------------------- minhash

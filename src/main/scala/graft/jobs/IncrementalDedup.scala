@@ -149,7 +149,7 @@ object IncrementalDedup {
     val physical = df.count() // parquet footer metadata, no data scan
     val trigger = nFiles > maxFiles || {
       val est = df.select(approx_count_distinct(
-        concat_ws("\u0001", df.columns.map(col): _*)).as("d")).first().getLong(0)
+        concat_ws("\u0001", df.columns.toIndexedSeq.map(col): _*)).as("d")).first().getLong(0)
       physical.toDouble >= maxBloatRatio * math.max(est, 1L).toDouble
     }
     if (trigger) compactIndex(spark, indexDir)

@@ -170,6 +170,82 @@ object StatefulOps {
       }
   }
 
+  case class FunnelEvent(user: Long, et: String, event_time: Timestamp)
+  case class FunnelTimes(times: List[Long], horizonMs: Long)
+  case class FunnelProgress(user: Long, stage: Long, stage_time: Timestamp)
+
+  /** Streaming funnel tracking — the streaming twin of
+    * `ops.Behavior.funnel`: per-user stage times advance as qualifying
+    * events arrive, and each advancement is emitted ONCE as a
+    * [[FunnelProgress]] row (append-friendly: a user's max emitted
+    * `stage` is their current depth, and the row's time is that stage's
+    * chosen time). Within a micro-batch events are processed in
+    * (event_time, et) order, so a single-batch drain reproduces the
+    * batch funnel's earliest-strictly-after chain exactly (spec-pinned
+    * parity); the same holds across batches while events arrive in
+    * event-time order. A LATE cross-batch event that would have enabled
+    * an earlier chain cannot retract already-emitted progress — the
+    * standard streaming-funnel approximation, bounded by the watermark.
+    *
+    * Scale: one shuffle on the user key; state is N stage epochs + the
+    * monotone TTL horizon (same eviction contract as
+    * [[capPerKeyStream]]), so state size tracks active users in the
+    * horizon, not stream history.
+    */
+  def funnelStream(
+      events: DataFrame,
+      stages: Seq[String],
+      userCol: String = "user_id",
+      typeCol: String = "event_type",
+      tsCol: String = "event_time",
+      watermarkDelay: String = "10 seconds",
+      ttlMs: Long = 3600000L
+  ): Dataset[FunnelProgress] = {
+    require(stages.nonEmpty, "funnelStream needs at least one stage")
+    import org.apache.spark.sql.functions._
+    import events.sparkSession.implicits._
+    val rows = events
+      .select(col(userCol).as("user"), col(typeCol).as("et"),
+        col(tsCol).as("event_time"))
+      .withWatermark("event_time", watermarkDelay)
+      .as[FunnelEvent]
+    val nStages = stages.size
+    rows
+      .groupByKey(_.user)
+      .flatMapGroupsWithState[FunnelTimes, FunnelProgress](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: Long, it: Iterator[FunnelEvent], state: GroupState[FunnelTimes]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val rs = it.toSeq.sortBy(r => (r.event_time.getTime, r.et))
+            val times = state.getOption.map(_.times.toArray)
+              .getOrElse(Array.fill(nStages)(-1L))
+            val out = List.newBuilder[FunnelProgress]
+            rs.foreach { r =>
+              val tMs = r.event_time.getTime
+              // first unset stage this event can open: stage 0 freely,
+              // stage i>0 only STRICTLY after stage i-1's chosen time
+              var i = 0
+              var done = false
+              while (i < nStages && !done) {
+                if (times(i) < 0 && stages(i) == r.et &&
+                    (i == 0 || (times(i - 1) >= 0 && tMs > times(i - 1)))) {
+                  times(i) = tMs
+                  out += FunnelProgress(r.user, i + 1L, r.event_time)
+                  done = true
+                }
+                i += 1
+              }
+            }
+            val horizon = (state.getOption.map(_.horizonMs).toSeq ++
+              rs.map(_.event_time.getTime) :+ state.getCurrentWatermarkMs()).max
+            state.update(FunnelTimes(times.toList, horizon))
+            state.setTimeoutTimestamp(horizon + ttlMs)
+            out.result().iterator
+          }
+      }
+  }
+
   /** Streaming near-dup detection — the streaming analog of
     * `Dedup.minhashPairs`: each arriving document's MinHash LSH band keys
     * are checked against per-band-key state; a `BandHit(id, band,

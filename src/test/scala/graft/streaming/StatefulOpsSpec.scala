@@ -465,4 +465,71 @@ class StatefulOpsSpec extends SparkTestBase {
     val fromJvm = cases.map { case (a, b) => StatefulOps.levenshtein(a, b) }
     assert(fromJvm == fromSpark)
   }
+
+  test("funnelStream: stages advance in order across batches; out-of-order pre-stage events ignored") {
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)](spark)
+    val query = StatefulOps.funnelStream(
+        mem.toDS().toDF("user_id", "event_type", "event_time"),
+        Seq("view", "click", "purchase"), watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("funnel_prog").outputMode("append").start()
+    try {
+      // u1: click BEFORE any view — must not open stage 2 later either
+      // (its ts is not after the view)
+      mem.addData(Seq(
+        (1L, "click", ts("2024-01-01 00:00:00")),
+        (1L, "view", ts("2024-01-01 00:01:00"))))
+      query.processAllAvailable()
+      mem.addData(Seq(
+        (1L, "click", ts("2024-01-01 00:02:00")),
+        (1L, "purchase", ts("2024-01-01 00:03:00"))))
+      query.processAllAvailable()
+    } finally query.stop()
+    val got = spark.table("funnel_prog").as[StatefulOps.FunnelProgress]
+      .collect().sortBy(_.stage).toList
+    assert(got.map(p => (p.stage, p.stage_time)) == List(
+      (1L, ts("2024-01-01 00:01:00")),
+      (2L, ts("2024-01-01 00:02:00")),
+      (3L, ts("2024-01-01 00:03:00"))))
+  }
+
+  test("funnelStream: single-batch drain matches Behavior.funnel depth and times") {
+    import org.apache.spark.sql.functions.{col, max}
+    val stages = Seq("view", "click", "purchase")
+    // deterministic scrambled event soup over 8 users
+    val rows = (0 until 120).map { i =>
+      val u = (i * 31 % 8).toLong
+      val et = Seq("view", "click", "purchase", "error")(i * 17 % 4)
+      (u, et, ts(f"2024-01-01 00:${i * 13 % 60}%02d:${i * 7 % 60}%02d"))
+    }
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)](spark)
+    val query = StatefulOps.funnelStream(
+        mem.toDS().toDF("user_id", "event_type", "event_time"),
+        stages, watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("funnel_parity").outputMode("append").start()
+    try { mem.addData(rows); query.processAllAvailable() } finally query.stop()
+
+    val streamed = spark.table("funnel_parity")
+      .groupBy("user").agg(max("stage").as("depth"))
+      .as[(Long, Long)].collect().toMap
+    val batch = graft.ops.Behavior.funnel(
+        rows.toDF("user_id", "event_type", "event_time"),
+        col("user_id"), col("event_time"), col("event_type"), stages)
+      .select("user", "depth").as[(Long, Long)].collect().toMap
+    assert(streamed == batch,
+      s"drained funnel depths must equal batch: $streamed vs $batch")
+    // stage TIMES agree too, not just depths
+    val streamedTimes = spark.table("funnel_parity")
+      .as[StatefulOps.FunnelProgress].collect()
+      .map(p => (p.user, p.stage) -> p.stage_time).toMap
+    val batchTimes = graft.ops.Behavior.funnel(
+        rows.toDF("user_id", "event_type", "event_time"),
+        col("user_id"), col("event_time"), col("event_type"), stages)
+      .collect().flatMap { r =>
+        stages.indices.flatMap { i =>
+          Option(r.getTimestamp(r.fieldIndex(s"t${i + 1}")))
+            .map(t => (r.getLong(r.fieldIndex("user")), i + 1L) -> t)
+        }
+      }.toMap
+    assert(streamedTimes == batchTimes)
+  }
 }
