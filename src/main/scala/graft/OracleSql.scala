@@ -1523,6 +1523,51 @@ object OracleSql {
          |     AS "rank" FROM s)
          |SELECT qid, vid, CAST(clabel AS BIGINT) AS neg_label,
          |  round(cos, 6) AS cos, "rank"
-         |FROM r WHERE "rank" <= 10 ORDER BY qid, "rank"""".stripMargin
+         |FROM r WHERE "rank" <= 10 ORDER BY qid, "rank"""".stripMargin,
+
+    // groups on the raw 32-token prefix string (Spark groups on its
+    // md5-128 fingerprint — same partition of docs); canonical =
+    // longest, ties min id
+    "q126_truncation_dups" ->
+      """WITH d AS (SELECT doc_id, string_split(text,' ') AS l FROM documents),
+        | p AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS n_tokens,
+        |     array_to_string(l[1:32], ' ') AS pre FROM d WHERE len(l) >= 32),
+        | w AS (SELECT pre, doc_id, n_tokens,
+        |     row_number() OVER (PARTITION BY pre
+        |       ORDER BY n_tokens DESC, doc_id) AS rn,
+        |     count(*) OVER (PARTITION BY pre) AS cnt FROM p),
+        | c AS (SELECT pre, doc_id AS canonical_id,
+        |     n_tokens AS canonical_n_tokens FROM w WHERE rn = 1 AND cnt >= 2)
+        |SELECT p.doc_id, p.n_tokens, c.canonical_id, c.canonical_n_tokens
+        |FROM p JOIN c USING (pre) ORDER BY p.doc_id""".stripMargin,
+
+    // q121's SCD2 build + the interval-cover filter at T
+    "q127_snapshot_at" ->
+      """WITH o AS (SELECT user_id, ts, event_type, event_id,
+        |   lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+        |   row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        | c AS (SELECT user_id, ts, event_type, event_id FROM o
+        |   WHERE rn = 1 OR event_type IS DISTINCT FROM prev),
+        | v AS (SELECT user_id, event_type, ts AS valid_from,
+        |   lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+        |  FROM c)
+        |SELECT user_id, event_type, valid_from FROM v
+        |WHERE valid_from <= TIMESTAMP '2024-01-15 00:00:00'
+        |  AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-15 00:00:00')
+        |ORDER BY user_id""".stripMargin,
+
+    // RANK ties + NULLS FIRST pinned explicitly (DuckDB defaults NULLS
+    // LAST on ASC; Spark defaults NULLS FIRST)
+    "q128_quality_percentile" ->
+      s"""WITH q AS (SELECT doc_id, lang,
+         |    CAST($qualityPpmSql AS BIGINT) AS quality_ppm FROM documents),
+         | r AS (SELECT doc_id, lang, quality_ppm,
+         |   rank() OVER (PARTITION BY lang ORDER BY quality_ppm NULLS FIRST) AS rk,
+         |   count(*) OVER (PARTITION BY lang) AS cnt FROM q)
+         |SELECT doc_id, lang, quality_ppm,
+         |  CAST(CASE WHEN cnt > 1 THEN ((rk - 1) * 1000000) // (cnt - 1)
+         |       ELSE 0 END AS BIGINT) AS pct_ppm
+         |FROM r ORDER BY doc_id""".stripMargin
   )
 }

@@ -778,6 +778,45 @@ object SparkEntry {
       .orderBy("qid", "rank")
   }
 
+  /** Truncation-duplicate groups ([[Dedup.truncationDupGroups]]): docs
+    * sharing an identical 32-token prefix, longest member canonical —
+    * the cut-at-different-lengths stratum exact dedup misses. The
+    * oracle groups on the raw prefix STRING (the fingerprint is an
+    * engine-internal key; md5-128 collisions are immaterial) and picks
+    * the canonical with the same (length desc, id) rule.
+    */
+  private def q126(s: SparkSession, dir: String): DataFrame =
+    Dedup.truncationDupGroups(Tables.documents(s, dir), kPrefix = 32)
+      .select(col("id").as("doc_id"), col("n_tokens"),
+        col("canonical_id"), col("canonical_n_tokens"))
+      .orderBy("doc_id")
+
+  /** Point-in-time dimension read ([[Behavior.snapshotAt]]): per-user
+    * state as of mid-fixture (2024-01-15), reconstructed from the SCD2
+    * intervals — q121's gate plus the interval-cover filter.
+    */
+  private def q127(s: SparkSession, dir: String): DataFrame =
+    Behavior.snapshotAt(Tables.events(s, dir),
+        col("user_id"), col("ts"), col("event_type"), col("event_id"),
+        lit("2024-01-15 00:00:00").cast("timestamp"))
+      .select(col("key").as("user_id"), col("attr").as("event_type"),
+        col("valid_from"))
+      .orderBy("user_id")
+
+  /** Per-language quality-percentile calibration
+    * ([[TextOps.percentileRankPpm]]): integer ppm percentile of q31's
+    * quality score within each language — RANK ties, NULLS FIRST, and
+    * the (rank-1)·10⁶ div (n-1) arithmetic all recomputed in SQL.
+    */
+  private def q128(s: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        TextOps.qualityScorePpm(col("text")).as("quality_ppm"))
+    TextOps.percentileRankPpm(scored, col("lang"), col("quality_ppm"))
+      .select("doc_id", "lang", "quality_ppm", "pct_ppm")
+      .orderBy("doc_id")
+  }
+
   /** Edit-distance near-dup pairs under the oracle gate: the FastSS
     * deletion-neighborhood blocking AND the exact levenshtein verify are
     * both recomputed in SQL — the fixture's planted one-word revisions
@@ -1849,7 +1888,10 @@ object SparkEntry {
     "q122_funnel" -> q122 _,
     "q123_retention" -> q123 _,
     "q124_pagerank" -> q124 _,
-    "q125_hard_negatives" -> q125 _
+    "q125_hard_negatives" -> q125 _,
+    "q126_truncation_dups" -> q126 _,
+    "q127_snapshot_at" -> q127 _,
+    "q128_quality_percentile" -> q128 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

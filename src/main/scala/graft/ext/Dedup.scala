@@ -138,6 +138,44 @@ object Dedup {
       .select(docs.columns.toIndexedSeq.map(col) :+ col("n_copies"): _*)
   }
 
+  /** Truncation-duplicate groups: documents sharing an IDENTICAL
+    * `kPrefix`-token prefix — the "same article cut at different
+    * lengths" stratum (RSS truncation, paywall cuts, re-syndication)
+    * that exact dedup misses (different full-text hashes) and MinHash
+    * only probabilistically resolves. Only docs with ≥ `kPrefix` tokens
+    * participate; groups of ≥ 2 are returned, one row per member, with
+    * the LONGEST member (ties → min id) as `canonical_id` — keep the
+    * canonical, drop or flag the truncations.
+    *
+    * Scale shape: one prefix-fingerprint projection (16-byte shuffle
+    * key), one skew-safe `groupBy(fp).agg(max(struct))` canonical pick
+    * (no window — the same argmax-by-struct shape as
+    * [[keepBestPerCluster]]), one join back. A viral identical prefix
+    * (site boilerplate header) produces a big GROUP but never a big
+    * ROW — membership stays row-shaped, unlike collect_list buckets.
+    */
+  def truncationDupGroups(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      kPrefix: Int = 32
+  ): DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    val base = docs
+      .select(col(idCol).as("id"), size(toks).cast("long").as("n_tokens"),
+        TextOps.fingerprint(concat_ws(" ", slice(toks, 1, kPrefix))).as("fp"))
+      .filter(col("n_tokens") >= kPrefix)
+    val canon = base.groupBy("fp")
+      .agg(max(struct(col("n_tokens"), (-col("id")).as("__negid"))).as("w"),
+        count(lit(1)).as("__n_group"))
+      .filter(col("__n_group") >= 2)
+      .select(col("fp"), (-col("w.__negid")).as("canonical_id"),
+        col("w.n_tokens").as("canonical_n_tokens"))
+    base.join(canon, Seq("fp"))
+      .select(col("id"), col("n_tokens"), col("canonical_id"),
+        col("canonical_n_tokens"))
+  }
+
   // -------------------------------------------------------------- minhash
 
   /** MinHash signature rows `(id, j, mh)` — row-shaped variant of

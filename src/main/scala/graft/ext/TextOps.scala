@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Hashing
@@ -275,6 +276,38 @@ object TextOps {
     val parts = split(host, "\\.")
     when(size(parts) <= 2, host)
       .otherwise(concat_ws(".", element_at(parts, -2), element_at(parts, -1)))
+  }
+
+  /** Integer percentile rank (ppm) of a score within its key group —
+    * the per-language/-source score CALIBRATION step that makes one
+    * quality threshold meaningful across strata (a raw cutoff tuned on
+    * English silently guts low-resource languages; a percentile cutoff
+    * keeps each stratum's top X%). `pct_ppm = (rank-1)·10⁶ div (n-1)`
+    * with RANK (ties share), so equal scores calibrate equally and the
+    * result is integer-exact; single-member groups get 0. NULL scores
+    * sort FIRST explicitly (Spark's asc default, pinned so the oracle's
+    * NULLS LAST default can't diverge).
+    *
+    * Scale shape: one shuffle on the key; rank + count share the
+    * partition sort. A dominant stratum (en ≈ half the web) makes this
+    * window skewed — at that scale swap in the histogram + boundary-
+    * class decomposition `Sampling.selectTokenBudget` uses; the
+    * per-key rank here is the verifier-scale formulation.
+    */
+  def percentileRankPpm(
+      df: DataFrame,
+      keyCol: Column,
+      scoreCol: Column
+  ): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(scoreCol.asc_nulls_first)
+    val wAll = Window.partitionBy(keyCol)
+    df.withColumn("__rk", rank().over(w))
+      .withColumn("__cnt", count(lit(1)).over(wAll))
+      .withColumn("pct_ppm",
+        when(col("__cnt") > 1,
+          expr("CAST(((__rk - 1) * 1000000) DIV (__cnt - 1) AS BIGINT)"))
+          .otherwise(lit(0L)))
+      .drop("__rk", "__cnt")
   }
 
   /** Canonical URL form for URL-level dedup — the normalization every

@@ -54,6 +54,34 @@ object Behavior {
         col("valid_to"), col("valid_to").isNull.as("is_current"))
   }
 
+  /** Point-in-time reconstruction ("state as of T") from the change
+    * log — the time-travel read over [[scdType2]]'s intervals: the one
+    * interval per key covering `asOf` (`valid_from <= T < valid_to`,
+    * open intervals included). Keys whose first change is after `T`
+    * are absent, exactly as they were absent from the dimension then.
+    * `valid_from` is the START of the value's run (repeat-collapsed),
+    * not the latest pre-T event — the SCD2 semantics downstream
+    * history joins expect.
+    *
+    * Scale shape: inherits scdType2's single shuffle; the `asOf`
+    * filter lands above the windows (it needs both interval
+    * endpoints), so cost is one dimension build — at 100 TB serve
+    * repeated time-travel reads from a MATERIALIZED scdType2 table
+    * instead, where this becomes a metadata-pruned scan.
+    */
+  def snapshotAt(
+      changes: DataFrame,
+      keyCol: Column,
+      tsCol: Column,
+      attrCol: Column,
+      seqCol: Column,
+      asOf: Column
+  ): DataFrame =
+    scdType2(changes, keyCol, tsCol, attrCol, seqCol)
+      .filter(col("valid_from") <= asOf &&
+        (col("valid_to").isNull || col("valid_to") > asOf))
+      .select(col("key"), col("attr"), col("valid_from"))
+
   /** Ordered-sequence funnel: for each user, the earliest time of each
     * stage STRICTLY AFTER the previous stage's chosen time (the
     * standard "first conversion path", not any-order co-occurrence).

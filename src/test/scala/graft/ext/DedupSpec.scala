@@ -402,6 +402,21 @@ class DedupSpec extends SparkTestBase {
     assert(hits(2L) == 0L)
   }
 
+  test("truncationDupGroups: shared-prefix docs group, longest canonical, shorts excluded") {
+    val prefix = (1 to 8).map(i => s"w$i").mkString(" ")
+    val docs4 = Seq(
+      (1L, s"$prefix cut"), //             9 tokens, truncated copy
+      (2L, s"$prefix full version here"), // 11 tokens -> canonical
+      (3L, s"$prefix full version here"), // identical length: ties -> min id 2
+      (4L, "something else entirely with plenty of extra words"), // unique prefix
+      (5L, "short doc") //                 < kPrefix: excluded
+    ).toDF("doc_id", "text")
+    val got = Dedup.truncationDupGroups(docs4, kPrefix = 8)
+      .select("id", "canonical_id", "canonical_n_tokens")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toList
+    assert(got == List((1L, 2L, 11L), (2L, 2L, 11L), (3L, 2L, 11L)))
+  }
+
   test("duplicateSpans finds maximal cross-doc spans; scrub removes exactly those tokens") {
     // 10-token passage shared by docs 1 and 2 at different offsets
     val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"

@@ -334,6 +334,21 @@ class TextOpsSpec extends SparkTestBase {
     assert(means(Some("goodsite")) > means(Some("spamfarm")))
   }
 
+  test("percentileRankPpm: per-key integer percentiles, ties share, singletons zero") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "en", 100L), (1L, "en", 200L), (2L, "en", 200L),
+      (3L, "en", 300L), (4L, "en", 400L),
+      (5L, "de", 999L) // singleton group
+    ).toDF("doc_id", "lang", "score")
+    val got = TextOps.percentileRankPpm(df, col("lang"), col("score"))
+      .select("doc_id", "pct_ppm").as[(Long, Long)].collect().toMap
+    // en ranks: 100->1, 200->2 (both), 300->4, 400->5; n-1 = 4
+    assert(got == Map(
+      0L -> 0L, 1L -> 250000L, 2L -> 250000L,
+      3L -> 750000L, 4L -> 1000000L, 5L -> 0L))
+  }
+
   test("canonicalUrl: case, ports, tracking params, fragments, slashes") {
     def canon(u: String): String =
       one[String](TextOps.canonicalUrl(col("text")), u)

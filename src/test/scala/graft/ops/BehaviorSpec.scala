@@ -43,6 +43,24 @@ class BehaviorSpec extends SparkTestBase {
     assert(got == Seq(("x", false), ("y", true)))
   }
 
+  test("snapshotAt returns the run-start interval covering T; unborn keys absent") {
+    val log = Seq(
+      (1L, ts("2026-01-01 00:00:00"), "a", 1L),
+      (1L, ts("2026-01-02 00:00:00"), "a", 2L), // repeat: run START stays 01-01
+      (1L, ts("2026-01-05 00:00:00"), "b", 3L), // after T
+      (2L, ts("2026-01-04 00:00:00"), "x", 1L), // born after T: absent
+      (3L, ts("2026-01-03 00:00:00"), "c", 1L) // exactly at T: valid_from <= T
+    ).toDF("user_id", "ts", "event_type", "event_id")
+    val got = Behavior.snapshotAt(log,
+        col("user_id"), col("ts"), col("event_type"), col("event_id"),
+        lit("2026-01-03 00:00:00").cast("timestamp"))
+      .orderBy("key")
+      .as[(Long, String, Timestamp)].collect().toSeq
+    assert(got == Seq(
+      (1L, "a", ts("2026-01-01 00:00:00")),
+      (3L, "c", ts("2026-01-03 00:00:00"))))
+  }
+
   test("funnel: stages must occur strictly in order; depth counts reached stages") {
     val ev = Seq(
       // full path
