@@ -1568,6 +1568,36 @@ object OracleSql {
          |SELECT doc_id, lang, quality_ppm,
          |  CAST(CASE WHEN cnt > 1 THEN ((rk - 1) * 1000000) // (cnt - 1)
          |       ELSE 0 END AS BIGINT) AS pct_ppm
-         |FROM r ORDER BY doc_id""".stripMargin
+         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // native DuckDB forward ASOF (<=): an independent engine's as-of,
+    // not a window transliteration
+    "q129_asof_forward" ->
+      """SELECT e.event_id, e.user_id, o.o_orderkey AS next_orderkey
+        |FROM events e
+        |ASOF LEFT JOIN (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+        |                FROM orders GROUP BY 1,2) o
+        |ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+        |ORDER BY event_id""".stripMargin,
+
+    // both native ASOF directions + the closer-wins-ties-backward rule
+    "q130_asof_nearest" ->
+      """WITH u AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+        |   FROM orders GROUP BY 1,2),
+        | b AS (SELECT e.event_id, e.user_id, e.ts,
+        |     o.o_orderkey AS bk, o.o_orderdate AS bt
+        |   FROM events e ASOF LEFT JOIN u o
+        |   ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate),
+        | f AS (SELECT e.event_id, o.o_orderkey AS fk, o.o_orderdate AS ft
+        |   FROM events e ASOF LEFT JOIN u o
+        |   ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate)
+        |SELECT b.event_id, b.user_id,
+        |  CASE WHEN bk IS NULL THEN fk
+        |       WHEN fk IS NULL THEN bk
+        |       WHEN epoch_us(ts) - epoch_us(bt) <= epoch_us(ft) - epoch_us(ts)
+        |         THEN bk
+        |       ELSE fk END AS nearest_orderkey
+        |FROM b JOIN f USING (event_id)
+        |ORDER BY event_id""".stripMargin
   )
 }

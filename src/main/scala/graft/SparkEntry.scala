@@ -817,6 +817,43 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Forward as-of join ([[AsOfJoin.forward]]): each event's NEXT order
+    * on/after its timestamp — q27's mirror, against DuckDB's native
+    * `ASOF JOIN ... <=` (an independent implementation, not a window
+    * transliteration).
+    */
+  private def q129(s: SparkSession, dir: String): DataFrame = {
+    val uniqueOrders = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"))
+    AsOfJoin.forward(
+        Tables.events(s, dir).select(col("event_id"), col("user_id"), col("ts")),
+        uniqueOrders,
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTime = "ts", rightTime = "o_orderdate")
+      .select(col("event_id"), col("user_id"),
+        col("asof").getField("o_orderkey").as("next_orderkey"))
+      .orderBy("event_id")
+  }
+
+  /** Nearest as-of join ([[AsOfJoin.nearest]]): closer of the two
+    * directional matches, ties backward — the oracle composes BOTH
+    * native DuckDB ASOF directions and re-applies the delta rule.
+    */
+  private def q130(s: SparkSession, dir: String): DataFrame = {
+    val uniqueOrders = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"))
+    AsOfJoin.nearest(
+        Tables.events(s, dir).select(col("event_id"), col("user_id"), col("ts")),
+        uniqueOrders,
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTime = "ts", rightTime = "o_orderdate")
+      .select(col("event_id"), col("user_id"),
+        col("asof").getField("o_orderkey").as("nearest_orderkey"))
+      .orderBy("event_id")
+  }
+
   /** Edit-distance near-dup pairs under the oracle gate: the FastSS
     * deletion-neighborhood blocking AND the exact levenshtein verify are
     * both recomputed in SQL — the fixture's planted one-word revisions
@@ -1891,7 +1928,9 @@ object SparkEntry {
     "q125_hard_negatives" -> q125 _,
     "q126_truncation_dups" -> q126 _,
     "q127_snapshot_at" -> q127 _,
-    "q128_quality_percentile" -> q128 _
+    "q128_quality_percentile" -> q128 _,
+    "q129_asof_forward" -> q129 _,
+    "q130_asof_nearest" -> q130 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

@@ -949,10 +949,11 @@ object Dedup {
   ): DataFrame = {
     val benchGrams = benchmark
       .select(explode(TextOps.shingleSet(col(textCol), n)).as("gram"))
-      .select(TextOps.fingerprint(col("gram")).as("g"))
+      .select(xxhash64(lit(1), col("gram")).as("g1"),
+        xxhash64(lit(2), col("gram")).as("g2"))
       .distinct()
     val occ = posGramTable(docs, idCol, textCol, n)
-      .join(broadcast(benchGrams), Seq("g"), "left_semi")
+      .join(broadcast(benchGrams), Seq("g1", "g2"), "left_semi")
       .select("id", "pos")
     mergeTokenSpans(occ, n)
   }
@@ -1035,30 +1036,39 @@ object Dedup {
     // conditionally-skipped scrub) must not launch the gram job; the
     // checkpointed blocks are freed when the plan is GC'd on the driver
     val grams = posGramTable(docs, idCol, textCol, k).localCheckpoint(false)
-    val dupGrams = grams.groupBy("g")
+    val dupGrams = grams.groupBy("g1", "g2")
       .agg(count_distinct(col("id")).as("nd"))
       .filter(col("nd") >= minDocs)
-      .select("g")
-    val occ = grams.join(dupGrams, Seq("g")).select("id", "pos")
+      .select("g1", "g2")
+    val occ = grams.join(dupGrams, Seq("g1", "g2")).select("id", "pos")
     mergeTokenSpans(occ, k)
   }
 
   /** Positional gram-fingerprint table: one row per (doc, gram start
-    * position) with the gram's 128-bit fingerprint. The token array is
-    * projected into a NAMED COLUMN first — the binding boundary that
-    * keeps the split from re-evaluating under every `element_at` of the
-    * gram build (`CollapseProject` won't inline a non-cheap alias
-    * referenced more than once; see [[TextOps.shinglesFromTokens]]).
-    * That boundary is load-bearing for performance (measured ~5× on the
-    * q105 gram scan) — keep it when editing. Shared by
-    * [[duplicateSpans]] and [[contaminatedSpans]].
+    * position) with the gram's fingerprint as TWO salted xxhash64
+    * longs `(g1, g2)` — a combined 128-bit key (collision odds ~2⁻¹²⁸-
+    * scale, same safety class as md5) that shuffles as 16 bytes of
+    * NUMERIC columns. The previous md5-hex STRING key made the two
+    * gram shuffles (doc-frequency agg + join-back) the q119 bottleneck:
+    * 32-char keys with string comparisons measured 2.6× slower end to
+    * end on the 200k-doc profile (37.7 s → 14.4 s).
+    *
+    * The token array is projected into a NAMED COLUMN first — the
+    * binding boundary that keeps the split from re-evaluating under
+    * every `element_at` of the gram build (`CollapseProject` won't
+    * inline a non-cheap alias referenced more than once; see
+    * [[TextOps.shinglesFromTokens]]). That boundary is load-bearing for
+    * performance (measured ~5× on the q105 gram scan) — keep it when
+    * editing. Shared by [[duplicateSpans]] and [[contaminatedSpans]].
     */
   private def posGramTable(docs: DataFrame, idCol: String, textCol: String,
                            n: Int): DataFrame =
     docs.select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("__toks"))
       .select(col("id"),
         posexplode(TextOps.shinglesFromTokens(col("__toks"), n)).as(Seq("pos", "gram")))
-      .select(col("id"), col("pos"), TextOps.fingerprint(col("gram")).as("g"))
+      .select(col("id"), col("pos"),
+        xxhash64(lit(1), col("gram")).as("g1"),
+        xxhash64(lit(2), col("gram")).as("g2"))
 
   /** Gaps-and-islands merge of flagged k-gram start positions into
     * maximal token spans, per doc: `(id, pos)` hits → `(id, start_tok,
