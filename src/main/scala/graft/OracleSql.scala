@@ -1425,8 +1425,9 @@ object OracleSql {
         |       '^(http://[^/:]*):80$', '\1'), '^(https://[^/:]*):443$', '\1')
         |     || substr(u0, len(auth) + 1) AS u1 FROM a),
         | t AS (SELECT doc_id, raw_url,
-        |   regexp_replace(regexp_replace(regexp_replace(regexp_replace(u1,
-        |     '(?:utm_[A-Za-z]+|fbclid|gclid)=[^&#]*&?', '', 'g'),
+        |   regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(u1,
+        |     '([?&])(?:utm_[A-Za-z]+|fbclid|gclid)=[^&#]*', '\1', 'g'),
+        |     '&&+', '&', 'g'),
         |     '\?&', '?', 'g'), '[?&]+$', '', 'g'), '/$', '', 'g') AS canonical_url
         |   FROM j)
         |SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_raw,
@@ -1448,7 +1449,7 @@ object OracleSql {
         |  FROM c)
         |SELECT user_id, event_type, valid_from, valid_to,
         |  valid_to IS NULL AS is_current
-        |FROM v ORDER BY user_id, valid_from""".stripMargin,
+        |FROM v ORDER BY user_id, valid_from, event_type NULLS FIRST""".stripMargin,
 
     // chained filtered-min joins: each stage's earliest time strictly
     // after the previous stage's chosen time

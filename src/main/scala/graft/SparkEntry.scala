@@ -720,7 +720,10 @@ object SparkEntry {
         col("user_id"), col("ts"), col("event_type"), col("event_id"))
       .select(col("key").as("user_id"), col("attr").as("event_type"),
         col("valid_from"), col("valid_to"), col("is_current"))
-      .orderBy("user_id", "valid_from")
+      // event_type in the sort: equal-timestamp changes produce two rows
+      // with identical (user_id, valid_from) — underdetermined order
+      // would let the engines disagree even though the ROWS match
+      .orderBy("user_id", "valid_from", "event_type")
 
   /** Ordered-sequence funnel ([[Behavior.funnel]]): view → click →
     * purchase, each stage's time the earliest STRICTLY AFTER the

@@ -301,7 +301,9 @@ object TextOps {
   ): DataFrame = {
     val w = Window.partitionBy(keyCol).orderBy(scoreCol.asc_nulls_first)
     val wAll = Window.partitionBy(keyCol)
-    df.withColumn("__rk", rank().over(w))
+    // rank() is IntegerType — widen BEFORE the ×10⁶ or groups past
+    // ~2148 rows overflow int (ANSI mode: ArithmeticException)
+    df.withColumn("__rk", rank().over(w).cast("long"))
       .withColumn("__cnt", count(lit(1)).over(wAll))
       .withColumn("pct_ppm",
         when(col("__cnt") > 1,
@@ -332,9 +334,17 @@ object TextOps {
       "^(https://[^/:]*):443$", "$1")
     val rest = noFrag.substr(length(auth) + 1, length(noFrag))
     val joined = concat(authNoPort, rest)
+    // anchored on the [?&] separator (kept via $1) so 'xutm_source=5'
+    // or a path segment containing 'fbclid=' never matches — only a
+    // real parameter position does. The trailing '&' is deliberately
+    // NOT consumed: consuming it would swallow the anchor of a
+    // CONSECUTIVE tracking param in the same global pass ('?utm_a=1&
+    // utm_b=2' would keep utm_b); instead the leftover separators are
+    // collapsed below.
     val noTrack = regexp_replace(joined,
-      "(?:utm_[A-Za-z]+|fbclid|gclid)=[^&#]*&?", "")
-    val fixedSep = regexp_replace(noTrack, "\\?&", "?")
+      "([?&])(?:utm_[A-Za-z]+|fbclid|gclid)=[^&#]*", "$1")
+    val oneAmp = regexp_replace(noTrack, "&&+", "&")
+    val fixedSep = regexp_replace(oneAmp, "\\?&", "?")
     val noDangle = regexp_replace(fixedSep, "[?&]+$", "")
     regexp_replace(noDangle, "/$", "")
   }

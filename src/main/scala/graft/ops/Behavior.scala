@@ -37,19 +37,16 @@ object Behavior {
       attrCol: Column,
       seqCol: Column
   ): DataFrame = {
-    val w = Window.partitionBy(keyCol).orderBy(tsCol, seqCol)
+    val w = Window.partitionBy(col("key")).orderBy(col("ts"), col("seq"))
     val collapsed = changes
       .select(keyCol.as("key"), tsCol.as("ts"), attrCol.as("attr"), seqCol.as("seq"))
-      .withColumn("__prev", lag(col("attr"), 1).over(
-        Window.partitionBy(col("key")).orderBy(col("ts"), col("seq"))))
+      .withColumn("__prev", lag(col("attr"), 1).over(w))
       // null-safe: first row per key has __prev NULL and must survive
       // even when attr is NULL too — presence, not value, opens it
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col("key")).orderBy(col("ts"), col("seq"))))
+      .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1 || !(col("attr") <=> col("__prev")))
-    val w2 = Window.partitionBy(col("key")).orderBy(col("ts"), col("seq"))
     collapsed
-      .withColumn("valid_to", lead(col("ts"), 1).over(w2))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
       .select(col("key"), col("attr"), col("ts").as("valid_from"),
         col("valid_to"), col("valid_to").isNull.as("is_current"))
   }

@@ -39,11 +39,16 @@ object Graph {
       dampPct: Int = 85
   ): DataFrame = {
     require(iters >= 1 && dampPct >= 0 && dampPct <= 100)
+    // checkpoint the edge projection too: every iteration joins ranks
+    // onto e AND outdeg re-derives from it — without the cut, the
+    // caller's full edge lineage re-executes ~2× per round
     val e = edges.select(srcCol.as("src"), dstCol.as("dst"))
+      .localCheckpoint(true)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint(true)
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("__outdeg"))
+      .localCheckpoint(true)
     val basePpm = (100L - dampPct) * 10000L
     var ranks = nodes.select(col("node"), lit(1000000L).as("rank_ppm"))
     for (_ <- 1 to iters) {

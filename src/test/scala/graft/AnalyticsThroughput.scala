@@ -22,7 +22,7 @@ object AnalyticsThroughput {
     val types = array(Seq("view", "click", "purchase", "error", "signup").map(lit): _*)
     val events = spark.range(n.toLong).select(
         col("id").as("event_id"),
-        (col("id") % (n / 10)).as("user_id"),
+        (col("id") % math.max(n / 10, 1)).as("user_id"),
         timestamp_seconds(lit(1704067200L) + pmod(hash(col("id")), lit(2592000))).as("ts"),
         element_at(types, (pmod(hash(col("id"), lit(7)), lit(5)) + 1).cast("int")).as("event_type"))
       .localCheckpoint(true)

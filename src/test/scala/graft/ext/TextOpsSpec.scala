@@ -369,5 +369,21 @@ class TextOpsSpec extends SparkTestBase {
     // already-canonical URLs are fixpoints
     val fix = "http://ex.com/a?x=1"
     assert(canon(canon(fix)) == canon(fix))
+    // anchored matching: a param NAMED xutm_source is not a tracking
+    // param, and 'fbclid=' inside a PATH segment is untouched
+    assert(canon("http://ex.com/a?xutm_source=5") == "http://ex.com/a?xutm_source=5")
+    assert(canon("http://ex.com/p/fbclid=2/x") == "http://ex.com/p/fbclid=2/x")
+    // CONSECUTIVE tracking params all strip in one pass
+    assert(canon("http://ex.com/a?utm_a=1&utm_b=2&c=3") == "http://ex.com/a?c=3")
+    assert(canon("http://ex.com/a?c=3&utm_a=1&gclid=2") == "http://ex.com/a?c=3")
+  }
+
+  test("percentileRankPpm survives key groups past the int-overflow boundary") {
+    import spark.implicits._
+    // 3000 rows in one group: rank*1e6 overflows Int unless widened
+    val big = (0 until 3000).map(i => (i.toLong, "en", i.toLong)).toDF("doc_id", "lang", "score")
+    val got = TextOps.percentileRankPpm(big, col("lang"), col("score"))
+      .agg(min("pct_ppm"), max("pct_ppm")).as[(Long, Long)].collect().head
+    assert(got == (0L, 1000000L))
   }
 }
