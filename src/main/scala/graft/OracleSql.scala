@@ -1599,6 +1599,39 @@ object OracleSql {
         |         THEN bk
         |       ELSE fk END AS nearest_orderkey
         |FROM b JOIN f USING (event_id)
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+
+    // q71's per-term weights rounded to 6, scaled to integer micros,
+    // BIGINT-summed (exact, order-independent) over the query-term join
+    "q131_bm25_topk" -> {
+      val k1 = 1.2; val b = 0.75
+      s"""WITH tk AS (SELECT doc_id AS id, string_split(text,' ') AS toks FROM documents),
+         | dls AS (SELECT id, len(toks) AS dl FROM tk),
+         | t AS (SELECT id, unnest(toks) AS token FROM tk),
+         | tf AS (SELECT id, token, count(*) AS tf FROM t GROUP BY 1, 2),
+         | df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+         | st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |   CAST(sum(dl) AS BIGINT) AS sum_dl FROM dls),
+         | s AS (SELECT tf.id, tf.token,
+         |   round(
+         |     ln(1.0 + (CAST(st.n_docs AS DOUBLE) - df.df + 0.5) / (df.df + 0.5))
+         |     * (tf.tf * ${k1 + 1.0})
+         |     / (tf.tf + $k1 * (${1.0 - b} + $b * dls.dl
+         |        / (CAST(st.sum_dl AS DOUBLE) / st.n_docs))), 6) AS w
+         |   FROM tf JOIN df USING (token) JOIN dls ON tf.id = dls.id CROSS JOIN st),
+         | qq AS (SELECT * FROM (VALUES (1,'spark'),(1,'window'),(1,'batch'),
+         |   (2,'join'),(2,'filter'),
+         |   (3,'stream'),(3,'table'),(3,'merge')) AS v(qid, token)),
+         | ag AS (SELECT qid, id,
+         |   CAST(sum(CAST(round(w * 1000000) AS BIGINT)) AS BIGINT) AS score_micro,
+         |   CAST(count(*) AS BIGINT) AS n_matched
+         |   FROM s JOIN qq USING (token) GROUP BY 1, 2),
+         | r AS (SELECT qid, id, score_micro, n_matched,
+         |   CAST(row_number() OVER (PARTITION BY qid ORDER BY score_micro DESC, id)
+         |     AS BIGINT) AS rnk FROM ag)
+         |SELECT CAST(qid AS BIGINT) AS qid, id AS doc_id, score_micro,
+         |  n_matched, rnk
+         |FROM r WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
+    }
   )
 }

@@ -857,6 +857,25 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** BM25 top-k retrieval ([[TextOps.bm25TopK]]): three bag-of-words
+    * queries over the corpus, disjunctive scoring via the posting join,
+    * DECIMAL-summed so ranking is reduction-order-independent — the
+    * full sparse-retrieval dataflow q71 (per-term weights) and q77
+    * (inverted index) build toward.
+    */
+  private def q131(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val queries = Seq(
+      (1L, "spark"), (1L, "window"), (1L, "batch"),
+      (2L, "join"), (2L, "filter"),
+      (3L, "stream"), (3L, "table"), (3L, "merge")
+    ).toDF("qid", "term")
+    TextOps.bm25TopK(Tables.documents(s, dir), queries, k = 10)
+      .select(col("qid"), col("id").as("doc_id"), col("score_micro"),
+        col("n_matched"), col("rnk").cast("long").as("rnk"))
+      .orderBy("qid", "rnk")
+  }
+
   /** Edit-distance near-dup pairs under the oracle gate: the FastSS
     * deletion-neighborhood blocking AND the exact levenshtein verify are
     * both recomputed in SQL — the fixture's planted one-word revisions
@@ -1933,7 +1952,8 @@ object SparkEntry {
     "q127_snapshot_at" -> q127 _,
     "q128_quality_percentile" -> q128 _,
     "q129_asof_forward" -> q129 _,
-    "q130_asof_nearest" -> q130 _
+    "q130_asof_nearest" -> q130 _,
+    "q131_bm25_topk" -> q131 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

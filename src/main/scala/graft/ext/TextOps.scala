@@ -711,4 +711,50 @@ object TextOps {
           (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl)))
       .select(col("id"), col("token"), col("tf"), col("df"), col("bm25"))
   }
+
+  /** BM25 top-k retrieval: score every document against each bag-of-
+    * words query as Σ over matched terms of the per-(doc, term) [[bm25]]
+    * weight, return the `k` best per query. Per-term weights are rounded
+    * to 6 places, scaled to INTEGER MICROS, then summed as BIGINT —
+    * integer addition is associative, so the score (and therefore the
+    * ranking) is independent of partitioning and merge order, unlike a
+    * raw double sum whose low bits depend on reduction order. (The
+    * second round() only snaps the ×10⁶ product back to its integer —
+    * the value is already within 1e-4 of it, so no half-boundary
+    * semantics are in play.)
+    *
+    * Scale shape: the query term set is tiny and broadcast; the join
+    * prunes the posting table to matched terms BEFORE the shuffle, so
+    * the groupBy aggregates |postings of query terms| rows, not the
+    * corpus; the final top-k is a per-query window over candidates that
+    * matched ≥ 1 term. The [[bm25]] stats pass is shared, linear, and
+    * its `df` table broadcast — the classic disjunctive (OR) retrieval
+    * dataflow over an inverted index.
+    */
+  def bm25TopK(
+      docs: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      qidCol: String = "qid",
+      qtermCol: String = "term",
+      k1: Double = 1.2,
+      b: Double = 0.75
+  ): DataFrame = {
+    val scores = bm25(docs, idCol, textCol, k1, b)
+    val q = broadcast(
+      queries.select(col(qidCol).as("qid"), col(qtermCol).as("token")).distinct())
+    val agg = scores.join(q, "token")
+      .groupBy("qid", "id")
+      .agg(sum(round(round(col("bm25"), 6) * 1000000).cast("long"))
+          .as("score_micro"),
+        count(lit(1)).as("n_matched"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score_micro").desc, col("id"))
+    agg.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("id"), col("score_micro"),
+        col("n_matched"), col("rnk"))
+  }
 }

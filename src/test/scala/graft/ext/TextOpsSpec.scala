@@ -378,6 +378,25 @@ class TextOpsSpec extends SparkTestBase {
     assert(canon("http://ex.com/a?c=3&utm_a=1&gclid=2") == "http://ex.com/a?c=3")
   }
 
+  test("bm25TopK: disjunctive match, rare-term weight dominates, deterministic ranks") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"), // both query terms
+      (2L, "alpha common words here"), // common term only
+      (3L, "beta something else entirely"), // rare term only
+      (4L, "alpha alpha alpha alpha"), // common term, high tf
+      (5L, "no match at all")
+    ).toDF("doc_id", "text")
+    // 'beta' appears in 2 docs, 'alpha' in 3 -> beta is rarer, higher idf
+    val queries = Seq((1L, "alpha"), (1L, "beta")).toDF("qid", "term")
+    val got = TextOps.bm25TopK(docs, queries, k = 5)
+      .orderBy("rnk")
+      .select("id", "n_matched").as[(Long, Long)].collect().toList
+    assert(got.map(_._1).toSet == Set(1L, 2L, 3L, 4L), "doc 5 never matches")
+    assert(got.head._1 == 1L, "the both-terms doc ranks first")
+    assert(got.toMap.apply(1L) == 2L, "n_matched counts distinct matched terms")
+  }
+
   test("percentileRankPpm survives key groups past the int-overflow boundary") {
     import spark.implicits._
     // 3000 rows in one group: rank*1e6 overflows Int unless widened
