@@ -1632,6 +1632,16 @@ object OracleSql {
          |SELECT CAST(qid AS BIGINT) AS qid, id AS doc_id, score_micro,
          |  n_matched, rnk
          |FROM r WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
-    }
+    },
+
+    // adjacent-token phrase scan via list positions; overlapping
+    // occurrences count (('b b b') has 'b b' at 2 starts)
+    "q132_phrase_search" ->
+      """WITH d AS (SELECT doc_id, string_split(text,' ') AS l FROM documents),
+        | s AS (SELECT doc_id, list_filter(generate_series(1, len(l) - 1),
+        |     i -> l[i] = 'batch' AND l[i+1] = 'batch') AS st FROM d)
+        |SELECT doc_id, CAST(len(st) AS BIGINT) AS n_hits,
+        |  CAST(st[1] - 1 AS BIGINT) AS first_pos
+        |FROM s WHERE len(st) > 0 ORDER BY doc_id""".stripMargin
   )
 }

@@ -876,6 +876,19 @@ object SparkEntry {
       .orderBy("qid", "rnk")
   }
 
+  /** Exact phrase search ([[TextOps.phraseStats]]): docs containing the
+    * adjacent-token phrase "batch batch", with overlapping-occurrence
+    * counts and first position — the quoted-query leg of the retrieval
+    * family (q77 index, q78 boolean, q131 ranked).
+    */
+  private def q132(s: SparkSession, dir: String): DataFrame = {
+    val (nHits, firstPos) = TextOps.phraseStats(col("text"), Seq("batch", "batch"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), nHits.as("n_hits"), firstPos.as("first_pos"))
+      .filter(col("n_hits") > 0)
+      .orderBy("doc_id")
+  }
+
   /** Edit-distance near-dup pairs under the oracle gate: the FastSS
     * deletion-neighborhood blocking AND the exact levenshtein verify are
     * both recomputed in SQL — the fixture's planted one-word revisions
@@ -1953,7 +1966,8 @@ object SparkEntry {
     "q128_quality_percentile" -> q128 _,
     "q129_asof_forward" -> q129 _,
     "q130_asof_nearest" -> q130 _,
-    "q131_bm25_topk" -> q131 _
+    "q131_bm25_topk" -> q131 _,
+    "q132_phrase_search" -> q132 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

@@ -312,6 +312,35 @@ object TextOps {
       .drop("__rk", "__cnt")
   }
 
+  /** Phrase occurrence stats — exact ADJACENT-token phrase matching,
+    * the positional-index query of a search engine (q77's index and
+    * q78's boolean search are term-level; this is the "quoted query").
+    * Returns `(n_hits, first_pos)`: occurrence count (overlapping
+    * occurrences each count — 'b b b' contains 'b b' twice) and the
+    * 0-based token position of the first, NULL when absent. Pure
+    * array-lambda scan per row — no self-join of positional postings,
+    * no shuffle; at index scale the same predicate applies AFTER an
+    * inverted-index candidate fetch on the phrase's rarest term.
+    */
+  def phraseStats(text: Column, phrase: Seq[String]): (Column, Column) = {
+    require(phrase.nonEmpty, "phrase must have at least one token")
+    val m = phrase.length
+    val toks = tokens(text)
+    // descending-sequence guard: Spark's sequence(1, n) auto-reverses
+    // for n < 1, which would fabricate bogus start positions for docs
+    // shorter than the phrase
+    val starts = when(size_(toks) >= m,
+        filter(sequence(lit(1), size_(toks) - (m - 1)), i =>
+          phrase.zipWithIndex
+            .map { case (w, j) => element_at(toks, i + j) === lit(w) }
+            .reduce(_ && _)))
+      .otherwise(array().cast("array<int>"))
+    // try_element_at: ANSI mode makes element_at THROW on the empty
+    // no-hit array instead of returning NULL
+    (size_(starts).cast("long"),
+      (try_element_at(starts, lit(1)) - 1).cast("long"))
+  }
+
   /** Canonical URL form for URL-level dedup — the normalization every
     * web-crawl pipeline runs before treating URLs as document keys:
     * drop the fragment, lowercase the scheme+authority (path case is

@@ -397,6 +397,20 @@ class TextOpsSpec extends SparkTestBase {
     assert(got.toMap.apply(1L) == 2L, "n_matched counts distinct matched terms")
   }
 
+  test("phraseStats: adjacency required, overlaps count, short docs safe") {
+    import spark.implicits._
+    def stats(text: String, phrase: Seq[String]): (Long, Option[Long]) = {
+      val (n, p) = TextOps.phraseStats(col("text"), phrase)
+      val r = Seq(text).toDF("text").select(n.as("n"), p.as("p")).collect().head
+      (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long]))
+    }
+    assert(stats("a b c d", Seq("b", "c")) == (1L, Some(1L)))
+    assert(stats("a b x c d", Seq("b", "c")) == (0L, None)) // not adjacent
+    assert(stats("b b b", Seq("b", "b")) == (2L, Some(0L))) // overlapping
+    assert(stats("x", Seq("b", "c")) == (0L, None)) // doc shorter than phrase
+    assert(stats("a b c", Seq("a", "b", "c")) == (1L, Some(0L))) // 3-gram
+  }
+
   test("percentileRankPpm survives key groups past the int-overflow boundary") {
     import spark.implicits._
     // 3000 rows in one group: rank*1e6 overflows Int unless widened
