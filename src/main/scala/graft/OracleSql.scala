@@ -1642,6 +1642,20 @@ object OracleSql {
         |     i -> l[i] = 'batch' AND l[i+1] = 'batch') AS st FROM d)
         |SELECT doc_id, CAST(len(st) AS BIGINT) AS n_hits,
         |  CAST(st[1] - 1 AS BIGINT) AS first_pos
-        |FROM s WHERE len(st) > 0 ORDER BY doc_id""".stripMargin
+        |FROM s WHERE len(st) > 0 ORDER BY doc_id""".stripMargin,
+
+    // integer priority sampling: hash*1e6 // weight, k lowest win;
+    // seed 3 mirrors the operator's md5Hash32 format
+    "q133_weighted_sample" ->
+      s"""WITH q AS (SELECT doc_id, lang,
+         |    CAST($qualityPpmSql AS BIGINT) AS weight_ppm FROM documents),
+         | p AS (SELECT doc_id, lang, weight_ppm,
+         |   CAST((('0x'||substr(md5('3:'||doc_id),1,8))::BIGINT * 1000000)
+         |     // weight_ppm AS BIGINT) AS priority
+         |   FROM q WHERE weight_ppm IS NOT NULL AND weight_ppm > 0),
+         | r AS (SELECT *, row_number() OVER (ORDER BY priority, doc_id) AS rn
+         |   FROM p)
+         |SELECT doc_id, lang, weight_ppm, priority FROM r
+         |WHERE rn <= 100 ORDER BY doc_id""".stripMargin
   )
 }

@@ -889,6 +889,22 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Quality-weighted priority sample
+    * ([[Sampling.weightedPrioritySample]]): exactly 100 docs drawn
+    * without replacement with probability-ordering ∝ q31's quality
+    * score — integer priority-sampling, so the SQL oracle reproduces
+    * the selected SET bit for bit (impossible for rand()-weighted
+    * draws).
+    */
+  private def q133(s: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        TextOps.qualityScorePpm(col("text")).as("weight_ppm"))
+    Sampling.weightedPrioritySample(scored, col("doc_id"), col("weight_ppm"), k = 100)
+      .select("doc_id", "lang", "weight_ppm", "priority")
+      .orderBy("doc_id")
+  }
+
   /** Edit-distance near-dup pairs under the oracle gate: the FastSS
     * deletion-neighborhood blocking AND the exact levenshtein verify are
     * both recomputed in SQL — the fixture's planted one-word revisions
@@ -1967,7 +1983,8 @@ object SparkEntry {
     "q129_asof_forward" -> q129 _,
     "q130_asof_nearest" -> q130 _,
     "q131_bm25_topk" -> q131 _,
-    "q132_phrase_search" -> q132 _
+    "q132_phrase_search" -> q132 _,
+    "q133_weighted_sample" -> q133 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

@@ -189,6 +189,37 @@ object Sampling {
       .drop("__rk")
   }
 
+  /** Weighted sample without replacement of exactly `k` rows, by
+    * PRIORITY SAMPLING order (Duffield et al.): each row's priority is
+    * `u / w` with `u` a 32-bit key hash (fixed-granularity uniform) and
+    * `w` its weight — the `k` lowest priorities are the sample, so a
+    * doubled weight exactly doubles a row's chance of preceding any
+    * given competitor. All-integer (`hash·10⁶ div weight_ppm`), so the
+    * selected set is bit-reproducible across runs, engines, and
+    * partitionings — none of which holds for `rand()`-based weighted
+    * sampling. Null/non-positive weights never sample. The row's
+    * `priority` is kept in the output for auditability.
+    *
+    * Scale shape: one scan + a distributed TakeOrdered (per-partition
+    * top-k, then a k·partitions merge on the driver) — no global sort,
+    * no shuffle of the corpus.
+    */
+  def weightedPrioritySample(
+      df: DataFrame,
+      idCol: Column,
+      weightPpmCol: Column,
+      k: Int,
+      seed: Int = 3
+  ): DataFrame =
+    df.filter(weightPpmCol.isNotNull && weightPpmCol > 0)
+      .withColumn("__w", weightPpmCol.cast("long"))
+      .withColumn("__num",
+        Hashing.md5Hash32(lit(seed), idCol.cast("string")) * lit(1000000L))
+      .withColumn("priority", expr("CAST(__num DIV __w AS BIGINT)"))
+      .drop("__w", "__num")
+      .orderBy(col("priority"), idCol)
+      .limit(k)
+
   /** Highest-value subset under a global token budget — the data-selection
     * step of a budgeted pretraining run: greedily take documents in
     * (score DESC, key-hash, id) order until `budget` tokens are spent; a

@@ -236,4 +236,24 @@ class SamplingSpec extends SparkTestBase {
     assert(keptTok >= 900L - maxTok || a.size == docs.size,
       s"budget must be nearly exhausted: $keptTok")
   }
+
+  test("weightedPrioritySample: weight tilts selection, exact k, null/zero excluded, deterministic") {
+    // 500 heavy (weight 1e6) + 500 light (weight 1e4, 100x less) + bad rows
+    val rows = (0L until 500L).map(i => (i, Some(1000000L))) ++
+      (500L until 1000L).map(i => (i, Some(10000L))) ++
+      Seq((1000L, Some(0L)), (1001L, None: Option[Long]))
+    val df = rows.toDF("doc_id", "weight_ppm")
+    val take = Sampling.weightedPrioritySample(df, col("doc_id"), col("weight_ppm"), k = 100)
+      .select("doc_id").as[Long].collect().toSet
+    assert(take.size == 100, "exactly k rows")
+    assert(!take.contains(1000L) && !take.contains(1001L), "zero/null weights never sample")
+    val heavy = take.count(_ < 500L)
+    // E[heavy] with a 100:1 weight ratio is ~99; even a loose bound
+    // separates it from the unweighted expectation of 50
+    assert(heavy > 80, s"heavy-weight rows must dominate the sample: $heavy/100")
+    val again = Sampling.weightedPrioritySample(
+        df.repartition(7), col("doc_id"), col("weight_ppm"), k = 100)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == take, "selection is partition-invariant")
+  }
 }
