@@ -1656,6 +1656,21 @@ object OracleSql {
          | r AS (SELECT *, row_number() OVER (ORDER BY priority, doc_id) AS rn
          |   FROM p)
          |SELECT doc_id, lang, weight_ppm, priority FROM r
-         |WHERE rn <= 100 ORDER BY doc_id""".stripMargin
+         |WHERE rn <= 100 ORDER BY doc_id""".stripMargin,
+
+    // exact-dup verdicts (min-id keeper per md5 group) rolled up with
+    // GROUPING() disambiguating subtotal rows
+    "q134_dedup_report" ->
+      """WITH f AS (SELECT doc_id, source, lang, md5(text) AS fp FROM documents),
+        | k AS (SELECT fp AS kfp, min(doc_id) AS keep FROM f GROUP BY 1),
+        | v AS (SELECT source, lang,
+        |   CASE WHEN doc_id != keep THEN 1 ELSE 0 END AS is_dup
+        |   FROM f JOIN k ON f.fp IS NOT DISTINCT FROM k.kfp)
+        |SELECT source, lang, CAST(GROUPING(source, lang) AS BIGINT) AS gid,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(is_dup) AS BIGINT) AS n_dups,
+        |  CAST((sum(is_dup) * 1000000) // count(*) AS BIGINT) AS dup_ppm
+        |FROM v GROUP BY ROLLUP(source, lang)
+        |ORDER BY gid, source NULLS FIRST, lang NULLS FIRST""".stripMargin
   )
 }

@@ -905,6 +905,16 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Dedup observability report ([[Dedup.dedupReport]]): exact-dup rate
+    * per (source, lang) with rollup subtotals and grouping_id — the
+    * dup-rate dashboard a recurring ingest watches for scraper loops.
+    */
+  private def q134(s: SparkSession, dir: String): DataFrame =
+    Dedup.dedupReport(Tables.documents(s, dir))
+      .select(col("source"), col("lang"), col("gid").cast("long").as("gid"),
+        col("n_docs"), col("n_dups"), col("dup_ppm"))
+      .orderBy(col("gid"), col("source"), col("lang"))
+
   /** Edit-distance near-dup pairs under the oracle gate: the FastSS
     * deletion-neighborhood blocking AND the exact levenshtein verify are
     * both recomputed in SQL — the fixture's planted one-word revisions
@@ -1984,7 +1994,8 @@ object SparkEntry {
     "q130_asof_nearest" -> q130 _,
     "q131_bm25_topk" -> q131 _,
     "q132_phrase_search" -> q132 _,
-    "q133_weighted_sample" -> q133 _
+    "q133_weighted_sample" -> q133 _,
+    "q134_dedup_report" -> q134 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

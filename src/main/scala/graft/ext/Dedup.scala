@@ -138,6 +138,40 @@ object Dedup {
       .select(docs.columns.toIndexedSeq.map(col) :+ col("n_copies"): _*)
   }
 
+  /** Duplication observability report: exact-dup rate per dimension
+    * combination plus rollup subtotals — the "which sources are
+    * flooding us with copies" dashboard every recurring crawl ingest
+    * watches (a dup-rate SPIKE on one source is the canonical signal of
+    * a scraper loop or a mirror site joining the crawl). A doc is a dup
+    * iff it is not the min-id keeper of its content-fingerprint group;
+    * rates are integer ppm. `grouping_id` disambiguates rollup
+    * subtotal rows from genuine NULL dimension values.
+    *
+    * Scale shape: one fingerprint pass + the skew-safe keeper agg +
+    * one null-safe join (exactDedupCounted's shape), then a single
+    * ROLLUP aggregate over verdict rows — Spark computes all rollup
+    * levels in one shuffle via Expand.
+    */
+  def dedupReport(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      dims: Seq[String] = Seq("source", "lang")
+  ): DataFrame = {
+    val withFp = docs.withColumn(GroupKey, TextOps.fingerprint(col(textCol)))
+    val keeps = withFp.groupBy(col(GroupKey).as("__kfp"))
+      .agg(min(col(idCol)).as("__keep"))
+    val verdicts = withFp
+      .join(keeps, col(GroupKey) <=> col("__kfp"))
+      .select(dims.map(col) :+
+        when(col(idCol) =!= col("__keep"), 1L).otherwise(0L).as("__is_dup"): _*)
+    verdicts.rollup(dims.map(col): _*)
+      .agg(grouping_id().as("gid"),
+        count(lit(1)).as("n_docs"),
+        sum(col("__is_dup")).as("n_dups"))
+      .withColumn("dup_ppm", expr("CAST((n_dups * 1000000) DIV n_docs AS BIGINT)"))
+  }
+
   /** Truncation-duplicate groups: documents sharing an IDENTICAL
     * `kPrefix`-token prefix — the "same article cut at different
     * lengths" stratum (RSS truncation, paywall cuts, re-syndication)

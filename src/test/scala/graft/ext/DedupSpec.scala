@@ -402,6 +402,28 @@ class DedupSpec extends SparkTestBase {
     assert(hits(2L) == 0L)
   }
 
+  test("dedupReport: per-cell dup rates, rollup subtotals reconcile, gid disambiguates") {
+    val docs6 = Seq(
+      (1L, "same text", "a", "en"),
+      (2L, "same text", "a", "en"), // dup of 1 within cell (a, en)
+      (3L, "same text", "b", "en"), // dup of 1 across sources
+      (4L, "unique one", "a", "de"),
+      (5L, "unique two", "b", "en"),
+      (6L, null: String, "a", "en") // null text: its own group, not a dup
+    ).toDF("doc_id", "text", "source", "lang")
+    val got = Dedup.dedupReport(docs6)
+      .collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1)), r.getLong(2).toInt) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // leaf cells (gid 0)
+    assert(got((Some("a"), Some("en"), 0)) == (3L, 1L, 333333L))
+    assert(got((Some("b"), Some("en"), 0)) == (2L, 1L, 500000L))
+    assert(got((Some("a"), Some("de"), 0)) == (1L, 0L, 0L))
+    // per-source subtotal (gid 1) and grand total (gid 3)
+    assert(got((Some("a"), None, 1)) == (4L, 1L, 250000L))
+    assert(got((None, None, 3)) == (6L, 2L, 333333L))
+  }
+
   test("truncationDupGroups: shared-prefix docs group, longest canonical, shorts excluded") {
     val prefix = (1 to 8).map(i => s"w$i").mkString(" ")
     val docs4 = Seq(
