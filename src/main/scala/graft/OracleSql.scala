@@ -1671,6 +1671,28 @@ object OracleSql {
         |  CAST(sum(is_dup) AS BIGINT) AS n_dups,
         |  CAST((sum(is_dup) * 1000000) // count(*) AS BIGINT) AS dup_ppm
         |FROM v GROUP BY ROLLUP(source, lang)
-        |ORDER BY gid, source NULLS FIRST, lang NULLS FIRST""".stripMargin
+        |ORDER BY gid, source NULLS FIRST, lang NULLS FIRST""".stripMargin,
+
+    // q57's exact rank-median applied twice (value, then |v - med|);
+    // outlier predicate on the shared doubles
+    "q135_mad_outliers" ->
+      """WITH b AS (SELECT event_type AS key, value AS v FROM events),
+        | r1 AS (SELECT key, v, row_number() OVER (PARTITION BY key ORDER BY v) AS rn,
+        |   count(*) OVER (PARTITION BY key) AS n FROM b),
+        | m AS (SELECT key, CAST(max(n) AS BIGINT) AS n,
+        |   max(CASE WHEN rn = CAST(ceil(0.5*n) AS BIGINT) THEN v END) AS med
+        |   FROM r1 GROUP BY 1),
+        | d AS (SELECT b.key, b.v, m.med, m.n, abs(b.v - m.med) AS dev
+        |   FROM b JOIN m USING (key)),
+        | r2 AS (SELECT key, dev, n,
+        |   row_number() OVER (PARTITION BY key ORDER BY dev) AS rn2 FROM d),
+        | md AS (SELECT key,
+        |   max(CASE WHEN rn2 = CAST(ceil(0.5*n) AS BIGINT) THEN dev END) AS mad
+        |   FROM r2 GROUP BY 1)
+        |SELECT d.key AS event_type, CAST(max(d.n) AS BIGINT) AS n,
+        |  max(d.med) AS med, max(md.mad) AS mad,
+        |  CAST(sum(CASE WHEN d.dev > 3.0 * md.mad THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers
+        |FROM d JOIN md USING (key) GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

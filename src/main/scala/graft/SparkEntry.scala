@@ -915,6 +915,18 @@ object SparkEntry {
         col("n_docs"), col("n_dups"), col("dup_ppm"))
       .orderBy(col("gid"), col("source"), col("lang"))
 
+  /** MAD-based robust outliers ([[graft.ops.Stats.madOutliers]]): per
+    * event_type, values beyond 3 MADs from the median — exact
+    * rank-selected medians (q57's technique) keep double-typed robust
+    * stats hash-exact across engines.
+    */
+  private def q135(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.madOutliers(Tables.events(s, dir),
+        col("event_type"), col("value"))
+      .select(col("key").as("event_type"), col("n"), col("med"),
+        col("mad"), col("n_outliers"))
+      .orderBy("event_type")
+
   /** Edit-distance near-dup pairs under the oracle gate: the FastSS
     * deletion-neighborhood blocking AND the exact levenshtein verify are
     * both recomputed in SQL — the fixture's planted one-word revisions
@@ -1995,7 +2007,8 @@ object SparkEntry {
     "q131_bm25_topk" -> q131 _,
     "q132_phrase_search" -> q132 _,
     "q133_weighted_sample" -> q133 _,
-    "q134_dedup_report" -> q134 _
+    "q134_dedup_report" -> q134 _,
+    "q135_mad_outliers" -> q135 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -63,5 +64,50 @@ object Stats {
     val vx = n * e4("sum_x2_e4") - col("sum_x") * col("sum_x")
     val vy = n * e4("sum_y2_e4") - col("sum_y") * col("sum_y")
     agg.withColumn("corr6", round(cov / (sqrt(vx) * sqrt(vy)), 6))
+  }
+
+  /** Robust per-group outlier detection via MAD (median absolute
+    * deviation): a value is an outlier iff `|x − median| > k · MAD` —
+    * the standard heavy-tail-safe alternative to z-scores (one extreme
+    * sensor reading inflates a stddev threshold into uselessness but
+    * leaves the median/MAD untouched). Medians use q57's exact
+    * rank-selection (value at rank ⌈n/2⌉ — "lower median", no
+    * interpolation), so both engines select the identical element and
+    * the whole result is hash-exact despite double-typed values.
+    *
+    * Output: `(key, n, med, mad, n_outliers)`.
+    *
+    * Scale note: every pass shuffles on the group key; with a
+    * LOW-cardinality key (event types) the per-key sort concentrates —
+    * at that scale replace the rank-median with a fixed-width
+    * histogram median ([[histogram]] + cumulative pick) or
+    * approx_percentile, keeping the same MAD formula.
+    */
+  def madOutliers(
+      df: DataFrame,
+      keyCol: Column,
+      valueCol: Column,
+      k: Double = 3.0
+  ): DataFrame = {
+    val base = df.select(keyCol.as("key"), valueCol.as("v"))
+    val wr = Window.partitionBy(col("key")).orderBy(col("v"))
+    val wn = Window.partitionBy(col("key"))
+    val med = base
+      .withColumn("rn", row_number().over(wr))
+      .withColumn("n", count(lit(1)).over(wn))
+      .groupBy("key")
+      .agg(max(col("n")).as("n"),
+        max(when(col("rn") === ceil(col("n") * 0.5).cast("long"), col("v"))).as("med"))
+    val dev = base.join(med, Seq("key"))
+      .withColumn("dev", abs(col("v") - col("med")))
+    val wd = Window.partitionBy(col("key")).orderBy(col("dev"))
+    val mad = dev
+      .withColumn("rn2", row_number().over(wd))
+      .groupBy("key")
+      .agg(max(when(col("rn2") === ceil(col("n") * 0.5).cast("long"), col("dev"))).as("mad"))
+    dev.join(mad, Seq("key"))
+      .groupBy("key")
+      .agg(max(col("n")).as("n"), max(col("med")).as("med"), max(col("mad")).as("mad"),
+        sum(when(col("dev") > lit(k) * col("mad"), 1L).otherwise(0L)).as("n_outliers"))
   }
 }

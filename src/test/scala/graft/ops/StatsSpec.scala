@@ -40,4 +40,17 @@ class StatsSpec extends SparkTestBase {
       .head.getAs[Double]("corr6")
     assert(got === 1.0)
   }
+
+  test("madOutliers: robust to the outlier itself; lower-median selection; k scales the fence") {
+    // group a: 1..9 plus a wild 1000 -> med of 10 values = 5 (lower
+    // median, rank ceil(10/2)=5), devs sorted = {0,1,1,2,2,3,3,4,4,995}
+    // -> mad = dev at rank 5 = 2; fence 3*2=6: only 1000 is outside.
+    val df = ((1 to 9).map(v => ("a", v.toDouble)) :+ ("a", 1000.0))
+      .toDF("event_type", "value")
+    val r = Stats.madOutliers(df, col("event_type"), col("value")).collect().head
+    assert(r.getAs[Long]("n") == 10L)
+    assert(r.getAs[Double]("med") == 5.0)
+    assert(r.getAs[Double]("mad") == 2.0)
+    assert(r.getAs[Long]("n_outliers") == 1L)
+  }
 }
