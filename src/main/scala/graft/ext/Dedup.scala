@@ -544,14 +544,25 @@ object Dedup {
     // deduped at the far cheaper pair level below. Under the cap, `k`
     // therefore counts signature EMISSIONS, not distinct docs — a
     // marginally conservative drop for repeated-token docs
+    // signature = ONE xxhash64 of the variant text: the tokens+1-per-doc
+    // shuffle moves an 8-byte long instead of a 32-char md5 hex string,
+    // and the hash aggregate compares primitives. A single 64-bit hash
+    // is enough HERE (unlike posGramTable's 128-bit pair) because every
+    // candidate pair is levenshtein-VERIFIED afterwards — a signature
+    // collision emits a false candidate that the exact filter rejects,
+    // costing one distance computation, never a wrong row. The ORACLE
+    // groups on its own md5 of the same variant texts and its candidate
+    // set differs at most by collision-only candidates, which the
+    // shared verify predicate removes from both sides.
     val sigs = base
       .select(col("id"), col("txt"), col("__toks"),
         explode(sequence(lit(0), size(col("__toks")))).as("i"))
       .select(col("id"),
-        when(col("i") === 0, Hashing.fingerprint(col("txt")))
-          .otherwise(Hashing.fingerprint(concat_ws(" ",
-            concat(slice(col("__toks"), lit(1), col("i") - 1),
-              slice(col("__toks"), col("i") + 1, size(col("__toks")))))))
+        xxhash64(lit(1),
+          when(col("i") === 0, col("txt"))
+            .otherwise(concat_ws(" ",
+              concat(slice(col("__toks"), lit(1), col("i") - 1),
+                slice(col("__toks"), col("i") + 1, size(col("__toks")))))))
           .as("sig"))
     val buckets =
       if (maxBucketSize == Int.MaxValue)
