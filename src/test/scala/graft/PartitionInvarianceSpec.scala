@@ -97,10 +97,16 @@ class PartitionInvarianceSpec extends SparkTestBase {
     // (q91), bigram head-count window (q89), LSH band buckets (q93)
     // round 11: corpus-derived resample weights (q113), two-phase
     // histogram+boundary budget selection (q114)
+    // round-11 continuation: iterative integer PageRank (q124, partial
+    // sums merge across partitions), boilerplate covered-index union
+    // (q119), priority-sample TakeOrdered merge (q133), MAD double-pass
+    // rank selection (q135), BM25 integer-micro sum merge (q131)
     val sensitive = Seq("q35_jaccard_pairs", "q46_dedup_clusters",
       "q57_percentiles", "q66_packing",
       "q95_topk_aggregator", "q91_sessionize_batch", "q89_bigram_lm",
-      "q93_lsh_band_stats", "q113_temperature_sample", "q114_token_budget")
+      "q93_lsh_band_stats", "q113_temperature_sample", "q114_token_budget",
+      "q124_pagerank", "q119_boilerplate_scrub", "q133_weighted_sample",
+      "q135_mad_outliers", "q131_bm25_topk")
     def run(n: String): Map[String, List[String]] = {
       spark.conf.set("spark.sql.shuffle.partitions", n)
       sensitive.map(q => q -> rows(SparkEntry.queries(q)(spark, dir))).toMap
@@ -112,5 +118,26 @@ class PartitionInvarianceSpec extends SparkTestBase {
         assert(narrow(q) == wide(q), s"$q diverged across shuffle widths")
       }
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  test("behavior analytics and graph operators are invariant to input repartitioning") {
+    requireFixtures()
+    import graft.ops.{Behavior, Graph}
+    val ev = Tables.events(spark, dir)
+    val evShuffled = ev.repartition(7, col("event_type")) // unrelated key
+    assert(rows(Behavior.scdType2(ev, col("user_id"), col("ts"),
+        col("event_type"), col("event_id"))) ==
+      rows(Behavior.scdType2(evShuffled, col("user_id"), col("ts"),
+        col("event_type"), col("event_id"))))
+    assert(rows(Behavior.funnel(ev, col("user_id"), col("ts"), col("event_type"),
+        Seq("view", "click", "purchase"))) ==
+      rows(Behavior.funnel(evShuffled, col("user_id"), col("ts"), col("event_type"),
+        Seq("view", "click", "purchase"))))
+    assert(rows(Behavior.retentionCohorts(ev, col("user_id"), col("ts"))) ==
+      rows(Behavior.retentionCohorts(evShuffled, col("user_id"), col("ts"))))
+    val e = ev.select((col("user_id") % 7).as("src"), (col("user_id") % 5).as("dst"))
+    val eShuffled = e.repartition(9)
+    assert(rows(Graph.pageRankPpm(e, col("src"), col("dst"), iters = 3)) ==
+      rows(Graph.pageRankPpm(eShuffled, col("src"), col("dst"), iters = 3)))
   }
 }
