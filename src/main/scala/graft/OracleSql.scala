@@ -1693,6 +1693,31 @@ object OracleSql {
         |  max(d.med) AS med, max(md.mad) AS mad,
         |  CAST(sum(CASE WHEN d.dev > 3.0 * md.mad THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_outliers
-        |FROM d JOIN md USING (key) GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM d JOIN md USING (key) GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q70's gap-filled daily cells + the cross-multiplied integer
+    // z-test over the trailing-week frame (sum -> HUGEINT keeps the
+    // products exact)
+    "q136_daily_anomalies" ->
+      """WITH c AS (SELECT event_type,
+        |   CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS day_sec,
+        |   count(*) AS n FROM events GROUP BY 1, 2),
+        | sp AS (SELECT event_type, min(day_sec) AS lo, max(day_sec) AS hi
+        |   FROM c GROUP BY 1),
+        | g AS (SELECT event_type, unnest(generate_series(lo, hi, 86400)) AS day_sec
+        |   FROM sp),
+        | d AS (SELECT g.event_type, g.day_sec,
+        |   CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
+        |   FROM g LEFT JOIN c ON g.event_type = c.event_type
+        |     AND g.day_sec = c.day_sec),
+        | wnd AS (SELECT event_type, day_sec, n_events,
+        |   count(*) OVER w AS np, sum(n_events) OVER w AS s,
+        |   sum(n_events*n_events) OVER w AS q
+        |   FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day_sec
+        |     ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, day_sec, n_events,
+        |  np >= 3 AND (np*n_events - s)*(np*n_events - s) > 9*(np*q - s*s)
+        |    AS is_anomaly
+        |FROM wnd ORDER BY event_type, day_sec""".stripMargin
   )
 }

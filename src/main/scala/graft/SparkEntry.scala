@@ -927,6 +927,19 @@ object SparkEntry {
         col("mad"), col("n_outliers"))
       .orderBy("event_type")
 
+  /** Integer rolling z-score anomalies
+    * ([[graft.ops.TimeSeries.rollingAnomalies]]): per event_type, days
+    * whose count deviates > 3σ from the trailing week — the z-test
+    * cross-multiplied into pure BIGINT algebra so no float mean/stddev
+    * can diverge between engines.
+    */
+  private def q136(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TimeSeries.rollingAnomalies(Tables.events(s, dir),
+        col("event_type"), col("ts"))
+      .select(col("key").as("event_type"), col("day_sec"),
+        col("n_events"), col("is_anomaly"))
+      .orderBy("event_type", "day_sec")
+
   /** Edit-distance near-dup pairs under the oracle gate: the FastSS
     * deletion-neighborhood blocking AND the exact levenshtein verify are
     * both recomputed in SQL — the fixture's planted one-word revisions
@@ -2008,7 +2021,8 @@ object SparkEntry {
     "q132_phrase_search" -> q132 _,
     "q133_weighted_sample" -> q133 _,
     "q134_dedup_report" -> q134 _,
-    "q135_mad_outliers" -> q135 _
+    "q135_mad_outliers" -> q135 _,
+    "q136_daily_anomalies" -> q136 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

@@ -49,4 +49,47 @@ object TimeSeries {
       .select(col("key"), col("day_sec"),
         coalesce(col("n"), lit(0L)).as("n_events"))
   }
+
+  /** INTEGER rolling z-score anomaly flags over the gap-filled daily
+    * series: day `x` is anomalous against its trailing `window` days
+    * (current day excluded) iff `(n·x − s)² > z²·(n·q − s²)` — the
+    * z-score test cross-multiplied so every term is a BIGINT (`n` =
+    * trailing days present, `s`/`q` = their sum / sum of squares). No
+    * float mean or stddev ever materializes, so the flag is bit-exact
+    * across engines, partitionings, and merge orders. A zero-variance
+    * window flags ANY deviation (the algebra degenerates to
+    * `n·x ≠ s`); the first `minPrior` days per key are unflagged
+    * warm-up. This is the telemetry-alerting extension of the
+    * reference's threshold rule (`PythonKafkaSink/main.py:83` flags
+    * `temp > 80` statically; this flags "unusual for this stream").
+    *
+    * Scale shape: [[gapFillDaily]]'s aggregate (corpus → one tiny
+    * (key, day) row per cell) then one per-key window pass over the
+    * CELL table — the raw log is scanned once. Overflow bound: terms
+    * grow as `(window · daily_count)²`, exact in BIGINT up to ~10⁸
+    * events/key/day (ANSI mode fails loudly past it — switch `s`/`q`
+    * to DECIMAL(38,0) beyond that, same algebra).
+    */
+  def rollingAnomalies(
+      df: DataFrame,
+      keyCol: Column,
+      tsCol: Column,
+      window: Int = 7,
+      z: Int = 3,
+      minPrior: Int = 3
+  ): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("day_sec"))
+      .rowsBetween(-window, -1)
+    val x = col("n_events")
+    gapFillDaily(df, keyCol, tsCol)
+      .withColumn("__np", count(lit(1)).over(w))
+      .withColumn("__s", sum(x).over(w))
+      .withColumn("__q", sum(x * x).over(w))
+      .withColumn("is_anomaly",
+        col("__np") >= minPrior &&
+          (col("__np") * x - col("__s")) * (col("__np") * x - col("__s")) >
+            lit(z.toLong * z) * (col("__np") * col("__q") - col("__s") * col("__s")))
+      .select(col("key"), col("day_sec"), col("n_events"), col("is_anomaly"))
+  }
 }

@@ -1,0 +1,45 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class TimeSeriesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def day(d: Int, perDay: Int, key: String = "a"): Seq[(String, Timestamp)] =
+    (0 until perDay).map(i =>
+      (key, Timestamp.valueOf(f"2024-01-${d}%02d 0${i % 9}:00:00")))
+
+  test("rollingAnomalies: planted spike flags, steady days don't, warm-up unflagged") {
+    // 10 steady days at 5 events, then a 50-event spike, then steady again
+    val ev = ((1 to 10).flatMap(d => day(d, 5)) ++ day(11, 50) ++
+      (12 to 14).flatMap(d => day(d, 5))).toDF("k", "ts")
+    val got = TimeSeries.rollingAnomalies(ev, col("k"), col("ts"))
+      .orderBy("day_sec")
+      .select("n_events", "is_anomaly").as[(Long, Boolean)].collect().toList
+    assert(got.map(_._1) == List(5L, 5L, 5L, 5L, 5L, 5L, 5L, 5L, 5L, 5L, 50L, 5L, 5L, 5L))
+    // warm-up: days 1-3 have < minPrior trailing days
+    assert(got.take(3).forall(!_._2), "warm-up days never flag")
+    // steady zero-variance days equal their window: not anomalous
+    assert(got.slice(3, 10).forall(!_._2), "steady days never flag")
+    // the spike deviates from a zero-variance window: flagged
+    assert(got(10)._2, "the 10x spike must flag")
+    // the day AFTER the spike: window now contains the spike, variance
+    // is huge, 5 is within 3 sigma of the contaminated window
+    assert(!got(11)._2, "post-spike steady day is within the inflated sigma")
+  }
+
+  test("rollingAnomalies: keys are independent; gap days count as zero") {
+    val ev = (day(1, 5) ++ day(2, 5) ++ day(3, 5) ++ day(4, 5) ++
+      // key b: one event on day 1 and day 5 -> days 2-4 are zero-filled
+      day(1, 1, "b") ++ day(5, 1, "b")).toDF("k", "ts")
+    val got = TimeSeries.rollingAnomalies(ev, col("k"), col("ts"))
+      .filter(col("key") === "b")
+      .orderBy("day_sec")
+      .select("n_events").as[Long].collect().toList
+    assert(got == List(1L, 0L, 0L, 0L, 1L), "gap days zero-fill before the window pass")
+  }
+}
