@@ -1676,7 +1676,8 @@ object OracleSql {
     // q57's exact rank-median applied twice (value, then |v - med|);
     // outlier predicate on the shared doubles
     "q135_mad_outliers" ->
-      """WITH b AS (SELECT event_type AS key, value AS v FROM events),
+      """WITH b AS (SELECT event_type AS key, value AS v FROM events
+        |   WHERE value IS NOT NULL),
         | r1 AS (SELECT key, v, row_number() OVER (PARTITION BY key ORDER BY v) AS rn,
         |   count(*) OVER (PARTITION BY key) AS n FROM b),
         | m AS (SELECT key, CAST(max(n) AS BIGINT) AS n,

@@ -891,10 +891,10 @@ object SparkEntry {
 
   /** Quality-weighted priority sample
     * ([[Sampling.weightedPrioritySample]]): exactly 100 docs drawn
-    * without replacement with probability-ordering ∝ q31's quality
-    * score — integer priority-sampling, so the SQL oracle reproduces
-    * the selected SET bit for bit (impossible for rand()-weighted
-    * draws).
+    * without replacement, weight-monotone in q31's quality score (u/w
+    * priority order — see the operator's pairwise law) — integer
+    * priority-sampling, so the SQL oracle reproduces the selected SET
+    * bit for bit (impossible for rand()-weighted draws).
     */
   private def q133(s: SparkSession, dir: String): DataFrame = {
     val scored = Tables.documents(s, dir)

@@ -147,10 +147,14 @@ object Dedup {
     * rates are integer ppm. `grouping_id` disambiguates rollup
     * subtotal rows from genuine NULL dimension values.
     *
-    * Scale shape: one fingerprint pass + the skew-safe keeper agg +
-    * one null-safe join (exactDedupCounted's shape), then a single
-    * ROLLUP aggregate over verdict rows — Spark computes all rollup
-    * levels in one shuffle via Expand.
+    * Scale shape: one fingerprint pass collapses the corpus to
+    * (fingerprint × dims) CELLS — so the scraper-loop hot key this
+    * report exists to catch (one fingerprint, millions of copies)
+    * reduces map-side to a count, and NO raw-row join ever routes the
+    * hot group through one reducer. The keeper's cell is resolved on
+    * the collapsed table (min-id cell per fingerprint), its count
+    * decremented by one, and a single ROLLUP (one Expand shuffle)
+    * produces every subtotal level.
     */
   def dedupReport(
       docs: DataFrame,
@@ -158,17 +162,26 @@ object Dedup {
       textCol: String = "text",
       dims: Seq[String] = Seq("source", "lang")
   ): DataFrame = {
-    val withFp = docs.withColumn(GroupKey, TextOps.fingerprint(col(textCol)))
-    val keeps = withFp.groupBy(col(GroupKey).as("__kfp"))
-      .agg(min(col(idCol)).as("__keep"))
-    val verdicts = withFp
-      .join(keeps, col(GroupKey) <=> col("__kfp"))
-      .select(dims.map(col) :+
-        when(col(idCol) =!= col("__keep"), 1L).otherwise(0L).as("__is_dup"): _*)
-    verdicts.rollup(dims.map(col): _*)
+    // corpus -> one row per (fingerprint, dims) cell; null fps group
+    // together via groupBy semantics (the null-safe equality the join
+    // formulation needed <=> for)
+    val cells = docs
+      .withColumn(GroupKey, TextOps.fingerprint(col(textCol)))
+      .groupBy(col(GroupKey) +: dims.map(col): _*)
+      .agg(count(lit(1)).as("__n"), min(col(idCol)).as("__min_id"))
+      .localCheckpoint(false) // two consumers: keeper agg + the join back
+    val keeper = cells.groupBy(GroupKey)
+      .agg(min(col("__min_id")).as("__keep"))
+      .withColumnRenamed(GroupKey, "__kfp")
+    // null-safe join: the NULL-fingerprint (null-text) cell group must
+    // meet its keeper too — a plain equi-join silently drops it
+    val withKeeper = cells.join(keeper, col(GroupKey) <=> col("__kfp"))
+      .withColumn("__dups",
+        col("__n") - when(col("__min_id") === col("__keep"), 1L).otherwise(0L))
+    withKeeper.rollup(dims.map(col): _*)
       .agg(grouping_id().as("gid"),
-        count(lit(1)).as("n_docs"),
-        sum(col("__is_dup")).as("n_dups"))
+        sum(col("__n")).as("n_docs"),
+        sum(col("__dups")).as("n_dups"))
       .withColumn("dup_ppm", expr("CAST((n_dups * 1000000) DIV n_docs AS BIGINT)"))
   }
 
@@ -548,9 +561,13 @@ object Dedup {
     // shuffle moves an 8-byte long instead of a 32-char md5 hex string,
     // and the hash aggregate compares primitives. A single 64-bit hash
     // is enough HERE (unlike posGramTable's 128-bit pair) because every
-    // candidate pair is levenshtein-VERIFIED afterwards — a signature
-    // collision emits a false candidate that the exact filter rejects,
-    // costing one distance computation, never a wrong row. The ORACLE
+    // candidate pair is levenshtein-VERIFIED afterwards — on the
+    // UNCAPPED path a collision emits a false candidate that the exact
+    // filter rejects, costing one distance computation, never a wrong
+    // row. (Under a finite maxBucketSize a collision could additionally
+    // merge two buckets past the cap and drop that bucket's true pairs
+    // — a ~2⁻⁶⁴-probability conservative drop, same failure direction
+    // as the cap itself.) The ORACLE
     // groups on its own md5 of the same variant texts and its candidate
     // set differs at most by collision-only candidates, which the
     // shared verify predicate removes from both sides.

@@ -192,9 +192,13 @@ object Sampling {
   /** Weighted sample without replacement of exactly `k` rows, by
     * PRIORITY SAMPLING order (Duffield et al.): each row's priority is
     * `u / w` with `u` a 32-bit key hash (fixed-granularity uniform) and
-    * `w` its weight — the `k` lowest priorities are the sample, so a
-    * doubled weight exactly doubles a row's chance of preceding any
-    * given competitor. All-integer (`hash·10⁶ div weight_ppm`), so the
+    * `w` its weight — the `k` lowest priorities are the sample.
+    * Weight-monotone, with the u/w pairwise law: for `w_A ≥ w_B`,
+    * `P(A before B) = 1 − w_B/(2·w_A)` (so 2× weight gives 3:1 odds,
+    * 1:1 → 3:1, NOT a doubled probability — the exactly-proportional
+    * variant needs exponential variates, Efraimidis–Spirakis `u^(1/w)`,
+    * which trades away integer exactness). All-integer
+    * (`hash·10⁶ div weight_ppm`), so the
     * selected set is bit-reproducible across runs, engines, and
     * partitionings — none of which holds for `rand()`-based weighted
     * sampling. Null/non-positive weights never sample. The row's

@@ -75,7 +75,11 @@ object Stats {
     * interpolation), so both engines select the identical element and
     * the whole result is hash-exact despite double-typed values.
     *
-    * Output: `(key, n, med, mad, n_outliers)`.
+    * Output: `(key, n, med, mad, n_outliers)`. NULL values are
+    * excluded up front (`n` counts non-null values): a NULL can be
+    * neither the median nor an outlier, and leaving it in the rank
+    * window would shift every rank by the engines' OPPOSITE null
+    * orderings (Spark NULLS FIRST vs DuckDB NULLS LAST).
     *
     * Scale note: every pass shuffles on the group key; with a
     * LOW-cardinality key (event types) the per-key sort concentrates —
@@ -90,6 +94,7 @@ object Stats {
       k: Double = 3.0
   ): DataFrame = {
     val base = df.select(keyCol.as("key"), valueCol.as("v"))
+      .filter(col("v").isNotNull)
     val wr = Window.partitionBy(col("key")).orderBy(col("v"))
     val wn = Window.partitionBy(col("key"))
     val med = base
