@@ -1719,6 +1719,16 @@ object OracleSql {
         |SELECT event_type, day_sec, n_events,
         |  np >= 3 AND (np*n_events - s)*(np*n_events - s) > 9*(np*q - s*s)
         |    AS is_anomaly
-        |FROM wnd ORDER BY event_type, day_sec""".stripMargin
+        |FROM wnd ORDER BY event_type, day_sec""".stripMargin,
+
+    // q28's exact+flag contract: the oracle pins the exact distincts
+    // and asserts the merged-sketch estimate landed within 10%
+    "q137_sketch_rollup" ->
+      """WITH d AS (SELECT event_type,
+        |   CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS day_sec, user_id
+        |   FROM events)
+        |SELECT event_type, CAST(count(DISTINCT day_sec) AS BIGINT) AS n_days,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users, true AS ok
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -940,6 +940,31 @@ object SparkEntry {
         col("n_events"), col("is_anomaly"))
       .orderBy("event_type", "day_sec")
 
+  /** Mergeable-sketch rollup: DAILY HLL user sketches per event type,
+    * re-aggregated with `hll_union_agg` into a full-range estimate and
+    * gated within 10% of the exact distinct (q28's exact+flag
+    * pattern). This is the property q28 does NOT exercise: partial
+    * sketches merged across partitions/days — the never-rescan-history
+    * incremental reporting primitive (store per-day sketches, answer
+    * any date range by union).
+    */
+  private def q137(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), col("user_id"),
+        (floor(unix_timestamp(col("ts")) / 86400L) * 86400L).cast("long").as("day_sec"))
+    val daily = ev.groupBy("event_type", "day_sec")
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val merged = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    val exact = ev.groupBy("event_type")
+      .agg(count_distinct(col("user_id")).as("exact_users"))
+    merged.join(exact, Seq("event_type"))
+      .select(col("event_type"), col("n_days"), col("exact_users"),
+        (abs(col("est") - col("exact_users")) <= col("exact_users") * 0.10).as("ok"))
+      .orderBy("event_type")
+  }
+
   /** Edit-distance near-dup pairs under the oracle gate: the FastSS
     * deletion-neighborhood blocking AND the exact levenshtein verify are
     * both recomputed in SQL — the fixture's planted one-word revisions
@@ -2022,7 +2047,8 @@ object SparkEntry {
     "q133_weighted_sample" -> q133 _,
     "q134_dedup_report" -> q134 _,
     "q135_mad_outliers" -> q135 _,
-    "q136_daily_anomalies" -> q136 _
+    "q136_daily_anomalies" -> q136 _,
+    "q137_sketch_rollup" -> q137 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all
