@@ -724,7 +724,11 @@ object TextOps {
   def bm25(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
            k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val base = docs.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+    // lazy-checkpoint the tokenized frame: the corpus-stats action below
+    // materializes it once, and the tf explode reuses the blocks — without
+    // the cut the corpus is tokenized twice (once per consumer)
     val withDl = base.select(col("id"), col("toks"), size(col("toks")).cast("long").as("dl"))
+      .localCheckpoint(false)
     val stats = withDl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
       .head()
     val nDocs = stats.getLong(0)
