@@ -1,0 +1,64 @@
+package graft.io
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus publishing: size-bounded, range-sorted shard layout — the
+  * output half of a 100 TB pipeline. Two failure modes dominate real
+  * publishes and both are layout, not compute: the SMALL-FILES problem
+  * (one file per shuffle partition × thousands of partitions starves
+  * downstream listings and NameNode/manifest metadata) and UNSORTED
+  * shards (parquet zone maps / row-group min-max can't skip anything,
+  * so every downstream range or id-prefix read rescans the corpus).
+  */
+object CorpusWriter {
+
+  /** Plan the shard layout: repartition by RANGE of `sortCol` into
+    * `ceil(rows / targetRowsPerFile)` partitions and sort within each —
+    * every output file then covers a disjoint `sortCol` range (its
+    * parquet footer min/max prunes reads), file count tracks corpus
+    * size instead of shuffle width, and `maxRecordsPerFile` backstops
+    * range skew by splitting any oversized partition.
+    *
+    * Returned as a DataFrame (caller picks `.write.parquet(...)` /
+    * `.json(...)` and options) so the layout is testable and reusable
+    * across formats. `rowCount` is accepted from the caller when
+    * already known — passing it avoids the extra count job.
+    *
+    * Scale: one range shuffle (sampled boundaries — Spark's
+    * `repartitionByRange` samples, it does not sort globally) + local
+    * sorts. Deterministic for a deterministic input and fixed
+    * `targetRowsPerFile`.
+    */
+  def shardPlan(
+      df: DataFrame,
+      sortCol: Column,
+      targetRowsPerFile: Long,
+      rowCount: Option[Long] = None
+  ): DataFrame = {
+    require(targetRowsPerFile > 0, "targetRowsPerFile must be positive")
+    val rows = rowCount.getOrElse(df.count())
+    val nFiles = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    df.repartitionByRange(nFiles, sortCol).sortWithinPartitions(sortCol)
+  }
+
+  /** [[shardPlan]] + parquet write with the `maxRecordsPerFile`
+    * backstop. Returns the planned file count (the actual count can
+    * exceed it only when range skew trips the backstop).
+    */
+  def writeSharded(
+      df: DataFrame,
+      path: String,
+      sortCol: Column,
+      targetRowsPerFile: Long,
+      rowCount: Option[Long] = None
+  ): Int = {
+    val rows = rowCount.getOrElse(df.count())
+    val planned = shardPlan(df, sortCol, targetRowsPerFile, Some(rows))
+    planned.write
+      .option("maxRecordsPerFile", targetRowsPerFile)
+      .mode("overwrite")
+      .parquet(path)
+    math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+  }
+}
