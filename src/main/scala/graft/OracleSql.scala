@@ -1729,6 +1729,25 @@ object OracleSql {
         |   FROM events)
         |SELECT event_type, CAST(count(DISTINCT day_sec) AS BIGINT) AS n_days,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users, true AS ok
-        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // native ASOF backward join + the 24h lookback window; touch
+    // instants deduped per (user, ts) to satisfy the as-of contract
+    "q138_attribution" ->
+      """WITH c AS (SELECT user_id, ts AS conv_time FROM events
+        |   WHERE event_type = 'purchase'),
+        | t AS (SELECT DISTINCT user_id, ts AS touch_time FROM events
+        |   WHERE event_type = 'click'),
+        | j AS (SELECT c.user_id, c.conv_time, t.touch_time
+        |   FROM c ASOF LEFT JOIN t
+        |   ON c.user_id = t.user_id AND c.conv_time >= t.touch_time)
+        |SELECT user_id, conv_time,
+        |  CASE WHEN touch_time IS NOT NULL
+        |     AND epoch_us(conv_time) - epoch_us(touch_time) <= 86400000000
+        |    THEN touch_time END AS touch_time,
+        |  touch_time IS NOT NULL
+        |    AND epoch_us(conv_time) - epoch_us(touch_time) <= 86400000000
+        |    AS attributed
+        |FROM j ORDER BY user_id, conv_time""".stripMargin
   )
 }

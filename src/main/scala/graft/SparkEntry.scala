@@ -965,6 +965,20 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** Last-touch attribution ([[Behavior.lastTouchAttribution]]): each
+    * purchase credited to the latest same-user click within 24 h — the
+    * oracle runs DuckDB's native ASOF join plus the same window filter,
+    * so the whole credit assignment cross-checks against an independent
+    * as-of implementation.
+    */
+  private def q138(s: SparkSession, dir: String): DataFrame =
+    Behavior.lastTouchAttribution(Tables.events(s, dir),
+        col("user_id"), col("ts"), col("event_type"),
+        touchType = "click", convType = "purchase", windowSec = 86400L)
+      .select(col("user").as("user_id"), col("conv_time"),
+        col("touch_time"), col("attributed"))
+      .orderBy("user_id", "conv_time")
+
   /** Edit-distance near-dup pairs under the oracle gate: the FastSS
     * deletion-neighborhood blocking AND the exact levenshtein verify are
     * both recomputed in SQL — the fixture's planted one-word revisions
@@ -2048,7 +2062,8 @@ object SparkEntry {
     "q134_dedup_report" -> q134 _,
     "q135_mad_outliers" -> q135 _,
     "q136_daily_anomalies" -> q136 _,
-    "q137_sketch_rollup" -> q137 _
+    "q137_sketch_rollup" -> q137 _,
+    "q138_attribution" -> q138 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

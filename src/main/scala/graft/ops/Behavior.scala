@@ -121,6 +121,49 @@ object Behavior {
     full.withColumn("depth", depth)
   }
 
+  /** Last-touch attribution: each conversion event is credited to the
+    * LATEST preceding touch event (same user, touch time ≤ conversion
+    * time) within `windowSec` — the standard marketing-attribution
+    * join, and the canonical application of the as-of machinery
+    * ([[AsOfJoin.backward]] does the heavy lifting; this adds the
+    * event-type split, the per-(user, time) touch dedup the as-of
+    * contract requires, and the lookback window). Touches outside the
+    * window attribute NULL (an "organic" conversion).
+    *
+    * Output: one row per conversion — `(user, conv_time, touch_time
+    * NULLABLE, attributed BOOLEAN)`.
+    *
+    * Scale shape: inherits the as-of join's single shuffle on the user
+    * key; the type filters prune both sides before it.
+    */
+  def lastTouchAttribution(
+      events: DataFrame,
+      userCol: Column,
+      tsCol: Column,
+      typeCol: Column,
+      touchType: String,
+      convType: String,
+      windowSec: Long
+  ): DataFrame = {
+    val base = events.select(userCol.as("user"), tsCol.as("ts"), typeCol.as("et"))
+    val convs = base.filter(col("et") === convType)
+      .select(col("user"), col("ts").as("conv_time"))
+    // as-of requires a unique right side per (key, time): collapse
+    // duplicate touch instants (same credit either way)
+    val touches = base.filter(col("et") === touchType)
+      .select(col("user"), col("ts").as("touch_time")).distinct()
+    AsOfJoin.backward(convs, touches,
+        leftKey = "user", rightKey = "user",
+        leftTime = "conv_time", rightTime = "touch_time")
+      .withColumn("touch_time",
+        when(col("asof").isNotNull &&
+            unix_micros(col("conv_time")) - unix_micros(col("asof.touch_time"))
+              <= windowSec * 1000000L,
+          col("asof.touch_time")))
+      .withColumn("attributed", col("touch_time").isNotNull)
+      .select(col("user"), col("conv_time"), col("touch_time"), col("attributed"))
+  }
+
   /** Weekly cohort retention: users are cohorted by the ISO week of
     * their first event; the output counts, for every (cohort_week,
     * week_offset) cell, the distinct users from that cohort active in

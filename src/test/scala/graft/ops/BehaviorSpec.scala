@@ -95,6 +95,28 @@ class BehaviorSpec extends SparkTestBase {
     assert(got == ts("2026-01-01 10:30:00"))
   }
 
+  test("lastTouchAttribution: latest touch within window wins; outside window is organic") {
+    val ev = Seq(
+      (1L, ts("2026-01-01 09:00:00"), "click"),
+      (1L, ts("2026-01-01 10:00:00"), "click"), // latest preceding: wins
+      (1L, ts("2026-01-01 11:00:00"), "purchase"),
+      (2L, ts("2026-01-01 10:00:00"), "click"),
+      (2L, ts("2026-01-03 10:00:00"), "purchase"), // click 2 days old: organic
+      (3L, ts("2026-01-01 10:00:00"), "purchase"), // no click at all
+      (4L, ts("2026-01-01 12:00:00"), "click"),
+      (4L, ts("2026-01-01 11:00:00"), "purchase") // click AFTER conversion: organic
+    ).toDF("user_id", "ts", "event_type")
+    val got = Behavior.lastTouchAttribution(ev, col("user_id"), col("ts"),
+        col("event_type"), "click", "purchase", windowSec = 86400L)
+      .orderBy("user")
+      .as[(Long, Timestamp, Option[Timestamp], Boolean)].collect().toSeq
+    assert(got == Seq(
+      (1L, ts("2026-01-01 11:00:00"), Some(ts("2026-01-01 10:00:00")), true),
+      (2L, ts("2026-01-03 10:00:00"), None, false),
+      (3L, ts("2026-01-01 10:00:00"), None, false),
+      (4L, ts("2026-01-01 11:00:00"), None, false)))
+  }
+
   test("retentionCohorts: offset-0 cell equals cohort size; offsets are week-exact") {
     // 2026-01-05 and 2026-01-12 are Mondays
     val ev = Seq(
