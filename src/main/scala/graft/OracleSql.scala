@@ -1726,7 +1726,7 @@ object OracleSql {
     "q137_sketch_rollup" ->
       """WITH d AS (SELECT event_type,
         |   CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS day_sec, user_id
-        |   FROM events)
+        |   FROM events WHERE ts IS NOT NULL)
         |SELECT event_type, CAST(count(DISTINCT day_sec) AS BIGINT) AS n_days,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users, true AS ok
         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,

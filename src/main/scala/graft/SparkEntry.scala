@@ -950,6 +950,10 @@ object SparkEntry {
     */
   private def q137(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
+      // null-ts rows have no day cell: excluded on BOTH sides (the
+      // oracle's count(DISTINCT day_sec) ignores NULLs, a null-day
+      // sketch row here would not)
+      .filter(col("ts").isNotNull)
       .select(col("event_type"), col("user_id"),
         (floor(unix_timestamp(col("ts")) / 86400L) * 86400L).cast("long").as("day_sec"))
     val daily = ev.groupBy("event_type", "day_sec")

@@ -38,8 +38,20 @@ object CorpusWriter {
   ): DataFrame = {
     require(targetRowsPerFile > 0, "targetRowsPerFile must be positive")
     val rows = rowCount.getOrElse(df.count())
-    val nFiles = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
-    df.repartitionByRange(nFiles, sortCol).sortWithinPartitions(sortCol)
+    df.repartitionByRange(plannedFiles(rows, targetRowsPerFile), sortCol)
+      .sortWithinPartitions(sortCol)
+  }
+
+  /** ceil(rows / target), failing LOUDLY past Int.MaxValue partitions —
+    * a silent .toInt wrap at that scale would plan a garbage partition
+    * count far from the real cause (raise the target instead; even 2³¹
+    * files is far past any sane manifest).
+    */
+  def plannedFiles(rows: Long, targetRowsPerFile: Long): Int = {
+    val n = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile)
+    require(n <= Int.MaxValue,
+      s"$n planned files exceeds Int.MaxValue — raise targetRowsPerFile")
+    n.toInt
   }
 
   /** [[shardPlan]] + parquet write with the `maxRecordsPerFile`
@@ -54,11 +66,11 @@ object CorpusWriter {
       rowCount: Option[Long] = None
   ): Int = {
     val rows = rowCount.getOrElse(df.count())
-    val planned = shardPlan(df, sortCol, targetRowsPerFile, Some(rows))
-    planned.write
+    val nFiles = plannedFiles(rows, targetRowsPerFile)
+    shardPlan(df, sortCol, targetRowsPerFile, Some(rows)).write
       .option("maxRecordsPerFile", targetRowsPerFile)
       .mode("overwrite")
       .parquet(path)
-    math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    nFiles
   }
 }

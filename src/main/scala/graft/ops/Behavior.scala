@@ -148,10 +148,12 @@ object Behavior {
     val base = events.select(userCol.as("user"), tsCol.as("ts"), typeCol.as("et"))
     val convs = base.filter(col("et") === convType)
       .select(col("user"), col("ts").as("conv_time"))
-    // as-of requires a unique right side per (key, time): collapse
-    // duplicate touch instants (same credit either way)
+    // the as-of uniqueness contract is satisfied WITHOUT a dedup
+    // shuffle: the touch side carries only (user, touch_time), so
+    // duplicate instants are byte-identical rows and the as-of's
+    // last() picks the same struct whichever copy wins
     val touches = base.filter(col("et") === touchType)
-      .select(col("user"), col("ts").as("touch_time")).distinct()
+      .select(col("user"), col("ts").as("touch_time"))
     AsOfJoin.backward(convs, touches,
         leftKey = "user", rightKey = "user",
         leftTime = "conv_time", rightTime = "touch_time")
