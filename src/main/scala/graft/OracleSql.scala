@@ -1748,6 +1748,20 @@ object OracleSql {
         |  touch_time IS NOT NULL
         |    AND epoch_us(conv_time) - epoch_us(touch_time) <= 86400000000
         |    AS attributed
-        |FROM j ORDER BY user_id, conv_time""".stripMargin
+        |FROM j ORDER BY user_id, conv_time""".stripMargin,
+
+    // one-scan GROUPING SETS data card; integer floor mean; GROUPING()
+    // bit order matches Spark's grouping_id for (source, lang)
+    "q139_data_card" ->
+      s"""WITH d AS (SELECT source, lang,
+         |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+         |    CAST($qualityPpmSql AS BIGINT) AS q FROM documents)
+         |SELECT source, lang, CAST(GROUPING(source, lang) AS BIGINT) AS gid,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+         |  CAST(sum(q) // count(*) AS BIGINT) AS mean_quality_ppm,
+         |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+         |FROM d GROUP BY GROUPING SETS ((source, lang), (source), ())
+         |ORDER BY gid, source NULLS FIRST, lang NULLS FIRST""".stripMargin
   )
 }

@@ -983,6 +983,26 @@ object SparkEntry {
         col("touch_time"), col("attributed"))
       .orderBy("user_id", "conv_time")
 
+  /** Corpus data card via GROUPING SETS: per (source, lang) cell plus
+    * per-source and grand-total rows in ONE Expand shuffle — docs,
+    * token volume, integer mean quality, distinct languages. The
+    * one-scan summary sheet published next to a corpus drop.
+    */
+  private def q139(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("source"), col("lang"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        TextOps.qualityScorePpm(col("text")).as("q"))
+      .groupingSets(
+        Seq(Seq(col("source"), col("lang")), Seq(col("source")), Seq()),
+        col("source"), col("lang"))
+      .agg(grouping_id().as("gid"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        expr("CAST(sum(q) DIV count(1) AS BIGINT)").as("mean_quality_ppm"),
+        count_distinct(col("lang")).as("n_langs"))
+      .orderBy(col("gid"), col("source"), col("lang"))
+
   /** Edit-distance near-dup pairs under the oracle gate: the FastSS
     * deletion-neighborhood blocking AND the exact levenshtein verify are
     * both recomputed in SQL — the fixture's planted one-word revisions
@@ -2067,7 +2087,8 @@ object SparkEntry {
     "q135_mad_outliers" -> q135 _,
     "q136_daily_anomalies" -> q136 _,
     "q137_sketch_rollup" -> q137 _,
-    "q138_attribution" -> q138 _
+    "q138_attribution" -> q138 _,
+    "q139_data_card" -> q139 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all
