@@ -54,46 +54,60 @@ object Bench {
     }
     // The whole report must be ONE short JSON line: the driver keeps only
     // the last ~2000 chars of stdout (round 3's 82 full-name entries blew
-    // past that window and the line went unparsed). Short `qNN` keys +
-    // millisecond precision keep the line ~1.2 kB at 100 queries.
+    // past that window; round 11's 139 fractional-second entries + spread.top
+    // blew it AGAIN and BENCH_r11.json came back parsed:null). Byte budget,
+    // per the round-11 verdict: headline fields FIRST, per-query values as
+    // INTEGER MILLISECONDS under a "queries" map that comes LAST, no
+    // spread.top, sf as a basename. ~12 bytes/query keeps 160 queries
+    // within the tail window.
     // Locale.ROOT: the f interpolator honors the JVM default locale, and
     // a comma-decimal locale would make the report line invalid JSON
     def fmt(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    def ms(v: Double): Long = math.round(v * 1000)
     val shortKeys = results.map { case (k, _, _, _) => k.takeWhile(_ != '_') }
     require(shortKeys.distinct.size == shortKeys.size,
       "query short names (qNN prefixes) must be unique")
-    val qs = shortKeys.zip(results).map { case (sk, (_, v, _, _)) => s"\"$sk\":${fmt(v)}" }
-      .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, Some(e), _) => s"\"$k\":\"$e\"" }
+    val qs = shortKeys.zip(results).map { case (sk, (_, v, _, _)) => s"\"$sk\":${ms(v)}" }
       .mkString("{", ",", "}")
     val nFailed = results.count(_._3.isDefined)
     // "value" sums only succeeded queries — a query that dies in 0.1s must
     // not deflate the benchmark total; its elapsed time is reported
-    // separately under "failed_sec".
+    // separately under "failed_sec". The "failed" name→exception map is
+    // emitted only when non-empty (every byte counts against the tail).
     val total = results.collect { case (_, v, None, _) => v }.sum
     val failedSec = results.collect { case (_, v, Some(_), _) => v }.sum
+    val failedJson =
+      if (nFailed == 0) ""
+      else results.collect { case (k, _, Some(e), _) => s"\"$k\":\"$e\"" }
+        .mkString(",\"failed\":{", ",", s"},\"failed_sec\":${fmt(failedSec)}")
     // Run-to-run spread evidence, so a round-over-round total drift can be
     // attributed to noise vs code without re-running: relative spread
     // (max-min)/min over the three passes, summarized as median + max over
-    // queries big enough for relative spread to mean anything (min >= 0.1s)
-    // and the three noisiest of those by name. Aggregates, not per-query —
-    // 99 per-query spreads would blow the driver's ~2 kB stdout tail.
-    val spreads = shortKeys.zip(results).collect {
-      case (sk, (_, mn, None, mx)) if mn >= 0.1 => (sk, (mx - mn) / mn * 100.0)
+    // queries big enough for relative spread to mean anything (min >= 0.1s).
+    // Integer percents, no per-query breakdown — aggregate evidence only.
+    val spreads = results.collect {
+      case (_, mn, None, mx) if mn >= 0.1 => (mx - mn) / mn * 100.0
     }
-    val spreadJson = if (spreads.isEmpty) """{"med_pct":0,"max_pct":0,"top":{}}""" else {
-      val sorted = spreads.map(_._2).sorted
-      val med = sorted(sorted.size / 2)
-      val top = spreads.sortBy(-_._2).take(3)
-        .map { case (k, p) => s"\"$k\":${fmt(p)}" }.mkString("{", ",", "}")
-      s"""{"med_pct":${fmt(med)},"max_pct":${fmt(sorted.last)},"top":$top}"""
+    val spreadJson = if (spreads.isEmpty) """{"med_pct":0,"max_pct":0}""" else {
+      val sorted = spreads.sorted
+      s"""{"med_pct":${math.round(sorted(sorted.size / 2))},"max_pct":${math.round(sorted.last)}}"""
     }
     // Box-contention evidence: 1-min load average before/after the run and
     // the JVM's visible processor count. A load >> procs-in-use at either
     // endpoint marks the total as noise-suspect.
     val envJson = s"""{"load_start":${fmt(loadStart)},"load_end":${fmt(loadAvg1m())},"procs":${Runtime.getRuntime.availableProcessors}}"""
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"n_failed":$nFailed,"failed":$failed,"failed_sec":${fmt(failedSec)},"spread":$spreadJson,"env":$envJson,"sf":"$sfDir"}""")
+    val sfName = new java.io.File(sfDir).getName
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failed":$nFailed$failedJson,"spread":$spreadJson,"env":$envJson,"sf":"$sfName","q_unit":"ms","queries":$qs}"""
+    // Hard guard on the driver's tail window: losing aggregate spread/env
+    // evidence beats losing the parseability of the whole line.
+    val fitted =
+      if (line.length <= 1900) line
+      else {
+        System.err.println(s"[bench] report line ${line.length}B > 1900B; dropping spread+env")
+        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"sf":"$sfName","q_unit":"ms","queries":$qs}"""
+      }
+    println(fitted)
     spark.stop()
     if (nFailed > 0) sys.exit(1) // a failed query is a failed benchmark run
   }
