@@ -1762,6 +1762,23 @@ object OracleSql {
          |  CAST(sum(q) // count(*) AS BIGINT) AS mean_quality_ppm,
          |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
          |FROM d GROUP BY GROUPING SETS ((source, lang), (source), ())
-         |ORDER BY gid, source NULLS FIRST, lang NULLS FIRST""".stripMargin
+         |ORDER BY gid, source NULLS FIRST, lang NULLS FIRST""".stripMargin,
+
+    // Mirrors graft.ext.Bmff.syntheticMjpeg's closed-form frame layout
+    // (n frames, odd-k sync samples, per-frame width/height/gray) — the
+    // Spark side must parse the container AND decode real JPEG bytes;
+    // the oracle recomputes the decoded stats arithmetically, which is
+    // exact because uniform-gray frames round-trip the codec losslessly
+    "q140_mjpeg_frames" ->
+      """WITH d AS (SELECT doc_id, 4 + doc_id % 3 AS n FROM documents
+        |   WHERE doc_id % 8 = 0),
+        | s AS (SELECT doc_id, unnest(generate_series(1, n)) AS k FROM d),
+        | kf AS (SELECT doc_id, (k + 1) // 2 AS kf_idx, k FROM s WHERE k % 2 = 1)
+        |SELECT doc_id, CAST(kf_idx AS BIGINT) AS kf_idx,
+        |  CAST(8 + (doc_id + 3 * k) % 17 AS BIGINT) AS width,
+        |  CAST(8 + (2 * doc_id + 5 * k) % 13 AS BIGINT) AS height,
+        |  CAST(((31 * doc_id + 17 * k) % 256) * 1000000 // 255 AS BIGINT)
+        |    AS mean_pixel_ppm
+        |FROM kf ORDER BY doc_id, kf_idx""".stripMargin
   )
 }

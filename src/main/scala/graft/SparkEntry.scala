@@ -1003,6 +1003,36 @@ object SparkEntry {
         count_distinct(col("lang")).as("n_langs"))
       .orderBy(col("gid"), col("source"), col("lang"))
 
+  /** REAL video frame decode over synthetic MJPEG-in-MP4 containers
+    * ([[graft.ext.Bmff.syntheticMjpeg]]): every 8th document gets a
+    * deterministic MP4 whose `mdat` holds REAL JDK-encoded JPEG frames
+    * and whose sample tables carry their true byte ranges; the Spark
+    * side must walk the container, cut each sync sample's exact
+    * `(offset, size)` range, and DECODE the JPEG
+    * ([[Multimodal.decodeKeyframeFrames]]) — while the oracle recomputes
+    * width/height/mean-pixel from the generator's closed forms without
+    * touching bytes (uniform frames round-trip the lossy codec exactly;
+    * see the [[graft.ext.Bmff.syntheticMjpeg]] scaladoc). Any table walk
+    * or slicing bug kills the decode (NULL stats) rather than shifting
+    * values. Every 8th doc, not all: each row pays a real JPEG
+    * encode+decode, and 1/8 of the corpus already exercises every
+    * (n, size, gray) residue class.
+    */
+  private def q140(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val payloads = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .filter(_ % 8 == 0)
+      .map(id => (id, Bmff.syntheticMjpeg(id))).toDF("doc_id", "payload")
+    payloads
+      .select(col("doc_id"),
+        posexplode(Multimodal.decodeKeyframeFrames(col("payload"))).as(Seq("i", "kf")))
+      .select(col("doc_id"), (col("i") + 1).cast("long").as("kf_idx"),
+        col("kf.frame.width").as("width"),
+        col("kf.frame.height").as("height"),
+        col("kf.frame.mean_pixel_ppm").as("mean_pixel_ppm"))
+      .orderBy("doc_id", "kf_idx")
+  }
+
   /** Edit-distance near-dup pairs under the oracle gate: the FastSS
     * deletion-neighborhood blocking AND the exact levenshtein verify are
     * both recomputed in SQL — the fixture's planted one-word revisions
@@ -2088,7 +2118,8 @@ object SparkEntry {
     "q136_daily_anomalies" -> q136 _,
     "q137_sketch_rollup" -> q137 _,
     "q138_attribution" -> q138 _,
-    "q139_data_card" -> q139 _
+    "q139_data_card" -> q139 _,
+    "q140_mjpeg_frames" -> q140 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

@@ -77,4 +77,69 @@ object Bmff {
     box("ftyp", "isomisomiso2".getBytes("ISO-8859-1")) ++
       box("moov", box("mvhd", mvhd) ++ trak)
   }
+
+  /** One uniform-gray RGB JPEG frame via the JDK encoder. Uniform frames
+    * are the key to an EXACT oracle on a lossy codec: every 8×8 block of
+    * a constant image has zero AC coefficients and a DC term the integer
+    * DCT computes exactly, so encode→decode returns precisely the input
+    * gray level `g` at any size/quality (verified over all 256 levels ×
+    * 6 sizes including non-multiples of 8). `TYPE_INT_RGB`, not
+    * `TYPE_BYTE_GRAY`: the gray color space goes through a linear→sRGB
+    * conversion in `getRGB` that breaks value preservation.
+    */
+  private def jpegFrame(w: Int, h: Int, g: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (g << 16) | (g << 8) | g
+    var y = 0
+    while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** A playable-shape MJPEG-in-MP4 container for one doc id: real JPEG
+    * codestreams in an `mdat` box, sample tables whose offsets/sizes are
+    * the frames' TRUE byte positions (sizes vary with the entropy coder's
+    * output — no closed form), sync samples at every odd frame. The
+    * closed form the `q140` oracle recomputes is the DECODED side
+    * (1-based frame k):
+    *  - `n = 4 + id % 3` frames; keyframes at odd `k` (`kf_idx = (k+1)/2`);
+    *  - `width(k)  = 8 + (id + 3k) % 17`;
+    *  - `height(k) = 8 + (2·id + 5k) % 13`;
+    *  - `gray(k)   = (31·id + 17k) % 256` → `mean_pixel_ppm =
+    *    gray·1000000 / 255` (floor), exact because uniform JPEG frames
+    *    round-trip losslessly (see [[jpegFrame]]).
+    * So the oracle never touches bytes, while the Spark side must walk
+    * the container, cut each sync sample's exact range, and actually
+    * decode the JPEG — an off-by-one in any table breaks the decode (no
+    * SOI marker at a wrong offset) rather than shifting stats silently.
+    */
+  def syntheticMjpeg(id: Long): Array[Byte] = {
+    val n = (4 + Math.floorMod(id, 3)).toInt
+    val frames = (1 to n).map { k =>
+      jpegFrame(
+        8 + Math.floorMod(id + 3L * k, 17).toInt,
+        8 + Math.floorMod(2L * id + 5L * k, 13).toInt,
+        Math.floorMod(31L * id + 17L * k, 256).toInt)
+    }
+    val ftyp = box("ftyp", "isomisomiso2".getBytes("ISO-8859-1"))
+    val mdat = box("mdat", frames.reduce(_ ++ _))
+    val firstFrameOff = ftyp.length + 8L // mdat payload starts after its header
+    val sync = (1L to n.toLong by 2)
+    val stss = fullBox("stss", u32s((sync.length.toLong +: sync): _*))
+    // single chunk holding all n samples
+    val stsc = fullBox("stsc", u32s(1L, 1L, n.toLong, 1L))
+    val stsz = fullBox("stsz",
+      u32s((0L +: n.toLong +: frames.map(_.length.toLong)): _*))
+    val stco = fullBox("stco", u32s(1L, firstFrameOff))
+    val trak = box("trak", box("mdia", box("minf", box("stbl",
+      stss ++ stsc ++ stsz ++ stco))))
+    val mvhd = { // minimal v0 movie header: 1000 Hz timescale, 1 s
+      val b = java.nio.ByteBuffer.allocate(100)
+      b.putInt(0).putInt(0).putInt(0).putInt(1000).putInt(1000)
+      b.array()
+    }
+    ftyp ++ mdat ++ box("moov", box("mvhd", mvhd) ++ trak)
+  }
 }

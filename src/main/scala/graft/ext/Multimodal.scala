@@ -22,13 +22,16 @@ import graft.functions.{AudioMeta, AudioMetaExpr, Hashing, ImageMeta, ImageMetaE
   * ISO-BMFF (MP4/MOV) box structure to the `mvhd` movie header for exact
   * duration/timescale — a dependency-free header parse — and KEYFRAME
   * byte offsets are REAL from the same walk ([[keyframeOffsets]] /
-  * [[keyframeSlices]] read the `stss`/`stsc`/`stsz`/`stco` sample
-  * tables). Only video FRAME/pixel decode remains STUBBED (`decodeStub`) with a
-  * deterministic fake, because it requires a codec library this
-  * environment doesn't ship; swap it in at the [[decodeBatched]] seam
-  * without touching the surrounding dataflow. The oracle queries
-  * (q42/q47/q72) gate the stub plumbing — schema, batching, determinism —
-  * which is shared by all paths.
+  * [[keyframeSlices]] / [[keyframeRanges]] read the
+  * `stss`/`stsc`/`stsz`/`stco` sample tables). Video FRAME decode is
+  * REAL for MJPEG tracks — [[decodeKeyframeFrames]] composes the
+  * keyframe byte ranges with the ImageIO JPEG path for exact per-frame
+  * pixel statistics, oracle-gated by `q140`. Inter-coded codecs
+  * (H.264/H.265/AV1) still require a codec library this environment
+  * doesn't ship; those samples degrade to NULL frames, and the
+  * deterministic fakes (`decodeStub`/`decodeBatched`, q42/q47/q72) remain
+  * as the generic-payload plumbing gate — schema, batching, determinism —
+  * shared by all paths.
   */
 /** Output row of the batched decode seam. */
 case class DecodedMedia(doc_id: Long, n_bytes: Long, width: Long, height: Long,
@@ -239,6 +242,45 @@ object Multimodal {
   def keyframeSlices(payload: Column, sliceLen: Int = 8): Column =
     transform(keyframeOffsets(payload),
       o => payload.substr((o + 1).cast("int"), lit(sliceLen)))
+
+  /** Keyframe byte RANGES — `array<struct<kf_offset, kf_bytes>>` of each
+    * sync sample's exact position AND size from the `stsz` table — the
+    * input contract of real frame decoding: `payload[kf_offset,
+    * kf_offset + kf_bytes)` is one complete coded sample. NULL for
+    * non-containers or tracks without a sync-sample table. See
+    * [[graft.functions.VideoMeta.keyframeRanges]].
+    */
+  def keyframeRanges(payload: Column): Column =
+    ColumnBridge.column(graft.functions.VideoKeyframeRangesExpr(
+      ColumnBridge.expression(payload)))
+
+  /** REAL video FRAME decode for MJPEG-in-MP4: each sync sample of an
+    * MJPEG track is a complete JPEG codestream, so cutting the sample's
+    * exact byte range ([[keyframeRanges]]) and handing it to the JDK's
+    * ImageIO JPEG decoder ([[decodeImageMeta]]) yields true per-keyframe
+    * pixel statistics — `array<struct<kf_offset bigint, frame
+    * struct<width, height, mean_pixel_ppm>>>` — with no external codec.
+    * Non-JPEG samples (H.264/H.265/AV1 payloads, which DO need a codec
+    * library this environment doesn't ship) surface as NULL `frame`
+    * structs rather than erroring, so a mixed-codec corpus degrades to
+    * metadata-only for those tracks. Samples past the 2 GiB binary-column
+    * addressing limit also yield NULL frames (guarded before the `substr`
+    * int cast — ANSI mode would otherwise throw on the overflow).
+    */
+  def decodeKeyframeFrames(payload: Column): Column = {
+    val frameType = "struct<width:bigint,height:bigint,mean_pixel_ppm:bigint>"
+    transform(keyframeRanges(payload), r => {
+      val off = r.getField("kf_offset")
+      val len = r.getField("kf_bytes")
+      val addressable = off >= 0 && len > 0 &&
+        (off + len) <= lit(Int.MaxValue.toLong - 1)
+      struct(
+        off.as("kf_offset"),
+        when(addressable,
+          decodeImageMeta(payload.substr((off + 1).cast("int"), len.cast("int"))))
+          .otherwise(lit(null).cast(frameType)).as("frame"))
+    })
+  }
 
   /** REAL video container decode, batched `mapPartitions` path — same
     * init-once partition seam as the image/audio twins (a real frame

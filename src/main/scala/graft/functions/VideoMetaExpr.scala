@@ -79,12 +79,23 @@ object VideoMeta {
     * never a partial answer).
     */
   def keyframeOffsets(bytes: Array[Byte]): Option[Array[Long]] =
+    keyframeRanges(bytes).map(_.map(_._1))
+
+  /** KEYFRAME byte RANGES — `(offset, size)` of each sync sample — from
+    * the same table walk as [[keyframeOffsets]] (`stsz` already supplies
+    * every sample's size; reporting it alongside the offset costs
+    * nothing). The range is exactly what a frame decoder needs: cut
+    * `payload[offset, offset+size)` and hand it to the codec. For MJPEG
+    * tracks that slice IS a complete JPEG codestream, which the JDK can
+    * decode — see `ext.Multimodal.decodeKeyframeFrames`.
+    */
+  def keyframeRanges(bytes: Array[Byte]): Option[Array[(Long, Long)]] =
     try {
       if (bytes.length < 16) return None
       findBox(bytes, 0, bytes.length, "moov").flatMap { case (moovS, moovE) =>
         // first trak with a sync-sample table (audio traks carry none)
         var o = moovS
-        var found: Option[Array[Long]] = None
+        var found: Option[Array[(Long, Long)]] = None
         while (found.isEmpty && o < moovE) {
           findBox(bytes, o, moovE, "trak") match {
             case Some((tS, tE)) => found = trakKeyframes(bytes, tS, tE); o = tE
@@ -97,7 +108,7 @@ object VideoMeta {
       case _: IndexOutOfBoundsException => None
     }
 
-  private def trakKeyframes(b: Array[Byte], from: Int, until: Int): Option[Array[Long]] =
+  private def trakKeyframes(b: Array[Byte], from: Int, until: Int): Option[Array[(Long, Long)]] =
     for {
       (mdS, mdE) <- findBox(b, from, until, "mdia")
       (mnS, mnE) <- findBox(b, mdS, mdE, "minf")
@@ -130,7 +141,7 @@ object VideoMeta {
     */
   private def sampleOffsets(b: Array[Byte],
                             stss: (Int, Int), stsc: (Int, Int), stsz: (Int, Int),
-                            chunks: Array[Long]): Option[Array[Long]] = {
+                            chunks: Array[Long]): Option[Array[(Long, Long)]] = {
     val (ssS, ssE) = stss
     if (ssS + 8 > ssE) return None
     val nSync = u32(b, ssS + 4)
@@ -158,7 +169,7 @@ object VideoMeta {
     def firstChunk(run: Int): Long = u32(b, scS + 8 + run * 12)
     def samplesPerChunk(run: Int): Long = u32(b, scS + 8 + run * 12 + 4)
 
-    val out = Array.ofDim[Long](sync.length)
+    val out = Array.ofDim[(Long, Long)](sync.length)
     var si = 0            // next sync sample to locate (stss is ascending)
     var sample = 1L       // 1-based running sample number
     var run = 0
@@ -169,8 +180,9 @@ object VideoMeta {
       var off = chunks(chunk)
       var k = 0L
       while (k < spc && si < sync.length && sample <= nSamples) {
-        if (sample == sync(si)) { out(si) = off; si += 1 }
-        off += sizeOf(sample)
+        val sz = sizeOf(sample)
+        if (sample == sync(si)) { out(si) = (off, sz); si += 1 }
+        off += sz
         sample += 1
         k += 1
       }
@@ -280,4 +292,45 @@ case class VideoKeyframesExpr(child: Expression)
     copy(child = newChild)
 
   override def prettyName: String = "video_keyframes"
+}
+
+/** `video_keyframe_ranges(payload)` — sync-sample byte RANGES of an
+  * ISO-BMFF binary column as `array<struct<kf_offset bigint, kf_bytes
+  * bigint>>`, NULL when the payload is not a parseable container or has
+  * no sync-sample table ([[VideoMeta.keyframeRanges]]). The range form
+  * feeds frame decoding: `payload[kf_offset, kf_offset + kf_bytes)` is
+  * the complete coded sample (for MJPEG, a whole JPEG codestream).
+  * CodegenFallback for the same reason as [[VideoMetaExpr]].
+  */
+case class VideoKeyframeRangesExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  import org.apache.spark.sql.types.ArrayType
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("kf_offset", LongType, nullable = false),
+    StructField("kf_bytes", LongType, nullable = false))), containsNull = false)
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires binary input, got ${other.sql}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    VideoMeta.keyframeRanges(input.asInstanceOf[Array[Byte]]) match {
+      case Some(ranges) =>
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          ranges.map { case (off, sz) => InternalRow(off, sz): Any })
+      case None => null
+    }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "video_keyframe_ranges"
 }

@@ -366,4 +366,95 @@ class MultimodalSpec extends SparkTestBase {
     assert(out(0).duration_ms.contains(250L))
     assert(out(1) == DecodedVideo(2L, 0L, None, None))
   }
+
+  test("keyframeRanges reports exact (offset, size) pairs from the stsz table") {
+    // same layout as the keyframeOffsets pin: sizes 10,20,30,40,50,60 in
+    // 2 chunks of 3 at 1000/2000; sync samples 1,3,4,6
+    val payload = mp4WithSampleTables(
+      sync = Seq(1L, 3L, 4L, 6L), stscRuns = Seq((1L, 3L)),
+      sizes = Right(Seq(10L, 20L, 30L, 40L, 50L, 60L)), chunkOffs = Seq(1000L, 2000L))
+    val ranges = Seq((1L, payload)).toDF("doc_id", "payload")
+      .select(Multimodal.keyframeRanges(col("payload")).as("r"))
+      .selectExpr("transform(r, x -> struct(x.kf_offset, x.kf_bytes)) AS r")
+      .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getLong(0), r.getLong(1))).toList
+    assert(ranges == List((1000L, 10L), (1030L, 30L), (2000L, 40L), (2090L, 60L)))
+  }
+
+  /** An MJPEG-in-MP4 container whose mdat holds the given REAL JPEG
+    * codestreams back to back, sample tables carrying their true byte
+    * ranges, every frame a sync sample.
+    */
+  private def mjpegContainer(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val sizing = mp4WithSampleTables(
+      sync = (1L to frames.length.toLong), stscRuns = Seq((1L, frames.length.toLong)),
+      sizes = Right(frames.map(_.length.toLong)), chunkOffs = Seq(0L))
+    mp4WithSampleTables(
+      sync = (1L to frames.length.toLong), stscRuns = Seq((1L, frames.length.toLong)),
+      sizes = Right(frames.map(_.length.toLong)),
+      chunkOffs = Seq(sizing.length + 8L)) ++ box("mdat", frames.reduce(_ ++ _))
+  }
+
+  /** Uniform-gray RGB frame — round-trips the JPEG codec exactly (zero
+    * AC coefficients; integer-exact DC), so decoded stats are the input
+    * values, not approximations.
+    */
+  private def grayFrame(w: Int, h: Int, g: Int): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val rgb = (g << 16) | (g << 8) | g
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    img
+  }
+
+  test("decodeKeyframeFrames: exact pixel stats on a hand-built MJPEG container") {
+    val payload = mjpegContainer(Seq(
+      imageBytes(grayFrame(16, 8, 37), "jpg"),
+      imageBytes(grayFrame(9, 7, 200), "jpg")))
+    val out = Seq((1L, payload)).toDF("doc_id", "payload")
+      .select(posexplode(Multimodal.decodeKeyframeFrames(col("payload"))).as(Seq("i", "kf")))
+      .select(col("kf.frame.width"), col("kf.frame.height"),
+        col("kf.frame.mean_pixel_ppm"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    assert(out == List(
+      (16L, 8L, 37L * 1000000L / 255L),
+      (9L, 7L, 200L * 1000000L / 255L)))
+  }
+
+  test("decodeKeyframeFrames matches Bmff.syntheticMjpeg's closed forms") {
+    val ids = Seq(0L, 3L, 7L, 40L)
+    val out = ids.map(id => (id, Bmff.syntheticMjpeg(id))).toDF("doc_id", "payload")
+      .select(col("doc_id"),
+        posexplode(Multimodal.decodeKeyframeFrames(col("payload"))).as(Seq("i", "kf")))
+      .select(col("doc_id"), col("i"),
+        col("kf.frame.width"), col("kf.frame.height"), col("kf.frame.mean_pixel_ppm"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toList
+    val expected = ids.flatMap { id =>
+      val n = (4 + id % 3).toInt
+      (1 to n).filter(_ % 2 == 1).zipWithIndex.map { case (k, i) =>
+        (id, i, 8L + (id + 3 * k) % 17, 8L + (2 * id + 5 * k) % 13,
+          ((31 * id + 17 * k) % 256) * 1000000L / 255L)
+      }
+    }
+    assert(out == expected)
+  }
+
+  test("decodeKeyframeFrames: non-JPEG samples and >2GiB offsets yield NULL frames") {
+    // sync sample bytes that are NOT a JPEG codestream
+    val junk = mjpegContainer(Seq("certainly not a jpeg frame".getBytes("UTF-8")))
+    // a co64 keyframe past the int-addressable range: must be a NULL
+    // frame, not an ANSI cast overflow error
+    val far = mp4WithSampleTables(
+      sync = Seq(1L), stscRuns = Seq((1L, 1L)),
+      sizes = Left((100L, 1L)), chunkOffs = Seq(5000000000L), useCo64 = true)
+    val out = Seq((1L, junk), (2L, far)).toDF("doc_id", "payload")
+      .select(col("doc_id"),
+        posexplode(Multimodal.decodeKeyframeFrames(col("payload"))).as(Seq("i", "kf")))
+      .select(col("doc_id"), col("kf.frame").isNull.as("frame_null"),
+        col("kf.kf_offset"))
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getLong(2))).toMap
+    assert(out(1L) == (true, out(1L)._2), "non-JPEG sample decodes to NULL frame")
+    assert(out(2L) == (true, 5000000000L), "unaddressable offset is NULL, not an error")
+  }
 }
