@@ -93,6 +93,46 @@ object OracleSql {
     "list_sum(list_transform(p.pv, x -> x*x)) - " +
       "2.0*list_sum(list_transform(list_zip(e.v, p.pv), x -> x[1]*x[2]))"
 
+  /** q141's integer squared-L2 between a ppm vector (`e.v`) and a ppm
+    * centroid (`p.pv`) — exact BIGINT arithmetic, so assignment ties and
+    * ordering are engine-independent.
+    */
+  private val kmeansDist =
+    "list_sum(list_transform(list_zip(e.v, p.pv), x -> (x[1]-x[2])*(x[1]-x[2])))"
+
+  /** q141's deterministic k-means retraining chain, mirroring
+    * `SimSearch.trainIvfCentroidsExact` round for round: fixed-point ppm
+    * vectors, md5-hash-ordered initial pivots, `iters` Lloyd's rounds of
+    * integer-L2 assignment (cent_id tie-break) + floor-of-mean centroid
+    * updates, empty clusters keeping their previous centroid. Emits CTEs
+    * `e` (ppm vectors), `dv` (double vectors for the cosine rerank), and
+    * `p0..p$iters` (centroid generations) — change the Scala trainer and
+    * this together or neither.
+    */
+  private def kmeansCtes(nlist: Int, iters: Int, dim: Int): String = {
+    val init =
+      s"""e AS (SELECT vec_id, list_transform(embedding::DOUBLE[],
+         |       x -> CAST(floor(x*1000000) AS BIGINT)) AS v FROM embeddings),
+         | dv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         | hp AS (SELECT vec_id, v,
+         |        ('0x'||substr(md5('9:'||CAST(vec_id AS VARCHAR)),1,8))::BIGINT AS hsh FROM e),
+         | p0 AS (SELECT cent_id, pv FROM (
+         |        SELECT v AS pv, CAST(row_number() OVER (ORDER BY hsh, vec_id) AS BIGINT) AS cent_id
+         |        FROM hp) WHERE cent_id <= $nlist)""".stripMargin
+    val rounds = (1 to iters).map { t =>
+      s"""a$t AS (SELECT vec_id, v, cent_id FROM (
+         |        SELECT e.vec_id, e.v, p.cent_id,
+         |         row_number() OVER (PARTITION BY e.vec_id ORDER BY $kmeansDist, p.cent_id) AS cr
+         |        FROM e CROSS JOIN p${t - 1} p) WHERE cr = 1),
+         | s$t AS (SELECT cent_id, i, CAST(floor(sum(v[i]) * 1.0 / count(*)) AS BIGINT) AS cm
+         |        FROM a$t, (SELECT unnest(generate_series(1, $dim)) AS i) g GROUP BY cent_id, i),
+         | n$t AS (SELECT cent_id, list(cm ORDER BY i) AS nv FROM s$t GROUP BY cent_id),
+         | p$t AS (SELECT p.cent_id, COALESCE(n.nv, p.pv) AS pv
+         |        FROM p${t - 1} p LEFT JOIN n$t n ON p.cent_id = n.cent_id)""".stripMargin
+    }
+    (init +: rounds).mkString(",\n ")
+  }
+
   val all: Map[String, String] = Map(
     "q01_tumble_alerts" ->
       s"$q01Inner\nORDER BY start_sec, user_id",
@@ -1779,6 +1819,31 @@ object OracleSql {
         |  CAST(8 + (2 * doc_id + 5 * k) % 13 AS BIGINT) AS height,
         |  CAST(((31 * doc_id + 17 * k) % 256) * 1000000 // 255 AS BIGINT)
         |    AS mean_pixel_ppm
-        |FROM kf ORDER BY doc_id, kf_idx""".stripMargin
+        |FROM kf ORDER BY doc_id, kf_idx""".stripMargin,
+
+    // RETRAINS the k-means centroids from scratch (kmeansCtes: 2
+    // integer-deterministic Lloyd's rounds) and must land on identical
+    // assignments, probes and top-k as SimSearch.topKIvfKmeans
+    "q141_ann_ivf_kmeans" ->
+      s"""WITH ${kmeansCtes(nlist = 8, iters = 2, dim = 64)},
+         | ac AS (SELECT vid, cent_id FROM (
+         |        SELECT e.vec_id AS vid, e.v, p.cent_id,
+         |         row_number() OVER (PARTITION BY e.vec_id ORDER BY $kmeansDist, p.cent_id) AS cr
+         |        FROM e CROSS JOIN p2 p) WHERE cr = 1),
+         | aq AS (SELECT qid, cent_id FROM (
+         |        SELECT e.vec_id AS qid, e.v, p.cent_id,
+         |         row_number() OVER (PARTITION BY e.vec_id ORDER BY $kmeansDist, p.cent_id) AS cr
+         |        FROM e CROSS JOIN p2 p WHERE e.vec_id < 5) WHERE cr <= 2),
+         | pairs AS (SELECT q.qid, c.vid, qd.v AS qv, cd.v AS cv
+         |        FROM aq q JOIN ac c ON q.cent_id = c.cent_id
+         |        JOIN dv qd ON qd.vec_id = q.qid
+         |        JOIN dv cd ON cd.vec_id = c.vid
+         |        WHERE q.qid <> c.vid),
+         | s AS (SELECT qid, vid, $cosExpr AS cos FROM pairs),
+         | r AS (SELECT qid, vid, cos,
+         |        CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS BIGINT) AS "rank"
+         |       FROM s)
+         |SELECT qid, vid, round(cos, 6) AS cos, "rank" FROM r WHERE "rank" <= 10
+         |ORDER BY qid, "rank"""".stripMargin
   )
 }

@@ -1033,6 +1033,24 @@ object SparkEntry {
       .orderBy("doc_id", "kf_idx")
   }
 
+  /** K-MEANS IVF under the oracle gate
+    * ([[SimSearch.topKIvfKmeans]]): Lloyd's algorithm made
+    * integer-deterministic — fixed-point ppm components, md5-ordered
+    * initial pivots, 2 fixed iterations, floor-of-mean updates — so the
+    * DuckDB oracle retrains the SAME centroids from scratch and must
+    * land on identical assignments, probes, and top-k (the q124
+    * integer-PageRank pattern applied to clustering). Completes the
+    * similarity-search family: q37 exact, q40 LSH, q41 pivot-IVF, q141
+    * trained-IVF.
+    */
+  private def q141(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    SimSearch.topKIvfKmeans(emb, emb.filter(col("vec_id") < 5), k = 10,
+      nlist = 8, nprobe = 2, iters = 2)
+      .select(col("qid"), col("vid"), col("cos"), col("rank").cast("long").as("rank"))
+      .orderBy("qid", "rank")
+  }
+
   /** Edit-distance near-dup pairs under the oracle gate: the FastSS
     * deletion-neighborhood blocking AND the exact levenshtein verify are
     * both recomputed in SQL — the fixture's planted one-word revisions
@@ -2119,7 +2137,8 @@ object SparkEntry {
     "q137_sketch_rollup" -> q137 _,
     "q138_attribution" -> q138 _,
     "q139_data_card" -> q139 _,
-    "q140_mjpeg_frames" -> q140 _
+    "q140_mjpeg_frames" -> q140 _,
+    "q141_ann_ivf_kmeans" -> q141 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

@@ -258,11 +258,145 @@ object SimSearch {
       .select(col("qid"), col("vid"), round(col("cos"), 6).as("cos"), col("rank"))
   }
 
+  /** Fixed-point embedding: each float component → `floor(x · 10⁶)` as
+    * BIGINT. The integer domain is what makes [[trainIvfCentroidsExact]]
+    * deterministic: long sums are exact and order-independent, so the
+    * same centroids come out of any shuffle/reduction order — and out of
+    * an independent SQL engine.
+    */
+  private def ppmVec(vecCol: Column): Column =
+    transform(vecCol, x => floor(x.cast("double") * lit(1000000L)).cast("long"))
+
+  /** Integer squared-L2 distance between a ppm vector column and a
+    * LITERAL ppm centroid — pure codegen arithmetic against a foldable
+    * array literal, no join. Bounded: |diff| ≤ 4·10⁶ squared ×
+    * dim ≤ 10¹⁵ ≪ 2⁶³ for any unit-scale embedding up to 4k dims.
+    */
+  private def sqDistPpm(v: Column, cent: Seq[Long]): Column =
+    aggregate(zip_with(v, typedlit(cent), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** `array<struct<d, cent_id>>` of integer distances from `v` to every
+    * literal centroid: `array_min` of it IS the nearest-centroid argmin
+    * (struct order = distance, then cent_id — deterministic ties), and
+    * `slice(array_sort(...), 1, n)` IS the n nearest — both map-side,
+    * no window, no crossJoin.
+    */
+  private def distStructs(v: Column, cents: Seq[(Long, Seq[Long])]): Column =
+    array(cents.map { case (cid, cv) =>
+      struct(sqDistPpm(v, cv).as("d"), lit(cid).as("cent_id"))
+    }: _*)
+
+  /** Deterministic k-means (Lloyd's) in INTEGER arithmetic — the q124
+    * PageRank pattern applied to centroid training: fixed-point ppm
+    * components, a fixed iteration count, md5-hash-ordered initial
+    * pivots, and floor-of-mean centroid updates, so the trained
+    * centroids are a pure function of the input rows that an independent
+    * SQL engine reproduces exactly (oracle-gated by `q141`, unlike the
+    * float MLlib trainer in [[trainIvfCentroids]] whose distributed mean
+    * updates are reduction-order-dependent).
+    *
+    * Per iteration: one corpus scan assigns each vector to its nearest
+    * centroid AS LITERALS (map-side, no join), one 128k-row-scale
+    * per-(cluster, dim) sum shuffle computes the new means, and the
+    * `nlist × dim` result is collected — a BOUNDED driver collect
+    * (nlist·dim longs, e.g. 8·64 = 512), same class as the BPE vocab
+    * cap. Clusters that lose every member keep their previous centroid.
+    *
+    * Scale: iterations × one corpus scan each. At 100 TB train on a
+    * hash-sample (`sampleBp`) exactly like [[trainIvfCentroids]] —
+    * k-means needs a representative sample, not the corpus; the sample
+    * choice is deterministic (md5 threshold), so still oracle-expressible.
+    */
+  def trainIvfCentroidsExact(
+      corpus: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      nlist: Int = 8,
+      iters: Int = 2,
+      seed: Int = 9,
+      sampleBp: Int = 10000
+  ): Seq[(Long, Seq[Long])] = {
+    import graft.functions.Hashing
+    val base = if (sampleBp < 10000) Sampling.hashSample(corpus, col(idCol), sampleBp)
+               else corpus
+    val e = base.select(col(idCol).as("vid"), ppmVec(col(vecCol)).as("v"))
+    // initial centroids: the nlist md5-hash-first vectors (a deterministic
+    // uniform pivot draw — the [[pivotCentroids]] rule, same seed scheme)
+    var cents: Seq[(Long, Seq[Long])] = e
+      .select(col("vid"), col("v"),
+        Hashing.md5Hash32(seed, col("vid").cast("string")).as("hsh"))
+      .orderBy(col("hsh"), col("vid")).limit(nlist)
+      .collect().zipWithIndex
+      .map { case (r, i) => ((i + 1).toLong, r.getSeq[Long](1).toList) }.toSeq
+    for (_ <- 1 to iters) {
+      // two-step projection: extract the struct field in a SEPARATE node —
+      // `array_min(array(struct(x.as("n"))...)).getField("n")` inside one
+      // projection resolves before CreateStruct materializes its field
+      // names (they come back col1/col2) and fails analysis
+      val assigned = e
+        .withColumn("m", array_min(distStructs(col("v"), cents)))
+        .select(col("m.cent_id").as("cent_id"), posexplode(col("v")).as(Seq("i", "x")))
+      // floor(double mean): exact — sums are < 2^53 so the division's
+      // only rounding is the final one, and a rational with denominator
+      // `count` can't sit within double-epsilon of a wrong integer
+      val sums = assigned.groupBy("cent_id", "i")
+        .agg(floor(sum(col("x")).cast("double") / count(lit(1))).cast("long").as("cm"))
+        .collect()
+      val byCent = sums.groupBy(_.getLong(0)).map { case (cid, rows) =>
+        cid -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
+      }
+      cents = cents.map { case (cid, old) => (cid, byCent.getOrElse(cid, old)) }
+    }
+    cents
+  }
+
+  /** IVF search over [[trainIvfCentroidsExact]] k-means centroids:
+    * corpus vectors assign to their nearest centroid and queries probe
+    * the `nprobe` nearest lists — both as map-side argmins over LITERAL
+    * centroid arrays (`array_min` / sorted-slice of the distance-struct
+    * array: no window, no crossJoin, no shuffle before the one bucket
+    * equi-join) — then exact cosine rerank inside the probed lists.
+    * Fully deterministic end to end, so the whole pipeline (training
+    * included) hash-matches an independent SQL recomputation (`q141`).
+    */
+  def topKIvfKmeans(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      nlist: Int = 8,
+      nprobe: Int = 2,
+      iters: Int = 2,
+      seed: Int = 9
+  ): DataFrame = {
+    val cents = trainIvfCentroidsExact(corpus, idCol, vecCol, nlist, iters, seed)
+    // same two-step field extraction as the trainer (struct names
+    // materialize a node later than a same-projection getField resolves)
+    val c = corpus.select(col(idCol).as("vid"), col(vecCol).as("cv"))
+      .withColumn("m", array_min(distStructs(ppmVec(col("cv")), cents)))
+      .withColumn("cent_id", col("m.cent_id")).drop("m")
+    val q = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      .withColumn("probe",
+        explode(slice(array_sort(distStructs(ppmVec(col("qv")), cents)), 1, nprobe)))
+      .select(col("qid"), col("qv"), col("probe.cent_id").as("cent_id")))
+    val scored = c.join(q, "cent_id")
+      .filter(col("qid") =!= col("vid"))
+      .withColumn("cos", VectorOps.cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vid"), round(col("cos"), 6).as("cos"), col("rank"))
+  }
+
   /** IVF (inverted-file) index: partition the corpus by nearest centroid;
     * queries probe the `nprobe` nearest centroid lists only, then rerank
     * exactly. Centroids from [[trainIvfCentroids]] (k-means) — higher
     * recall per probe than [[topKIvfPivots]], but not oracle-checkable
-    * (distributed float reduction order); covered by SimSearchSpec.
+    * (distributed float reduction order); covered by SimSearchSpec. The
+    * oracle-gated k-means path is [[topKIvfKmeans]] (integer-exact
+    * training, `q141`).
     */
   def topKIvf(
       corpus: DataFrame,

@@ -84,6 +84,39 @@ class SimSearchSpec extends SparkTestBase {
     assert(ivf >= 0.40, s"IVF recall@10 regressed toward random-scan: $ivf")
   }
 
+  test("trainIvfCentroidsExact is partition-invariant (integer sums, exact means)") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val a = SimSearch.trainIvfCentroidsExact(emb.repartition(1), nlist = 8, iters = 2)
+    val b = SimSearch.trainIvfCentroidsExact(emb.repartition(7), nlist = 8, iters = 2)
+    assert(a == b, "centroids must not depend on physical partitioning")
+    // Lloyd's must actually move the centroids off the initial pivots
+    val pivots = SimSearch.trainIvfCentroidsExact(emb, nlist = 8, iters = 0)
+    assert(a != pivots, "2 iterations must update at least one centroid")
+  }
+
+  test("topKIvfKmeans finds the exact duplicate and is deterministic") {
+    val out = SimSearch.topKIvfKmeans(vecs, vecs.filter(col("vec_id") === 0), k = 2,
+      nlist = 2, nprobe = 2, iters = 2)
+      .as[(Long, Long, Double, Int)].collect().sortBy(_._4)
+    // probing both of 2 lists == exhaustive: the duplicate must rank first
+    assert(out.nonEmpty && out.head._2 == 5L, s"got ${out.toList}")
+    val again = SimSearch.topKIvfKmeans(vecs, vecs.filter(col("vec_id") === 0), k = 2,
+      nlist = 2, nprobe = 2, iters = 2)
+      .as[(Long, Long, Double, Int)].collect().sortBy(_._4)
+    assert(out.toList == again.toList)
+  }
+
+  test("trainIvfCentroidsExact keeps the previous centroid for emptied clusters") {
+    // all six vectors are closer to one pivot after round 1 ⇒ with
+    // nlist=2 some cluster may empty; training must still return nlist
+    // centroids (COALESCE to the previous generation), never fewer
+    val cents = SimSearch.trainIvfCentroidsExact(vecs, nlist = 2, iters = 3)
+    assert(cents.size == 2)
+    assert(cents.forall(_._2.length == 4))
+  }
+
   test("hardNegatives excludes same-label and null-label candidates") {
     val labeled = Seq(
       (0L, Array(1f, 0f, 0f, 0f), Integer.valueOf(1)),
