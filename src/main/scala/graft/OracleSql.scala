@@ -1507,7 +1507,7 @@ object OracleSql {
         |         + CASE WHEN purchase_ts IS NULL THEN 0 ELSE 1 END AS BIGINT) AS depth
         |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
         |  LEFT JOIN s3 ON s1.user_id = s3.user_id
-        |ORDER BY s1.user_id""".stripMargin,
+        |ORDER BY s1.user_id NULLS FIRST""".stripMargin,
 
     // Monday-truncated weeks in both engines; offsets are exact
     // multiples of 7 days by construction
@@ -1519,7 +1519,7 @@ object OracleSql {
         |  CAST(date_diff('day', cohort_week, a.week) // 7 AS BIGINT) AS week_offset,
         |  CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
         |FROM a JOIN c ON a.user_id = c.user_id
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+        |GROUP BY 1, 2 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
 
     // three unrolled integer-ppm PageRank rounds; // (floor) mirrors
     // Spark's DIV on the all-positive ranks, sum() promotes to HUGEINT

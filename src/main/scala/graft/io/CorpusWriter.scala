@@ -57,19 +57,24 @@ object CorpusWriter {
   /** [[shardPlan]] + parquet write with the `maxRecordsPerFile`
     * backstop. Returns the planned file count (the actual count can
     * exceed it only when range skew trips the backstop).
+    *
+    * `mode` defaults to `ErrorIfExists` — a publishing API must not
+    * silently destroy an existing corpus drop; pass
+    * `SaveMode.Overwrite` explicitly to replace one.
     */
   def writeSharded(
       df: DataFrame,
       path: String,
       sortCol: Column,
       targetRowsPerFile: Long,
-      rowCount: Option[Long] = None
+      rowCount: Option[Long] = None,
+      mode: org.apache.spark.sql.SaveMode = org.apache.spark.sql.SaveMode.ErrorIfExists
   ): Int = {
     val rows = rowCount.getOrElse(df.count())
     val nFiles = plannedFiles(rows, targetRowsPerFile)
     shardPlan(df, sortCol, targetRowsPerFile, Some(rows)).write
       .option("maxRecordsPerFile", targetRowsPerFile)
-      .mode("overwrite")
+      .mode(mode)
       .parquet(path)
     nFiles
   }

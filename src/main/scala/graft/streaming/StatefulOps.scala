@@ -205,6 +205,10 @@ object StatefulOps {
     import org.apache.spark.sql.functions._
     import events.sparkSession.implicits._
     val rows = events
+      // NULL event_time / event_type rows are excluded, matching the
+      // guarded sibling ops: the per-group sort below keys on both and
+      // one NULL record would otherwise NPE the whole streaming query
+      .filter(col(tsCol).isNotNull && col(typeCol).isNotNull)
       .select(col(userCol).as("user"), col(typeCol).as("et"),
         col(tsCol).as("event_time"))
       .withWatermark("event_time", watermarkDelay)
