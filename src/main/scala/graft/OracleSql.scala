@@ -40,6 +40,18 @@ object OracleSql {
        |        FROM b a JOIN b c ON a.band = c.band AND a.bkey = c.bkey AND a.id < c.id)""".stripMargin
   }
 
+  /** q142's merge-pair rank as a CASE chain over the FROZEN
+    * `Bpe.sampleMerges` table (generated, so the Scala constant and the
+    * SQL cannot drift — the `langHitsSql` pattern). `l`/`r` are SQL
+    * expressions for the adjacent symbols; 999999 = "no rule".
+    */
+  private def bpeRankCase(l: String, r: String): String = {
+    def esc(s: String) = s.replace("'", "''")
+    "CASE " + graft.ext.Bpe.sampleMerges.zipWithIndex.map { case ((a, b), i) =>
+      s"WHEN $l = '${esc(a)}' AND $r = '${esc(b)}' THEN $i"
+    }.mkString(" ") + " ELSE 999999 END"
+  }
+
   private val cosExpr =
     "list_sum(list_transform(list_zip(qv, cv), x -> x[1]*x[2])) / " +
       "(sqrt(list_sum(list_transform(qv, x -> x*x))) * sqrt(list_sum(list_transform(cv, x -> x*x))))"
@@ -1844,6 +1856,33 @@ object OracleSql {
          |        CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS BIGINT) AS "rank"
          |       FROM s)
          |SELECT qid, vid, round(cos, 6) AS cos, "rank" FROM r WHERE "rank" <= 10
-         |ORDER BY qid, "rank"""".stripMargin
+         |ORDER BY qid, "rank"""".stripMargin,
+
+    // Greedy BPE re-derived from scratch over the frozen sampleMerges
+    // rules: each recursion step merges the FIRST occurrence of the
+    // LOWEST-rank adjacent pair — equivalent to the tokenizer's
+    // round-based merging because any rule consuming a merged token
+    // ranks after the rule that created it; the final segmentation is
+    // each word's minimum-length state
+    "q142_bpe_tokens" ->
+      s"""WITH RECURSIVE
+         | dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+         | w AS (SELECT DISTINCT word FROM dw WHERE length(word) > 0),
+         | seg(word, parts) AS (
+         |   SELECT word, list_transform(generate_series(1, length(word)), i -> word[i:i]) FROM w
+         |   UNION ALL
+         |   SELECT word, parts[1:pos-1] || [parts[pos] || parts[pos+1]] || parts[pos+2:len(parts)]
+         |   FROM (SELECT word, parts, list_min(rk) AS mr, list_position(rk, list_min(rk)) AS pos
+         |         FROM (SELECT word, parts,
+         |                list_transform(generate_series(1, len(parts)-1),
+         |                  i -> ${bpeRankCase("parts[i]", "parts[i+1]")}) AS rk
+         |               FROM seg))
+         |   WHERE mr < 999999),
+         | fin AS (SELECT word, CAST(min(len(parts)) AS BIGINT) AS n_sub FROM seg GROUP BY 1),
+         | cnt AS (SELECT dw.doc_id, sum(fin.n_sub) AS n
+         |         FROM dw JOIN fin ON dw.word = fin.word GROUP BY 1)
+         |SELECT d.doc_id, CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n_bpe_tokens
+         |FROM documents d LEFT JOIN cnt ON d.doc_id = cnt.doc_id
+         |ORDER BY d.doc_id""".stripMargin
   )
 }

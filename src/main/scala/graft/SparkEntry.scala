@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.core.Tables
-import graft.ext.{Bmff, Dedup, Multimodal, Quantize, Sampling, SimSearch, TextOps}
+import graft.ext.{Bmff, Bpe, Dedup, Multimodal, Quantize, Sampling, SimSearch, TextOps}
 import graft.functions.{Hashing, VectorOps}
 import graft.ops.{AsOfJoin, Behavior, Graph, SensorOps, Snapshot, Windows}
 
@@ -1050,6 +1050,23 @@ object SparkEntry {
       .select(col("qid"), col("vid"), col("cos"), col("rank").cast("long").as("rank"))
       .orderBy("qid", "rank")
   }
+
+  /** Tokenizer-EXACT token counts under the oracle gate
+    * ([[graft.ext.Bpe]]): the frozen [[graft.ext.Bpe.sampleMerges]]
+    * table applied by the codegen `bpe_segment` expression, while the
+    * oracle re-derives every word's greedy segmentation from the SAME
+    * 40 inlined rules via a recursive CTE (merge the lowest-rank pair
+    * one step at a time — equivalent to round-based merging because a
+    * valid BPE table ranks every rule after the rules that built its
+    * components). BPE-exact counts are the packing/budget primitive
+    * (q111/q114/q116 run on whitespace counts); this pins the exact
+    * variant end to end.
+    */
+  private def q142(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        Bpe.tokenCount(col("text"), Bpe.sampleMerges).as("n_bpe_tokens"))
+      .orderBy("doc_id")
 
   /** Edit-distance near-dup pairs under the oracle gate: the FastSS
     * deletion-neighborhood blocking AND the exact levenshtein verify are
@@ -2138,7 +2155,8 @@ object SparkEntry {
     "q138_attribution" -> q138 _,
     "q139_data_card" -> q139 _,
     "q140_mjpeg_frames" -> q140 _,
-    "q141_ann_ivf_kmeans" -> q141 _
+    "q141_ann_ivf_kmeans" -> q141 _,
+    "q142_bpe_tokens" -> q142 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

@@ -101,6 +101,26 @@ object Bpe {
     out.result()
   }
 
+  /** A FROZEN 40-rule merge table, trained once by [[trainMerges]] on
+    * the sf0.001 fixture corpus and inlined as constants — the
+    * production tokenizer pattern (train once, version the table, apply
+    * everywhere) and the q40/q41 seeded-constant oracle pattern: the
+    * `q142` DuckDB oracle inlines the SAME rules and recomputes greedy
+    * segmentation independently, so the constants are the spec, not a
+    * shared implementation. Retraining on a different SF deliberately
+    * does NOT change this table.
+    */
+  val sampleMerges: Seq[(String, String)] = Seq(
+    "e" -> "r", "o" -> "r", "i" -> "n", "o" -> "w", "s" -> "t",
+    "l" -> "u", "a" -> "r", "p" -> "ar", "m" -> "er", "a" -> "t",
+    "a" -> "n", "c" -> "an", "s" -> "can", "c" -> "o", "co" -> "lu",
+    "colu" -> "m", "colum" -> "n", "d" -> "ow", "in" -> "dow",
+    "w" -> "indow", "d" -> "er", "or" -> "der", "or" -> "t",
+    "s" -> "ort", "par" -> "t", "u" -> "p", "a" -> "g", "ag" -> "g",
+    "a" -> "lu", "alu" -> "e", "v" -> "alue", "in" -> "e", "l" -> "ine",
+    "e" -> "y", "k" -> "ey", "j" -> "o", "jo" -> "in", "g" -> "e",
+    "mer" -> "ge", "er" -> "y")
+
   /** Subword token array of `text` under the trained merge table. */
   def segment(text: Column, merges: Seq[(String, String)]): Column =
     ColumnBridge.column(BpeSegmentExpr(ColumnBridge.expression(text), merges))

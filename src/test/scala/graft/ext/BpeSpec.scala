@@ -62,4 +62,26 @@ class BpeSpec extends SparkTestBase {
     val agg = checked.agg(sum("bpe_tokens"), sum("n_chars")).head()
     assert(agg.getLong(0) < agg.getLong(1))
   }
+
+  test("sampleMerges (the frozen q142 table) segments pinned words exactly") {
+    // hand-derived under the frozen rule ranks: "order" collapses via
+    // er(0) -> or(1) -> der(20) -> order(21); "window" via in(2) ->
+    // ow(3) -> dow(17) -> indow(18) -> window(19); "zzz" hits no rule
+    val out = Seq(("order window zzz", 1L)).toDF("text", "id")
+      .select(Bpe.segment(col("text"), Bpe.sampleMerges).as("toks"),
+        Bpe.tokenCount(col("text"), Bpe.sampleMerges).as("n"))
+      .head()
+    assert(out.getSeq[String](0).toList == List("order", "window", "z", "z", "z"))
+    assert(out.getLong(1) == 5L)
+    // the frozen table must stay internally valid: every rule's two
+    // components are single chars or products of strictly earlier rules
+    // (the property the q142 oracle's one-step-at-a-time recursion rests on)
+    val products = Bpe.sampleMerges.zipWithIndex.map { case ((a, b), i) => (a + b, i) }.toMap
+    Bpe.sampleMerges.zipWithIndex.foreach { case ((a, b), i) =>
+      Seq(a, b).foreach { c =>
+        assert(c.length == 1 || products.getOrElse(c, Int.MaxValue) < i,
+          s"rule $i ($a,$b): component '$c' is not buildable before rank $i")
+      }
+    }
+  }
 }
