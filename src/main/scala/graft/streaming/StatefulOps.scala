@@ -91,13 +91,84 @@ object StatefulOps {
   case class BandDoc(id: Long, band: Int, bkey: String, event_time: Timestamp)
   case class BandHit(id: Long, band: Int, first_id: Long)
 
-  /** State of [[nearDupHits]]. MIGRATION NOTE: `horizonMs` was added to
-    * make the TTL anchor monotone — state case-class changes alter the
-    * `flatMapGroupsWithState` state schema, which Spark's checkpoint
-    * schema check (`spark.sql.streaming.stateStore.stateSchemaCheck`,
-    * default on) rejects on restart from a pre-change checkpoint. A
-    * query upgraded across such a change must start a fresh checkpoint
-    * (same for [[QuotaCount]]/[[capPerKeyStream]]).
+  /** The PERMANENT stored-state schema of the envelope-wrapped stateful
+    * ops ([[nearDupHits]]/[[capPerKeyStream]]/[[funnelStream]]): a
+    * version tag plus an opaque payload. `flatMapGroupsWithState`
+    * derives the checkpoint state schema from this class, and Spark's
+    * state-schema check (`spark.sql.streaming.stateStore
+    * .stateSchemaCheck`, default on) rejects a restart when it changes —
+    * so the schema Spark sees is frozen HERE, and state evolution
+    * happens inside `payload`, dispatched on `version` by
+    * [[StateCodec]]. Round-10 history made this concrete: adding
+    * `horizonMs` to the state classes stranded any pre-change
+    * checkpoint; under the envelope the same change is a new payload
+    * version plus a decoder arm.
+    */
+  case class VersionedState(version: Int, payload: Array[Byte])
+
+  /** Fixed-layout big-endian payload codecs for [[VersionedState]] —
+    * explicit byte layouts, NOT Java serialization, so a refactor of the
+    * in-memory case classes cannot silently change what checkpoints
+    * hold (the spec pins the exact v1 bytes). Each decoder dispatches on
+    * the stored version: an arm per historical layout, defaults filled
+    * for fields that version predates. An UNKNOWN (newer) version fails
+    * loudly with the runbook — state written by a newer engine is not
+    * guessable, and the operator must not fabricate quota/dedup state.
+    */
+  object StateCodec {
+    import java.nio.ByteBuffer
+
+    private def unknown(op: String, v: Int): Nothing =
+      throw new IllegalStateException(
+        s"$op state version $v is newer than this engine understands. " +
+          "Runbook: either upgrade the engine to the version that wrote " +
+          "the checkpoint, or restart the query with a FRESH checkpoint " +
+          "location (state re-accumulates over the watermark horizon).")
+
+    /** v1: [id: i64][horizonMs: i64]. */
+    def encodeMinSeen(s: MinSeen): VersionedState =
+      VersionedState(1,
+        ByteBuffer.allocate(16).putLong(s.id).putLong(s.horizonMs).array())
+
+    def decodeMinSeen(s: VersionedState): MinSeen = s.version match {
+      case 1 =>
+        val b = ByteBuffer.wrap(s.payload)
+        MinSeen(b.getLong(), b.getLong())
+      case v => unknown("MinSeen", v)
+    }
+
+    /** v1: [accepted: i64][horizonMs: i64]. */
+    def encodeQuota(s: QuotaCount): VersionedState =
+      VersionedState(1,
+        ByteBuffer.allocate(16).putLong(s.accepted).putLong(s.horizonMs).array())
+
+    def decodeQuota(s: VersionedState): QuotaCount = s.version match {
+      case 1 =>
+        val b = ByteBuffer.wrap(s.payload)
+        QuotaCount(b.getLong(), b.getLong())
+      case v => unknown("QuotaCount", v)
+    }
+
+    /** v1: [n: i32][times: n × i64][horizonMs: i64]. */
+    def encodeFunnel(s: FunnelTimes): VersionedState = {
+      val b = ByteBuffer.allocate(4 + 8 * s.times.length + 8)
+      b.putInt(s.times.length)
+      s.times.foreach(b.putLong)
+      b.putLong(s.horizonMs)
+      VersionedState(1, b.array())
+    }
+
+    def decodeFunnel(s: VersionedState): FunnelTimes = s.version match {
+      case 1 =>
+        val b = ByteBuffer.wrap(s.payload)
+        val n = b.getInt()
+        FunnelTimes(List.fill(n)(b.getLong()), b.getLong())
+      case v => unknown("FunnelTimes", v)
+    }
+  }
+
+  /** In-memory state of [[nearDupHits]] (stored as [[VersionedState]]
+    * payload v1 — see [[StateCodec]]).
     */
   case class MinSeen(id: Long, horizonMs: Long)
 
@@ -144,13 +215,14 @@ object StatefulOps {
       .as[QuotaDoc]
     rows
       .groupByKey(_.key)
-      .flatMapGroupsWithState[QuotaCount, QuotaVerdict](
+      .flatMapGroupsWithState[VersionedState, QuotaVerdict](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        (_: String, it: Iterator[QuotaDoc], state: GroupState[QuotaCount]) =>
+        (_: String, it: Iterator[QuotaDoc], state: GroupState[VersionedState]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
+            val prior = state.getOption.map(StateCodec.decodeQuota)
             val rs = it.toSeq.sortBy(r => (r.event_time.getTime, r.id))
-            var accepted = state.getOption.map(_.accepted).getOrElse(0L)
+            var accepted = prior.map(_.accepted).getOrElse(0L)
             val out = rs.map { r =>
               val ok = accepted < n
               if (ok) accepted += 1
@@ -161,9 +233,9 @@ object StatefulOps {
             // out-of-order batch of older (above-watermark) events never
             // pulls an armed timeout earlier — early eviction here would
             // hand the key a fresh quota and over-accept past n
-            val horizon = (state.getOption.map(_.horizonMs).toSeq ++
+            val horizon = (prior.map(_.horizonMs).toSeq ++
               rs.map(_.event_time.getTime) :+ state.getCurrentWatermarkMs()).max
-            state.update(QuotaCount(accepted, horizon))
+            state.update(StateCodec.encodeQuota(QuotaCount(accepted, horizon)))
             state.setTimeoutTimestamp(horizon + ttlMs)
             out.iterator
           }
@@ -216,13 +288,14 @@ object StatefulOps {
     val nStages = stages.size
     rows
       .groupByKey(_.user)
-      .flatMapGroupsWithState[FunnelTimes, FunnelProgress](
+      .flatMapGroupsWithState[VersionedState, FunnelProgress](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        (_: Long, it: Iterator[FunnelEvent], state: GroupState[FunnelTimes]) =>
+        (_: Long, it: Iterator[FunnelEvent], state: GroupState[VersionedState]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
+            val prior = state.getOption.map(StateCodec.decodeFunnel)
             val rs = it.toSeq.sortBy(r => (r.event_time.getTime, r.et))
-            val times = state.getOption.map(_.times.toArray)
+            val times = prior.map(_.times.toArray)
               .getOrElse(Array.fill(nStages)(-1L))
             val out = List.newBuilder[FunnelProgress]
             rs.foreach { r =>
@@ -241,9 +314,9 @@ object StatefulOps {
                 i += 1
               }
             }
-            val horizon = (state.getOption.map(_.horizonMs).toSeq ++
+            val horizon = (prior.map(_.horizonMs).toSeq ++
               rs.map(_.event_time.getTime) :+ state.getCurrentWatermarkMs()).max
-            state.update(FunnelTimes(times.toList, horizon))
+            state.update(StateCodec.encodeFunnel(FunnelTimes(times.toList, horizon)))
             state.setTimeoutTimestamp(horizon + ttlMs)
             out.result().iterator
           }
@@ -302,13 +375,14 @@ object StatefulOps {
       .as[BandDoc]
     bands
       .groupByKey(r => s"${r.band}:${r.bkey}")
-      .flatMapGroupsWithState[MinSeen, BandHit](
+      .flatMapGroupsWithState[VersionedState, BandHit](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        (_: String, rows: Iterator[BandDoc], state: GroupState[MinSeen]) =>
+        (_: String, rows: Iterator[BandDoc], state: GroupState[VersionedState]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
+            val prior = state.getOption.map(StateCodec.decodeMinSeen)
             val rs = rows.toSeq.sortBy(_.id)
-            var minSeen = state.getOption.map(_.id).getOrElse(Long.MaxValue)
+            var minSeen = prior.map(_.id).getOrElse(Long.MaxValue)
             val hits = rs.flatMap { r =>
               val hit = if (minSeen < r.id) Some(BandHit(r.id, r.band, minSeen)) else None
               if (r.id < minSeen) minSeen = r.id
@@ -322,9 +396,9 @@ object StatefulOps {
             // batch of older (but above-watermark) events can never pull
             // an armed timeout EARLIER and evict the key before the
             // horizon a previous batch established.
-            val horizon = (state.getOption.map(_.horizonMs).toSeq ++
+            val horizon = (prior.map(_.horizonMs).toSeq ++
               rs.map(_.event_time.getTime) :+ state.getCurrentWatermarkMs()).max
-            state.update(MinSeen(minSeen, horizon))
+            state.update(StateCodec.encodeMinSeen(MinSeen(minSeen, horizon)))
             state.setTimeoutTimestamp(horizon + ttlMs)
             hits.iterator
           }

@@ -373,6 +373,72 @@ class StatefulOpsSpec extends SparkTestBase {
     }
   }
 
+  test("StateCodec: v1 byte layouts are pinned; unknown versions fail with the runbook") {
+    import StatefulOps._
+    // GOLDEN BYTES — these pin what checkpoints physically hold; a codec
+    // refactor that changes them breaks existing checkpoints and must
+    // instead add a NEW version arm
+    def hex(b: Array[Byte]) = b.map("%02x".format(_)).mkString
+    val ms = StateCodec.encodeMinSeen(MinSeen(7L, 0x11223344L))
+    assert(ms.version == 1 && hex(ms.payload) ==
+      "0000000000000007" + "0000000011223344")
+    assert(StateCodec.decodeMinSeen(ms) == MinSeen(7L, 0x11223344L))
+
+    val qc = StateCodec.encodeQuota(QuotaCount(3L, 256L))
+    assert(qc.version == 1 && hex(qc.payload) ==
+      "0000000000000003" + "0000000000000100")
+    assert(StateCodec.decodeQuota(qc) == QuotaCount(3L, 256L))
+
+    val ft = StateCodec.encodeFunnel(FunnelTimes(List(1L, -1L), 512L))
+    assert(ft.version == 1 && hex(ft.payload) ==
+      "00000002" + "0000000000000001" + "ffffffffffffffff" + "0000000000000200")
+    assert(StateCodec.decodeFunnel(ft) == FunnelTimes(List(1L, -1L), 512L))
+
+    // a NEWER version than this engine knows: loud failure + runbook,
+    // never fabricated state
+    val future = VersionedState(99, Array[Byte](1, 2, 3))
+    Seq[VersionedState => Any](
+      StateCodec.decodeMinSeen _, StateCodec.decodeQuota _, StateCodec.decodeFunnel _)
+      .foreach { dec =>
+        val e = intercept[IllegalStateException](dec(future))
+        assert(e.getMessage.contains("FRESH checkpoint"), e.getMessage)
+      }
+  }
+
+  test("capPerKeyStream: quota state survives a query restart (envelope checkpoint schema)") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.streaming.Trigger
+    val in = Files.createTempDirectory("graft_quota_in_")
+    val out = Files.createTempDirectory("graft_quota_out_").toString
+    val chk = Files.createTempDirectory("graft_quota_chk_").toString
+    val schema = "doc_id LONG, source STRING, event_time TIMESTAMP"
+    def writeBatch(name: String, rows: Seq[(Long, String, java.sql.Timestamp)]): Unit =
+      rows.toDF("doc_id", "source", "event_time").coalesce(1).write.parquet(s"$in/$name")
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema).option("latestFirst", "false")
+        .parquet(s"$in/*/")
+      val query = StatefulOps.capPerKeyStream(stream, n = 2, watermarkDelay = "10 minutes")
+        .writeStream.format("json")
+        .option("path", out).option("checkpointLocation", chk)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      query.awaitTermination(120000)
+    }
+    // run 1: srcA uses 1 of its 2 slots
+    writeBatch("b1", Seq((10L, "srcA", ts("2024-01-01 00:00:00"))))
+    runOnce()
+    // run 2 (restart from checkpoint): the count must CONTINUE at 1 —
+    // 11 takes the last slot, 12 is rejected. A dropped/rejected state
+    // schema would either fail the restart or re-grant a fresh quota.
+    writeBatch("b2", Seq(
+      (11L, "srcA", ts("2024-01-01 00:01:00")),
+      (12L, "srcA", ts("2024-01-01 00:01:01"))))
+    runOnce()
+    val verdicts = spark.read.schema("id LONG, key STRING, accepted BOOLEAN")
+      .json(s"$out/*.json").as[(Long, String, Boolean)].collect()
+      .map(v => v._1 -> v._3).toMap
+    assert(verdicts == Map(10L -> true, 11L -> true, 12L -> false), s"got $verdicts")
+  }
+
   test("dedupWithinWatermark drops duplicate keys inside the horizon") {
     val mem = MemoryStream[Telemetry](spark)
     val deduped = StatefulOps.dedupWithinWatermark(
