@@ -1883,6 +1883,26 @@ object OracleSql {
          |         FROM dw JOIN fin ON dw.word = fin.word GROUP BY 1)
          |SELECT d.doc_id, CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n_bpe_tokens
          |FROM documents d LEFT JOIN cnt ON d.doc_id = cnt.doc_id
-         |ORDER BY d.doc_id""".stripMargin
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // Mirrors graft.ext.Png.syntheticGradient + ImageResize's integer
+    // nearest-neighbor: resized pixel (x,y) reads source
+    // (x*w//rw, y*h//rh) of the gradient g = (7x + 13y + id) % 256;
+    // the Spark side must actually decode the PNG bytes and resample
+    "q143_png_resize" ->
+      """WITH d AS (SELECT doc_id, 8 + doc_id % 17 AS w, 8 + (2 * doc_id) % 13 AS h
+        |   FROM documents WHERE doc_id % 8 = 0),
+        | r AS (SELECT doc_id, w, h,
+        |    greatest(1, (8 * w) // greatest(w, h)) AS rw,
+        |    greatest(1, (8 * h) // greatest(w, h)) AS rh FROM d),
+        | xs AS (SELECT doc_id, w, h, rw, rh,
+        |    unnest(generate_series(0, rw - 1)) AS x FROM r),
+        | ys AS (SELECT doc_id, w, h, rw, rh, x,
+        |    unnest(generate_series(0, rh - 1)) AS y FROM xs),
+        | px AS (SELECT doc_id, rw, rh,
+        |    (7 * ((x * w) // rw) + 13 * ((y * h) // rh) + doc_id) % 256 AS g FROM ys)
+        |SELECT doc_id, CAST(rw AS BIGINT) AS rw, CAST(rh AS BIGINT) AS rh,
+        |  CAST(sum(g) * 1000000 // (255 * rw * rh) AS BIGINT) AS mean_pixel_ppm
+        |FROM px GROUP BY doc_id, rw, rh ORDER BY doc_id""".stripMargin
   )
 }

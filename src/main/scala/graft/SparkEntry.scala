@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.core.Tables
-import graft.ext.{Bmff, Bpe, Dedup, Multimodal, Quantize, Sampling, SimSearch, TextOps}
+import graft.ext.{Bmff, Bpe, Dedup, Multimodal, Png, Quantize, Sampling, SimSearch, TextOps}
 import graft.functions.{Hashing, VectorOps}
 import graft.ops.{AsOfJoin, Behavior, Graph, SensorOps, Snapshot, Windows}
 
@@ -1049,6 +1049,28 @@ object SparkEntry {
       nlist = 8, nprobe = 2, iters = 2)
       .select(col("qid"), col("vid"), col("cos"), col("rank").cast("long").as("rank"))
       .orderBy("qid", "rank")
+  }
+
+  /** REAL pixel resize over synthetic PNG gradients
+    * ([[graft.ext.Png.syntheticGradient]]): every 8th document gets a
+    * lossless closed-form gradient image; the Spark side must decode the
+    * actual PNG bytes and nearest-neighbor-resample them
+    * ([[Multimodal.resizeMeta]], target box 8), while the oracle
+    * recomputes the RESIZED image's exact mean arithmetically from the
+    * generator formulas. The gradient (not a uniform fill) is what makes
+    * the gate sharp: transposed axes, flipped rows, or off-by-one source
+    * indexing shifts the sampled pixels and breaks the mean.
+    */
+  private def q143(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val payloads = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .filter(_ % 8 == 0)
+      .map(id => (id, Png.syntheticGradient(id))).toDF("doc_id", "payload")
+    payloads
+      .withColumn("m", Multimodal.resizeMeta(col("payload"), target = 8))
+      .select(col("doc_id"), col("m.rw").as("rw"), col("m.rh").as("rh"),
+        col("m.mean_pixel_ppm").as("mean_pixel_ppm"))
+      .orderBy("doc_id")
   }
 
   /** Tokenizer-EXACT token counts under the oracle gate
@@ -2156,7 +2178,8 @@ object SparkEntry {
     "q139_data_card" -> q139 _,
     "q140_mjpeg_frames" -> q140 _,
     "q141_ann_ivf_kmeans" -> q141 _,
-    "q142_bpe_tokens" -> q142 _
+    "q142_bpe_tokens" -> q142 _,
+    "q143_png_resize" -> q143 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

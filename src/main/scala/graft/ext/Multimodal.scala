@@ -108,6 +108,16 @@ object Multimodal {
       floor(media.getField("height") * target / longest).cast("long").as("rh"))
   }
 
+  /** REAL pixel resize: decode + aspect-fit + integer nearest-neighbor
+    * resample, returning `struct<rw, rh, mean_pixel_ppm>` of the RESIZED
+    * image (NULL for undecodable bytes) — the actual-pixels successor to
+    * [[resizeStub]]'s dimension arithmetic, oracle-gated by `q143` over
+    * lossless PNG gradients. See [[graft.functions.ImageResize]].
+    */
+  def resizeMeta(payload: Column, target: Int = 224): Column =
+    ColumnBridge.column(graft.functions.ImageResizeMetaExpr(
+      ColumnBridge.expression(payload), target))
+
   /** Deterministic fixed-width feature vector from the payload (stand-in
     * for an image/audio embedding model; 4 hash-derived doubles in [0,1)).
     */

@@ -1,0 +1,103 @@
+package graft.functions
+
+import java.io.ByteArrayInputStream
+
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types.{BinaryType, DataType, LongType, StructField, StructType}
+
+/** REAL pixel resize (nearest-neighbor, aspect-fit) — the actual-pixels
+  * successor to `ext.Multimodal.resizeStub`'s dimension arithmetic: the
+  * image is decoded (JDK ImageIO), fit into a `target`-sided box
+  * preserving aspect ratio with the stub's exact integer formula
+  * (`floor(dim·target / longest)`), and resampled by integer
+  * nearest-neighbor — resized pixel `(x, y)` reads source pixel
+  * `(floor(x·w/rw), floor(y·h/rh))`. All-integer index math, so the
+  * resampled pixel grid (and its statistics) is deterministic across
+  * JVMs/platforms for lossless inputs — which is what lets `q143`
+  * oracle-check the RESIZED image's mean against a closed form. The
+  * half-pixel-centered NN variant differs by a sub-pixel phase only;
+  * the floor variant is chosen for engine portability.
+  */
+object ImageResize {
+
+  /** Resized dims + the resized image's exact mean channel intensity
+    * (same ppm statistic as [[ImageMeta.Meta.meanPixelPpm]], computed
+    * over the RESAMPLED pixels).
+    */
+  final case class Meta(rw: Long, rh: Long, meanPixelPpm: Long)
+
+  /** Decode + aspect-fit + nearest-neighbor resample; `None` for bytes
+    * no ImageIO reader understands. Only the ≤ target² sampled pixels
+    * are touched after decode — O(target²) per row, not O(w·h).
+    */
+  def resizeMeta(bytes: Array[Byte], target: Int): Option[Meta] =
+    try {
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val longest = math.max(w, h)
+        val rw = math.max(1, w * target / longest)
+        val rh = math.max(1, h * target / longest)
+        var sum = 0L
+        var y = 0
+        while (y < rh) {
+          val sy = y * h / rh
+          var x = 0
+          while (x < rw) {
+            val rgb = img.getRGB(x * w / rw, sy)
+            sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        Some(Meta(rw.toLong, rh.toLong,
+          sum * 1000000L / (3L * 255L * rw * rh)))
+      }
+    } catch {
+      case _: java.io.IOException => None
+      case _: RuntimeException    => None
+    }
+}
+
+/** `image_resize_meta(payload)` — decode a binary image column, aspect-fit
+  * nearest-neighbor resize to a `target` box, return `struct<rw bigint,
+  * rh bigint, mean_pixel_ppm bigint>` of the RESIZED image; NULL for
+  * undecodable bytes. CodegenFallback for the same reason as
+  * [[ImageMetaExpr]] (the decode dominates).
+  */
+case class ImageResizeMetaExpr(child: Expression, target: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("rw", LongType, nullable = false),
+    StructField("rh", LongType, nullable = false),
+    StructField("mean_pixel_ppm", LongType, nullable = false)))
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires binary input, got ${other.sql}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    ImageResize.resizeMeta(input.asInstanceOf[Array[Byte]], target) match {
+      case Some(m) => InternalRow(m.rw, m.rh, m.meanPixelPpm)
+      case None    => null
+    }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "image_resize_meta"
+}

@@ -440,6 +440,43 @@ class MultimodalSpec extends SparkTestBase {
     assert(out == expected)
   }
 
+  test("resizeMeta: exact nearest-neighbor pixel stats on a hand-built PNG") {
+    // 4x2 gray pattern, target box 2 -> rw=2, rh=1; NN reads source
+    // (x*4//2, y*2//1) = (0,0) and (2,0): grays 10 and 30 -> sum 40
+    val img = new BufferedImage(4, 2, BufferedImage.TYPE_INT_RGB)
+    val grays = Seq(Seq(10, 20, 30, 40), Seq(50, 60, 70, 80))
+    for (y <- 0 until 2; x <- 0 until 4) {
+      val g = grays(y)(x); img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val out = Seq((1L, imageBytes(img, "png")),
+      (2L, "not an image".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+      .withColumn("m", Multimodal.resizeMeta(col("payload"), target = 2))
+      .select(col("doc_id"), col("m.rw"), col("m.rh"), col("m.mean_pixel_ppm"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert((out(1L).getLong(1), out(1L).getLong(2)) == (2L, 1L))
+    assert(out(1L).getLong(3) == (10L + 30L) * 1000000L / (255L * 2L))
+    assert(out(2L).isNullAt(1), "non-image bytes → NULL resize meta")
+  }
+
+  test("resizeMeta matches Png.syntheticGradient's closed forms") {
+    val ids = Seq(0L, 5L, 23L, 100L)
+    val out = ids.map(id => (id, Png.syntheticGradient(id))).toDF("doc_id", "payload")
+      .withColumn("m", Multimodal.resizeMeta(col("payload"), target = 8))
+      .select(col("doc_id"), col("m.rw"), col("m.rh"), col("m.mean_pixel_ppm"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toList
+    val expected = ids.map { id =>
+      val w = (8 + id % 17).toInt; val h = (8 + 2 * id % 13).toInt
+      val longest = math.max(w, h)
+      val rw = math.max(1, w * 8 / longest); val rh = math.max(1, h * 8 / longest)
+      val sum = (for (y <- 0 until rh; x <- 0 until rw)
+        yield (7L * (x * w / rw) + 13L * (y * h / rh) + id) % 256).sum
+      (id, rw.toLong, rh.toLong, sum * 1000000L / (255L * rw * rh))
+    }
+    assert(out == expected)
+  }
+
   test("decodeKeyframeFrames: non-JPEG samples and >2GiB offsets yield NULL frames") {
     // sync sample bytes that are NOT a JPEG codestream
     val junk = mjpegContainer(Seq("certainly not a jpeg frame".getBytes("UTF-8")))
