@@ -1903,6 +1903,24 @@ object OracleSql {
         |    (7 * ((x * w) // rw) + 13 * ((y * h) // rh) + doc_id) % 256 AS g FROM ys)
         |SELECT doc_id, CAST(rw AS BIGINT) AS rw, CAST(rh AS BIGINT) AS rh,
         |  CAST(sum(g) * 1000000 // (255 * rw * rh) AS BIGINT) AS mean_pixel_ppm
-        |FROM px GROUP BY doc_id, rw, rh ORDER BY doc_id""".stripMargin
+        |FROM px GROUP BY doc_id, rw, rh ORDER BY doc_id""".stripMargin,
+
+    // the FULL REBUILD over the whole log (q121's SQL verbatim) — the
+    // Spark side builds the dimension from the first half and MERGES
+    // the second half incrementally (scd2Apply); hash equality IS the
+    // incremental-equals-rebuild invariant
+    "q144_scd2_apply" ->
+      """WITH o AS (SELECT user_id, ts, event_type, event_id,
+        |   lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+        |   row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        | c AS (SELECT user_id, ts, event_type, event_id FROM o
+        |   WHERE rn = 1 OR event_type IS DISTINCT FROM prev),
+        | v AS (SELECT user_id, event_type, ts AS valid_from,
+        |   lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+        |  FROM c)
+        |SELECT user_id, event_type, valid_from, valid_to,
+        |  valid_to IS NULL AS is_current
+        |FROM v ORDER BY user_id, valid_from, event_type NULLS FIRST""".stripMargin
   )
 }

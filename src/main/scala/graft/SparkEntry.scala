@@ -725,6 +725,26 @@ object SparkEntry {
       // would let the engines disagree even though the ROWS match
       .orderBy("user_id", "valid_from", "event_type")
 
+  /** Incremental SCD2 merge ([[Behavior.scd2Apply]]): the dimension is
+    * built from the first half of the log, then the second half is
+    * applied as a delta batch — and the result must HASH-MATCH the
+    * oracle's full rebuild over the whole log (q121's SQL verbatim).
+    * The strongest gate an incremental operator can carry: any drift
+    * between the merge path and the from-scratch build (boundary
+    * collapse, open-row closing, new keys) breaks the hash.
+    */
+  private def q144(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val cut = lit(java.sql.Timestamp.valueOf("2024-01-16 00:00:00"))
+    val dim = Behavior.scdType2(ev.filter(col("ts") < cut),
+      col("user_id"), col("ts"), col("event_type"), col("event_id"))
+    Behavior.scd2Apply(dim, ev.filter(col("ts") >= cut),
+        col("user_id"), col("ts"), col("event_type"), col("event_id"))
+      .select(col("key").as("user_id"), col("attr").as("event_type"),
+        col("valid_from"), col("valid_to"), col("is_current"))
+      .orderBy("user_id", "valid_from", "event_type")
+  }
+
   /** Ordered-sequence funnel ([[Behavior.funnel]]): view → click →
     * purchase, each stage's time the earliest STRICTLY AFTER the
     * previous stage's. The oracle recomputes the chained filtered-min
@@ -2179,7 +2199,8 @@ object SparkEntry {
     "q140_mjpeg_frames" -> q140 _,
     "q141_ann_ivf_kmeans" -> q141 _,
     "q142_bpe_tokens" -> q142 _,
-    "q143_png_resize" -> q143 _
+    "q143_png_resize" -> q143 _,
+    "q144_scd2_apply" -> q144 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

@@ -51,6 +51,63 @@ object Behavior {
         col("valid_to"), col("valid_to").isNull.as("is_current"))
   }
 
+  /** Incremental SCD2 merge: apply a NEW batch of change events to an
+    * already-built [[scdType2]] dimension without rebuilding history —
+    * the production upsert that keeps a 100 TB dimension current from
+    * daily/hourly deltas. Closed intervals pass through untouched; each
+    * touched key's OPEN row is re-seeded as a pseudo-event at its
+    * `valid_from` and merged with the key's new events through the SAME
+    * collapse/close windows as the full build, so a batch value equal
+    * to the current open value collapses away (run start preserved), a
+    * distinct value closes the open row at its timestamp, and brand-new
+    * keys build from scratch. By construction
+    * `scd2Apply(scdType2(log ≤ T), log > T) ≡ scdType2(log)` — the
+    * invariant `q144` hash-gates against the full-rebuild oracle.
+    *
+    * CONTRACT: the batch must lie beyond each key's open-row
+    * `valid_from` (the incremental high-water mark). A violating event
+    * would silently rewrite history, so it RAISES instead (checked with
+    * a partition-only window over the merge's own key partitioning —
+    * no extra shuffle).
+    *
+    * Scale shape: one shuffle over (open rows of touched keys ∪ batch),
+    * i.e. O(delta + live keys), never O(history); the closed-row
+    * pass-through is a scan-union with no shuffle at all.
+    */
+  def scd2Apply(
+      current: DataFrame,
+      changes: DataFrame,
+      keyCol: Column,
+      tsCol: Column,
+      attrCol: Column,
+      seqCol: Column
+  ): DataFrame = {
+    val cur = current.select(col("key"), col("attr"), col("valid_from"),
+      col("valid_to"), col("is_current"))
+    val seeds = cur.filter(col("is_current"))
+      .select(col("key"), col("valid_from").as("ts"), col("attr"),
+        lit(Long.MinValue).as("seq"))
+    val batch = changes
+      .select(keyCol.as("key"), tsCol.as("ts"), attrCol.as("attr"),
+        seqCol.as("seq"))
+    val seeded = seeds.unionByName(batch)
+    // high-water-mark check: the seed is the min (ts, seq) of its key by
+    // contract; a batch event sorting at or before it would rewrite
+    // closed history. Same key partitioning as scdType2's windows, so
+    // Catalyst reuses the exchange.
+    val seedTs = min(when(col("seq") === Long.MinValue, col("ts")))
+      .over(Window.partitionBy(col("key")))
+    val checked = seeded.withColumn("ts",
+      when(col("seq") =!= Long.MinValue && col("ts") <= seedTs,
+        raise_error(concat(lit("scd2Apply: batch event at "),
+          col("ts").cast("string"),
+          lit(" is not beyond the open row of key "),
+          col("key").cast("string"))).cast(seeded.schema("ts").dataType))
+        .otherwise(col("ts")))
+    cur.filter(!col("is_current"))
+      .unionByName(scdType2(checked, col("key"), col("ts"), col("attr"), col("seq")))
+  }
+
   /** Point-in-time reconstruction ("state as of T") from the change
     * log — the time-travel read over [[scdType2]]'s intervals: the one
     * interval per key covering `asOf` (`valid_from <= T < valid_to`,

@@ -43,6 +43,51 @@ class BehaviorSpec extends SparkTestBase {
     assert(got == Seq(("x", false), ("y", true)))
   }
 
+  test("scd2Apply: merge equals full rebuild across the boundary cases") {
+    // boundary collapse (key 1: batch value equals open value), real
+    // change (key 2), untouched key (3), brand-new key (4)
+    val before = Seq(
+      (1L, ts("2026-01-01 00:00:00"), "a", 1L),
+      (1L, ts("2026-01-02 00:00:00"), "b", 2L),
+      (2L, ts("2026-01-01 00:00:00"), "x", 3L),
+      (3L, ts("2026-01-01 00:00:00"), "z", 4L)
+    ).toDF("user_id", "ts", "event_type", "event_id")
+    val batch = Seq(
+      (1L, ts("2026-01-10 00:00:00"), "b", 5L), // repeat of open value -> collapses
+      (1L, ts("2026-01-11 00:00:00"), "c", 6L),
+      (2L, ts("2026-01-10 00:00:00"), "y", 7L),
+      (4L, ts("2026-01-10 00:00:00"), "n", 8L)  // new key
+    ).toDF("user_id", "ts", "event_type", "event_id")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("key", "valid_from", "attr")
+        .as[(Long, String, Timestamp, Option[Timestamp], Boolean)].collect().toSeq
+    val dim = Behavior.scdType2(before,
+      col("user_id"), col("ts"), col("event_type"), col("event_id"))
+    val merged = canon(Behavior.scd2Apply(dim, batch,
+      col("user_id"), col("ts"), col("event_type"), col("event_id")))
+    val rebuilt = canon(Behavior.scdType2(before.unionByName(batch),
+      col("user_id"), col("ts"), col("event_type"), col("event_id")))
+    assert(merged == rebuilt)
+    // the boundary collapse kept key 1's open run anchored at its
+    // ORIGINAL start, closing at the genuinely-new value
+    assert(merged.contains(
+      (1L, "b", ts("2026-01-02 00:00:00"), Some(ts("2026-01-11 00:00:00")), false)))
+  }
+
+  test("scd2Apply raises on a batch event at or before a key's high-water mark") {
+    val before = Seq((1L, ts("2026-01-05 00:00:00"), "a", 1L))
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val late = Seq((1L, ts("2026-01-03 00:00:00"), "b", 2L)) // rewrites history
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val dim = Behavior.scdType2(before,
+      col("user_id"), col("ts"), col("event_type"), col("event_id"))
+    val e = intercept[Exception] {
+      Behavior.scd2Apply(dim, late,
+        col("user_id"), col("ts"), col("event_type"), col("event_id")).collect()
+    }
+    assert(e.getMessage.contains("not beyond the open row"), e.getMessage)
+  }
+
   test("snapshotAt returns the run-start interval covering T; unborn keys absent") {
     val log = Seq(
       (1L, ts("2026-01-01 00:00:00"), "a", 1L),
