@@ -1921,6 +1921,25 @@ object OracleSql {
         |  FROM c)
         |SELECT user_id, event_type, valid_from, valid_to,
         |  valid_to IS NULL AS is_current
-        |FROM v ORDER BY user_id, valid_from, event_type NULLS FIRST""".stripMargin
+        |FROM v ORDER BY user_id, valid_from, event_type NULLS FIRST""".stripMargin,
+
+    // independent ALGORITHM: the operator fans cells out to trailing
+    // anchors (explode); the oracle range-JOINS days against cells —
+    // both must land on the same exact distinct counts
+    "q145_rolling_wau" ->
+      """WITH cells AS (SELECT DISTINCT user_id,
+        |    CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS day_sec
+        |   FROM events WHERE ts IS NOT NULL),
+        | days AS (SELECT DISTINCT day_sec FROM cells),
+        | dau AS (SELECT day_sec, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+        |   FROM cells GROUP BY 1),
+        | wau AS (SELECT d.day_sec, CAST(count(DISTINCT c.user_id) AS BIGINT) AS wau
+        |   FROM days d JOIN cells c
+        |     ON c.day_sec BETWEEN d.day_sec - 6*86400 AND d.day_sec
+        |   GROUP BY 1)
+        |SELECT days.day_sec, dau.dau, wau.wau
+        |FROM days JOIN dau ON days.day_sec = dau.day_sec
+        |  JOIN wau ON days.day_sec = wau.day_sec
+        |ORDER BY days.day_sec""".stripMargin
   )
 }

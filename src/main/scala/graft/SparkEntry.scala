@@ -8,7 +8,7 @@ import org.apache.spark.sql.types.DecimalType
 import graft.core.Tables
 import graft.ext.{Bmff, Bpe, Dedup, Multimodal, Png, Quantize, Sampling, SimSearch, TextOps}
 import graft.functions.{Hashing, VectorOps}
-import graft.ops.{AsOfJoin, Behavior, Graph, SensorOps, Snapshot, Windows}
+import graft.ops.{AsOfJoin, Behavior, Graph, SensorOps, Snapshot, TimeSeries, Windows}
 
 /** Driver contract (SURVEY.md §5, §7): one query per implemented operator,
   * each with an ANSI-SQL DuckDB oracle over the same parquet tables.
@@ -744,6 +744,18 @@ object SparkEntry {
         col("valid_from"), col("valid_to"), col("is_current"))
       .orderBy("user_id", "valid_from", "event_type")
   }
+
+  /** Rolling active users ([[TimeSeries.rollingActiveUsers]]): exact
+    * DAU + trailing-7-day WAU per observed day. The operator fans
+    * distinct (user, day) cells out to their trailing-window anchors
+    * (explode path); the oracle computes the same series with a range
+    * JOIN between days and cells — two independent algorithms, one
+    * hash.
+    */
+  private def q145(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.rollingActiveUsers(Tables.events(s, dir),
+        col("user_id"), col("ts"), window = 7)
+      .orderBy("day_sec")
 
   /** Ordered-sequence funnel ([[Behavior.funnel]]): view → click →
     * purchase, each stage's time the earliest STRICTLY AFTER the
@@ -2200,7 +2212,8 @@ object SparkEntry {
     "q141_ann_ivf_kmeans" -> q141 _,
     "q142_bpe_tokens" -> q142 _,
     "q143_png_resize" -> q143 _,
-    "q144_scd2_apply" -> q144 _
+    "q144_scd2_apply" -> q144 _,
+    "q145_rolling_wau" -> q145 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

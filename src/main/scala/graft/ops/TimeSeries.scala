@@ -92,4 +92,47 @@ object TimeSeries {
             lit(z.toLong * z) * (col("__np") * col("__q") - col("__s") * col("__s")))
       .select(col("key"), col("day_sec"), col("n_events"), col("is_anomaly"))
   }
+
+  /** Rolling active-users series: for every observed day, the EXACT
+    * distinct-entity count that day (DAU) and over the trailing
+    * `window` days ending that day (WAU/MAU by choice of `window`).
+    *
+    * A rolling DISTINCT cannot ride a window frame (distinct does not
+    * decompose over frames), and re-scanning the log per day is
+    * quadratic — so the log first collapses to distinct (entity, day)
+    * CELLS (the small table: ≤ actives × days), and each cell
+    * fans out to the `window` day-buckets it keeps its entity active
+    * in (a bounded ×window explode of the CELL table, not the log).
+    * One count-distinct per target day closes it. Output rows are the
+    * OBSERVED days (≥1 active entity that day) — the reporting spine;
+    * gap days belong to [[gapFillDaily]]'s contract, not this one.
+    *
+    * Scale: log → cells is one shuffle with map-side partial distinct;
+    * the explode multiplies CELLS by `window` (7 or 30), bounded and
+    * predictable; final aggregate shuffles on the day. At 100 TB the
+    * cells table is the thing to persist daily — then each day's
+    * update touches one new day of cells, never history.
+    */
+  def rollingActiveUsers(
+      df: DataFrame,
+      entityCol: Column,
+      tsCol: Column,
+      window: Int = 7
+  ): DataFrame = {
+    require(window >= 1, "window must be >= 1 day")
+    val daySec = (floor(unix_timestamp(tsCol) / 86400L) * 86400L).cast("long")
+    val cells = df.filter(tsCol.isNotNull)
+      .select(entityCol.as("entity"), daySec.as("day_sec")).distinct()
+    val dau = cells.groupBy("day_sec")
+      .agg(count_distinct(col("entity")).as("dau"))
+    // fan each cell out to the `window` trailing-window anchor days it
+    // contributes to, then keep anchors that are real observed days
+    val contrib = cells.select(col("entity"),
+      explode(sequence(lit(0), lit(window - 1))).as("k"), col("day_sec"))
+      .select(col("entity"), (col("day_sec") + col("k") * 86400L).as("day_sec"))
+    val wau = contrib.groupBy("day_sec")
+      .agg(count_distinct(col("entity")).as("wau"))
+    dau.join(wau, Seq("day_sec"))
+      .select(col("day_sec"), col("dau"), col("wau"))
+  }
 }

@@ -42,4 +42,27 @@ class TimeSeriesSpec extends SparkTestBase {
       .select("n_events").as[Long].collect().toList
     assert(got == List(1L, 0L, 0L, 0L, 1L), "gap days zero-fill before the window pass")
   }
+
+  test("rollingActiveUsers: exact DAU + trailing-window WAU on a hand-built grid") {
+    // users as keys: u1 active days 1,2,10; u2 active day 2 (twice —
+    // dedups to one cell); u3 active day 10
+    val ev = (day(1, 1, "u1") ++ day(2, 1, "u1") ++ day(10, 1, "u1") ++
+      day(2, 2, "u2") ++ day(10, 1, "u3")).toDF("user", "ts")
+    val got = TimeSeries.rollingActiveUsers(ev, col("user"), col("ts"), window = 7)
+      .orderBy("day_sec")
+      .select("dau", "wau").as[(Long, Long)].collect().toList
+    // day 1: dau {u1}; wau(trailing 7) {u1}
+    // day 2: dau {u1,u2}; wau {u1,u2}
+    // day 10: dau {u1,u3}; wau days 4-10 -> {u1,u3} (day-2 activity aged out)
+    assert(got == List((1L, 1L), (2L, 2L), (2L, 2L)))
+    // only observed days appear (3 rows, not a 10-day spine)
+    assert(got.size == 3)
+  }
+
+  test("rollingActiveUsers window=1 degenerates to DAU") {
+    val ev = (day(1, 3, "u1") ++ day(2, 1, "u2")).toDF("user", "ts")
+    val got = TimeSeries.rollingActiveUsers(ev, col("user"), col("ts"), window = 1)
+      .orderBy("day_sec").select("dau", "wau").as[(Long, Long)].collect().toList
+    assert(got == List((1L, 1L), (1L, 1L)))
+  }
 }
