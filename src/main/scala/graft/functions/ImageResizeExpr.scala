@@ -45,12 +45,17 @@ object ImageResize {
         val rw = math.max(1, w * target / longest)
         val rh = math.max(1, h * target / longest)
         var sum = 0L
+        // bulk-fetch each NEEDED source row once (≤ rh ≤ target bulk
+        // color-model conversions), then sample columns from the int
+        // buffer — per-pixel getRGB calls measured 100× slower (822 vs
+        // ~90k payloads/s on the 100k-PNG probe)
+        val row = new Array[Int](w)
         var y = 0
         while (y < rh) {
-          val sy = y * h / rh
+          img.getRGB(0, y * h / rh, w, 1, row, 0, w)
           var x = 0
           while (x < rw) {
-            val rgb = img.getRGB(x * w / rw, sy)
+            val rgb = row(x * w / rw)
             sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
             x += 1
           }
