@@ -99,13 +99,19 @@ object Bench {
     val envJson = s"""{"load_start":${fmt(loadStart)},"load_end":${fmt(loadAvg1m())},"procs":${Runtime.getRuntime.availableProcessors}}"""
     val sfName = new java.io.File(sfDir).getName
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failed":$nFailed$failedJson,"spread":$spreadJson,"env":$envJson,"sf":"$sfName","q_unit":"ms","queries":$qs}"""
-    // Hard guard on the driver's tail window: losing aggregate spread/env
-    // evidence beats losing the parseability of the whole line.
+    // Hard guard on the driver's tail window, two levels: losing
+    // aggregate spread/env/failed detail beats losing parseability, and
+    // losing the per-query map beats losing the headline — an oversized
+    // line gets its HEAD clipped, which kills the whole JSON.
+    val slim = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"sf":"$sfName","q_unit":"ms","queries":$qs}"""
     val fitted =
       if (line.length <= 1900) line
-      else {
-        System.err.println(s"[bench] report line ${line.length}B > 1900B; dropping spread+env")
-        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"sf":"$sfName","q_unit":"ms","queries":$qs}"""
+      else if (slim.length <= 1900) {
+        System.err.println(s"[bench] report line ${line.length}B > 1900B; dropped spread/env/failed detail")
+        slim
+      } else {
+        System.err.println(s"[bench] report line ${line.length}B > 1900B even without spread/env; dropped per-query map")
+        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"spread":$spreadJson,"env":$envJson,"sf":"$sfName","queries_omitted":true}"""
       }
     println(fitted)
     spark.stop()

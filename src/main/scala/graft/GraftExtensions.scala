@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{AudioMetaExpr, DotProductExpr, Hashing, ImageMetaExpr, Md5Hash32Expr, MinhashSigExpr, ShingleSetExpr, VideoMetaExpr}
+import graft.functions.{AudioMetaExpr, DotProductExpr, Hashing, ImageMetaExpr, ImageResizeMetaExpr, Md5Hash32Expr, MinhashSigExpr, ShingleSetExpr, VideoKeyframeRangesExpr, VideoMetaExpr}
 
 /** SQL registration of the engine's custom Catalyst expressions — both as
   * a `SparkSessionExtensions` class (`--conf
@@ -71,7 +71,21 @@ object GraftFunctions {
     // video_meta(binary): ISO-BMFF mvhd header decode to
     // struct<duration_ms,timescale_hz>
     (FunctionIdentifier("video_meta"), info("video_meta", classOf[VideoMetaExpr]),
-      (es: Seq[Expression]) => VideoMetaExpr(arity("video_meta", 1, es).head))
+      (es: Seq[Expression]) => VideoMetaExpr(arity("video_meta", 1, es).head)),
+    // video_keyframe_ranges(binary): sync-sample byte ranges as
+    // array<struct<kf_offset,kf_bytes>>
+    (FunctionIdentifier("video_keyframe_ranges"),
+      info("video_keyframe_ranges", classOf[VideoKeyframeRangesExpr]),
+      (es: Seq[Expression]) =>
+        VideoKeyframeRangesExpr(arity("video_keyframe_ranges", 1, es).head)),
+    // image_resize_meta(binary, target): decode + aspect-fit NN resample
+    // to struct<rw,rh,mean_pixel_ppm> of the RESIZED image
+    (FunctionIdentifier("image_resize_meta"),
+      info("image_resize_meta", classOf[ImageResizeMetaExpr]),
+      (es: Seq[Expression]) => {
+        val a = arity("image_resize_meta", 2, es)
+        ImageResizeMetaExpr(a(0), intLiteral(a(1), "target box"))
+      })
   )
 
   /** Register into an already-running session. */

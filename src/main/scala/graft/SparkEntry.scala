@@ -1118,8 +1118,12 @@ object SparkEntry {
     */
   private def q142(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
+      // NULL text → 0 tokens, pinned on BOTH sides (the oracle's LEFT
+      // JOIN + COALESCE makes the same choice) — fixtures carry no NULL
+      // text today, but the contract must not depend on that
       .select(col("doc_id"),
-        Bpe.tokenCount(col("text"), Bpe.sampleMerges).as("n_bpe_tokens"))
+        coalesce(Bpe.tokenCount(col("text"), Bpe.sampleMerges), lit(0L))
+          .as("n_bpe_tokens"))
       .orderBy("doc_id")
 
   /** Edit-distance near-dup pairs under the oracle gate: the FastSS

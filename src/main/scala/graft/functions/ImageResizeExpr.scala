@@ -24,6 +24,11 @@ import org.apache.spark.sql.types.{BinaryType, DataType, LongType, StructField, 
   */
 object ImageResize {
 
+  // process-wide, on first use: same heap-path init as ImageMeta — a job
+  // that calls ONLY resizeMeta must not spill every payload to ImageIO's
+  // temp-FILE stream cache (per-row disk I/O)
+  ImageMeta.disableDiskCache()
+
   /** Resized dims + the resized image's exact mean channel intensity
     * (same ppm statistic as [[ImageMeta.Meta.meanPixelPpm]], computed
     * over the RESAMPLED pixels).

@@ -84,21 +84,24 @@ object Behavior {
   ): DataFrame = {
     val cur = current.select(col("key"), col("attr"), col("valid_from"),
       col("valid_to"), col("is_current"))
+    // the seed flag is an OUT-OF-BAND marker column, not a sentinel seq
+    // value: a batch row whose seqCol happens to equal any reserved long
+    // must still be treated (and checked) as a batch event
     val seeds = cur.filter(col("is_current"))
       .select(col("key"), col("valid_from").as("ts"), col("attr"),
-        lit(Long.MinValue).as("seq"))
+        lit(0L).as("seq"), lit(true).as("__seed"))
     val batch = changes
       .select(keyCol.as("key"), tsCol.as("ts"), attrCol.as("attr"),
-        seqCol.as("seq"))
+        seqCol.as("seq"), lit(false).as("__seed"))
     val seeded = seeds.unionByName(batch)
-    // high-water-mark check: the seed is the min (ts, seq) of its key by
-    // contract; a batch event sorting at or before it would rewrite
-    // closed history. Same key partitioning as scdType2's windows, so
-    // Catalyst reuses the exchange.
-    val seedTs = min(when(col("seq") === Long.MinValue, col("ts")))
+    // high-water-mark check: a batch event at or before its key's seed
+    // ts would rewrite closed history (seed ordering ties are impossible
+    // for the same reason). Same key partitioning as scdType2's windows,
+    // so Catalyst reuses the exchange.
+    val seedTs = min(when(col("__seed"), col("ts")))
       .over(Window.partitionBy(col("key")))
     val checked = seeded.withColumn("ts",
-      when(col("seq") =!= Long.MinValue && col("ts") <= seedTs,
+      when(!col("__seed") && col("ts") <= seedTs,
         raise_error(concat(lit("scd2Apply: batch event at "),
           col("ts").cast("string"),
           lit(" is not beyond the open row of key "),

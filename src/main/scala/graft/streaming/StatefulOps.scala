@@ -118,12 +118,25 @@ object StatefulOps {
   object StateCodec {
     import java.nio.ByteBuffer
 
+    private def runbook: String =
+      "Runbook: either upgrade the engine to the version that wrote " +
+        "the checkpoint, or restart the query with a FRESH checkpoint " +
+        "location (state re-accumulates over the watermark horizon)."
+
     private def unknown(op: String, v: Int): Nothing =
       throw new IllegalStateException(
-        s"$op state version $v is newer than this engine understands. " +
-          "Runbook: either upgrade the engine to the version that wrote " +
-          "the checkpoint, or restart the query with a FRESH checkpoint " +
-          "location (state re-accumulates over the watermark horizon).")
+        s"$op state version $v is newer than this engine understands. $runbook")
+
+    /** A version the decoder DOES know but whose bytes don't fit that
+      * version's layout (partial write, bitrot, encoder bug): still the
+      * designed loud failure with the runbook, never a raw
+      * BufferUnderflowException from inside the operator.
+      */
+    private def corrupt(op: String, s: VersionedState, cause: Throwable): Nothing =
+      throw new IllegalStateException(
+        s"$op state payload (version ${s.version}, ${s.payload.length} bytes) " +
+          s"does not match that version's layout — corrupt checkpoint state. $runbook",
+        cause)
 
     /** v1: [id: i64][horizonMs: i64]. */
     def encodeMinSeen(s: MinSeen): VersionedState =
@@ -132,8 +145,10 @@ object StatefulOps {
 
     def decodeMinSeen(s: VersionedState): MinSeen = s.version match {
       case 1 =>
-        val b = ByteBuffer.wrap(s.payload)
-        MinSeen(b.getLong(), b.getLong())
+        try {
+          val b = ByteBuffer.wrap(s.payload)
+          MinSeen(b.getLong(), b.getLong())
+        } catch { case e: java.nio.BufferUnderflowException => corrupt("MinSeen", s, e) }
       case v => unknown("MinSeen", v)
     }
 
@@ -144,8 +159,10 @@ object StatefulOps {
 
     def decodeQuota(s: VersionedState): QuotaCount = s.version match {
       case 1 =>
-        val b = ByteBuffer.wrap(s.payload)
-        QuotaCount(b.getLong(), b.getLong())
+        try {
+          val b = ByteBuffer.wrap(s.payload)
+          QuotaCount(b.getLong(), b.getLong())
+        } catch { case e: java.nio.BufferUnderflowException => corrupt("QuotaCount", s, e) }
       case v => unknown("QuotaCount", v)
     }
 
@@ -160,9 +177,14 @@ object StatefulOps {
 
     def decodeFunnel(s: VersionedState): FunnelTimes = s.version match {
       case 1 =>
-        val b = ByteBuffer.wrap(s.payload)
-        val n = b.getInt()
-        FunnelTimes(List.fill(n)(b.getLong()), b.getLong())
+        try {
+          val b = ByteBuffer.wrap(s.payload)
+          val n = b.getInt()
+          // a corrupt count must not allocate: the remaining bytes bound it
+          if (n < 0 || s.payload.length != 4 + 8 * n + 8)
+            corrupt("FunnelTimes", s, null)
+          FunnelTimes(List.fill(n)(b.getLong()), b.getLong())
+        } catch { case e: java.nio.BufferUnderflowException => corrupt("FunnelTimes", s, e) }
       case v => unknown("FunnelTimes", v)
     }
   }

@@ -403,6 +403,22 @@ class StatefulOpsSpec extends SparkTestBase {
         val e = intercept[IllegalStateException](dec(future))
         assert(e.getMessage.contains("FRESH checkpoint"), e.getMessage)
       }
+
+    // a KNOWN version with corrupt bytes: still the runbook failure,
+    // never a raw BufferUnderflowException (or a huge-count allocation)
+    val truncated = VersionedState(1, Array[Byte](1, 2, 3))
+    val hugeCount = VersionedState(1, {
+      val b = java.nio.ByteBuffer.allocate(12)
+      b.putInt(Int.MaxValue).putLong(7L); b.array()
+    })
+    Seq[VersionedState => Any](
+      StateCodec.decodeMinSeen _, StateCodec.decodeQuota _, StateCodec.decodeFunnel _)
+      .foreach { dec =>
+        val e = intercept[IllegalStateException](dec(truncated))
+        assert(e.getMessage.contains("corrupt checkpoint state"), e.getMessage)
+      }
+    val e2 = intercept[IllegalStateException](StateCodec.decodeFunnel(hugeCount))
+    assert(e2.getMessage.contains("corrupt checkpoint state"), e2.getMessage)
   }
 
   test("capPerKeyStream: quota state survives a query restart (envelope checkpoint schema)") {
