@@ -104,6 +104,29 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(r.getLong(0) == 2500L && r.getLong(1) == 600L) // 1500/600 s = 2500 ms
   }
 
+  test("video_keyframe_ranges and image_resize_meta work from SQL") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    // MJPEG container: its sync-sample ranges and a decodable keyframe
+    Seq(Tuple1(graft.ext.Bmff.syntheticMjpeg(3L))).toDF("payload")
+      .createOrReplaceTempView("mj_t")
+    val kf = spark.sql(
+      "SELECT size(video_keyframe_ranges(payload)) n, " +
+        "video_keyframe_ranges(payload)[0].kf_bytes b FROM mj_t").collect().head
+    assert(kf.getInt(0) == 2 && kf.getLong(1) > 600L) // 4 frames, odd-k sync; real JPEG sizes
+    // PNG gradient through the SQL resize, pinned to the operator path
+    Seq(Tuple1(graft.ext.Png.syntheticGradient(5L))).toDF("payload")
+      .createOrReplaceTempView("rz_t")
+    val viaSql = spark.sql(
+      "SELECT image_resize_meta(payload, 8).rw, image_resize_meta(payload, 8).rh, " +
+        "image_resize_meta(payload, 8).mean_pixel_ppm FROM rz_t").collect().head
+    val viaOp = Seq(Tuple1(graft.ext.Png.syntheticGradient(5L))).toDF("payload")
+      .select(graft.ext.Multimodal.resizeMeta(org.apache.spark.sql.functions.col("payload"),
+        target = 8).as("m"))
+      .select("m.rw", "m.rh", "m.mean_pixel_ppm").collect().head
+    assert(viaSql == viaOp)
+  }
+
   test("SQL builders reject wrong arity by function name, never IndexOutOfBounds") {
     GraftFunctions.register(spark)
     val cases = Seq(
