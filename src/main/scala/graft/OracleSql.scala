@@ -1940,6 +1940,68 @@ object OracleSql {
         |SELECT days.day_sec, dau.dau, wau.wau
         |FROM days JOIN dau ON days.day_sec = dau.day_sec
         |  JOIN wau ON days.day_sec = wau.day_sec
-        |ORDER BY days.day_sec""".stripMargin
+        |ORDER BY days.day_sec""".stripMargin,
+
+    // BOTH retrieval legs recomputed from scratch (q131's BM25 chain +
+    // q37's cosine chain over qids 1-3), then integer RRF fusion:
+    // 10^6 // (60 + rank) per list, exact both engines
+    "q146_rrf_fusion" -> {
+      val k1 = 1.2; val b = 0.75
+      s"""WITH tk AS (SELECT doc_id AS id, string_split(text,' ') AS toks FROM documents),
+         | dls AS (SELECT id, len(toks) AS dl FROM tk),
+         | t AS (SELECT id, unnest(toks) AS token FROM tk),
+         | tf AS (SELECT id, token, count(*) AS tf FROM t GROUP BY 1, 2),
+         | df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+         | st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |   CAST(sum(dl) AS BIGINT) AS sum_dl FROM dls),
+         | sw AS (SELECT tf.id, tf.token,
+         |   round(
+         |     ln(1.0 + (CAST(st.n_docs AS DOUBLE) - df.df + 0.5) / (df.df + 0.5))
+         |     * (tf.tf * ${k1 + 1.0})
+         |     / (tf.tf + $k1 * (${1.0 - b} + $b * dls.dl
+         |        / (CAST(st.sum_dl AS DOUBLE) / st.n_docs))), 6) AS w
+         |   FROM tf JOIN df USING (token) JOIN dls ON tf.id = dls.id CROSS JOIN st),
+         | qq AS (SELECT * FROM (VALUES (1,'spark'),(1,'window'),(1,'batch'),
+         |   (2,'join'),(2,'filter'),
+         |   (3,'stream'),(3,'table'),(3,'merge')) AS v(qid, token)),
+         | ag AS (SELECT qid, id,
+         |   CAST(sum(CAST(round(w * 1000000) AS BIGINT)) AS BIGINT) AS score_micro
+         |   FROM sw JOIN qq USING (token) GROUP BY 1, 2),
+         | lex AS (SELECT qid, id,
+         |   row_number() OVER (PARTITION BY qid ORDER BY score_micro DESC, id) AS rnk
+         |   FROM ag QUALIFY rnk <= 10),
+         | ee AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         | cc AS (SELECT vec_id AS vid, v AS cv FROM ee),
+         | qv AS (SELECT vec_id AS qid, v AS qv FROM ee WHERE vec_id IN (1, 2, 3)),
+         | ss AS (SELECT qid, vid, $cosExpr AS cos FROM qv, cc WHERE qid <> vid),
+         | sem AS (SELECT qid, vid AS id,
+         |   row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rnk
+         |   FROM ss QUALIFY rnk <= 10),
+         | u AS (SELECT qid, id, rnk FROM lex
+         |   UNION ALL SELECT qid, id, rnk FROM sem),
+         | f AS (SELECT qid, id,
+         |   CAST(sum(1000000 // (60 + rnk)) AS BIGINT) AS rrf_micro,
+         |   CAST(count(*) AS BIGINT) AS n_lists FROM u GROUP BY 1, 2),
+         | rr AS (SELECT qid, id, rrf_micro, n_lists,
+         |   CAST(row_number() OVER (PARTITION BY qid ORDER BY rrf_micro DESC, id)
+         |     AS BIGINT) AS "rank" FROM f)
+         |SELECT CAST(qid AS BIGINT) AS qid, id AS doc_id, rrf_micro, n_lists, "rank"
+         |FROM rr WHERE "rank" <= 10 ORDER BY qid, "rank"""".stripMargin
+    },
+
+    // q133's priority formula ranked PER STRATUM (lang) instead of
+    // globally — 20 winners per language
+    "q147_stratum_sample" ->
+      s"""WITH q AS (SELECT doc_id, lang,
+         |    CAST($qualityPpmSql AS BIGINT) AS weight_ppm FROM documents),
+         | p AS (SELECT doc_id, lang, weight_ppm,
+         |   CAST((('0x'||substr(md5('3:'||doc_id),1,8))::BIGINT * 1000000)
+         |     // weight_ppm AS BIGINT) AS priority
+         |   FROM q WHERE weight_ppm IS NOT NULL AND weight_ppm > 0),
+         | r AS (SELECT *, row_number()
+         |     OVER (PARTITION BY lang ORDER BY priority, doc_id) AS rn
+         |   FROM p)
+         |SELECT doc_id, lang, weight_ppm, priority FROM r
+         |WHERE rn <= 20 ORDER BY doc_id""".stripMargin
   )
 }

@@ -908,6 +908,34 @@ object SparkEntry {
       .orderBy("qid", "rnk")
   }
 
+  /** Hybrid retrieval via reciprocal-rank fusion
+    * ([[SimSearch.rrfFuse]]): q131's lexical BM25 top-10 and q37-style
+    * embedding cosine top-10 fused with integer `10⁶ div (60 + rank)`
+    * contributions — the calibration-free way to combine rankers whose
+    * scores live on different scales. Both input rankings and the
+    * fusion are integer/rounded-deterministic, so the whole hybrid
+    * pipeline hash-gates; the oracle recomputes BOTH legs from scratch
+    * and fuses them in SQL.
+    */
+  private def q146(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val queries = Seq(
+      (1L, "spark"), (1L, "window"), (1L, "batch"),
+      (2L, "join"), (2L, "filter"),
+      (3L, "stream"), (3L, "table"), (3L, "merge")
+    ).toDF("qid", "term")
+    val lexical = TextOps.bm25TopK(Tables.documents(s, dir), queries, k = 10)
+      .select(col("qid"), col("id"), col("rnk"))
+    val emb = Tables.embeddings(s, dir)
+    val semantic = SimSearch.topKBruteForce(emb,
+        emb.filter(col("vec_id").isin(1L, 2L, 3L)), k = 10)
+      .select(col("qid"), col("vid").as("id"), col("rank").as("rnk"))
+    SimSearch.rrfFuse(Seq(lexical, semantic), topK = 10)
+      .select(col("qid"), col("id").as("doc_id"), col("rrf_micro"),
+        col("n_lists"), col("rank").cast("long").as("rank"))
+      .orderBy("qid", "rank")
+  }
+
   /** Exact phrase search ([[TextOps.phraseStats]]): docs containing the
     * adjacent-token phrase "batch batch", with overlapping-occurrence
     * counts and first position — the quoted-query leg of the retrieval
@@ -933,6 +961,24 @@ object SparkEntry {
       .select(col("doc_id"), col("lang"),
         TextOps.qualityScorePpm(col("text")).as("weight_ppm"))
     Sampling.weightedPrioritySample(scored, col("doc_id"), col("weight_ppm"), k = 100)
+      .select("doc_id", "lang", "weight_ppm", "priority")
+      .orderBy("doc_id")
+  }
+
+  /** Per-stratum weighted sample
+    * ([[Sampling.weightedPrioritySamplePerKey]]): q133's integer
+    * hash/weight priority draw applied independently per language — 20
+    * winners per lang, so the dominant stratum cannot crowd out the
+    * small ones. Plans as `WindowGroupLimit` (map-side top-k prune
+    * before the shuffle); the oracle replays the priority formula and
+    * the per-key rank in SQL.
+    */
+  private def q147(s: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        TextOps.qualityScorePpm(col("text")).as("weight_ppm"))
+    Sampling.weightedPrioritySamplePerKey(scored, col("lang"), col("doc_id"),
+        col("weight_ppm"), k = 20)
       .select("doc_id", "lang", "weight_ppm", "priority")
       .orderBy("doc_id")
   }
@@ -2217,7 +2263,9 @@ object SparkEntry {
     "q142_bpe_tokens" -> q142 _,
     "q143_png_resize" -> q143 _,
     "q144_scd2_apply" -> q144 _,
-    "q145_rolling_wau" -> q145 _
+    "q145_rolling_wau" -> q145 _,
+    "q146_rrf_fusion" -> q146 _,
+    "q147_stratum_sample" -> q147 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

@@ -224,6 +224,38 @@ object Sampling {
       .orderBy(col("priority"), idCol)
       .limit(k)
 
+  /** Per-stratum weighted sample without replacement:
+    * [[weightedPrioritySample]]'s integer hash/weight priority order
+    * applied independently inside every stratum — `k` winners per key,
+    * so one giant stratum can't crowd the small ones out of a balanced
+    * draw (the per-key twin, exactly as [[capPerKey]] is the per-key
+    * twin of [[hashSample]]).
+    *
+    * Scale: the per-key rank plans as `WindowGroupLimit`, so each task
+    * prunes to its local top-k per key BEFORE the shuffle — a hot
+    * stratum ships ~k·tasks rows, never its full population.
+    */
+  def weightedPrioritySamplePerKey(
+      df: DataFrame,
+      keyCol: Column,
+      idCol: Column,
+      weightPpmCol: Column,
+      k: Int,
+      seed: Int = 3
+  ): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy(col("priority"), idCol)
+    df.filter(weightPpmCol.isNotNull && weightPpmCol > 0)
+      .withColumn("__w", weightPpmCol.cast("long"))
+      .withColumn("__num",
+        Hashing.md5Hash32(lit(seed), idCol.cast("string")) * lit(1000000L))
+      .withColumn("priority", expr("CAST(__num DIV __w AS BIGINT)"))
+      .drop("__w", "__num")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .drop("rnk")
+  }
+
   /** Highest-value subset under a global token budget — the data-selection
     * step of a budgeted pretraining run: greedily take documents in
     * (score DESC, key-hash, id) order until `budget` tokens are spent; a

@@ -258,6 +258,34 @@ object SimSearch {
       .select(col("qid"), col("vid"), round(col("cos"), 6).as("cos"), col("rank"))
   }
 
+  /** Reciprocal-rank fusion (Cormack et al., SIGIR 2009) of multiple
+    * ranked retrieval lists — the standard way to combine a LEXICAL
+    * ranking (BM25) with a SEMANTIC one (embedding cosine) without
+    * score calibration: each list contributes `1/(rrfK + rank)` per
+    * item, computed here as integer `10⁶ div (rrfK + rank)` so the
+    * fused scores (and the hash gate, `q146`) are exact. Items missing
+    * from a list simply contribute nothing — no outer-join scaffolding.
+    *
+    * Input lists share the `(qid, id, rnk)` shape ([[topKBruteForce]] /
+    * `TextOps.bm25TopK` outputs rename into it). Scale: one union + one
+    * (qid, id) aggregate + a per-query top-k window over ≤ Σ list
+    * lengths rows — the fused table is bounded by `lists × k`, never by
+    * the corpus.
+    */
+  def rrfFuse(lists: Seq[DataFrame], topK: Int, rrfK: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    val unioned = lists.map(_.select(col("qid"), col("id"), col("rnk")))
+      .reduce(_ unionByName _)
+    val fused = unioned.groupBy("qid", "id")
+      .agg(sum(expr(s"1000000 DIV ($rrfK + rnk)")).as("rrf_micro"),
+        count(lit(1)).as("n_lists"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("rrf_micro").desc, col("id"))
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("qid"), col("id"), col("rrf_micro"), col("n_lists"), col("rank"))
+  }
+
   /** Fixed-point embedding: each float component → `floor(x · 10⁶)` as
     * BIGINT. The integer domain is what makes [[trainIvfCentroidsExact]]
     * deterministic: long sums are exact and order-independent, so the

@@ -78,6 +78,45 @@ class SamplingSpec extends SparkTestBase {
       "the limit must prune map-side BEFORE the key shuffle — that bound is the operator's skew story")
   }
 
+  test("weightedPrioritySamplePerKey: exact k per stratum, weight tilt inside each") {
+    // two strata; weights tilt 100:1 toward half the ids WITHIN each
+    // stratum (source = id mod 4, so id parity is constant per stratum —
+    // tilt on (id div 4) parity instead)
+    def heavy(id: Long) = (id / 4) % 2 == 0
+    val weighted = corpus.filter(col("source").isin("src0", "src1"))
+      .withColumn("weight_ppm",
+        when((col("doc_id") / 4).cast("long") % 2 === 0, 1000000L)
+          .otherwise(10000L))
+    val kept = Sampling.weightedPrioritySamplePerKey(weighted,
+      col("source"), col("doc_id"), col("weight_ppm"), k = 50)
+      .select("source", "doc_id").as[(String, Long)].collect()
+    val bySrc = kept.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    assert(bySrc.keySet == Set("src0", "src1"))
+    assert(bySrc.values.forall(_.length == 50), "exactly k per stratum")
+    // the 100x weight advantage must dominate each stratum's draw
+    bySrc.foreach { case (src, ids) =>
+      assert(ids.count(heavy) >= 40,
+        s"$src: heavy items should dominate, got ${ids.count(heavy)}/50")
+    }
+    // determinism
+    val again = Sampling.weightedPrioritySamplePerKey(weighted,
+      col("source"), col("doc_id"), col("weight_ppm"), k = 50)
+      .select("source", "doc_id").as[(String, Long)].collect()
+    assert(kept.sorted.toList == again.sorted.toList)
+  }
+
+  test("weightedPrioritySamplePerKey plans as a partial WindowGroupLimit") {
+    val weighted = corpus.withColumn("weight_ppm", lit(500000L))
+    val sampled = Sampling.weightedPrioritySamplePerKey(weighted,
+      col("source"), col("doc_id"), col("weight_ppm"), k = 5)
+    sampled.collect()
+    val p = sampled.queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"),
+      s"rank<=k must trigger InferWindowGroupLimit:\n${p.take(800)}")
+    assert(p.contains("Partial"),
+      "the limit must prune map-side BEFORE the key shuffle")
+  }
+
   test("mixtureSample copies are indexed 1..n for downstream spreading") {
     val copies = Sampling.mixtureSample(corpus.filter(col("source") === "src0"),
       col("doc_id"), col("source"), Map("src0" -> 3000))

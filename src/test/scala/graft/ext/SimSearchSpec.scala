@@ -117,6 +117,21 @@ class SimSearchSpec extends SparkTestBase {
     assert(cents.forall(_._2.length == 4))
   }
 
+  test("rrfFuse: integer RRF scores, cross-list agreement wins, single-list items survive") {
+    val lex = Seq((1L, 10L, 1), (1L, 20L, 2), (1L, 30L, 3)).toDF("qid", "id", "rnk")
+    val sem = Seq((1L, 20L, 1), (1L, 40L, 2)).toDF("qid", "id", "rnk")
+    val out = SimSearch.rrfFuse(Seq(lex, sem), topK = 10)
+      .orderBy("rank")
+      .select("id", "rrf_micro", "n_lists").as[(Long, Long, Long)].collect().toList
+    // closed-form: 1e6 div (60 + rnk)
+    def c(r: Int) = 1000000L / (60 + r)
+    assert(out == List(
+      (20L, c(2) + c(1), 2L), // both lists -> top
+      (10L, c(1), 1L),
+      (40L, c(2), 1L),
+      (30L, c(3), 1L)))
+  }
+
   test("hardNegatives excludes same-label and null-label candidates") {
     val labeled = Seq(
       (0L, Array(1f, 0f, 0f, 0f), Integer.valueOf(1)),
