@@ -2002,6 +2002,34 @@ object OracleSql {
          |     OVER (PARTITION BY lang ORDER BY priority, doc_id) AS rn
          |   FROM p)
          |SELECT doc_id, lang, weight_ppm, priority FROM r
-         |WHERE rn <= 20 ORDER BY doc_id""".stripMargin
+         |WHERE rn <= 20 ORDER BY doc_id""".stripMargin,
+
+    // q124's synthetic link graph canonicalized to undirected distinct
+    // edges, degree-(then id)-ordered orientation, wedge join closed by
+    // the oriented tip edge — each triangle exactly once, then exploded
+    // to its three corners
+    "q148_triangles" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+        | e0 AS (SELECT doc_id AS src, (doc_id*7+1) % nn.n AS dst FROM documents, nn
+        |   UNION ALL SELECT doc_id, (doc_id*13+5) % nn.n FROM documents, nn
+        |   UNION ALL SELECT doc_id, (doc_id*31+11) % nn.n FROM documents, nn),
+        | und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        |   FROM e0 WHERE src <> dst),
+        | nodes AS (SELECT u AS m FROM und UNION ALL SELECT v FROM und),
+        | deg AS (SELECT m, count(*) AS d FROM nodes GROUP BY 1),
+        | wk AS (SELECT und.u, und.v,
+        |    du.d * 2147483648 + und.u AS ku, dv.d * 2147483648 + und.v AS kv
+        |   FROM und JOIN deg du ON du.m = und.u JOIN deg dv ON dv.m = und.v),
+        | o AS (SELECT CASE WHEN ku < kv THEN u ELSE v END AS x,
+        |    CASE WHEN ku < kv THEN v ELSE u END AS y,
+        |    CASE WHEN ku < kv THEN kv ELSE ku END AS ky FROM wk),
+        | w AS (SELECT e1.x, e1.y AS p, e2.y AS q
+        |   FROM o e1 JOIN o e2 ON e1.x = e2.x AND e1.ky < e2.ky),
+        | tri AS (SELECT w.x, w.p, w.q FROM w
+        |   JOIN o ON o.x = w.p AND o.y = w.q),
+        | corners AS (SELECT x AS node FROM tri
+        |   UNION ALL SELECT p FROM tri UNION ALL SELECT q FROM tri)
+        |SELECT node AS doc_id, CAST(count(*) AS BIGINT) AS n_triangles
+        |FROM corners GROUP BY 1 ORDER BY doc_id""".stripMargin
   )
 }

@@ -799,6 +799,27 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Per-node triangle counts ([[Graph.triangleCounts]]) over q124's
+    * synthetic link graph: degree-ordered orientation → wedge join →
+    * closing-edge join, each triangle counted once — the clustering-
+    * coefficient primitive, all integer arithmetic. The oracle replays
+    * the same canonicalization/orientation/joins in SQL; any
+    * double-count (wedge dedup, orientation ties) breaks the exact
+    * per-node counts.
+    */
+  private def q148(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id")
+    val n = docs.count()
+    val e = docs.select(col("doc_id").as("src"),
+      explode(array(
+        (col("doc_id") * 7 + 1) % n,
+        (col("doc_id") * 13 + 5) % n,
+        (col("doc_id") * 31 + 11) % n)).as("dst"))
+    Graph.triangleCounts(e, col("src"), col("dst"))
+      .select(col("node").as("doc_id"), col("n_triangles"))
+      .orderBy("doc_id")
+  }
+
   /** Hard-negative mining ([[SimSearch.hardNegatives]]): top-10
     * most-similar DIFFERENT-label candidates per query vector — the
     * contrastive-training companion of q37, sharing its broadcast-scan
@@ -2265,7 +2286,8 @@ object SparkEntry {
     "q144_scd2_apply" -> q144 _,
     "q145_rolling_wau" -> q145 _,
     "q146_rrf_fusion" -> q146 _,
-    "q147_stratum_sample" -> q147 _
+    "q147_stratum_sample" -> q147 _,
+    "q148_triangles" -> q148 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

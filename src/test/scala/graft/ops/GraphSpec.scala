@@ -44,4 +44,26 @@ class GraphSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
     assert(m == Map(0L -> (2L, 0L), 1L -> (1L, 1L), 2L -> (0L, 2L)))
   }
+
+  test("triangleCounts: K4 = 3 per node; direction/dup/self-loop noise ignored; paths 0") {
+    // K4 on 0-3 with adversarial encoding: some edges doubled, some
+    // reversed, a self-loop — canonicalization must erase all of it
+    val k4 = for {
+      a <- 0L to 3L; b <- 0L to 3L if a < b
+    } yield (a, b)
+    val noisy = (k4 ++ k4.take(3).map(_.swap) ++ Seq((2L, 2L))) ++
+      Seq((10L, 11L), (11L, 12L)) // a path: no triangles
+    val m = Graph.triangleCounts(noisy.toDF("src", "dst"), col("src"), col("dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // K4 has C(4,3)=4 triangles; each node sits in exactly 3
+    assert(m == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L), s"got $m")
+  }
+
+  test("triangleCounts: a hub apex contributes wedges only via its two low-degree tips") {
+    // star 0-{1..6} plus one rim edge (1,2): exactly ONE triangle
+    val e = ((1L to 6L).map(i => (0L, i)) :+ (1L, 2L)).toDF("src", "dst")
+    val m = Graph.triangleCounts(e, col("src"), col("dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m == Map(0L -> 1L, 1L -> 1L, 2L -> 1L), s"got $m")
+  }
 }
