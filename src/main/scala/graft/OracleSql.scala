@@ -2030,6 +2030,29 @@ object OracleSql {
         | corners AS (SELECT x AS node FROM tri
         |   UNION ALL SELECT p FROM tri UNION ALL SELECT q FROM tri)
         |SELECT node AS doc_id, CAST(count(*) AS BIGINT) AS n_triangles
-        |FROM corners GROUP BY 1 ORDER BY doc_id""".stripMargin
+        |FROM corners GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // the dimension rebuilt with q121's collapse chain, then each fact
+    // resolved by an explicit INTERVAL RANGE JOIN (vs the operator's
+    // as-of-on-valid_from) — different algorithms, same rows; empty
+    // equal-timestamp intervals can match nothing by construction
+    "q149_dim_enrich" ->
+      """WITH ch AS (SELECT user_id, ts,
+        |    ((CAST(floor(value) AS BIGINT) % 5) + 5) % 5 AS tier, event_id
+        |   FROM events WHERE event_id % 10 = 0),
+        | o AS (SELECT user_id, ts, tier, event_id,
+        |   lag(tier) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+        |   row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM ch),
+        | c AS (SELECT user_id, ts, tier, event_id FROM o
+        |   WHERE rn = 1 OR tier IS DISTINCT FROM prev),
+        | v AS (SELECT user_id, tier, ts AS valid_from,
+        |   lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+        |  FROM c),
+        | f AS (SELECT event_id, user_id, ts FROM events WHERE event_id % 10 <> 0)
+        |SELECT f.event_id, f.user_id, v.tier
+        |FROM f LEFT JOIN v ON v.user_id = f.user_id
+        |  AND v.valid_from <= f.ts AND (v.valid_to IS NULL OR f.ts < v.valid_to)
+        |ORDER BY f.event_id""".stripMargin
   )
 }

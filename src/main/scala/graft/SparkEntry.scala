@@ -799,6 +799,30 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Fact-to-SCD2 temporal enrichment ([[Behavior.enrichAsOf]]): a
+    * per-user "tier" dimension is built from every 10th event's value,
+    * and every OTHER event looks up the tier valid at its own
+    * timestamp — the canonical warehouse fact-to-dimension join,
+    * implemented as one as-of join on `valid_from` (contiguous
+    * intervals make the latest-start interval the covering one; empty
+    * equal-timestamp intervals dropped). The oracle recomputes the
+    * dimension AND resolves each fact with an explicit interval range
+    * join — two different join algorithms, one hash.
+    */
+  private def q149(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val dimChanges = ev.filter(col("event_id") % 10 === 0)
+      .select(col("user_id"), col("ts"),
+        pmod(floor(col("value")).cast("long"), lit(5L)).as("tier"), col("event_id"))
+    val dim = Behavior.scdType2(dimChanges,
+      col("user_id"), col("ts"), col("tier"), col("event_id"))
+    val facts = ev.filter(col("event_id") % 10 =!= 0)
+      .select("event_id", "user_id", "ts")
+    Behavior.enrichAsOf(facts, dim, "user_id", "ts", attrName = "tier")
+      .select(col("event_id"), col("user_id"), col("tier"))
+      .orderBy("event_id")
+  }
+
   /** Per-node triangle counts ([[Graph.triangleCounts]]) over q124's
     * synthetic link graph: degree-ordered orientation → wedge join →
     * closing-edge join, each triangle counted once — the clustering-
@@ -2287,7 +2311,8 @@ object SparkEntry {
     "q145_rolling_wau" -> q145 _,
     "q146_rrf_fusion" -> q146 _,
     "q147_stratum_sample" -> q147 _,
-    "q148_triangles" -> q148 _
+    "q148_triangles" -> q148 _,
+    "q149_dim_enrich" -> q149 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

@@ -111,6 +111,35 @@ object Behavior {
       .unionByName(scdType2(checked, col("key"), col("ts"), col("attr"), col("seq")))
   }
 
+  /** Fact-to-dimension temporal enrichment — the classic warehouse
+    * lookup: attach to each fact row the SCD2 attribute whose validity
+    * interval covers the fact's timestamp (`valid_from <= ts <
+    * valid_to`, open intervals included; facts before the key's first
+    * interval get NULL). `dim` is a [[scdType2]]/[[scd2Apply]] output.
+    *
+    * Implemented as [[AsOfJoin.backward]] on `valid_from` — legal
+    * because SCD2 intervals are CONTIGUOUS per key, so the latest
+    * interval starting at or before `ts` is exactly the covering one;
+    * no range join, one shuffle on the key. EMPTY intervals
+    * (`valid_to == valid_from`, produced by equal-timestamp change
+    * pairs) are dropped first: they cover no instant, and keeping them
+    * would put two dimension rows at one (key, valid_from) — an
+    * as-of tie the join contract forbids.
+    */
+  def enrichAsOf(
+      facts: DataFrame,
+      dim: DataFrame,
+      factKeyCol: String,
+      factTsCol: String,
+      attrName: String = "attr"
+  ): DataFrame = {
+    val iv = dim
+      .filter(col("valid_to").isNull || col("valid_to") > col("valid_from"))
+      .select(col("key"), col("attr"), col("valid_from"))
+    AsOfJoin.backward(facts, iv, factKeyCol, "key", factTsCol, "valid_from")
+      .select(facts.columns.map(col).toSeq :+ col("asof.attr").as(attrName): _*)
+  }
+
   /** Point-in-time reconstruction ("state as of T") from the change
     * log — the time-travel read over [[scdType2]]'s intervals: the one
     * interval per key covering `asOf` (`valid_from <= T < valid_to`,

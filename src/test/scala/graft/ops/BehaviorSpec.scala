@@ -88,6 +88,31 @@ class BehaviorSpec extends SparkTestBase {
     assert(e.getMessage.contains("not beyond the open row"), e.getMessage)
   }
 
+  test("enrichAsOf: covering interval per fact, boundary inclusive, pre-dim NULL, empty intervals skipped") {
+    // dim changes for user 1: a@01-02, then two changes at the SAME
+    // instant 01-05 (b then c by seq) — b's interval is empty [t,t)
+    val chg = Seq(
+      (1L, ts("2026-01-02 00:00:00"), "a", 1L),
+      (1L, ts("2026-01-05 00:00:00"), "b", 2L),
+      (1L, ts("2026-01-05 00:00:00"), "c", 3L)
+    ).toDF("user_id", "ts", "tier", "event_id")
+    val dim = Behavior.scdType2(chg,
+      col("user_id"), col("ts"), col("tier"), col("event_id"))
+    val facts = Seq(
+      (10L, 1L, ts("2026-01-01 00:00:00")), // before first interval -> NULL
+      (11L, 1L, ts("2026-01-02 00:00:00")), // boundary inclusive -> a
+      (12L, 1L, ts("2026-01-04 00:00:00")), // inside [a, ...) -> a
+      (13L, 1L, ts("2026-01-05 00:00:00")), // equal-instant pair: c holds, b's empty interval never matches
+      (14L, 2L, ts("2026-01-04 00:00:00"))  // unknown key -> NULL
+    ).toDF("event_id", "user_id", "ts")
+    val got = Behavior.enrichAsOf(facts, dim, "user_id", "ts", attrName = "tier")
+      .orderBy("event_id")
+      .select("event_id", "tier").as[(Long, Option[String])].collect().toList
+    assert(got == List(
+      (10L, None), (11L, Some("a")), (12L, Some("a")),
+      (13L, Some("c")), (14L, None)))
+  }
+
   test("snapshotAt returns the run-start interval covering T; unborn keys absent") {
     val log = Seq(
       (1L, ts("2026-01-01 00:00:00"), "a", 1L),
