@@ -52,6 +52,32 @@ object OracleSql {
     }.mkString(" ") + " ELSE 999999 END"
   }
 
+  /** q131/q146's shared BM25 machinery — corpus stats, the per-(doc,
+    * token) rounded weight CTE `bw`, and the fixed query-term table
+    * `qq` — ONE definition so the fusion's lexical leg can never drift
+    * from the ranked-retrieval oracle (the `qualityPpmSql` rule).
+    */
+  private lazy val bm25Ctes: String = {
+    val k1 = 1.2; val b = 0.75
+    s"""tk AS (SELECT doc_id AS id, string_split(text,' ') AS toks FROM documents),
+       | dls AS (SELECT id, len(toks) AS dl FROM tk),
+       | t AS (SELECT id, unnest(toks) AS token FROM tk),
+       | tf AS (SELECT id, token, count(*) AS tf FROM t GROUP BY 1, 2),
+       | df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+       | st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |   CAST(sum(dl) AS BIGINT) AS sum_dl FROM dls),
+       | bw AS (SELECT tf.id, tf.token,
+       |   round(
+       |     ln(1.0 + (CAST(st.n_docs AS DOUBLE) - df.df + 0.5) / (df.df + 0.5))
+       |     * (tf.tf * ${k1 + 1.0})
+       |     / (tf.tf + $k1 * (${1.0 - b} + $b * dls.dl
+       |        / (CAST(st.sum_dl AS DOUBLE) / st.n_docs))), 6) AS w
+       |   FROM tf JOIN df USING (token) JOIN dls ON tf.id = dls.id CROSS JOIN st),
+       | qq AS (SELECT * FROM (VALUES (1,'spark'),(1,'window'),(1,'batch'),
+       |   (2,'join'),(2,'filter'),
+       |   (3,'stream'),(3,'table'),(3,'merge')) AS v(qid, token))""".stripMargin
+  }
+
   private val cosExpr =
     "list_sum(list_transform(list_zip(qv, cv), x -> x[1]*x[2])) / " +
       "(sqrt(list_sum(list_transform(qv, x -> x*x))) * sqrt(list_sum(list_transform(cv, x -> x*x))))"
@@ -1655,36 +1681,18 @@ object OracleSql {
 
     // q71's per-term weights rounded to 6, scaled to integer micros,
     // BIGINT-summed (exact, order-independent) over the query-term join
-    "q131_bm25_topk" -> {
-      val k1 = 1.2; val b = 0.75
-      s"""WITH tk AS (SELECT doc_id AS id, string_split(text,' ') AS toks FROM documents),
-         | dls AS (SELECT id, len(toks) AS dl FROM tk),
-         | t AS (SELECT id, unnest(toks) AS token FROM tk),
-         | tf AS (SELECT id, token, count(*) AS tf FROM t GROUP BY 1, 2),
-         | df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
-         | st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-         |   CAST(sum(dl) AS BIGINT) AS sum_dl FROM dls),
-         | s AS (SELECT tf.id, tf.token,
-         |   round(
-         |     ln(1.0 + (CAST(st.n_docs AS DOUBLE) - df.df + 0.5) / (df.df + 0.5))
-         |     * (tf.tf * ${k1 + 1.0})
-         |     / (tf.tf + $k1 * (${1.0 - b} + $b * dls.dl
-         |        / (CAST(st.sum_dl AS DOUBLE) / st.n_docs))), 6) AS w
-         |   FROM tf JOIN df USING (token) JOIN dls ON tf.id = dls.id CROSS JOIN st),
-         | qq AS (SELECT * FROM (VALUES (1,'spark'),(1,'window'),(1,'batch'),
-         |   (2,'join'),(2,'filter'),
-         |   (3,'stream'),(3,'table'),(3,'merge')) AS v(qid, token)),
+    "q131_bm25_topk" ->
+      s"""WITH $bm25Ctes,
          | ag AS (SELECT qid, id,
          |   CAST(sum(CAST(round(w * 1000000) AS BIGINT)) AS BIGINT) AS score_micro,
          |   CAST(count(*) AS BIGINT) AS n_matched
-         |   FROM s JOIN qq USING (token) GROUP BY 1, 2),
+         |   FROM bw JOIN qq USING (token) GROUP BY 1, 2),
          | r AS (SELECT qid, id, score_micro, n_matched,
          |   CAST(row_number() OVER (PARTITION BY qid ORDER BY score_micro DESC, id)
          |     AS BIGINT) AS rnk FROM ag)
          |SELECT CAST(qid AS BIGINT) AS qid, id AS doc_id, score_micro,
          |  n_matched, rnk
-         |FROM r WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
-    },
+         |FROM r WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin,
 
     // adjacent-token phrase scan via list positions; overlapping
     // occurrences count (('b b b') has 'b b' at 2 starts)
@@ -1946,27 +1954,10 @@ object OracleSql {
     // q37's cosine chain over qids 1-3), then integer RRF fusion:
     // 10^6 // (60 + rank) per list, exact both engines
     "q146_rrf_fusion" -> {
-      val k1 = 1.2; val b = 0.75
-      s"""WITH tk AS (SELECT doc_id AS id, string_split(text,' ') AS toks FROM documents),
-         | dls AS (SELECT id, len(toks) AS dl FROM tk),
-         | t AS (SELECT id, unnest(toks) AS token FROM tk),
-         | tf AS (SELECT id, token, count(*) AS tf FROM t GROUP BY 1, 2),
-         | df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
-         | st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-         |   CAST(sum(dl) AS BIGINT) AS sum_dl FROM dls),
-         | sw AS (SELECT tf.id, tf.token,
-         |   round(
-         |     ln(1.0 + (CAST(st.n_docs AS DOUBLE) - df.df + 0.5) / (df.df + 0.5))
-         |     * (tf.tf * ${k1 + 1.0})
-         |     / (tf.tf + $k1 * (${1.0 - b} + $b * dls.dl
-         |        / (CAST(st.sum_dl AS DOUBLE) / st.n_docs))), 6) AS w
-         |   FROM tf JOIN df USING (token) JOIN dls ON tf.id = dls.id CROSS JOIN st),
-         | qq AS (SELECT * FROM (VALUES (1,'spark'),(1,'window'),(1,'batch'),
-         |   (2,'join'),(2,'filter'),
-         |   (3,'stream'),(3,'table'),(3,'merge')) AS v(qid, token)),
+      s"""WITH $bm25Ctes,
          | ag AS (SELECT qid, id,
          |   CAST(sum(CAST(round(w * 1000000) AS BIGINT)) AS BIGINT) AS score_micro
-         |   FROM sw JOIN qq USING (token) GROUP BY 1, 2),
+         |   FROM bw JOIN qq USING (token) GROUP BY 1, 2),
          | lex AS (SELECT qid, id,
          |   row_number() OVER (PARTITION BY qid ORDER BY score_micro DESC, id) AS rnk
          |   FROM ag QUALIFY rnk <= 10),
@@ -2004,15 +1995,16 @@ object OracleSql {
          |SELECT doc_id, lang, weight_ppm, priority FROM r
          |WHERE rn <= 20 ORDER BY doc_id""".stripMargin,
 
-    // q124's synthetic link graph canonicalized to undirected distinct
-    // edges, degree-(then id)-ordered orientation, wedge join closed by
-    // the oriented tip edge — each triangle exactly once, then exploded
-    // to its three corners
+    // ring-plus-random synthetic graph (i→i+1, i→i+2 guarantee a
+    // triangle per node; i→7i+1 adds irregular structure) canonicalized
+    // to undirected distinct edges, degree-(then id)-ordered
+    // orientation, wedge join closed by the oriented tip edge — each
+    // triangle exactly once, then exploded to its three corners
     "q148_triangles" ->
       """WITH nn AS (SELECT count(*) AS n FROM documents),
-        | e0 AS (SELECT doc_id AS src, (doc_id*7+1) % nn.n AS dst FROM documents, nn
-        |   UNION ALL SELECT doc_id, (doc_id*13+5) % nn.n FROM documents, nn
-        |   UNION ALL SELECT doc_id, (doc_id*31+11) % nn.n FROM documents, nn),
+        | e0 AS (SELECT doc_id AS src, (doc_id+1) % nn.n AS dst FROM documents, nn
+        |   UNION ALL SELECT doc_id, (doc_id+2) % nn.n FROM documents, nn
+        |   UNION ALL SELECT doc_id, (doc_id*7+1) % nn.n FROM documents, nn),
         | und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
         |   FROM e0 WHERE src <> dst),
         | nodes AS (SELECT u AS m FROM und UNION ALL SELECT v FROM und),

@@ -834,11 +834,15 @@ object SparkEntry {
   private def q148(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select("doc_id")
     val n = docs.count()
+    // ring edges i→i+1 and i→i+2 guarantee a triangle at every node
+    // (q124's multiplicative-only edges produce a triangle-FREE graph at
+    // the fixture sizes — a vacuous 0-row gate); the multiplicative
+    // third edge keeps irregular structure on top
     val e = docs.select(col("doc_id").as("src"),
       explode(array(
-        (col("doc_id") * 7 + 1) % n,
-        (col("doc_id") * 13 + 5) % n,
-        (col("doc_id") * 31 + 11) % n)).as("dst"))
+        (col("doc_id") + 1) % n,
+        (col("doc_id") + 2) % n,
+        (col("doc_id") * 7 + 1) % n)).as("dst"))
     Graph.triangleCounts(e, col("src"), col("dst"))
       .select(col("node").as("doc_id"), col("n_triangles"))
       .orderBy("doc_id")

@@ -208,6 +208,20 @@ object Sampling {
     * top-k, then a k·partitions merge on the driver) — no global sort,
     * no shuffle of the corpus.
     */
+  /** The ONE definition of the integer priority (`hash·10⁶ div weight`),
+    * shared by the global and per-stratum draws so their q133/q147
+    * oracles can never drift apart (the `qualityPpmSql` rule applied to
+    * Scala).
+    */
+  private def withPriority(df: DataFrame, idCol: Column,
+                           weightPpmCol: Column, seed: Int): DataFrame =
+    df.filter(weightPpmCol.isNotNull && weightPpmCol > 0)
+      .withColumn("__w", weightPpmCol.cast("long"))
+      .withColumn("__num",
+        Hashing.md5Hash32(lit(seed), idCol.cast("string")) * lit(1000000L))
+      .withColumn("priority", expr("CAST(__num DIV __w AS BIGINT)"))
+      .drop("__w", "__num")
+
   def weightedPrioritySample(
       df: DataFrame,
       idCol: Column,
@@ -215,12 +229,7 @@ object Sampling {
       k: Int,
       seed: Int = 3
   ): DataFrame =
-    df.filter(weightPpmCol.isNotNull && weightPpmCol > 0)
-      .withColumn("__w", weightPpmCol.cast("long"))
-      .withColumn("__num",
-        Hashing.md5Hash32(lit(seed), idCol.cast("string")) * lit(1000000L))
-      .withColumn("priority", expr("CAST(__num DIV __w AS BIGINT)"))
-      .drop("__w", "__num")
+    withPriority(df, idCol, weightPpmCol, seed)
       .orderBy(col("priority"), idCol)
       .limit(k)
 
@@ -245,12 +254,7 @@ object Sampling {
   ): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCol).orderBy(col("priority"), idCol)
-    df.filter(weightPpmCol.isNotNull && weightPpmCol > 0)
-      .withColumn("__w", weightPpmCol.cast("long"))
-      .withColumn("__num",
-        Hashing.md5Hash32(lit(seed), idCol.cast("string")) * lit(1000000L))
-      .withColumn("priority", expr("CAST(__num DIV __w AS BIGINT)"))
-      .drop("__w", "__num")
+    withPriority(df, idCol, weightPpmCol, seed)
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .drop("rnk")

@@ -14,39 +14,53 @@ import graft.ops.Behavior
   * and the checkpoint commit, the SAME batch id replays. Replaying a
   * merge is NOT harmless here (a re-applied change event sits at its
   * key's high-water mark and `scd2Apply` correctly RAISES), so the sink
-  * follows the standard idempotent-foreachBatch protocol, a
-  * mini two-file manifest:
+  * follows the standard idempotent-foreachBatch protocol, a mini
+  * append-only manifest:
   *
   *  - each applied batch writes a fresh VERSION directory `v<batchId>`
   *    (never mutates the live one);
-  *  - a `_current` marker file naming the live version is then swapped
-  *    via rename — the atomic commit point (same FS contract as
-  *    `IncrementalDedup.compactIndex`: atomic on HDFS/local/ABFS, NOT
-  *    on S3A);
-  *  - a batch id ≤ the marker's is a replay and is skipped wholesale;
-  *  - versions older than the previous one are garbage-collected after
-  *    the swap; a crash between data write and marker swap leaves the
-  *    old version live and the orphan `v<batchId>` is simply
-  *    overwritten when the batch replays.
+  *  - the commit point is the atomic CREATE of an empty
+  *    `_commit_<batchId>` marker — never a delete-then-rename, whose
+  *    crash window would leave NO marker and send the replay down the
+  *    bootstrap (`scdType2`-from-delta) arm, silently dropping history.
+  *    The live version is the MAX committed id, so extra markers from
+  *    interrupted GC are harmless;
+  *  - a batch id ≤ the max committed id is a replay and is skipped
+  *    wholesale; a crash between data write and marker create leaves
+  *    the old version live, and the orphan `v<batchId>` is overwritten
+  *    when the batch replays;
+  *  - GC after each commit removes versions AND markers with
+  *    `id ≤ committed − 2`: the immediately superseded version survives
+  *    one extra batch as a GRACE WINDOW for concurrent readers that
+  *    resolved the previous marker ([[currentDim]] is lazy — the scan
+  *    may run after the next commit), and versions orphaned by a crash
+  *    between commit and GC are collected by the NEXT commit's sweep.
   */
 object DimensionSync {
 
-  /** Read the live dimension (None before the first committed batch). */
+  /** Read the live dimension (None before the first committed batch).
+    * Lazy like any DataFrame: execute it within one downstream batch —
+    * the superseded version survives exactly one commit (grace window)
+    * before GC collects it.
+    */
   def currentDim(spark: SparkSession, dimDir: String): Option[DataFrame] =
     currentBatchId(spark, dimDir).map(id =>
       spark.read.parquet(s"$dimDir/v$id"))
 
-  /** The last committed batch id (None before the first commit). */
+  /** The last committed batch id = max `_commit_<id>` marker (None
+    * before the first commit).
+    */
   def currentBatchId(spark: SparkSession, dimDir: String): Option[Long] = {
-    val (fs, marker) = fsAndMarker(spark, dimDir)
-    if (!fs.exists(marker)) None
+    val (fs, dir) = fsAndDir(spark, dimDir)
+    if (!fs.exists(dir)) None
     else {
-      val in = fs.open(marker)
-      try Some(new String(org.apache.commons.io.IOUtils.toByteArray(in),
-        "UTF-8").trim.toLong)
-      finally in.close()
+      val ids = fs.listStatus(dir).map(_.getPath.getName)
+        .collect { case CommitName(id) => id.toLong }
+      if (ids.isEmpty) None else Some(ids.max)
     }
   }
+
+  private val CommitName = "_commit_(\\d+)".r
 
   /** Apply ONE micro-batch idempotently (the `foreachBatch` body,
     * public so tests and backfills can drive it directly). Returns true
@@ -71,7 +85,7 @@ object DimensionSync {
     }
     // fresh version dir (Overwrite heals an orphan from a crashed try)
     updated.write.mode(SaveMode.Overwrite).parquet(s"$dimDir/v$batchId")
-    commitMarker(spark, dimDir, batchId, previous = last)
+    commit(spark, dimDir, batchId)
     true
   }
 
@@ -93,29 +107,27 @@ object DimensionSync {
       }
       .start()
 
-  /** Swap the `_current` marker to `batchId` via write-temp + rename
-    * (the atomic commit), then GC the superseded version directory.
+  /** Atomic commit (empty-file create) + grace-window GC. A crash at
+    * any point here is safe: before the create, the old version stays
+    * live and the batch replays; after it, the replay is skipped and
+    * any un-swept garbage is collected by the NEXT commit.
     */
-  private def commitMarker(spark: SparkSession, dimDir: String,
-                           batchId: Long, previous: Option[Long]): Unit = {
-    val (fs, marker) = fsAndMarker(spark, dimDir)
-    val tmp = new org.apache.hadoop.fs.Path(marker.getParent,
-      marker.getName + ".tmp")
-    val out = fs.create(tmp, true)
-    try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
-    // rename-over requires the target absent on some FSs: drop then move;
-    // a crash between the two replays this batch (data dir is intact and
-    // Overwrite-healable, marker lands on the retry)
-    if (fs.exists(marker)) fs.delete(marker, false)
-    if (!fs.rename(tmp, marker)) throw new java.io.IOException(
-      s"DimensionSync: rename $tmp -> $marker returned false; " +
-        s"dimension data v$batchId intact, marker not committed")
-    previous.foreach(old =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$dimDir/v$old"), true))
+  private def commit(spark: SparkSession, dimDir: String, batchId: Long): Unit = {
+    val (fs, dir) = fsAndDir(spark, dimDir)
+    fs.create(new org.apache.hadoop.fs.Path(dir, s"_commit_$batchId"), true).close()
+    val VersionName = "v(\\d+)".r
+    fs.listStatus(dir).map(_.getPath).foreach { p =>
+      val staleId = p.getName match {
+        case CommitName(id)  => Some(id.toLong)
+        case VersionName(id) => Some(id.toLong)
+        case _               => None
+      }
+      if (staleId.exists(_ <= batchId - 2)) fs.delete(p, true)
+    }
   }
 
-  private def fsAndMarker(spark: SparkSession, dimDir: String) = {
-    val marker = new org.apache.hadoop.fs.Path(dimDir, "_current")
-    (marker.getFileSystem(spark.sparkContext.hadoopConfiguration), marker)
+  private def fsAndDir(spark: SparkSession, dimDir: String) = {
+    val dir = new org.apache.hadoop.fs.Path(dimDir)
+    (dir.getFileSystem(spark.sparkContext.hadoopConfiguration), dir)
   }
 }

