@@ -2045,6 +2045,60 @@ object OracleSql {
         |SELECT f.event_id, f.user_id, v.tier
         |FROM f LEFT JOIN v ON v.user_id = f.user_id
         |  AND v.valid_from <= f.ts AND (v.valid_to IS NULL OR f.ts < v.valid_to)
-        |ORDER BY f.event_id""".stripMargin
+        |ORDER BY f.event_id""".stripMargin,
+
+    // one UNION-ALL arm per profiled column, each over the same canonical
+    // representation the Spark side profiles (doubles as exact micros,
+    // timestamps as epoch seconds — BIGINT/STRING forms both engines
+    // render identically); DuckDB's integer sum() is HUGEINT, so every
+    // aggregate is pinned back to BIGINT
+    "q150_profile" ->
+      """WITH c AS (SELECT event_id, user_id, event_type,
+        |   CAST(floor(value * 1000000) AS BIGINT) AS value_micros,
+        |   CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec FROM events)
+        |SELECT * FROM (
+        | SELECT 'event_id' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        |  CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+        |  CAST(min(event_id) AS VARCHAR) AS min_repr,
+        |  CAST(max(event_id) AS VARCHAR) AS max_repr FROM c
+        | UNION ALL SELECT 'user_id', CAST(count(*) AS BIGINT),
+        |  CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(count(DISTINCT user_id) AS BIGINT),
+        |  CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR) FROM c
+        | UNION ALL SELECT 'event_type', CAST(count(*) AS BIGINT),
+        |  CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(count(DISTINCT event_type) AS BIGINT),
+        |  CAST(min(event_type) AS VARCHAR), CAST(max(event_type) AS VARCHAR) FROM c
+        | UNION ALL SELECT 'value_micros', CAST(count(*) AS BIGINT),
+        |  CAST(sum(CASE WHEN value_micros IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(count(DISTINCT value_micros) AS BIGINT),
+        |  CAST(min(value_micros) AS VARCHAR), CAST(max(value_micros) AS VARCHAR) FROM c
+        | UNION ALL SELECT 'ts_sec', CAST(count(*) AS BIGINT),
+        |  CAST(sum(CASE WHEN ts_sec IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(count(DISTINCT ts_sec) AS BIGINT),
+        |  CAST(min(ts_sec) AS VARCHAR), CAST(max(ts_sec) AS VARCHAR) FROM c)
+        |ORDER BY col_name""".stripMargin,
+
+    // the three BFS rounds unrolled as CUMULATIVE reachability sets; each
+    // node's distance is the first round that contains it — set
+    // membership vs the engine's frontier anti-join, same distances
+    "q151_bfs_levels" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+        | e AS (SELECT DISTINCT src, dst FROM (
+        |    SELECT doc_id AS src, (doc_id*7+1) % nn.n AS dst FROM documents, nn
+        |    UNION ALL SELECT doc_id, (doc_id*13+5) % nn.n FROM documents, nn
+        |    UNION ALL SELECT doc_id, (doc_id*31+11) % nn.n FROM documents, nn)
+        |   WHERE src <> dst),
+        | r0 AS (SELECT doc_id AS node FROM documents WHERE doc_id < 3),
+        | r1 AS (SELECT node FROM r0 UNION SELECT e.dst FROM r0 JOIN e ON e.src = r0.node),
+        | r2 AS (SELECT node FROM r1 UNION SELECT e.dst FROM r1 JOIN e ON e.src = r1.node),
+        | r3 AS (SELECT node FROM r2 UNION SELECT e.dst FROM r2 JOIN e ON e.src = r2.node)
+        |SELECT node AS doc_id, CAST(CASE
+        |  WHEN node IN (SELECT node FROM r0) THEN 0
+        |  WHEN node IN (SELECT node FROM r1) THEN 1
+        |  WHEN node IN (SELECT node FROM r2) THEN 2
+        |  ELSE 3 END AS BIGINT) AS dist
+        |FROM r3 ORDER BY doc_id""".stripMargin
   )
 }

@@ -8,7 +8,7 @@ import org.apache.spark.sql.types.DecimalType
 import graft.core.Tables
 import graft.ext.{Bmff, Bpe, Dedup, Multimodal, Png, Quantize, Sampling, SimSearch, TextOps}
 import graft.functions.{Hashing, VectorOps}
-import graft.ops.{AsOfJoin, Behavior, Graph, SensorOps, Snapshot, TimeSeries, Windows}
+import graft.ops.{AsOfJoin, Behavior, Graph, Profile, SensorOps, Snapshot, TimeSeries, Windows}
 
 /** Driver contract (SURVEY.md §5, §7): one query per implemented operator,
   * each with an ANSI-SQL DuckDB oracle over the same parquet tables.
@@ -2167,6 +2167,44 @@ object SparkEntry {
           lit(0L), (acc, x) => acc + x).as("dot_rev"))
       .orderBy("l_orderkey", "l_linenumber")
 
+  /** One-pass data-quality profile ([[Profile.profile]]) of the events
+    * table: per-column null count, exact distinct cardinality and value
+    * range, one aggregate job (the multi-distinct plans as a single
+    * Expand). Doubles are profiled as exact micros and timestamps as
+    * epoch seconds — BIGINT/STRING canonical forms both engines render
+    * identically; a raw DOUBLE's string rendering would not be portable.
+    */
+  private def q150(s: SparkSession, dir: String): DataFrame =
+    Profile.profile(Tables.events(s, dir), Seq(
+      "event_id" -> col("event_id"),
+      "user_id" -> col("user_id"),
+      "event_type" -> col("event_type"),
+      "value_micros" -> floor(col("value") * 1000000d).cast("long"),
+      "ts_sec" -> unix_timestamp(col("ts"))))
+      .orderBy("col_name")
+
+  /** Level-synchronous frontier BFS ([[Graph.bfsLevels]]) over q124's
+    * synthetic link graph: exact hop distance from the seed set
+    * {doc_id < 3} within 3 directed hops. The oracle unrolls the three
+    * rounds as cumulative reachability sets and assigns each node the
+    * first round that contains it — a different formulation (set
+    * membership vs frontier anti-join) that must produce identical
+    * distances.
+    */
+  private def q151(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id")
+    val n = docs.count()
+    val e = docs.select(col("doc_id").as("src"),
+      explode(array(
+        (col("doc_id") * 7 + 1) % n,
+        (col("doc_id") * 13 + 5) % n,
+        (col("doc_id") * 31 + 11) % n)).as("dst"))
+    Graph.bfsLevels(e, docs.filter(col("doc_id") < 3),
+        col("src"), col("dst"), col("doc_id"), maxHops = 3)
+      .select(col("node").as("doc_id"), col("dist"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_tumble_alerts" -> q01 _,
     "q02_tumble_avg_parts" -> q02 _,
@@ -2316,7 +2354,9 @@ object SparkEntry {
     "q146_rrf_fusion" -> q146 _,
     "q147_stratum_sample" -> q147 _,
     "q148_triangles" -> q148 _,
-    "q149_dim_enrich" -> q149 _
+    "q149_dim_enrich" -> q149 _,
+    "q150_profile" -> q150 _,
+    "q151_bfs_levels" -> q151 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

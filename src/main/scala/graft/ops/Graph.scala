@@ -127,6 +127,55 @@ object Graph {
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Exact hop distance from a seed set, level-synchronous frontier BFS —
+    * the link-graph reachability primitive (crawl-depth gating, seed-set
+    * expansion for curation, influence radius). Returns `(node, dist)`
+    * for every node within `maxHops` directed hops of a seed; a seed's
+    * own distance is 0. Distances are exact by induction: round `i`
+    * expands only the FRONTIER (nodes first discovered at distance
+    * `i−1`), and a node joins the distance table the first round that
+    * reaches it.
+    *
+    * Scale shape: the frontier join is the whole story — round `i` joins
+    * |frontier_i| rows against the edge list (edges bucketed by src
+    * co-locate it), NOT the full distance table, so total work is
+    * O(Σ frontier out-edges) = O(m) over the whole run — the
+    * textbook level-synchronous BFS dataflow (Pregel's per-superstep
+    * message set). The anti-join that dedups rediscovered nodes keys on
+    * the candidate set (≤ |frontier| × avg outdeg), and both the
+    * distance table and frontier are eagerly `localCheckpoint`ed per
+    * round so the plan stays O(1) deep regardless of `maxHops` (the
+    * [[pageRankPpm]] lineage contract).
+    */
+  def bfsLevels(
+      edges: DataFrame,
+      seeds: DataFrame,
+      srcCol: Column,
+      dstCol: Column,
+      seedCol: Column,
+      maxHops: Int
+  ): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0: $maxHops")
+    val e = edges.select(srcCol.as("src"), dstCol.as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint(true)
+    var dist = seeds.select(seedCol.as("node")).distinct()
+      .select(col("node"), lit(0L).as("dist"))
+      .localCheckpoint(true)
+    var frontier = dist.select("node")
+    for (i <- 1 to maxHops) {
+      val candidates = frontier
+        .join(e, frontier("node") === e("src"))
+        .select(col("dst").as("node")).distinct()
+      val discovered = candidates.join(dist, Seq("node"), "left_anti")
+        .select(col("node"), lit(i.toLong).as("dist"))
+        .localCheckpoint(true)
+      dist = dist.union(discovered).localCheckpoint(true)
+      frontier = discovered.select("node")
+    }
+    dist
+  }
+
   /** In/out degree per node (nodes with zero of either still appear). */
   def degrees(edges: DataFrame, srcCol: Column, dstCol: Column): DataFrame = {
     val e = edges.select(srcCol.as("src"), dstCol.as("dst"))

@@ -66,4 +66,31 @@ class GraphSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(m == Map(0L -> 1L, 1L -> 1L, 2L -> 1L), s"got $m")
   }
+
+  test("bfsLevels: exact hop distances on a chain with a shortcut") {
+    // 0→1→2→3→4 plus shortcut 0→3: dist(3) must be 1 (shortcut wins),
+    // dist(4)=2 through it; 5 is unreachable and must be absent
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (0L, 3L), (5L, 0L))
+      .toDF("src", "dst")
+    val seeds = Seq(0L).toDF("node")
+    val m = Graph.bfsLevels(e, seeds, col("src"), col("dst"), col("node"), maxHops = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(m == Map(0L -> 0L, 1L -> 1L, 3L -> 1L, 2L -> 2L, 4L -> 2L), s"got $m")
+  }
+
+  test("bfsLevels: maxHops truncates; a node first reached later is absent") {
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val seeds = Seq(0L).toDF("node")
+    val m = Graph.bfsLevels(e, seeds, col("src"), col("dst"), col("node"), maxHops = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(m == Map(0L -> 0L, 1L -> 1L, 2L -> 2L), s"got $m")
+  }
+
+  test("bfsLevels: multi-seed takes the minimum over seeds; self-loops ignored") {
+    val e = Seq((0L, 1L), (1L, 2L), (9L, 2L), (2L, 2L)).toDF("src", "dst")
+    val seeds = Seq(0L, 9L, 9L).toDF("node") // duplicate seed collapses
+    val m = Graph.bfsLevels(e, seeds, col("src"), col("dst"), col("node"), maxHops = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(m == Map(0L -> 0L, 9L -> 0L, 1L -> 1L, 2L -> 1L), s"got $m")
+  }
 }
