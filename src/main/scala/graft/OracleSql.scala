@@ -2099,6 +2099,26 @@ object OracleSql {
         |  WHEN node IN (SELECT node FROM r1) THEN 1
         |  WHEN node IN (SELECT node FROM r2) THEN 2
         |  ELSE 3 END AS BIGINT) AS dist
-        |FROM r3 ORDER BY doc_id""".stripMargin
+        |FROM r3 ORDER BY doc_id""".stripMargin,
+
+    // q89's list-ops tokenization feeding Dice + both conditionals in
+    // integer ppm; // is DuckDB floor division ≡ Spark DIV on positive
+    // counts; the ORDER BY total order (dice, n, w1, w2) makes the
+    // LIMIT cut deterministic on both engines
+    "q152_collocations" ->
+      """WITH d AS (SELECT string_split(text,' ') AS l FROM documents),
+        | bi AS (SELECT unnest(list_transform(generate_series(1, len(l)-1),
+        |    i -> l[i] || ' ' || l[i+1])) AS b FROM d),
+        | c AS (SELECT split_part(b, ' ', 1) AS w1, split_part(b, ' ', 2) AS w2,
+        |    count(*) AS n FROM bi GROUP BY 1, 2),
+        | lm AS (SELECT w1, sum(n) AS nl FROM c GROUP BY 1),
+        | rm AS (SELECT w2, sum(n) AS nr FROM c GROUP BY 1)
+        |SELECT c.w1, c.w2, CAST(c.n AS BIGINT) AS n,
+        | CAST((c.n * 2000000) // (lm.nl + rm.nr) AS BIGINT) AS dice_ppm,
+        | CAST((c.n * 1000000) // lm.nl AS BIGINT) AS cond_ppm,
+        | CAST((c.n * 1000000) // rm.nr AS BIGINT) AS rcond_ppm
+        |FROM c JOIN lm USING (w1) JOIN rm USING (w2)
+        |WHERE c.n >= 5
+        |ORDER BY dice_ppm DESC, n DESC, w1, w2 LIMIT 100""".stripMargin
   )
 }

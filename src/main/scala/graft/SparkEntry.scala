@@ -2205,6 +2205,16 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Dice-coefficient collocations ([[TextOps.collocations]]): the
+    * corpus's top-100 two-word associations with both conditional
+    * directions, all integer ppm — the phrase-discovery table a
+    * tokenizer-vocab or boilerplate-phrase pass consumes. The oracle
+    * rebuilds bigram counts and marginals with q89's list-ops
+    * tokenization and must land on the identical ranked cut.
+    */
+  private def q152(s: SparkSession, dir: String): DataFrame =
+    TextOps.collocations(Tables.documents(s, dir), minCount = 5L, topN = 100)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_tumble_alerts" -> q01 _,
     "q02_tumble_avg_parts" -> q02 _,
@@ -2356,7 +2366,8 @@ object SparkEntry {
     "q148_triangles" -> q148 _,
     "q149_dim_enrich" -> q149 _,
     "q150_profile" -> q150 _,
-    "q151_bfs_levels" -> q151 _
+    "q151_bfs_levels" -> q151 _,
+    "q152_collocations" -> q152 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

@@ -505,6 +505,56 @@ object TextOps {
         floor(sum(col("unats")) / count(lit(1))).cast("long").as("lm_score_unats"))
   }
 
+  /** Collocation mining: the corpus's strongest two-word associations by
+    * Dice coefficient — the phrase-discovery primitive (tokenizer vocab
+    * candidates, multi-word-expression lists, boilerplate phrase
+    * detection). All integer ppm arithmetic: with `n_xy` the bigram
+    * count, `n_x•` the left marginal (bigrams starting with x) and
+    * `n_•y` the right marginal,
+    * `dice_ppm = (2·n_xy·10⁶) div (n_x• + n_•y)` plus both conditional
+    * directions (`cond_ppm = P(y|x)`, `rcond_ppm = P(x|y)` in ppm) —
+    * deliberately NO log-PMI: transcendental scores round differently
+    * across engines at floor boundaries ([[bigramLmScore]]'s documented
+    * trade), while Dice ranks the same collocations and is exact. All
+    * divisions are integral `DIV` on positive counts, identical to
+    * floor division in any engine; products stay within BIGINT until
+    * corpora reach ~10¹² occurrences of one bigram.
+    *
+    * Scale shape: one 2-shingle projection + explode (no per-doc
+    * window), ONE (w1,w2) aggregate that collapses the token stream to
+    * the bigram vocabulary map-side, marginals re-aggregated FROM the
+    * counts table (never a second corpus pass — the table is
+    * lazy-checkpointed for its three consumers), two vocab-sized joins
+    * (AQE broadcasts the marginals when they fit), and a top-N
+    * TakeOrderedAndProject, never a global sort. Ties rank on the
+    * total order (dice, n, w1, w2), so the cut is deterministic.
+    */
+  def collocations(
+      docs: DataFrame,
+      textCol: String = "text",
+      minCount: Long = 5L,
+      topN: Int = 100
+  ): DataFrame = {
+    val counts = docs
+      .select(tokens(col(textCol)).as("__toks"))
+      .select(explode(shinglesFromTokens(col("__toks"), 2)).as("bg"))
+      .select(substring_index(col("bg"), " ", 1).as("w1"),
+        substring_index(col("bg"), " ", -1).as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+      .localCheckpoint(false)
+    val left = counts.groupBy("w1").agg(sum(col("n")).as("__nl"))
+    val right = counts.groupBy("w2").agg(sum(col("n")).as("__nr"))
+    counts.filter(col("n") >= minCount)
+      .join(left, Seq("w1"))
+      .join(right, Seq("w2"))
+      .withColumn("dice_ppm", expr("(n * 2000000) DIV (__nl + __nr)"))
+      .withColumn("cond_ppm", expr("(n * 1000000) DIV __nl"))
+      .withColumn("rcond_ppm", expr("(n * 1000000) DIV __nr"))
+      .orderBy(col("dice_ppm").desc, col("n").desc, col("w1"), col("w2"))
+      .limit(topN)
+      .select("w1", "w2", "n", "dice_ppm", "cond_ppm", "rcond_ppm")
+  }
+
   /** DSIR-style importance weights (Xie et al., 2023, "Data Selection
     * for Language Models via Importance Resampling" — hashed-ngram
     * likelihood ratios, re-expressed with integer-exact statistics): how

@@ -419,4 +419,34 @@ class TextOpsSpec extends SparkTestBase {
       .agg(min("pct_ppm"), max("pct_ppm")).as[(Long, Long)].collect().head
     assert(got == (0L, 1000000L))
   }
+
+  test("collocations: Dice and conditional ppm exact; minCount filters; ranked cut") {
+    // "new york" appears 3x; "new" also starts "new day" once (left
+    // marginal 4); "york" only ever follows "new" (right marginal 3).
+    // "a b" appears 2x with both marginals 2 — perfect association.
+    val docs = Seq(
+      "new york new york a b",
+      "new york new day a b"
+    ).toDF("text")
+    val rows = TextOps.collocations(docs, minCount = 2L, topN = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // bigrams per doc are positional: doc1 has [new york, york new,
+    // new york, york a, a b]; doc2 [new york, york new, new day, day a, a b]
+    val (n, dice, c, rc) = rows(("new", "york"))
+    assert(n == 3L)
+    // left marginal new• = 4 (3x "new york" + "new day"); right •york = 3
+    assert(dice == 3L * 2000000L / 7L)
+    assert(c == 3L * 1000000L / 4L && rc == 1000000L)
+    val (n2, dice2, c2, rc2) = rows(("a", "b"))
+    assert(n2 == 2L && dice2 == 1000000L && c2 == 1000000L && rc2 == 1000000L)
+    // "york new" (n=2): left york• = 3 ("york new" x2 + "york a"), right •new = 2
+    assert(rows(("york", "new"))._1 == 2L)
+    // below minCount: "new day", "york a", "day a" (n=1) are absent
+    assert(!rows.contains(("new", "day")) && !rows.contains(("york", "a")))
+    // perfect association ranks first
+    val first = TextOps.collocations(docs, minCount = 2L, topN = 1)
+      .select("w1", "w2").as[(String, String)].collect().head
+    assert(first == ("a", "b"))
+  }
 }
