@@ -2119,6 +2119,22 @@ object OracleSql {
         | CAST((c.n * 1000000) // rm.nr AS BIGINT) AS rcond_ppm
         |FROM c JOIN lm USING (w1) JOIN rm USING (w2)
         |WHERE c.n >= 5
-        |ORDER BY dice_ppm DESC, n DESC, w1, w2 LIMIT 100""".stripMargin
+        |ORDER BY dice_ppm DESC, n DESC, w1, w2 LIMIT 100""".stripMargin,
+
+    // the Wav.synthetic closed forms recomputed without touching bytes:
+    // n = 64 + id%33 samples, sample(i) = (id*31 + i*7919) % 65536 - 32768
+    // — the Spark side must parse the real RIFF container and scan its
+    // PCM frames to land on the same integers
+    "q153_audio_pcm" ->
+      """WITH ids AS (SELECT doc_id, 64 + doc_id % 33 AS n
+        |   FROM documents WHERE doc_id % 4 = 0),
+        | samp AS (SELECT doc_id, n,
+        |    unnest(generate_series(0, n - 1)) AS i FROM ids),
+        | v AS (SELECT doc_id,
+        |    (doc_id*31 + i*7919) % 65536 - 32768 AS s FROM samp)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples,
+        | CAST(sum(s * s) AS BIGINT) AS sum_sq,
+        | CAST(max(abs(s)) AS BIGINT) AS peak_abs
+        |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

@@ -2215,6 +2215,31 @@ object SparkEntry {
   private def q152(s: SparkSession, dir: String): DataFrame =
     TextOps.collocations(Tables.documents(s, dir), minCount = 5L, topN = 100)
 
+  /** REAL PCM sample statistics over synthetic WAV payloads
+    * ([[graft.ext.Wav.synthetic]]): every 4th document gets a
+    * deterministic 16-bit mono RIFF/WAVE file whose samples follow a
+    * closed form of the doc id; the Spark side must parse the actual
+    * container and scan the frames ([[Multimodal.audioPcmStats]]) while
+    * the oracle recomputes n/sum-of-squares/peak from the generator
+    * formulas without touching bytes — the q107/q140/q143 closed-form
+    * fixture pattern applied to audio. The 7919 stride sweeps the full
+    * signed range including −32768, so sign-extension and abs edge
+    * cases are value-gated. Every 4th doc: each row pays a full
+    * container build + frame scan, and 1/4 of the corpus already
+    * exercises every (n, phase) residue class.
+    */
+  private def q153(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val payloads = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .filter(_ % 4 == 0)
+      .map(id => (id, ext.Wav.synthetic(id))).toDF("doc_id", "payload")
+    payloads
+      .withColumn("st", Multimodal.audioPcmStats(col("payload")))
+      .select(col("doc_id"), col("st.n_samples").as("n_samples"),
+        col("st.sum_sq").as("sum_sq"), col("st.peak_abs").as("peak_abs"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_tumble_alerts" -> q01 _,
     "q02_tumble_avg_parts" -> q02 _,
@@ -2367,7 +2392,8 @@ object SparkEntry {
     "q149_dim_enrich" -> q149 _,
     "q150_profile" -> q150 _,
     "q151_bfs_levels" -> q151 _,
-    "q152_collocations" -> q152 _
+    "q152_collocations" -> q152 _,
+    "q153_audio_pcm" -> q153 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

@@ -197,6 +197,18 @@ object Multimodal {
   def decodeAudioMeta(payload: Column): Column =
     ColumnBridge.column(AudioMetaExpr(ColumnBridge.expression(payload)))
 
+  /** REAL audio SAMPLE decode, expression path: binary column →
+    * `struct<n_samples, sum_sq, peak_abs>` over the payload's actual PCM
+    * frames — the loudness/clipping/silence gates of an audio curation
+    * pass, as exact BIGINTs (oracle-gated by `q153` over closed-form
+    * [[Wav]] fixtures). NULL for undecodable or unsupported-encoding
+    * bytes. Unlike [[decodeAudioMeta]] this scans the whole payload —
+    * O(bytes) per row by necessity.
+    */
+  def audioPcmStats(payload: Column): Column =
+    ColumnBridge.column(graft.functions.AudioPcmStatsExpr(
+      ColumnBridge.expression(payload)))
+
   /** REAL audio decode, batched `mapPartitions` path — same init-once
     * partition seam as [[decodeImageBatched]] (a compressed-codec plug-in
     * would load its native library exactly once per partition here).

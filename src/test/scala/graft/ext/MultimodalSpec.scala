@@ -202,6 +202,67 @@ class MultimodalSpec extends SparkTestBase {
     assert(out(1) == DecodedAudio(2L, 0L, None, None, None))
   }
 
+  test("audioPcmStats: exact n/sum-of-squares/peak on hand-built PCM payloads") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // 16-bit LE mono with known samples, via the JDK's own WAV writer
+    def wav16(samples: Seq[Int]): Array[Byte] = {
+      val fmt = new AudioFormat(8000f, 16, 1, true, false)
+      val pcm = new Array[Byte](samples.length * 2)
+      samples.zipWithIndex.foreach { case (s, i) =>
+        pcm(2 * i) = (s & 0xff).toByte; pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val in = new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+      val out = new ByteArrayOutputStream()
+      AudioSystem.write(in, AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    // 16-bit BIG-endian stereo AIFF — exercises endianness + channels
+    def aiff16(samples: Seq[Int]): Array[Byte] = {
+      val fmt = new AudioFormat(8000f, 16, 2, true, true)
+      val pcm = new Array[Byte](samples.length * 2)
+      samples.zipWithIndex.foreach { case (s, i) =>
+        pcm(2 * i) = ((s >> 8) & 0xff).toByte; pcm(2 * i + 1) = (s & 0xff).toByte
+      }
+      val in = new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, samples.length / 2L)
+      val out = new ByteArrayOutputStream()
+      AudioSystem.write(in, AudioFileFormat.Type.AIFF, out)
+      out.toByteArray
+    }
+    val s1 = Seq(100, -200, 32767, -32768, 0)
+    val s2 = Seq(1000, -1000, 500, -500) // 2 stereo frames
+    val out = Seq(
+      (1L, wav16(s1)),
+      (2L, aiff16(s2)),
+      (3L, "not audio".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+      .select(col("doc_id"), Multimodal.audioPcmStats(col("payload")).as("st"))
+      .select(col("doc_id"), col("st.n_samples"), col("st.sum_sq"), col("st.peak_abs"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def sq(xs: Seq[Int]) = xs.map(v => v.toLong * v).sum
+    assert(out(1L).getLong(1) == 5L && out(1L).getLong(2) == sq(s1)
+      && out(1L).getLong(3) == 32768L)
+    assert(out(2L).getLong(1) == 4L && out(2L).getLong(2) == sq(s2)
+      && out(2L).getLong(3) == 1000L)
+    assert(out(3L).isNullAt(1), "non-audio bytes → NULL stats")
+  }
+
+  test("audioPcmStats matches Wav.synthetic's closed forms") {
+    val ids = Seq(0L, 1L, 7L, 32L, 33L, 100L)
+    val got = ids.map(id => (id, Wav.synthetic(id))).toDF("doc_id", "payload")
+      .select(col("doc_id"), Multimodal.audioPcmStats(col("payload")).as("st"))
+      .select(col("doc_id"), col("st.n_samples"), col("st.sum_sq"), col("st.peak_abs"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    ids.foreach { id =>
+      val n = 64 + id % 33
+      val vals = (0L until n).map(i => Wav.sampleValue(id, i).toLong)
+      val want = (n, vals.map(v => v * v).sum, vals.map(math.abs).max)
+      assert(got(id) == want, s"id=$id: got ${got(id)}, want $want")
+    }
+  }
+
   /** One ISO-BMFF box: 32-bit big-endian size + fourcc + payload. */
   private def box(tpe: String, payload: Array[Byte]): Array[Byte] = {
     val b = java.nio.ByteBuffer.allocate(payload.length + 8)
