@@ -2135,6 +2135,24 @@ object OracleSql {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples,
         | CAST(sum(s * s) AS BIGINT) AS sum_sq,
         | CAST(max(abs(s)) AS BIGINT) AS peak_abs
-        |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // every CMS counter cell rebuilt as a bucket sum under the shared
+    // md5-32 hash family, then the same min over the 4 depth rows — the
+    // sketch is value-gated bit-for-bit, not just property-checked
+    "q154_cms_counts" ->
+      """WITH k AS (SELECT CAST(user_id AS VARCHAR) AS user_key, count(*) AS n
+        |   FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        | rws AS (SELECT unnest(generate_series(0, 3)) AS r),
+        | hb AS (SELECT k.user_key, k.n, rws.r,
+        |    ('0x'||substr(md5(CAST(rws.r AS VARCHAR)||':'||k.user_key),1,8))::BIGINT % 64 AS b
+        |   FROM k, rws),
+        | cell AS (SELECT r, b, sum(n) AS c FROM hb GROUP BY 1, 2),
+        | est AS (SELECT hb.user_key, min(cell.c) AS est
+        |   FROM hb JOIN cell USING (r, b) GROUP BY 1)
+        |SELECT k.user_key, CAST(k.n AS BIGINT) AS exact_n,
+        | CAST(est.est AS BIGINT) AS cms_n
+        |FROM k JOIN est USING (user_key)
+        |ORDER BY user_key""".stripMargin
   )
 }

@@ -8,7 +8,7 @@ import org.apache.spark.sql.types.DecimalType
 import graft.core.Tables
 import graft.ext.{Bmff, Bpe, Dedup, Multimodal, Png, Quantize, Sampling, SimSearch, TextOps}
 import graft.functions.{Hashing, VectorOps}
-import graft.ops.{AsOfJoin, Behavior, Graph, Profile, SensorOps, Snapshot, TimeSeries, Windows}
+import graft.ops.{AsOfJoin, Behavior, Graph, Profile, SensorOps, Sketches, Snapshot, TimeSeries, Windows}
 
 /** Driver contract (SURVEY.md §5, §7): one query per implemented operator,
   * each with an ANSI-SQL DuckDB oracle over the same parquet tables.
@@ -2240,6 +2240,26 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Count–min sketch frequency estimates ([[Sketches.cmsEstimates]]):
+    * a 4×64 sketch over event user ids, probed for every distinct user —
+    * `cms_n` must never undercount `exact_n`, and at width 64 over ~1500
+    * users the collisions are real, so the gate pins the exact
+    * overestimates, not a vacuous equality. The oracle rebuilds every
+    * counter cell (bucket sums under the shared md5-32 hash family) and
+    * takes the same min over depth rows — the whole sketch is
+    * value-gated bit-for-bit, which is exactly why the hash family is
+    * md5 and the merge is integer addition.
+    */
+  private def q154(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).filter(col("user_id").isNotNull)
+    val exact = ev.groupBy(col("user_id").cast("string").as("user_key"))
+      .agg(count(lit(1)).as("exact_n"))
+    Sketches.cmsEstimates(ev, col("user_id"), exact, "user_key",
+        depth = 4, width = 64)
+      .select(col("user_key"), col("exact_n"), col("cms_n"))
+      .orderBy("user_key")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_tumble_alerts" -> q01 _,
     "q02_tumble_avg_parts" -> q02 _,
@@ -2393,7 +2413,8 @@ object SparkEntry {
     "q150_profile" -> q150 _,
     "q151_bfs_levels" -> q151 _,
     "q152_collocations" -> q152 _,
-    "q153_audio_pcm" -> q153 _
+    "q153_audio_pcm" -> q153 _,
+    "q154_cms_counts" -> q154 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

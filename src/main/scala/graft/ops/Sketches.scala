@@ -57,4 +57,44 @@ object Sketches {
 
   /** Estimated distinct count of a sketch column. */
   def estimate(sketch: Column): Column = hll_sketch_estimate(sketch)
+
+  /** Count–min frequency estimates ([[graft.functions.CountMinSketch]]):
+    * build ONE `depth × width` sketch over `rows` and attach `cms_n` —
+    * the sketch's never-underestimating count — to every probe row.
+    * NULL keys are excluded from the sketch (a NULL has no frequency
+    * identity; callers decide their null policy upstream).
+    *
+    * Scale shape: the build is one aggregate pass whose partials merge
+    * by counter addition (depth·width longs per task, independent of
+    * row count); the probe side broadcasts the ONE-row sketch onto the
+    * probe keys — a 1-row nested-loop by design, the cheapest possible
+    * join — and evaluates `min_r counter[r][h_r(key)]` with codegen'd
+    * `element_at`/`least` over the array column. At 100 TB the sketch
+    * build reads every row once and ships kilobytes; the probe never
+    * touches the raw rows again.
+    */
+  def cmsEstimates(
+      rows: DataFrame,
+      keyCol: Column,
+      probes: DataFrame,
+      probeKeyCol: String,
+      depth: Int,
+      width: Int
+  ): DataFrame = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val keyed = rows.select(keyCol.cast("string").as("k"))
+      .filter(col("k").isNotNull).as[String]
+    val cms = graft.functions.CountMinSketch(depth, width)
+    val sketchDf = keyed.select(cms.toColumn.name("sketch")).toDF("sketch")
+    val est = (0 until depth).map { r =>
+      element_at(col("sketch"),
+        (lit(r * width) +
+          pmod(graft.functions.Hashing.md5Hash32(r, col(probeKeyCol).cast("string")),
+            lit(width)) + 1).cast("int"))
+    }.reduce(least(_, _))
+    probes.crossJoin(broadcast(sketchDf))
+      .withColumn("cms_n", est)
+      .drop("sketch")
+  }
 }

@@ -28,7 +28,8 @@ object PlanAudit {
     "q88_zipf_coverage", // 1-row grand-total broadcast onto the top-100 slice
     "q112_semantic_pairs", // corpus × broadcast pivot centroids, q41's shape
     "q125_hard_negatives", // broadcast queries × corpus scan, q37's shape
-    "q146_rrf_fusion") // semantic leg IS q37's broadcast scan, by composition
+    "q146_rrf_fusion", // semantic leg IS q37's broadcast scan, by composition
+    "q154_cms_counts") // ONE-row sketch broadcast onto probe keys
 
   /** Queries whose DESIGN composes several complete pipelines, so their
     * exchange count legitimately exceeds the single-pipeline budget —

@@ -57,4 +57,36 @@ class SketchesSpec extends SparkTestBase {
     val trueRate = 1.0 - trueDistinct.toDouble / withDups.count()
     assert(math.abs(dupRate - trueRate) < 0.05, s"dup rate $dupRate vs $trueRate")
   }
+
+  test("cmsEstimates: never undercounts; exact when wide; partition-invariant") {
+    import spark.implicits._
+    val rows = (0L until 300L).map(i => i % 7).toDF("k") // key j appears ~43x
+    val exact = rows.groupBy(col("k").cast("string").as("key"))
+      .agg(count(lit(1)).as("exact_n"))
+    // wide sketch: 7 keys into 512 buckets x 4 rows — collisions
+    // vanishingly unlikely, estimates must be EXACT
+    val wide = Sketches.cmsEstimates(rows, col("k"), exact, "key", 4, 512)
+      .select("key", "exact_n", "cms_n").collect()
+    wide.foreach(r => assert(r.getLong(2) == r.getLong(1), s"wide: $r"))
+    // width 1: every key collides with everything — estimate = total n
+    val collapsed = Sketches.cmsEstimates(rows, col("k"), exact, "key", 2, 1)
+      .select("cms_n").as[Long].collect()
+    assert(collapsed.forall(_ == 300L))
+    // narrow: overestimates allowed, undercounts never; and the sketch
+    // is bit-identical under a different partitioning (integer merges)
+    val narrow = Sketches.cmsEstimates(rows, col("k"), exact, "key", 4, 4)
+      .select("key", "exact_n", "cms_n").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    narrow.foreach { case (k, ex, est) => assert(est >= ex, s"undercount at $k") }
+    val narrow2 = Sketches.cmsEstimates(rows.repartition(13), col("k"), exact, "key", 4, 4)
+      .select("key", "exact_n", "cms_n").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(narrow.sortBy(_._1).toSeq == narrow2.sortBy(_._1).toSeq)
+    // NULL keys are excluded from the sketch, not NPEs
+    val withNull = Seq(Some(1L), None, Some(1L)).toDF("k")
+    val est1 = Sketches.cmsEstimates(withNull, col("k"),
+        Seq("1").toDF("key"), "key", 2, 8)
+      .select("cms_n").as[Long].head()
+    assert(est1 == 2L)
+  }
 }
