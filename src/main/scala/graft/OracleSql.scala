@@ -2153,6 +2153,31 @@ object OracleSql {
         |SELECT k.user_key, CAST(k.n AS BIGINT) AS exact_n,
         | CAST(est.est AS BIGINT) AS cms_n
         |FROM k JOIN est USING (user_key)
-        |ORDER BY user_key""".stripMargin
+        |ORDER BY user_key""".stripMargin,
+
+    // the same running-max-end sweep in SQL: an interval starts a new
+    // island iff its start exceeds the max end of every earlier
+    // interval of the key (half-open, so touching intervals merge);
+    // ((x % 240) + 240) % 240 is Spark's pmod spelled out
+    "q155_interval_union" ->
+      """WITH iv AS (SELECT user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS s,
+        |    CAST(floor(epoch(ts)) AS BIGINT) + 60 +
+        |      ((CAST(floor(value) AS BIGINT) % 240) + 240) % 240 AS e
+        |   FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        | o AS (SELECT user_id, s, e,
+        |    max(e) OVER (PARTITION BY user_id ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+        |   FROM iv),
+        | f AS (SELECT user_id, s, e,
+        |    CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END AS ni FROM o),
+        | g AS (SELECT user_id, s, e,
+        |    sum(ni) OVER (PARTITION BY user_id ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid FROM f),
+        | isl AS (SELECT user_id, gid, min(s) AS ss, max(e) AS ee
+        |   FROM g GROUP BY 1, 2)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+        | CAST(sum(ee - ss) AS BIGINT) AS covered_sec
+        |FROM isl GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }

@@ -2260,6 +2260,23 @@ object SparkEntry {
       .orderBy("user_key")
   }
 
+  /** Interval-union coverage ([[TimeSeries.intervalUnion]]): each event
+    * opens a half-open interval of 60 + (⌊value⌋ mod 240) seconds; per
+    * user, overlaps merge and the covered seconds are counted exactly —
+    * the utilization primitive a plain duration sum double-counts. The
+    * oracle replays the same sweep (running-max-end gaps-and-islands)
+    * in SQL; island counts AND exact covered lengths must both match.
+    */
+  private def q155(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val start = unix_timestamp(col("ts"))
+    val dur = lit(60L) + pmod(floor(col("value")).cast("long"), lit(240L))
+    TimeSeries.intervalUnion(ev, col("user_id"), start, start + dur)
+      .select(col("key").as("user_id"), col("n_islands"),
+        col("covered").as("covered_sec"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_tumble_alerts" -> q01 _,
     "q02_tumble_avg_parts" -> q02 _,
@@ -2414,7 +2431,8 @@ object SparkEntry {
     "q151_bfs_levels" -> q151 _,
     "q152_collocations" -> q152 _,
     "q153_audio_pcm" -> q153 _,
-    "q154_cms_counts" -> q154 _
+    "q154_cms_counts" -> q154 _,
+    "q155_interval_union" -> q155 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

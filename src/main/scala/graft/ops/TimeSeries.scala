@@ -135,4 +135,50 @@ object TimeSeries {
     dau.join(wau, Seq("day_sec"))
       .select(col("day_sec"), col("dau"), col("wau"))
   }
+
+  /** Per-key interval-union coverage: merge overlapping/adjacent
+    * half-open `[start, end)` intervals and report the merged-island
+    * count and total covered length — the utilization/uptime primitive
+    * (session seconds actually covered, device on-air time, ad
+    * exposure) that a plain `sum(end − start)` double-counts whenever
+    * intervals overlap. Intervals are half-open, so `[1,3)` and `[3,5)`
+    * are adjacent and merge; callers pass integer (epoch-seconds)
+    * bounds, keeping every length exact.
+    *
+    * Formulation: the classic sweep — an interval starts a new island
+    * iff its start exceeds the running max end of everything before it
+    * (q91's gaps-and-islands generalized from point gaps to interval
+    * overlap). Rows with NULL key/bounds and empty/negative intervals
+    * (`end <= start`) are excluded — a zero-length interval covers
+    * nothing and must not stitch two islands together.
+    *
+    * Scale shape: ONE shuffle (the per-key ordered window), island
+    * aggregation partial map-side, per-key rollup on the same
+    * partitioning. Key cardinality distributes; a single pathological
+    * key serializes its own window — the documented sessionize
+    * contract (`q91`), salting is the caller-side remedy.
+    */
+  def intervalUnion(
+      df: DataFrame,
+      keyCol: Column,
+      startCol: Column,
+      endCol: Column
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("__k")).orderBy(col("__s"), col("__e"))
+    df.select(keyCol.as("__k"), startCol.cast("long").as("__s"),
+        endCol.cast("long").as("__e"))
+      .filter(col("__k").isNotNull && col("__s").isNotNull && col("__e") > col("__s"))
+      .withColumn("__pme",
+        max(col("__e")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__ni",
+        when(col("__pme").isNull || col("__s") > col("__pme"), 1L).otherwise(0L))
+      .withColumn("__gid",
+        sum(col("__ni")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("__k"), col("__gid"))
+      .agg(min(col("__s")).as("__ss"), max(col("__e")).as("__ee"))
+      .groupBy(col("__k").as("key"))
+      .agg(count(lit(1)).as("n_islands"),
+        sum(col("__ee") - col("__ss")).as("covered"))
+  }
 }

@@ -65,4 +65,29 @@ class TimeSeriesSpec extends SparkTestBase {
       .orderBy("day_sec").select("dau", "wau").as[(Long, Long)].collect().toList
     assert(got == List((1L, 1L), (1L, 1L)))
   }
+
+  test("intervalUnion: overlap/nesting/adjacency merge; disjoint split; exact lengths") {
+    val iv = Seq(
+      // u1: [0,10) ∪ [5,20) ∪ [20,25) merge to [0,25); [40,50) separate
+      ("u1", 0L, 10L), ("u1", 5L, 20L), ("u1", 20L, 25L), ("u1", 40L, 50L),
+      // u2: nested [0,100) ⊃ [10,20) → one island of 100
+      ("u2", 0L, 100L), ("u2", 10L, 20L),
+      // u3: empty and inverted intervals are dropped, not island-stitchers
+      ("u3", 5L, 5L), ("u3", 9L, 3L), ("u3", 7L, 8L)
+    ).toDF("k", "s", "e")
+    val got = TimeSeries.intervalUnion(iv, col("k"), col("s"), col("e"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("u1") == ((2L, 35L)), s"got ${got("u1")}")
+    assert(got("u2") == ((1L, 100L)))
+    assert(got("u3") == ((1L, 1L)), "only the valid [7,8) survives")
+  }
+
+  test("intervalUnion: a zero-length interval between islands does not merge them") {
+    // [0,5) and [5,5) and [6,10): the empty interval at 5 is dropped;
+    // [0,5) and [6,10) stay two islands (gap at [5,6))
+    val iv = Seq(("k", 0L, 5L), ("k", 5L, 5L), ("k", 6L, 10L)).toDF("k", "s", "e")
+    val got = TimeSeries.intervalUnion(iv, col("k"), col("s"), col("e"))
+      .as[(String, Long, Long)].collect().head
+    assert(got == (("k", 2L, 9L)))
+  }
 }
