@@ -2178,6 +2178,47 @@ object OracleSql {
         |   FROM g GROUP BY 1, 2)
         |SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
         | CAST(sum(ee - ss) AS BIGINT) AS covered_sec
-        |FROM isl GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM isl GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // baskets, marginals and the pair self-join rebuilt in SQL; TRY_CAST
+    // mirrors Spark's null-on-unparseable cast; // on positive counts ≡
+    // Spark DIV
+    "q156_basket_rules" ->
+      """WITH bi AS (SELECT DISTINCT
+        |    user_id * 1000000 + CAST(floor(epoch(ts) / 86400) AS BIGINT) AS b,
+        |    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS item
+        |   FROM events
+        |   WHERE user_id IS NOT NULL AND ts IS NOT NULL AND props IS NOT NULL
+        |     AND TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL),
+        | tot AS (SELECT count(DISTINCT b) AS n_baskets FROM bi),
+        | m AS (SELECT item, count(*) AS n FROM bi GROUP BY 1),
+        | p AS (SELECT x.item AS item_a, y.item AS item_b, count(*) AS n_ab
+        |   FROM bi x JOIN bi y ON x.b = y.b AND x.item < y.item
+        |   GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT p.item_a, p.item_b, CAST(p.n_ab AS BIGINT) AS n_ab,
+        | CAST(ma.n AS BIGINT) AS n_a, CAST(mb.n AS BIGINT) AS n_b,
+        | CAST((p.n_ab * 1000000) // tot.n_baskets AS BIGINT) AS support_ppm,
+        | CAST((p.n_ab * 1000000) // ma.n AS BIGINT) AS conf_ab_ppm,
+        | CAST((p.n_ab * 1000000) // mb.n AS BIGINT) AS conf_ba_ppm
+        |FROM p JOIN m ma ON ma.item = p.item_a
+        |  JOIN m mb ON mb.item = p.item_b, tot
+        |ORDER BY item_a, item_b""".stripMargin,
+
+    // the lead-window holding segments and the portable floor division
+    // ((x - pmod) DIV span ≡ //) replayed per user
+    "q157_time_weighted_avg" ->
+      """WITH o AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+        |    CAST(floor(value * 1000) AS BIGINT) AS v, event_id FROM events
+        |   WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+        | seg AS (SELECT user_id, t, v,
+        |    lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS nt FROM o),
+        | agg AS (SELECT user_id, count(*) AS n_obs,
+        |    sum(CASE WHEN nt IS NULL THEN 0 ELSE nt - t END) AS span,
+        |    sum(CASE WHEN nt IS NULL THEN 0 ELSE v * (nt - t) END) AS wv
+        |   FROM seg GROUP BY 1)
+        |SELECT user_id, CAST(n_obs AS BIGINT) AS n_obs,
+        | CAST(span AS BIGINT) AS span_sec,
+        | CAST(wv // span AS BIGINT) AS twa_millis
+        |FROM agg WHERE span > 0 ORDER BY user_id""".stripMargin
   )
 }

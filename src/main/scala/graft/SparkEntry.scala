@@ -8,7 +8,7 @@ import org.apache.spark.sql.types.DecimalType
 import graft.core.Tables
 import graft.ext.{Bmff, Bpe, Dedup, Multimodal, Png, Quantize, Sampling, SimSearch, TextOps}
 import graft.functions.{Hashing, VectorOps}
-import graft.ops.{AsOfJoin, Behavior, Graph, Profile, SensorOps, Sketches, Snapshot, TimeSeries, Windows}
+import graft.ops.{AsOfJoin, Behavior, Graph, MarketBasket, Profile, SensorOps, Sketches, Snapshot, TimeSeries, Windows}
 
 /** Driver contract (SURVEY.md §5, §7): one query per implemented operator,
   * each with an ANSI-SQL DuckDB oracle over the same parquet tables.
@@ -2277,6 +2277,40 @@ object SparkEntry {
       .orderBy("user_id")
   }
 
+  /** Market-basket pair rules ([[MarketBasket.pairRules]]): baskets are
+    * (user, day), items the decile of each event's JSON `k` property —
+    * exact co-occurrence counts with support and both conditional
+    * confidences in integer ppm. The oracle rebuilds baskets, marginals
+    * and the pair join in SQL (json_extract_string + the same integral
+    * divisions), value-gating the whole Apriori-2 core.
+    */
+  private def q156(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val basket = col("user_id") * 1000000L +
+      floor(unix_timestamp(col("ts")) / 86400L).cast("long")
+    val item = expr("CAST(get_json_object(props, '$.k') AS BIGINT) DIV 10")
+    MarketBasket.pairRules(
+        ev.filter(col("ts").isNotNull && col("props").isNotNull),
+        basket, item, minPairCount = 2L)
+      .orderBy("item_a", "item_b")
+  }
+
+  /** Time-weighted average ([[TimeSeries.timeWeightedAvg]]): each
+    * event's value (exact millis) holds until the user's next event;
+    * the per-user mean weights by holding time — the correct mean for
+    * irregular series, which the q05-style arithmetic mean gets wrong
+    * under bursts. Oracle replays the lead-window segments and the
+    * portable floor division.
+    */
+  private def q157(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.timeWeightedAvg(
+        Tables.events(s, dir).filter(col("value").isNotNull),
+        col("user_id"), unix_timestamp(col("ts")),
+        floor(col("value") * 1000d), col("event_id"))
+      .select(col("key").as("user_id"), col("n_obs"),
+        col("span").as("span_sec"), col("twa").as("twa_millis"))
+      .orderBy("user_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_tumble_alerts" -> q01 _,
     "q02_tumble_avg_parts" -> q02 _,
@@ -2432,7 +2466,9 @@ object SparkEntry {
     "q152_collocations" -> q152 _,
     "q153_audio_pcm" -> q153 _,
     "q154_cms_counts" -> q154 _,
-    "q155_interval_union" -> q155 _
+    "q155_interval_union" -> q155 _,
+    "q156_basket_rules" -> q156 _,
+    "q157_time_weighted_avg" -> q157 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

@@ -181,4 +181,51 @@ object TimeSeries {
       .agg(count(lit(1)).as("n_islands"),
         sum(col("__ee") - col("__ss")).as("covered"))
   }
+
+  /** Time-weighted average: each observation's value holds until the
+    * key's next observation (piecewise-constant carry-forward), weighted
+    * by its holding time — the correct mean for irregularly sampled
+    * series (sensor readings, account balances, price feeds), where the
+    * arithmetic mean over-weights bursts. All integer:
+    * `twa = ⌊Σ vᵢ·Δtᵢ / Σ Δtᵢ⌋` over the key's observed span, with the
+    * floor division spelled `(x − pmod(x, d)) DIV d` so negative sums
+    * floor identically in every engine (SQL `DIV` truncates toward
+    * zero, DuckDB `//` floors — the DSIR portability rule). Callers
+    * pass integer timestamp-seconds and integer value units (e.g.
+    * millis); `ordCol` breaks timestamp ties totally, otherwise
+    * equal-time observations would split the zero-length segment
+    * nondeterministically.
+    *
+    * Keys whose span is zero (single observation, or all observations
+    * at one instant) have no time axis to weight over and are excluded.
+    * Headroom: Σ v·Δt must fit BIGINT — value-millis ≤ 10⁹ over a
+    * 30-year span is safe; corpus-scale sums beyond that need the
+    * DECIMAL(38) variant of the same plan.
+    *
+    * Scale shape: one per-key ordered window (the lead), one aggregate
+    * on the same partitioning — the q91/q155 sweep family.
+    */
+  def timeWeightedAvg(
+      df: DataFrame,
+      keyCol: Column,
+      tsSecCol: Column,
+      valCol: Column,
+      ordCol: Column
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("__k")).orderBy(col("__t"), col("__o"))
+    df.select(keyCol.as("__k"), tsSecCol.cast("long").as("__t"),
+        valCol.cast("long").as("__v"), ordCol.as("__o"))
+      .filter(col("__k").isNotNull && col("__t").isNotNull && col("__v").isNotNull)
+      .withColumn("__nt", lead(col("__t"), 1).over(w))
+      .groupBy(col("__k").as("key"))
+      .agg(count(lit(1)).as("n_obs"),
+        sum(when(col("__nt").isNull, 0L)
+          .otherwise(col("__nt") - col("__t"))).as("span"),
+        sum(when(col("__nt").isNull, 0L)
+          .otherwise(col("__v") * (col("__nt") - col("__t")))).as("__wv"))
+      .filter(col("span") > 0)
+      .withColumn("twa", expr("(__wv - pmod(__wv, span)) DIV span"))
+      .drop("__wv")
+  }
 }

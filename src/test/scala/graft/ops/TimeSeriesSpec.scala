@@ -82,6 +82,38 @@ class TimeSeriesSpec extends SparkTestBase {
     assert(got("u3") == ((1L, 1L)), "only the valid [7,8) survives")
   }
 
+  test("timeWeightedAvg: holding-time weights, tie-broken segments, zero-span excluded") {
+    val obs = Seq(
+      // u1: v=10 held 0→10 (weight 10), v=40 held 10→20 (weight 10)
+      // → twa = (100+400)/20 = 25; last obs at t=20 carries no weight
+      ("u1", 0L, 10L, 1L), ("u1", 10L, 40L, 2L), ("u1", 20L, 999L, 3L),
+      // u2: equal timestamps tie-broken by ord — the t=5 pair contributes
+      // a zero-length segment for ord=1, then v=30 spans 5→15
+      ("u2", 5L, 7L, 1L), ("u2", 5L, 30L, 2L), ("u2", 15L, 0L, 3L),
+      // u3: single observation → zero span → excluded
+      ("u3", 42L, 5L, 1L)
+    ).toDF("k", "t", "v", "o")
+    val got = TimeSeries.timeWeightedAvg(obs, col("k"), col("t"), col("v"), col("o"))
+      .select("key", "n_obs", "span", "twa")
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got("u1") == (("u1", 3L, 20L, 25L)), s"got ${got("u1")}")
+    assert(got("u2") == (("u2", 3L, 10L, 30L)), s"got ${got("u2")}")
+    assert(!got.contains("u3"))
+  }
+
+  test("timeWeightedAvg: negative sums floor like every engine's // would") {
+    val obs = Seq(("k", 0L, -7L, 1L), ("k", 3L, 0L, 2L)).toDF("k", "t", "v", "o")
+    val got = TimeSeries.timeWeightedAvg(obs, col("k"), col("t"), col("v"), col("o"))
+      .select("twa").as[Long].head()
+    // -21 / 3 = -7 exactly; and a non-divisible case:
+    assert(got == -7L)
+    val obs2 = Seq(("k", 0L, -7L, 1L), ("k", 2L, 0L, 2L), ("k", 3L, 0L, 3L))
+      .toDF("k", "t", "v", "o")
+    val got2 = TimeSeries.timeWeightedAvg(obs2, col("k"), col("t"), col("v"), col("o"))
+      .select("twa").as[Long].head()
+    assert(got2 == -5L, s"floor(-14/3) = -5, got $got2") // not trunc(-4)
+  }
+
   test("intervalUnion: a zero-length interval between islands does not merge them") {
     // [0,5) and [5,5) and [6,10): the empty interval at 5 is dropped;
     // [0,5) and [6,10) stay two islands (gap at [5,6))
