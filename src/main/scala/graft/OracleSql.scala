@@ -2219,6 +2219,42 @@ object OracleSql {
         |SELECT user_id, CAST(n_obs AS BIGINT) AS n_obs,
         | CAST(span AS BIGINT) AS span_sec,
         | CAST(wv // span AS BIGINT) AS twa_millis
-        |FROM agg WHERE span > 0 ORDER BY user_id""".stripMargin
+        |FROM agg WHERE span > 0 ORDER BY user_id""".stripMargin,
+
+    // the per-user lead window (event_id tie-break) and the q89
+    // conditional-ppm convention replayed in SQL
+    "q158_transition_matrix" ->
+      """WITH o AS (SELECT user_id, ts, event_type, event_id FROM events
+        |   WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL),
+        | tr AS (SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |   FROM o),
+        | c AS (SELECT from_type, to_type, count(*) AS n FROM tr
+        |   WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        | h AS (SELECT from_type, sum(n) AS nh FROM c GROUP BY 1)
+        |SELECT c.from_type, c.to_type, CAST(c.n AS BIGINT) AS n,
+        | CAST((c.n * 1000000) // h.nh AS BIGINT) AS cond_ppm
+        |FROM c JOIN h USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
+
+    // q37's exact neighbor ranking, then the majority vote with the
+    // smaller-label tie-break — membership and argmax both value-gated
+    "q159_knn_classify" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+         | c AS (SELECT vec_id AS vid, embedding::DOUBLE[] AS cv FROM embeddings),
+         | s AS (SELECT qid, vid, $cosExpr AS cos FROM q, c WHERE qid <> vid),
+         | r AS (SELECT qid, vid,
+         |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rk
+         |       FROM s),
+         | t AS (SELECT r.qid, e.label FROM r JOIN embeddings e ON e.vec_id = r.vid
+         |       WHERE r.rk <= 10 AND e.label IS NOT NULL),
+         | v AS (SELECT qid, label, count(*) AS votes FROM t GROUP BY 1, 2),
+         | p AS (SELECT qid, label, votes,
+         |        row_number() OVER (PARTITION BY qid ORDER BY votes DESC, label) AS rn
+         |       FROM v)
+         |SELECT p.qid, CAST(eq.label AS BIGINT) AS true_label,
+         | CAST(p.label AS BIGINT) AS pred_label, CAST(p.votes AS BIGINT) AS votes
+         |FROM p JOIN embeddings eq ON eq.vec_id = p.qid
+         |WHERE p.rn = 1 ORDER BY p.qid""".stripMargin
   )
 }

@@ -2311,6 +2311,29 @@ object SparkEntry {
         col("span").as("span_sec"), col("twa").as("twa_millis"))
       .orderBy("user_id")
 
+  /** First-order Markov transition matrix
+    * ([[Behavior.transitionMatrix]]): per-user event sequences collapsed
+    * to exact (from, to) counts with conditional ppm — the next-action
+    * model table. The oracle replays the lead window (event_id
+    * tie-break) and the q89 conditional-ppm convention.
+    */
+  private def q158(s: SparkSession, dir: String): DataFrame =
+    Behavior.transitionMatrix(Tables.events(s, dir),
+        col("user_id"), col("ts"), col("event_type"), col("event_id"))
+      .orderBy("from_type", "to_type")
+
+  /** kNN label vote ([[SimSearch.knnClassify]]): each query vector's
+    * label predicted by majority over its top-10 cosine neighbors (ties
+    * to the smaller label) — label propagation from a seed set. The
+    * oracle recomputes q37's exact neighbor ranking, then the vote and
+    * the tie-break, so membership AND argmax are both value-gated.
+    */
+  private def q159(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    SimSearch.knnClassify(emb, emb.filter(col("vec_id") < 5), k = 10)
+      .orderBy("qid")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_tumble_alerts" -> q01 _,
     "q02_tumble_avg_parts" -> q02 _,
@@ -2468,7 +2491,9 @@ object SparkEntry {
     "q154_cms_counts" -> q154 _,
     "q155_interval_union" -> q155 _,
     "q156_basket_rules" -> q156 _,
-    "q157_time_weighted_avg" -> q157 _
+    "q157_time_weighted_avg" -> q157 _,
+    "q158_transition_matrix" -> q158 _,
+    "q159_knn_classify" -> q159 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

@@ -42,6 +42,45 @@ object SimSearch {
       .select(col("qid"), col("vid"), round(col("cos"), 6).as("cos"), col("rank"))
   }
 
+  /** k-nearest-neighbor label vote: predict each query vector's label
+    * as the majority label among its top-`k` cosine neighbors — the
+    * classification/weak-labeling primitive (propagate labels from a
+    * small annotated seed set onto an unlabeled corpus). Ties break to
+    * the smaller label; neighbors with NULL labels abstain (they are
+    * excluded before voting, so k-minus-null votes are cast). Output:
+    * `(qid, true_label, pred_label, votes)`.
+    *
+    * The argmax is a struct-max aggregate, never a per-query window —
+    * the q110 pattern. Scale: inherits [[topKBruteForce]]'s contract
+    * (broadcast query set, ONE corpus scan — the exact verifier); at
+    * corpus scale swap the neighbor stage for [[topKLsh]]/[[topKIvf]]
+    * and the vote is unchanged.
+    */
+  def knnClassify(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      labelCol: String = "label"
+  ): DataFrame = {
+    val neighbors = topKBruteForce(corpus, queries, k, idCol, vecCol)
+    val labels = corpus
+      .select(col(idCol).as("vid"), col(labelCol).cast("long").as("__nl"))
+      .filter(col("__nl").isNotNull)
+    val votes = neighbors.join(labels, Seq("vid"))
+      .groupBy("qid", "__nl").agg(count(lit(1)).as("votes"))
+    val qLabels = broadcast(queries.select(col(idCol).as("qid"),
+      col(labelCol).cast("long").as("true_label")))
+    votes.groupBy("qid")
+      .agg(max(struct(col("votes"),
+        (-col("__nl")).as("__neg"), col("__nl").as("__lab"))).as("m"))
+      .select(col("qid"), col("m.__lab").as("pred_label"),
+        col("m.votes").as("votes"))
+      .join(qLabels, Seq("qid"))
+      .select(col("qid"), col("true_label"), col("pred_label"), col("votes"))
+  }
+
   /** Hard-negative mining for contrastive training: for each query
     * vector, the top-k most-similar candidates whose `labelCol` DIFFERS
     * from the query's — the near-the-decision-boundary negatives that

@@ -287,4 +287,44 @@ object Behavior {
       .groupBy("cohort_week", "week_offset")
       .agg(count_distinct(col("user")).as("n_users"))
   }
+
+  /** First-order Markov transition matrix over per-key event sequences:
+    * how often does event type `a` lead directly to type `b`, and with
+    * what conditional probability — the behavioral-model table behind
+    * next-action prediction, anomaly scoring ("this transition never
+    * happens") and funnel design. Counts are exact; probabilities are
+    * integer ppm (`n_ab·10⁶ div Σ_b n_ab`), the q89 conditional-model
+    * convention, so the matrix is engine-portable. `ordCol` breaks
+    * timestamp ties totally — without it, equal-time events would pair
+    * nondeterministically. Each key's LAST event has no successor and
+    * contributes no transition; NULL key/time/type rows are excluded.
+    *
+    * Scale shape: one per-key ordered window (the lead) on the event
+    * stream, then one (from, to) aggregate that collapses to the type
+    * vocabulary map-side; row totals re-aggregate from the checkpointed
+    * counts table (vocab-sized, never a second stream pass).
+    */
+  def transitionMatrix(
+      events: DataFrame,
+      keyCol: Column,
+      tsCol: Column,
+      typeCol: Column,
+      ordCol: Column
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("__k")).orderBy(col("__t"), col("__o"))
+    val counts = events
+      .select(keyCol.as("__k"), tsCol.as("__t"), typeCol.as("from_type"),
+        ordCol.as("__o"))
+      .filter(col("__k").isNotNull && col("__t").isNotNull &&
+        col("from_type").isNotNull)
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+      .localCheckpoint(false)
+    val heads = counts.groupBy("from_type").agg(sum(col("n")).as("__nh"))
+    counts.join(heads, Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("(n * 1000000) DIV __nh").as("cond_ppm"))
+  }
 }

@@ -29,7 +29,9 @@ object PlanAudit {
     "q112_semantic_pairs", // corpus × broadcast pivot centroids, q41's shape
     "q125_hard_negatives", // broadcast queries × corpus scan, q37's shape
     "q146_rrf_fusion", // semantic leg IS q37's broadcast scan, by composition
-    "q154_cms_counts") // ONE-row sketch broadcast onto probe keys
+    "q154_cms_counts", // ONE-row sketch broadcast onto probe keys
+    "q156_basket_rules", // ONE-row basket-total broadcast onto pair counts
+    "q159_knn_classify") // neighbor stage IS q37's broadcast scan
 
   /** Queries whose DESIGN composes several complete pipelines, so their
     * exchange count legitimately exceeds the single-pipeline budget —

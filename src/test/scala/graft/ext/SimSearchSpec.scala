@@ -149,6 +149,30 @@ class SimSearchSpec extends SparkTestBase {
     assert(out == Seq((2L, 2, 1), (3L, 2, 2)))
   }
 
+  test("knnClassify: majority vote, smaller-label tie-break, null labels abstain") {
+    val labeled = Seq(
+      (0L, Array(1f, 0f, 0f, 0f), Integer.valueOf(9)),   // the query
+      (1L, Array(0.99f, 0.1f, 0f, 0f), Integer.valueOf(2)),
+      (2L, Array(0.98f, 0.1f, 0f, 0f), Integer.valueOf(2)),
+      (3L, Array(0.97f, 0.1f, 0f, 0f), Integer.valueOf(1)),
+      (4L, Array(0.96f, 0.1f, 0f, 0f), Integer.valueOf(1)),
+      (5L, Array(0.95f, 0.1f, 0f, 0f), null: Integer),   // abstains
+      (6L, Array(0f, 1f, 0f, 0f), Integer.valueOf(3))    // outside top-4
+    ).toDF("vec_id", "embedding", "label")
+    // k=5 neighbors of vec 0 are 1..5; labels {2,2,1,1,null} → 2-2 tie
+    // between labels 1 and 2 → smaller label 1 wins
+    val got = SimSearch.knnClassify(labeled,
+        labeled.filter(col("vec_id") === 0), k = 5)
+      .select("qid", "true_label", "pred_label", "votes")
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(got == ((0L, 9L, 1L, 2L)), s"got $got")
+    // raise k to pull in label 3; majority still 1 (votes 2 vs 2 vs 1)
+    val got2 = SimSearch.knnClassify(labeled,
+        labeled.filter(col("vec_id") === 0), k = 6)
+      .select("pred_label", "votes").as[(Long, Long)].collect().head
+    assert(got2 == ((1L, 2L)))
+  }
+
   test("VectorOps cosine/dot/l2 compute in double precision") {
     import graft.functions.VectorOps
     val df = Seq((Array(3f, 4f), Array(4f, 3f))).toDF("a", "b")

@@ -204,4 +204,29 @@ class BehaviorSpec extends SparkTestBase {
       (ts("2026-01-05 00:00:00"), 1L, 1L),
       (ts("2026-01-12 00:00:00"), 0L, 1L)))
   }
+
+  test("transitionMatrix: exact counts, ppm conditionals, tie-broken sequences") {
+    val ev = Seq(
+      // u1: a→b→a→c; u2: a→b; equal-time pair in u3 ordered by event_id
+      ("u1", ts("2026-01-01 00:00:00"), "a", 1L),
+      ("u1", ts("2026-01-01 00:01:00"), "b", 2L),
+      ("u1", ts("2026-01-01 00:02:00"), "a", 3L),
+      ("u1", ts("2026-01-01 00:03:00"), "c", 4L),
+      ("u2", ts("2026-01-01 00:00:00"), "a", 5L),
+      ("u2", ts("2026-01-01 00:01:00"), "b", 6L),
+      ("u3", ts("2026-01-01 00:00:00"), "x", 8L),
+      ("u3", ts("2026-01-01 00:00:00"), "y", 7L) // earlier id → y first
+    ).toDF("u", "t", "et", "eid")
+    val got = Behavior.transitionMatrix(ev, col("u"), col("t"), col("et"), col("eid"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    // from a: a→b twice, a→c once → 666666 / 333333 ppm
+    assert(got(("a", "b")) == ((2L, 666666L)))
+    assert(got(("a", "c")) == ((1L, 333333L)))
+    assert(got(("b", "a")) == ((1L, 1000000L)))
+    assert(got(("y", "x")) == ((1L, 1000000L)), "tie must order by event_id")
+    assert(!got.contains(("x", "y")))
+    // last events contribute nothing: no c→ or b→ (beyond b→a) rows
+    assert(got.size == 4, s"got $got")
+  }
 }
