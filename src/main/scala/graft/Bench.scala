@@ -11,6 +11,107 @@ object Bench {
       try src.mkString.split("\\s+")(0).toDouble finally src.close()
     } catch { case _: Throwable => -1.0 }
 
+  /** Per-query bench outcome: minimum and maximum elapsed seconds over the
+   *  timed passes, plus the first failure (if any pass threw). */
+  case class QueryResult(name: String, minSec: Double, err: Option[String], maxSec: Double)
+
+  // Locale.ROOT: the f interpolator honors the JVM default locale, and
+  // a comma-decimal locale would make the report line invalid JSON
+  private def fmt(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+  private def ms(v: Double): Long = math.round(v * 1000)
+
+  /** Build the ONE-line JSON report within `budget` bytes.
+   *
+   *  The driver keeps only the last ~2000 chars of stdout and an oversized
+   *  line gets its HEAD clipped, which kills the whole JSON (round 3's 82
+   *  full-name entries blew the window; round 11's 139 fractional-second
+   *  entries blew it AGAIN and BENCH_r11.json came back parsed:null; by
+   *  round 12 the line was ~1.9 kB — one more query away from a repeat).
+   *  So the budget is enforced STRUCTURALLY, not by hoping the surface
+   *  stays small: headline/spread/env/failed fields come first, then the
+   *  per-query map holds as many entries as FIT, slowest queries first —
+   *  the perf-relevant ones — and any overflow is summarized as
+   *  `"q_dropped":N,"q_dropped_ms":M` (so per-query ms still sum to the
+   *  totals). At ~11 bytes/entry the map holds ~150 queries in 1900 B;
+   *  growth past that sheds sub-100 ms noise-class entries instead of
+   *  zeroing the round's perf adjudication.
+   *
+   *  Pure and spec-tested (`BenchReportSpec`) at 0/160/1000 queries — the
+   *  fit property must hold at any future surface size, not be re-audited
+   *  every round.
+   */
+  private[graft] def reportLine(
+      results: Seq[QueryResult],
+      sfName: String,
+      loadStart: Double,
+      loadEnd: Double,
+      procs: Int,
+      budget: Int = 1900
+  ): String = {
+    val shortKeys = results.map(_.name.takeWhile(_ != '_'))
+    require(shortKeys.distinct.size == shortKeys.size,
+      "query short names (qNN prefixes) must be unique")
+    val nFailed = results.count(_.err.isDefined)
+    // "value" sums only succeeded queries — a query that dies in 0.1s must
+    // not deflate the benchmark total; its elapsed time is reported
+    // separately under "failed_sec". The "failed" name→exception map is
+    // emitted only when non-empty (every byte counts against the tail).
+    val total = results.collect { case QueryResult(_, v, None, _) => v }.sum
+    val failedSec = results.collect { case QueryResult(_, v, Some(_), _) => v }.sum
+    val failedJson =
+      if (nFailed == 0) ""
+      else results.collect { case QueryResult(k, _, Some(e), _) => s"\"$k\":\"$e\"" }
+        .mkString(",\"failed\":{", ",", s"},\"failed_sec\":${fmt(failedSec)}")
+    // Run-to-run spread evidence, so a round-over-round total drift can be
+    // attributed to noise vs code without re-running: relative spread
+    // (max-min)/min over the passes, summarized as median + max over
+    // queries big enough for relative spread to mean anything (min >= 0.1s).
+    val spreads = results.collect {
+      case QueryResult(_, mn, None, mx) if mn >= 0.1 => (mx - mn) / mn * 100.0
+    }
+    val spreadJson = if (spreads.isEmpty) """{"med_pct":0,"max_pct":0}""" else {
+      val sorted = spreads.sorted
+      s"""{"med_pct":${math.round(sorted(sorted.size / 2))},"max_pct":${math.round(sorted.last)}}"""
+    }
+    // Box-contention evidence: 1-min load average before/after the run and
+    // the JVM's visible processor count. A load >> procs-in-use at either
+    // endpoint marks the total as noise-suspect.
+    val envJson = s"""{"load_start":${fmt(loadStart)},"load_end":${fmt(loadEnd)},"procs":$procs}"""
+    def assemble(queriesJson: String): String =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failed":$nFailed$failedJson,"spread":$spreadJson,"env":$envJson,"sf":"$sfName","q_unit":"ms","queries":$queriesJson}"""
+    // Fit the largest PREFIX of the slow-sorted list: "every query at or
+    // above the cut made it" is a property the reader can rely on, and
+    // the emitted map order (slowest first) makes the cut self-evident.
+    val bySlowest = shortKeys.zip(results)
+      .map { case (sk, r) => (s"\"$sk\":${ms(r.minSec)}", ms(r.minSec)) }
+      .sortBy { case (entry, t) => (-t, entry) }
+    val n = bySlowest.size
+    val entryLenPrefix = bySlowest.map(_._1.length).scanLeft(0)(_ + _) // (i) = sum of first i
+    val msSuffix = bySlowest.map(_._2).scanRight(0L)(_ + _)           // (i) = sum from i
+    def lineFor(kept: Int): String = {
+      val mapBody = bySlowest.take(kept).map(_._1) ++
+        (if (kept == n) Nil
+         else Seq(s""""q_dropped":${n - kept},"q_dropped_ms":${msSuffix(kept)}"""))
+      assemble(mapBody.mkString("{", ",", "}"))
+    }
+    def lenFor(kept: Int): Int = {
+      val dropLen = if (kept == n) 0
+        else s""""q_dropped":${n - kept},"q_dropped_ms":${msSuffix(kept)}""".length
+      val nParts = kept + (if (kept == n) 0 else 1)
+      assemble("{}").length + entryLenPrefix(kept) + dropLen + math.max(0, nParts - 1)
+    }
+    val kept = (n to 0 by -1).find(lenFor(_) <= budget)
+    kept match {
+      case Some(k) => lineFor(k)
+      case None =>
+        // last-resort fallback (headline only) — reachable only if the
+        // fixed fields alone outgrow the budget (e.g. a huge failed map)
+        System.err.println(s"[bench] fixed report fields alone exceed ${budget}B; emitting headline only")
+        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"sf":"$sfName","queries_omitted":true}"""
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val loadStart = loadAvg1m()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -48,72 +149,13 @@ object Bench {
       }
     val passes = Seq.fill(3)(timedPass())
     val results = passes.transpose.map { runs =>
-      val name = runs.head._1
-      (name, runs.map(_._2).min, runs.flatMap(_._3).headOption,
+      QueryResult(runs.head._1, runs.map(_._2).min, runs.flatMap(_._3).headOption,
         runs.map(_._2).max)
     }
-    // The whole report must be ONE short JSON line: the driver keeps only
-    // the last ~2000 chars of stdout (round 3's 82 full-name entries blew
-    // past that window; round 11's 139 fractional-second entries + spread.top
-    // blew it AGAIN and BENCH_r11.json came back parsed:null). Byte budget,
-    // per the round-11 verdict: headline fields FIRST, per-query values as
-    // INTEGER MILLISECONDS under a "queries" map that comes LAST, no
-    // spread.top, sf as a basename. ~12 bytes/query keeps 160 queries
-    // within the tail window.
-    // Locale.ROOT: the f interpolator honors the JVM default locale, and
-    // a comma-decimal locale would make the report line invalid JSON
-    def fmt(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-    def ms(v: Double): Long = math.round(v * 1000)
-    val shortKeys = results.map { case (k, _, _, _) => k.takeWhile(_ != '_') }
-    require(shortKeys.distinct.size == shortKeys.size,
-      "query short names (qNN prefixes) must be unique")
-    val qs = shortKeys.zip(results).map { case (sk, (_, v, _, _)) => s"\"$sk\":${ms(v)}" }
-      .mkString("{", ",", "}")
-    val nFailed = results.count(_._3.isDefined)
-    // "value" sums only succeeded queries — a query that dies in 0.1s must
-    // not deflate the benchmark total; its elapsed time is reported
-    // separately under "failed_sec". The "failed" name→exception map is
-    // emitted only when non-empty (every byte counts against the tail).
-    val total = results.collect { case (_, v, None, _) => v }.sum
-    val failedSec = results.collect { case (_, v, Some(_), _) => v }.sum
-    val failedJson =
-      if (nFailed == 0) ""
-      else results.collect { case (k, _, Some(e), _) => s"\"$k\":\"$e\"" }
-        .mkString(",\"failed\":{", ",", s"},\"failed_sec\":${fmt(failedSec)}")
-    // Run-to-run spread evidence, so a round-over-round total drift can be
-    // attributed to noise vs code without re-running: relative spread
-    // (max-min)/min over the three passes, summarized as median + max over
-    // queries big enough for relative spread to mean anything (min >= 0.1s).
-    // Integer percents, no per-query breakdown — aggregate evidence only.
-    val spreads = results.collect {
-      case (_, mn, None, mx) if mn >= 0.1 => (mx - mn) / mn * 100.0
-    }
-    val spreadJson = if (spreads.isEmpty) """{"med_pct":0,"max_pct":0}""" else {
-      val sorted = spreads.sorted
-      s"""{"med_pct":${math.round(sorted(sorted.size / 2))},"max_pct":${math.round(sorted.last)}}"""
-    }
-    // Box-contention evidence: 1-min load average before/after the run and
-    // the JVM's visible processor count. A load >> procs-in-use at either
-    // endpoint marks the total as noise-suspect.
-    val envJson = s"""{"load_start":${fmt(loadStart)},"load_end":${fmt(loadAvg1m())},"procs":${Runtime.getRuntime.availableProcessors}}"""
+    val nFailed = results.count(_.err.isDefined)
     val sfName = new java.io.File(sfDir).getName
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failed":$nFailed$failedJson,"spread":$spreadJson,"env":$envJson,"sf":"$sfName","q_unit":"ms","queries":$qs}"""
-    // Hard guard on the driver's tail window, two levels: losing
-    // aggregate spread/env/failed detail beats losing parseability, and
-    // losing the per-query map beats losing the headline — an oversized
-    // line gets its HEAD clipped, which kills the whole JSON.
-    val slim = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"sf":"$sfName","q_unit":"ms","queries":$qs}"""
-    val fitted =
-      if (line.length <= 1900) line
-      else if (slim.length <= 1900) {
-        System.err.println(s"[bench] report line ${line.length}B > 1900B; dropped spread/env/failed detail")
-        slim
-      } else {
-        System.err.println(s"[bench] report line ${line.length}B > 1900B even without spread/env; dropped per-query map")
-        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"spread":$spreadJson,"env":$envJson,"sf":"$sfName","queries_omitted":true}"""
-      }
-    println(fitted)
+    println(reportLine(results, sfName, loadStart, loadAvg1m(),
+      Runtime.getRuntime.availableProcessors))
     spark.stop()
     if (nFailed > 0) sys.exit(1) // a failed query is a failed benchmark run
   }

@@ -2164,7 +2164,8 @@ object OracleSql {
         |    CAST(floor(epoch(ts)) AS BIGINT) AS s,
         |    CAST(floor(epoch(ts)) AS BIGINT) + 60 +
         |      ((CAST(floor(value) AS BIGINT) % 240) + 240) % 240 AS e
-        |   FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |   FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |     AND value IS NOT NULL),
         | o AS (SELECT user_id, s, e,
         |    max(e) OVER (PARTITION BY user_id ORDER BY s, e
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme

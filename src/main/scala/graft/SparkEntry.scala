@@ -2288,7 +2288,12 @@ object SparkEntry {
     val ev = Tables.events(s, dir)
     val basket = col("user_id") * 1000000L +
       floor(unix_timestamp(col("ts")) / 86400L).cast("long")
-    val item = expr("CAST(get_json_object(props, '$.k') AS BIGINT) DIV 10")
+    // portable floor division (timeWeightedAvg convention): Spark DIV
+    // truncates toward zero while the oracle's // floors, and the operand
+    // is the raw JSON k value (not a count) — (x - pmod(x, 10)) DIV 10
+    // floors on both engines even for a negative k
+    val item = expr("(CAST(get_json_object(props, '$.k') AS BIGINT)" +
+      " - pmod(CAST(get_json_object(props, '$.k') AS BIGINT), 10)) DIV 10")
     MarketBasket.pairRules(
         ev.filter(col("ts").isNotNull && col("props").isNotNull),
         basket, item, minPairCount = 2L)

@@ -34,17 +34,37 @@ object MarketBasket {
     * multiplicity — standard basket semantics); NULL baskets/items are
     * excluded; pairs below `minPairCount` baskets are pruned before
     * the marginal joins.
+    *
+    * `maxBasketSize`: the pair join is C(items-per-basket, 2), bounded
+    * for real basket domains but QUADRATIC on one pathological hot
+    * basket (bot traffic, a default/null-like basket key). A cap
+    * excludes oversized baskets WHOLESALE — from pairs, marginals and
+    * the basket total alike, as if filtered upstream — keeping the
+    * counts mutually consistent and the exclusion deterministic
+    * (capping to a subset of items would make support depend on an
+    * arbitrary item choice). Same guard convention as the dedup
+    * family's capped LSH buckets (`Dedup.bandedPairs`).
     */
   def pairRules(
       rows: DataFrame,
       basketCol: Column,
       itemCol: Column,
-      minPairCount: Long = 2L
+      minPairCount: Long = 2L,
+      maxBasketSize: Option[Int] = None
   ): DataFrame = {
-    val bi = rows.select(basketCol.as("b"), itemCol.as("item"))
+    val deduped = rows.select(basketCol.as("b"), itemCol.as("item"))
       .filter(col("b").isNotNull && col("item").isNotNull)
       .distinct()
-      .localCheckpoint(false)
+    // basket-size guard via a window count: one shuffle on the basket
+    // key, the same key the pair self-join needs anyway
+    val sized = maxBasketSize.fold(deduped) { cap =>
+      deduped
+        .withColumn("__bn", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("b"))))
+        .filter(col("__bn") <= cap)
+        .drop("__bn")
+    }
+    val bi = sized.localCheckpoint(false)
     val total = bi.agg(count_distinct(col("b")).as("__n_baskets"))
     val marginals = bi.groupBy("item").agg(count(lit(1)).as("__n"))
     val pairs = bi.toDF("b", "ia").join(bi.toDF("b", "ib"), Seq("b"))

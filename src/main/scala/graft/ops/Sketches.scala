@@ -86,15 +86,17 @@ object Sketches {
     val keyed = rows.select(keyCol.cast("string").as("k"))
       .filter(col("k").isNotNull).as[String]
     val cms = graft.functions.CountMinSketch(depth, width)
-    val sketchDf = keyed.select(cms.toColumn.name("sketch")).toDF("sketch")
+    // __-prefixed internal name (repo convention): a probe frame with
+    // its own `sketch` column must not collide with the broadcast side
+    val sketchDf = keyed.select(cms.toColumn.name("__sketch")).toDF("__sketch")
     val est = (0 until depth).map { r =>
-      element_at(col("sketch"),
+      element_at(col("__sketch"),
         (lit(r * width) +
           pmod(graft.functions.Hashing.md5Hash32(r, col(probeKeyCol).cast("string")),
             lit(width)) + 1).cast("int"))
     }.reduce(least(_, _))
     probes.crossJoin(broadcast(sketchDf))
       .withColumn("cms_n", est)
-      .drop("sketch")
+      .drop("__sketch")
   }
 }

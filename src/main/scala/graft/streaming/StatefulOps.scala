@@ -230,6 +230,12 @@ object StatefulOps {
     import org.apache.spark.sql.functions._
     import df.sparkSession.implicits._
     val rows = df
+      // NULL event_time rows are excluded, matching funnelStream's guard:
+      // the (event_time, id) arrival sort and the TTL horizon both
+      // dereference the timestamp, and one NULL record would otherwise
+      // NPE the whole streaming query (FIXTURES.md: the reference's
+      // watermark column is nullable and NULLs must be tolerated)
+      .filter(col(tsCol).isNotNull)
       .select(col(idCol).as("id"), col(keyCol).cast("string").as("key"),
         col(tsCol).as("event_time"))
       .withWatermark("event_time", watermarkDelay)
@@ -384,7 +390,10 @@ object StatefulOps {
     // shingle-emptiness formulation built the array twice per row after
     // predicate pushdown; see Dedup.minhashSignatureArray
     val withSig = docs
-      .filter(size(graft.ext.TextOps.tokens(col(textCol))) >= shingleN)
+      // tsCol guard: the TTL horizon dereferences event_time — one NULL
+      // record would NPE the query (same contract as funnelStream)
+      .filter(size(graft.ext.TextOps.tokens(col(textCol))) >= shingleN &&
+        col(tsCol).isNotNull)
       .select(col(idCol).as("id"), col(tsCol).as("event_time"),
         graft.ext.TextOps.shingleSet(col(textCol), shingleN).as("shs"))
       .select(col("id"), col("event_time"),
@@ -466,7 +475,9 @@ object StatefulOps {
   ): Dataset[SigHit] = {
     import org.apache.spark.sql.functions._
     import docs.sparkSession.implicits._
-    val base = docs.filter(col(textCol).isNotNull)
+    // tsCol guard: the TTL horizon dereferences event_time (funnelStream
+    // contract — NULL event_time rows are dropped, never NPE the query)
+    val base = docs.filter(col(textCol).isNotNull && col(tsCol).isNotNull)
       .select(col(idCol).as("id"), col(textCol).as("txt"),
         col(tsCol).as("event_time"), graft.ext.TextOps.tokens(col(textCol)).as("__toks"))
     val sigs = base

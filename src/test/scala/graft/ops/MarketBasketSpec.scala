@@ -41,4 +41,23 @@ class MarketBasketSpec extends SparkTestBase {
     // only (a,b) survives the 2-basket floor; 3 valid baskets total
     assert(got.toList == List(("a", "b", 2L, 666666L)))
   }
+
+  test("pairRules: maxBasketSize excludes a pathological basket wholesale") {
+    val rows = (
+      // basket 99 is the bot basket: 10 items -> C(10,2)=45 pairs uncapped
+      (1 to 10).map(i => (99L, s"i$i")) ++
+        Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"))
+    ).toDF("b", "item")
+    val capped = MarketBasket.pairRules(rows, col("b"), col("item"),
+      minPairCount = 1L, maxBasketSize = Some(5))
+    val got = capped.select("item_a", "item_b", "n_ab", "n_a", "n_b", "support_ppm")
+      .as[(String, String, Long, Long, Long, Long)].collect().toList
+    // the bot basket vanishes from pairs AND marginals AND the total:
+    // 2 surviving baskets, (a,b) in both -> support 10^6
+    assert(got == List(("a", "b", 2L, 2L, 2L, 1000000L)), s"got $got")
+    // default cap=∞ is unchanged behavior: the 45 bot pairs all appear
+    val uncapped = MarketBasket.pairRules(rows, col("b"), col("item"),
+      minPairCount = 1L)
+    assert(uncapped.count() == 45L + 1L)
+  }
 }

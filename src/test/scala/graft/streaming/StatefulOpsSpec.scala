@@ -614,4 +614,81 @@ class StatefulOpsSpec extends SparkTestBase {
       }.toMap
     assert(streamedTimes == batchTimes)
   }
+
+  test("NULL event_time/event_type rows are dropped, never NPE the query (all stateful ops)") {
+    // FIXTURES.md: the reference's watermark column is nullable and NULL
+    // event_time must be tolerated — each op's per-group code dereferences
+    // the timestamp (arrival sort, TTL horizon), so one NULL record
+    // without the guard kills the whole streaming query.
+    val nullTs: java.sql.Timestamp = null
+
+    // funnelStream: NULL ts and NULL type interleaved with a live chain
+    val fm = MemoryStream[(Long, String, java.sql.Timestamp)](spark)
+    val fq = StatefulOps.funnelStream(
+        fm.toDS().toDF("user_id", "event_type", "event_time"),
+        Seq("view", "click"), watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("funnel_nulls").outputMode("append").start()
+    try {
+      fm.addData(Seq(
+        (1L, "view", nullTs),
+        (1L, null, ts("2024-01-01 00:00:30")),
+        (1L, "view", ts("2024-01-01 00:01:00")),
+        (1L, "click", ts("2024-01-01 00:02:00"))))
+      fq.processAllAvailable()
+    } finally fq.stop()
+    assert(spark.table("funnel_nulls").as[StatefulOps.FunnelProgress]
+      .collect().map(_.stage).sorted.toList == List(1L, 2L))
+
+    // capPerKeyStream: the NULL-ts row takes no quota slot
+    val qm = MemoryStream[(Long, String, java.sql.Timestamp)](spark)
+    val qq = StatefulOps.capPerKeyStream(
+        qm.toDS().toDF("doc_id", "source", "event_time"), n = 2,
+        watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("quota_nulls").outputMode("append").start()
+    try {
+      qm.addData(Seq(
+        (1L, "srcA", nullTs),
+        (2L, "srcA", ts("2024-01-01 00:00:00")),
+        (3L, "srcA", ts("2024-01-01 00:00:01"))))
+      qq.processAllAvailable()
+    } finally qq.stop()
+    val verdicts = spark.table("quota_nulls").as[StatefulOps.QuotaVerdict]
+      .collect().map(q => q.id -> q.accepted).toMap
+    assert(verdicts == Map(2L -> true, 3L -> true), s"got $verdicts")
+
+    // nearDupHits: NULL-ts twin is dropped; the live pair still flags
+    val nm = MemoryStream[(Long, String, java.sql.Timestamp)](spark)
+    val text = "the quick brown fox jumps over the lazy dog tonight"
+    val nq = StatefulOps.nearDupHits(
+        nm.toDS().toDF("doc_id", "text", "event_time"),
+        watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("neardup_nulls").outputMode("append").start()
+    try {
+      nm.addData(Seq(
+        (1L, text, ts("2024-01-01 00:00:00")),
+        (2L, text, nullTs),
+        (3L, text, ts("2024-01-01 00:00:01"))))
+      nq.processAllAvailable()
+    } finally nq.stop()
+    val hitIds = spark.table("neardup_nulls").as[StatefulOps.BandHit]
+      .collect().map(_.id).distinct.toList
+    assert(hitIds == List(3L), s"got $hitIds")
+
+    // editDistHits: same contract on the FastSS path
+    val em = MemoryStream[(Long, String, java.sql.Timestamp)](spark)
+    val eq = StatefulOps.editDistHits(
+        em.toDS().toDF("doc_id", "text", "event_time"),
+        watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("editdist_nulls").outputMode("append").start()
+    try {
+      em.addData(Seq(
+        (1L, "alpha beta gamma", ts("2024-01-01 00:00:00")),
+        (2L, "alpha beta gamma", nullTs),
+        (3L, "alpha beta gamma", ts("2024-01-01 00:00:01"))))
+      eq.processAllAvailable()
+    } finally eq.stop()
+    val sigHits = spark.table("editdist_nulls").as[StatefulOps.SigHit]
+      .collect().map(h => (h.id, h.first_id)).distinct.toList
+    assert(sigHits == List((3L, 1L)), s"got $sigHits")
+  }
 }
