@@ -2256,6 +2256,24 @@ object OracleSql {
          |SELECT p.qid, CAST(eq.label AS BIGINT) AS true_label,
          | CAST(p.label AS BIGINT) AS pred_label, CAST(p.votes AS BIGINT) AS votes
          |FROM p JOIN embeddings eq ON eq.vec_id = p.qid
-         |WHERE p.rn = 1 ORDER BY p.qid""".stripMargin
+         |WHERE p.rn = 1 ORDER BY p.qid""".stripMargin,
+
+    // q121's full SCD2 rebuild VERBATIM: the maintained dimension
+    // (bootstrap + two incremental merges + one replayed batch through
+    // the commit-marker protocol) must land on exactly the from-scratch
+    // window build over the whole log
+    "q160_dimension_sync" ->
+      """WITH o AS (SELECT user_id, ts, event_type, event_id,
+        |   lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+        |   row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        | c AS (SELECT user_id, ts, event_type, event_id FROM o
+        |   WHERE rn = 1 OR event_type IS DISTINCT FROM prev),
+        | v AS (SELECT user_id, event_type, ts AS valid_from,
+        |   lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+        |  FROM c)
+        |SELECT user_id, event_type, valid_from, valid_to,
+        |  valid_to IS NULL AS is_current
+        |FROM v ORDER BY user_id, valid_from, event_type NULLS FIRST""".stripMargin
   )
 }

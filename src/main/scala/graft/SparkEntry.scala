@@ -2339,6 +2339,49 @@ object SparkEntry {
       .orderBy("qid")
   }
 
+  /** Streaming SCD2 dimension maintenance, end state
+    * ([[graft.jobs.DimensionSync.applyBatch]]): the event log is driven
+    * through the idempotent foreachBatch protocol as three time-ordered
+    * micro-batches — INCLUDING a forced replay of the middle batch,
+    * which the commit-marker manifest must skip wholesale — and the
+    * final LIVE dimension is read back through [[graft.jobs
+    * .DimensionSync.currentDim]]. The oracle is q121's full SCD2 SQL
+    * rebuild over the whole log verbatim, so the gate proves by value
+    * that bootstrap + two incremental merges + one replay land on
+    * exactly the from-scratch dimension (q144's merge gate, extended to
+    * the versioned-commit protocol and its replay arm).
+    *
+    * The maintained dimension lives in a fresh temp directory per build
+    * (the RESULT is deterministic; the path is not part of it), so
+    * repeated bench/verify invocations never see each other's state.
+    */
+  private def q160(s: SparkSession, dir: String): DataFrame = {
+    import graft.jobs.DimensionSync
+    val ev = Tables.events(s, dir)
+    val dimDir = java.nio.file.Files
+      .createTempDirectory("graft_q160_dim_").toString
+    val c1 = lit(java.sql.Timestamp.valueOf("2024-01-11 00:00:00"))
+    val c2 = lit(java.sql.Timestamp.valueOf("2024-01-21 00:00:00"))
+    def apply(batch: DataFrame, id: Long): Boolean =
+      DimensionSync.applyBatch(dimDir, batch, id,
+        col("user_id"), col("ts"), col("event_type"), col("event_id"))
+    // time-ordered batches (scd2Apply's contract: a batch's events sit
+    // at/after each key's high-water mark); NULL ts rides in batch 0
+    require(apply(ev.filter(col("ts") < c1 || col("ts").isNull), 0L),
+      "bootstrap batch must apply")
+    require(apply(ev.filter(col("ts") >= c1 && col("ts") < c2), 1L),
+      "incremental batch must apply")
+    require(!apply(ev.filter(col("ts") >= c1 && col("ts") < c2), 1L),
+      "replayed batch id must be skipped by the commit manifest")
+    require(apply(ev.filter(col("ts") >= c2), 2L),
+      "post-replay batch must apply")
+    DimensionSync.currentDim(s, dimDir)
+      .getOrElse(sys.error("no committed dimension version"))
+      .select(col("key").as("user_id"), col("attr").as("event_type"),
+        col("valid_from"), col("valid_to"), col("is_current"))
+      .orderBy("user_id", "valid_from", "event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_tumble_alerts" -> q01 _,
     "q02_tumble_avg_parts" -> q02 _,
@@ -2498,7 +2541,8 @@ object SparkEntry {
     "q156_basket_rules" -> q156 _,
     "q157_time_weighted_avg" -> q157 _,
     "q158_transition_matrix" -> q158 _,
-    "q159_knn_classify" -> q159 _
+    "q159_knn_classify" -> q159 _,
+    "q160_dimension_sync" -> q160 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all
