@@ -2274,6 +2274,29 @@ object OracleSql {
         |  FROM c)
         |SELECT user_id, event_type, valid_from, valid_to,
         |  valid_to IS NULL AS is_current
-        |FROM v ORDER BY user_id, valid_from, event_type NULLS FIRST""".stripMargin
+        |FROM v ORDER BY user_id, valid_from, event_type NULLS FIRST""".stripMargin,
+
+    // all 8 lag taps replayed per row with head renormalization (NULL
+    // lag -> its weight drops from the denominator); // floors like the
+    // operator's portable (x - pmod) DIV spelling
+    "q161_ewma" -> {
+      val ws = Seq(128L, 64L, 32L, 16L, 8L, 4L, 2L, 1L)
+      val lagDefs = (1 until ws.size)
+        .map(k => s"lag(v, $k) OVER w AS v$k").mkString(", ")
+      val num = (s"${ws.head} * v" +: (1 until ws.size).map(k =>
+        s" + CASE WHEN v$k IS NULL THEN 0 ELSE ${ws(k)} * v$k END")).mkString
+      val den = (s"${ws.head}" +: (1 until ws.size).map(k =>
+        s" + CASE WHEN v$k IS NULL THEN 0 ELSE ${ws(k)} END")).mkString
+      s"""WITH o AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+         |    CAST(floor(value * 1000) AS BIGINT) AS v, event_id FROM events
+         |   WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+         | l AS (SELECT user_id, t, event_id, v, $lagDefs
+         |   FROM o WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+         | e AS (SELECT user_id, t, event_id, v,
+         |    ($num) AS num, ($den) AS den FROM l)
+         |SELECT user_id, t, event_id, CAST(v AS BIGINT) AS v_millis,
+         | CAST(num // den AS BIGINT) AS ewma_millis
+         |FROM e ORDER BY user_id, t, event_id""".stripMargin
+    }
   )
 }

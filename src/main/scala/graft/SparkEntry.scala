@@ -2382,6 +2382,21 @@ object SparkEntry {
       .orderBy("user_id", "valid_from", "event_type")
   }
 
+  /** Trailing EWMA ([[TimeSeries.ewmaTrailing]]): per-user exponential
+    * smoothing of event values (millis) over the last 8 observations
+    * with exact α=½ integer weights 128…1 — series heads renormalize
+    * over the taps that exist. The oracle replays all 8 lag taps and
+    * the portable floor division per row, so every smoothed value is
+    * hash-gated, not just aggregates.
+    */
+  private def q161(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.ewmaTrailing(Tables.events(s, dir),
+        col("user_id"), unix_timestamp(col("ts")),
+        floor(col("value") * 1000d), col("event_id"))
+      .select(col("key").as("user_id"), col("t"), col("ord").as("event_id"),
+        col("v").as("v_millis"), col("ewma").as("ewma_millis"))
+      .orderBy("user_id", "t", "event_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_tumble_alerts" -> q01 _,
     "q02_tumble_avg_parts" -> q02 _,
@@ -2542,7 +2557,8 @@ object SparkEntry {
     "q157_time_weighted_avg" -> q157 _,
     "q158_transition_matrix" -> q158 _,
     "q159_knn_classify" -> q159 _,
-    "q160_dimension_sync" -> q160 _
+    "q160_dimension_sync" -> q160 _,
+    "q161_ewma" -> q161 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

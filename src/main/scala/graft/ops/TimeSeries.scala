@@ -228,4 +228,50 @@ object TimeSeries {
       .withColumn("twa", expr("(__wv - pmod(__wv, span)) DIV span"))
       .drop("__wv")
   }
+
+  /** Trailing EWMA — exponential smoothing over each key's last
+    * `weights.size` observations in (time, tiebreak) order, the trend
+    * line for irregular integer series (sensor drift, quality-score
+    * drift across crawls). `weights.head` multiplies the CURRENT
+    * observation, `weights(k)` the k-th lag; missing lags (series
+    * head) renormalize by dropping their weight, so early rows are the
+    * EWMA of what exists rather than decayed toward zero. The default
+    * half-life-of-one weights `128,64,…,1` make the classic α=½ EWMA
+    * EXACT in integers over an 8-sample horizon (the dropped tail
+    * weight is <1/256 of the total) — floating-point decay would make
+    * engine parity a rounding lottery.
+    *
+    * `ewma = Σ wₖ·x₍ₜ₋ₖ₎ floordiv Σ wₖ` (portable floor division, so
+    * negative series floor identically on every engine).
+    *
+    * Scale shape: ONE per-key ordered window evaluating K codegen'd
+    * `lag` taps — one shuffle + sort, no self-join, no explode; K is a
+    * literal, so the whole tap chain stays inside whole-stage codegen.
+    */
+  def ewmaTrailing(
+      df: DataFrame,
+      keyCol: Column,
+      tsSecCol: Column,
+      valCol: Column,
+      ordCol: Column,
+      weights: Seq[Long] = Seq(128L, 64L, 32L, 16L, 8L, 4L, 2L, 1L)
+  ): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_ > 0), "weights must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("__k")).orderBy(col("__t"), col("__o"))
+    val base = df.select(keyCol.as("__k"), tsSecCol.cast("long").as("__t"),
+        valCol.cast("long").as("__v"), ordCol.as("__o"))
+      .filter(col("__k").isNotNull && col("__t").isNotNull && col("__v").isNotNull)
+    val taps = weights.zipWithIndex.map { case (wk, k) =>
+      val x = if (k == 0) col("__v") else lag(col("__v"), k).over(w)
+      (when(x.isNotNull, x * lit(wk)).otherwise(lit(0L)),
+        when(x.isNotNull, lit(wk)).otherwise(lit(0L)))
+    }
+    base
+      .withColumn("__num", taps.map(_._1).reduce(_ + _))
+      .withColumn("__den", taps.map(_._2).reduce(_ + _))
+      .select(col("__k").as("key"), col("__t").as("t"), col("__o").as("ord"),
+        col("__v").as("v"),
+        expr("(__num - pmod(__num, __den)) DIV __den").as("ewma"))
+  }
 }

@@ -114,6 +114,32 @@ class TimeSeriesSpec extends SparkTestBase {
     assert(got2 == -5L, s"floor(-14/3) = -5, got $got2") // not trunc(-4)
   }
 
+  test("ewmaTrailing: exact α=1/2 smoothing, head renormalization, floor on negatives") {
+    // u: values 10, 20, 40 at t=0,1,2 —
+    //   t=0: only the current tap exists -> ewma = 10
+    //   t=1: (128*20 + 64*10) / 192 = 3200/192 = 16.666 -> 16
+    //   t=2: (128*40 + 64*20 + 32*10) / 224 = 6720/224 = 30
+    val obs = Seq(("u", 0L, 10L, 1L), ("u", 1L, 20L, 2L), ("u", 2L, 40L, 3L))
+      .toDF("k", "t", "v", "o")
+    val got = TimeSeries.ewmaTrailing(obs, col("k"), col("t"), col("v"), col("o"))
+      .select("t", "ewma").as[(Long, Long)].collect().sortBy(_._1).toList
+    assert(got == List((0L, 10L), (1L, 16L), (2L, 30L)), s"got $got")
+
+    // negative numerator floors (portable // semantics), never truncates
+    val neg = Seq(("u", 0L, -10L, 1L), ("u", 1L, 3L, 2L)).toDF("k", "t", "v", "o")
+    val gotNeg = TimeSeries.ewmaTrailing(neg, col("k"), col("t"), col("v"), col("o"))
+      .select("t", "ewma").as[(Long, Long)].collect().sortBy(_._1).toList
+    // t=1: (128*3 - 64*10)/192 = -256/192 = -1.33 -> floor -2 (not trunc -1)
+    assert(gotNeg == List((0L, -10L), (1L, -2L)), s"got $gotNeg")
+
+    // beyond the horizon the 9th-oldest value stops contributing
+    val long = (0 to 8).map(i => ("u", i.toLong, if (i == 0) 1000000L else 0L, i.toLong))
+      .toDF("k", "t", "v", "o")
+    val tail = TimeSeries.ewmaTrailing(long, col("k"), col("t"), col("v"), col("o"))
+      .filter(col("t") === 8L).select("ewma").as[Long].head()
+    assert(tail == 0L, s"t=8 must not see t=0's spike, got $tail")
+  }
+
   test("intervalUnion: a zero-length interval between islands does not merge them") {
     // [0,5) and [5,5) and [6,10): the empty interval at 5 is dropped;
     // [0,5) and [6,10) stay two islands (gap at [5,6))
