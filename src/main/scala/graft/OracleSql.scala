@@ -2297,6 +2297,21 @@ object OracleSql {
          |SELECT user_id, t, event_id, CAST(v AS BIGINT) AS v_millis,
          | CAST(num // den AS BIGINT) AS ewma_millis
          |FROM e ORDER BY user_id, t, event_id""".stripMargin
-    }
+    },
+
+    // per-dimension extremes via generate_series + 1-based list indexing
+    // (DuckDB 1.0 has no WITH ORDINALITY), then every cell renormalized
+    // — floor over IEEE doubles matches Spark bit-for-bit
+    "q162_minmax_normalize" ->
+      """WITH g AS (SELECT unnest(generate_series(1, 64)) AS i),
+        | s AS (SELECT i, min(embedding[i]::DOUBLE) AS mn,
+        |    max(embedding[i]::DOUBLE) AS mx
+        |   FROM embeddings, g WHERE embedding IS NOT NULL GROUP BY i)
+        |SELECT e.vec_id, CAST(s.i - 1 AS BIGINT) AS pos,
+        | CAST(CASE WHEN s.mx = s.mn THEN 0
+        |   ELSE floor((e.embedding[s.i]::DOUBLE - s.mn) * 1000000 / (s.mx - s.mn))
+        |   END AS BIGINT) AS norm_ppm
+        |FROM embeddings e, s WHERE e.embedding IS NOT NULL
+        |ORDER BY vec_id, pos""".stripMargin
   )
 }

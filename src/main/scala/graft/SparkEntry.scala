@@ -2397,6 +2397,20 @@ object SparkEntry {
         col("v").as("v_millis"), col("ewma").as("ewma_millis"))
       .orderBy("user_id", "t", "event_id")
 
+  /** Per-dimension min-max normalization
+    * ([[graft.ext.Quantize.minMaxNormalizePpm]]): corpus (min, max) per
+    * embedding dimension, then every component rescaled to integer ppm
+    * — the feature-scaling pass before distance-based ops. The stats
+    * ride as literal arrays (map-side apply, q141 convention); the
+    * oracle recomputes both the per-dimension extremes and every
+    * normalized cell, so the whole matrix is hash-gated.
+    */
+  private def q162(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Quantize.minMaxNormalizePpm(
+        Tables.embeddings(s, dir), col("vec_id"), col("embedding"))
+      .select(col("id").as("vec_id"), col("pos"), col("norm_ppm"))
+      .orderBy("vec_id", "pos")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_tumble_alerts" -> q01 _,
     "q02_tumble_avg_parts" -> q02 _,
@@ -2558,7 +2572,8 @@ object SparkEntry {
     "q158_transition_matrix" -> q158 _,
     "q159_knn_classify" -> q159 _,
     "q160_dimension_sync" -> q160 _,
-    "q161_ewma" -> q161 _
+    "q161_ewma" -> q161 _,
+    "q162_minmax_normalize" -> q162 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all
