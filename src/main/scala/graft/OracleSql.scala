@@ -2312,6 +2312,21 @@ object OracleSql {
         |   ELSE floor((e.embedding[s.i]::DOUBLE - s.mn) * 1000000 / (s.mx - s.mn))
         |   END AS BIGINT) AS norm_ppm
         |FROM embeddings e, s WHERE e.embedding IS NOT NULL
-        |ORDER BY vec_id, pos""".stripMargin
+        |ORDER BY vec_id, pos""".stripMargin,
+
+    // the ranked top-10 vocabulary (count desc, token asc at ties) then
+    // per-document occurrence counts via a LEFT JOIN membership probe
+    "q163_oov_rate" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |   FROM documents WHERE text IS NOT NULL),
+        | c AS (SELECT tok, count(*) AS n FROM t GROUP BY 1),
+        | v AS (SELECT tok FROM c ORDER BY n DESC, tok LIMIT 10),
+        | d AS (SELECT t.doc_id, count(*) AS n_tokens,
+        |    sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS n_oov
+        |   FROM t LEFT JOIN v ON t.tok = v.tok GROUP BY 1)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        | CAST(n_oov AS BIGINT) AS n_oov,
+        | CAST(n_oov * 1000000 // n_tokens AS BIGINT) AS oov_ppm
+        |FROM d ORDER BY doc_id""".stripMargin
   )
 }

@@ -2411,6 +2411,20 @@ object SparkEntry {
       .select(col("id").as("vec_id"), col("pos"), col("norm_ppm"))
       .orderBy("vec_id", "pos")
 
+  /** Vocabulary OOV rate ([[TextOps.oovStats]]): each document's
+    * out-of-vocabulary token share against the corpus's own top-10
+    * vocabulary (the fixture has 31 distinct tokens, so the boundary
+    * and the rates are all exercised). The oracle rebuilds the ranked
+    * vocabulary — including the frequency-tie lexicographic break —
+    * and every per-document count.
+    */
+  private def q163(s: SparkSession, dir: String): DataFrame =
+    TextOps.oovStats(Tables.documents(s, dir),
+        col("doc_id"), col("text"), vocabSize = 10)
+      .select(col("id").as("doc_id"), col("n_tokens"), col("n_oov"),
+        col("oov_ppm"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_tumble_alerts" -> q01 _,
     "q02_tumble_avg_parts" -> q02 _,
@@ -2573,7 +2587,8 @@ object SparkEntry {
     "q159_knn_classify" -> q159 _,
     "q160_dimension_sync" -> q160 _,
     "q161_ewma" -> q161 _,
-    "q162_minmax_normalize" -> q162 _
+    "q162_minmax_normalize" -> q162 _,
+    "q163_oov_rate" -> q163 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

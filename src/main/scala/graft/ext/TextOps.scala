@@ -840,4 +840,41 @@ object TextOps {
       .select(col("qid"), col("id"), col("score_micro"),
         col("n_matched"), col("rnk"))
   }
+
+  /** Per-document out-of-vocabulary rate against the corpus's own
+    * top-`vocabSize` token vocabulary (ties at the frequency boundary
+    * break to the lexicographically smaller token, so the vocabulary is
+    * deterministic) — the tokenizer-coverage diagnostic: a corpus slice
+    * with a high OOV rate against the training vocabulary is exactly
+    * the slice a fixed tokenizer will shred into bytes. Counts are by
+    * occurrence (multiplicity), `oov_ppm = n_oov·10⁶ div n_tokens`.
+    *
+    * Scale shape: the vocabulary build is one token-keyed aggregate
+    * (map-side partials are vocabulary-bounded per task — Heaps' law)
+    * topped by Spark's partial top-N (`TakeOrderedAndProject`, no
+    * global sort); the probe side BROADCASTS the ≤`vocabSize` vocab
+    * onto the exploded tokens and re-aggregates per document (doc keys
+    * are partition-local after explode, so the partial agg collapses
+    * each doc before the shuffle). The corpus is scanned twice —
+    * deliberately: re-reading beats materializing an exploded
+    * token table at 100 TB.
+    */
+  def oovStats(
+      docs: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      vocabSize: Int
+  ): DataFrame = {
+    val toks = docs.filter(textCol.isNotNull)
+      .select(idCol.as("id"), explode(tokens(textCol)).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("__n"))
+      .orderBy(col("__n").desc, col("tok"))
+      .limit(vocabSize)
+      .select(col("tok"), lit(1).as("__in"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_ppm", expr("(n_oov * 1000000) DIV n_tokens"))
+  }
 }

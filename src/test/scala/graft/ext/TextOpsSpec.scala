@@ -449,4 +449,22 @@ class TextOpsSpec extends SparkTestBase {
       .select("w1", "w2").as[(String, String)].collect().head
     assert(first == ("a", "b"))
   }
+
+  test("oovStats: boundary ties break to the smaller token; multiplicity counts") {
+    // freqs: a=4, b=3, c=3, d=1 — vocab of 2 is {a, b}: b beats c on
+    // the lexicographic tie at count 3
+    val docs = Seq(
+      (1L, "a a a b b"), // all in vocab -> 0/5
+      (2L, "a c c d"),   // c,c,d oov -> 3/4
+      (3L, "b c"),       // c oov -> 1/2
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = TextOps.oovStats(docs, col("doc_id"), col("text"), 2)
+      .select("id", "n_tokens", "n_oov", "oov_ppm")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 5L, 0L, 0L)))
+    assert(got(2L) == ((2L, 4L, 3L, 750000L)))
+    assert(got(3L) == ((3L, 2L, 1L, 500000L)))
+    assert(!got.contains(4L), "NULL text emits no row")
+  }
 }
