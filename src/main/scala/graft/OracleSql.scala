@@ -2327,6 +2327,19 @@ object OracleSql {
         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
         | CAST(n_oov AS BIGINT) AS n_oov,
         | CAST(n_oov * 1000000 // n_tokens AS BIGINT) AS oov_ppm
-        |FROM d ORDER BY doc_id""".stripMargin
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    // the same +1-span equi-width binning ((x-lo)*n // (hi-lo+1) needs
+    // no clamp and floors identically on a non-negative numerator),
+    // bucket bounds by observation
+    "q164_histogram" ->
+      """WITH o AS (SELECT CAST(floor(value * 1000) AS BIGINT) AS v
+        |   FROM events WHERE value IS NOT NULL),
+        | s AS (SELECT min(v) AS lo, max(v) AS hi FROM o),
+        | b AS (SELECT CAST(((v - lo) * 20) // (hi - lo + 1) AS BIGINT) AS bucket, v
+        |   FROM o, s)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+        | min(v) AS min_v, max(v) AS max_v
+        |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin
   )
 }

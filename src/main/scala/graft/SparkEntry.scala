@@ -2425,6 +2425,17 @@ object SparkEntry {
         col("oov_ppm"))
       .orderBy("doc_id")
 
+  /** Equi-width histogram ([[Profile.histogram]]): 20 equal-width bins
+    * over event value millis between the observed extremes, each
+    * emitted bucket carrying its exact count and observed (min, max).
+    * The oracle replays the span arithmetic and the per-bucket
+    * aggregates, pinning both the binning formula and the bounds.
+    */
+  private def q164(s: SparkSession, dir: String): DataFrame =
+    Profile.histogram(Tables.events(s, dir),
+        floor(col("value") * 1000d), buckets = 20)
+      .orderBy("bucket")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_tumble_alerts" -> q01 _,
     "q02_tumble_avg_parts" -> q02 _,
@@ -2588,7 +2599,8 @@ object SparkEntry {
     "q160_dimension_sync" -> q160 _,
     "q161_ewma" -> q161 _,
     "q162_minmax_normalize" -> q162 _,
-    "q163_oov_rate" -> q163 _
+    "q163_oov_rate" -> q163 _,
+    "q164_histogram" -> q164 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

@@ -58,4 +58,40 @@ object Profile {
       .select(col("p.col_name"), col("p.n_rows"), col("p.n_nulls"),
         col("p.n_distinct"), col("p.min_repr"), col("p.max_repr"))
   }
+
+  /** Equi-width histogram over an integer-canonical column (same
+    * portability contract as [[profile]]: the caller maps doubles to
+    * exact millis/micros first) — the distribution companion to the
+    * range row above, and the input a query planner's selectivity
+    * check or a drift monitor actually wants. `buckets` equal-width
+    * bins over the OBSERVED [min, max]:
+    * `bucket = (x − lo)·buckets floordiv (hi − lo + 1)` — the +1 span
+    * keeps the maximum inside the last bucket with no clamp branch,
+    * and a non-negative numerator makes DIV a true floor on every
+    * engine. Only non-empty buckets are emitted, each with its exact
+    * observed `(min_v, max_v)` — bounds by observation, not by the
+    * (non-integral) theoretical bucket edges, so the output is
+    * engine-portable without rounding fences.
+    *
+    * Scale shape: one min/max aggregate (2 longs to the driver), then
+    * one map-side bucket projection + one ≤`buckets`-key aggregate —
+    * the second pass's shuffle ships at most `buckets` cells per task.
+    */
+  def histogram(df: DataFrame, valueCol: Column, buckets: Int): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val base = df.select(valueCol.cast("long").as("__v"))
+      .filter(col("__v").isNotNull)
+    val r = base.agg(min(col("__v")), max(col("__v"))).head()
+    if (r.isNullAt(0))
+      return base.select(lit(0L).as("bucket"), lit(0L).as("n_rows"),
+        col("__v").as("min_v"), col("__v").as("max_v")).limit(0)
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    val span = hi - lo + 1
+    base
+      .withColumn("__num", (col("__v") - lit(lo)) * lit(buckets.toLong))
+      .withColumn("bucket", expr(s"__num DIV ${span}L"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("__v")).as("min_v"), max(col("__v")).as("max_v"))
+  }
 }

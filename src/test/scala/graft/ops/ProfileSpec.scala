@@ -31,6 +31,30 @@ class ProfileSpec extends SparkTestBase {
     assert(r.isNullAt(4) && r.isNullAt(5))
   }
 
+  test("histogram: +1-span binning keeps the max in the last bucket; observed bounds") {
+    // values 0..9, 5 buckets over span 10 -> pairs {0,1},{2,3},...,{8,9}
+    val df = (0L to 9L).toDF("v")
+    val got = Profile.histogram(df, col("v"), 5)
+      .orderBy("bucket")
+      .as[(Long, Long, Long, Long)].collect().toList
+    assert(got == (0L to 4L).map(b => (b, 2L, 2 * b, 2 * b + 1)).toList, s"got $got")
+    // skewed span: 3 values over [0, 100], 4 buckets — max lands in
+    // bucket 3 ((100*4)//101), no clamp, empty buckets not emitted
+    val skew = Seq(0L, 1L, 100L).toDF("v")
+    val got2 = Profile.histogram(skew, col("v"), 4)
+      .orderBy("bucket").as[(Long, Long, Long, Long)].collect().toList
+    assert(got2 == List((0L, 2L, 0L, 1L), (3L, 1L, 100L, 100L)), s"got $got2")
+    // all-NULL column -> empty histogram, not a crash
+    assert(Profile.histogram(Seq(Option.empty[Long]).toDF("v"), col("v"), 3)
+      .count() == 0L)
+    // negative domain: lo anchors at the minimum, numerator stays >= 0;
+    // span 16 over 2 buckets splits at -2|-1 (-1 -> (9*2)//16 = 1)
+    val neg = Seq(-10L, -1L, 5L).toDF("v")
+    val got3 = Profile.histogram(neg, col("v"), 2)
+      .orderBy("bucket").as[(Long, Long, Long, Long)].collect().toList
+    assert(got3 == List((0L, 1L, -10L, -10L), (1L, 2L, -1L, 5L)), s"got $got3")
+  }
+
   test("profile: single aggregate job — the multi-distinct plans as one Expand") {
     val df = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
     val plan = Profile.profile(df, Seq("id" -> col("id"), "s" -> col("s")))
