@@ -2340,6 +2340,12 @@ object OracleSql {
         |   FROM o, s)
         |SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
         | min(v) AS min_v, max(v) AS max_v
-        |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin
+        |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    // the PLAIN count(DISTINCT): the salted two-stage plan must be
+    // bit-identical to it — the gate proves losslessness of the split
+    "q165_salted_distinct" ->
+      """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+        |FROM events GROUP BY 1 ORDER BY event_type NULLS FIRST""".stripMargin
   )
 }

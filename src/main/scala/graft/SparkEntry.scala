@@ -8,7 +8,7 @@ import org.apache.spark.sql.types.DecimalType
 import graft.core.Tables
 import graft.ext.{Bmff, Bpe, Dedup, Multimodal, Png, Quantize, Sampling, SimSearch, TextOps}
 import graft.functions.{Hashing, VectorOps}
-import graft.ops.{AsOfJoin, Behavior, Graph, MarketBasket, Profile, SensorOps, Sketches, Snapshot, TimeSeries, Windows}
+import graft.ops.{AsOfJoin, Behavior, Graph, MarketBasket, Profile, SensorOps, Sketches, Skew, Snapshot, TimeSeries, Windows}
 
 /** Driver contract (SURVEY.md §5, §7): one query per implemented operator,
   * each with an ANSI-SQL DuckDB oracle over the same parquet tables.
@@ -2436,6 +2436,17 @@ object SparkEntry {
         floor(col("value") * 1000d), buckets = 20)
       .orderBy("bucket")
 
+  /** Salted exact distinct count ([[Skew.saltedDistinct]]): distinct
+    * users per event type through the two-stage value-hash-salted plan
+    * — the hot-key-safe spelling whose result must be IDENTICAL to a
+    * plain `count(DISTINCT)`, which is precisely what the oracle runs.
+    * The gate pins that the salt split is lossless, not approximate.
+    */
+  private def q165(s: SparkSession, dir: String): DataFrame =
+    Skew.saltedDistinct(Tables.events(s, dir),
+        Seq("event_type"), col("user_id"), saltBuckets = 16)
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_tumble_alerts" -> q01 _,
     "q02_tumble_avg_parts" -> q02 _,
@@ -2600,7 +2611,8 @@ object SparkEntry {
     "q161_ewma" -> q161 _,
     "q162_minmax_normalize" -> q162 _,
     "q163_oov_rate" -> q163 _,
-    "q164_histogram" -> q164 _
+    "q164_histogram" -> q164 _,
+    "q165_salted_distinct" -> q165 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

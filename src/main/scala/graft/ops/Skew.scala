@@ -53,4 +53,33 @@ object Skew {
       .groupBy(keys: _*)
       .agg(sum(col("__pn")).as("n"), sum(col("__ps")).as("sum"))
   }
+
+  /** EXACT count(DISTINCT value) per key, salted — the aggregate the
+    * random-salt family above can't serve: distinct is not algebraic
+    * under an arbitrary split, so the salt here is the VALUE's hash,
+    * `pmod(hash(value), buckets)`. Equal values land in the same
+    * bucket by construction, so per-(key, bucket) distinct counts
+    * partition the key's distinct set and their SUM is exact — no
+    * randomness, no approximation, and the replay is deterministic.
+    *
+    * This is the 100 TB shape for "distinct users of the one hot
+    * event": a plain `count(DISTINCT)` funnels the hot key's whole
+    * value set through one reducer; here it spreads over `buckets`
+    * reducers, each deduplicating only its hash slice. NULL values
+    * are ignored (SQL `count(DISTINCT)` semantics) but their KEYS are
+    * kept — an all-NULL key still reports `n_distinct = 0`, exactly
+    * like a plain GROUP BY would (Spark's `hash` maps NULL to its
+    * seed, so those rows ride one ordinary bucket with a 0 partial);
+    * NULL keys form their own group like any GROUP BY.
+    */
+  def saltedDistinct(df: DataFrame, keyCols: Seq[String], valueCol: Column,
+                     saltBuckets: Int = 16): DataFrame = {
+    val keys = keyCols.map(col)
+    df.withColumn("__v", valueCol)
+      .withColumn("__salt", pmod(hash(col("__v")), lit(saltBuckets)))
+      .groupBy(keys :+ col("__salt"): _*)
+      .agg(countDistinct(col("__v")).as("__partial"))
+      .groupBy(keys: _*)
+      .agg(sum(col("__partial")).as("n_distinct"))
+  }
 }

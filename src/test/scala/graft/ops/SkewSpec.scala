@@ -52,4 +52,30 @@ class SkewSpec extends SparkTestBase {
       }
     }
   }
+
+  test("saltedDistinct equals plain count(DISTINCT), including NULL keys and values") {
+    import org.apache.spark.sql.functions.{col, countDistinct}
+    val rows = Seq(
+      (Some("hot"), Some(1L)), (Some("hot"), Some(2L)), (Some("hot"), Some(2L)),
+      (Some("hot"), Some(3L)), (Some("hot"), None),
+      (Some("cold"), Some(1L)),
+      (Some("empty"), None),            // all-NULL values -> 0, key KEPT
+      (None, Some(9L)), (None, Some(9L)) // NULL key is its own group
+    ).toDF("k", "v")
+    val salted = Skew.saltedDistinct(rows, Seq("k"), col("v"), saltBuckets = 4)
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    val plain = rows.groupBy("k").agg(countDistinct(col("v")).as("n"))
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(salted == plain, s"salted $salted vs plain $plain")
+    assert(salted == Map(Some("hot") -> 3L, Some("cold") -> 1L,
+      Some("empty") -> 0L, None -> 1L))
+    // larger randomized-ish domain: every bucket count must still be exact
+    val big = (0 until 5000).map(i => (s"k${i % 7}", (i * 13 % 997).toLong))
+      .toDF("k", "v")
+    val s2 = Skew.saltedDistinct(big, Seq("k"), col("v"), saltBuckets = 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val p2 = big.groupBy("k").agg(countDistinct(col("v")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(s2 == p2)
+  }
 }
