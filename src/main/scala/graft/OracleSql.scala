@@ -2346,6 +2346,18 @@ object OracleSql {
     // bit-identical to it — the gate proves losslessness of the split
     "q165_salted_distinct" ->
       """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
-        |FROM events GROUP BY 1 ORDER BY event_type NULLS FIRST""".stripMargin
+        |FROM events GROUP BY 1 ORDER BY event_type NULLS FIRST""".stripMargin,
+
+    // the full unrolled 10-bit Morton interleave replayed per row;
+    // ((x % m) + m) % m is pmod, floor(value*1000) the shared millis
+    "q166_zorder_key" -> {
+      val zexpr = graft.ops.ZOrder.zKeySql("a", "b", bits = 10)
+      s"""WITH o AS (SELECT event_id,
+         |    ((user_id % 1024) + 1024) % 1024 AS a,
+         |    ((CAST(floor(value * 1000) AS BIGINT) % 1024) + 1024) % 1024 AS b
+         |   FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL)
+         |SELECT event_id, CAST($zexpr AS BIGINT) AS zkey
+         |FROM o ORDER BY event_id""".stripMargin
+    }
   )
 }

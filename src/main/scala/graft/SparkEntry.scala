@@ -2447,6 +2447,22 @@ object SparkEntry {
         Seq("event_type"), col("user_id"), saltBuckets = 16)
       .orderBy("event_type")
 
+  /** Z-order layout key ([[graft.ops.ZOrder.zKey]]): every event's
+    * 10-bit (user, value-decile-millis) Morton key — the sort column a
+    * two-dimensionally clustered corpus drop would range-shard on. The
+    * oracle replays the full unrolled bit-interleave per row, so all
+    * 20 taps are hash-gated.
+    */
+  private def q166(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .filter(col("user_id").isNotNull && col("value").isNotNull)
+    val a = pmod(col("user_id"), lit(1024L))
+    val b = pmod(floor(col("value") * 1000d).cast("long"), lit(1024L))
+    ev.select(col("event_id"),
+        graft.ops.ZOrder.zKey(a, b, bits = 10).as("zkey"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_tumble_alerts" -> q01 _,
     "q02_tumble_avg_parts" -> q02 _,
@@ -2612,7 +2628,8 @@ object SparkEntry {
     "q162_minmax_normalize" -> q162 _,
     "q163_oov_rate" -> q163 _,
     "q164_histogram" -> q164 _,
-    "q165_salted_distinct" -> q165 _
+    "q165_salted_distinct" -> q165 _,
+    "q166_zorder_key" -> q166 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class ZOrderSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** JVM reference interleave for cross-checking the column expression. */
+  private def ref(a: Long, b: Long, bits: Int): Long =
+    (0 until bits).map { i =>
+      (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))
+    }.reduce(_ | _)
+
+  test("zKey: hand values, exhaustive 4-bit cross-check, high bits ignored") {
+    // a=5 (101) -> positions 0,2,4 = 1+0+16; b=3 (011) -> positions 1,3 = 2+8
+    assert(ref(5L, 3L, 3) == 27L)
+    val pairs = for (a <- 0L until 16L; b <- 0L until 16L) yield (a, b)
+    val got = pairs.toDF("a", "b")
+      .select(col("a"), col("b"), ZOrder.zKey(col("a"), col("b"), 4).as("z"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (a, b, z) =>
+      assert(z == ref(a, b, 4), s"($a, $b): got $z, want ${ref(a, b, 4)}")
+    }
+    // bijective over the 4-bit square: 256 distinct keys covering 0..255
+    assert(got.map(_._3).distinct.length == 256)
+    assert(got.map(_._3).min == 0L && got.map(_._3).max == 255L)
+    // bits above the width are ignored (caller maps the domain)
+    val high = Seq((16L, 0L)).toDF("a", "b")
+      .select(ZOrder.zKey(col("a"), col("b"), 4)).as[Long].head()
+    assert(high == 0L)
+  }
+
+  test("zKey prefixes are quadrant ids: top bits bound BOTH dimensions") {
+    // for 4-bit keys, z >> 6 identifies the 4x4 coarse cell: every key
+    // sharing a prefix sits in a 4-wide range of each dimension — the
+    // property zone-map pruning on a z-sorted file relies on
+    val pairs = for (a <- 0L until 16L; b <- 0L until 16L) yield (a, b)
+    pairs.foreach { case (a, b) =>
+      // the key's top bits are exactly the interleave of the coarse
+      // coordinates, so a shared prefix pins a sub-square in (a, b)
+      assert((ref(a, b, 4) >> 4) == ref(a >> 2, b >> 2, 2),
+        s"prefix of z($a,$b) must equal z of the coarse coords")
+    }
+  }
+}
