@@ -2358,6 +2358,40 @@ object OracleSql {
          |   FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL)
          |SELECT event_id, CAST($zexpr AS BIGINT) AS zkey
          |FROM o ORDER BY event_id""".stripMargin
-    }
+    },
+
+    // q37's exact chain and q41's IVF chain rebuilt side by side, then
+    // the per-query overlap — the recall metric itself is value-gated
+    "q167_ann_recall" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         | q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+         | c AS (SELECT vec_id AS vid, v AS cv FROM e),
+         | xs AS (SELECT qid, vid, $cosExpr AS cos FROM q, c WHERE qid <> vid),
+         | xr AS (SELECT qid, vid,
+         |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rk FROM xs),
+         | ex AS (SELECT qid, vid FROM xr WHERE rk <= 10),
+         | hp AS (SELECT vec_id AS pid, v AS pv,
+         |         ('0x'||substr(md5('9:'||CAST(vec_id AS VARCHAR)),1,8))::BIGINT AS hsh FROM e),
+         | p AS (SELECT pid, pv, cent_id FROM (
+         |        SELECT pid, pv, CAST(row_number() OVER (ORDER BY hsh, pid) AS BIGINT) AS cent_id
+         |        FROM hp) WHERE cent_id <= 32),
+         | ac AS (SELECT vid, cv, cent_id FROM (
+         |        SELECT e.vec_id AS vid, e.v AS cv, p.cent_id,
+         |         row_number() OVER (PARTITION BY e.vec_id ORDER BY $pivotDist, p.cent_id) AS cr
+         |        FROM e CROSS JOIN p) WHERE cr = 1),
+         | aq AS (SELECT qid, qv, cent_id FROM (
+         |        SELECT e.vec_id AS qid, e.v AS qv, p.cent_id,
+         |         row_number() OVER (PARTITION BY e.vec_id ORDER BY $pivotDist, p.cent_id) AS cr
+         |        FROM e CROSS JOIN p WHERE e.vec_id < 5) WHERE cr <= 8),
+         | sa AS (SELECT qid, vid, $cosExpr AS cos FROM aq JOIN ac USING (cent_id) WHERE qid <> vid),
+         | ar AS (SELECT qid, vid,
+         |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rk FROM sa),
+         | ap AS (SELECT qid, vid FROM ar WHERE rk <= 10),
+         | j AS (SELECT ex.qid, CASE WHEN ap.vid IS NULL THEN 0 ELSE 1 END AS hit
+         |       FROM ex LEFT JOIN ap ON ex.qid = ap.qid AND ex.vid = ap.vid)
+         |SELECT qid, CAST(count(*) AS BIGINT) AS n_exact,
+         | CAST(sum(hit) AS BIGINT) AS n_hit,
+         | CAST(sum(hit) * 1000000 // count(*) AS BIGINT) AS recall_ppm
+         |FROM j GROUP BY qid ORDER BY qid""".stripMargin
   )
 }

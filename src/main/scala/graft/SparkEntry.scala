@@ -2463,6 +2463,23 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** ANN recall eval ([[SimSearch.recallAtK]]): recall@10 of the
+    * pivot-IVF index (q41's exact configuration) against the
+    * brute-force ranking (q37's) — the quality gate that justifies
+    * shipping the bucketed index. The oracle recomputes BOTH retrieval
+    * pipelines in SQL and the per-query overlap, so the eval metric
+    * itself is value-gated, not just the lists it consumes.
+    */
+  private def q167(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val q = emb.filter(col("vec_id") < 5)
+    SimSearch.recallAtK(
+        SimSearch.topKBruteForce(emb, q, k = 10),
+        SimSearch.topKIvfPivots(emb, q, k = 10, nlist = 32, nprobe = 8),
+        k = 10)
+      .orderBy("qid")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_tumble_alerts" -> q01 _,
     "q02_tumble_avg_parts" -> q02 _,
@@ -2629,7 +2646,8 @@ object SparkEntry {
     "q163_oov_rate" -> q163 _,
     "q164_histogram" -> q164 _,
     "q165_salted_distinct" -> q165 _,
-    "q166_zorder_key" -> q166 _
+    "q166_zorder_key" -> q166 _,
+    "q167_ann_recall" -> q167 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

@@ -325,6 +325,32 @@ object SimSearch {
       .select(col("qid"), col("id"), col("rrf_micro"), col("n_lists"), col("rank"))
   }
 
+  /** Recall@k — the ANN quality gate: per query, the fraction of the
+    * EXACT top-`k` neighbor set that the approximate list recovered,
+    * in integer ppm. This is the number that justifies (or vetoes)
+    * shipping a bucketed index instead of the brute-force scan, so it
+    * is a first-class operator, not a notebook afterthought. Both
+    * inputs share the `(qid, vid, rank)` retrieval shape.
+    *
+    * Per query: `n_exact` (≤ k; boundary queries may have fewer),
+    * `n_hit` (exact neighbors present anywhere in the approx top-k),
+    * `recall_ppm = n_hit·10⁶ div n_exact`.
+    *
+    * Scale: one (qid, vid) left-semi-shaped join between two k-bounded
+    * lists (≤ queries·k rows each) + one per-query aggregate — the
+    * eval never touches the corpus, only the result lists.
+    */
+  def recallAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    val e = exact.filter(col("rank") <= k).select(col("qid"), col("vid"))
+    val a = approx.filter(col("rank") <= k)
+      .select(col("qid"), col("vid"), lit(1L).as("__hit"))
+    e.join(a, Seq("qid", "vid"), "left")
+      .groupBy("qid")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall_ppm", expr("(n_hit * 1000000) DIV n_exact"))
+  }
+
   /** Fixed-point embedding: each float component → `floor(x · 10⁶)` as
     * BIGINT. The integer domain is what makes [[trainIvfCentroidsExact]]
     * deterministic: long sums are exact and order-independent, so the

@@ -187,4 +187,23 @@ class SimSearchSpec extends SparkTestBase {
     assert(math.abs(r.getAs[Double]("cos") - 24.0 / 25.0) < 1e-12)
     assert(math.abs(r.getAs[Double]("l2") - math.sqrt(2.0)) < 1e-12)
   }
+
+  test("recallAtK: overlap ppm per query, short exact lists, rank cut respected") {
+    def list(rows: (Long, Long, Long)*) =
+      rows.toDF("qid", "vid", "rank")
+    val exact = list((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L),
+      (2L, 20L, 1L), (2L, 21L, 2L),
+      (3L, 30L, 1L)) // boundary query: only one exact neighbor
+    val approx = list(
+      (1L, 11L, 1L), (1L, 99L, 2L), (1L, 10L, 3L), // 2 of 3, order irrelevant
+      (2L, 20L, 1L), (2L, 21L, 2L),                // perfect
+      (3L, 31L, 1L),                               // miss
+      (3L, 30L, 4L))                               // beyond k -> no credit
+    val got = SimSearch.recallAtK(exact, approx, k = 3)
+      .select("qid", "n_exact", "n_hit", "recall_ppm")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 3L, 2L, 666666L)))
+    assert(got(2L) == ((2L, 2L, 2L, 1000000L)))
+    assert(got(3L) == ((3L, 1L, 0L, 0L)))
+  }
 }
