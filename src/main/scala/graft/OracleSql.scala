@@ -2392,6 +2392,49 @@ object OracleSql {
          |SELECT qid, CAST(count(*) AS BIGINT) AS n_exact,
          | CAST(sum(hit) AS BIGINT) AS n_hit,
          | CAST(sum(hit) * 1000000 // count(*) AS BIGINT) AS recall_ppm
-         |FROM j GROUP BY qid ORDER BY qid""".stripMargin
+         |FROM j GROUP BY qid ORDER BY qid""".stripMargin,
+
+    // the division-cleared 2-sigma inequality replayed per observation
+    // over exact BIGINT sums; // floors the mean like the operator's
+    // (x - pmod) DIV spelling
+    "q168_seasonal_anomalies" ->
+      """WITH o AS (SELECT event_type AS key, CAST(hour(ts) AS BIGINT) AS hr,
+        |    CAST(floor(value * 1000) AS BIGINT) AS v FROM events
+        |   WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+        | st AS (SELECT key, hr, count(*) AS n, sum(v) AS s, sum(v*v) AS q
+        |   FROM o GROUP BY 1, 2),
+        | f AS (SELECT o.key, o.hr, st.n, st.s,
+        |    CASE WHEN (st.n*o.v - st.s)*(st.n*o.v - st.s) > 4*(st.n*st.q - st.s*st.s)
+        |     THEN 1 ELSE 0 END AS a
+        |   FROM o JOIN st USING (key, hr))
+        |SELECT key AS event_type, hr, CAST(max(n) AS BIGINT) AS n,
+        | CAST(sum(a) AS BIGINT) AS n_anomalies,
+        | CAST((max(s) * 1000) // max(n) AS BIGINT) AS mean_micros
+        |FROM f GROUP BY 1, 2 ORDER BY event_type, hr""".stripMargin,
+
+    // the two-replace length trick counts vowel runs portably; the
+    // Flesch coefficients in milli with doc-as-one-sentence semantics
+    "q169_readability" ->
+      """WITH o AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |    CAST(len(regexp_replace(lower(text), '[aeiouy]+', '#', 'g'))
+        |      - len(regexp_replace(lower(text), '[aeiouy]+', '', 'g')) AS BIGINT) AS n_groups
+        |   FROM documents WHERE text IS NOT NULL)
+        |SELECT doc_id, n_words, n_groups,
+        | CAST((n_groups * 1000000) // n_words AS BIGINT) AS syll_per_word_ppm,
+        | CAST(206835 - 1015 * n_words - (84600 * n_groups) // n_words AS BIGINT) AS ease_milli
+        |FROM o WHERE n_words > 0 ORDER BY doc_id""".stripMargin,
+
+    // ascending-rank Gini: (2*sum(i*x) - (n+1)*sum(x)) * 1e6 // (n*sum(x));
+    // tie order cannot move the sum, so no tie-break pin is needed
+    "q170_gini" ->
+      """WITH o AS (SELECT source AS key, CAST(n_chars AS BIGINT) AS v,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars) AS i
+        |   FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+        | g AS (SELECT key, count(*) AS n, sum(v) AS total, sum(i * v) AS iws
+        |   FROM o GROUP BY 1)
+        |SELECT key AS source, CAST(n AS BIGINT) AS n, CAST(total AS BIGINT) AS total,
+        | CAST(((2 * iws - (n + 1) * total) * 1000000) // (n * total) AS BIGINT) AS gini_ppm
+        |FROM g WHERE total > 0 ORDER BY source""".stripMargin
   )
 }

@@ -2480,6 +2480,44 @@ object SparkEntry {
       .orderBy("qid")
   }
 
+  /** Seasonal anomalies ([[graft.ops.Stats.seasonalAnomalies]]): per
+    * (event_type, hour-of-day) value baseline with the exact-integer
+    * 2σ test — "is 3am traffic weird FOR 3am". The oracle replays the
+    * cleared inequality (n·v−S)² > 4·(n·Q−S²) per observation, so
+    * every flag decision is value-gated with no floating σ anywhere.
+    */
+  private def q168(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.seasonalAnomalies(Tables.events(s, dir),
+        col("event_type"), hour(col("ts")), floor(col("value") * 1000d))
+      .select(col("key").as("event_type"), col("cell").as("hr"),
+        col("n"), col("n_anomalies"), col("mean_micros"))
+      .orderBy("event_type", "hr")
+
+  /** Syllable-proxy readability ([[TextOps.syllableStats]]):
+    * vowel-group counts per document with the integer Flesch variant.
+    * The oracle replays the two-replace length trick and the milli
+    * formula per row.
+    */
+  private def q169(s: SparkSession, dir: String): DataFrame =
+    TextOps.syllableStats(Tables.documents(s, dir),
+        col("doc_id"), col("text"))
+      .select(col("id").as("doc_id"), col("n_words"), col("n_groups"),
+        col("syll_per_word_ppm"), col("ease_milli"))
+      .orderBy("doc_id")
+
+  /** Gini concentration ([[graft.ops.Stats.giniConcentration]]): size
+    * balance of each source's documents — the corpus-mixture
+    * diagnostic. The oracle replays the ascending-rank formula; tie
+    * order provably cannot move the sum, so both engines land on the
+    * identical ppm.
+    */
+  private def q170(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.giniConcentration(Tables.documents(s, dir),
+        col("source"), col("n_chars"))
+      .select(col("key").as("source"), col("n"), col("total"),
+        col("gini_ppm"))
+      .orderBy("source")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_tumble_alerts" -> q01 _,
     "q02_tumble_avg_parts" -> q02 _,
@@ -2647,7 +2685,10 @@ object SparkEntry {
     "q164_histogram" -> q164 _,
     "q165_salted_distinct" -> q165 _,
     "q166_zorder_key" -> q166 _,
-    "q167_ann_recall" -> q167 _
+    "q167_ann_recall" -> q167 _,
+    "q168_seasonal_anomalies" -> q168 _,
+    "q169_readability" -> q169 _,
+    "q170_gini" -> q170 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

@@ -87,6 +87,88 @@ object Stats {
     * histogram median ([[histogram]] + cumulative pick) or
     * approx_percentile, keeping the same MAD formula.
     */
+  /** Seasonal (e.g. hour-of-day) baseline anomalies with an EXACT
+    * integer 2σ test: per (key, season-cell) the population mean/stddev
+    * over the cell's own history is the baseline, and an observation is
+    * anomalous iff `|v − μ| > z·σ` — algebraically cleared of division
+    * to `(n·v − S)² > z²·(n·Q − S²)` over BIGINT sums (S = Σv,
+    * Q = Σv²), so the flag is engine-exact with no floating σ.
+    * This is the calendar-seasonality companion to
+    * [[graft.ops.TimeSeries.rollingAnomalies]] (trailing window) and
+    * [[madOutliers]] (rank-robust): "is 3am traffic weird FOR 3am".
+    *
+    * Headroom: `(n·max|v|)² ≤ 2⁶³` → `n·max|v| ≤ 3·10⁹` per cell —
+    * value-millis ≤ 10⁶ holds to ~3000 rows/cell; past that, cast the
+    * cleared inequality to DECIMAL(38,0) (same plan, wider lanes).
+    *
+    * Scale shape: one aggregate to the per-cell sums (cells =
+    * keys × 24, tiny), BROADCAST back onto the observations, one final
+    * per-cell count — the observations shuffle once (the agg);
+    * the flag pass is map-side.
+    */
+  def seasonalAnomalies(
+      df: DataFrame,
+      keyCol: Column,
+      cellCol: Column,
+      valueCol: Column,
+      z: Long = 2L
+  ): DataFrame = {
+    require(z > 0, "z must be positive")
+    val base = df.select(keyCol.as("key"), cellCol.cast("long").as("cell"),
+        valueCol.cast("long").as("v"))
+      .filter(col("key").isNotNull && col("cell").isNotNull && col("v").isNotNull)
+    val stats = base.groupBy("key", "cell")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
+        sum(col("v") * col("v")).as("q"))
+    base.join(broadcast(stats), Seq("key", "cell"))
+      .withColumn("__d", col("n") * col("v") - col("s"))
+      .withColumn("__a",
+        when(col("__d") * col("__d") >
+          lit(z * z) * (col("n") * col("q") - col("s") * col("s")), 1L)
+          .otherwise(0L))
+      .groupBy("key", "cell")
+      .agg(max(col("n")).as("n"), max(col("s")).as("__s"),
+        sum(col("__a")).as("n_anomalies"))
+      .withColumn("mean_micros",
+        expr("(__s * 1000 - pmod(__s * 1000, n)) DIV n"))
+      .drop("__s")
+  }
+
+  /** Gini concentration of `value` within each key — the corpus-balance
+    * diagnostic ("is src7 one mega-document and crumbs?"): 0 = all docs
+    * equal, →1 = one doc holds everything. Exact integer form of the
+    * sorted-rank formula,
+    * `gini_ppm = (2·Σᵢ i·xᵢ − (n+1)·Σx)·10⁶ div (n·Σx)` over ascending
+    * ranks i — tie order cannot change the sum (equal x swap freely),
+    * so the ppm is deterministic without a tie-break contract.
+    * Requires non-negative values; keys with Σx = 0 are dropped (no
+    * defined concentration).
+    *
+    * Scale shape: one per-key sort window (rank) + one aggregate on the
+    * same partitioning — the q13 family. A low-cardinality key set
+    * concentrates per-key sorts; at that scale pre-aggregate equal
+    * values per key first (rank arithmetic over (value, count) runs
+    * unchanged).
+    */
+  def giniConcentration(
+      df: DataFrame,
+      keyCol: Column,
+      valueCol: Column
+  ): DataFrame = {
+    val base = df.select(keyCol.as("key"), valueCol.cast("long").as("v"))
+      .filter(col("key").isNotNull && col("v").isNotNull)
+    val w = Window.partitionBy(col("key")).orderBy(col("v"))
+    base
+      .withColumn("__i", row_number().over(w))
+      .groupBy("key")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("total"),
+        sum(col("__i") * col("v")).as("__iws"))
+      .filter(col("total") > 0)
+      .withColumn("gini_ppm", expr(
+        "((2 * __iws - (n + 1) * total) * 1000000) DIV (n * total)"))
+      .drop("__iws")
+  }
+
   def madOutliers(
       df: DataFrame,
       keyCol: Column,

@@ -467,4 +467,21 @@ class TextOpsSpec extends SparkTestBase {
     assert(got(3L) == ((3L, 2L, 1L, 500000L)))
     assert(!got.contains(4L), "NULL text emits no row")
   }
+
+  test("syllableStats: vowel RUNS count once; integer Flesch variant") {
+    // "queue table" -> runs: 'ueue'(1) + 'a','e'(2) = 3 groups, 2 words
+    val docs = Seq(
+      (1L, "queue table"),
+      (2L, "xyz zz"), // y is a vowel here: 1 group, 2 words
+      (3L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = TextOps.syllableStats(docs, col("doc_id"), col("text"))
+      .select("id", "n_words", "n_groups", "syll_per_word_ppm", "ease_milli")
+      .as[(Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 2L, 3L, 1500000L,
+      206835L - 1015L * 2 - (84600L * 3) / 2)))
+    assert(got(2L) == ((2L, 2L, 1L, 500000L,
+      206835L - 1015L * 2 - 84600L / 2)))
+    assert(!got.contains(3L))
+  }
 }

@@ -53,4 +53,38 @@ class StatsSpec extends SparkTestBase {
     assert(r.getAs[Double]("mad") == 2.0)
     assert(r.getAs[Long]("n_outliers") == 1L)
   }
+
+  test("seasonalAnomalies: exact 2-sigma flag per cell, strict inequality") {
+    import spark.implicits._
+    // cell A: values 0,0,0,0,100 — mean 20, sigma 40; |100-20|=80 = 2sigma
+    // EXACTLY (a {0x(n-1), x} spike always sits at 2sigma for n=5) ->
+    // strict > does NOT flag. cell B adds a fifth zero: the spike moves
+    // to 2.24sigma and flags; the zeros stay inside.
+    val rows = Seq(("k", 0L, 0L), ("k", 0L, 0L), ("k", 0L, 0L), ("k", 0L, 0L),
+      ("k", 0L, 100L),
+      ("k", 1L, 0L), ("k", 1L, 0L), ("k", 1L, 0L), ("k", 1L, 0L), ("k", 1L, 0L),
+      ("k", 1L, 100L))
+      .toDF("key", "cell", "v")
+    val got = Stats.seasonalAnomalies(rows, col("key"), col("cell"), col("v"))
+      .select("cell", "n", "n_anomalies", "mean_micros")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(0L) == ((0L, 5L, 0L, 20000L)), s"got ${got(0L)}")
+    assert(got(1L) == ((1L, 6L, 1L, 16666L)), s"got ${got(1L)}")
+  }
+
+  test("giniConcentration: equality -> 0, full concentration -> (n-1)/n, ties stable") {
+    import spark.implicits._
+    val rows = Seq(
+      ("eq", 5L), ("eq", 5L), ("eq", 5L), ("eq", 5L),
+      ("conc", 0L), ("conc", 0L), ("conc", 0L), ("conc", 12L),
+      ("zero", 0L), ("zero", 0L)
+    ).toDF("src", "x")
+    val got = Stats.giniConcentration(rows, col("src"), col("x"))
+      .select("key", "n", "total", "gini_ppm")
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got("eq") == (("eq", 4L, 20L, 0L)))
+    // one holder of everything among 4: gini = (n-1)/n = 750000 ppm
+    assert(got("conc") == (("conc", 4L, 12L, 750000L)))
+    assert(!got.contains("zero"), "sum-zero keys have no defined concentration")
+  }
 }
