@@ -2435,6 +2435,52 @@ object OracleSql {
         |   FROM o GROUP BY 1)
         |SELECT key AS source, CAST(n AS BIGINT) AS n, CAST(total AS BIGINT) AS total,
         | CAST(((2 * iws - (n + 1) * total) * 1000000) // (n * total) AS BIGINT) AS gini_ppm
-        |FROM g WHERE total > 0 ORDER BY source""".stripMargin
+        |FROM g WHERE total > 0 ORDER BY source""".stripMargin,
+
+    // q122's filtered-min chain for the completed funnel, then per-day
+    // rank percentiles (value at rn = ceil(n*p), the q57 convention)
+    "q171_conversion_latency" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS view_ts FROM events
+        |   WHERE event_type = 'view' GROUP BY 1),
+        | s2 AS (SELECT e.user_id, min(e.ts) AS click_ts FROM events e
+        |   JOIN s1 ON e.user_id = s1.user_id
+        |   WHERE e.event_type = 'click' AND e.ts > s1.view_ts GROUP BY 1),
+        | s3 AS (SELECT e.user_id, min(e.ts) AS purchase_ts FROM events e
+        |   JOIN s2 ON e.user_id = s2.user_id
+        |   WHERE e.event_type = 'purchase' AND e.ts > s2.click_ts GROUP BY 1),
+        | c AS (SELECT s3.user_id,
+        |    CAST(floor(epoch(s1.view_ts)) AS BIGINT) // 86400 AS day,
+        |    CAST(floor(epoch(s3.purchase_ts)) AS BIGINT)
+        |      - CAST(floor(epoch(s1.view_ts)) AS BIGINT) AS lat_sec
+        |   FROM s3 JOIN s1 ON s3.user_id = s1.user_id),
+        | r AS (SELECT day, lat_sec,
+        |    row_number() OVER (PARTITION BY day ORDER BY lat_sec, user_id) AS rn,
+        |    count(*) OVER (PARTITION BY day) AS nn FROM c)
+        |SELECT day, CAST(max(nn) AS BIGINT) AS n_conv,
+        | CAST(max(CASE WHEN rn = CAST(ceil(nn * 0.5) AS BIGINT) THEN lat_sec END) AS BIGINT) AS p50_sec,
+        | CAST(max(CASE WHEN rn = CAST(ceil(nn * 0.9) AS BIGINT) THEN lat_sec END) AS BIGINT) AS p90_sec,
+        | CAST(max(lat_sec) AS BIGINT) AS max_sec
+        |FROM r GROUP BY day ORDER BY day""".stripMargin,
+
+    // the identical trailing RANGE frame over epoch seconds
+    "q172_peak_rate" ->
+      """WITH o AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t
+        |   FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        | c AS (SELECT user_id, count(*) OVER (PARTITION BY user_id ORDER BY t
+        |    RANGE BETWEEN 86399 PRECEDING AND CURRENT ROW) AS c FROM o)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        | CAST(max(c) AS BIGINT) AS peak
+        |FROM c GROUP BY 1 ORDER BY user_id""".stripMargin,
+
+    // every bucket assignment replayed under the portable md5-32
+    // partitioner (unsigned 32-bit, so % ≡ pmod); NULL keys -> -1
+    "q173_shuffle_balance" ->
+      """WITH o AS (SELECT CASE WHEN user_id IS NULL THEN -1
+        |    ELSE ('0x'||substr(md5('0:'||CAST(user_id AS VARCHAR)),1,8))::BIGINT % 32
+        |    END AS bucket,
+        |    CAST(user_id AS VARCHAR) AS k FROM events)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+        | CAST(count(DISTINCT k) AS BIGINT) AS n_keys
+        |FROM o GROUP BY 1 ORDER BY bucket""".stripMargin
   )
 }

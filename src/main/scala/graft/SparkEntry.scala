@@ -2518,6 +2518,40 @@ object SparkEntry {
         col("gini_ppm"))
       .orderBy("source")
 
+  /** Conversion latency profile ([[Behavior.conversionLatency]]):
+    * view→purchase elapsed seconds for completed funnels, summarized
+    * per first-view day with exact rank percentiles. The oracle chains
+    * q122's filtered-min joins, then replays the day bucketing and the
+    * rank-percentile picks.
+    */
+  private def q171(s: SparkSession, dir: String): DataFrame =
+    Behavior.conversionLatency(Tables.events(s, dir),
+        col("user_id"), col("ts"), col("event_type"),
+        Seq("view", "click", "purchase"))
+      .select(col("day"), col("n_conv"), col("p50_sec"), col("p90_sec"),
+        col("max_sec"))
+      .orderBy("day")
+
+  /** Peak event rate ([[TimeSeries.peakRate]]): each user's maximum
+    * event count inside any trailing 24 h window — the burst number
+    * rate limits are set against. RANGE frame, no self-join; the
+    * oracle replays the identical frame.
+    */
+  private def q172(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.peakRate(Tables.events(s, dir),
+        col("user_id"), unix_timestamp(col("ts")), windowSec = 86400L)
+      .select(col("key").as("user_id"), col("n_events"), col("peak"))
+      .orderBy("user_id")
+
+  /** Shuffle-balance forecast ([[Profile.shuffleBalance]]): how a
+    * shuffle keyed on user_id would spread over 32 reducers under the
+    * portable md5 partitioner, NULL keys as their own row. The oracle
+    * recomputes every bucket assignment and both counts.
+    */
+  private def q173(s: SparkSession, dir: String): DataFrame =
+    Profile.shuffleBalance(Tables.events(s, dir), col("user_id"), buckets = 32)
+      .orderBy("bucket")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_tumble_alerts" -> q01 _,
     "q02_tumble_avg_parts" -> q02 _,
@@ -2688,7 +2722,10 @@ object SparkEntry {
     "q167_ann_recall" -> q167 _,
     "q168_seasonal_anomalies" -> q168 _,
     "q169_readability" -> q169 _,
-    "q170_gini" -> q170 _
+    "q170_gini" -> q170 _,
+    "q171_conversion_latency" -> q171 _,
+    "q172_peak_rate" -> q172 _,
+    "q173_shuffle_balance" -> q173 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

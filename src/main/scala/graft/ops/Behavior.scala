@@ -327,4 +327,47 @@ object Behavior {
       .select(col("from_type"), col("to_type"), col("n"),
         expr("(n * 1000000) DIV __nh").as("cond_ppm"))
   }
+
+  /** Conversion latency profile — for users who completed the WHOLE
+    * [[funnel]], the first-stage→last-stage elapsed seconds, summarized
+    * per first-stage DAY with exact rank percentiles (the q57
+    * convention: value at `rn = ceil(n·p)` over the ascending sort —
+    * equal latencies make the picked VALUE tie-proof). The "how long
+    * does view→purchase take, and is it drifting" operational readout.
+    *
+    * Scale shape: the funnel's chained filtered-min joins, then ONE
+    * per-day sort window + aggregate — percentiles partition by day,
+    * so no global single-partition sort ever happens; a day's
+    * conversions are the natural unit a latency profile is read at.
+    * Timestamps floor to epoch seconds (the q155/q157 convention).
+    */
+  def conversionLatency(
+      events: DataFrame,
+      userCol: Column,
+      tsCol: Column,
+      typeCol: Column,
+      stages: Seq[String]
+  ): DataFrame = {
+    require(stages.size >= 2, "conversion needs at least two stages")
+    val n = stages.size
+    val conv = funnel(events, userCol, tsCol, typeCol, stages)
+      .filter(col(s"t$n").isNotNull)
+      .select(col("user"),
+        unix_timestamp(col("t1")).cast("long").as("__ep1"),
+        (unix_timestamp(col(s"t$n")) - unix_timestamp(col("t1")))
+          .cast("long").as("lat_sec"))
+      // positive epochs: DIV ≡ floor ≡ the oracle's //
+      .withColumn("day", expr("__ep1 DIV 86400"))
+      .drop("__ep1")
+    val w = Window.partitionBy(col("day")).orderBy(col("lat_sec"), col("user"))
+    val wn = Window.partitionBy(col("day"))
+    conv
+      .withColumn("rn", row_number().over(w))
+      .withColumn("nn", count(lit(1)).over(wn))
+      .groupBy("day")
+      .agg(max(col("nn")).as("n_conv"),
+        max(when(col("rn") === ceil(col("nn") * 0.5).cast("long"), col("lat_sec"))).as("p50_sec"),
+        max(when(col("rn") === ceil(col("nn") * 0.9).cast("long"), col("lat_sec"))).as("p90_sec"),
+        max(col("lat_sec")).as("max_sec"))
+  }
 }

@@ -94,4 +94,31 @@ object Profile {
       .agg(count(lit(1)).as("n_rows"),
         min(col("__v")).as("min_v"), max(col("__v")).as("max_v"))
   }
+
+  /** Shuffle-balance forecast: how a planned shuffle on `keyCol` would
+    * distribute over `buckets` reducers — per-bucket row and distinct-
+    * key counts under the engine-portable md5 partitioner
+    * ([[graft.functions.Hashing.md5Hash32]]), so a skewed key column
+    * is caught by a CHEAP aggregate before the real job runs (and the
+    * fix — salting, [[Skew]]; a different key; broadcast — is chosen
+    * from evidence, not from a post-mortem). A hot bucket with
+    * `n_keys = 1` is the salting case; a hot bucket with many keys is
+    * hash-collision noise that more buckets dissolves.
+    *
+    * NULL keys are reported as their own `bucket = -1` row — every
+    * engine sends them somewhere, and "somewhere" being 30% of the
+    * table is exactly what this forecast exists to catch.
+    *
+    * Scale: one aggregate, ≤ buckets+1 cells shipped per task.
+    */
+  def shuffleBalance(df: DataFrame, keyCol: Column, buckets: Int): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    df.select(keyCol.cast("string").as("__k"))
+      .withColumn("bucket",
+        when(col("__k").isNull, lit(-1L))
+          .otherwise(pmod(graft.functions.Hashing.md5Hash32(0, col("__k")),
+            lit(buckets)).cast("long")))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"), count_distinct(col("__k")).as("n_keys"))
+  }
 }

@@ -274,4 +274,33 @@ object TimeSeries {
         col("__v").as("v"),
         expr("(__num - pmod(__num, __den)) DIV __den").as("ewma"))
   }
+
+  /** Peak event rate — each key's maximum event count inside ANY
+    * trailing `windowSec`-second window, computed exactly with a RANGE
+    * frame over epoch seconds (`[t − windowSec + 1, t]`, so a window
+    * is any closed span of `windowSec` distinct seconds). The burst
+    * detector: rate LIMITS are set against the peak, not the mean, and
+    * a per-key mean hides every burst.
+    *
+    * Scale shape: one per-key sort window (the RANGE frame) + one
+    * aggregate on the same partitioning — the q69 RANGE-frame family;
+    * no self-join over the event table, which is the naive spelling's
+    * O(n·window) trap.
+    */
+  def peakRate(
+      df: DataFrame,
+      keyCol: Column,
+      tsSecCol: Column,
+      windowSec: Long
+  ): DataFrame = {
+    require(windowSec > 0, "windowSec must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("__k")).orderBy(col("__t"))
+      .rangeBetween(-(windowSec - 1), 0)
+    df.select(keyCol.as("__k"), tsSecCol.cast("long").as("__t"))
+      .filter(col("__k").isNotNull && col("__t").isNotNull)
+      .withColumn("__c", count(lit(1)).over(w))
+      .groupBy(col("__k").as("key"))
+      .agg(count(lit(1)).as("n_events"), max(col("__c")).as("peak"))
+  }
 }

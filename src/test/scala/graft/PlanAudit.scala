@@ -31,14 +31,16 @@ object PlanAudit {
     "q146_rrf_fusion", // semantic leg IS q37's broadcast scan, by composition
     "q154_cms_counts", // ONE-row sketch broadcast onto probe keys
     "q156_basket_rules", // ONE-row basket-total broadcast onto pair counts
-    "q159_knn_classify") // neighbor stage IS q37's broadcast scan
+    "q159_knn_classify", // neighbor stage IS q37's broadcast scan
+    "q167_ann_recall") // composes q37's AND q41's broadcast scans (eval legs)
 
   /** Queries whose DESIGN composes several complete pipelines, so their
     * exchange count legitimately exceeds the single-pipeline budget —
     * each leg individually stays within it.
     */
   private val wideByDesign = Set(
-    "q146_rrf_fusion") // full BM25 chain + cosine leg + fusion agg + final rank
+    "q146_rrf_fusion", // full BM25 chain + cosine leg + fusion agg + final rank
+    "q167_ann_recall") // exact + IVF retrieval pipelines side by side + overlap agg
 
   def main(args: Array[String]): Unit = {
     val spark = SparkTestBase.spark

@@ -229,4 +229,23 @@ class BehaviorSpec extends SparkTestBase {
     // last events contribute nothing: no c→ or b→ (beyond b→a) rows
     assert(got.size == 4, s"got $got")
   }
+
+  test("conversionLatency: completed funnels only, per-day rank percentiles") {
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val day0 = 86400L * 20000 // a fixed positive day
+    // u1 converts in 100s, u2 in 300s, u3 never purchases
+    val events = Seq(
+      (1L, t(day0 + 10), "view"), (1L, t(day0 + 50), "click"), (1L, t(day0 + 110), "purchase"),
+      (2L, t(day0 + 20), "view"), (2L, t(day0 + 30), "click"), (2L, t(day0 + 320), "purchase"),
+      (3L, t(day0 + 40), "view"), (3L, t(day0 + 60), "click")
+    ).toDF("user_id", "ts", "event_type")
+    val got = Behavior.conversionLatency(events,
+        col("user_id"), col("ts"), col("event_type"),
+        Seq("view", "click", "purchase"))
+      .select("day", "n_conv", "p50_sec", "p90_sec", "max_sec")
+      .as[(Long, Long, Long, Long, Long)].collect().toList
+    // latencies {100, 300}: p50 = value at ceil(2*0.5)=1 -> 100,
+    // p90 = value at ceil(2*0.9)=2 -> 300
+    assert(got == List((20000L, 2L, 100L, 300L, 300L)), s"got $got")
+  }
 }

@@ -55,6 +55,21 @@ class ProfileSpec extends SparkTestBase {
     assert(got3 == List((0L, 1L, -10L, -10L), (1L, 2L, -1L, 5L)), s"got $got3")
   }
 
+  test("shuffleBalance: deterministic buckets, NULL keys isolated, counts reconcile") {
+    val df = ((1 to 100).map(i => Option((i % 10).toLong)) ++ Seq(None, None))
+      .toDF("k")
+    val got = Profile.shuffleBalance(df, col("k"), buckets = 4).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(-1L) == ((2L, 0L)), "NULL keys get their own bucket with 0 distinct")
+    assert(got.filterKeys(_ >= 0).values.map(_._1).sum == 100L)
+    assert(got.filterKeys(_ >= 0).values.map(_._2).sum == 10L,
+      "each distinct key lands in exactly one bucket")
+    // determinism: a second run buckets identically
+    val again = Profile.shuffleBalance(df, col("k"), buckets = 4).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(again == got)
+  }
+
   test("profile: single aggregate job — the multi-distinct plans as one Expand") {
     val df = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
     val plan = Profile.profile(df, Seq("id" -> col("id"), "s" -> col("s")))

@@ -140,6 +140,19 @@ class TimeSeriesSpec extends SparkTestBase {
     assert(tail == 0L, s"t=8 must not see t=0's spike, got $tail")
   }
 
+  test("peakRate: trailing RANGE window counts bursts, not means") {
+    // u1: burst of 3 within 60s at t=100..159, then singles far apart
+    val rows = Seq(("u1", 100L), ("u1", 130L), ("u1", 159L), ("u1", 500L),
+      ("u2", 0L), ("u2", 59L), ("u2", 60L)) // [1,60] holds 59&60 plus... t=0 exits at t=60
+      .toDF("k", "t")
+    val got = TimeSeries.peakRate(rows, col("k"), col("t"), windowSec = 60L)
+      .select("key", "n_events", "peak")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got("u1") == (("u1", 4L, 3L)), s"got ${got("u1")}")
+    // u2 at t=60: frame [1, 60] -> {59, 60} = 2; at t=59: [0,59] -> {0,59} = 2
+    assert(got("u2") == (("u2", 3L, 2L)), s"got ${got("u2")}")
+  }
+
   test("intervalUnion: a zero-length interval between islands does not merge them") {
     // [0,5) and [5,5) and [6,10): the empty interval at 5 is dropped;
     // [0,5) and [6,10) stay two islands (gap at [5,6))
