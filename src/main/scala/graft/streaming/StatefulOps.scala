@@ -186,6 +186,26 @@ object StatefulOps {
         FunnelTimes(List.fill(n)(b.getLong()), b.getLong())
       case v => unknown("FunnelTimes", v)
     }
+
+    /** v1: [n: i32][recent: n × i64, oldest first][horizonMs: i64]. */
+    def encodeEwma(s: EwmaTail): VersionedState = {
+      val b = ByteBuffer.allocate(4 + 8 * s.recent.length + 8)
+      b.putInt(s.recent.length)
+      s.recent.foreach(b.putLong)
+      b.putLong(s.horizonMs)
+      VersionedState(1, b.array())
+    }
+
+    def decodeEwma(s: VersionedState): EwmaTail = s.version match {
+      case 1 =>
+        if (s.payload.length < 4) corrupt("EwmaTail", s, null)
+        val b = ByteBuffer.wrap(s.payload)
+        val n = b.getInt()
+        if (n < 0 || s.payload.length != 4 + 8 * n + 8)
+          corrupt("EwmaTail", s, null)
+        EwmaTail(List.fill(n)(b.getLong()), b.getLong())
+      case v => unknown("EwmaTail", v)
+    }
   }
 
   /** In-memory state of [[nearDupHits]] (stored as [[VersionedState]]
@@ -273,6 +293,10 @@ object StatefulOps {
   case class FunnelTimes(times: List[Long], horizonMs: Long)
   case class FunnelProgress(user: Long, stage: Long, stage_time: Timestamp)
 
+  case class EwmaEvent(key: Long, v: Long, ord: Long, event_time: Timestamp)
+  case class EwmaTail(recent: List[Long], horizonMs: Long)
+  case class EwmaOut(key: Long, event_time: Timestamp, ord: Long, v: Long, ewma: Long)
+
   /** Streaming funnel tracking — the streaming twin of
     * `ops.Behavior.funnel`: per-user stage times advance as qualifying
     * events arrive, and each advancement is emitted ONCE as a
@@ -346,6 +370,75 @@ object StatefulOps {
             state.update(StateCodec.encodeFunnel(FunnelTimes(times.toList, horizon)))
             state.setTimeoutTimestamp(horizon + ttlMs)
             out.result().iterator
+          }
+      }
+  }
+
+  /** Streaming trailing EWMA — the streaming twin of
+    * `ops.TimeSeries.ewmaTrailing`: each arriving observation is
+    * smoothed against its key's last `weights.size − 1` values
+    * (carried in state, oldest first) with the same exact integer
+    * weights and head renormalization, and emitted once as an
+    * [[EwmaOut]] row. Within a micro-batch events are processed in
+    * (event_time, ord) order, so a single-batch drain reproduces the
+    * batch operator row for row (spec-pinned parity); across batches
+    * the tail continues, with the standard streaming approximation
+    * that a LATE cross-batch event smooths against the tail as of its
+    * arrival (the batch operator would re-sort history; bounded by
+    * the watermark).
+    *
+    * Scale: one shuffle on the key; state is ≤ `weights.size − 1`
+    * longs + the monotone TTL horizon (same eviction contract as
+    * [[capPerKeyStream]]) — the live-keys working set, not history.
+    */
+  def ewmaStream(
+      df: DataFrame,
+      weights: Seq[Long] = Seq(128L, 64L, 32L, 16L, 8L, 4L, 2L, 1L),
+      keyCol: String = "user_id",
+      tsCol: String = "event_time",
+      valCol: String = "v",
+      ordCol: String = "ord",
+      watermarkDelay: String = "10 seconds",
+      ttlMs: Long = 3600000L
+  ): Dataset[EwmaOut] = {
+    require(weights.nonEmpty && weights.forall(_ > 0), "weights must be positive")
+    import org.apache.spark.sql.functions._
+    import df.sparkSession.implicits._
+    val tail = weights.size - 1
+    val rows = df
+      // NULL guard: the arrival sort and TTL horizon dereference the
+      // timestamp (the funnelStream contract)
+      .filter(col(tsCol).isNotNull && col(valCol).isNotNull)
+      .select(col(keyCol).as("key"), col(valCol).cast("long").as("v"),
+        col(ordCol).cast("long").as("ord"), col(tsCol).as("event_time"))
+      .withWatermark("event_time", watermarkDelay)
+      .as[EwmaEvent]
+    rows
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[VersionedState, EwmaOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: Long, it: Iterator[EwmaEvent], state: GroupState[VersionedState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val prior = state.getOption.map(StateCodec.decodeEwma)
+            val rs = it.toSeq.sortBy(r => (r.event_time.getTime, r.ord))
+            var recent = prior.map(_.recent).getOrElse(Nil) // oldest first
+            val out = rs.map { r =>
+              // taps: weights(0)·current, weights(k)·k-th newest of the tail
+              val newestFirst = (r.v :: recent.reverse)
+              var num = 0L; var den = 0L; var k = 0
+              newestFirst.take(weights.size).foreach { x =>
+                num += weights(k) * x; den += weights(k); k += 1
+              }
+              val ewma = Math.floorDiv(num, den)
+              recent = (recent :+ r.v).takeRight(tail)
+              EwmaOut(r.key, r.event_time, r.ord, r.v, ewma)
+            }
+            val horizon = (prior.map(_.horizonMs).toSeq ++
+              rs.map(_.event_time.getTime) :+ state.getCurrentWatermarkMs()).max
+            state.update(StateCodec.encodeEwma(EwmaTail(recent, horizon)))
+            state.setTimeoutTimestamp(horizon + ttlMs)
+            out.iterator
           }
       }
   }

@@ -615,6 +615,59 @@ class StatefulOpsSpec extends SparkTestBase {
     assert(streamedTimes == batchTimes)
   }
 
+  test("ewmaStream: single-batch drain matches TimeSeries.ewmaTrailing row for row") {
+    import org.apache.spark.sql.functions.col
+    // scrambled soup over 5 keys with duplicate timestamps (ord breaks ties)
+    val rows = (0 until 80).map { i =>
+      ((i * 31 % 5).toLong, ((i * 17 % 37) - 7).toLong, i.toLong,
+        ts(f"2024-01-01 00:${i * 13 % 60}%02d:${i * 7 % 60}%02d"))
+    }
+    val mem = MemoryStream[(Long, Long, Long, java.sql.Timestamp)](spark)
+    val query = StatefulOps.ewmaStream(
+        mem.toDS().toDF("user_id", "v", "ord", "event_time"),
+        watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("ewma_parity").outputMode("append").start()
+    try { mem.addData(rows); query.processAllAvailable() } finally query.stop()
+    val streamed = spark.table("ewma_parity").as[StatefulOps.EwmaOut]
+      .collect().map(o => (o.key, o.event_time.getTime / 1000, o.ord) -> o.ewma).toMap
+    val batch = graft.ops.TimeSeries.ewmaTrailing(
+        rows.toDF("user_id", "v", "ord", "event_time"),
+        col("user_id"), org.apache.spark.sql.functions.unix_timestamp(col("event_time")),
+        col("v"), col("ord"))
+      .select("key", "t", "ord", "ewma")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2, r._3) -> r._4).toMap
+    assert(streamed == batch,
+      s"drained stream must equal the batch EWMA (${streamed.size} vs ${batch.size} rows)")
+  }
+
+  test("ewmaStream: tail continues across batches; EwmaTail codec bytes pinned") {
+    val mem = MemoryStream[(Long, Long, Long, java.sql.Timestamp)](spark)
+    val query = StatefulOps.ewmaStream(
+        mem.toDS().toDF("user_id", "v", "ord", "event_time"),
+        watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("ewma_cont").outputMode("append").start()
+    try {
+      mem.addData(Seq((1L, 10L, 1L, ts("2024-01-01 00:00:00"))))
+      query.processAllAvailable()
+      mem.addData(Seq((1L, 20L, 2L, ts("2024-01-01 00:01:00"))))
+      query.processAllAvailable()
+    } finally query.stop()
+    val got = spark.table("ewma_cont").as[StatefulOps.EwmaOut]
+      .collect().sortBy(_.ord).map(_.ewma).toList
+    // second batch must see the first batch's 10: (128*20+64*10)/192 = 16
+    assert(got == List(10L, 16L), s"got $got")
+
+    // v1 layout: [n][recent…][horizon] big-endian
+    val enc = StatefulOps.StateCodec.encodeEwma(
+      StatefulOps.EwmaTail(List(7L, 9L), 1234L))
+    assert(enc.version == 1 && enc.payload.length == 4 + 16 + 8)
+    val dec = StatefulOps.StateCodec.decodeEwma(enc)
+    assert(dec == StatefulOps.EwmaTail(List(7L, 9L), 1234L))
+    assertThrows[IllegalStateException](
+      StatefulOps.StateCodec.decodeEwma(StatefulOps.VersionedState(99, Array[Byte]())))
+  }
+
   test("NULL event_time/event_type rows are dropped, never NPE the query (all stateful ops)") {
     // FIXTURES.md: the reference's watermark column is nullable and NULL
     // event_time must be tolerated — each op's per-group code dereferences
