@@ -2481,6 +2481,41 @@ object OracleSql {
         |    CAST(user_id AS VARCHAR) AS k FROM events)
         |SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
         | CAST(count(DISTINCT k) AS BIGINT) AS n_keys
-        |FROM o GROUP BY 1 ORDER BY bucket""".stripMargin
+        |FROM o GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    // both columns' ranked value counts; NULL is a countable value and
+    // rank ties pin (n DESC, value ASC NULLS FIRST) like the operator
+    "q174_top_values" ->
+      """WITH p AS (SELECT 'event_type' AS col_name, CAST(event_type AS VARCHAR) AS value_repr
+        |   FROM events
+        |  UNION ALL SELECT 'user_id', CAST(user_id AS VARCHAR) FROM events),
+        | c AS (SELECT col_name, value_repr, count(*) AS n FROM p GROUP BY 1, 2),
+        | r AS (SELECT col_name, value_repr, CAST(n AS BIGINT) AS n,
+        |    CAST(row_number() OVER (PARTITION BY col_name
+        |      ORDER BY n DESC, value_repr NULLS FIRST) AS BIGINT) AS rk FROM c)
+        |SELECT col_name, value_repr, n, rk FROM r WHERE rk <= 10
+        |ORDER BY col_name, rk""".stripMargin,
+
+    // top-20 coarsened vocabulary (__other bucket), both floor-ppm
+    // distributions, and the half-sum of absolute differences
+    "q175_source_drift" ->
+      """WITH t AS (SELECT source AS key, unnest(string_split(text, ' ')) AS tok
+        |   FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
+        | cv AS (SELECT tok, count(*) AS n FROM t GROUP BY 1),
+        | v AS (SELECT tok FROM cv ORDER BY n DESC, tok LIMIT 20),
+        | bkt AS (SELECT t.key, CASE WHEN v.tok IS NULL THEN '__other' ELSE t.tok END AS b
+        |   FROM t LEFT JOIN v ON t.tok = v.tok),
+        | sc AS (SELECT key, b, count(*) AS sn FROM bkt GROUP BY 1, 2),
+        | stt AS (SELECT key, sum(sn) AS st FROM sc GROUP BY 1),
+        | cc AS (SELECT b, count(*) AS cn FROM bkt GROUP BY 1),
+        | ct AS (SELECT sum(cn) AS tot FROM cc),
+        | d AS (SELECT stt.key, stt.st,
+        |    abs((coalesce(sc.sn, 0) * 1000000) // stt.st
+        |      - (cc.cn * 1000000) // ct.tot) AS ad
+        |   FROM stt CROSS JOIN cc CROSS JOIN ct
+        |   LEFT JOIN sc ON sc.key = stt.key AND sc.b = cc.b)
+        |SELECT key AS source, CAST(max(st) AS BIGINT) AS n_tokens,
+        | CAST(sum(ad) // 2 AS BIGINT) AS tv_ppm
+        |FROM d GROUP BY 1 ORDER BY source""".stripMargin
   )
 }

@@ -2563,6 +2563,30 @@ object SparkEntry {
     Profile.shuffleBalance(Tables.events(s, dir), col("user_id"), buckets = 32)
       .orderBy("bucket")
 
+  /** Per-column heavy hitters ([[Profile.topValues]]): top-10 values of
+    * event_type and user_id with counts and ranks — the
+    * default-pollution / hot-key sheet. The oracle rebuilds both
+    * columns' ranked counts including the NULLS FIRST tie-break.
+    */
+  private def q174(s: SparkSession, dir: String): DataFrame =
+    Profile.topValues(Tables.events(s, dir),
+        Seq("event_type" -> col("event_type"), "user_id" -> col("user_id")),
+        k = 10)
+      .orderBy("col_name", "rk")
+
+  /** Source-distribution drift ([[TextOps.tvDrift]]): total-variation
+    * distance of each source's token distribution from the corpus
+    * distribution over the top-20 coarsened vocabulary (the fixture
+    * has 31 tokens, so `__other` is live). The oracle rebuilds the
+    * vocabulary, the coarsening, both ppm distributions and the
+    * half-sum.
+    */
+  private def q175(s: SparkSession, dir: String): DataFrame =
+    TextOps.tvDrift(Tables.documents(s, dir),
+        col("source"), col("text"), vocabSize = 20)
+      .select(col("key").as("source"), col("n_tokens"), col("tv_ppm"))
+      .orderBy("source")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_tumble_alerts" -> q01 _,
     "q02_tumble_avg_parts" -> q02 _,
@@ -2736,7 +2760,9 @@ object SparkEntry {
     "q170_gini" -> q170 _,
     "q171_conversion_latency" -> q171 _,
     "q172_peak_rate" -> q172 _,
-    "q173_shuffle_balance" -> q173 _
+    "q173_shuffle_balance" -> q173 _,
+    "q174_top_values" -> q174 _,
+    "q175_source_drift" -> q175 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

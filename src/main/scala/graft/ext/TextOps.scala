@@ -841,6 +841,54 @@ object TextOps {
         col("n_matched"), col("rnk"))
   }
 
+  /** Total-variation drift of each key's (source's) token distribution
+    * from the whole-corpus distribution — `tv_ppm = Σ_b |p_key(b) −
+    * p_corpus(b)| div 2` over a top-`vocabSize` COARSENED vocabulary
+    * (boundary ties lexicographic, like [[oovStats]]; every other
+    * token collapses into one `__other` bucket). TV is the
+    * distribution-drift number with an operational reading — the
+    * fraction of one distribution that must move to become the other —
+    * and unlike KL it is finite on disjoint support and EXACT in
+    * integer ppm (no logs). The coarsening is what bounds the grid:
+    * drift is measured over V+1 buckets by construction, so the
+    * comparison stays cheap at ANY corpus vocabulary size.
+    *
+    * Scale shape: token aggregates as in [[oovStats]]; the score grid
+    * is keys × (V+1) built from two vocabulary-bounded broadcasts (the
+    * per-bucket corpus counts and the one-row total) — never
+    * row-bounded.
+    */
+  def tvDrift(
+      docs: DataFrame,
+      keyCol: Column,
+      textCol: Column,
+      vocabSize: Int
+  ): DataFrame = {
+    val toks = docs.filter(textCol.isNotNull && keyCol.isNotNull)
+      .select(keyCol.as("key"), explode(tokens(textCol)).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("__n"))
+      .orderBy(col("__n").desc, col("tok"))
+      .limit(vocabSize)
+      .select(col("tok"), lit(1).as("__in"))
+    val bucketed = toks.join(broadcast(vocab), Seq("tok"), "left")
+      .select(col("key"),
+        when(col("__in").isNotNull, col("tok")).otherwise(lit("__other")).as("b"))
+    val srcCnt = bucketed.groupBy("key", "b").agg(count(lit(1)).as("sn"))
+    val srcTot = srcCnt.groupBy("key").agg(sum(col("sn")).as("st"))
+    val corpCnt = bucketed.groupBy("b").agg(count(lit(1)).as("cn"))
+    val corpTot = corpCnt.agg(sum(col("cn")).as("ct"))
+    srcTot
+      .crossJoin(broadcast(corpCnt))          // keys × (V+1) grid
+      .join(srcCnt, Seq("key", "b"), "left")
+      .crossJoin(broadcast(corpTot))          // one-row total
+      .withColumn("__ad", abs(expr("(coalesce(sn, 0) * 1000000) DIV st")
+        - expr("(cn * 1000000) DIV ct")))
+      .groupBy("key")
+      .agg(max(col("st")).as("n_tokens"), sum(col("__ad")).as("__sad"))
+      .withColumn("tv_ppm", expr("__sad DIV 2"))
+      .drop("__sad")
+  }
+
   /** Per-document out-of-vocabulary rate against the corpus's own
     * top-`vocabSize` token vocabulary (ties at the frequency boundary
     * break to the lexicographically smaller token, so the vocabulary is

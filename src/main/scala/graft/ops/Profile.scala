@@ -111,6 +111,34 @@ object Profile {
     *
     * Scale: one aggregate, ≤ buckets+1 cells shipped per task.
     */
+  /** Per-column top-`k` values by count — the heavy-hitters sheet next
+    * to [[profile]]'s range row: default/sentinel pollution ("", "n/a",
+    * an epoch-zero date) shows up here first, and the hot keys it
+    * surfaces are [[Skew]]'s candidate list. Values ride as their
+    * canonical STRING representation ([[profile]]'s portability
+    * contract); NULL is a countable value (its own row). Rank ties
+    * break on the value string ascending, NULLS FIRST.
+    *
+    * Scale shape: one explode over an N_cols array (scan amplification
+    * = #profiled columns, same as [[profile]]'s Expand), one
+    * (col, value) aggregate with map-side partials, then a per-column
+    * top-k window over the AGGREGATED counts — cardinality-bounded,
+    * never row-bounded.
+    */
+  def topValues(df: DataFrame, cols: Seq[(String, Column)], k: Int): DataFrame = {
+    require(cols.nonEmpty && k > 0, "topValues needs columns and k > 0")
+    import org.apache.spark.sql.expressions.Window
+    val pairs = df.select(explode(array(cols.map { case (n, c) =>
+      struct(lit(n).as("col_name"), c.cast("string").as("value_repr"))
+    }: _*)).as("p")).select(col("p.col_name"), col("p.value_repr"))
+    val w = Window.partitionBy(col("col_name"))
+      .orderBy(col("n").desc, col("value_repr").asc_nulls_first)
+    pairs.groupBy("col_name", "value_repr")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
   def shuffleBalance(df: DataFrame, keyCol: Column, buckets: Int): DataFrame = {
     require(buckets > 0, "buckets must be positive")
     df.select(keyCol.cast("string").as("__k"))

@@ -468,6 +468,24 @@ class TextOpsSpec extends SparkTestBase {
     assert(!got.contains(4L), "NULL text emits no row")
   }
 
+  test("tvDrift: symmetric disjoint sources, coarsened __other bucket, exact floors") {
+    // source token counts: same {x:4, y:3}, diff {z:4, w:3}; corpus
+    // {x:4, z:4, w:3, y:3} over 14 -> vocab(2) = {x, z} (count tie at 4,
+    // lexicographic), y/w collapse into __other
+    val docs = Seq(
+      ("same", "x x x y y"), ("same", "x y"),
+      ("diff", "z z z w w"), ("diff", "z w")
+    ).toDF("source", "text")
+    val got = TextOps.tvDrift(docs, col("source"), col("text"), vocabSize = 2)
+      .select("key", "n_tokens", "tv_ppm")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // corpus ppm: x 285714, z 285714, __other 428571
+    // same ppm:   x 571428, z 0,      __other 428571
+    // -> sum|diff| = 571428, tv = 285714; symmetric for diff
+    assert(got("same") == (("same", 7L, 285714L)), s"got ${got("same")}")
+    assert(got("diff") == (("diff", 7L, 285714L)), s"got ${got("diff")}")
+  }
+
   test("syllableStats: vowel RUNS count once; integer Flesch variant") {
     // "queue table" -> runs: 'ueue'(1) + 'a','e'(2) = 3 groups, 2 words
     val docs = Seq(

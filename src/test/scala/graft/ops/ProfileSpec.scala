@@ -55,6 +55,24 @@ class ProfileSpec extends SparkTestBase {
     assert(got3 == List((0L, 1L, -10L, -10L), (1L, 2L, -1L, 5L)), s"got $got3")
   }
 
+  test("topValues: NULL is countable, ties pin on value, rank cut per column") {
+    val df = Seq(
+      (Some("a"), 1L), (Some("a"), 2L), (Some("b"), 1L), (None, 1L), (None, 2L)
+    ).toDF("s", "x")
+    val got = Profile.topValues(df,
+        Seq("s" -> col("s"), "x" -> col("x")), k = 2)
+      .collect()
+      .map(r => (r.getString(0), Option(r.getString(1)), r.getLong(2), r.getLong(3)))
+      .toSet
+    // s: a=2, NULL=2, b=1 — tie a vs NULL at n=2 pins NULLS FIRST
+    assert(got.contains(("s", None, 2L, 1L)))
+    assert(got.contains(("s", Some("a"), 2L, 2L)))
+    assert(!got.exists(r => r._1 == "s" && r._2 == Some("b")), "k=2 cuts b")
+    // x: 1=3, 2=2
+    assert(got.contains(("x", Some("1"), 3L, 1L)))
+    assert(got.contains(("x", Some("2"), 2L, 2L)))
+  }
+
   test("shuffleBalance: deterministic buckets, NULL keys isolated, counts reconcile") {
     val df = ((1 to 100).map(i => Option((i % 10).toLong)) ++ Seq(None, None))
       .toDF("k")
