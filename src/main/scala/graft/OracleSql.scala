@@ -2516,6 +2516,34 @@ object OracleSql {
         |   LEFT JOIN sc ON sc.key = stt.key AND sc.b = cc.b)
         |SELECT key AS source, CAST(max(st) AS BIGINT) AS n_tokens,
         | CAST(sum(ad) // 2 AS BIGINT) AS tv_ppm
-        |FROM d GROUP BY 1 ORDER BY source""".stripMargin
+        |FROM d GROUP BY 1 ORDER BY source""".stripMargin,
+
+    // TPC-H Q21's EXISTS + NOT EXISTS double correlation, with
+    // l_returnflag = 'R' standing in for the missing receipt dates
+    "q176_sole_problem_supplier" ->
+      """SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM supplier s
+        |JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey AND l1.l_returnflag = 'R'
+        |JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+        |WHERE EXISTS (SELECT 1 FROM lineitem l2
+        |   WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |   WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |     AND l3.l_returnflag = 'R')
+        |GROUP BY 1 ORDER BY numwait DESC, s_name""".stripMargin,
+
+    // TPC-H Q22's shape with the above-average test division-cleared
+    // over DECIMAL (bal*n > sum) and "no recent order" as the anti join
+    "q177_idle_rich_customers" ->
+      """WITH t AS (SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS s, count(*) AS n
+        |   FROM customer WHERE c_acctbal > 0)
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_cust,
+        | CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_bal
+        |FROM customer, t
+        |WHERE CAST(c_acctbal AS DECIMAL(18,2)) * t.n > t.s
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |   WHERE o.o_custkey = customer.c_custkey
+        |     AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+        |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin
   )
 }

@@ -2587,6 +2587,65 @@ object SparkEntry {
       .select(col("key").as("source"), col("n_tokens"), col("tv_ppm"))
       .orderBy("source")
 
+  /** TPC-H Q21 shape (sole-problem-supplier): suppliers whose RETURNED
+    * lineitem sits in a finished multi-supplier order where NO other
+    * supplier's item was returned — the classic EXISTS + NOT EXISTS
+    * double-correlation, expressed as one semi and one anti join with
+    * mixed equi + non-equi conditions (the schema has no
+    * commit/receipt dates; `l_returnflag = 'R'` is the problem flag).
+    * Scale: both correlated probes shuffle on the SAME `l_orderkey`,
+    * so the three lineitem legs co-partition; supplier attaches last.
+    */
+  private def q176(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val l1 = li.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val l2 = li.select(col("l_orderkey").as("__o2"), col("l_suppkey").as("__s2"))
+    val l3 = li.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("__o3"), col("l_suppkey").as("__s3"))
+    val finished = Tables.orders(s, dir)
+      .filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
+    l1
+      .join(finished, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .join(l2, col("l_orderkey") === col("__o2") &&
+        col("l_suppkey") =!= col("__s2"), "left_semi")
+      .join(l3, col("l_orderkey") === col("__o3") &&
+        col("l_suppkey") =!= col("__s3"), "left_anti")
+      .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+  }
+
+  /** TPC-H Q22 shape (idle rich customers): customers whose balance
+    * exceeds the positive-balance average AND who placed no order
+    * since the cutoff, rolled up per market segment. The
+    * above-average test is division-cleared to
+    * `bal·n > Σbal` over DECIMAL(18,2) — a floating avg threshold
+    * would make boundary rows a 1-ulp engine lottery. One-row
+    * aggregate broadcast (scalar-subquery shape) + anti join on
+    * recent orders.
+    */
+  private def q177(s: SparkSession, dir: String): DataFrame = {
+    val dec2 = org.apache.spark.sql.types.DecimalType(18, 2)
+    val cust = Tables.customer(s, dir)
+    val thresh = cust.filter(col("c_acctbal") > 0d)
+      .agg(sum(col("c_acctbal").cast(dec2)).as("__sum"),
+        count(lit(1)).as("__n"))
+    val recent = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >=
+        lit(java.sql.Timestamp.valueOf("2001-01-01 00:00:00")))
+      .select(col("o_custkey"))
+    cust
+      .crossJoin(broadcast(thresh))
+      .filter(col("c_acctbal").cast(dec2) * col("__n") > col("__sum"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_cust"),
+        sum(col("c_acctbal").cast(dec2)).cast(dec2).as("total_bal"))
+      .orderBy("c_mktsegment")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_tumble_alerts" -> q01 _,
     "q02_tumble_avg_parts" -> q02 _,
@@ -2762,7 +2821,9 @@ object SparkEntry {
     "q172_peak_rate" -> q172 _,
     "q173_shuffle_balance" -> q173 _,
     "q174_top_values" -> q174 _,
-    "q175_source_drift" -> q175 _
+    "q175_source_drift" -> q175 _,
+    "q176_sole_problem_supplier" -> q176 _,
+    "q177_idle_rich_customers" -> q177 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all
