@@ -2544,6 +2544,40 @@ object OracleSql {
         |  AND NOT EXISTS (SELECT 1 FROM orders o
         |   WHERE o.o_custkey = customer.c_custkey
         |     AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
-        |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin
+        |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
+
+    // per-user rollup, global-max recency anchor, three ntile(5)
+    // windows with the user-id tie-break, the 3-digit code
+    "q178_rfm_segments" ->
+      """WITH per AS (SELECT user_id,
+        |    max(CAST(floor(epoch(ts)) AS BIGINT)) AS last_t,
+        |    count(*) AS frequency,
+        |    sum(CAST(floor(value * 100) AS BIGINT)) AS monetary_cents
+        |   FROM events
+        |   WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+        |   GROUP BY 1),
+        | g AS (SELECT max(last_t) AS gmax FROM per),
+        | r AS (SELECT user_id, (g.gmax - last_t) // 86400 AS recency_days,
+        |    frequency, monetary_cents FROM per, g),
+        | qn AS (SELECT user_id, recency_days, frequency, monetary_cents,
+        |    CAST(ntile(5) OVER (ORDER BY recency_days, user_id) AS BIGINT) AS r_q,
+        |    CAST(ntile(5) OVER (ORDER BY frequency, user_id) AS BIGINT) AS f_q,
+        |    CAST(ntile(5) OVER (ORDER BY monetary_cents, user_id) AS BIGINT) AS m_q
+        |   FROM r)
+        |SELECT user_id, CAST(recency_days AS BIGINT) AS recency_days,
+        | CAST(frequency AS BIGINT) AS frequency,
+        | CAST(monetary_cents AS BIGINT) AS monetary_cents,
+        | r_q, f_q, m_q, r_q * 100 + f_q * 10 + m_q AS rfm_code
+        |FROM qn ORDER BY user_id""".stripMargin,
+
+    // the distinct-rhs rollup with both witness values; NULL rhs can't
+    // witness a contradiction, NULL lhs is its own group
+    "q179_fd_violations" ->
+      """SELECT user_id, CAST(count(DISTINCT event_type) AS BIGINT) AS n_distinct_rhs,
+        | min(event_type) AS rhs_min, max(event_type) AS rhs_max,
+        | CAST(count(*) AS BIGINT) AS n_rows
+        |FROM events GROUP BY 1
+        |HAVING count(DISTINCT event_type) > 1
+        |ORDER BY user_id NULLS FIRST""".stripMargin
   )
 }

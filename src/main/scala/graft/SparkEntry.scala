@@ -2626,6 +2626,29 @@ object SparkEntry {
     * aggregate broadcast (scalar-subquery shape) + anti join on
     * recent orders.
     */
+  /** RFM segmentation ([[Behavior.rfmSegments]]): recency/frequency/
+    * monetary quintiles per user with deterministic ntile tie-breaks,
+    * composed into the 3-digit segment code. The oracle replays the
+    * per-user rollup, the global-max recency anchor, and all three
+    * ntile windows.
+    */
+  private def q178(s: SparkSession, dir: String): DataFrame =
+    Behavior.rfmSegments(Tables.events(s, dir),
+        col("user_id"), col("ts"), col("value"))
+      .withColumnRenamed("user", "user_id")
+      .orderBy("user_id")
+
+  /** Functional-dependency audit ([[Profile.fdViolations]]): which
+    * users break a hypothetical "one user, one event type" contract,
+    * with witness values. The oracle replays the distinct-rhs rollup
+    * and the violation filter.
+    */
+  private def q179(s: SparkSession, dir: String): DataFrame =
+    Profile.fdViolations(Tables.events(s, dir),
+        col("user_id"), col("event_type"))
+      .withColumnRenamed("lhs", "user_id")
+      .orderBy("user_id")
+
   private def q177(s: SparkSession, dir: String): DataFrame = {
     val dec2 = org.apache.spark.sql.types.DecimalType(18, 2)
     val cust = Tables.customer(s, dir)
@@ -2823,7 +2846,9 @@ object SparkEntry {
     "q174_top_values" -> q174 _,
     "q175_source_drift" -> q175 _,
     "q176_sole_problem_supplier" -> q176 _,
-    "q177_idle_rich_customers" -> q177 _
+    "q177_idle_rich_customers" -> q177 _,
+    "q178_rfm_segments" -> q178 _,
+    "q179_fd_violations" -> q179 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

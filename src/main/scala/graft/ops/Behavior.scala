@@ -328,6 +328,51 @@ object Behavior {
         expr("(n * 1000000) DIV __nh").as("cond_ppm"))
   }
 
+  /** RFM segmentation — the classic behavioral scoring: per user,
+    * Recency (days since last event, against the corpus's max
+    * timestamp), Frequency (event count) and Monetary (exact cent
+    * sum), each cut into quintiles by `ntile(5)` with a user-id
+    * tie-break (equal metrics would otherwise make bucket assignment
+    * a row-order lottery), composed into the familiar 3-digit
+    * `rfm_code` (`r·100 + f·10 + m`; every digit quintile is ascending
+    * in its RAW metric — r=5 is the STALEST, f=5/m=5 the heaviest).
+    *
+    * Scale shape: the event log collapses to ONE row per user first
+    * (one shuffle, map-side partials); the three ntile windows then
+    * sort the USER table, not the log — cardinality-bounded. The
+    * windows are global by definition (population quintiles); past
+    * ~10⁸ users swap exact ntile for percentile-threshold bucketing
+    * ([[graft.ops.Stats]] rank machinery) at the cost of boundary-tie
+    * exactness.
+    */
+  def rfmSegments(
+      events: DataFrame,
+      userCol: Column,
+      tsCol: Column,
+      valueCol: Column
+  ): DataFrame = {
+    val per = events
+      .filter(userCol.isNotNull && tsCol.isNotNull && valueCol.isNotNull)
+      .select(userCol.as("user"), unix_timestamp(tsCol).cast("long").as("__t"),
+        floor(valueCol * 100d).cast("long").as("__cents"))
+      .groupBy("user")
+      .agg(max(col("__t")).as("__last"), count(lit(1)).as("frequency"),
+        sum(col("__cents")).as("monetary_cents"))
+    val gmax = per.agg(max(col("__last")).as("__gmax"))
+    def q(order: Column*) =
+      ntile(5).over(Window.orderBy(order: _*)).cast("long")
+    per.crossJoin(broadcast(gmax))
+      .withColumn("recency_days", expr("(__gmax - __last) DIV 86400"))
+      .withColumn("r_q", q(col("recency_days"), col("user")))
+      .withColumn("f_q", q(col("frequency"), col("user")))
+      .withColumn("m_q", q(col("monetary_cents"), col("user")))
+      .withColumn("rfm_code",
+        col("r_q") * 100L + col("f_q") * 10L + col("m_q"))
+      .select(col("user"), col("recency_days"), col("frequency"),
+        col("monetary_cents"), col("r_q"), col("f_q"), col("m_q"),
+        col("rfm_code"))
+  }
+
   /** Conversion latency profile — for users who completed the WHOLE
     * [[funnel]], the first-stage→last-stage elapsed seconds, summarized
     * per first-stage DAY with exact rank percentiles (the q57

@@ -139,6 +139,27 @@ object Profile {
       .filter(col("rk") <= k)
   }
 
+  /** Functional-dependency audit: does `lhs` determine `rhs`? One row
+    * per VIOLATING lhs value — the data-contract check behind "one
+    * user, one country" / "one order, one status" assumptions that
+    * joins and dedups silently rely on. Reports the distinct-rhs
+    * count and the (min, max) rhs representations as the two witness
+    * values an engineer pastes into the bug report. NULL rhs values
+    * are ignored (SQL DISTINCT-count semantics: an unknown can't
+    * witness a contradiction); NULL lhs is its own group.
+    *
+    * Scale shape: one (lhs, rhs)-keyed distinct-style aggregate then a
+    * per-lhs rollup — the exact-dedup plan family; output is bounded
+    * by the violating keys, not the table.
+    */
+  def fdViolations(df: DataFrame, lhs: Column, rhs: Column): DataFrame =
+    df.select(lhs.as("lhs"), rhs.cast("string").as("__r"))
+      .groupBy("lhs")
+      .agg(count_distinct(col("__r")).as("n_distinct_rhs"),
+        min(col("__r")).as("rhs_min"), max(col("__r")).as("rhs_max"),
+        count(lit(1)).as("n_rows"))
+      .filter(col("n_distinct_rhs") > 1)
+
   def shuffleBalance(df: DataFrame, keyCol: Column, buckets: Int): DataFrame = {
     require(buckets > 0, "buckets must be positive")
     df.select(keyCol.cast("string").as("__k"))
