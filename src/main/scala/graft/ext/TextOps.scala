@@ -873,9 +873,15 @@ object TextOps {
     val bucketed = toks.join(broadcast(vocab), Seq("tok"), "left")
       .select(col("key"),
         when(col("__in").isNotNull, col("tok")).otherwise(lit("__other")).as("b"))
+    // ONE aggregate over the token table; the corpus distribution and
+    // both totals DERIVE from it (sums of per-source cells), so the
+    // exploded tokens are scanned twice total (vocab build + cells),
+    // never three times — and the checkpoint stops the three
+    // downstream consumers from re-deriving the cell table
     val srcCnt = bucketed.groupBy("key", "b").agg(count(lit(1)).as("sn"))
+      .localCheckpoint(false)
     val srcTot = srcCnt.groupBy("key").agg(sum(col("sn")).as("st"))
-    val corpCnt = bucketed.groupBy("b").agg(count(lit(1)).as("cn"))
+    val corpCnt = srcCnt.groupBy("b").agg(sum(col("sn")).as("cn"))
     val corpTot = corpCnt.agg(sum(col("cn")).as("ct"))
     srcTot
       .crossJoin(broadcast(corpCnt))          // keys × (V+1) grid
