@@ -149,6 +149,10 @@ object Stats {
     * concentrates per-key sorts; at that scale pre-aggregate equal
     * values per key first (rank arithmetic over (value, count) runs
     * unchanged).
+    *
+    * Headroom: the ppm numerator is ≤ n·Σx·10⁶ — BIGINT holds to
+    * n·Σx ≈ 9·10¹² per key (10⁶ docs × 10⁶ chars); past that run the
+    * same formula over DECIMAL(38,0) (same plan, wider lanes).
     */
   def giniConcentration(
       df: DataFrame,
