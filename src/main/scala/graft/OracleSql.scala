@@ -2578,6 +2578,54 @@ object OracleSql {
         | CAST(count(*) AS BIGINT) AS n_rows
         |FROM events GROUP BY 1
         |HAVING count(DISTINCT event_type) > 1
-        |ORDER BY user_id NULLS FIRST""".stripMargin
+        |ORDER BY user_id NULLS FIRST""".stripMargin,
+
+    // rank-pick thresholds at ceil(n*q/4) per type, then every row's
+    // exceedance count (+1) — ties share a bucket by construction
+    "q180_quantile_buckets" ->
+      """WITH o AS (SELECT event_type AS k, CAST(floor(value * 1000) AS BIGINT) AS v
+        |   FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        | r AS (SELECT k, v, row_number() OVER (PARTITION BY k ORDER BY v) AS rn,
+        |    count(*) OVER (PARTITION BY k) AS n FROM o),
+        | th AS (SELECT k, max(CASE WHEN rn = CAST(ceil(n * 0.25) AS BIGINT) THEN v END) AS t1,
+        |    max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN v END) AS t2,
+        |    max(CASE WHEN rn = CAST(ceil(n * 0.75) AS BIGINT) THEN v END) AS t3
+        |   FROM r GROUP BY k)
+        |SELECT o.k AS event_type, o.v AS v_millis,
+        | CAST(1 + (CASE WHEN o.v > th.t1 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN o.v > th.t2 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN o.v > th.t3 THEN 1 ELSE 0 END) AS BIGINT) AS bucket
+        |FROM o JOIN th ON th.k = o.k
+        |ORDER BY event_type, v_millis""".stripMargin,
+
+    // per-key counts joined, exact sum(cntA*cntB) total, top-10 slice
+    // with ppm shares
+    "q181_join_forecast" ->
+      """WITH c AS (SELECT CAST(user_id AS VARCHAR) AS k, count(*) AS n
+        |   FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        | j AS (SELECT k, n AS n_left, n AS n_right, n * n AS rows_out FROM c),
+        | t AS (SELECT sum(rows_out) AS total_rows FROM j),
+        | r AS (SELECT k, n_left, n_right, rows_out,
+        |    row_number() OVER (ORDER BY rows_out DESC, k) AS rk FROM j)
+        |SELECT r.k AS user_key, CAST(n_left AS BIGINT) AS n_left,
+        | CAST(n_right AS BIGINT) AS n_right, CAST(rows_out AS BIGINT) AS rows_out,
+        | CAST(rk AS BIGINT) AS rk, CAST(t.total_rows AS BIGINT) AS total_rows,
+        | CAST((rows_out * 1000000) // t.total_rows AS BIGINT) AS share_ppm
+        |FROM r, t WHERE rk <= 10 ORDER BY rk""".stripMargin,
+
+    // every counter recomputed with list functions; zero-counts BIND
+    // (a wrong-dim or NaN row would break the hash)
+    "q182_vector_audit" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        | CAST(sum(CASE WHEN embedding IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        | CAST(sum(CASE WHEN embedding IS NOT NULL AND len(embedding) <> 64
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_wrong_dim,
+        | CAST(sum(CASE WHEN embedding IS NOT NULL AND
+        |   list_sum(list_transform(embedding::DOUBLE[], x -> x*x)) = 0
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+        | CAST(sum(CASE WHEN embedding IS NOT NULL AND
+        |   len(list_filter(embedding::DOUBLE[], x -> isnan(x) OR isinf(x))) > 0
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_nonfinite
+        |FROM embeddings ORDER BY n_rows""".stripMargin
   )
 }

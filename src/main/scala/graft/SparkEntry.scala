@@ -2626,6 +2626,44 @@ object SparkEntry {
     * aggregate broadcast (scalar-subquery shape) + anti join on
     * recent orders.
     */
+  /** Per-type quantile transform ([[graft.ops.Stats.quantileBuckets]]):
+    * every event's value-millis mapped to its within-type quartile —
+    * thresholds at ceil(n·q/4) ranks, equal values share a bucket
+    * (equal inputs must get equal feature codes). The oracle replays
+    * threshold extraction AND every row's exceedance count.
+    */
+  private def q180(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.quantileBuckets(Tables.events(s, dir),
+        col("event_type"), floor(col("value") * 1000d), buckets = 4)
+      .select(col("key").as("event_type"), col("v").as("v_millis"),
+        col("bucket"))
+      .orderBy("event_type", "v_millis")
+
+  /** Join-size forecast ([[Profile.joinSizeForecast]]): the exact
+    * output cardinality of the events-on-user_id SELF-join from
+    * per-key counts — Σ cnt² — without running it, plus the top-10
+    * quadratic contributors with ppm shares. The oracle recomputes
+    * the count join, the ranking and the shares.
+    */
+  private def q181(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    Profile.joinSizeForecast(ev, col("user_id"), ev, col("user_id"), topN = 10)
+      .select(col("k").as("user_key"), col("n_left"), col("n_right"),
+        col("rows_out"), col("rk"), col("total_rows"), col("share_ppm"))
+      .orderBy("rk")
+  }
+
+  /** Embedding corpus audit ([[SimSearch.vectorAudit]]): the one-row
+    * vector-column contract sheet (NULLs, wrong dims, zero vectors,
+    * non-finite components). The oracle recomputes every counter with
+    * DuckDB list functions — on the clean fixture the interesting
+    * counters bind at zero, which is exactly what the contract sheet
+    * should say.
+    */
+  private def q182(s: SparkSession, dir: String): DataFrame =
+    SimSearch.vectorAudit(Tables.embeddings(s, dir), col("embedding"),
+      expectedDim = 64)
+
   /** RFM segmentation ([[Behavior.rfmSegments]]): recency/frequency/
     * monetary quintiles per user with deterministic ntile tie-breaks,
     * composed into the 3-digit segment code. The oracle replays the
@@ -2848,7 +2886,10 @@ object SparkEntry {
     "q176_sole_problem_supplier" -> q176 _,
     "q177_idle_rich_customers" -> q177 _,
     "q178_rfm_segments" -> q178 _,
-    "q179_fd_violations" -> q179 _
+    "q179_fd_violations" -> q179 _,
+    "q180_quantile_buckets" -> q180 _,
+    "q181_join_forecast" -> q181 _,
+    "q182_vector_audit" -> q182 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

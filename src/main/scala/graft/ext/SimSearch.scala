@@ -325,6 +325,28 @@ object SimSearch {
       .select(col("qid"), col("id"), col("rrf_micro"), col("n_lists"), col("rank"))
   }
 
+  /** Embedding corpus audit — the one-row contract sheet an ANN/train
+    * pipeline checks before trusting a vector column: NULL vectors,
+    * wrong-dimensionality vectors, all-zero vectors (cosine is
+    * undefined — they poison normalization), and non-finite components
+    * (one NaN propagates through every dot product it touches). One
+    * aggregate pass, conditional counters only — the audit costs one
+    * scan regardless of corpus size.
+    */
+  def vectorAudit(df: DataFrame, vecCol: Column, expectedDim: Int): DataFrame = {
+    val sq = aggregate(vecCol, lit(0.0d),
+      (acc, x) => acc + x.cast("double") * x.cast("double"))
+    val nonfinite = exists(vecCol,
+      x => isnan(x.cast("double")) || abs(x.cast("double")) === lit(Double.PositiveInfinity))
+    df.agg(
+      count(lit(1)).as("n_rows"),
+      sum(vecCol.isNull.cast("long")).as("n_null"),
+      sum((vecCol.isNotNull && size(vecCol) =!= expectedDim).cast("long"))
+        .as("n_wrong_dim"),
+      sum((vecCol.isNotNull && sq === 0.0d).cast("long")).as("n_zero"),
+      sum((vecCol.isNotNull && nonfinite).cast("long")).as("n_nonfinite"))
+  }
+
   /** Recall@k — the ANN quality gate: per query, the fraction of the
     * EXACT top-`k` neighbor set that the approximate list recovered,
     * in integer ppm. This is the number that justifies (or vetoes)

@@ -160,6 +160,46 @@ object Profile {
         count(lit(1)).as("n_rows"))
       .filter(col("n_distinct_rhs") > 1)
 
+  /** Join-size forecast: the EXACT output cardinality of an equi-join,
+    * computed from per-key counts WITHOUT materializing the join —
+    * `|A ⋈ B|  =  Σ_k cntA(k)·cntB(k)`. The companion to
+    * [[shuffleBalance]]: that one prices the shuffle, this one prices
+    * the join's OUTPUT, which is where self-joins and low-selectivity
+    * keys go quadratic. Reports the `topN` contributing keys (the
+    * rows an engineer blocks or salts first) with each key's share of
+    * the total in ppm; NULL keys never match in an equi-join and are
+    * excluded.
+    *
+    * Scale shape: one aggregate per side, an inner join of the two
+    * AGGREGATED key tables (cardinality-bounded), a one-row total
+    * broadcast onto the top-N slice — the fact tables are each read
+    * once and never joined.
+    */
+  def joinSizeForecast(
+      left: DataFrame, leftKey: Column,
+      right: DataFrame, rightKey: Column,
+      topN: Int
+  ): DataFrame = {
+    require(topN > 0, "topN must be positive")
+    import org.apache.spark.sql.expressions.Window
+    def counts(df: DataFrame, k: Column, out: String) =
+      df.select(k.cast("string").as("k")).filter(col("k").isNotNull)
+        .groupBy("k").agg(count(lit(1)).as(out))
+    val joined = counts(left, leftKey, "n_left")
+      .join(counts(right, rightKey, "n_right"), Seq("k"))
+      .withColumn("rows_out", col("n_left") * col("n_right"))
+    val total = joined.agg(sum(col("rows_out")).as("total_rows"))
+    // distributed top-N first (TakeOrderedAndProject), THEN the rank
+    // window over the ≤topN survivors — no global sort window over the
+    // full key table
+    val w = Window.orderBy(col("rows_out").desc, col("k"))
+    joined
+      .orderBy(col("rows_out").desc, col("k")).limit(topN)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .crossJoin(broadcast(total))
+      .withColumn("share_ppm", expr("(rows_out * 1000000) DIV total_rows"))
+  }
+
   def shuffleBalance(df: DataFrame, keyCol: Column, buckets: Int): DataFrame = {
     require(buckets > 0, "buckets must be positive")
     df.select(keyCol.cast("string").as("__k"))

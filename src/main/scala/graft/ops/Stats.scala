@@ -173,6 +173,49 @@ object Stats {
       .drop("__iws")
   }
 
+  /** Per-key quantile transform: exact B-quantile thresholds extracted
+    * ONCE per key (the q57 rank-pick convention: threshold q is the
+    * value at rank `ceil(n·q/B)`), then every row assigned its bucket
+    * map-side as `1 + #{thresholds < v}` — ties share a bucket (unlike
+    * ntile's row-order split), which is what a quantile FEATURE wants:
+    * equal inputs must get equal codes. This is the train-once/
+    * apply-everywhere quantile bucketizer (and the scaladoc'd
+    * threshold fallback [[graft.ops.Behavior.rfmSegments]] points to).
+    *
+    * Scale shape: one per-key sort window for the thresholds, then the
+    * assignment joins each row to its key's ≤(B−1)-element threshold
+    * ARRAY (keys × (B−1) cells — broadcastable) and counts exceedances
+    * inside codegen — the second pass never sorts.
+    */
+  def quantileBuckets(
+      df: DataFrame,
+      keyCol: Column,
+      valueCol: Column,
+      buckets: Int
+  ): DataFrame = {
+    require(buckets >= 2, "need at least 2 buckets")
+    val base = df.select(keyCol.as("key"), valueCol.cast("long").as("v"))
+      .filter(col("key").isNotNull && col("v").isNotNull)
+    val wr = Window.partitionBy(col("key")).orderBy(col("v"))
+    val wn = Window.partitionBy(col("key"))
+    val ranked = base
+      .withColumn("__rn", row_number().over(wr))
+      .withColumn("__n", count(lit(1)).over(wn))
+    val thresholds = (1 until buckets).map { q =>
+      max(when(col("__rn") ===
+        ceil(col("__n") * lit(q.toDouble / buckets)).cast("long"), col("v")))
+        .as(s"__t$q")
+    }
+    val th = ranked.groupBy("key")
+      .agg(thresholds.head, thresholds.tail: _*)
+      .withColumn("__ts", array((1 until buckets).map(q => col(s"__t$q")): _*))
+      .select(col("key"), col("__ts"))
+    base.join(broadcast(th), Seq("key"))
+      .withColumn("bucket",
+        lit(1L) + size(filter(col("__ts"), t => col("v") > t)).cast("long"))
+      .select(col("key"), col("v"), col("bucket"))
+  }
+
   def madOutliers(
       df: DataFrame,
       keyCol: Column,

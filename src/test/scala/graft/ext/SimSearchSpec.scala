@@ -188,6 +188,20 @@ class SimSearchSpec extends SparkTestBase {
     assert(math.abs(r.getAs[Double]("l2") - math.sqrt(2.0)) < 1e-12)
   }
 
+  test("vectorAudit: every defect class counted once, clean rows pass") {
+    val rows = Seq(
+      (1L, Array(1f, 2f, 3f)),           // clean
+      (2L, null.asInstanceOf[Array[Float]]),
+      (3L, Array(1f, 2f)),               // wrong dim
+      (4L, Array(0f, 0f, 0f)),           // zero vector
+      (5L, Array(Float.NaN, 1f, 2f)),    // NaN
+      (6L, Array(Float.PositiveInfinity, 1f, 2f))
+    ).toDF("vec_id", "embedding")
+    val r = SimSearch.vectorAudit(rows, col("embedding"), expectedDim = 3)
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(r == ((6L, 1L, 1L, 1L, 2L)), s"got $r")
+  }
+
   test("recallAtK: overlap ppm per query, short exact lists, rank cut respected") {
     def list(rows: (Long, Long, Long)*) =
       rows.toDF("qid", "vid", "rank")

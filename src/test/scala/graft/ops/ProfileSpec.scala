@@ -73,6 +73,20 @@ class ProfileSpec extends SparkTestBase {
     assert(got.contains(("x", Some("2"), 2L, 2L)))
   }
 
+  test("joinSizeForecast: exact sum of count products, never runs the join") {
+    val left = Seq("hot", "hot", "hot", "a", "b", "b").toDF("k")
+    val right = Seq("hot", "hot", "a", "c").toDF("k")
+    val got = Profile.joinSizeForecast(left, col("k"), right, col("k"), topN = 5)
+      .select("k", "n_left", "n_right", "rows_out", "rk", "total_rows", "share_ppm")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toList
+    // hot: 3*2=6, a: 1*1=1; b and c never match -> total 7
+    assert(got == List(
+      ("hot", 3L, 2L, 6L, 1L, 7L, 857142L),
+      ("a", 1L, 1L, 1L, 2L, 7L, 142857L)), s"got $got")
+    // cross-check against the real join size
+    assert(left.join(right, "k").count() == 7L)
+  }
+
   test("shuffleBalance: deterministic buckets, NULL keys isolated, counts reconcile") {
     val df = ((1 to 100).map(i => Option((i % 10).toLong)) ++ Seq(None, None))
       .toDF("k")

@@ -72,6 +72,23 @@ class StatsSpec extends SparkTestBase {
     assert(got(1L) == ((1L, 6L, 1L, 16666L)), s"got ${got(1L)}")
   }
 
+  test("quantileBuckets: rank-pick thresholds, ties share a bucket") {
+    import spark.implicits._
+    // key k: values 1..8 -> quartile thresholds at ranks 2,4,6 = 2,4,6
+    val rows = ((1L to 8L).map(("k", _)) ++ Seq(("t", 5L), ("t", 5L), ("t", 5L), ("t", 9L)))
+      .toDF("key", "v")
+    val got = Stats.quantileBuckets(rows, col("key"), col("v"), buckets = 4)
+      .as[(String, Long, Long)].collect()
+    val k = got.filter(_._1 == "k").map(r => r._2 -> r._3).toMap
+    assert(k == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 3L,
+      6L -> 3L, 7L -> 4L, 8L -> 4L), s"got $k")
+    // ties: thresholds land at ranks 1,2,3 -> all 5; the three 5s share
+    // ONE bucket (exceed none) and 9 exceeds all three
+    val t = got.filter(_._1 == "t").map(r => (r._2, r._3))
+    assert(t.filter(_._1 == 5L).map(_._2).distinct.toList == List(1L), s"got ${t.toList}")
+    assert(t.find(_._1 == 9L).map(_._2).contains(4L), s"got ${t.toList}")
+  }
+
   test("giniConcentration: equality -> 0, full concentration -> (n-1)/n, ties stable") {
     import spark.implicits._
     val rows = Seq(
