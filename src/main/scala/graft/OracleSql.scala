@@ -2626,6 +2626,53 @@ object OracleSql {
         | CAST(sum(CASE WHEN embedding IS NOT NULL AND
         |   len(list_filter(embedding::DOUBLE[], x -> isnan(x) OR isinf(x))) > 0
         |   THEN 1 ELSE 0 END) AS BIGINT) AS n_nonfinite
-        |FROM embeddings ORDER BY n_rows""".stripMargin
+        |FROM embeddings ORDER BY n_rows""".stripMargin,
+
+    // the lag window (event_id tie-break), gap filter, and q57-style
+    // rank-percentile picks per type
+    "q183_interarrival" ->
+      """WITH o AS (SELECT event_type AS k, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+        |    event_id FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+        | g0 AS (SELECT k, t - lag(t) OVER (PARTITION BY k ORDER BY t, event_id) AS g
+        |   FROM o),
+        | g AS (SELECT k, g FROM g0 WHERE g IS NOT NULL),
+        | r AS (SELECT k, g, row_number() OVER (PARTITION BY k ORDER BY g) AS rn,
+        |    count(*) OVER (PARTITION BY k) AS n FROM g)
+        |SELECT k AS event_type, CAST(max(n) AS BIGINT) AS n_gaps,
+        | CAST(max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN g END) AS BIGINT) AS p50_gap_sec,
+        | CAST(max(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT) THEN g END) AS BIGINT) AS p90_gap_sec,
+        | CAST(max(g) AS BIGINT) AS max_gap_sec
+        |FROM r GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // distinct (source, trigram) pairs, shingle spread counts, unique
+    // share in ppm
+    "q184_source_novelty" ->
+      s"""WITH d AS (SELECT source AS key, string_split(text, ' ') AS l
+         |   FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
+         | sh0 AS (SELECT key, unnest($trigrams) AS sh FROM d),
+         | sh AS (SELECT DISTINCT key, sh FROM sh0),
+         | sp AS (SELECT sh, count(*) AS nk FROM sh GROUP BY 1)
+         |SELECT key AS source, CAST(count(*) AS BIGINT) AS n_distinct,
+         | CAST(sum(CASE WHEN sp.nk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+         | CAST(sum(CASE WHEN sp.nk = 1 THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS unique_ppm
+         |FROM sh JOIN sp USING (sh) GROUP BY 1 ORDER BY source""".stripMargin,
+
+    // per-customer cent sums, descending cumsum with the id tie-break,
+    // integer threshold tests (2*cum >= total; 10*cum >= 9*total)
+    "q185_pareto" ->
+      """WITH per AS (SELECT o_custkey AS e,
+        |    sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS tv
+        |   FROM orders WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL
+        |   GROUP BY 1),
+        | t AS (SELECT sum(tv) AS total FROM per),
+        | r AS (SELECT e, tv,
+        |    sum(tv) OVER (ORDER BY tv DESC, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    row_number() OVER (ORDER BY tv DESC, e) AS rk FROM per)
+        |SELECT CAST(count(*) AS BIGINT) AS n_entities,
+        | CAST(max(t.total) AS BIGINT) AS total,
+        | CAST(min(CASE WHEN cum * 2 >= t.total THEN rk END) AS BIGINT) AS n_for_half,
+        | CAST(min(CASE WHEN cum * 10 >= t.total * 9 THEN rk END) AS BIGINT) AS n_for_90
+        |FROM r, t ORDER BY n_entities""".stripMargin
   )
 }

@@ -2664,6 +2664,40 @@ object SparkEntry {
     SimSearch.vectorAudit(Tables.embeddings(s, dir), col("embedding"),
       expectedDim = 64)
 
+  /** Inter-arrival cadence ([[TimeSeries.interArrivalStats]]): per
+    * event type, exact rank percentiles of the gaps between
+    * consecutive events — the stall detector dual of q172's peaks.
+    * The oracle replays the lag window, the gap filter and the
+    * percentile picks.
+    */
+  private def q183(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.interArrivalStats(Tables.events(s, dir),
+        col("event_type"), unix_timestamp(col("ts")), col("event_id"))
+      .select(col("key").as("event_type"), col("n_gaps"),
+        col("p50_gap_sec"), col("p90_gap_sec"), col("max_gap_sec"))
+      .orderBy("event_type")
+
+  /** Source novelty ([[TextOps.sourceNovelty]]): each source's distinct
+    * trigram inventory and the share unique to it — mirrors/scrapes
+    * sit near zero. The oracle rebuilds the distinct (source, shingle)
+    * pairs, the spread counts and the ppm share.
+    */
+  private def q184(s: SparkSession, dir: String): DataFrame =
+    TextOps.sourceNovelty(Tables.documents(s, dir),
+        col("source"), col("text"), shingleN = 3)
+      .select(col("key").as("source"), col("n_distinct"), col("n_unique"),
+        col("unique_ppm"))
+      .orderBy("source")
+
+  /** Pareto concentration ([[graft.ops.Stats.paretoPoints]]): how many
+    * top customers carry 50% and 90% of total order value (exact cent
+    * sums, integer threshold tests). The oracle replays the per-entity
+    * rollup, the descending cumsum and both cut ranks.
+    */
+  private def q185(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.paretoPoints(Tables.orders(s, dir),
+      col("o_custkey"), floor(col("o_totalprice") * 100d))
+
   /** RFM segmentation ([[Behavior.rfmSegments]]): recency/frequency/
     * monetary quintiles per user with deterministic ntile tie-breaks,
     * composed into the 3-digit segment code. The oracle replays the
@@ -2889,7 +2923,10 @@ object SparkEntry {
     "q179_fd_violations" -> q179 _,
     "q180_quantile_buckets" -> q180 _,
     "q181_join_forecast" -> q181 _,
-    "q182_vector_audit" -> q182 _
+    "q182_vector_audit" -> q182 _,
+    "q183_interarrival" -> q183 _,
+    "q184_source_novelty" -> q184 _,
+    "q185_pareto" -> q185 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

@@ -841,6 +841,37 @@ object TextOps {
         col("n_matched"), col("rnk"))
   }
 
+  /** Source novelty — per key (source), how much of its n-gram
+    * inventory appears NOWHERE else: distinct shingles, shingles
+    * unique to the key, and the unique share in ppm. The corpus-
+    * diversity dual of [[tvDrift]] (drift asks "is the mix different",
+    * novelty asks "does this source contribute anything of its own") —
+    * a near-zero unique share marks a mirror/scrape of the rest of
+    * the corpus.
+    *
+    * Scale shape: per-doc shingle sets explode to DISTINCT (key,
+    * shingle) pairs (one aggregate), the shingle-spread count is one
+    * more shingle-keyed aggregate, and the join back runs on the same
+    * shingle key — three shuffles, all on aggregated pair tables,
+    * never all-pairs.
+    */
+  def sourceNovelty(
+      docs: DataFrame,
+      keyCol: Column,
+      textCol: Column,
+      shingleN: Int
+  ): DataFrame = {
+    val pairs = docs.filter(textCol.isNotNull && keyCol.isNotNull)
+      .select(keyCol.as("key"), explode(shingleSet(textCol, shingleN)).as("sh"))
+      .distinct()
+    val spread = pairs.groupBy("sh").agg(count(lit(1)).as("__nk"))
+    pairs.join(spread, Seq("sh"))
+      .groupBy("key")
+      .agg(count(lit(1)).as("n_distinct"),
+        sum(when(col("__nk") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .withColumn("unique_ppm", expr("(n_unique * 1000000) DIV n_distinct"))
+  }
+
   /** Total-variation drift of each key's (source's) token distribution
     * from the whole-corpus distribution — `tv_ppm = Σ_b |p_key(b) −
     * p_corpus(b)| div 2` over a top-`vocabSize` COARSENED vocabulary

@@ -173,6 +173,39 @@ object Stats {
       .drop("__iws")
   }
 
+  /** Pareto concentration points: the number of top entities that
+    * cover 50% and 90% of the total — "how many customers are half
+    * the revenue" with EXACT integer threshold tests
+    * (`2·cum ≥ total`, `10·cum ≥ 9·total`: no percentage division
+    * anywhere). One row out.
+    *
+    * Scale shape: the fact table collapses to one row per entity
+    * first; the rank/cumsum window then sorts the ENTITY table
+    * (cardinality-bounded, the [[graft.ops.Behavior.rfmSegments]]
+    * contract) — descending value with an entity-id tie-break so the
+    * cut is deterministic.
+    */
+  def paretoPoints(
+      df: DataFrame,
+      entityCol: Column,
+      valueCol: Column
+  ): DataFrame = {
+    val per = df.select(entityCol.as("e"), valueCol.cast("long").as("v"))
+      .filter(col("e").isNotNull && col("v").isNotNull)
+      .groupBy("e").agg(sum(col("v")).as("tv"))
+    val total = per.agg(sum(col("tv")).as("total"))
+    val wc = Window.orderBy(col("tv").desc, col("e"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wr = Window.orderBy(col("tv").desc, col("e"))
+    per
+      .withColumn("__cum", sum(col("tv")).over(wc))
+      .withColumn("__rk", row_number().over(wr).cast("long"))
+      .crossJoin(broadcast(total))
+      .agg(count(lit(1)).as("n_entities"), max(col("total")).as("total"),
+        min(when(col("__cum") * 2 >= col("total"), col("__rk"))).as("n_for_half"),
+        min(when(col("__cum") * 10 >= col("total") * 9, col("__rk"))).as("n_for_90"))
+  }
+
   /** Per-key quantile transform: exact B-quantile thresholds extracted
     * ONCE per key (the q57 rank-pick convention: threshold q is the
     * value at rank `ceil(n·q/B)`), then every row assigned its bucket

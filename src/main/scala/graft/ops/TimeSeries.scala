@@ -275,6 +275,45 @@ object TimeSeries {
         expr("(__num - pmod(__num, __den)) DIV __den").as("ewma"))
   }
 
+  /** Inter-arrival cadence profile: per key, the distribution of gaps
+    * between consecutive events (seconds) as exact rank percentiles —
+    * the dual of [[peakRate]]: peaks catch bursts, gap percentiles
+    * catch STALLS (a p90 gap creeping up is a dying source long
+    * before the peak moves). Ordering ties break on `ordCol` (the
+    * q157 convention); keys with fewer than two events have no gaps
+    * and no row.
+    *
+    * Scale shape: one per-key sort window for the lag, a second
+    * rank window on the SAME partitioning (no extra shuffle), one
+    * aggregate — the q57 percentile family.
+    */
+  def interArrivalStats(
+      df: DataFrame,
+      keyCol: Column,
+      tsSecCol: Column,
+      ordCol: Column
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("__k")).orderBy(col("__t"), col("__o"))
+    val gaps = df.select(keyCol.as("__k"), tsSecCol.cast("long").as("__t"),
+        ordCol.as("__o"))
+      .filter(col("__k").isNotNull && col("__t").isNotNull)
+      .withColumn("__g", col("__t") - lag(col("__t"), 1).over(w))
+      .filter(col("__g").isNotNull)
+    val wr = Window.partitionBy(col("__k")).orderBy(col("__g"))
+    val wn = Window.partitionBy(col("__k"))
+    gaps
+      .withColumn("__rn", row_number().over(wr))
+      .withColumn("__n", count(lit(1)).over(wn))
+      .groupBy(col("__k").as("key"))
+      .agg(max(col("__n")).as("n_gaps"),
+        max(when(col("__rn") === ceil(col("__n") * 0.5).cast("long"), col("__g")))
+          .as("p50_gap_sec"),
+        max(when(col("__rn") === ceil(col("__n") * 0.9).cast("long"), col("__g")))
+          .as("p90_gap_sec"),
+        max(col("__g")).as("max_gap_sec"))
+  }
+
   /** Peak event rate — each key's maximum event count inside ANY
     * trailing `windowSec`-second window, computed exactly with a RANGE
     * frame over epoch seconds (`[t − windowSec + 1, t]`, so a window

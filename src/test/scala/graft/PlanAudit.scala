@@ -36,7 +36,8 @@ object PlanAudit {
     "q175_source_drift", // keys × (V+1) grid from two vocab-bounded broadcasts
     "q177_idle_rich_customers", // ONE-row threshold broadcast (scalar-subquery shape)
     "q178_rfm_segments", // ONE-row global-max recency anchor broadcast
-    "q181_join_forecast") // ONE-row forecast-total broadcast onto the top-N slice
+    "q181_join_forecast", // ONE-row forecast-total broadcast onto the top-N slice
+    "q185_pareto") // ONE-row grand-total broadcast onto the entity cumsum
 
   /** Queries whose DESIGN composes several complete pipelines, so their
     * exchange count legitimately exceeds the single-pipeline budget —

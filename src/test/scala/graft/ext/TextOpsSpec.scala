@@ -468,6 +468,19 @@ class TextOpsSpec extends SparkTestBase {
     assert(!got.contains(4L), "NULL text emits no row")
   }
 
+  test("sourceNovelty: unique shingles per source, cross-source repeats excluded") {
+    val docs = Seq(
+      ("s1", "a b c d"),     // trigrams: "a b c", "b c d"
+      ("s2", "a b c x"),     // shares "a b c"; unique "b c x"
+      ("s2", "a b c x")      // duplicate doc adds nothing
+    ).toDF("source", "text")
+    val got = TextOps.sourceNovelty(docs, col("source"), col("text"), shingleN = 3)
+      .select("key", "n_distinct", "n_unique", "unique_ppm")
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got("s1") == (("s1", 2L, 1L, 500000L)), s"got ${got("s1")}")
+    assert(got("s2") == (("s2", 2L, 1L, 500000L)), s"got ${got("s2")}")
+  }
+
   test("tvDrift: symmetric disjoint sources, coarsened __other bucket, exact floors") {
     // source token counts: same {x:4, y:3}, diff {z:4, w:3}; corpus
     // {x:4, z:4, w:3, y:3} over 14 -> vocab(2) = {x, z} (count tie at 4,

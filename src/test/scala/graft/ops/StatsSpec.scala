@@ -72,6 +72,18 @@ class StatsSpec extends SparkTestBase {
     assert(got(1L) == ((1L, 6L, 1L, 16666L)), s"got ${got(1L)}")
   }
 
+  test("paretoPoints: exact 50%/90% cut ranks with the id tie-break") {
+    import spark.implicits._
+    // entity totals: a=50, b=30, c=10, d=10 (two rows each summed)
+    val rows = Seq(("a", 20L), ("a", 30L), ("b", 30L), ("c", 10L), ("d", 10L))
+      .toDF("e", "v")
+    val r = Stats.paretoPoints(rows, col("e"), col("v"))
+      .as[(Long, Long, Long, Long)].collect().head
+    // total 100: a alone covers 50 (2*50 >= 100) -> n_for_half = 1;
+    // a+b=80 < 90, a+b+c=90 -> n_for_90 = 3 (c before d on the tie)
+    assert(r == ((4L, 100L, 1L, 3L)), s"got $r")
+  }
+
   test("quantileBuckets: rank-pick thresholds, ties share a bucket") {
     import spark.implicits._
     // key k: values 1..8 -> quartile thresholds at ranks 2,4,6 = 2,4,6

@@ -140,6 +140,19 @@ class TimeSeriesSpec extends SparkTestBase {
     assert(tail == 0L, s"t=8 must not see t=0's spike, got $tail")
   }
 
+  test("interArrivalStats: gap percentiles per key; single-event keys emit nothing") {
+    val rows = Seq(
+      // k: events at 0,10,30,100 -> gaps {10,20,70}; p50=rank2=20, p90=rank3=70
+      ("k", 0L, 1L), ("k", 10L, 2L), ("k", 30L, 3L), ("k", 100L, 4L),
+      ("solo", 5L, 9L))
+      .toDF("key", "t", "o")
+    val got = TimeSeries.interArrivalStats(rows, col("key"), col("t"), col("o"))
+      .select("key", "n_gaps", "p50_gap_sec", "p90_gap_sec", "max_gap_sec")
+      .as[(String, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got("k") == (("k", 3L, 20L, 70L, 70L)), s"got ${got("k")}")
+    assert(!got.contains("solo"))
+  }
+
   test("peakRate: trailing RANGE window counts bursts, not means") {
     // u1: burst of 3 within 60s at t=100..159, then singles far apart
     val rows = Seq(("u1", 100L), ("u1", 130L), ("u1", 159L), ("u1", 500L),
