@@ -2673,6 +2673,32 @@ object OracleSql {
         | CAST(max(t.total) AS BIGINT) AS total,
         | CAST(min(CASE WHEN cum * 2 >= t.total THEN rk END) AS BIGINT) AS n_for_half,
         | CAST(min(CASE WHEN cum * 10 >= t.total * 9 THEN rk END) AS BIGINT) AS n_for_90
-        |FROM r, t ORDER BY n_entities""".stripMargin
+        |FROM r, t ORDER BY n_entities""".stripMargin,
+
+    // each FK's anti join and counters replayed; 0 orphans BINDS
+    "q186_fk_audit" ->
+      """WITH a AS (SELECT 'lineitem.order' AS fk_name,
+        |    CAST(count(*) AS BIGINT) AS n_child,
+        |    CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_fk,
+        |    CAST(sum(CASE WHEN l_orderkey IS NOT NULL AND NOT EXISTS
+        |      (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+        |   FROM lineitem l),
+        | b AS (SELECT 'orders.customer',
+        |    CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(sum(CASE WHEN o_custkey IS NOT NULL AND NOT EXISTS
+        |      (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        |      THEN 1 ELSE 0 END) AS BIGINT)
+        |   FROM orders o),
+        | c AS (SELECT 'customer.nation',
+        |    CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(sum(CASE WHEN c_nationkey IS NOT NULL AND NOT EXISTS
+        |      (SELECT 1 FROM nation n WHERE n.n_nationkey = cu.c_nationkey)
+        |      THEN 1 ELSE 0 END) AS BIGINT)
+        |   FROM customer cu)
+        |SELECT * FROM a UNION ALL SELECT * FROM b UNION ALL SELECT * FROM c
+        |ORDER BY fk_name""".stripMargin
   )
 }

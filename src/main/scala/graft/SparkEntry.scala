@@ -2698,6 +2698,22 @@ object SparkEntry {
     graft.ops.Stats.paretoPoints(Tables.orders(s, dir),
       col("o_custkey"), floor(col("o_totalprice") * 100d))
 
+  /** Referential-integrity audit ([[Profile.fkAudit]]): all three fact
+    * foreign keys checked in one result — lineitem→orders,
+    * orders→customer, customer→nation — with orphan counts (0 is the
+    * assertion). The oracle replays each anti join and the counters.
+    */
+  private def q186(s: SparkSession, dir: String): DataFrame = {
+    val audits = Seq(
+      Profile.fkAudit(Tables.lineitem(s, dir), col("l_orderkey"),
+        Tables.orders(s, dir), col("o_orderkey"), "lineitem.order"),
+      Profile.fkAudit(Tables.orders(s, dir), col("o_custkey"),
+        Tables.customer(s, dir), col("c_custkey"), "orders.customer"),
+      Profile.fkAudit(Tables.customer(s, dir), col("c_nationkey"),
+        Tables.nation(s, dir), col("n_nationkey"), "customer.nation"))
+    audits.reduce(_ unionByName _).orderBy("fk_name")
+  }
+
   /** RFM segmentation ([[Behavior.rfmSegments]]): recency/frequency/
     * monetary quintiles per user with deterministic ntile tie-breaks,
     * composed into the 3-digit segment code. The oracle replays the
@@ -2926,7 +2942,8 @@ object SparkEntry {
     "q182_vector_audit" -> q182 _,
     "q183_interarrival" -> q183 _,
     "q184_source_novelty" -> q184 _,
-    "q185_pareto" -> q185 _
+    "q185_pareto" -> q185 _,
+    "q186_fk_audit" -> q186 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

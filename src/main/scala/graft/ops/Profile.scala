@@ -160,6 +160,36 @@ object Profile {
         count(lit(1)).as("n_rows"))
       .filter(col("n_distinct_rhs") > 1)
 
+  /** Foreign-key audit: referential integrity of `child.fk → parent.pk`
+    * as one row — child rows, NULL foreign keys (excused from the
+    * check, reported separately), and ORPHANS (non-NULL keys with no
+    * parent). The join-correctness precondition every silent
+    * inner-join row loss traces back to; 0 orphans is an ASSERTION
+    * worth publishing, not a boring result.
+    *
+    * Scale shape: one anti join on the key (AQE picks broadcast when
+    * the parent's distinct keys fit) + one aggregate; the parent side
+    * is reduced to distinct keys first so the anti probe ships keys,
+    * not rows.
+    */
+  def fkAudit(
+      child: DataFrame, fkCol: Column,
+      parent: DataFrame, pkCol: Column,
+      fkName: String
+  ): DataFrame = {
+    val keys = parent.select(pkCol.as("__pk")).filter(col("__pk").isNotNull)
+      .distinct()
+    val base = child.select(fkCol.as("__fk"))
+    val orphans = base.filter(col("__fk").isNotNull)
+      .join(keys, col("__fk") === col("__pk"), "left_anti")
+      .agg(count(lit(1)).as("n_orphans"))
+    base.agg(count(lit(1)).as("n_child"),
+        sum(col("__fk").isNull.cast("long")).as("n_null_fk"))
+      .crossJoin(broadcast(orphans))
+      .select(lit(fkName).as("fk_name"), col("n_child"), col("n_null_fk"),
+        col("n_orphans"))
+  }
+
   /** Join-size forecast: the EXACT output cardinality of an equi-join,
     * computed from per-key counts WITHOUT materializing the join —
     * `|A ⋈ B|  =  Σ_k cntA(k)·cntB(k)`. The companion to

@@ -37,7 +37,8 @@ object PlanAudit {
     "q177_idle_rich_customers", // ONE-row threshold broadcast (scalar-subquery shape)
     "q178_rfm_segments", // ONE-row global-max recency anchor broadcast
     "q181_join_forecast", // ONE-row forecast-total broadcast onto the top-N slice
-    "q185_pareto") // ONE-row grand-total broadcast onto the entity cumsum
+    "q185_pareto", // ONE-row grand-total broadcast onto the entity cumsum
+    "q186_fk_audit") // three ONE-row orphan-count broadcasts (one per audited FK)
 
   /** Queries whose DESIGN composes several complete pipelines, so their
     * exchange count legitimately exceeds the single-pipeline budget —
