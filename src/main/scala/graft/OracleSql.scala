@@ -2699,6 +2699,24 @@ object OracleSql {
         |      THEN 1 ELSE 0 END) AS BIGINT)
         |   FROM customer cu)
         |SELECT * FROM a UNION ALL SELECT * FROM b UNION ALL SELECT * FROM c
-        |ORDER BY fk_name""".stripMargin
+        |ORDER BY fk_name""".stripMargin,
+
+    // the day keying and every per-column null counter replayed; rows
+    // without a timestamp have no day on either side
+    "q187_null_rates" ->
+      """WITH d AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |    value, user_id, props FROM events WHERE ts IS NOT NULL),
+        | g AS (SELECT day, count(*) AS n_rows,
+        |    sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS nv,
+        |    sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS nu,
+        |    sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS np
+        |   FROM d GROUP BY 1),
+        | l AS (SELECT day, 'value' AS col_name, n_rows, nv AS n_nulls FROM g
+        |  UNION ALL SELECT day, 'user_id', n_rows, nu FROM g
+        |  UNION ALL SELECT day, 'props', n_rows, np FROM g)
+        |SELECT day, col_name, CAST(n_rows AS BIGINT) AS n_rows,
+        | CAST(n_nulls AS BIGINT) AS n_nulls,
+        | CAST(n_nulls * 1000000 // n_rows AS BIGINT) AS null_ppm
+        |FROM l ORDER BY day, col_name""".stripMargin
   )
 }

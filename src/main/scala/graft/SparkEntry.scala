@@ -2714,6 +2714,17 @@ object SparkEntry {
     audits.reduce(_ unionByName _).orderBy("fk_name")
   }
 
+  /** Null-rate trend ([[Profile.nullRateDaily]]): per-day completeness
+    * of value/user_id/props in ppm — the series an upstream schema
+    * regression steps in. The oracle replays the day keying and every
+    * per-column counter.
+    */
+  private def q187(s: SparkSession, dir: String): DataFrame =
+    Profile.nullRateDaily(Tables.events(s, dir), col("ts"),
+        Seq("value" -> col("value"), "user_id" -> col("user_id"),
+          "props" -> col("props")))
+      .orderBy("day", "col_name")
+
   /** RFM segmentation ([[Behavior.rfmSegments]]): recency/frequency/
     * monetary quintiles per user with deterministic ntile tie-breaks,
     * composed into the 3-digit segment code. The oracle replays the
@@ -2943,7 +2954,8 @@ object SparkEntry {
     "q183_interarrival" -> q183 _,
     "q184_source_novelty" -> q184 _,
     "q185_pareto" -> q185 _,
-    "q186_fk_audit" -> q186 _
+    "q186_fk_audit" -> q186 _,
+    "q187_null_rates" -> q187 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

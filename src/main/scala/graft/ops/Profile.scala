@@ -160,6 +160,42 @@ object Profile {
         count(lit(1)).as("n_rows"))
       .filter(col("n_distinct_rhs") > 1)
 
+  /** Null-rate trend: per period (day) and column, the NULL share in
+    * ppm — completeness drift over TIME, which the single-shot
+    * [[profile]] cannot show (an upstream schema regression looks like
+    * a step in this series days before anyone reads a one-off
+    * profile). Rows without a timestamp have no period and are
+    * excluded — exactly the rows every watermark-governed operator
+    * also skips, so the series describes what the pipeline actually
+    * processed.
+    *
+    * Scale shape: ONE aggregate keyed by day (per-column null counters
+    * ride the same pass — no Expand, no per-column jobs), then the
+    * long-form explode runs on the tiny day-count frame.
+    */
+  def nullRateDaily(
+      df: DataFrame,
+      tsCol: Column,
+      cols: Seq[(String, Column)]
+  ): DataFrame = {
+    require(cols.nonEmpty, "nullRateDaily needs at least one column")
+    val aggs = cols.zipWithIndex.map { case ((_, c), i) =>
+      sum(c.isNull.cast("long")).as(s"__nulls_$i")
+    }
+    val perDay = df.filter(tsCol.isNotNull)
+      .withColumn("__ep", unix_timestamp(tsCol).cast("long"))
+      .withColumn("day", expr("__ep DIV 86400"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val long = cols.zipWithIndex.map { case ((name, _), i) =>
+      struct(lit(name).as("col_name"), col(s"__nulls_$i").as("n_nulls"))
+    }
+    perDay
+      .select(col("day"), col("n_rows"), explode(array(long: _*)).as("p"))
+      .select(col("day"), col("p.col_name"), col("n_rows"), col("p.n_nulls"))
+      .withColumn("null_ppm", expr("(n_nulls * 1000000) DIV n_rows"))
+  }
+
   /** Foreign-key audit: referential integrity of `child.fk → parent.pk`
     * as one row — child rows, NULL foreign keys (excused from the
     * check, reported separately), and ORPHANS (non-NULL keys with no
