@@ -73,6 +73,26 @@ class ProfileSpec extends SparkTestBase {
     assert(got.contains(("x", Some("2"), 2L, 2L)))
   }
 
+  test("nullRateDaily: per-day per-column counters in one pass; no-ts rows excluded") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      (ts("2024-01-01 10:00:00"), Some(1L), Some("x")),
+      (ts("2024-01-01 11:00:00"), None, Some("y")),
+      (ts("2024-01-02 10:00:00"), None, None),
+      (null.asInstanceOf[java.sql.Timestamp], Some(9L), Some("z")) // no day
+    ).toDF("ts", "a", "b")
+    val got = Profile.nullRateDaily(df, col("ts"),
+        Seq("a" -> col("a"), "b" -> col("b")))
+      .as[(Long, String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    val d1 = ts("2024-01-01 00:00:00").getTime / 1000 / 86400
+    assert(got((d1, "a")) == ((2L, 1L, 500000L)), s"got $got")
+    assert(got((d1, "b")) == ((2L, 0L, 0L)))
+    assert(got((d1 + 1, "a")) == ((1L, 1L, 1000000L)))
+    assert(got((d1 + 1, "b")) == ((1L, 1L, 1000000L)))
+    assert(got.size == 4, "the no-timestamp row must contribute no day")
+  }
+
   test("joinSizeForecast: exact sum of count products, never runs the join") {
     val left = Seq("hot", "hot", "hot", "a", "b", "b").toDF("k")
     val right = Seq("hot", "hot", "a", "c").toDF("k")
