@@ -2717,6 +2717,26 @@ object OracleSql {
         |SELECT day, col_name, CAST(n_rows AS BIGINT) AS n_rows,
         | CAST(n_nulls AS BIGINT) AS n_nulls,
         | CAST(n_nulls * 1000000 // n_rows AS BIGINT) AS null_ppm
-        |FROM l ORDER BY day, col_name""".stripMargin
+        |FROM l ORDER BY day, col_name""".stripMargin,
+
+    // the banded candidates (minhashCtes' px) verified by EXACT trigram
+    // Jaccard, summarized to the one precision row
+    "q188_lsh_precision" ->
+      s"""WITH $minhashCtes,
+         | sz AS (SELECT id, count(*) AS n FROM sh GROUP BY 1),
+         | iv AS (SELECT p.id_a, p.id_b, count(*) AS inter
+         |   FROM px p JOIN sh x ON x.id = p.id_a
+         |   JOIN sh y ON y.id = p.id_b AND y.sh = x.sh
+         |   GROUP BY 1, 2),
+         | jc AS (SELECT px.id_a, px.id_b,
+         |    coalesce(iv.inter, 0) * 1000000
+         |      // (sa.n + sb.n - coalesce(iv.inter, 0)) AS jac
+         |   FROM px LEFT JOIN iv USING (id_a, id_b)
+         |   JOIN sz sa ON sa.id = px.id_a JOIN sz sb ON sb.id = px.id_b)
+         |SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+         | CAST(sum(CASE WHEN jac >= 500000 THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+         | CAST(sum(CASE WHEN jac >= 500000 THEN 1 ELSE 0 END) * 1000000
+         |   // count(*) AS BIGINT) AS precision_ppm
+         |FROM jc ORDER BY n_candidates""".stripMargin
   )
 }

@@ -2725,6 +2725,15 @@ object SparkEntry {
           "props" -> col("props")))
       .orderBy("day", "col_name")
 
+  /** LSH candidate precision ([[Dedup.lshCandidatePrecision]]): the
+    * share of q36's banded MinHash candidates whose exact trigram
+    * Jaccard clears 0.5 — the dedup-index quality number (q167's
+    * recall gate, mirrored onto the precision side). The oracle
+    * rebuilds the banded pairs AND the exact verification.
+    */
+  private def q188(s: SparkSession, dir: String): DataFrame =
+    Dedup.lshCandidatePrecision(Tables.documents(s, dir))
+
   /** RFM segmentation ([[Behavior.rfmSegments]]): recency/frequency/
     * monetary quintiles per user with deterministic ntile tie-breaks,
     * composed into the 3-digit segment code. The oracle replays the
@@ -2955,7 +2964,8 @@ object SparkEntry {
     "q184_source_novelty" -> q184 _,
     "q185_pareto" -> q185 _,
     "q186_fk_audit" -> q186 _,
-    "q187_null_rates" -> q187 _
+    "q187_null_rates" -> q187 _,
+    "q188_lsh_precision" -> q188 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

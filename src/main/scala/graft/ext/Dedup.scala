@@ -1249,4 +1249,46 @@ object Dedup {
     val pairs = semanticDupPairs(embeddings, idCol, vecCol, threshold, nlist, nprobe, seed)
     keepCanonical(embeddings, pairs, idCol)
   }
+
+  /** LSH candidate precision — the dedup-index quality gate (the
+    * [[graft.ext.SimSearch.recallAtK]] counterpart for the MinHash
+    * side): of [[minhashPairs]]' banded candidates, the share whose
+    * EXACT trigram-set Jaccard clears `thresholdPpm`. One summary row
+    * (`n_candidates`, `n_true`, `precision_ppm`) — the number that
+    * says whether band/row parameters are wasting verifier compute on
+    * junk candidates or (with [[lshBandStats]] and a recall probe)
+    * need more bands.
+    *
+    * Scale shape: the candidate set is LSH-bounded (never all-pairs);
+    * the exact-verify joins explode ONLY the candidate pairs' shingle
+    * sets — cost tracks candidates, not the corpus.
+    */
+  def lshCandidatePrecision(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      thresholdPpm: Long = 500000L,
+      numHashes: Int = 16,
+      rowsPerBand: Int = 4,
+      shingleN: Int = 3
+  ): DataFrame = {
+    val pairs = minhashPairs(docs, idCol, textCol, numHashes, rowsPerBand, shingleN)
+    val sh = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        explode(graft.ext.TextOps.shingleSet(col(textCol), shingleN)).as("__sh"))
+    val sizes = sh.groupBy("__id").agg(count(lit(1)).as("__n"))
+    val inter = pairs
+      .join(sh.select(col("__id").as("id_a"), col("__sh")), Seq("id_a"))
+      .join(sh.select(col("__id").as("id_b"), col("__sh")), Seq("id_b", "__sh"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("__inter"))
+    pairs
+      .join(inter, Seq("id_a", "id_b"), "left")
+      .join(sizes.select(col("__id").as("id_a"), col("__n").as("__na")), Seq("id_a"))
+      .join(sizes.select(col("__id").as("id_b"), col("__n").as("__nb")), Seq("id_b"))
+      .withColumn("__jac", expr(
+        "(coalesce(__inter, 0) * 1000000) DIV (__na + __nb - coalesce(__inter, 0))"))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("__jac") >= thresholdPpm, 1L).otherwise(0L)).as("n_true"))
+      .withColumn("precision_ppm", expr("(n_true * 1000000) DIV n_candidates"))
+  }
 }

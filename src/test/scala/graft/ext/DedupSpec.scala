@@ -592,4 +592,23 @@ class DedupSpec extends SparkTestBase {
       .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
     assert(pairs == Set((0L, 1L)))
   }
+
+  test("lshCandidatePrecision: exact-Jaccard verdicts over the banded candidates") {
+    // two near-identical docs (one token swapped deep in the text) band
+    // together AND clear 0.5 jaccard; the unrelated doc pairs with no one
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, base),
+      (2L, base.replace("tok30", "tokX")), // 27/31 shared trigrams
+      (3L, (1 to 30).map(i => s"other$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val r = Dedup.lshCandidatePrecision(docs)
+      .as[(Long, Long, Long)].collect().head
+    // exactly the (1,2) candidate, and it verifies true
+    assert(r == ((1L, 1L, 1000000L)), s"got $r")
+    // cross-check the verdict against jaccardPairs' exact computation
+    val exact = Dedup.jaccardPairs(docs, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact == Set((1L, 2L)))
+  }
 }
