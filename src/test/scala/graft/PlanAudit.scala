@@ -46,7 +46,8 @@ object PlanAudit {
     */
   private val wideByDesign = Set(
     "q146_rrf_fusion", // full BM25 chain + cosine leg + fusion agg + final rank
-    "q167_ann_recall") // exact + IVF retrieval pipelines side by side + overlap agg
+    "q167_ann_recall", // exact + IVF retrieval pipelines side by side + overlap agg
+    "q188_lsh_precision") // full minhash-band pipeline + the exact-Jaccard verifier
 
   def main(args: Array[String]): Unit = {
     val spark = SparkTestBase.spark
