@@ -2737,6 +2737,40 @@ object OracleSql {
          | CAST(sum(CASE WHEN jac >= 500000 THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
          | CAST(sum(CASE WHEN jac >= 500000 THEN 1 ELSE 0 END) * 1000000
          |   // count(*) AS BIGINT) AS precision_ppm
-         |FROM jc ORDER BY n_candidates""".stripMargin
+         |FROM jc ORDER BY n_candidates""".stripMargin,
+
+    // q35's hashed-shingle machinery with the LEAST (containment)
+    // denominator and both set sizes carried for the keep policy
+    "q189_containment_pairs" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text,' ') AS l FROM documents),
+         | sh AS (SELECT doc_id AS id, unnest($trigrams) AS sh FROM d),
+         | hb AS (SELECT id, ('0x'||substr(md5('0:'||sh),1,8))::BIGINT AS h FROM sh),
+         | sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY 1),
+         | inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+         |           FROM hb a JOIN hb b ON a.h = b.h AND a.id < b.id GROUP BY 1,2)
+         |SELECT id_a, id_b, CAST(sa.n AS BIGINT) AS na, CAST(sb.n AS BIGINT) AS nb,
+         | CAST((inter*1000000) // LEAST(sa.n, sb.n) AS BIGINT) AS containment_ppm
+         |FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+         |WHERE inter::DOUBLE / LEAST(sa.n, sb.n) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // cells, totals, integer rate lifts and the tie-broken per-source
+    // top-5 replayed
+    "q190_distinctive_tokens" ->
+      """WITH t AS (SELECT source AS key, unnest(string_split(text, ' ')) AS tok
+        |   FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
+        | sc AS (SELECT key, tok, count(*) AS n FROM t GROUP BY 1, 2),
+        | st AS (SELECT key, sum(n) AS st FROM sc GROUP BY 1),
+        | cc AS (SELECT tok, sum(n) AS cn FROM sc GROUP BY 1),
+        | ct AS (SELECT sum(cn) AS tot FROM cc),
+        | r AS (SELECT sc.key, sc.tok,
+        |    (sc.n * 1000000) // st.st - (cc.cn * 1000000) // ct.tot AS lift_ppm
+        |   FROM sc JOIN st USING (key) JOIN cc USING (tok) CROSS JOIN ct),
+        | k AS (SELECT key, tok, lift_ppm,
+        |    row_number() OVER (PARTITION BY key ORDER BY lift_ppm DESC, tok) AS rk
+        |   FROM r)
+        |SELECT key AS source, tok, CAST(lift_ppm AS BIGINT) AS lift_ppm,
+        | CAST(rk AS BIGINT) AS rk
+        |FROM k WHERE rk <= 5 ORDER BY source, rk""".stripMargin
   )
 }

@@ -2734,6 +2734,27 @@ object SparkEntry {
   private def q188(s: SparkSession, dir: String): DataFrame =
     Dedup.lshCandidatePrecision(Tables.documents(s, dir))
 
+  /** Containment near-dup pairs ([[Dedup.containmentPairs]]): the
+    * quotation detector — inter / min(|A|, |B|) flags a short doc
+    * embedded inside a long one, which Jaccard's union denominator
+    * structurally hides. The oracle replays q35's hashed-shingle
+    * machinery with the LEAST denominator.
+    */
+  private def q189(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(Tables.documents(s, dir), threshold = 0.5)
+      .orderBy("id_a", "id_b")
+
+  /** Distinctive tokens ([[TextOps.distinctiveTokens]]): each source's
+    * top-5 tokens by integer rate lift over the corpus rate — the
+    * log-free c-TF-IDF. The oracle re-derives cells, totals, lifts
+    * and the tie-broken per-source ranking.
+    */
+  private def q190(s: SparkSession, dir: String): DataFrame =
+    TextOps.distinctiveTokens(Tables.documents(s, dir),
+        col("source"), col("text"), topK = 5)
+      .select(col("key").as("source"), col("tok"), col("lift_ppm"), col("rk"))
+      .orderBy("source", "rk")
+
   /** RFM segmentation ([[Behavior.rfmSegments]]): recency/frequency/
     * monetary quintiles per user with deterministic ntile tie-breaks,
     * composed into the 3-digit segment code. The oracle replays the
@@ -2965,7 +2986,9 @@ object SparkEntry {
     "q185_pareto" -> q185 _,
     "q186_fk_audit" -> q186 _,
     "q187_null_rates" -> q187 _,
-    "q188_lsh_precision" -> q188 _
+    "q188_lsh_precision" -> q188 _,
+    "q189_containment_pairs" -> q189 _,
+    "q190_distinctive_tokens" -> q190 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

@@ -444,24 +444,28 @@ object Dedup {
     * buffer is O(cap), not O(k). The default (Int.MaxValue) keeps the
     * uncapped single-aggregate plan bit-identical (`q35`).
     */
-  def jaccardPairs(
+  /** Shared candidate + intersection machinery for [[jaccardPairs]] /
+    * [[containmentPairs]]: exact shingle-set intersection counts for
+    * every document pair sharing ≥1 shingle, with per-doc set sizes
+    * attached. Set sizes come from a plain projection (no explode/
+    * shuffle); intersection counts from ONE explode → bucket-combos
+    * pass (the textbook shingle self-join would scan and shuffle the
+    * corpus twice). Buckets are keyed on the codegen'd 32-bit shingle
+    * hash, not the shingle string: the shuffle moves 8-byte longs
+    * instead of ~30-byte strings and the hash-aggregate compares
+    * primitives. A hash collision merges two buckets (probability
+    * < 2^-32 per distinct-shingle pair, deterministic, and the oracle
+    * hashes identically); the id_a != id_b guard drops the self-pairs
+    * a within-document collision would emit.
+    */
+  private def shingleIntersections(
       docs: DataFrame,
-      idCol: String = "doc_id",
-      textCol: String = "text",
-      shingleN: Int = 3,
-      threshold: Double = 0.5,
-      maxBucketSize: Int = Int.MaxValue
+      idCol: String,
+      textCol: String,
+      shingleN: Int,
+      maxBucketSize: Int
   ): DataFrame = {
     val shingleArr = TextOps.shingleSet(col(textCol), shingleN)
-    // set sizes come from a plain projection (no explode/shuffle), and the
-    // intersection counts from ONE explode -> bucket-combos pass; the
-    // textbook shingle self-join would scan and shuffle the corpus twice.
-    // Buckets are keyed on the codegen'd 32-bit shingle hash, not the
-    // shingle string: the shuffle moves 8-byte longs instead of ~30-byte
-    // strings and the hash-aggregate compares primitives. A hash collision
-    // merges two buckets (probability < 2^-32 per distinct-shingle pair,
-    // deterministic, and the oracle hashes identically); the id_a != id_b
-    // guard drops the self-pairs a within-document collision would emit.
     val sizes = docs.select(col(idCol).as("id"), size(shingleArr).as("n"))
       .filter(col("n") > 0)
     val hashed = docs.select(col(idCol).as("id"), explode(shingleArr).as("sh"))
@@ -480,13 +484,23 @@ object Dedup {
           .filter(col("c.k") > 1 && col("c.k") <= maxBucketSize)
           .select(sort_array(col("c.ids")).as("ids"))
       }
-    val inter = explodePairs(buckets)
+    explodePairs(buckets)
       .filter(col("id_a") =!= col("id_b"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("inter"))
-    inter
       .join(sizes.select(col("id").as("id_a"), col("n").as("na")), Seq("id_a"))
       .join(sizes.select(col("id").as("id_b"), col("n").as("nb")), Seq("id_b"))
+  }
+
+  def jaccardPairs(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleN: Int = 3,
+      threshold: Double = 0.5,
+      maxBucketSize: Int = Int.MaxValue
+  ): DataFrame = {
+    shingleIntersections(docs, idCol, textCol, shingleN, maxBucketSize)
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= threshold)
@@ -497,6 +511,33 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         floor(col("inter") * 1000000L / (col("na") + col("nb") - col("inter")))
           .cast("long").as("jaccard_ppm"))
+  }
+
+  /** Containment (asymmetric) near-dup pairs — `inter / min(|A|, |B|)`
+    * instead of Jaccard's union denominator: the QUOTATION detector.
+    * A short document embedded whole inside a long one (a quoted
+    * article, a syndicated paragraph, a doc + boilerplate wrapper) has
+    * tiny Jaccard — the union is dominated by the long side — but
+    * containment 1.0; [[jaccardPairs]] structurally cannot flag it at
+    * any sane threshold. Same candidate machinery, same bucket cap,
+    * same integer-ppm verdict; output additionally carries both set
+    * sizes so the KEEP policy can choose the superset side.
+    */
+  def containmentPairs(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleN: Int = 3,
+      threshold: Double = 0.8,
+      maxBucketSize: Int = Int.MaxValue
+  ): DataFrame = {
+    shingleIntersections(docs, idCol, textCol, shingleN, maxBucketSize)
+      .withColumn("containment",
+        col("inter").cast("double") / least(col("na"), col("nb")))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("na"), col("nb"),
+        floor(col("inter") * 1000000L / least(col("na"), col("nb")))
+          .cast("long").as("containment_ppm"))
   }
 
   // ------------------------------------------------------------ edit dist

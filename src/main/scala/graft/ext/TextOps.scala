@@ -841,6 +841,47 @@ object TextOps {
         col("n_matched"), col("rnk"))
   }
 
+  /** Distinctive tokens per key — the top-`topK` tokens by RATE LIFT,
+    * `rate_key(tok) − rate_corpus(tok)` in exact integer ppm: "what
+    * words characterize this source" (the c-TF-IDF idea with the
+    * log-IDF swapped for a rate difference, which needs no floating
+    * logarithm and still zeroes out corpus-uniform stopwords — a token
+    * everywhere at the same rate lifts nowhere). Rank ties break on
+    * the token ascending.
+    *
+    * Scale shape: ONE aggregate over the exploded tokens to (key, tok)
+    * cells (checkpointed for its consumers); per-key totals, corpus
+    * counts and the grand total all DERIVE from the cells; the one-row
+    * grand total broadcasts onto the vocab-bounded cell table for the
+    * rank window.
+    */
+  def distinctiveTokens(
+      docs: DataFrame,
+      keyCol: Column,
+      textCol: Column,
+      topK: Int
+  ): DataFrame = {
+    require(topK > 0, "topK must be positive")
+    val cells = docs.filter(textCol.isNotNull && keyCol.isNotNull)
+      .select(keyCol.as("key"), explode(tokens(textCol)).as("tok"))
+      .groupBy("key", "tok").agg(count(lit(1)).as("__n"))
+      .localCheckpoint(false)
+    val keyTot = cells.groupBy("key").agg(sum(col("__n")).as("__st"))
+    val corpCnt = cells.groupBy("tok").agg(sum(col("__n")).as("__cn"))
+    val corpTot = corpCnt.agg(sum(col("__cn")).as("__ct"))
+    val w = Window.partitionBy(col("key"))
+      .orderBy(col("lift_ppm").desc, col("tok"))
+    cells
+      .join(keyTot, Seq("key"))
+      .join(corpCnt, Seq("tok"))
+      .crossJoin(broadcast(corpTot))
+      .withColumn("lift_ppm", expr(
+        "(__n * 1000000) DIV __st - (__cn * 1000000) DIV __ct"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= topK)
+      .select(col("key"), col("tok"), col("lift_ppm"), col("rk"))
+  }
+
   /** Source novelty — per key (source), how much of its n-gram
     * inventory appears NOWHERE else: distinct shingles, shingles
     * unique to the key, and the unique share in ppm. The corpus-

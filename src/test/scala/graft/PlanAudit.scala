@@ -38,7 +38,8 @@ object PlanAudit {
     "q178_rfm_segments", // ONE-row global-max recency anchor broadcast
     "q181_join_forecast", // ONE-row forecast-total broadcast onto the top-N slice
     "q185_pareto", // ONE-row grand-total broadcast onto the entity cumsum
-    "q186_fk_audit") // three ONE-row orphan-count broadcasts (one per audited FK)
+    "q186_fk_audit", // three ONE-row orphan-count broadcasts (one per audited FK)
+    "q190_distinctive_tokens") // ONE-row grand-total broadcast onto the vocab cells
 
   /** Queries whose DESIGN composes several complete pipelines, so their
     * exchange count legitimately exceeds the single-pipeline budget —

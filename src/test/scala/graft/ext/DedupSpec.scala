@@ -593,6 +593,22 @@ class DedupSpec extends SparkTestBase {
     assert(pairs == Set((0L, 1L)))
   }
 
+  test("containmentPairs: a quoted short doc flags at containment, hides from jaccard") {
+    // doc 2 is doc 1's first 12 tokens verbatim (10 trigrams, all inside
+    // doc 1's 38); jaccard = 10/38 = 0.26 but containment = 10/10 = 1.0
+    val long = (1 to 40).map(i => s"w$i").mkString(" ")
+    val quoted = (1 to 12).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, long), (2L, quoted),
+      (3L, (1 to 40).map(i => s"z$i").mkString(" "))).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(docs, threshold = 0.8)
+      .select("id_a", "id_b", "na", "nb", "containment_ppm")
+      .as[(Long, Long, Long, Long, Long)].collect().toList
+    assert(cont == List((1L, 2L, 38L, 10L, 1000000L)), s"got $cont")
+    // the same pair is invisible to jaccard at any sane threshold
+    val jac = Dedup.jaccardPairs(docs, threshold = 0.5).count()
+    assert(jac == 0L)
+  }
+
   test("lshCandidatePrecision: exact-Jaccard verdicts over the banded candidates") {
     // two near-identical docs (one token swapped deep in the text) band
     // together AND clear 0.5 jaccard; the unrelated doc pairs with no one

@@ -468,6 +468,20 @@ class TextOpsSpec extends SparkTestBase {
     assert(!got.contains(4L), "NULL text emits no row")
   }
 
+  test("distinctiveTokens: rate lift surfaces each key's own words; uniform words lift nowhere") {
+    val docs = Seq(
+      ("s1", "common common alpha alpha alpha"),
+      ("s2", "common common beta beta beta")
+    ).toDF("source", "text")
+    val got = TextOps.distinctiveTokens(docs, col("source"), col("text"), topK = 1)
+      .select("key", "tok", "lift_ppm", "rk")
+      .as[(String, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // per key: own word 3/5 vs corpus 3/10 -> +300000; common 2/5 vs
+    // 4/10 -> 0; the other key's word never appears in this key's cells
+    assert(got("s1") == (("s1", "alpha", 300000L, 1L)), s"got ${got("s1")}")
+    assert(got("s2") == (("s2", "beta", 300000L, 1L)), s"got ${got("s2")}")
+  }
+
   test("sourceNovelty: unique shingles per source, cross-source repeats excluded") {
     val docs = Seq(
       ("s1", "a b c d"),     // trigrams: "a b c", "b c d"
