@@ -2771,6 +2771,20 @@ object OracleSql {
         |   FROM r)
         |SELECT key AS source, tok, CAST(lift_ppm AS BIGINT) AS lift_ppm,
         | CAST(rk AS BIGINT) AS rk
-        |FROM k WHERE rk <= 5 ORDER BY source, rk""".stripMargin
+        |FROM k WHERE rk <= 5 ORDER BY source, rk""".stripMargin,
+
+    // q153's closed forms rolled into 16-sample windows: the Spark side
+    // must decode the real RIFF container into the identical series
+    "q191_audio_energy" ->
+      """WITH ids AS (SELECT doc_id, 64 + doc_id % 33 AS n
+        |   FROM documents WHERE doc_id % 4 = 0),
+        | samp AS (SELECT doc_id, n,
+        |    unnest(generate_series(0, n - 1)) AS i FROM ids),
+        | v AS (SELECT doc_id, i // 16 AS win,
+        |    (doc_id*31 + i*7919) % 65536 - 32768 AS s FROM samp)
+        |SELECT doc_id, CAST(win AS BIGINT) AS win,
+        | CAST(count(*) AS BIGINT) AS n_in_win,
+        | CAST(sum(s * s) AS BIGINT) AS energy
+        |FROM v GROUP BY 1, 2 ORDER BY doc_id, win""".stripMargin
   )
 }

@@ -2755,6 +2755,26 @@ object SparkEntry {
       .select(col("key").as("source"), col("tok"), col("lift_ppm"), col("rk"))
       .orderBy("source", "rk")
 
+  /** Audio energy contour ([[Multimodal.audioEnergyContour]]): the
+    * per-window PCM energy series over q153's closed-form WAV fixtures
+    * — the Spark side parses the real RIFF container and scans frames
+    * into 16-sample windows; the oracle recomputes every window's
+    * count and Σv² arithmetically. Extends the q153 gate from one
+    * clip-level number to the whole contour.
+    */
+  private def q191(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val payloads = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .filter(_ % 4 == 0)
+      .map(id => (id, ext.Wav.synthetic(id))).toDF("doc_id", "payload")
+    payloads
+      .select(col("doc_id"),
+        posexplode(Multimodal.audioEnergyContour(col("payload"), 16)))
+      .select(col("doc_id"), col("pos").cast("long").as("win"),
+        col("col.n").as("n_in_win"), col("col.energy").as("energy"))
+      .orderBy("doc_id", "win")
+  }
+
   /** RFM segmentation ([[Behavior.rfmSegments]]): recency/frequency/
     * monetary quintiles per user with deterministic ntile tie-breaks,
     * composed into the 3-digit segment code. The oracle replays the
@@ -2988,7 +3008,8 @@ object SparkEntry {
     "q187_null_rates" -> q187 _,
     "q188_lsh_precision" -> q188 _,
     "q189_containment_pairs" -> q189 _,
-    "q190_distinctive_tokens" -> q190 _
+    "q190_distinctive_tokens" -> q190 _,
+    "q191_audio_energy" -> q191 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

@@ -209,6 +209,18 @@ object Multimodal {
     ColumnBridge.column(graft.functions.AudioPcmStatsExpr(
       ColumnBridge.expression(payload)))
 
+  /** Windowed PCM energy contour: binary column →
+    * `array<struct<n, energy>>` over fixed sample windows — the
+    * silence-span/fade/level-jump detector where [[audioPcmStats]]
+    * gives one clip-level number (oracle-gated by `q191`). Output is
+    * bounded by samples/window, never the raw sample count; same
+    * whole-payload O(bytes) scan as the stats expression, ONE shared
+    * sample-extraction path (they cannot drift).
+    */
+  def audioEnergyContour(payload: Column, windowSamples: Int): Column =
+    ColumnBridge.column(graft.functions.AudioEnergyContourExpr(
+      ColumnBridge.expression(payload), windowSamples))
+
   /** REAL audio decode, batched `mapPartitions` path — same init-once
     * partition seam as [[decodeImageBatched]] (a compressed-codec plug-in
     * would load its native library exactly once per partition here).

@@ -37,7 +37,13 @@ object AudioPcm {
     */
   final case class Stats(nSamples: Long, sumSq: Long, peakAbs: Long)
 
-  def decode(bytes: Array[Byte]): Option[Stats] =
+  /** ONE streaming scan over the payload's sample values, shared by
+    * every consumer ([[decode]], [[windowedEnergy]]) so the sample
+    * extraction — bit depth, endianness, unsigned re-centering — can
+    * never drift between the stats and the contour. Returns false for
+    * undecodable/unsupported payloads without invoking `f`.
+    */
+  private def scan(bytes: Array[Byte])(f: Long => Unit): Boolean =
     try {
       val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
       try {
@@ -46,14 +52,12 @@ object AudioPcm {
         val enc = fmt.getEncoding
         val signed = enc == AudioFormat.Encoding.PCM_SIGNED
         val unsigned = enc == AudioFormat.Encoding.PCM_UNSIGNED
-        if (!(signed || unsigned) || (bits != 8 && bits != 16)) None
+        if (!(signed || unsigned) || (bits != 8 && bits != 16)) false
         else {
           val data = in.readAllBytes()
           val bytesPerSample = bits / 8
           val n = data.length / bytesPerSample // partial trailing bytes dropped
           var i = 0
-          var sumSq = 0L
-          var peak = 0L
           while (i < n) {
             val off = i * bytesPerSample
             val raw: Int =
@@ -66,19 +70,54 @@ object AudioPcm {
                 if (signed) (hi << 8) | lo
                 else (((hi & 0xff) << 8) | lo) - 32768
               }
-            val v = raw.toLong
-            sumSq += v * v
-            val a = math.abs(v)
-            if (a > peak) peak = a
+            f(raw.toLong)
             i += 1
           }
-          Some(Stats(n.toLong, sumSq, peak))
+          true
         }
       } finally in.close()
     } catch {
-      case _: UnsupportedAudioFileException => None
-      case _: java.io.IOException           => None
+      case _: UnsupportedAudioFileException => false
+      case _: java.io.IOException           => false
     }
+
+  def decode(bytes: Array[Byte]): Option[Stats] = {
+    var n = 0L
+    var sumSq = 0L
+    var peak = 0L
+    val ok = scan(bytes) { v =>
+      n += 1
+      sumSq += v * v
+      val a = math.abs(v)
+      if (a > peak) peak = a
+    }
+    if (ok) Some(Stats(n, sumSq, peak)) else None
+  }
+
+  /** Per-window `(n, Σv²)` over fixed `windowSamples`-value windows —
+    * the energy CONTOUR (silence spans, fades, level jumps) where
+    * [[decode]] gives one clip-level number. The output is bounded by
+    * `n / windowSamples` cells, never the raw samples; the final
+    * partial window keeps its true `n` so callers can normalize.
+    */
+  def windowedEnergy(bytes: Array[Byte], windowSamples: Int): Option[Array[(Long, Long)]] = {
+    require(windowSamples > 0, "windowSamples must be positive")
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var inWin = 0L
+    var energy = 0L
+    val ok = scan(bytes) { v =>
+      energy += v * v
+      inWin += 1
+      if (inWin == windowSamples) {
+        out += ((inWin, energy)); inWin = 0L; energy = 0L
+      }
+    }
+    if (!ok) None
+    else {
+      if (inWin > 0) out += ((inWin, energy))
+      Some(out.toArray)
+    }
+  }
 }
 
 /** `audio_pcm_stats(payload)` — decode a binary audio column's PCM frames
@@ -116,4 +155,43 @@ case class AudioPcmStatsExpr(child: Expression)
     copy(child = newChild)
 
   override def prettyName: String = "audio_pcm_stats"
+}
+
+/** `audio_energy_contour(payload, windowSamples)` — per-window PCM
+  * energy as `array<struct<n bigint, energy bigint>>` (window w covers
+  * sample values `[w·W, (w+1)·W)`; the final partial window carries its
+  * true `n`). NULL for undecodable payloads; same CodegenFallback trade
+  * as [[AudioPcmStatsExpr]] (the sample scan dominates).
+  */
+case class AudioEnergyContourExpr(child: Expression, windowSamples: Int)
+    extends UnaryExpression with CodegenFallback {
+  import org.apache.spark.sql.types.ArrayType
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("n", LongType, nullable = false),
+    StructField("energy", LongType, nullable = false))), containsNull = false)
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires binary input, got ${other.sql}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    AudioPcm.windowedEnergy(input.asInstanceOf[Array[Byte]], windowSamples) match {
+      case Some(ws) => new GenericArrayData(
+        ws.map { case (n, e) => InternalRow(n, e) }.asInstanceOf[Array[Any]])
+      case None => null
+    }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "audio_energy_contour"
 }

@@ -555,4 +555,27 @@ class MultimodalSpec extends SparkTestBase {
     assert(out(1L) == (true, out(1L)._2), "non-JPEG sample decodes to NULL frame")
     assert(out(2L) == (true, 5000000000L), "unaddressable offset is NULL, not an error")
   }
+
+  test("audioEnergyContour: windows reconcile with pcm stats; partial tail; junk -> NULL") {
+    import org.apache.spark.sql.functions.{col, posexplode}
+    // id 8 -> n = 64 + 8%33 = 72 samples = 4 full windows + one 8-sample tail
+    val df = Seq((8L, graft.ext.Wav.synthetic(8L)),
+        (9L, Array[Byte](1, 2, 3)))
+      .toDF("doc_id", "payload")
+    val rows = df.filter(col("doc_id") === 8L)
+      .select(posexplode(Multimodal.audioEnergyContour(col("payload"), 16)))
+      .select(col("pos"), col("col.n"), col("col.energy"))
+      .as[(Int, Long, Long)].collect().sortBy(_._1).toList
+    assert(rows.map(_._2) == List(16L, 16L, 16L, 16L, 8L), s"got $rows")
+    // the contour must reconcile EXACTLY with the clip-level stats (the
+    // shared scan makes this structural, the assert keeps it honest)
+    val stats = df.filter(col("doc_id") === 8L)
+      .select(Multimodal.audioPcmStats(col("payload")).as("st"))
+      .select("st.n_samples", "st.sum_sq").as[(Long, Long)].head()
+    assert((rows.map(_._2).sum, rows.map(_._3).sum) == stats)
+    // undecodable payload -> NULL array, never a crash
+    assert(df.filter(col("doc_id") === 9L)
+      .select(Multimodal.audioEnergyContour(col("payload"), 16).isNull)
+      .as[Boolean].head())
+  }
 }
