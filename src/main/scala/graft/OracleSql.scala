@@ -2785,6 +2785,19 @@ object OracleSql {
         |SELECT doc_id, CAST(win AS BIGINT) AS win,
         | CAST(count(*) AS BIGINT) AS n_in_win,
         | CAST(sum(s * s) AS BIGINT) AS energy
-        |FROM v GROUP BY 1, 2 ORDER BY doc_id, win""".stripMargin
+        |FROM v GROUP BY 1, 2 ORDER BY doc_id, win""".stripMargin,
+
+    // the closed-form winner set of the batch-over-batch protocol:
+    // earliest batch holding a fingerprint wins, min doc_id within it
+    "q192_incremental_dedup" ->
+      """WITH d AS (SELECT doc_id, md5(text) AS fp, doc_id % 3 AS b
+        |   FROM documents WHERE text IS NOT NULL),
+        | mb AS (SELECT fp, min(b) AS mb FROM d GROUP BY 1),
+        | culled AS (SELECT d.doc_id, d.fp, d.b FROM d
+        |   JOIN mb ON d.fp = mb.fp AND d.b = mb.mb),
+        | keep AS (SELECT fp, min(doc_id) AS keep_id FROM culled GROUP BY 1)
+        |SELECT c.doc_id, c.fp FROM culled c
+        |JOIN keep k ON c.fp = k.fp AND c.doc_id = k.keep_id
+        |ORDER BY doc_id""".stripMargin
   )
 }

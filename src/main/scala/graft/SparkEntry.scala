@@ -2775,6 +2775,49 @@ object SparkEntry {
       .orderBy("doc_id", "win")
   }
 
+  /** q192's durable-output dirs, memoized per source dir (the q160
+    * convention: the drive is deterministic, so one build per JVM; the
+    * retry assertion still runs on that first build).
+    */
+  private val q192Outs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Incremental dedup end state
+    * ([[graft.jobs.IncrementalDedup.ingest]]): three document batches
+    * driven through the persisted-fingerprint-index protocol —
+    * including a RETRY of the middle batch after its index append,
+    * which must re-admit NOTHING — and the accumulated durable output
+    * (written through the operator's own `persistOutput` seam) gated
+    * against the closed-form winner set: earliest batch holding a
+    * fingerprint wins, min doc_id within it. Extends q160's
+    * protocol-end-state pattern from the SCD2 job to the dedup job.
+    */
+  private def q192(s: SparkSession, dir: String): DataFrame = {
+    import graft.jobs.IncrementalDedup
+    val outDir = q192Outs.computeIfAbsent(dir, _ => {
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_q192_idx_").toString
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_q192_out_").toString
+      val docs = Tables.documents(s, dir)
+      def batchDf(b: Int) = docs.filter(pmod(col("doc_id"), lit(3L)) === b)
+      def run(b: Int): Unit =
+        IncrementalDedup.ingest(batchDf(b), idx,
+          persistOutput = df => df.select(col("doc_id"), col("fp"))
+            .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(out))
+      run(0); run(1)
+      // retry AFTER the index append: every fingerprint is indexed, so
+      // the batch must re-admit nothing (the at-least-once contract's
+      // other arm — the one a lost-output retry relies on NOT firing)
+      val retried = IncrementalDedup.ingest(batchDf(1), idx).count()
+      require(retried == 0L,
+        s"post-append retry must re-admit nothing, got $retried")
+      run(2)
+      out
+    })
+    s.read.parquet(outDir).orderBy("doc_id")
+  }
+
   /** RFM segmentation ([[Behavior.rfmSegments]]): recency/frequency/
     * monetary quintiles per user with deterministic ntile tie-breaks,
     * composed into the 3-digit segment code. The oracle replays the
@@ -3009,7 +3052,8 @@ object SparkEntry {
     "q188_lsh_precision" -> q188 _,
     "q189_containment_pairs" -> q189 _,
     "q190_distinctive_tokens" -> q190 _,
-    "q191_audio_energy" -> q191 _
+    "q191_audio_energy" -> q191 _,
+    "q192_incremental_dedup" -> q192 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all
