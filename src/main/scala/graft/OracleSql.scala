@@ -2734,9 +2734,10 @@ object OracleSql {
          |   FROM px LEFT JOIN iv USING (id_a, id_b)
          |   JOIN sz sa ON sa.id = px.id_a JOIN sz sb ON sb.id = px.id_b)
          |SELECT CAST(count(*) AS BIGINT) AS n_candidates,
-         | CAST(sum(CASE WHEN jac >= 500000 THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
-         | CAST(sum(CASE WHEN jac >= 500000 THEN 1 ELSE 0 END) * 1000000
-         |   // count(*) AS BIGINT) AS precision_ppm
+         | CAST(coalesce(sum(CASE WHEN jac >= 500000 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_true,
+         | CAST(CASE WHEN count(*) > 0
+         |   THEN coalesce(sum(CASE WHEN jac >= 500000 THEN 1 ELSE 0 END), 0) * 1000000 // count(*)
+         |   ELSE 0 END AS BIGINT) AS precision_ppm
          |FROM jc ORDER BY n_candidates""".stripMargin,
 
     // q35's hashed-shingle machinery with the LEAST (containment)

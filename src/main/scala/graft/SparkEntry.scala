@@ -2339,6 +2339,14 @@ object SparkEntry {
       .orderBy("qid")
   }
 
+  /** q160's maintained-dimension dirs, memoized per source dir: the
+    * build is deterministic, so re-driving the three batches on every
+    * bench pass would only re-prove what the first pass proved (the
+    * replay/skip require()s still run on the first build per JVM).
+    */
+  private val q160Dims =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Streaming SCD2 dimension maintenance, end state
     * ([[graft.jobs.DimensionSync.applyBatch]]): the event log is driven
     * through the idempotent foreachBatch protocol as three time-ordered
@@ -2355,14 +2363,6 @@ object SparkEntry {
     * (the RESULT is deterministic; the path is not part of it), so
     * repeated bench/verify invocations never see each other's state.
     */
-  /** q160's maintained-dimension dirs, memoized per source dir: the
-    * build is deterministic, so re-driving the three batches on every
-    * bench pass would only re-prove what the first pass proved (the
-    * replay/skip require()s still run on the first build per JVM).
-    */
-  private val q160Dims =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
   private def q160(s: SparkSession, dir: String): DataFrame = {
     import graft.jobs.DimensionSync
     val dimDir = q160Dims.computeIfAbsent(dir, _ => {
@@ -2617,15 +2617,6 @@ object SparkEntry {
       .orderBy(col("numwait").desc, col("s_name"))
   }
 
-  /** TPC-H Q22 shape (idle rich customers): customers whose balance
-    * exceeds the positive-balance average AND who placed no order
-    * since the cutoff, rolled up per market segment. The
-    * above-average test is division-cleared to
-    * `bal·n > Σbal` over DECIMAL(18,2) — a floating avg threshold
-    * would make boundary rows a 1-ulp engine lottery. One-row
-    * aggregate broadcast (scalar-subquery shape) + anti join on
-    * recent orders.
-    */
   /** Per-type quantile transform ([[graft.ops.Stats.quantileBuckets]]):
     * every event's value-millis mapped to its within-type quartile —
     * thresholds at ceil(n·q/4) ranks, equal values share a bucket
@@ -2841,6 +2832,15 @@ object SparkEntry {
       .withColumnRenamed("lhs", "user_id")
       .orderBy("user_id")
 
+  /** TPC-H Q22 shape (idle rich customers): customers whose balance
+    * exceeds the positive-balance average AND who placed no order
+    * since the cutoff, rolled up per market segment. The
+    * above-average test is division-cleared to
+    * `bal·n > Σbal` over DECIMAL(18,2) — a floating avg threshold
+    * would make boundary rows a 1-ulp engine lottery. One-row
+    * aggregate broadcast (scalar-subquery shape) + anti join on
+    * recent orders.
+    */
   private def q177(s: SparkSession, dir: String): DataFrame = {
     val dec2 = org.apache.spark.sql.types.DecimalType(18, 2)
     val cust = Tables.customer(s, dir)

@@ -1329,7 +1329,13 @@ object Dedup {
       .withColumn("__jac", expr(
         "(coalesce(__inter, 0) * 1000000) DIV (__na + __nb - coalesce(__inter, 0))"))
       .agg(count(lit(1)).as("n_candidates"),
-        sum(when(col("__jac") >= thresholdPpm, 1L).otherwise(0L)).as("n_true"))
-      .withColumn("precision_ppm", expr("(n_true * 1000000) DIV n_candidates"))
+        // empty candidate set: sum() is NULL and n_true·10⁶ DIV 0 would be
+        // NULL — pin the summary row to an explicit (0, 0, 0) instead of a
+        // NULL metric (perfect-precision-on-nothing reads as defined zero)
+        coalesce(sum(when(col("__jac") >= thresholdPpm, 1L).otherwise(0L)),
+          lit(0L)).as("n_true"))
+      .withColumn("precision_ppm",
+        when(col("n_candidates") > 0,
+          expr("(n_true * 1000000) DIV n_candidates")).otherwise(lit(0L)))
   }
 }

@@ -967,24 +967,6 @@ object TextOps {
       .drop("__sad")
   }
 
-  /** Per-document out-of-vocabulary rate against the corpus's own
-    * top-`vocabSize` token vocabulary (ties at the frequency boundary
-    * break to the lexicographically smaller token, so the vocabulary is
-    * deterministic) — the tokenizer-coverage diagnostic: a corpus slice
-    * with a high OOV rate against the training vocabulary is exactly
-    * the slice a fixed tokenizer will shred into bytes. Counts are by
-    * occurrence (multiplicity), `oov_ppm = n_oov·10⁶ div n_tokens`.
-    *
-    * Scale shape: the vocabulary build is one token-keyed aggregate
-    * (map-side partials are vocabulary-bounded per task — Heaps' law)
-    * topped by Spark's partial top-N (`TakeOrderedAndProject`, no
-    * global sort); the probe side BROADCASTS the ≤`vocabSize` vocab
-    * onto the exploded tokens and re-aggregates per document (doc keys
-    * are partition-local after explode, so the partial agg collapses
-    * each doc before the shuffle). The corpus is scanned twice —
-    * deliberately: re-reading beats materializing an exploded
-    * token table at 100 TB.
-    */
   /** Syllable-proxy readability stats — vowel-GROUP counting (each
     * maximal `[aeiouy]+` run ≈ one syllable, the standard regex-only
     * heuristic), plus a Flesch reading-ease variant with the document
@@ -1015,6 +997,24 @@ object TextOps {
         expr("206835 - 1015 * n_words - (84600 * n_groups) DIV n_words"))
   }
 
+  /** Per-document out-of-vocabulary rate against the corpus's own
+    * top-`vocabSize` token vocabulary (ties at the frequency boundary
+    * break to the lexicographically smaller token, so the vocabulary is
+    * deterministic) — the tokenizer-coverage diagnostic: a corpus slice
+    * with a high OOV rate against the training vocabulary is exactly
+    * the slice a fixed tokenizer will shred into bytes. Counts are by
+    * occurrence (multiplicity), `oov_ppm = n_oov·10⁶ div n_tokens`.
+    *
+    * Scale shape: the vocabulary build is one token-keyed aggregate
+    * (map-side partials are vocabulary-bounded per task — Heaps' law)
+    * topped by Spark's partial top-N (`TakeOrderedAndProject`, no
+    * global sort); the probe side BROADCASTS the ≤`vocabSize` vocab
+    * onto the exploded tokens and re-aggregates per document (doc keys
+    * are partition-local after explode, so the partial agg collapses
+    * each doc before the shuffle). The corpus is scanned twice —
+    * deliberately: re-reading beats materializing an exploded
+    * token table at 100 TB.
+    */
   def oovStats(
       docs: DataFrame,
       idCol: Column,

@@ -86,31 +86,23 @@ object Profile {
       return base.select(lit(0L).as("bucket"), lit(0L).as("n_rows"),
         col("__v").as("min_v"), col("__v").as("max_v")).limit(0)
     val (lo, hi) = (r.getLong(0), r.getLong(1))
-    val span = hi - lo + 1
+    // span and numerator in DECIMAL(38,0): `hi − lo + 1` overflows BIGINT
+    // when the observed range spans most of the long domain (epoch-micros
+    // scale values), and `(v − lo)·buckets` overflows even sooner — the
+    // decimal intermediates keep the arithmetic exact for ANY long-valued
+    // column (DIV on decimals is still an integral floor, and the
+    // numerator is non-negative by construction).
+    val span = (BigInt(hi) - BigInt(lo)) + 1
     base
-      .withColumn("__num", (col("__v") - lit(lo)) * lit(buckets.toLong))
-      .withColumn("bucket", expr(s"__num DIV ${span}L"))
+      .withColumn("__num",
+        (col("__v").cast(org.apache.spark.sql.types.DecimalType(38, 0)) - lit(lo))
+          * lit(buckets.toLong))
+      .withColumn("bucket", expr(s"__num DIV CAST('$span' AS DECIMAL(38,0))"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_rows"),
         min(col("__v")).as("min_v"), max(col("__v")).as("max_v"))
   }
 
-  /** Shuffle-balance forecast: how a planned shuffle on `keyCol` would
-    * distribute over `buckets` reducers — per-bucket row and distinct-
-    * key counts under the engine-portable md5 partitioner
-    * ([[graft.functions.Hashing.md5Hash32]]), so a skewed key column
-    * is caught by a CHEAP aggregate before the real job runs (and the
-    * fix — salting, [[Skew]]; a different key; broadcast — is chosen
-    * from evidence, not from a post-mortem). A hot bucket with
-    * `n_keys = 1` is the salting case; a hot bucket with many keys is
-    * hash-collision noise that more buckets dissolves.
-    *
-    * NULL keys are reported as their own `bucket = -1` row — every
-    * engine sends them somewhere, and "somewhere" being 30% of the
-    * table is exactly what this forecast exists to catch.
-    *
-    * Scale: one aggregate, ≤ buckets+1 cells shipped per task.
-    */
   /** Per-column top-`k` values by count — the heavy-hitters sheet next
     * to [[profile]]'s range row: default/sentinel pollution ("", "n/a",
     * an epoch-zero date) shows up here first, and the hot keys it
@@ -266,6 +258,22 @@ object Profile {
       .withColumn("share_ppm", expr("(rows_out * 1000000) DIV total_rows"))
   }
 
+  /** Shuffle-balance forecast: how a planned shuffle on `keyCol` would
+    * distribute over `buckets` reducers — per-bucket row and distinct-
+    * key counts under the engine-portable md5 partitioner
+    * ([[graft.functions.Hashing.md5Hash32]]), so a skewed key column
+    * is caught by a CHEAP aggregate before the real job runs (and the
+    * fix — salting, [[Skew]]; a different key; broadcast — is chosen
+    * from evidence, not from a post-mortem). A hot bucket with
+    * `n_keys = 1` is the salting case; a hot bucket with many keys is
+    * hash-collision noise that more buckets dissolves.
+    *
+    * NULL keys are reported as their own `bucket = -1` row — every
+    * engine sends them somewhere, and "somewhere" being 30% of the
+    * table is exactly what this forecast exists to catch.
+    *
+    * Scale: one aggregate, ≤ buckets+1 cells shipped per task.
+    */
   def shuffleBalance(df: DataFrame, keyCol: Column, buckets: Int): DataFrame = {
     require(buckets > 0, "buckets must be positive")
     df.select(keyCol.cast("string").as("__k"))

@@ -421,7 +421,14 @@ object StatefulOps {
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
             val prior = state.getOption.map(StateCodec.decodeEwma)
-            val rs = it.toSeq.sortBy(r => (r.event_time.getTime, r.ord))
+            // arrival order on FLOOR-SECONDS (then ord), matching the batch
+            // twin `TimeSeries.ewmaTrailing`, which is driven on epoch
+            // seconds (q161 passes unix_timestamp): sorting on raw millis
+            // would order same-second events differently from the batch
+            // operator whenever timestamps carry sub-second precision,
+            // silently breaking the claimed row-for-row single-batch parity
+            val rs = it.toSeq.sortBy(r =>
+              (Math.floorDiv(r.event_time.getTime, 1000L), r.ord))
             var recent = prior.map(_.recent).getOrElse(Nil) // oldest first
             val out = rs.map { r =>
               // taps: weights(0)·current, weights(k)·k-th newest of the tail

@@ -627,4 +627,16 @@ class DedupSpec extends SparkTestBase {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(exact == Set((1L, 2L)))
   }
+
+  test("lshCandidatePrecision: zero candidates is an explicit (0,0,0) row, not NULL") {
+    // three pairwise-unrelated docs: no band collides, candidate set empty
+    val docs = Seq(
+      (1L, (1 to 30).map(i => s"a$i").mkString(" ")),
+      (2L, (1 to 30).map(i => s"b$i").mkString(" ")),
+      (3L, (1 to 30).map(i => s"c$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val r = Dedup.lshCandidatePrecision(docs)
+      .as[(Long, Long, Long)].collect().head
+    assert(r == ((0L, 0L, 0L)), s"empty-candidate summary must be defined zeros: $r")
+  }
 }

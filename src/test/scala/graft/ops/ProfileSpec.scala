@@ -53,6 +53,14 @@ class ProfileSpec extends SparkTestBase {
     val got3 = Profile.histogram(neg, col("v"), 2)
       .orderBy("bucket").as[(Long, Long, Long, Long)].collect().toList
     assert(got3 == List((0L, 1L, -10L, -10L), (1L, 2L, -1L, 5L)), s"got $got3")
+    // full long domain: span = 2^64 and (v-lo)*buckets both exceed BIGINT —
+    // the DECIMAL(38,0) intermediates keep the binning exact, no wraparound
+    val wide = Seq(Long.MinValue, 0L, Long.MaxValue).toDF("v")
+    val got4 = Profile.histogram(wide, col("v"), 2)
+      .orderBy("bucket").as[(Long, Long, Long, Long)].collect().toList
+    assert(got4 == List(
+      (0L, 1L, Long.MinValue, Long.MinValue),
+      (1L, 2L, 0L, Long.MaxValue)), s"got $got4")
   }
 
   test("topValues: NULL is countable, ties pin on value, rank cut per column") {

@@ -641,6 +641,29 @@ class StatefulOpsSpec extends SparkTestBase {
       s"drained stream must equal the batch EWMA (${streamed.size} vs ${batch.size} rows)")
   }
 
+  test("ewmaStream: sub-second timestamps order on floor-seconds + ord like the batch twin") {
+    // two events in the SAME second with millis order OPPOSITE to ord
+    // order: the batch operator is driven on unix_timestamp (whole
+    // seconds), so ord must win the tie — a raw-millis arrival sort
+    // would process v=20 first and emit (20, 15) instead
+    val t0 = ts("2024-01-01 00:00:00")
+    val mem = MemoryStream[(Long, Long, Long, java.sql.Timestamp)](spark)
+    val query = StatefulOps.ewmaStream(
+        mem.toDS().toDF("user_id", "v", "ord", "event_time"),
+        watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("ewma_subsec").outputMode("append").start()
+    try {
+      mem.addData(Seq(
+        (1L, 10L, 1L, new java.sql.Timestamp(t0.getTime + 900L)),
+        (1L, 20L, 2L, new java.sql.Timestamp(t0.getTime + 100L))))
+      query.processAllAvailable()
+    } finally query.stop()
+    val got = spark.table("ewma_subsec").as[StatefulOps.EwmaOut]
+      .collect().sortBy(_.ord).map(_.ewma).toList
+    // ord order: 10 first -> 10, then (128*20+64*10)/192 = 16
+    assert(got == List(10L, 16L), s"got $got")
+  }
+
   test("ewmaStream: tail continues across batches; EwmaTail codec bytes pinned") {
     val mem = MemoryStream[(Long, Long, Long, java.sql.Timestamp)](spark)
     val query = StatefulOps.ewmaStream(
