@@ -548,9 +548,9 @@ object OracleSql {
         |  count(*) OVER (PARTITION BY event_type) AS n
         | FROM events)
         |SELECT event_type, CAST(max(n) AS BIGINT) AS n,
-        | max(CASE WHEN rn = CAST(ceil(0.5*n) AS BIGINT) THEN value END) AS p50,
-        | max(CASE WHEN rn = CAST(ceil(0.9*n) AS BIGINT) THEN value END) AS p90,
-        | max(CASE WHEN rn = CAST(ceil(0.99*n) AS BIGINT) THEN value END) AS p99
+        | max(CASE WHEN rn = (n + 1) // 2 THEN value END) AS p50,
+        | max(CASE WHEN rn = (n * 9 + 9) // 10 THEN value END) AS p90,
+        | max(CASE WHEN rn = (n * 99 + 99) // 100 THEN value END) AS p99
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q58_stats" ->
@@ -1741,14 +1741,14 @@ object OracleSql {
         | r1 AS (SELECT key, v, row_number() OVER (PARTITION BY key ORDER BY v) AS rn,
         |   count(*) OVER (PARTITION BY key) AS n FROM b),
         | m AS (SELECT key, CAST(max(n) AS BIGINT) AS n,
-        |   max(CASE WHEN rn = CAST(ceil(0.5*n) AS BIGINT) THEN v END) AS med
+        |   max(CASE WHEN rn = (n + 1) // 2 THEN v END) AS med
         |   FROM r1 GROUP BY 1),
         | d AS (SELECT b.key, b.v, m.med, m.n, abs(b.v - m.med) AS dev
         |   FROM b JOIN m USING (key)),
         | r2 AS (SELECT key, dev, n,
         |   row_number() OVER (PARTITION BY key ORDER BY dev) AS rn2 FROM d),
         | md AS (SELECT key,
-        |   max(CASE WHEN rn2 = CAST(ceil(0.5*n) AS BIGINT) THEN dev END) AS mad
+        |   max(CASE WHEN rn2 = (n + 1) // 2 THEN dev END) AS mad
         |   FROM r2 GROUP BY 1)
         |SELECT d.key AS event_type, CAST(max(d.n) AS BIGINT) AS n,
         |  max(d.med) AS med, max(md.mad) AS mad,
@@ -2438,7 +2438,8 @@ object OracleSql {
         |FROM g WHERE total > 0 ORDER BY source""".stripMargin,
 
     // q122's filtered-min chain for the completed funnel, then per-day
-    // rank percentiles (value at rn = ceil(n*p), the q57 convention)
+    // rank percentiles (value at the integer ceil-division rank ⌈n·p⌉,
+    // the q57 convention — (n·num + den − 1) // den, never ceil doubles)
     "q171_conversion_latency" ->
       """WITH s1 AS (SELECT user_id, min(ts) AS view_ts FROM events
         |   WHERE event_type = 'view' GROUP BY 1),
@@ -2457,8 +2458,8 @@ object OracleSql {
         |    row_number() OVER (PARTITION BY day ORDER BY lat_sec, user_id) AS rn,
         |    count(*) OVER (PARTITION BY day) AS nn FROM c)
         |SELECT day, CAST(max(nn) AS BIGINT) AS n_conv,
-        | CAST(max(CASE WHEN rn = CAST(ceil(nn * 0.5) AS BIGINT) THEN lat_sec END) AS BIGINT) AS p50_sec,
-        | CAST(max(CASE WHEN rn = CAST(ceil(nn * 0.9) AS BIGINT) THEN lat_sec END) AS BIGINT) AS p90_sec,
+        | CAST(max(CASE WHEN rn = (nn + 1) // 2 THEN lat_sec END) AS BIGINT) AS p50_sec,
+        | CAST(max(CASE WHEN rn = (nn * 9 + 9) // 10 THEN lat_sec END) AS BIGINT) AS p90_sec,
         | CAST(max(lat_sec) AS BIGINT) AS max_sec
         |FROM r GROUP BY day ORDER BY day""".stripMargin,
 
@@ -2587,9 +2588,9 @@ object OracleSql {
         |   FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
         | r AS (SELECT k, v, row_number() OVER (PARTITION BY k ORDER BY v) AS rn,
         |    count(*) OVER (PARTITION BY k) AS n FROM o),
-        | th AS (SELECT k, max(CASE WHEN rn = CAST(ceil(n * 0.25) AS BIGINT) THEN v END) AS t1,
-        |    max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN v END) AS t2,
-        |    max(CASE WHEN rn = CAST(ceil(n * 0.75) AS BIGINT) THEN v END) AS t3
+        | th AS (SELECT k, max(CASE WHEN rn = (n * 1 + 3) // 4 THEN v END) AS t1,
+        |    max(CASE WHEN rn = (n * 2 + 3) // 4 THEN v END) AS t2,
+        |    max(CASE WHEN rn = (n * 3 + 3) // 4 THEN v END) AS t3
         |   FROM r GROUP BY k)
         |SELECT o.k AS event_type, o.v AS v_millis,
         | CAST(1 + (CASE WHEN o.v > th.t1 THEN 1 ELSE 0 END)
@@ -2639,8 +2640,8 @@ object OracleSql {
         | r AS (SELECT k, g, row_number() OVER (PARTITION BY k ORDER BY g) AS rn,
         |    count(*) OVER (PARTITION BY k) AS n FROM g)
         |SELECT k AS event_type, CAST(max(n) AS BIGINT) AS n_gaps,
-        | CAST(max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN g END) AS BIGINT) AS p50_gap_sec,
-        | CAST(max(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT) THEN g END) AS BIGINT) AS p90_gap_sec,
+        | CAST(max(CASE WHEN rn = (n + 1) // 2 THEN g END) AS BIGINT) AS p50_gap_sec,
+        | CAST(max(CASE WHEN rn = (n * 9 + 9) // 10 THEN g END) AS BIGINT) AS p90_gap_sec,
         | CAST(max(g) AS BIGINT) AS max_gap_sec
         |FROM r GROUP BY 1 ORDER BY event_type""".stripMargin,
 

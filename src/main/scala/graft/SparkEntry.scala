@@ -1382,11 +1382,14 @@ object SparkEntry {
       .select(col("event_type"), col("value"),
         row_number().over(w).as("rn"), count(lit(1)).over(wn).as("n"))
       .groupBy(col("event_type"))
+      // ranks ⌈p·n⌉ as integer ceil-division (n·num + den − 1) DIV den:
+      // ceil(n * 0.9) doubles pick rank 19 at n=20 (IEEE 20·0.9 lands a
+      // hair above 18); the integer spelling is ⌈·⌉ by definition
       .agg(
         max(col("n")).as("n"),
-        max(when(col("rn") === ceil(col("n") * 0.5).cast("long"), col("value"))).as("p50"),
-        max(when(col("rn") === ceil(col("n") * 0.9).cast("long"), col("value"))).as("p90"),
-        max(when(col("rn") === ceil(col("n") * 0.99).cast("long"), col("value"))).as("p99"))
+        max(when(col("rn") === expr("(n + 1) DIV 2"), col("value"))).as("p50"),
+        max(when(col("rn") === expr("(n * 9 + 9) DIV 10"), col("value"))).as("p90"),
+        max(when(col("rn") === expr("(n * 99 + 99) DIV 100"), col("value"))).as("p99"))
       .orderBy("event_type")
   }
 

@@ -376,8 +376,9 @@ object Behavior {
   /** Conversion latency profile — for users who completed the WHOLE
     * [[funnel]], the first-stage→last-stage elapsed seconds, summarized
     * per first-stage DAY with exact rank percentiles (the q57
-    * convention: value at `rn = ceil(n·p)` over the ascending sort —
-    * equal latencies make the picked VALUE tie-proof). The "how long
+    * convention: value at integer ceil-division rank ⌈n·p⌉ over the
+    * ascending sort — equal latencies make the picked VALUE
+    * tie-proof). The "how long
     * does view→purchase take, and is it drifting" operational readout.
     *
     * Scale shape: the funnel's chained filtered-min joins, then ONE
@@ -410,9 +411,12 @@ object Behavior {
       .withColumn("rn", row_number().over(w))
       .withColumn("nn", count(lit(1)).over(wn))
       .groupBy("day")
+      // integer ceil-division ranks (the q183 convention): ⌈0.9·n⌉ as
+      // (9n + 9) DIV 10, not ceil(n·0.9) — IEEE 20·0.9 > 18 bumps the
+      // double spelling's rank to 19
       .agg(max(col("nn")).as("n_conv"),
-        max(when(col("rn") === ceil(col("nn") * 0.5).cast("long"), col("lat_sec"))).as("p50_sec"),
-        max(when(col("rn") === ceil(col("nn") * 0.9).cast("long"), col("lat_sec"))).as("p90_sec"),
+        max(when(col("rn") === expr("(nn + 1) DIV 2"), col("lat_sec"))).as("p50_sec"),
+        max(when(col("rn") === expr("(nn * 9 + 9) DIV 10"), col("lat_sec"))).as("p90_sec"),
         max(col("lat_sec")).as("max_sec"))
   }
 }

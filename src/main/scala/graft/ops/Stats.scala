@@ -234,9 +234,12 @@ object Stats {
     val ranked = base
       .withColumn("__rn", row_number().over(wr))
       .withColumn("__n", count(lit(1)).over(wn))
+    // threshold ranks ⌈n·q/B⌉ as integer ceil-division (n·q + B − 1)
+    // DIV B — never ceil(n * double), whose IEEE representation of q/B
+    // can land a hair above the exact rational and bump the rank by one
     val thresholds = (1 until buckets).map { q =>
       max(when(col("__rn") ===
-        ceil(col("__n") * lit(q.toDouble / buckets)).cast("long"), col("v")))
+        expr(s"(__n * $q + ${buckets - 1}) DIV $buckets"), col("v")))
         .as(s"__t$q")
     }
     val th = ranked.groupBy("key")
@@ -263,15 +266,18 @@ object Stats {
       .withColumn("rn", row_number().over(wr))
       .withColumn("n", count(lit(1)).over(wn))
       .groupBy("key")
+      // median rank ⌈n/2⌉ as integer ceil-division (n+1) DIV 2 — the
+      // house convention; ceil(n·0.5) doubles are IEEE-exact for .5 but
+      // the integer spelling keeps the whole rank family uniform
       .agg(max(col("n")).as("n"),
-        max(when(col("rn") === ceil(col("n") * 0.5).cast("long"), col("v"))).as("med"))
+        max(when(col("rn") === expr("(n + 1) DIV 2"), col("v"))).as("med"))
     val dev = base.join(med, Seq("key"))
       .withColumn("dev", abs(col("v") - col("med")))
     val wd = Window.partitionBy(col("key")).orderBy(col("dev"))
     val mad = dev
       .withColumn("rn2", row_number().over(wd))
       .groupBy("key")
-      .agg(max(when(col("rn2") === ceil(col("n") * 0.5).cast("long"), col("dev"))).as("mad"))
+      .agg(max(when(col("rn2") === expr("(n + 1) DIV 2"), col("dev"))).as("mad"))
     dev.join(mad, Seq("key"))
       .groupBy("key")
       .agg(max(col("n")).as("n"), max(col("med")).as("med"), max(col("mad")).as("mad"),

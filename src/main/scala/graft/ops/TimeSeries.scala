@@ -306,10 +306,15 @@ object TimeSeries {
       .withColumn("__rn", row_number().over(wr))
       .withColumn("__n", count(lit(1)).over(wn))
       .groupBy(col("__k").as("key"))
+      // integer ceil-division ranks: ⌈p·n⌉ computed as (n·num + den − 1)
+      // DIV den, never as ceil(n * double) — IEEE makes 20·0.9 land at
+      // 18.000000000000004, so the double spelling picks rank 19 where
+      // the mathematical ⌈0.9·20⌉ is 18 (the house integer-exactness
+      // convention; oracle spells the same // arithmetic)
       .agg(max(col("__n")).as("n_gaps"),
-        max(when(col("__rn") === ceil(col("__n") * 0.5).cast("long"), col("__g")))
+        max(when(col("__rn") === expr("(__n + 1) DIV 2"), col("__g")))
           .as("p50_gap_sec"),
-        max(when(col("__rn") === ceil(col("__n") * 0.9).cast("long"), col("__g")))
+        max(when(col("__rn") === expr("(__n * 9 + 9) DIV 10"), col("__g")))
           .as("p90_gap_sec"),
         max(col("__g")).as("max_gap_sec"))
   }
