@@ -436,13 +436,20 @@ object OracleSql {
         | CAST(count(*) AS BIGINT) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
 
+    // the engine's default document-frequency cap is inlined: shingle
+    // buckets with more than DefaultShingleBucketCap member rows are
+    // excluded from the intersection counts (the drop criterion itself
+    // is value-gated, the q101 pattern)
     "q35_jaccard_pairs" ->
       s"""WITH d AS (SELECT doc_id, string_split(text,' ') AS l FROM documents),
          | sh AS (SELECT doc_id AS id, unnest($trigrams) AS sh FROM d),
          | hb AS (SELECT id, ('0x'||substr(md5('0:'||sh),1,8))::BIGINT AS h FROM sh),
+         | keep AS (SELECT h FROM hb GROUP BY h
+         |          HAVING count(*) > 1 AND count(*) <= ${graft.ext.Dedup.DefaultShingleBucketCap}),
          | sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY 1),
          | inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
-         |           FROM hb a JOIN hb b ON a.h = b.h AND a.id < b.id GROUP BY 1,2)
+         |           FROM hb a JOIN keep k ON a.h = k.h
+         |           JOIN hb b ON a.h = b.h AND a.id < b.id GROUP BY 1,2)
          |SELECT id_a, id_b,
          | CAST((inter*1000000) // (sa.n + sb.n - inter) AS BIGINT) AS jaccard_ppm
          |FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
@@ -2747,9 +2754,12 @@ object OracleSql {
       s"""WITH d AS (SELECT doc_id, string_split(text,' ') AS l FROM documents),
          | sh AS (SELECT doc_id AS id, unnest($trigrams) AS sh FROM d),
          | hb AS (SELECT id, ('0x'||substr(md5('0:'||sh),1,8))::BIGINT AS h FROM sh),
+         | keep AS (SELECT h FROM hb GROUP BY h
+         |          HAVING count(*) > 1 AND count(*) <= ${graft.ext.Dedup.DefaultShingleBucketCap}),
          | sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY 1),
          | inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
-         |           FROM hb a JOIN hb b ON a.h = b.h AND a.id < b.id GROUP BY 1,2)
+         |           FROM hb a JOIN keep k ON a.h = k.h
+         |           JOIN hb b ON a.h = b.h AND a.id < b.id GROUP BY 1,2)
          |SELECT id_a, id_b, CAST(sa.n AS BIGINT) AS na, CAST(sb.n AS BIGINT) AS nb,
          | CAST((inter*1000000) // LEAST(sa.n, sb.n) AS BIGINT) AS containment_ppm
          |FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id

@@ -19,6 +19,17 @@ import graft.functions.{Hashing, VectorOps}
   */
 object Dedup {
 
+  /** Default document-frequency cap for the exact shingle-intersection
+    * family ([[jaccardPairs]]/[[containmentPairs]]): a shingle present
+    * in more than this many documents is dropped from the intersection
+    * counts before any pair materializes. 1000 members is ~500k pair
+    * increments per hot bucket — bounded work — while a corpus-scale
+    * boilerplate trigram under an uncapped default would explode
+    * quadratically. Uncapped (`Int.MaxValue`) is the explicit opt-in
+    * for verifier runs.
+    */
+  val DefaultShingleBucketCap: Int = 1000
+
   /** All ordered pairs (a<b) from a SORTED `ids` array column — used to
     * emit candidate pairs inside a bucket without a second scan of the
     * corpus (a self-join would recompute the whole upstream pipeline per
@@ -441,8 +452,13 @@ object Dedup {
     * (common shingles carry no near-dup signal anyway). Pairs whose
     * every shared shingle is dropped vanish entirely; with the bounded
     * collector ([[BoundedIdCollect]]) the hot bucket's aggregation
-    * buffer is O(cap), not O(k). The default (Int.MaxValue) keeps the
-    * uncapped single-aggregate plan bit-identical (`q35`).
+    * buffer is O(cap), not O(k). The DEFAULT is the finite
+    * [[DefaultShingleBucketCap]] — at corpus scale one viral
+    * boilerplate trigram under an ∞ default is a quadratic pair bomb,
+    * so uncapped is the opt-in (pass `Int.MaxValue` for verifier runs
+    * that must see every pair), not the default. The q35/q189 oracles
+    * inline the same document-frequency exclusion, so the drop
+    * criterion itself is value-gated.
     */
   /** Shared candidate + intersection machinery for [[jaccardPairs]] /
     * [[containmentPairs]]: exact shingle-set intersection counts for
@@ -498,7 +514,7 @@ object Dedup {
       textCol: String = "text",
       shingleN: Int = 3,
       threshold: Double = 0.5,
-      maxBucketSize: Int = Int.MaxValue
+      maxBucketSize: Int = DefaultShingleBucketCap
   ): DataFrame = {
     shingleIntersections(docs, idCol, textCol, shingleN, maxBucketSize)
       .withColumn("jaccard",
@@ -529,7 +545,7 @@ object Dedup {
       textCol: String = "text",
       shingleN: Int = 3,
       threshold: Double = 0.8,
-      maxBucketSize: Int = Int.MaxValue
+      maxBucketSize: Int = DefaultShingleBucketCap
   ): DataFrame = {
     shingleIntersections(docs, idCol, textCol, shingleN, maxBucketSize)
       .withColumn("containment",

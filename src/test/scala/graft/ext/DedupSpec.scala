@@ -628,6 +628,29 @@ class DedupSpec extends SparkTestBase {
     assert(exact == Set((1L, 2L)))
   }
 
+  test("jaccardPairs: a bucket over maxBucketSize is dropped exactly, not truncated") {
+    // "x y z" lives in all three docs -> bucket size 3 > cap 2 -> dropped
+    // from the INTERSECTION counts; docs 1,2 still share three cold
+    // trigrams, doc 3 overlaps the others ONLY through the hot shingle
+    val docs = Seq(
+      (1L, "x y z a b c d"),
+      (2L, "x y z a b c e"),
+      (3L, "p q x y z r s")).toDF("doc_id", "text")
+    val capped = Dedup.jaccardPairs(docs, threshold = 0.4, maxBucketSize = 2)
+      .select("id_a", "id_b", "jaccard_ppm")
+      .as[(Long, Long, Long)].collect().toList
+    // inter = 3 of the 4 true shared trigrams (hot one excluded);
+    // 3·10⁶ / (5 + 5 − 3); the doc-3 pairs vanish entirely
+    assert(capped == List((1L, 2L, 3000000L / 7L)), s"got $capped")
+    val uncapped = Dedup.jaccardPairs(docs, threshold = 0.4,
+        maxBucketSize = Int.MaxValue)
+      .select("id_a", "id_b", "jaccard_ppm")
+      .as[(Long, Long, Long)].collect().toList
+    assert(uncapped == List((1L, 2L, 4000000L / 6L)), s"got $uncapped")
+    // the shipped default is the finite scale-safe cap, not ∞
+    assert(Dedup.DefaultShingleBucketCap == 1000)
+  }
+
   test("lshCandidatePrecision: zero candidates is an explicit (0,0,0) row, not NULL") {
     // three pairwise-unrelated docs: no band collides, candidate set empty
     val docs = Seq(
