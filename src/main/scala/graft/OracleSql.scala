@@ -117,8 +117,14 @@ object OracleSql {
     * Gaussian sequence is specified, and Double.toString round-trips), so
     * DuckDB buckets identically bit-for-bit.
     */
-  private lazy val lshBucketSql: String =
-    graft.ext.SimSearch.hyperplanes(dim = 64, numPlanes = 6).zipWithIndex.map {
+  private lazy val lshBucketSql: String = lshBucketSqlSeeded(42L)
+
+  /** The seed-parameterized twin of [[lshBucketSql]] — q38's banded
+    * candidate generation uses one signature per band with seeds
+    * 42..45, the exact constants `Dedup.embeddingNearDupPairs` folds in.
+    */
+  private def lshBucketSqlSeeded(seed: Long): String =
+    graft.ext.SimSearch.hyperplanes(dim = 64, numPlanes = 6, seed).zipWithIndex.map {
       case (p, i) =>
         s"(CASE WHEN list_sum(list_transform(list_zip(v, ${p.mkString("[", ",", "]")}), " +
           s"x -> x[1]*x[2])) > 0 THEN ${1L << i} ELSE 0 END)"
@@ -517,14 +523,28 @@ object OracleSql {
          |SELECT qid, vid, round(cos, 6) AS cos, "rank" FROM r WHERE "rank" <= 10
          |ORDER BY qid, "rank"""".stripMargin,
 
-    "q38_embed_neardup" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        | s AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |        list_sum(list_transform(list_zip(a.v, b.v), x -> x[1]*x[2])) /
-        |        (sqrt(list_sum(list_transform(a.v, x -> x*x))) * sqrt(list_sum(list_transform(b.v, x -> x*x)))) AS cos
-        |       FROM e a JOIN e b ON a.vec_id < b.vec_id)
-        |SELECT id_a, id_b, round(cos, 6) AS cos FROM s WHERE cos >= 0.3
-        |ORDER BY id_a, id_b""".stripMargin,
+    // banded-LSH candidates (4 bands × 6 planes, seeds 42..45 — the
+    // engine's hyperplane constants inlined per band), exact cosine
+    // verify on the distinct same-bucket pairs: the oracle replays the
+    // recall trade itself, not just the verify arithmetic
+    "q38_embed_neardup" -> {
+      val bandCtes = (0 until 4).map { b =>
+        s"b$b AS (SELECT vec_id AS id, $b AS band, ${lshBucketSqlSeeded(42L + b)} AS bucket FROM e)"
+      }.mkString(",\n ")
+      val bandUnion = (0 until 4).map(b => s"SELECT * FROM b$b").mkString(" UNION ALL ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         | $bandCtes,
+         | bb AS ($bandUnion),
+         | cand AS (SELECT DISTINCT a.id AS id_a, c.id AS id_b
+         |          FROM bb a JOIN bb c ON a.band = c.band AND a.bucket = c.bucket
+         |            AND a.id < c.id),
+         | s AS (SELECT id_a, id_b,
+         |        list_sum(list_transform(list_zip(ea.v, eb.v), x -> x[1]*x[2])) /
+         |        (sqrt(list_sum(list_transform(ea.v, x -> x*x))) * sqrt(list_sum(list_transform(eb.v, x -> x*x)))) AS cos
+         |       FROM cand JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b)
+         |SELECT id_a, id_b, round(cos, 6) AS cos FROM s WHERE cos >= 0.3
+         |ORDER BY id_a, id_b""".stripMargin
+    },
 
     "q39_simhash" ->
       """WITH t AS (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS tok FROM documents),

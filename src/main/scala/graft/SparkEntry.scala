@@ -427,6 +427,15 @@ object SparkEntry {
       .orderBy("qid", "rank")
   }
 
+  /** Embedding near-dup pairs via the banded-LSH DEFAULT
+    * ([[Dedup.embeddingNearDupPairs]]): 4 hyperplane signatures generate
+    * same-bucket candidates, exact cosine verifies each — precision 1,
+    * recall traded by band count (the scale path; `exactVerifier = true`
+    * is the all-pairs ground-truth twin, spec-pinned as a superset). The
+    * oracle replays the banded candidate generation with the same
+    * per-band hyperplane constants inlined, so the recall trade itself
+    * is value-gated.
+    */
   private def q38(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDupPairs(Tables.embeddings(s, dir), threshold = 0.3)
       .orderBy("id_a", "id_b")

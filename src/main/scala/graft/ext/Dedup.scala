@@ -1093,27 +1093,72 @@ object Dedup {
 
   // ---------------------------------------------------- embedding near-dup
 
-  /** Exact embedding-cosine near-dup pairs (all-pairs; verifier scale).
-    * The 100 TB path buckets by LSH first (see SimSearch.topKLsh).
+  /** Embedding-cosine near-dup pairs. The DEFAULT is the 100 TB shape:
+    * `numBands` independent random-hyperplane signatures
+    * ([[SimSearch.hyperplaneBucket]], seeds `seed..seed+numBands−1`)
+    * generate candidate pairs as same-(band, bucket) co-occupants —
+    * the MinHash banding scheme transplanted to the embedding space —
+    * and every candidate is then verified with the EXACT cosine, so
+    * precision is 1 by construction and only recall is traded.
     *
-    * Norms are computed once per input row (n sqrt-folds), not once per
-    * pair (n² would be 3× the work of the dot products themselves);
-    * `dot/(na*nb)` is the same double expression as `dot/(norm(a)*norm(b))`
-    * so results — and the oracle hash — are bit-identical.
+    * Recall contract: a pair at angle θ collides in one band with
+    * p = (1 − θ/π)^numPlanes, so overall recall is 1 − (1 − p^1)^B per
+    * band-collision — with the defaults (6 planes × 4 bands), a
+    * cos ≥ 0.95 pair (θ ≈ 18°) is caught with ≥ 95% probability while
+    * expected bucket occupancy stays |corpus| / 2^numPlanes per band.
+    * At corpus scale raise `numPlanes` to keep buckets bounded
+    * (≈ log₂(n / targetBucketSize)) and `numBands` to hold recall.
+    *
+    * `exactVerifier = true` opts into the all-pairs O(n²) crossJoin —
+    * recall 1 by construction, VERIFIER SCALE ONLY (the ground-truth
+    * twin for recall probes, never the corpus path). Norms are computed
+    * once per row either way; `dot/(na·nb)` is the same double
+    * expression as `dot/(norm(a)·norm(b))` so the two paths agree
+    * bit-for-bit on every pair the bucketed path surfaces.
     */
   def embeddingNearDupPairs(
       embeddings: DataFrame,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      threshold: Double = 0.9
+      threshold: Double = 0.9,
+      dim: Int = 64,
+      numPlanes: Int = 6,
+      numBands: Int = 4,
+      seed: Long = 42L,
+      exactVerifier: Boolean = false
   ): DataFrame = {
     val withNorm = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"),
       VectorOps.norm(col(vecCol)).as("nrm"))
-    val a = withNorm.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
-    val b = withNorm.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
-    a.crossJoin(b)
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", VectorOps.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+    val scored =
+      if (exactVerifier) {
+        val a = withNorm.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+        val b = withNorm.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+        a.crossJoin(b)
+          .filter(col("id_a") < col("id_b"))
+          .withColumn("cos",
+            VectorOps.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      } else {
+        // map-side banded signatures (foldable hyperplane literals, no
+        // shuffle to bucket), ONE shuffle on (band, bucket), distinct
+        // candidate pairs, then two id-keyed joins to fetch the vectors
+        // for the exact verify — cost tracks candidates, never n²
+        val bands = (0 until numBands).map(b =>
+          SimSearch.hyperplaneBucket(col("v"), dim, numPlanes, seed + b))
+        val buckets = withNorm
+          .select(col("id"), posexplode(array(bands: _*)).as(Seq("band", "bucket")))
+          .groupBy("band", "bucket")
+          .agg(sort_array(collect_list(col("id"))).as("ids"))
+          .filter(size(col("ids")) > 1)
+        explodePairs(buckets)
+          .select("id_a", "id_b").distinct()
+          .join(withNorm.select(col("id").as("id_a"),
+            col("v").as("va"), col("nrm").as("na")), Seq("id_a"))
+          .join(withNorm.select(col("id").as("id_b"),
+            col("v").as("vb"), col("nrm").as("nb")), Seq("id_b"))
+          .withColumn("cos",
+            VectorOps.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      }
+    scored
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }

@@ -23,7 +23,7 @@ object PlanAudit {
     * broadcast-probe shapes) — not flagged.
     */
   private val nljByDesign = Set(
-    "q37_cosine_topk", "q38_embed_neardup", "q40_ann_lsh", "q41_ann_ivf",
+    "q37_cosine_topk", "q40_ann_lsh", "q41_ann_ivf",
     "q29_interval_join", "q27_asof_join",
     "q88_zipf_coverage", // 1-row grand-total broadcast onto the top-100 slice
     "q112_semantic_pairs", // corpus × broadcast pivot centroids, q41's shape

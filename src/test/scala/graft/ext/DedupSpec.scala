@@ -557,7 +557,8 @@ class DedupSpec extends SparkTestBase {
     // threshold low enough that the isotropic fixture yields real pairs
     // (max pairwise cosine in the fixture is ~0.48)
     val th = 0.35
-    val exact = pairSet(Dedup.embeddingNearDupPairs(emb, threshold = th))
+    val exact = pairSet(
+      Dedup.embeddingNearDupPairs(emb, threshold = th, exactVerifier = true))
     assert(exact.nonEmpty, "fixture must contain semantic pairs at this threshold")
 
     // nlist=1: one cluster = the full all-pairs comparison
@@ -577,20 +578,45 @@ class DedupSpec extends SparkTestBase {
     // the pair components
     val kept = Dedup.semanticDedup(emb, threshold = th, nlist = 1)
       .select("vec_id").as[Long].collect().toSet
-    val exactKept = Dedup.keepCanonical(emb, Dedup.embeddingNearDupPairs(emb, threshold = th),
+    val exactKept = Dedup.keepCanonical(emb,
+      Dedup.embeddingNearDupPairs(emb, threshold = th, exactVerifier = true),
       idCol = "vec_id").select("vec_id").as[Long].collect().toSet
     assert(kept == exactKept)
   }
 
   test("embeddingNearDupPairs flags high-cosine pairs only") {
+    // 3-dim vectors: the banded default folds dim-64 hyperplanes, so the
+    // tiny fixture exercises the all-pairs verifier arm explicitly
     val vecs = Seq(
       (0L, Array(1f, 0f, 0f)),
       (1L, Array(0.99f, 0.1f, 0f)),
       (2L, Array(0f, 1f, 0f))
     ).toDF("vec_id", "embedding")
-    val pairs = Dedup.embeddingNearDupPairs(vecs, threshold = 0.9)
+    val pairs = Dedup.embeddingNearDupPairs(vecs, threshold = 0.9,
+        exactVerifier = true)
       .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
     assert(pairs == Set((0L, 1L)))
+  }
+
+  test("embeddingNearDupPairs: banded default is a verified subset of the exact pairs") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val th = 0.35
+    def pairMap(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Double] =
+      df.as[(Long, Long, Double)].collect()
+        .map(p => (p._1, p._2) -> p._3).toMap
+    val exact = pairMap(
+      Dedup.embeddingNearDupPairs(emb, threshold = th, exactVerifier = true))
+    val banded = pairMap(Dedup.embeddingNearDupPairs(emb, threshold = th))
+    assert(exact.nonEmpty, "fixture must contain pairs at this threshold")
+    // precision 1: every banded pair is a true pair with the IDENTICAL
+    // exact cosine (same double expression on both paths)
+    assert(banded.keySet.subsetOf(exact.keySet),
+      s"false pairs: ${(banded.keySet -- exact.keySet).take(3)}")
+    banded.foreach { case (k, cos) => assert(exact(k) == cos, s"$k cos drift") }
+    // the recall trade is real but non-degenerate on the fixture
+    assert(banded.nonEmpty, "banded candidates must surface pairs")
   }
 
   test("containmentPairs: a quoted short doc flags at containment, hides from jaccard") {
