@@ -2830,6 +2830,39 @@ object OracleSql {
         | keep AS (SELECT fp, min(doc_id) AS keep_id FROM culled GROUP BY 1)
         |SELECT c.doc_id, c.fp FROM culled c
         |JOIN keep k ON c.fp = k.fp AND c.doc_id = k.keep_id
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // the streaming curateAtIngest end state rebuilt from scratch:
+    // md5 keep-first dedup (= min doc_id under the protocol's
+    // occurrence-rank feed order), q32's stopword langId, q31's integer
+    // quality ppm, q64's dup-word gate, q44's PII scrub regexes, q51's
+    // split tag, and the synthesized base-epoch + doc_id event seconds
+    "q193_curation_ingest" ->
+      s"""WITH u AS (SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 17 = 0),
+         | k AS (SELECT doc_id, text,
+         |    min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+         |   FROM u),
+         | sc AS (SELECT doc_id, text, keep_id,
+         | $langHitsSql
+         |  FROM k),
+         | v AS (SELECT doc_id, text, keep_id,
+         |   $langCaseSql AS lang_guess,
+         |   $qualityPpmSql AS quality_ppm,
+         |   ((len(string_split(text,' ')) - len(list_distinct(string_split(text,' '))))
+         |     * 1000000) // len(string_split(text,' ')) AS dup_word_ppm,
+         |   ('0x'||substr(md5('2:'||doc_id),1,8))::BIGINT % 10000 AS sk
+         |  FROM sc),
+         | f AS (SELECT * FROM v WHERE doc_id = keep_id AND lang_guess = 'en'
+         |   AND quality_ppm >= 500000 AND dup_word_ppm <= 500000)
+         |SELECT doc_id,
+         | regexp_replace(
+         |   regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         |   '\\+?[0-9](?:[()\\- ]{0,3}[0-9]){8,14}', '<PHONE>', 'g') AS text,
+         | lang_guess, CAST(quality_ppm AS BIGINT) AS quality_ppm,
+         | CASE WHEN sk < 9000 THEN 'train' WHEN sk < 9500 THEN 'valid' ELSE 'test' END AS split,
+         | CAST(1704067200 + doc_id AS BIGINT) AS event_sec
+         |FROM f ORDER BY doc_id""".stripMargin
   )
 }

@@ -2821,6 +2821,85 @@ object SparkEntry {
     s.read.parquet(outDir).orderBy("doc_id")
   }
 
+  /** q193's drained-output dirs, memoized per source dir (the q160/q192
+    * convention: the protocol drive is deterministic, so one build per
+    * JVM; the replay assertion still runs on that first build).
+    */
+  private val q193Outs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Streaming curation end state
+    * ([[graft.jobs.CorpusCuration.curateAtIngest]], the third protocol
+    * gate after q160/q192): the documents fixture is driven through the
+    * at-ingest pipeline as a parquet file stream in occurrence-rank
+    * batches — batch k holds each duplicate group's k-th member by
+    * doc_id, so the group MINIMUM is provably first-seen and the
+    * streaming keep-first dedup must land on the batch min-id rebuild —
+    * with the query RESTARTED from its checkpoint between batches
+    * (offsets + dedup state recovered every time) and one final no-new-
+    * data replay run that must append nothing (the file sink's
+    * exactly-once arm). The oracle rebuilds the full gate chain in SQL:
+    * md5 keep-first dedup, stopword langId, integer quality ppm,
+    * dup-word repetition gate, PII scrub, split tag.
+    *
+    * Event times are synthesized as base-epoch + doc_id seconds (the
+    * fixture carries none) and the watermark delay exceeds the fixture's
+    * whole time range, so no dedup state evicts mid-protocol — the
+    * within-watermark contract degenerates to exact global dedup, which
+    * is what a from-scratch SQL rebuild can value-gate.
+    */
+  private def q193(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.jobs.CorpusCuration
+    val outDir = q193Outs.computeIfAbsent(dir, _ => {
+      val in = java.nio.file.Files.createTempDirectory("graft_q193_in_").toString
+      val out = java.nio.file.Files.createTempDirectory("graft_q193_out_").toString
+      val chk = java.nio.file.Files.createTempDirectory("graft_q193_chk_").toString
+      // the fixture has no exact duplicates — synthesize the q108 dup
+      // groups (a higher-id byte-copy of every 17th doc) so the
+      // keep-first dedup arm and the cross-batch state recovery are
+      // actually exercised, not vacuously green
+      val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val docs = base
+        .unionAll(base.filter(pmod(col("doc_id"), lit(17L)) === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+        .withColumn("event_time",
+          timestamp_seconds(lit(1704067200L) + col("doc_id")))
+        .select("doc_id", "text", "event_time")
+      val schema = docs.schema
+      def runOnce(): Unit = {
+        val stream = s.readStream.schema(schema)
+          .option("latestFirst", "false").parquet(s"$in/*/")
+        val q = CorpusCuration.curateAtIngest(stream,
+            watermarkDelay = "3650 days")
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", chk)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination(600000)
+        require(!q.isActive, "q193 drain run must terminate")
+      }
+      val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+      val ranked = docs.withColumn("__rk", row_number().over(w))
+      val maxRk = ranked.agg(max(col("__rk"))).head().getInt(0)
+      (1 to maxRk).foreach { k =>
+        ranked.filter(col("__rk") === k).drop("__rk")
+          .coalesce(1).write.parquet(s"$in/b$k")
+        runOnce() // fresh start from the checkpoint every batch
+      }
+      val drained = s.read.parquet(out).count()
+      runOnce() // replay arm: nothing new to read -> nothing new emitted
+      val replayed = s.read.parquet(out).count()
+      require(replayed == drained,
+        s"no-new-data replay must append nothing, got $drained -> $replayed")
+      out
+    })
+    s.read.parquet(outDir)
+      .select(col("doc_id"), col("text"), col("lang_guess"),
+        col("quality_ppm"), col("split"),
+        unix_timestamp(col("event_time")).as("event_sec"))
+      .orderBy("doc_id")
+  }
+
   /** RFM segmentation ([[Behavior.rfmSegments]]): recency/frequency/
     * monetary quintiles per user with deterministic ntile tie-breaks,
     * composed into the 3-digit segment code. The oracle replays the
@@ -3065,7 +3144,8 @@ object SparkEntry {
     "q189_containment_pairs" -> q189 _,
     "q190_distinctive_tokens" -> q190 _,
     "q191_audio_energy" -> q191 _,
-    "q192_incremental_dedup" -> q192 _
+    "q192_incremental_dedup" -> q192 _,
+    "q193_curation_ingest" -> q193 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all
