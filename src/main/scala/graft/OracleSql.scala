@@ -2863,6 +2863,54 @@ object OracleSql {
          | lang_guess, CAST(quality_ppm AS BIGINT) AS quality_ppm,
          | CASE WHEN sk < 9000 THEN 'train' WHEN sk < 9500 THEN 'valid' ELSE 'test' END AS split,
          | CAST(1704067200 + doc_id AS BIGINT) AS event_sec
-         |FROM f ORDER BY doc_id""".stripMargin
+         |FROM f ORDER BY doc_id""".stripMargin,
+
+    // TPC-H Q2 shape: correlated scalar MIN whose inner query is itself
+    // a 4-table join (lineitem is the part<->supplier bridge; the
+    // fixtures carry no partsupp)
+    "q194_min_cost_supplier" ->
+      """SELECT DISTINCT p.p_partkey, s.s_suppkey, s.s_name, n.n_name,
+        | l.l_extendedprice AS min_price
+        |FROM part p
+        |JOIN lineitem l ON p.p_partkey = l.l_partkey
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'EUROPE' AND p.p_size <= 5
+        |  AND l.l_extendedprice = (
+        |    SELECT min(l2.l_extendedprice) FROM lineitem l2
+        |    JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+        |    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+        |    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+        |    WHERE l2.l_partkey = p.p_partkey AND r2.r_name = 'EUROPE')
+        |ORDER BY p_partkey, s_suppkey""".stripMargin,
+
+    // TPC-H Q17 shape: two correlated aggregates over the same inner
+    // table, threshold division-cleared to 5*n*qty < sum(qty)
+    "q195_small_qty_revenue" ->
+      """SELECT p.p_brand,
+        | CAST(count(*) AS BIGINT) AS n_small,
+        | CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE CAST(l.l_quantity AS BIGINT) * 5 *
+        |      (SELECT count(*) FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+        |    < (SELECT CAST(sum(l2.l_quantity) AS BIGINT) FROM lineitem l2
+        |       WHERE l2.l_partkey = p.p_partkey)
+        |GROUP BY p.p_brand ORDER BY p.p_brand""".stripMargin,
+
+    // TPC-H Q20 shape: IN over a (part, supplier) rollup filtered by a
+    // correlated scalar aggregate on the outer part key (share test
+    // integer cross-multiplied: 5*qty > sum(qty) <=> share > 20%)
+    "q196_dominant_share_supplier" ->
+      """SELECT s.s_suppkey, s.s_name FROM supplier s
+        |WHERE s.s_suppkey IN (
+        |  SELECT ps.ps_suppkey FROM (
+        |    SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |      CAST(sum(l_quantity) AS BIGINT) AS ps_qty
+        |    FROM lineitem GROUP BY 1, 2) ps
+        |  WHERE ps.ps_qty * 5 > (
+        |    SELECT CAST(sum(l2.l_quantity) AS BIGINT) FROM lineitem l2
+        |    WHERE l2.l_partkey = ps.ps_partkey))
+        |ORDER BY s_suppkey""".stripMargin
   )
 }

@@ -1523,6 +1523,9 @@ object SparkEntry {
     Tables.orders(s, dir).createOrReplaceTempView("orders_v")
     Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
     Tables.nation(s, dir).createOrReplaceTempView("nation_v")
+    Tables.supplier(s, dir).createOrReplaceTempView("supplier_v")
+    Tables.part(s, dir).createOrReplaceTempView("part_v")
+    Tables.region(s, dir).createOrReplaceTempView("region_v")
   }
 
   /** Correlated EXISTS + uncorrelated IN subqueries through the SQL
@@ -2900,6 +2903,78 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** TPC-H Q2 shape (min-cost supplier): for each small part, the
+    * EUROPE suppliers whose sale price equals the part's regional
+    * minimum — a correlated scalar MIN subquery whose inner query is
+    * itself a 4-table join, decorrelated by Catalyst to an aggregate +
+    * join (the fixtures carry no partsupp, so lineitem is the
+    * part↔supplier bridge). DISTINCT collapses repeat sales at the
+    * minimum price; doubles compare raw-parquet-exact on both engines.
+    */
+  private def q194(s: SparkSession, dir: String): DataFrame = {
+    tpchViews(s, dir)
+    s.sql(
+      """SELECT DISTINCT p.p_partkey, s.s_suppkey, s.s_name, n.n_name,
+        | l.l_extendedprice AS min_price
+        |FROM part_v p
+        |JOIN lineitem_v l ON p.p_partkey = l.l_partkey
+        |JOIN supplier_v s ON s.s_suppkey = l.l_suppkey
+        |JOIN nation_v n ON s.s_nationkey = n.n_nationkey
+        |JOIN region_v r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'EUROPE' AND p.p_size <= 5
+        |  AND l.l_extendedprice = (
+        |    SELECT min(l2.l_extendedprice) FROM lineitem_v l2
+        |    JOIN supplier_v s2 ON s2.s_suppkey = l2.l_suppkey
+        |    JOIN nation_v n2 ON s2.s_nationkey = n2.n_nationkey
+        |    JOIN region_v r2 ON n2.n_regionkey = r2.r_regionkey
+        |    WHERE l2.l_partkey = p.p_partkey AND r2.r_name = 'EUROPE')
+        |ORDER BY p_partkey, s_suppkey""".stripMargin)
+  }
+
+  /** TPC-H Q17 shape (small-quantity revenue): per-brand revenue from
+    * lineitems whose quantity is below a fifth of their part's average
+    * — TWO correlated aggregate subqueries over the same inner table
+    * (count and sum), with the threshold division-cleared to
+    * `5·n·qty < Σqty` so the boundary is integer-exact instead of a
+    * 0.2·avg double lottery. Catalyst decorrelates both scalars.
+    */
+  private def q195(s: SparkSession, dir: String): DataFrame = {
+    tpchViews(s, dir)
+    s.sql(
+      """SELECT p.p_brand,
+        | CAST(count(*) AS BIGINT) AS n_small,
+        | CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue
+        |FROM lineitem_v l JOIN part_v p ON p.p_partkey = l.l_partkey
+        |WHERE CAST(l.l_quantity AS BIGINT) * 5 *
+        |      (SELECT count(*) FROM lineitem_v l2 WHERE l2.l_partkey = p.p_partkey)
+        |    < (SELECT CAST(sum(l2.l_quantity) AS BIGINT) FROM lineitem_v l2
+        |       WHERE l2.l_partkey = p.p_partkey)
+        |GROUP BY p.p_brand ORDER BY p.p_brand""".stripMargin)
+  }
+
+  /** TPC-H Q20 shape (dominant-share suppliers): suppliers holding more
+    * than a 20% share of some part's total shipped quantity — an IN
+    * subquery whose derived (part, supplier) rollup is filtered by a
+    * correlated scalar aggregate over the outer part key (Q20's
+    * availqty-vs-half-of-shipments test re-expressed on lineitem; the
+    * share is integer cross-multiplied, `5·qty > Σqty`, never a
+    * fraction). Plans as semi join over the decorrelated aggregate.
+    */
+  private def q196(s: SparkSession, dir: String): DataFrame = {
+    tpchViews(s, dir)
+    s.sql(
+      """SELECT s.s_suppkey, s.s_name FROM supplier_v s
+        |WHERE s.s_suppkey IN (
+        |  SELECT ps.ps_suppkey FROM (
+        |    SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |      CAST(sum(l_quantity) AS BIGINT) AS ps_qty
+        |    FROM lineitem_v GROUP BY 1, 2) ps
+        |  WHERE ps.ps_qty * 5 > (
+        |    SELECT CAST(sum(l2.l_quantity) AS BIGINT) FROM lineitem_v l2
+        |    WHERE l2.l_partkey = ps.ps_partkey))
+        |ORDER BY s_suppkey""".stripMargin)
+  }
+
   /** RFM segmentation ([[Behavior.rfmSegments]]): recency/frequency/
     * monetary quintiles per user with deterministic ntile tie-breaks,
     * composed into the 3-digit segment code. The oracle replays the
@@ -3145,7 +3220,10 @@ object SparkEntry {
     "q190_distinctive_tokens" -> q190 _,
     "q191_audio_energy" -> q191 _,
     "q192_incremental_dedup" -> q192 _,
-    "q193_curation_ingest" -> q193 _
+    "q193_curation_ingest" -> q193 _,
+    "q194_min_cost_supplier" -> q194 _,
+    "q195_small_qty_revenue" -> q195 _,
+    "q196_dominant_share_supplier" -> q196 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all
