@@ -83,4 +83,21 @@ class BenchReportSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](
       Bench.reportLine(dup, "sf0.001", 0.1, 0.1, 4))
   }
+
+  test("fullReportJson carries EVERY query with full names, min+max ms, errors") {
+    val rs = results(400, failEvery = 100)
+    val json = Bench.fullReportJson(rs, "sf0.1", 1.0, 1.2, 32)
+    parse(json)
+    // no budget: all 400 full names present (the stdout line sheds; the
+    // file artifact must not)
+    rs.foreach(r => assert(json.contains(s""""${r.name}":"""), r.name))
+    assert("\"min_ms\":".r.findAllMatchIn(json).size == 400)
+    assert("\"max_ms\":".r.findAllMatchIn(json).size == 400)
+    assert("\"err\":\"RuntimeException\"".r.findAllMatchIn(json).size == 4)
+    assert(json.contains("\"n_queries\":400") && json.contains("\"n_failed\":4"))
+    // slowest-first ordering: the max min_ms is the first entry
+    val firstMs = "\"min_ms\":(\\d+)".r.findFirstMatchIn(json).map(_.group(1).toLong).get
+    val maxMs = rs.map(r => math.round(r.minSec * 1000)).max
+    assert(firstMs == maxMs, s"first entry $firstMs must be the slowest $maxMs")
+  }
 }
