@@ -2911,6 +2911,83 @@ object OracleSql {
         |  WHERE ps.ps_qty * 5 > (
         |    SELECT CAST(sum(l2.l_quantity) AS BIGINT) FROM lineitem l2
         |    WHERE l2.l_partkey = ps.ps_partkey))
-        |ORDER BY s_suppkey""".stripMargin
+        |ORDER BY s_suppkey""".stripMargin,
+
+    // product-quantization ADC: md5-pivot codebooks (seed 11) sliced
+    // into 4 subspaces, integer-micro subspace distances (floored, so
+    // sums and argmins are order-independent), per-(vector, subspace)
+    // argmin encode, query lookup table, integer ADC sum, rank
+    "q197_ann_pq_adc" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        | hp AS (SELECT vec_id AS pid, v AS pv,
+        |   ('0x'||substr(md5('11:'||CAST(vec_id AS VARCHAR)),1,8))::BIGINT AS hsh FROM e),
+        | cb AS (SELECT pv, cent_id FROM (
+        |   SELECT pv, CAST(row_number() OVER (ORDER BY hsh, pid) AS BIGINT) AS cent_id
+        |   FROM hp) WHERE cent_id <= 16),
+        | sub AS (SELECT unnest(generate_series(0, 3)) AS s),
+        | dists AS (SELECT e.vec_id, sub.s, cb.cent_id,
+        |   CAST(floor(list_sum(list_transform(
+        |     list_zip(e.v[(sub.s*16+1):(sub.s*16+16)], cb.pv[(sub.s*16+1):(sub.s*16+16)]),
+        |     x -> (x[1]-x[2])*(x[1]-x[2]))) * 1e6) AS BIGINT) AS dm
+        |  FROM e CROSS JOIN sub CROSS JOIN cb),
+        | codes AS (SELECT vec_id AS vid, s, cent_id FROM (
+        |   SELECT vec_id, s, cent_id,
+        |     row_number() OVER (PARTITION BY vec_id, s ORDER BY dm, cent_id) AS r
+        |   FROM dists) WHERE r = 1),
+        | lut AS (SELECT vec_id AS qid, s, cent_id, dm FROM dists WHERE vec_id < 5),
+        | adc AS (SELECT lut.qid, codes.vid, sum(lut.dm) AS adc_micro
+        |   FROM codes JOIN lut ON lut.s = codes.s AND lut.cent_id = codes.cent_id
+        |   WHERE lut.qid <> codes.vid GROUP BY 1, 2),
+        | r AS (SELECT qid, vid, adc_micro,
+        |   CAST(row_number() OVER (PARTITION BY qid ORDER BY adc_micro, vid) AS BIGINT) AS "rank"
+        |  FROM adc)
+        |SELECT qid, vid, CAST(adc_micro AS BIGINT) AS adc_micro, "rank"
+        |FROM r WHERE "rank" <= 10 ORDER BY qid, "rank"""".stripMargin,
+
+    // IVF-PQ composed: q41's seed-9 pivot routing (rank-only |p|^2-2vp
+    // distances, 32 lists, 8 probes) feeding q197's seed-11 integer ADC
+    // rerank over ONLY the routed candidates
+    "q198_ann_ivf_pq" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         | hi AS (SELECT vec_id AS pid, v AS pv,
+         |   ('0x'||substr(md5('9:'||CAST(vec_id AS VARCHAR)),1,8))::BIGINT AS hsh FROM e),
+         | p AS (SELECT pid, pv, cent_id FROM (
+         |        SELECT pid, pv, CAST(row_number() OVER (ORDER BY hsh, pid) AS BIGINT) AS cent_id
+         |        FROM hi) WHERE cent_id <= 32),
+         | ac AS (SELECT vid, cent_id FROM (
+         |        SELECT e.vec_id AS vid, p.cent_id,
+         |         row_number() OVER (PARTITION BY e.vec_id ORDER BY $pivotDist, p.cent_id) AS cr
+         |        FROM e CROSS JOIN p) WHERE cr = 1),
+         | aq AS (SELECT qid, cent_id FROM (
+         |        SELECT e.vec_id AS qid, p.cent_id,
+         |         row_number() OVER (PARTITION BY e.vec_id ORDER BY $pivotDist, p.cent_id) AS cr
+         |        FROM e CROSS JOIN p WHERE e.vec_id < 5) WHERE cr <= 8),
+         | cand AS (SELECT aq.qid, ac.vid FROM ac JOIN aq USING (cent_id)
+         |          WHERE aq.qid <> ac.vid),
+         | hp AS (SELECT vec_id AS pid, v AS pv,
+         |   ('0x'||substr(md5('11:'||CAST(vec_id AS VARCHAR)),1,8))::BIGINT AS hsh FROM e),
+         | cb AS (SELECT pv, cent_id FROM (
+         |   SELECT pv, CAST(row_number() OVER (ORDER BY hsh, pid) AS BIGINT) AS cent_id
+         |   FROM hp) WHERE cent_id <= 16),
+         | sub AS (SELECT unnest(generate_series(0, 3)) AS s),
+         | dists AS (SELECT e.vec_id, sub.s, cb.cent_id,
+         |   CAST(floor(list_sum(list_transform(
+         |     list_zip(e.v[(sub.s*16+1):(sub.s*16+16)], cb.pv[(sub.s*16+1):(sub.s*16+16)]),
+         |     x -> (x[1]-x[2])*(x[1]-x[2]))) * 1e6) AS BIGINT) AS dm
+         |  FROM e CROSS JOIN sub CROSS JOIN cb),
+         | codes AS (SELECT vec_id AS vid, s, cent_id FROM (
+         |   SELECT vec_id, s, cent_id,
+         |     row_number() OVER (PARTITION BY vec_id, s ORDER BY dm, cent_id) AS r
+         |   FROM dists) WHERE r = 1),
+         | lut AS (SELECT vec_id AS qid, s, cent_id, dm FROM dists WHERE vec_id < 5),
+         | adc AS (SELECT cand.qid, cand.vid, sum(lut.dm) AS adc_micro
+         |   FROM cand JOIN codes ON codes.vid = cand.vid
+         |   JOIN lut ON lut.qid = cand.qid AND lut.s = codes.s AND lut.cent_id = codes.cent_id
+         |   GROUP BY 1, 2),
+         | r AS (SELECT qid, vid, adc_micro,
+         |   CAST(row_number() OVER (PARTITION BY qid ORDER BY adc_micro, vid) AS BIGINT) AS "rank"
+         |  FROM adc)
+         |SELECT qid, vid, CAST(adc_micro AS BIGINT) AS adc_micro, "rank"
+         |FROM r WHERE "rank" <= 10 ORDER BY qid, "rank"""".stripMargin
   )
 }

@@ -2975,6 +2975,35 @@ object SparkEntry {
         |ORDER BY s_suppkey""".stripMargin)
   }
 
+  /** Product-quantization ANN with an ADC scan ([[SimSearch.topKPq]]):
+    * corpus vectors stored as 4 centroid codes (md5-pivot codebooks per
+    * subspace), each query scanning codes against its broadcast m×ksub
+    * lookup table of integer-micro distances — the memory-side half of
+    * IVF-PQ. The oracle replays codebook pick, per-subspace argmin
+    * encode, the lookup table, and the integer ADC sum end to end.
+    */
+  private def q197(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    SimSearch.topKPq(emb, emb.filter(col("vec_id") < 5), k = 10)
+      .select(col("qid"), col("vid"), col("adc_micro"),
+        col("rank").cast("long").as("rank"))
+      .orderBy("qid", "rank")
+  }
+
+  /** IVF-PQ composed ([[SimSearch.topKIvfPq]]): q41's pivot-list
+    * routing feeding q197's integer ADC rerank — only the probed lists'
+    * candidates pay the code scan, the billion-scale ANN architecture
+    * end to end. The oracle composes both parents' CTE chains verbatim
+    * (seed-9 IVF pivots, seed-11 PQ codebooks).
+    */
+  private def q198(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    SimSearch.topKIvfPq(emb, emb.filter(col("vec_id") < 5), k = 10)
+      .select(col("qid"), col("vid"), col("adc_micro"),
+        col("rank").cast("long").as("rank"))
+      .orderBy("qid", "rank")
+  }
+
   /** RFM segmentation ([[Behavior.rfmSegments]]): recency/frequency/
     * monetary quintiles per user with deterministic ntile tie-breaks,
     * composed into the 3-digit segment code. The oracle replays the
@@ -3223,7 +3252,9 @@ object SparkEntry {
     "q193_curation_ingest" -> q193 _,
     "q194_min_cost_supplier" -> q194 _,
     "q195_small_qty_revenue" -> q195 _,
-    "q196_dominant_share_supplier" -> q196 _
+    "q196_dominant_share_supplier" -> q196 _,
+    "q197_ann_pq_adc" -> q197 _,
+    "q198_ann_ivf_pq" -> q198 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

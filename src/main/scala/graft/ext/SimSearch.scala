@@ -263,6 +263,42 @@ object SimSearch {
     * minus the per-vector constant `|v|²`, so one fold cheaper and still
     * order-identical.
     */
+  /** Nearest-`n` pivot assignment against a broadcast centroid frame —
+    * the shared candidate-routing step of [[topKIvfPivots]] and
+    * [[topKIvfPq]]. Distance is the rank-only `|p|² − 2·v·p` (the `|v|²`
+    * term is constant within a vector's argmin and dropping it keeps the
+    * expression half the work); ties break to the smaller `cent_id`.
+    *
+    * The `n = 1` corpus path is a struct-min AGGREGATE, not a window:
+    * partial aggregation collapses the ×nlist candidate rows inside the
+    * scan partition, so the exchange carries one row per vector — the
+    * window spelling shuffles and sorts all nlist copies (nlist× the
+    * corpus, the wrong side of a 100 TB shuffle). Identical argmin
+    * semantics: min over struct(d, cent_id) = first row of the
+    * (d, cent_id) sort.
+    */
+  private def pivotAssign(
+      df: DataFrame, centB: DataFrame, side: String, n: Int): DataFrame = {
+    val dCol =
+      VectorOps.normSq(col("pv")) - lit(2.0) * VectorOps.dot(col(s"${side}v"), col("pv"))
+    if (n == 1)
+      df.crossJoin(centB)
+        .select(col(s"${side}id"),
+          struct(dCol.as("d"), col("cent_id"), col(s"${side}v").as("v")).as("c"))
+        .groupBy(col(s"${side}id"))
+        .agg(min(col("c")).as("c"))
+        .select(col(s"${side}id"), col("c.v").as(s"${side}v"),
+          col("c.cent_id").as("cent_id"))
+    else {
+      val w = Window.partitionBy(col(s"${side}id")).orderBy(col("d"), col("cent_id"))
+      df.crossJoin(centB)
+        .withColumn("d", dCol)
+        .withColumn("cr", row_number().over(w))
+        .filter(col("cr") <= n)
+        .drop("d", "cr", "pv", "pid")
+    }
+  }
+
   def topKIvfPivots(
       corpus: DataFrame,
       queries: DataFrame,
@@ -274,20 +310,11 @@ object SimSearch {
       seed: Int = 9
   ): DataFrame = {
     val centB = broadcast(pivotCentroids(corpus, idCol, vecCol, nlist, seed))
-
-    def assign(df: DataFrame, side: String, n: Int): DataFrame = {
-      val w = Window.partitionBy(col(s"${side}id")).orderBy(col("d"), col("cent_id"))
-      df.crossJoin(centB)
-        .withColumn("d",
-          VectorOps.normSq(col("pv")) - lit(2.0) * VectorOps.dot(col(s"${side}v"), col("pv")))
-        .withColumn("cr", row_number().over(w))
-        .filter(col("cr") <= n)
-        .drop("d", "cr", "pv", "pid")
-    }
-
-    val c = assign(corpus.select(col(idCol).as("vid"), col(vecCol).as("vv")), "v", 1)
+    val c = pivotAssign(corpus.select(col(idCol).as("vid"), col(vecCol).as("vv")),
+        centB, "v", 1)
       .withColumnRenamed("vv", "cv")
-    val q = assign(queries.select(col(idCol).as("qid"), col(vecCol).as("qv")), "q", nprobe)
+    val q = pivotAssign(queries.select(col(idCol).as("qid"), col(vecCol).as("qv")),
+      centB, "q", nprobe)
     val scored = c.join(q, "cent_id")
       .filter(col("qid") =!= col("vid"))
       .withColumn("cos", VectorOps.cosine(col("qv"), col("cv")))
@@ -295,6 +322,142 @@ object SimSearch {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("vid"), round(col("cos"), 6).as("cos"), col("rank"))
+  }
+
+  /** Per-(vector, subspace, centroid) quantized squared-L2 distances —
+    * the shared table behind [[topKPq]]'s encode AND query-lookup
+    * stages. The codebook is [[pivotCentroids]]' deterministic pivot
+    * rows sliced into `m` subspaces (the classic "sampled codebook"
+    * product quantizer — trading a little quantization error for exact
+    * reproducibility, the q41 pivot trick per subspace); distances are
+    * floored to integer MICRO units so every downstream sum/argmin is
+    * order-independent integer arithmetic (a raw double ADC sum would
+    * make near-tie ranks an addition-order lottery between engines).
+    */
+  private def pqSubDists(
+      vecs: DataFrame,
+      codebook: DataFrame,
+      idOut: String,
+      dim: Int,
+      m: Int
+  ): DataFrame = {
+    val sub = dim / m
+    val perSub = (0 until m).map { s =>
+      struct(lit(s.toLong).as("s"),
+        floor(VectorOps.l2Sq(
+          slice(col("__vv"), s * sub + 1, sub),
+          slice(col("pv"), s * sub + 1, sub)) * 1e6).cast("long").as("dm"))
+    }
+    vecs.crossJoin(codebook)
+      .select(col(idOut), col("cent_id"), explode(array(perSub: _*)).as("p"))
+      .select(col(idOut), col("p.s").as("s"), col("cent_id"), col("p.dm").as("dm"))
+  }
+
+  /** ANN via product quantization with an ADC (asymmetric distance
+    * computation) scan — the 100 TB memory-side technique IVF-PQ builds
+    * on: the corpus is stored as `m` small centroid CODES (here m=4
+    * bytes instead of 64 floats, a 64× compression), and each query
+    * scans codes against its own m×ksub lookup table of exact
+    * query-to-centroid distances, never touching raw corpus vectors.
+    *
+    * Everything is deterministic and oracle-replayable: codebooks are
+    * md5-ordered pivot rows sliced per subspace; encode = integer-micro
+    * argmin per (vector, subspace) with ties to the smaller centroid;
+    * ADC = integer sum of the query's per-subspace micro-distances at
+    * the stored codes; ranks break ties on candidate id.
+    *
+    * Scale shape: encode is corpus × ksub broadcast map-side work + ONE
+    * (vid, s)-keyed struct-min aggregate; the query lookup table is
+    * m·ksub rows per query (BROADCAST); the ADC scan is one broadcast
+    * join + an integer (qid, vid) sum — no shuffle ever carries a raw
+    * vector. Compose with [[topKIvfPivots]]' lists to cut the scan to
+    * probed partitions (IVF-PQ proper).
+    */
+  def topKPq(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      dim: Int = 64,
+      m: Int = 4,
+      ksub: Int = 16,
+      seed: Int = 11
+  ): DataFrame = {
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val cb = broadcast(pivotCentroids(corpus, idCol, vecCol, ksub, seed))
+    // encode: integer-micro argmin per (corpus vector, subspace) — the
+    // q110 struct-min aggregate, never a per-vector window
+    val codes = pqSubDists(
+        corpus.select(col(idCol).as("vid"), col(vecCol).as("__vv")), cb, "vid", dim, m)
+      .groupBy("vid", "s")
+      .agg(min(struct(col("dm"), col("cent_id"))).as("a"))
+      .select(col("vid"), col("s"), col("a.cent_id").as("cent_id"))
+    // per-query lookup table: exact micro distance to EVERY centroid of
+    // every subspace (m·ksub rows per query — broadcast scale)
+    val lut = broadcast(pqSubDists(
+      queries.select(col(idCol).as("qid"), col(vecCol).as("__vv")), cb, "qid", dim, m))
+    val adc = codes.join(lut, Seq("s", "cent_id"))
+      .filter(col("qid") =!= col("vid"))
+      .groupBy("qid", "vid")
+      .agg(sum(col("dm")).as("adc_micro"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc_micro"), col("vid"))
+    adc.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vid"), col("adc_micro"), col("rank"))
+  }
+
+  /** IVF-PQ proper: [[topKIvfPivots]]' inverted-list routing composed
+    * with [[topKPq]]'s compressed-code rerank — the standard
+    * billion-scale ANN architecture (coarse quantizer cuts the scan to
+    * `nprobe/nlist` of the corpus, product codes replace raw vectors in
+    * the scan). Candidates come from the pivot lists; ONLY candidates
+    * pay the ADC lookup, and no stage ever shuffles a raw corpus
+    * vector. Same determinism contract as both parents: md5-pivot
+    * codebooks, rank-only IVF distances, integer-micro ADC sums,
+    * id tie-breaks — the whole pipeline is SQL-replayable.
+    */
+  def topKIvfPq(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      dim: Int = 64,
+      nlist: Int = 32,
+      nprobe: Int = 8,
+      m: Int = 4,
+      ksub: Int = 16,
+      ivfSeed: Int = 9,
+      pqSeed: Int = 11
+  ): DataFrame = {
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val centB = broadcast(pivotCentroids(corpus, idCol, vecCol, nlist, ivfSeed))
+    val cLists = pivotAssign(
+      corpus.select(col(idCol).as("vid"), col(vecCol).as("vv")), centB, "v", 1)
+    val qLists = pivotAssign(
+      queries.select(col(idCol).as("qid"), col(vecCol).as("qv")), centB, "q", nprobe)
+    // each corpus vector lives in exactly ONE list, so a (qid, vid)
+    // candidate can match at most once — no dedup needed
+    val cands = cLists.join(qLists, "cent_id")
+      .filter(col("qid") =!= col("vid"))
+      .select("qid", "vid")
+    val cbPq = broadcast(pivotCentroids(corpus, idCol, vecCol, ksub, pqSeed))
+    val codes = pqSubDists(
+        corpus.select(col(idCol).as("vid"), col(vecCol).as("__vv")), cbPq, "vid", dim, m)
+      .groupBy("vid", "s")
+      .agg(min(struct(col("dm"), col("cent_id"))).as("a"))
+      .select(col("vid"), col("s"), col("a.cent_id").as("cent_id"))
+    val lut = broadcast(pqSubDists(
+      queries.select(col(idCol).as("qid"), col(vecCol).as("__vv")), cbPq, "qid", dim, m))
+    val adc = cands.join(codes, Seq("vid"))
+      .join(lut, Seq("qid", "s", "cent_id"))
+      .groupBy("qid", "vid")
+      .agg(sum(col("dm")).as("adc_micro"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc_micro"), col("vid"))
+    adc.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vid"), col("adc_micro"), col("rank"))
   }
 
   /** Reciprocal-rank fusion (Cormack et al., SIGIR 2009) of multiple

@@ -35,10 +35,17 @@ object VectorOps {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
 
-  /** Euclidean (L2) distance. */
-  def l2(a: Column, b: Column): Column =
-    sqrt(foldSum(zip_with(a, b, (x, y) => {
+  /** Squared L2 distance as the SEQUENTIAL elementwise fold
+    * Σ(aᵢ−bᵢ)² — deliberately NOT the `|a|²−2a·b+|b|²` expansion, whose
+    * different rounding path would break bit-parity with the oracle's
+    * `list_sum(list_transform(list_zip(...)))` spelling.
+    */
+  def l2Sq(a: Column, b: Column): Column =
+    foldSum(zip_with(a, b, (x, y) => {
       val d = x.cast("double") - y.cast("double")
       d * d
-    })))
+    }))
+
+  /** Euclidean (L2) distance. */
+  def l2(a: Column, b: Column): Column = sqrt(l2Sq(a, b))
 }

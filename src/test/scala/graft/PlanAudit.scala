@@ -39,7 +39,9 @@ object PlanAudit {
     "q181_join_forecast", // ONE-row forecast-total broadcast onto the top-N slice
     "q185_pareto", // ONE-row grand-total broadcast onto the entity cumsum
     "q186_fk_audit", // three ONE-row orphan-count broadcasts (one per audited FK)
-    "q190_distinctive_tokens") // ONE-row grand-total broadcast onto the vocab cells
+    "q190_distinctive_tokens", // ONE-row grand-total broadcast onto the vocab cells
+    "q197_ann_pq_adc", // corpus × broadcast 16-row PQ codebook, q41's shape
+    "q198_ann_ivf_pq") // corpus × broadcast pivot/codebook frames, q41's shape
 
   /** Queries whose DESIGN composes several complete pipelines, so their
     * exchange count legitimately exceeds the single-pipeline budget —
@@ -48,7 +50,8 @@ object PlanAudit {
   private val wideByDesign = Set(
     "q146_rrf_fusion", // full BM25 chain + cosine leg + fusion agg + final rank
     "q167_ann_recall", // exact + IVF retrieval pipelines side by side + overlap agg
-    "q188_lsh_precision") // full minhash-band pipeline + the exact-Jaccard verifier
+    "q188_lsh_precision", // full minhash-band pipeline + the exact-Jaccard verifier
+    "q198_ann_ivf_pq") // IVF routing pipeline + PQ encode pipeline + ADC rerank
 
   def main(args: Array[String]): Unit = {
     val spark = SparkTestBase.spark

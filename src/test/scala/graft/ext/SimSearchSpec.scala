@@ -220,4 +220,49 @@ class SimSearchSpec extends SparkTestBase {
     assert(got(2L) == ((2L, 2L, 2L, 1000000L)))
     assert(got(3L) == ((3L, 1L, 0L, 0L)))
   }
+
+  test("topKPq: integer ADC ranks, self-exclusion, determinism, non-zero recall") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 5)
+    def run() = SimSearch.topKPq(emb, queries, k = 10)
+      .as[(Long, Long, Long, Int)].collect().toList.sortBy(r => (r._1, r._4))
+    val got = run()
+    assert(got.size == 50, s"5 queries x 10 = ${got.size}")
+    got.groupBy(_._1).foreach { case (qid, rows) =>
+      assert(rows.map(_._4) == (1 to 10).toList, s"q$qid ranks")
+      // integer ADC distances are non-decreasing with rank — no double
+      // addition-order lottery can reorder them
+      assert(rows.map(_._3) == rows.map(_._3).sorted, s"q$qid adc order")
+      assert(!rows.exists(_._2 == qid), s"q$qid must exclude itself")
+    }
+    assert(run() == got, "PQ search must be deterministic")
+    // quantized 4-byte codes still retrieve real neighbors: the PQ
+    // top-10 overlaps the exact top-10 somewhere on the fixture
+    val exact = SimSearch.topKBruteForce(emb, queries, k = 10)
+      .select("qid", "vid").as[(Long, Long)].collect().toSet
+    val overlap = got.map(r => (r._1, r._2)).toSet.intersect(exact)
+    assert(overlap.nonEmpty, "PQ must retrieve at least one exact neighbor")
+  }
+
+  test("topKIvfPq: routed candidates carry the SAME ADC distances as the full scan") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 5)
+    val ivfPq = SimSearch.topKIvfPq(emb, queries, k = 10)
+      .as[(Long, Long, Long, Int)].collect().toList
+    assert(ivfPq.groupBy(_._1).forall(_._2.map(_._4).sorted == (1 to 10).toList),
+      "every query fills its k under 8-probe routing on this fixture")
+    // the PQ distance of a routed pair is IDENTICAL to the full-scan
+    // ADC for that pair — routing changes WHICH pairs are scanned,
+    // never their distances (the IVF-PQ contract)
+    val fullAdc = SimSearch.topKPq(emb, queries, k = emb.count().toInt)
+      .as[(Long, Long, Long, Int)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    ivfPq.foreach { case (qid, vid, adc, _) =>
+      assert(fullAdc((qid, vid)) == adc, s"($qid,$vid) adc drift")
+    }
+  }
 }
