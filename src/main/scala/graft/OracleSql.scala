@@ -2988,6 +2988,35 @@ object OracleSql {
          |   CAST(row_number() OVER (PARTITION BY qid ORDER BY adc_micro, vid) AS BIGINT) AS "rank"
          |  FROM adc)
          |SELECT qid, vid, CAST(adc_micro AS BIGINT) AS adc_micro, "rank"
-         |FROM r WHERE "rank" <= 10 ORDER BY qid, "rank"""".stripMargin
+         |FROM r WHERE "rank" <= 10 ORDER BY qid, "rank"""".stripMargin,
+
+    // zone-map pruning forecast: both layouts' ntile(64) assignment,
+    // per-file min/max zone maps, and the box overlap test replayed;
+    // file stats are deterministic under sort ties because ntile sizes
+    // are fixed and equal-key rows are interchangeable values
+    "q199_zone_map_skipping" -> {
+      val zexpr = graft.ops.ZOrder.zKeySql("a", "b", bits = 10)
+      s"""WITH o AS (SELECT ((user_id % 1024) + 1024) % 1024 AS a,
+         |    ((CAST(floor(value * 1000) AS BIGINT) % 1024) + 1024) % 1024 AS b
+         |   FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+         | boxes AS (SELECT 'a_slice' AS box, 0 AS alo, 63 AS ahi, 0 AS blo, 1023 AS bhi
+         |   UNION ALL SELECT 'b_slice', 0, 1023, 0, 63),
+         | lay AS (SELECT a, b, 'linear' AS layout, (a * 1024 + b) AS k FROM o
+         |   UNION ALL SELECT a, b, 'zorder', $zexpr FROM o),
+         | tiled AS (SELECT layout, a, b,
+         |    ntile(64) OVER (PARTITION BY layout ORDER BY k, a, b) AS f FROM lay),
+         | pf AS (SELECT b2.box, t.layout, t.f, count(*) AS n,
+         |    min(a) AS mina, max(a) AS maxa, min(b) AS minb, max(b) AS maxb,
+         |    sum(CASE WHEN a BETWEEN b2.alo AND b2.ahi AND b BETWEEN b2.blo AND b2.bhi
+         |        THEN 1 ELSE 0 END) AS n_match
+         |   FROM tiled t CROSS JOIN boxes b2 GROUP BY 1, 2, 3)
+         |SELECT box, layout, CAST(count(*) AS BIGINT) AS files_total,
+         | CAST(sum(CASE WHEN maxa >= alo AND mina <= ahi AND maxb >= blo AND minb <= bhi
+         |     THEN 1 ELSE 0 END) AS BIGINT) AS files_read,
+         | CAST(sum(CASE WHEN maxa >= alo AND mina <= ahi AND maxb >= blo AND minb <= bhi
+         |     THEN n ELSE 0 END) AS BIGINT) AS rows_read,
+         | CAST(sum(n_match) AS BIGINT) AS rows_matched
+         |FROM pf JOIN boxes USING (box) GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    }
   )
 }

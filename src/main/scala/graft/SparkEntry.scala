@@ -3004,6 +3004,28 @@ object SparkEntry {
       .orderBy("qid", "rank")
   }
 
+  /** Zone-map pruning forecast ([[graft.ops.ZOrder.skippingStats]]):
+    * exact files/rows a min-max-pruned box scan reads under the linear
+    * (a, b) sort vs the q166 z-order layout, for an a-selective and a
+    * b-selective box — the numbers that justify an OPTIMIZE ZORDER
+    * rewrite. The oracle replays both layouts' ntile assignment, the
+    * per-file zone maps, and the overlap test.
+    */
+  private def q199(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .filter(col("user_id").isNotNull && col("value").isNotNull)
+      .select(pmod(col("user_id"), lit(1024L)).as("a"),
+        pmod(floor(col("value") * 1000d).cast("long"), lit(1024L)).as("b"))
+    def stats(box: String, aLo: Long, aHi: Long, bLo: Long, bHi: Long) =
+      graft.ops.ZOrder.skippingStats(ev, col("a"), col("b"),
+          bits = 10, files = 64, aLo, aHi, bLo, bHi)
+        .select(lit(box).as("box"), col("layout"), col("files_total"),
+          col("files_read"), col("rows_read"), col("rows_matched"))
+    stats("a_slice", 0L, 63L, 0L, 1023L)
+      .unionByName(stats("b_slice", 0L, 1023L, 0L, 63L))
+      .orderBy("box", "layout")
+  }
+
   /** RFM segmentation ([[Behavior.rfmSegments]]): recency/frequency/
     * monetary quintiles per user with deterministic ntile tie-breaks,
     * composed into the 3-digit segment code. The oracle replays the
@@ -3254,7 +3276,8 @@ object SparkEntry {
     "q195_small_qty_revenue" -> q195 _,
     "q196_dominant_share_supplier" -> q196 _,
     "q197_ann_pq_adc" -> q197 _,
-    "q198_ann_ivf_pq" -> q198 _
+    "q198_ann_ivf_pq" -> q198 _,
+    "q199_zone_map_skipping" -> q199 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

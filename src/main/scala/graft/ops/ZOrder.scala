@@ -47,4 +47,69 @@ object ZOrder {
     (0 until bits).map { i =>
       s"((($a >> $i) & 1) << ${2 * i}) | ((($b >> $i) & 1) << ${2 * i + 1})"
     }.mkString("(", " | ", ")")
+
+  /** Zone-map pruning forecast: how many of `files` equal-row chunks a
+    * two-predicate box scan must READ when rows are laid out by (a) the
+    * single-key linear sort `(a, b)` and (b) the interleaved [[zKey]]
+    * order — the measurement that justifies (or rejects) an OPTIMIZE
+    * ZORDER rewrite BEFORE paying for it. A chunk is "read" exactly
+    * when its observed `[min, max]` ranges overlap the box on BOTH
+    * dimensions — the same min/max test parquet footer zone maps give a
+    * scan for free. The linear layout prunes perfectly on `a` and not
+    * at all on `b`; z-order trades a little of `a`'s locality for
+    * pruning on BOTH — this operator puts exact numbers on that trade
+    * for a concrete box.
+    *
+    * Inputs must be integer-canonical and non-negative in `[0, 2^bits)`
+    * ([[zKey]]'s contract — callers `pmod`/bucket first). Output one row
+    * per layout: `(layout, files_total, files_read, rows_read,
+    * rows_matched)`; `rows_matched` (the true predicate count) is
+    * layout-invariant and rides the same aggregate, so the scan runs
+    * once per layout with no extra pass.
+    *
+    * Scale shape: the file assignment here is an `ntile` over the
+    * global sort order — exact and oracle-replayable for the gate; the
+    * production spelling of the SAME decision is
+    * `repartitionByRange(files, key)` + real footer stats, which this
+    * forecast predicts. Everything downstream of the ntile is one
+    * ≤`files`-key aggregate per layout.
+    */
+  def skippingStats(
+      df: org.apache.spark.sql.DataFrame,
+      aCol: Column,
+      bCol: Column,
+      bits: Int,
+      files: Int,
+      aLo: Long, aHi: Long,
+      bLo: Long, bHi: Long
+  ): org.apache.spark.sql.DataFrame = {
+    require(files > 0, "files must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(aCol.cast("long").as("a"), bCol.cast("long").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
+    val layouts = Seq(
+      // linear = the one-key sort a then b, packed into a single long so
+      // both layouts share the ntile spelling
+      ("linear", (col("a") * (1L << bits)) + col("b")),
+      ("zorder", zKey(col("a"), col("b"), bits)))
+    layouts.map { case (name, key) =>
+      val tiled = base
+        .withColumn("f", ntile(files).over(Window.orderBy(key, col("a"), col("b"))))
+      val perFile = tiled.groupBy("f").agg(
+        count(lit(1)).as("n"),
+        min(col("a")).as("mina"), max(col("a")).as("maxa"),
+        min(col("b")).as("minb"), max(col("b")).as("maxb"),
+        sum(when(col("a").between(aLo, aHi) && col("b").between(bLo, bHi), 1L)
+          .otherwise(0L)).as("n_match"))
+      val read = col("maxa") >= aLo && col("mina") <= aHi &&
+        col("maxb") >= bLo && col("minb") <= bHi
+      perFile.agg(
+          count(lit(1)).as("files_total"),
+          sum(when(read, 1L).otherwise(0L)).as("files_read"),
+          sum(when(read, col("n")).otherwise(0L)).as("rows_read"),
+          sum(col("n_match")).as("rows_matched"))
+        .select(lit(name).as("layout"), col("files_total"), col("files_read"),
+          col("rows_read"), col("rows_matched"))
+    }.reduce(_ unionByName _)
+  }
 }

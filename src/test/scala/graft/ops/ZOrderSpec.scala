@@ -44,4 +44,28 @@ class ZOrderSpec extends SparkTestBase {
         s"prefix of z($a,$b) must equal z of the coarse coords")
     }
   }
+
+  test("skippingStats: linear prunes only its sort dimension, z-order prunes both") {
+    // the full 16x16 grid in 16 files of 16 rows each
+    val grid = (for (a <- 0L until 16L; b <- 0L until 16L) yield (a, b))
+      .toDF("a", "b")
+    def run(aLo: Long, aHi: Long, bLo: Long, bHi: Long) =
+      ZOrder.skippingStats(grid, col("a"), col("b"), bits = 4, files = 16,
+          aLo, aHi, bLo, bHi)
+        .as[(String, Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> r).toMap
+    // b-slice (b < 4, all a): the linear (a, b) sort scatters b across
+    // every file; z-order confines b < 4 to the quadrant-aligned files
+    val bSlice = run(0L, 15L, 0L, 3L)
+    assert(bSlice("linear") == (("linear", 16L, 16L, 256L, 64L)),
+      s"${bSlice("linear")}")
+    // z 4-bit quadrants: b<4 pins odd key bits 3..7 -> 4 of 16 files
+    assert(bSlice("zorder") == (("zorder", 16L, 4L, 64L, 64L)),
+      s"${bSlice("zorder")}")
+    // a-slice (a < 4): the linear sort prunes it perfectly (4 files);
+    // z-order also reads exactly its 4 quadrant files on the full grid
+    val aSlice = run(0L, 3L, 0L, 15L)
+    assert(aSlice("linear")._3 == 4L && aSlice("zorder")._3 == 4L, s"$aSlice")
+    assert(aSlice("linear")._5 == 64L && aSlice("zorder")._5 == 64L)
+  }
 }
