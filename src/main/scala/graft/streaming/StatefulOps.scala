@@ -624,6 +624,105 @@ object StatefulOps {
       }
   }
 
+  case class VecDoc(id: Long, v: Array[Float], band: Int, bucket: Long,
+      event_time: Timestamp)
+  case class VecSeen(id: Long, v: Array[Float], horizonMs: Long)
+  case class VecHit(id: Long, band: Int, first_id: Long, cos_micro: Long)
+
+  /** Streaming embedding near-dup detection at ingest — the streaming
+    * twin of `Dedup.embeddingNearDupPairs`' banded default, completing
+    * the pattern [[nearDupHits]] (MinHash) and [[editDistHits]] (FastSS)
+    * set: each arriving vector computes its `numBands` hyperplane
+    * signatures MAP-SIDE (the identical [[graft.ext.SimSearch
+    * .hyperplaneBucket]] constants as the batch path, so batch
+    * diagnostics describe exactly these buckets), and per (band, bucket)
+    * the state keeps ONE representative — the minimum id and its vector
+    * (≈ 256 B at dim 64) — against which every later same-bucket arrival
+    * is verified with the EXACT cosine (the same sequential-fold double
+    * arithmetic as the batch operator, so a hit's `cos_micro` equals the
+    * batch pair's `floor(cos·10⁶)` bit-for-bit). A `VecHit(id, band,
+    * first_id, cos_micro)` is emitted when cos ≥ `threshold` — the
+    * at-ingest canonical-dedup primitive (new doc vs the bucket's
+    * canonical), deliberately NOT all-pairs: state stays O(1) per bucket
+    * at any corpus size. A pair sharing several bands emits once per
+    * band (the [[nearDupHits]] BandHit contract — downstream dedups).
+    *
+    * Same monotone event-time TTL anchor as the sibling detectors; NULL
+    * vectors/event times are dropped, never NPE the query.
+    */
+  def embedNearDupHits(
+      vecs: DataFrame,
+      threshold: Double = 0.9,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      tsCol: String = "event_time",
+      watermarkDelay: String = "10 seconds",
+      ttlMs: Long = 3600000L,
+      dim: Int = 64,
+      numPlanes: Int = 6,
+      numBands: Int = 4,
+      seed: Long = 42L
+  ): Dataset[VecHit] = {
+    import org.apache.spark.sql.functions._
+    import vecs.sparkSession.implicits._
+    val bands = (0 until numBands).map(b =>
+      graft.ext.SimSearch.hyperplaneBucket(col("v"), dim, numPlanes, seed + b))
+    val base = vecs
+      .filter(col(vecCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(idCol).as("id"), col(vecCol).as("v"), col(tsCol).as("event_time"))
+      .select(col("id"), col("v"), col("event_time"),
+        posexplode(array(bands: _*)).as(Seq("band", "bucket")))
+      .withWatermark("event_time", watermarkDelay)
+      .as[VecDoc]
+    base
+      .groupByKey(r => s"${r.band}:${r.bucket}")
+      .flatMapGroupsWithState[VecSeen, VecHit](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: String, rows: Iterator[VecDoc], state: GroupState[VecSeen]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val rs = rows.toSeq.sortBy(_.id)
+            var cur = state.getOption
+            val hits = rs.flatMap { r =>
+              val hit = cur match {
+                case Some(s) if s.id < r.id =>
+                  val c = StatefulOps.cosine(s.v, r.v)
+                  if (c >= threshold)
+                    Some(VecHit(r.id, r.band, s.id, math.floor(c * 1e6).toLong))
+                  else None
+                case _ => None
+              }
+              if (cur.forall(_.id > r.id)) cur = Some(VecSeen(r.id, r.v, 0L))
+              hit
+            }
+            // same monotone event-time TTL anchor as nearDupHits
+            val horizon = (state.getOption.map(_.horizonMs).toSeq ++
+              rs.map(_.event_time.getTime) :+ state.getCurrentWatermarkMs()).max
+            cur.foreach { c =>
+              state.update(VecSeen(c.id, c.v, horizon))
+              state.setTimeoutTimestamp(horizon + ttlMs)
+            }
+            hits.iterator
+          }
+      }
+  }
+
+  /** Sequential-fold cosine matching `VectorOps.dot / (norm·norm)`
+    * term-for-term (cast each float to double, accumulate left to
+    * right) — needed because the streaming verify runs on JVM arrays
+    * inside the state function, and the batch parity spec pins the
+    * doubles bit-for-bit.
+    */
+  private[streaming] def cosine(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
   /** Classic DP levenshtein, matching Spark's `levenshtein` function
     * value-for-value (the batch parity spec pins this) — needed because
     * the verify runs on JVM strings inside the state function.

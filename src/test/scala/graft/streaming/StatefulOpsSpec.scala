@@ -641,6 +641,52 @@ class StatefulOpsSpec extends SparkTestBase {
       s"drained stream must equal the batch EWMA (${streamed.size} vs ${batch.size} rows)")
   }
 
+  test("embedNearDupHits: drained hits equal the batch banded rep-verify bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    import graft.ext.SimSearch
+    import graft.functions.VectorOps
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val th = 0.35
+    val rows = emb.as[(Long, Array[Float])].collect().toSeq
+      .map { case (id, v) => (id, v, ts("2024-01-01 00:00:00")) }
+    val mem = MemoryStream[(Long, Array[Float], java.sql.Timestamp)](spark)
+    val query = StatefulOps.embedNearDupHits(
+        mem.toDS().toDF("vec_id", "embedding", "event_time"),
+        threshold = th, watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("embed_hits").outputMode("append").start()
+    try { mem.addData(rows); query.processAllAvailable() } finally query.stop()
+    val streamed = spark.table("embed_hits")
+      .as[StatefulOps.VecHit].collect()
+      .map(h => (h.id, h.band, h.first_id, h.cos_micro)).toSet
+
+    // batch rebuild: per (band, bucket) the min id is the representative;
+    // every later member is verified against it with the SAME double
+    // expression the batch operator uses
+    val bands = (0 until 4).map(b =>
+      SimSearch.hyperplaneBucket(col("embedding"), dim = 64, numPlanes = 6, 42L + b))
+    val bucketed = emb.select(col("vec_id").as("id"), col("embedding").as("v"),
+      posexplode(array(bands: _*)).as(Seq("band", "bucket")))
+    val reps = bucketed.groupBy("band", "bucket")
+      .agg(min(col("id")).as("first_id"))
+    val expected = bucketed.join(reps, Seq("band", "bucket"))
+      .filter(col("id") > col("first_id"))
+      .join(bucketed.select(col("band"), col("bucket"),
+        col("id").as("first_id"), col("v").as("fv")), Seq("band", "bucket", "first_id"))
+      .withColumn("cos", VectorOps.dot(col("fv"), col("v"))
+        / (VectorOps.norm(col("fv")) * VectorOps.norm(col("v"))))
+      .filter(col("cos") >= th)
+      .select(col("id"), col("band"), col("first_id"),
+        floor(col("cos") * 1e6).cast("long").as("cos_micro"))
+      .as[(Long, Int, Long, Long)].collect().toSet
+    assert(expected.nonEmpty, "fixture must produce banded hits at this threshold")
+    assert(streamed == expected,
+      s"streamed ${streamed.size} vs batch ${expected.size}; " +
+        s"diff ${(streamed diff expected).take(3)} / ${(expected diff streamed).take(3)}")
+  }
+
   test("ewmaStream: sub-second timestamps order on floor-seconds + ord like the batch twin") {
     // two events in the SAME second with millis order OPPOSITE to ord
     // order: the batch operator is driven on unix_timestamp (whole
@@ -766,5 +812,26 @@ class StatefulOpsSpec extends SparkTestBase {
     val sigHits = spark.table("editdist_nulls").as[StatefulOps.SigHit]
       .collect().map(h => (h.id, h.first_id)).distinct.toList
     assert(sigHits == List((3L, 1L)), s"got $sigHits")
+
+    // embedNearDupHits: NULL-ts and NULL-vector twins are dropped; the
+    // identical live vector still flags against the representative
+    val vm = MemoryStream[(Long, Array[Float], java.sql.Timestamp)](spark)
+    val vec = Array.tabulate(64)(i => (i + 1).toFloat / 64f)
+    val vq = StatefulOps.embedNearDupHits(
+        vm.toDS().toDF("vec_id", "embedding", "event_time"),
+        threshold = 0.99, watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("embed_nulls").outputMode("append").start()
+    try {
+      vm.addData(Seq(
+        (1L, vec, ts("2024-01-01 00:00:00")),
+        (2L, vec, nullTs),
+        (3L, null.asInstanceOf[Array[Float]], ts("2024-01-01 00:00:01")),
+        (4L, vec, ts("2024-01-01 00:00:02"))))
+      vq.processAllAvailable()
+    } finally vq.stop()
+    val vecHits = spark.table("embed_nulls").as[StatefulOps.VecHit]
+      .collect().map(h => (h.id, h.first_id, h.cos_micro)).distinct.toList
+    // identical vectors: cos exactly 1.0 -> 1,000,000 micro
+    assert(vecHits == List((4L, 1L, 1000000L)), s"got $vecHits")
   }
 }
