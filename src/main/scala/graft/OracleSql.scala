@@ -3017,6 +3017,23 @@ object OracleSql {
          |     THEN n ELSE 0 END) AS BIGINT) AS rows_read,
          | CAST(sum(n_match) AS BIGINT) AS rows_matched
          |FROM pf JOIN boxes USING (box) GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
-    }
+    },
+
+    // reliability diagram over deciles: q31's quality formula scored
+    // against q32's langId-derived binary label, bin rule and both
+    // integral rates replayed
+    "q200_calibration" ->
+      s"""WITH sc AS (SELECT text,
+         | $langHitsSql
+         |  FROM documents),
+         | v AS (SELECT CAST($qualityPpmSql AS BIGINT) AS s,
+         |    CASE WHEN $langCaseSql = 'en' THEN 1 ELSE 0 END AS y
+         |   FROM sc),
+         | b AS (SELECT (s * 10) // 1000001 AS bin, s, y FROM v)
+         |SELECT CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n,
+         | CAST(sum(s) // count(*) AS BIGINT) AS mean_score_ppm,
+         | CAST(sum(y) AS BIGINT) AS n_pos,
+         | CAST((sum(y) * 1000000) // count(*) AS BIGINT) AS pos_ppm
+         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

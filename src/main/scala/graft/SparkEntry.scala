@@ -3026,6 +3026,21 @@ object SparkEntry {
       .orderBy("box", "layout")
   }
 
+  /** Calibration buckets ([[graft.ops.Stats.calibrationBuckets]]): the
+    * heuristic quality score's reliability diagram against an
+    * English-language proxy label — per decile bin, the mean predicted
+    * ppm vs the observed positive rate, all integer arithmetic. The
+    * oracle replays the bin rule, both rates, and the score/label
+    * derivations (q31's quality formula + q32's stopword langId).
+    */
+  private def q200(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.calibrationBuckets(
+        Tables.documents(s, dir)
+          .withColumn("q", TextOps.qualityScorePpm(col("text")))
+          .withColumn("y", TextOps.langId(col("text")) === "en"),
+        col("q"), col("y"))
+      .orderBy("bin")
+
   /** RFM segmentation ([[Behavior.rfmSegments]]): recency/frequency/
     * monetary quintiles per user with deterministic ntile tie-breaks,
     * composed into the 3-digit segment code. The oracle replays the
@@ -3277,7 +3292,8 @@ object SparkEntry {
     "q196_dominant_share_supplier" -> q196 _,
     "q197_ann_pq_adc" -> q197 _,
     "q198_ann_ivf_pq" -> q198 _,
-    "q199_zone_map_skipping" -> q199 _
+    "q199_zone_map_skipping" -> q199 _,
+    "q200_calibration" -> q200 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

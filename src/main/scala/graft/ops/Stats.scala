@@ -283,4 +283,38 @@ object Stats {
       .agg(max(col("n")).as("n"), max(col("med")).as("med"), max(col("mad")).as("mad"),
         sum(when(col("dev") > lit(k) * col("mad"), 1L).otherwise(0L)).as("n_outliers"))
   }
+
+  /** Model calibration buckets (the reliability diagram as data): ppm
+    * scores in `[0, 10⁶]` binned into `buckets` equal-width bins, each
+    * bin reporting its population, mean predicted score, and OBSERVED
+    * positive rate — a well-calibrated scorer has `mean_score_ppm ≈
+    * pos_ppm` per bin, and the quality-filter threshold should be read
+    * off this table, not guessed. All integer arithmetic: bin =
+    * `score·B div (10⁶+1)` (the +1 keeps the 10⁶ maximum in the last
+    * bin with no clamp branch, the q164 histogram convention); means
+    * and rates are integral divisions. NULL scores/labels are excluded
+    * — an unscored row says nothing about calibration. Empty bins are
+    * absent (observed, not theoretical, like [[Profile.histogram]]).
+    *
+    * Scale shape: ONE aggregate over a map-side bin projection,
+    * ≤`buckets` cells shipped per task — calibration of a 100 TB
+    * corpus costs one scan.
+    */
+  def calibrationBuckets(
+      df: DataFrame,
+      scorePpmCol: Column,
+      labelCol: Column,
+      buckets: Int = 10
+  ): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    df.select(scorePpmCol.cast("long").as("__s"),
+        labelCol.cast("boolean").as("__y"))
+      .filter(col("__s").isNotNull && col("__y").isNotNull)
+      .withColumn("bin", expr(s"(__s * $buckets) DIV 1000001"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        expr("sum(__s) DIV count(1)").as("mean_score_ppm"),
+        sum(col("__y").cast("long")).as("n_pos"))
+      .withColumn("pos_ppm", expr("(n_pos * 1000000) DIV n"))
+  }
 }

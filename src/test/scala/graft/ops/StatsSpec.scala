@@ -116,4 +116,23 @@ class StatsSpec extends SparkTestBase {
     assert(got("conc") == (("conc", 4L, 12L, 750000L)))
     assert(!got.contains("zero"), "sum-zero keys have no defined concentration")
   }
+
+  test("calibrationBuckets: +1-domain binning, integral rates, NULLs excluded") {
+    val rows = Seq(
+      (Some(0L), Some(false)),        // bin 0
+      (Some(99999L), Some(true)),     // bin 0 (99999*10 DIV 1000001 = 0)
+      (Some(100001L), Some(true)),    // bin 1
+      (Some(1000000L), Some(true)),   // the ppm maximum lands in bin 9, unclamped
+      (Some(950000L), Some(false)),   // bin 9
+      (None, Some(true)),             // NULL score -> excluded
+      (Some(500000L), None)           // NULL label -> excluded
+    ).toDF("s", "y")
+    val got = Stats.calibrationBuckets(rows, col("s"), col("y"))
+      .orderBy("bin")
+      .as[(Long, Long, Long, Long, Long)].collect().toList
+    assert(got == List(
+      (0L, 2L, 49999L, 1L, 500000L),
+      (1L, 1L, 100001L, 1L, 1000000L),
+      (9L, 2L, 975000L, 1L, 500000L)), s"got $got")
+  }
 }
