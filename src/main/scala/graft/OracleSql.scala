@@ -12,8 +12,17 @@ package graft
 object OracleSql {
 
   /** Word-trigram shingle list from a pre-split word list `l`. */
-  private val trigrams =
-    "list_distinct(list_transform(generate_series(1, len(l)-2), i -> l[i]||' '||l[i+1]||' '||l[i+2]))"
+  /** Distinct word n-grams of the token list `l` — the SQL spelling of
+    * `TextOps.shingleSet` for any n (empty when the doc is shorter than
+    * n tokens, matching the operator's empty-array arm).
+    */
+  private def wordGrams(n: Int): String = {
+    val joined = (0 until n).map(o => if (o == 0) "l[i]" else s"l[i+$o]")
+      .mkString("||' '||")
+    s"list_distinct(list_transform(generate_series(1, len(l)-${n - 1}), i -> $joined))"
+  }
+
+  private val trigrams = wordGrams(3)
 
   private val q01Inner =
     """SELECT user_id, CAST(count(*) AS BIGINT) AS count_temp,
@@ -3034,6 +3043,25 @@ object OracleSql {
          | CAST(sum(s) // count(*) AS BIGINT) AS mean_score_ppm,
          | CAST(sum(y) AS BIGINT) AS n_pos,
          | CAST((sum(y) * 1000000) // count(*) AS BIGINT) AS pos_ppm
-         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // source-level 5-gram overlap matrix: distinct (source, gram-hash)
+    // table, per-source sizes, shared counts from the hash self-join,
+    // integer jaccard + containment — q35's hashed-gram convention at
+    // source granularity
+    "q201_source_overlap" ->
+      s"""WITH d AS (SELECT source, string_split(text,' ') AS l FROM documents
+         |   WHERE text IS NOT NULL AND source IS NOT NULL),
+         | g AS (SELECT DISTINCT source AS k, ('0x'||substr(md5('0:'||sh),1,8))::BIGINT AS h
+         |   FROM (SELECT source, unnest(${wordGrams(5)}) AS sh FROM d)),
+         | sz AS (SELECT k, count(*) AS n FROM g GROUP BY 1),
+         | p AS (SELECT a.k AS s1, b.k AS s2, count(*) AS shared
+         |   FROM g a JOIN g b ON a.h = b.h AND a.k < b.k GROUP BY 1, 2)
+         |SELECT s1, s2, CAST(shared AS BIGINT) AS shared,
+         | CAST(za.n AS BIGINT) AS n1, CAST(zb.n AS BIGINT) AS n2,
+         | CAST((shared * 1000000) // (za.n + zb.n - shared) AS BIGINT) AS jaccard_ppm,
+         | CAST((shared * 1000000) // least(za.n, zb.n) AS BIGINT) AS containment_ppm
+         |FROM p JOIN sz za ON s1 = za.k JOIN sz zb ON s2 = zb.k
+         |ORDER BY s1, s2""".stripMargin
   )
 }

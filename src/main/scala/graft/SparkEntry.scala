@@ -3041,6 +3041,17 @@ object SparkEntry {
         col("q"), col("y"))
       .orderBy("bin")
 
+  /** Cross-source 5-gram overlap matrix ([[Dedup.sourceOverlap]]):
+    * which sources republish which — shared distinct gram fingerprints
+    * per source pair with integer Jaccard and containment rates, the
+    * corpus-composition view per-document dedup cannot show. The
+    * oracle replays the distinct (source, hash) table, sizes, shared
+    * counts, and both rates.
+    */
+  private def q201(s: SparkSession, dir: String): DataFrame =
+    Dedup.sourceOverlap(Tables.documents(s, dir))
+      .orderBy("s1", "s2")
+
   /** RFM segmentation ([[Behavior.rfmSegments]]): recency/frequency/
     * monetary quintiles per user with deterministic ntile tie-breaks,
     * composed into the 3-digit segment code. The oracle replays the
@@ -3293,7 +3304,8 @@ object SparkEntry {
     "q197_ann_pq_adc" -> q197 _,
     "q198_ann_ivf_pq" -> q198 _,
     "q199_zone_map_skipping" -> q199 _,
-    "q200_calibration" -> q200 _
+    "q200_calibration" -> q200 _,
+    "q201_source_overlap" -> q201 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

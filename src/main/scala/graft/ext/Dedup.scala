@@ -556,6 +556,47 @@ object Dedup {
           .cast("long").as("containment_ppm"))
   }
 
+  /** Cross-source n-gram overlap matrix — provenance/leakage analysis
+    * at the SOURCE level: for every source pair, the number of shared
+    * distinct word `shingleN`-gram fingerprints plus integer Jaccard
+    * and containment rates. A high-containment pair means one source
+    * largely republishes the other (syndication, mirroring, scraped
+    * copies) — the corpus-composition signal that per-document dedup
+    * (q35/q189) cannot show because it reports pairs, not structure.
+    *
+    * Scale shape: one explode → (source, gram-hash) DISTINCT (map-side
+    * partials collapse within-source repeats), per-source sizes off
+    * that table, and the pair counts from gram-hash buckets whose
+    * member list is bounded by the SOURCE COUNT (≤ a few hundred),
+    * never by document frequency — so no cap is needed: the bucket
+    * explosion is #sources², not corpus². The shuffle moves 8-byte
+    * hashes, the q35 convention.
+    */
+  def sourceOverlap(
+      docs: DataFrame,
+      keyCol: String = "source",
+      textCol: String = "text",
+      shingleN: Int = 5
+  ): DataFrame = {
+    val grams = docs.filter(col(textCol).isNotNull && col(keyCol).isNotNull)
+      .select(col(keyCol).as("k"),
+        explode(TextOps.shingleSet(col(textCol), shingleN)).as("sh"))
+      .select(col("k"), Hashing.md5Hash32(0, col("sh")).as("h"))
+      .distinct()
+    val sizes = grams.groupBy("k").agg(count(lit(1)).as("n"))
+    val buckets = grams.groupBy("h")
+      .agg(sort_array(collect_set(col("k"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    explodePairs(buckets)
+      .groupBy(col("id_a").as("s1"), col("id_b").as("s2"))
+      .agg(count(lit(1)).as("shared"))
+      .join(sizes.select(col("k").as("s1"), col("n").as("n1")), Seq("s1"))
+      .join(sizes.select(col("k").as("s2"), col("n").as("n2")), Seq("s2"))
+      .select(col("s1"), col("s2"), col("shared"), col("n1"), col("n2"),
+        expr("(shared * 1000000) DIV (n1 + n2 - shared)").as("jaccard_ppm"),
+        expr("(shared * 1000000) DIV least(n1, n2)").as("containment_ppm"))
+  }
+
   // ------------------------------------------------------------ edit dist
 
   /** Edit-distance near-dup pairs — the typo/small-revision family member

@@ -677,6 +677,20 @@ class DedupSpec extends SparkTestBase {
     assert(Dedup.DefaultShingleBucketCap == 1000)
   }
 
+  test("sourceOverlap: containment flags the republishing source pair, disjoint pairs absent") {
+    val body = (1 to 20).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, "orig", body),
+      (2L, "mirror", body + " extra trailing words here"),   // superset of orig's 5-grams
+      (3L, "other", (1 to 20).map(i => s"z$i").mkString(" "))
+    ).toDF("doc_id", "source", "text")
+    val got = Dedup.sourceOverlap(docs)
+      .select("s1", "s2", "shared", "n1", "n2", "containment_ppm")
+      .as[(String, String, Long, Long, Long, Long)].collect().toList
+    // orig: 16 distinct 5-grams, all inside mirror's 20 -> containment 1.0
+    assert(got == List(("mirror", "orig", 16L, 20L, 16L, 1000000L)), s"got $got")
+  }
+
   test("lshCandidatePrecision: zero candidates is an explicit (0,0,0) row, not NULL") {
     // three pairwise-unrelated docs: no band collides, candidate set empty
     val docs = Seq(
