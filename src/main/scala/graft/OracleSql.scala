@@ -3062,6 +3062,48 @@ object OracleSql {
          | CAST((shared * 1000000) // (za.n + zb.n - shared) AS BIGINT) AS jaccard_ppm,
          | CAST((shared * 1000000) // least(za.n, zb.n) AS BIGINT) AS containment_ppm
          |FROM p JOIN sz za ON s1 = za.k JOIN sz zb ON s2 = zb.k
-         |ORDER BY s1, s2""".stripMargin
+         |ORDER BY s1, s2""".stripMargin,
+
+    // three-way layout bake-off: the q199 machinery plus the Hilbert
+    // walk replayed as a chained CTE (one step per bit, exactly the
+    // operator's column chain)
+    "q202_layout_bakeoff" -> {
+      val bits = 10
+      val zexpr = graft.ops.ZOrder.zKeySql("a", "b", bits)
+      val hChain = {
+        val steps = (bits - 1) to 0 by -1
+        val ctes = scala.collection.mutable.ArrayBuffer(
+          "h_in AS (SELECT a, b, a AS hx, b AS hy, CAST(0 AS BIGINT) AS hd FROM o)")
+        var prev = "h_in"
+        steps.zipWithIndex.foreach { case (i, idx) =>
+          ctes += s"h$idx AS (SELECT a, b, ${graft.ops.ZOrder.hilbertStepSql(i, bits)} FROM $prev)"
+          prev = s"h$idx"
+        }
+        (ctes.mkString(",\n "), prev)
+      }
+      s"""WITH o AS (SELECT ((user_id % 1024) + 1024) % 1024 AS a,
+         |    ((CAST(floor(value * 1000) AS BIGINT) % 1024) + 1024) % 1024 AS b
+         |   FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+         | ${hChain._1},
+         | boxes AS (SELECT 'a_slice' AS box, 0 AS alo, 63 AS ahi, 0 AS blo, 1023 AS bhi
+         |   UNION ALL SELECT 'b_slice', 0, 1023, 0, 63),
+         | lay AS (SELECT a, b, 'linear' AS layout, (a * 1024 + b) AS k FROM o
+         |   UNION ALL SELECT a, b, 'zorder', $zexpr FROM o
+         |   UNION ALL SELECT a, b, 'hilbert', hd FROM ${hChain._2}),
+         | tiled AS (SELECT layout, a, b,
+         |    ntile(64) OVER (PARTITION BY layout ORDER BY k, a, b) AS f FROM lay),
+         | pf AS (SELECT b2.box, t.layout, t.f, count(*) AS n,
+         |    min(a) AS mina, max(a) AS maxa, min(b) AS minb, max(b) AS maxb,
+         |    sum(CASE WHEN a BETWEEN b2.alo AND b2.ahi AND b BETWEEN b2.blo AND b2.bhi
+         |        THEN 1 ELSE 0 END) AS n_match
+         |   FROM tiled t CROSS JOIN boxes b2 GROUP BY 1, 2, 3)
+         |SELECT box, layout, CAST(count(*) AS BIGINT) AS files_total,
+         | CAST(sum(CASE WHEN maxa >= alo AND mina <= ahi AND maxb >= blo AND minb <= bhi
+         |     THEN 1 ELSE 0 END) AS BIGINT) AS files_read,
+         | CAST(sum(CASE WHEN maxa >= alo AND mina <= ahi AND maxb >= blo AND minb <= bhi
+         |     THEN n ELSE 0 END) AS BIGINT) AS rows_read,
+         | CAST(sum(n_match) AS BIGINT) AS rows_matched
+         |FROM pf JOIN boxes USING (box) GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    }
   )
 }

@@ -3052,6 +3052,34 @@ object SparkEntry {
     Dedup.sourceOverlap(Tables.documents(s, dir))
       .orderBy("s1", "s2")
 
+  /** Three-way layout bake-off ([[graft.ops.ZOrder.skippingForecast]] +
+    * [[graft.ops.ZOrder.withHilbertKey]]): linear vs z-order vs Hilbert
+    * file pruning on the q199 boxes. The Hilbert curve's unit-step
+    * continuity (spec-proven) buys measurably tighter zone maps than
+    * Morton order on the a-selective box while matching it on the
+    * b-selective one; the oracle replays the per-bit reflect/swap walk
+    * as a chained CTE, both other keys, the tiling, and the overlap
+    * test.
+    */
+  private def q202(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.ZOrder
+    val base = Tables.events(s, dir)
+      .filter(col("user_id").isNotNull && col("value").isNotNull)
+      .select(pmod(col("user_id"), lit(1024L)).as("a"),
+        pmod(floor(col("value") * 1000d).cast("long"), lit(1024L)).as("b"))
+    val layouts = Seq(
+      ("linear", base.withColumn("__k", (col("a") * 1024L) + col("b"))),
+      ("zorder", base.withColumn("__k", ZOrder.zKey(col("a"), col("b"), 10))),
+      ("hilbert", ZOrder.withHilbertKey(base, col("a"), col("b"), 10, "__k")))
+    def stats(box: String, aLo: Long, aHi: Long, bLo: Long, bHi: Long) =
+      ZOrder.skippingForecast(layouts, files = 64, aLo, aHi, bLo, bHi)
+        .select(lit(box).as("box"), col("layout"), col("files_total"),
+          col("files_read"), col("rows_read"), col("rows_matched"))
+    stats("a_slice", 0L, 63L, 0L, 1023L)
+      .unionByName(stats("b_slice", 0L, 1023L, 0L, 63L))
+      .orderBy("box", "layout")
+  }
+
   /** RFM segmentation ([[Behavior.rfmSegments]]): recency/frequency/
     * monetary quintiles per user with deterministic ntile tie-breaks,
     * composed into the 3-digit segment code. The oracle replays the
@@ -3305,7 +3333,8 @@ object SparkEntry {
     "q198_ann_ivf_pq" -> q198 _,
     "q199_zone_map_skipping" -> q199 _,
     "q200_calibration" -> q200 _,
-    "q201_source_overlap" -> q201 _
+    "q201_source_overlap" -> q201 _,
+    "q202_layout_bakeoff" -> q202 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

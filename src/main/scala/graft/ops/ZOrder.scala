@@ -84,17 +84,32 @@ object ZOrder {
       bLo: Long, bHi: Long
   ): org.apache.spark.sql.DataFrame = {
     require(files > 0, "files must be positive")
-    import org.apache.spark.sql.expressions.Window
     val base = df.select(aCol.cast("long").as("a"), bCol.cast("long").as("b"))
       .filter(col("a").isNotNull && col("b").isNotNull)
-    val layouts = Seq(
+    skippingForecast(Seq(
       // linear = the one-key sort a then b, packed into a single long so
       // both layouts share the ntile spelling
-      ("linear", (col("a") * (1L << bits)) + col("b")),
-      ("zorder", zKey(col("a"), col("b"), bits)))
-    layouts.map { case (name, key) =>
-      val tiled = base
-        .withColumn("f", ntile(files).over(Window.orderBy(key, col("a"), col("b"))))
+      ("linear", base.withColumn("__k", (col("a") * (1L << bits)) + col("b"))),
+      ("zorder", base.withColumn("__k", zKey(col("a"), col("b"), bits)))),
+      files, aLo, aHi, bLo, bHi)
+  }
+
+  /** The tiling + zone-map + summary machinery behind [[skippingStats]],
+    * exposed for ADDITIONAL layout keys (e.g. [[withHilbertKey]], whose
+    * rotation state cannot be a single column expression): each layout
+    * is `(name, frame)` with columns `a`, `b` and the sort key `__k`.
+    */
+  def skippingForecast(
+      layouts: Seq[(String, org.apache.spark.sql.DataFrame)],
+      files: Int,
+      aLo: Long, aHi: Long,
+      bLo: Long, bHi: Long
+  ): org.apache.spark.sql.DataFrame = {
+    require(files > 0, "files must be positive")
+    import org.apache.spark.sql.expressions.Window
+    layouts.map { case (name, frame) =>
+      val tiled = frame.withColumn("f",
+        ntile(files).over(Window.orderBy(col("__k"), col("a"), col("b"))))
       val perFile = tiled.groupBy("f").agg(
         count(lit(1)).as("n"),
         min(col("a")).as("mina"), max(col("a")).as("maxa"),
@@ -111,5 +126,76 @@ object ZOrder {
         .select(lit(name).as("layout"), col("files_total"), col("files_read"),
           col("rows_read"), col("rows_matched"))
     }.reduce(_ unionByName _)
+  }
+
+  /** Hilbert curve index of `(a, b)` on the `2^bits × 2^bits` grid —
+    * the space-filling curve with STRICTLY better locality than
+    * [[zKey]]: consecutive indices are always grid-adjacent (unit
+    * steps, no Morton jumps), so equal-index ranges cover tighter
+    * (a, b) rectangles and zone maps prune better on box queries
+    * ([[skippingForecast]] measures it, `q202`). Classic per-bit
+    * algorithm (quadrant digit + reflect/swap rotation): the rotation
+    * makes the state data-dependent, so the key is built as a chain of
+    * NAMED per-iteration columns (`bits` narrow projections — Catalyst
+    * keeps them separate because each step's coordinates are referenced
+    * several times, and codegen fuses the chain) rather than one
+    * exponentially-duplicated expression tree. Same input contract as
+    * [[zKey]]: non-negative, below `2^bits`, caller maps the domain.
+    * Appends `out` (BIGINT in `[0, 4^bits)`) and leaves every other
+    * column untouched.
+    */
+  def withHilbertKey(
+      df: org.apache.spark.sql.DataFrame,
+      aCol: Column,
+      bCol: Column,
+      bits: Int,
+      out: String
+  ): org.apache.spark.sql.DataFrame = {
+    require(bits >= 1 && 2 * bits <= 62, s"bits=$bits out of range (1..31)")
+    val n = 1L << bits
+    var cur = df
+      .withColumn("__hx", aCol.cast("long"))
+      .withColumn("__hy", bCol.cast("long"))
+      .withColumn("__hd", lit(0L))
+    for (i <- (bits - 1) to 0 by -1) {
+      val rx = shiftright(col("__hx"), i).bitwiseAND(lit(1L))
+      val ry = shiftright(col("__hy"), i).bitwiseAND(lit(1L))
+      cur = cur
+        .withColumn("__rx", rx)
+        .withColumn("__ry", ry)
+        .withColumn("__hd", col("__hd") +
+          lit(1L << (2 * i)) * (lit(3L) * col("__rx")).bitwiseXOR(col("__ry")))
+        // rot: ry=0 reflects (rx=1) then swaps; bits above i are already
+        // consumed, so the full-width n−1−· reflection is harmless (the
+        // classic formulation)
+        .withColumn("__nx",
+          when(col("__ry") === 0,
+            when(col("__rx") === 1, lit(n - 1) - col("__hy")).otherwise(col("__hy")))
+            .otherwise(col("__hx")))
+        .withColumn("__ny",
+          when(col("__ry") === 0,
+            when(col("__rx") === 1, lit(n - 1) - col("__hx")).otherwise(col("__hx")))
+            .otherwise(col("__hy")))
+        .withColumn("__hx", col("__nx"))
+        .withColumn("__hy", col("__ny"))
+        .drop("__nx", "__ny", "__rx", "__ry")
+    }
+    cur.withColumn(out, col("__hd")).drop("__hx", "__hy", "__hd")
+  }
+
+  /** One Hilbert iteration as SQL over columns `hx`, `hy`, `hd` — the
+    * oracle's spelling of [[withHilbertKey]]'s step `i`, emitted as the
+    * select list of a chained CTE (new values reference the PREVIOUS
+    * step's columns, exactly like the column chain).
+    */
+  def hilbertStepSql(i: Int, bits: Int): String = {
+    val n = 1L << bits
+    val rx = s"((hx >> $i) & 1)"
+    val ry = s"((hy >> $i) & 1)"
+    Seq(
+      s"CASE WHEN $ry = 0 THEN CASE WHEN $rx = 1 THEN ${n - 1} - hy ELSE hy END ELSE hx END AS hx",
+      s"CASE WHEN $ry = 0 THEN CASE WHEN $rx = 1 THEN ${n - 1} - hx ELSE hx END ELSE hy END AS hy",
+      s"hd + ${1L << (2 * i)} * xor(3 * $rx, $ry) AS hd"
+    ).mkString(",\n ")
   }
 }

@@ -45,6 +45,41 @@ class ZOrderSpec extends SparkTestBase {
     }
   }
 
+  test("withHilbertKey: bijection, unit-step continuity, matches the reference walk") {
+    // plain-Scala reference of the classic xy2d
+    def xy2d(bits: Int, x0: Long, y0: Long): Long = {
+      val n = 1L << bits
+      var (x, y, d) = (x0, y0, 0L)
+      var s = n / 2
+      while (s > 0) {
+        val rx = if ((x & s) > 0) 1L else 0L
+        val ry = if ((y & s) > 0) 1L else 0L
+        d += s * s * ((3 * rx) ^ ry)
+        if (ry == 0) {
+          if (rx == 1) { x = n - 1 - x; y = n - 1 - y }
+          val t = x; x = y; y = t
+        }
+        s /= 2
+      }
+      d
+    }
+    val bits = 4
+    val grid = (for (a <- 0L until 16L; b <- 0L until 16L) yield (a, b)).toDF("a", "b")
+    val keys = ZOrder.withHilbertKey(grid, col("a"), col("b"), bits, "h")
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    // matches the reference at every cell
+    keys.foreach { case ((a, b), h) => assert(h == xy2d(bits, a, b), s"($a,$b)") }
+    // bijection onto [0, 256)
+    assert(keys.values.toSet == (0L until 256L).toSet)
+    // the Hilbert property z-order lacks: consecutive indices are
+    // GRID-ADJACENT (|da| + |db| = 1) — the locality zone maps exploit
+    val byD = keys.map(_.swap)
+    (0L until 255L).foreach { d =>
+      val (a1, b1) = byD(d); val (a2, b2) = byD(d + 1)
+      assert(math.abs(a1 - a2) + math.abs(b1 - b2) == 1L, s"jump at d=$d")
+    }
+  }
+
   test("skippingStats: linear prunes only its sort dimension, z-order prunes both") {
     // the full 16x16 grid in 16 files of 16 rows each
     val grid = (for (a <- 0L until 16L; b <- 0L until 16L) yield (a, b))
