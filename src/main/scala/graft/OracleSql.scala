@@ -3104,6 +3104,48 @@ object OracleSql {
          |     THEN n ELSE 0 END) AS BIGINT) AS rows_read,
          | CAST(sum(n_match) AS BIGINT) AS rows_matched
          |FROM pf JOIN boxes USING (box) GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
-    }
+    },
+
+    // per-type daily OLS trend as an exact rational: the (key, day)
+    // rollup, rebased sums (x = day - min day), and both slope legs
+    // replayed in HUGEINT then cast
+    "q203_trend_slopes" ->
+      """WITH d AS (SELECT event_type AS key,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day, count(*) AS y
+        |   FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |   GROUP BY 1, 2),
+        | r AS (SELECT key, count(*) AS n, min(day) AS d0, sum(y) AS sy,
+        |    sum(day*y) AS sdy, sum(day) AS sd, sum(day*day) AS sdd
+        |   FROM d GROUP BY 1),
+        | v AS (SELECT key, n, sy, (sd - n*d0) AS sx,
+        |    (sdd - 2*d0*sd + n*d0*d0) AS sxx, (sdy - d0*sy) AS sxy FROM r)
+        |SELECT key AS event_type, CAST(n AS BIGINT) AS n_days,
+        | CAST(sy AS BIGINT) AS n_events,
+        | CAST(CASE WHEN n*sxx - sx*sx > 0 THEN n*sxy - sx*sy ELSE 0 END AS BIGINT) AS slope_num,
+        | CAST(CASE WHEN n*sxx - sx*sx > 0 THEN n*sxx - sx*sx ELSE 0 END AS BIGINT) AS slope_den
+        |FROM v ORDER BY event_type""".stripMargin,
+
+    // the constraint suite with identical NULL-is-violation semantics:
+    // NOT coalesce(pred, FALSE) per counter, one UNION-ALL sheet
+    "q204_data_contract" ->
+      """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM lineitem),
+        | v AS (
+        |  SELECT 'discount_range' AS c,
+        |   CAST(count(*) FILTER (NOT coalesce(l_discount BETWEEN 0 AND 0.1, FALSE)) AS BIGINT) AS nv FROM lineitem
+        |  UNION ALL SELECT 'price_positive',
+        |   CAST(count(*) FILTER (NOT coalesce(l_extendedprice > 0, FALSE)) AS BIGINT) FROM lineitem
+        |  UNION ALL SELECT 'qty_le_25',
+        |   CAST(count(*) FILTER (NOT coalesce(l_quantity <= 25, FALSE)) AS BIGINT) FROM lineitem
+        |  UNION ALL SELECT 'qty_range',
+        |   CAST(count(*) FILTER (NOT coalesce(l_quantity BETWEEN 1 AND 50, FALSE)) AS BIGINT) FROM lineitem
+        |  UNION ALL SELECT 'returnflag_domain',
+        |   CAST(count(*) FILTER (NOT coalesce(l_returnflag IN ('A','N','R'), FALSE)) AS BIGINT) FROM lineitem
+        |  UNION ALL SELECT 'shipdate_not_null',
+        |   CAST(count(*) FILTER (l_shipdate IS NULL) AS BIGINT) FROM lineitem
+        |  UNION ALL SELECT 'tax_nonneg',
+        |   CAST(count(*) FILTER (NOT coalesce(l_tax >= 0, FALSE)) AS BIGINT) FROM lineitem)
+        |SELECT v.c AS "constraint", n.n_rows, v.nv AS n_violations,
+        | CAST(CASE WHEN n.n_rows > 0 THEN (v.nv * 1000000) // n.n_rows ELSE 0 END AS BIGINT) AS violation_ppm
+        |FROM v CROSS JOIN n ORDER BY 1""".stripMargin
   )
 }

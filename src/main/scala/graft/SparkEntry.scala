@@ -3080,6 +3080,33 @@ object SparkEntry {
       .orderBy("box", "layout")
   }
 
+  /** Per-type daily trend ([[TimeSeries.trendSlopes]]): exact integer
+    * OLS slope as a (numerator, denominator) rational — no divided
+    * float, no signed-DIV cross-engine trap. The oracle replays the
+    * (key, day) rollup, the rebased sums, and both legs.
+    */
+  private def q203(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.trendSlopes(Tables.events(s, dir), col("event_type"), col("ts"))
+      .withColumnRenamed("key", "event_type")
+      .orderBy("event_type")
+
+  /** Data-contract suite ([[Profile.checkConstraints]]): seven named
+    * lineitem invariants checked in ONE scan, NULL predicate counted
+    * as violation; `qty_le_25` is deliberately false for ~half the
+    * rows so the counter path is non-vacuous. The oracle replays every
+    * predicate with the same NULL semantics.
+    */
+  private def q204(s: SparkSession, dir: String): DataFrame =
+    Profile.checkConstraints(Tables.lineitem(s, dir), Seq(
+      "discount_range" -> col("l_discount").between(0d, 0.1),
+      "price_positive" -> (col("l_extendedprice") > 0d),
+      "qty_le_25" -> (col("l_quantity") <= 25d),
+      "qty_range" -> col("l_quantity").between(1d, 50d),
+      "returnflag_domain" -> col("l_returnflag").isin("A", "N", "R"),
+      "shipdate_not_null" -> col("l_shipdate").isNotNull,
+      "tax_nonneg" -> (col("l_tax") >= 0d)))
+      .orderBy("constraint")
+
   /** RFM segmentation ([[Behavior.rfmSegments]]): recency/frequency/
     * monetary quintiles per user with deterministic ntile tie-breaks,
     * composed into the 3-digit segment code. The oracle replays the
@@ -3334,7 +3361,9 @@ object SparkEntry {
     "q199_zone_map_skipping" -> q199 _,
     "q200_calibration" -> q200 _,
     "q201_source_overlap" -> q201 _,
-    "q202_layout_bakeoff" -> q202 _
+    "q202_layout_bakeoff" -> q202 _,
+    "q203_trend_slopes" -> q203 _,
+    "q204_data_contract" -> q204 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

@@ -258,6 +258,40 @@ object Profile {
       .withColumn("share_ppm", expr("(rows_out * 1000000) DIV total_rows"))
   }
 
+  /** Data-contract runner: evaluate a suite of named row predicates in
+    * ONE pass and report each constraint's violation count and ppm —
+    * the executable form of a table's documented invariants (domain
+    * ranges, non-null promises, enum membership), run as a single
+    * aggregate whose counters ride together exactly like [[profile]]'s.
+    * A NULL predicate result counts as a VIOLATION — "unknown" is not
+    * a pass, and a constraint written against a sometimes-NULL column
+    * must say `isNull ||` explicitly to excuse it.
+    *
+    * Scale shape: one aggregate, #constraints counters per task, then
+    * the long-form explode on the one-row result — contract-checking a
+    * 100 TB table costs one scan regardless of suite size.
+    */
+  def checkConstraints(
+      df: DataFrame,
+      constraints: Seq[(String, Column)]
+  ): DataFrame = {
+    require(constraints.nonEmpty, "checkConstraints needs at least one constraint")
+    val aggs = constraints.zipWithIndex.map { case ((_, pred), i) =>
+      sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)).as(s"__viol_$i")
+    }
+    val onePass = df.agg(count(lit(1)).as("__rows"), aggs: _*)
+    val long = constraints.zipWithIndex.map { case ((name, _), i) =>
+      struct(lit(name).as("constraint"), col(s"__viol_$i").as("n_violations"))
+    }
+    onePass
+      .select(col("__rows"), explode(array(long: _*)).as("p"))
+      .select(col("p.constraint"), col("__rows").as("n_rows"),
+        coalesce(col("p.n_violations"), lit(0L)).as("n_violations"))
+      .withColumn("violation_ppm",
+        when(col("n_rows") > 0, expr("(n_violations * 1000000) DIV n_rows"))
+          .otherwise(lit(0L)))
+  }
+
   /** Shuffle-balance forecast: how a planned shuffle on `keyCol` would
     * distribute over `buckets` reducers — per-bucket row and distinct-
     * key counts under the engine-portable md5 partitioner

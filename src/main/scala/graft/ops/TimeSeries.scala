@@ -347,4 +347,55 @@ object TimeSeries {
       .groupBy(col("__k").as("key"))
       .agg(count(lit(1)).as("n_events"), max(col("__c")).as("peak"))
   }
+
+  /** Per-key linear trend over a daily series — exact integer OLS: the
+    * slope of `y` (daily event count) against the day index is the
+    * RATIONAL `(n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)`, and both legs are
+    * emitted as exact BIGINTs (`slope_num`, `slope_den`, den > 0 for
+    * n ≥ 2 distinct days) instead of a divided float — division is the
+    * CONSUMER'S rounding decision, and a signed integral division
+    * would hit the DIV-vs-floor cross-engine trap this repo's integer
+    * convention exists to avoid. `slope_num > 0` means growing,
+    * cross-multiply `slope_num·den'` to compare two keys' slopes
+    * exactly. Day indices are re-based per key (x = day − min day), so
+    * magnitudes stay far from BIGINT overflow for any epoch.
+    *
+    * Keys with a single observed day have no defined slope and are
+    * emitted with `(0, 0)` — explicitly undefined, not NULL (the q188
+    * convention).
+    *
+    * Scale shape: one (key, day) pre-aggregate (map-side partials),
+    * one per-key rollup of five sums — no window, no sort.
+    */
+  def trendSlopes(
+      df: DataFrame,
+      keyCol: Column,
+      tsCol: Column
+  ): DataFrame = {
+    val daily = df.filter(keyCol.isNotNull && tsCol.isNotNull)
+      .select(keyCol.as("key"), unix_timestamp(tsCol).cast("long").as("__ep"))
+      .withColumn("day", expr("__ep DIV 86400"))
+      .groupBy("key", "day")
+      .agg(count(lit(1)).as("y"))
+    daily
+      .groupBy("key")
+      .agg(count(lit(1)).as("n_days"), min(col("day")).as("__d0"),
+        sum(col("y")).as("__sy"),
+        sum(col("day") * col("y")).as("__sdy"),
+        sum(col("day")).as("__sd"),
+        sum(col("day") * col("day")).as("__sdd"))
+      // rebase x = day − min(day) algebraically: Σx = Σd − n·d0,
+      // Σx² = Σd² − 2·d0·Σd + n·d0², Σxy = Σdy − d0·Σy
+      .withColumn("__sx", col("__sd") - col("n_days") * col("__d0"))
+      .withColumn("__sxx", col("__sdd") - lit(2L) * col("__d0") * col("__sd")
+        + col("n_days") * col("__d0") * col("__d0"))
+      .withColumn("__sxy", col("__sdy") - col("__d0") * col("__sy"))
+      .withColumn("slope_num",
+        col("n_days") * col("__sxy") - col("__sx") * col("__sy"))
+      .withColumn("slope_den",
+        col("n_days") * col("__sxx") - col("__sx") * col("__sx"))
+      .select(col("key"), col("n_days"), col("__sy").as("n_events"),
+        when(col("slope_den") > 0, col("slope_num")).otherwise(lit(0L)).as("slope_num"),
+        when(col("slope_den") > 0, col("slope_den")).otherwise(lit(0L)).as("slope_den"))
+  }
 }

@@ -63,6 +63,31 @@ class ProfileSpec extends SparkTestBase {
       (1L, 2L, 0L, Long.MaxValue)), s"got $got4")
   }
 
+  test("checkConstraints: NULL predicate is a violation, ppm exact, one pass") {
+    val df = Seq(
+      (Some(10L), Some("ok")),
+      (Some(-1L), Some("ok")),    // violates positive
+      (None, Some("ok")),         // NULL value -> positive is NULL -> violation
+      (Some(5L), None)            // NULL tag -> domain is NULL -> violation
+    ).toDF("v", "tag")
+    val got = Profile.checkConstraints(df, Seq(
+        "positive" -> (col("v") > 0),
+        "tag_domain" -> col("tag").isin("ok", "meh"),
+        "tag_nullable_ok" -> (col("tag").isNull || col("tag").isin("ok", "meh"))))
+      .orderBy("constraint")
+      .as[(String, Long, Long, Long)].collect().toList
+    assert(got == List(
+      ("positive", 4L, 2L, 500000L),
+      ("tag_domain", 4L, 1L, 250000L),
+      ("tag_nullable_ok", 4L, 0L, 0L)), s"got $got")
+    // empty table: defined zeros, not NULL/division blowups
+    val empty = Profile.checkConstraints(
+        Seq.empty[(Option[Long], Option[String])].toDF("v", "tag"),
+        Seq("positive" -> (col("v") > 0)))
+      .as[(String, Long, Long, Long)].collect().toList
+    assert(empty == List(("positive", 0L, 0L, 0L)), s"got $empty")
+  }
+
   test("topValues: NULL is countable, ties pin on value, rank cut per column") {
     val df = Seq(
       (Some("a"), 1L), (Some("a"), 2L), (Some("b"), 1L), (None, 1L), (None, 2L)

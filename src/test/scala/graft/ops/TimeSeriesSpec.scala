@@ -174,4 +174,20 @@ class TimeSeriesSpec extends SparkTestBase {
       .as[(String, Long, Long)].collect().head
     assert(got == (("k", 2L, 9L)))
   }
+
+  test("trendSlopes: exact rational OLS, negative slope preserved, single day undefined") {
+    def t(day: Int, n: Int, key: String) =
+      (0 until n).map(_ => (key, Timestamp.valueOf(f"2024-01-${day}%02d 12:00:00")))
+    // up: counts 1,2,3 over days 0,1,2 -> slope exactly +1 (num 6, den 6)
+    // down: counts 5,3,1             -> slope exactly -2 (num -12, den 6)
+    // flat1: one day only            -> undefined (0, 0)
+    val rows = t(1, 1, "up") ++ t(2, 2, "up") ++ t(3, 3, "up") ++
+      t(1, 5, "down") ++ t(2, 3, "down") ++ t(3, 1, "down") ++
+      t(1, 4, "flat1")
+    val got = TimeSeries.trendSlopes(rows.toDF("k", "ts"), col("k"), col("ts"))
+      .as[(String, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got("up") == (("up", 3L, 6L, 6L, 6L)), s"${got("up")}")
+    assert(got("down") == (("down", 3L, 9L, -12L, 6L)), s"${got("down")}")
+    assert(got("flat1") == (("flat1", 1L, 4L, 0L, 0L)), s"${got("flat1")}")
+  }
 }
