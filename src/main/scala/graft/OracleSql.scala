@@ -3146,6 +3146,21 @@ object OracleSql {
         |   CAST(count(*) FILTER (NOT coalesce(l_tax >= 0, FALSE)) AS BIGINT) FROM lineitem)
         |SELECT v.c AS "constraint", n.n_rows, v.nv AS n_violations,
         | CAST(CASE WHEN n.n_rows > 0 THEN (v.nv * 1000000) // n.n_rows ELSE 0 END AS BIGINT) AS violation_ppm
-        |FROM v CROSS JOIN n ORDER BY 1""".stripMargin
+        |FROM v CROSS JOIN n ORDER BY 1""".stripMargin,
+
+    // format-roundtrip fidelity: each format row must equal the parquet
+    // truth's content fingerprint — the oracle IS the truth side
+    "q205_format_roundtrip" ->
+      """WITH a AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT event_id) AS BIGINT) AS n_ids,
+        |  CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS sum_value_milli,
+        |  CAST(sum(epoch_us(ts) % 1000000) AS BIGINT) AS sum_frac_us,
+        |  CAST(min(floor(epoch(ts))) AS BIGINT) AS min_sec,
+        |  CAST(max(floor(epoch(ts))) AS BIGINT) AS max_sec
+        | FROM events)
+        |SELECT f.format, a.n_rows, a.n_ids, a.sum_value_milli, a.sum_frac_us,
+        | a.min_sec, a.max_sec
+        |FROM (SELECT 'csv' AS format UNION ALL SELECT 'json' UNION ALL SELECT 'orc') f
+        |CROSS JOIN a ORDER BY 1""".stripMargin
   )
 }

@@ -3096,6 +3096,54 @@ object SparkEntry {
     * rows so the counter path is non-vacuous. The oracle replays every
     * predicate with the same NULL semantics.
     */
+  /** q205's format-roundtrip dirs, memoized per source dir (the q192
+    * convention — the write side runs once per JVM).
+    */
+  private val q205Outs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Format fidelity roundtrip: the events slice written to ORC, CSV
+    * and JSON through the engine's writers, read back through its
+    * readers (explicit schema + pinned micro-precision timestamp
+    * format for the text formats), and each read-back's content
+    * fingerprint — row count, distinct ids, integer value sum,
+    * fractional-microsecond sum, epoch range — hash-gated against the
+    * parquet TRUTH the oracle reads. A lossy writer/reader (truncated
+    * micros, mangled doubles, dropped rows) breaks the gate for that
+    * format's row.
+    */
+  private def q205(s: SparkSession, dir: String): DataFrame = {
+    val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    val base = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("ts"))
+    val root = q205Outs.computeIfAbsent(dir, _ => {
+      val r = java.nio.file.Files.createTempDirectory("graft_q205_fmt_").toString
+      base.write.orc(s"$r/orc")
+      base.write.option("header", "true").option("timestampFormat", tsFmt)
+        .csv(s"$r/csv")
+      base.write.option("timestampFormat", tsFmt).json(s"$r/json")
+      r
+    })
+    def fingerprint(fmt: String, df: DataFrame) =
+      df.agg(
+          count(lit(1)).as("n_rows"),
+          count_distinct(col("event_id")).as("n_ids"),
+          sum(floor(col("value") * 1000d).cast("long")).as("sum_value_milli"),
+          sum(pmod(unix_micros(col("ts")), lit(1000000L))).as("sum_frac_us"),
+          min(unix_timestamp(col("ts"))).as("min_sec"),
+          max(unix_timestamp(col("ts"))).as("max_sec"))
+        .select(lit(fmt).as("format"), col("n_rows"), col("n_ids"),
+          col("sum_value_milli"), col("sum_frac_us"), col("min_sec"), col("max_sec"))
+    fingerprint("csv", s.read.schema(base.schema)
+        .option("header", "true").option("timestampFormat", tsFmt)
+        .csv(s"$root/csv"))
+      .unionByName(fingerprint("json", s.read.schema(base.schema)
+        .option("timestampFormat", tsFmt).json(s"$root/json")))
+      .unionByName(fingerprint("orc", s.read.orc(s"$root/orc")))
+      .orderBy("format")
+  }
+
   private def q204(s: SparkSession, dir: String): DataFrame =
     Profile.checkConstraints(Tables.lineitem(s, dir), Seq(
       "discount_range" -> col("l_discount").between(0d, 0.1),
@@ -3363,7 +3411,8 @@ object SparkEntry {
     "q201_source_overlap" -> q201 _,
     "q202_layout_bakeoff" -> q202 _,
     "q203_trend_slopes" -> q203 _,
-    "q204_data_contract" -> q204 _
+    "q204_data_contract" -> q204 _,
+    "q205_format_roundtrip" -> q205 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all
