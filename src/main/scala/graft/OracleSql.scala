@@ -3161,6 +3161,33 @@ object OracleSql {
         |SELECT f.format, a.n_rows, a.n_ids, a.sum_value_milli, a.sum_frac_us,
         | a.min_sec, a.max_sec
         |FROM (SELECT 'csv' AS format UNION ALL SELECT 'json' UNION ALL SELECT 'orc') f
-        |CROSS JOIN a ORDER BY 1""".stripMargin
+        |CROSS JOIN a ORDER BY 1""".stripMargin,
+
+    // cluster purity over the q41 coarse quantizer: pivot assignment,
+    // (cell, label) counts, tie-broken majority, integer purity
+    "q206_cluster_purity" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         | hp AS (SELECT vec_id AS pid, v AS pv,
+         |   ('0x'||substr(md5('9:'||CAST(vec_id AS VARCHAR)),1,8))::BIGINT AS hsh FROM e),
+         | p AS (SELECT pid, pv, cent_id FROM (
+         |        SELECT pid, pv, CAST(row_number() OVER (ORDER BY hsh, pid) AS BIGINT) AS cent_id
+         |        FROM hp) WHERE cent_id <= 32),
+         | ac AS (SELECT vid, cent_id FROM (
+         |        SELECT e.vec_id AS vid, p.cent_id,
+         |         row_number() OVER (PARTITION BY e.vec_id ORDER BY $pivotDist, p.cent_id) AS cr
+         |        FROM e CROSS JOIN p) WHERE cr = 1),
+         | lab AS (SELECT vec_id AS vid, CAST(label AS BIGINT) AS lab FROM embeddings
+         |   WHERE label IS NOT NULL),
+         | cnt AS (SELECT ac.cent_id, lab.lab, count(*) AS c
+         |   FROM ac JOIN lab USING (vid) GROUP BY 1, 2),
+         | tot AS (SELECT cent_id, sum(c) AS n FROM cnt GROUP BY 1),
+         | maj AS (SELECT cent_id, lab, c FROM (
+         |   SELECT cent_id, lab, c,
+         |     row_number() OVER (PARTITION BY cent_id ORDER BY c DESC, lab) AS r
+         |   FROM cnt) WHERE r = 1)
+         |SELECT m.cent_id, CAST(t.n AS BIGINT) AS n,
+         | CAST(m.lab AS BIGINT) AS majority_label, CAST(m.c AS BIGINT) AS n_majority,
+         | CAST((m.c * 1000000) // t.n AS BIGINT) AS purity_ppm
+         |FROM maj m JOIN tot t USING (cent_id) ORDER BY cent_id""".stripMargin
   )
 }

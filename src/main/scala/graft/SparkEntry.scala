@@ -3144,6 +3144,16 @@ object SparkEntry {
       .orderBy("format")
   }
 
+  /** Cluster purity ([[SimSearch.clusterPurity]]): the q41 coarse
+    * quantizer's cells evaluated against the embeddings fixture's
+    * labels — per cell the population, tie-broken majority label and
+    * integer purity. The oracle replays the pivot assignment (q41's
+    * CTEs), the (cell, label) counts, and the majority pick.
+    */
+  private def q206(s: SparkSession, dir: String): DataFrame =
+    SimSearch.clusterPurity(Tables.embeddings(s, dir))
+      .orderBy("cent_id")
+
   private def q204(s: SparkSession, dir: String): DataFrame =
     Profile.checkConstraints(Tables.lineitem(s, dir), Seq(
       "discount_range" -> col("l_discount").between(0d, 0.1),
@@ -3412,7 +3422,8 @@ object SparkEntry {
     "q202_layout_bakeoff" -> q202 _,
     "q203_trend_slopes" -> q203 _,
     "q204_data_contract" -> q204 _,
-    "q205_format_roundtrip" -> q205 _
+    "q205_format_roundtrip" -> q205 _,
+    "q206_cluster_purity" -> q206 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

@@ -460,6 +460,44 @@ object SimSearch {
       .select(col("qid"), col("vid"), col("adc_micro"), col("rank"))
   }
 
+  /** External clustering-quality evaluation: assign every labeled
+    * vector to its [[pivotCentroids]] cell (the q41 coarse quantizer)
+    * and report each cell's population, majority label, and integer
+    * purity — the standard external criterion for "do the coarse cells
+    * respect the label structure", which is exactly what IVF recall and
+    * [[graft.ext.Dedup.semanticDupPairs]]' cluster-bounded comparisons
+    * depend on. Majority ties break to the smaller label (the
+    * [[knnClassify]] vote convention); NULL labels abstain.
+    *
+    * Scale shape: the map-side struct-min pivot assignment (one row per
+    * vector over the exchange), one (cell, label) aggregate, one
+    * struct-max majority per cell — aggregates all the way down,
+    * cardinality-bounded by nlist × labels.
+    */
+  def clusterPurity(
+      corpus: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      labelCol: String = "label",
+      nlist: Int = 32,
+      seed: Int = 9
+  ): DataFrame = {
+    val centB = broadcast(pivotCentroids(corpus, idCol, vecCol, nlist, seed))
+    val assigned = pivotAssign(
+      corpus.select(col(idCol).as("vid"), col(vecCol).as("vv")), centB, "v", 1)
+    val labels = corpus
+      .select(col(idCol).as("vid"), col(labelCol).cast("long").as("lab"))
+      .filter(col("lab").isNotNull)
+    val cnt = assigned.join(labels, Seq("vid"))
+      .groupBy("cent_id", "lab").agg(count(lit(1)).as("c"))
+    cnt.groupBy("cent_id")
+      .agg(sum(col("c")).as("n"),
+        max(struct(col("c"), (-col("lab")).as("__neg"), col("lab").as("__lab"))).as("m"))
+      .select(col("cent_id"), col("n"),
+        col("m.__lab").as("majority_label"), col("m.c").as("n_majority"))
+      .withColumn("purity_ppm", expr("(n_majority * 1000000) DIV n"))
+  }
+
   /** Reciprocal-rank fusion (Cormack et al., SIGIR 2009) of multiple
     * ranked retrieval lists — the standard way to combine a LEXICAL
     * ranking (BM25) with a SEMANTIC one (embedding cosine) without

@@ -246,6 +246,32 @@ class SimSearchSpec extends SparkTestBase {
     assert(overlap.nonEmpty, "PQ must retrieve at least one exact neighbor")
   }
 
+  test("clusterPurity: tie-broken majority, integer purity, labeled mass conserved") {
+    // four identical vectors collapse into ONE cell (argmin ties to the
+    // smallest cent id); labels split 2-2 -> majority ties to label 1
+    val vecs = Seq(
+      (1L, Array.fill(8)(1f), Some(1L)),
+      (2L, Array.fill(8)(1f), Some(1L)),
+      (3L, Array.fill(8)(1f), Some(2L)),
+      (4L, Array.fill(8)(1f), Some(2L)),
+      (5L, Array.fill(8)(1f), None) // NULL label abstains
+    ).toDF("vec_id", "embedding", "label")
+    val got = SimSearch.clusterPurity(vecs, nlist = 4)
+      .as[(Long, Long, Long, Long, Long)].collect().toList
+    assert(got == List((1L, 4L, 1L, 2L, 500000L)), s"got $got")
+    // fixture-level conservation: labeled vectors all land somewhere
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cells = SimSearch.clusterPurity(emb)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(cells.map(_._2).sum == emb.filter($"label".isNotNull).count())
+    cells.foreach { c =>
+      assert(c._5 >= 1000000L / 10 && c._5 <= 1000000L, s"purity range: $c")
+      assert(c._4 <= c._2)
+    }
+  }
+
   test("topKIvfPq: routed candidates carry the SAME ADC distances as the full scan") {
     val dir = "/root/testdata/sf0.001"
     assume(new java.io.File(s"$dir/embeddings.parquet").exists())
