@@ -3188,6 +3188,69 @@ object OracleSql {
          |SELECT m.cent_id, CAST(t.n AS BIGINT) AS n,
          | CAST(m.lab AS BIGINT) AS majority_label, CAST(m.c AS BIGINT) AS n_majority,
          | CAST((m.c * 1000000) // t.n AS BIGINT) AS purity_ppm
-         |FROM maj m JOIN tot t USING (cent_id) ORDER BY cent_id""".stripMargin
+         |FROM maj m JOIN tot t USING (cent_id) ORDER BY cent_id""".stripMargin,
+
+    // Mirrors graft.ext.Png.syntheticNoise + functions.ImageDHash: only
+    // the 72 SAMPLED pixels (gx*w//9, gy*h//8) determine the hash, so the
+    // oracle replays exactly those from the generator's closed form —
+    // per-pixel md5 gray, variant flips, horizontal strictly-brighter
+    // bits packed at 8*gy+gx (q102's HUGEINT wrap for bit 63)
+    "q207_image_dhash" -> {
+      val powers = (0 until 64).map(i => BigInt(1) << i).mkString("[", ",", "]")
+      s"""WITH d AS (SELECT doc_id, doc_id // 5 AS pk, doc_id % 5 AS vr,
+         |    16 + (doc_id // 5) % 9 AS w, 16 + (doc_id // 5) % 7 AS h
+         |   FROM documents WHERE doc_id % 5 < 3),
+         | gxs AS (SELECT *, unnest(generate_series(0, 8)) AS gx FROM d),
+         | grid AS (SELECT *, unnest(generate_series(0, 7)) AS gy FROM gxs),
+         | px AS (SELECT doc_id, vr, pk, gx, gy,
+         |    (gx * w) // 9 AS sx, (gy * h) // 8 AS sy FROM grid),
+         | g AS (SELECT doc_id, gx, gy,
+         |    CASE WHEN vr != 0 AND (31 * sx + 17 * sy)
+         |           % (CASE WHEN vr = 1 THEN 29 ELSE 5 END) = 0
+         |      THEN ((('0x'||substr(md5(pk||':'||sx||':'||sy),1,8))::BIGINT % 256) + 128) % 256
+         |      ELSE ('0x'||substr(md5(pk||':'||sx||':'||sy),1,8))::BIGINT % 256 END AS gv
+         |   FROM px),
+         | bits AS (SELECT doc_id, gx, gy, gv,
+         |    lead(gv) OVER (PARTITION BY doc_id, gy ORDER BY gx) AS nxt FROM g),
+         | uv AS (SELECT doc_id,
+         |    sum(CASE WHEN nxt > gv THEN ($powers)[8 * gy + gx + 1] ELSE 0 END) AS v
+         |   FROM bits WHERE gx < 8 GROUP BY 1)
+         |SELECT doc_id, CAST(CASE WHEN v >= 9223372036854775808
+         |  THEN v - 18446744073709551616 ELSE v END AS BIGINT) AS dhash
+         |FROM uv ORDER BY doc_id""".stripMargin
+    },
+
+    // the blocking CONTRACT as the gate: at maxHamming=3 the 4x16
+    // pigeonhole makes banding lossless, so banded engine output must
+    // equal brute-force all-pairs Hamming over the same closed-form
+    // hashes (q207's CTEs verbatim)
+    "q208_image_neardup" -> {
+      val powers = (0 until 64).map(i => BigInt(1) << i).mkString("[", ",", "]")
+      s"""WITH d AS (SELECT doc_id, doc_id // 5 AS pk, doc_id % 5 AS vr,
+         |    16 + (doc_id // 5) % 9 AS w, 16 + (doc_id // 5) % 7 AS h
+         |   FROM documents WHERE doc_id % 5 < 3),
+         | gxs AS (SELECT *, unnest(generate_series(0, 8)) AS gx FROM d),
+         | grid AS (SELECT *, unnest(generate_series(0, 7)) AS gy FROM gxs),
+         | px AS (SELECT doc_id, vr, pk, gx, gy,
+         |    (gx * w) // 9 AS sx, (gy * h) // 8 AS sy FROM grid),
+         | g AS (SELECT doc_id, gx, gy,
+         |    CASE WHEN vr != 0 AND (31 * sx + 17 * sy)
+         |           % (CASE WHEN vr = 1 THEN 29 ELSE 5 END) = 0
+         |      THEN ((('0x'||substr(md5(pk||':'||sx||':'||sy),1,8))::BIGINT % 256) + 128) % 256
+         |      ELSE ('0x'||substr(md5(pk||':'||sx||':'||sy),1,8))::BIGINT % 256 END AS gv
+         |   FROM px),
+         | bits AS (SELECT doc_id, gx, gy, gv,
+         |    lead(gv) OVER (PARTITION BY doc_id, gy ORDER BY gx) AS nxt FROM g),
+         | uv AS (SELECT doc_id,
+         |    sum(CASE WHEN nxt > gv THEN ($powers)[8 * gy + gx + 1] ELSE 0 END) AS v
+         |   FROM bits WHERE gx < 8 GROUP BY 1),
+         | hv AS (SELECT doc_id, CAST(CASE WHEN v >= 9223372036854775808
+         |    THEN v - 18446744073709551616 ELSE v END AS BIGINT) AS dhash FROM uv)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+         |FROM hv a JOIN hv b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin
+    }
   )
 }

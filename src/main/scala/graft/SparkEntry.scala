@@ -3154,6 +3154,43 @@ object SparkEntry {
     SimSearch.clusterPurity(Tables.embeddings(s, dir))
       .orderBy("cent_id")
 
+  /** q207/q208's noise-PNG corpus: three image variants per pattern key
+    * ([[graft.ext.Png.syntheticNoise]] — base / sparse-flip / dense-flip),
+    * synthesized on executors as a pure function of the doc id.
+    */
+  private def noiseImages(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .filter(id => Math.floorMod(id, 5L) < 3)
+      .map(id => (id, Png.syntheticNoise(id))).toDF("doc_id", "payload")
+  }
+
+  /** Perceptual image hash over REAL decoded pixels
+    * ([[Multimodal.imageDHash]]): the engine must decode each PNG and
+    * compute the 9×8 gradient-sign dHash; the oracle recomputes all 64
+    * bits arithmetically from the generator's closed form — only the 72
+    * SAMPLED pixels, not the full image, determine the hash, so the
+    * oracle replays exactly those. Transposed axes, flipped comparison
+    * direction, wrong grid arithmetic, or mean-instead-of-sum brightness
+    * all break the bit pattern.
+    */
+  private def q207(s: SparkSession, dir: String): DataFrame =
+    noiseImages(s, dir)
+      .select(col("doc_id"), Multimodal.imageDHash(col("payload")).as("dhash"))
+      .orderBy("doc_id")
+
+  /** Perceptual image NEAR-DUP pairs ([[Dedup.perceptualDupPairs]]): dHash
+    * + 4×16 Hamming banding over the noise corpus. At the default
+    * `maxHamming = 3` the pigeonhole guarantee makes banding lossless, so
+    * the oracle checks the banded engine against brute-force all-pairs
+    * Hamming — the blocking CONTRACT itself is the gate. The fixture's
+    * sparse-flip variants land at small distances, dense flips and
+    * cross-key pairs far away.
+    */
+  private def q208(s: SparkSession, dir: String): DataFrame =
+    Dedup.perceptualDupPairs(noiseImages(s, dir))
+      .orderBy("id_a", "id_b")
+
   private def q204(s: SparkSession, dir: String): DataFrame =
     Profile.checkConstraints(Tables.lineitem(s, dir), Seq(
       "discount_range" -> col("l_discount").between(0d, 0.1),
@@ -3423,7 +3460,9 @@ object SparkEntry {
     "q203_trend_slopes" -> q203 _,
     "q204_data_contract" -> q204 _,
     "q205_format_roundtrip" -> q205 _,
-    "q206_cluster_purity" -> q206 _
+    "q206_cluster_purity" -> q206 _,
+    "q207_image_dhash" -> q207 _,
+    "q208_image_neardup" -> q208 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

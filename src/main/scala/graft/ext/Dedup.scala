@@ -762,12 +762,49 @@ object Dedup {
     * bound a priori.
     */
   def simhashPairs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
-                   maxHamming: Int = 3, maxBucketSize: Int = Int.MaxValue): DataFrame = {
+                   maxHamming: Int = 3, maxBucketSize: Int = Int.MaxValue): DataFrame =
+    hammingBandPairs(
+      simhash64(docs, idCol, textCol).select(col("id"), col("simhash64").as("h")),
+      maxHamming, maxBucketSize)
+
+  /** Perceptual IMAGE near-dup pairs — [[simhashPairs]]' exact banding
+    * over the 64-bit dHash ([[Multimodal.imageDHash]]) instead of the
+    * text simhash: decode each payload once, band the fingerprint,
+    * join within buckets, keep Hamming ≤ `maxHamming`. Undecodable
+    * payloads (NULL hash) are excluded — they have no visual identity
+    * to collide on (route them to the corrupt-payload side channel,
+    * q74's pattern). Same pigeonhole contract as text: with the 4×16
+    * banding, every pair at Hamming ≤ 3 provably shares a band, so at
+    * the default threshold blocking loses nothing — which is exactly
+    * what lets `q208` oracle-check the output against brute-force
+    * all-pairs Hamming.
+    */
+  def perceptualDupPairs(imgs: DataFrame, idCol: String = "doc_id",
+                         payloadCol: String = "payload",
+                         maxHamming: Int = 3,
+                         maxBucketSize: Int = Int.MaxValue): DataFrame =
+    hammingBandPairs(
+      imgs.select(col(idCol).as("id"),
+          Multimodal.imageDHash(col(payloadCol)).as("h"))
+        .filter(col("h").isNotNull),
+      maxHamming, maxBucketSize)
+
+  /** Shared Hamming-banding engine of [[simhashPairs]] and
+    * [[perceptualDupPairs]]: band a 64-bit fingerprint column `h` (keyed
+    * by `id`) into 4×16-bit keys, optionally drop degenerate buckets,
+    * self-join within buckets, emit distinct `(id_a, id_b, hamming)`
+    * with `hamming ≤ maxHamming`. See [[simhashPairs]] for the 4×16
+    * rationale (65k buckets/band + pigeonhole recall for ≤ 3).
+    */
+  private[graft] def hammingBandPairs(hashed: DataFrame,
+                                      maxHamming: Int,
+                                      maxBucketSize: Int): DataFrame = {
     // (id, h, band, bkey) is 4 narrow rows per doc; pin it once — the
     // bucket-size pass and both join sides would otherwise each rerun the
-    // full simhash aggregation pipeline
-    val banded = simhash64(docs, idCol, textCol)
-      .select(col("id"), col("simhash64").as("h"),
+    // full fingerprint pipeline (a whole simhash aggregation, or one
+    // image decode per payload per reference)
+    val banded = hashed
+      .select(col("id"), col("h"),
         explode(sequence(lit(0), lit(3))).as("band"))
       .withColumn("bkey",
         call_function("shiftright", col("h"), col("band") * 16).bitwiseAND(lit(65535L)))

@@ -160,6 +160,15 @@ object Multimodal {
   def decodeImageMeta(payload: Column): Column =
     ColumnBridge.column(ImageMetaExpr(ColumnBridge.expression(payload)))
 
+  /** 64-bit perceptual difference hash (dHash) of a binary image column,
+    * NULL for undecodable bytes — the image-side near-dup fingerprint
+    * ([[graft.functions.ImageDHash]]); pair/cluster via
+    * [[Dedup.perceptualDupPairs]]'s Hamming banding.
+    */
+  def imageDHash(payload: Column): Column =
+    ColumnBridge.column(graft.functions.ImageDHashExpr(
+      ColumnBridge.expression(payload)))
+
   /** REAL image decode, batched `mapPartitions` path — the production
     * shape for heavy decodes: per-partition init (here: switching ImageIO
     * off its temp-file stream cache) happens once, then the partition

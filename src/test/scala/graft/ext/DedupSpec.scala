@@ -702,4 +702,33 @@ class DedupSpec extends SparkTestBase {
       .as[(Long, Long, Long)].collect().head
     assert(r == ((0L, 0L, 0L)), s"empty-candidate summary must be defined zeros: $r")
   }
+
+  test("perceptualDupPairs: banding at maxHamming<=3 equals brute-force Hamming") {
+    import org.apache.spark.sql.functions.col
+    // 36 noise images (12 pattern keys × 3 variants) + one corrupt payload
+    val imgs = (0L until 60L).filter(_ % 5 < 3)
+      .map(id => id -> graft.ext.Png.syntheticNoise(id)) :+ (999L -> Array[Byte](9))
+    val df = imgs.toDF("doc_id", "payload")
+
+    val banded = Dedup.perceptualDupPairs(df)
+      .as[(Long, Long, Long)].collect().toSet
+
+    // brute force over the same hashes (pigeonhole: banding loses nothing ≤3)
+    val hs = df.select(col("doc_id"), Multimodal.imageDHash(col("payload")).as("h"))
+      .filter(col("h").isNotNull).as[(Long, Long)].collect()
+    val brute = (for {
+      (a, ha) <- hs; (b, hb) <- hs if a < b
+      d = java.lang.Long.bitCount(ha ^ hb).toLong if d <= 3
+    } yield (a, b, d)).toSet
+    assert(banded == brute, s"banded=${banded.size} brute=${brute.size}")
+    assert(banded.forall { case (a, b, _) => a != 999L && b != 999L },
+      "undecodable payloads never pair")
+
+    // identical pixels under different containers collide at distance 0
+    val twin = Seq(
+        (1L, graft.ext.Png.syntheticNoise(10L)),
+        (2L, graft.ext.Png.syntheticNoise(10L))).toDF("doc_id", "payload")
+    val t = Dedup.perceptualDupPairs(twin).as[(Long, Long, Long)].collect().toList
+    assert(t == List((1L, 2L, 0L)), s"got $t")
+  }
 }

@@ -578,4 +578,50 @@ class MultimodalSpec extends SparkTestBase {
       .select(Multimodal.audioEnergyContour(col("payload"), 16).isNull)
       .as[Boolean].head())
   }
+
+  test("imageDHash: exact bit pattern on a hand-built 9×8 image") {
+    // 9×8 grid samples the identity: even rows brighten left→right
+    // (all 8 bits set), odd rows darken (no bits) → 0x00FF00FF00FF00FF
+    val img = new BufferedImage(9, 8, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 9) {
+      val g = if (y % 2 == 0) x * 20 else (8 - x) * 20
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    // constant image: no STRICT brightening anywhere → hash 0
+    val flat = new BufferedImage(4, 4, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 4) flat.setRGB(x, y, 0x808080)
+
+    val out = Seq(
+        (1L, imageBytes(img, "png")),
+        (2L, imageBytes(img, "bmp")), // same pixels, different container
+        (3L, imageBytes(flat, "png")),
+        (4L, "junk".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+      .select(col("doc_id"), Multimodal.imageDHash(col("payload")).as("h"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(out(1L).contains(0x00ff00ff00ff00ffL), s"got ${out(1L).map(_.toHexString)}")
+    assert(out(2L) == out(1L), "dHash is a pixel property, not a byte property")
+    assert(out(3L).contains(0L), "strictly-brighter: flat image has no set bits")
+    assert(out(4L).isEmpty, "non-image bytes → NULL hash")
+  }
+
+  test("imageDHash downsampling: noise fixture variants land at small Hamming distances") {
+    // one pattern key (pk=4): base (id 20), sparse flip (21), dense (22)
+    val hashes = Seq(20L, 21L, 22L)
+      .map(id => id -> Png.syntheticNoise(id)).toDF("doc_id", "payload")
+      .select(col("doc_id"), Multimodal.imageDHash(col("payload")).as("h"))
+      .as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val sparse = ham(hashes(20L), hashes(21L))
+    val dense = ham(hashes(20L), hashes(22L))
+    assert(sparse < dense,
+      s"sparse perturbation ($sparse bits) must disturb fewer bits than dense ($dense)")
+    assert(dense < 40, "even the dense variant shares the base's structure")
+    // distinct pattern keys have near-independent hashes — far apart
+    val other = Seq(25L).map(id => id -> Png.syntheticNoise(id))
+      .toDF("doc_id", "payload")
+      .select(Multimodal.imageDHash(col("payload"))).as[Long].head()
+    assert(ham(hashes(20L), other) > 10, "cross-key hashes are dissimilar")
+  }
 }
