@@ -3251,6 +3251,80 @@ object OracleSql {
          |FROM hv a JOIN hv b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
          |ORDER BY id_a, id_b""".stripMargin
-    }
+    },
+
+    // independent window formulation of the 2-D skyline staircase:
+    // per-price best size, prefix max over cheaper prices, membership
+    // join keeps ties/duplicate points (no strict edge = not dominated)
+    "q209_skyline" ->
+      """WITH p AS (SELECT p_partkey,
+        |    CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_cents,
+        |    CAST(p_size AS BIGINT) AS p_size FROM part),
+        | d AS (SELECT price_cents, max(p_size) AS bg FROM p GROUP BY 1),
+        | s AS (SELECT price_cents, bg, max(bg) OVER (ORDER BY price_cents
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pb FROM d),
+        | k AS (SELECT price_cents, bg FROM s WHERE pb IS NULL OR bg > pb)
+        |SELECT p.p_partkey, p.price_cents, p.p_size
+        |FROM p JOIN k ON p.price_cents = k.price_cents AND p.p_size = k.bg
+        |ORDER BY p_partkey""".stripMargin,
+
+    // Page's CUSUM via the closed form s_i = C_i - min(0, min_j C_j):
+    // the same two stacked windows over n-scaled integer deviations
+    // (slack 20, threshold 300 inlined — the operator call's constants)
+    "q210_cusum_drift" ->
+      """WITH e AS (SELECT event_type AS key, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+        |    event_id AS seq, CAST(floor(value) AS BIGINT) AS x
+        |   FROM events
+        |   WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+        | st AS (SELECT *, count(*) OVER (PARTITION BY key) AS n,
+        |    sum(x) OVER (PARTITION BY key) AS sx FROM e),
+        | c AS (SELECT *, sum(n * x - sx - 20 * n) OVER (PARTITION BY key
+        |    ORDER BY ts_sec, seq ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+        |   FROM st),
+        | m AS (SELECT *, least(0, min(cc) OVER (PARTITION BY key ORDER BY ts_sec, seq
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS rm FROM c)
+        |SELECT key, ts_sec, seq, x, CAST(cc - rm AS BIGINT) AS cusum_nx,
+        |  CAST(n AS BIGINT) AS n, (cc - rm) > 300 * n AS is_drift
+        |FROM m ORDER BY key, ts_sec, seq""".stripMargin,
+
+    // DECIMAL-cents leading digit via string rendering (no log10, no
+    // double x100); expected shares are the same inlined
+    // floor(log10(1+1/d)*1e6) constants the operator carries
+    "q211_benford" ->
+      """WITH v AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |   FROM orders WHERE CAST(o_totalprice AS DECIMAL(18,2)) > 0),
+        | d AS (SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+        |    count(*) AS n FROM v GROUP BY 1),
+        | t AS (SELECT sum(n) AS tot FROM d),
+        | x AS (SELECT digit, CAST(v AS BIGINT) AS exp_ppm FROM (VALUES
+        |    (1, 301029), (2, 176091), (3, 124938), (4, 96910), (5, 79181),
+        |    (6, 66946), (7, 57991), (8, 51152), (9, 45757)) AS ev(digit, v))
+        |SELECT d.digit, CAST(d.n AS BIGINT) AS n,
+        |  CAST((d.n * 1000000) // t.tot AS BIGINT) AS obs_ppm, x.exp_ppm,
+        |  CAST((d.n * 1000000) // t.tot - x.exp_ppm AS BIGINT) AS dev_ppm
+        |FROM d JOIN x ON d.digit = x.digit CROSS JOIN t
+        |ORDER BY d.digit""".stripMargin,
+
+    // replay the injected damage (mojibake / U+FFFD / C0 controls by
+    // doc_id mod 7 — codepoints via chr(), all BMP so both engines'
+    // length() agree), then the same two-replace length counts and the
+    // same explicit-range C0 class regex (RE2-safe)
+    "q212_encoding_audit" ->
+      """WITH dmg AS (SELECT doc_id AS id,
+        |   CASE WHEN doc_id % 7 = 1 THEN text || ' caf' || chr(195) || chr(169)
+        |          || ' na' || chr(195) || chr(175) || 've'
+        |        WHEN doc_id % 7 = 2 THEN text || repeat(chr(65533), doc_id % 3 + 1)
+        |        WHEN doc_id % 7 = 3 THEN text || chr(7) || chr(27)
+        |        ELSE text END AS t FROM documents WHERE text IS NOT NULL),
+        | a AS (SELECT id,
+        |   CAST(length(t) - length(replace(t, chr(65533), '')) AS BIGINT) AS n_replacement,
+        |   CAST(length(t) - length(regexp_replace(t,
+        |     '[\x00-\x08\x0b\x0c\x0e-\x1f]', '', 'g')) AS BIGINT) AS n_control,
+        |   CAST(length(t) - length(replace(t, chr(195), '')) AS BIGINT) AS n_mojibake
+        |  FROM dmg)
+        |SELECT id, n_replacement, n_control, n_mojibake,
+        |  CASE WHEN n_replacement = 0 AND n_control = 0 AND n_mojibake = 0
+        |    THEN 'clean' ELSE 'suspect' END AS verdict
+        |FROM a ORDER BY id""".stripMargin
   )
 }

@@ -3191,6 +3191,66 @@ object SparkEntry {
     Dedup.perceptualDupPairs(noiseImages(s, dir))
       .orderBy("id_a", "id_b")
 
+  /** 2-D skyline ([[Stats.skyline2D]]): the Pareto front of parts over
+    * (price minimized, size maximized). The engine runs the staircase
+    * decomposition (level aggregate → prefix max over distinct prices →
+    * broadcast membership); the oracle derives the same front with its
+    * own window formulation over the DECIMAL-cents projection. Ties and
+    * duplicate points survive on both sides by the no-strict-edge rule.
+    */
+  private def q209(s: SparkSession, dir: String): DataFrame =
+    ops.Stats.skyline2D(
+        Tables.part(s, dir).select(col("p_partkey"),
+          (col("p_retailprice").cast("decimal(18,2)") * 100).cast("long")
+            .as("price_cents"),
+          col("p_size").cast("long").as("p_size")),
+        "price_cents", "p_size")
+      .orderBy("p_partkey")
+
+  /** CUSUM drift detection ([[TimeSeries.cusumDrift]]): Page's control
+    * chart per event type via the exact closed form
+    * `s_i = C_i − min(0, min_j C_j)` — the oracle stacks the same two
+    * windows over the same n-scaled integer deviations, so the clamped
+    * recursion is pinned without either engine running a recursion.
+    */
+  private def q210(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.cusumDrift(Tables.events(s, dir),
+        keyCol = col("event_type"), tsCol = col("ts"),
+        valueCol = col("value"), seqCol = col("event_id"),
+        slack = 20L, threshold = 300L)
+      .orderBy("key", "ts_sec", "seq")
+
+  /** Benford first-digit audit ([[Profile.benfordAudit]]) over order
+    * totals: observed leading-digit shares vs the inlined
+    * floor(log₁₀(1+1/d)·10⁶) expectation, DECIMAL-cents leading digit
+    * via string rendering on both sides (no doubles, no log10).
+    */
+  private def q211(s: SparkSession, dir: String): DataFrame =
+    Profile.benfordAudit(Tables.orders(s, dir), col("o_totalprice"))
+      .orderBy("digit")
+
+  /** Encoding/mojibake audit ([[TextOps.encodingAudit]]) over
+    * deterministically damaged text (the q43 injected-noise pattern —
+    * the fixtures are clean ASCII, so the corruption is planted in-query
+    * with SQL-expressible concats the oracle replays): docs ≡ 1 (mod 7)
+    * get Latin-1 mojibake, ≡ 2 replacement characters (count varies
+    * with the doc id), ≡ 3 C0 control characters; everything else must
+    * come back `clean` with zero counters.
+    */
+  private def q212(s: SparkSession, dir: String): DataFrame = {
+    val damaged = Tables.documents(s, dir).select(col("doc_id"),
+      when(col("doc_id") % 7 === 1,
+          concat(col("text"), lit(" caf\u00c3\u00a9 na\u00c3\u00afve")))
+        .when(col("doc_id") % 7 === 2,
+          concat(col("text"),
+            repeat(lit("\ufffd"), (col("doc_id") % 3 + 1).cast("int"))))
+        .when(col("doc_id") % 7 === 3,
+          concat(col("text"), lit("\u0007\u001b")))
+        .otherwise(col("text")).as("text"))
+    TextOps.encodingAudit(damaged, col("doc_id"), col("text"))
+      .orderBy("id")
+  }
+
   private def q204(s: SparkSession, dir: String): DataFrame =
     Profile.checkConstraints(Tables.lineitem(s, dir), Seq(
       "discount_range" -> col("l_discount").between(0d, 0.1),
@@ -3462,7 +3522,11 @@ object SparkEntry {
     "q205_format_roundtrip" -> q205 _,
     "q206_cluster_purity" -> q206 _,
     "q207_image_dhash" -> q207 _,
-    "q208_image_neardup" -> q208 _
+    "q208_image_neardup" -> q208 _,
+    "q209_skyline" -> q209 _,
+    "q210_cusum_drift" -> q210 _,
+    "q211_benford" -> q211 _,
+    "q212_encoding_audit" -> q212 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

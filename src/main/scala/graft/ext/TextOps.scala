@@ -1033,4 +1033,38 @@ object TextOps {
         sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
       .withColumn("oov_ppm", expr("(n_oov * 1000000) DIV n_tokens"))
   }
+
+  /** Encoding/mojibake audit — the transport-damage quality gate the
+    * content heuristics ([[qualityScore]], [[repetitionStats]]) can't
+    * see: per document, counts of the three classic corruption
+    * signatures in web-crawl text:
+    *  - `n_replacement` — U+FFFD REPLACEMENT CHARACTER, a decoder
+    *    already gave up on those bytes;
+    *  - `n_control` — C0 control characters other than tab/LF/CR
+    *    (terminal escapes, NULs from binary bleed-through);
+    *  - `n_mojibake` — occurrences of `Ã` (U+00C3), the leader of
+    *    every UTF-8-two-byte-sequence-read-as-Latin-1 artifact
+    *    (`Ã©` = é, `Ã¯` = ï, …) and vanishingly rare in honest text.
+    * `verdict` is `clean` iff all three are zero — route suspects to
+    * re-decode/quarantine, not to the training mix.
+    *
+    * All counts via the portable two-replace length trick
+    * ([[syllableStats]]) / a global `regexp_replace` — per-row map-side
+    * arithmetic, no shuffle, NULL text excluded.
+    */
+  def encodingAudit(docs: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    def occurrences(of: Column): Column =
+      (length(textCol) - length(replace(textCol, of, lit("")))).cast("long")
+    docs.filter(textCol.isNotNull)
+      .select(idCol.as("id"),
+        occurrences(lit("\ufffd")).as("n_replacement"),
+        (length(textCol) -
+          length(regexp_replace(textCol,
+            "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]", ""))).cast("long")
+          .as("n_control"),
+        occurrences(lit("\u00c3")).as("n_mojibake"))
+      .withColumn("verdict",
+        when(col("n_replacement") === 0 && col("n_control") === 0 &&
+          col("n_mojibake") === 0, lit("clean")).otherwise(lit("suspect")))
+  }
 }

@@ -318,4 +318,41 @@ object Profile {
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_rows"), count_distinct(col("__k")).as("n_keys"))
   }
+
+  /** Benford first-digit audit — the classic fabricated-data /
+    * broken-ETL smell test: naturally-occurring magnitudes follow
+    * `P(d) = log₁₀(1 + 1/d)`, while synthesized, truncated, or
+    * unit-mixed columns don't. One row per leading digit 1–9 with the
+    * observed count/share and the deviation from Benford's law.
+    *
+    * Integer-exact cross-engine: values go through DECIMAL(18,2)→cents
+    * (the house price convention — no double×100 ulp trap), the leading
+    * digit is the first character of the decimal string (pure integer
+    * rendering, no log10 on doubles), and the expected shares are the
+    * INLINED floor(log₁₀(1+1/d)·10⁶) constants — the oracle carries
+    * the same literals. Non-positive and NULL values are excluded (they
+    * have no significant digit).
+    *
+    * Scale: one hash aggregate over a map-side digit projection — 9
+    * cells per task.
+    */
+  def benfordAudit(df: DataFrame, valueCol: Column): DataFrame = {
+    val expected = Seq(301029L, 176091L, 124938L, 96910L, 79181L,
+      66946L, 57991L, 51152L, 45757L)
+    val expMap = expected.zipWithIndex
+      .map { case (e, i) => (lit(i + 1L), lit(e)) }
+      .flatMap { case (k, v) => Seq(k, v) }
+    df.select(valueCol.cast("decimal(18,2)").as("__v"))
+      .filter(col("__v") > 0)
+      .select(substring((col("__v") * 100).cast("long").cast("string"), 1, 1)
+        .cast("long").as("digit"))
+      .groupBy("digit")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("__tot", sum(col("n")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .withColumn("obs_ppm", expr("(n * 1000000) DIV __tot"))
+      .withColumn("exp_ppm", element_at(map(expMap: _*), col("digit")))
+      .withColumn("dev_ppm", col("obs_ppm") - col("exp_ppm"))
+      .select("digit", "n", "obs_ppm", "exp_ppm", "dev_ppm")
+  }
 }

@@ -317,4 +317,38 @@ object Stats {
         sum(col("__y").cast("long")).as("n_pos"))
       .withColumn("pos_ppm", expr("(n_pos * 1000000) DIV n"))
   }
+
+  /** 2-D skyline (Pareto front): the input rows not DOMINATED by any
+    * other row, where `q` dominates `p` iff `q.cost ≤ p.cost ∧
+    * q.gain ≥ p.gain` with at least one strict — the classic
+    * non-dominated-set operator (Börzsönyi et al., "The Skyline
+    * Operator", ICDE 2001) Spark has no built-in for. Duplicate
+    * `(cost, gain)` points do not dominate each other (no strict edge),
+    * so all copies of a skyline point survive.
+    *
+    * Scale shape — NOT the quadratic NOT-EXISTS self-join: in 2-D the
+    * skyline is a monotone staircase, so (1) one hash aggregate
+    * collapses the corpus to its distinct cost levels (`max(gain)` per
+    * cost — everything below is dominated within the level), (2) a
+    * prefix-max over the cost-sorted LEVEL table marks the staircase
+    * corners (`gain` must strictly exceed every cheaper level's best),
+    * and (3) the corner set broadcasts back onto the scan as an
+    * equi-join. The corpus is touched by aggregate + map-side join
+    * only; the single-partition window runs over DISTINCT cost levels —
+    * the same bounded-NDV trade as [[quantileBuckets]]'s threshold
+    * table (price grids, size classes, score scales: thousands, not
+    * corpus-sized — past that, range-partition the level table and
+    * two-pass the prefix max).
+    */
+  def skyline2D(df: DataFrame, costCol: String, gainCol: String): DataFrame = {
+    val levels = df.groupBy(col(costCol))
+      .agg(max(col(gainCol)).as("__bg"))
+    val corners = levels
+      .withColumn("__pb", max(col("__bg")).over(
+        Window.orderBy(col(costCol))
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .filter(col("__pb").isNull || col("__bg") > col("__pb"))
+      .select(col(costCol), col("__bg").as(gainCol))
+    df.join(broadcast(corners), Seq(costCol, gainCol), "left_semi")
+  }
 }

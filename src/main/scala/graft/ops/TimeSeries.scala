@@ -398,4 +398,57 @@ object TimeSeries {
         when(col("slope_den") > 0, col("slope_num")).otherwise(lit(0L)).as("slope_num"),
         when(col("slope_den") > 0, col("slope_den")).otherwise(lit(0L)).as("slope_den"))
   }
+
+  /** One-sided (upward) CUSUM drift detection per key — Page's
+    * cumulative-sum control chart: the recursive statistic
+    * `s_i = max(0, s_{i−1} + (x_i − μ − k))` flags a PERSISTENT mean
+    * shift that no single-point z-test ([[rollingAnomalies]]) sees.
+    * Windows can't run a clamped recursion — but CUSUM has the exact
+    * closed form `s_i = C_i − min(0, min_{j≤i} C_j)` over the plain
+    * cumulative sum `C_i = Σ_{j≤i}(x_j − μ − k)`, which IS two stacked
+    * window aggregates. That closed form is what keeps the operator
+    * one-shuffle and oracle-expressible.
+    *
+    * Integer-exact without a divided mean: everything is scaled by the
+    * per-key row count `n`, so the deviation term is
+    * `n·x_i − Σx − k·n` (BIGINT, no floor bias to accumulate).
+    * Emitted `cusum_nx` is the statistic ×n; the alarm compares against
+    * `threshold·n` — same rational-comparison convention as
+    * [[trendSlopes]]. Headroom: exact while
+    * `n² · max|x − μ − k| < 2⁶³` — per-key series to ~10⁸ rows at
+    * 10³-scale values; longer series should pre-aggregate to daily
+    * cells first (the [[gapFillDaily]] composition).
+    *
+    * Rows with NULL key/ts/value are excluded; ties order on `seqCol`
+    * (deterministic replay, the q73 µs-truncation lesson). Scale: ONE
+    * shuffle — the per-key stats and both running windows share the
+    * key partitioning.
+    */
+  def cusumDrift(
+      df: DataFrame,
+      keyCol: Column,
+      tsCol: Column,
+      valueCol: Column,
+      seqCol: Column,
+      slack: Long,
+      threshold: Long
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byKey = Window.partitionBy(col("key"))
+    val ordered = byKey.orderBy(col("ts_sec"), col("seq"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.filter(keyCol.isNotNull && tsCol.isNotNull && valueCol.isNotNull)
+      .select(keyCol.as("key"), unix_timestamp(tsCol).cast("long").as("ts_sec"),
+        seqCol.cast("long").as("seq"), floor(valueCol).cast("long").as("x"))
+      .withColumn("__n", count(lit(1)).over(byKey))
+      .withColumn("__sx", sum(col("x")).over(byKey))
+      .withColumn("__c",
+        sum(col("__n") * col("x") - col("__sx") - lit(slack) * col("__n"))
+          .over(ordered))
+      .withColumn("cusum_nx",
+        col("__c") - least(lit(0L), min(col("__c")).over(ordered)))
+      .withColumn("is_drift", col("cusum_nx") > lit(threshold) * col("__n"))
+      .select(col("key"), col("ts_sec"), col("seq"), col("x"),
+        col("cusum_nx"), col("__n").as("n"), col("is_drift"))
+  }
 }

@@ -529,4 +529,23 @@ class TextOpsSpec extends SparkTestBase {
       206835L - 1015L * 2 - 84600L / 2)))
     assert(!got.contains(3L))
   }
+
+  test("encodingAudit: counts each corruption signature; tab/LF/CR are not control hits") {
+    val docs = Seq(
+      (1L, Some("plain clean text")),
+      (2L, Some("caf\u00c3\u00a9 na\u00c3\u00afve")), // 2 mojibake leaders
+      (3L, Some("a\ufffdb\ufffd\ufffd")), // 3 replacement chars
+      (4L, Some("xyz ")),                  // BEL, ESC, NUL = 3
+      (5L, Some("tab\there\nand\rthere")),                  // whitespace controls OK
+      (6L, None)                                            // NULL excluded
+    ).toDF("doc_id", "text")
+    val got = TextOps.encodingAudit(docs, col("doc_id"), col("text"))
+      .as[(Long, Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 0L, 0L, 0L, "clean")))
+    assert(got(2L) == ((2L, 0L, 0L, 2L, "suspect")))
+    assert(got(3L) == ((3L, 3L, 0L, 0L, "suspect")))
+    assert(got(4L) == ((4L, 0L, 3L, 0L, "suspect")))
+    assert(got(5L) == ((5L, 0L, 0L, 0L, "clean")), s"got ${got(5L)}")
+    assert(!got.contains(6L))
+  }
 }

@@ -163,4 +163,22 @@ class ProfileSpec extends SparkTestBase {
     assert(plan.split("Expand").length - 1 == 1, s"expected exactly 1 Expand:\n$plan")
     assert(!plan.contains("Union"), s"expected no per-column union:\n$plan")
   }
+
+  test("benfordAudit: cents leading digit, exclusions, floored ppm shares") {
+    val vals = Seq(
+      Some(1.23),    // 123 cents  -> digit 1
+      Some(19.99),   // 1999       -> digit 1
+      Some(0.02),    // 2          -> digit 2
+      Some(900.00),  // 90000      -> digit 9
+      Some(0.0),     // non-positive -> excluded
+      Some(-5.0),    // excluded
+      None           // excluded
+    ).toDF("v")
+    val got = Profile.benfordAudit(vals, col("v")).orderBy("digit")
+      .as[(Long, Long, Long, Long, Long)].collect().toList
+    assert(got == List(
+      (1L, 2L, 500000L, 301029L, 198971L),
+      (2L, 1L, 250000L, 176091L, 73909L),
+      (9L, 1L, 250000L, 45757L, 204243L)), s"got $got")
+  }
 }

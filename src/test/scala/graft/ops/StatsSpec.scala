@@ -135,4 +135,26 @@ class StatsSpec extends SparkTestBase {
       (1L, 1L, 100001L, 1L, 1000000L),
       (9L, 2L, 975000L, 1L, 500000L)), s"got $got")
   }
+
+  test("skyline2D: staircase equals brute-force dominance; ties and duplicates survive") {
+    // (id, cost, gain) — dominance: cost<=, gain>=, one strict
+    val pts = Seq(
+      (1L, 10L, 5L),  // skyline corner
+      (2L, 10L, 5L),  // duplicate point: no strict edge, survives too
+      (3L, 10L, 3L),  // same cost, lower gain -> dominated by 1
+      (4L, 20L, 5L),  // higher cost, same gain -> dominated by 1
+      (5L, 20L, 9L),  // corner
+      (6L, 30L, 9L),  // dominated by 5 (gain tie, strictly dearer)
+      (7L, 5L, 1L),   // cheapest -> corner regardless of gain
+      (8L, 40L, 20L)  // most expensive but best gain -> corner
+    ).toDF("id", "cost", "gain")
+    val got = Stats.skyline2D(pts, "cost", "gain")
+      .select("id").as[Long].collect().toSet
+    val rows = pts.as[(Long, Long, Long)].collect()
+    val brute = rows.filter { case (_, c, g) =>
+      !rows.exists { case (_, c2, g2) =>
+        c2 <= c && g2 >= g && (c2 < c || g2 > g) }
+    }.map(_._1).toSet
+    assert(got == brute && got == Set(1L, 2L, 5L, 7L, 8L), s"got $got")
+  }
 }

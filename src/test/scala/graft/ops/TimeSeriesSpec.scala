@@ -190,4 +190,32 @@ class TimeSeriesSpec extends SparkTestBase {
     assert(got("down") == (("down", 3L, 9L, -12L, 6L)), s"${got("down")}")
     assert(got("flat1") == (("flat1", 1L, 4L, 0L, 0L)), s"${got("flat1")}")
   }
+
+  test("cusumDrift: closed form equals the clamped recursion; NULLs excluded") {
+    // series with a level shift: 10,10,10 then 30,30,30 (mean 20)
+    val xs = Seq(10L, 10L, 10L, 30L, 30L, 30L)
+    val rows = xs.zipWithIndex.map { case (x, i) =>
+      (Some("k"), Some(Timestamp.valueOf(f"2024-01-01 00:00:${i}%02d")),
+        Some(x.toDouble), i.toLong)
+    } ++ Seq((None, Some(Timestamp.valueOf("2024-01-01 00:01:00")), Some(1.0), 99L),
+      (Some("k"), None, Some(1.0), 98L),
+      (Some("k"), Some(Timestamp.valueOf("2024-01-01 00:01:01")), None, 97L))
+    val got = TimeSeries.cusumDrift(rows.toDF("k", "ts", "v", "id"),
+        col("k"), col("ts"), col("v"), col("id"), slack = 2L, threshold = 6L)
+      .orderBy("seq")
+      .as[(String, Long, Long, Long, Long, Long, Boolean)].collect().toList
+
+    // reference: the textbook recursion s_i = max(0, s_prev + (x - mu - k)),
+    // run in n-scaled integers exactly like the operator's contract
+    val n = xs.length.toLong
+    val sx = xs.sum
+    val ref = xs.scanLeft(0L) { (s, x) =>
+      math.max(0L, s + (n * x - sx - 2L * n))
+    }.tail
+    assert(got.map(_._5) == ref, s"closed form ${got.map(_._5)} vs recursion $ref")
+    // mean 20, slack 2: the 30s drift at +8/step (x48 n-scaled) -> alarm
+    // once cusum_nx > 6*n = 36
+    assert(got.map(_._7) == List(false, false, false, true, true, true))
+    assert(got.size == 6, "NULL key/ts/value rows are excluded")
+  }
 }
