@@ -3325,6 +3325,76 @@ object OracleSql {
         |SELECT id, n_replacement, n_control, n_mojibake,
         |  CASE WHEN n_replacement = 0 AND n_control = 0 AND n_mojibake = 0
         |    THEN 'clean' ELSE 'suspect' END AS verdict
-        |FROM a ORDER BY id""".stripMargin
+        |FROM a ORDER BY id""".stripMargin,
+
+    // two native ASOF JOINs (the q27 pairing) over the same derived
+    // feature tables: per-second max for raw values, end-of-day
+    // availability for the daily counts — inclusive <= on both engines
+    "q213_pit_features" ->
+      """WITH ev AS (SELECT user_id AS k, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+        |    CAST(floor(value) AS BIGINT) AS v
+        |   FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        | raw AS (SELECT k, sec AS f_sec, max(v) AS last_val FROM ev GROUP BY 1, 2),
+        | dd AS (SELECT k, sec // 86400 AS day, count(*) AS day_n FROM ev GROUP BY 1, 2),
+        | daily AS (SELECT k, (day + 1) * 86400 AS avail_sec, day_n FROM dd),
+        | o AS (SELECT o_orderkey, o_custkey,
+        |    CAST(floor(epoch(o_orderdate)) AS BIGINT) AS t_sec FROM orders),
+        | j1 AS (SELECT o.o_orderkey, o.o_custkey, o.t_sec, r.last_val
+        |   FROM o ASOF LEFT JOIN raw r
+        |     ON o.o_custkey = r.k AND o.t_sec >= r.f_sec),
+        | j2 AS (SELECT j1.o_orderkey, j1.o_custkey, j1.t_sec, j1.last_val, d.day_n
+        |   FROM j1 ASOF LEFT JOIN daily d
+        |     ON j1.o_custkey = d.k AND j1.t_sec >= d.avail_sec)
+        |SELECT o_orderkey, o_custkey, t_sec, last_val, day_n
+        |FROM j2 ORDER BY o_orderkey""".stripMargin,
+
+    // the full candidate pipeline replayed: dense item index, the
+    // k*oversample=12 hash candidates per user (seed base 11), positive
+    // anti-join, min-j collision dedup, rank cut at k=3
+    "q214_negative_samples" ->
+      """WITH pos AS (SELECT DISTINCT o_custkey AS usr, l_partkey AS item
+        |   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |   WHERE o_custkey % 50 = 0),
+        | items AS (SELECT item, row_number() OVER (ORDER BY item) - 1 AS idx
+        |   FROM (SELECT DISTINCT item FROM pos)),
+        | u AS (SELECT count(*) AS uu FROM items),
+        | cand AS (SELECT usr, j,
+        |    ('0x'||substr(md5((11000 + j)||':'||usr),1,8))::BIGINT % uu AS idx
+        |   FROM (SELECT DISTINCT usr FROM pos)
+        |   CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS j) g
+        |   CROSS JOIN u),
+        | mapped AS (SELECT usr, item, j FROM cand JOIN items USING (idx)),
+        | neg AS (SELECT m.usr, m.item, min(m.j) AS mj FROM mapped m
+        |   LEFT JOIN pos p ON m.usr = p.usr AND m.item = p.item
+        |   WHERE p.usr IS NULL GROUP BY 1, 2),
+        | rk AS (SELECT usr, item,
+        |    row_number() OVER (PARTITION BY usr ORDER BY mj, item) AS rnk FROM neg)
+        |SELECT usr AS "user", item, CAST(rnk AS BIGINT) AS rank
+        |FROM rk WHERE rnk <= 3 ORDER BY usr, rank""".stripMargin,
+
+    // q118's FastSS replay split across the two corpora (baseline vs
+    // injected re-crawl); md5 signatures vs the engine's xxhash64 —
+    // collision-only divergence, removed by the shared verify predicate
+    "q215_record_linkage" ->
+      """WITH a AS (SELECT doc_id AS id, text FROM documents WHERE text IS NOT NULL),
+        | b AS (SELECT doc_id + 10000000 AS id, text || ' rev' AS text
+        |   FROM documents WHERE doc_id % 3 = 0 AND text IS NOT NULL),
+        | ta AS (SELECT id, text, string_split(text,' ') AS l FROM a),
+        | tb AS (SELECT id, text, string_split(text,' ') AS l FROM b),
+        | sa AS (SELECT id, unnest(list_distinct(list_concat([md5(text)],
+        |     list_transform(generate_series(1, len(l)), i ->
+        |       md5(array_to_string(list_concat(l[1:i-1], l[i+1:len(l)]), ' '))))))
+        |     AS sig FROM ta),
+        | sb AS (SELECT id, unnest(list_distinct(list_concat([md5(text)],
+        |     list_transform(generate_series(1, len(l)), i ->
+        |       md5(array_to_string(list_concat(l[1:i-1], l[i+1:len(l)]), ' '))))))
+        |     AS sig FROM tb),
+        | px AS (SELECT DISTINCT sa.id AS id_a, sb.id AS id_b
+        |   FROM sa JOIN sb ON sa.sig = sb.sig),
+        | v AS (SELECT id_a, id_b,
+        |     CAST(levenshtein(da.text, db.text) AS BIGINT) AS dist
+        |   FROM px JOIN a da ON px.id_a = da.id JOIN b db ON px.id_b = db.id)
+        |SELECT id_a, id_b, dist FROM v WHERE dist <= 10
+        |ORDER BY id_a, id_b""".stripMargin
   )
 }

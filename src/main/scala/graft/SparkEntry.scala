@@ -3251,6 +3251,75 @@ object SparkEntry {
       .orderBy("id")
   }
 
+  /** Point-in-time feature join — the feature-store correctness pattern
+    * (no training-serving leakage): each order is enriched with (a) the
+    * customer's latest event value AS OF the order timestamp and (b)
+    * the latest COMPLETED day's event count, whose availability time is
+    * end-of-day — two [[AsOfJoin.backward]] compositions over epoch
+    * seconds. Same-second raw events pre-aggregate to a deterministic
+    * per-second max (an as-of right side must be unique per (key, time)
+    * or tie order leaks nondeterminism). The oracle runs DuckDB's
+    * native ASOF JOIN twice (the q27 pairing) over the same derived
+    * tables — customers with no prior events keep NULL features.
+    */
+  private def q213(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+    val ordersT = Tables.orders(s, dir).select(col("o_orderkey"),
+      col("o_custkey"), unix_timestamp(col("o_orderdate")).cast("long").as("t_sec"))
+    val raw = ev
+      .select(col("user_id").as("k"),
+        unix_timestamp(col("ts")).cast("long").as("f_sec"),
+        floor(col("value")).cast("long").as("v"))
+      .groupBy("k", "f_sec").agg(max(col("v")).as("last_val"))
+    val daily = ev
+      .select(col("user_id").as("k"),
+        expr("CAST(unix_timestamp(ts) AS BIGINT) DIV 86400").as("__day"))
+      .groupBy("k", "__day").agg(count(lit(1)).as("day_n"))
+      .select(col("k"), ((col("__day") + 1) * 86400).as("avail_sec"),
+        col("day_n"))
+    val j1 = AsOfJoin.backwardSelect(ordersT, raw,
+      "o_custkey", "k", "t_sec", "f_sec", "last_val")
+    AsOfJoin.backwardSelect(j1, daily,
+        "o_custkey", "k", "t_sec", "avail_sec", "day_n")
+      .select("o_orderkey", "o_custkey", "t_sec", "last_val", "day_n")
+      .orderBy("o_orderkey")
+  }
+
+  /** Deterministic negative sampling ([[Sampling.negativeSamples]]) over
+    * the order/part interaction matrix (every-50th customer): the
+    * oracle re-derives the dense item index, all k·oversample hash
+    * candidates, the positive anti-join, the min-j collision dedup and
+    * the rank cut — so the full candidate pipeline is pinned, not just
+    * the row count.
+    */
+  private def q214(s: SparkSession, dir: String): DataFrame = {
+    val pos = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("o_custkey") % 50 === 0)
+      .select(col("o_custkey").as("user"), col("l_partkey").as("item"))
+    Sampling.negativeSamples(pos, "user", "item", k = 3)
+      .orderBy("user", "rank")
+  }
+
+  /** Cross-corpus record linkage ([[Dedup.linkPairs]]): the baseline
+    * documents corpus linked against a synthetic re-crawl (every third
+    * doc re-published under a shifted id with one appended token — an
+    * in-query injection the oracle replays). FastSS blocking runs on
+    * BOTH sides and only A×B pairs verify; the planted revisions are
+    * exactly one token edit, so the recall contract guarantees they
+    * all surface with their 4-char distance.
+    */
+  private def q215(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir)
+    val recrawl = base.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 10000000L).as("doc_id"),
+        concat(col("text"), lit(" rev")).as("text"))
+    Dedup.linkPairs(base, recrawl, maxDist = 10L)
+      .orderBy("id_a", "id_b")
+  }
+
   private def q204(s: SparkSession, dir: String): DataFrame =
     Profile.checkConstraints(Tables.lineitem(s, dir), Seq(
       "discount_range" -> col("l_discount").between(0d, 0.1),
@@ -3526,7 +3595,10 @@ object SparkEntry {
     "q209_skyline" -> q209 _,
     "q210_cusum_drift" -> q210 _,
     "q211_benford" -> q211 _,
-    "q212_encoding_audit" -> q212 _
+    "q212_encoding_audit" -> q212 _,
+    "q213_pit_features" -> q213 _,
+    "q214_negative_samples" -> q214 _,
+    "q215_record_linkage" -> q215 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

@@ -701,6 +701,65 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("dist"))
   }
 
+  /** Cross-corpus record LINKAGE — [[editDistancePairs]]' FastSS
+    * blocking between TWO tables (entity resolution: re-crawl vs
+    * baseline, vendor feed vs catalog, A/B snapshot reconciliation):
+    * emit `(id_a, id_b, dist)` for every A-row/B-row pair within
+    * `maxDist` character edits, never comparing within a side. Same
+    * recall contract as the single-table operator: pairs within ONE
+    * token-level edit provably share a deletion signature; the exact
+    * `levenshtein ≤ maxDist` verify keeps collisions out.
+    *
+    * Scale shape: tokens+1 signatures per row per side, each side's
+    * degenerate signatures dropped by a per-side count cap (finite BY
+    * DEFAULT — the q101/q35 convention; a boilerplate template on both
+    * sides would otherwise explode capA·capB candidates per signature),
+    * one signature equi-join A×B, pair distinct, then the O(len²)
+    * verify on candidates only. Caps count signature EMISSIONS
+    * (editDistancePairs' documented conservative-drop direction).
+    */
+  def linkPairs(
+      dfA: DataFrame,
+      dfB: DataFrame,
+      maxDist: Long = 10L,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      maxBucketSize: Int = 1000
+  ): DataFrame = {
+    def prep(df: DataFrame) = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), col(textCol).as("txt"),
+        TextOps.tokens(col(textCol)).as("__toks"))
+    // same explode-then-build + single-xxhash64 signature pipeline as
+    // editDistancePairs (see the cost/collision contract there)
+    def sigs(base: DataFrame) = base
+      .select(col("id"), col("txt"), col("__toks"),
+        explode(sequence(lit(0), size(col("__toks")))).as("i"))
+      .select(col("id"),
+        xxhash64(lit(1),
+          when(col("i") === 0, col("txt"))
+            .otherwise(concat_ws(" ",
+              concat(slice(col("__toks"), lit(1), col("i") - 1),
+                slice(col("__toks"), col("i") + 1, size(col("__toks")))))))
+          .as("sig"))
+    def capped(s: DataFrame) =
+      if (maxBucketSize == Int.MaxValue) s
+      else s.join(
+        s.groupBy("sig").agg(count(lit(1)).as("__k"))
+          .filter(col("__k") <= maxBucketSize).select("sig"),
+        Seq("sig"), "left_semi")
+    val baseA = prep(dfA)
+    val baseB = prep(dfB)
+    capped(sigs(baseA)).select(col("sig"), col("id").as("id_a"))
+      .join(capped(sigs(baseB)).select(col("sig"), col("id").as("id_b")),
+        Seq("sig"))
+      .select("id_a", "id_b").distinct()
+      .join(baseA.select(col("id").as("id_a"), col("txt").as("ta")), Seq("id_a"))
+      .join(baseB.select(col("id").as("id_b"), col("txt").as("tb")), Seq("id_b"))
+      .withColumn("dist", levenshtein(col("ta"), col("tb")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
   // -------------------------------------------------------------- simhash
 
   /** 32-bit SimHash per document: bit i is the sign of Σ_tokens (±1 per

@@ -432,4 +432,72 @@ object Sampling {
       .when(b < trainBp + validBp, "valid")
       .otherwise("test")
   }
+
+  /** Deterministic negative sampling for contrastive/recommendation
+    * training: for every user in `positives`, up to `k` items drawn
+    * uniformly-by-hash from the observed item universe that the user
+    * has NO positive interaction with — the `(user, negative)` half of
+    * a training pair, reproducible run-to-run (same hash family as
+    * every sampler here, [[graft.functions.Hashing.md5Hash32]]).
+    *
+    * Algorithm: the distinct item universe is densely indexed
+    * `[0, U)`; candidate `j ∈ [0, k·oversample)` for a user maps to
+    * index `h_j(user) mod U`; candidates that hit a positive are
+    * anti-joined away, hash-collision duplicates keep their smallest
+    * `j`, and the survivors rank by `j` with the first `k` kept —
+    * so `rank` is also the deterministic tie-break order. Best-effort
+    * by construction: a user whose positives cover most of the
+    * universe (or unlucky collisions) can get fewer than `k` negatives
+    * — raise `oversample` rather than looping (P(short) decays
+    * geometrically with the oversample factor).
+    *
+    * Scale shape: distinct-items aggregate → dense index (row_number
+    * over the ITEM VOCABULARY — the bounded-NDV trade of
+    * [[graft.ext.TextOps.oovStats]]'s vocab table: catalogs are
+    * thousands-to-millions, not corpus-sized), broadcast back onto a
+    * users×oversample generator, one `(user, item)` anti-join shuffle
+    * against positives, one per-user window for the rank. Everything
+    * else is map-side.
+    */
+  def negativeSamples(
+      positives: DataFrame,
+      userCol: String,
+      itemCol: String,
+      k: Int,
+      oversample: Int = 4,
+      seedBase: Int = 11
+  ): DataFrame = {
+    require(k > 0 && oversample > 0, "k and oversample must be positive")
+    val pos = positives
+      .select(col(userCol).as("user"), col(itemCol).as("item"))
+      .filter(col("user").isNotNull && col("item").isNotNull)
+      .distinct()
+    val items = pos.select(col("item")).distinct()
+      .withColumn("__idx",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("item"))).cast("long") - 1)
+    // universe size as a one-row broadcast so the candidate index is
+    // computed MAP-SIDE and the item lookup stays an equi hash join (a
+    // modulo inside the join condition would plan a nested loop)
+    val uRow = items.agg(count(lit(1)).as("__u"))
+    val mapped = pos.select(col("user")).distinct()
+      .crossJoin(broadcast(uRow))
+      .select(col("user"), col("__u"),
+        explode(sequence(lit(0), lit(k * oversample - 1))).as("j"))
+      .withColumn("__idx",
+        Hashing.md5Hash32(lit(seedBase) * 1000 + col("j"), col("user"))
+          % col("__u"))
+      .join(broadcast(items), Seq("__idx"))
+      .select(col("user"), col("item"), col("j"))
+    mapped
+      .join(pos, Seq("user", "item"), "left_anti")
+      .groupBy("user", "item")
+      .agg(min(col("j")).as("__j"))
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user")).orderBy(col("__j"), col("item")))
+          .cast("long"))
+      .filter(col("rank") <= k)
+      .select("user", "item", "rank")
+  }
 }

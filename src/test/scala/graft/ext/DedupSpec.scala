@@ -731,4 +731,33 @@ class DedupSpec extends SparkTestBase {
     val t = Dedup.perceptualDupPairs(twin).as[(Long, Long, Long)].collect().toList
     assert(t == List((1L, 2L, 0L)), s"got $t")
   }
+
+  test("linkPairs: cross-corpus one-edit links found; within-side pairs never emitted") {
+    val a = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"), // exact in-side dup: must NOT pair with 1
+      (3L, "one two three four five"),
+      (4L, "totally different words here")
+    ).toDF("doc_id", "text")
+    val b = Seq(
+      (101L, "alpha beta gamma delta rev"), // one appended token vs 1/2
+      (103L, "one two zzz four five"),      // one substituted token vs 3
+      (104L, "no relation at all whatsoever")
+    ).toDF("doc_id", "text")
+    val got = Dedup.linkPairs(a, b, maxDist = 10L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 101L, 4L), (2L, 101L, 4L),  // " rev" = 4 chars
+      (3L, 103L, 5L)),                 // three->zzz = 5 char edits
+      s"got $got")
+    // a tight maxDist filters, never crashes recall below the contract
+    val tight = Dedup.linkPairs(a, b, maxDist = 4L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(tight == Set((1L, 101L, 4L), (2L, 101L, 4L)))
+    // cap of 1: the shared template signature bucket drops on the A side
+    // (two identical docs emit the same signatures)
+    val capped = Dedup.linkPairs(a, b, maxDist = 10L, maxBucketSize = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(capped == Set((3L, 103L, 5L)), s"got $capped")
+  }
 }

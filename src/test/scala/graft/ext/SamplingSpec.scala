@@ -295,4 +295,33 @@ class SamplingSpec extends SparkTestBase {
       .select("doc_id").as[Long].collect().toSet
     assert(again == take, "selection is partition-invariant")
   }
+
+  test("negativeSamples: never a positive, deterministic, ranked, k-capped") {
+    // 20 items, 3 users with disjoint-ish positives
+    val pos = Seq(
+      1L -> 100L, 1L -> 101L, 1L -> 102L,
+      2L -> 110L, 2L -> 111L,
+      3L -> 119L
+    ).map { case (u, i) => (u, i) } ++ (100L to 119L).map(i => (9L, i))
+    val df = pos.toDF("u", "i")
+    val got = Sampling.negativeSamples(df, "u", "i", k = 3)
+      .as[(Long, Long, Long)].collect().toList
+    val posSet = pos.toSet
+    assert(got.forall { case (u, i, _) => !posSet.contains((u, i)) },
+      s"a negative hit a positive: $got")
+    // per-user: ranks are 1..k dense, k respected
+    val byUser = got.groupBy(_._1)
+    byUser.foreach { case (u, rows) =>
+      assert(rows.map(_._3).sorted == (1L to rows.size).toList, s"user $u: $rows")
+      assert(rows.size <= 3)
+    }
+    assert(byUser.keySet.contains(1L) && byUser.keySet.contains(2L) &&
+      byUser.keySet.contains(3L))
+    // user 9 holds EVERY item: zero negatives exist, none fabricated
+    assert(!byUser.contains(9L), "full-universe user must get no negatives")
+    // deterministic under repartitioning
+    val again = Sampling.negativeSamples(df.repartition(5), "u", "i", k = 3)
+      .as[(Long, Long, Long)].collect().toList
+    assert(again.toSet == got.toSet)
+  }
 }
