@@ -3395,6 +3395,62 @@ object OracleSql {
         |     CAST(levenshtein(da.text, db.text) AS BIGINT) AS dist
         |   FROM px JOIN a da ON px.id_a = da.id JOIN b db ON px.id_b = db.id)
         |SELECT id_a, id_b, dist FROM v WHERE dist <= 10
-        |ORDER BY id_a, id_b""".stripMargin
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // frozen reference grid, Laplace-smoothed ppm shares, micro-PSI as
+    // floor((p-q) * (ln p - ln q)) over the INTEGER ppms — the bigram-LM
+    // double-ln precedent
+    "q216_psi_drift" ->
+      """WITH r AS (SELECT CAST(floor(value) AS BIGINT) AS x FROM events
+        |   WHERE value IS NOT NULL AND event_type = 'view'),
+        | c AS (SELECT CAST(floor(value) AS BIGINT) AS x FROM events
+        |   WHERE value IS NOT NULL AND event_type = 'purchase'),
+        | rg AS (SELECT min(x) AS lo, max(x) AS hi, count(*) AS nr FROM r),
+        | ct AS (SELECT count(*) AS nc FROM c),
+        | grid AS (SELECT unnest(generate_series(0, 9)) AS bin, lo, hi, nr FROM rg),
+        | br AS (SELECT least(9, greatest(0, ((x - lo) * 10) // (hi - lo + 1))) AS bin,
+        |    count(*) AS n_ref FROM r CROSS JOIN rg GROUP BY 1),
+        | bc AS (SELECT least(9, greatest(0, ((x - lo) * 10) // (hi - lo + 1))) AS bin,
+        |    count(*) AS n_cur FROM c CROSS JOIN rg GROUP BY 1),
+        | j AS (SELECT g.bin, g.lo + (g.bin * (g.hi - g.lo + 1)) // 10 AS bin_lo,
+        |    coalesce(br.n_ref, 0) AS n_ref, coalesce(bc.n_cur, 0) AS n_cur,
+        |    ((coalesce(br.n_ref, 0) + 1) * 1000000) // (g.nr + 10) AS p_ppm,
+        |    ((coalesce(bc.n_cur, 0) + 1) * 1000000) // (ct.nc + 10) AS q_ppm
+        |   FROM grid g CROSS JOIN ct
+        |   LEFT JOIN br ON g.bin = br.bin LEFT JOIN bc ON g.bin = bc.bin)
+        |SELECT CAST(bin AS BIGINT) AS bin, CAST(bin_lo AS BIGINT) AS bin_lo,
+        |  CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+        |  CAST(p_ppm AS BIGINT) AS p_ppm, CAST(q_ppm AS BIGINT) AS q_ppm,
+        |  CAST(floor((p_ppm - q_ppm)::DOUBLE * (ln(p_ppm::DOUBLE) - ln(q_ppm::DOUBLE)))
+        |    AS BIGINT) AS psi_micro
+        |FROM j ORDER BY bin""".stripMargin,
+
+    // the aggregate view materialized once (CTE), scalar max over it,
+    // DECIMAL equality
+    "q217_top_supplier" ->
+      """WITH rev AS (SELECT l_suppkey,
+        |   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |     (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s.s_suppkey, s.s_name, r.total_revenue
+        |FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+        |WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q218_large_volume" ->
+      """SELECT c.c_custkey, c.c_name, o.o_orderkey,
+        | CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS BIGINT) AS total_qty
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |WHERE o.o_orderkey IN (
+        |  SELECT l2.l_orderkey FROM lineitem l2
+        |  GROUP BY l2.l_orderkey
+        |  HAVING sum(CAST(l2.l_quantity AS DECIMAL(18,2))) > 250)
+        |GROUP BY c.c_custkey, c.c_name, o.o_orderkey
+        |ORDER BY c_custkey, o_orderkey""".stripMargin
   )
 }

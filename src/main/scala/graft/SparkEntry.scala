@@ -3320,6 +3320,64 @@ object SparkEntry {
       .orderBy("id_a", "id_b")
   }
 
+  /** PSI distribution drift ([[ops.Stats.psiDrift]]): purchase values
+    * monitored against the view-event reference — frozen reference
+    * bins, Laplace-smoothed integer ppm shares, per-bin micro-PSI. The
+    * oracle rebuilds the grid, both binned counts, the smoothing, and
+    * the log-product floor.
+    */
+  private def q216(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).filter(col("value").isNotNull)
+    ops.Stats.psiDrift(
+        ev.filter(col("event_type") === "view"),
+        ev.filter(col("event_type") === "purchase"),
+        col("value"), bins = 10)
+      .orderBy("bin")
+  }
+
+  /** TPC-H Q15 shape (top supplier view): a revenue-per-supplier
+    * aggregate subquery reused both as the join input AND inside the
+    * scalar `max` — the classic aggregate-view + scalar-subquery
+    * equality Catalyst must collapse without recomputing the view per
+    * row. DECIMAL revenue keeps the max-equality exact.
+    */
+  private def q217(s: SparkSession, dir: String): DataFrame = {
+    tpchViews(s, dir)
+    s.sql(
+      """WITH rev AS (SELECT l_suppkey,
+        |   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |     (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS total_revenue
+        |  FROM lineitem_v
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s.s_suppkey, s.s_name, r.total_revenue
+        |FROM supplier_v s JOIN rev r ON s.s_suppkey = r.l_suppkey
+        |WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin)
+  }
+
+  /** TPC-H Q18 shape (large-volume customers): an IN subquery over a
+    * grouped HAVING aggregate feeding a three-way join + re-aggregate —
+    * the semi-join-on-aggregate decorrelation. Quantities through
+    * DECIMAL so the 250 threshold is exact.
+    */
+  private def q218(s: SparkSession, dir: String): DataFrame = {
+    tpchViews(s, dir)
+    s.sql(
+      """SELECT c.c_custkey, c.c_name, o.o_orderkey,
+        | CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS BIGINT) AS total_qty
+        |FROM customer_v c
+        |JOIN orders_v o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem_v l ON o.o_orderkey = l.l_orderkey
+        |WHERE o.o_orderkey IN (
+        |  SELECT l2.l_orderkey FROM lineitem_v l2
+        |  GROUP BY l2.l_orderkey
+        |  HAVING sum(CAST(l2.l_quantity AS DECIMAL(18,2))) > 250)
+        |GROUP BY c.c_custkey, c.c_name, o.o_orderkey
+        |ORDER BY c_custkey, o_orderkey""".stripMargin)
+  }
+
   private def q204(s: SparkSession, dir: String): DataFrame =
     Profile.checkConstraints(Tables.lineitem(s, dir), Seq(
       "discount_range" -> col("l_discount").between(0d, 0.1),
@@ -3598,7 +3656,10 @@ object SparkEntry {
     "q212_encoding_audit" -> q212 _,
     "q213_pit_features" -> q213 _,
     "q214_negative_samples" -> q214 _,
-    "q215_record_linkage" -> q215 _
+    "q215_record_linkage" -> q215 _,
+    "q216_psi_drift" -> q216 _,
+    "q217_top_supplier" -> q217 _,
+    "q218_large_volume" -> q218 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

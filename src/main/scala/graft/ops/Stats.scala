@@ -340,6 +340,65 @@ object Stats {
     * corpus-sized — past that, range-partition the level table and
     * two-pass the prefix max).
     */
+  /** Population-stability-index drift between a REFERENCE distribution
+    * and a CURRENT one — the standard ML-monitoring score for "has this
+    * feature's distribution moved since training": equi-width bins are
+    * FROZEN from the reference (the monitoring convention — a moving
+    * grid hides drift), current values outside the reference range
+    * clamp into the edge bins, and
+    * `PSI = Σ (pᵢ − qᵢ)·ln(pᵢ/qᵢ)` accumulates per bin. Rule-of-thumb
+    * thresholds: < 0.10 stable, 0.10–0.25 drifting, > 0.25 shifted
+    * (psi_micro: 100 000 / 250 000).
+    *
+    * Exactness: bins via [[Profile.histogram]]'s clamp-free integer
+    * formula (headroom: `(hi−lo)·bins < 2⁶³`), shares as
+    * Laplace-smoothed integer ppm `(n+1)·10⁶ div (N+bins)` (zero bins
+    * stay defined on both sides), and only the final `ln` of the two
+    * ppm INTEGERS is double math — the [[graft.ext.TextOps]] bigram-LM
+    * precedent for cross-engine-stable logs. `psi_micro` is the
+    * per-bin contribution in millionths; consumers sum it.
+    *
+    * Scale shape: one aggregate per side + a one-row range broadcast —
+    * drift-checking a 100 TB feature costs two scans, no shuffle wider
+    * than `bins` cells per task.
+    */
+  def psiDrift(
+      ref: DataFrame,
+      cur: DataFrame,
+      valueCol: Column,
+      bins: Int = 10
+  ): DataFrame = {
+    require(bins > 0, "bins must be positive")
+    val r = ref.select(floor(valueCol).cast("long").as("x"))
+      .filter(col("x").isNotNull)
+    val c = cur.select(floor(valueCol).cast("long").as("x"))
+      .filter(col("x").isNotNull)
+    val range = r.agg(min(col("x")).as("lo"), max(col("x")).as("hi"),
+      count(lit(1)).as("__nr"))
+    val curTot = c.agg(count(lit(1)).as("__nc"))
+    def binned(df: DataFrame, out: String) =
+      df.crossJoin(broadcast(range.select("lo", "hi")))
+        .withColumn("bin", least(lit(bins - 1L), greatest(lit(0L),
+          expr(s"((x - lo) * $bins) DIV (hi - lo + 1)"))))
+        .groupBy("bin").agg(count(lit(1)).as(out))
+    range.select(explode(sequence(lit(0L), lit(bins - 1L))).as("bin"),
+        col("lo"), col("hi"), col("__nr"))
+      .crossJoin(broadcast(curTot))
+      .join(binned(r, "n_ref"), Seq("bin"), "left")
+      .join(binned(c, "n_cur"), Seq("bin"), "left")
+      .withColumn("n_ref", coalesce(col("n_ref"), lit(0L)))
+      .withColumn("n_cur", coalesce(col("n_cur"), lit(0L)))
+      .withColumn("bin_lo",
+        col("lo") + expr(s"(bin * (hi - lo + 1)) DIV $bins"))
+      .withColumn("p_ppm", expr(s"((n_ref + 1) * 1000000) DIV (__nr + $bins)"))
+      .withColumn("q_ppm", expr(s"((n_cur + 1) * 1000000) DIV (__nc + $bins)"))
+      .withColumn("psi_micro",
+        floor((col("p_ppm") - col("q_ppm")).cast("double") *
+          (log(col("p_ppm").cast("double")) - log(col("q_ppm").cast("double"))))
+          .cast("long"))
+      .select("bin", "bin_lo", "n_ref", "n_cur", "p_ppm", "q_ppm", "psi_micro")
+  }
+
   def skyline2D(df: DataFrame, costCol: String, gainCol: String): DataFrame = {
     val levels = df.groupBy(col(costCol))
       .agg(max(col(gainCol)).as("__bg"))

@@ -136,6 +136,30 @@ class StatsSpec extends SparkTestBase {
       (9L, 2L, 975000L, 1L, 500000L)), s"got $got")
   }
 
+  test("psiDrift: frozen reference bins, edge clamping, zero drift on identical data") {
+    // reference 0..9 uniform -> lo=0, hi=9, 10 bins of width 1
+    val ref = (0L to 9L).toDF("v")
+    // identical current: p_ppm == q_ppm everywhere -> psi exactly 0
+    val same = Stats.psiDrift(ref, ref, col("v"), bins = 10)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toList
+    assert(same.size == 10)
+    assert(same.forall(r => r._7 == 0L), s"identical dists must give 0 PSI: $same")
+    assert(same.map(_._2) == (0L to 9L).toList, "bin_lo grid is the value grid")
+
+    // shifted current [20, 25]: everything clamps into the LAST bin
+    val cur = Seq(20L, 25L).toDF("v")
+    val drift = Stats.psiDrift(ref, cur, col("v"), bins = 10)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toList
+    assert(drift.find(_._1 == 9L).get._4 == 2L, "out-of-range clamps to edge bin")
+    assert(drift.filter(_._1 < 9L).forall(_._4 == 0L))
+    // Laplace smoothing keeps empty bins defined; mass moved -> big PSI
+    assert(drift.forall(r => r._5 > 0L && r._6 > 0L))
+    // at n=10 with +10 Laplace mass the smoothing damps the score; the
+    // exact value is pinned (sum 164785 micro) — still far past the
+    // 0.10 "drifting" rule of thumb
+    assert(drift.map(_._7).sum == 164785L, s"got $drift")
+  }
+
   test("skyline2D: staircase equals brute-force dominance; ties and duplicates survive") {
     // (id, cost, gain) — dominance: cost<=, gain>=, one strict
     val pts = Seq(
