@@ -3451,6 +3451,22 @@ object OracleSql {
         |  GROUP BY l2.l_orderkey
         |  HAVING sum(CAST(l2.l_quantity AS DECIMAL(18,2))) > 250)
         |GROUP BY c.c_custkey, c.c_name, o.o_orderkey
-        |ORDER BY c_custkey, o_orderkey""".stripMargin
+        |ORDER BY c_custkey, o_orderkey""".stripMargin,
+
+    // q210's stacked-window closed form with the fixed target (20) and
+    // unscaled value units (slack 20, threshold 5000 inlined)
+    "q219_cusum_at" ->
+      """WITH e AS (SELECT event_type AS key, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+        |    event_id AS seq, CAST(floor(value) AS BIGINT) AS x
+        |   FROM events
+        |   WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+        | c AS (SELECT *, sum(x - 20 - 20) OVER (PARTITION BY key
+        |    ORDER BY ts_sec, seq ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+        |   FROM e),
+        | m AS (SELECT *, least(0, min(cc) OVER (PARTITION BY key ORDER BY ts_sec, seq
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS rm FROM c)
+        |SELECT key, ts_sec, seq, x, CAST(cc - rm AS BIGINT) AS cusum,
+        |  (cc - rm) > 5000 AS is_drift
+        |FROM m ORDER BY key, ts_sec, seq""".stripMargin
   )
 }

@@ -3335,6 +3335,19 @@ object SparkEntry {
       .orderBy("bin")
   }
 
+  /** Fixed-target CUSUM ([[TimeSeries.cusumAt]]): q210's control chart
+    * against an explicit SLO level (target 20) instead of the per-key
+    * mean — the monitoring variant whose recursion also runs at ingest
+    * (`StatefulOps.cusumStream`, drained-parity-pinned). Unscaled value
+    * units; same stacked-window closed form in the oracle.
+    */
+  private def q219(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.cusumAt(Tables.events(s, dir),
+        keyCol = col("event_type"), tsCol = col("ts"),
+        valueCol = col("value"), seqCol = col("event_id"),
+        target = 20L, slack = 20L, threshold = 5000L)
+      .orderBy("key", "ts_sec", "seq")
+
   /** TPC-H Q15 shape (top supplier view): a revenue-per-supplier
     * aggregate subquery reused both as the join input AND inside the
     * scalar `max` — the classic aggregate-view + scalar-subquery
@@ -3659,7 +3672,8 @@ object SparkEntry {
     "q215_record_linkage" -> q215 _,
     "q216_psi_drift" -> q216 _,
     "q217_top_supplier" -> q217 _,
-    "q218_large_volume" -> q218 _
+    "q218_large_volume" -> q218 _,
+    "q219_cusum_at" -> q219 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

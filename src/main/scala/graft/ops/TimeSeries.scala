@@ -424,6 +424,42 @@ object TimeSeries {
     * shuffle — the per-key stats and both running windows share the
     * key partitioning.
     */
+  /** [[cusumDrift]] against an EXPLICIT target level instead of the
+    * per-key mean — the monitoring variant (the target comes from the
+    * baseline/SLO, not from the data) and the batch twin of
+    * `streaming.StatefulOps.cusumStream`, which cannot know a per-key
+    * mean upfront. With a fixed target nothing needs the n-scaling:
+    * `cusum` is in plain value units via the same closed form
+    * `s_i = C_i − min(0, min_j C_j)` over `C_i = Σ(x_j − target −
+    * slack)`, provably equal to Page's recursion
+    * `max(0, s_{i−1} + d_i)` — which is exactly what the streaming twin
+    * runs in state, so drained-stream ≡ batch row for row.
+    */
+  def cusumAt(
+      df: DataFrame,
+      keyCol: Column,
+      tsCol: Column,
+      valueCol: Column,
+      seqCol: Column,
+      target: Long,
+      slack: Long,
+      threshold: Long
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ordered = Window.partitionBy(col("key"))
+      .orderBy(col("ts_sec"), col("seq"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.filter(keyCol.isNotNull && tsCol.isNotNull && valueCol.isNotNull)
+      .select(keyCol.as("key"), unix_timestamp(tsCol).cast("long").as("ts_sec"),
+        seqCol.cast("long").as("seq"), floor(valueCol).cast("long").as("x"))
+      .withColumn("__c",
+        sum(col("x") - lit(target) - lit(slack)).over(ordered))
+      .withColumn("cusum",
+        col("__c") - least(lit(0L), min(col("__c")).over(ordered)))
+      .withColumn("is_drift", col("cusum") > lit(threshold))
+      .select("key", "ts_sec", "seq", "x", "cusum", "is_drift")
+  }
+
   def cusumDrift(
       df: DataFrame,
       keyCol: Column,

@@ -206,6 +206,22 @@ object StatefulOps {
         EwmaTail(List.fill(n)(b.getLong()), b.getLong())
       case v => unknown("EwmaTail", v)
     }
+
+    /** v1: [cusum: i64][horizonMs: i64]. */
+    def encodeCusum(s: CusumState): VersionedState = {
+      val b = ByteBuffer.allocate(16)
+      b.putLong(s.cusum)
+      b.putLong(s.horizonMs)
+      VersionedState(1, b.array())
+    }
+
+    def decodeCusum(s: VersionedState): CusumState = s.version match {
+      case 1 =>
+        if (s.payload.length != 16) corrupt("CusumState", s, null)
+        val b = ByteBuffer.wrap(s.payload)
+        CusumState(b.getLong(), b.getLong())
+      case v => unknown("CusumState", v)
+    }
   }
 
   /** In-memory state of [[nearDupHits]] (stored as [[VersionedState]]
@@ -296,6 +312,14 @@ object StatefulOps {
   case class EwmaEvent(key: Long, v: Long, ord: Long, event_time: Timestamp)
   case class EwmaTail(recent: List[Long], horizonMs: Long)
   case class EwmaOut(key: Long, event_time: Timestamp, ord: Long, v: Long, ewma: Long)
+
+  /** In-memory state of [[cusumStream]] (stored as [[VersionedState]]
+    * payload v1 — see [[StateCodec]]): the running CUSUM statistic plus
+    * the TTL horizon. O(1) per key — the whole point of the recursion.
+    */
+  case class CusumState(cusum: Long, horizonMs: Long)
+  case class CusumOut(key: Long, event_time: Timestamp, ord: Long, v: Long,
+                      cusum: Long, is_drift: Boolean)
 
   /** Streaming funnel tracking — the streaming twin of
     * `ops.Behavior.funnel`: per-user stage times advance as qualifying
@@ -444,6 +468,68 @@ object StatefulOps {
             val horizon = (prior.map(_.horizonMs).toSeq ++
               rs.map(_.event_time.getTime) :+ state.getCurrentWatermarkMs()).max
             state.update(StateCodec.encodeEwma(EwmaTail(recent, horizon)))
+            state.setTimeoutTimestamp(horizon + ttlMs)
+            out.iterator
+          }
+      }
+  }
+
+  /** Streaming CUSUM drift detection — the at-ingest twin of
+    * `ops.TimeSeries.cusumAt`: Page's recursion
+    * `s = max(0, s + (x − target − slack))` runs DIRECTLY in per-key
+    * state (the recursion the batch operator had to closed-form away is
+    * the natural streaming shape), flagging `is_drift` the moment the
+    * statistic crosses `threshold`. Because the recursion and the batch
+    * closed form are algebraically identical and both order on
+    * (floor-seconds, ord), a drained stream equals the batch operator
+    * row for row — pinned in `StatefulOpsSpec`.
+    *
+    * State is TWO longs per key (statistic + TTL horizon) in the
+    * versioned envelope — constant regardless of stream length; keys
+    * idle past `ttlMs` beyond the watermark evict.
+    */
+  def cusumStream(
+      df: DataFrame,
+      target: Long,
+      slack: Long,
+      threshold: Long,
+      keyCol: String = "user_id",
+      tsCol: String = "event_time",
+      valCol: String = "v",
+      ordCol: String = "ord",
+      watermarkDelay: String = "10 seconds",
+      ttlMs: Long = 3600000L
+  ): Dataset[CusumOut] = {
+    import org.apache.spark.sql.functions._
+    import df.sparkSession.implicits._
+    val rows = df
+      .filter(col(tsCol).isNotNull && col(valCol).isNotNull)
+      // floor, not cast: the batch twin floors, and cast truncates
+      // TOWARD ZERO for negative doubles — a silent parity break
+      .select(col(keyCol).as("key"), floor(col(valCol)).cast("long").as("v"),
+        col(ordCol).cast("long").as("ord"), col(tsCol).as("event_time"))
+      .withWatermark("event_time", watermarkDelay)
+      .as[EwmaEvent]
+    rows
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[VersionedState, CusumOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: Long, it: Iterator[EwmaEvent], state: GroupState[VersionedState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val prior = state.getOption.map(StateCodec.decodeCusum)
+            // floor-seconds + ord: the ewmaStream/batch-twin ordering
+            // contract (sub-second timestamps must not reorder parity)
+            val rs = it.toSeq.sortBy(r =>
+              (Math.floorDiv(r.event_time.getTime, 1000L), r.ord))
+            var s = prior.map(_.cusum).getOrElse(0L)
+            val out = rs.map { r =>
+              s = math.max(0L, s + (r.v - target - slack))
+              CusumOut(r.key, r.event_time, r.ord, r.v, s, s > threshold)
+            }
+            val horizon = (prior.map(_.horizonMs).toSeq ++
+              rs.map(_.event_time.getTime) :+ state.getCurrentWatermarkMs()).max
+            state.update(StateCodec.encodeCusum(CusumState(s, horizon)))
             state.setTimeoutTimestamp(horizon + ttlMs)
             out.iterator
           }

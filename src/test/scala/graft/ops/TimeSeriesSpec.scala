@@ -191,6 +191,21 @@ class TimeSeriesSpec extends SparkTestBase {
     assert(got("flat1") == (("flat1", 1L, 4L, 0L, 0L)), s"${got("flat1")}")
   }
 
+  test("cusumAt: fixed-target closed form equals the recursion in value units") {
+    val xs = Seq(5L, 50L, 50L, 5L, 5L, 60L)
+    val rows = xs.zipWithIndex.map { case (x, i) =>
+      ("k", Timestamp.valueOf(f"2024-01-01 00:00:${i}%02d"), x.toDouble, i.toLong)
+    }
+    val got = TimeSeries.cusumAt(rows.toDF("k", "ts", "v", "id"),
+        col("k"), col("ts"), col("v"), col("id"),
+        target = 10L, slack = 5L, threshold = 40L)
+      .orderBy("seq")
+      .as[(String, Long, Long, Long, Long, Boolean)].collect().toList
+    val ref = xs.scanLeft(0L)((s, x) => math.max(0L, s + (x - 10L - 5L))).tail
+    assert(got.map(_._5) == ref, s"${got.map(_._5)} vs $ref")
+    assert(got.map(_._6) == ref.map(_ > 40L))
+  }
+
   test("cusumDrift: closed form equals the clamped recursion; NULLs excluded") {
     // series with a level shift: 10,10,10 then 30,30,30 (mean 20)
     val xs = Seq(10L, 10L, 10L, 30L, 30L, 30L)

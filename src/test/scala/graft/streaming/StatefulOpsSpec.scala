@@ -641,6 +641,56 @@ class StatefulOpsSpec extends SparkTestBase {
       s"drained stream must equal the batch EWMA (${streamed.size} vs ${batch.size} rows)")
   }
 
+  test("cusumStream: single-batch drain matches TimeSeries.cusumAt row for row") {
+    import org.apache.spark.sql.functions.col
+    // scrambled soup over 3 keys, duplicate timestamps, negative values
+    val rows = (0 until 60).map { i =>
+      ((i % 3).toLong, ((i * 23 % 41) - 5).toLong, i.toLong,
+        ts(f"2024-01-01 00:${i * 11 % 60}%02d:${i * 5 % 60}%02d"))
+    }
+    val mem = MemoryStream[(Long, Long, Long, java.sql.Timestamp)](spark)
+    val query = StatefulOps.cusumStream(
+        mem.toDS().toDF("user_id", "v", "ord", "event_time"),
+        target = 8L, slack = 2L, threshold = 30L,
+        watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("cusum_parity").outputMode("append").start()
+    try { mem.addData(rows); query.processAllAvailable() } finally query.stop()
+    val streamed = spark.table("cusum_parity").as[StatefulOps.CusumOut]
+      .collect()
+      .map(o => (o.key, o.event_time.getTime / 1000, o.ord) -> (o.cusum, o.is_drift))
+      .toMap
+    val batch = graft.ops.TimeSeries.cusumAt(
+        rows.toDF("user_id", "v", "ord", "event_time"),
+        col("user_id"), col("event_time"), col("v"), col("ord"),
+        target = 8L, slack = 2L, threshold = 30L)
+      .select("key", "ts_sec", "seq", "cusum", "is_drift")
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+      .map(r => (r._1, r._2, r._3) -> (r._4, r._5)).toMap
+    assert(streamed == batch,
+      s"drained stream must equal batch CUSUM (${streamed.size} vs ${batch.size})")
+    assert(streamed.values.exists(_._2), "fixture must trip at least one alarm")
+  }
+
+  test("cusumStream: state survives across batches (recursion continues, not restarts)") {
+    val mem = MemoryStream[(Long, Long, Long, java.sql.Timestamp)](spark)
+    val query = StatefulOps.cusumStream(
+        mem.toDS().toDF("user_id", "v", "ord", "event_time"),
+        target = 0L, slack = 0L, threshold = 100L,
+        watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("cusum_batches").outputMode("append").start()
+    try {
+      mem.addData(Seq((1L, 40L, 0L, ts("2024-01-01 00:00:01"))))
+      query.processAllAvailable()
+      mem.addData(Seq((1L, 40L, 1L, ts("2024-01-01 00:00:02"))))
+      query.processAllAvailable()
+      mem.addData(Seq((1L, 40L, 2L, ts("2024-01-01 00:00:03"))))
+      query.processAllAvailable()
+    } finally query.stop()
+    val out = spark.table("cusum_batches").as[StatefulOps.CusumOut]
+      .collect().sortBy(_.ord).map(o => (o.cusum, o.is_drift)).toList
+    assert(out == List((40L, false), (80L, false), (120L, true)), s"got $out")
+  }
+
   test("embedNearDupHits: drained hits equal the batch banded rep-verify bit-for-bit") {
     import org.apache.spark.sql.functions._
     import graft.ext.SimSearch
