@@ -3467,6 +3467,38 @@ object OracleSql {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS rm FROM c)
         |SELECT key, ts_sec, seq, x, CAST(cc - rm AS BIGINT) AS cusum,
         |  (cc - rm) > 5000 AS is_drift
-        |FROM m ORDER BY key, ts_sec, seq""".stripMargin
+        |FROM m ORDER BY key, ts_sec, seq""".stripMargin,
+
+    // edges from the CLOSED FORM of q65's URL injection (the engine must
+    // reproduce them through its real extraction + domain folding), then
+    // q124's three unrolled integer PageRank iterations over the
+    // source/domain node space
+    "q220_domain_authority" ->
+      """WITH e AS (
+        |  SELECT DISTINCT source AS src,
+        |    'example' || (doc_id % 7) || '.com' AS dst FROM documents
+        |  UNION
+        |  SELECT DISTINCT source, 'assets' || (doc_id % 5) || '.org'
+        |  FROM documents WHERE doc_id % 3 = 0),
+        | od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+        | nd AS (SELECT DISTINCT src AS node FROM e
+        |   UNION SELECT DISTINCT dst FROM e),
+        | r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nd),
+        | c1 AS (SELECT e.dst AS node, sum(r0.r // od.outdeg) AS s FROM e
+        |   JOIN r0 ON e.src = r0.node JOIN od ON e.src = od.src GROUP BY 1),
+        | r1 AS (SELECT nd.node,
+        |   CAST(150000 + (85 * COALESCE(c1.s, 0)) // 100 AS BIGINT) AS r
+        |   FROM nd LEFT JOIN c1 USING (node)),
+        | c2 AS (SELECT e.dst AS node, sum(r1.r // od.outdeg) AS s FROM e
+        |   JOIN r1 ON e.src = r1.node JOIN od ON e.src = od.src GROUP BY 1),
+        | r2 AS (SELECT nd.node,
+        |   CAST(150000 + (85 * COALESCE(c2.s, 0)) // 100 AS BIGINT) AS r
+        |   FROM nd LEFT JOIN c2 USING (node)),
+        | c3 AS (SELECT e.dst AS node, sum(r2.r // od.outdeg) AS s FROM e
+        |   JOIN r2 ON e.src = r2.node JOIN od ON e.src = od.src GROUP BY 1),
+        | r3 AS (SELECT nd.node,
+        |   CAST(150000 + (85 * COALESCE(c3.s, 0)) // 100 AS BIGINT) AS r
+        |   FROM nd LEFT JOIN c3 USING (node))
+        |SELECT node, r AS rank_ppm FROM r3 ORDER BY node""".stripMargin
   )
 }

@@ -3348,6 +3348,31 @@ object SparkEntry {
         target = 20L, slack = 20L, threshold = 5000L)
       .orderBy("key", "ts_sec", "seq")
 
+  /** Domain-authority composition — the web-graph half of a crawl
+    * pipeline: q65's REAL url-extraction operators build a
+    * source→registrable-domain citation graph, and
+    * [[Graph.pageRankPpm]] ranks it (3 integer iterations). The oracle
+    * does NOT reuse the extraction: it derives the edge list from the
+    * injection's closed form, so a regex/domain-folding regression
+    * breaks the gate even though the graph is small.
+    */
+  private def q220(s: SparkSession, dir: String): DataFrame = {
+    val noisy = concat(col("text"),
+      lit(" see https://www.site.example"), (col("doc_id") % 7).cast("string"),
+      lit(".com/p/"), col("doc_id").cast("string"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" and http://cdn.assets"), (col("doc_id") % 5).cast("string"),
+          lit(".org/img_"), col("doc_id").cast("string"), lit(".png")))
+        .otherwise(lit("")))
+    val edges = Tables.documents(s, dir)
+      .select(col("source"), explode(TextOps.urls(noisy)).as("url"))
+      .select(col("source").as("src"),
+        TextOps.urlDomain(col("url")).as("dst"))
+      .distinct()
+    Graph.pageRankPpm(edges, col("src"), col("dst"), iters = 3)
+      .orderBy("node")
+  }
+
   /** TPC-H Q15 shape (top supplier view): a revenue-per-supplier
     * aggregate subquery reused both as the join input AND inside the
     * scalar `max` — the classic aggregate-view + scalar-subquery
@@ -3673,7 +3698,8 @@ object SparkEntry {
     "q216_psi_drift" -> q216 _,
     "q217_top_supplier" -> q217 _,
     "q218_large_volume" -> q218 _,
-    "q219_cusum_at" -> q219 _
+    "q219_cusum_at" -> q219 _,
+    "q220_domain_authority" -> q220 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

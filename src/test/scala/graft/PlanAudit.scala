@@ -41,7 +41,10 @@ object PlanAudit {
     "q186_fk_audit", // three ONE-row orphan-count broadcasts (one per audited FK)
     "q190_distinctive_tokens", // ONE-row grand-total broadcast onto the vocab cells
     "q197_ann_pq_adc", // corpus × broadcast 16-row PQ codebook, q41's shape
-    "q198_ann_ivf_pq") // corpus × broadcast pivot/codebook frames, q41's shape
+    "q198_ann_ivf_pq", // corpus × broadcast pivot/codebook frames, q41's shape
+    "q206_cluster_purity", // corpus × broadcast pivot centroids, q41's shape
+    "q214_negative_samples", // ONE-row item-universe-size broadcast (modulus)
+    "q216_psi_drift") // ONE-row reference-range + current-total broadcasts
 
   /** Queries whose DESIGN composes several complete pipelines, so their
     * exchange count legitimately exceeds the single-pipeline budget —
