@@ -3499,6 +3499,58 @@ object OracleSql {
         | r3 AS (SELECT nd.node,
         |   CAST(150000 + (85 * COALESCE(c3.s, 0)) // 100 AS BIGINT) AS r
         |   FROM nd LEFT JOIN c3 USING (node))
-        |SELECT node, r AS rank_ppm FROM r3 ORDER BY node""".stripMargin
+        |SELECT node, r AS rank_ppm FROM r3 ORDER BY node""".stripMargin,
+
+    // Q13 distribution: the non-urgent predicate stays in the ON clause
+    // so order-less (or urgent-only) customers survive with n_orders=0
+    "q221_order_distribution" ->
+      """SELECT n_orders, CAST(count(*) AS BIGINT) AS n_customers
+        |FROM (SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS n_orders
+        |      FROM customer c LEFT JOIN orders o
+        |        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+        |      GROUP BY c.c_custkey) t
+        |GROUP BY n_orders
+        |ORDER BY n_customers DESC, n_orders DESC""".stripMargin,
+
+    // Q11 share test division-cleared and scale-invariant:
+    // val * n_suppliers * 20 > total * 21 (above 1.05x the mean share), all DECIMAL
+    "q222_value_share" ->
+      """WITH sv AS (SELECT l_suppkey,
+        |   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |     CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS val
+        |  FROM lineitem GROUP BY l_suppkey)
+        |SELECT l_suppkey, val FROM sv
+        |WHERE val * (SELECT CAST(count(*) AS DECIMAL(18,0)) FROM sv) * 20
+        |    > (SELECT CAST(sum(val) AS DECIMAL(28,4)) * 21 FROM sv)
+        |ORDER BY l_suppkey""".stripMargin,
+
+    // Q19 disjunctive conjunction groups, rolled up per brand
+    "q223_disjunctive_pred" ->
+      """SELECT p_brand,
+        | CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |   (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)))
+        |   AS DECIMAL(18,4)) AS revenue,
+        | CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+        |       AND l_quantity BETWEEN 20 AND 30)
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    // Q16 count-distinct under a NOT IN exclusion (s_suppkey non-null →
+    // plain anti join on both engines)
+    "q224_supplier_relationship" ->
+      """SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+        |  CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE p.p_brand <> 'Brand#1'
+        |  AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+        |  AND l.l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p.p_brand, p.p_type, p.p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
   )
 }

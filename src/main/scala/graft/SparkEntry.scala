@@ -3416,6 +3416,93 @@ object SparkEntry {
         |ORDER BY c_custkey, o_orderkey""".stripMargin)
   }
 
+  /** TPC-H Q13 shape (customer order-count distribution): the predicate
+    * lives in the LEFT JOIN's ON clause — customers with only urgent
+    * orders must still appear with n_orders = 0, so pushing it below
+    * the join as a filter would be WRONG (the Q13 signature Catalyst
+    * must preserve). Double aggregation: count per customer, then the
+    * histogram of those counts. One shuffle per agg, both on small
+    * keys; the outer join shuffles on custkey — textbook at any scale.
+    */
+  private def q221(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir),
+        col("c_custkey") === col("o_custkey") &&
+          col("o_orderpriority") =!= "1-URGENT", "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .groupBy(col("n_orders"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("n_customers").desc, col("n_orders").desc)
+
+  /** TPC-H Q11 shape (important-value share): per-supplier lineitem
+    * value, kept only when it exceeds a fraction of the GLOBAL total — a
+    * scalar subquery over the same aggregate view, the
+    * having-vs-global-fraction decorrelation. TPC-H scales the fraction
+    * by 1/SF for exactly this reason; here the threshold is expressed
+    * scale-invariantly as "more than 1.05× the mean per-supplier value"
+    * (`val·n_suppliers·20 > total·21`), division-cleared over DECIMAL so
+    * boundary suppliers are exact and the result is non-empty at every
+    * SF. DECIMAL sums at (18,4) leave 1e14 headroom over the ~1e9
+    * per-supplier values.
+    */
+  private def q222(s: SparkSession, dir: String): DataFrame = {
+    tpchViews(s, dir)
+    s.sql(
+      """WITH sv AS (SELECT l_suppkey,
+        |   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |     CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS val
+        |  FROM lineitem_v GROUP BY l_suppkey)
+        |SELECT l_suppkey, val FROM sv
+        |WHERE val * (SELECT CAST(count(*) AS DECIMAL(18,0)) FROM sv) * 20
+        |    > (SELECT CAST(sum(val) AS DECIMAL(28,4)) * 21 FROM sv)
+        |ORDER BY l_suppkey""".stripMargin)
+  }
+
+  /** TPC-H Q19 shape (disjunctive brand/size/quantity predicates): three
+    * OR'd conjunction groups spanning BOTH join sides, rolled up per
+    * brand. Catalyst extracts the common `l_partkey = p_partkey`
+    * equi-condition and pushes the per-side disjuncts (`p_brand IN` /
+    * `l_quantity <= 30`) below the join via CNF — the plan stays a hash
+    * join with pruned scans, not a nested-loop filter.
+    */
+  private def q223(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(1, 25) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(1, 35) &&
+          col("l_quantity").between(20, 30)))
+      .groupBy(col("p_brand"))
+      .agg(
+        sum((col("l_extendedprice").cast(dec) * (lit(1).cast(dec) - col("l_discount").cast(dec)))
+          .cast(DecimalType(18, 4))).cast(DecimalType(18, 4)).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("p_brand")
+
+  /** TPC-H Q16 shape (supplier relationship): COUNT(DISTINCT suppkey)
+    * per (brand, type, size) with a NOT IN exclusion subquery —
+    * Catalyst's null-aware anti join (s_suppkey is non-null, so it
+    * plans as a plain anti join) under a distinct aggregate. Size list
+    * pruned to the classic perfect squares.
+    */
+  private def q224(s: SparkSession, dir: String): DataFrame = {
+    tpchViews(s, dir)
+    s.sql(
+      """SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+        |  CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem_v l JOIN part_v p ON p.p_partkey = l.l_partkey
+        |WHERE p.p_brand <> 'Brand#1'
+        |  AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+        |  AND l.l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier_v WHERE s_acctbal < 0)
+        |GROUP BY p.p_brand, p.p_type, p.p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin)
+  }
+
   private def q204(s: SparkSession, dir: String): DataFrame =
     Profile.checkConstraints(Tables.lineitem(s, dir), Seq(
       "discount_range" -> col("l_discount").between(0d, 0.1),
@@ -3699,7 +3786,11 @@ object SparkEntry {
     "q217_top_supplier" -> q217 _,
     "q218_large_volume" -> q218 _,
     "q219_cusum_at" -> q219 _,
-    "q220_domain_authority" -> q220 _
+    "q220_domain_authority" -> q220 _,
+    "q221_order_distribution" -> q221 _,
+    "q222_value_share" -> q222 _,
+    "q223_disjunctive_pred" -> q223 _,
+    "q224_supplier_relationship" -> q224 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all
