@@ -3551,6 +3551,96 @@ object OracleSql {
         |  AND l.l_suppkey NOT IN (
         |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
         |GROUP BY p.p_brand, p.p_type, p.p_size
-        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    // Q3 top-10 open orders; total ORDER BY makes the LIMIT deterministic
+    "q225_shipping_priority" ->
+      """SELECT l_orderkey,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |   (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS revenue,
+        | CAST(floor(epoch(o_orderdate)) AS BIGINT) AS order_date_sec,
+        | o_orderpriority
+        |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        | JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-07-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-07-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, order_date_sec, l_orderkey
+        |LIMIT 10""".stripMargin,
+
+    // Q7 symmetric two-nation pair, both directions kept as groups
+    "q226_volume_shipping" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        | CAST(sum(volume) AS DECIMAL(18,4)) AS revenue
+        |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |       CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |         (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume
+        |      FROM supplier s JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+        |       JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |       JOIN customer c ON c.c_custkey = o.o_custkey
+        |       JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        |       JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        |       JOIN region r1 ON n1.n_regionkey = r1.r_regionkey
+        |       JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+        |      WHERE ((r1.r_name = 'ASIA' AND r2.r_name = 'EUROPE')
+        |          OR (r1.r_name = 'EUROPE' AND r2.r_name = 'ASIA'))
+        |        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |        AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00') sh
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    // Q8 market share in integer ppm: BIGINT 1e-4 volume units, HUGEINT
+    // floor division twin of the operator's DECIMAL(38,0) DIV
+    "q227_market_share" ->
+      """WITH vol AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |   n1.n_name AS supp_nation,
+        |   CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |     (1 - CAST(l_discount AS DECIMAL(18,2))) * 10000 AS BIGINT) AS v_e4
+        |  FROM lineitem l
+        |   JOIN part p ON p.p_partkey = l.l_partkey
+        |   JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |   JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |   JOIN customer c ON c.c_custkey = o.o_custkey
+        |   JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        |   JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        |   JOIN region r ON n2.n_regionkey = r.r_regionkey
+        |  WHERE r.r_name = 'ASIA' AND p.p_type = 'STANDARD')
+        |SELECT o_year,
+        | CAST((CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN v_e4 ELSE 0 END)
+        |   AS HUGEINT) * 1000000) // sum(v_e4) AS BIGINT) AS share_ppm,
+        | CAST(sum(v_e4) AS BIGINT) AS total_e4
+        |FROM vol GROUP BY o_year ORDER BY o_year""".stripMargin,
+
+    // Q10 returned-item reporting, top-20 with a total ORDER BY
+    "q228_returned_items" ->
+      """SELECT c.c_custkey, c.c_name,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |   (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS revenue,
+        | CAST(c.c_acctbal AS DECIMAL(18,2)) AS c_acctbal, n.n_name
+        |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        | JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        | JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+        |  AND l.l_returnflag = 'R'
+        |GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+
+    // Q14 promo share in integer ppm over BIGINT 1e-4 volume units
+    "q229_promo_revenue" ->
+      """WITH v AS (SELECT p_type,
+        |   CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |     (1 - CAST(l_discount AS DECIMAL(18,2))) * 10000 AS BIGINT) AS v_e4
+        |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00')
+        |SELECT
+        | CAST((CAST(sum(CASE WHEN p_type = 'PROMO' THEN v_e4 ELSE 0 END)
+        |   AS HUGEINT) * 1000000) // sum(v_e4) AS BIGINT) AS promo_ppm,
+        | CAST(sum(v_e4) AS BIGINT) AS total_e4
+        |FROM v""".stripMargin
   )
 }

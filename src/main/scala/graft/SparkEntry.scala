@@ -3503,6 +3503,151 @@ object SparkEntry {
         |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin)
   }
 
+  /** TPC-H Q3 shape (shipping priority): segment-filtered customer ⋈
+    * orders ⋈ lineitem with the order-date/ship-date straddle, top-10
+    * open orders by revenue. Catalyst pushes both date predicates and
+    * the segment filter to the scans, the two joins shuffle on custkey
+    * then orderkey, and the LIMIT plans as `TakeOrderedAndProject` —
+    * per-partition top-10 heaps merged on the driver, no global sort at
+    * any scale. Order-date in epoch seconds, total ORDER BY so the
+    * LIMIT boundary is deterministic.
+    */
+  private def q225(s: SparkSession, dir: String): DataFrame = {
+    tpchViews(s, dir)
+    s.sql(
+      """SELECT l_orderkey,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |   (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS revenue,
+        | CAST(unix_timestamp(o_orderdate) AS BIGINT) AS order_date_sec,
+        | o_orderpriority
+        |FROM customer_v c JOIN orders_v o ON c.c_custkey = o.o_custkey
+        | JOIN lineitem_v l ON l.l_orderkey = o.o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-07-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-07-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, order_date_sec, l_orderkey
+        |LIMIT 10""".stripMargin)
+  }
+
+  /** TPC-H Q7 shape (volume shipping): the two-party trade flow —
+    * supplier and customer each resolve through nation to region, and
+    * the symmetric pair predicate `(A,B) OR (B,A)` keeps both
+    * directions as separate groups. The pair is REGION-level (nations
+    * stay the grouping grain) so the query is non-vacuous even at
+    * sf0.001's 10-supplier population — the Q7 signature is the
+    * symmetric disjunction over two lookup sides, not the literal
+    * nation constants. Nation and region joins broadcast (25/5 rows);
+    * the fact-side joins shuffle once each on their natural keys.
+    * Ship-year via `year()` cast to BIGINT on both engines.
+    */
+  private def q226(s: SparkSession, dir: String): DataFrame = {
+    tpchViews(s, dir)
+    s.sql(
+      """SELECT supp_nation, cust_nation, l_year,
+        | CAST(sum(volume) AS DECIMAL(18,4)) AS revenue
+        |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |       CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |         (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume
+        |      FROM supplier_v s JOIN lineitem_v l ON s.s_suppkey = l.l_suppkey
+        |       JOIN orders_v o ON o.o_orderkey = l.l_orderkey
+        |       JOIN customer_v c ON c.c_custkey = o.o_custkey
+        |       JOIN nation_v n1 ON s.s_nationkey = n1.n_nationkey
+        |       JOIN nation_v n2 ON c.c_nationkey = n2.n_nationkey
+        |       JOIN region_v r1 ON n1.n_regionkey = r1.r_regionkey
+        |       JOIN region_v r2 ON n2.n_regionkey = r2.r_regionkey
+        |      WHERE ((r1.r_name = 'ASIA' AND r2.r_name = 'EUROPE')
+        |          OR (r1.r_name = 'EUROPE' AND r2.r_name = 'ASIA'))
+        |        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |        AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00') sh
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin)
+  }
+
+  /** TPC-H Q8 shape (national market share): the share of one supplier
+    * nation's volume within a region+part-type market, per order year.
+    * The share is integer-exact end to end: each line's volume is
+    * materialized in exact 1e-4 units as BIGINT (DECIMAL scale-4
+    * product × 10000), the conditional/total sums stay integral, and
+    * the ppm share is `num·1e6 DIV den` in DECIMAL(38,0) lanes
+    * (HUGEINT `//` on the oracle side) — no double division anywhere,
+    * so the gate is bit-exact, not an epsilon compare. Region and both
+    * nation joins broadcast; the three fact joins shuffle on their
+    * keys — the group-by on year is a 7-row aggregate after map-side
+    * partials at any scale.
+    */
+  private def q227(s: SparkSession, dir: String): DataFrame = {
+    tpchViews(s, dir)
+    s.sql(
+      """WITH vol AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |   n1.n_name AS supp_nation,
+        |   CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |     (1 - CAST(l_discount AS DECIMAL(18,2))) * 10000 AS BIGINT) AS v_e4
+        |  FROM lineitem_v l
+        |   JOIN part_v p ON p.p_partkey = l.l_partkey
+        |   JOIN supplier_v s ON s.s_suppkey = l.l_suppkey
+        |   JOIN orders_v o ON o.o_orderkey = l.l_orderkey
+        |   JOIN customer_v c ON c.c_custkey = o.o_custkey
+        |   JOIN nation_v n1 ON s.s_nationkey = n1.n_nationkey
+        |   JOIN nation_v n2 ON c.c_nationkey = n2.n_nationkey
+        |   JOIN region_v r ON n2.n_regionkey = r.r_regionkey
+        |  WHERE r.r_name = 'ASIA' AND p.p_type = 'STANDARD')
+        |SELECT o_year,
+        | CAST((CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN v_e4 ELSE 0 END)
+        |   AS DECIMAL(38,0)) * 1000000) DIV sum(v_e4) AS BIGINT) AS share_ppm,
+        | CAST(sum(v_e4) AS BIGINT) AS total_e4
+        |FROM vol GROUP BY o_year ORDER BY o_year""".stripMargin)
+  }
+
+  /** TPC-H Q10 shape (returned-item reporting): customers ranked by
+    * revenue lost to returns in one quarter — three fact joins plus a
+    * broadcast nation lookup, top-20 by revenue with a total ORDER BY
+    * so the LIMIT boundary is deterministic (`TakeOrderedAndProject`,
+    * no global sort). Account balance re-cast to DECIMAL(18,2) so the
+    * double column compares exactly.
+    */
+  private def q228(s: SparkSession, dir: String): DataFrame = {
+    tpchViews(s, dir)
+    s.sql(
+      """SELECT c.c_custkey, c.c_name,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |   (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS revenue,
+        | CAST(c.c_acctbal AS DECIMAL(18,2)) AS c_acctbal, n.n_name
+        |FROM customer_v c JOIN orders_v o ON c.c_custkey = o.o_custkey
+        | JOIN lineitem_v l ON l.l_orderkey = o.o_orderkey
+        | JOIN nation_v n ON c.c_nationkey = n.n_nationkey
+        |WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+        |  AND l.l_returnflag = 'R'
+        |GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin)
+  }
+
+  /** TPC-H Q14 shape (promotion effect): the promo share of one month's
+    * part-joined revenue, integer-exact like q227 — volumes in BIGINT
+    * 1e-4 units, ppm share via DECIMAL(38,0) DIV (HUGEINT `//` in the
+    * oracle). One shuffle join lineitem⋈part (part is broadcast-sized
+    * here but the shape survives a non-broadcast part at scale), then a
+    * single-row global aggregate from map-side partials.
+    */
+  private def q229(s: SparkSession, dir: String): DataFrame = {
+    tpchViews(s, dir)
+    s.sql(
+      """WITH v AS (SELECT p_type,
+        |   CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |     (1 - CAST(l_discount AS DECIMAL(18,2))) * 10000 AS BIGINT) AS v_e4
+        |  FROM lineitem_v l JOIN part_v p ON p.p_partkey = l.l_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00')
+        |SELECT
+        | CAST((CAST(sum(CASE WHEN p_type = 'PROMO' THEN v_e4 ELSE 0 END)
+        |   AS DECIMAL(38,0)) * 1000000) DIV sum(v_e4) AS BIGINT) AS promo_ppm,
+        | CAST(sum(v_e4) AS BIGINT) AS total_e4
+        |FROM v""".stripMargin)
+  }
+
   private def q204(s: SparkSession, dir: String): DataFrame =
     Profile.checkConstraints(Tables.lineitem(s, dir), Seq(
       "discount_range" -> col("l_discount").between(0d, 0.1),
@@ -3790,7 +3935,12 @@ object SparkEntry {
     "q221_order_distribution" -> q221 _,
     "q222_value_share" -> q222 _,
     "q223_disjunctive_pred" -> q223 _,
-    "q224_supplier_relationship" -> q224 _
+    "q224_supplier_relationship" -> q224 _,
+    "q225_shipping_priority" -> q225 _,
+    "q226_volume_shipping" -> q226 _,
+    "q227_market_share" -> q227 _,
+    "q228_returned_items" -> q228 _,
+    "q229_promo_revenue" -> q229 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all
