@@ -3641,6 +3641,24 @@ object OracleSql {
         | CAST((CAST(sum(CASE WHEN p_type = 'PROMO' THEN v_e4 ELSE 0 END)
         |   AS HUGEINT) * 1000000) // sum(v_e4) AS BIGINT) AS promo_ppm,
         | CAST(sum(v_e4) AS BIGINT) AS total_e4
-        |FROM v""".stripMargin
+        |FROM v""".stripMargin,
+
+    // plain (un-binned) range join — the binned operator must agree with
+    // the naive O(n*m) formulation exactly; threshold division-cleared
+    "q230_binned_range_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec FROM events),
+        | h AS (SELECT (ts_sec // 3600) * 3600 AS hour_sec,
+        |    CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1),
+        | t AS (SELECT hour_sec, n, sum(n) OVER () AS total,
+        |    count(*) OVER () AS nh FROM h),
+        | busy AS (SELECT hour_sec FROM t WHERE n * nh * 10 > total * 12),
+        | j AS (SELECT b.hour_sec, e.event_id, e.user_id
+        |   FROM busy b JOIN e
+        |     ON e.ts_sec >= b.hour_sec AND e.ts_sec < b.hour_sec + 3600
+        |   WHERE e.event_type = 'purchase')
+        |SELECT hour_sec, CAST(count(*) AS BIGINT) AS n_purchases,
+        | CAST(count(DISTINCT user_id) AS BIGINT) AS n_buyers
+        |FROM j GROUP BY hour_sec ORDER BY hour_sec""".stripMargin
   )
 }

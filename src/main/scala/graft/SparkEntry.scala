@@ -8,7 +8,7 @@ import org.apache.spark.sql.types.DecimalType
 import graft.core.Tables
 import graft.ext.{Bmff, Bpe, Dedup, Multimodal, Png, Quantize, Sampling, SimSearch, TextOps}
 import graft.functions.{Hashing, VectorOps}
-import graft.ops.{AsOfJoin, Behavior, Graph, MarketBasket, Profile, SensorOps, Sketches, Skew, Snapshot, TimeSeries, Windows}
+import graft.ops.{AsOfJoin, Behavior, Graph, IntervalJoin, MarketBasket, Profile, SensorOps, Sketches, Skew, Snapshot, TimeSeries, Windows}
 
 /** Driver contract (SURVEY.md §5, §7): one query per implemented operator,
   * each with an ANSI-SQL DuckDB oracle over the same parquet tables.
@@ -3648,6 +3648,40 @@ object SparkEntry {
         |FROM v""".stripMargin)
   }
 
+  /** Keyless binned range join ([[ops.IntervalJoin.binnedPointJoin]]):
+    * busy hours are detected from the FULL event stream (hourly count
+    * strictly above 1.2× the mean hour, division-cleared to
+    * `n·hours·10 > total·12`), then purchase events are range-joined
+    * back into those hours WITHOUT an equi key — the shape Catalyst can
+    * only nested-loop on its own. The bin quantization (900 s bins, 4
+    * copies per hour interval) turns it into a plain shuffled equi join
+    * on bin id + exact residual filter; `IntervalJoinSpec` pins the
+    * no-BNLJ plan with broadcast disabled. The busy-hour threshold runs
+    * over the bounded hours intermediate (one row per hour), so its
+    * global window is benign by construction.
+    */
+  private def q230(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"),
+      col("event_type"), expr("CAST(unix_timestamp(ts) AS BIGINT)").as("ts_sec"))
+    val hours = ev
+      .select((expr("ts_sec DIV 3600") * 3600L).as("hour_sec"))
+      .groupBy("hour_sec").agg(count(lit(1)).as("n"))
+    val all = Window.partitionBy()
+    val busy = hours
+      .withColumn("total", sum(col("n")).over(all))
+      .withColumn("nh", count(lit(1)).over(all))
+      .filter(col("n") * col("nh") * lit(10L) > col("total") * lit(12L))
+      .select(col("hour_sec"), (col("hour_sec") + 3600L).as("hour_end"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_sec"))
+    IntervalJoin.binnedPointJoin(
+        purchases, "ts_sec", busy, "hour_sec", "hour_end", binSeconds = 900L)
+      .groupBy(col("hour_sec"))
+      .agg(count(lit(1)).as("n_purchases"),
+        countDistinct(col("user_id")).as("n_buyers"))
+      .orderBy("hour_sec")
+  }
+
   private def q204(s: SparkSession, dir: String): DataFrame =
     Profile.checkConstraints(Tables.lineitem(s, dir), Seq(
       "discount_range" -> col("l_discount").between(0d, 0.1),
@@ -3940,7 +3974,8 @@ object SparkEntry {
     "q226_volume_shipping" -> q226 _,
     "q227_market_share" -> q227 _,
     "q228_returned_items" -> q228 _,
-    "q229_promo_revenue" -> q229 _
+    "q229_promo_revenue" -> q229 _,
+    "q230_binned_range_join" -> q230 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all
