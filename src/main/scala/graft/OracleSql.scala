@@ -3659,6 +3659,20 @@ object OracleSql {
         |   WHERE e.event_type = 'purchase')
         |SELECT hour_sec, CAST(count(*) AS BIGINT) AS n_purchases,
         | CAST(count(DISTINCT user_id) AS BIGINT) AS n_buyers
-        |FROM j GROUP BY hour_sec ORDER BY hour_sec""".stripMargin
+        |FROM j GROUP BY hour_sec ORDER BY hour_sec""".stripMargin,
+
+    // from-scratch rebuild the maintained per-user aggregate state:
+    // the protocol's three batch drops + crash/retry arms must land
+    // exactly here (monoid merge ≡ one-shot aggregate)
+    "q231_agg_maintenance" ->
+      """SELECT user_id,
+        | CAST(count(*) AS BIGINT) AS n_events,
+        | CAST(sum(coalesce(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT), 0))
+        |   AS BIGINT) AS sum_value_e2,
+        | CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_purchases,
+        | CAST(min(floor(epoch(ts))) AS BIGINT) AS min_ts_sec,
+        | CAST(max(floor(epoch(ts))) AS BIGINT) AS max_ts_sec
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }

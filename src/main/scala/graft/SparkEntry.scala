@@ -3682,6 +3682,58 @@ object SparkEntry {
       .orderBy("hour_sec")
   }
 
+  /** q231's state dirs, memoized per source dir (the q160/q192/q193
+    * convention: the protocol drive is deterministic, so one build per
+    * JVM; the crash/retry assertions still run on that first build).
+    */
+  private val q231Dirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Incremental aggregate maintenance end state
+    * ([[graft.jobs.AggMaintenance]], the fourth protocol gate after
+    * q160/q192/q193): per-user event aggregates maintained across three
+    * batch drops — including a RETRY of the middle batch after its
+    * commit (must be a detected no-op) and a crash-simulated ORPHAN
+    * version directory before the last batch (must be overwritten, not
+    * trusted) — then the live state is hash-gated against the from-
+    * scratch SQL rebuild over all events. Metrics are the mergeable
+    * monoids: counts, BIGINT centi-unit value sums, min/max seen
+    * seconds.
+    */
+  private def q231(s: SparkSession, dir: String): DataFrame = {
+    import graft.jobs.AggMaintenance
+    import graft.jobs.AggMaintenance.MergeSpec
+    val spec = MergeSpec(
+      keys = Seq("user_id"),
+      sums = Seq("n_events", "sum_value_e2", "n_purchases"),
+      mins = Seq("min_ts_sec"),
+      maxs = Seq("max_ts_sec"))
+    val stateDir = q231Dirs.computeIfAbsent(dir, _ => {
+      val st = java.nio.file.Files
+        .createTempDirectory("graft_q231_state_").toString
+      val metricRows = Tables.events(s, dir).select(
+        col("user_id"),
+        lit(1L).as("n_events"),
+        coalesce(expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"),
+          lit(0L)).as("sum_value_e2"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("n_purchases"),
+        expr("CAST(unix_timestamp(ts) AS BIGINT)").as("min_ts_sec"),
+        expr("CAST(unix_timestamp(ts) AS BIGINT)").as("max_ts_sec"))
+      def batch(b: Int) = metricRows.filter(pmod(col("user_id"), lit(3L)) === b)
+      require(AggMaintenance.applyBatch(s, batch(0), st, "drop-0", spec))
+      require(AggMaintenance.applyBatch(s, batch(1), st, "drop-1", spec))
+      require(!AggMaintenance.applyBatch(s, batch(1), st, "drop-1", spec),
+        "committed-batch retry must be a no-op")
+      // crash simulation: a dead writer left a garbage orphan version
+      val orphan = batch(0).limit(1)
+      orphan.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$st/v3/agg")
+      require(AggMaintenance.applyBatch(s, batch(2), st, "drop-2", spec))
+      st
+    })
+    AggMaintenance.current(s, stateDir).get.orderBy("user_id")
+  }
+
   private def q204(s: SparkSession, dir: String): DataFrame =
     Profile.checkConstraints(Tables.lineitem(s, dir), Seq(
       "discount_range" -> col("l_discount").between(0d, 0.1),
@@ -3975,7 +4027,8 @@ object SparkEntry {
     "q227_market_share" -> q227 _,
     "q228_returned_items" -> q228 _,
     "q229_promo_revenue" -> q229 _,
-    "q230_binned_range_join" -> q230 _
+    "q230_binned_range_join" -> q230 _,
+    "q231_agg_maintenance" -> q231 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

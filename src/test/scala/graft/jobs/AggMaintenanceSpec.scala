@@ -1,0 +1,77 @@
+package graft.jobs
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkTestBase
+import org.apache.spark.sql.DataFrame
+import graft.jobs.AggMaintenance.MergeSpec
+
+class AggMaintenanceSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val spec = MergeSpec(
+    keys = Seq("k"),
+    sums = Seq("n", "s"),
+    mins = Seq("lo"),
+    maxs = Seq("hi"))
+
+  // (k, n=1, s, lo, hi) rows; lo/hi start as the row's own value
+  private def rows(data: (String, Long)*): DataFrame =
+    data.map { case (k, v) => (k, 1L, v, v, v) }.toDF("k", "n", "s", "lo", "hi")
+
+  private def stateOf(dir: String): Map[String, (Long, Long, Long, Long)] =
+    AggMaintenance.current(spark, dir).get
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map { case (k, n, s, lo, hi) => k -> (n, s, lo, hi) }.toMap
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_aggmaint_").toString
+
+  test("split invariance: any batching of the rows yields the one-batch state") {
+    val all = Seq(("a", 5L), ("a", -2L), ("b", 7L), ("c", 0L), ("a", 9L), ("b", 1L))
+    val whole = tmp()
+    AggMaintenance.applyBatch(spark, rows(all: _*), whole, "b0", spec)
+    val expected = stateOf(whole)
+    assert(expected("a") == (3L, 12L, -2L, 9L))
+
+    for (cut <- Seq(1, 3, 5)) {
+      val dir = tmp()
+      AggMaintenance.applyBatch(spark, rows(all.take(cut): _*), dir, "b0", spec)
+      AggMaintenance.applyBatch(spark, rows(all.drop(cut): _*), dir, "b1", spec)
+      assert(stateOf(dir) == expected, s"cut=$cut")
+    }
+  }
+
+  test("retry of a committed batch is a detected no-op: false, version and state untouched") {
+    val dir = tmp()
+    assert(AggMaintenance.applyBatch(spark, rows(("a", 1L)), dir, "b0", spec))
+    val before = stateOf(dir)
+    val pointer = Files.readString(Paths.get(dir, "_CURRENT"))
+    assert(!AggMaintenance.applyBatch(spark, rows(("a", 1L)), dir, "b0", spec))
+    assert(Files.readString(Paths.get(dir, "_CURRENT")) == pointer)
+    assert(stateOf(dir) == before)
+  }
+
+  test("crash before the pointer flip: orphan version dir is overwritten by the retry") {
+    val dir = tmp()
+    AggMaintenance.applyBatch(spark, rows(("a", 1L)), dir, "b0", spec)
+    // a crashed attempt wrote (possibly garbage) v2 but never flipped
+    Seq(("zz", 99L, 99L, 99L, 99L)).toDF("k", "n", "s", "lo", "hi")
+      .write.parquet(s"$dir/v2/agg")
+    assert(Files.readString(Paths.get(dir, "_CURRENT")).trim == "v1")
+    assert(AggMaintenance.applyBatch(spark, rows(("b", 2L)), dir, "b1", spec))
+    assert(Files.readString(Paths.get(dir, "_CURRENT")).trim == "v2")
+    assert(stateOf(dir) == Map("a" -> (1L, 1L, 1L, 1L), "b" -> (1L, 2L, 2L, 2L)))
+  }
+
+  test("keys only in state or only in batch survive the outer-join merge") {
+    val dir = tmp()
+    AggMaintenance.applyBatch(spark, rows(("old", 3L)), dir, "b0", spec)
+    AggMaintenance.applyBatch(spark, rows(("new", 4L)), dir, "b1", spec)
+    assert(stateOf(dir) == Map("old" -> (1L, 3L, 3L, 3L), "new" -> (1L, 4L, 4L, 4L)))
+  }
+
+  test("current is None before any batch") {
+    assert(AggMaintenance.current(spark, tmp()).isEmpty)
+  }
+}
