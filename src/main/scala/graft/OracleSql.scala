@@ -3673,6 +3673,30 @@ object OracleSql {
         |   AS BIGINT) AS n_purchases,
         | CAST(min(floor(epoch(ts))) AS BIGINT) AS min_ts_sec,
         | CAST(max(floor(epoch(ts))) AS BIGINT) AS max_ts_sec
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // rebuild the v2->v3 change feed from scratch: users touched by
+    // drop 2 (event_id % 3 = 2), classified insert/update by whether
+    // they existed before, carrying the final (v3) metric values —
+    // n_events strictly grows for every touched user, so "touched"
+    // coincides with the operator's "any metric differs"
+    "q232_agg_changes" ->
+      """WITH all_m AS (SELECT user_id,
+        |   CAST(count(*) AS BIGINT) AS n_events,
+        |   CAST(sum(coalesce(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT), 0))
+        |     AS BIGINT) AS sum_value_e2,
+        |   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |     AS BIGINT) AS n_purchases,
+        |   CAST(min(floor(epoch(ts))) AS BIGINT) AS min_ts_sec,
+        |   CAST(max(floor(epoch(ts))) AS BIGINT) AS max_ts_sec
+        |  FROM events GROUP BY user_id),
+        | old_u AS (SELECT DISTINCT user_id FROM events WHERE event_id % 3 <> 2),
+        | new_u AS (SELECT DISTINCT user_id FROM events WHERE event_id % 3 = 2)
+        |SELECT a.user_id,
+        | CASE WHEN o.user_id IS NULL THEN 'insert' ELSE 'update' END AS op,
+        | a.n_events, a.sum_value_e2, a.n_purchases, a.min_ts_sec, a.max_ts_sec
+        |FROM all_m a JOIN new_u nu ON a.user_id = nu.user_id
+        | LEFT JOIN old_u o ON a.user_id = o.user_id
+        |ORDER BY a.user_id""".stripMargin
   )
 }

@@ -3718,8 +3718,13 @@ object SparkEntry {
           lit(0L)).as("sum_value_e2"),
         when(col("event_type") === "purchase", 1L).otherwise(0L).as("n_purchases"),
         expr("CAST(unix_timestamp(ts) AS BIGINT)").as("min_ts_sec"),
-        expr("CAST(unix_timestamp(ts) AS BIGINT)").as("max_ts_sec"))
-      def batch(b: Int) = metricRows.filter(pmod(col("user_id"), lit(3L)) === b)
+        expr("CAST(unix_timestamp(ts) AS BIGINT)").as("max_ts_sec"),
+        col("event_id"))
+      // split by EVENT, not user: most users span several drops, so the
+      // outer-join combine arms (sum-add, min/max fold) actually fire on
+      // overlapping keys instead of degenerating to disjoint unions
+      def batch(b: Int) = metricRows
+        .filter(pmod(col("event_id"), lit(3L)) === b).drop("event_id")
       require(AggMaintenance.applyBatch(s, batch(0), st, "drop-0", spec))
       require(AggMaintenance.applyBatch(s, batch(1), st, "drop-1", spec))
       require(!AggMaintenance.applyBatch(s, batch(1), st, "drop-1", spec),
@@ -3732,6 +3737,30 @@ object SparkEntry {
       st
     })
     AggMaintenance.current(s, stateDir).get.orderBy("user_id")
+  }
+
+  /** Change data feed over the maintained aggregate state
+    * ([[graft.jobs.AggMaintenance.changes]]): the version directories
+    * q231 left behind ARE time travel, and this reads the v2→v3 diff —
+    * exactly the third batch drop's contribution. A user whose every
+    * event sits in drop 2 emits as `insert`; a user with events in
+    * earlier drops emits as `update` (their sums/extrema moved);
+    * untouched users are filtered out. The oracle rebuilds the same
+    * feed from scratch: per-user aggregates over drops {0,1} vs all
+    * three, joined and classified. Runs q231's protocol drive first
+    * (memoized), so the gate also re-asserts its crash/retry arms.
+    */
+  private def q232(s: SparkSession, dir: String): DataFrame = {
+    import graft.jobs.AggMaintenance
+    import graft.jobs.AggMaintenance.MergeSpec
+    q231(s, dir) // ensure the protocol ran and the state dir exists
+    val spec = MergeSpec(
+      keys = Seq("user_id"),
+      sums = Seq("n_events", "sum_value_e2", "n_purchases"),
+      mins = Seq("min_ts_sec"),
+      maxs = Seq("max_ts_sec"))
+    AggMaintenance.changes(s, q231Dirs.get(dir), fromV = 2, toV = 3, spec)
+      .orderBy("user_id")
   }
 
   private def q204(s: SparkSession, dir: String): DataFrame =
@@ -4028,7 +4057,8 @@ object SparkEntry {
     "q228_returned_items" -> q228 _,
     "q229_promo_revenue" -> q229 _,
     "q230_binned_range_join" -> q230 _,
-    "q231_agg_maintenance" -> q231 _
+    "q231_agg_maintenance" -> q231 _,
+    "q232_agg_changes" -> q232 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

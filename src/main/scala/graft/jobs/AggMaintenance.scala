@@ -133,4 +133,47 @@ object AggMaintenance {
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     true
   }
+
+  /** Change data feed between two retained versions of the state — the
+    * CDC view a downstream consumer (cache invalidation, search-index
+    * refresh, reverse ETL) reads instead of diffing full snapshots
+    * itself. Version directories ARE the time travel; this walks two of
+    * them with one key-partitioned full-outer join and emits one row
+    * per key whose metrics changed:
+    *   `op = 'insert'` (key absent at `fromV`), `'update'` (any metric
+    *   differs), `'delete'` (key absent at `toV` — unreachable under
+    *   pure folding, which never drops keys, but emitted for state
+    *   produced by retention/GDPR rewrites). Unchanged keys are
+    *   filtered out. Columns: keys, `op`, then the `toV` metric values
+    *   (NULL on delete). `fromV = 0` means "before anything": every key
+    *   emits as an insert.
+    */
+  def changes(
+      spark: SparkSession,
+      stateDir: String,
+      fromV: Int,
+      toV: Int,
+      spec: MergeSpec
+  ): DataFrame = {
+    require(0 <= fromV && fromV < toV && toV <= currentVersion(stateDir),
+      s"need 0 <= fromV < toV <= current, got $fromV -> $toV")
+    val newer = spark.read.parquet(s"$stateDir/v$toV/agg")
+    val older =
+      if (fromV == 0) newer.limit(0)
+      else spark.read.parquet(s"$stateDir/v$fromV/agg")
+    val o = spec.metrics.foldLeft(older)((d, c) => d.withColumnRenamed(c, s"__o_$c"))
+      .withColumn("__o_present", lit(true))
+    val n = spec.metrics.foldLeft(newer)((d, c) => d.withColumnRenamed(c, s"__n_$c"))
+      .withColumn("__n_present", lit(true))
+    val differs = spec.metrics
+      .map(c => !(col(s"__o_$c") <=> col(s"__n_$c"))).reduce(_ || _)
+    o.join(n, spec.keys, "full_outer")
+      .withColumn("op",
+        when(col("__o_present").isNull, lit("insert"))
+          .when(col("__n_present").isNull, lit("delete"))
+          .when(differs, lit("update")))
+      .filter(col("op").isNotNull)
+      .select(spec.keys.map(col) ++ (col("op") +:
+        spec.metrics.map(c => col(s"__n_$c").as(c))): _*)
+  }
 }

@@ -74,4 +74,31 @@ class AggMaintenanceSpec extends SparkTestBase {
   test("current is None before any batch") {
     assert(AggMaintenance.current(spark, tmp()).isEmpty)
   }
+
+  test("changes: inserts for new keys, updates for changed metrics, unchanged filtered") {
+    val dir = tmp()
+    AggMaintenance.applyBatch(spark, rows(("a", 5L), ("b", 7L)), dir, "b0", spec)
+    AggMaintenance.applyBatch(spark, rows(("a", 1L), ("c", 2L)), dir, "b1", spec)
+    val cdc = AggMaintenance.changes(spark, dir, 1, 2, spec)
+      .as[(String, String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(cdc.keySet == Set("a", "c")) // b unchanged -> filtered
+    assert(cdc("a") == (("a", "update", 2L, 6L, 1L, 5L)))
+    assert(cdc("c") == (("c", "insert", 1L, 2L, 2L, 2L)))
+
+    // fromV = 0: everything is an insert, values = the version's state
+    val fromZero = AggMaintenance.changes(spark, dir, 0, 1, spec)
+      .as[(String, String, Long, Long, Long, Long)].collect().toSet
+    assert(fromZero == Set(("a", "insert", 1L, 5L, 5L, 5L),
+      ("b", "insert", 1L, 7L, 7L, 7L)))
+  }
+
+  test("changes rejects out-of-range version pairs") {
+    val dir = tmp()
+    AggMaintenance.applyBatch(spark, rows(("a", 1L)), dir, "b0", spec)
+    intercept[IllegalArgumentException](
+      AggMaintenance.changes(spark, dir, 1, 1, spec))
+    intercept[IllegalArgumentException](
+      AggMaintenance.changes(spark, dir, 0, 2, spec))
+  }
 }
