@@ -134,6 +134,32 @@ object AggMaintenance {
     true
   }
 
+  /** At-ingest twin: maintain the state from a STREAM of fact rows
+    * (pre-projected to `spec.keys ++ spec.metrics` like [[applyBatch]])
+    * through `foreachBatch`. `foreachBatch` is at-least-once — after a
+    * crash between the state commit and the checkpoint commit, the same
+    * epoch replays — but the epoch id becomes the ledger batch id, so
+    * the replay is detected and skipped: the ledger turns Spark's
+    * at-least-once into exactly-once state maintenance, the same
+    * end-to-end idempotence `DimensionSync` gets from its commit
+    * markers. Restarting from the checkpoint resumes the epoch
+    * sequence; `StreamingAggMaintenanceSpec` pins cross-restart state
+    * equality with the one-shot batch aggregate.
+    */
+  def maintainStream(
+      facts: DataFrame,
+      stateDir: String,
+      checkpointDir: String,
+      spec: MergeSpec
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    facts.writeStream
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        applyBatch(batch.sparkSession, batch, stateDir, s"epoch-$epochId", spec)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
   /** Change data feed between two retained versions of the state — the
     * CDC view a downstream consumer (cache invalidation, search-index
     * refresh, reverse ETL) reads instead of diffing full snapshots
