@@ -3697,6 +3697,34 @@ object OracleSql {
         | a.n_events, a.sum_value_e2, a.n_purchases, a.min_ts_sec, a.max_ts_sec
         |FROM all_m a JOIN new_u nu ON a.user_id = nu.user_id
         | LEFT JOIN old_u o ON a.user_id = o.user_id
-        |ORDER BY a.user_id""".stripMargin
+        |ORDER BY a.user_id""".stripMargin,
+
+    // the PPJoin prefix filter replayed end to end: df table, global
+    // (df, hash) order, prefix length n - ceil(7n/10) + 1 in integer
+    // ceil division, bucket pairs from prefix shingles only, exact
+    // list_intersect verify with the division-cleared threshold
+    "q233_jaccard_prefix" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text,' ') AS l FROM documents),
+         | sets AS (SELECT doc_id AS id,
+         |    list_sort(list_distinct(list_transform($trigrams,
+         |      s -> ('0x'||substr(md5('0:'||s),1,8))::BIGINT))) AS hs
+         |   FROM d),
+         | sized AS (SELECT id, hs, len(hs) AS n FROM sets WHERE len(hs) > 0),
+         | sh AS (SELECT id, unnest(hs) AS h FROM sized),
+         | df AS (SELECT h, count(*) AS dd FROM sh GROUP BY 1),
+         | ranked AS (SELECT id, h,
+         |    row_number() OVER (PARTITION BY id ORDER BY dd, h) AS rk
+         |   FROM sh JOIN df USING (h)),
+         | prefix AS (SELECT r.id, r.h FROM ranked r JOIN sized s ON r.id = s.id
+         |   WHERE r.rk <= s.n - (7 * s.n + 9) // 10 + 1),
+         | cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |   FROM prefix a JOIN prefix b ON a.h = b.h AND a.id < b.id),
+         | v AS (SELECT id_a, id_b,
+         |    len(list_intersect(sa.hs, sb.hs)) AS inter, sa.n AS na, sb.n AS nb
+         |   FROM cand JOIN sized sa ON id_a = sa.id JOIN sized sb ON id_b = sb.id)
+         |SELECT id_a, id_b,
+         | CAST((inter * 1000000) // (na + nb - inter) AS BIGINT) AS jaccard_ppm
+         |FROM v WHERE inter * 10 >= 7 * (na + nb - inter)
+         |ORDER BY id_a, id_b""".stripMargin
   )
 }

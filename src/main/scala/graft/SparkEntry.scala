@@ -3763,6 +3763,20 @@ object SparkEntry {
       .orderBy("user_id")
   }
 
+  /** Prefix-filtered exact Jaccard join
+    * ([[graft.ext.Dedup.jaccardPairsPrefix]]): the PPJoin prefix filter
+    * — candidates only from each document's rarest
+    * `n − ⌈0.7n⌉ + 1` shingles under the global (df, hash) order,
+    * provably complete for J ≥ 0.7 — then an exact array-intersect
+    * verify with a division-cleared threshold. The oracle replays the
+    * whole algorithm (df table, prefix ranks, bucket pairs, exact
+    * intersect), so the prefix-length rule itself is value-gated;
+    * completeness vs brute force is pinned in `DedupSpec`.
+    */
+  private def q233(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairsPrefix(Tables.documents(s, dir), thresholdTenths = 7)
+      .orderBy("id_a", "id_b")
+
   private def q204(s: SparkSession, dir: String): DataFrame =
     Profile.checkConstraints(Tables.lineitem(s, dir), Seq(
       "discount_range" -> col("l_discount").between(0d, 0.1),
@@ -4058,7 +4072,8 @@ object SparkEntry {
     "q229_promo_revenue" -> q229 _,
     "q230_binned_range_join" -> q230 _,
     "q231_agg_maintenance" -> q231 _,
-    "q232_agg_changes" -> q232 _
+    "q232_agg_changes" -> q232 _,
+    "q233_jaccard_prefix" -> q233 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

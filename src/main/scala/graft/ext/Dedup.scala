@@ -556,6 +556,80 @@ object Dedup {
           .cast("long").as("containment_ppm"))
   }
 
+  /** Prefix-filtered exact set-similarity join (the PPJoin family's
+    * prefix filter, Chaudhuri/Xiao et al.) — EXACT Jaccard pairs at
+    * threshold `thresholdTenths/10` with a candidate stage that is
+    * provably complete yet touches only each document's RAREST
+    * shingles.
+    *
+    * The filter: order every shingle hash by the global total order
+    * (document frequency ascending, hash ascending) and keep each
+    * document's first `|s| − ⌈t·|s|⌉ + 1` shingles as its PREFIX. Two
+    * sets with `J ≥ t` overlap in more than `|A∪B| − ⌈t·|A∪B|⌉`
+    * elements, so under ANY common total order their prefixes must
+    * intersect — sharing only post-prefix (frequent) shingles caps the
+    * overlap below the threshold. Candidates therefore come from
+    * prefix-shingle buckets alone: the viral boilerplate shingle that
+    * makes the plain bucket join quadratic sits at the END of the
+    * order and lands in a prefix only for documents with almost no
+    * rare shingles. `DedupSpec` pins equality with the brute-force
+    * join across thresholds AND the candidate-count reduction.
+    *
+    * Everything is integer-exact: the threshold test is the
+    * division-cleared `inter·10 ≥ t₁₀·(nA+nB−inter)` and sizes/
+    * intersections are counted over the 32-bit shingle hashes (a
+    * cross-doc hash collision merges two shingles for df/verify alike;
+    * the oracle hashes identically, q35's convention).
+    *
+    * 100 TB shape: one shuffle for df (shingle-grain aggregate), one
+    * doc-partitioned window for the prefix ranks, a bucket join over
+    * prefix shingles only, and a verify join that moves each CANDIDATE
+    * document's hash array once. No all-pairs stage anywhere; the
+    * verify stays exact because the full hash sets (not the prefixes)
+    * drive the intersection.
+    */
+  def jaccardPairsPrefix(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleN: Int = 3,
+      thresholdTenths: Int = 7
+  ): DataFrame = {
+    require(thresholdTenths >= 1 && thresholdTenths <= 10,
+      s"thresholdTenths must be in [1,10], got $thresholdTenths")
+    val t = thresholdTenths
+    val sets = docs
+      .select(col(idCol).as("id"),
+        array_sort(array_distinct(transform(
+          TextOps.shingleSet(col(textCol), shingleN),
+          s => Hashing.md5Hash32(0, s)))).as("hs"))
+      .withColumn("n", size(col("hs")))
+      .filter(col("n") > 0)
+    val sh = sets.select(col("id"), explode(col("hs")).as("h"))
+    val df = sh.groupBy("h").agg(count(lit(1)).as("d"))
+    val ranked = sh.join(df, "h")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("d"), col("h"))))
+    val prefix = ranked
+      .join(sets.select(col("id"), col("n")), "id")
+      // prefix length n − ⌈t·n/10⌉ + 1, ceil division in integers
+      .filter(col("rk") <= col("n") - expr(s"($t * n + 9) DIV 10") + lit(1))
+      .select(col("id"), col("h"))
+    val candidates = prefix.groupBy("h")
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .transform(explodePairs)
+      .distinct()
+    candidates
+      .join(sets.select(col("id").as("id_a"), col("hs").as("hs_a"), col("n").as("na")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("hs").as("hs_b"), col("n").as("nb")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))))
+      .filter(col("inter") * lit(10L) >= lit(t.toLong) * (col("na") + col("nb") - col("inter")))
+      .select(col("id_a"), col("id_b"),
+        floor(col("inter") * lit(1000000L) / (col("na") + col("nb") - col("inter")))
+          .cast("long").as("jaccard_ppm"))
+  }
+
   /** Cross-source n-gram overlap matrix — provenance/leakage analysis
     * at the SOURCE level: for every source pair, the number of shared
     * distinct word `shingleN`-gram fingerprints plus integer Jaccard

@@ -191,6 +191,65 @@ class DedupSpec extends SparkTestBase {
     assert(totalCandidates >= distinctPairs)
   }
 
+  test("jaccardPairsPrefix equals the brute-force exact join across thresholds") {
+    // 40 varied docs: duplicate pairs, near pairs at several overlap
+    // levels, and unrelated docs sharing only frequent filler shingles
+    val varied = (0L until 40L).map { i =>
+      val fam = i % 4
+      val words = (0 until 12).map { j =>
+        if (j < (i % 7)) s"shared_f${fam}_$j" else s"own_${i}_$j"
+      }
+      (i, words.mkString(" ") + " common filler tail here")
+    }
+    val all = varied.toDF("doc_id", "text")
+    for (t10 <- Seq(3, 5, 7, 9)) {
+      // brute force: every doc pair, exact Jaccard over distinct hashed
+      // shingles — the ground truth the prefix filter must reproduce
+      val sets = all.select(col("doc_id").as("id"),
+        org.apache.spark.sql.functions.array_distinct(
+          org.apache.spark.sql.functions.transform(
+            TextOps.shingleSet(col("text"), 3),
+            s => graft.functions.Hashing.md5Hash32(0, s))).as("hs"))
+      val a = sets.select(col("id").as("id_a"), col("hs").as("hs_a"))
+      val b = sets.select(col("id").as("id_b"), col("hs").as("hs_b"))
+      val brute = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .withColumn("inter", org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.array_intersect(col("hs_a"), col("hs_b"))))
+        .withColumn("na", org.apache.spark.sql.functions.size(col("hs_a")))
+        .withColumn("nb", org.apache.spark.sql.functions.size(col("hs_b")))
+        .filter(col("inter") * 10 >= (col("na") + col("nb") - col("inter")) * t10)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val got = Dedup.jaccardPairsPrefix(all, thresholdTenths = t10)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(got == brute, s"t=$t10/10: prefix join diverged from brute force")
+    }
+  }
+
+  test("jaccardPairsPrefix ppm values match jaccardPairs on the shared fixture") {
+    val prefix = Dedup.jaccardPairsPrefix(docs, thresholdTenths = 5)
+      .as[(Long, Long, Long)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    val plain = Dedup.jaccardPairs(docs, threshold = 0.5,
+        maxBucketSize = Int.MaxValue)
+      .as[(Long, Long, Long)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    assert(prefix == plain)
+    assert(prefix((0L, 1L)) == 1000000L)
+  }
+
+  test("jaccardPairsPrefix prefix candidates exclude pairs sharing only frequent shingles") {
+    // 20 docs all ending in the same viral boilerplate; only docs 0/1
+    // truly near-dup. The boilerplate shingles have df=20 (the global
+    // maximum), so they sort LAST and stay out of every prefix at t=0.7
+    // — no candidate explosion, yet the true pair survives.
+    val viral = (0L until 20L).map { i =>
+      val own = if (i <= 1) "alpha beta gamma delta epsilon zeta"
+        else s"u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f"
+      (i, s"$own same viral boilerplate trailer text")
+    }.toDF("doc_id", "text")
+    val got = Dedup.jaccardPairsPrefix(viral, thresholdTenths = 7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((0L, 1L)))
+  }
+
   test("jaccardPairs computes exact trigram Jaccard (ppm)") {
     val pairs = Dedup.jaccardPairs(docs, threshold = 0.1)
       .as[(Long, Long, Long)].collect().map(p => (p._1, p._2) -> p._3).toMap
