@@ -3725,6 +3725,38 @@ object OracleSql {
          |SELECT id_a, id_b,
          | CAST((inter * 1000000) // (na + nb - inter) AS BIGINT) AS jaccard_ppm
          |FROM v WHERE inter * 10 >= 7 * (na + nb - inter)
-         |ORDER BY id_a, id_b""".stripMargin
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // the generalization walk replayed: class counts at each of the 4
+    // ladder levels, first level whose min class size reaches k=3 wins
+    // (fallback: last level); // floors exact cents like the operator's
+    // (x - pmod) DIV spelling
+    "q234_k_anonymity" ->
+      """WITH c AS (SELECT c_mktsegment AS seg,
+        |    CAST(c_nationkey AS BIGINT) AS nat,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM customer),
+        | l0 AS (SELECT seg, nat AS geo, cents // 10000 AS bal,
+        |    CAST(count(*) AS BIGINT) AS n FROM c GROUP BY 1,2,3),
+        | l1 AS (SELECT seg, nat AS geo, cents // 100000 AS bal,
+        |    CAST(count(*) AS BIGINT) AS n FROM c GROUP BY 1,2,3),
+        | l2 AS (SELECT seg, nat // 5 AS geo,
+        |    CASE WHEN cents >= 0 THEN 1 ELSE 0 END AS bal,
+        |    CAST(count(*) AS BIGINT) AS n FROM c GROUP BY 1,2,3),
+        | l3 AS (SELECT seg, CAST(-1 AS BIGINT) AS geo, CAST(0 AS BIGINT) AS bal,
+        |    CAST(count(*) AS BIGINT) AS n FROM c GROUP BY 1,2,3),
+        | pick AS (SELECT CASE
+        |    WHEN (SELECT min(n) FROM l0) >= 3 THEN 0
+        |    WHEN (SELECT min(n) FROM l1) >= 3 THEN 1
+        |    WHEN (SELECT min(n) FROM l2) >= 3 THEN 2
+        |    ELSE 3 END AS lvl),
+        | u AS (SELECT 0 AS lvl, * FROM l0 UNION ALL
+        |       SELECT 1, * FROM l1 UNION ALL
+        |       SELECT 2, * FROM l2 UNION ALL
+        |       SELECT 3, * FROM l3)
+        |SELECT seg, CAST(geo AS BIGINT) AS geo, CAST(bal AS BIGINT) AS bal,
+        | n, CAST(lvl AS BIGINT) AS level
+        |FROM u WHERE lvl = (SELECT lvl FROM pick)
+        |ORDER BY seg, geo, bal""".stripMargin
   )
 }

@@ -3777,6 +3777,36 @@ object SparkEntry {
     Dedup.jaccardPairsPrefix(Tables.documents(s, dir), thresholdTenths = 7)
       .orderBy("id_a", "id_b")
 
+  /** k-anonymity generalization ladder ([[ops.Profile.kAnonymize]]):
+    * customer quasi-identifiers (segment, nation, balance bucket)
+    * walked through four pre-declared coarseness levels — finer
+    * balance buckets → coarser → region + sign → geography/balance
+    * suppressed — and the FIRST level where every equivalence class
+    * reaches k=3 is released. The chosen level varies by SF (more
+    * customers ⇒ finer release), so the oracle replays the whole walk:
+    * per-level class counts, min-class-size tests, first-accepting
+    * pick with last-level fallback. Balance bucketing is floor
+    * division over exact cents (portable `(x − pmod) DIV` ≡ DuckDB
+    * `//`), so no double boundary can flip a class.
+    */
+  private def q234(s: SparkSession, dir: String): DataFrame = {
+    val cents = expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)")
+    def floorDiv(m: Long) = expr(
+      s"(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) - " +
+        s"pmod(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT), $m)) DIV $m")
+    Profile.kAnonymize(
+      Tables.customer(s, dir),
+      names = Seq("seg", "geo", "bal"),
+      levels = Seq(
+        Seq(col("c_mktsegment"), col("c_nationkey"), floorDiv(10000L)),
+        Seq(col("c_mktsegment"), col("c_nationkey"), floorDiv(100000L)),
+        Seq(col("c_mktsegment"), expr("c_nationkey DIV 5"),
+          when(cents >= 0L, 1L).otherwise(0L)),
+        Seq(col("c_mktsegment"), lit(-1L), lit(0L))),
+      k = 3L)
+      .orderBy("seg", "geo", "bal")
+  }
+
   private def q204(s: SparkSession, dir: String): DataFrame =
     Profile.checkConstraints(Tables.lineitem(s, dir), Seq(
       "discount_range" -> col("l_discount").between(0d, 0.1),
@@ -4073,7 +4103,8 @@ object SparkEntry {
     "q230_binned_range_join" -> q230 _,
     "q231_agg_maintenance" -> q231 _,
     "q232_agg_changes" -> q232 _,
-    "q233_jaccard_prefix" -> q233 _
+    "q233_jaccard_prefix" -> q233 _,
+    "q234_k_anonymity" -> q234 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

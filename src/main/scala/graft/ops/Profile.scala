@@ -292,6 +292,48 @@ object Profile {
           .otherwise(lit(0L)))
   }
 
+  /** k-anonymity via full-domain generalization (Samarati's lattice,
+    * walked as a single pre-declared ladder): `levels(i)` is one
+    * generalization state — the quasi-identifier columns at coarseness
+    * level `i`, all levels sharing `names`/types — and the operator
+    * picks the FIRST level whose every equivalence class holds at
+    * least `k` rows (falling back to the last level if none does:
+    * the caller's ladder must end in a state coarse enough to accept,
+    * e.g. full suppression). Output: one row per equivalence class at
+    * the chosen level — the class's generalized quasi values, its
+    * size, and the chosen `level` — the release-audit artifact a
+    * privacy review signs off on.
+    *
+    * The level walk is a DRIVER loop of at most `levels.size` jobs
+    * (each one shuffle on the quasi-combo, aggregating to class
+    * cells); the ladder is declared configuration, bounded and tiny —
+    * the documented bounded-trade pattern, same as the k-means
+    * centroid loop. Suppressed columns are represented by a sentinel
+    * the caller picks inside the level expressions (a literal), so
+    * types stay uniform for the downstream union of levels.
+    *
+    * The k test is on class size only (k-anonymity proper); l-diversity
+    * of sensitive columns is the caller's follow-up on the returned
+    * classes.
+    */
+  def kAnonymize(
+      df: DataFrame,
+      names: Seq[String],
+      levels: Seq[Seq[Column]],
+      k: Long
+  ): DataFrame = {
+    require(levels.nonEmpty && k >= 1, "need at least one level and k >= 1")
+    require(levels.forall(_.size == names.size),
+      "every level must bind every quasi-identifier name")
+    def classes(lvl: Seq[Column]): DataFrame = df
+      .groupBy(lvl.zip(names).map { case (c, n) => c.as(n) }: _*)
+      .agg(count(lit(1)).as("n"))
+    val chosen = levels.indices
+      .find(i => classes(levels(i)).filter(col("n") < k).isEmpty)
+      .getOrElse(levels.size - 1)
+    classes(levels(chosen)).withColumn("level", lit(chosen.toLong))
+  }
+
   /** Shuffle-balance forecast: how a planned shuffle on `keyCol` would
     * distribute over `buckets` reducers — per-bucket row and distinct-
     * key counts under the engine-portable md5 partitioner

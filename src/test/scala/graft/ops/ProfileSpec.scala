@@ -181,4 +181,30 @@ class ProfileSpec extends SparkTestBase {
       (2L, 1L, 250000L, 176091L, 73909L),
       (9L, 1L, 250000L, 45757L, 204243L)), s"got $got")
   }
+
+  test("kAnonymize picks the first level where every class reaches k; falls back to last") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val df = Seq(
+      ("a", 1L), ("a", 1L), ("a", 2L), ("a", 2L),
+      ("b", 3L), ("b", 3L), ("b", 4L), ("b", 4L)
+    ).toDF("g", "sub")
+    val levels = Seq(
+      Seq(col("g"), col("sub")),     // classes of 2 -> risky at k=3
+      Seq(col("g"), col("sub") % 2), // parity buckets: still classes of 2
+      Seq(col("g"), lit(0L)),        // classes of 4 -> first to satisfy k=3
+      Seq(lit("*"), lit(0L)))        // full suppression (guaranteed last resort)
+    val out = Profile.kAnonymize(df, Seq("g", "sub"), levels, k = 3)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(out == Set(("a", 0L, 4L, 2L), ("b", 0L, 4L, 2L)))
+
+    // k larger than the table: no level satisfies -> last level released
+    val fb = Profile.kAnonymize(df, Seq("g", "sub"), levels, k = 100)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(fb == Set(("*", 0L, 8L, 3L)))
+
+    // k = 1 accepts the finest level untouched
+    val fine = Profile.kAnonymize(df, Seq("g", "sub"), levels, k = 1)
+    assert(fine.select("level").distinct().as[Long].collect().toList == List(0L))
+    assert(fine.count() == 4)
+  }
 }
