@@ -3641,7 +3641,7 @@ object OracleSql {
         | CAST((CAST(sum(CASE WHEN p_type = 'PROMO' THEN v_e4 ELSE 0 END)
         |   AS HUGEINT) * 1000000) // sum(v_e4) AS BIGINT) AS promo_ppm,
         | CAST(sum(v_e4) AS BIGINT) AS total_e4
-        |FROM v""".stripMargin,
+        |FROM v ORDER BY promo_ppm""".stripMargin,
 
     // plain (un-binned) range join — the binned operator must agree with
     // the naive O(n*m) formulation exactly; threshold division-cleared
@@ -3757,6 +3757,55 @@ object OracleSql {
         |SELECT seg, CAST(geo AS BIGINT) AS geo, CAST(bal AS BIGINT) AS bal,
         | n, CAST(lvl AS BIGINT) AS level
         |FROM u WHERE lvl = (SELECT lvl FROM pick)
-        |ORDER BY seg, geo, bal""".stripMargin
+        |ORDER BY seg, geo, bal""".stripMargin,
+
+    // from-scratch rebuild of the post-retraction state: events that
+    // were inserted (drops 0 and 1) and never erased (neither the
+    // user_id % 7 GDPR arm nor the event_id % 5 slice); a user whose
+    // every inserted event was erased has no group here — exactly the
+    // zero-support removal the fold performs
+    "q235_retraction_fold" ->
+      """SELECT user_id,
+        | CAST(count(*) AS BIGINT) AS n_events,
+        | CAST(sum(coalesce(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT), 0))
+        |   AS BIGINT) AS sum_value_e2,
+        | CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_purchases
+        |FROM events
+        |WHERE event_id % 3 <> 2
+        |  AND NOT (user_id % 7 = 0 OR event_id % 5 = 0)
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // rebuild the v2->v3 (pre/post retraction) change feed: fully
+    // erased users are deletes with NULL metrics, partially retracted
+    // users are updates carrying v3 values, untouched users filtered;
+    // inserts are unreachable (retraction only removes)
+    "q236_retraction_changes" ->
+      """WITH ins AS (SELECT * FROM events WHERE event_id % 3 <> 2),
+        | v2 AS (SELECT user_id,
+        |   CAST(count(*) AS BIGINT) AS n_events,
+        |   CAST(sum(coalesce(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT), 0))
+        |     AS BIGINT) AS sum_value_e2,
+        |   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |     AS BIGINT) AS n_purchases
+        |  FROM ins GROUP BY user_id),
+        | v3 AS (SELECT user_id,
+        |   CAST(count(*) AS BIGINT) AS n_events,
+        |   CAST(sum(coalesce(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT), 0))
+        |     AS BIGINT) AS sum_value_e2,
+        |   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |     AS BIGINT) AS n_purchases
+        |  FROM ins
+        |  WHERE NOT (user_id % 7 = 0 OR event_id % 5 = 0)
+        |  GROUP BY user_id)
+        |SELECT * FROM (
+        | SELECT v2.user_id,
+        |  CASE WHEN v3.user_id IS NULL THEN 'delete'
+        |       WHEN v2.n_events <> v3.n_events
+        |         OR v2.sum_value_e2 <> v3.sum_value_e2
+        |         OR v2.n_purchases <> v3.n_purchases THEN 'update' END AS op,
+        |  v3.n_events, v3.sum_value_e2, v3.n_purchases
+        | FROM v2 LEFT JOIN v3 ON v2.user_id = v3.user_id)
+        |WHERE op IS NOT NULL ORDER BY user_id""".stripMargin
   )
 }

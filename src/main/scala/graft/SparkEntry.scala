@@ -3807,6 +3807,78 @@ object SparkEntry {
       .orderBy("seg", "geo", "bal")
   }
 
+  /** q235's state dirs, memoized per source dir (the q231 convention). */
+  private val q235Dirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def q235Spec = graft.jobs.AggMaintenance.MergeSpec(
+    keys = Seq("user_id"),
+    sums = Seq("n_events", "sum_value_e2", "n_purchases"))
+
+  /** Retraction fold end state ([[graft.jobs.AggMaintenance
+    * .applyDeltas]], the GDPR-erasure arm of the maintenance protocol):
+    * two insert drops, then a signed retraction batch erasing every
+    * event of users `user_id % 7 = 0` plus the `event_id % 5 = 0` slice
+    * for everyone else — users whose support count reaches zero LEAVE
+    * the state. The drive also pins the two safety arms on real data: a
+    * committed batch's retry is a detected no-op, and a malformed
+    * over-retraction (the whole corpus retracted twice) is rejected
+    * atomically, committing nothing. End state is hash-gated against
+    * the from-scratch rebuild over the kept (never-retracted) events.
+    */
+  private def q235(s: SparkSession, dir: String): DataFrame = {
+    import graft.jobs.AggMaintenance
+    val stateDir = q235Dirs.computeIfAbsent(dir, _ => {
+      val st = java.nio.file.Files
+        .createTempDirectory("graft_q235_state_").toString
+      val rows = Tables.events(s, dir).select(
+        col("user_id"),
+        lit(1L).as("n_events"),
+        coalesce(expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"),
+          lit(0L)).as("sum_value_e2"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L)
+          .as("n_purchases"),
+        col("event_id"))
+      val inserted = rows.filter(pmod(col("event_id"), lit(3L)) < 2)
+      def signed(d: DataFrame, sign: Long) =
+        d.drop("event_id").withColumn("sign", lit(sign))
+      def put(d: DataFrame, id: String) =
+        AggMaintenance.applyDeltas(s, d, st, id, q235Spec, countCol = "n_events")
+      require(put(signed(inserted.filter(pmod(col("event_id"), lit(3L)) === 0), 1L), "d0"))
+      require(put(signed(inserted.filter(pmod(col("event_id"), lit(3L)) === 1), 1L), "d1"))
+      require(!put(signed(inserted.filter(pmod(col("event_id"), lit(3L)) === 1), 1L), "d1"),
+        "committed-batch retry must be a no-op")
+      // malformed producer: retracting every inserted fact TWICE drives
+      // every key's support negative — must be rejected before commit
+      val doubled = signed(inserted.union(inserted), -1L)
+      val rejected =
+        try { put(doubled, "bad"); false }
+        catch { case _: IllegalArgumentException => true }
+      require(rejected, "over-retraction must be rejected atomically")
+      val erase = signed(inserted.filter(
+        pmod(col("user_id"), lit(7L)) === 0 ||
+          pmod(col("event_id"), lit(5L)) === 0), -1L)
+      require(put(erase, "d2-erase"))
+      st
+    })
+    graft.jobs.AggMaintenance.current(s, stateDir).get.orderBy("user_id")
+  }
+
+  /** Change data feed across the retraction ([[graft.jobs
+    * .AggMaintenance.changes]] v2→v3 over q235's version trail): this
+    * is the gate that makes the `delete` op reachable on real data —
+    * fully-erased users emit as deletes with NULL metrics, partially
+    * retracted users as updates carrying their post-erasure values,
+    * untouched users are filtered. The oracle rebuilds both versions
+    * from scratch and classifies the same way.
+    */
+  private def q236(s: SparkSession, dir: String): DataFrame = {
+    q235(s, dir) // ensure the protocol ran and the version trail exists
+    graft.jobs.AggMaintenance
+      .changes(s, q235Dirs.get(dir), fromV = 2, toV = 3, q235Spec)
+      .orderBy("user_id")
+  }
+
   private def q204(s: SparkSession, dir: String): DataFrame =
     Profile.checkConstraints(Tables.lineitem(s, dir), Seq(
       "discount_range" -> col("l_discount").between(0d, 0.1),
@@ -4104,7 +4176,9 @@ object SparkEntry {
     "q231_agg_maintenance" -> q231 _,
     "q232_agg_changes" -> q232 _,
     "q233_jaccard_prefix" -> q233 _,
-    "q234_k_anonymity" -> q234 _
+    "q234_k_anonymity" -> q234 _,
+    "q235_retraction_fold" -> q235 _,
+    "q236_retraction_changes" -> q236 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

@@ -121,16 +121,87 @@ object AggMaintenance {
           .select(spec.keys.map(col) ++ combined: _*)
     }
 
-    val next = v + 1
-    // Overwrite clobbers any orphan directory a crashed attempt left
-    merged.write.mode(SaveMode.Overwrite).parquet(s"$stateDir/v$next/agg")
+    commitVersion(spark, merged, stateDir, v + 1, applied + batchId)
+    true
+  }
+
+  /** Write version `next` completely (agg + ledger), then flip the
+    * pointer atomically. Overwrite clobbers any orphan directory a
+    * crashed attempt left.
+    */
+  private def commitVersion(
+      spark: SparkSession,
+      table: DataFrame,
+      stateDir: String,
+      next: Int,
+      applied: Set[String]): Unit = {
+    table.write.mode(SaveMode.Overwrite).parquet(s"$stateDir/v$next/agg")
     import spark.implicits._
-    (applied + batchId).toSeq.sorted.toDF("batch_id")
+    applied.toSeq.sorted.toDF("batch_id")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$stateDir/v$next/ledger")
     val tmp = Paths.get(stateDir, s"_CURRENT.tmp.$next")
     Files.writeString(tmp, s"v$next")
     Files.move(tmp, Paths.get(stateDir, "_CURRENT"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Retraction fold — the GDPR-erasure / late-correction arm. The
+    * batch carries SIGNED delta rows (`signCol` = +1 insert, −1
+    * retract); sum metrics fold as `Σ sign·value`, and a key whose
+    * designated support count (`countCol`, one of `spec.sums` — the
+    * "number of live facts" column) reaches ZERO is REMOVED from the
+    * state, which is what makes [[changes]]' `delete` op reachable.
+    *
+    * Min/max metrics are structurally NOT retractable — removing the
+    * current extremum needs the value multiset, not a scalar — so this
+    * entry point requires a sums-only spec; state that must track
+    * extrema under deletion re-aggregates from the fact log instead
+    * (or keeps a bounded top-k multiset, a different operator). The
+    * fold REJECTS batches that would drive any support count negative
+    * (a malformed retract stream) before committing anything, so a bad
+    * producer cannot poison the state. Ledger/commit protocol is
+    * [[applyBatch]]'s, unchanged.
+    */
+  def applyDeltas(
+      spark: SparkSession,
+      deltas: DataFrame,
+      stateDir: String,
+      batchId: String,
+      spec: MergeSpec,
+      countCol: String,
+      signCol: String = "sign"
+  ): Boolean = {
+    require(spec.mins.isEmpty && spec.maxs.isEmpty,
+      "min/max are not retractable; applyDeltas needs a sums-only spec")
+    require(spec.sums.contains(countCol), s"countCol $countCol must be a sum metric")
+    require(batchId.nonEmpty && !batchId.contains("\n"), s"bad batchId: $batchId")
+    Files.createDirectories(Paths.get(stateDir))
+    val v = currentVersion(stateDir)
+    val applied = appliedBatches(spark, stateDir, v)
+    if (applied.contains(batchId)) return false
+
+    val batchAgg = deltas
+      .select((spec.keys.map(col) ++
+        spec.sums.map(c => (col(c) * col(signCol)).as(c))): _*)
+      .groupBy(spec.keys.map(col): _*)
+      .agg(sum(col(spec.sums.head)).as(spec.sums.head),
+        spec.sums.tail.map(c => sum(col(c)).as(c)): _*)
+
+    val merged = (current(spark, stateDir) match {
+      case None => batchAgg
+      case Some(state) =>
+        val s = spec.sums.foldLeft(state)((d, c) => d.withColumnRenamed(c, s"__s_$c"))
+        val b = spec.sums.foldLeft(batchAgg)((d, c) => d.withColumnRenamed(c, s"__b_$c"))
+        s.join(b, spec.keys, "full_outer")
+          .select(spec.keys.map(col) ++ spec.sums.map(c =>
+            (coalesce(col(s"__s_$c"), lit(0L)) + coalesce(col(s"__b_$c"), lit(0L))).as(c)): _*)
+    }).localCheckpoint() // pin: validated bytes are the committed bytes
+    val negatives = merged.filter(col(countCol) < 0).count()
+    require(negatives == 0L,
+      s"batch $batchId would drive $negatives keys' $countCol negative; rejected")
+    val live = merged.filter(col(countCol) > 0)
+
+    commitVersion(spark, live, stateDir, v + 1, applied + batchId)
     true
   }
 

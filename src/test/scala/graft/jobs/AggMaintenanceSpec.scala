@@ -93,6 +93,56 @@ class AggMaintenanceSpec extends SparkTestBase {
       ("b", "insert", 1L, 7L, 7L, 7L)))
   }
 
+  private val sumSpec = MergeSpec(keys = Seq("k"), sums = Seq("n", "s"))
+
+  private def deltas(data: (String, Long, Long)*): DataFrame =
+    data.map { case (k, v, sign) => (k, 1L, v, sign) }.toDF("k", "n", "s", "sign")
+
+  test("applyDeltas retracts: sums fold signed, zero-support keys leave the state") {
+    val dir = tmp()
+    AggMaintenance.applyDeltas(spark, deltas(("a", 5L, 1L), ("a", 2L, 1L), ("b", 7L, 1L)),
+      dir, "b0", sumSpec, countCol = "n")
+    // retract one of a's facts and ALL of b's
+    AggMaintenance.applyDeltas(spark, deltas(("a", 2L, -1L), ("b", 7L, -1L)),
+      dir, "b1", sumSpec, countCol = "n")
+    val state = AggMaintenance.current(spark, dir).get
+      .as[(String, Long, Long)].collect().toSet
+    assert(state == Set(("a", 1L, 5L))) // b erased entirely
+
+    // the erased key surfaces as a CDC delete with NULL metrics
+    val cdc = AggMaintenance.changes(spark, dir, 1, 2, sumSpec)
+      .collect().map(r => (r.getString(0), r.getString(1), r.isNullAt(2))).toSet
+    assert(cdc == Set(("a", "update", false), ("b", "delete", true)))
+  }
+
+  test("applyDeltas rejects a batch that would drive support negative, committing nothing") {
+    val dir = tmp()
+    AggMaintenance.applyDeltas(spark, deltas(("a", 5L, 1L)), dir, "b0", sumSpec, "n")
+    val before = AggMaintenance.current(spark, dir).get
+      .as[(String, Long, Long)].collect().toSet
+    intercept[IllegalArgumentException] {
+      AggMaintenance.applyDeltas(spark,
+        deltas(("a", 5L, -1L), ("a", 5L, -1L)), dir, "b1", sumSpec, "n")
+    }
+    assert(Files.readString(Paths.get(dir, "_CURRENT")).trim == "v1")
+    assert(AggMaintenance.current(spark, dir).get
+      .as[(String, Long, Long)].collect().toSet == before)
+    // the rejected id is NOT in the ledger: a corrected batch may reuse it
+    assert(AggMaintenance.applyDeltas(spark, deltas(("a", 5L, -1L)), dir, "b1", sumSpec, "n"))
+    assert(AggMaintenance.current(spark, dir).isDefined)
+    assert(AggMaintenance.current(spark, dir).get.count() == 0) // all erased
+  }
+
+  test("applyDeltas requires a sums-only spec and a sum countCol") {
+    val dir = tmp()
+    intercept[IllegalArgumentException] {
+      AggMaintenance.applyDeltas(spark, deltas(("a", 1L, 1L)), dir, "b0", spec, "n")
+    }
+    intercept[IllegalArgumentException] {
+      AggMaintenance.applyDeltas(spark, deltas(("a", 1L, 1L)), dir, "b0", sumSpec, "nope")
+    }
+  }
+
   test("changes rejects out-of-range version pairs") {
     val dir = tmp()
     AggMaintenance.applyBatch(spark, rows(("a", 1L)), dir, "b0", spec)
