@@ -3729,16 +3729,19 @@ object OracleSql {
 
     // the generalization walk replayed: class counts at each of the 4
     // ladder levels, first level whose min class size reaches k=3 wins
-    // (fallback: last level); // floors exact cents like the operator's
-    // (x - pmod) DIV spelling
+    // (fallback: last level). DuckDB 1.0's integer // TRUNCATES toward
+    // zero (-5 // 2 = -2), so negative cents need the explicit
+    // (x - pmod) floor spelling to match the operator's floor division
     "q234_k_anonymity" ->
       """WITH c AS (SELECT c_mktsegment AS seg,
         |    CAST(c_nationkey AS BIGINT) AS nat,
         |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
         |  FROM customer),
-        | l0 AS (SELECT seg, nat AS geo, cents // 10000 AS bal,
+        | l0 AS (SELECT seg, nat AS geo,
+        |    (cents - ((cents % 10000) + 10000) % 10000) // 10000 AS bal,
         |    CAST(count(*) AS BIGINT) AS n FROM c GROUP BY 1,2,3),
-        | l1 AS (SELECT seg, nat AS geo, cents // 100000 AS bal,
+        | l1 AS (SELECT seg, nat AS geo,
+        |    (cents - ((cents % 100000) + 100000) % 100000) // 100000 AS bal,
         |    CAST(count(*) AS BIGINT) AS n FROM c GROUP BY 1,2,3),
         | l2 AS (SELECT seg, nat // 5 AS geo,
         |    CASE WHEN cents >= 0 THEN 1 ELSE 0 END AS bal,
@@ -3806,6 +3809,47 @@ object OracleSql {
         |         OR v2.n_purchases <> v3.n_purchases THEN 'update' END AS op,
         |  v3.n_events, v3.sum_value_e2, v3.n_purchases
         | FROM v2 LEFT JOIN v3 ON v2.user_id = v3.user_id)
-        |WHERE op IS NOT NULL ORDER BY user_id""".stripMargin
+        |WHERE op IS NOT NULL ORDER BY user_id""".stripMargin,
+
+    // the l-diversity walk replayed: class size AND distinct-sensitive
+    // counts at each ladder level, first level passing BOTH min tests
+    // (k=3 rows, l=3 distinct segments) wins, last-level fallback
+    "q237_l_diversity" ->
+      """WITH c AS (SELECT c_mktsegment AS seg,
+        |    CAST(c_nationkey AS BIGINT) AS nat,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM customer),
+        | l0 AS (SELECT nat AS geo,
+        |    (cents - ((cents % 10000) + 10000) % 10000) // 10000 AS bal,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(DISTINCT seg) AS BIGINT) AS n_sensitive
+        |   FROM c GROUP BY 1,2),
+        | l1 AS (SELECT nat AS geo,
+        |    (cents - ((cents % 100000) + 100000) % 100000) // 100000 AS bal,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(DISTINCT seg) AS BIGINT) AS n_sensitive
+        |   FROM c GROUP BY 1,2),
+        | l2 AS (SELECT nat // 5 AS geo,
+        |    CASE WHEN cents >= 0 THEN 1 ELSE 0 END AS bal,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(DISTINCT seg) AS BIGINT) AS n_sensitive
+        |   FROM c GROUP BY 1,2),
+        | l3 AS (SELECT CAST(-1 AS BIGINT) AS geo, CAST(0 AS BIGINT) AS bal,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(DISTINCT seg) AS BIGINT) AS n_sensitive
+        |   FROM c GROUP BY 1,2),
+        | pick AS (SELECT CASE
+        |    WHEN (SELECT min(least(n, n_sensitive)) FROM l0) >= 3 THEN 0
+        |    WHEN (SELECT min(least(n, n_sensitive)) FROM l1) >= 3 THEN 1
+        |    WHEN (SELECT min(least(n, n_sensitive)) FROM l2) >= 3 THEN 2
+        |    ELSE 3 END AS lvl),
+        | u AS (SELECT 0 AS lvl, * FROM l0 UNION ALL
+        |       SELECT 1, * FROM l1 UNION ALL
+        |       SELECT 2, * FROM l2 UNION ALL
+        |       SELECT 3, * FROM l3)
+        |SELECT CAST(geo AS BIGINT) AS geo, CAST(bal AS BIGINT) AS bal,
+        | n, n_sensitive, CAST(lvl AS BIGINT) AS level
+        |FROM u WHERE lvl = (SELECT lvl FROM pick)
+        |ORDER BY geo, bal""".stripMargin
   )
 }

@@ -3879,6 +3879,32 @@ object SparkEntry {
       .orderBy("user_id")
   }
 
+  /** l-diversity release ([[ops.Profile.lDiversify]]): q234's ladder
+    * minus the segment column, with `c_mktsegment` as the SENSITIVE
+    * attribute — the release level must make every class hold ≥3 rows
+    * AND ≥3 distinct segments, closing the homogeneity attack that
+    * k-anonymity alone leaves open. The oracle replays the walk with
+    * both per-class tests (size and distinct-sensitive) at every
+    * level.
+    */
+  private def q237(s: SparkSession, dir: String): DataFrame = {
+    val cents = expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)")
+    def floorDiv(m: Long) = expr(
+      s"(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) - " +
+        s"pmod(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT), $m)) DIV $m")
+    Profile.lDiversify(
+      Tables.customer(s, dir),
+      names = Seq("geo", "bal"),
+      levels = Seq(
+        Seq(col("c_nationkey"), floorDiv(10000L)),
+        Seq(col("c_nationkey"), floorDiv(100000L)),
+        Seq(expr("c_nationkey DIV 5"), when(cents >= 0L, 1L).otherwise(0L)),
+        Seq(lit(-1L), lit(0L))),
+      sensitiveCol = col("c_mktsegment"),
+      k = 3L, l = 3L)
+      .orderBy("geo", "bal")
+  }
+
   private def q204(s: SparkSession, dir: String): DataFrame =
     Profile.checkConstraints(Tables.lineitem(s, dir), Seq(
       "discount_range" -> col("l_discount").between(0d, 0.1),
@@ -4178,7 +4204,8 @@ object SparkEntry {
     "q233_jaccard_prefix" -> q233 _,
     "q234_k_anonymity" -> q234 _,
     "q235_retraction_fold" -> q235 _,
-    "q236_retraction_changes" -> q236 _
+    "q236_retraction_changes" -> q236 _,
+    "q237_l_diversity" -> q237 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

@@ -334,6 +334,44 @@ object Profile {
     classes(levels(chosen)).withColumn("level", lit(chosen.toLong))
   }
 
+  /** l-diversity on top of [[kAnonymize]]'s ladder: the FIRST level
+    * where every equivalence class both holds at least `k` rows AND
+    * sees at least `l` DISTINCT values of the sensitive column is
+    * released (last-level fallback, as in [[kAnonymize]]). k-anonymity
+    * alone leaves the homogeneity attack open — a class of 50 rows that
+    * all share one sensitive value identifies that value for every
+    * member — so the release criterion must look at the sensitive
+    * column's spread, not just class size. Output rows carry the class
+    * quasi values, `n`, `n_sensitive` (distinct sensitive values), and
+    * the chosen `level`.
+    *
+    * Same bounded driver walk as [[kAnonymize]] (≤ `levels.size` jobs,
+    * one shuffle each); `count_distinct` adds a partial-aggregate pass
+    * but no extra shuffle.
+    */
+  def lDiversify(
+      df: DataFrame,
+      names: Seq[String],
+      levels: Seq[Seq[Column]],
+      sensitiveCol: Column,
+      k: Long,
+      l: Long
+  ): DataFrame = {
+    require(levels.nonEmpty && k >= 1 && l >= 1,
+      "need at least one level, k >= 1 and l >= 1")
+    require(levels.forall(_.size == names.size),
+      "every level must bind every quasi-identifier name")
+    def classes(lvl: Seq[Column]): DataFrame = df
+      .groupBy(lvl.zip(names).map { case (c, n) => c.as(n) }: _*)
+      .agg(count(lit(1)).as("n"),
+        count_distinct(sensitiveCol).as("n_sensitive"))
+    val chosen = levels.indices
+      .find(i => classes(levels(i))
+        .filter(col("n") < k || col("n_sensitive") < l).isEmpty)
+      .getOrElse(levels.size - 1)
+    classes(levels(chosen)).withColumn("level", lit(chosen.toLong))
+  }
+
   /** Shuffle-balance forecast: how a planned shuffle on `keyCol` would
     * distribute over `buckets` reducers — per-bucket row and distinct-
     * key counts under the engine-portable md5 partitioner

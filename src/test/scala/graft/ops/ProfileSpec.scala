@@ -207,4 +207,28 @@ class ProfileSpec extends SparkTestBase {
     assert(fine.select("level").distinct().as[Long].collect().toList == List(0L))
     assert(fine.count() == 4)
   }
+
+  test("lDiversify rejects a k-accepting level whose class is sensitive-homogeneous") {
+    // group "a" holds 4 rows but ONE disease value — k=3 accepts level 0,
+    // l=2 must not (the homogeneity attack): the walk goes to suppression
+    val df = Seq(
+      ("a", "flu"), ("a", "flu"), ("a", "flu"), ("a", "flu"),
+      ("b", "flu"), ("b", "cold"), ("b", "cold"), ("b", "acne")
+    ).toDF("g", "disease")
+    val levels = Seq(Seq(col("g")), Seq(lit("*")))
+    val kOnly = Profile.kAnonymize(df, Seq("g"), levels, k = 3)
+    assert(kOnly.select("level").distinct().as[Long].collect().toList == List(0L))
+
+    val out = Profile.lDiversify(df, Seq("g"), levels,
+        sensitiveCol = col("disease"), k = 3, l = 2)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(out == Set(("*", 8L, 3L, 1L)))
+
+    // l = 1 degenerates to plain k-anonymity: level 0 released with
+    // per-class distinct-sensitive counts carried through
+    val l1 = Profile.lDiversify(df, Seq("g"), levels,
+        sensitiveCol = col("disease"), k = 3, l = 1)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(l1 == Set(("a", 4L, 1L, 0L), ("b", 4L, 3L, 0L)))
+  }
 }
