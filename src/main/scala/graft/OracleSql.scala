@@ -3850,6 +3850,38 @@ object OracleSql {
         |SELECT CAST(geo AS BIGINT) AS geo, CAST(bal AS BIGINT) AS bal,
         | n, n_sensitive, CAST(lvl AS BIGINT) AS level
         |FROM u WHERE lvl = (SELECT lvl FROM pick)
-        |ORDER BY geo, bal""".stripMargin
+        |ORDER BY geo, bal""".stripMargin,
+
+    // restatement rebuilt from the same closed form, then the keyed
+    // full-outer diff classified with column-level change lists
+    // (concat_ws skips the NULL arms in both engines)
+    "q238_table_diff" ->
+      """WITH base AS (SELECT CAST(c_custkey AS BIGINT) AS custkey,
+        |   CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_cents,
+        |   c_mktsegment AS seg FROM customer),
+        | aft AS (
+        |  SELECT custkey,
+        |    bal_cents + CASE WHEN custkey % 7 = 0 THEN 1000 ELSE 0 END AS bal_cents,
+        |    CASE WHEN custkey % 5 = 0 THEN 'MOVED' ELSE seg END AS seg
+        |   FROM base WHERE custkey % 11 <> 0
+        |  UNION ALL
+        |  SELECT custkey + 10000000, bal_cents, seg
+        |   FROM base WHERE custkey % 13 = 0),
+        | j AS (SELECT coalesce(b.custkey, a.custkey) AS custkey,
+        |   CASE WHEN b.custkey IS NULL THEN 'insert'
+        |        WHEN a.custkey IS NULL THEN 'delete'
+        |        WHEN (b.bal_cents IS DISTINCT FROM a.bal_cents)
+        |          OR (b.seg IS DISTINCT FROM a.seg) THEN 'update' END AS op,
+        |   CASE WHEN b.custkey IS NOT NULL AND a.custkey IS NOT NULL
+        |        AND ((b.bal_cents IS DISTINCT FROM a.bal_cents)
+        |          OR (b.seg IS DISTINCT FROM a.seg)) THEN
+        |     concat_ws(',',
+        |       CASE WHEN b.bal_cents IS DISTINCT FROM a.bal_cents
+        |            THEN 'bal_cents' END,
+        |       CASE WHEN b.seg IS DISTINCT FROM a.seg THEN 'seg' END)
+        |   END AS changed_cols
+        |  FROM base b FULL OUTER JOIN aft a ON b.custkey = a.custkey)
+        |SELECT custkey, op, changed_cols FROM j
+        |WHERE op IS NOT NULL ORDER BY custkey""".stripMargin
   )
 }

@@ -8,7 +8,7 @@ import org.apache.spark.sql.types.DecimalType
 import graft.core.Tables
 import graft.ext.{Bmff, Bpe, Dedup, Multimodal, Png, Quantize, Sampling, SimSearch, TextOps}
 import graft.functions.{Hashing, VectorOps}
-import graft.ops.{AsOfJoin, Behavior, Graph, IntervalJoin, MarketBasket, Profile, SensorOps, Sketches, Skew, Snapshot, TimeSeries, Windows}
+import graft.ops.{AsOfJoin, Behavior, Graph, IntervalJoin, MarketBasket, Profile, Reconcile, SensorOps, Sketches, Skew, Snapshot, TimeSeries, Windows}
 
 /** Driver contract (SURVEY.md §5, §7): one query per implemented operator,
   * each with an ANSI-SQL DuckDB oracle over the same parquet tables.
@@ -3905,6 +3905,35 @@ object SparkEntry {
       .orderBy("geo", "bal")
   }
 
+  /** Snapshot reconciliation ([[ops.Reconcile.tableDiff]]): the
+    * customer table diffed against a deterministic restatement —
+    * `%11` keys dropped (deletes), `%7` balances bumped and `%5`
+    * segments moved (updates, with column-level provenance in
+    * `changed_cols`), `%13` rows re-delivered under shifted keys
+    * (inserts). Balances compare as exact cents, the house fixed-point
+    * convention. The oracle rebuilds the restatement and the full
+    * classification, concat_ws'd change lists included.
+    */
+  private def q238(s: SparkSession, dir: String): DataFrame = {
+    val cents = expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)")
+    val base = Tables.customer(s, dir).select(
+      col("c_custkey").cast("long").as("custkey"),
+      cents.as("bal_cents"), col("c_mktsegment").as("seg"))
+    val kept = base.filter(pmod(col("custkey"), lit(11L)) =!= 0)
+      .select(col("custkey"),
+        (col("bal_cents") +
+          when(pmod(col("custkey"), lit(7L)) === 0, 1000L).otherwise(0L))
+          .as("bal_cents"),
+        when(pmod(col("custkey"), lit(5L)) === 0, "MOVED").otherwise(col("seg"))
+          .as("seg"))
+    val redelivered = base.filter(pmod(col("custkey"), lit(13L)) === 0)
+      .select((col("custkey") + 10000000L).as("custkey"),
+        col("bal_cents"), col("seg"))
+    Reconcile.tableDiff(base, kept.unionByName(redelivered),
+        keys = Seq("custkey"), compareCols = Seq("bal_cents", "seg"))
+      .orderBy("custkey")
+  }
+
   private def q204(s: SparkSession, dir: String): DataFrame =
     Profile.checkConstraints(Tables.lineitem(s, dir), Seq(
       "discount_range" -> col("l_discount").between(0d, 0.1),
@@ -4205,7 +4234,8 @@ object SparkEntry {
     "q234_k_anonymity" -> q234 _,
     "q235_retraction_fold" -> q235 _,
     "q236_retraction_changes" -> q236 _,
-    "q237_l_diversity" -> q237 _
+    "q237_l_diversity" -> q237 _,
+    "q238_table_diff" -> q238 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all
