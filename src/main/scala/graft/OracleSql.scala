@@ -3882,6 +3882,25 @@ object OracleSql {
         |   END AS changed_cols
         |  FROM base b FULL OUTER JOIN aft a ON b.custkey = a.custkey)
         |SELECT custkey, op, changed_cols FROM j
-        |WHERE op IS NOT NULL ORDER BY custkey""".stripMargin
+        |WHERE op IS NOT NULL ORDER BY custkey""".stripMargin,
+
+    // quantity-weighted price percentiles: running weight in value
+    // order, threshold as the division-cleared 10*cumw >= p*W integer
+    // test; tie order inside equal prices cannot move the min
+    "q239_weighted_percentiles" ->
+      """WITH b AS (SELECT l_returnflag AS flag,
+        |   CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+        |   CAST(l_quantity AS BIGINT) AS wt FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL),
+        | w AS (SELECT flag, v,
+        |   sum(wt) OVER (PARTITION BY flag ORDER BY v
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+        |   sum(wt) OVER (PARTITION BY flag) AS tot FROM b)
+        |SELECT flag, CAST(max(tot) AS BIGINT) AS w_total,
+        | CAST(min(CASE WHEN cumw * 10 >= tot * 5 THEN v END) AS BIGINT)
+        |   AS p50_cents,
+        | CAST(min(CASE WHEN cumw * 10 >= tot * 9 THEN v END) AS BIGINT)
+        |   AS p90_cents
+        |FROM w GROUP BY flag ORDER BY flag""".stripMargin
   )
 }

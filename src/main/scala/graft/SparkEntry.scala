@@ -3934,6 +3934,25 @@ object SparkEntry {
       .orderBy("custkey")
   }
 
+  /** Weighted percentiles ([[ops.Stats.weightedPercentiles]]):
+    * quantity-weighted median and p90 of extended price per return
+    * flag — "the price of the median UNIT shipped", not the median
+    * line item. Prices compare as exact cents; the threshold is the
+    * division-cleared `10·cumw ≥ p·W` integer test on both sides.
+    */
+  private def q239(s: SparkSession, dir: String): DataFrame =
+    ops.Stats.weightedPercentiles(
+        Tables.lineitem(s, dir),
+        keyCol = col("l_returnflag"),
+        valueCol = expr(
+          "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"),
+        weightCol = col("l_quantity"),
+        pTenths = Seq(5, 9))
+      .withColumnRenamed("key", "flag")
+      .withColumnRenamed("p50", "p50_cents")
+      .withColumnRenamed("p90", "p90_cents")
+      .orderBy("flag")
+
   private def q204(s: SparkSession, dir: String): DataFrame =
     Profile.checkConstraints(Tables.lineitem(s, dir), Seq(
       "discount_range" -> col("l_discount").between(0d, 0.1),
@@ -4235,7 +4254,8 @@ object SparkEntry {
     "q235_retraction_fold" -> q235 _,
     "q236_retraction_changes" -> q236 _,
     "q237_l_diversity" -> q237 _,
-    "q238_table_diff" -> q238 _
+    "q238_table_diff" -> q238 _,
+    "q239_weighted_percentiles" -> q239 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

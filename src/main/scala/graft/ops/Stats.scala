@@ -284,6 +284,50 @@ object Stats {
         sum(when(col("dev") > lit(k) * col("mad"), 1L).otherwise(0L)).as("n_outliers"))
   }
 
+  /** Weighted percentiles per key — the smallest value whose CUMULATIVE
+    * weight reaches the `p/10` share of the key's total weight, for each
+    * requested `pTenths` entry (5 = weighted median, 9 = weighted p90).
+    * The threshold test is the division-cleared integer form
+    * `10·cumw ≥ p·W` over BIGINT weights, so no quantile is ever an IEEE
+    * boundary call. This is the percentile a token-weighted corpus
+    * audit actually wants: "the median DOCUMENT length" and "the length
+    * of the median TOKEN's document" differ exactly by this weighting.
+    *
+    * Determinism under ties: equal values may enter the running sum in
+    * any order, but the threshold can only cross INSIDE a run of equal
+    * values, and the reported `min` over qualifying rows is that run's
+    * value either way — the output never depends on tie order.
+    *
+    * Output: `key`, `w_total`, one `p{t}0` column per requested tenth.
+    * NULL values/weights are excluded; weights must be positive.
+    * Scale: one shuffle on the key; the per-key running sum is the
+    * usual sort-based window (no global window).
+    */
+  def weightedPercentiles(
+      df: DataFrame,
+      keyCol: Column,
+      valueCol: Column,
+      weightCol: Column,
+      pTenths: Seq[Int]
+  ): DataFrame = {
+    require(pTenths.nonEmpty && pTenths.forall(t => t >= 1 && t <= 9),
+      "pTenths must be within 1..9")
+    val base = df.select(keyCol.as("key"), valueCol.as("v"),
+        weightCol.cast("long").as("wt"))
+      .filter(col("v").isNotNull && col("wt").isNotNull)
+    val wc = Window.partitionBy(col("key")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wn = Window.partitionBy(col("key"))
+    base
+      .withColumn("cumw", sum(col("wt")).over(wc))
+      .withColumn("tot", sum(col("wt")).over(wn))
+      .groupBy("key")
+      .agg(max(col("tot")).as("w_total"),
+        pTenths.map(t =>
+          min(when(col("cumw") * 10 >= col("tot") * t, col("v")))
+            .as(s"p${t}0")): _*)
+  }
+
   /** Model calibration buckets (the reliability diagram as data): ppm
     * scores in `[0, 10⁶]` binned into `buckets` equal-width bins, each
     * bin reporting its population, mean predicted score, and OBSERVED

@@ -181,4 +181,32 @@ class StatsSpec extends SparkTestBase {
     }.map(_._1).toSet
     assert(got == brute && got == Set(1L, 2L, 5L, 7L, 8L), s"got $got")
   }
+
+  test("weightedPercentiles: weight shifts the median; ties and exact thresholds hold") {
+    import org.apache.spark.sql.functions.col
+    // values 1..4; weight mass sits on 4 -> weighted median is 4 while
+    // the unweighted median of the rows would be 2
+    val df = Seq(("a", 1L, 1L), ("a", 2L, 1L), ("a", 3L, 1L), ("a", 4L, 7L),
+      ("b", 5L, 2L), ("b", 5L, 2L), ("b", 9L, 1L)).toDF("k", "v", "wt")
+    val out = Stats.weightedPercentiles(df, col("k"), col("v"), col("wt"),
+        pTenths = Seq(5, 9))
+      .as[(String, Long, Long, Long)].collect().toMap2
+    assert(out("a") == (10L, 4L, 4L))
+    // b: W=5, p50 threshold 10*cumw >= 25 -> cumw >= 2.5 -> crosses inside
+    // the tied 5s (cumw 2 then 4): median 5; p90 threshold cumw >= 4.5 -> 9
+    assert(out("b") == (5L, 5L, 9L))
+
+    // exact boundary: W=4, equal weights; 10*cumw >= 5*4 first holds at
+    // cumw=2 (the SECOND value) — the integer test takes the lower value
+    // on an exact half, never an IEEE wobble
+    val even = Seq(("c", 10L, 1L), ("c", 20L, 1L), ("c", 30L, 1L), ("c", 40L, 1L))
+      .toDF("k", "v", "wt")
+    val m = Stats.weightedPercentiles(even, col("k"), col("v"), col("wt"), Seq(5))
+      .as[(String, Long, Long)].collect().head
+    assert(m == (("c", 4L, 20L)))
+  }
+
+  private implicit class Map2[A, B, C, D](rows: Array[(A, B, C, D)]) {
+    def toMap2: Map[A, (B, C, D)] = rows.map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+  }
 }
