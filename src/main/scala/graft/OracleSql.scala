@@ -3901,6 +3901,22 @@ object OracleSql {
         |   AS p50_cents,
         | CAST(min(CASE WHEN cumw * 10 >= tot * 9 THEN v END) AS BIGINT)
         |   AS p90_cents
-        |FROM w GROUP BY flag ORDER BY flag""".stripMargin
+        |FROM w GROUP BY flag ORDER BY flag""".stripMargin,
+
+    // the rank cut replayed: per-user counts, total (count desc, key
+    // asc) order, top 10 kept, the rest folded into one exact
+    // __other__ row; HAVING guards the empty-residual case
+    "q240_topn_other" ->
+      """WITH c AS (SELECT CAST(user_id AS VARCHAR) AS key,
+        |    CAST(count(*) AS BIGINT) AS n_rows FROM events GROUP BY 1),
+        | r AS (SELECT key, n_rows,
+        |    row_number() OVER (ORDER BY n_rows DESC, key) AS rk FROM c)
+        |SELECT key, n_rows, CAST(1 AS BIGINT) AS n_keys
+        | FROM r WHERE rk <= 10
+        |UNION ALL
+        |SELECT '__other__', CAST(sum(n_rows) AS BIGINT),
+        |  CAST(count(*) AS BIGINT)
+        | FROM r WHERE rk > 10 HAVING count(*) > 0
+        |ORDER BY n_rows DESC, key""".stripMargin
   )
 }

@@ -3953,6 +3953,16 @@ object SparkEntry {
       .withColumnRenamed("p90", "p90_cents")
       .orderBy("flag")
 
+  /** Bounded-output top-N report ([[ops.Stats.topNWithOther]]): the 10
+    * busiest users by event count plus one exact `__other__` rollup row
+    * carrying the residual mass and folded-key count — ≤ 11 rows out no
+    * matter the user cardinality. The oracle replays the rank cut
+    * (count desc, key asc — total) and the residual fold.
+    */
+  private def q240(s: SparkSession, dir: String): DataFrame =
+    ops.Stats.topNWithOther(Tables.events(s, dir), col("user_id"), n = 10)
+      .orderBy(col("n_rows").desc, col("key"))
+
   private def q204(s: SparkSession, dir: String): DataFrame =
     Profile.checkConstraints(Tables.lineitem(s, dir), Seq(
       "discount_range" -> col("l_discount").between(0d, 0.1),
@@ -4255,7 +4265,8 @@ object SparkEntry {
     "q236_retraction_changes" -> q236 _,
     "q237_l_diversity" -> q237 _,
     "q238_table_diff" -> q238 _,
-    "q239_weighted_percentiles" -> q239 _
+    "q239_weighted_percentiles" -> q239 _,
+    "q240_topn_other" -> q240 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

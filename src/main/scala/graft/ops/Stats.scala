@@ -328,6 +328,39 @@ object Stats {
             .as(s"p${t}0")): _*)
   }
 
+  /** Exact top-N keys by row count plus ONE `otherLabel` rollup row for
+    * everything else — the bounded-output group-by a dashboard or
+    * report actually wants over an unbounded key domain: the result is
+    * always ≤ N+1 rows no matter how many distinct keys the data
+    * grows, and nothing is approximate (the rollup row carries the
+    * exact residual mass and how many keys were folded into it,
+    * `n_keys`). Ties at the cut break by key ascending, so the cut is
+    * total and reproducible.
+    *
+    * Scale: one shuffle to key counts, then a TakeOrderedAndProject
+    * top-N (per-partition top-N + driver merge — no global sort, no
+    * single-partition window) and a broadcast anti join for the
+    * residual. Keys are compared as strings so the rollup label can
+    * live in the same column.
+    */
+  def topNWithOther(
+      df: DataFrame,
+      keyCol: Column,
+      n: Int,
+      otherLabel: String = "__other__"
+  ): DataFrame = {
+    require(n >= 1, "n must be positive")
+    val counts = df.groupBy(keyCol.cast("string").as("key"))
+      .agg(count(lit(1)).as("n_rows"))
+    val top = counts.orderBy(col("n_rows").desc, col("key")).limit(n)
+    val other = counts
+      .join(broadcast(top.select("key")), Seq("key"), "left_anti")
+      .agg(sum(col("n_rows")).as("n_rows"), count(lit(1)).as("n_keys"))
+      .filter(col("n_keys") > 0)
+      .select(lit(otherLabel).as("key"), col("n_rows"), col("n_keys"))
+    top.withColumn("n_keys", lit(1L)).unionByName(other)
+  }
+
   /** Model calibration buckets (the reliability diagram as data): ppm
     * scores in `[0, 10⁶]` binned into `buckets` equal-width bins, each
     * bin reporting its population, mean predicted score, and OBSERVED

@@ -206,6 +206,20 @@ class StatsSpec extends SparkTestBase {
     assert(m == (("c", 4L, 20L)))
   }
 
+  test("topNWithOther: total tie-broken cut, exact residual, no-residual case") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq("a", "a", "a", "b", "b", "c", "c", "d", "e").toDF("k")
+    // n=2: b and c tie at 2 -> key asc keeps b; c,d,e fold into other
+    val out = Stats.topNWithOther(df, col("k"), n = 2)
+      .as[(String, Long, Long)].collect().toSet
+    assert(out == Set(("a", 3L, 1L), ("b", 2L, 1L), ("__other__", 4L, 3L)))
+
+    // n >= cardinality: no residual row at all
+    val all = Stats.topNWithOther(df, col("k"), n = 5)
+      .as[(String, Long, Long)].collect().toSet
+    assert(all.map(_._1) == Set("a", "b", "c", "d", "e"))
+  }
+
   private implicit class Map2[A, B, C, D](rows: Array[(A, B, C, D)]) {
     def toMap2: Map[A, (B, C, D)] = rows.map(r => r._1 -> ((r._2, r._3, r._4))).toMap
   }
