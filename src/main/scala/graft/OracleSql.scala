@@ -3917,6 +3917,19 @@ object OracleSql {
         |SELECT '__other__', CAST(sum(n_rows) AS BIGINT),
         |  CAST(count(*) AS BIGINT)
         | FROM r WHERE rk > 10 HAVING count(*) > 0
-        |ORDER BY n_rows DESC, key""".stripMargin
+        |ORDER BY n_rows DESC, key""".stripMargin,
+
+    // the consuming engine recomputes the manifest: same md5 shard
+    // assignment, same key-bound uint32 fingerprints, same sums
+    "q241_export_manifest" ->
+      """WITH f AS (SELECT
+        |   ('0x'||substr(md5('0:'||CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 8
+        |     AS shard,
+        |   ('0x'||substr(md5('1:'||CAST(doc_id AS VARCHAR)||':'||text),1,8))::BIGINT
+        |     AS fp
+        |  FROM documents)
+        |SELECT shard, CAST(count(*) AS BIGINT) AS n_rows,
+        | CAST(sum(fp) AS BIGINT) AS content_sum
+        |FROM f GROUP BY shard ORDER BY shard""".stripMargin
   )
 }

@@ -3963,6 +3963,18 @@ object SparkEntry {
     ops.Stats.topNWithOther(Tables.events(s, dir), col("user_id"), n = 10)
       .orderBy(col("n_rows").desc, col("key"))
 
+  /** Export integrity manifest ([[ops.Profile.contentManifest]]):
+    * documents sharded by the portable md5 of their id into 8 shards,
+    * each reporting row count and the order-independent sum of
+    * key-bound content fingerprints — the artifact a consumer on ANY
+    * engine recomputes to verify a delivery. The oracle IS that
+    * consumer: DuckDB recomputes the manifest from the same parquet.
+    */
+  private def q241(s: SparkSession, dir: String): DataFrame =
+    Profile.contentManifest(Tables.documents(s, dir),
+        idCol = col("doc_id"), contentCol = col("text"), nShards = 8)
+      .orderBy("shard")
+
   private def q204(s: SparkSession, dir: String): DataFrame =
     Profile.checkConstraints(Tables.lineitem(s, dir), Seq(
       "discount_range" -> col("l_discount").between(0d, 0.1),
@@ -4266,7 +4278,8 @@ object SparkEntry {
     "q237_l_diversity" -> q237 _,
     "q238_table_diff" -> q238 _,
     "q239_weighted_percentiles" -> q239 _,
-    "q240_topn_other" -> q240 _
+    "q240_topn_other" -> q240 _,
+    "q241_export_manifest" -> q241 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

@@ -372,6 +372,42 @@ object Profile {
     classes(levels(chosen)).withColumn("level", lit(chosen.toLong))
   }
 
+  /** Content manifest for a dataset export — the integrity artifact
+    * shipped NEXT TO the data so any consumer, on any engine, can
+    * verify the delivery without trusting file bytes: rows are
+    * deterministically sharded by the portable md5 hash of their id,
+    * and each shard reports its row count and the SUM of per-row
+    * content fingerprints (order-independent, so a re-shuffled or
+    * re-written copy of the same rows reproduces the manifest
+    * exactly, while one flipped character in one row breaks its
+    * shard's sum). Fingerprints are uint32 ([[graft.functions.Hashing
+    * .md5Hash32]]), so the BIGINT sum cannot overflow below 2³¹ rows
+    * per shard.
+    *
+    * Content is hashed as `id:content` — the fingerprint binds the
+    * content to its key, so two rows SWAPPING contents changes the
+    * manifest even though the content multiset is unchanged.
+    *
+    * Scale: pure map work + one ≤`nShards`-cell aggregate; no joins.
+    */
+  def contentManifest(
+      df: DataFrame,
+      idCol: Column,
+      contentCol: Column,
+      nShards: Int
+  ): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    import graft.functions.Hashing
+    df.select(idCol.cast("string").as("__id"),
+        contentCol.cast("string").as("__c"))
+      .withColumn("shard",
+        pmod(Hashing.md5Hash32(0, col("__id")), lit(nShards.toLong)))
+      .withColumn("fp",
+        Hashing.md5Hash32(1, concat(col("__id"), lit(":"), col("__c"))))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_rows"), sum(col("fp")).as("content_sum"))
+  }
+
   /** Shuffle-balance forecast: how a planned shuffle on `keyCol` would
     * distribute over `buckets` reducers — per-bucket row and distinct-
     * key counts under the engine-portable md5 partitioner

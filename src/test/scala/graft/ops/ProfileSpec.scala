@@ -231,4 +231,32 @@ class ProfileSpec extends SparkTestBase {
       .as[(String, Long, Long, Long)].collect().toSet
     assert(l1 == Set(("a", 4L, 1L, 0L), ("b", 4L, 3L, 0L)))
   }
+
+  test("contentManifest: order-independent, key-bound, content-sensitive") {
+    val rows = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"), (4L, "delta"))
+    val m1 = Profile.contentManifest(rows.toDF("id", "text"),
+      col("id"), col("text"), nShards = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    // same rows, different order and partitioning -> identical manifest
+    val m2 = Profile.contentManifest(
+      rows.reverse.toDF("id", "text").repartition(7),
+      col("id"), col("text"), nShards = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(m1 == m2 && m1.toSeq.map(_._2).sum == 4L)
+
+    // swapping two rows' contents keeps the content multiset but MUST
+    // change the manifest (fingerprints are key-bound)
+    val swapped = Seq((1L, "beta"), (2L, "alpha"), (3L, "gamma"), (4L, "delta"))
+    val m3 = Profile.contentManifest(swapped.toDF("id", "text"),
+      col("id"), col("text"), nShards = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(m3 != m1)
+
+    // one flipped character is visible in exactly the damaged shards
+    val damaged = Seq((1L, "alphA"), (2L, "beta"), (3L, "gamma"), (4L, "delta"))
+    val m4 = Profile.contentManifest(damaged.toDF("id", "text"),
+      col("id"), col("text"), nShards = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(m4 != m1 && m4.map(t => (t._1, t._2)) == m1.map(t => (t._1, t._2)))
+  }
 }
