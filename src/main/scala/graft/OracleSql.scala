@@ -3930,6 +3930,31 @@ object OracleSql {
         |  FROM documents)
         |SELECT shard, CAST(count(*) AS BIGINT) AS n_rows,
         | CAST(sum(fp) AS BIGINT) AS content_sum
-        |FROM f GROUP BY shard ORDER BY shard""".stripMargin
+        |FROM f GROUP BY shard ORDER BY shard""".stripMargin,
+
+    // every leave-one-out mean rebuilt as (total - source) over
+    // (n_total - n_source); all divisions are floors of non-negative
+    // integers, so // is portable here
+    "q242_source_ablation" ->
+      s"""WITH d AS (SELECT source,
+         |   CAST($qualityPpmSql AS BIGINT) AS q,
+         |   CAST(len(string_split(text,' ')) AS BIGINT) AS tok
+         |  FROM documents),
+         | per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |   CAST(sum(tok) AS BIGINT) AS n_tokens,
+         |   CAST(sum(q) AS BIGINT) AS sum_q
+         |  FROM d GROUP BY source),
+         | tot AS (SELECT sum(n_docs) AS t_docs, sum(n_tokens) AS t_tokens,
+         |   sum(sum_q) AS t_q FROM per)
+         |SELECT source, n_docs, n_tokens,
+         | CAST((n_tokens * 1000000) // t_tokens AS BIGINT) AS tok_share_ppm,
+         | CAST(sum_q // n_docs AS BIGINT) AS mean_q_ppm,
+         | CAST(CASE WHEN t_docs > n_docs
+         |   THEN (t_q - sum_q) // (t_docs - n_docs) END AS BIGINT)
+         |   AS mean_wo_ppm,
+         | CAST(CASE WHEN t_docs > n_docs
+         |   THEN t_q // t_docs - (t_q - sum_q) // (t_docs - n_docs) END
+         |   AS BIGINT) AS lift_ppm
+         |FROM per, tot ORDER BY source""".stripMargin
   )
 }

@@ -3975,6 +3975,17 @@ object SparkEntry {
         idCol = col("doc_id"), contentCol = col("text"), nShards = 8)
       .orderBy("shard")
 
+  /** Source ablation report ([[ext.TextOps.sourceAblation]]):
+    * leave-one-out corpus metrics per source — token share, own mean
+    * quality, corpus mean without the source, and lift — from one scan
+    * plus a one-row totals broadcast (additivity makes every LOO mean a
+    * subtraction). All means are integer ppm floor divisions.
+    */
+  private def q242(s: SparkSession, dir: String): DataFrame =
+    TextOps.sourceAblation(Tables.documents(s, dir),
+        sourceCol = col("source"), textCol = col("text"))
+      .orderBy("source")
+
   private def q204(s: SparkSession, dir: String): DataFrame =
     Profile.checkConstraints(Tables.lineitem(s, dir), Seq(
       "discount_range" -> col("l_discount").between(0d, 0.1),
@@ -4279,7 +4290,8 @@ object SparkEntry {
     "q238_table_diff" -> q238 _,
     "q239_weighted_percentiles" -> q239 _,
     "q240_topn_other" -> q240 _,
-    "q241_export_manifest" -> q241 _
+    "q241_export_manifest" -> q241 _,
+    "q242_source_ablation" -> q242 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

@@ -1067,4 +1067,41 @@ object TextOps {
         when(col("n_replacement") === 0 && col("n_control") === 0 &&
           col("n_mojibake") === 0, lit("clean")).otherwise(lit("suspect")))
   }
+
+  /** Per-source leave-one-out ablation report — "what does each source
+    * actually contribute to the corpus": document and token mass,
+    * token share, the source's mean quality, the corpus mean WITHOUT
+    * the source, and the source's lift (corpus mean minus the
+    * without-mean; positive = removing the source would LOWER the
+    * corpus). Because the metrics are additive, every leave-one-out
+    * mean is just `(total − source) / (n_total − n_source)` — the full
+    * ablation costs ONE corpus scan plus a one-row totals broadcast,
+    * not |sources| re-aggregations. Means are integer ppm floor
+    * divisions ([[qualityScorePpm]] units), so no cross-engine double
+    * boundary exists. A single-source corpus reports NULL
+    * without-mean/lift (there is no corpus without it).
+    */
+  def sourceAblation(
+      docs: DataFrame,
+      sourceCol: Column,
+      textCol: Column
+  ): DataFrame = {
+    val per = docs
+      .select(sourceCol.as("source"),
+        qualityScorePpm(textCol).as("q"), tokenCount(textCol).as("tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"),
+        sum(col("q")).as("__sum_q"))
+    val tot = per.agg(sum(col("n_docs")).as("__t_docs"),
+      sum(col("n_tokens")).as("__t_tokens"), sum(col("__sum_q")).as("__t_q"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        expr("(n_tokens * 1000000) DIV __t_tokens").as("tok_share_ppm"),
+        expr("__sum_q DIV n_docs").as("mean_q_ppm"),
+        when(col("__t_docs") > col("n_docs"),
+          expr("(__t_q - __sum_q) DIV (__t_docs - n_docs)")).as("mean_wo_ppm"),
+        when(col("__t_docs") > col("n_docs"),
+          expr("__t_q DIV __t_docs - (__t_q - __sum_q) DIV (__t_docs - n_docs)"))
+          .as("lift_ppm"))
+  }
 }

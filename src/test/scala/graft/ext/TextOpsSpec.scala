@@ -548,4 +548,34 @@ class TextOpsSpec extends SparkTestBase {
     assert(got(5L) == ((5L, 0L, 0L, 0L, "clean")), s"got ${got(5L)}")
     assert(!got.contains(6L))
   }
+
+  test("sourceAblation: LOO means reconcile with direct recomputation; single source -> NULLs") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      ("web", "alpha beta gamma delta"), ("web", "one two three"),
+      ("books", "the quick brown fox jumps over the lazy dog"))
+      .toDF("source", "text")
+    val out = TextOps.sourceAblation(docs, col("source"), col("text"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6)))).toMap
+
+    // direct recomputation of the additive identities
+    val q = docs.select(TextOps.qualityScorePpm(col("text")).as("q"),
+        col("source")).as[(Long, String)].collect()
+    val tQ = q.map(_._1).sum
+    val webQ = q.filter(_._2 == "web").map(_._1).sum
+    val booksQ = tQ - webQ
+    assert(out("web")._1 == 2L && out("web")._2 == 7L)
+    assert(out("books")._1 == 1L && out("books")._2 == 9L)
+    assert(out("web")._3 == 7L * 1000000L / 16L)
+    assert(out("web")._4 == webQ / 2L)
+    assert(out("web")._5 == booksQ) // corpus without web = books alone
+    assert(out("web")._6 == tQ / 3L - booksQ)
+
+    val solo = TextOps.sourceAblation(
+      Seq(("only", "just one doc")).toDF("source", "text"),
+      col("source"), col("text")).collect().head
+    assert(solo.isNullAt(5) && solo.isNullAt(6))
+  }
 }
