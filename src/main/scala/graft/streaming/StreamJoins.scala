@@ -32,6 +32,36 @@ object StreamJoins {
         rightTime <= leftTime + expr(upperBound))
   }
 
+  /** LEFT OUTER interval join — [[interval]]'s match rule, but a left
+    * row with NO right match within its interval is still EMITTED
+    * (right columns NULL) once the right-side watermark has passed the
+    * interval's upper edge, because only then is "no match" final
+    * rather than "not yet". This is the join an enrichment pipeline
+    * needs when absence is itself signal (an order with no payment
+    * within 30s IS the alert). The delayed null-side emission is
+    * engine semantics, not a quirk: outer results trail inner results
+    * by up to the watermark delay + upper bound.
+    *
+    * Same state contract as [[interval]]: both sides watermarked, the
+    * range condition bounds buffering to O(rate × window).
+    */
+  def intervalOuter(
+      left: DataFrame,
+      right: DataFrame,
+      keyCond: Column,
+      leftTime: Column,
+      rightTime: Column,
+      lowerBound: String,
+      upperBound: String
+  ): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    left.join(right,
+      keyCond &&
+        rightTime >= leftTime + expr(lowerBound) &&
+        rightTime <= leftTime + expr(upperBound),
+      "left_outer")
+  }
+
   /** Stream–static dimension enrichment: join each streaming record to a
     * (small) static dimension table, broadcast so the stream side never
     * shuffles and no join state accumulates — the standard lookup-table

@@ -40,6 +40,42 @@ class StreamJoinsSpec extends SparkTestBase {
     assert(out == List(("s1", 41L)))
   }
 
+  test("left-outer interval join emits unmatched left rows with nulls once the watermark finalizes them") {
+    val lMem = MemoryStream[Telemetry](spark)
+    val rMem = MemoryStream[Telemetry](spark)
+    val l = lMem.toDF().withWatermark("event_time", "5 seconds")
+      .select(col("sensor_id").as("l_id"), col("event_time").as("l_time"))
+    val r = rMem.toDF().withWatermark("event_time", "5 seconds")
+      .select(col("sensor_id").as("r_id"), col("event_time").as("r_time"),
+        col("temperature").as("r_temp"))
+    val joined = StreamJoins.intervalOuter(l, r,
+      col("l_id") === col("r_id"), col("l_time"), col("r_time"),
+      "INTERVAL 0 SECONDS", "INTERVAL 30 SECONDS")
+
+    val query = joined.writeStream.format("memory")
+      .queryName("ssoj_out").outputMode("append").start()
+    try {
+      lMem.addData(Seq(
+        Telemetry("s1", 30, ts("2024-01-01 00:00:00")),   // will match
+        Telemetry("s2", 30, ts("2024-01-01 00:00:00")))) // never matches
+      rMem.addData(Seq(Telemetry("s1", 41, ts("2024-01-01 00:00:10"))))
+      query.processAllAvailable()
+      // push BOTH watermarks far past s2's interval upper edge so the
+      // engine can finalize "no match" and emit the null-side row
+      lMem.addData(Seq(Telemetry("s9", 30, ts("2024-01-01 00:10:00"))))
+      rMem.addData(Seq(Telemetry("s9", 30, ts("2024-01-01 00:10:00"))))
+      query.processAllAvailable()
+      lMem.addData(Seq(Telemetry("s9", 30, ts("2024-01-01 00:20:00"))))
+      rMem.addData(Seq(Telemetry("s9", 30, ts("2024-01-01 00:20:00"))))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val out = spark.table("ssoj_out").select("l_id", "r_temp")
+      .as[(String, Option[Long])].collect().toSet
+    assert(out.contains(("s1", Some(41L))), s"matched row missing: $out")
+    assert(out.contains(("s2", None)), s"null-side row missing: $out")
+  }
+
   test("stream-static enrich: broadcast dimension lookup, unmatched keys survive with nulls") {
     val dim = Seq(("s1", "lab"), ("s2", "roof")).toDF("sensor_id", "location")
     val mem = MemoryStream[Telemetry](spark)
