@@ -3955,6 +3955,30 @@ object OracleSql {
          | CAST(CASE WHEN t_docs > n_docs
          |   THEN t_q // t_docs - (t_q - sum_q) // (t_docs - n_docs) END
          |   AS BIGINT) AS lift_ppm
-         |FROM per, tot ORDER BY source""".stripMargin
+         |FROM per, tot ORDER BY source""".stripMargin,
+
+    // daily rollup, all ordered pairs, the pmod-floored ppm slope
+    // (den > 0; numerator may be negative -> explicit floor spelling),
+    // median by the (n+1)//2 rank over the total (slope, d1, d2) order
+    "q243_theilsen_slope" ->
+      """WITH daily AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |   CAST(count(*) AS BIGINT) AS y
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        | p AS (SELECT a.event_type,
+        |   (b.y - a.y) * 1000000 AS num, b.day - a.day AS den,
+        |   a.day AS d1, b.day AS d2
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND b.day > a.day),
+        | s AS (SELECT event_type, d1, d2,
+        |   (num - ((num % den) + den) % den) // den AS slope_ppm FROM p),
+        | r AS (SELECT event_type, slope_ppm,
+        |   row_number() OVER (PARTITION BY event_type
+        |     ORDER BY slope_ppm, d1, d2) AS rn,
+        |   count(*) OVER (PARTITION BY event_type) AS n_pairs FROM s)
+        |SELECT event_type, CAST(max(n_pairs) AS BIGINT) AS n_pairs,
+        | CAST(max(CASE WHEN rn = (n_pairs + 1) // 2 THEN slope_ppm END)
+        |   AS BIGINT) AS slope_ppm_median
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

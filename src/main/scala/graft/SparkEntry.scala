@@ -3986,6 +3986,19 @@ object SparkEntry {
         sourceCol = col("source"), textCol = col("text"))
       .orderBy("source")
 
+  /** Theil–Sen robust daily trend ([[TimeSeries.theilSenSlope]]):
+    * median of pairwise daily-count slopes per event type, in floored
+    * integer ppm units with the house `(n+1) DIV 2` median rank — the
+    * outlier-resistant companion to q203's least-squares rational. The
+    * oracle replays the daily rollup, every pair, the pmod floor, and
+    * the rank pick.
+    */
+  private def q243(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.theilSenSlope(Tables.events(s, dir),
+        col("event_type"), col("ts"))
+      .withColumnRenamed("key", "event_type")
+      .orderBy("event_type")
+
   private def q204(s: SparkSession, dir: String): DataFrame =
     Profile.checkConstraints(Tables.lineitem(s, dir), Seq(
       "discount_range" -> col("l_discount").between(0d, 0.1),
@@ -4291,7 +4304,8 @@ object SparkEntry {
     "q239_weighted_percentiles" -> q239 _,
     "q240_topn_other" -> q240 _,
     "q241_export_manifest" -> q241 _,
-    "q242_source_ablation" -> q242 _
+    "q242_source_ablation" -> q242 _,
+    "q243_theilsen_slope" -> q243 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

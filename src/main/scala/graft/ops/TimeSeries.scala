@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Time-series resampling operators.
@@ -397,6 +398,53 @@ object TimeSeries {
       .select(col("key"), col("n_days"), col("__sy").as("n_events"),
         when(col("slope_den") > 0, col("slope_num")).otherwise(lit(0L)).as("slope_num"),
         when(col("slope_den") > 0, col("slope_den")).otherwise(lit(0L)).as("slope_den"))
+  }
+
+  /** Theil–Sen robust trend per key — the MEDIAN of all pairwise daily
+    * slopes, the estimator that shrugs off the outlier days that drag
+    * [[trendSlopes]]' least-squares line around (up to ~29% arbitrary
+    * corruption). Slopes are emitted in integer ppm units: each pair's
+    * slope floors as `(Δy·10⁶) DIV Δdays` (positive denominator, so
+    * `pmod` flooring is exact for negative rises too), and the median
+    * is the house `(n+1) DIV 2` rank over the total
+    * (slope, day_a, day_b) order — integers end to end, no IEEE
+    * boundary.
+    *
+    * Keys with fewer than 2 observed days have no pair and are
+    * EXCLUDED (a one-point trend is not a trend). Scale: the pair
+    * build is a per-key self equi-join — O(days²) pairs per key — so
+    * the intended grain is a PRE-AGGREGATED series (daily cells, as
+    * here): a year is ~66k pairs per key. Raw-event grains need the
+    * [[gapFillDaily]]-style rollup first, which this operator performs
+    * on its own input (per-key DAILY counts, like [[trendSlopes]]).
+    */
+  def theilSenSlope(
+      df: DataFrame,
+      keyCol: Column,
+      tsCol: Column
+  ): DataFrame = {
+    val daily = df.filter(keyCol.isNotNull && tsCol.isNotNull)
+      .select(keyCol.as("key"), unix_timestamp(tsCol).cast("long").as("__ep"))
+      .withColumn("day", expr("__ep DIV 86400"))
+      .groupBy("key", "day")
+      .agg(count(lit(1)).as("y"))
+    val a = daily.select(col("key"), col("day").as("d1"), col("y").as("y1"))
+    val b = daily.select(col("key"), col("day").as("d2"), col("y").as("y2"))
+    val pairs = a.join(b, Seq("key")).filter(col("d2") > col("d1"))
+      .withColumn("__num", (col("y2") - col("y1")) * lit(1000000L))
+      .withColumn("__den", col("d2") - col("d1"))
+      .withColumn("slope_ppm",
+        expr("(__num - pmod(__num, __den)) DIV __den"))
+    val wr = Window.partitionBy(col("key"))
+      .orderBy(col("slope_ppm"), col("d1"), col("d2"))
+    val wn = Window.partitionBy(col("key"))
+    pairs
+      .withColumn("__rn", row_number().over(wr))
+      .withColumn("n_pairs", count(lit(1)).over(wn))
+      .groupBy("key")
+      .agg(max(col("n_pairs")).as("n_pairs"),
+        max(when(col("__rn") === expr("(n_pairs + 1) DIV 2"),
+          col("slope_ppm"))).as("slope_ppm_median"))
   }
 
   /** One-sided (upward) CUSUM drift detection per key — Page's

@@ -233,4 +233,31 @@ class TimeSeriesSpec extends SparkTestBase {
     assert(got.map(_._7) == List(false, false, false, true, true, true))
     assert(got.size == 6, "NULL key/ts/value rows are excluded")
   }
+
+  test("theilSenSlope: median pairwise slope matches brute force and resists an outlier day") {
+    // daily counts: day0->2, day1->3, day2->4, day3->100 (outlier), day4->6
+    // perfect +1/day trend except day3; Theil-Sen median stays near 1e6 ppm
+    val counts = Map(0 -> 2, 1 -> 3, 2 -> 4, 3 -> 100, 4 -> 6)
+    val rows = counts.toSeq.flatMap { case (d, n) =>
+      (1 to n).map(_ => ("a", new Timestamp(d * 86400000L + 1000L)))
+    }
+    val out = TimeSeries.theilSenSlope(rows.toDF("k", "ts"), col("k"), col("ts"))
+      .as[(String, Long, Long)].collect().head
+
+    val days = counts.keys.toSeq.sorted
+    val slopes = for {
+      i <- days; j <- days if j > i
+      num = (counts(j) - counts(i)).toLong * 1000000L
+      den = (j - i).toLong
+    } yield (Math.floorDiv(num, den), i, j)
+    val sorted = slopes.sortBy(t => (t._1, t._2, t._3))
+    val expectMedian = sorted((sorted.size + 1) / 2 - 1)._1
+    assert(out == (("a", slopes.size.toLong, expectMedian)))
+    assert(out._3 == 1000000L, s"outlier day dragged the median: ${out._3}")
+
+    // a single observed day yields no pair -> key excluded
+    val single = TimeSeries.theilSenSlope(
+      Seq(("b", new Timestamp(0L))).toDF("k", "ts"), col("k"), col("ts"))
+    assert(single.count() == 0)
+  }
 }
