@@ -3979,6 +3979,25 @@ object OracleSql {
         |SELECT event_type, CAST(max(n_pairs) AS BIGINT) AS n_pairs,
         | CAST(max(CASE WHEN rn = (n_pairs + 1) // 2 THEN slope_ppm END)
         |   AS BIGINT) AS slope_ppm_median
-        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // the forecast replayed: both count tables (identical here — the
+    // accidental self-join), per-key c*c contributions, the total
+    // (out desc, key asc) cut, and the exact __total__ row
+    "q244_join_fanout" ->
+      """WITH lc AS (SELECT CAST(user_id AS VARCHAR) AS key,
+        |    CAST(count(*) AS BIGINT) AS n_left FROM events GROUP BY 1),
+        | rc AS (SELECT CAST(user_id AS VARCHAR) AS key,
+        |    CAST(count(*) AS BIGINT) AS n_right FROM events GROUP BY 1),
+        | m AS (SELECT lc.key, n_left, n_right,
+        |    n_left * n_right AS out_rows FROM lc JOIN rc ON lc.key = rc.key),
+        | r AS (SELECT key, n_left, n_right, out_rows,
+        |    row_number() OVER (ORDER BY out_rows DESC, key) AS rk FROM m)
+        |SELECT key, n_left, n_right, out_rows FROM r WHERE rk <= 10
+        |UNION ALL
+        |SELECT '__total__', CAST(coalesce(sum(n_left), 0) AS BIGINT),
+        | CAST(coalesce(sum(n_right), 0) AS BIGINT),
+        | CAST(coalesce(sum(out_rows), 0) AS BIGINT) FROM m
+        |ORDER BY out_rows DESC, key""".stripMargin
   )
 }

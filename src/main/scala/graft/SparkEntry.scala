@@ -3999,6 +3999,19 @@ object SparkEntry {
       .withColumnRenamed("key", "event_type")
       .orderBy("event_type")
 
+  /** Join fan-out forecast ([[ops.Profile.joinFanout]]): price the
+    * classic accidental self-join — events⋈events on user_id — before
+    * running it: per-key c² contributions, top-10 hottest keys, and
+    * the exact predicted total, all from two count aggregates. The
+    * oracle replays the count tables, the (out desc, key asc) cut, and
+    * the total row.
+    */
+  private def q244(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    Profile.joinFanout(ev, ev, col("user_id"), col("user_id"), topK = 10)
+      .orderBy(col("out_rows").desc, col("key"))
+  }
+
   private def q204(s: SparkSession, dir: String): DataFrame =
     Profile.checkConstraints(Tables.lineitem(s, dir), Seq(
       "discount_range" -> col("l_discount").between(0d, 0.1),
@@ -4305,7 +4318,8 @@ object SparkEntry {
     "q240_topn_other" -> q240 _,
     "q241_export_manifest" -> q241 _,
     "q242_source_ablation" -> q242 _,
-    "q243_theilsen_slope" -> q243 _
+    "q243_theilsen_slope" -> q243 _,
+    "q244_join_fanout" -> q244 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

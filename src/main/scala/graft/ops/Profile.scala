@@ -408,6 +408,46 @@ object Profile {
       .agg(count(lit(1)).as("n_rows"), sum(col("fp")).as("content_sum"))
   }
 
+  /** Join fan-out forecast — predict an equi-join's output size BEFORE
+    * running it, from per-side key multiplicities: every matched key
+    * contributes `n_left · n_right` rows, so two cheap count
+    * aggregates + a count-table join price the whole thing. Output is
+    * the top-`topK` keys by predicted contribution (desc, key asc —
+    * total order) plus one `__total__` row with the matched-side sums
+    * and the exact predicted row count. A single key predicting
+    * millions of rows is the accidental-fanout (or accidental
+    * self-join) caught for the cost of two aggregates instead of a
+    * dead executor. Companion to [[shuffleBalance]], which prices the
+    * shuffle; this prices the MATCH.
+    *
+    * Scale: per-side key counts (one shuffle each, map-side partial),
+    * then everything runs on key-cardinality-sized tables; the top-K
+    * is a TakeOrderedAndProject.
+    */
+  def joinFanout(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: Column,
+      rightKey: Column,
+      topK: Int = 10
+  ): DataFrame = {
+    require(topK >= 1, "topK must be positive")
+    val lc = left.groupBy(leftKey.cast("string").as("key"))
+      .agg(count(lit(1)).as("n_left"))
+    val rc = right.groupBy(rightKey.cast("string").as("key"))
+      .agg(count(lit(1)).as("n_right"))
+    val matched = lc.join(rc, Seq("key"))
+      .withColumn("out_rows", col("n_left") * col("n_right"))
+    val top = matched.orderBy(col("out_rows").desc, col("key")).limit(topK)
+    val total = matched
+      .agg(coalesce(sum(col("n_left")), lit(0L)).as("n_left"),
+        coalesce(sum(col("n_right")), lit(0L)).as("n_right"),
+        coalesce(sum(col("out_rows")), lit(0L)).as("out_rows"))
+      .select(lit("__total__").as("key"), col("n_left"), col("n_right"),
+        col("out_rows"))
+    top.unionByName(total)
+  }
+
   /** Shuffle-balance forecast: how a planned shuffle on `keyCol` would
     * distribute over `buckets` reducers — per-bucket row and distinct-
     * key counts under the engine-portable md5 partitioner

@@ -232,6 +232,26 @@ class ProfileSpec extends SparkTestBase {
     assert(l1 == Set(("a", 4L, 1L, 0L), ("b", 4L, 3L, 0L)))
   }
 
+  test("joinFanout predicts the exact join size; unmatched keys don't contribute") {
+    val left = Seq("a", "a", "a", "b", "c").toDF("k")
+    val right = Seq("a", "a", "b", "b", "b", "d").toDF("k")
+    val out = Profile.joinFanout(left, right, col("k"), col("k"), topK = 1)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    // a: 3*2=6, b: 1*3=3; c and d unmatched; topK=1 keeps only a
+    assert(out == Set(("a", 3L, 2L, 6L), ("__total__", 4L, 5L, 9L)))
+
+    // the forecast equals the real join's size
+    val real = left.join(right, Seq("k")).count()
+    assert(real == 9L)
+
+    // disjoint keys: empty top, zeroed total
+    val none = Profile.joinFanout(Seq("x").toDF("k"), Seq("y").toDF("k"),
+      col("k"), col("k")).collect().map(r =>
+        (r.getString(0), r.getLong(3))).toSet
+    assert(none == Set(("__total__", 0L)))
+  }
+
   test("contentManifest: order-independent, key-bound, content-sensitive") {
     val rows = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"), (4L, "delta"))
     val m1 = Profile.contentManifest(rows.toDF("id", "text"),
