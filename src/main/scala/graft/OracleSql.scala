@@ -3998,6 +3998,36 @@ object OracleSql {
         |SELECT '__total__', CAST(coalesce(sum(n_left), 0) AS BIGINT),
         | CAST(coalesce(sum(n_right), 0) AS BIGINT),
         | CAST(coalesce(sum(out_rows), 0) AS BIGINT) FROM m
-        |ORDER BY out_rows DESC, key""".stripMargin
+        |ORDER BY out_rows DESC, key""".stripMargin,
+
+    // daily rollup, running prefix sums, the HUGEINT-scaled floored
+    // micro-gain (A = S_t*n - S*t can square past 2^63), argmax with
+    // earliest-split ties
+    "q245_changepoint" ->
+      """WITH daily AS (SELECT event_type,
+        |   CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |   CAST(count(*) AS BIGINT) AS y
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        | c AS (SELECT event_type, day,
+        |   row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn,
+        |   sum(y) OVER (PARTITION BY event_type ORDER BY day
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |   count(*) OVER (PARTITION BY event_type) AS n,
+        |   sum(y) OVER (PARTITION BY event_type) AS tot
+        |  FROM daily),
+        | g AS (SELECT *, cum * n - tot * rn AS a FROM c WHERE rn < n),
+        | s AS (SELECT event_type, day, rn, cum, n, tot,
+        |   (CAST(a AS HUGEINT) * a * 1000000) // (rn * (n - rn) * n)
+        |     AS gain_micro
+        |  FROM g),
+        | r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |     ORDER BY gain_micro DESC, rn) AS pick FROM s)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_days,
+        | CAST(day AS BIGINT) AS split_day, CAST(rn AS BIGINT) AS left_n,
+        | CAST(cum AS BIGINT) AS left_sum,
+        | CAST(tot - cum AS BIGINT) AS right_sum,
+        | CAST(gain_micro AS BIGINT) AS gain_micro
+        |FROM r WHERE pick = 1 ORDER BY event_type""".stripMargin
   )
 }

@@ -4012,6 +4012,18 @@ object SparkEntry {
       .orderBy(col("out_rows").desc, col("key"))
   }
 
+  /** Changepoint detection ([[TimeSeries.changepoint]]): the exact
+    * argmax level-shift split of each event type's daily series —
+    * floored micro-gain in DECIMAL(38,0), earliest-split ties. The
+    * oracle replays the rollup, both running sums, the HUGEINT gain,
+    * and the rank pick.
+    */
+  private def q245(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.changepoint(Tables.events(s, dir),
+        col("event_type"), col("ts"))
+      .withColumnRenamed("key", "event_type")
+      .orderBy("event_type")
+
   private def q204(s: SparkSession, dir: String): DataFrame =
     Profile.checkConstraints(Tables.lineitem(s, dir), Seq(
       "discount_range" -> col("l_discount").between(0d, 0.1),
@@ -4319,7 +4331,8 @@ object SparkEntry {
     "q241_export_manifest" -> q241 _,
     "q242_source_ablation" -> q242 _,
     "q243_theilsen_slope" -> q243 _,
-    "q244_join_fanout" -> q244 _
+    "q244_join_fanout" -> q244 _,
+    "q245_changepoint" -> q245 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

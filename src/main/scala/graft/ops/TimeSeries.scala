@@ -447,6 +447,58 @@ object TimeSeries {
           col("slope_ppm"))).as("slope_ppm_median"))
   }
 
+  /** Single-split changepoint per key (the binary-segmentation step):
+    * over the per-key DAILY count series, find the split that maximizes
+    * the between-segment variance reduction — "did this series change
+    * level, and when". For a split after rank `t` of `n` points with
+    * prefix sum `S_t` and total `S`, the gain is proportional to
+    * `(S_t·n − S·t)² / (t·(n−t)·n)`; the operator compares the FLOORED
+    * micro-scaled gain `⌊A²·10⁶ / B⌋` computed in DECIMAL(38,0) (A² can
+    * pass 2⁶³ scaled — the [[graft.ops.Profile]] histogram precedent),
+    * ties broken by earliest split — both rules exact on any engine.
+    *
+    * Output per key (keys with a single observed day excluded):
+    * `n_days`, the boundary `split_day` (last day of the left segment),
+    * `left_n`/`left_sum`/`right_sum`, and `gain_micro`. Whether the
+    * gain is SIGNIFICANT is the caller's threshold (or a permutation
+    * test); this operator's job is the exact argmax. Recursing into
+    * the two halves yields multi-changepoint segmentation.
+    *
+    * Scale: one shuffle — rollup, both running windows, and the argmax
+    * rank all share the key partitioning.
+    */
+  def changepoint(
+      df: DataFrame,
+      keyCol: Column,
+      tsCol: Column
+  ): DataFrame = {
+    val daily = df.filter(keyCol.isNotNull && tsCol.isNotNull)
+      .select(keyCol.as("key"), unix_timestamp(tsCol).cast("long").as("__ep"))
+      .withColumn("day", expr("__ep DIV 86400"))
+      .groupBy("key", "day")
+      .agg(count(lit(1)).as("y"))
+    val wo = Window.partitionBy(col("key")).orderBy(col("day"))
+    val wk = Window.partitionBy(col("key"))
+    val cand = daily
+      .withColumn("rn", row_number().over(wo))
+      .withColumn("cum", sum(col("y")).over(wo))
+      .withColumn("n", count(lit(1)).over(wk))
+      .withColumn("tot", sum(col("y")).over(wk))
+      .filter(col("rn") < col("n"))
+      .withColumn("__a", col("cum") * col("n") - col("tot") * col("rn"))
+      .withColumn("gain_micro", expr(
+        "CAST((CAST(__a AS DECIMAL(38,0)) * __a * 1000000)" +
+          " DIV (rn * (n - rn) * n) AS BIGINT)"))
+    val pick = Window.partitionBy(col("key"))
+      .orderBy(col("gain_micro").desc, col("rn"))
+    cand
+      .withColumn("__pick", row_number().over(pick))
+      .filter(col("__pick") === 1)
+      .select(col("key"), col("n").as("n_days"), col("day").as("split_day"),
+        col("rn").as("left_n"), col("cum").as("left_sum"),
+        (col("tot") - col("cum")).as("right_sum"), col("gain_micro"))
+  }
+
   /** One-sided (upward) CUSUM drift detection per key — Page's
     * cumulative-sum control chart: the recursive statistic
     * `s_i = max(0, s_{i−1} + (x_i − μ − k))` flags a PERSISTENT mean

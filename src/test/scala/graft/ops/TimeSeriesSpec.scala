@@ -260,4 +260,35 @@ class TimeSeriesSpec extends SparkTestBase {
       Seq(("b", new Timestamp(0L))).toDF("k", "ts"), col("k"), col("ts"))
     assert(single.count() == 0)
   }
+
+  test("changepoint finds the planted level shift; matches brute-force gain argmax") {
+    // level 2/day for days 0..4, then 10/day for days 5..9: split after day 4
+    val counts = (0 to 4).map(d => d -> 2) ++ (5 to 9).map(d => d -> 10)
+    val rows = counts.flatMap { case (d, n) =>
+      (1 to n).map(_ => ("a", new Timestamp(d * 86400000L + 1000L)))
+    }
+    val out = TimeSeries.changepoint(rows.toDF("k", "ts"), col("k"), col("ts"))
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().head
+    assert((out._2, out._3, out._4, out._5, out._6) == ((10L, 4L, 5L, 10L, 50L)),
+      s"got $out")
+
+    // brute-force the floored micro-gain argmax
+    val ys = counts.map(_._2.toLong)
+    val n = ys.size.toLong
+    val tot = ys.sum
+    val gains = ys.inits.toSeq.reverse.tail.zipWithIndex.collect {
+      // prefix at index i holds the first i+1 values -> split t = i+1 < n
+      case (prefix, i) if i + 1 < n =>
+        val t = (i + 1).toLong; val st = prefix.sum
+        val a = BigInt(st * n - tot * t)
+        (a * a * 1000000 / (t * (n - t) * n), t)
+    }
+    val best = gains.maxBy { case (g, t) => (g, -t) }
+    assert(out._7 == best._1.toLong && out._4 == best._2)
+
+    // single-day keys have no candidate split -> excluded
+    val single = TimeSeries.changepoint(
+      Seq(("b", new Timestamp(0L))).toDF("k", "ts"), col("k"), col("ts"))
+    assert(single.count() == 0)
+  }
 }
