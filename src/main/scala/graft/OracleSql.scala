@@ -4028,6 +4028,47 @@ object OracleSql {
         | CAST(cum AS BIGINT) AS left_sum,
         | CAST(tot - cum AS BIGINT) AS right_sum,
         | CAST(gain_micro AS BIGINT) AS gain_micro
-        |FROM r WHERE pick = 1 ORDER BY event_type""".stripMargin
+        |FROM r WHERE pick = 1 ORDER BY event_type""".stripMargin,
+
+    // anchor on the observed max day, rebuild each fold's window
+    // edges, count train/test rows by correlated subquery
+    "q246_backtest_folds" ->
+      """WITH d AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+        |  FROM events WHERE ts IS NOT NULL),
+        | mx AS (SELECT max(day) AS dmax FROM d),
+        | f AS (SELECT unnest([1, 2, 3]) AS fold),
+        | w AS (SELECT fold,
+        |   (SELECT dmax FROM mx) - (3 - fold) * 7 - 6 AS lo,
+        |   (SELECT dmax FROM mx) - (3 - fold) * 7 AS hi FROM f)
+        |SELECT CAST(fold AS BIGINT) AS fold,
+        | CAST(lo - 1 AS BIGINT) AS train_end_day,
+        | CAST((SELECT count(*) FROM d WHERE d.day < w.lo) AS BIGINT)
+        |   AS n_train,
+        | CAST((SELECT count(*) FROM d WHERE d.day >= w.lo AND d.day <= w.hi)
+        |   AS BIGINT) AS n_test
+        |FROM w ORDER BY fold""".stripMargin,
+
+    // the scoring grid rebuilt with generate_series (keys x last 7
+    // days), lag-7 lookup by join, missing days zero on both sides
+    "q247_seasonal_naive" ->
+      """WITH daily AS (SELECT event_type AS key,
+        |   CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |   CAST(count(*) AS BIGINT) AS y
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        | mx AS (SELECT max(day) AS dmax FROM daily),
+        | grid AS (SELECT k.key, gs.day
+        |  FROM (SELECT DISTINCT key FROM daily) k,
+        |   (SELECT unnest(generate_series((SELECT dmax FROM mx) - 6,
+        |      (SELECT dmax FROM mx))) AS day) gs),
+        | sc AS (SELECT g.key,
+        |   coalesce(a.y, 0) AS ya, coalesce(p.y, 0) AS yp
+        |  FROM grid g
+        |   LEFT JOIN daily a ON a.key = g.key AND a.day = g.day
+        |   LEFT JOIN daily p ON p.key = g.key AND p.day = g.day - 7)
+        |SELECT key AS event_type, CAST(count(*) AS BIGINT) AS n_days,
+        | CAST(sum(abs(ya - yp)) AS BIGINT) AS total_ae,
+        | CAST((sum(abs(ya - yp)) * 1000000) // 7 AS BIGINT) AS mae_ppm
+        |FROM sc GROUP BY key ORDER BY event_type""".stripMargin
   )
 }

@@ -4024,6 +4024,30 @@ object SparkEntry {
       .withColumnRenamed("key", "event_type")
       .orderBy("event_type")
 
+  /** Rolling-origin backtest folds ([[TimeSeries.rollingOriginFolds]]):
+    * 3 expanding-window folds with 7-day test horizons anchored on the
+    * observed max day — the leak-free time-series CV split, audited
+    * (train/test row counts per fold) before any model sees it. The
+    * oracle replays the anchor, both window edges, and the counts.
+    */
+  private def q246(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.rollingOriginFolds(Tables.events(s, dir), col("ts"),
+        k = 3, horizonDays = 7)
+      .orderBy("fold")
+
+  /** Seasonal-naive backtest ([[TimeSeries.seasonalNaiveBacktest]]):
+    * predict each of the last 7 days' per-type counts as the count 7
+    * days earlier, missing days zero on BOTH sides, exact integer
+    * absolute errors and a floored ppm MAE — the baseline any real
+    * forecast must beat. The oracle rebuilds the scoring grid with
+    * generate_series and replays the lag join.
+    */
+  private def q247(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.seasonalNaiveBacktest(Tables.events(s, dir),
+        col("event_type"), col("ts"), horizonDays = 7, seasonDays = 7)
+      .withColumnRenamed("key", "event_type")
+      .orderBy("event_type")
+
   private def q204(s: SparkSession, dir: String): DataFrame =
     Profile.checkConstraints(Tables.lineitem(s, dir), Seq(
       "discount_range" -> col("l_discount").between(0d, 0.1),
@@ -4332,7 +4356,9 @@ object SparkEntry {
     "q242_source_ablation" -> q242 _,
     "q243_theilsen_slope" -> q243 _,
     "q244_join_fanout" -> q244 _,
-    "q245_changepoint" -> q245 _
+    "q245_changepoint" -> q245 _,
+    "q246_backtest_folds" -> q246 _,
+    "q247_seasonal_naive" -> q247 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

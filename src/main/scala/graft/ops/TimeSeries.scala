@@ -499,6 +499,92 @@ object TimeSeries {
         (col("tot") - col("cum")).as("right_sum"), col("gain_micro"))
   }
 
+  /** Rolling-origin (expanding-window) backtest folds — the
+    * time-series analog of k-fold CV, where random splits would leak
+    * the future into training: fold `i` of `k` tests on the `horizon`
+    * days ending `(k−i)·horizon` days before the LAST observed day and
+    * trains on everything strictly before its test window. Returns the
+    * fold audit table (`fold`, `train_end_day`, `n_train`, `n_test`) —
+    * the artifact that catches "fold 3 trains on 12 rows" before a
+    * model does. Day grid is anchored on the observed max day, so the
+    * split is a pure function of the data.
+    *
+    * Scale: one row-level pass against a k-row broadcast grid (every
+    * row lands in ≤ k train sets and ≤ 1 test set), then an aggregate
+    * to 2k cells.
+    */
+  def rollingOriginFolds(
+      df: DataFrame,
+      tsCol: Column,
+      k: Int,
+      horizonDays: Int
+  ): DataFrame = {
+    require(k >= 1 && horizonDays >= 1, "need k >= 1 and horizonDays >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val days = df.filter(tsCol.isNotNull)
+      .select((unix_timestamp(tsCol).cast("long")).as("__ep"))
+      .withColumn("day", expr("__ep DIV 86400"))
+    val grid = (1 to k).toDF("fold")
+    days
+      .crossJoin(broadcast(grid.crossJoin(
+        days.agg(max(col("day")).as("__dmax")))))
+      .withColumn("__test_hi", col("__dmax") - (lit(k) - col("fold")) * horizonDays)
+      .withColumn("__test_lo", col("__test_hi") - horizonDays + 1)
+      .withColumn("__role",
+        when(col("day") < col("__test_lo"), "train")
+          .when(col("day") <= col("__test_hi"), "test"))
+      .filter(col("__role").isNotNull)
+      .groupBy(col("fold").cast("long").as("fold"))
+      .agg(max(col("__test_lo") - 1).as("train_end_day"),
+        sum(when(col("__role") === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("__role") === "test", 1L).otherwise(0L)).as("n_test"))
+  }
+
+  /** Seasonal-naive forecast backtest — the baseline every real
+    * forecaster must beat: predict each of the last `horizonDays`
+    * days' count as the count `seasonDays` earlier (missing days are
+    * zero, on both sides — a day with no events is an observation,
+    * not a gap), and score per key with EXACT integer errors: total
+    * absolute error and `mae_ppm = ⌊Σ|e|·10⁶ / horizonDays⌋`.
+    *
+    * Scale: daily rollup (one shuffle), the scoring grid is
+    * `keys × horizonDays` rows built from a per-key one-row aggregate
+    * — no gap-fill of the whole history, only the scored window.
+    */
+  def seasonalNaiveBacktest(
+      df: DataFrame,
+      keyCol: Column,
+      tsCol: Column,
+      horizonDays: Int,
+      seasonDays: Int
+  ): DataFrame = {
+    require(horizonDays >= 1 && seasonDays >= 1,
+      "need horizonDays >= 1 and seasonDays >= 1")
+    val daily = df.filter(keyCol.isNotNull && tsCol.isNotNull)
+      .select(keyCol.as("key"), unix_timestamp(tsCol).cast("long").as("__ep"))
+      .withColumn("day", expr("__ep DIV 86400"))
+      .groupBy("key", "day")
+      .agg(count(lit(1)).as("y"))
+    val dmax = daily.agg(max(col("day")).as("__dmax"))
+    val grid = daily.select(col("key")).distinct()
+      .crossJoin(broadcast(dmax))
+      .select(col("key"), explode(sequence(
+        col("__dmax") - (horizonDays - 1), col("__dmax"))).as("day"))
+    val actual = daily.withColumnRenamed("y", "__ya")
+    val lagged = daily
+      .select(col("key"), (col("day") + seasonDays).as("day"),
+        col("y").as("__yp"))
+    grid
+      .join(actual, Seq("key", "day"), "left")
+      .join(lagged, Seq("key", "day"), "left")
+      .withColumn("__ae", abs(coalesce(col("__ya"), lit(0L)) -
+        coalesce(col("__yp"), lit(0L))))
+      .groupBy("key")
+      .agg(count(lit(1)).as("n_days"), sum(col("__ae")).as("total_ae"),
+        expr(s"(sum(__ae) * 1000000) DIV $horizonDays").as("mae_ppm"))
+  }
+
   /** One-sided (upward) CUSUM drift detection per key — Page's
     * cumulative-sum control chart: the recursive statistic
     * `s_i = max(0, s_{i−1} + (x_i − μ − k))` flags a PERSISTENT mean

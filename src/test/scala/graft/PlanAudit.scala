@@ -44,7 +44,10 @@ object PlanAudit {
     "q198_ann_ivf_pq", // corpus × broadcast pivot/codebook frames, q41's shape
     "q206_cluster_purity", // corpus × broadcast pivot centroids, q41's shape
     "q214_negative_samples", // ONE-row item-universe-size broadcast (modulus)
-    "q216_psi_drift") // ONE-row reference-range + current-total broadcasts
+    "q216_psi_drift", // ONE-row reference-range + current-total broadcasts
+    "q242_source_ablation", // ONE-row corpus-totals broadcast (LOO means)
+    "q246_backtest_folds", // k-row fold grid × ONE-row max-day anchor broadcast
+    "q247_seasonal_naive") // keys × ONE-row max-day anchor (scored window grid)
 
   /** Queries whose DESIGN composes several complete pipelines, so their
     * exchange count legitimately exceeds the single-pipeline budget —

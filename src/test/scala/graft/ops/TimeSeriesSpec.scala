@@ -291,4 +291,27 @@ class TimeSeriesSpec extends SparkTestBase {
       Seq(("b", new Timestamp(0L))).toDF("k", "ts"), col("k"), col("ts"))
     assert(single.count() == 0)
   }
+
+  test("rollingOriginFolds: expanding windows anchored on max day, no leakage") {
+    // one event per day for days 0..27 -> dmax=27
+    val rows = (0 to 27).map(d => Tuple1(new Timestamp(d * 86400000L + 1000L)))
+    val out = TimeSeries.rollingOriginFolds(rows.toDF("ts"), col("ts"),
+        k = 2, horizonDays = 7)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toList
+    // fold1: test [14,20], train days < 14; fold2: test [21,27], train < 21
+    assert(out == List((1L, 13L, 14L, 7L), (2L, 20L, 21L, 7L)))
+  }
+
+  test("seasonalNaiveBacktest: lag-7 prediction, missing days are zero observations") {
+    // key a: days 0..6 have 2/day, days 7..13 have 5/day except day 10 missing
+    val days = (0 to 13).filter(_ != 10).map(d => d -> (if (d < 7) 2 else 5))
+    val rows = days.flatMap { case (d, n) =>
+      (1 to n).map(_ => ("a", new Timestamp(d * 86400000L + 1000L)))
+    }
+    val out = TimeSeries.seasonalNaiveBacktest(rows.toDF("k", "ts"),
+        col("k"), col("ts"), horizonDays = 7, seasonDays = 7)
+      .as[(String, Long, Long, Long)].collect().head
+    // scored days 7..13: |5-2|x6 for present days, day 10: |0-2| = 2 -> 20
+    assert(out == (("a", 7L, 20L, 20L * 1000000L / 7L)))
+  }
 }
