@@ -4069,6 +4069,41 @@ object OracleSql {
         |SELECT key AS event_type, CAST(count(*) AS BIGINT) AS n_days,
         | CAST(sum(abs(ya - yp)) AS BIGINT) AS total_ae,
         | CAST((sum(abs(ya - yp)) * 1000000) // 7 AS BIGINT) AS mae_ppm
-        |FROM sc GROUP BY key ORDER BY event_type""".stripMargin
+        |FROM sc GROUP BY key ORDER BY event_type""".stripMargin,
+
+    // window join, per-conversion k and recency rank, the
+    // largest-remainder credit rule, and the full-credit direct arm;
+    // conservation: sum(credit_ppm) = 1e6 * n_purchases by construction
+    "q248_linear_attribution" ->
+      """WITH b AS (SELECT user_id AS u,
+        |   CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+        |   event_type AS et, event_id AS eid
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        | convs AS (SELECT u, sec AS cs, eid AS cid FROM b
+        |   WHERE et = 'purchase'),
+        | tch AS (SELECT u, sec AS tsx, et AS channel, eid AS tid FROM b
+        |   WHERE et <> 'purchase'),
+        | j AS (SELECT c.cid, t.channel, t.tsx, t.tid
+        |  FROM convs c JOIN tch t ON c.u = t.u
+        |   AND t.tsx >= c.cs - 3600 AND t.tsx < c.cs),
+        | r AS (SELECT cid, channel,
+        |   count(*) OVER (PARTITION BY cid) AS k,
+        |   row_number() OVER (PARTITION BY cid
+        |     ORDER BY tsx DESC, tid) AS rn FROM j),
+        | cr AS (SELECT channel,
+        |   1000000 // k + CASE WHEN rn <= 1000000 % k THEN 1 ELSE 0 END
+        |     AS credit FROM r),
+        | by_ch AS (SELECT channel, CAST(count(*) AS BIGINT) AS n_touches,
+        |   CAST(sum(credit) AS BIGINT) AS credit_ppm
+        |  FROM cr GROUP BY channel),
+        | direct AS (SELECT '__direct__' AS channel,
+        |   CAST(count(*) AS BIGINT) AS n_touches,
+        |   CAST(count(*) * 1000000 AS BIGINT) AS credit_ppm
+        |  FROM convs WHERE cid NOT IN (SELECT DISTINCT cid FROM j)
+        |  HAVING count(*) > 0)
+        |SELECT * FROM by_ch UNION ALL SELECT * FROM direct
+        |ORDER BY channel""".stripMargin
   )
 }

@@ -4048,6 +4048,20 @@ object SparkEntry {
       .withColumnRenamed("key", "event_type")
       .orderBy("event_type")
 
+  /** Multi-touch linear attribution ([[Behavior.linearAttribution]]):
+    * each purchase's 10⁶ ppm of credit split across its 1-hour touch
+    * window by largest remainder (leftover ppm to the most recent
+    * touches), untouched purchases crediting `__direct__` — so total
+    * credit is EXACTLY 10⁶ × purchases. The oracle replays the window
+    * join, k/rank, the remainder rule, and the direct arm.
+    */
+  private def q248(s: SparkSession, dir: String): DataFrame =
+    Behavior.linearAttribution(Tables.events(s, dir),
+        userCol = col("user_id"), tsCol = col("ts"),
+        typeCol = col("event_type"), idCol = col("event_id"),
+        convType = "purchase", windowSec = 3600L)
+      .orderBy("channel")
+
   private def q204(s: SparkSession, dir: String): DataFrame =
     Profile.checkConstraints(Tables.lineitem(s, dir), Seq(
       "discount_range" -> col("l_discount").between(0d, 0.1),
@@ -4358,7 +4372,8 @@ object SparkEntry {
     "q244_join_fanout" -> q244 _,
     "q245_changepoint" -> q245 _,
     "q246_backtest_folds" -> q246 _,
-    "q247_seasonal_naive" -> q247 _
+    "q247_seasonal_naive" -> q247 _,
+    "q248_linear_attribution" -> q248 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

@@ -255,6 +255,69 @@ object Behavior {
       .select(col("user"), col("conv_time"), col("touch_time"), col("attributed"))
   }
 
+  /** Multi-touch LINEAR attribution with EXACT credit conservation —
+    * each conversion's 10⁶ ppm of credit splits evenly across every
+    * touch in its lookback window via the largest-remainder method:
+    * every touch gets `10⁶ DIV k`, and the `10⁶ mod k` leftover ppm go
+    * one each to the most RECENT touches (recency-desc, then touch id —
+    * total order). Credits therefore sum to EXACTLY `10⁶ ·
+    * n_conversions` across the whole report — integer division never
+    * leaks or mints credit, the property a revenue-allocation report is
+    * audited against (and the one naive `1/k` doubles cannot give).
+    * Conversions with NO touch in the window credit a `__direct__`
+    * channel in full, closing the conservation identity.
+    *
+    * Output per channel: `n_touches` (credited touch rows; for
+    * `__direct__`, the untouched conversions) and `credit_ppm` (its
+    * exact share of `10⁶ × n_conversions`).
+    *
+    * Scale: the touch build is a per-user equi-join with a time-range
+    * filter (bounded by per-user activity in the window); the
+    * per-conversion k/rank are one window over the conversion id. Two
+    * key shuffles, no global state.
+    */
+  def linearAttribution(
+      events: DataFrame,
+      userCol: Column,
+      tsCol: Column,
+      typeCol: Column,
+      idCol: Column,
+      convType: String,
+      windowSec: Long
+  ): DataFrame = {
+    val base = events
+      .filter(userCol.isNotNull && tsCol.isNotNull && typeCol.isNotNull)
+      .select(userCol.as("user"), unix_timestamp(tsCol).cast("long").as("sec"),
+        typeCol.as("et"), idCol.as("eid"))
+    val convs = base.filter(col("et") === convType)
+      .select(col("user"), col("sec").as("conv_sec"), col("eid").as("conv_id"))
+    val touches = base.filter(col("et") =!= convType)
+      .select(col("user"), col("sec").as("touch_sec"),
+        col("et").as("channel"), col("eid").as("touch_id"))
+    val joined = convs.join(touches, Seq("user"))
+      .filter(col("touch_sec") >= col("conv_sec") - windowSec &&
+        col("touch_sec") < col("conv_sec"))
+    val wk = Window.partitionBy(col("conv_id"))
+    val wr = Window.partitionBy(col("conv_id"))
+      .orderBy(col("touch_sec").desc, col("touch_id"))
+    val credited = joined
+      .withColumn("__k", count(lit(1)).over(wk))
+      .withColumn("__rn", row_number().over(wr))
+      .withColumn("credit",
+        expr("1000000 DIV __k") +
+          when(col("__rn") <= expr("pmod(1000000, __k)"), 1L).otherwise(0L))
+    val byChannel = credited.groupBy("channel")
+      .agg(count(lit(1)).as("n_touches"), sum(col("credit")).as("credit_ppm"))
+    val direct = convs
+      .join(credited.select(col("conv_id")).distinct(), Seq("conv_id"),
+        "left_anti")
+      .agg(count(lit(1)).as("n_touches"))
+      .filter(col("n_touches") > 0)
+      .select(lit("__direct__").as("channel"), col("n_touches"),
+        (col("n_touches") * 1000000L).as("credit_ppm"))
+    byChannel.unionByName(direct)
+  }
+
   /** Weekly cohort retention: users are cohorted by the ISO week of
     * their first event; the output counts, for every (cohort_week,
     * week_offset) cell, the distinct users from that cohort active in

@@ -248,4 +248,27 @@ class BehaviorSpec extends SparkTestBase {
     // p90 = value at ceil(2*0.9)=2 -> 300
     assert(got == List((20000L, 2L, 100L, 300L, 300L)), s"got $got")
   }
+
+  test("linearAttribution: largest-remainder credits conserve exactly, direct arm fires") {
+    def ev(u: Long, sec: Long, et: String, id: Long) =
+      (u, new Timestamp(sec * 1000L), et, id)
+    val rows = Seq(
+      // purchase at t=5000 with 3 touches inside [1400, 5000): credit
+      // 333334 to the most recent (view@4000), 333333 to the other two
+      ev(1, 2000, "view", 10), ev(1, 3000, "click", 11), ev(1, 4000, "view", 12),
+      ev(1, 5000, "purchase", 13),
+      ev(1, 1000, "view", 9),      // outside the 1h window
+      // untouched purchase -> __direct__
+      ev(2, 9000, "purchase", 20)
+    ).toDF("user_id", "ts", "event_type", "event_id")
+    val out = Behavior.linearAttribution(rows, col("user_id"), col("ts"),
+        col("event_type"), col("event_id"), "purchase", windowSec = 3600L)
+      .as[(String, Long, Long)].collect()
+      .map { case (k, v2, v3) => k -> ((v2, v3)) }.toMap
+    assert(out("view") == ((2L, 333333L + 333334L)))
+    assert(out("click") == ((1L, 333333L)))
+    assert(out("__direct__") == ((1L, 1000000L)))
+    // conservation: 2 purchases -> exactly 2e6 ppm
+    assert(out.values.map(_._2).sum == 2000000L)
+  }
 }
