@@ -4104,6 +4104,35 @@ object OracleSql {
         |  FROM convs WHERE cid NOT IN (SELECT DISTINCT cid FROM j)
         |  HAVING count(*) > 0)
         |SELECT * FROM by_ch UNION ALL SELECT * FROM direct
-        |ORDER BY channel""".stripMargin
+        |ORDER BY channel""".stripMargin,
+
+    // gaps-and-islands sessionize on (epoch-us, event_id), first-3
+    // prefix, concat_ws path (NULL arms dropped in both engines),
+    // exact ppm share of all sessions
+    "q249_session_paths" ->
+      """WITH e AS (SELECT user_id AS u, event_id AS eid,
+        |   event_type AS et, epoch_us(ts) AS us
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        | l AS (SELECT *, lag(us) OVER
+        |    (PARTITION BY u ORDER BY us, eid) AS prev FROM e),
+        | s AS (SELECT *, sum(CASE WHEN prev IS NULL
+        |     OR us - prev >= 1800000000 THEN 1 ELSE 0 END)
+        |   OVER (PARTITION BY u ORDER BY us, eid
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM l),
+        | r AS (SELECT u, sid, et, row_number() OVER
+        |    (PARTITION BY u, sid ORDER BY us, eid) AS rn FROM s),
+        | p AS (SELECT u, sid, concat_ws('>',
+        |    max(CASE WHEN rn = 1 THEN et END),
+        |    max(CASE WHEN rn = 2 THEN et END),
+        |    max(CASE WHEN rn = 3 THEN et END)) AS path
+        |  FROM r WHERE rn <= 3 GROUP BY u, sid),
+        | c AS (SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+        |  FROM p GROUP BY path)
+        |SELECT path, n_sessions,
+        | CAST((n_sessions * 1000000) // (SELECT sum(n_sessions) FROM c)
+        |   AS BIGINT) AS share_ppm
+        |FROM c ORDER BY path""".stripMargin
   )
 }

@@ -4062,6 +4062,19 @@ object SparkEntry {
         convType = "purchase", windowSec = 3600L)
       .orderBy("channel")
 
+  /** Session path mining ([[Behavior.sessionPaths]]): 30-minute-gap
+    * sessions, each contributing its first-3 event-type path `a>b>c`,
+    * rolled up with exact ppm shares — product analytics' "how do
+    * sessions start". The oracle replays the gaps-and-islands
+    * sessionize, the prefix rank, the concat_ws path, and the share.
+    */
+  private def q249(s: SparkSession, dir: String): DataFrame =
+    Behavior.sessionPaths(Tables.events(s, dir),
+        userCol = col("user_id"), tsCol = col("ts"),
+        typeCol = col("event_type"), idCol = col("event_id"),
+        gapSec = 1800L, depth = 3)
+      .orderBy("path")
+
   private def q204(s: SparkSession, dir: String): DataFrame =
     Profile.checkConstraints(Tables.lineitem(s, dir), Seq(
       "discount_range" -> col("l_discount").between(0d, 0.1),
@@ -4373,7 +4386,8 @@ object SparkEntry {
     "q245_changepoint" -> q245 _,
     "q246_backtest_folds" -> q246 _,
     "q247_seasonal_naive" -> q247 _,
-    "q248_linear_attribution" -> q248 _
+    "q248_linear_attribution" -> q248 _,
+    "q249_session_paths" -> q249 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

@@ -318,6 +318,60 @@ object Behavior {
     byChannel.unionByName(direct)
   }
 
+  /** Session path mining — the "how do sessions start" report: events
+    * sessionize by inactivity gap (gaps-and-islands, the q91 shape),
+    * each session contributes its first `depth` event types joined as
+    * `a>b>c` (shorter sessions contribute their shorter prefix —
+    * concat_ws drops the missing arms), and paths roll up with exact
+    * ppm shares of ALL sessions. The path table is bounded by
+    * |types|^depth, so the share denominator is a global window over a
+    * bounded intermediate (the documented benign class), not a scan.
+    *
+    * Determinism: in-session order is (event time, event id) — total.
+    * Scale: the sessionize windows and the prefix rank share one user
+    * shuffle; everything after runs on the bounded path table.
+    */
+  def sessionPaths(
+      events: DataFrame,
+      userCol: Column,
+      tsCol: Column,
+      typeCol: Column,
+      idCol: Column,
+      gapSec: Long,
+      depth: Int
+  ): DataFrame = {
+    require(gapSec > 0 && depth >= 1 && depth <= 8,
+      "need gapSec > 0 and depth in 1..8")
+    val w = Window.partitionBy(col("user"))
+      .orderBy(col("us"), col("eid"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = events
+      .filter(userCol.isNotNull && tsCol.isNotNull && typeCol.isNotNull)
+      .select(userCol.as("user"), unix_micros(tsCol).as("us"),
+        typeCol.as("et"), idCol.as("eid"))
+      .withColumn("ns",
+        when(lag(col("us"), 1).over(w).isNull ||
+          col("us") - lag(col("us"), 1).over(w) >= gapSec * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum(col("ns")).over(wRun))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("user"), col("sid"))
+          .orderBy(col("us"), col("eid"))))
+      .filter(col("rn") <= depth)
+    val paths = sess
+      .groupBy("user", "sid")
+      .agg(concat_ws(">",
+        (1 to depth).map(i => max(when(col("rn") === i, col("et")))): _*)
+        .as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_sessions"))
+    paths
+      .withColumn("__tot",
+        sum(col("n_sessions")).over(Window.partitionBy()))
+      .withColumn("share_ppm", expr("(n_sessions * 1000000) DIV __tot"))
+      .select("path", "n_sessions", "share_ppm")
+  }
+
   /** Weekly cohort retention: users are cohorted by the ISO week of
     * their first event; the output counts, for every (cohort_week,
     * week_offset) cell, the distinct users from that cohort active in

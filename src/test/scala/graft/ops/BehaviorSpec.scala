@@ -271,4 +271,26 @@ class BehaviorSpec extends SparkTestBase {
     // conservation: 2 purchases -> exactly 2e6 ppm
     assert(out.values.map(_._2).sum == 2000000L)
   }
+
+  test("sessionPaths: gap splits sessions, short prefixes, exact shares") {
+    def ev(u: Long, sec: Long, et: String, id: Long) =
+      (u, new Timestamp(sec * 1000L), et, id)
+    val rows = Seq(
+      // user 1, session 1: view>click>view (4th event beyond depth)
+      ev(1, 0, "view", 1), ev(1, 60, "click", 2), ev(1, 120, "view", 3),
+      ev(1, 180, "buy", 4),
+      // user 1, session 2 after a 1-hour gap: single-event path "view"
+      ev(1, 3900, "view", 5),
+      // user 2: view>click
+      ev(2, 0, "view", 6), ev(2, 30, "click", 7)
+    ).toDF("user_id", "ts", "event_type", "event_id")
+    val out = Behavior.sessionPaths(rows, col("user_id"), col("ts"),
+        col("event_type"), col("event_id"), gapSec = 1800L, depth = 3)
+      .as[(String, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(out == Map(
+      "view>click>view" -> ((1L, 333333L)),
+      "view" -> ((1L, 333333L)),
+      "view>click" -> ((1L, 333333L))))
+  }
 }
