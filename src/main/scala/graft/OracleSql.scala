@@ -4133,6 +4133,39 @@ object OracleSql {
         |SELECT path, n_sessions,
         | CAST((n_sessions * 1000000) // (SELECT sum(n_sessions) FROM c)
         |   AS BIGINT) AS share_ppm
-        |FROM c ORDER BY path""".stripMargin
+        |FROM c ORDER BY path""".stripMargin,
+
+    // the whole readout replayed: md5 arm assignment, unit-grain
+    // outcome, 2x2 cells, HUGEINT chi-square in milli units, exact
+    // 3.841 threshold
+    "q250_ab_chisquare" ->
+      """WITH u AS (SELECT CAST(user_id AS VARCHAR) AS unit,
+        |   max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        | ar AS (SELECT y,
+        |   ('0x'||substr(md5('7:'||unit),1,8))::BIGINT % 2 AS arm FROM u),
+        | t AS (SELECT
+        |   CAST(sum(CASE WHEN arm = 1 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |   CAST(sum(CASE WHEN arm = 1 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        |   CAST(sum(CASE WHEN arm = 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |   CAST(sum(CASE WHEN arm = 0 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+        |  FROM ar),
+        | g AS (SELECT a, b, c, d, a + b AS nt, c + d AS nc,
+        |   CASE WHEN a+b > 0 AND c+d > 0 AND a+c > 0 AND b+d > 0 THEN
+        |     CAST((CAST(a AS HUGEINT)*d - CAST(b AS HUGEINT)*c)
+        |       * (CAST(a AS HUGEINT)*d - CAST(b AS HUGEINT)*c)
+        |       * (a+b+c+d) * 1000
+        |       // (CAST(a+b AS HUGEINT) * (c+d) * (a+c) * (b+d)) AS BIGINT)
+        |   END AS chi2_milli FROM t)
+        |SELECT nt AS n_treat, nc AS n_control,
+        | a AS conv_treat, c AS conv_control,
+        | CASE WHEN nt > 0 THEN (a * 1000000) // nt END AS rate_treat_ppm,
+        | CASE WHEN nc > 0 THEN (c * 1000000) // nc END AS rate_control_ppm,
+        | CASE WHEN nt > 0 THEN (a * 1000000) // nt END
+        |   - CASE WHEN nc > 0 THEN (c * 1000000) // nc END AS lift_ppm,
+        | chi2_milli,
+        | CASE WHEN chi2_milli IS NOT NULL THEN chi2_milli >= 3841 END
+        |   AS significant
+        |FROM g ORDER BY n_treat""".stripMargin
   )
 }

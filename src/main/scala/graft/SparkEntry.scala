@@ -4075,6 +4075,18 @@ object SparkEntry {
         gapSec = 1800L, depth = 3)
       .orderBy("path")
 
+  /** A/B readout with exact chi-square ([[ops.Stats.abChiSquare]]):
+    * users hash-assigned to arms (md5, reproducible in the oracle),
+    * outcome = any purchase, 2×2 chi-square in exact DECIMAL milli
+    * units against the 3.841 critical value. The oracle replays the
+    * assignment, the table, and the HUGEINT statistic.
+    */
+  private def q250(s: SparkSession, dir: String): DataFrame =
+    ops.Stats.abChiSquare(Tables.events(s, dir),
+        unitCol = col("user_id"),
+        convertedCol = col("event_type") === "purchase")
+      .orderBy("n_treat")
+
   private def q204(s: SparkSession, dir: String): DataFrame =
     Profile.checkConstraints(Tables.lineitem(s, dir), Seq(
       "discount_range" -> col("l_discount").between(0d, 0.1),
@@ -4387,7 +4399,8 @@ object SparkEntry {
     "q246_backtest_folds" -> q246 _,
     "q247_seasonal_naive" -> q247 _,
     "q248_linear_attribution" -> q248 _,
-    "q249_session_paths" -> q249 _
+    "q249_session_paths" -> q249 _,
+    "q250_ab_chisquare" -> q250 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

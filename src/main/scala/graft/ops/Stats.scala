@@ -361,6 +361,67 @@ object Stats {
     top.withColumn("n_keys", lit(1L)).unionByName(other)
   }
 
+  /** A/B experiment readout with an EXACT chi-square significance test —
+    * no doubles anywhere a boundary could flip: units are assigned to
+    * arms by the portable md5 hash (so the assignment is reproducible
+    * on any engine — and in the oracle), outcomes aggregate to the 2×2
+    * table (a,b,c,d), and the 1-df chi-square statistic
+    * `n·(ad−bc)² / ((a+b)(c+d)(a+c)(b+d))` is compared in milli-units
+    * via DECIMAL(38,0) integer division — the numerator squares past
+    * 2⁶³ long before the table is big. `significant` is the exact test
+    * `chi2_milli ≥ 3841` (α = 0.05 critical value 3.841, floored to
+    * the same milli grid).
+    *
+    * Output (one row): arm sizes, conversions, per-arm ppm rates, the
+    * rate lift, `chi2_milli`, `significant`. Degenerate margins (an
+    * empty arm or an all/none outcome) report NULL chi2 — the test is
+    * undefined, not zero.
+    *
+    * Scale: one shuffle to unit grain, then a single aggregate to one
+    * row; the hash assignment is map-side.
+    */
+  def abChiSquare(
+      df: DataFrame,
+      unitCol: Column,
+      convertedCol: Column,
+      seed: Int = 7
+  ): DataFrame = {
+    import graft.functions.Hashing
+    val units = df
+      .select(unitCol.cast("string").as("unit"), convertedCol.as("conv"))
+      .filter(col("unit").isNotNull)
+      .groupBy("unit")
+      .agg(max(when(col("conv"), 1L).otherwise(0L)).as("y"))
+      .withColumn("arm", pmod(Hashing.md5Hash32(seed, col("unit")), lit(2L)))
+    val cells = units.agg(
+      sum(when(col("arm") === 1 && col("y") === 1, 1L).otherwise(0L)).as("a"),
+      sum(when(col("arm") === 1 && col("y") === 0, 1L).otherwise(0L)).as("b"),
+      sum(when(col("arm") === 0 && col("y") === 1, 1L).otherwise(0L)).as("c"),
+      sum(when(col("arm") === 0 && col("y") === 0, 1L).otherwise(0L)).as("d"))
+    cells
+      .withColumn("n_treat", col("a") + col("b"))
+      .withColumn("n_control", col("c") + col("d"))
+      .withColumn("rate_treat_ppm",
+        when(col("n_treat") > 0, expr("(a * 1000000) DIV (a + b)")))
+      .withColumn("rate_control_ppm",
+        when(col("n_control") > 0, expr("(c * 1000000) DIV (c + d)")))
+      .withColumn("lift_ppm", col("rate_treat_ppm") - col("rate_control_ppm"))
+      .withColumn("chi2_milli", expr(
+        "CASE WHEN (a+b) > 0 AND (c+d) > 0 AND (a+c) > 0 AND (b+d) > 0 THEN " +
+          "CAST((CAST(a AS DECIMAL(38,0)) * d - CAST(b AS DECIMAL(38,0)) * c)" +
+          " * (CAST(a AS DECIMAL(38,0)) * d - CAST(b AS DECIMAL(38,0)) * c)" +
+          " * (a+b+c+d) * 1000" +
+          " DIV (CAST(a+b AS DECIMAL(38,0)) * (c+d) * (a+c) * (b+d)) AS BIGINT)" +
+          " END"))
+      .withColumn("significant",
+        when(col("chi2_milli").isNotNull, col("chi2_milli") >= 3841L))
+      .select("n_treat", "n_control", "a", "c",
+        "rate_treat_ppm", "rate_control_ppm", "lift_ppm",
+        "chi2_milli", "significant")
+      .withColumnRenamed("a", "conv_treat")
+      .withColumnRenamed("c", "conv_control")
+  }
+
   /** Model calibration buckets (the reliability diagram as data): ppm
     * scores in `[0, 10⁶]` binned into `buckets` equal-width bins, each
     * bin reporting its population, mean predicted score, and OBSERVED

@@ -220,6 +220,36 @@ class StatsSpec extends SparkTestBase {
     assert(all.map(_._1) == Set("a", "b", "c", "d", "e"))
   }
 
+  test("abChiSquare: exact statistic matches BigInt recomputation over the hash assignment") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    // units 0..199 convert iff unit % 3 == 0 (deterministic outcome)
+    val rows = (0 until 200).map(u => (u.toLong, u % 3 == 0))
+      .toDF("unit", "conv")
+    val out = Stats.abChiSquare(rows, col("unit"), col("conv")).collect().head
+
+    // recompute the cells with the SAME portable hash
+    val arms = rows.select(col("unit").cast("string").as("u"))
+      .withColumn("arm", pmod(graft.functions.Hashing.md5Hash32(7, col("u")), lit(2L)))
+      .as[(String, Long)].collect().toMap
+    val cells = (0 until 200).groupBy(u =>
+      (arms(u.toString), u % 3 == 0)).view.mapValues(_.size.toLong).toMap
+    val (a, b) = (cells.getOrElse((1L, true), 0L), cells.getOrElse((1L, false), 0L))
+    val (c, d) = (cells.getOrElse((0L, true), 0L), cells.getOrElse((0L, false), 0L))
+    val num = (BigInt(a) * d - BigInt(b) * c)
+    val chi2 = num * num * (a + b + c + d) * 1000 /
+      (BigInt(a + b) * (c + d) * (a + c) * (b + d))
+    assert(out.getLong(0) == a + b && out.getLong(1) == c + d)
+    assert(out.getLong(2) == a && out.getLong(3) == c)
+    assert(out.getLong(7) == chi2.toLong)
+    assert(out.getBoolean(8) == (chi2.toLong >= 3841L))
+
+    // degenerate margin (nobody converts) -> NULL chi2, NULL verdict
+    val degen = Stats.abChiSquare(
+      (0 until 50).map(u => (u.toLong, false)).toDF("unit", "conv"),
+      col("unit"), col("conv")).collect().head
+    assert(degen.isNullAt(7) && degen.isNullAt(8))
+  }
+
   private implicit class Map2[A, B, C, D](rows: Array[(A, B, C, D)]) {
     def toMap2: Map[A, (B, C, D)] = rows.map(r => r._1 -> ((r._2, r._3, r._4))).toMap
   }
