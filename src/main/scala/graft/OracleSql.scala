@@ -4166,6 +4166,18 @@ object OracleSql {
         | chi2_milli,
         | CASE WHEN chi2_milli IS NOT NULL THEN chi2_milli >= 3841 END
         |   AS significant
-        |FROM g ORDER BY n_treat""".stripMargin
+        |FROM g ORDER BY n_treat""".stripMargin,
+
+    // the per-source running count-<= (RANGE frame includes peers)
+    // over the same integer quality score, ppm-floored
+    "q251_source_ecdf" ->
+      s"""WITH d AS (SELECT doc_id, source,
+         |   CAST($qualityPpmSql AS BIGINT) AS q_ppm FROM documents)
+         |SELECT doc_id, source, q_ppm,
+         | CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n,
+         | CAST((count(*) OVER (PARTITION BY source ORDER BY q_ppm
+         |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000)
+         |   // (count(*) OVER (PARTITION BY source)) AS BIGINT) AS ecdf_ppm
+         |FROM d ORDER BY doc_id""".stripMargin
   )
 }

@@ -4087,6 +4087,23 @@ object SparkEntry {
         convertedCol = col("event_type") === "purchase")
       .orderBy("n_treat")
 
+  /** Per-source score calibration ([[ops.Stats.groupEcdf]]): each
+    * document's quality score mapped to its source's exact ECDF in ppm
+    * — "good FOR ITS SOURCE" — so one downstream cut keeps the same
+    * fraction of every source. Ties share one ECDF value (count-≤,
+    * RANGE frame). The oracle replays the per-source running count.
+    */
+  private def q251(s: SparkSession, dir: String): DataFrame =
+    ops.Stats.groupEcdf(
+        Tables.documents(s, dir)
+          .withColumn("q_ppm", TextOps.qualityScorePpm(col("text"))),
+        idCol = col("doc_id"), keyCol = col("source"),
+        valueCol = col("q_ppm"))
+      .withColumnRenamed("id", "doc_id")
+      .withColumnRenamed("key", "source")
+      .withColumnRenamed("v", "q_ppm")
+      .orderBy("doc_id")
+
   private def q204(s: SparkSession, dir: String): DataFrame =
     Profile.checkConstraints(Tables.lineitem(s, dir), Seq(
       "discount_range" -> col("l_discount").between(0d, 0.1),
@@ -4400,7 +4417,8 @@ object SparkEntry {
     "q247_seasonal_naive" -> q247 _,
     "q248_linear_attribution" -> q248 _,
     "q249_session_paths" -> q249 _,
-    "q250_ab_chisquare" -> q250 _
+    "q250_ab_chisquare" -> q250 _,
+    "q251_source_ecdf" -> q251 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

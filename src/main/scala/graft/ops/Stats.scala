@@ -422,6 +422,38 @@ object Stats {
       .withColumnRenamed("c", "conv_control")
   }
 
+  /** Per-group ECDF in exact ppm — every row's value mapped to its
+    * group's empirical `P(X ≤ x)`: `ecdf_ppm = count(≤ x)·10⁶ DIV n`.
+    * This is the rank-based calibration that makes scores COMPARABLE
+    * across groups with different distributions ("is this document
+    * good FOR ITS SOURCE"): a raw threshold keeps different fractions
+    * of each source, the ECDF keeps the same fraction of each by
+    * construction. Ties share one ECDF value (the RANGE frame includes
+    * peers — count-≤, the textbook ECDF), so equal scores can never
+    * straddle a downstream cut.
+    *
+    * Scale: one shuffle on the group key; the running count is the
+    * standard sort-based keyed window. No global ordering anywhere.
+    */
+  def groupEcdf(
+      df: DataFrame,
+      idCol: Column,
+      keyCol: Column,
+      valueCol: Column
+  ): DataFrame = {
+    val base = df.select(idCol.as("id"), keyCol.as("key"),
+        valueCol.cast("long").as("v"))
+      .filter(col("v").isNotNull)
+    val wle = Window.partitionBy(col("key")).orderBy(col("v"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val wn = Window.partitionBy(col("key"))
+    base
+      .withColumn("n", count(lit(1)).over(wn))
+      .withColumn("__le", count(lit(1)).over(wle))
+      .withColumn("ecdf_ppm", expr("(__le * 1000000) DIV n"))
+      .select(col("id"), col("key"), col("v"), col("n"), col("ecdf_ppm"))
+  }
+
   /** Model calibration buckets (the reliability diagram as data): ppm
     * scores in `[0, 10⁶]` binned into `buckets` equal-width bins, each
     * bin reporting its population, mean predicted score, and OBSERVED

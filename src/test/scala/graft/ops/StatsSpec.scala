@@ -250,6 +250,21 @@ class StatsSpec extends SparkTestBase {
     assert(degen.isNullAt(7) && degen.isNullAt(8))
   }
 
+  test("groupEcdf: count-<= semantics, ties share a value, per-group isolation") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq((1L, "s1", 10L), (2L, "s1", 20L), (3L, "s1", 20L),
+      (4L, "s1", 40L), (5L, "s2", 99L)).toDF("id", "src", "q")
+    val out = Stats.groupEcdf(df, col("id"), col("src"), col("q"))
+      .as[(Long, String, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._4, t._5))).toMap
+    // s1: n=4; 10 -> 1/4, the tied 20s BOTH -> 3/4, 40 -> 4/4
+    assert(out(1L) == ((4L, 250000L)))
+    assert(out(2L) == ((4L, 750000L)) && out(3L) == ((4L, 750000L)))
+    assert(out(4L) == ((4L, 1000000L)))
+    // s2 is its own distribution: its single value is its own max
+    assert(out(5L) == ((1L, 1000000L)))
+  }
+
   private implicit class Map2[A, B, C, D](rows: Array[(A, B, C, D)]) {
     def toMap2: Map[A, (B, C, D)] = rows.map(r => r._1 -> ((r._2, r._3, r._4))).toMap
   }
