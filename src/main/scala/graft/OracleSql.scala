@@ -4178,6 +4178,23 @@ object OracleSql {
          | CAST((count(*) OVER (PARTITION BY source ORDER BY q_ppm
          |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000)
          |   // (count(*) OVER (PARTITION BY source)) AS BIGINT) AS ecdf_ppm
-         |FROM d ORDER BY doc_id""".stripMargin
+         |FROM d ORDER BY doc_id""".stripMargin,
+
+    // the same (epoch-us, seq) keyed window: adjacent seq inversions,
+    // duplicate instants, max gap floored to seconds
+    "q252_stream_hygiene" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id AS seq
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        | l AS (SELECT user_id, us, seq,
+        |   lag(us) OVER (PARTITION BY user_id ORDER BY us, seq) AS pus,
+        |   lag(seq) OVER (PARTITION BY user_id ORDER BY us, seq) AS pseq
+        |  FROM e)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        | CAST(sum(CASE WHEN pseq IS NOT NULL AND seq < pseq
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_ooo_adj,
+        | CAST(sum(CASE WHEN pus IS NOT NULL AND us = pus
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_ts,
+        | CAST(max(us - pus) // 1000000 AS BIGINT) AS max_gap_sec
+        |FROM l GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }

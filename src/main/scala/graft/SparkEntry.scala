@@ -4104,6 +4104,18 @@ object SparkEntry {
       .withColumnRenamed("v", "q_ppm")
       .orderBy("doc_id")
 
+  /** Stream hygiene audit ([[TimeSeries.streamHygiene]]): per user —
+    * adjacent out-of-order deliveries (event_id decreasing in
+    * event-time order), duplicate instants, and the largest silent
+    * gap; the three facts that size watermarks, dedup policy, and
+    * tie-break columns. The oracle replays the (us, seq) window.
+    */
+  private def q252(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.streamHygiene(Tables.events(s, dir),
+        keyCol = col("user_id"), tsCol = col("ts"), seqCol = col("event_id"))
+      .withColumnRenamed("key", "user_id")
+      .orderBy("user_id")
+
   private def q204(s: SparkSession, dir: String): DataFrame =
     Profile.checkConstraints(Tables.lineitem(s, dir), Seq(
       "discount_range" -> col("l_discount").between(0d, 0.1),
@@ -4418,7 +4430,8 @@ object SparkEntry {
     "q248_linear_attribution" -> q248 _,
     "q249_session_paths" -> q249 _,
     "q250_ab_chisquare" -> q250 _,
-    "q251_source_ecdf" -> q251 _
+    "q251_source_ecdf" -> q251 _,
+    "q252_stream_hygiene" -> q252 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

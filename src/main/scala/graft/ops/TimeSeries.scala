@@ -585,6 +585,41 @@ object TimeSeries {
         expr(s"(sum(__ae) * 1000000) DIV $horizonDays").as("mae_ppm"))
   }
 
+  /** Stream hygiene audit — the per-key delivery-quality report an
+    * ingestion pipeline checks BEFORE trusting event-time logic
+    * downstream: in (event-time, sequence) order, how many adjacent
+    * steps arrived OUT OF ORDER (sequence number decreased while time
+    * advanced — late/reordered delivery), how many rows share an exact
+    * duplicate instant (same microsecond — a collapsed-clock or
+    * double-fire symptom, and exactly what makes a naive
+    * `orderBy(ts)` nondeterministic), and the largest silent gap.
+    * These are the three facts that decide watermark delay, dedup
+    * policy, and tie-break columns; measuring them is one keyed
+    * window pass.
+    *
+    * Output per key: `n_events`, `n_ooo_adj`, `n_dup_ts`,
+    * `max_gap_sec` (NULL for single-event keys).
+    */
+  def streamHygiene(
+      df: DataFrame,
+      keyCol: Column,
+      tsCol: Column,
+      seqCol: Column
+  ): DataFrame = {
+    val w = Window.partitionBy(col("key")).orderBy(col("us"), col("seq"))
+    df.filter(keyCol.isNotNull && tsCol.isNotNull)
+      .select(keyCol.as("key"), unix_micros(tsCol).as("us"), seqCol.as("seq"))
+      .withColumn("__pus", lag(col("us"), 1).over(w))
+      .withColumn("__pseq", lag(col("seq"), 1).over(w))
+      .groupBy("key")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("__pseq").isNotNull && col("seq") < col("__pseq"), 1L)
+          .otherwise(0L)).as("n_ooo_adj"),
+        sum(when(col("__pus").isNotNull && col("us") === col("__pus"), 1L)
+          .otherwise(0L)).as("n_dup_ts"),
+        expr("max(us - __pus) DIV 1000000").as("max_gap_sec"))
+  }
+
   /** One-sided (upward) CUSUM drift detection per key — Page's
     * cumulative-sum control chart: the recursive statistic
     * `s_i = max(0, s_{i−1} + (x_i − μ − k))` flags a PERSISTENT mean

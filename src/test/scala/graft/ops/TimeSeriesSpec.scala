@@ -302,6 +302,22 @@ class TimeSeriesSpec extends SparkTestBase {
     assert(out == List((1L, 13L, 14L, 7L), (2L, 20L, 21L, 7L)))
   }
 
+  test("streamHygiene: adjacent inversions, duplicate instants, max gap") {
+    def ev(u: Long, ms: Long, id: Long) = (u, new Timestamp(ms), id)
+    val rows = Seq(
+      ev(1, 1000, 5), ev(1, 2000, 3),  // seq went backwards -> 1 ooo
+      ev(1, 2000, 4),                   // duplicate instant (and seq rises)
+      ev(1, 62000, 9),                  // 60s gap
+      ev(2, 1000, 1)                    // single event: NULL gap
+    ).toDF("user_id", "ts", "event_id")
+    val out = TimeSeries.streamHygiene(rows, col("user_id"), col("ts"),
+        col("event_id"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), if (r.isNullAt(4)) -1L else r.getLong(4)))).toMap
+    assert(out(1L) == ((4L, 1L, 1L, 60L)))
+    assert(out(2L) == ((1L, 0L, 0L, -1L)))
+  }
+
   test("seasonalNaiveBacktest: lag-7 prediction, missing days are zero observations") {
     // key a: days 0..6 have 2/day, days 7..13 have 5/day except day 10 missing
     val days = (0 to 13).filter(_ != 10).map(d => d -> (if (d < 7) 2 else 5))
