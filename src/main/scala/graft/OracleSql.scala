@@ -4195,6 +4195,22 @@ object OracleSql {
         | CAST(sum(CASE WHEN pus IS NOT NULL AND us = pus
         |   THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_ts,
         | CAST(max(us - pus) // 1000000 AS BIGINT) AS max_gap_sec
-        |FROM l GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM l GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // same generated hit columns as q32, best/second by list_sort,
+    // margin over the pairwise total (h1 > 0 guard -> NULL when no
+    // stopword evidence)
+    "q253_lang_confidence" ->
+      s"""WITH sc AS (SELECT doc_id, $langHitsSql FROM documents),
+         | s2 AS (SELECT doc_id, $langCaseSql AS lang,
+         |   list_sort([${graft.ext.TextOps.stopwords.map(_._1 + "_h").mkString(", ")}],
+         |     'DESC') AS hs
+         |  FROM sc)
+         |SELECT doc_id, lang,
+         | CAST(hs[1] AS BIGINT) AS h1, CAST(hs[2] AS BIGINT) AS h2,
+         | CAST(CASE WHEN hs[1] > 0
+         |   THEN ((hs[1] - hs[2]) * 1000000) // (hs[1] + hs[2]) END
+         |   AS BIGINT) AS margin_ppm
+         |FROM s2 ORDER BY doc_id""".stripMargin
   )
 }

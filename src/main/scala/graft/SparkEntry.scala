@@ -4116,6 +4116,18 @@ object SparkEntry {
       .withColumnRenamed("key", "user_id")
       .orderBy("user_id")
 
+  /** Language-ID confidence ([[TextOps.langConfidence]]): q32's argmax
+    * plus the decisiveness margin `(h1−h2)·10⁶ DIV (h1+h2)` — the
+    * number a curation gate thresholds instead of trusting a bare
+    * argmax on mixed-language documents. The oracle sorts the same
+    * generated hit columns and replays the margin.
+    */
+  private def q253(s: SparkSession, dir: String): DataFrame =
+    TextOps.langConfidence(Tables.documents(s, dir),
+        idCol = col("doc_id"), textCol = col("text"))
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
   private def q204(s: SparkSession, dir: String): DataFrame =
     Profile.checkConstraints(Tables.lineitem(s, dir), Seq(
       "discount_range" -> col("l_discount").between(0d, 0.1),
@@ -4431,7 +4443,8 @@ object SparkEntry {
     "q249_session_paths" -> q249 _,
     "q250_ab_chisquare" -> q250 _,
     "q251_source_ecdf" -> q251 _,
-    "q252_stream_hygiene" -> q252 _
+    "q252_stream_hygiene" -> q252 _,
+    "q253_lang_confidence" -> q253 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

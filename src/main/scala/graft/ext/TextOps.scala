@@ -1068,6 +1068,32 @@ object TextOps {
           col("n_mojibake") === 0, lit("clean")).otherwise(lit("suspect")))
   }
 
+  /** Language-ID with a CONFIDENCE margin — [[langId]]'s argmax plus
+    * how decisive it was: `h1`/`h2` are the best and second-best
+    * stopword hit counts and `margin_ppm = (h1−h2)·10⁶ DIV (h1+h2)`
+    * (1 = unanimous, 0 = dead heat, NULL = no evidence at all). The
+    * margin is the threshold a curation pipeline actually gates on:
+    * "en at margin ≥ 0.5" drops the mixed-language docs that a bare
+    * argmax waves through. Same tiny stopword lists as [[langId]], so
+    * the two can never disagree on the winner; per-row scalar work
+    * only.
+    */
+  def langConfidence(
+      docs: DataFrame,
+      idCol: Column,
+      textCol: Column
+  ): DataFrame = {
+    val hits = stopwords.map { case (lang, words) =>
+      lang -> stopwordHits(textCol, words)
+    }
+    val sorted = sort_array(array(hits.map(_._2): _*), asc = false)
+    docs.select(idCol.as("id"), langId(textCol).as("lang"),
+        element_at(sorted, 1).as("h1"), element_at(sorted, 2).as("h2"))
+      .withColumn("margin_ppm",
+        when(col("h1") > 0,
+          expr("((h1 - h2) * 1000000) DIV (h1 + h2)")))
+  }
+
   /** Per-source leave-one-out ablation report — "what does each source
     * actually contribute to the corpus": document and token mass,
     * token share, the source's mean quality, the corpus mean WITHOUT

@@ -549,6 +549,25 @@ class TextOpsSpec extends SparkTestBase {
     assert(!got.contains(6L))
   }
 
+  test("langConfidence: margin separates decisive from mixed; no evidence -> NULL") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "the cat of the house is big and the dog is small"), // en, decisive
+      (2L, "the der cat und dog the und la"), // en 3 vs de 2: mixed
+      (3L, "xyzzy plugh quux")                 // no stopwords at all
+    ).toDF("doc_id", "text")
+    val out = TextOps.langConfidence(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2),
+        r.getLong(3), if (r.isNullAt(4)) -1L else r.getLong(4)))).toMap
+    // doc 1: en hits: the x3, of, is x2, and -> 7; runner-up 0
+    assert(out(1L) == (("en", 7L, 0L, 1000000L)))
+    // doc 2: en: the x2 -> wait: the,the=2 + und? en list: the,a,of,and,is
+    // en hits = 2 (the,the); de hits = und,und,der = 3 -> de wins 3 vs 2
+    assert(out(2L)._1 == "de" && out(2L)._2 == 3L)
+    assert(out(2L)._4 == ((3L - out(2L)._3) * 1000000L) / (3L + out(2L)._3))
+    assert(out(3L) == (("und", 0L, 0L, -1L)))
+  }
+
   test("sourceAblation: LOO means reconcile with direct recomputation; single source -> NULLs") {
     import org.apache.spark.sql.functions.col
     val docs = Seq(
