@@ -273,4 +273,5 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.linesIterator.exists(l => l.contains("Window")),
       "no window anywhere — this is agg + broadcast join only")
   }
+
 }
