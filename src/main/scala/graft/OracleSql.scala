@@ -4211,6 +4211,22 @@ object OracleSql {
          | CAST(CASE WHEN hs[1] > 0
          |   THEN ((hs[1] - hs[2]) * 1000000) // (hs[1] + hs[2]) END
          |   AS BIGINT) AS margin_ppm
-         |FROM s2 ORDER BY doc_id""".stripMargin
+         |FROM s2 ORDER BY doc_id""".stripMargin,
+
+    // rank trim replayed: row_number in value order, t = n/10 off each
+    // end, truncating integer mean (Spark DIV == DuckDB // on negatives)
+    "q254_trimmed_mean" ->
+      """WITH c AS (SELECT c_mktsegment AS segment,
+        |   CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM customer),
+        | r AS (SELECT segment, v,
+        |   row_number() OVER (PARTITION BY segment ORDER BY v) AS rn,
+        |   count(*) OVER (PARTITION BY segment) AS n FROM c),
+        | k AS (SELECT segment, v, n FROM r
+        |  WHERE rn > (n * 1) // 10 AND rn <= n - (n * 1) // 10)
+        |SELECT segment, CAST(max(n) AS BIGINT) AS n,
+        | CAST(count(*) AS BIGINT) AS n_kept,
+        | CAST(sum(v) // count(*) AS BIGINT) AS trimmed_mean
+        |FROM k GROUP BY segment ORDER BY segment""".stripMargin
   )
 }

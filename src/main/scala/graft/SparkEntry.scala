@@ -4128,6 +4128,21 @@ object SparkEntry {
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
 
+  /** Trimmed mean ([[ops.Stats.trimmedMean]]): per-segment customer
+    * balance location with the top and bottom 10% of ranks dropped —
+    * the robust average that ignores the whale and bankrupt tails.
+    * Exact integer trim counts (⌊n/10⌋ off each end); the final mean
+    * truncates toward zero, which Spark DIV and DuckDB // agree on.
+    */
+  private def q254(s: SparkSession, dir: String): DataFrame =
+    ops.Stats.trimmedMean(Tables.customer(s, dir),
+        keyCol = col("c_mktsegment"),
+        valueCol = expr(
+          "CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)"),
+        trimTenths = 1)
+      .withColumnRenamed("key", "segment")
+      .orderBy("segment")
+
   private def q204(s: SparkSession, dir: String): DataFrame =
     Profile.checkConstraints(Tables.lineitem(s, dir), Seq(
       "discount_range" -> col("l_discount").between(0d, 0.1),
@@ -4444,7 +4459,8 @@ object SparkEntry {
     "q250_ab_chisquare" -> q250 _,
     "q251_source_ecdf" -> q251 _,
     "q252_stream_hygiene" -> q252 _,
-    "q253_lang_confidence" -> q253 _
+    "q253_lang_confidence" -> q253 _,
+    "q254_trimmed_mean" -> q254 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

@@ -454,6 +454,42 @@ object Stats {
       .select(col("id"), col("key"), col("v"), col("n"), col("ecdf_ppm"))
   }
 
+  /** Trimmed mean per key — the robust location estimate that survives
+    * fat tails without the full quantile machinery: drop the lowest and
+    * highest `trimTenths/10` of each key's values BY RANK (exactly
+    * `t = ⌊n·trimTenths/10⌋` rows off each end, integer floor — never a
+    * percentage boundary judgement call) and average the rest with
+    * floor division. Rank ties inside the value order are broken
+    * arbitrarily, which cannot change the result: whichever copies of a
+    * tied value fall inside the kept band, the kept MULTISET is the
+    * same.
+    *
+    * Output per key: `n`, `n_kept`, `trimmed_mean` (integer units of
+    * the input; the final division TRUNCATES toward zero — Spark `DIV`
+    * and DuckDB integer `//` agree on that for negative sums, unlike
+    * floor). One shuffle; rank and count share the key window.
+    */
+  def trimmedMean(
+      df: DataFrame,
+      keyCol: Column,
+      valueCol: Column,
+      trimTenths: Int = 1
+  ): DataFrame = {
+    require(trimTenths >= 0 && trimTenths <= 4, "trimTenths must be in 0..4")
+    val base = df.select(keyCol.as("key"), valueCol.cast("long").as("v"))
+      .filter(col("v").isNotNull)
+    val wr = Window.partitionBy(col("key")).orderBy(col("v"))
+    val wn = Window.partitionBy(col("key"))
+    base
+      .withColumn("rn", row_number().over(wr))
+      .withColumn("n", count(lit(1)).over(wn))
+      .withColumn("__t", expr(s"(n * $trimTenths) DIV 10"))
+      .filter(col("rn") > col("__t") && col("rn") <= col("n") - col("__t"))
+      .groupBy("key")
+      .agg(max(col("n")).as("n"), count(lit(1)).as("n_kept"),
+        expr("sum(v) DIV count(1)").as("trimmed_mean"))
+  }
+
   /** Model calibration buckets (the reliability diagram as data): ppm
     * scores in `[0, 10⁶]` binned into `buckets` equal-width bins, each
     * bin reporting its population, mean predicted score, and OBSERVED

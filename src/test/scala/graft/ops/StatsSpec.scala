@@ -265,6 +265,27 @@ class StatsSpec extends SparkTestBase {
     assert(out(5L) == ((1L, 1000000L)))
   }
 
+  test("trimmedMean drops exactly floor(n/10) ranks per end; outliers can't move it") {
+    import org.apache.spark.sql.functions.col
+    // 10 values: 1 whale (1000) and 1 bankrupt (-1000) around a flat 5
+    val vals = Seq(-1000L, 5L, 5L, 5L, 5L, 5L, 5L, 5L, 5L, 1000L)
+    val df = vals.map(("a", _)).toDF("k", "v")
+    val out = Stats.trimmedMean(df, col("k"), col("v"), trimTenths = 1)
+      .as[(String, Long, Long, Long)].collect().head
+    assert(out == (("a", 10L, 8L, 5L)))
+
+    // trimTenths = 0 degenerates to the plain truncating mean
+    val plain = Stats.trimmedMean(df, col("k"), col("v"), trimTenths = 0)
+      .as[(String, Long, Long, Long)].collect().head
+    assert(plain == (("a", 10L, 10L, vals.sum / 10L)))
+
+    // negative-sum truncation: mean of {-3,-4} is -3 (toward zero), not -4
+    val neg = Stats.trimmedMean(Seq(("b", -3L), ("b", -4L)).toDF("k", "v"),
+      col("k"), col("v"), trimTenths = 1)
+      .as[(String, Long, Long, Long)].collect().head
+    assert(neg == (("b", 2L, 2L, -3L)))
+  }
+
   private implicit class Map2[A, B, C, D](rows: Array[(A, B, C, D)]) {
     def toMap2: Map[A, (B, C, D)] = rows.map(r => r._1 -> ((r._2, r._3, r._4))).toMap
   }
