@@ -4227,6 +4227,24 @@ object OracleSql {
         |SELECT segment, CAST(max(n) AS BIGINT) AS n,
         | CAST(count(*) AS BIGINT) AS n_kept,
         | CAST(sum(v) // count(*) AS BIGINT) AS trimmed_mean
-        |FROM k GROUP BY segment ORDER BY segment""".stripMargin
+        |FROM k GROUP BY segment ORDER BY segment""".stripMargin,
+
+    // the Thursday-anchored closed form replayed: g(d) = (d//7)*5 +
+    // prefix[d%7], weekdays in [order_day, ship_day) = g(b) - g(a)
+    "q255_business_days" ->
+      """WITH li AS (SELECT l_orderkey, l_returnflag,
+        |   CAST(floor(epoch(l_shipdate)) AS BIGINT) // 86400 AS b
+        |  FROM lineitem),
+        | o AS (SELECT o_orderkey,
+        |   CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS a
+        |  FROM orders),
+        | j AS (SELECT l_returnflag,
+        |   ((b // 7) * 5 + [0,1,2,2,2,3,4,5][(b % 7) + 1])
+        |   - ((a // 7) * 5 + [0,1,2,2,2,3,4,5][(a % 7) + 1])
+        |     AS business_days
+        |  FROM li JOIN o ON l_orderkey = o_orderkey)
+        |SELECT l_returnflag, CAST(business_days AS BIGINT) AS business_days,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM j GROUP BY 1, 2 ORDER BY l_returnflag, business_days""".stripMargin
   )
 }

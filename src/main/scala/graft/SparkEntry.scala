@@ -4143,6 +4143,27 @@ object SparkEntry {
       .withColumnRenamed("key", "segment")
       .orderBy("segment")
 
+  /** Business-day lead time ([[TimeSeries.weekdaysBetween]]): weekdays
+    * between order date and ship date per line item, rolled up to a
+    * (returnflag, business_days) histogram — SLA math in closed form,
+    * no UDF, no calendar dimension table, no per-day explode. The
+    * oracle replays the epoch-day anchored formula with the same
+    * Thursday prefix lookup.
+    */
+  private def q255(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"),
+      col("l_returnflag"),
+      expr("CAST(unix_timestamp(l_shipdate) AS BIGINT) DIV 86400").as("ship_day"))
+    val ord = Tables.orders(s, dir).select(col("o_orderkey"),
+      expr("CAST(unix_timestamp(o_orderdate) AS BIGINT) DIV 86400").as("order_day"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("business_days",
+        TimeSeries.weekdaysBetween(col("order_day"), col("ship_day")))
+      .groupBy("l_returnflag", "business_days")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "business_days")
+  }
+
   private def q204(s: SparkSession, dir: String): DataFrame =
     Profile.checkConstraints(Tables.lineitem(s, dir), Seq(
       "discount_range" -> col("l_discount").between(0d, 0.1),
@@ -4460,7 +4481,8 @@ object SparkEntry {
     "q251_source_ecdf" -> q251 _,
     "q252_stream_hygiene" -> q252 _,
     "q253_lang_confidence" -> q253 _,
-    "q254_trimmed_mean" -> q254 _
+    "q254_trimmed_mean" -> q254 _,
+    "q255_business_days" -> q255 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

@@ -620,6 +620,25 @@ object TimeSeries {
         expr("max(us - __pus) DIV 1000000").as("max_gap_sec"))
   }
 
+  /** Weekdays (Mon–Fri) in the half-open epoch-day interval `[a, b)` —
+    * CLOSED FORM, no UDF, no calendar table, no per-day explode:
+    * `g(d) = (d DIV 7)·5 + extra(d mod 7)` counts weekdays in `[0, d)`
+    * (epoch day 0 = Thursday, so every partial week starts Thursday and
+    * `extra` is the prefix-sum lookup [0,1,2,2,2,3,4,5]), and the
+    * interval is `g(b) − g(a)`. Pure integer expression work — stays in
+    * whole-stage codegen and reproduces bit-for-bit on any engine.
+    * Defined for non-negative epoch days (post-1970).
+    */
+  def weekdaysBetween(startDay: Column, endDay: Column): Column = {
+    val prefix = array(Seq(0, 1, 2, 2, 2, 3, 4, 5).map(v => lit(v.toLong)): _*)
+    // (d - pmod)/7 divides exactly (the numerator is a multiple of 7),
+    // so the double intermediate is integer-valued and cast-safe
+    def g(d: Column): Column =
+      ((d - pmod(d, lit(7L))) / lit(7L)).cast("long") * 5L +
+        element_at(prefix, (pmod(d, lit(7L)) + 1L).cast("int"))
+    g(endDay) - g(startDay)
+  }
+
   /** One-sided (upward) CUSUM drift detection per key — Page's
     * cumulative-sum control chart: the recursive statistic
     * `s_i = max(0, s_{i−1} + (x_i − μ − k))` flags a PERSISTENT mean

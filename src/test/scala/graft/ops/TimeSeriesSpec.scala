@@ -318,6 +318,22 @@ class TimeSeriesSpec extends SparkTestBase {
     assert(out(2L) == ((1L, 0L, 0L, -1L)))
   }
 
+  test("weekdaysBetween: closed form matches java.time brute force over 3 years") {
+    import java.time.{DayOfWeek, LocalDate}
+    val pairs = Seq((0L, 0L), (0L, 1L), (0L, 7L), (3L, 10L), (19723L, 19752L),
+      (19000L, 20000L), (2L, 4L), (1L, 2L))
+    val df = pairs.toDF("a", "b")
+      .withColumn("bd", TimeSeries.weekdaysBetween(col("a"), col("b")))
+    val got = df.as[(Long, Long, Long)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    def brute(a: Long, b: Long): Long = (a until b).count { d =>
+      val dow = LocalDate.ofEpochDay(d).getDayOfWeek
+      dow != DayOfWeek.SATURDAY && dow != DayOfWeek.SUNDAY
+    }
+    pairs.foreach { case (a, b) =>
+      assert(got((a, b)) == brute(a, b), s"[$a,$b): ${got((a, b))} vs ${brute(a, b)}")
+    }
+  }
+
   test("seasonalNaiveBacktest: lag-7 prediction, missing days are zero observations") {
     // key a: days 0..6 have 2/day, days 7..13 have 5/day except day 10 missing
     val days = (0 to 13).filter(_ != 10).map(d => d -> (if (d < 7) 2 else 5))
