@@ -222,6 +222,28 @@ object StatefulOps {
         CusumState(b.getLong(), b.getLong())
       case v => unknown("CusumState", v)
     }
+
+    /** v1: [lastUs: i64][lastSeq: i64][n: i64][ooo: i64][dup: i64]
+      * [maxGapUs: i64][horizonMs: i64]. `lastUs = -1` marks "no prior
+      * event" (epoch-us are non-negative); `maxGapUs = -1` marks "no
+      * gap observed yet".
+      */
+    def encodeHygiene(s: HygieneState): VersionedState = {
+      val b = ByteBuffer.allocate(56)
+      b.putLong(s.lastUs); b.putLong(s.lastSeq); b.putLong(s.n)
+      b.putLong(s.ooo); b.putLong(s.dup); b.putLong(s.maxGapUs)
+      b.putLong(s.horizonMs)
+      VersionedState(1, b.array())
+    }
+
+    def decodeHygiene(s: VersionedState): HygieneState = s.version match {
+      case 1 =>
+        if (s.payload.length != 56) corrupt("HygieneState", s, null)
+        val b = ByteBuffer.wrap(s.payload)
+        HygieneState(b.getLong(), b.getLong(), b.getLong(), b.getLong(),
+          b.getLong(), b.getLong(), b.getLong())
+      case v => unknown("HygieneState", v)
+    }
   }
 
   /** In-memory state of [[nearDupHits]] (stored as [[VersionedState]]
@@ -318,6 +340,12 @@ object StatefulOps {
     * the TTL horizon. O(1) per key — the whole point of the recursion.
     */
   case class CusumState(cusum: Long, horizonMs: Long)
+
+  case class HygieneEvent(key: Long, us: Long, seq: Long, event_time: Timestamp)
+  case class HygieneState(lastUs: Long, lastSeq: Long, n: Long, ooo: Long,
+    dup: Long, maxGapUs: Long, horizonMs: Long)
+  case class HygieneOut(key: Long, n_events: Long, n_ooo_adj: Long,
+    n_dup_ts: Long, max_gap_sec: Option[Long])
   case class CusumOut(key: Long, event_time: Timestamp, ord: Long, v: Long,
                       cusum: Long, is_drift: Boolean)
 
@@ -532,6 +560,69 @@ object StatefulOps {
             state.update(StateCodec.encodeCusum(CusumState(s, horizon)))
             state.setTimeoutTimestamp(horizon + ttlMs)
             out.iterator
+          }
+      }
+  }
+
+  /** Streaming hygiene counters — the at-ingest twin of
+    * `ops.TimeSeries.streamHygiene`: per key, RUNNING counts of
+    * adjacent out-of-order deliveries, duplicate instants, and the
+    * max silent gap, emitting the updated snapshot once per key per
+    * micro-batch (the monitoring feed a stream SLO dashboard reads).
+    * In-batch events fold in (epoch-us, seq) order and the last
+    * (us, seq) carries in state, so a drained in-order stream matches
+    * the batch operator row for row; batches that arrive out of
+    * EVENT-TIME order count as out-of-order deliveries — which at
+    * ingest is the truth the batch retrospective can't see.
+    *
+    * State is SEVEN longs per key in the versioned envelope; keys idle
+    * past `ttlMs` beyond the watermark evict.
+    */
+  def hygieneStream(
+      df: DataFrame,
+      keyCol: String = "user_id",
+      tsCol: String = "event_time",
+      seqCol: String = "ord",
+      watermarkDelay: String = "10 seconds",
+      ttlMs: Long = 3600000L
+  ): Dataset[HygieneOut] = {
+    import org.apache.spark.sql.functions._
+    import df.sparkSession.implicits._
+    val rows = df
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol).cast("long").as("key"),
+        unix_micros(col(tsCol)).as("us"),
+        col(seqCol).cast("long").as("seq"), col(tsCol).as("event_time"))
+      .withWatermark("event_time", watermarkDelay)
+      .as[HygieneEvent]
+    rows
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[VersionedState, HygieneOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: Long, it: Iterator[HygieneEvent], state: GroupState[VersionedState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val prior = state.getOption.map(StateCodec.decodeHygiene)
+              .getOrElse(HygieneState(-1L, 0L, 0L, 0L, 0L, -1L, 0L))
+            val rs = it.toSeq.sortBy(r => (r.us, r.seq))
+            var (lastUs, lastSeq) = (prior.lastUs, prior.lastSeq)
+            var (n, ooo, dup, maxGap) = (prior.n, prior.ooo, prior.dup, prior.maxGapUs)
+            rs.foreach { r =>
+              if (lastUs >= 0L) {
+                if (r.seq < lastSeq) ooo += 1
+                if (r.us == lastUs) dup += 1
+                maxGap = math.max(maxGap, r.us - lastUs)
+              }
+              n += 1; lastUs = r.us; lastSeq = r.seq
+            }
+            val horizon = (prior.horizonMs +: rs.map(_.event_time.getTime) :+
+              state.getCurrentWatermarkMs()).max
+            state.update(StateCodec.encodeHygiene(
+              HygieneState(lastUs, lastSeq, n, ooo, dup, maxGap, horizon)))
+            state.setTimeoutTimestamp(horizon + ttlMs)
+            if (rs.isEmpty) Iterator.empty
+            else Iterator(HygieneOut(key, n, ooo, dup,
+              if (maxGap >= 0L) Some(maxGap / 1000000L) else None))
           }
       }
   }

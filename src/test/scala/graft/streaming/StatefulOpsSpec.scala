@@ -691,6 +691,60 @@ class StatefulOpsSpec extends SparkTestBase {
     assert(out == List((40L, false), (80L, false), (120L, true)), s"got $out")
   }
 
+  test("hygieneStream: single-batch drain matches TimeSeries.streamHygiene row for row") {
+    import org.apache.spark.sql.functions.col
+    // scrambled soup: duplicate instants, seq inversions, gaps, 3 keys
+    // period-30 clock with 60 rows: i and i+30 share key AND instant,
+    // so duplicate instants are guaranteed; seq (i*37 % 53) scrambles
+    val rows = (0 until 60).map { i =>
+      ((i % 3).toLong, ((i * 37) % 53).toLong,
+        ts(f"2024-01-01 00:${(i * 11) % 30}%02d:${(i * 7) % 30}%02d"))
+    }
+    val mem = MemoryStream[(Long, Long, java.sql.Timestamp)](spark)
+    val query = StatefulOps.hygieneStream(
+        mem.toDS().toDF("user_id", "ord", "event_time"),
+        watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("hyg_parity")
+      .outputMode("append").start()
+    try { mem.addData(rows); query.processAllAvailable() } finally query.stop()
+    val streamed = spark.table("hyg_parity").as[StatefulOps.HygieneOut]
+      .collect()
+      .map(o => o.key -> ((o.n_events, o.n_ooo_adj, o.n_dup_ts,
+        o.max_gap_sec.getOrElse(-1L)))).toMap
+    val batch = graft.ops.TimeSeries.streamHygiene(
+        rows.toDF("user_id", "ord", "event_time"),
+        col("user_id"), col("event_time"), col("ord"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), if (r.isNullAt(4)) -1L else r.getLong(4)))).toMap
+    assert(streamed == batch,
+      s"drained stream must equal the batch audit: $streamed vs $batch")
+    assert(batch.values.exists(_._2 > 0), "fixture must contain an inversion")
+    assert(batch.values.exists(_._3 > 0), "fixture must contain a dup instant")
+  }
+
+  test("hygieneStream: counters carry across batches") {
+    val mem = MemoryStream[(Long, Long, java.sql.Timestamp)](spark)
+    val query = StatefulOps.hygieneStream(
+        mem.toDS().toDF("user_id", "ord", "event_time"),
+        watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("hyg_batches")
+      .outputMode("append").start()
+    try {
+      mem.addData(Seq((1L, 5L, ts("2024-01-01 00:00:01"))))
+      query.processAllAvailable()
+      // same instant, lower seq: one dup AND one inversion vs carried state
+      mem.addData(Seq((1L, 3L, ts("2024-01-01 00:00:01"))))
+      query.processAllAvailable()
+      mem.addData(Seq((1L, 9L, ts("2024-01-01 00:01:01")))) // 60s gap
+      query.processAllAvailable()
+    } finally query.stop()
+    val out = spark.table("hyg_batches").as[StatefulOps.HygieneOut]
+      .collect().sortBy(_.n_events)
+      .map(o => (o.n_events, o.n_ooo_adj, o.n_dup_ts, o.max_gap_sec)).toList
+    assert(out == List((1L, 0L, 0L, None), (2L, 1L, 1L, Some(0L)),
+      (3L, 1L, 1L, Some(60L))), s"got $out")
+  }
+
   test("embedNearDupHits: drained hits equal the batch banded rep-verify bit-for-bit") {
     import org.apache.spark.sql.functions._
     import graft.ext.SimSearch
