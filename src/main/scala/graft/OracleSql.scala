@@ -4039,7 +4039,8 @@ object OracleSql {
         | f AS (SELECT unnest([1, 2, 3]) AS fold),
         | w AS (SELECT fold,
         |   (SELECT dmax FROM mx) - (3 - fold) * 7 - 6 AS lo,
-        |   (SELECT dmax FROM mx) - (3 - fold) * 7 AS hi FROM f)
+        |   (SELECT dmax FROM mx) - (3 - fold) * 7 AS hi FROM f
+        |  WHERE (SELECT dmax FROM mx) IS NOT NULL)
         |SELECT CAST(fold AS BIGINT) AS fold,
         | CAST(lo - 1 AS BIGINT) AS train_end_day,
         | CAST((SELECT count(*) FROM d WHERE d.day < w.lo) AS BIGINT)

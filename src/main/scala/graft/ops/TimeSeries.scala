@@ -534,7 +534,9 @@ object TimeSeries {
       .withColumn("__role",
         when(col("day") < col("__test_lo"), "train")
           .when(col("day") <= col("__test_hi"), "test"))
-      .filter(col("__role").isNotNull)
+      // NO role filter: a fold whose windows hold zero rows must still
+      // emit its (0, 0) audit row — that undersized fold is exactly
+      // what the table exists to catch
       .groupBy(col("fold").cast("long").as("fold"))
       .agg(max(col("__test_lo") - 1).as("train_end_day"),
         sum(when(col("__role") === "train", 1L).otherwise(0L)).as("n_train"),
