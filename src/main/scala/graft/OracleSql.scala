@@ -4246,6 +4246,22 @@ object OracleSql {
         |  FROM li JOIN o ON l_orderkey = o_orderkey)
         |SELECT l_returnflag, CAST(business_days AS BIGINT) AS business_days,
         | CAST(count(*) AS BIGINT) AS n
-        |FROM j GROUP BY 1, 2 ORDER BY l_returnflag, business_days""".stripMargin
+        |FROM j GROUP BY 1, 2 ORDER BY l_returnflag, business_days""".stripMargin,
+
+    // (user, type) dedup, unordered pair intersection counts, exact
+    // Jaccard over the inclusion-exclusion union
+    "q256_audience_overlap" ->
+      """WITH ut AS (SELECT DISTINCT user_id AS u, event_type AS t
+        |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        | sz AS (SELECT t, CAST(count(*) AS BIGINT) AS n FROM ut GROUP BY t),
+        | ix AS (SELECT a.t AS type_a, b.t AS type_b,
+        |    CAST(count(*) AS BIGINT) AS n_both
+        |   FROM ut a JOIN ut b ON a.u = b.u AND a.t < b.t
+        |   GROUP BY 1, 2)
+        |SELECT type_a, type_b, sa.n AS n_a, sb.n AS n_b, n_both,
+        | CAST((n_both * 1000000) // (sa.n + sb.n - n_both) AS BIGINT)
+        |   AS jaccard_ppm
+        |FROM ix JOIN sz sa ON sa.t = type_a JOIN sz sb ON sb.t = type_b
+        |ORDER BY type_a, type_b""".stripMargin
   )
 }

@@ -4164,6 +4164,16 @@ object SparkEntry {
       .orderBy("l_returnflag", "business_days")
   }
 
+  /** Audience overlap matrix ([[Behavior.audienceOverlap]]): exact
+    * Jaccard between every pair of event-type audiences, ppm-floored
+    * over the inclusion–exclusion union. The oracle replays the
+    * (user, type) dedup, the pair intersection, and the division.
+    */
+  private def q256(s: SparkSession, dir: String): DataFrame =
+    Behavior.audienceOverlap(Tables.events(s, dir),
+        userCol = col("user_id"), typeCol = col("event_type"))
+      .orderBy("type_a", "type_b")
+
   private def q204(s: SparkSession, dir: String): DataFrame =
     Profile.checkConstraints(Tables.lineitem(s, dir), Seq(
       "discount_range" -> col("l_discount").between(0d, 0.1),
@@ -4482,7 +4492,8 @@ object SparkEntry {
     "q252_stream_hygiene" -> q252 _,
     "q253_lang_confidence" -> q253 _,
     "q254_trimmed_mean" -> q254 _,
-    "q255_business_days" -> q255 _
+    "q255_business_days" -> q255 _,
+    "q256_audience_overlap" -> q256 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

@@ -372,6 +372,39 @@ object Behavior {
       .select("path", "n_sessions", "share_ppm")
   }
 
+  /** Audience overlap matrix — exact Jaccard between the USER SETS of
+    * every pair of event types ("how much do viewers and buyers
+    * overlap"): dedup to the (user, type) grain, self-join on user
+    * (bounded — a user contributes at most |types|² pairs), count
+    * intersections, and divide against the inclusion–exclusion union
+    * in ppm. Audience sizes ride along. Output one row per unordered
+    * pair `type_a < type_b`.
+    *
+    * Scale: the expensive part is the distinct to (user, type) — one
+    * shuffle with map-side partial dedup; the pair join is keyed on
+    * user and fans out quadratically only in the TYPE dimension
+    * (enumerable), never in users.
+    */
+  def audienceOverlap(
+      events: DataFrame,
+      userCol: Column,
+      typeCol: Column
+  ): DataFrame = {
+    val ut = events.filter(userCol.isNotNull && typeCol.isNotNull)
+      .select(userCol.as("u"), typeCol.as("t")).distinct()
+    val sizes = ut.groupBy(col("t")).agg(count(lit(1)).as("n"))
+    val inter = ut.as("a").join(ut.as("b"),
+        col("a.u") === col("b.u") && col("a.t") < col("b.t"))
+      .groupBy(col("a.t").as("type_a"), col("b.t").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    inter
+      .join(sizes.select(col("t").as("type_a"), col("n").as("n_a")), Seq("type_a"))
+      .join(sizes.select(col("t").as("type_b"), col("n").as("n_b")), Seq("type_b"))
+      .withColumn("jaccard_ppm",
+        expr("(n_both * 1000000) DIV (n_a + n_b - n_both)"))
+      .select("type_a", "type_b", "n_a", "n_b", "n_both", "jaccard_ppm")
+  }
+
   /** Weekly cohort retention: users are cohorted by the ISO week of
     * their first event; the output counts, for every (cohort_week,
     * week_offset) cell, the distinct users from that cohort active in

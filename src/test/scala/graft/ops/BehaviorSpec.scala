@@ -272,6 +272,24 @@ class BehaviorSpec extends SparkTestBase {
     assert(out.values.map(_._2).sum == 2000000L)
   }
 
+  test("audienceOverlap: exact Jaccard over deduped audiences") {
+    val events = Seq(
+      (1L, "view"), (1L, "view"), (1L, "click"), // dup (1,view) collapses
+      (2L, "view"), (2L, "buy"),
+      (3L, "view"), (3L, "click"), (3L, "buy"),
+      (4L, "lurk")                               // overlaps nothing
+    ).toDF("user_id", "event_type")
+    val out = Behavior.audienceOverlap(events, col("user_id"), col("event_type"))
+      .as[(String, String, Long, Long, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> ((t._3, t._4, t._5, t._6))).toMap
+    // view={1,2,3} click={1,3} buy={2,3} lurk={4}
+    assert(out(("click", "view")) == ((2L, 3L, 2L, 2L * 1000000L / 3L)))
+    assert(out(("buy", "view")) == ((2L, 3L, 2L, 2L * 1000000L / 3L)))
+    assert(out(("buy", "click")) == ((2L, 2L, 1L, 1000000L / 3L)))
+    assert(!out.keySet.exists(p => p._1 == "lurk" || p._2 == "lurk"),
+      "non-overlapping audiences emit no row")
+  }
+
   test("sessionPaths: gap splits sessions, short prefixes, exact shares") {
     def ev(u: Long, sec: Long, et: String, id: Long) =
       (u, new Timestamp(sec * 1000L), et, id)
