@@ -4262,6 +4262,29 @@ object OracleSql {
         | CAST((n_both * 1000000) // (sa.n + sb.n - n_both) AS BIGINT)
         |   AS jaccard_ppm
         |FROM ix JOIN sz sa ON sa.t = type_a JOIN sz sb ON sb.t = type_b
-        |ORDER BY type_a, type_b""".stripMargin
+        |ORDER BY type_a, type_b""".stripMargin,
+
+    // user-grain first-touch / first-conversion days, epoch-week
+    // cohorts, strict < k day windows, ppm share of the cohort
+    "q257_conversion_curve" ->
+      """WITH e AS (SELECT user_id AS u,
+        |   CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day, event_type AS et
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        | pu AS (SELECT u, min(day) AS first_day,
+        |   min(CASE WHEN et = 'purchase' THEN day END) AS conv_day
+        |  FROM e GROUP BY u)
+        |SELECT first_day // 7 AS cohort_week,
+        | CAST(count(*) AS BIGINT) AS n_users,
+        | CAST(sum(CASE WHEN conv_day IS NOT NULL
+        |   AND conv_day - first_day < 1 THEN 1 ELSE 0 END) AS BIGINT) AS conv_1d,
+        | CAST(sum(CASE WHEN conv_day IS NOT NULL
+        |   AND conv_day - first_day < 3 THEN 1 ELSE 0 END) AS BIGINT) AS conv_3d,
+        | CAST(sum(CASE WHEN conv_day IS NOT NULL
+        |   AND conv_day - first_day < 7 THEN 1 ELSE 0 END) AS BIGINT) AS conv_7d,
+        | CAST((sum(CASE WHEN conv_day IS NOT NULL
+        |   AND conv_day - first_day < 7 THEN 1 ELSE 0 END) * 1000000)
+        |   // count(*) AS BIGINT) AS conv_7d_ppm
+        |FROM pu GROUP BY 1 ORDER BY cohort_week""".stripMargin
   )
 }

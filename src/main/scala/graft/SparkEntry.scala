@@ -4174,6 +4174,17 @@ object SparkEntry {
         userCol = col("user_id"), typeCol = col("event_type"))
       .orderBy("type_a", "type_b")
 
+  /** Conversion curve ([[Behavior.conversionCurve]]): per first-touch
+    * epoch-week cohort, users converting to a purchase within 1/3/7
+    * days — exact integer day diffs, ppm share of the cohort. The
+    * oracle replays the user-grain min-aggregates and the curve.
+    */
+  private def q257(s: SparkSession, dir: String): DataFrame =
+    Behavior.conversionCurve(Tables.events(s, dir),
+        userCol = col("user_id"), tsCol = col("ts"),
+        typeCol = col("event_type"), convType = "purchase")
+      .orderBy("cohort_week")
+
   private def q204(s: SparkSession, dir: String): DataFrame =
     Profile.checkConstraints(Tables.lineitem(s, dir), Seq(
       "discount_range" -> col("l_discount").between(0d, 0.1),
@@ -4493,7 +4504,8 @@ object SparkEntry {
     "q253_lang_confidence" -> q253 _,
     "q254_trimmed_mean" -> q254 _,
     "q255_business_days" -> q255 _,
-    "q256_audience_overlap" -> q256 _
+    "q256_audience_overlap" -> q256 _,
+    "q257_conversion_curve" -> q257 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

@@ -405,6 +405,46 @@ object Behavior {
       .select("type_a", "type_b", "n_a", "n_b", "n_both", "jaccard_ppm")
   }
 
+  /** Day-k conversion curve per signup cohort — the survival-style
+    * funnel metric: users cohort by the epoch-week of their FIRST
+    * event, and each cohort reports how many converted (first
+    * `convType` event) within 1, 3, and 7 days of that first touch,
+    * as exact counts and ppm shares of the cohort. "Within k days"
+    * means `first_conv_day − first_seen_day < k` on epoch days —
+    * integer, boundary-exact. Users who never convert count in
+    * `n_users` only — the denominator a survival curve needs.
+    *
+    * Scale: one shuffle to the user grain (min-aggregates), one to
+    * cohort cells; nothing quadratic, no windows.
+    */
+  def conversionCurve(
+      events: DataFrame,
+      userCol: Column,
+      tsCol: Column,
+      typeCol: Column,
+      convType: String
+  ): DataFrame = {
+    val perUser = events
+      .filter(userCol.isNotNull && tsCol.isNotNull && typeCol.isNotNull)
+      .select(userCol.as("u"),
+        unix_timestamp(tsCol).cast("long").as("sec"), typeCol.as("et"))
+      .withColumn("day", expr("sec DIV 86400"))
+      .groupBy("u")
+      .agg(min(col("day")).as("first_day"),
+        min(when(col("et") === convType, col("day"))).as("conv_day"))
+    def convWithin(k: Int): Column =
+      sum(when(col("conv_day").isNotNull &&
+        col("conv_day") - col("first_day") < k, 1L).otherwise(0L))
+    perUser
+      .withColumn("cohort_week", expr("first_day DIV 7"))
+      .groupBy("cohort_week")
+      .agg(count(lit(1)).as("n_users"),
+        convWithin(1).as("conv_1d"),
+        convWithin(3).as("conv_3d"),
+        convWithin(7).as("conv_7d"))
+      .withColumn("conv_7d_ppm", expr("(conv_7d * 1000000) DIV n_users"))
+  }
+
   /** Weekly cohort retention: users are cohorted by the ISO week of
     * their first event; the output counts, for every (cohort_week,
     * week_offset) cell, the distinct users from that cohort active in

@@ -290,6 +290,23 @@ class BehaviorSpec extends SparkTestBase {
       "non-overlapping audiences emit no row")
   }
 
+  test("conversionCurve: strict day windows, never-converters in the denominator") {
+    def ev(u: Long, day: Long, et: String) =
+      (u, new Timestamp(day * 86400000L + 3600000L), et)
+    val events = Seq(
+      ev(1, 0, "view"), ev(1, 0, "purchase"),   // same day -> within 1d
+      ev(2, 0, "view"), ev(2, 2, "purchase"),   // +2d -> 3d and 7d only
+      ev(3, 1, "view"), ev(3, 7, "purchase"),   // +6d -> 7d only
+      ev(4, 1, "view"),                           // never converts
+      ev(5, 2, "view"), ev(5, 9, "purchase")    // +7d -> NOT within 7d
+    ).toDF("user_id", "ts", "event_type")
+    val out = Behavior.conversionCurve(events, col("user_id"), col("ts"),
+        col("event_type"), "purchase")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(out.toList == List((0L, 5L, 1L, 2L, 3L, 3L * 1000000L / 5L)),
+      s"got ${out.toList}")
+  }
+
   test("sessionPaths: gap splits sessions, short prefixes, exact shares") {
     def ev(u: Long, sec: Long, et: String, id: Long) =
       (u, new Timestamp(sec * 1000L), et, id)
