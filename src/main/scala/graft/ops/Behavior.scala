@@ -374,32 +374,39 @@ object Behavior {
 
   /** Audience overlap matrix — exact Jaccard between the USER SETS of
     * every pair of event types ("how much do viewers and buyers
-    * overlap"): dedup to the (user, type) grain, self-join on user
-    * (bounded — a user contributes at most |types|² pairs), count
-    * intersections, and divide against the inclusion–exclusion union
-    * in ppm. Audience sizes ride along. Output one row per unordered
-    * pair `type_a < type_b`.
+    * overlap"): one shuffle to per-user type SETS (collect_set has a
+    * partial-aggregate arm), then every user's unordered type pairs
+    * generate MAP-SIDE from that bounded set (≤ |types|² per user — the
+    * quadratic lives in the enumerable TYPE dimension, never in users),
+    * and the pair counts aggregate to a |types|²-bounded matrix.
+    * Audience sizes broadcast back; Jaccard is ppm over the
+    * inclusion–exclusion union. Output one row per pair
+    * `type_a < type_b` with n_both ≥ 1.
     *
-    * Scale: the expensive part is the distinct to (user, type) — one
-    * shuffle with map-side partial dedup; the pair join is keyed on
-    * user and fans out quadratically only in the TYPE dimension
-    * (enumerable), never in users.
+    * Three key shuffles total (user sets, sizes, pair cells) — no
+    * self-join of the (user, type) table back onto itself.
     */
   def audienceOverlap(
       events: DataFrame,
       userCol: Column,
       typeCol: Column
   ): DataFrame = {
-    val ut = events.filter(userCol.isNotNull && typeCol.isNotNull)
-      .select(userCol.as("u"), typeCol.as("t")).distinct()
-    val sizes = ut.groupBy(col("t")).agg(count(lit(1)).as("n"))
-    val inter = ut.as("a").join(ut.as("b"),
-        col("a.u") === col("b.u") && col("a.t") < col("b.t"))
-      .groupBy(col("a.t").as("type_a"), col("b.t").as("type_b"))
+    val sets = events.filter(userCol.isNotNull && typeCol.isNotNull)
+      .select(userCol.as("u"), typeCol.as("t"))
+      .groupBy("u").agg(collect_set(col("t")).as("__ts"))
+    val sizes = sets.select(explode(col("__ts")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("n"))
+    val inter = sets
+      .select(explode(expr(
+        "filter(flatten(transform(__ts, x -> transform(__ts, " +
+          "y -> struct(x AS a, y AS b)))), p -> p.a < p.b)")).as("p"))
+      .groupBy(col("p.a").as("type_a"), col("p.b").as("type_b"))
       .agg(count(lit(1)).as("n_both"))
     inter
-      .join(sizes.select(col("t").as("type_a"), col("n").as("n_a")), Seq("type_a"))
-      .join(sizes.select(col("t").as("type_b"), col("n").as("n_b")), Seq("type_b"))
+      .join(broadcast(sizes.select(col("t").as("type_a"), col("n").as("n_a"))),
+        Seq("type_a"))
+      .join(broadcast(sizes.select(col("t").as("type_b"), col("n").as("n_b"))),
+        Seq("type_b"))
       .withColumn("jaccard_ppm",
         expr("(n_both * 1000000) DIV (n_a + n_b - n_both)"))
       .select("type_a", "type_b", "n_a", "n_b", "n_both", "jaccard_ppm")
