@@ -4285,6 +4285,23 @@ object OracleSql {
         | CAST((sum(CASE WHEN conv_day IS NOT NULL
         |   AND conv_day - first_day < 7 THEN 1 ELSE 0 END) * 1000000)
         |   // count(*) AS BIGINT) AS conv_7d_ppm
-        |FROM pu GROUP BY 1 ORDER BY cohort_week""".stripMargin
+        |FROM pu GROUP BY 1 ORDER BY cohort_week""".stripMargin,
+
+    // floors, largest-remainder ranking (remainder desc, n desc,
+    // stratum — total), budget-minus-floors extras, population cap
+    "q258_proportional_alloc" ->
+      """WITH c AS (SELECT source AS stratum, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents WHERE source IS NOT NULL GROUP BY 1),
+        | t AS (SELECT stratum, n, sum(n) OVER () AS total,
+        |   (1000 * n) // sum(n) OVER () AS fl,
+        |   (1000 * n) % (sum(n) OVER ()) AS rem FROM c),
+        | r AS (SELECT *,
+        |   1000 - sum(fl) OVER () AS extra,
+        |   row_number() OVER (ORDER BY rem DESC, n DESC, stratum) AS rk
+        |  FROM t)
+        |SELECT stratum, n,
+        | CAST(least(n, fl + CASE WHEN rk <= extra THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS quota
+        |FROM r ORDER BY stratum""".stripMargin
   )
 }

@@ -4185,6 +4185,17 @@ object SparkEntry {
         typeCol = col("event_type"), convType = "purchase")
       .orderBy("cohort_week")
 
+  /** Proportional allocation ([[Sampling.proportionalAllocation]]):
+    * a 1000-document sampling budget split across sources by largest
+    * remainder — Σquota = min(budget, N) EXACTLY, the invariant a
+    * floored or rounded split cannot give. The oracle replays the
+    * floors, the remainder ranking, and the population cap.
+    */
+  private def q258(s: SparkSession, dir: String): DataFrame =
+    Sampling.proportionalAllocation(Tables.documents(s, dir),
+        strataCol = col("source"), budget = 1000L)
+      .orderBy("stratum")
+
   private def q204(s: SparkSession, dir: String): DataFrame =
     Profile.checkConstraints(Tables.lineitem(s, dir), Seq(
       "discount_range" -> col("l_discount").between(0d, 0.1),
@@ -4505,7 +4516,8 @@ object SparkEntry {
     "q254_trimmed_mean" -> q254 _,
     "q255_business_days" -> q255 _,
     "q256_audience_overlap" -> q256 _,
-    "q257_conversion_curve" -> q257 _
+    "q257_conversion_curve" -> q257 _,
+    "q258_proportional_alloc" -> q258 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

@@ -459,6 +459,48 @@ object Sampling {
     * against positives, one per-user window for the rank. Everything
     * else is map-side.
     */
+  /** Proportional sample allocation with EXACT total — how many rows to
+    * draw from each stratum so the quotas sum to EXACTLY `budget`
+    * (floor-and-distribute / largest remainder, the q248 credit rule
+    * applied to allocation): each stratum gets `⌊budget·n_s / N⌋`, and
+    * the `budget mod` leftover slots go one each to the largest
+    * remainders `pmod(budget·n_s, N)` (ties to the larger stratum, then
+    * key order — total). Pure proportional flooring under-allocates by
+    * up to |strata| rows and a naive round() over-allocates past the
+    * budget; this rule is why Σquota = min(budget, N) is an invariant a
+    * sampler can assert, not hope for. Quotas cap at the stratum's
+    * population (you cannot draw 50 from 30) — and the cap provably
+    * only binds when `budget ≥ N` (for `budget ≤ N`,
+    * `⌊budget·n/N⌋ + 1 > n` would need `budget > N`), where every
+    * stratum saturates anyway, so no redistribution pass exists.
+    *
+    * Pairs with [[capPerKey]] to EXECUTE the draw. Scale: one shuffle
+    * to stratum counts; everything after runs on the |strata|-bounded
+    * table (window over bounded cells — the q230 benign class).
+    */
+  def proportionalAllocation(
+      df: DataFrame,
+      strataCol: Column,
+      budget: Long
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget >= 0, "budget must be non-negative")
+    val counts = df.filter(strataCol.isNotNull)
+      .groupBy(strataCol.as("stratum")).agg(count(lit(1)).as("n"))
+    val wAll = Window.partitionBy()
+    val wRem = Window.partitionBy().orderBy(
+      expr(s"pmod($budget * n, __total)").desc, col("n").desc, col("stratum"))
+    counts
+      .withColumn("__total", sum(col("n")).over(wAll))
+      .withColumn("__floor", expr(s"($budget * n) DIV __total"))
+      .withColumn("__extra", expr(s"$budget - sum(__floor) OVER ()"))
+      .withColumn("__rk", row_number().over(wRem))
+      .withColumn("quota",
+        least(col("n"),
+          col("__floor") + when(col("__rk") <= col("__extra"), 1L).otherwise(0L)))
+      .select(col("stratum"), col("n"), col("quota"))
+  }
+
   def negativeSamples(
       positives: DataFrame,
       userCol: String,

@@ -324,4 +324,24 @@ class SamplingSpec extends SparkTestBase {
       .as[(Long, Long, Long)].collect().toList
     assert(again.toSet == got.toSet)
   }
+
+  test("proportionalAllocation: quotas sum to min(budget, N) exactly; extras go to largest remainders") {
+    // strata sizes 5/3/2 with budget 7: floors 3/2/1 (sum 6), remainders
+    // 5/1/4 -> the single extra goes to "a"
+    val df = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq.fill(2)("c")).toDF("s")
+    val out = Sampling.proportionalAllocation(df, col("s"), budget = 7L)
+      .as[(String, Long, Long)].collect().map(t => t._1 -> t._3).toMap
+    assert(out == Map("a" -> 4L, "b" -> 2L, "c" -> 1L))
+    assert(out.values.sum == 7L)
+
+    // budget >= N saturates every stratum at its population
+    val all = Sampling.proportionalAllocation(df, col("s"), budget = 100L)
+      .as[(String, Long, Long)].collect().map(t => t._1 -> t._3).toMap
+    assert(all == Map("a" -> 5L, "b" -> 3L, "c" -> 2L))
+
+    // budget 0 allocates nothing
+    val none = Sampling.proportionalAllocation(df, col("s"), budget = 0L)
+      .as[(String, Long, Long)].collect().map(_._3).sum
+    assert(none == 0L)
+  }
 }
