@@ -4302,6 +4302,36 @@ object OracleSql {
         |SELECT stratum, n,
         | CAST(least(n, fl + CASE WHEN rk <= extra THEN 1 ELSE 0 END)
         |   AS BIGINT) AS quota
-        |FROM r ORDER BY stratum""".stripMargin
+        |FROM r ORDER BY stratum""".stripMargin,
+
+    // margins from the cell table, exact HUGEINT per-cell chi-square
+    // contributions in micro units, __total__ row with statistic + df
+    "q259_contingency" ->
+      """WITH cells AS (SELECT source AS a, lang AS b,
+        |   CAST(count(*) AS BIGINT) AS n_obs
+        |  FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL
+        |  GROUP BY 1, 2),
+        | m AS (SELECT a, b, n_obs,
+        |   sum(n_obs) OVER (PARTITION BY a) AS r,
+        |   sum(n_obs) OVER (PARTITION BY b) AS c,
+        |   sum(n_obs) OVER () AS n,
+        |   ((SELECT count(DISTINCT a) FROM cells) - 1)
+        |     * ((SELECT count(DISTINCT b) FROM cells) - 1) AS dof
+        |  FROM cells),
+        | s AS (SELECT a, b, n_obs,
+        |   CAST((r * c * 1000) // n AS BIGINT) AS exp_milli,
+        |   CAST((CAST(n_obs AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
+        |     * (CAST(n_obs AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
+        |     * 1000000 // (CAST(r AS HUGEINT) * c * n) AS BIGINT)
+        |     AS chi2_micro,
+        |   dof, n FROM m)
+        |SELECT source, lang, n_obs, exp_milli, chi2_micro, dof FROM (
+        | SELECT a AS source, b AS lang, n_obs, exp_milli, chi2_micro,
+        |  CAST(NULL AS BIGINT) AS dof FROM s
+        | UNION ALL
+        | SELECT '__total__', '__total__', CAST(max(n) AS BIGINT),
+        |  CAST(NULL AS BIGINT), CAST(sum(chi2_micro) AS BIGINT),
+        |  CAST(max(dof) AS BIGINT) FROM s)
+        |ORDER BY source, lang""".stripMargin
   )
 }

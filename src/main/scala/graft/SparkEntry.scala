@@ -4196,6 +4196,18 @@ object SparkEntry {
         strataCol = col("source"), budget = 1000L)
       .orderBy("stratum")
 
+  /** Contingency independence audit ([[ops.Stats.contingencyAudit]]):
+    * is a document's language independent of its source? Per-cell
+    * exact chi-square contributions in DECIMAL micro units plus the
+    * `__total__` statistic and degrees of freedom. The oracle replays
+    * margins, expected counts, and the HUGEINT statistic.
+    */
+  private def q259(s: SparkSession, dir: String): DataFrame =
+    ops.Stats.contingencyAudit(Tables.documents(s, dir),
+        aCol = col("source"), bCol = col("lang"))
+      .withColumnRenamed("a", "source").withColumnRenamed("b", "lang")
+      .orderBy("source", "lang")
+
   private def q204(s: SparkSession, dir: String): DataFrame =
     Profile.checkConstraints(Tables.lineitem(s, dir), Seq(
       "discount_range" -> col("l_discount").between(0d, 0.1),
@@ -4517,7 +4529,8 @@ object SparkEntry {
     "q255_business_days" -> q255 _,
     "q256_audience_overlap" -> q256 _,
     "q257_conversion_curve" -> q257 _,
-    "q258_proportional_alloc" -> q258 _
+    "q258_proportional_alloc" -> q258 _,
+    "q259_contingency" -> q259 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

@@ -490,6 +490,56 @@ object Stats {
         expr("sum(v) DIV count(1)").as("trimmed_mean"))
   }
 
+  /** r×c contingency independence audit — "is column B independent of
+    * column A" (is language independent of source? label of split?)
+    * with the Pearson chi-square computed EXACTLY: per cell,
+    * `(O·n − r·c)² · 10⁶ / (r·c·n)` in DECIMAL(38,0) micro units (the
+    * squared numerator passes 2⁶³ around 60k rows), plus a `__total__`
+    * row carrying the statistic's exact sum and the degrees of freedom
+    * `(R−1)(C−1)` — the two numbers a significance lookup needs, with
+    * no IEEE boundary anywhere. Per-cell expected counts ride along in
+    * milli units, so the audit also SHOWS which cells drive the
+    * dependence.
+    *
+    * Scale: one shuffle to the (a, b) cell table; margins and totals
+    * are windows over that R×C-bounded table (the q230 benign class).
+    */
+  def contingencyAudit(
+      df: DataFrame,
+      aCol: Column,
+      bCol: Column
+  ): DataFrame = {
+    val cells = df.filter(aCol.isNotNull && bCol.isNotNull)
+      .groupBy(aCol.cast("string").as("a"), bCol.cast("string").as("b"))
+      .agg(count(lit(1)).as("n_obs"))
+    val wa = Window.partitionBy(col("a"))
+    val wb = Window.partitionBy(col("b"))
+    val wAll = Window.partitionBy()
+    val scored = cells
+      .withColumn("__r", sum(col("n_obs")).over(wa))
+      .withColumn("__c", sum(col("n_obs")).over(wb))
+      .withColumn("__n", sum(col("n_obs")).over(wAll))
+      .withColumn("exp_milli", expr("(__r * __c * 1000) DIV __n"))
+      .withColumn("chi2_micro", expr(
+        "CAST((CAST(n_obs AS DECIMAL(38,0)) * __n - CAST(__r AS DECIMAL(38,0)) * __c)" +
+          " * (CAST(n_obs AS DECIMAL(38,0)) * __n - CAST(__r AS DECIMAL(38,0)) * __c)" +
+          " * 1000000 DIV (CAST(__r AS DECIMAL(38,0)) * __c * __n) AS BIGINT)"))
+      // DISTINCT aggregates are unsupported in windows; collect_set is
+      .withColumn("__df",
+        (size(collect_set(col("a")).over(wAll)).cast("long") - 1L) *
+          (size(collect_set(col("b")).over(wAll)).cast("long") - 1L))
+    val total = scored.groupBy()
+      .agg(max(col("__n")).as("n_obs"), sum(col("chi2_micro")).as("chi2_micro"),
+        max(col("__df")).as("dof"))
+      .select(lit("__total__").as("a"), lit("__total__").as("b"),
+        col("n_obs"), lit(null).cast("long").as("exp_milli"),
+        col("chi2_micro"), col("dof"))
+    scored
+      .select(col("a"), col("b"), col("n_obs"), col("exp_milli"),
+        col("chi2_micro"), lit(null).cast("long").as("dof"))
+      .unionByName(total)
+  }
+
   /** Model calibration buckets (the reliability diagram as data): ppm
     * scores in `[0, 10⁶]` binned into `buckets` equal-width bins, each
     * bin reporting its population, mean predicted score, and OBSERVED

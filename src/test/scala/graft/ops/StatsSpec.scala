@@ -286,6 +286,34 @@ class StatsSpec extends SparkTestBase {
     assert(neg == (("b", 2L, 2L, -3L)))
   }
 
+  test("contingencyAudit: cell contributions and total match BigInt recomputation") {
+    import org.apache.spark.sql.functions.col
+    // dependent layout: s1 is mostly x, s2 mostly y
+    val rows = Seq.fill(40)(("s1", "x")) ++ Seq.fill(10)(("s1", "y")) ++
+      Seq.fill(10)(("s2", "x")) ++ Seq.fill(40)(("s2", "y"))
+    val out = Stats.contingencyAudit(rows.toDF("s", "l"), col("s"), col("l"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) -1L else r.getLong(5)))).toMap
+
+    val cells = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val rTot = rows.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val cTot = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val n = rows.size.toLong
+    var total = 0L
+    cells.foreach { case ((a, b), o) =>
+      val num = BigInt(o) * n - BigInt(rTot(a)) * cTot(b)
+      val contrib = (num * num * 1000000 /
+        (BigInt(rTot(a)) * cTot(b) * n)).toLong
+      total += contrib
+      assert(out((a, b)) ==
+        ((o, rTot(a) * cTot(b) * 1000 / n, contrib, -1L)), s"cell ($a,$b)")
+    }
+    assert(out(("__total__", "__total__")) == ((n, -1L, total, 1L)))
+    // 2x2 table this skewed is decisively dependent: chi2 = 36 here
+    assert(total / 1000000L >= 30L)
+  }
+
   private implicit class Map2[A, B, C, D](rows: Array[(A, B, C, D)]) {
     def toMap2: Map[A, (B, C, D)] = rows.map(r => r._1 -> ((r._2, r._3, r._4))).toMap
   }
