@@ -4332,6 +4332,28 @@ object OracleSql {
         | SELECT '__total__', '__total__', CAST(max(n) AS BIGINT),
         |  CAST(NULL AS BIGINT), CAST(sum(chi2_micro) AS BIGINT),
         |  CAST(max(dof) AS BIGINT) FROM s)
-        |ORDER BY source, lang""".stripMargin
+        |ORDER BY source, lang""".stripMargin,
+
+    // q258's quota plan re-derived, then the draw: md5 rank within each
+    // stratum (id tiebreak), keep ranks <= quota
+    "q260_allocated_sample" ->
+      """WITH c AS (SELECT source AS stratum, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents WHERE source IS NOT NULL GROUP BY 1),
+        | t AS (SELECT stratum, n, sum(n) OVER () AS total,
+        |   (1000 * n) // sum(n) OVER () AS fl,
+        |   (1000 * n) % (sum(n) OVER ()) AS rem FROM c),
+        | q AS (SELECT stratum,
+        |   least(n, fl + CASE WHEN row_number() OVER
+        |     (ORDER BY rem DESC, n DESC, stratum) <=
+        |       1000 - sum(fl) OVER () THEN 1 ELSE 0 END) AS quota
+        |  FROM t),
+        | r AS (SELECT source AS stratum, doc_id,
+        |   row_number() OVER (PARTITION BY source ORDER BY
+        |     ('0x'||substr(md5('5:'||CAST(doc_id AS VARCHAR)),1,8))::BIGINT,
+        |     doc_id) AS rk
+        |  FROM documents WHERE source IS NOT NULL)
+        |SELECT r.stratum AS stratum, r.doc_id AS doc_id
+        |FROM r JOIN q ON r.stratum = q.stratum AND r.rk <= q.quota
+        |ORDER BY r.stratum, r.doc_id""".stripMargin
   )
 }

@@ -4208,6 +4208,18 @@ object SparkEntry {
       .withColumnRenamed("a", "source").withColumnRenamed("b", "lang")
       .orderBy("source", "lang")
 
+  /** Allocated draw ([[Sampling.allocatedSample]]): q258's plan
+    * executed — exactly 1000 documents sampled across sources by
+    * deterministic md5 rank within each stratum, so the sample size is
+    * min(budget, N) by construction. The oracle replays the quota
+    * computation AND the ranked draw.
+    */
+  private def q260(s: SparkSession, dir: String): DataFrame =
+    Sampling.allocatedSample(Tables.documents(s, dir),
+        strataCol = col("source"), idCol = col("doc_id"), budget = 1000L)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("stratum", "doc_id")
+
   private def q204(s: SparkSession, dir: String): DataFrame =
     Profile.checkConstraints(Tables.lineitem(s, dir), Seq(
       "discount_range" -> col("l_discount").between(0d, 0.1),
@@ -4530,7 +4542,8 @@ object SparkEntry {
     "q256_audience_overlap" -> q256 _,
     "q257_conversion_curve" -> q257 _,
     "q258_proportional_alloc" -> q258 _,
-    "q259_contingency" -> q259 _
+    "q259_contingency" -> q259 _,
+    "q260_allocated_sample" -> q260 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

@@ -501,6 +501,42 @@ object Sampling {
       .select(col("stratum"), col("n"), col("quota"))
   }
 
+  /** EXECUTE a [[proportionalAllocation]] plan: draw exactly each
+    * stratum's quota by deterministic hash rank (md5 order, id
+    * tiebreak — reproducible on any engine and in the oracle), so the
+    * sample size is exactly `min(budget, N)` BY CONSTRUCTION, end to
+    * end from plan to rows. This is uniform-without-replacement within
+    * each stratum under the usual hash-as-randomness assumption — the
+    * same contract as [[hashSample]], but with exact COUNTS instead of
+    * exact rates.
+    *
+    * Scale: quota table broadcast (|strata| rows); the rank is a
+    * per-stratum sort-based window. The quota is a runtime column, so
+    * `WindowGroupLimit` cannot prune the sort map-side (it needs a
+    * literal) — per-stratum sorting is the honest cost; pre-filter
+    * with [[hashSample]] at a few × the target rate first when strata
+    * are huge.
+    */
+  def allocatedSample(
+      df: DataFrame,
+      strataCol: Column,
+      idCol: Column,
+      budget: Long
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val quotas = proportionalAllocation(df, strataCol, budget)
+      .select(col("stratum"), col("quota"))
+    val ranked = df.filter(strataCol.isNotNull)
+      .select(strataCol.as("stratum"), idCol.as("id"))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("stratum")).orderBy(
+          graft.functions.Hashing.md5Hash32(5, col("id").cast("string")),
+          col("id"))))
+    ranked.join(broadcast(quotas), Seq("stratum"))
+      .filter(col("__rk") <= col("quota"))
+      .select(col("stratum"), col("id"))
+  }
+
   def negativeSamples(
       positives: DataFrame,
       userCol: String,

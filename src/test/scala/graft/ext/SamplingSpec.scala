@@ -344,4 +344,20 @@ class SamplingSpec extends SparkTestBase {
       .as[(String, Long, Long)].collect().map(_._3).sum
     assert(none == 0L)
   }
+
+  test("allocatedSample draws exactly the quotas, deterministically, partition-invariant") {
+    val df = (1 to 50).map(i => (if (i <= 35) "a" else "b", i.toLong))
+      .toDF("s", "id")
+    val out = Sampling.allocatedSample(df, col("s"), col("id"), budget = 10L)
+      .as[(String, Long)].collect()
+    val byStratum = out.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(byStratum == Map("a" -> 7, "b" -> 3)) // 35/50*10=7, 15/50*10=3
+    assert(out.length == 10)
+    // deterministic under repartitioning
+    val again = Sampling.allocatedSample(df.repartition(7), col("s"),
+      col("id"), budget = 10L).as[(String, Long)].collect()
+    assert(again.toSet == out.toSet)
+    // sampled ids are a subset of the population
+    assert(out.forall { case (s, id) => (s == "a") == (id <= 35) })
+  }
 }
