@@ -2570,12 +2570,14 @@ object OracleSql {
         |GROUP BY 1 ORDER BY numwait DESC, s_name""".stripMargin,
 
     // TPC-H Q22's shape with the above-average test division-cleared
-    // over DECIMAL (bal*n > sum) and "no recent order" as the anti join
+    // over DECIMAL (bal*n > sum) and "no recent order" as the anti join;
+    // balance totals in BIGINT cents (never DECIMAL output columns)
     "q177_idle_rich_customers" ->
       """WITH t AS (SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS s, count(*) AS n
         |   FROM customer WHERE c_acctbal > 0)
         |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_cust,
-        | CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_bal
+        | CAST(sum(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |   AS BIGINT) AS total_bal_cents
         |FROM customer, t
         |WHERE CAST(c_acctbal AS DECIMAL(18,2)) * t.n > t.s
         |  AND NOT EXISTS (SELECT 1 FROM orders o
@@ -2899,7 +2901,8 @@ object OracleSql {
     "q195_small_qty_revenue" ->
       """SELECT p.p_brand,
         | CAST(count(*) AS BIGINT) AS n_small,
-        | CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue
+        | CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |   AS BIGINT) AS revenue_cents
         |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
         |WHERE CAST(l.l_quantity AS BIGINT) * 5 *
         |      (SELECT count(*) FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
@@ -3429,15 +3432,16 @@ object OracleSql {
     // DECIMAL equality
     "q217_top_supplier" ->
       """WITH rev AS (SELECT l_suppkey,
-        |   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
-        |     (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS total_revenue
+        |   CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |     (1 - CAST(l_discount AS DECIMAL(18,2))) * 10000 AS BIGINT))
+        |     AS BIGINT) AS total_revenue_e4
         |  FROM lineitem
         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         |    AND l_shipdate < TIMESTAMP '1996-04-01'
         |  GROUP BY l_suppkey)
-        |SELECT s.s_suppkey, s.s_name, r.total_revenue
+        |SELECT s.s_suppkey, s.s_name, r.total_revenue_e4
         |FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
-        |WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+        |WHERE r.total_revenue_e4 = (SELECT max(total_revenue_e4) FROM rev)
         |ORDER BY s_suppkey""".stripMargin,
 
     "q218_large_volume" ->
@@ -3513,23 +3517,25 @@ object OracleSql {
         |ORDER BY n_customers DESC, n_orders DESC""".stripMargin,
 
     // Q11 share test division-cleared and scale-invariant:
-    // val * n_suppliers * 20 > total * 21 (above 1.05x the mean share), all DECIMAL
+    // val * n_suppliers * 20 > total * 21 (above 1.05x the mean share);
+    // values as BIGINT 1e-4 lanes, the share test widened to HUGEINT
+    // (the DECIMAL(38,0) twin of the operator side)
     "q222_value_share" ->
       """WITH sv AS (SELECT l_suppkey,
-        |   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
-        |     CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS val
+        |   CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |     CAST(l_quantity AS DECIMAL(18,2)) * 10000 AS BIGINT)) AS BIGINT) AS val_e4
         |  FROM lineitem GROUP BY l_suppkey)
-        |SELECT l_suppkey, val FROM sv
-        |WHERE val * (SELECT CAST(count(*) AS DECIMAL(18,0)) FROM sv) * 20
-        |    > (SELECT CAST(sum(val) AS DECIMAL(28,4)) * 21 FROM sv)
+        |SELECT l_suppkey, val_e4 FROM sv
+        |WHERE CAST(val_e4 AS HUGEINT) * (SELECT count(*) FROM sv) * 20
+        |    > (SELECT CAST(sum(val_e4) AS HUGEINT) * 21 FROM sv)
         |ORDER BY l_suppkey""".stripMargin,
 
     // Q19 disjunctive conjunction groups, rolled up per brand
     "q223_disjunctive_pred" ->
       """SELECT p_brand,
         | CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
-        |   (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)))
-        |   AS DECIMAL(18,4)) AS revenue,
+        |   (1 - CAST(l_discount AS DECIMAL(18,2))) * 10000 AS BIGINT))
+        |   AS BIGINT) AS revenue_e4,
         | CAST(count(*) AS BIGINT) AS n_items
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
@@ -3556,8 +3562,9 @@ object OracleSql {
     // Q3 top-10 open orders; total ORDER BY makes the LIMIT deterministic
     "q225_shipping_priority" ->
       """SELECT l_orderkey,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
-        |   (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS revenue,
+        | CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |   (1 - CAST(l_discount AS DECIMAL(18,2))) * 10000 AS BIGINT))
+        |   AS BIGINT) AS revenue_e4,
         | CAST(floor(epoch(o_orderdate)) AS BIGINT) AS order_date_sec,
         | o_orderpriority
         |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
@@ -3566,17 +3573,17 @@ object OracleSql {
         |  AND o_orderdate < TIMESTAMP '1998-07-01 00:00:00'
         |  AND l_shipdate > TIMESTAMP '1998-07-01 00:00:00'
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
-        |ORDER BY revenue DESC, order_date_sec, l_orderkey
+        |ORDER BY revenue_e4 DESC, order_date_sec, l_orderkey
         |LIMIT 10""".stripMargin,
 
     // Q7 symmetric two-nation pair, both directions kept as groups
     "q226_volume_shipping" ->
       """SELECT supp_nation, cust_nation, l_year,
-        | CAST(sum(volume) AS DECIMAL(18,4)) AS revenue
+        | CAST(sum(v_e4) AS BIGINT) AS revenue_e4
         |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         |       CAST(year(l_shipdate) AS BIGINT) AS l_year,
-        |       CAST(l_extendedprice AS DECIMAL(18,2)) *
-        |         (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume
+        |       CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |         (1 - CAST(l_discount AS DECIMAL(18,2))) * 10000 AS BIGINT) AS v_e4
         |      FROM supplier s JOIN lineitem l ON s.s_suppkey = l.l_suppkey
         |       JOIN orders o ON o.o_orderkey = l.l_orderkey
         |       JOIN customer c ON c.c_custkey = o.o_custkey
@@ -3616,9 +3623,11 @@ object OracleSql {
     // Q10 returned-item reporting, top-20 with a total ORDER BY
     "q228_returned_items" ->
       """SELECT c.c_custkey, c.c_name,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
-        |   (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS revenue,
-        | CAST(c.c_acctbal AS DECIMAL(18,2)) AS c_acctbal, n.n_name
+        | CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |   (1 - CAST(l_discount AS DECIMAL(18,2))) * 10000 AS BIGINT))
+        |   AS BIGINT) AS revenue_e4,
+        | CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS acctbal_cents,
+        | n.n_name
         |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
         | JOIN lineitem l ON l.l_orderkey = o.o_orderkey
         | JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -3626,7 +3635,7 @@ object OracleSql {
         |  AND o.o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
         |  AND l.l_returnflag = 'R'
         |GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
-        |ORDER BY revenue DESC, c_custkey
+        |ORDER BY revenue_e4 DESC, c_custkey
         |LIMIT 20""".stripMargin,
 
     // Q14 promo share in integer ppm over BIGINT 1e-4 volume units

@@ -2943,7 +2943,8 @@ object SparkEntry {
     s.sql(
       """SELECT p.p_brand,
         | CAST(count(*) AS BIGINT) AS n_small,
-        | CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue
+        | CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |   AS BIGINT) AS revenue_cents
         |FROM lineitem_v l JOIN part_v p ON p.p_partkey = l.l_partkey
         |WHERE CAST(l.l_quantity AS BIGINT) * 5 *
         |      (SELECT count(*) FROM lineitem_v l2 WHERE l2.l_partkey = p.p_partkey)
@@ -3377,21 +3378,23 @@ object SparkEntry {
     * aggregate subquery reused both as the join input AND inside the
     * scalar `max` — the classic aggregate-view + scalar-subquery
     * equality Catalyst must collapse without recomputing the view per
-    * row. DECIMAL revenue keeps the max-equality exact.
+    * row. Revenue in BIGINT 1e-4 fixed-point lanes (q227 idiom) keeps
+    * the max-equality exact and the output representation-free.
     */
   private def q217(s: SparkSession, dir: String): DataFrame = {
     tpchViews(s, dir)
     s.sql(
       """WITH rev AS (SELECT l_suppkey,
-        |   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
-        |     (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS total_revenue
+        |   CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |     (1 - CAST(l_discount AS DECIMAL(18,2))) * 10000 AS BIGINT))
+        |     AS BIGINT) AS total_revenue_e4
         |  FROM lineitem_v
         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
         |  GROUP BY l_suppkey)
-        |SELECT s.s_suppkey, s.s_name, r.total_revenue
+        |SELECT s.s_suppkey, s.s_name, r.total_revenue_e4
         |FROM supplier_v s JOIN rev r ON s.s_suppkey = r.l_suppkey
-        |WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+        |WHERE r.total_revenue_e4 = (SELECT max(total_revenue_e4) FROM rev)
         |ORDER BY s_suppkey""".stripMargin)
   }
 
@@ -3441,21 +3444,25 @@ object SparkEntry {
     * having-vs-global-fraction decorrelation. TPC-H scales the fraction
     * by 1/SF for exactly this reason; here the threshold is expressed
     * scale-invariantly as "more than 1.05× the mean per-supplier value"
-    * (`val·n_suppliers·20 > total·21`), division-cleared over DECIMAL so
-    * boundary suppliers are exact and the result is non-empty at every
-    * SF. DECIMAL sums at (18,4) leave 1e14 headroom over the ~1e9
-    * per-supplier values.
+    * (`val·n_suppliers·20 > total·21`), division-cleared so boundary
+    * suppliers are exact and the result is non-empty at every SF.
+    * Values carried as BIGINT 1e-4 fixed-point lanes (per-row scale-4
+    * DECIMAL product × 10000 → exact integer) with the share test in
+    * DECIMAL(38,0)/HUGEINT to clear the ×count×20 headroom — never a
+    * DECIMAL output column (engines canonicalize trailing-zero
+    * decimals differently; BIGINT lanes are representation-free).
     */
   private def q222(s: SparkSession, dir: String): DataFrame = {
     tpchViews(s, dir)
     s.sql(
       """WITH sv AS (SELECT l_suppkey,
-        |   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
-        |     CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS val
+        |   CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |     CAST(l_quantity AS DECIMAL(18,2)) * 10000 AS BIGINT)) AS BIGINT) AS val_e4
         |  FROM lineitem_v GROUP BY l_suppkey)
-        |SELECT l_suppkey, val FROM sv
-        |WHERE val * (SELECT CAST(count(*) AS DECIMAL(18,0)) FROM sv) * 20
-        |    > (SELECT CAST(sum(val) AS DECIMAL(28,4)) * 21 FROM sv)
+        |SELECT l_suppkey, val_e4 FROM sv
+        |WHERE CAST(val_e4 AS DECIMAL(38,0)) *
+        |      (SELECT count(*) FROM sv) * 20
+        |    > (SELECT CAST(sum(val_e4) AS DECIMAL(38,0)) * 21 FROM sv)
         |ORDER BY l_suppkey""".stripMargin)
   }
 
@@ -3464,7 +3471,8 @@ object SparkEntry {
     * brand. Catalyst extracts the common `l_partkey = p_partkey`
     * equi-condition and pushes the per-side disjuncts (`p_brand IN` /
     * `l_quantity <= 30`) below the join via CNF — the plan stays a hash
-    * join with pruned scans, not a nested-loop filter.
+    * join with pruned scans, not a nested-loop filter. Revenue in
+    * BIGINT 1e-4 fixed-point lanes (q227 idiom).
     */
   private def q223(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
@@ -3478,8 +3486,8 @@ object SparkEntry {
           col("l_quantity").between(20, 30)))
       .groupBy(col("p_brand"))
       .agg(
-        sum((col("l_extendedprice").cast(dec) * (lit(1).cast(dec) - col("l_discount").cast(dec)))
-          .cast(DecimalType(18, 4))).cast(DecimalType(18, 4)).as("revenue"),
+        sum((col("l_extendedprice").cast(dec) * (lit(1).cast(dec) - col("l_discount").cast(dec)) * 10000)
+          .cast("long")).cast("long").as("revenue_e4"),
         count(lit(1)).as("n_items"))
       .orderBy("p_brand")
 
@@ -3510,14 +3518,16 @@ object SparkEntry {
     * then orderkey, and the LIMIT plans as `TakeOrderedAndProject` —
     * per-partition top-10 heaps merged on the driver, no global sort at
     * any scale. Order-date in epoch seconds, total ORDER BY so the
-    * LIMIT boundary is deterministic.
+    * LIMIT boundary is deterministic; revenue emitted as a BIGINT 1e-4
+    * fixed-point lane (q227 idiom) so the gate is representation-free.
     */
   private def q225(s: SparkSession, dir: String): DataFrame = {
     tpchViews(s, dir)
     s.sql(
       """SELECT l_orderkey,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
-        |   (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS revenue,
+        | CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |   (1 - CAST(l_discount AS DECIMAL(18,2))) * 10000 AS BIGINT))
+        |   AS BIGINT) AS revenue_e4,
         | CAST(unix_timestamp(o_orderdate) AS BIGINT) AS order_date_sec,
         | o_orderpriority
         |FROM customer_v c JOIN orders_v o ON c.c_custkey = o.o_custkey
@@ -3526,7 +3536,7 @@ object SparkEntry {
         |  AND o_orderdate < TIMESTAMP '1998-07-01 00:00:00'
         |  AND l_shipdate > TIMESTAMP '1998-07-01 00:00:00'
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
-        |ORDER BY revenue DESC, order_date_sec, l_orderkey
+        |ORDER BY revenue_e4 DESC, order_date_sec, l_orderkey
         |LIMIT 10""".stripMargin)
   }
 
@@ -3539,17 +3549,18 @@ object SparkEntry {
     * symmetric disjunction over two lookup sides, not the literal
     * nation constants. Nation and region joins broadcast (25/5 rows);
     * the fact-side joins shuffle once each on their natural keys.
-    * Ship-year via `year()` cast to BIGINT on both engines.
+    * Ship-year via `year()` cast to BIGINT on both engines; revenue
+    * summed in BIGINT 1e-4 fixed-point lanes (q227 idiom).
     */
   private def q226(s: SparkSession, dir: String): DataFrame = {
     tpchViews(s, dir)
     s.sql(
       """SELECT supp_nation, cust_nation, l_year,
-        | CAST(sum(volume) AS DECIMAL(18,4)) AS revenue
+        | CAST(sum(v_e4) AS BIGINT) AS revenue_e4
         |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         |       CAST(year(l_shipdate) AS BIGINT) AS l_year,
-        |       CAST(l_extendedprice AS DECIMAL(18,2)) *
-        |         (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume
+        |       CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |         (1 - CAST(l_discount AS DECIMAL(18,2))) * 10000 AS BIGINT) AS v_e4
         |      FROM supplier_v s JOIN lineitem_v l ON s.s_suppkey = l.l_suppkey
         |       JOIN orders_v o ON o.o_orderkey = l.l_orderkey
         |       JOIN customer_v c ON c.c_custkey = o.o_custkey
@@ -3604,16 +3615,19 @@ object SparkEntry {
     * revenue lost to returns in one quarter — three fact joins plus a
     * broadcast nation lookup, top-20 by revenue with a total ORDER BY
     * so the LIMIT boundary is deterministic (`TakeOrderedAndProject`,
-    * no global sort). Account balance re-cast to DECIMAL(18,2) so the
-    * double column compares exactly.
+    * no global sort). Revenue in BIGINT 1e-4 lanes and the account
+    * balance in BIGINT cents (q227 idiom — ×100 through DECIMAL(18,2)
+    * is exact for either sign, no division involved).
     */
   private def q228(s: SparkSession, dir: String): DataFrame = {
     tpchViews(s, dir)
     s.sql(
       """SELECT c.c_custkey, c.c_name,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
-        |   (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS revenue,
-        | CAST(c.c_acctbal AS DECIMAL(18,2)) AS c_acctbal, n.n_name
+        | CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |   (1 - CAST(l_discount AS DECIMAL(18,2))) * 10000 AS BIGINT))
+        |   AS BIGINT) AS revenue_e4,
+        | CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS acctbal_cents,
+        | n.n_name
         |FROM customer_v c JOIN orders_v o ON c.c_custkey = o.o_custkey
         | JOIN lineitem_v l ON l.l_orderkey = o.o_orderkey
         | JOIN nation_v n ON c.c_nationkey = n.n_nationkey
@@ -3621,7 +3635,7 @@ object SparkEntry {
         |  AND o.o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
         |  AND l.l_returnflag = 'R'
         |GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
-        |ORDER BY revenue DESC, c_custkey
+        |ORDER BY revenue_e4 DESC, c_custkey
         |LIMIT 20""".stripMargin)
   }
 
@@ -4261,7 +4275,8 @@ object SparkEntry {
     * `bal·n > Σbal` over DECIMAL(18,2) — a floating avg threshold
     * would make boundary rows a 1-ulp engine lottery. One-row
     * aggregate broadcast (scalar-subquery shape) + anti join on
-    * recent orders.
+    * recent orders. Balance totals emitted as BIGINT cents so the
+    * output is representation-free (q227 idiom).
     */
   private def q177(s: SparkSession, dir: String): DataFrame = {
     val dec2 = org.apache.spark.sql.types.DecimalType(18, 2)
@@ -4279,7 +4294,8 @@ object SparkEntry {
       .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("n_cust"),
-        sum(col("c_acctbal").cast(dec2)).cast(dec2).as("total_bal"))
+        sum((col("c_acctbal").cast(dec2) * 100).cast("long"))
+          .cast("long").as("total_bal_cents"))
       .orderBy("c_mktsegment")
   }
 

@@ -31,6 +31,23 @@ class DriverContractSpec extends SparkTestBase {
     }
   }
 
+  test("no query emits a DecimalType output column (driver hash canonicalization)") {
+    // Round-14 lesson: the driver hashes Spark's parquet Decimal('1.20')
+    // and DuckDB's pandas-degraded float 1.2 differently whenever a value
+    // has trailing zeros — rows/schema match, hash fails, and the failure
+    // is DATA-dependent (queries pass or fail by value luck). Money/ratio
+    // lanes must be BIGINT fixed-point (cents / 1e-4 units, q227 idiom).
+    val dir = "/root/testdata/sf0.001"
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val decCols = fn(spark, dir).schema.fields.collect {
+        case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] => f.name
+      }
+      if (decCols.nonEmpty) Some(s"$name: ${decCols.mkString(",")}") else None
+    }
+    assert(offenders.isEmpty,
+      s"DecimalType output columns (driver-red on trailing zeros): $offenders")
+  }
+
   test("oracle SQL contains no tab or carriage-return control characters") {
     // Verify escapes them correctly, but builder-authored SQL should not
     // need escaping in the first place — a tab usually means a paste error
