@@ -3900,7 +3900,8 @@ object OracleSql {
       """WITH b AS (SELECT l_returnflag AS flag,
         |   CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
         |   CAST(l_quantity AS BIGINT) AS wt FROM lineitem
-        |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL),
+        |  WHERE l_extendedprice IS NOT NULL
+        |    AND CAST(l_quantity AS BIGINT) > 0),
         | w AS (SELECT flag, v,
         |   sum(wt) OVER (PARTITION BY flag ORDER BY v
         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
@@ -4161,7 +4162,8 @@ object OracleSql {
         |   CAST(sum(CASE WHEN arm = 0 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
         |  FROM ar),
         | g AS (SELECT a, b, c, d, a + b AS nt, c + d AS nc,
-        |   CASE WHEN a+b > 0 AND c+d > 0 AND a+c > 0 AND b+d > 0 THEN
+        |   CASE WHEN a+b > 0 AND c+d > 0 AND a+c > 0 AND b+d > 0
+        |     AND a+b+c+d <= 10000000 THEN
         |     CAST((CAST(a AS HUGEINT)*d - CAST(b AS HUGEINT)*c)
         |       * (CAST(a AS HUGEINT)*d - CAST(b AS HUGEINT)*c)
         |       * (a+b+c+d) * 1000
@@ -4328,7 +4330,7 @@ object OracleSql {
         |     * ((SELECT count(DISTINCT b) FROM cells) - 1) AS dof
         |  FROM cells),
         | s AS (SELECT a, b, n_obs,
-        |   CAST((r * c * 1000) // n AS BIGINT) AS exp_milli,
+        |   CAST((CAST(r AS HUGEINT) * c * 1000) // n AS BIGINT) AS exp_milli,
         |   CAST((CAST(n_obs AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
         |     * (CAST(n_obs AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
         |     * 1000000 // (CAST(r AS HUGEINT) * c * n) AS BIGINT)

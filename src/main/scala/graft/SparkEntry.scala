@@ -3091,12 +3091,6 @@ object SparkEntry {
       .withColumnRenamed("key", "event_type")
       .orderBy("event_type")
 
-  /** Data-contract suite ([[Profile.checkConstraints]]): seven named
-    * lineitem invariants checked in ONE scan, NULL predicate counted
-    * as violation; `qty_le_25` is deliberately false for ~half the
-    * rows so the counter path is non-vacuous. The oracle replays every
-    * predicate with the same NULL semantics.
-    */
   /** q205's format-roundtrip dirs, memoized per source dir (the q192
     * convention — the write side runs once per JVM).
     */
@@ -4234,6 +4228,12 @@ object SparkEntry {
       .withColumnRenamed("id", "doc_id")
       .orderBy("stratum", "doc_id")
 
+  /** Data-contract suite ([[Profile.checkConstraints]]): seven named
+    * lineitem invariants checked in ONE scan, NULL predicate counted
+    * as violation; `qty_le_25` is deliberately false for ~half the
+    * rows so the counter path is non-vacuous. The oracle replays every
+    * predicate with the same NULL semantics.
+    */
   private def q204(s: SparkSession, dir: String): DataFrame =
     Profile.checkConstraints(Tables.lineitem(s, dir), Seq(
       "discount_range" -> col("l_discount").between(0d, 0.1),

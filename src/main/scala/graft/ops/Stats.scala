@@ -299,7 +299,11 @@ object Stats {
     * value either way — the output never depends on tie order.
     *
     * Output: `key`, `w_total`, one `p{t}0` column per requested tenth.
-    * NULL values/weights are excluded; weights must be positive.
+    * NULL values/weights are excluded, and the positive-weight
+    * contract is ENFORCED (`wt > 0` filter): a zero or negative weight
+    * would make the running `cumw` non-monotonic, voiding both the
+    * quantile semantics and the tie-order argument above — such rows
+    * carry no mass by definition and are dropped, not propagated.
     * Scale: one shuffle on the key; the per-key running sum is the
     * usual sort-based window (no global window).
     */
@@ -314,7 +318,7 @@ object Stats {
       "pTenths must be within 1..9")
     val base = df.select(keyCol.as("key"), valueCol.as("v"),
         weightCol.cast("long").as("wt"))
-      .filter(col("v").isNotNull && col("wt").isNotNull)
+      .filter(col("v").isNotNull && col("wt") > 0L)
     val wc = Window.partitionBy(col("key")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wn = Window.partitionBy(col("key"))
@@ -372,6 +376,16 @@ object Stats {
     * `chi2_milli ≥ 3841` (α = 0.05 critical value 3.841, floored to
     * the same milli grid).
     *
+    * Exactness bound: the numerator `(ad−bc)²·n·1000` stays inside
+    * DECIMAL(38,0) only for `n ≤ 10⁷` units (worst case 62.5·n⁵ ≤
+    * 10³⁸). Beyond that Spark would yield NULL while the HUGEINT
+    * oracle errors, so the operator guards on `n` EXPLICITLY: tables
+    * over 10⁷ units report NULL chi2 deterministically on both
+    * engines (a data-independent bound, not a value lottery). At that
+    * population a fixed-significance chi-square readout is the wrong
+    * instrument anyway — every microscopic lift is "significant";
+    * pre-aggregate or test effect size instead.
+    *
     * Output (one row): arm sizes, conversions, per-arm ppm rates, the
     * rate lift, `chi2_milli`, `significant`. Degenerate margins (an
     * empty arm or an all/none outcome) report NULL chi2 — the test is
@@ -407,7 +421,8 @@ object Stats {
         when(col("n_control") > 0, expr("(c * 1000000) DIV (c + d)")))
       .withColumn("lift_ppm", col("rate_treat_ppm") - col("rate_control_ppm"))
       .withColumn("chi2_milli", expr(
-        "CASE WHEN (a+b) > 0 AND (c+d) > 0 AND (a+c) > 0 AND (b+d) > 0 THEN " +
+        "CASE WHEN (a+b) > 0 AND (c+d) > 0 AND (a+c) > 0 AND (b+d) > 0" +
+          " AND (a+b+c+d) <= 10000000 THEN " +
           "CAST((CAST(a AS DECIMAL(38,0)) * d - CAST(b AS DECIMAL(38,0)) * c)" +
           " * (CAST(a AS DECIMAL(38,0)) * d - CAST(b AS DECIMAL(38,0)) * c)" +
           " * (a+b+c+d) * 1000" +
@@ -519,7 +534,12 @@ object Stats {
       .withColumn("__r", sum(col("n_obs")).over(wa))
       .withColumn("__c", sum(col("n_obs")).over(wb))
       .withColumn("__n", sum(col("n_obs")).over(wAll))
-      .withColumn("exp_milli", expr("(__r * __c * 1000) DIV __n"))
+      // DECIMAL(38,0) lanes like chi2_micro: the plain-BIGINT product
+      // __r·__c·1000 silently wraps in non-ANSI Spark past ~9.2e15
+      // (margin products a 100 TB corpus reaches), while the HUGEINT
+      // oracle errors — widen first, truncate after the division
+      .withColumn("exp_milli", expr(
+        "CAST((CAST(__r AS DECIMAL(38,0)) * __c * 1000) DIV __n AS BIGINT)"))
       .withColumn("chi2_micro", expr(
         "CAST((CAST(n_obs AS DECIMAL(38,0)) * __n - CAST(__r AS DECIMAL(38,0)) * __c)" +
           " * (CAST(n_obs AS DECIMAL(38,0)) * __n - CAST(__r AS DECIMAL(38,0)) * __c)" +

@@ -204,6 +204,17 @@ class StatsSpec extends SparkTestBase {
     val m = Stats.weightedPercentiles(even, col("k"), col("v"), col("wt"), Seq(5))
       .as[(String, Long, Long)].collect().head
     assert(m == (("c", 4L, 20L)))
+
+    // positive-weight contract ENFORCED: zero/negative/NULL weights are
+    // dropped (they carry no mass; keeping them would make cumw
+    // non-monotonic and void the tie-order determinism argument)
+    val mixed = Seq(("d", 1L, 0L), ("d", 2L, -5L), ("d", 3L, 2L))
+      .toDF("k", "v", "wt")
+      .unionByName(Seq(("d", 9L)).toDF("k", "v")
+        .withColumn("wt", org.apache.spark.sql.functions.lit(null).cast("long")))
+    val p = Stats.weightedPercentiles(mixed, col("k"), col("v"), col("wt"), Seq(5))
+      .as[(String, Long, Long)].collect().head
+    assert(p == (("d", 2L, 3L)), s"non-positive weights must carry no mass: $p")
   }
 
   test("topNWithOther: total tie-broken cut, exact residual, no-residual case") {
