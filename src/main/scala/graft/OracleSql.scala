@@ -4365,6 +4365,65 @@ object OracleSql {
         |  FROM documents WHERE source IS NOT NULL)
         |SELECT r.stratum AS stratum, r.doc_id AS doc_id
         |FROM r JOIN q ON r.stratum = q.stratum AND r.rk <= q.quota
-        |ORDER BY r.stratum, r.doc_id""".stripMargin
+        |ORDER BY r.stratum, r.doc_id""".stripMargin,
+
+    // Q4 priority counts under a correlated EXISTS (returned line)
+    "q261_priority_exists" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders o
+        |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    // Q6 one-row forecast: date + discount + quantity band, BIGINT
+    // 1e-4 revenue lane; the discount band compares stored doubles
+    // against the same literals on both engines
+    "q262_forecast_revenue" ->
+      """SELECT
+        | CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |   CAST(l_discount AS DECIMAL(18,2)) * 10000 AS BIGINT))
+        |   AS BIGINT) AS revenue_delta_e4,
+        | CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24
+        |ORDER BY revenue_delta_e4""".stripMargin,
+
+    // Q9 per-(nation, year) profit over name-matched parts; unit cost
+    // = retail price (no partsupp in the schema); BIGINT 1e-4 lanes
+    "q263_nation_profit" ->
+      """SELECT n_name AS nation, o_year,
+        | CAST(sum(amount_e4) AS BIGINT) AS profit_e4
+        |FROM (SELECT n.n_name, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+        |    CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+        |      (1 - CAST(l.l_discount AS DECIMAL(18,2))) * 10000 AS BIGINT)
+        |    - CAST(CAST(p.p_retailprice AS DECIMAL(18,2)) *
+        |      CAST(l.l_quantity AS DECIMAL(18,2)) * 10000 AS BIGINT) AS amount_e4
+        |  FROM lineitem l
+        |   JOIN part p ON p.p_partkey = l.l_partkey
+        |   JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |   JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |   JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |  WHERE p.p_name LIKE '%widget%') profit
+        |GROUP BY n_name, o_year
+        |ORDER BY nation, o_year DESC""".stripMargin,
+
+    // Q12 two-way conditional counts per line status over a ship year
+    "q264_priority_linestatus" ->
+      """SELECT l.l_linestatus,
+        | CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        | CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY l.l_linestatus
+        |ORDER BY l_linestatus""".stripMargin
   )
 }

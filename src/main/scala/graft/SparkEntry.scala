@@ -3656,6 +3656,105 @@ object SparkEntry {
         |FROM v""".stripMargin)
   }
 
+  /** TPC-H Q4 shape (order-priority checking): per-priority order
+    * counts where an EXISTS subquery demands at least one qualifying
+    * lineitem — the classic EXISTS→left-semi decorrelation (the
+    * schema has no commit/receipt dates, so the inner predicate is a
+    * returned line; the signature is the correlated EXISTS over the
+    * fact child, not the particular column). Catalyst plans the
+    * semi join on orderkey, then a 5-group aggregate from map-side
+    * partials — two narrow shuffles at any scale.
+    */
+  private def q261(s: SparkSession, dir: String): DataFrame = {
+    tpchViews(s, dir)
+    s.sql(
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders_v o
+        |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem_v l
+        |    WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  /** TPC-H Q6 shape (forecast revenue change): the single-scan
+    * filtered one-row aggregate — date band + discount band + quantity
+    * cap, summing `price·discount` as the revenue a promo would
+    * forgo. All three predicates push to the parquet scan; the
+    * aggregate is map-side partials into one row. Revenue in BIGINT
+    * 1e-4 lanes (scale-4 DECIMAL product × 10000, exact). The
+    * discount band compares the stored double against the same
+    * literals on both engines — identical bits, identical verdicts.
+    */
+  private def q262(s: SparkSession, dir: String): DataFrame = {
+    tpchViews(s, dir)
+    s.sql(
+      """SELECT
+        | CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |   CAST(l_discount AS DECIMAL(18,2)) * 10000 AS BIGINT))
+        |   AS BIGINT) AS revenue_delta_e4,
+        | CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem_v
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin)
+  }
+
+  /** TPC-H Q9 shape (product-type profit): per-(nation, year) profit
+    * over parts selected by a name CONTAINS filter — the 5-way join
+    * with a non-equi scan predicate and a two-key rollup. The schema
+    * has no partsupp, so unit cost is the part's retail price (the
+    * signature is revenue-minus-cost per line through the
+    * part/supplier/order join chain, not the cost column's
+    * provenance). Profit per line in BIGINT 1e-4 lanes:
+    * `price·(1−disc)·10⁴ − retail·qty·10⁴`, both scale-4-exact.
+    * Nation is a 25-row broadcast; the three fact joins shuffle on
+    * their keys; the (nation, year) aggregate is map-side-partial.
+    */
+  private def q263(s: SparkSession, dir: String): DataFrame = {
+    tpchViews(s, dir)
+    s.sql(
+      """SELECT n_name AS nation, o_year,
+        | CAST(sum(amount_e4) AS BIGINT) AS profit_e4
+        |FROM (SELECT n.n_name, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+        |    CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+        |      (1 - CAST(l.l_discount AS DECIMAL(18,2))) * 10000 AS BIGINT)
+        |    - CAST(CAST(p.p_retailprice AS DECIMAL(18,2)) *
+        |      CAST(l.l_quantity AS DECIMAL(18,2)) * 10000 AS BIGINT) AS amount_e4
+        |  FROM lineitem_v l
+        |   JOIN part_v p ON p.p_partkey = l.l_partkey
+        |   JOIN supplier_v s ON s.s_suppkey = l.l_suppkey
+        |   JOIN nation_v n ON s.s_nationkey = n.n_nationkey
+        |   JOIN orders_v o ON o.o_orderkey = l.l_orderkey
+        |  WHERE p.p_name LIKE '%widget%') profit
+        |GROUP BY n_name, o_year
+        |ORDER BY nation, o_year DESC""".stripMargin)
+  }
+
+  /** TPC-H Q12 shape (priority line counts): the two-way conditional
+    * aggregation — per line status (the shipmode stand-in), how many
+    * lines belong to critical-priority orders vs not, over a ship-date
+    * year. The CASE pair inside one aggregate is the signature: one
+    * join shuffle on orderkey, one 2-group aggregate, no second scan
+    * for the complement count.
+    */
+  private def q264(s: SparkSession, dir: String): DataFrame = {
+    tpchViews(s, dir)
+    s.sql(
+      """SELECT l.l_linestatus,
+        | CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        | CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM orders_v o JOIN lineitem_v l ON o.o_orderkey = l.l_orderkey
+        |WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY l.l_linestatus
+        |ORDER BY l_linestatus""".stripMargin)
+  }
+
   /** Keyless binned range join ([[ops.IntervalJoin.binnedPointJoin]]):
     * busy hours are detected from the FULL event stream (hourly count
     * strictly above 1.2× the mean hour, division-cleared to
@@ -4559,7 +4658,11 @@ object SparkEntry {
     "q257_conversion_curve" -> q257 _,
     "q258_proportional_alloc" -> q258 _,
     "q259_contingency" -> q259 _,
-    "q260_allocated_sample" -> q260 _
+    "q260_allocated_sample" -> q260 _,
+    "q261_priority_exists" -> q261 _,
+    "q262_forecast_revenue" -> q262 _,
+    "q263_nation_profit" -> q263 _,
+    "q264_priority_linestatus" -> q264 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all
