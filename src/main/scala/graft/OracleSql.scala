@@ -4424,6 +4424,23 @@ object OracleSql {
         |WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
         |  AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY l.l_linestatus
-        |ORDER BY l_linestatus""".stripMargin
+        |ORDER BY l_linestatus""".stripMargin,
+
+    // running event-time max in arrival (event_id) order; late = more
+    // than 60s behind it — the watermark-drop test replayed
+    "q265_late_arrivals" ->
+      """WITH e AS (SELECT event_type AS key,
+        |   CAST(epoch_us(ts) AS BIGINT) AS us, event_id AS seq
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+        | w AS (SELECT key, us,
+        |   max(us) OVER (PARTITION BY key ORDER BY seq
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM e)
+        |SELECT key AS event_type, CAST(count(*) AS BIGINT) AS n_events,
+        | CAST(sum(CASE WHEN pm IS NOT NULL AND us < pm - 60000000
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+        | CAST(max(CASE WHEN pm IS NOT NULL AND us < pm - 60000000
+        |   THEN (pm - us) // 1000 END) AS BIGINT) AS max_late_ms
+        |FROM w GROUP BY key ORDER BY event_type""".stripMargin
   )
 }

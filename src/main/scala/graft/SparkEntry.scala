@@ -3755,6 +3755,21 @@ object SparkEntry {
         |ORDER BY l_linestatus""".stripMargin)
   }
 
+  /** Late-arrival accounting ([[ops.TimeSeries.lateArrivals]]): per
+    * event type, how many events arrive (in event_id order) more than
+    * 60 s behind the type's running event-time high water mark — the
+    * rows a 60 s watermark would silently drop — plus the worst
+    * lateness. The number that TUNES a pipeline's watermark delay
+    * from data. The oracle replays the running max and the lateness
+    * test; the at-ingest twin `StatefulOps.lateStream` is
+    * drained-parity-pinned in `StatefulOpsSpec`.
+    */
+  private def q265(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.lateArrivals(Tables.events(s, dir),
+        col("event_type"), col("ts"), col("event_id"), delayMs = 60000L)
+      .withColumnRenamed("key", "event_type")
+      .orderBy("event_type")
+
   /** Keyless binned range join ([[ops.IntervalJoin.binnedPointJoin]]):
     * busy hours are detected from the FULL event stream (hourly count
     * strictly above 1.2× the mean hour, division-cleared to
@@ -4662,7 +4677,8 @@ object SparkEntry {
     "q261_priority_exists" -> q261 _,
     "q262_forecast_revenue" -> q262 _,
     "q263_nation_profit" -> q263 _,
-    "q264_priority_linestatus" -> q264 _
+    "q264_priority_linestatus" -> q264 _,
+    "q265_late_arrivals" -> q265 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

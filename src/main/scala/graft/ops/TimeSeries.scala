@@ -622,6 +622,42 @@ object TimeSeries {
         expr("max(us - __pus) DIV 1000000").as("max_gap_sec"))
   }
 
+  /** Late-arrival accounting per key — how many rows would a
+    * watermark of `delayMs` DROP, and how late was the worst one: a
+    * row (in arrival order `seqCol`) is late iff its event time is
+    * more than `delayMs` older than the max event time of all
+    * PRECEDING arrivals — exactly the event-time-vs-high-watermark
+    * test Structured Streaming applies, replayed retrospectively so
+    * the delay can be TUNED from data instead of guessed. The
+    * at-ingest twin is [[graft.streaming.StatefulOps.lateStream]]
+    * (drained-parity pinned).
+    *
+    * Output per key: `n_events`, `n_late`, `max_late_ms` (NULL when
+    * nothing was late). Scale: one shuffle on the key; the running
+    * max is the usual sort-based window, no global window.
+    */
+  def lateArrivals(
+      df: DataFrame,
+      keyCol: Column,
+      tsCol: Column,
+      seqCol: Column,
+      delayMs: Long
+  ): DataFrame = {
+    require(delayMs >= 0L, "delayMs must be non-negative")
+    val prev = Window.partitionBy(col("key")).orderBy(col("seq"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.filter(keyCol.isNotNull && tsCol.isNotNull)
+      .select(keyCol.as("key"), unix_micros(tsCol).as("us"), seqCol.as("seq"))
+      .withColumn("__pm", max(col("us")).over(prev))
+      .withColumn("__late",
+        col("__pm").isNotNull && col("us") < col("__pm") - lit(delayMs * 1000L))
+      .groupBy("key")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("__late"), 1L).otherwise(0L)).as("n_late"),
+        expr("max(CASE WHEN __late THEN (__pm - us) DIV 1000 END)")
+          .as("max_late_ms"))
+  }
+
   /** Weekdays (Mon–Fri) in the half-open epoch-day interval `[a, b)` —
     * CLOSED FORM, no UDF, no calendar table, no per-day explode:
     * `g(d) = (d DIV 7)·5 + extra(d mod 7)` counts weekdays in `[0, d)`

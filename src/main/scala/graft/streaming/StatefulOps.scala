@@ -244,6 +244,26 @@ object StatefulOps {
           b.getLong(), b.getLong(), b.getLong())
       case v => unknown("HygieneState", v)
     }
+
+    /** v1: [runMaxUs: i64][n: i64][nLate: i64][maxLateUs: i64]
+      * [horizonMs: i64]. `runMaxUs = -1` marks "no prior event";
+      * `maxLateUs = -1` marks "nothing late yet".
+      */
+    def encodeLate(s: LateState): VersionedState = {
+      val b = ByteBuffer.allocate(40)
+      b.putLong(s.runMaxUs); b.putLong(s.n); b.putLong(s.nLate)
+      b.putLong(s.maxLateUs); b.putLong(s.horizonMs)
+      VersionedState(1, b.array())
+    }
+
+    def decodeLate(s: VersionedState): LateState = s.version match {
+      case 1 =>
+        if (s.payload.length != 40) corrupt("LateState", s, null)
+        val b = ByteBuffer.wrap(s.payload)
+        LateState(b.getLong(), b.getLong(), b.getLong(), b.getLong(),
+          b.getLong())
+      case v => unknown("LateState", v)
+    }
   }
 
   /** In-memory state of [[nearDupHits]] (stored as [[VersionedState]]
@@ -346,6 +366,15 @@ object StatefulOps {
     dup: Long, maxGapUs: Long, horizonMs: Long)
   case class HygieneOut(key: Long, n_events: Long, n_ooo_adj: Long,
     n_dup_ts: Long, max_gap_sec: Option[Long])
+
+  /** In-memory state of [[lateStream]] (stored as [[VersionedState]]
+    * payload v1 — see [[StateCodec]]): the running event-time max,
+    * the counters, and the TTL horizon — five longs per key.
+    */
+  case class LateState(runMaxUs: Long, n: Long, nLate: Long,
+    maxLateUs: Long, horizonMs: Long)
+  case class LateOut(key: Long, n_events: Long, n_late: Long,
+    max_late_ms: Option[Long])
   case class CusumOut(key: Long, event_time: Timestamp, ord: Long, v: Long,
                       cusum: Long, is_drift: Boolean)
 
@@ -623,6 +652,77 @@ object StatefulOps {
             if (rs.isEmpty) Iterator.empty
             else Iterator(HygieneOut(key, n, ooo, dup,
               if (maxGap >= 0L) Some(maxGap / 1000000L) else None))
+          }
+      }
+  }
+
+  /** Late-arrival accounting — the at-ingest twin of
+    * `ops.TimeSeries.lateArrivals`: per key, RUNNING counts of rows
+    * arriving more than `delayMs` behind the key's event-time high
+    * water mark (the rows a `delayMs` watermark would drop), plus the
+    * worst observed lateness, emitted as one snapshot per key per
+    * micro-batch — the feed that says whether the PIPELINE's
+    * watermark delay is budgeted right BEFORE a stateful op silently
+    * discards data. In-batch events fold in `seq` (arrival) order and
+    * the running max carries in state, so a drained stream matches
+    * the batch operator row for row (spec-pinned parity).
+    *
+    * The operator's own watermark is `watermarkDelay` — set it WIDER
+    * than the audited `delayMs`, or the engine drops the very rows
+    * being counted before they reach the accounting.
+    *
+    * State is FIVE longs per key in the versioned envelope; keys idle
+    * past `ttlMs` beyond the watermark evict.
+    */
+  def lateStream(
+      df: DataFrame,
+      delayMs: Long,
+      keyCol: String = "user_id",
+      tsCol: String = "event_time",
+      seqCol: String = "ord",
+      watermarkDelay: String = "10 seconds",
+      ttlMs: Long = 3600000L
+  ): Dataset[LateOut] = {
+    require(delayMs >= 0L, "delayMs must be non-negative")
+    import org.apache.spark.sql.functions._
+    import df.sparkSession.implicits._
+    val rows = df
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol).cast("long").as("key"),
+        unix_micros(col(tsCol)).as("us"),
+        col(seqCol).cast("long").as("seq"), col(tsCol).as("event_time"))
+      .withWatermark("event_time", watermarkDelay)
+      .as[HygieneEvent]
+    rows
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[VersionedState, LateOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: Long, it: Iterator[HygieneEvent], state: GroupState[VersionedState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val prior = state.getOption.map(StateCodec.decodeLate)
+              .getOrElse(LateState(-1L, 0L, 0L, -1L, 0L))
+            // seq IS the arrival order (the batch twin's contract) —
+            // sorting on event time would hide the very disorder
+            // this operator exists to count
+            val rs = it.toSeq.sortBy(_.seq)
+            var runMax = prior.runMaxUs
+            var (n, nLate, maxLate) = (prior.n, prior.nLate, prior.maxLateUs)
+            rs.foreach { r =>
+              if (runMax >= 0L && r.us < runMax - delayMs * 1000L) {
+                nLate += 1
+                maxLate = math.max(maxLate, runMax - r.us)
+              }
+              n += 1; runMax = math.max(runMax, r.us)
+            }
+            val horizon = (prior.horizonMs +: rs.map(_.event_time.getTime) :+
+              state.getCurrentWatermarkMs()).max
+            state.update(StateCodec.encodeLate(
+              LateState(runMax, n, nLate, maxLate, horizon)))
+            state.setTimeoutTimestamp(horizon + ttlMs)
+            if (rs.isEmpty) Iterator.empty
+            else Iterator(LateOut(key, n, nLate,
+              if (maxLate >= 0L) Some(maxLate / 1000L) else None))
           }
       }
   }

@@ -62,6 +62,55 @@ object StreamJoins {
       "left_outer")
   }
 
+  /** RIGHT OUTER interval join — the mirror of [[intervalOuter]]: a
+    * right row with NO left match within any interval that could
+    * contain it is emitted (left columns NULL) once the LEFT watermark
+    * has passed far enough that no future left row's interval can
+    * still claim it. The payment-with-no-order direction of the same
+    * enrichment contract; same O(rate × window) state bound.
+    */
+  def intervalRightOuter(
+      left: DataFrame,
+      right: DataFrame,
+      keyCond: Column,
+      leftTime: Column,
+      rightTime: Column,
+      lowerBound: String,
+      upperBound: String
+  ): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    left.join(right,
+      keyCond &&
+        rightTime >= leftTime + expr(lowerBound) &&
+        rightTime <= leftTime + expr(upperBound),
+      "right_outer")
+  }
+
+  /** FULL OUTER interval join — both [[intervalOuter]] directions at
+    * once: matched pairs stream out as inner results; each side's
+    * unmatched rows surface with the other side NULL once the OTHER
+    * side's watermark finalizes "no match". The reconciliation shape
+    * (orders vs payments where EITHER missing is signal). Null-side
+    * rows trail inner rows by up to watermark delay + bound — engine
+    * semantics, same state contract as [[interval]].
+    */
+  def intervalFullOuter(
+      left: DataFrame,
+      right: DataFrame,
+      keyCond: Column,
+      leftTime: Column,
+      rightTime: Column,
+      lowerBound: String,
+      upperBound: String
+  ): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    left.join(right,
+      keyCond &&
+        rightTime >= leftTime + expr(lowerBound) &&
+        rightTime <= leftTime + expr(upperBound),
+      "full_outer")
+  }
+
   /** Stream–static dimension enrichment: join each streaming record to a
     * (small) static dimension table, broadcast so the stream side never
     * shuffles and no join state accumulates — the standard lookup-table

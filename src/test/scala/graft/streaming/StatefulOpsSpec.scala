@@ -745,6 +745,61 @@ class StatefulOpsSpec extends SparkTestBase {
       (3L, 1L, 1L, Some(60L))), s"got $out")
   }
 
+  test("lateStream: single-batch drain matches TimeSeries.lateArrivals row for row") {
+    import org.apache.spark.sql.functions.col
+    // arrival order = seq; event times jump around so some rows fall
+    // >5s behind the running max (late) and some are merely out of
+    // order but within the budget (not late)
+    val rows = Seq(
+      (1L, 0L, ts("2024-01-01 00:00:10")),
+      (1L, 1L, ts("2024-01-01 00:00:07")), // 3s behind: not late
+      (1L, 2L, ts("2024-01-01 00:00:30")),
+      (1L, 3L, ts("2024-01-01 00:00:02")), // 28s behind: late
+      (1L, 4L, ts("2024-01-01 00:00:21")), // 9s behind: late
+      (2L, 5L, ts("2024-01-01 00:00:01")),
+      (2L, 6L, ts("2024-01-01 00:00:02"))) // in order: clean key
+    val mem = MemoryStream[(Long, Long, java.sql.Timestamp)](spark)
+    val query = StatefulOps.lateStream(
+        mem.toDS().toDF("user_id", "ord", "event_time"),
+        delayMs = 5000L, watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("late_parity")
+      .outputMode("append").start()
+    try { mem.addData(rows); query.processAllAvailable() } finally query.stop()
+    val streamed = spark.table("late_parity").as[StatefulOps.LateOut]
+      .collect()
+      .map(o => o.key -> ((o.n_events, o.n_late, o.max_late_ms.getOrElse(-1L))))
+      .toMap
+    val batch = graft.ops.TimeSeries.lateArrivals(
+        rows.toDF("user_id", "ord", "event_time"),
+        col("user_id"), col("event_time"), col("ord"), delayMs = 5000L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    assert(streamed == batch,
+      s"drained stream must equal the batch audit: $streamed vs $batch")
+    assert(batch(1L) == ((5L, 2L, 28000L)), s"expected 2 late on key 1: $batch")
+    assert(batch(2L) == ((2L, 0L, -1L)), s"clean key must report none: $batch")
+  }
+
+  test("lateStream: running max and counters carry across batches") {
+    val mem = MemoryStream[(Long, Long, java.sql.Timestamp)](spark)
+    val query = StatefulOps.lateStream(
+        mem.toDS().toDF("user_id", "ord", "event_time"),
+        delayMs = 5000L, watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("late_batches")
+      .outputMode("append").start()
+    try {
+      mem.addData(Seq((1L, 0L, ts("2024-01-01 00:01:00"))))
+      query.processAllAvailable()
+      // 50s behind the CARRIED high water mark -> late across batches
+      mem.addData(Seq((1L, 1L, ts("2024-01-01 00:00:10"))))
+      query.processAllAvailable()
+    } finally query.stop()
+    val out = spark.table("late_batches").as[StatefulOps.LateOut]
+      .collect().sortBy(_.n_events)
+      .map(o => (o.n_events, o.n_late, o.max_late_ms)).toList
+    assert(out == List((1L, 0L, None), (2L, 1L, Some(50000L))), s"got $out")
+  }
+
   test("embedNearDupHits: drained hits equal the batch banded rep-verify bit-for-bit") {
     import org.apache.spark.sql.functions._
     import graft.ext.SimSearch
