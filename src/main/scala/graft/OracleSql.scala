@@ -4441,6 +4441,60 @@ object OracleSql {
         |   THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
         | CAST(max(CASE WHEN pm IS NOT NULL AND us < pm - 60000000
         |   THEN (pm - us) // 1000 END) AS BIGINT) AS max_late_ms
-        |FROM w GROUP BY key ORDER BY event_type""".stripMargin
+        |FROM w GROUP BY key ORDER BY event_type""".stripMargin,
+
+    // KMV: k=64 smallest distinct md5 hashes per key; estimate
+    // (k-1)*2^32 // h_k, exact when fewer than k distinct hashes
+    "q266_kmv_distinct" ->
+      """WITH h AS (SELECT DISTINCT event_type AS key,
+        |   ('0x'||substr(md5('11:'||CAST(user_id AS VARCHAR)),1,8))::BIGINT AS hv
+        |  FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+        | n AS (SELECT event_type AS key, CAST(count(*) AS BIGINT) AS n_rows
+        |  FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+        |  GROUP BY 1),
+        | r AS (SELECT key, hv,
+        |   row_number() OVER (PARTITION BY key ORDER BY hv) AS rk,
+        |   count(*) OVER (PARTITION BY key) AS nd FROM h),
+        | s AS (SELECT key, max(nd) AS nd,
+        |   max(CASE WHEN rk = 64 THEN hv END) AS h64 FROM r GROUP BY key)
+        |SELECT s.key AS event_type, n.n_rows,
+        | CAST(CASE WHEN s.nd < 64 THEN s.nd
+        |   ELSE (63 * 4294967296) // s.h64 END AS BIGINT) AS est_distinct
+        |FROM s JOIN n ON s.key = n.key ORDER BY event_type""".stripMargin,
+
+    // KMV overlap: merged union min-k, membership-in-both count, the
+    // union estimator and the integer jaccard over the union min-k
+    "q267_kmv_overlap" ->
+      """WITH h AS (SELECT DISTINCT event_type AS key,
+        |   ('0x'||substr(md5('11:'||CAST(user_id AS VARCHAR)),1,8))::BIGINT AS hv
+        |  FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+        | r AS (SELECT key, hv,
+        |   row_number() OVER (PARTITION BY key ORDER BY hv) AS rk FROM h),
+        | sk AS (SELECT key, hv FROM r WHERE rk <= 64),
+        | ks AS (SELECT DISTINCT key FROM sk),
+        | pr AS (SELECT a.key AS key_a, b.key AS key_b
+        |  FROM ks a JOIN ks b ON a.key < b.key),
+        | u AS (SELECT pr.key_a, pr.key_b, sk.hv
+        |   FROM pr JOIN sk ON sk.key = pr.key_a
+        |  UNION
+        |  SELECT pr.key_a, pr.key_b, sk.hv
+        |   FROM pr JOIN sk ON sk.key = pr.key_b),
+        | ur AS (SELECT key_a, key_b, hv, row_number() OVER
+        |   (PARTITION BY key_a, key_b ORDER BY hv) AS rk FROM u),
+        | m AS (SELECT key_a, key_b, hv, rk FROM ur WHERE rk <= 64),
+        | mm AS (SELECT m.key_a, m.key_b, m.hv, m.rk,
+        |   CASE WHEN sa.hv IS NOT NULL AND sb.hv IS NOT NULL
+        |     THEN 1 ELSE 0 END AS in_both
+        |  FROM m LEFT JOIN sk sa ON sa.key = m.key_a AND sa.hv = m.hv
+        |   LEFT JOIN sk sb ON sb.key = m.key_b AND sb.hv = m.hv),
+        | agg AS (SELECT key_a, key_b, CAST(count(*) AS BIGINT) AS d,
+        |   max(CASE WHEN rk = 64 THEN hv END) AS h64,
+        |   CAST(sum(in_both) AS BIGINT) AS inter FROM mm GROUP BY 1, 2)
+        |SELECT key_a, key_b,
+        | CAST(CASE WHEN d < 64 THEN d ELSE (63 * 4294967296) // h64 END
+        |   AS BIGINT) AS union_est,
+        | inter AS n_common_mink,
+        | CAST((inter * 1000000) // d AS BIGINT) AS jaccard_ppm
+        |FROM agg ORDER BY key_a, key_b""".stripMargin
   )
 }

@@ -3770,6 +3770,32 @@ object SparkEntry {
       .withColumnRenamed("key", "event_type")
       .orderBy("event_type")
 
+  /** KMV distinct sketch ([[ops.Sketches.kmvDistinct]]): per event
+    * type, the k=64-minimum-values estimate of distinct users — the
+    * oracle-replayable distinct sketch (md5 hash family, O(k)
+    * mergeable state, `(k−1)·2³² DIV h_k` estimator). At sf0.001 the
+    * types fall under k (exact branch); larger SFs exercise the
+    * estimator branch — both gated bit-exactly. The oracle re-derives
+    * the min-k set and the estimate with window functions.
+    */
+  private def q266(s: SparkSession, dir: String): DataFrame =
+    ops.Sketches.kmvDistinct(Tables.events(s, dir),
+        col("event_type"), col("user_id"), k = 64)
+      .withColumnRenamed("key", "event_type")
+      .orderBy("event_type")
+
+  /** KMV set overlap ([[ops.Sketches.kmvOverlap]]): pairwise
+    * union-cardinality and Jaccard estimates of the per-type user
+    * sets FROM THE SKETCHES ALONE — no second pass over the rows, the
+    * |keys|²-bounded pair grid over k-length arrays. The oracle
+    * replays the per-key min-k sets, the merged union min-k, the
+    * membership-in-both count, and both integer estimators.
+    */
+  private def q267(s: SparkSession, dir: String): DataFrame =
+    ops.Sketches.kmvOverlap(Tables.events(s, dir),
+        col("event_type"), col("user_id"), k = 64)
+      .orderBy("key_a", "key_b")
+
   /** Keyless binned range join ([[ops.IntervalJoin.binnedPointJoin]]):
     * busy hours are detected from the FULL event stream (hourly count
     * strictly above 1.2× the mean hour, division-cleared to
@@ -4678,7 +4704,9 @@ object SparkEntry {
     "q262_forecast_revenue" -> q262 _,
     "q263_nation_profit" -> q263 _,
     "q264_priority_linestatus" -> q264 _,
-    "q265_late_arrivals" -> q265 _
+    "q265_late_arrivals" -> q265 _,
+    "q266_kmv_distinct" -> q266 _,
+    "q267_kmv_overlap" -> q267 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

@@ -99,4 +99,113 @@ object Sketches {
       .withColumn("cms_n", est)
       .drop("__sketch")
   }
+
+  /** Bounded min-k accumulator for the KMV sketch: the k SMALLEST
+    * DISTINCT hash values seen, kept sorted ascending. O(k) state per
+    * group with lossless merge (min-k of a union = min-k of the two
+    * min-k sets) — the mergeability that makes the sketch a one-scan,
+    * map-side-partial aggregate at any scale.
+    */
+  private[ops] case class KmvState(hs: Seq[Long])
+
+  private[ops] class MinKHashes(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[Long, KmvState, KmvState] {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    override def zero: KmvState = KmvState(Vector.empty)
+    override def reduce(b: KmvState, h: Long): KmvState =
+      if (b.hs.length >= k && h >= b.hs.last) b
+      else if (b.hs.contains(h)) b
+      else KmvState(((b.hs :+ h).sorted).take(k))
+    override def merge(a: KmvState, b: KmvState): KmvState =
+      KmvState((a.hs ++ b.hs).distinct.sorted.take(k))
+    override def finish(r: KmvState): KmvState = r
+    override def bufferEncoder: Encoder[KmvState] = Encoders.product[KmvState]
+    override def outputEncoder: Encoder[KmvState] = Encoders.product[KmvState]
+  }
+
+  /** KMV (k-minimum-values) distinct estimate per key — the
+    * ORACLE-REPLAYABLE counterpart to the HLL sketches above: items
+    * hash through the portable md5 family, each key keeps only its k
+    * smallest distinct hash values, and the estimate is the classic
+    * `(k−1)·2³² DIV h_(k)` (exact count when fewer than k distinct
+    * hashes exist — the sketch IS the value set then). Deterministic
+    * end to end: the same data yields the same estimate on any engine,
+    * so the gate is bit-exact, not a tolerance band.
+    *
+    * Scale shape: one narrow shuffle on the key with O(k) aggregation
+    * buffers and map-side partial merge — the 100 TB answer to
+    * per-key distinct counts when `count_distinct`'s full shuffle of
+    * every distinct value is the bottleneck. k trades memory for
+    * accuracy (RSE ≈ 1/√(k−2)).
+    *
+    * Output per key: `n_rows`, `est_distinct`.
+    */
+  def kmvDistinct(
+      df: DataFrame,
+      keyCol: Column,
+      itemCol: Column,
+      k: Int = 256,
+      seed: Int = 11
+  ): DataFrame = {
+    require(k >= 2, "k must be at least 2")
+    val mink = udaf(new MinKHashes(k))
+    df.filter(keyCol.isNotNull && itemCol.isNotNull)
+      .select(keyCol.as("key"),
+        graft.functions.Hashing.md5Hash32(seed, itemCol.cast("string")).as("hv"))
+      .groupBy("key")
+      .agg(count(lit(1)).as("n_rows"), mink(col("hv")).as("__s"))
+      .withColumn("est_distinct",
+        when(size(col("__s.hs")) < k, size(col("__s.hs")).cast("long"))
+          .otherwise(expr(s"CAST(${(k - 1).toLong} * 4294967296 AS BIGINT)" +
+            s" DIV element_at(__s.hs, $k)")))
+      .drop("__s")
+  }
+
+  /** KMV set-overlap estimates for every ORDERED PAIR of keys — union
+    * cardinality and Jaccard from the sketches alone, no second pass
+    * over the data: for keys a < b, the union's min-k is the min-k of
+    * the two sketches merged, the union estimate is [[kmvDistinct]]'s
+    * estimator over it, and `jaccard_ppm` is the share of those union
+    * min-k hashes present in BOTH sketches (the standard KMV Jaccard,
+    * exact when both key's distinct counts fit inside k). md5-family
+    * deterministic — bit-exact on any engine.
+    *
+    * Scale contract: sketches are one narrow O(k)-state shuffle over
+    * the data; the pair grid is |keys|² over k-length arrays — meant
+    * for BOUNDED key domains (sources, languages, splits: the q175
+    * class), not unbounded ones. The pair stage never rereads rows.
+    */
+  def kmvOverlap(
+      df: DataFrame,
+      keyCol: Column,
+      itemCol: Column,
+      k: Int = 256,
+      seed: Int = 11
+  ): DataFrame = {
+    require(k >= 2, "k must be at least 2")
+    val mink = udaf(new MinKHashes(k))
+    val sk = df.filter(keyCol.isNotNull && itemCol.isNotNull)
+      .select(keyCol.as("key"),
+        graft.functions.Hashing.md5Hash32(seed, itemCol.cast("string")).as("hv"))
+      .groupBy("key")
+      .agg(mink(col("hv")).as("__s"))
+      .select(col("key"), col("__s.hs").as("hs"))
+    val a = sk.select(col("key").as("key_a"), col("hs").as("__ha"))
+    val b = sk.select(col("key").as("key_b"), col("hs").as("__hb"))
+    a.join(b, col("key_a") < col("key_b"))
+      .withColumn("__m",
+        slice(array_sort(array_union(col("__ha"), col("__hb"))), 1, k))
+      .withColumn("__d", size(col("__m")))
+      .withColumn("union_est",
+        when(col("__d") < k, col("__d").cast("long"))
+          .otherwise(expr(s"CAST(${(k - 1).toLong} * 4294967296 AS BIGINT)" +
+            s" DIV element_at(__m, $k)")))
+      .withColumn("__inter",
+        size(array_intersect(array_intersect(col("__m"), col("__ha")),
+          col("__hb"))))
+      .withColumn("jaccard_ppm",
+        expr("CAST(__inter AS BIGINT) * 1000000 DIV __d"))
+      .select(col("key_a"), col("key_b"), col("union_est"),
+        col("__inter").cast("long").as("n_common_mink"), col("jaccard_ppm"))
+  }
 }

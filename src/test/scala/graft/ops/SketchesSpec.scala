@@ -89,4 +89,37 @@ class SketchesSpec extends SparkTestBase {
       .select("cms_n").as[Long].head()
     assert(est1 == 2L)
   }
+
+  test("kmvDistinct: exact under k, estimator within RSE above k, partition-invariant") {
+    // key "small": 10 distinct items (< k=16) -> exact branch
+    // key "big": 5000 distinct items -> estimator branch
+    val rows = ((0 until 10).map(i => ("small", s"u$i")) ++
+      (0 until 5000).flatMap(i => Seq(("big", s"v$i"), ("big", s"v$i")))).toDF("k", "item")
+    val out = Sketches.kmvDistinct(rows, col("k"), col("item"), k = 16)
+      .as[(String, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(out("small") == ((10L, 10L)), s"exact branch: ${out("small")}")
+    val (nBig, estBig) = out("big")
+    assert(nBig == 10000L)
+    // RSE = 1/sqrt(k-2) ~ 27% at k=16; allow 4 sigma
+    assert(math.abs(estBig - 5000L) < 5000L, s"estimate wildly off: $estBig")
+
+    // mergeability: the estimate must not depend on physical partitioning
+    val repart = Sketches.kmvDistinct(rows.repartition(13), col("k"), col("item"), k = 16)
+      .as[(String, Long, Long)].collect().map(t => t._1 -> t._3).toMap
+    assert(repart("big") == estBig && repart("small") == 10L,
+      "kmv estimate must be partition-invariant")
+  }
+
+  test("kmvOverlap: exact jaccard/union when sets fit in k; identical sets hit 1e6 ppm") {
+    val rows = ((0 until 8).map(i => ("a", s"x$i")) ++   // a = {x0..x7}
+      (4 until 12).map(i => ("b", s"x$i")) ++            // b = {x4..x11}, |a∩b|=4, |a∪b|=12
+      (0 until 8).map(i => ("c", s"x$i"))                // c == a
+      ).toDF("k", "item")
+    val out = Sketches.kmvOverlap(rows, col("k"), col("item"), k = 64)
+      .as[(String, String, Long, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> ((t._3, t._4, t._5))).toMap
+    assert(out(("a", "b")) == ((12L, 4L, 333333L)), s"a-b: ${out(("a", "b"))}")
+    assert(out(("a", "c")) == ((8L, 8L, 1000000L)), s"a-c: ${out(("a", "c"))}")
+    assert(out(("b", "c")) == ((12L, 4L, 333333L)), s"b-c: ${out(("b", "c"))}")
+  }
 }
