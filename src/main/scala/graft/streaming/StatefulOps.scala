@@ -245,6 +245,27 @@ object StatefulOps {
       case v => unknown("HygieneState", v)
     }
 
+    /** v1: [k: i32][hs: k × i64, ascending][nRows: i64][horizonMs: i64]. */
+    def encodeKmv(s: KmvSketch): VersionedState = {
+      val b = ByteBuffer.allocate(4 + 8 * s.hs.length + 16)
+      b.putInt(s.hs.length)
+      s.hs.foreach(b.putLong)
+      b.putLong(s.nRows)
+      b.putLong(s.horizonMs)
+      VersionedState(1, b.array())
+    }
+
+    def decodeKmv(s: VersionedState): KmvSketch = s.version match {
+      case 1 =>
+        if (s.payload.length < 4) corrupt("KmvSketch", s, null)
+        val b = ByteBuffer.wrap(s.payload)
+        val n = b.getInt()
+        if (n < 0 || s.payload.length != 4 + 8 * n + 16)
+          corrupt("KmvSketch", s, null)
+        KmvSketch(List.fill(n)(b.getLong()), b.getLong(), b.getLong())
+      case v => unknown("KmvSketch", v)
+    }
+
     /** v1: [runMaxUs: i64][n: i64][nLate: i64][maxLateUs: i64]
       * [horizonMs: i64]. `runMaxUs = -1` marks "no prior event";
       * `maxLateUs = -1` marks "nothing late yet".
@@ -366,6 +387,16 @@ object StatefulOps {
     dup: Long, maxGapUs: Long, horizonMs: Long)
   case class HygieneOut(key: Long, n_events: Long, n_ooo_adj: Long,
     n_dup_ts: Long, max_gap_sec: Option[Long])
+
+  case class KmvEvent(key: String, hv: Long, event_time: Timestamp)
+
+  /** In-memory state of [[kmvDistinctStream]] (stored as
+    * [[VersionedState]] payload v1 — see [[StateCodec]]): the sorted
+    * min-k distinct hash values, the raw row count, and the TTL
+    * horizon — O(k) per key by construction.
+    */
+  case class KmvSketch(hs: List[Long], nRows: Long, horizonMs: Long)
+  case class KmvOut(key: String, n_rows: Long, est_distinct: Long)
 
   /** In-memory state of [[lateStream]] (stored as [[VersionedState]]
     * payload v1 — see [[StateCodec]]): the running event-time max,
@@ -652,6 +683,74 @@ object StatefulOps {
             if (rs.isEmpty) Iterator.empty
             else Iterator(HygieneOut(key, n, ooo, dup,
               if (maxGap >= 0L) Some(maxGap / 1000000L) else None))
+          }
+      }
+  }
+
+  /** Streaming KMV distinct sketch — the at-ingest twin of
+    * `ops.Sketches.kmvDistinct`: per key, the k smallest distinct
+    * md5-family hash values fold into state as rows arrive, and the
+    * updated `(n_rows, est_distinct)` snapshot emits once per key per
+    * micro-batch — live per-key cardinality (distinct users per
+    * source, distinct docs per shard) with O(k) state instead of a
+    * distinct-set blowup. Because min-k is ORDER-INDEPENDENT (a
+    * commutative idempotent fold), a drained stream equals the batch
+    * sketch bit for bit regardless of batching — the strongest parity
+    * class in this file (no arrival-order contract needed).
+    *
+    * Estimator: exact count while the key has seen fewer than k
+    * distinct hashes, else `(k−1)·2³² DIV h_(k)` — identical to the
+    * batch operator and its DuckDB oracle.
+    */
+  def kmvDistinctStream(
+      df: DataFrame,
+      k: Int = 256,
+      keyCol: String = "key",
+      itemCol: String = "item",
+      tsCol: String = "event_time",
+      seed: Int = 11,
+      watermarkDelay: String = "10 seconds",
+      ttlMs: Long = 3600000L
+  ): Dataset[KmvOut] = {
+    require(k >= 2, "k must be at least 2")
+    import org.apache.spark.sql.functions._
+    import df.sparkSession.implicits._
+    val rows = df
+      .filter(col(keyCol).isNotNull && col(itemCol).isNotNull &&
+        col(tsCol).isNotNull)
+      .select(col(keyCol).cast("string").as("key"),
+        graft.functions.Hashing.md5Hash32(seed, col(itemCol).cast("string"))
+          .as("hv"),
+        col(tsCol).as("event_time"))
+      .withWatermark("event_time", watermarkDelay)
+      .as[KmvEvent]
+    rows
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[VersionedState, KmvOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: String, it: Iterator[KmvEvent], state: GroupState[VersionedState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val prior = state.getOption.map(StateCodec.decodeKmv)
+              .getOrElse(KmvSketch(Nil, 0L, 0L))
+            val rs = it.toSeq
+            var hs = prior.hs.toVector
+            rs.foreach { r =>
+              if (!(hs.length >= k && r.hv >= hs.last) && !hs.contains(r.hv))
+                hs = ((hs :+ r.hv).sorted).take(k)
+            }
+            val n = prior.nRows + rs.length
+            val horizon = (prior.horizonMs +: rs.map(_.event_time.getTime) :+
+              state.getCurrentWatermarkMs()).max
+            state.update(StateCodec.encodeKmv(KmvSketch(hs.toList, n, horizon)))
+            state.setTimeoutTimestamp(horizon + ttlMs)
+            if (rs.isEmpty) Iterator.empty
+            else {
+              val est =
+                if (hs.length < k) hs.length.toLong
+                else ((k - 1).toLong * 4294967296L) / hs.last
+              Iterator(KmvOut(key, n, est))
+            }
           }
       }
   }

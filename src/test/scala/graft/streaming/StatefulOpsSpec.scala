@@ -800,6 +800,42 @@ class StatefulOpsSpec extends SparkTestBase {
     assert(out == List((1L, 0L, None), (2L, 1L, Some(50000L))), s"got $out")
   }
 
+  test("kmvDistinctStream: drained sketch equals batch kmvDistinct bit for bit, across batches") {
+    import org.apache.spark.sql.functions.col
+    // key "small" stays under k (exact branch); key "big" exceeds k
+    // (estimator branch); duplicates ensure n_rows > distinct
+    val all = ((0 until 6).map(i => ("small", s"u${i % 3}")) ++
+      (0 until 120).map(i => ("big", s"v${i % 60}"))).map {
+      case (kk, item) => (kk, item, ts("2024-01-01 00:00:01"))
+    }
+    val mem = MemoryStream[(String, String, java.sql.Timestamp)](spark)
+    val query = StatefulOps.kmvDistinctStream(
+        mem.toDS().toDF("key", "item", "event_time"),
+        k = 16, watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("kmv_parity")
+      .outputMode("append").start()
+    try {
+      // split ACROSS batches: min-k is order-independent, so the final
+      // snapshot must not depend on the batching
+      mem.addData(all.take(40)); query.processAllAvailable()
+      mem.addData(all.drop(40)); query.processAllAvailable()
+    } finally query.stop()
+    // last snapshot per key = final sketch state
+    val streamed = spark.table("kmv_parity").as[StatefulOps.KmvOut]
+      .collect().groupBy(_.key)
+      .map { case (kk, outs) => kk -> {
+        val last = outs.maxBy(_.n_rows); (last.n_rows, last.est_distinct) } }
+    val batch = graft.ops.Sketches.kmvDistinct(
+        all.toDF("key", "item", "ts"), col("key"), col("item"), k = 16)
+      .as[(String, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(streamed == batch,
+      s"drained sketch must equal the batch sketch: $streamed vs $batch")
+    assert(batch("small")._2 == 3L, "exact branch expected under k")
+    assert(batch("big")._1 == 120L && batch("big")._2 != 60L,
+      s"estimator branch expected over k: ${batch("big")}")
+  }
+
   test("embedNearDupHits: drained hits equal the batch banded rep-verify bit-for-bit") {
     import org.apache.spark.sql.functions._
     import graft.ext.SimSearch
