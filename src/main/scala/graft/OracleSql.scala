@@ -4495,6 +4495,59 @@ object OracleSql {
         |   AS BIGINT) AS union_est,
         | inter AS n_common_mink,
         | CAST((inter * 1000000) // d AS BIGINT) AS jaccard_ppm
-        |FROM agg ORDER BY key_a, key_b""".stripMargin
+        |FROM agg ORDER BY key_a, key_b""".stripMargin,
+
+    // the t-closeness walk replayed: per level, each class's total-
+    // variation deviation sum vs the global segment distribution in
+    // HUGEINT lanes, release test n>=3 AND num*1e6 <= 2*t*n*N, first
+    // passing level wins (last-level fallback)
+    "q268_t_closeness" ->
+      """WITH c AS (SELECT c_mktsegment AS seg,
+        |    CAST(c_nationkey AS BIGINT) AS nat,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM customer),
+        | g AS (SELECT seg AS v, CAST(count(*) AS BIGINT) AS gv
+        |  FROM c GROUP BY 1),
+        | tot AS (SELECT CAST(sum(gv) AS BIGINT) AS N FROM g),
+        | q0 AS (SELECT nat AS geo,
+        |    (cents - ((cents % 10000) + 10000) % 10000) // 10000 AS bal,
+        |    seg AS v, CAST(count(*) AS BIGINT) AS cv FROM c GROUP BY 1,2,3),
+        | q1 AS (SELECT nat AS geo,
+        |    (cents - ((cents % 100000) + 100000) % 100000) // 100000 AS bal,
+        |    seg AS v, CAST(count(*) AS BIGINT) AS cv FROM c GROUP BY 1,2,3),
+        | q2 AS (SELECT nat // 5 AS geo,
+        |    CAST(CASE WHEN cents >= 0 THEN 1 ELSE 0 END AS BIGINT) AS bal,
+        |    seg AS v, CAST(count(*) AS BIGINT) AS cv FROM c GROUP BY 1,2,3),
+        | q3 AS (SELECT CAST(-1 AS BIGINT) AS geo, CAST(0 AS BIGINT) AS bal,
+        |    seg AS v, CAST(count(*) AS BIGINT) AS cv FROM c GROUP BY 1,2,3),
+        | cells AS (SELECT 0 AS lvl, * FROM q0 UNION ALL
+        |   SELECT 1, * FROM q1 UNION ALL
+        |   SELECT 2, * FROM q2 UNION ALL
+        |   SELECT 3, * FROM q3),
+        | cls AS (SELECT lvl, geo, bal, CAST(sum(cv) AS BIGINT) AS n
+        |  FROM cells GROUP BY 1,2,3),
+        | tv AS (SELECT cls.lvl, cls.geo, cls.bal, cls.n,
+        |   CAST(sum(abs(CAST(coalesce(ce.cv, 0) AS HUGEINT) * tot.N
+        |     - CAST(g.gv AS HUGEINT) * cls.n)) AS HUGEINT) AS num,
+        |   max(tot.N) AS tot_n
+        |  FROM cls CROSS JOIN g CROSS JOIN tot
+        |   LEFT JOIN cells ce ON ce.lvl = cls.lvl AND ce.geo = cls.geo
+        |    AND ce.bal = cls.bal AND ce.v = g.v
+        |  GROUP BY 1, 2, 3, 4),
+        | lv AS (SELECT lvl,
+        |   min(CASE WHEN n >= 3 AND num * 1000000
+        |     <= CAST(2 AS HUGEINT) * 300000 * n * tot_n THEN 1 ELSE 0 END) AS ok
+        |  FROM tv GROUP BY 1),
+        | pick AS (SELECT CASE
+        |    WHEN (SELECT ok FROM lv WHERE lvl = 0) = 1 THEN 0
+        |    WHEN (SELECT ok FROM lv WHERE lvl = 1) = 1 THEN 1
+        |    WHEN (SELECT ok FROM lv WHERE lvl = 2) = 1 THEN 2
+        |    ELSE 3 END AS lvl)
+        |SELECT geo, bal, n,
+        | CAST((num * 1000000) // (CAST(2 AS HUGEINT) * n * tot_n) AS BIGINT)
+        |   AS tv_ppm,
+        | CAST(lvl AS BIGINT) AS level
+        |FROM tv WHERE lvl = (SELECT lvl FROM pick)
+        |ORDER BY geo, bal""".stripMargin
   )
 }

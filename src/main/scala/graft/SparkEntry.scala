@@ -4053,6 +4053,33 @@ object SparkEntry {
       .orderBy("geo", "bal")
   }
 
+  /** t-closeness release ([[ops.Profile.tCloseness]]): q237's ladder
+    * with `c_mktsegment` sensitive, released at the first level where
+    * every class holds ≥3 rows AND its segment distribution sits
+    * within TV distance 0.3 (300000 ppm) of the global one — the
+    * skew leak l-diversity misses. The release test is the cleared
+    * integer inequality `Σ|cnt·N − g·n|·10⁶ ≤ 2·t·n·N` in
+    * DECIMAL(38,0)/HUGEINT lanes; the oracle replays the walk, every
+    * class's deviation sum, and the floored tv_ppm at all levels.
+    */
+  private def q268(s: SparkSession, dir: String): DataFrame = {
+    val cents = expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)")
+    def floorDiv(m: Long) = expr(
+      s"(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) - " +
+        s"pmod(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT), $m)) DIV $m")
+    Profile.tCloseness(
+      Tables.customer(s, dir),
+      names = Seq("geo", "bal"),
+      levels = Seq(
+        Seq(col("c_nationkey").cast("long"), floorDiv(10000L)),
+        Seq(col("c_nationkey").cast("long"), floorDiv(100000L)),
+        Seq(expr("c_nationkey DIV 5"), when(cents >= 0L, 1L).otherwise(0L)),
+        Seq(lit(-1L), lit(0L))),
+      sensitiveCol = col("c_mktsegment"),
+      k = 3L, tPpm = 300000L)
+      .orderBy("geo", "bal")
+  }
+
   /** Snapshot reconciliation ([[ops.Reconcile.tableDiff]]): the
     * customer table diffed against a deterministic restatement —
     * `%11` keys dropped (deletes), `%7` balances bumped and `%5`
@@ -4706,7 +4733,8 @@ object SparkEntry {
     "q264_priority_linestatus" -> q264 _,
     "q265_late_arrivals" -> q265 _,
     "q266_kmv_distinct" -> q266 _,
-    "q267_kmv_overlap" -> q267 _
+    "q267_kmv_overlap" -> q267 _,
+    "q268_t_closeness" -> q268 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

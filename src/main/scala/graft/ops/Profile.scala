@@ -372,6 +372,76 @@ object Profile {
     classes(levels(chosen)).withColumn("level", lit(chosen.toLong))
   }
 
+  /** t-closeness on top of [[kAnonymize]]'s ladder — the third rung of
+    * the release ladder ([[kAnonymize]] k, [[lDiversify]] l): the FIRST
+    * level where every equivalence class holds at least `k` rows AND
+    * its sensitive-value distribution sits within total-variation
+    * distance `tPpm` (parts-per-million) of the GLOBAL sensitive
+    * distribution is released (last-level fallback). l-diversity still
+    * leaks through skew — a class with l distinct values where one
+    * value holds 98% of the rows all but names it — so the criterion
+    * must compare DISTRIBUTIONS, not distinct counts.
+    *
+    * The release test is division-cleared and exact: TV ≤ t/10⁶ ⟺
+    * `Σ_v |cnt_cv·N − g_v·n_c| · 10⁶ ≤ 2·t·n_c·N`, evaluated in
+    * DECIMAL(38,0) lanes (cnt·N reaches N², past BIGINT long before
+    * the advertised scale); the reported per-class `tv_ppm` is the
+    * same quantity floored to ppm. NULL sensitive values are excluded
+    * (a NULL never equi-joins its own global cell — the caller maps
+    * "unknown" to a real category if it should count).
+    *
+    * Scale shape per level: one shuffle to (class, v) cells; the
+    * global distribution is a V-bounded aggregate of those cells; the
+    * audit grid is classes × V via a broadcast of the V-row global
+    * table (the q175/tvDrift benign class). Driver walk ≤ levels.size
+    * bounded jobs, as in [[kAnonymize]].
+    */
+  def tCloseness(
+      df: DataFrame,
+      names: Seq[String],
+      levels: Seq[Seq[Column]],
+      sensitiveCol: Column,
+      k: Long,
+      tPpm: Long
+  ): DataFrame = {
+    require(levels.nonEmpty && k >= 1 && tPpm >= 0,
+      "need at least one level, k >= 1 and tPpm >= 0")
+    require(levels.forall(_.size == names.size),
+      "every level must bind every quasi-identifier name")
+    val base = df.filter(sensitiveCol.isNotNull)
+    val gv = base.groupBy(sensitiveCol.cast("string").as("__v"))
+      .agg(count(lit(1)).as("__gv"))
+    val total = gv.agg(sum(col("__gv")).as("__N"))
+    def classesTv(lvl: Seq[Column]): DataFrame = {
+      val cells = base
+        .groupBy(lvl.zip(names).map { case (c, n) => c.as(n) } :+
+          sensitiveCol.cast("string").as("__v"): _*)
+        .agg(count(lit(1)).as("__cv"))
+      val cls = cells.groupBy(names.map(col): _*).agg(sum(col("__cv")).as("n"))
+      cls
+        .crossJoin(broadcast(gv))                 // classes × V grid
+        .join(cells, names :+ "__v", "left")
+        .crossJoin(broadcast(total))
+        .withColumn("__dev", expr(
+          "abs(CAST(coalesce(__cv, 0) AS DECIMAL(38,0)) * __N" +
+            " - CAST(__gv AS DECIMAL(38,0)) * n)"))
+        .groupBy(names.map(col) :+ col("n"): _*)
+        .agg(sum(col("__dev")).as("__num"), max(col("__N")).as("__N"))
+        .withColumn("tv_ppm", expr(
+          "CAST((__num * 1000000) DIV (CAST(2 AS DECIMAL(38,0)) * n * __N)" +
+            " AS BIGINT)"))
+        .withColumn("__pass", expr(
+          s"n >= $k AND __num * 1000000 <= CAST(2 AS DECIMAL(38,0))" +
+            s" * $tPpm * n * __N"))
+    }
+    val chosen = levels.indices
+      .find(i => classesTv(levels(i)).filter(!col("__pass")).isEmpty)
+      .getOrElse(levels.size - 1)
+    classesTv(levels(chosen))
+      .select(names.map(col) :+ col("n") :+ col("tv_ppm"): _*)
+      .withColumn("level", lit(chosen.toLong))
+  }
+
   /** Content manifest for a dataset export — the integrity artifact
     * shipped NEXT TO the data so any consumer, on any engine, can
     * verify the delivery without trusting file bytes: rows are

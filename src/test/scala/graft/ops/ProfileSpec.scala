@@ -232,6 +232,41 @@ class ProfileSpec extends SparkTestBase {
     assert(l1 == Set(("a", 4L, 1L, 0L), ("b", 4L, 3L, 0L)))
   }
 
+  test("tCloseness rejects an l-diverse level whose class distribution is skewed") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // global: 8 flu, 8 cold (TV anchor is 50/50). group "a" is 7 flu /
+    // 1 cold: l-diversity (l=2) accepts it, but TV = |7/8-1/2| = 0.375
+    // rejects at t=0.25 (250000 ppm) -> the skew leak
+    val df = Seq.fill(7)(("a", "flu")) ++ Seq(("a", "cold")) ++
+      Seq.fill(1)(("b", "flu")) ++ Seq.fill(7)(("b", "cold"))
+    val d = df.toDF("g", "disease")
+    val levels = Seq(Seq(col("g")), Seq(lit("*")))
+    val ldiv = Profile.lDiversify(d, Seq("g"), levels,
+      sensitiveCol = col("disease"), k = 3, l = 2)
+    assert(ldiv.select("level").distinct().as[Long].collect().toList == List(0L),
+      "l-diversity must accept the skewed level (that's the leak)")
+
+    val out = Profile.tCloseness(d, Seq("g"), levels,
+        sensitiveCol = col("disease"), k = 3, tPpm = 250000L)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(out == Set(("*", 16L, 0L, 1L)), s"skew must force suppression: $out")
+
+    // a loose t accepts level 0 and reports the exact per-class tv_ppm:
+    // both classes are 0.375 from the global 50/50 -> 375000 ppm
+    val loose = Profile.tCloseness(d, Seq("g"), levels,
+        sensitiveCol = col("disease"), k = 3, tPpm = 375000L)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(loose == Set(("a", 8L, 375000L, 0L), ("b", 8L, 375000L, 0L)),
+      s"got $loose")
+
+    // boundary exactness: t one ppm under the true TV must reject —
+    // the cleared-inequality test, not a floored-ppm comparison
+    val boundary = Profile.tCloseness(d, Seq("g"), levels,
+        sensitiveCol = col("disease"), k = 3, tPpm = 374999L)
+      .select("level").distinct().as[Long].collect().toList
+    assert(boundary == List(1L), s"one ppm under must reject: $boundary")
+  }
+
   test("joinFanout predicts the exact join size; unmatched keys don't contribute") {
     val left = Seq("a", "a", "a", "b", "c").toDF("k")
     val right = Seq("a", "a", "b", "b", "b", "d").toDF("k")
