@@ -4548,6 +4548,39 @@ object OracleSql {
         |   AS tv_ppm,
         | CAST(lvl AS BIGINT) AS level
         |FROM tv WHERE lvl = (SELECT lvl FROM pick)
-        |ORDER BY geo, bal""".stripMargin
+        |ORDER BY geo, bal""".stripMargin,
+
+    // Spearman: tie-averaged doubled ranks, five HUGEINT component
+    // sums, signed rho^2 in ppm via the two-step x1000 decomposition
+    "q269_spearman" ->
+      """WITH e AS (SELECT event_type AS key,
+        |   CAST(floor(value * 1000) AS BIGINT) AS x,
+        |   CAST(floor(epoch(ts)) AS BIGINT) AS y
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |    AND ts IS NOT NULL),
+        | r AS (SELECT key,
+        |   2 * rank() OVER (PARTITION BY key ORDER BY x)
+        |     + count(*) OVER (PARTITION BY key, x) - 1 AS rx,
+        |   2 * rank() OVER (PARTITION BY key ORDER BY y)
+        |     + count(*) OVER (PARTITION BY key, y) - 1 AS ry
+        |  FROM e),
+        | a AS (SELECT key, CAST(count(*) AS BIGINT) AS n,
+        |   CAST(sum(rx) AS HUGEINT) AS sx, CAST(sum(ry) AS HUGEINT) AS sy,
+        |   sum(CAST(rx AS HUGEINT) * ry) AS sxy,
+        |   sum(CAST(rx AS HUGEINT) * rx) AS sxx,
+        |   sum(CAST(ry AS HUGEINT) * ry) AS syy
+        |  FROM r GROUP BY 1),
+        | v AS (SELECT key, n,
+        |   CAST(n AS HUGEINT) * sxy - sx * sy AS cov,
+        |   CAST(n AS HUGEINT) * sxx - sx * sx AS vx,
+        |   CAST(n AS HUGEINT) * syy - sy * sy AS vy FROM a)
+        |SELECT key AS event_type, n,
+        | CAST(CASE WHEN n <= 30000 AND vx > 0 AND vy > 0 THEN
+        |   (CASE WHEN cov < 0 THEN -1 ELSE 1 END)
+        |   * (((cov * cov * 1000) // (vx * vy)) * 1000
+        |      + (((cov * cov * 1000) % (vx * vy)) * 1000) // (vx * vy))
+        |   END AS BIGINT) AS rho2_signed_ppm
+        |FROM v ORDER BY event_type""".stripMargin
   )
 }

@@ -3796,6 +3796,23 @@ object SparkEntry {
         col("event_type"), col("user_id"), k = 64)
       .orderBy("key_a", "key_b")
 
+  /** Spearman rank correlation ([[ops.Stats.spearman]]): per event
+    * type, is `value` monotonically associated with time — ranks
+    * tie-averaged as doubled integers, signed ρ² in ppm via
+    * DECIMAL(38,0)/HUGEINT lanes and the two-step ×10³ ppm
+    * decomposition, no square root anywhere. The oracle replays the
+    * rank windows, all five component sums, and the decomposed
+    * division.
+    */
+  private def q269(s: SparkSession, dir: String): DataFrame =
+    ops.Stats.spearman(Tables.events(s, dir)
+        .filter(col("value").isNotNull && col("ts").isNotNull),
+        keyCol = col("event_type"),
+        xCol = floor(col("value") * 1000d),
+        yCol = expr("CAST(unix_timestamp(ts) AS BIGINT)"))
+      .withColumnRenamed("key", "event_type")
+      .orderBy("event_type")
+
   /** Keyless binned range join ([[ops.IntervalJoin.binnedPointJoin]]):
     * busy hours are detected from the FULL event stream (hourly count
     * strictly above 1.2× the mean hour, division-cleared to
@@ -4734,7 +4751,8 @@ object SparkEntry {
     "q265_late_arrivals" -> q265 _,
     "q266_kmv_distinct" -> q266 _,
     "q267_kmv_overlap" -> q267 _,
-    "q268_t_closeness" -> q268 _
+    "q268_t_closeness" -> q268 _,
+    "q269_spearman" -> q269 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

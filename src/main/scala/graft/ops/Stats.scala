@@ -66,6 +66,76 @@ object Stats {
     agg.withColumn("corr6", round(cov / (sqrt(vx) * sqrt(vy)), 6))
   }
 
+  /** Spearman rank correlation per key, EXACT end to end — the
+    * monotone-association twin of [[corrComponents]] (Pearson answers
+    * "linear in the raw units"; Spearman answers "monotone at all",
+    * robust to outliers and any monotone rescaling). Ranks are
+    * tie-AVERAGED and carried as doubled integers (`2·rank + t − 1`
+    * for a tie run of `t` — twice the average rank, always integral),
+    * so every component sum is integer and the result is the signed
+    * squared correlation in ppm: `rho2_signed_ppm =
+    * sign(cov) · cov² · 10⁶ DIV (varx · vary)` over DECIMAL(38,0)
+    * lanes — no square root, no IEEE boundary (the q250 chi-square
+    * idiom; `sign·ρ²` preserves both strength and direction and is
+    * monotone in ρ). Degenerate variance (a constant side) reports
+    * NULL — undefined, not zero.
+    *
+    * Exactness bound: `cov²` worst-cases at n⁸/9, leaving
+    * DECIMAL(38,0) around n ≈ 3·10⁴ per key — guarded EXPLICITLY
+    * (`n ≤ 30000` or NULL, deterministic on both engines, the
+    * documented [[abChiSquare]] pattern). The ppm scaling uses the
+    * exact two-step decomposition `floor(x·10⁶/D) = q₃·10³ +
+    * floor((x·10³ mod D)·10³/D)` (q₃ = floor(x·10³/D)) so the ×10⁶
+    * never materializes — a direct `cov²·10⁶` would shrink the bound
+    * to n ≈ 10⁴. Above the bound, rank correlation belongs on a
+    * deterministic sample ([[graft.ext.Sampling]]) — at that n the
+    * estimate is already ±0.6% at 95% confidence.
+    *
+    * Scale: the two rank windows and the final aggregate all shuffle
+    * on the key — one narrow shuffle, sort-based windows, no global
+    * window.
+    */
+  def spearman(
+      df: DataFrame,
+      keyCol: Column,
+      xCol: Column,
+      yCol: Column
+  ): DataFrame = {
+    val base = df.select(keyCol.as("key"), xCol.cast("long").as("x"),
+        yCol.cast("long").as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+    def ranks2(c: String): Column = {
+      val w = Window.partitionBy(col("key")).orderBy(col(c))
+      val tie = Window.partitionBy(col("key"), col(c))
+      // doubled average rank: 2·rank + ties − 1 (integral for any tie run)
+      lit(2L) * rank().over(w) + count(lit(1)).over(tie) - 1L
+    }
+    base
+      .withColumn("rx", ranks2("x"))
+      .withColumn("ry", ranks2("y"))
+      .groupBy("key")
+      .agg(count(lit(1)).as("n"),
+        sum(col("rx")).as("sx"), sum(col("ry")).as("sy"),
+        sum(expr("CAST(rx AS DECIMAL(38,0)) * ry")).as("sxy"),
+        sum(expr("CAST(rx AS DECIMAL(38,0)) * rx")).as("sxx"),
+        sum(expr("CAST(ry AS DECIMAL(38,0)) * ry")).as("syy"))
+      .withColumn("__cov", expr(
+        "CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy"))
+      .withColumn("__vx", expr(
+        "CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx"))
+      .withColumn("__vy", expr(
+        "CAST(n AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy"))
+      .withColumn("__c2", expr("__cov * __cov"))
+      .withColumn("__d", expr("__vx * __vy"))
+      .withColumn("rho2_signed_ppm", expr(
+        "CASE WHEN n <= 30000 AND __vx > 0 AND __vy > 0 THEN " +
+          "CAST(CASE WHEN __cov < 0 THEN -1 ELSE 1 END" +
+          " * (((__c2 * 1000) DIV __d) * 1000" +
+          "    + (((__c2 * 1000) % __d) * 1000) DIV __d) AS BIGINT)" +
+          " END"))
+      .select(col("key"), col("n"), col("rho2_signed_ppm"))
+  }
+
   /** Robust per-group outlier detection via MAD (median absolute
     * deviation): a value is an outlier iff `|x − median| > k · MAD` —
     * the standard heavy-tail-safe alternative to z-scores (one extreme

@@ -261,6 +261,42 @@ class StatsSpec extends SparkTestBase {
     assert(degen.isNullAt(7) && degen.isNullAt(8))
   }
 
+  test("spearman: exact signed rho^2 ppm — monotone, inverse, ties, degenerate, BigInt check") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      // key "up": y = x^3 (monotone, non-linear) -> rho = +1 exactly
+      ("up", 1L, 1L), ("up", 2L, 8L), ("up", 3L, 27L), ("up", 4L, 64L),
+      // key "down": y decreasing in x -> rho = -1 exactly
+      ("down", 1L, 9L), ("down", 2L, 5L), ("down", 3L, 1L),
+      // key "tied": ties on both sides, imperfect association
+      ("tied", 1L, 2L), ("tied", 1L, 3L), ("tied", 2L, 2L), ("tied", 3L, 1L),
+      // key "flat": constant x -> variance 0 -> NULL
+      ("flat", 7L, 1L), ("flat", 7L, 2L), ("flat", 7L, 3L)
+    ).toDF("k", "x", "y")
+    val out = Stats.spearman(df, col("k"), col("x"), col("y"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
+    assert(out("up") == ((4L, Some(1000000L))), s"monotone: ${out("up")}")
+    assert(out("down") == ((3L, Some(-1000000L))), s"inverse: ${out("down")}")
+    assert(out("flat") == ((3L, None)), s"degenerate: ${out("flat")}")
+
+    // tied case against a BigInt recomputation of the same formula
+    val xs = Seq(1L, 1L, 2L, 3L); val ys = Seq(2L, 3L, 2L, 1L)
+    def ranks2(v: Seq[Long]): Seq[BigInt] = v.map { a =>
+      BigInt(2) * (v.count(_ < a) + 1) + v.count(_ == a) - 1
+    }
+    val (rx, ry) = (ranks2(xs), ranks2(ys))
+    val n = BigInt(4)
+    val cov = n * rx.zip(ry).map { case (a, b) => a * b }.sum - rx.sum * ry.sum
+    val vx = n * rx.map(a => a * a).sum - rx.sum * rx.sum
+    val vy = n * ry.map(a => a * a).sum - ry.sum * ry.sum
+    val expected = (if (cov < 0) -1 else 1) *
+      ((cov * cov * 1000) / (vx * vy) * 1000 +
+        (cov * cov * 1000) % (vx * vy) * 1000 / (vx * vy))
+    assert(out("tied") == ((4L, Some(expected.toLong))),
+      s"tied: ${out("tied")} vs $expected")
+  }
+
   test("groupEcdf: count-<= semantics, ties share a value, per-group isolation") {
     import org.apache.spark.sql.functions.col
     val df = Seq((1L, "s1", 10L), (2L, "s1", 20L), (3L, "s1", 20L),
