@@ -4581,6 +4581,40 @@ object OracleSql {
         |   * (((cov * cov * 1000) // (vx * vy)) * 1000
         |      + (((cov * cov * 1000) % (vx * vy)) * 1000) // (vx * vy))
         |   END AS BIGINT) AS rho2_signed_ppm
-        |FROM v ORDER BY event_type""".stripMargin
+        |FROM v ORDER BY event_type""".stripMargin,
+
+    // Mann-Whitney: pooled tie-averaged doubled ranks, 2U_b from the
+    // group-b rank sum, cleared 1.96 z-test and rank-biserial ppm
+    "q270_mann_whitney" ->
+      """WITH e AS (SELECT event_type AS key,
+        |   (((CAST(floor(epoch(ts)) AS BIGINT) // 86400) + 4) % 7)
+        |     IN (0, 6) AS b,
+        |   CAST(floor(value * 1000) AS BIGINT) AS v
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |    AND ts IS NOT NULL),
+        | r AS (SELECT key, b,
+        |   2 * rank() OVER (PARTITION BY key ORDER BY v)
+        |     + count(*) OVER (PARTITION BY key, v) - 1 AS r2
+        |  FROM e),
+        | a AS (SELECT key,
+        |   CAST(sum(CASE WHEN b THEN 0 ELSE 1 END) AS BIGINT) AS n_a,
+        |   CAST(sum(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |   CAST(sum(CASE WHEN b THEN r2 ELSE 0 END) AS BIGINT) AS r2b
+        |  FROM r GROUP BY 1),
+        | u AS (SELECT key, n_a, n_b,
+        |   CASE WHEN n_a > 0 AND n_b > 0
+        |     THEN r2b - n_b * (n_b + 1) END AS u2_b FROM a)
+        |SELECT key AS event_type, n_a, n_b, u2_b,
+        | CAST(CASE WHEN n_a > 0 AND n_b > 0 THEN
+        |   (CAST(u2_b AS HUGEINT) - CAST(n_a AS HUGEINT) * n_b) * 1000000
+        |     // (CAST(n_a AS HUGEINT) * n_b) END AS BIGINT)
+        |   AS rank_biserial_ppm,
+        | CASE WHEN n_a > 0 AND n_b > 0 THEN
+        |   (CAST(u2_b AS HUGEINT) - CAST(n_a AS HUGEINT) * n_b)
+        |   * (CAST(u2_b AS HUGEINT) - CAST(n_a AS HUGEINT) * n_b)
+        |   * 30000 > CAST(38416 AS HUGEINT) * n_a * n_b * (n_a + n_b + 1)
+        |   END AS significant
+        |FROM u ORDER BY event_type""".stripMargin
   )
 }

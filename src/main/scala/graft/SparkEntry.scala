@@ -3813,6 +3813,25 @@ object SparkEntry {
       .withColumnRenamed("key", "event_type")
       .orderBy("event_type")
 
+  /** Mann–Whitney U ([[ops.Stats.mannWhitney]]): per event type, does
+    * the weekend value distribution differ from the weekday one — the
+    * nonparametric two-sample readout in exact integer lanes (doubled
+    * tie-averaged ranks, cleared z-test, rank-biserial effect size in
+    * ppm). Weekday via the portable Thursday-anchored epoch-day
+    * formula (`(day+4) mod 7`, 0=Sunday) — engine date functions
+    * disagree on week numbering, epoch arithmetic doesn't. The oracle
+    * replays ranks, rank sums, U, and both cleared tests.
+    */
+  private def q270(s: SparkSession, dir: String): DataFrame =
+    ops.Stats.mannWhitney(Tables.events(s, dir)
+        .filter(col("value").isNotNull && col("ts").isNotNull),
+        keyCol = col("event_type"),
+        inGroupBCol = expr(
+          "(((CAST(unix_timestamp(ts) AS BIGINT) DIV 86400) + 4) % 7) IN (0, 6)"),
+        valueCol = floor(col("value") * 1000d))
+      .withColumnRenamed("key", "event_type")
+      .orderBy("event_type")
+
   /** Keyless binned range join ([[ops.IntervalJoin.binnedPointJoin]]):
     * busy hours are detected from the FULL event stream (hourly count
     * strictly above 1.2× the mean hour, division-cleared to
@@ -4752,7 +4771,8 @@ object SparkEntry {
     "q266_kmv_distinct" -> q266 _,
     "q267_kmv_overlap" -> q267 _,
     "q268_t_closeness" -> q268 _,
-    "q269_spearman" -> q269 _
+    "q269_spearman" -> q269 _,
+    "q270_mann_whitney" -> q270 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

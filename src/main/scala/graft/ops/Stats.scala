@@ -136,6 +136,68 @@ object Stats {
       .select(col("key"), col("n"), col("rho2_signed_ppm"))
   }
 
+  /** Mann–Whitney U per key, EXACT — the nonparametric two-sample test
+    * ([[abChiSquare]] compares conversion RATES; this compares whole
+    * VALUE DISTRIBUTIONS without a normality assumption — the right
+    * readout when the metric is skewed, e.g. revenue or latency).
+    * Values pool per key, ranks tie-average as doubled integers
+    * (`2·rank + t − 1`, the [[spearman]] convention), and
+    * `2U_b = 2R_b − n_b·(n_b+1)` stays integral throughout
+    * (`2R_b` = group-b doubled rank sum; U_b counts b-beats-a pairs,
+    * ties half each).
+    *
+    * Significance is the cleared z-test at α = 0.05: `|U − n_a·n_b/2|
+    * > 1.96·√(n_a·n_b·(n+1)/12)` ⟺ `(2U − n_a·n_b)²·30000 >
+    * 38416·n_a·n_b·(n+1)`, all in DECIMAL(38,0)/HUGEINT lanes — no
+    * square root, no IEEE boundary (uncorrected-for-ties variance:
+    * the standard form; heavy ties make it conservative). Effect size
+    * is the rank-biserial correlation in ppm, `(2U − n_a·n_b)·10⁶ DIV
+    * (n_a·n_b)` (signed truncation toward zero on both engines). A
+    * key missing either group reports NULLs — the test is undefined.
+    *
+    * Overflow headroom: `(2U − n_a·n_b)²·3·10⁴ ≤ n⁴·10⁴` fits
+    * DECIMAL(38,0) to n ≈ 3·10⁸ rows per key — beyond per-key scales
+    * where the z-approximation is already exact for practical
+    * purposes.
+    *
+    * Scale: one rank window and one aggregate, both shuffling on the
+    * key — one narrow shuffle, no global window.
+    */
+  def mannWhitney(
+      df: DataFrame,
+      keyCol: Column,
+      inGroupBCol: Column,
+      valueCol: Column
+  ): DataFrame = {
+    val base = df.select(keyCol.as("key"), inGroupBCol.cast("boolean").as("b"),
+        valueCol.cast("long").as("v"))
+      .filter(col("b").isNotNull && col("v").isNotNull)
+    val w = Window.partitionBy(col("key")).orderBy(col("v"))
+    val tie = Window.partitionBy(col("key"), col("v"))
+    base
+      .withColumn("r2", lit(2L) * rank().over(w) + count(lit(1)).over(tie) - 1L)
+      .groupBy("key")
+      .agg(
+        sum(when(col("b"), 0L).otherwise(1L)).as("n_a"),
+        sum(when(col("b"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("b"), col("r2")).otherwise(0L)).as("__r2b"))
+      .withColumn("u2_b", expr(
+        "CASE WHEN n_a > 0 AND n_b > 0 THEN" +
+          " __r2b - n_b * (n_b + 1) END"))
+      .withColumn("rank_biserial_ppm", expr(
+        "CASE WHEN n_a > 0 AND n_b > 0 THEN" +
+          " CAST((CAST(u2_b AS DECIMAL(38,0)) - CAST(n_a AS DECIMAL(38,0)) * n_b)" +
+          " * 1000000 DIV (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT) END"))
+      .withColumn("significant", expr(
+        "CASE WHEN n_a > 0 AND n_b > 0 THEN" +
+          " (CAST(u2_b AS DECIMAL(38,0)) - CAST(n_a AS DECIMAL(38,0)) * n_b)" +
+          " * (CAST(u2_b AS DECIMAL(38,0)) - CAST(n_a AS DECIMAL(38,0)) * n_b)" +
+          " * 30000 > CAST(38416 AS DECIMAL(38,0)) * n_a * n_b * (n_a + n_b + 1)" +
+          " END"))
+      .select(col("key"), col("n_a"), col("n_b"), col("u2_b"),
+        col("rank_biserial_ppm"), col("significant"))
+  }
+
   /** Robust per-group outlier detection via MAD (median absolute
     * deviation): a value is an outlier iff `|x − median| > k · MAD` —
     * the standard heavy-tail-safe alternative to z-scores (one extreme

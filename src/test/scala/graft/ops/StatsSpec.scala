@@ -297,6 +297,34 @@ class StatsSpec extends SparkTestBase {
       s"tied: ${out("tied")} vs $expected")
   }
 
+  test("mannWhitney: exact U via pair counting, shift detection, missing-group NULLs") {
+    import org.apache.spark.sql.functions.col
+    // key "mix": a = {1,3,5}, b = {2,3,6} -> U_b by pairs:
+    // 2>1; 3>1, 3=3 (half); 6>all three -> U_b = 1 + 1.5 + 3 = 5.5 -> 2U_b = 11
+    val df = Seq(
+      ("mix", false, 1L), ("mix", false, 3L), ("mix", false, 5L),
+      ("mix", true, 2L), ("mix", true, 3L), ("mix", true, 6L),
+      // key "onegrp": only group a -> test undefined, NULLs
+      ("onegrp", false, 1L), ("onegrp", false, 2L)
+    ).toDF("k", "b", "v")
+    val out = Stats.mannWhitney(df, col("k"), col("b"), col("v"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val mix = out("mix")
+    assert(mix.getLong(1) == 3L && mix.getLong(2) == 3L)
+    assert(mix.getLong(3) == 11L, s"2U_b: ${mix.getLong(3)}")
+    // rank-biserial = 2*5.5/9 - 1 = 2/9 -> 222222 ppm (truncated)
+    assert(mix.getLong(4) == 222222L, s"effect: ${mix.getLong(4)}")
+    assert(!mix.getBoolean(5), "n=6 cannot reach 1.96 sigma")
+    assert(out("onegrp").isNullAt(3) && out("onegrp").isNullAt(5))
+
+    // a large clean shift IS significant: b stochastically dominates
+    val big = ((0 until 50).map(i => ("s", false, i.toLong)) ++
+      (0 until 50).map(i => ("s", true, 100L + i))).toDF("k", "b", "v")
+    val sig = Stats.mannWhitney(big, col("k"), col("b"), col("v")).collect().head
+    assert(sig.getLong(3) == 2L * 50L * 50L, "complete dominance: U_b = n_a*n_b")
+    assert(sig.getLong(4) == 1000000L && sig.getBoolean(5))
+  }
+
   test("groupEcdf: count-<= semantics, ties share a value, per-group isolation") {
     import org.apache.spark.sql.functions.col
     val df = Seq((1L, "s1", 10L), (2L, "s1", 20L), (3L, "s1", 20L),
