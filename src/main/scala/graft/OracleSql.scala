@@ -4615,6 +4615,37 @@ object OracleSql {
         |   * (CAST(u2_b AS HUGEINT) - CAST(n_a AS HUGEINT) * n_b)
         |   * 30000 > CAST(38416 AS HUGEINT) * n_a * n_b * (n_a + n_b + 1)
         |   END AS significant
-        |FROM u ORDER BY event_type""".stripMargin
+        |FROM u ORDER BY event_type""".stripMargin,
+
+    // KS: pooled RANGE-frame cumulative counts (ties collapse), max
+    // integer ECDF-gap numerator, cleared 1.358 test and ppm gap
+    "q271_ks_test" ->
+      """WITH e AS (SELECT event_type AS key,
+        |   (((CAST(floor(epoch(ts)) AS BIGINT) // 86400) + 4) % 7)
+        |     IN (0, 6) AS b,
+        |   CAST(floor(value * 1000) AS BIGINT) AS v
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |    AND ts IS NOT NULL),
+        | w AS (SELECT key,
+        |   sum(CASE WHEN b THEN 0 ELSE 1 END) OVER (PARTITION BY key
+        |     ORDER BY v RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+        |   sum(CASE WHEN b THEN 1 ELSE 0 END) OVER (PARTITION BY key
+        |     ORDER BY v RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+        |   sum(CASE WHEN b THEN 0 ELSE 1 END) OVER (PARTITION BY key) AS na,
+        |   sum(CASE WHEN b THEN 1 ELSE 0 END) OVER (PARTITION BY key) AS nb
+        |  FROM e),
+        | a AS (SELECT key, CAST(max(na) AS BIGINT) AS n_a,
+        |   CAST(max(nb) AS BIGINT) AS n_b,
+        |   max(abs(CAST(ca AS HUGEINT) * nb - CAST(cb AS HUGEINT) * na))
+        |     AS dnum
+        |  FROM w GROUP BY 1)
+        |SELECT key AS event_type, n_a, n_b,
+        | CAST(CASE WHEN n_a > 0 AND n_b > 0 THEN (dnum * 1000000)
+        |   // (CAST(n_a AS HUGEINT) * n_b) END AS BIGINT) AS d_ppm,
+        | CASE WHEN n_a > 0 AND n_b > 0 THEN dnum * dnum * 10000
+        |   > CAST(18441 AS HUGEINT) * n_a * n_b * (n_a + n_b) END
+        |   AS significant
+        |FROM a ORDER BY event_type""".stripMargin
   )
 }

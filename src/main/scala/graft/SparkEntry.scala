@@ -3832,6 +3832,23 @@ object SparkEntry {
       .withColumnRenamed("key", "event_type")
       .orderBy("event_type")
 
+  /** Kolmogorov–Smirnov two-sample ([[ops.Stats.ksTest]]): q270's
+    * weekend/weekday split re-tested for ANY distributional
+    * difference — the max ECDF gap as an exact integer numerator over
+    * the pooled RANGE-frame cumulative counts, cleared 1.358 critical
+    * test, gap reported in ppm. The oracle replays the pooled
+    * windows, the gap maximum, and both cleared expressions.
+    */
+  private def q271(s: SparkSession, dir: String): DataFrame =
+    ops.Stats.ksTest(Tables.events(s, dir)
+        .filter(col("value").isNotNull && col("ts").isNotNull),
+        keyCol = col("event_type"),
+        inGroupBCol = expr(
+          "(((CAST(unix_timestamp(ts) AS BIGINT) DIV 86400) + 4) % 7) IN (0, 6)"),
+        valueCol = floor(col("value") * 1000d))
+      .withColumnRenamed("key", "event_type")
+      .orderBy("event_type")
+
   /** Keyless binned range join ([[ops.IntervalJoin.binnedPointJoin]]):
     * busy hours are detected from the FULL event stream (hourly count
     * strictly above 1.2× the mean hour, division-cleared to
@@ -4772,7 +4789,8 @@ object SparkEntry {
     "q267_kmv_overlap" -> q267 _,
     "q268_t_closeness" -> q268 _,
     "q269_spearman" -> q269 _,
-    "q270_mann_whitney" -> q270 _
+    "q270_mann_whitney" -> q270 _,
+    "q271_ks_test" -> q271 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

@@ -198,6 +198,58 @@ object Stats {
         col("rank_biserial_ppm"), col("significant"))
   }
 
+  /** Kolmogorov–Smirnov two-sample test per key, EXACT — the
+    * shape-sensitive companion to [[mannWhitney]] (MW sees location
+    * shifts; KS sees ANY distributional difference — equal medians
+    * with different variances, bimodality, tail weight). The statistic
+    * is the max ECDF gap over the pooled values, carried as the
+    * integer numerator `D_num = max_v |cum_a(v)·n_b − cum_b(v)·n_a|`
+    * (D = D_num/(n_a·n_b)); cumulative counts are RANGE-frame windows
+    * over the pooled sort so ties collapse to one evaluation point on
+    * both engines.
+    *
+    * Significance is the cleared large-sample test at α = 0.05
+    * (critical value 1.358): `D > 1.358·√((n_a+n_b)/(n_a·n_b))` ⟺
+    * `D_num²·10⁴ > 18441·n_a·n_b·(n_a+n_b)` — DECIMAL(38,0)/HUGEINT
+    * lanes, no square root, headroom to n ≈ 10⁸ per key. `d_ppm`
+    * reports the gap itself (`D_num·10⁶ DIV (n_a·n_b)`). Keys missing
+    * either group report NULLs.
+    *
+    * Scale: one pooled sort window + one aggregate on the key — one
+    * narrow shuffle, the [[mannWhitney]] profile.
+    */
+  def ksTest(
+      df: DataFrame,
+      keyCol: Column,
+      inGroupBCol: Column,
+      valueCol: Column
+  ): DataFrame = {
+    val base = df.select(keyCol.as("key"), inGroupBCol.cast("boolean").as("b"),
+        valueCol.cast("long").as("v"))
+      .filter(col("b").isNotNull && col("v").isNotNull)
+    // RANGE frame: cum counts INCLUDE all ties of v (one step per value)
+    val cum = Window.partitionBy(col("key")).orderBy(col("v"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy(col("key"))
+    base
+      .withColumn("ca", sum(when(col("b"), 0L).otherwise(1L)).over(cum))
+      .withColumn("cb", sum(when(col("b"), 1L).otherwise(0L)).over(cum))
+      .withColumn("na", sum(when(col("b"), 0L).otherwise(1L)).over(all))
+      .withColumn("nb", sum(when(col("b"), 1L).otherwise(0L)).over(all))
+      .groupBy("key")
+      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        max(abs(expr("CAST(ca AS DECIMAL(38,0)) * nb - CAST(cb AS DECIMAL(38,0)) * na")))
+          .as("__dnum"))
+      .withColumn("d_ppm", expr(
+        "CASE WHEN n_a > 0 AND n_b > 0 THEN CAST((__dnum * 1000000)" +
+          " DIV (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT) END"))
+      .withColumn("significant", expr(
+        "CASE WHEN n_a > 0 AND n_b > 0 THEN __dnum * __dnum * 10000" +
+          " > CAST(18441 AS DECIMAL(38,0)) * n_a * n_b * (n_a + n_b) END"))
+      .select(col("key"), col("n_a"), col("n_b"), col("d_ppm"),
+        col("significant"))
+  }
+
   /** Robust per-group outlier detection via MAD (median absolute
     * deviation): a value is an outlier iff `|x − median| > k · MAD` —
     * the standard heavy-tail-safe alternative to z-scores (one extreme

@@ -325,6 +325,36 @@ class StatsSpec extends SparkTestBase {
     assert(sig.getLong(4) == 1000000L && sig.getBoolean(5))
   }
 
+  test("ksTest: exact max ECDF gap, variance difference MW misses, missing-group NULLs") {
+    import org.apache.spark.sql.functions.col
+    // a = {1,2,3,4}, b = {3,4,5,6}: max gap at v=2 -> |2*4 - 0*4| = 8
+    // -> D = 8/16 = 0.5 -> 500000 ppm
+    val df = Seq(
+      ("shift", false, 1L), ("shift", false, 2L), ("shift", false, 3L),
+      ("shift", false, 4L),
+      ("shift", true, 3L), ("shift", true, 4L), ("shift", true, 5L),
+      ("shift", true, 6L),
+      ("onegrp", true, 1L), ("onegrp", true, 2L)
+    ).toDF("k", "b", "v")
+    val out = Stats.ksTest(df, col("k"), col("b"), col("v"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("shift").getLong(3) == 500000L, s"D: ${out("shift").getLong(3)}")
+    assert(!out("shift").getBoolean(4), "n=8 cannot reach the 1.358 critical value")
+    assert(out("onegrp").isNullAt(3) && out("onegrp").isNullAt(4))
+
+    // equal medians, different SPREAD: MW sees nothing (U ~ n^2/2), KS does
+    val spread = ((1 to 40).map(i => ("v", false, 50L)) ++ // a: constant 50
+      (1 to 20).map(i => ("v", true, 0L)) ++               // b: half at 0...
+      (1 to 20).map(i => ("v", true, 100L))                // ...half at 100
+      ).toDF("k", "b", "v")
+    val ks = Stats.ksTest(spread, col("k"), col("b"), col("v")).collect().head
+    // gap just below 50: cum_a=0, cum_b=20 -> |0*40 - 20*40| = 800 ->
+    // D = 800/1600 = 0.5; cleared test: 800^2*1e4 > 18441*1600*80 -> true
+    assert(ks.getLong(3) == 500000L && ks.getBoolean(4), s"$ks")
+    val mw = Stats.mannWhitney(spread, col("k"), col("b"), col("v")).collect().head
+    assert(!mw.getBoolean(5), "MW must NOT flag the pure-variance difference")
+  }
+
   test("groupEcdf: count-<= semantics, ties share a value, per-group isolation") {
     import org.apache.spark.sql.functions.col
     val df = Seq((1L, "s1", 10L), (2L, "s1", 20L), (3L, "s1", 20L),
