@@ -4646,6 +4646,54 @@ object OracleSql {
         | CASE WHEN n_a > 0 AND n_b > 0 THEN dnum * dnum * 10000
         |   > CAST(18441 AS HUGEINT) * n_a * n_b * (n_a + n_b) END
         |   AS significant
-        |FROM a ORDER BY event_type""".stripMargin
+        |FROM a ORDER BY event_type""".stripMargin,
+
+    // permutation test: every relabeling is a seeded-md5 hash family
+    // member, so the oracle replays all 199 permutation statistics and
+    // the add-one p-value bit-exactly; arm-size-cleared >= comparison
+    "q272_permutation_test" ->
+      """WITH u AS (SELECT CAST(user_id AS VARCHAR) AS unit,
+        |   CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS uv
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND value IS NOT NULL GROUP BY 1),
+        | ob AS (SELECT
+        |   CAST(sum(CASE WHEN ('0x'||substr(md5('7:'||unit),1,8))::BIGINT
+        |     % 2 = 1 THEN uv ELSE 0 END) AS BIGINT) AS s1,
+        |   CAST(sum(CASE WHEN ('0x'||substr(md5('7:'||unit),1,8))::BIGINT
+        |     % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |   CAST(sum(CASE WHEN ('0x'||substr(md5('7:'||unit),1,8))::BIGINT
+        |     % 2 = 0 THEN uv ELSE 0 END) AS BIGINT) AS s0,
+        |   CAST(sum(CASE WHEN ('0x'||substr(md5('7:'||unit),1,8))::BIGINT
+        |     % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0
+        |  FROM u),
+        | obs AS (SELECT abs(CAST(s1 AS HUGEINT) * n0 - CAST(s0 AS HUGEINT)
+        |   * n1) AS t_obs, n1 AS n1_obs, n0 AS n0_obs FROM ob),
+        | pa AS (SELECT g.p, u.uv,
+        |   ('0x'||substr(md5(CAST(1000 + g.p AS VARCHAR)||':'||u.unit),1,8)
+        |     )::BIGINT % 2 AS arm
+        |  FROM u CROSS JOIN (SELECT unnest(generate_series(0, 198)) AS p) g),
+        | pr AS (SELECT p,
+        |   CAST(sum(CASE WHEN arm = 1 THEN uv ELSE 0 END) AS BIGINT) AS s1,
+        |   CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |   CAST(sum(CASE WHEN arm = 0 THEN uv ELSE 0 END) AS BIGINT) AS s0,
+        |   CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0
+        |  FROM pa GROUP BY 1),
+        | f AS (SELECT count(*) AS n_perms,
+        |   sum(CASE WHEN abs(CAST(pr.s1 AS HUGEINT) * pr.n0
+        |       - CAST(pr.s0 AS HUGEINT) * pr.n1)
+        |       * (CAST(n1_obs AS HUGEINT) * n0_obs)
+        |     >= t_obs * (CAST(pr.n1 AS HUGEINT) * pr.n0)
+        |     THEN 1 ELSE 0 END) AS n_ge,
+        |   max(n1_obs) AS n_treat, max(n0_obs) AS n_control
+        |  FROM pr CROSS JOIN obs)
+        |SELECT CAST(n_treat AS BIGINT) AS n_treat,
+        | CAST(n_control AS BIGINT) AS n_control,
+        | CAST(n_perms AS BIGINT) AS n_perms, CAST(n_ge AS BIGINT) AS n_ge,
+        | CAST(CASE WHEN n_treat > 0 AND n_control > 0
+        |   THEN ((1 + n_ge) * 1000000) // (n_perms + 1) END AS BIGINT)
+        |   AS p_value_ppm,
+        | CASE WHEN n_treat > 0 AND n_control > 0
+        |   THEN (1 + n_ge) * 20 <= n_perms + 1 END AS significant
+        |FROM f ORDER BY n_treat""".stripMargin
   )
 }

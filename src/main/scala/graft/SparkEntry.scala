@@ -3849,6 +3849,20 @@ object SparkEntry {
       .withColumnRenamed("key", "event_type")
       .orderBy("event_type")
 
+  /** Deterministic permutation test ([[ops.Stats.permutationTest]]):
+    * q250's experiment (md5 seed-7 arm assignment over users, value
+    * in cents as the metric) re-read with an assumption-free p-value
+    * — 199 hash-family relabelings, cross-multiplied mean-difference
+    * statistic, cleared extreme-count comparison, add-one p in ppm.
+    * The oracle replays every relabeling, every statistic, and the
+    * p-value bit-exactly.
+    */
+  private def q272(s: SparkSession, dir: String): DataFrame =
+    ops.Stats.permutationTest(Tables.events(s, dir),
+        unitCol = col("user_id"),
+        valueCol = expr("CAST(floor(value * 100) AS BIGINT)"),
+        b = 199)
+
   /** Keyless binned range join ([[ops.IntervalJoin.binnedPointJoin]]):
     * busy hours are detected from the FULL event stream (hourly count
     * strictly above 1.2× the mean hour, division-cleared to
@@ -4790,7 +4804,8 @@ object SparkEntry {
     "q268_t_closeness" -> q268 _,
     "q269_spearman" -> q269 _,
     "q270_mann_whitney" -> q270 _,
-    "q271_ks_test" -> q271 _
+    "q271_ks_test" -> q271 _,
+    "q272_permutation_test" -> q272 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

@@ -250,6 +250,86 @@ object Stats {
         col("significant"))
   }
 
+  /** Permutation test for a mean difference, DETERMINISTIC end to end
+    * — the assumption-free significance readout ([[abChiSquare]]
+    * assumes the 2×2 asymptotics, [[mannWhitney]] the rank
+    * z-approximation; the permutation test assumes nothing but
+    * exchangeability). Instead of sampling random relabelings, each of
+    * the `b` permutations IS a hash family member: permutation `p`
+    * assigns `unit → md5(permSeedBase+p : unit) mod 2`, so the whole
+    * test — every relabeling, every statistic, the p-value — replays
+    * bit-exactly on any engine (the md5 portability contract).
+    *
+    * The statistic is the cross-multiplied mean-difference numerator
+    * `T = |S₁·n₀ − S₀·n₁|` (unit sums, so per-unit correlation is
+    * respected); permutations compare against the observed split via
+    * the cleared inequality `T_p·(n₁·n₀) ≥ T_obs·(n₁ₚ·n₀ₚ)` in
+    * DECIMAL(38,0) lanes — different relabelings have different arm
+    * sizes, and clearing the denominators keeps the comparison exact.
+    * `p_value_ppm = (1 + #{p : ≥}) · 10⁶ DIV (b+1)` (the add-one
+    * convention — never exactly zero), `significant` is the cleared
+    * `(1 + cnt)·20 ≤ b+1` (α = 0.05). A degenerate observed split
+    * (either arm empty) reports NULLs.
+    *
+    * Scale: one shuffle to unit grain, then a map-side ×`b` expansion
+    * (`explode(sequence)`) that aggregates IMMEDIATELY to ≤`b` cells
+    * per task (the [[Profile.checkConstraints]] counter pattern ×b) —
+    * cost is b·units rows THROUGH a partial aggregate, never
+    * materialized; b is caller-bounded configuration.
+    */
+  def permutationTest(
+      df: DataFrame,
+      unitCol: Column,
+      valueCol: Column,
+      b: Int = 199,
+      seed: Int = 7,
+      permSeedBase: Int = 1000
+  ): DataFrame = {
+    require(b >= 1, "need at least one permutation")
+    require(seed < permSeedBase || seed >= permSeedBase + b,
+      "observed seed must not collide with the permutation seed family")
+    import graft.functions.Hashing
+    val units = df
+      .select(unitCol.cast("string").as("unit"), valueCol.cast("long").as("v"))
+      .filter(col("unit").isNotNull && col("v").isNotNull)
+      .groupBy("unit").agg(sum(col("v")).as("uv"))
+    def tStat(armCol: Column): Seq[Column] = Seq(
+      sum(when(armCol === 1L, col("uv")).otherwise(0L)).as("s1"),
+      sum(when(armCol === 1L, 1L).otherwise(0L)).as("n1"),
+      sum(when(armCol === 0L, col("uv")).otherwise(0L)).as("s0"),
+      sum(when(armCol === 0L, 1L).otherwise(0L)).as("n0"))
+    val obs = units
+      .agg(tStat(pmod(Hashing.md5Hash32(seed, col("unit")), lit(2L))).head,
+        tStat(pmod(Hashing.md5Hash32(seed, col("unit")), lit(2L))).tail: _*)
+      .withColumn("t_obs", expr(
+        "abs(CAST(s1 AS DECIMAL(38,0)) * n0 - CAST(s0 AS DECIMAL(38,0)) * n1)"))
+      .select(col("t_obs"), col("n1").as("n1_obs"), col("n0").as("n0_obs"))
+    val perms = units
+      .withColumn("p", explode(expr(s"sequence(0, ${b - 1})")))
+      .withColumn("arm",
+        pmod(Hashing.md5Hash32(col("p") + lit(permSeedBase), col("unit")), lit(2L)))
+      .groupBy("p")
+      .agg(tStat(col("arm")).head, tStat(col("arm")).tail: _*)
+      .withColumn("t_p", expr(
+        "abs(CAST(s1 AS DECIMAL(38,0)) * n0 - CAST(s0 AS DECIMAL(38,0)) * n1)"))
+    perms
+      .crossJoin(broadcast(obs))
+      .agg(count(lit(1)).as("n_perms"),
+        sum(when(expr(
+          "t_p * (CAST(n1_obs AS DECIMAL(38,0)) * n0_obs)" +
+            " >= t_obs * (CAST(n1 AS DECIMAL(38,0)) * n0)"), 1L)
+          .otherwise(0L)).as("n_ge"),
+        max(col("n1_obs")).as("n_treat"), max(col("n0_obs")).as("n_control"))
+      .withColumn("p_value_ppm", expr(
+        "CASE WHEN n_treat > 0 AND n_control > 0 THEN" +
+          " ((1 + n_ge) * 1000000) DIV (n_perms + 1) END"))
+      .withColumn("significant", expr(
+        "CASE WHEN n_treat > 0 AND n_control > 0 THEN" +
+          " (1 + n_ge) * 20 <= n_perms + 1 END"))
+      .select(col("n_treat"), col("n_control"), col("n_perms"),
+        col("n_ge"), col("p_value_ppm"), col("significant"))
+  }
+
   /** Robust per-group outlier detection via MAD (median absolute
     * deviation): a value is an outlier iff `|x − median| > k · MAD` —
     * the standard heavy-tail-safe alternative to z-scores (one extreme

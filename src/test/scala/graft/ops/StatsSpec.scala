@@ -355,6 +355,51 @@ class StatsSpec extends SparkTestBase {
     assert(!mw.getBoolean(5), "MW must NOT flag the pure-variance difference")
   }
 
+  test("permutationTest: bit-exact replay of every hash-family relabeling") {
+    import org.apache.spark.sql.functions.col
+    def arm(seed: Int, unit: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$seed:$unit".getBytes("UTF-8"))
+      (((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)) % 2
+    }
+    // 12 units; u3 appears twice (rows must sum to unit grain BEFORE arms)
+    val rows = (1 to 12).map(i => (s"u$i", i.toLong * 10)) :+ ("u3", 7L)
+    val units = rows.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    def t(armOf: String => Long): (BigInt, Long, Long) = {
+      val (s1, n1) = units.collect { case (u, v) if armOf(u) == 1L => v }
+        .foldLeft((BigInt(0), 0L)) { case ((s, n), v) => (s + v, n + 1) }
+      val (s0, n0) = units.collect { case (u, v) if armOf(u) == 0L => v }
+        .foldLeft((BigInt(0), 0L)) { case ((s, n), v) => (s + v, n + 1) }
+      ((s1 * n0 - s0 * n1).abs, n1, n0)
+    }
+    val (tObs, n1o, n0o) = t(arm(7, _))
+    val nGe = (0 until 199).count { p =>
+      val (tp, n1p, n0p) = t(arm(1000 + p, _))
+      tp * (BigInt(n1o) * n0o) >= tObs * (BigInt(n1p) * n0p)
+    }
+    val out = Stats.permutationTest(rows.toDF("u", "v"), col("u"), col("v"))
+      .collect().head
+    assert(out.getLong(0) == n1o && out.getLong(1) == n0o)
+    assert(out.getLong(2) == 199L)
+    assert(out.getLong(3) == nGe.toLong, s"n_ge: ${out.getLong(3)} vs $nGe")
+    assert(out.getLong(4) == (1L + nGe) * 1000000L / 200L)
+    assert(out.getBoolean(5) == ((1L + nGe) * 20L <= 200L))
+
+    // single unit: one arm is empty -> test undefined, NULL readouts
+    val deg = Stats.permutationTest(Seq(("only", 5L)).toDF("u", "v"),
+      col("u"), col("v")).collect().head
+    assert(deg.isNullAt(4) && deg.isNullAt(5))
+
+    // a huge clean effect the hash split can't manufacture: one arm's
+    // units all dwarf the other's by 1e6x -> p at the add-one floor
+    val strong = units.keys.map(u =>
+      (u, if (arm(7, u) == 1L) 100000000L else 1L)).toSeq
+    val sig = Stats.permutationTest(strong.toDF("u", "v"), col("u"), col("v"))
+      .collect().head
+    assert(sig.getLong(4) == 1000000L / 200L && sig.getBoolean(5))
+  }
+
   test("groupEcdf: count-<= semantics, ties share a value, per-group isolation") {
     import org.apache.spark.sql.functions.col
     val df = Seq((1L, "s1", 10L), (2L, "s1", 20L), (3L, "s1", 20L),
