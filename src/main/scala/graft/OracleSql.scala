@@ -4694,6 +4694,51 @@ object OracleSql {
         |   AS p_value_ppm,
         | CASE WHEN n_treat > 0 AND n_control > 0
         |   THEN (1 + n_ge) * 20 <= n_perms + 1 END AS significant
-        |FROM f ORDER BY n_treat""".stripMargin
+        |FROM f ORDER BY n_treat""".stripMargin,
+
+    // Poisson bootstrap: replicate weights are integer hash-vs-threshold
+    // comparisons (Poisson(1) inverse-CDF baked into 2^32-scaled literal
+    // thresholds), so all 199 weighted means and both percentile order
+    // statistics replay exactly
+    "q273_poisson_bootstrap" ->
+      """WITH u AS (SELECT CAST(user_id AS VARCHAR) AS unit,
+        |   CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS uv
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND value IS NOT NULL GROUP BY 1),
+        | ob AS (SELECT CAST(count(*) AS BIGINT) AS n_units,
+        |   CAST((sum(CAST(uv AS HUGEINT)) * 100) // count(*) AS BIGINT)
+        |     AS mean_centi FROM u),
+        | hx AS (SELECT g.r, u.uv,
+        |   ('0x'||substr(md5(CAST(2000 + g.r AS VARCHAR)||':'||u.unit),1,8)
+        |     )::BIGINT AS h
+        |  FROM u CROSS JOIN (SELECT unnest(generate_series(0, 198)) AS r) g),
+        | wx AS (SELECT r, uv,
+        |   (CASE WHEN h >= 1580030168 THEN 1 ELSE 0 END)
+        |   + (CASE WHEN h >= 3160060337 THEN 1 ELSE 0 END)
+        |   + (CASE WHEN h >= 3950075421 THEN 1 ELSE 0 END)
+        |   + (CASE WHEN h >= 4213413783 THEN 1 ELSE 0 END)
+        |   + (CASE WHEN h >= 4279248373 THEN 1 ELSE 0 END)
+        |   + (CASE WHEN h >= 4292415291 THEN 1 ELSE 0 END)
+        |   + (CASE WHEN h >= 4294609777 THEN 1 ELSE 0 END)
+        |   + (CASE WHEN h >= 4294923276 THEN 1 ELSE 0 END)
+        |   + (CASE WHEN h >= 4294962463 THEN 1 ELSE 0 END)
+        |   + (CASE WHEN h >= 4294966817 THEN 1 ELSE 0 END) AS w
+        |  FROM hx),
+        | rep AS (SELECT r, sum(CAST(w AS HUGEINT) * uv) AS ws,
+        |   sum(CAST(w AS HUGEINT)) AS wn FROM wx GROUP BY 1),
+        | rm AS (SELECT r,
+        |   CAST(CASE WHEN wn > 0 THEN (ws * 100) // wn END AS BIGINT) AS m
+        |  FROM rep),
+        | q AS (SELECT m, row_number() OVER (ORDER BY m, r) AS rn,
+        |   count(*) OVER () AS cnt FROM rm WHERE m IS NOT NULL),
+        | f AS (SELECT CAST(max(cnt) AS BIGINT) AS n_reps,
+        |   CAST(min(CASE WHEN rn = greatest(1, ((cnt + 1) * 25) // 1000)
+        |     THEN m END) AS BIGINT) AS ci_lo_centi,
+        |   CAST(min(CASE WHEN rn = cnt + 1
+        |       - greatest(1, ((cnt + 1) * 25) // 1000)
+        |     THEN m END) AS BIGINT) AS ci_hi_centi
+        |  FROM q)
+        |SELECT n_units, n_reps, mean_centi, ci_lo_centi, ci_hi_centi
+        |FROM f CROSS JOIN ob ORDER BY n_units""".stripMargin
   )
 }

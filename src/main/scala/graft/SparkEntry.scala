@@ -3863,6 +3863,21 @@ object SparkEntry {
         valueCol = expr("CAST(floor(value * 100) AS BIGINT)"),
         b = 199)
 
+  /** Poisson bootstrap CI ([[ops.Stats.poissonBootstrapCI]]): a 95%
+    * percentile-bootstrap interval for mean revenue per user (cents),
+    * from 199 deterministic replicates — each replicate weights every
+    * user by a Poisson(1) draw decided by integer hash-vs-threshold
+    * comparisons (no floats anywhere), so the oracle replays every
+    * weight, every weighted mean, and both order-statistic bounds
+    * bit-exactly. The distributable bootstrap: independent per-unit
+    * weights, no global resample.
+    */
+  private def q273(s: SparkSession, dir: String): DataFrame =
+    ops.Stats.poissonBootstrapCI(Tables.events(s, dir),
+        unitCol = col("user_id"),
+        valueCol = expr("CAST(floor(value * 100) AS BIGINT)"),
+        b = 199)
+
   /** Keyless binned range join ([[ops.IntervalJoin.binnedPointJoin]]):
     * busy hours are detected from the FULL event stream (hourly count
     * strictly above 1.2× the mean hour, division-cleared to
@@ -4805,7 +4820,8 @@ object SparkEntry {
     "q269_spearman" -> q269 _,
     "q270_mann_whitney" -> q270 _,
     "q271_ks_test" -> q271 _,
-    "q272_permutation_test" -> q272 _
+    "q272_permutation_test" -> q272 _,
+    "q273_poisson_bootstrap" -> q273 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

@@ -330,6 +330,88 @@ object Stats {
         col("n_ge"), col("p_value_ppm"), col("significant"))
   }
 
+  /** Poisson(1) CDF thresholds scaled to 2³² — the integer decision
+    * boundaries of the deterministic bootstrap weight draw. `t(k)` is
+    * `floor(P[Poisson(1) ≤ k] · 2³²)` precomputed to 60 digits, so the
+    * weight `w = #{k : hash32 ≥ t(k)}` is a pure integer comparison
+    * chain with NO floating point on either engine. Ten thresholds cap
+    * the weight at 10 (`P[w ≥ 10] ≈ 1.0e-8` — one unit in 100M draws).
+    */
+  private[graft] val PoissonThresholds: Seq[Long] = Seq(
+    1580030168L, 3160060337L, 3950075421L, 4213413783L, 4279248373L,
+    4292415291L, 4294609777L, 4294923276L, 4294962463L, 4294966817L)
+
+  /** Poisson bootstrap CI for the per-unit mean, DETERMINISTIC end to
+    * end — the resampling method that actually works at 100 TB. A
+    * classical bootstrap resamples n units WITH replacement, which
+    * needs a global draw (undistributable); the Poisson bootstrap
+    * replaces the multinomial resample with independent per-unit
+    * Poisson(1) weights — map-side, no coordination, and statistically
+    * equivalent for large n (Chamandy et al., "Estimating Uncertainty
+    * for Massive Data Streams", Google 2012).
+    *
+    * Determinism: replicate `r` weights unit `u` by
+    * `w = #{k : md5(bootSeedBase+r : u) ≥ t_k}` over the ten integer
+    * [[PoissonThresholds]] — the whole resample is a seeded-md5 hash
+    * family member, so every replicate, every weighted mean, and the
+    * CI replay bit-exactly on any engine (no floats anywhere: the
+    * Poisson inverse-CDF is baked into integer literals).
+    *
+    * Readout: replicate means in centi-units `(Σw·v)·100 DIV Σw`
+    * (NULL for the astronomically-unlikely all-zero-weight replicate,
+    * excluded), CI bounds are the `floor((R+1)·0.025)`-th and mirrored
+    * order statistics of the non-null replicate means (b=199 → ranks 5
+    * and 195, the standard 95% percentile bootstrap), plus the
+    * observed full-sample mean.
+    *
+    * Scale: one shuffle to unit grain, then a map-side ×`b` expansion
+    * aggregated IMMEDIATELY to ≤`b` cells per task (the
+    * [[permutationTest]] expansion pattern); the order-statistic
+    * window runs over exactly `b` rows.
+    */
+  def poissonBootstrapCI(
+      df: DataFrame,
+      unitCol: Column,
+      valueCol: Column,
+      b: Int = 199,
+      bootSeedBase: Int = 2000
+  ): DataFrame = {
+    require(b >= 3, "need at least three replicates for a percentile CI")
+    import graft.functions.Hashing
+    val units = df
+      .select(unitCol.cast("string").as("unit"), valueCol.cast("long").as("v"))
+      .filter(col("unit").isNotNull && col("v").isNotNull)
+      .groupBy("unit").agg(sum(col("v")).as("uv"))
+    val obs = units
+      .agg(sum(col("uv").cast("decimal(38,0)")).as("tot"),
+        count(lit(1)).as("n_units"))
+      .select(col("n_units"),
+        expr("(tot * 100) DIV n_units").as("mean_centi"))
+    val h = Hashing.md5Hash32(col("r") + lit(bootSeedBase), col("unit"))
+    val w = PoissonThresholds
+      .map(t => when(h >= t, 1L).otherwise(0L))
+      .reduce(_ + _)
+    val reps = units
+      .withColumn("r", explode(expr(s"sequence(0, ${b - 1})")))
+      .withColumn("w", w)
+      .groupBy("r")
+      .agg(sum((col("w") * col("uv")).cast("decimal(38,0)")).as("ws"),
+        sum(col("w")).as("wn"))
+      .withColumn("m", expr("CASE WHEN wn > 0 THEN (ws * 100) DIV wn END"))
+      .filter(col("m").isNotNull)
+      .withColumn("rn", row_number().over(Window.orderBy(col("m"), col("r"))))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("lo_rank", greatest(lit(1L), expr("((cnt + 1) * 25) DIV 1000")))
+      .agg(
+        max(col("cnt")).as("n_reps"),
+        min(when(col("rn") === col("lo_rank"), col("m"))).as("ci_lo_centi"),
+        min(when(col("rn") === col("cnt") + 1L - col("lo_rank"), col("m")))
+          .as("ci_hi_centi"))
+    reps.crossJoin(broadcast(obs))
+      .select(col("n_units"), col("n_reps"), col("mean_centi"),
+        col("ci_lo_centi"), col("ci_hi_centi"))
+  }
+
   /** Robust per-group outlier detection via MAD (median absolute
     * deviation): a value is an outlier iff `|x − median| > k · MAD` —
     * the standard heavy-tail-safe alternative to z-scores (one extreme

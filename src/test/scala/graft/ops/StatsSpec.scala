@@ -400,6 +400,44 @@ class StatsSpec extends SparkTestBase {
     assert(sig.getLong(4) == 1000000L / 200L && sig.getBoolean(5))
   }
 
+  test("poissonBootstrapCI: bit-exact replay of every replicate's weighted mean") {
+    import org.apache.spark.sql.functions.col
+    def h32(seed: Int, unit: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$seed:$unit".getBytes("UTF-8"))
+      ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    }
+    def weight(seed: Int, unit: String): Long =
+      Stats.PoissonThresholds.count(t => h32(seed, unit) >= t).toLong
+    // 15 units, u5 split across two rows (unit-grain sum comes first)
+    val rows = (1 to 15).map(i => (s"u$i", i.toLong * 7 - 20)) :+ ("u5", 3L)
+    val units = rows.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val means = (0 until 199).flatMap { r =>
+      val (ws, wn) = units.foldLeft((BigInt(0), 0L)) { case ((s, n), (u, v)) =>
+        val w = weight(2000 + r, u); (s + BigInt(w) * v, n + w)
+      }
+      // DIV truncates toward zero on both engines
+      if (wn > 0) Some((ws * 100 / wn).toLong) else None
+    }.sorted
+    val lo = math.max(1, (means.size + 1) * 25 / 1000)
+    val out = Stats.poissonBootstrapCI(rows.toDF("u", "v"), col("u"), col("v"))
+      .collect().head
+    assert(out.getLong(0) == 15L)
+    assert(out.getLong(1) == means.size.toLong)
+    val tot = units.values.map(BigInt(_)).sum
+    assert(out.getLong(2) == (tot * 100 / 15).toLong)
+    assert(out.getLong(3) == means(lo - 1), s"ci_lo: ${out.getLong(3)}")
+    assert(out.getLong(4) == means(means.size - lo), s"ci_hi: ${out.getLong(4)}")
+    assert(out.getLong(3) <= out.getLong(4))
+
+    // constant corpus: every replicate mean IS the constant -> zero-width CI
+    val const = (1 to 8).map(i => (s"c$i", 42L))
+    val c = Stats.poissonBootstrapCI(const.toDF("u", "v"), col("u"), col("v"))
+      .collect().head
+    assert(c.getLong(2) == 4200L && c.getLong(3) == 4200L && c.getLong(4) == 4200L)
+  }
+
   test("groupEcdf: count-<= semantics, ties share a value, per-group isolation") {
     import org.apache.spark.sql.functions.col
     val df = Seq((1L, "s1", 10L), (2L, "s1", 20L), (3L, "s1", 20L),
