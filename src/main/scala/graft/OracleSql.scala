@@ -4739,6 +4739,44 @@ object OracleSql {
         |     THEN m END) AS BIGINT) AS ci_hi_centi
         |  FROM q)
         |SELECT n_units, n_reps, mean_centi, ci_lo_centi, ci_hi_centi
-        |FROM f CROSS JOIN ob ORDER BY n_units""".stripMargin
+        |FROM f CROSS JOIN ob ORDER BY n_units""".stripMargin,
+
+    // Kaplan-Meier: duration cells, at-risk counts from above, then the
+    // per-step floored ppm recurrence replayed by a recursive CTE
+    "q274_kaplan_meier" ->
+      """WITH RECURSIVE b AS (SELECT event_type AS key,
+        |   CAST(user_id AS VARCHAR) AS unit,
+        |   CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+        |    AND ts IS NOT NULL),
+        | sp AS (SELECT key, unit, min(day) AS d0, max(day) AS d1
+        |  FROM b GROUP BY 1, 2),
+        | mx AS (SELECT max(day) AS max_day FROM b),
+        | cl AS (SELECT key, d1 - d0 AS dur,
+        |   CASE WHEN d1 + 7 <= max_day THEN 1 ELSE 0 END AS death
+        |  FROM sp CROSS JOIN mx),
+        | ce AS (SELECT key, dur, CAST(count(*) AS BIGINT) AS n_all,
+        |   CAST(sum(death) AS BIGINT) AS n_death
+        |  FROM cl GROUP BY 1, 2),
+        | st AS (SELECT key, dur, n_death,
+        |   CAST(sum(n_all) OVER (PARTITION BY key ORDER BY dur DESC
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |     AS nr
+        |  FROM ce),
+        | sq AS (SELECT key, dur, n_death, nr,
+        |   row_number() OVER (PARTITION BY key ORDER BY dur) AS i
+        |  FROM st WHERE n_death > 0),
+        | rec AS (
+        |  SELECT key, i, dur, nr, n_death,
+        |    (1000000 * (nr - n_death)) // nr AS s
+        |  FROM sq WHERE i = 1
+        |  UNION ALL
+        |  SELECT sq.key, sq.i, sq.dur, sq.nr, sq.n_death,
+        |    (rec.s * (sq.nr - sq.n_death)) // sq.nr
+        |  FROM sq JOIN rec ON sq.key = rec.key AND sq.i = rec.i + 1)
+        |SELECT key AS event_type, CAST(dur AS BIGINT) AS t_day,
+        | nr AS n_risk, n_death AS n_deaths, CAST(s AS BIGINT) AS survival_ppm
+        |FROM rec ORDER BY event_type, t_day""".stripMargin
   )
 }

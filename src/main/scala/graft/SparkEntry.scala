@@ -3878,6 +3878,23 @@ object SparkEntry {
         valueCol = expr("CAST(floor(value * 100) AS BIGINT)"),
         b = 199)
 
+  /** Kaplan–Meier churn curve ([[ops.Stats.kaplanMeier]]): per
+    * event_type, users live from their first to last day of that
+    * activity; a user churns at their lifespan unless still active
+    * within 7 days of corpus end (right-censored). Survival steps down
+    * in ppm by the exact `(n_risk − d)/n_risk` factor with a per-step
+    * integer floor — the oracle replays the recurrence with a
+    * recursive CTE, death step by death step.
+    */
+  private def q274(s: SparkSession, dir: String): DataFrame =
+    ops.Stats.kaplanMeier(Tables.events(s, dir),
+        keyCol = col("event_type"),
+        unitCol = col("user_id"),
+        tsCol = col("ts"),
+        censorDays = 7)
+      .withColumnRenamed("key", "event_type")
+      .orderBy("event_type", "t_day")
+
   /** Keyless binned range join ([[ops.IntervalJoin.binnedPointJoin]]):
     * busy hours are detected from the FULL event stream (hourly count
     * strictly above 1.2× the mean hour, division-cleared to
@@ -4821,7 +4838,8 @@ object SparkEntry {
     "q270_mann_whitney" -> q270 _,
     "q271_ks_test" -> q271 _,
     "q272_permutation_test" -> q272 _,
-    "q273_poisson_bootstrap" -> q273 _
+    "q273_poisson_bootstrap" -> q273 _,
+    "q274_kaplan_meier" -> q274 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

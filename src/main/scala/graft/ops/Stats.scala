@@ -412,6 +412,77 @@ object Stats {
         col("ci_lo_centi"), col("ci_hi_centi"))
   }
 
+  /** Kaplan–Meier survival curve with right-censoring, integer-exact —
+    * the estimator [[graft.ops.Behavior.retentionCohorts]] cannot
+    * provide: cohort grids count conversions, KM handles the units
+    * still alive at corpus end (censored) without biasing the curve
+    * toward early churners.
+    *
+    * Units are `(key, unit)` lifespans from first to last observed day;
+    * a unit DIES at duration `d1 − d0` iff its last day is at least
+    * `censorDays` before the global corpus max day, otherwise it is
+    * CENSORED there (leaves the risk set, no death). At each duration
+    * with ≥1 death: `n_risk` = units with duration ≥ t (cumulative
+    * count from above), and the survival probability steps down by the
+    * exact factor `(n_risk − d) / n_risk`, carried in ppm with a
+    * per-step floor — `s ← (s · (n_risk − d)) DIV n_risk` — so the
+    * whole curve is a deterministic integer recurrence both engines
+    * replay step for step (oracle: recursive CTE; here: an `aggregate`
+    * HOF scan over the per-key step array).
+    *
+    * Scale: unit-grain agg → duration-cell agg (≤ #days cells per key)
+    * → per-key sorted step array (bounded by the day span, NOT the
+    * corpus) → one map-side scan. Three narrow shuffles, nothing
+    * proportional to unit count past the first.
+    */
+  def kaplanMeier(
+      df: DataFrame,
+      keyCol: Column,
+      unitCol: Column,
+      tsCol: Column,
+      censorDays: Int = 7
+  ): DataFrame = {
+    require(censorDays >= 0, "censor window must be nonnegative")
+    val base = df
+      .filter(keyCol.isNotNull && unitCol.isNotNull && tsCol.isNotNull)
+      .select(keyCol.as("key"), unitCol.cast("string").as("unit"),
+        (unix_timestamp(tsCol).cast("long")).as("sec"))
+      .withColumn("day", expr("sec DIV 86400"))
+    val spans = base.groupBy("key", "unit")
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val maxDay = base.agg(max(col("day")).as("max_day"))
+    val cells = spans.crossJoin(broadcast(maxDay))
+      .select(col("key"), (col("d1") - col("d0")).as("dur"),
+        when(col("d1") + censorDays <= col("max_day"), 1L).otherwise(0L)
+          .as("death"))
+      .groupBy("key", "dur")
+      .agg(count(lit(1)).as("n_all"), sum(col("death")).as("n_death"))
+    val fromAbove = Window.partitionBy(col("key")).orderBy(col("dur").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val steps = cells
+      .withColumn("nr", sum(col("n_all")).over(fromAbove))
+      .filter(col("n_death") > 0)
+      .groupBy("key")
+      .agg(sort_array(collect_list(struct(
+        col("dur").as("t"), col("nr"), col("n_death").as("d")))).as("steps"))
+    // scan: running ppm survival with a floor at every death step
+    steps
+      .select(col("key"), explode(expr(
+        """aggregate(steps,
+          |  named_struct('s', CAST(1000000 AS BIGINT),
+          |    'out', CAST(array() AS ARRAY<STRUCT<t: BIGINT, nr: BIGINT,
+          |      d: BIGINT, s: BIGINT>>)),
+          |  (acc, x) -> named_struct(
+          |    's', (acc.s * (x.nr - x.d)) DIV x.nr,
+          |    'out', array_append(acc.out, named_struct('t', x.t,
+          |      'nr', x.nr, 'd', x.d,
+          |      's', (acc.s * (x.nr - x.d)) DIV x.nr))),
+          |  acc -> acc.out)""".stripMargin)).as("st"))
+      .select(col("key"), col("st.t").as("t_day"), col("st.nr").as("n_risk"),
+        col("st.d").as("n_deaths"), col("st.s").as("survival_ppm"))
+      .orderBy("key", "t_day")
+  }
+
   /** Robust per-group outlier detection via MAD (median absolute
     * deviation): a value is an outlier iff `|x − median| > k · MAD` —
     * the standard heavy-tail-safe alternative to z-scores (one extreme

@@ -50,7 +50,8 @@ object PlanAudit {
     "q247_seasonal_naive", // keys × ONE-row max-day anchor (scored window grid)
     "q267_kmv_overlap", // |keys|² sketch-pair grid (q175's key-bounded class)
     "q272_permutation_test", // ONE-row observed-statistic broadcast onto b perm rows
-    "q273_poisson_bootstrap") // ONE-row observed-mean broadcast onto the CI row
+    "q273_poisson_bootstrap", // ONE-row observed-mean broadcast onto the CI row
+    "q274_kaplan_meier") // ONE-row corpus-max-day broadcast onto unit spans
 
   /** Queries whose DESIGN composes several complete pipelines, so their
     * exchange count legitimately exceeds the single-pipeline budget —

@@ -438,6 +438,49 @@ class StatsSpec extends SparkTestBase {
     assert(c.getLong(2) == 4200L && c.getLong(3) == 4200L && c.getLong(4) == 4200L)
   }
 
+  test("kaplanMeier: hand curve with censoring, floored ppm recurrence, key isolation") {
+    import org.apache.spark.sql.functions.col
+    import java.sql.Timestamp
+    def ts(day: Long): Timestamp = new Timestamp(day * 86400000L)
+    // corpus max day = 100. Key "a": five users.
+    //  u1 days 0..2   -> dur 2, dies (2+7 <= 100)
+    //  u2 days 0..2   -> dur 2, dies
+    //  u3 days 10..15 -> dur 5, dies
+    //  u4 days 90..97 -> dur 7, CENSORED (97+7 > 100)
+    //  u5 days 50..60 -> dur 10, dies
+    // risk from above: dur10:1, dur7:2, dur5:3, dur2:5
+    // steps (deaths only): t=2 (d=2,nr=5), t=5 (d=1,nr=3), t=10 (d=1,nr=1)
+    // s: 1e6*3/5=600000; *2/3=400000; *0/1=0
+    val rows =
+      Seq(("a", "u1", 0L), ("a", "u1", 1L), ("a", "u1", 2L),
+        ("a", "u2", 0L), ("a", "u2", 2L),
+        ("a", "u3", 10L), ("a", "u3", 15L),
+        ("a", "u4", 90L), ("a", "u4", 97L),
+        ("a", "u5", 50L), ("a", "u5", 60L),
+        // key "b" sets the corpus max day and is its own curve:
+        // one user alive at the end -> censored -> NO steps at all
+        ("b", "w1", 100L), ("b", "w1", 100L))
+    val df = rows.map { case (k, u, d) => (k, u, ts(d)) }.toDF("k", "u", "t")
+    val out = Stats.kaplanMeier(df, col("k"), col("u"), col("t"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out.size == 3, s"steps: ${out.keys}")
+    assert(out(("a", 2L)) == ((5L, 2L, 600000L)))
+    assert(out(("a", 5L)) == ((3L, 1L, 400000L)))
+    assert(out(("a", 10L)) == ((1L, 1L, 0L)))
+    assert(!out.keys.exists(_._1 == "b"), "fully-censored key emits no steps")
+
+    // floor carries: 3 units dying at distinct durations -> 1e6*2/3 =
+    // 666666 (floored), then *1/2 = 333333, then 0 — NOT 1e6/3 per step
+    val tri = Seq(("t", "x1", 0L), ("t", "x1", 1L), ("t", "x2", 0L),
+      ("t", "x2", 2L), ("t", "x3", 0L), ("t", "x3", 3L),
+      ("t", "cap", 100L)) // sets max day; dur 0, censored? 100+7>100 yes
+    val tdf = tri.map { case (k, u, d) => (k, u, ts(d)) }.toDF("k", "u", "t")
+    val tout = Stats.kaplanMeier(tdf, col("k"), col("u"), col("t"))
+      .collect().map(r => r.getLong(1) -> r.getLong(4)).toMap
+    assert(tout == Map(1L -> 666666L, 2L -> 333333L, 3L -> 0L), s"$tout")
+  }
+
   test("groupEcdf: count-<= semantics, ties share a value, per-group isolation") {
     import org.apache.spark.sql.functions.col
     val df = Seq((1L, "s1", 10L), (2L, "s1", 20L), (3L, "s1", 20L),
