@@ -4777,6 +4777,61 @@ object OracleSql {
         |  FROM sq JOIN rec ON sq.key = rec.key AND sq.i = rec.i + 1)
         |SELECT key AS event_type, CAST(dur AS BIGINT) AS t_day,
         | nr AS n_risk, n_death AS n_deaths, CAST(s AS BIGINT) AS survival_ppm
-        |FROM rec ORDER BY event_type, t_day""".stripMargin
+        |FROM rec ORDER BY event_type, t_day""".stripMargin,
+
+    // CUPED: pre-period covariate per unit, pooled milli-slope floored
+    // once, composed adjustment; every floor replayed in HUGEINT lanes
+    "q275_cuped" ->
+      """WITH e AS (SELECT CAST(user_id AS VARCHAR) AS unit,
+        |   CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |   CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL),
+        | mx AS (SELECT (min(day) + max(day)) // 2 AS mid FROM e),
+        | u AS (SELECT unit,
+        |   CAST(sum(CASE WHEN day > mid THEN cents ELSE 0 END) AS BIGINT)
+        |     AS uy,
+        |   CAST(sum(CASE WHEN day <= mid THEN cents ELSE 0 END) AS BIGINT)
+        |     AS ux
+        |  FROM e CROSS JOIN mx GROUP BY 1),
+        | a AS (SELECT uy, ux,
+        |   ('0x'||substr(md5('7:'||unit),1,8))::BIGINT % 2 AS arm FROM u),
+        | g AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+        |   CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS n_t,
+        |   CAST(sum(CASE WHEN arm = 1 THEN uy ELSE 0 END) AS HUGEINT) AS sy_t,
+        |   CAST(sum(CASE WHEN arm = 0 THEN uy ELSE 0 END) AS HUGEINT) AS sy_c,
+        |   CAST(sum(CASE WHEN arm = 1 THEN ux ELSE 0 END) AS HUGEINT) AS sx_t,
+        |   CAST(sum(CASE WHEN arm = 0 THEN ux ELSE 0 END) AS HUGEINT) AS sx_c,
+        |   CAST(sum(CAST(uy AS HUGEINT)) AS HUGEINT) AS sy,
+        |   CAST(sum(CAST(ux AS HUGEINT)) AS HUGEINT) AS sx,
+        |   CAST(sum(CAST(ux AS HUGEINT) * uy) AS HUGEINT) AS sxy,
+        |   CAST(sum(CAST(ux AS HUGEINT) * ux) AS HUGEINT) AS sxx,
+        |   CAST(sum(CAST(uy AS HUGEINT) * uy) AS HUGEINT) AS syy
+        |  FROM a),
+        | t AS (SELECT n, n_t, n - n_t AS n_c, sy_t, sy_c, sx_t, sx_c,
+        |   n * sxy - sx * sy AS theta_n, n * sxx - sx * sx AS theta_d,
+        |   n * syy - sy * sy AS v_y, n_t > 0 AND n - n_t > 0 AS ok
+        |  FROM g),
+        | r AS (SELECT n, n_t, n_c, theta_n, theta_d, v_y, ok,
+        |   CASE WHEN ok THEN ((sy_t * n_c - sy_c * n_t) * 1000)
+        |     // (n_t * n_c) END AS delta_raw_milli,
+        |   CASE WHEN ok THEN ((sx_t * n_c - sx_c * n_t) * 1000)
+        |     // (n_t * n_c) END AS delta_x_milli,
+        |   CASE WHEN ok AND theta_d > 0 THEN (theta_n * 1000) // theta_d
+        |     END AS theta_milli
+        |  FROM t)
+        |SELECT CAST(n AS BIGINT) AS n_units, CAST(n_t AS BIGINT) AS n_treat,
+        | CAST(n_c AS BIGINT) AS n_control,
+        | CAST(delta_raw_milli AS BIGINT) AS delta_raw_milli,
+        | CAST(delta_x_milli AS BIGINT) AS delta_x_milli,
+        | CAST(theta_milli AS BIGINT) AS theta_milli,
+        | CAST(CASE WHEN theta_milli IS NOT NULL THEN delta_raw_milli
+        |   - (theta_milli * delta_x_milli) // 1000 END AS BIGINT)
+        |   AS delta_cuped_milli,
+        | CAST(CASE WHEN theta_milli IS NOT NULL AND v_y > 0 THEN
+        |   theta_milli * ((theta_n * 1000) // v_y) END AS BIGINT)
+        |   AS rho2_ppm
+        |FROM r ORDER BY n_units""".stripMargin
   )
 }

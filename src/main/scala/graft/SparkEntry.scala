@@ -3895,6 +3895,27 @@ object SparkEntry {
       .withColumnRenamed("key", "event_type")
       .orderBy("event_type", "t_day")
 
+  /** CUPED variance-reduced readout ([[ops.Stats.cupedReadout]]):
+    * q250's experiment re-read with each user's FIRST-half-of-corpus
+    * spend (cents) as the pre-experiment covariate for their
+    * second-half spend — the pooled milli-slope is floored once and
+    * composed, so raw delta, covariate delta, slope, adjusted delta
+    * and the variance-reduction fraction all replay bit-exactly.
+    */
+  private def q275(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("value").isNotNull)
+      .withColumn("day", expr("CAST(unix_timestamp(ts) AS BIGINT) DIV 86400"))
+      .withColumn("cents", expr("CAST(floor(value * 100) AS BIGINT)"))
+    val mid = e.agg(expr("(min(day) + max(day)) DIV 2").as("mid"))
+    val split = e.crossJoin(broadcast(mid))
+      .select(col("user_id"),
+        when(col("day") > col("mid"), col("cents")).otherwise(0L).as("y"),
+        when(col("day") <= col("mid"), col("cents")).otherwise(0L).as("x"))
+    ops.Stats.cupedReadout(split, col("user_id"), col("y"), col("x"), seed = 7)
+  }
+
   /** Keyless binned range join ([[ops.IntervalJoin.binnedPointJoin]]):
     * busy hours are detected from the FULL event stream (hourly count
     * strictly above 1.2× the mean hour, division-cleared to
@@ -4839,7 +4860,8 @@ object SparkEntry {
     "q271_ks_test" -> q271 _,
     "q272_permutation_test" -> q272 _,
     "q273_poisson_bootstrap" -> q273 _,
-    "q274_kaplan_meier" -> q274 _
+    "q274_kaplan_meier" -> q274 _,
+    "q275_cuped" -> q275 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

@@ -483,6 +483,85 @@ object Stats {
       .orderBy("key", "t_day")
   }
 
+  /** CUPED variance-reduced experiment readout (Deng et al., WSDM'13)
+    * — the standard trick that makes A/B tests decisive on a fraction
+    * of the traffic: regress the metric on a PRE-experiment covariate
+    * and remove the explained variance from the treatment delta.
+    *
+    * Determinism: the md5 seed-`seed` arm split ([[abChiSquare]]'s
+    * convention), and every readout is a fixed sequence of integer
+    * operations — the pooled slope is floored ONCE to milli-units
+    * (`theta_milli = θn·1000 DIV θd`) and then composed
+    * (`Δ_cuped = Δ_raw − θ_milli·Δx_milli DIV 1000`), so both engines
+    * replay the identical floors instead of racing a 1-ulp float. The
+    * early floor keeps every lane ≤ n²·B² (n units, |unit sum| ≤ B)
+    * — inside DECIMAL(38,0) for n·B up to ~10¹⁸ — where the exact
+    * rational form would need n⁴·B³.
+    *
+    * Output (one row): unit counts, raw delta and covariate delta in
+    * milli-units, the pooled slope in milli, the CUPED-adjusted delta,
+    * and `rho2_ppm` (the fraction of metric variance the covariate
+    * explains — the variance-reduction factor). `theta`/`cuped`/`rho2`
+    * are NULL when the covariate is constant (θd = 0) or an arm is
+    * empty; `rho2_ppm` additionally needs metric variance > 0.
+    *
+    * Scale: one shuffle to unit grain, one global aggregate. Nothing
+    * else.
+    */
+  def cupedReadout(
+      df: DataFrame,
+      unitCol: Column,
+      yCol: Column,
+      xCol: Column,
+      seed: Int = 7
+  ): DataFrame = {
+    import graft.functions.Hashing
+    val units = df
+      .select(unitCol.cast("string").as("unit"),
+        coalesce(yCol.cast("long"), lit(0L)).as("y"),
+        coalesce(xCol.cast("long"), lit(0L)).as("x"))
+      .filter(col("unit").isNotNull)
+      .groupBy("unit").agg(sum(col("y")).as("uy"), sum(col("x")).as("ux"))
+      .withColumn("arm", pmod(Hashing.md5Hash32(seed, col("unit")), lit(2L)))
+    val d38 = "decimal(38,0)"
+    units
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n_t"),
+        sum(when(col("arm") === 1L, col("uy")).otherwise(0L)).as("sy_t"),
+        sum(when(col("arm") === 0L, col("uy")).otherwise(0L)).as("sy_c"),
+        sum(when(col("arm") === 1L, col("ux")).otherwise(0L)).as("sx_t"),
+        sum(when(col("arm") === 0L, col("ux")).otherwise(0L)).as("sx_c"),
+        sum(col("uy").cast(d38)).as("sy"),
+        sum(col("ux").cast(d38)).as("sx"),
+        sum(col("ux").cast(d38) * col("uy")).as("sxy"),
+        sum(col("ux").cast(d38) * col("ux")).as("sxx"),
+        sum(col("uy").cast(d38) * col("uy")).as("syy"))
+      .withColumn("n_c", expr("n - n_t"))
+      .withColumn("theta_n", expr("n * sxy - sx * sy"))
+      .withColumn("theta_d", expr("n * sxx - sx * sx"))
+      .withColumn("v_y", expr("n * syy - sy * sy"))
+      .withColumn("ok", expr("n_t > 0 AND n_c > 0"))
+      .withColumn("delta_raw_milli", expr(
+        "CASE WHEN ok THEN (CAST(sy_t AS DECIMAL(38,0)) * n_c - " +
+          "CAST(sy_c AS DECIMAL(38,0)) * n_t) * 1000 DIV (n_t * n_c) END"))
+      .withColumn("delta_x_milli", expr(
+        "CASE WHEN ok THEN (CAST(sx_t AS DECIMAL(38,0)) * n_c - " +
+          "CAST(sx_c AS DECIMAL(38,0)) * n_t) * 1000 DIV (n_t * n_c) END"))
+      .withColumn("theta_milli", expr(
+        "CASE WHEN ok AND theta_d > 0 THEN (theta_n * 1000) DIV theta_d END"))
+      .withColumn("delta_cuped_milli", expr(
+        "CASE WHEN theta_milli IS NOT NULL THEN delta_raw_milli" +
+          " - (theta_milli * delta_x_milli) DIV 1000 END"))
+      .withColumn("rho2_ppm", expr(
+        "CASE WHEN theta_milli IS NOT NULL AND v_y > 0 THEN" +
+          " theta_milli * ((theta_n * 1000) DIV v_y) END"))
+      .select(col("n").as("n_units"), col("n_t").as("n_treat"),
+        col("n_c").as("n_control"), col("delta_raw_milli"),
+        col("delta_x_milli"), col("theta_milli"),
+        col("delta_cuped_milli"), col("rho2_ppm"))
+  }
+
   /** Robust per-group outlier detection via MAD (median absolute
     * deviation): a value is an outlier iff `|x − median| > k · MAD` —
     * the standard heavy-tail-safe alternative to z-scores (one extreme

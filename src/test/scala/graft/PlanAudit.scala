@@ -51,7 +51,8 @@ object PlanAudit {
     "q267_kmv_overlap", // |keys|² sketch-pair grid (q175's key-bounded class)
     "q272_permutation_test", // ONE-row observed-statistic broadcast onto b perm rows
     "q273_poisson_bootstrap", // ONE-row observed-mean broadcast onto the CI row
-    "q274_kaplan_meier") // ONE-row corpus-max-day broadcast onto unit spans
+    "q274_kaplan_meier", // ONE-row corpus-max-day broadcast onto unit spans
+    "q275_cuped") // ONE-row corpus-midpoint-day broadcast onto the event scan
 
   /** Queries whose DESIGN composes several complete pipelines, so their
     * exchange count legitimately exceeds the single-pipeline budget —

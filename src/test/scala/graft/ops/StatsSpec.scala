@@ -481,6 +481,58 @@ class StatsSpec extends SparkTestBase {
     assert(tout == Map(1L -> 666666L, 2L -> 333333L, 3L -> 0L), s"$tout")
   }
 
+  test("cupedReadout: exact floor-sequence mirror, perfect-covariate collapse, constant-x NULLs") {
+    import org.apache.spark.sql.functions.col
+    def arm7(unit: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"7:$unit".getBytes("UTF-8"))
+      ((((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)) % 2)
+    }
+    // 20 units, y loosely tracks x; u7 split across rows (unit-grain sum)
+    val rows = (1 to 20).map(i =>
+      (s"u$i", i.toLong * 3 + (i % 5), i.toLong)) :+ ("u7", 4L, 2L)
+    val units = rows.groupBy(_._1).view
+      .mapValues(rs => (rs.map(_._2).sum, rs.map(_._3).sum)).toMap
+    val n = units.size.toLong
+    val (t1, t0) = units.partition { case (u, _) => arm7(u) == 1L }
+    val (nT, nC) = (t1.size.toLong, t0.size.toLong)
+    val (syT, sxT) = (t1.values.map(_._1).sum, t1.values.map(_._2).sum)
+    val (syC, sxC) = (t0.values.map(_._1).sum, t0.values.map(_._2).sum)
+    val sy = BigInt(syT + syC); val sx = BigInt(sxT + sxC)
+    val sxy = units.values.map { case (y, x) => BigInt(x) * y }.sum
+    val sxx = units.values.map { case (_, x) => BigInt(x) * x }.sum
+    val syy = units.values.map { case (y, _) => BigInt(y) * y }.sum
+    val thetaN = n * sxy - sx * sy; val thetaD = n * sxx - sx * sx
+    val vY = n * syy - sy * sy
+    def divT(a: BigInt, b: BigInt): Long = (a / b).toLong // BigInt / truncates
+    val rawM = divT((BigInt(syT) * nC - BigInt(syC) * nT) * 1000, BigInt(nT) * nC)
+    val dxM = divT((BigInt(sxT) * nC - BigInt(sxC) * nT) * 1000, BigInt(nT) * nC)
+    val thM = divT(thetaN * 1000, thetaD)
+    val out = Stats.cupedReadout(rows.toDF("u", "y", "x"),
+      col("u"), col("y"), col("x")).collect().head
+    assert(out.getLong(0) == n && out.getLong(1) == nT && out.getLong(2) == nC)
+    assert(out.getLong(3) == rawM && out.getLong(4) == dxM)
+    assert(out.getLong(5) == thM, s"theta: ${out.getLong(5)} vs $thM")
+    assert(out.getLong(6) == rawM - thM * dxM / 1000)
+    assert(out.getLong(7) == thM * divT(thetaN * 1000, vY))
+
+    // y = 3x exactly: theta_milli = 3000, rho2 at the ppm ceiling, and
+    // the adjusted delta collapses to floor-jitter around zero
+    val perfect = (1 to 30).map(i => (s"p$i", i.toLong * 9, i.toLong * 3))
+    val p = Stats.cupedReadout(perfect.toDF("u", "y", "x"),
+      col("u"), col("y"), col("x")).collect().head
+    assert(p.getLong(5) == 3000L)
+    assert(p.getLong(7) >= 995000L && p.getLong(7) <= 1000000L, s"rho2: ${p.getLong(7)}")
+    assert(math.abs(p.getLong(6)) <= 3L, s"cuped residual: ${p.getLong(6)}")
+
+    // constant covariate: theta_d = 0 -> slope/cuped/rho2 NULL, raw kept
+    val flat = (1 to 10).map(i => (s"f$i", i.toLong, 5L))
+    val f = Stats.cupedReadout(flat.toDF("u", "y", "x"),
+      col("u"), col("y"), col("x")).collect().head
+    assert(!f.isNullAt(3) && f.isNullAt(5) && f.isNullAt(6) && f.isNullAt(7))
+  }
+
   test("groupEcdf: count-<= semantics, ties share a value, per-group isolation") {
     import org.apache.spark.sql.functions.col
     val df = Seq((1L, "s1", 10L), (2L, "s1", 20L), (3L, "s1", 20L),
