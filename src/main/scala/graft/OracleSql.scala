@@ -4832,6 +4832,51 @@ object OracleSql {
         | CAST(CASE WHEN theta_milli IS NOT NULL AND v_y > 0 THEN
         |   theta_milli * ((theta_n * 1000) // v_y) END AS BIGINT)
         |   AS rho2_ppm
-        |FROM r ORDER BY n_units""".stripMargin
+        |FROM r ORDER BY n_units""".stripMargin,
+
+    // power analysis: cleared variance numerator, MDE^2 floored once,
+    // exact +-1-corrected integer sqrt (floor of the correctly-rounded
+    // IEEE sqrt is within 1 of isqrt on every engine), ceil division
+    "q276_power_analysis" ->
+      """WITH u AS (SELECT CAST(user_id AS VARCHAR) AS unit,
+        |   CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS uv
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND value IS NOT NULL GROUP BY 1),
+        | a AS (SELECT uv,
+        |   ('0x'||substr(md5('7:'||unit),1,8))::BIGINT % 2 AS arm FROM u),
+        | g AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+        |   CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS n_t,
+        |   CAST(sum(CASE WHEN arm = 1 THEN uv ELSE 0 END) AS HUGEINT) AS s_t,
+        |   CAST(sum(CASE WHEN arm = 0 THEN uv ELSE 0 END) AS HUGEINT) AS s_c,
+        |   CAST(sum(CAST(uv AS HUGEINT)) AS HUGEINT) AS sv,
+        |   CAST(sum(CAST(uv AS HUGEINT) * uv) AS HUGEINT) AS svv
+        |  FROM a),
+        | t AS (SELECT n, n_t, n - n_t AS n_c, s_t, s_c,
+        |   n * svv - sv * sv AS vn,
+        |   n >= 2 AND n_t > 0 AND n - n_t > 0 AS ok
+        |  FROM g),
+        | r AS (SELECT n, n_t, n_c, vn, ok,
+        |   CASE WHEN n >= 2 THEN vn // (n * (n - 1)) END AS var_centi2,
+        |   CASE WHEN ok THEN (7848880 * vn * (n_t + n_c))
+        |     // (1000000 * n * (n - 1) * n_t * n_c) END AS mde2,
+        |   CASE WHEN ok THEN (s_t * n_c - s_c * n_t) // (n_t * n_c)
+        |     END AS delta_centi
+        |  FROM t),
+        | s AS (SELECT r.*, CAST(floor(sqrt(CAST(mde2 AS DOUBLE)))
+        |   AS BIGINT) AS c0 FROM r)
+        |SELECT CAST(n AS BIGINT) AS n_units, CAST(n_t AS BIGINT) AS n_treat,
+        | CAST(n_c AS BIGINT) AS n_control,
+        | CAST(var_centi2 AS BIGINT) AS var_centi2,
+        | CAST(CASE WHEN mde2 IS NULL THEN NULL
+        |   WHEN CAST(c0 + 1 AS HUGEINT) * (c0 + 1) <= mde2 THEN c0 + 1
+        |   WHEN CAST(c0 AS HUGEINT) * c0 > mde2 THEN c0 - 1
+        |   ELSE c0 END AS BIGINT) AS mde_centi,
+        | CAST(delta_centi AS BIGINT) AS delta_centi,
+        | CAST(CASE WHEN ok AND delta_centi != 0 THEN
+        |   (2 * 7848880 * vn
+        |     + 1000000 * n * (n - 1) * delta_centi * delta_centi - 1)
+        |   // (1000000 * n * (n - 1) * delta_centi * delta_centi) END
+        |   AS BIGINT) AS n_per_arm_req
+        |FROM s ORDER BY n_units""".stripMargin
   )
 }

@@ -3916,6 +3916,19 @@ object SparkEntry {
     ops.Stats.cupedReadout(split, col("user_id"), col("y"), col("x"), seed = 7)
   }
 
+  /** Experiment power analysis ([[ops.Stats.powerAnalysis]]): the
+    * minimum detectable effect of q250's split at α=0.05 / 80% power
+    * and the per-arm sample size the observed spend delta would need —
+    * variance carried as the cleared DECIMAL(38,0) numerator, the MDE
+    * square floored once and rooted with the exact ±1-corrected
+    * integer sqrt, so even the sqrt replays bit for bit.
+    */
+  private def q276(s: SparkSession, dir: String): DataFrame =
+    ops.Stats.powerAnalysis(Tables.events(s, dir),
+        unitCol = col("user_id"),
+        valueCol = expr("CAST(floor(value * 100) AS BIGINT)"),
+        seed = 7)
+
   /** Keyless binned range join ([[ops.IntervalJoin.binnedPointJoin]]):
     * busy hours are detected from the FULL event stream (hourly count
     * strictly above 1.2× the mean hour, division-cleared to
@@ -4861,7 +4874,8 @@ object SparkEntry {
     "q272_permutation_test" -> q272 _,
     "q273_poisson_bootstrap" -> q273 _,
     "q274_kaplan_meier" -> q274 _,
-    "q275_cuped" -> q275 _
+    "q275_cuped" -> q275 _,
+    "q276_power_analysis" -> q276 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

@@ -562,6 +562,93 @@ object Stats {
         col("delta_cuped_milli"), col("rho2_ppm"))
   }
 
+  /** Exact integer square root as a Column: IEEE `sqrt` is correctly
+    * rounded, so for `q` exactly representable in a double (q ≤ 2⁵²)
+    * `floor(sqrt(q))` is within ±1 of `isqrt(q)` on EVERY engine — two
+    * integer CASE corrections make it exact, turning sqrt from a
+    * 1-ulp portability hazard into a deterministic integer op.
+    */
+  private def isqrt(q: Column): Column = {
+    val c0 = floor(sqrt(q.cast("double"))).cast("long")
+    when(q < 0L, lit(null))
+      .when((c0 + 1) * (c0 + 1) <= q, c0 + 1)
+      .when(c0 * c0 > q, c0 - 1)
+      .otherwise(c0)
+  }
+
+  /** `(z_{α/2} + z_β)²` in micro-units for α = 0.05, power = 0.80 —
+    * `(1.9599640 + 0.8416212)² = 7.848880` — the fixed convention
+    * constant of the two-sample power formula (the [[abChiSquare]]
+    * 3841-milli pattern: conventions are integer literals, never
+    * runtime floats).
+    */
+  private val PowerConstMicro = 7848880L
+
+  /** Experiment power analysis from observed data — "is this test
+    * even winnable, and how long must it run": the minimum detectable
+    * effect (MDE) of the CURRENT arm split at α = 0.05 / 80% power,
+    * and the per-arm sample size required to detect the OBSERVED
+    * delta. The formulas are the standard two-sample normal
+    * approximation `MDE² = C·σ²·(1/n_t + 1/n_c)` and
+    * `n_req = 2·C·σ²/Δ²` with C = [[PowerConstMicro]].
+    *
+    * Exactness: unit variance is carried as the cleared numerator
+    * `VN = n·Σv² − (Σv)²` in DECIMAL(38,0); the MDE square is floored
+    * once to an integer and rooted with [[isqrt]] (exact given the
+    * documented bound: the floored MDE² must fit a double exactly,
+    * i.e. ≤ 2⁵² — metric units up to ~6.7e7 centi). `n_req` uses
+    * ceiling division and NULLs out on a zero observed delta;
+    * everything NULLs on n < 2 or an empty arm.
+    *
+    * Scale: one shuffle to unit grain, one global aggregate —
+    * [[cupedReadout]]'s profile.
+    */
+  def powerAnalysis(
+      df: DataFrame,
+      unitCol: Column,
+      valueCol: Column,
+      seed: Int = 7
+  ): DataFrame = {
+    import graft.functions.Hashing
+    val units = df
+      .select(unitCol.cast("string").as("unit"), valueCol.cast("long").as("v"))
+      .filter(col("unit").isNotNull && col("v").isNotNull)
+      .groupBy("unit").agg(sum(col("v")).as("uv"))
+      .withColumn("arm", pmod(Hashing.md5Hash32(seed, col("unit")), lit(2L)))
+    val d38 = "decimal(38,0)"
+    units
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n_t"),
+        sum(when(col("arm") === 1L, col("uv")).otherwise(0L)).as("s_t"),
+        sum(when(col("arm") === 0L, col("uv")).otherwise(0L)).as("s_c"),
+        sum(col("uv").cast(d38)).as("sv"),
+        sum(col("uv").cast(d38) * col("uv")).as("svv"))
+      .withColumn("n_c", expr("n - n_t"))
+      .withColumn("vn", expr("n * svv - sv * sv"))
+      .withColumn("ok", expr("n >= 2 AND n_t > 0 AND n_c > 0"))
+      // per-unit variance, floored to whole centi^2 units
+      .withColumn("var_centi2", expr(
+        "CASE WHEN n >= 2 THEN vn DIV (CAST(n AS DECIMAL(38,0)) * (n - 1)) END"))
+      .withColumn("mde2", expr(
+        s"CASE WHEN ok THEN ($PowerConstMicro * vn * (n_t + n_c))" +
+          " DIV (CAST(1000000 AS DECIMAL(38,0)) * n * (n - 1) * n_t * n_c) END"))
+      .withColumn("mde_centi", isqrt(col("mde2")))
+      .withColumn("delta_centi", expr(
+        "CASE WHEN ok THEN (CAST(s_t AS DECIMAL(38,0)) * n_c" +
+          " - CAST(s_c AS DECIMAL(38,0)) * n_t) DIV (CAST(n_t AS DECIMAL(38,0)) * n_c) END"))
+      .withColumn("n_per_arm_req", expr(
+        s"CASE WHEN ok AND delta_centi != 0 THEN" +
+          s" (2 * $PowerConstMicro * vn" +
+          "   + CAST(1000000 AS DECIMAL(38,0)) * n * (n - 1) * delta_centi * delta_centi - 1)" +
+          "  DIV (CAST(1000000 AS DECIMAL(38,0)) * n * (n - 1) * delta_centi * delta_centi) END"))
+      .select(col("n").as("n_units"), col("n_t").as("n_treat"),
+        col("n_c").as("n_control"),
+        expr("CAST(var_centi2 AS BIGINT)").as("var_centi2"),
+        col("mde_centi"), col("delta_centi"),
+        expr("CAST(n_per_arm_req AS BIGINT)").as("n_per_arm_req"))
+  }
+
   /** Robust per-group outlier detection via MAD (median absolute
     * deviation): a value is an outlier iff `|x − median| > k · MAD` —
     * the standard heavy-tail-safe alternative to z-scores (one extreme
