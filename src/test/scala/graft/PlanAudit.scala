@@ -49,6 +49,7 @@ object PlanAudit {
     "q246_backtest_folds", // k-row fold grid × ONE-row max-day anchor broadcast
     "q247_seasonal_naive", // keys × ONE-row max-day anchor (scored window grid)
     "q267_kmv_overlap", // |keys|² sketch-pair grid (q175's key-bounded class)
+    "q268_t_closeness", // classes × V-row global-distribution broadcast + ONE-row total (q175's class, per Profile.tCloseness scaladoc)
     "q272_permutation_test", // ONE-row observed-statistic broadcast onto b perm rows
     "q273_poisson_bootstrap", // ONE-row observed-mean broadcast onto the CI row
     "q274_kaplan_meier", // ONE-row corpus-max-day broadcast onto unit spans
