@@ -995,6 +995,16 @@ object Stats {
       sum(when(col("arm") === 1 && col("y") === 0, 1L).otherwise(0L)).as("b"),
       sum(when(col("arm") === 0 && col("y") === 1, 1L).otherwise(0L)).as("c"),
       sum(when(col("arm") === 0 && col("y") === 0, 1L).otherwise(0L)).as("d"))
+    abReadoutFromCells(cells)
+  }
+
+  /** The [[abChiSquare]] readout applied to an already-built one-row
+    * 2×2 cell frame `(a, b, c, d)` — the shared tail that keeps the
+    * batch test and the streaming cell-delta fold
+    * ([[graft.streaming.StatefulOps.abCellsStream]]) on IDENTICAL
+    * readout arithmetic by construction.
+    */
+  private[graft] def abReadoutFromCells(cells: DataFrame): DataFrame = {
     cells
       .withColumn("n_treat", col("a") + col("b"))
       .withColumn("n_control", col("c") + col("d"))

@@ -285,6 +285,19 @@ object StatefulOps {
           b.getLong())
       case v => unknown("LateState", v)
     }
+
+    /** v1: [y: i64][horizonMs: i64]. */
+    def encodeAbSeen(s: AbSeen): VersionedState =
+      VersionedState(1,
+        ByteBuffer.allocate(16).putLong(s.y).putLong(s.horizonMs).array())
+
+    def decodeAbSeen(s: VersionedState): AbSeen = s.version match {
+      case 1 =>
+        if (s.payload.length != 16) corrupt("AbSeen", s, null)
+        val b = ByteBuffer.wrap(s.payload)
+        AbSeen(b.getLong(), b.getLong())
+      case v => unknown("AbSeen", v)
+    }
   }
 
   /** In-memory state of [[nearDupHits]] (stored as [[VersionedState]]
@@ -750,6 +763,91 @@ object StatefulOps {
                 if (hs.length < k) hs.length.toLong
                 else ((k - 1).toLong * 4294967296L) / hs.last
               Iterator(KmvOut(key, n, est))
+            }
+          }
+      }
+  }
+
+  /** Per-unit conversion state of [[abCellsStream]]. */
+  case class AbSeen(y: Long, horizonMs: Long)
+
+  case class AbEvent(unit: String, arm: Long, conv: Boolean,
+      event_time: Timestamp)
+
+  /** One 2×2 cell delta: fold `sum(delta)` per `(arm, y)` to get the
+    * live contingency table.
+    */
+  case class AbDelta(arm: Long, y: Long, delta: Long)
+
+  /** Live A/B contingency cells — the at-ingest twin of
+    * `ops.Stats.abChiSquare`'s unit-grain fold: every unit is assigned
+    * its md5 seed-`seed` arm on first sight and contributes ONE cell
+    * `(arm, y)`; when a later event flips the unit's conversion flag
+    * (`y: 0 → 1`, the batch op's `max(conv)` semantics), the operator
+    * RETRACTS the old cell (−1) and asserts the new (+1). Folding
+    * `sum(delta)` per cell over the drained output therefore equals
+    * the batch op's `(a, b, c, d)` exactly, no matter how events are
+    * batched — and feeding that fold through the SHARED
+    * `Stats.abReadoutFromCells` yields the identical chi-square
+    * readout ("watch the experiment converge while it runs").
+    *
+    * State is TWO longs per unit (the arm is recomputed from the
+    * hash, never stored). Units idle past `ttlMs` beyond the watermark
+    * evict — set `ttlMs` to cover the EXPERIMENT duration: a unit
+    * re-appearing after eviction re-asserts its cell and the fold
+    * double-counts it (the default is 30 days, not the hygiene twins'
+    * hour, for exactly this reason).
+    *
+    * Scale: one shuffle keyed by unit — the same key grain as the
+    * batch op's first aggregate; emission is ≤ 2 rows per unit per
+    * flip, so the output stream is unit-bounded, not event-bounded.
+    */
+  def abCellsStream(
+      df: DataFrame,
+      unitCol: String = "unit",
+      convCol: String = "conv",
+      tsCol: String = "event_time",
+      seed: Int = 7,
+      watermarkDelay: String = "10 seconds",
+      ttlMs: Long = 2592000000L
+  ): Dataset[AbDelta] = {
+    import org.apache.spark.sql.functions._
+    import df.sparkSession.implicits._
+    val rows = df
+      .filter(col(unitCol).isNotNull && col(convCol).isNotNull &&
+        col(tsCol).isNotNull)
+      .select(col(unitCol).cast("string").as("unit"),
+        pmod(graft.functions.Hashing.md5Hash32(seed,
+          col(unitCol).cast("string")), lit(2L)).as("arm"),
+        col(convCol).cast("boolean").as("conv"),
+        col(tsCol).cast("timestamp").as("event_time"))
+      .withWatermark("event_time", watermarkDelay)
+      .as[AbEvent]
+    rows
+      .groupByKey(_.unit)
+      .flatMapGroupsWithState[VersionedState, AbDelta](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (unit: String, it: Iterator[AbEvent], state: GroupState[VersionedState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val rs = it.toSeq
+            if (rs.isEmpty) Iterator.empty
+            else {
+            val arm = rs.head.arm
+            val prior = state.getOption.map(StateCodec.decodeAbSeen)
+            val newY = math.max(prior.map(_.y).getOrElse(0L),
+              if (rs.exists(_.conv)) 1L else 0L)
+            val horizon = (prior.map(_.horizonMs).toSeq ++
+              rs.map(_.event_time.getTime) :+
+              state.getCurrentWatermarkMs()).max
+            state.update(StateCodec.encodeAbSeen(AbSeen(newY, horizon)))
+            state.setTimeoutTimestamp(horizon + ttlMs)
+            prior match {
+              case None => Iterator(AbDelta(arm, newY, 1L))
+              case Some(p) if p.y != newY =>
+                Iterator(AbDelta(arm, p.y, -1L), AbDelta(arm, newY, 1L))
+              case _ => Iterator.empty
+            }
             }
           }
       }

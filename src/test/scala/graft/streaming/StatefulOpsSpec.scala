@@ -800,6 +800,44 @@ class StatefulOpsSpec extends SparkTestBase {
     assert(out == List((1L, 0L, None), (2L, 1L, Some(50000L))), s"got $out")
   }
 
+  test("abCellsStream: folded cell deltas equal batch abChiSquare cells across batches") {
+    import org.apache.spark.sql.functions._
+    // 40 units; u0..u9 convert in batch 1; u10..u19 convert ONLY in
+    // batch 2 (the 0->1 flip must retract the old cell); u20..u39 never
+    val b1 = (0 until 40).map(i => (s"u$i", i < 10, ts("2024-01-01 00:00:01")))
+    val b2 = (10 until 20).map(i => (s"u$i", true, ts("2024-01-01 00:00:02"))) ++
+      Seq(("u0", true, ts("2024-01-01 00:00:02"))) // re-convert: no emission
+    val mem = MemoryStream[(String, Boolean, java.sql.Timestamp)](spark)
+    val query = StatefulOps.abCellsStream(
+        mem.toDS().toDF("unit", "conv", "event_time"),
+        watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("ab_cells")
+      .outputMode("append").start()
+    try {
+      mem.addData(b1); query.processAllAvailable()
+      mem.addData(b2); query.processAllAvailable()
+    } finally query.stop()
+    val folded = spark.table("ab_cells").as[StatefulOps.AbDelta]
+      .groupBy("arm", "y").agg(sum("delta").as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      .withDefaultValue(0L)
+    // batch twin over the SAME union of events
+    val all = (b1 ++ b2).toDF("unit", "conv", "event_time")
+    val batch = graft.ops.Stats.abChiSquare(all, col("unit"), col("conv"))
+      .collect().head
+    val (a, b) = (folded((1L, 1L)), folded((1L, 0L)))
+    val (c, d) = (folded((0L, 1L)), folded((0L, 0L)))
+    assert(a + b == batch.getLong(0), s"n_treat: ${a + b} vs ${batch.getLong(0)}")
+    assert(c + d == batch.getLong(1))
+    assert(a == batch.getLong(2), s"conv_treat: $a vs ${batch.getLong(2)}")
+    assert(c == batch.getLong(3))
+    assert(a + c == 20L && a + b + c + d == 40L)
+    // the shared readout tail over the folded cells = the batch readout
+    val live = graft.ops.Stats.abReadoutFromCells(
+        Seq((a, b, c, d)).toDF("a", "b", "c", "d")).collect().head
+    assert(live == batch, s"live readout $live vs batch $batch")
+  }
+
   test("kmvDistinctStream: drained sketch equals batch kmvDistinct bit for bit, across batches") {
     import org.apache.spark.sql.functions.col
     // key "small" stays under k (exact branch); key "big" exceeds k
