@@ -4877,6 +4877,44 @@ object OracleSql {
         |     + 1000000 * n * (n - 1) * delta_centi * delta_centi - 1)
         |   // (1000000 * n * (n - 1) * delta_centi * delta_centi) END
         |   AS BIGINT) AS n_per_arm_req
-        |FROM s ORDER BY n_units""".stripMargin
+        |FROM s ORDER BY n_units""".stripMargin,
+
+    // calibration: q128's percentile as predicted pass-probability vs
+    // the q86 funnel label; per-bin n cancels out of the ECE, so the
+    // headline number is (sum of per-bin |Sconf - 1e6*Sy|) // N
+    "q277_calibration" ->
+      s"""WITH q AS (SELECT doc_id, lang, text,
+         |    CAST($qualityPpmSql AS BIGINT) AS quality_ppm FROM documents),
+         | r AS (SELECT lang, text, quality_ppm,
+         |   rank() OVER (PARTITION BY lang ORDER BY quality_ppm NULLS FIRST)
+         |     AS rk,
+         |   count(*) OVER (PARTITION BY lang) AS cnt FROM q),
+         | p AS (SELECT
+         |   CASE WHEN cnt > 1 THEN ((rk - 1) * 1000000) // (cnt - 1)
+         |     ELSE 0 END AS conf0,
+         |   string_split(text,' ') AS l, text FROM r),
+         | lb AS (SELECT least(greatest(conf0, 0), 1000000) AS conf,
+         |   CASE WHEN length(text) >= 200 AND len(l) BETWEEN 30 AND 2000
+         |     AND floor((len(l) - len(list_distinct(l))) * 1000000 / len(l))
+         |       < 300000
+         |     AND floor((length(text) - (len(l) - 1)) * 100 / len(l))
+         |       BETWEEN 300 AND 1000
+         |    THEN 1 ELSE 0 END AS y FROM p),
+         | b AS (SELECT least((conf * 10) // 1000000, 9) AS bin, conf, y
+         |  FROM lb),
+         | c AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+         |   CAST(sum(CAST(conf AS HUGEINT)) AS HUGEINT) AS sc,
+         |   CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy
+         |  FROM b GROUP BY 1),
+         | t AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+         |   CAST(sum(abs(sc - sy * 1000000)) AS HUGEINT) AS gap FROM c)
+         |SELECT CAST(bin AS BIGINT) AS bin, n,
+         | CAST(sc // n AS BIGINT) AS mean_conf_ppm,
+         | CAST((sy * 1000000) // n AS BIGINT) AS acc_ppm,
+         | CAST(NULL AS BIGINT) AS ece_ppm FROM c
+         |UNION ALL
+         |SELECT -1, nn, NULL, NULL,
+         | CAST(CASE WHEN nn > 0 THEN gap // nn END AS BIGINT) FROM t
+         |ORDER BY bin""".stripMargin
   )
 }

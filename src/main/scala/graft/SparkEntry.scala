@@ -3929,6 +3929,22 @@ object SparkEntry {
         valueCol = expr("CAST(floor(value * 100) AS BIGINT)"),
         seed = 7)
 
+  /** Calibration of the quality percentile ([[ops.Stats
+    * .calibrationReport]]): treating q128's within-language quality
+    * percentile as a predicted probability of passing the q86 funnel,
+    * does "70th percentile" pass ~70% of the time? Decile reliability
+    * rows plus the exact integer ECE (per-bin n cancels, so the
+    * headline number has exactly ONE floor).
+    */
+  private def q277(s: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("text"),
+        TextOps.qualityScorePpm(col("text")).as("quality_ppm"))
+    val conf = TextOps.percentileRankPpm(scored, col("lang"), col("quality_ppm"))
+      .withColumn("pass", TextOps.qualityFunnelOk(col("text")))
+    ops.Stats.calibrationReport(conf, col("pct_ppm"), col("pass"), bins = 10)
+  }
+
   /** Keyless binned range join ([[ops.IntervalJoin.binnedPointJoin]]):
     * busy hours are detected from the FULL event stream (hourly count
     * strictly above 1.2× the mean hour, division-cleared to
@@ -4875,7 +4891,8 @@ object SparkEntry {
     "q273_poisson_bootstrap" -> q273 _,
     "q274_kaplan_meier" -> q274 _,
     "q275_cuped" -> q275 _,
-    "q276_power_analysis" -> q276 _
+    "q276_power_analysis" -> q276 _,
+    "q277_calibration" -> q277 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

@@ -649,6 +649,55 @@ object Stats {
         expr("CAST(n_per_arm_req AS BIGINT)").as("n_per_arm_req"))
   }
 
+  /** Calibration report + expected calibration error (ECE), exact —
+    * "when the model says 70%, is it right 70% of the time": scores in
+    * ppm are cut into `bins` equal-width confidence bins; each
+    * occupied bin reports its size, mean confidence, and empirical
+    * accuracy, and a trailing `bin = -1` row carries the ECE.
+    *
+    * The per-bin `n_b` cancels out of the textbook ECE
+    * `Σ_b (n_b/N)·|conf̄_b − acc_b|`, leaving the fully-integer
+    * `ece_ppm = (Σ_b |Σconf_b − 10⁶·Σy_b|) DIV N` — one exact
+    * floor, no per-bin division anywhere in the headline number.
+    *
+    * Scale: one shuffle to ≤ `bins` cells; the report is cell-sized.
+    * Confidences are clamped to [0, 10⁶]; ppm 10⁶ lands in the last
+    * bin.
+    */
+  def calibrationReport(
+      df: DataFrame,
+      confPpmCol: Column,
+      labelCol: Column,
+      bins: Int = 10
+  ): DataFrame = {
+    require(bins >= 2, "need at least two confidence bins")
+    val base = df
+      .select(confPpmCol.cast("long").as("conf0"),
+        labelCol.cast("boolean").as("yb"))
+      .filter(col("conf0").isNotNull && col("yb").isNotNull)
+      .select(
+        least(greatest(col("conf0"), lit(0L)), lit(1000000L)).as("conf"),
+        when(col("yb"), 1L).otherwise(0L).as("y"))
+      .withColumn("bin",
+        least(expr(s"(conf * $bins) DIV 1000000"), lit(bins - 1L)))
+    val cells = base.groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(col("conf").cast("decimal(38,0)")).as("sc"),
+        sum(col("y")).as("sy"))
+    val binRows = cells.select(col("bin"), col("n"),
+      expr("sc DIV n").as("mean_conf_ppm"),
+      expr("(CAST(sy AS DECIMAL(38,0)) * 1000000) DIV n").as("acc_ppm"),
+      lit(null).cast("long").as("ece_ppm"))
+    val total = cells
+      .agg(sum(col("n")).as("nn"),
+        sum(expr("abs(sc - CAST(sy AS DECIMAL(38,0)) * 1000000)")).as("gap"))
+      .select(lit(-1L).as("bin"), col("nn").as("n"),
+        lit(null).cast("long").as("mean_conf_ppm"),
+        lit(null).cast("long").as("acc_ppm"),
+        expr("CASE WHEN nn > 0 THEN gap DIV nn END").as("ece_ppm"))
+    binRows.unionByName(total).orderBy("bin")
+  }
+
   /** Robust per-group outlier detection via MAD (median absolute
     * deviation): a value is an outlier iff `|x − median| > k · MAD` —
     * the standard heavy-tail-safe alternative to z-scores (one extreme

@@ -582,6 +582,40 @@ class StatsSpec extends SparkTestBase {
     assert(f.getLong(5) == 0L && f.isNullAt(6))
   }
 
+  test("calibrationReport: hand bins, n-cancelled ECE, clamping and edge bin") {
+    import org.apache.spark.sql.functions.col
+    // bin 2 (200k-300k): 4 rows conf 250000, 1 of 4 passes -> acc 250000
+    //   gap contribution |1000000 - 1000000| = 0 (perfectly calibrated)
+    // bin 9: conf 1000000 (edge -> bin 9) x2, both pass -> acc 1e6, gap 0
+    // bin 0: conf 0 x2, one passes -> acc 500000, gap |0 - 1e6| = 1e6
+    val rows = Seq.fill(3)((250000L, false)) :+ ((250000L, true)) :+
+      ((1000000L, true)) :+ ((1000000L, true)) :+
+      ((0L, false)) :+ ((0L, true)) :+
+      ((-50L, false)) // clamps to 0 -> bin 0
+    val out = Stats.calibrationReport(rows.toDF("conf", "y"),
+      col("conf"), col("y"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4)))).toMap
+    assert(out(2L) == ((4L, 250000L, 250000L, -1L)))
+    assert(out(9L) == ((2L, 1000000L, 1000000L, -1L)))
+    // bin 0: 3 rows (two 0s + clamped -50), one passes
+    assert(out(0L) == ((3L, 0L, 333333L, -1L)))
+    // ECE: gaps 0 (bin2) + 0 (bin9) + |0 - 1e6| (bin0) = 1e6 over N=9
+    assert(out(-1L) == ((9L, -1L, -1L, 1000000L / 9L)), s"${out(-1L)}")
+
+    // perfectly calibrated two bins -> ECE 0
+    val perf = Seq.fill(2)((250000L, false)) ++ Seq((500000L, true)) :+
+      ((250000L, true)) :+ ((250000L, false)) // 1/4 pass at 250k
+    // 250k bin: 4 rows 1 pass: gap |4*250000 - 1e6| = 0; 500k bin (bin 5):
+    // 1 row 1 pass: gap |500000 - 1000000| = 500000
+    val p = Stats.calibrationReport(perf.toDF("conf", "y"), col("conf"), col("y"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(4)) -1L else r.getLong(4))).toMap
+    assert(p(-1L) == 500000L / 5L)
+  }
+
   test("groupEcdf: count-<= semantics, ties share a value, per-group isolation") {
     import org.apache.spark.sql.functions.col
     val df = Seq((1L, "s1", 10L), (2L, "s1", 20L), (3L, "s1", 20L),
