@@ -4915,6 +4915,50 @@ object OracleSql {
          |UNION ALL
          |SELECT -1, nn, NULL, NULL,
          | CAST(CASE WHEN nn > 0 THEN gap // nn END AS BIGINT) FROM t
-         |ORDER BY bin""".stripMargin
+         |ORDER BY bin""".stripMargin,
+
+    // split-conformal: calibration residual rank 14 of 14 = the 90%
+    // conformal width for the week-seasonal naive; coverage on the
+    // held-out final week, all integer
+    "q278_conformal_interval" ->
+      """WITH daily AS (SELECT event_type AS key,
+        |   CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |   CAST(count(*) AS BIGINT) AS y
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        | mx AS (SELECT max(day) AS dmax FROM daily),
+        | cal AS (SELECT k.key, gs.day
+        |  FROM (SELECT DISTINCT key FROM daily) k,
+        |   (SELECT unnest(generate_series((SELECT dmax FROM mx) - 20,
+        |      (SELECT dmax FROM mx) - 7)) AS day) gs),
+        | cr AS (SELECT g.key, g.day,
+        |   abs(coalesce(a.y, 0) - coalesce(p.y, 0)) AS r
+        |  FROM cal g
+        |   LEFT JOIN daily a ON a.key = g.key AND a.day = g.day
+        |   LEFT JOIN daily p ON p.key = g.key AND p.day = g.day - 7),
+        | rk AS (SELECT key, r,
+        |   row_number() OVER (PARTITION BY key ORDER BY r, day) AS rn
+        |  FROM cr),
+        | qh AS (SELECT key, r AS width FROM rk WHERE rn = 14),
+        | te AS (SELECT k.key, gs.day
+        |  FROM (SELECT DISTINCT key FROM daily) k,
+        |   (SELECT unnest(generate_series((SELECT dmax FROM mx) - 6,
+        |      (SELECT dmax FROM mx))) AS day) gs),
+        | tr AS (SELECT g.key,
+        |   abs(coalesce(a.y, 0) - coalesce(p.y, 0)) AS r
+        |  FROM te g
+        |   LEFT JOIN daily a ON a.key = g.key AND a.day = g.day
+        |   LEFT JOIN daily p ON p.key = g.key AND p.day = g.day - 7),
+        | ag AS (SELECT tr.key, max(qh.width) AS width,
+        |   CAST(count(*) AS BIGINT) AS n_test,
+        |   CAST(sum(CASE WHEN tr.r <= qh.width THEN 1 ELSE 0 END) AS BIGINT)
+        |     AS n_cov
+        |  FROM tr LEFT JOIN qh ON qh.key = tr.key GROUP BY 1)
+        |SELECT key AS event_type, CAST(14 AS BIGINT) AS n_calib,
+        | CAST(width AS BIGINT) AS width, n_test,
+        | CASE WHEN width IS NOT NULL THEN n_cov END AS n_covered,
+        | CAST(CASE WHEN width IS NOT NULL THEN (n_cov * 1000000) // n_test
+        |   END AS BIGINT) AS coverage_ppm
+        |FROM ag ORDER BY event_type""".stripMargin
   )
 }

@@ -3945,6 +3945,22 @@ object SparkEntry {
     ops.Stats.calibrationReport(conf, col("pct_ppm"), col("pass"), bins = 10)
   }
 
+  /** Split-conformal forecast intervals ([[ops.TimeSeries
+    * .conformalInterval]]): q247's week-seasonal naive forecaster gets
+    * distribution-free 90% error bars — width = the 14th-smallest
+    * absolute residual on a 14-day calibration window (the
+    * ⌈(n+1)(1−α)⌉ conformal rank), coverage measured on the held-out
+    * final week. Residual, rank selection, and coverage are all
+    * integer-exact.
+    */
+  private def q278(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.conformalInterval(Tables.events(s, dir),
+        col("event_type"), col("ts"),
+        horizonDays = 7, seasonDays = 7, calibDays = 14,
+        alphaPpm = 100000L)
+      .withColumnRenamed("key", "event_type")
+      .orderBy("event_type")
+
   /** Keyless binned range join ([[ops.IntervalJoin.binnedPointJoin]]):
     * busy hours are detected from the FULL event stream (hourly count
     * strictly above 1.2× the mean hour, division-cleared to
@@ -4892,7 +4908,8 @@ object SparkEntry {
     "q274_kaplan_meier" -> q274 _,
     "q275_cuped" -> q275 _,
     "q276_power_analysis" -> q276 _,
-    "q277_calibration" -> q277 _
+    "q277_calibration" -> q277 _,
+    "q278_conformal_interval" -> q278 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

@@ -587,6 +587,87 @@ object TimeSeries {
         expr(s"(sum(__ae) * 1000000) DIV $horizonDays").as("mae_ppm"))
   }
 
+  /** Split-conformal prediction intervals for the seasonal-naive
+    * forecaster — the distribution-free way to put HONEST error bars
+    * on a forecast: the interval width is the
+    * `⌈(n+1)(1−α)⌉`-th smallest absolute residual on a calibration
+    * window disjoint from the test window, which guarantees
+    * `P(actual ∈ interval) ≥ 1−α` with NO distributional assumptions
+    * (Vovk et al.; the finite-sample exchangeability argument).
+    *
+    * Windows, newest last: … | calibration (`calibDays`) | test
+    * (`horizonDays`) |. Missing days count as 0 on both sides (a
+    * day with no events is an observation — [[seasonalNaiveBacktest]]'s
+    * convention). Everything is integer-exact: residuals are count
+    * differences, the width is a rank-selected order statistic
+    * (`k = ⌈(n+1)(10⁶−alphaPpm)/10⁶⌉`, ties broken by day — value-
+    * deterministic), coverage is an exact ppm ratio. `k > n` (too few
+    * calibration days for the requested confidence) yields NULL width
+    * and coverage — the conformal interval is infinite, not huge.
+    *
+    * Output per key: `(key, n_calib, width, n_test, n_covered,
+    * coverage_ppm)` — the conformal guarantee says `coverage_ppm ≳
+    * 10⁶ − alphaPpm` on exchangeable data; a big shortfall means the
+    * series drifted between calibration and test.
+    *
+    * Scale: daily rollup (one shuffle); every later frame is
+    * `keys × (calibDays + horizonDays)` rows — window-bounded, not
+    * corpus-bounded.
+    */
+  def conformalInterval(
+      df: DataFrame,
+      keyCol: Column,
+      tsCol: Column,
+      horizonDays: Int,
+      seasonDays: Int,
+      calibDays: Int,
+      alphaPpm: Long = 100000L
+  ): DataFrame = {
+    require(horizonDays >= 1 && seasonDays >= 1 && calibDays >= 1,
+      "need horizonDays, seasonDays, calibDays >= 1")
+    require(alphaPpm > 0L && alphaPpm < 1000000L, "alphaPpm in (0, 1e6)")
+    val daily = df.filter(keyCol.isNotNull && tsCol.isNotNull)
+      .select(keyCol.as("key"), unix_timestamp(tsCol).cast("long").as("__ep"))
+      .withColumn("day", expr("__ep DIV 86400"))
+      .groupBy("key", "day")
+      .agg(count(lit(1)).as("y"))
+    val dmax = daily.agg(max(col("day")).as("__dmax"))
+    def grid(loOff: Int, hiOff: Int) = daily.select(col("key")).distinct()
+      .crossJoin(broadcast(dmax))
+      .select(col("key"),
+        explode(sequence(col("__dmax") + loOff, col("__dmax") + hiOff))
+          .as("day"))
+    val actual = daily.withColumnRenamed("y", "__ya")
+    val lagged = daily
+      .select(col("key"), (col("day") + seasonDays).as("day"),
+        col("y").as("__yp"))
+    def withResid(g: DataFrame) = g
+      .join(actual, Seq("key", "day"), "left")
+      .join(lagged, Seq("key", "day"), "left")
+      .withColumn("__r", abs(coalesce(col("__ya"), lit(0L)) -
+        coalesce(col("__yp"), lit(0L))))
+    // k-th smallest calibration residual, k = ceil((n+1)(1e6-alpha)/1e6)
+    val k = ((calibDays + 1L) * (1000000L - alphaPpm) + 999999L) / 1000000L
+    val qhat = withResid(grid(-(horizonDays + calibDays) + 1, -horizonDays))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("key")).orderBy(col("__r"), col("day"))))
+      .filter(col("__rn") === k)
+      .select(col("key"), col("__r").as("width"))
+    withResid(grid(-horizonDays + 1, 0))
+      .join(qhat, Seq("key"), "left")
+      .groupBy("key")
+      .agg(lit(calibDays.toLong).as("n_calib"),
+        max(col("width")).as("width"),
+        count(lit(1)).as("n_test"),
+        sum(when(col("__r") <= col("width"), 1L).otherwise(0L)).as("n_cov"))
+      .withColumn("n_covered",
+        when(col("width").isNotNull, col("n_cov")))
+      .withColumn("coverage_ppm", expr(
+        "CASE WHEN width IS NOT NULL THEN (n_cov * 1000000) DIV n_test END"))
+      .select(col("key"), col("n_calib"), col("width"), col("n_test"),
+        col("n_covered"), col("coverage_ppm"))
+  }
+
   /** Stream hygiene audit — the per-key delivery-quality report an
     * ingestion pipeline checks BEFORE trusting event-time logic
     * downstream: in (event-time, sequence) order, how many adjacent

@@ -334,6 +334,35 @@ class TimeSeriesSpec extends SparkTestBase {
     }
   }
 
+  test("conformalInterval: rank-selected width, coverage counts misses, k>n NULLs") {
+    def mk(key: String, counts: Map[Int, Int]): Seq[(String, Timestamp)] =
+      counts.toSeq.flatMap { case (d, n) =>
+        (1 to n).map(_ => (key, new Timestamp(d * 86400000L + 1000L)))
+      }
+    // key a: c(d) = d/7 + 1 over days 0..27, EXCEPT day 22 missing and
+    // day 25 has +2. Calib (days 7..20): every |c(d)-c(d-7)| = 1 ->
+    // width = 1. Test (21..27): days 22 (|0-3|=3) and 25 (|6-3|=3) miss.
+    val ca = (0 to 27).filter(_ != 22)
+      .map(d => d -> (d / 7 + 1 + (if (d == 25) 2 else 0))).toMap
+    // key b: flat 2/day -> width 0, everything covered
+    val cb = (0 to 27).map(d => d -> 2).toMap
+    val out = TimeSeries.conformalInterval(
+        (mk("a", ca) ++ mk("b", cb)).toDF("k", "ts"),
+        col("k"), col("ts"),
+        horizonDays = 7, seasonDays = 7, calibDays = 14)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4, t._5, t._6))).toMap
+    assert(out("a") == ((14L, 1L, 7L, 5L, 5000000L / 7L)), s"${out("a")}")
+    assert(out("b") == ((14L, 0L, 7L, 7L, 1000000L)))
+
+    // k = ceil(5 * 0.9) = 5 > calibDays=4 -> infinite interval -> NULLs
+    val tight = TimeSeries.conformalInterval(mk("a", ca).toDF("k", "ts"),
+        col("k"), col("ts"),
+        horizonDays = 7, seasonDays = 7, calibDays = 4)
+      .collect().head
+    assert(tight.isNullAt(2) && tight.isNullAt(4) && tight.isNullAt(5))
+  }
+
   test("seasonalNaiveBacktest: lag-7 prediction, missing days are zero observations") {
     // key a: days 0..6 have 2/day, days 7..13 have 5/day except day 10 missing
     val days = (0 to 13).filter(_ != 10).map(d => d -> (if (d < 7) 2 else 5))
