@@ -4959,6 +4959,30 @@ object OracleSql {
         | CASE WHEN width IS NOT NULL THEN n_cov END AS n_covered,
         | CAST(CASE WHEN width IS NOT NULL THEN (n_cov * 1000000) // n_test
         |   END AS BIGINT) AS coverage_ppm
-        |FROM ag ORDER BY event_type""".stripMargin
+        |FROM ag ORDER BY event_type""".stripMargin,
+
+    // quantile normalization: within-lang percentile -> pooled value at
+    // the same permille (rank-selected grid, equi-join on g)
+    "q279_quantile_normalize" ->
+      s"""WITH q AS (SELECT doc_id, lang,
+         |    CAST($qualityPpmSql AS BIGINT) AS quality_ppm FROM documents),
+         | p AS (SELECT doc_id, lang, quality_ppm,
+         |   CASE WHEN cnt > 1 THEN ((rk - 1) * 1000000) // (cnt - 1)
+         |     ELSE 0 END AS pct_ppm
+         |  FROM (SELECT doc_id, lang, quality_ppm,
+         |    rank() OVER (PARTITION BY lang ORDER BY quality_ppm) AS rk,
+         |    count(*) OVER (PARTITION BY lang) AS cnt FROM q)),
+         | pool AS (SELECT quality_ppm AS v,
+         |   row_number() OVER (ORDER BY quality_ppm) AS rn FROM q),
+         | n1 AS (SELECT count(*) AS n FROM q),
+         | grid AS (SELECT gs.g, pool.v AS norm_score
+         |  FROM (SELECT unnest(generate_series(0, 1000)) AS g) gs
+         |   CROSS JOIN n1
+         |   JOIN pool ON pool.rn = 1 + ((n1.n - 1) * gs.g) // 1000)
+         |SELECT p.doc_id, p.lang, p.quality_ppm,
+         | CAST(p.pct_ppm AS BIGINT) AS pct_ppm,
+         | CAST(grid.norm_score AS BIGINT) AS norm_score
+         |FROM p JOIN grid ON grid.g = p.pct_ppm // 1000
+         |ORDER BY doc_id""".stripMargin
   )
 }

@@ -3961,6 +3961,23 @@ object SparkEntry {
       .withColumnRenamed("key", "event_type")
       .orderBy("event_type")
 
+  /** Quantile normalization ([[ops.Stats.quantileNormalize]]): q31's
+    * quality scores made comparable ACROSS languages — each document's
+    * within-language percentile mapped onto the pooled corpus's value
+    * at the same permille (rank-selected, value-deterministic), so a
+    * mixed-language quality cutoff keeps the same fraction of every
+    * language. Both rank windows, the 1001-point grid, and the
+    * permille lookup replay exactly.
+    */
+  private def q279(s: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        TextOps.qualityScorePpm(col("text")).as("quality_ppm"))
+    ops.Stats.quantileNormalize(scored, col("lang"), col("quality_ppm"))
+      .select("doc_id", "lang", "quality_ppm", "pct_ppm", "norm_score")
+      .orderBy("doc_id")
+  }
+
   /** Keyless binned range join ([[ops.IntervalJoin.binnedPointJoin]]):
     * busy hours are detected from the FULL event stream (hourly count
     * strictly above 1.2× the mean hour, division-cleared to
@@ -4909,7 +4926,8 @@ object SparkEntry {
     "q275_cuped" -> q275 _,
     "q276_power_analysis" -> q276 _,
     "q277_calibration" -> q277 _,
-    "q278_conformal_interval" -> q278 _
+    "q278_conformal_interval" -> q278 _,
+    "q279_quantile_normalize" -> q279 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

@@ -698,6 +698,60 @@ object Stats {
     binRows.unionByName(total).orderBy("bin")
   }
 
+  /** Quantile normalization across sources — the batch-effect
+    * correction for mixing corpora scored on different scales: each
+    * row's WITHIN-key percentile is mapped onto the POOLED
+    * distribution's value at the same permille, so "top decile of
+    * source A" and "top decile of source B" land on the same
+    * normalized score while within-source order is preserved exactly.
+    *
+    * Integer end to end: within-key percentile is the
+    * [[graft.ext.TextOps.percentileRankPpm]] convention
+    * `(rank−1)·10⁶ DIV (cnt−1)`; the pooled side is a 1001-point
+    * permille grid of rank-selected order statistics (`rn = 1 +
+    * (N−1)·g DIV 1000` — value-deterministic under ties since rows
+    * are sorted by value), and each row equi-joins the grid at
+    * `g = pct_ppm DIV 1000` — a broadcast lookup, no as-of needed.
+    *
+    * Scale: the pooled grid needs one global sort window (the
+    * percentileRankPpm verifier-scale formulation — swap in the
+    * histogram decomposition `Sampling.selectTokenBudget` uses when a
+    * single key dominates); the grid itself is 1001 rows broadcast,
+    * and the normalization join is map-side.
+    *
+    * Output: the input columns plus `pct_ppm` (within-key) and
+    * `norm_score` (pooled value at that permille). NULL keys/scores
+    * are dropped.
+    */
+  def quantileNormalize(
+      df: DataFrame,
+      keyCol: Column,
+      scoreCol: Column
+  ): DataFrame = {
+    val base = df.filter(keyCol.isNotNull && scoreCol.isNotNull)
+    val wk = Window.partitionBy(keyCol).orderBy(scoreCol.asc)
+    val wkAll = Window.partitionBy(keyCol)
+    val pct = base
+      .withColumn("__rk", rank().over(wk).cast("long"))
+      .withColumn("__cnt", count(lit(1)).over(wkAll))
+      .withColumn("pct_ppm",
+        when(col("__cnt") > 1,
+          expr("CAST(((__rk - 1) * 1000000) DIV (__cnt - 1) AS BIGINT)"))
+          .otherwise(lit(0L)))
+      .drop("__rk", "__cnt")
+    val pooled = base.select(scoreCol.cast("long").as("__v"))
+      .withColumn("__rn", row_number().over(Window.orderBy(col("__v"))))
+    val grid = base.agg(count(lit(1)).as("__n"))
+      .select(explode(sequence(lit(0L), lit(1000L))).as("__g"), col("__n"))
+      .withColumn("__rn", expr("1 + ((__n - 1) * __g) DIV 1000"))
+      .join(pooled, Seq("__rn"))
+      .select(col("__g"), col("__v").as("norm_score"))
+    pct
+      .withColumn("__g", expr("pct_ppm DIV 1000"))
+      .join(broadcast(grid), Seq("__g"))
+      .drop("__g")
+  }
+
   /** Robust per-group outlier detection via MAD (median absolute
     * deviation): a value is an outlier iff `|x − median| > k · MAD` —
     * the standard heavy-tail-safe alternative to z-scores (one extreme

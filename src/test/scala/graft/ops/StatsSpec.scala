@@ -616,6 +616,33 @@ class StatsSpec extends SparkTestBase {
     assert(p(-1L) == 500000L / 5L)
   }
 
+  test("quantileNormalize: cross-source comparability via the pooled permille grid") {
+    import org.apache.spark.sql.functions.col
+    // A scored 10..40, B scored 100..200 — different scales, same ranks
+    val rows = Seq(("A", 10L), ("A", 20L), ("A", 30L), ("A", 40L),
+      ("B", 100L), ("B", 200L))
+    val out = Stats.quantileNormalize(rows.toDF("k", "s"), col("k"), col("s"))
+      .select("k", "s", "pct_ppm", "norm_score")
+      .as[(String, Long, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> ((t._3, t._4))).toMap
+    // pooled sorted: 10,20,30,40,100,200 (N=6); grid rn = 1 + 5g DIV 1000
+    assert(out(("A", 10L)) == ((0L, 10L)))
+    assert(out(("A", 20L)) == ((333333L, 20L))) // g=333 -> rn 2
+    assert(out(("A", 30L)) == ((666666L, 40L))) // g=666 -> rn 4
+    assert(out(("A", 40L)) == ((1000000L, 200L)))
+    assert(out(("B", 100L)) == ((0L, 10L)))
+    assert(out(("B", 200L)) == ((1000000L, 200L)))
+    // the point of the operator: both sources' tops land on ONE value
+    assert(out(("A", 40L))._2 == out(("B", 200L))._2)
+
+    // single-row key: pct 0 by convention -> pooled minimum
+    val solo = Stats.quantileNormalize(
+      (rows :+ (("C", 999L))).toDF("k", "s"), col("k"), col("s"))
+      .filter(col("k") === "C").select("norm_score")
+      .as[Long].collect().head
+    assert(solo == 10L)
+  }
+
   test("groupEcdf: count-<= semantics, ties share a value, per-group isolation") {
     import org.apache.spark.sql.functions.col
     val df = Seq((1L, "s1", 10L), (2L, "s1", 20L), (3L, "s1", 20L),
