@@ -4983,6 +4983,57 @@ object OracleSql {
          | CAST(p.pct_ppm AS BIGINT) AS pct_ppm,
          | CAST(grid.norm_score AS BIGINT) AS norm_score
          |FROM p JOIN grid ON grid.g = p.pct_ppm // 1000
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+
+    // KMV rollup: min-k merge is lossless, so every level recomputed
+    // from scratch here must equal the engine's leaf-merged sketches
+    "q280_kmv_rollup" ->
+      """WITH b AS (SELECT event_type AS l1,
+        |   CAST((((CAST(floor(epoch(ts)) AS BIGINT) // 86400) + 4) % 7)
+        |     AS VARCHAR) AS l2,
+        |   user_id
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |    AND user_id IS NOT NULL),
+        | hx AS (SELECT l1, l2,
+        |   ('0x'||substr(md5('11:'||CAST(user_id AS VARCHAR)),1,8))::BIGINT
+        |     AS hv FROM b),
+        | h2 AS (SELECT DISTINCT l1, l2, hv FROM hx),
+        | r2 AS (SELECT l1, l2, hv,
+        |   row_number() OVER (PARTITION BY l1, l2 ORDER BY hv) AS rk,
+        |   count(*) OVER (PARTITION BY l1, l2) AS nd FROM h2),
+        | s2 AS (SELECT l1, l2, max(nd) AS nd,
+        |   max(CASE WHEN rk = 64 THEN hv END) AS h64 FROM r2 GROUP BY 1, 2),
+        | n2 AS (SELECT l1, l2, CAST(count(*) AS BIGINT) AS n_rows
+        |  FROM b GROUP BY 1, 2),
+        | h1 AS (SELECT DISTINCT l1, hv FROM hx),
+        | r1 AS (SELECT l1, hv,
+        |   row_number() OVER (PARTITION BY l1 ORDER BY hv) AS rk,
+        |   count(*) OVER (PARTITION BY l1) AS nd FROM h1),
+        | s1 AS (SELECT l1, max(nd) AS nd,
+        |   max(CASE WHEN rk = 64 THEN hv END) AS h64 FROM r1 GROUP BY 1),
+        | n1 AS (SELECT l1, CAST(count(*) AS BIGINT) AS n_rows
+        |  FROM b GROUP BY 1),
+        | h0 AS (SELECT DISTINCT hv FROM hx),
+        | r0 AS (SELECT hv, row_number() OVER (ORDER BY hv) AS rk,
+        |   count(*) OVER () AS nd FROM h0),
+        | s0 AS (SELECT max(nd) AS nd,
+        |   max(CASE WHEN rk = 64 THEN hv END) AS h64 FROM r0),
+        | n0 AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM b)
+        |SELECT * FROM (
+        | SELECT CAST(2 AS BIGINT) AS lvl, s2.l1, s2.l2, n2.n_rows,
+        |  CAST(CASE WHEN s2.nd < 64 THEN s2.nd
+        |    ELSE (63 * 4294967296) // s2.h64 END AS BIGINT) AS est_distinct
+        | FROM s2 JOIN n2 ON s2.l1 = n2.l1 AND s2.l2 = n2.l2
+        | UNION ALL
+        | SELECT 1, s1.l1, NULL, n1.n_rows,
+        |  CAST(CASE WHEN s1.nd < 64 THEN s1.nd
+        |    ELSE (63 * 4294967296) // s1.h64 END AS BIGINT)
+        | FROM s1 JOIN n1 ON s1.l1 = n1.l1
+        | UNION ALL
+        | SELECT 0, NULL, NULL, n0.n_rows,
+        |  CAST(CASE WHEN s0.nd < 64 THEN s0.nd
+        |    ELSE (63 * 4294967296) // s0.h64 END AS BIGINT)
+        | FROM s0 CROSS JOIN n0)
+        |ORDER BY lvl, l1 NULLS FIRST, l2 NULLS FIRST""".stripMargin
   )
 }

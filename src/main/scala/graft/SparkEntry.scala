@@ -3978,6 +3978,20 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Hierarchical KMV rollup ([[ops.Sketches.kmvRollup]]): distinct
+    * users per (event_type, weekday), per event_type, and overall —
+    * three levels from ONE scan, the upper two built by merging the
+    * leaf sketches (min-k merge is lossless, so merged estimates are
+    * bit-identical to direct ones; the oracle recomputes every level
+    * from scratch and must agree).
+    */
+  private def q280(s: SparkSession, dir: String): DataFrame =
+    ops.Sketches.kmvRollup(Tables.events(s, dir),
+        l1Col = col("event_type"),
+        l2Col = expr("((CAST(unix_timestamp(ts) AS BIGINT) DIV 86400) + 4) % 7"),
+        itemCol = col("user_id"),
+        k = 64)
+
   /** Keyless binned range join ([[ops.IntervalJoin.binnedPointJoin]]):
     * busy hours are detected from the FULL event stream (hourly count
     * strictly above 1.2× the mean hour, division-cleared to
@@ -4927,7 +4941,8 @@ object SparkEntry {
     "q276_power_analysis" -> q276 _,
     "q277_calibration" -> q277 _,
     "q278_conformal_interval" -> q278 _,
-    "q279_quantile_normalize" -> q279 _
+    "q279_quantile_normalize" -> q279 _,
+    "q280_kmv_rollup" -> q280 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

@@ -208,4 +208,66 @@ object Sketches {
       .select(col("key_a"), col("key_b"), col("union_est"),
         col("__inter").cast("long").as("n_common_mink"), col("jaccard_ppm"))
   }
+
+  /** Hierarchical KMV rollup — distinct counts at THREE grouping
+    * levels from ONE scan of the data, exploiting the property that
+    * makes sketches the 100 TB answer: min-k sketches MERGE losslessly
+    * (the union's k smallest hashes are among the children's k
+    * smallest), so the `(l1)` and grand-total sketches are built from
+    * the `(l1, l2)` leaf sketches — k-length arrays — without
+    * rereading a single row. A `GROUPING SETS` distinct-count would
+    * rescan (or reshuffle every distinct value) once per level.
+    *
+    * Merged estimates are IDENTICAL to directly-computed ones (not
+    * approximately — the merge is exact on the sketch), which is what
+    * the oracle exploits: it recomputes each level from scratch and
+    * must match bit for bit.
+    *
+    * Output: `(lvl, l1, l2, n_rows, est_distinct)` with `lvl` = 2
+    * (leaf), 1 (per-l1, `l2` NULL), 0 (grand total, both NULL) — the
+    * rollup NULL convention.
+    *
+    * Scale: one narrow O(k)-state shuffle over the rows, then two
+    * leaf-cell-bounded merges.
+    */
+  def kmvRollup(
+      df: DataFrame,
+      l1Col: Column,
+      l2Col: Column,
+      itemCol: Column,
+      k: Int = 64,
+      seed: Int = 11
+  ): DataFrame = {
+    require(k >= 2, "k must be at least 2")
+    val mink = udaf(new MinKHashes(k))
+    val leaf = df
+      .filter(l1Col.isNotNull && l2Col.isNotNull && itemCol.isNotNull)
+      .select(l1Col.cast("string").as("l1"), l2Col.cast("string").as("l2"),
+        graft.functions.Hashing.md5Hash32(seed, itemCol.cast("string"))
+          .as("hv"))
+      .groupBy("l1", "l2")
+      .agg(count(lit(1)).as("n_rows"), mink(col("hv")).as("__s"))
+      .select(col("l1"), col("l2"), col("n_rows"), col("__s.hs").as("hs"))
+    def estCol = when(size(col("hs")) < k, size(col("hs")).cast("long"))
+      .otherwise(expr(
+        s"CAST(${(k - 1).toLong} * 4294967296 AS BIGINT) DIV element_at(hs, $k)"))
+    val lvl2 = leaf.select(lit(2L).as("lvl"), col("l1"), col("l2"),
+      col("n_rows"), estCol.as("est_distinct"))
+    val mid = leaf.select(col("l1"), explode(col("hs")).as("hv"))
+      .groupBy("l1").agg(mink(col("hv")).as("__s"))
+      .join(leaf.groupBy("l1").agg(sum(col("n_rows")).as("n_rows")), Seq("l1"))
+      .select(col("l1"), col("n_rows"), col("__s.hs").as("hs"))
+    val lvl1 = mid.select(lit(1L).as("lvl"), col("l1"),
+      lit(null).cast("string").as("l2"), col("n_rows"),
+      estCol.as("est_distinct"))
+    val top = mid.select(explode(col("hs")).as("hv"))
+      .agg(mink(col("hv")).as("__s"))
+      .crossJoin(mid.agg(sum(col("n_rows")).as("n_rows")))
+      .select(col("n_rows"), col("__s.hs").as("hs"))
+    val lvl0 = top.select(lit(0L).as("lvl"),
+      lit(null).cast("string").as("l1"), lit(null).cast("string").as("l2"),
+      col("n_rows"), estCol.as("est_distinct"))
+    lvl2.unionByName(lvl1).unionByName(lvl0)
+      .orderBy("lvl", "l1", "l2")
+  }
 }

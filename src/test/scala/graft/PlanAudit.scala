@@ -54,7 +54,8 @@ object PlanAudit {
     "q273_poisson_bootstrap", // ONE-row observed-mean broadcast onto the CI row
     "q274_kaplan_meier", // ONE-row corpus-max-day broadcast onto unit spans
     "q275_cuped", // ONE-row corpus-midpoint-day broadcast onto the event scan
-    "q278_conformal_interval") // keys × ONE-row max-day anchor (q247's scored-grid class)
+    "q278_conformal_interval", // keys × ONE-row max-day anchor (q247's scored-grid class)
+    "q280_kmv_rollup") // ONE-row grand-total sketch × ONE-row row-count
 
   /** Queries whose DESIGN composes several complete pipelines, so their
     * exchange count legitimately exceeds the single-pipeline budget —

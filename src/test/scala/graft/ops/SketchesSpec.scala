@@ -122,4 +122,35 @@ class SketchesSpec extends SparkTestBase {
     assert(out(("a", "c")) == ((8L, 8L, 1000000L)), s"a-c: ${out(("a", "c"))}")
     assert(out(("b", "c")) == ((12L, 4L, 333333L)), s"b-c: ${out(("b", "c"))}")
   }
+
+  test("kmvRollup: leaf-merged levels equal direct sketches; exact under k; row sums") {
+    import org.apache.spark.sql.functions.col
+    // l1=s1: two leaves of 6 distinct each, 2 shared -> 10 distinct at l1
+    // (under k=8: exact). l1=s2: one leaf with 30 distinct (over k ->
+    // estimator branch, must STILL equal the direct computation).
+    val rows = ((0 until 6).map(i => ("s1", "x", s"u$i")) ++
+      (4 until 10).map(i => ("s1", "y", s"u$i")) ++
+      (0 until 30).map(i => ("s2", "x", s"v$i")) ++
+      (0 until 6).map(i => ("s1", "x", s"u$i"))          // dup rows
+      ).toDF("l1", "l2", "item")
+    val out = Sketches.kmvRollup(rows, col("l1"), col("l2"), col("item"), k = 8)
+      .as[(Long, Option[String], Option[String], Long, Long)].collect()
+      .map(t => (t._1, t._2.getOrElse("-"), t._3.getOrElse("-")) ->
+        ((t._4, t._5))).toMap
+    assert(out((2L, "s1", "x")) == ((12L, 6L)))
+    assert(out((2L, "s1", "y")) == ((6L, 6L)))
+    assert(out((1L, "s1", "-"))._1 == 18L)
+    // under k after merge? 10 distinct > k=8 -> estimator branch; must
+    // equal the direct kmvDistinct on l1
+    val direct = Sketches.kmvDistinct(
+        rows.toDF("l1", "l2", "item"), col("l1"), col("item"), k = 8)
+      .as[(String, Long, Long)].collect().map(t => t._1 -> t._3).toMap
+    assert(out((1L, "s1", "-"))._2 == direct("s1"), "merged must equal direct")
+    assert(out((1L, "s2", "-"))._2 == direct("s2"))
+    // grand total vs direct single-key run
+    val all = Sketches.kmvDistinct(
+        rows.selectExpr("'g' AS k", "item"), col("k"), col("item"), k = 8)
+      .as[(String, Long, Long)].collect().head
+    assert(out((0L, "-", "-")) == ((48L, all._3)), s"${out((0L, "-", "-"))}")
+  }
 }
