@@ -5034,6 +5034,57 @@ object OracleSql {
         |  CAST(CASE WHEN s0.nd < 64 THEN s0.nd
         |    ELSE (63 * 4294967296) // s0.h64 END AS BIGINT)
         | FROM s0 CROSS JOIN n0)
-        |ORDER BY lvl, l1 NULLS FIRST, l2 NULLS FIRST""".stripMargin
+        |ORDER BY lvl, l1 NULLS FIRST, l2 NULLS FIRST""".stripMargin,
+
+    // q167's retrieval CTEs + position-level NDCG/MRR with the literal
+    // micro discount table (authoring-time floor(1e6/log2(i+1)))
+    "q281_ranking_eval" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         | q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+         | c AS (SELECT vec_id AS vid, v AS cv FROM e),
+         | xs AS (SELECT qid, vid, $cosExpr AS cos FROM q, c WHERE qid <> vid),
+         | xr AS (SELECT qid, vid,
+         |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rk FROM xs),
+         | ex AS (SELECT qid, vid FROM xr WHERE rk <= 10),
+         | hp AS (SELECT vec_id AS pid, v AS pv,
+         |         ('0x'||substr(md5('9:'||CAST(vec_id AS VARCHAR)),1,8))::BIGINT AS hsh FROM e),
+         | p AS (SELECT pid, pv, cent_id FROM (
+         |        SELECT pid, pv, CAST(row_number() OVER (ORDER BY hsh, pid) AS BIGINT) AS cent_id
+         |        FROM hp) WHERE cent_id <= 32),
+         | ac AS (SELECT vid, cv, cent_id FROM (
+         |        SELECT e.vec_id AS vid, e.v AS cv, p.cent_id,
+         |         row_number() OVER (PARTITION BY e.vec_id ORDER BY $pivotDist, p.cent_id) AS cr
+         |        FROM e CROSS JOIN p) WHERE cr = 1),
+         | aq AS (SELECT qid, qv, cent_id FROM (
+         |        SELECT e.vec_id AS qid, e.v AS qv, p.cent_id,
+         |         row_number() OVER (PARTITION BY e.vec_id ORDER BY $pivotDist, p.cent_id) AS cr
+         |        FROM e CROSS JOIN p WHERE e.vec_id < 5) WHERE cr <= 8),
+         | sa AS (SELECT qid, vid, $cosExpr AS cos FROM aq JOIN ac USING (cent_id) WHERE qid <> vid),
+         | ar AS (SELECT qid, vid,
+         |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rk FROM sa),
+         | w AS (SELECT * FROM (VALUES (1, 1000000), (2, 630929), (3, 500000),
+         |        (4, 430676), (5, 386852), (6, 356207), (7, 333333),
+         |        (8, 315464), (9, 301029), (10, 289064)) AS t(rk, wt)),
+         | iw AS (SELECT * FROM (VALUES (1, 1000000), (2, 1630929),
+         |        (3, 2130929), (4, 2561605), (5, 2948457), (6, 3304664),
+         |        (7, 3637997), (8, 3953461), (9, 4254490), (10, 4543554))
+         |        AS t(nr, idcg)),
+         | j AS (SELECT ar.qid, ar.rk,
+         |        CASE WHEN ex.vid IS NULL THEN 0 ELSE 1 END AS rel
+         |       FROM ar LEFT JOIN ex ON ar.qid = ex.qid AND ar.vid = ex.vid
+         |       WHERE ar.rk <= 10),
+         | d AS (SELECT j.qid, sum(j.rel * w.wt) AS dcg,
+         |        min(CASE WHEN j.rel = 1 THEN j.rk END) AS fh
+         |       FROM j JOIN w ON w.rk = j.rk GROUP BY j.qid),
+         | nr AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_rel
+         |       FROM ex GROUP BY qid)
+         |SELECT d.qid, nr.n_rel, CAST(d.dcg AS BIGINT) AS dcg_micro,
+         | CAST(iw.idcg AS BIGINT) AS idcg_micro,
+         | CAST((d.dcg * 1000000) // iw.idcg AS BIGINT) AS ndcg_ppm,
+         | CAST(d.fh AS BIGINT) AS first_hit_rank,
+         | CAST(coalesce(1000000 // d.fh, 0) AS BIGINT) AS rr_ppm
+         |FROM d JOIN nr ON d.qid = nr.qid
+         | JOIN iw ON iw.nr = least(10, nr.n_rel)
+         |ORDER BY d.qid""".stripMargin
   )
 }

@@ -3992,6 +3992,23 @@ object SparkEntry {
         itemCol = col("user_id"),
         k = 64)
 
+  /** Ranking-quality eval ([[SimSearch.rankingEval]]): q167's two
+    * retrieval pipelines re-judged by POSITION — NDCG@10 with the
+    * literal micro discount table and the reciprocal rank of the
+    * first true neighbor. Recall says what came back; this says
+    * whether it came back on top. The oracle recomputes both
+    * pipelines AND every position's relevance/discount product.
+    */
+  private def q281(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val q = emb.filter(col("vec_id") < 5)
+    SimSearch.rankingEval(
+        SimSearch.topKBruteForce(emb, q, k = 10),
+        SimSearch.topKIvfPivots(emb, q, k = 10, nlist = 32, nprobe = 8),
+        k = 10)
+      .orderBy("qid")
+  }
+
   /** Keyless binned range join ([[ops.IntervalJoin.binnedPointJoin]]):
     * busy hours are detected from the FULL event stream (hourly count
     * strictly above 1.2× the mean hour, division-cleared to
@@ -4942,7 +4959,8 @@ object SparkEntry {
     "q277_calibration" -> q277 _,
     "q278_conformal_interval" -> q278 _,
     "q279_quantile_normalize" -> q279 _,
-    "q280_kmv_rollup" -> q280 _
+    "q280_kmv_rollup" -> q280 _,
+    "q281_ranking_eval" -> q281 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

@@ -574,6 +574,67 @@ object SimSearch {
       .withColumn("recall_ppm", expr("(n_hit * 1000000) DIV n_exact"))
   }
 
+  /** `floor(10⁶ / log₂(i+1))` for positions 1..20 — the NDCG discount
+    * weights as INTEGER LITERALS (40-digit-precision authoring-time
+    * computation), the [[graft.ops.Stats]] convention: metric constants
+    * are literals shared verbatim with the oracle, never runtime
+    * transcendentals whose last ulp an engine could disagree on.
+    */
+  private[graft] val NdcgWeightsMicro: Seq[Long] = Seq(
+    1000000L, 630929L, 500000L, 430676L, 386852L, 356207L, 333333L,
+    315464L, 301029L, 289064L, 278942L, 270238L, 262649L, 255958L,
+    250000L, 244650L, 239812L, 235408L, 231378L, 227670L)
+
+  /** Prefix sums of [[NdcgWeightsMicro]] — `IDCG@n` for n relevant. */
+  private[graft] val NdcgIdealMicro: Seq[Long] = Seq(
+    1000000L, 1630929L, 2130929L, 2561605L, 2948457L, 3304664L,
+    3637997L, 3953461L, 4254490L, 4543554L, 4822496L, 5092734L,
+    5355383L, 5611341L, 5861341L, 6105991L, 6345803L, 6581211L,
+    6812589L, 7040259L)
+
+  /** Ranking-quality eval of an approximate retrieval against the
+    * exact one — [[recallAtK]] tells you WHAT fraction of the true
+    * neighbors came back; this tells you WHERE they landed: per query,
+    * `NDCG@k` with the literal [[NdcgWeightsMicro]] discount table
+    * (binary relevance: a position is relevant iff its vid is in the
+    * exact top-k) and the reciprocal rank of the first true neighbor.
+    * Both metrics are pure integer arithmetic — discounts are literals,
+    * `IDCG` is a prefix-sum lookup at `min(k, n_rel)`, `ndcg_ppm =
+    * DCG·10⁶ DIV IDCG`, `rr_ppm = 10⁶ DIV first_hit_rank` — so the
+    * oracle replays position-level decisions bit for bit.
+    *
+    * Scale: both inputs are (qid, vid, rank) top-k lists — query-
+    * bounded, not corpus-bounded; the eval is one keyed join + one
+    * aggregate.
+    */
+  def rankingEval(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    require(k >= 1 && k <= NdcgWeightsMicro.length,
+      s"k must be in [1, ${NdcgWeightsMicro.length}]")
+    val e = exact.filter(col("rank") <= k).select(col("qid"), col("vid"))
+    val nRel = e.groupBy("qid").agg(count(lit(1)).as("n_rel"))
+    val a = approx.filter(col("rank") <= k)
+      .select(col("qid"), col("vid"), col("rank"))
+      .join(e.withColumn("__rel", lit(1L)), Seq("qid", "vid"), "left")
+      .withColumn("__rel", coalesce(col("__rel"), lit(0L)))
+      .withColumn("__w",
+        element_at(typedlit(NdcgWeightsMicro), col("rank").cast("int")))
+    a.groupBy("qid")
+      .agg(sum(col("__rel") * col("__w")).as("dcg_micro"),
+        min(when(col("__rel") === 1L, col("rank").cast("long")))
+          .as("first_hit_rank"))
+      .join(nRel, Seq("qid"))
+      .withColumn("idcg_micro",
+        element_at(typedlit(NdcgIdealMicro),
+          least(lit(k), col("n_rel")).cast("int")))
+      .withColumn("ndcg_ppm",
+        expr("(dcg_micro * 1000000) DIV idcg_micro"))
+      .withColumn("rr_ppm",
+        coalesce(expr("1000000 DIV first_hit_rank"), lit(0L)))
+      .select(col("qid"), col("n_rel"), col("dcg_micro"),
+        col("idcg_micro"), col("ndcg_ppm"), col("first_hit_rank"),
+        col("rr_ppm"))
+  }
+
   /** Fixed-point embedding: each float component → `floor(x · 10⁶)` as
     * BIGINT. The integer domain is what makes [[trainIvfCentroidsExact]]
     * deterministic: long sums are exact and order-independent, so the

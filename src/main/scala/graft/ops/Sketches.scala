@@ -123,6 +123,23 @@ object Sketches {
     override def outputEncoder: Encoder[KmvState] = Encoders.product[KmvState]
   }
 
+  /** [[MinKHashes]]' MERGE exposed as an aggregator over whole sketch
+    * arrays — what [[kmvRollup]] feeds child sketches through, one
+    * groupBy per level instead of an explode + rejoin.
+    */
+  private[ops] class MinKMerge(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[Seq[Long], KmvState, KmvState] {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    override def zero: KmvState = KmvState(Vector.empty)
+    override def reduce(b: KmvState, hs: Seq[Long]): KmvState =
+      KmvState((b.hs ++ hs).distinct.sorted.take(k))
+    override def merge(a: KmvState, b: KmvState): KmvState =
+      KmvState((a.hs ++ b.hs).distinct.sorted.take(k))
+    override def finish(r: KmvState): KmvState = r
+    override def bufferEncoder: Encoder[KmvState] = Encoders.product[KmvState]
+    override def outputEncoder: Encoder[KmvState] = Encoders.product[KmvState]
+  }
+
   /** KMV (k-minimum-values) distinct estimate per key — the
     * ORACLE-REPLAYABLE counterpart to the HLL sketches above: items
     * hash through the portable md5 family, each key keeps only its k
@@ -251,18 +268,18 @@ object Sketches {
     def estCol = when(size(col("hs")) < k, size(col("hs")).cast("long"))
       .otherwise(expr(
         s"CAST(${(k - 1).toLong} * 4294967296 AS BIGINT) DIV element_at(hs, $k)"))
+    val minkArr = udaf(new MinKMerge(k),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]())
     val lvl2 = leaf.select(lit(2L).as("lvl"), col("l1"), col("l2"),
       col("n_rows"), estCol.as("est_distinct"))
-    val mid = leaf.select(col("l1"), explode(col("hs")).as("hv"))
-      .groupBy("l1").agg(mink(col("hv")).as("__s"))
-      .join(leaf.groupBy("l1").agg(sum(col("n_rows")).as("n_rows")), Seq("l1"))
+    val mid = leaf.groupBy("l1")
+      .agg(sum(col("n_rows")).as("n_rows"), minkArr(col("hs")).as("__s"))
       .select(col("l1"), col("n_rows"), col("__s.hs").as("hs"))
     val lvl1 = mid.select(lit(1L).as("lvl"), col("l1"),
       lit(null).cast("string").as("l2"), col("n_rows"),
       estCol.as("est_distinct"))
-    val top = mid.select(explode(col("hs")).as("hv"))
-      .agg(mink(col("hv")).as("__s"))
-      .crossJoin(mid.agg(sum(col("n_rows")).as("n_rows")))
+    val top = mid
+      .agg(sum(col("n_rows")).as("n_rows"), minkArr(col("hs")).as("__s"))
       .select(col("n_rows"), col("__s.hs").as("hs"))
     val lvl0 = top.select(lit(0L).as("lvl"),
       lit(null).cast("string").as("l1"), lit(null).cast("string").as("l2"),

@@ -55,7 +55,8 @@ object PlanAudit {
     "q274_kaplan_meier", // ONE-row corpus-max-day broadcast onto unit spans
     "q275_cuped", // ONE-row corpus-midpoint-day broadcast onto the event scan
     "q278_conformal_interval", // keys × ONE-row max-day anchor (q247's scored-grid class)
-    "q280_kmv_rollup") // ONE-row grand-total sketch × ONE-row row-count
+    "q280_kmv_rollup", // ONE-row grand-total sketch × ONE-row row-count
+    "q281_ranking_eval") // composes q37's AND q41's broadcast scans (q167's class)
 
   /** Queries whose DESIGN composes several complete pipelines, so their
     * exchange count legitimately exceeds the single-pipeline budget —
@@ -65,7 +66,8 @@ object PlanAudit {
     "q146_rrf_fusion", // full BM25 chain + cosine leg + fusion agg + final rank
     "q167_ann_recall", // exact + IVF retrieval pipelines side by side + overlap agg
     "q188_lsh_precision", // full minhash-band pipeline + the exact-Jaccard verifier
-    "q198_ann_ivf_pq") // IVF routing pipeline + PQ encode pipeline + ADC rerank
+    "q198_ann_ivf_pq", // IVF routing pipeline + PQ encode pipeline + ADC rerank
+    "q281_ranking_eval") // exact + IVF retrieval pipelines side by side (q167's class)
 
   def main(args: Array[String]): Unit = {
     val spark = SparkTestBase.spark

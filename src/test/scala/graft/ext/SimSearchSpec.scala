@@ -221,6 +221,34 @@ class SimSearchSpec extends SparkTestBase {
     assert(got(3L) == ((3L, 1L, 0L, 0L)))
   }
 
+  test("rankingEval: positional NDCG with the literal discounts, MRR, short lists") {
+    def list(rows: (Long, Long, Long)*) = rows.toDF("qid", "vid", "rank")
+    val exact = list((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L),
+      (2L, 20L, 1L), (2L, 21L, 2L),
+      (3L, 30L, 1L))
+    val approx = list(
+      // q1: hits at ranks 1 and 3 -> DCG = w1 + w3; first hit rank 1
+      (1L, 10L, 1L), (1L, 99L, 2L), (1L, 12L, 3L),
+      // q2: perfect order -> NDCG exactly 1e6
+      (2L, 20L, 1L), (2L, 21L, 2L),
+      // q3: first hit buried at rank 2 of a 1-relevant query
+      (3L, 99L, 1L), (3L, 30L, 2L))
+    val got = SimSearch.rankingEval(exact, approx, k = 3)
+      .as[(Long, Long, Long, Long, Long, Option[Long], Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val Seq(w1, w2, w3) = SimSearch.NdcgWeightsMicro.take(3)
+    assert(got(1L) == ((1L, 3L, w1 + w3, w1 + w2 + w3,
+      (w1 + w3) * 1000000L / (w1 + w2 + w3), Some(1L), 1000000L)))
+    assert(got(2L) == ((2L, 2L, w1 + w2, w1 + w2, 1000000L, Some(1L), 1000000L)))
+    assert(got(3L) == ((3L, 1L, w2, w1, w2 * 1000000L / w1, Some(2L), 500000L)))
+
+    // total miss: zero DCG, no first hit, rr 0
+    val miss = SimSearch.rankingEval(list((4L, 1L, 1L)),
+      list((4L, 9L, 1L)), k = 3)
+      .as[(Long, Long, Long, Long, Long, Option[Long], Long)].collect().head
+    assert(miss == ((4L, 1L, 0L, w1, 0L, None, 0L)))
+  }
+
   test("topKPq: integer ADC ranks, self-exclusion, determinism, non-zero recall") {
     val dir = "/root/testdata/sf0.001"
     assume(new java.io.File(s"$dir/embeddings.parquet").exists())
