@@ -5073,16 +5073,24 @@ object OracleSql {
          |        CASE WHEN ex.vid IS NULL THEN 0 ELSE 1 END AS rel
          |       FROM ar LEFT JOIN ex ON ar.qid = ex.qid AND ar.vid = ex.vid
          |       WHERE ar.rk <= 10),
-         | d AS (SELECT j.qid, sum(j.rel * w.wt) AS dcg,
-         |        min(CASE WHEN j.rel = 1 THEN j.rk END) AS fh
-         |       FROM j JOIN w ON w.rk = j.rk GROUP BY j.qid),
+         | jc AS (SELECT qid, rk, rel,
+         |        sum(rel) OVER (PARTITION BY qid ORDER BY rk
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |       FROM j),
+         | d AS (SELECT jc.qid, sum(jc.rel * w.wt) AS dcg,
+         |        min(CASE WHEN jc.rel = 1 THEN jc.rk END) AS fh,
+         |        sum(CASE WHEN jc.rel = 1
+         |          THEN (jc.cum * 1000000) // jc.rk END) AS ap_sum
+         |       FROM jc JOIN w ON w.rk = jc.rk GROUP BY jc.qid),
          | nr AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_rel
          |       FROM ex GROUP BY qid)
          |SELECT d.qid, nr.n_rel, CAST(d.dcg AS BIGINT) AS dcg_micro,
          | CAST(iw.idcg AS BIGINT) AS idcg_micro,
          | CAST((d.dcg * 1000000) // iw.idcg AS BIGINT) AS ndcg_ppm,
          | CAST(d.fh AS BIGINT) AS first_hit_rank,
-         | CAST(coalesce(1000000 // d.fh, 0) AS BIGINT) AS rr_ppm
+         | CAST(coalesce(1000000 // d.fh, 0) AS BIGINT) AS rr_ppm,
+         | CAST(coalesce(d.ap_sum, 0) // least(10, nr.n_rel) AS BIGINT)
+         |   AS ap_ppm
          |FROM d JOIN nr ON d.qid = nr.qid
          | JOIN iw ON iw.nr = least(10, nr.n_rel)
          |ORDER BY d.qid""".stripMargin

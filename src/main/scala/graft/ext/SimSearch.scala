@@ -598,10 +598,12 @@ object SimSearch {
     * `NDCG@k` with the literal [[NdcgWeightsMicro]] discount table
     * (binary relevance: a position is relevant iff its vid is in the
     * exact top-k) and the reciprocal rank of the first true neighbor.
-    * Both metrics are pure integer arithmetic — discounts are literals,
-    * `IDCG` is a prefix-sum lookup at `min(k, n_rel)`, `ndcg_ppm =
-    * DCG·10⁶ DIV IDCG`, `rr_ppm = 10⁶ DIV first_hit_rank` — so the
-    * oracle replays position-level decisions bit for bit.
+    * All three metrics are pure integer arithmetic — discounts are
+    * literals, `IDCG` is a prefix-sum lookup at `min(k, n_rel)`,
+    * `ndcg_ppm = DCG·10⁶ DIV IDCG`, `rr_ppm = 10⁶ DIV
+    * first_hit_rank`, and `ap_ppm` (average precision) sums the exact
+    * ppm precision-at-each-hit and floors once by `min(k, n_rel)` —
+    * so the oracle replays position-level decisions bit for bit.
     *
     * Scale: both inputs are (qid, vid, rank) top-k lists — query-
     * bounded, not corpus-bounded; the eval is one keyed join + one
@@ -612,16 +614,23 @@ object SimSearch {
       s"k must be in [1, ${NdcgWeightsMicro.length}]")
     val e = exact.filter(col("rank") <= k).select(col("qid"), col("vid"))
     val nRel = e.groupBy("qid").agg(count(lit(1)).as("n_rel"))
+    val byRank = Window.partitionBy(col("qid")).orderBy(col("rank"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val a = approx.filter(col("rank") <= k)
       .select(col("qid"), col("vid"), col("rank"))
       .join(e.withColumn("__rel", lit(1L)), Seq("qid", "vid"), "left")
       .withColumn("__rel", coalesce(col("__rel"), lit(0L)))
       .withColumn("__w",
         element_at(typedlit(NdcgWeightsMicro), col("rank").cast("int")))
+      // precision@i at each HIT position: hits-so-far / rank, in ppm
+      .withColumn("__cum", sum(col("__rel")).over(byRank))
+      .withColumn("__pAt",
+        when(col("__rel") === 1L, expr("(__cum * 1000000) DIV rank")))
     a.groupBy("qid")
       .agg(sum(col("__rel") * col("__w")).as("dcg_micro"),
         min(when(col("__rel") === 1L, col("rank").cast("long")))
-          .as("first_hit_rank"))
+          .as("first_hit_rank"),
+        sum(col("__pAt")).as("__apSum"))
       .join(nRel, Seq("qid"))
       .withColumn("idcg_micro",
         element_at(typedlit(NdcgIdealMicro),
@@ -630,9 +639,11 @@ object SimSearch {
         expr("(dcg_micro * 1000000) DIV idcg_micro"))
       .withColumn("rr_ppm",
         coalesce(expr("1000000 DIV first_hit_rank"), lit(0L)))
+      .withColumn("ap_ppm", expr(
+        s"coalesce(__apSum, 0) DIV least($k, n_rel)"))
       .select(col("qid"), col("n_rel"), col("dcg_micro"),
         col("idcg_micro"), col("ndcg_ppm"), col("first_hit_rank"),
-        col("rr_ppm"))
+        col("rr_ppm"), col("ap_ppm"))
   }
 
   /** Fixed-point embedding: each float component → `floor(x · 10⁶)` as

@@ -234,19 +234,24 @@ class SimSearchSpec extends SparkTestBase {
       // q3: first hit buried at rank 2 of a 1-relevant query
       (3L, 99L, 1L), (3L, 30L, 2L))
     val got = SimSearch.rankingEval(exact, approx, k = 3)
-      .as[(Long, Long, Long, Long, Long, Option[Long], Long)].collect()
+      .as[(Long, Long, Long, Long, Long, Option[Long], Long, Long)].collect()
       .map(r => r._1 -> r).toMap
     val Seq(w1, w2, w3) = SimSearch.NdcgWeightsMicro.take(3)
+    // q1 AP: hits at 1 (P=1e6) and 3 (P=2e6/3=666666) over min(3,3)
     assert(got(1L) == ((1L, 3L, w1 + w3, w1 + w2 + w3,
-      (w1 + w3) * 1000000L / (w1 + w2 + w3), Some(1L), 1000000L)))
-    assert(got(2L) == ((2L, 2L, w1 + w2, w1 + w2, 1000000L, Some(1L), 1000000L)))
-    assert(got(3L) == ((3L, 1L, w2, w1, w2 * 1000000L / w1, Some(2L), 500000L)))
+      (w1 + w3) * 1000000L / (w1 + w2 + w3), Some(1L), 1000000L,
+      (1000000L + 666666L) / 3L)))
+    assert(got(2L) == ((2L, 2L, w1 + w2, w1 + w2, 1000000L, Some(1L),
+      1000000L, 1000000L)))
+    assert(got(3L) == ((3L, 1L, w2, w1, w2 * 1000000L / w1, Some(2L),
+      500000L, 500000L)))
 
-    // total miss: zero DCG, no first hit, rr 0
+    // total miss: zero DCG, no first hit, rr 0, ap 0
     val miss = SimSearch.rankingEval(list((4L, 1L, 1L)),
       list((4L, 9L, 1L)), k = 3)
-      .as[(Long, Long, Long, Long, Long, Option[Long], Long)].collect().head
-    assert(miss == ((4L, 1L, 0L, w1, 0L, None, 0L)))
+      .as[(Long, Long, Long, Long, Long, Option[Long], Long, Long)]
+      .collect().head
+    assert(miss == ((4L, 1L, 0L, w1, 0L, None, 0L, 0L)))
   }
 
   test("topKPq: integer ADC ranks, self-exclusion, determinism, non-zero recall") {
