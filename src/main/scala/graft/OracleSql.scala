@@ -5093,6 +5093,51 @@ object OracleSql {
          |   AS ap_ppm
          |FROM d JOIN nr ON d.qid = nr.qid
          | JOIN iw ON iw.nr = least(10, nr.n_rel)
-         |ORDER BY d.qid""".stripMargin
+         |ORDER BY d.qid""".stripMargin,
+
+    // post-stratified delta (per-stratum floor then size-weighted
+    // recombination) + the SRM chi-square goodness-of-fit guardrail
+    "q282_stratified_readout" ->
+      """WITH u AS (SELECT CAST(user_id AS VARCHAR) AS unit,
+        |   CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS uv,
+        |   min(event_type) AS s
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |    AND event_type IS NOT NULL GROUP BY 1),
+        | a AS (SELECT uv, s,
+        |   ('0x'||substr(md5('7:'||unit),1,8))::BIGINT % 2 AS arm FROM u),
+        | c AS (SELECT s,
+        |   CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS nt,
+        |   CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS nc,
+        |   CAST(sum(CASE WHEN arm = 1 THEN uv ELSE 0 END) AS HUGEINT) AS st,
+        |   CAST(sum(CASE WHEN arm = 0 THEN uv ELSE 0 END) AS HUGEINT) AS sc
+        |  FROM a GROUP BY 1),
+        | d AS (SELECT s, nt, nc, st, sc, nt > 0 AND nc > 0 AS ok,
+        |   CASE WHEN nt > 0 AND nc > 0 THEN
+        |     ((st * nc - sc * nt) * 1000) // (nt * nc) END AS d_milli
+        |  FROM c),
+        | g AS (SELECT sum(nt + nc) AS n_units, sum(nt) AS n_t,
+        |   sum(nc) AS n_c, sum(st) AS sy_t, sum(sc) AS sy_c,
+        |   CAST(count(*) AS BIGINT) AS n_strata,
+        |   CAST(sum(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT)
+        |     AS n_strata_excluded,
+        |   sum(CASE WHEN ok THEN nt + nc END) AS n_inc,
+        |   sum(CASE WHEN ok THEN (nt + nc) * d_milli END) AS wsum
+        |  FROM d)
+        |SELECT CAST(n_units AS BIGINT) AS n_units,
+        | CAST(n_t AS BIGINT) AS n_treat, CAST(n_c AS BIGINT) AS n_control,
+        | n_strata, n_strata_excluded,
+        | CAST(CASE WHEN n_t > 0 AND n_c > 0 THEN
+        |   ((sy_t * n_c - sy_c * n_t) * 1000) // (n_t * n_c) END
+        |   AS BIGINT) AS delta_raw_milli,
+        | CAST(CASE WHEN n_inc > 0 THEN wsum // n_inc END AS BIGINT)
+        |   AS delta_post_milli,
+        | CAST(CASE WHEN n_units > 0 THEN
+        |   ((n_t - n_c) * (n_t - n_c) * 1000) // n_units END AS BIGINT)
+        |   AS srm_chi2_milli,
+        | CASE WHEN n_units > 0 THEN
+        |   ((n_t - n_c) * (n_t - n_c) * 1000) // n_units >= 3841 END
+        |   AS srm_suspect
+        |FROM g ORDER BY n_units""".stripMargin
   )
 }

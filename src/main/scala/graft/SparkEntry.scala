@@ -4009,6 +4009,20 @@ object SparkEntry {
       .orderBy("qid")
   }
 
+  /** Post-stratified readout + SRM guardrail ([[ops.Stats
+    * .stratifiedReadout]]): q250's experiment re-estimated within
+    * each user's primary event_type stratum and recombined by stratum
+    * size (the categorical CUPED), preceded by the sample-ratio-
+    * mismatch χ² — the "is the split even valid" check every
+    * experiment platform runs first. Every floor replayed.
+    */
+  private def q282(s: SparkSession, dir: String): DataFrame =
+    ops.Stats.stratifiedReadout(Tables.events(s, dir),
+        unitCol = col("user_id"),
+        valueCol = expr("CAST(floor(value * 100) AS BIGINT)"),
+        stratumCol = col("event_type"),
+        seed = 7)
+
   /** Keyless binned range join ([[ops.IntervalJoin.binnedPointJoin]]):
     * busy hours are detected from the FULL event stream (hourly count
     * strictly above 1.2× the mean hour, division-cleared to
@@ -4960,7 +4974,8 @@ object SparkEntry {
     "q278_conformal_interval" -> q278 _,
     "q279_quantile_normalize" -> q279 _,
     "q280_kmv_rollup" -> q280 _,
-    "q281_ranking_eval" -> q281 _
+    "q281_ranking_eval" -> q281 _,
+    "q282_stratified_readout" -> q282 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

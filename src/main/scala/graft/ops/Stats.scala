@@ -752,6 +752,85 @@ object Stats {
       .drop("__g")
   }
 
+  /** Post-stratified experiment readout with the sample-ratio-mismatch
+    * guardrail — the two checks an experiment platform runs before
+    * trusting any delta:
+    *
+    *  1. SRM: a randomized 50/50 split whose arm sizes fail the
+    *     goodness-of-fit test (`(n_t−n_c)²·1000 DIV n ≥ 3841` — the
+    *     χ²₁ test at α=0.05, [[abChiSquare]]'s cleared-literal
+    *     convention) almost always means broken assignment or logging
+    *     — every downstream number is suspect.
+    *  2. Post-stratification: the raw delta is re-estimated WITHIN
+    *     each stratum and recombined with stratum-size weights —
+    *     removing the covariate imbalance a finite random split
+    *     leaves behind (the categorical-covariate counterpart of
+    *     [[cupedReadout]]). Per stratum `Δs_milli` is floored once
+    *     ([[cupedReadout]]'s early-floor idiom), then
+    *     `Δ_post = Σ n_s·Δs_milli DIV N_inc`. Strata with an empty
+    *     arm cannot estimate a delta and are EXCLUDED (counted in
+    *     `n_strata_excluded`; their units still count in SRM and the
+    *     raw delta).
+    *
+    * A unit's stratum is its MINIMUM observed stratum value —
+    * deterministic under multi-valued units.
+    *
+    * Scale: unit-grain shuffle → stratum cells → stratum-bounded
+    * recombination. Nothing corpus-sized past the first aggregate.
+    */
+  def stratifiedReadout(
+      df: DataFrame,
+      unitCol: Column,
+      valueCol: Column,
+      stratumCol: Column,
+      seed: Int = 7
+  ): DataFrame = {
+    import graft.functions.Hashing
+    val units = df
+      .select(unitCol.cast("string").as("unit"),
+        valueCol.cast("long").as("v"), stratumCol.cast("string").as("s"))
+      .filter(col("unit").isNotNull && col("v").isNotNull && col("s").isNotNull)
+      .groupBy("unit").agg(sum(col("v")).as("uv"), min(col("s")).as("s"))
+      .withColumn("arm", pmod(Hashing.md5Hash32(seed, col("unit")), lit(2L)))
+    val cells = units.groupBy("s").agg(
+      sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("nt"),
+      sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("nc"),
+      sum(when(col("arm") === 1L, col("uv")).otherwise(0L)).as("st"),
+      sum(when(col("arm") === 0L, col("uv")).otherwise(0L)).as("sc"))
+      .withColumn("ok", expr("nt > 0 AND nc > 0"))
+      .withColumn("d_milli", expr(
+        "CASE WHEN ok THEN (CAST(st AS DECIMAL(38,0)) * nc" +
+          " - CAST(sc AS DECIMAL(38,0)) * nt) * 1000" +
+          " DIV (CAST(nt AS DECIMAL(38,0)) * nc) END"))
+    cells.agg(
+        sum(expr("nt + nc")).as("n_units"),
+        sum(col("nt")).as("n_t"),
+        sum(col("nc")).as("n_c"),
+        sum(col("st").cast("decimal(38,0)")).as("sy_t"),
+        sum(col("sc").cast("decimal(38,0)")).as("sy_c"),
+        count(lit(1)).as("n_strata"),
+        sum(when(col("ok"), 0L).otherwise(1L)).as("n_strata_excluded"),
+        sum(when(col("ok"), expr("(nt + nc)"))).as("n_inc"),
+        sum(when(col("ok"),
+          expr("CAST(nt + nc AS DECIMAL(38,0)) * d_milli"))).as("wsum"))
+      .withColumn("delta_raw_milli", expr(
+        "CASE WHEN n_t > 0 AND n_c > 0 THEN" +
+          " (sy_t * n_c - sy_c * n_t) * 1000" +
+          " DIV (CAST(n_t AS DECIMAL(38,0)) * n_c) END"))
+      .withColumn("delta_post_milli", expr(
+        "CASE WHEN n_inc > 0 THEN wsum DIV n_inc END"))
+      .withColumn("srm_chi2_milli", expr(
+        "CASE WHEN n_units > 0 THEN" +
+          " (CAST(n_t - n_c AS DECIMAL(38,0)) * (n_t - n_c) * 1000)" +
+          " DIV n_units END"))
+      .withColumn("srm_suspect",
+        when(col("srm_chi2_milli").isNotNull, col("srm_chi2_milli") >= 3841L))
+      .select(col("n_units"), col("n_t").as("n_treat"),
+        col("n_c").as("n_control"), col("n_strata"),
+        col("n_strata_excluded"), col("delta_raw_milli"),
+        col("delta_post_milli"), col("srm_chi2_milli"), col("srm_suspect"))
+  }
+
   /** Robust per-group outlier detection via MAD (median absolute
     * deviation): a value is an outlier iff `|x − median| > k · MAD` —
     * the standard heavy-tail-safe alternative to z-scores (one extreme

@@ -643,6 +643,53 @@ class StatsSpec extends SparkTestBase {
     assert(solo == 10L)
   }
 
+  test("stratifiedReadout: per-stratum floors, exclusion, SRM mirror") {
+    import org.apache.spark.sql.functions.col
+    def arm7(unit: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"7:$unit".getBytes("UTF-8"))
+      ((((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)) % 2)
+    }
+    // 24 units in 2 strata + u99 alone in stratum "z" (one arm -> excluded)
+    val rows = (1 to 24).map(i =>
+      (s"u$i", i.toLong * 5 + 1, if (i <= 12) "a" else "b")) :+
+      (("u99", 1000L, "z"))
+    val units = rows.map { case (u, v, s) => u -> ((v, s)) }.toMap
+    // exact mirror
+    val byS = units.groupBy(_._2._2)
+    var nT = 0L; var nC = 0L; var syT = BigInt(0); var syC = BigInt(0)
+    var nInc = 0L; var wsum = BigInt(0); var nExcl = 0L
+    byS.foreach { case (_, us) =>
+      val (t, c) = us.partition { case (u, _) => arm7(u) == 1L }
+      val (nt, nc) = (t.size.toLong, c.size.toLong)
+      val (st, sc) = (BigInt(t.values.map(_._1).sum), BigInt(c.values.map(_._1).sum))
+      nT += nt; nC += nc; syT += st; syC += sc
+      if (nt > 0 && nc > 0) {
+        val dm = ((st * nc - sc * nt) * 1000) / (BigInt(nt) * nc)
+        nInc += nt + nc; wsum += BigInt(nt + nc) * dm
+      } else nExcl += 1
+    }
+    val out = Stats.stratifiedReadout(rows.toDF("u", "v", "s"),
+      col("u"), col("v"), col("s")).collect().head
+    assert(out.getLong(0) == 25L && out.getLong(1) == nT && out.getLong(2) == nC)
+    assert(out.getLong(3) == 3L && out.getLong(4) == nExcl)
+    assert(out.getLong(5) ==
+      ((syT * nC - syC * nT) * 1000 / (BigInt(nT) * nC)).toLong)
+    assert(out.getLong(6) == (wsum / nInc).toLong,
+      s"post: ${out.getLong(6)} vs ${wsum / nInc}")
+    val srm = (BigInt(nT - nC) * (nT - nC) * 1000 / 25).toLong
+    assert(out.getLong(7) == srm && out.getBoolean(8) == (srm >= 3841L))
+
+    // a deliberately broken 90/10 split MUST trip SRM: craft units whose
+    // seed-7 arm is known, taking 18 from one arm and 2 from the other
+    val (ones, zeros) = (1 to 200).map(i => s"w$i").partition(arm7(_) == 1L)
+    val skewed = (ones.take(18) ++ zeros.take(2)).map((_, 1L, "s"))
+    val bad = Stats.stratifiedReadout(skewed.toDF("u", "v", "s"),
+      col("u"), col("v"), col("s")).collect().head
+    assert(bad.getBoolean(8), s"18/2 split must trip SRM: $bad")
+  }
+
   test("groupEcdf: count-<= semantics, ties share a value, per-group isolation") {
     import org.apache.spark.sql.functions.col
     val df = Seq((1L, "s1", 10L), (2L, "s1", 20L), (3L, "s1", 20L),
