@@ -5138,6 +5138,49 @@ object OracleSql {
         | CASE WHEN n_units > 0 THEN
         |   ((n_t - n_c) * (n_t - n_c) * 1000) // n_units >= 3841 END
         |   AS srm_suspect
-        |FROM g ORDER BY n_units""".stripMargin
+        |FROM g ORDER BY n_units""".stripMargin,
+
+    // Qini deciles: ntile over the total (score DESC, unit) order,
+    // cumulative cells, cleared incremental-conversion readout
+    "q283_uplift_deciles" ->
+      """WITH e AS (SELECT CAST(user_id AS VARCHAR) AS unit,
+        |   CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |   CAST(floor(value * 100) AS BIGINT) AS cents, event_type
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL AND event_type IS NOT NULL),
+        | mx AS (SELECT (min(day) + max(day)) // 2 AS mid FROM e),
+        | u AS (SELECT unit,
+        |   CAST(sum(CASE WHEN day <= mid THEN cents ELSE 0 END) AS BIGINT)
+        |     AS score,
+        |   max(CASE WHEN day > mid AND event_type = 'purchase'
+        |     THEN 1 ELSE 0 END) AS y
+        |  FROM e CROSS JOIN mx GROUP BY 1),
+        | a AS (SELECT score, y,
+        |   ('0x'||substr(md5('7:'||unit),1,8))::BIGINT % 2 AS arm,
+        |   CAST(ntile(10) OVER (ORDER BY score DESC, unit) AS BIGINT)
+        |     AS decile
+        |  FROM u),
+        | c AS (SELECT decile,
+        |   CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+        |   CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+        |   CAST(sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT) AS ct,
+        |   CAST(sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT) AS cc
+        |  FROM a GROUP BY 1),
+        | w AS (SELECT decile, nt, nc, ct, cc,
+        |   sum(nt) OVER o AS nt_cum, sum(nc) OVER o AS nc_cum,
+        |   sum(ct) OVER o AS ct_cum, sum(cc) OVER o AS cc_cum
+        |  FROM c WINDOW o AS (ORDER BY decile
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT decile, nt AS n_treat, nc AS n_control,
+        | ct AS conv_treat, cc AS conv_control,
+        | CAST(CASE WHEN nt > 0 AND nc > 0 THEN
+        |   (ct * 1000000) // nt - (cc * 1000000) // nc END AS BIGINT)
+        |   AS uplift_ppm,
+        | CAST(CASE WHEN nc_cum > 0 THEN
+        |   (CAST(ct_cum AS HUGEINT) * nc_cum
+        |     - CAST(cc_cum AS HUGEINT) * nt_cum) * 1000 // nc_cum END
+        |   AS BIGINT) AS qini_milli
+        |FROM w ORDER BY decile""".stripMargin
   )
 }

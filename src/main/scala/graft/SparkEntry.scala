@@ -4023,6 +4023,28 @@ object SparkEntry {
         stratumCol = col("event_type"),
         seed = 7)
 
+  /** Uplift/Qini deciles ([[ops.Stats.upliftDeciles]]): users ranked
+    * by first-half spend as the targeting score, outcome = a
+    * second-half purchase, arms = q250's hash split — does targeting
+    * big pre-period spenders concentrate the treatment effect? The
+    * oracle replays the ntile assignment (total order — unit is the
+    * tie-break), every cumulative cell, and both cleared readouts.
+    */
+  private def q283(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("value").isNotNull && col("event_type").isNotNull)
+      .withColumn("day", expr("CAST(unix_timestamp(ts) AS BIGINT) DIV 86400"))
+      .withColumn("cents", expr("CAST(floor(value * 100) AS BIGINT)"))
+    val mid = e.agg(expr("(min(day) + max(day)) DIV 2").as("mid"))
+    val split = e.crossJoin(broadcast(mid))
+      .select(col("user_id"),
+        when(col("day") <= col("mid"), col("cents")).otherwise(0L).as("sc"),
+        (col("day") > col("mid") && col("event_type") === "purchase")
+          .as("cv"))
+    ops.Stats.upliftDeciles(split, col("user_id"), col("sc"), col("cv"))
+  }
+
   /** Keyless binned range join ([[ops.IntervalJoin.binnedPointJoin]]):
     * busy hours are detected from the FULL event stream (hourly count
     * strictly above 1.2× the mean hour, division-cleared to
@@ -4975,7 +4997,8 @@ object SparkEntry {
     "q279_quantile_normalize" -> q279 _,
     "q280_kmv_rollup" -> q280 _,
     "q281_ranking_eval" -> q281 _,
-    "q282_stratified_readout" -> q282 _
+    "q282_stratified_readout" -> q282 _,
+    "q283_uplift_deciles" -> q283 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

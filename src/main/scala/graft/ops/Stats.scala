@@ -831,6 +831,69 @@ object Stats {
         col("delta_post_milli"), col("srm_chi2_milli"), col("srm_suspect"))
   }
 
+  /** Uplift (Qini) decile curve — "if we could only treat the top x%,
+    * whom should we pick": units are ranked by a targeting score,
+    * split into deciles, and each PREFIX of deciles reports its
+    * incremental conversions over control — the exact cleared Qini
+    * numerator `qini_milli = (conv_t·n_c − conv_c·n_t)·1000 DIV n_c`
+    * over CUMULATIVE cells, plus the per-decile uplift
+    * `rate_t − rate_c` in ppm. A useless score gives a straight Qini
+    * line to the corner; a good one bulges early.
+    *
+    * Determinism: arms are the md5 seed split ([[abChiSquare]]'s
+    * convention); deciles are `ntile(10)` over the TOTAL order
+    * `(score DESC, unit)` — unit is unique, so the tile assignment is
+    * a pure function of the data and replays on any engine. The
+    * ranking window is global (the [[quantileNormalize]]
+    * verifier-scale caveat — swap in threshold-grid bucketing when a
+    * corpus-sized sort window won't do).
+    *
+    * Cells with an empty cumulative control arm report NULL qini.
+    */
+  def upliftDeciles(
+      df: DataFrame,
+      unitCol: Column,
+      scoreCol: Column,
+      convCol: Column,
+      seed: Int = 7
+  ): DataFrame = {
+    import graft.functions.Hashing
+    val units = df
+      .select(unitCol.cast("string").as("unit"),
+        coalesce(scoreCol.cast("long"), lit(0L)).as("sc"),
+        convCol.cast("boolean").as("cv"))
+      .filter(col("unit").isNotNull)
+      .groupBy("unit").agg(sum(col("sc")).as("score"),
+        max(when(col("cv"), 1L).otherwise(0L)).as("y"))
+      .withColumn("arm", pmod(Hashing.md5Hash32(seed, col("unit")), lit(2L)))
+      .withColumn("decile", ntile(10).over(
+        Window.orderBy(col("score").desc, col("unit"))).cast("long"))
+    val cells = units.groupBy("decile").agg(
+      sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("nt"),
+      sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("nc"),
+      sum(when(col("arm") === 1L, col("y")).otherwise(0L)).as("ct"),
+      sum(when(col("arm") === 0L, col("y")).otherwise(0L)).as("cc"))
+    val cum = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("nt_cum", sum(col("nt")).over(cum))
+      .withColumn("nc_cum", sum(col("nc")).over(cum))
+      .withColumn("ct_cum", sum(col("ct")).over(cum))
+      .withColumn("cc_cum", sum(col("cc")).over(cum))
+      .withColumn("uplift_ppm", expr(
+        "CASE WHEN nt > 0 AND nc > 0 THEN" +
+          " (ct * 1000000) DIV nt - (cc * 1000000) DIV nc END"))
+      .withColumn("qini_milli", expr(
+        "CASE WHEN nc_cum > 0 THEN" +
+          " (CAST(ct_cum AS DECIMAL(38,0)) * nc_cum" +
+          "  - CAST(cc_cum AS DECIMAL(38,0)) * nt_cum) * 1000" +
+          " DIV (CAST(nc_cum AS DECIMAL(38,0))) END"))
+      .select(col("decile"), col("nt").as("n_treat"),
+        col("nc").as("n_control"), col("ct").as("conv_treat"),
+        col("cc").as("conv_control"), col("uplift_ppm"), col("qini_milli"))
+      .orderBy("decile")
+  }
+
   /** Robust per-group outlier detection via MAD (median absolute
     * deviation): a value is an outlier iff `|x − median| > k · MAD` —
     * the standard heavy-tail-safe alternative to z-scores (one extreme

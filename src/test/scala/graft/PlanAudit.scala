@@ -56,6 +56,7 @@ object PlanAudit {
     "q275_cuped", // ONE-row corpus-midpoint-day broadcast onto the event scan
     "q278_conformal_interval", // keys × ONE-row max-day anchor (q247's scored-grid class)
     "q280_kmv_rollup", // ONE-row grand-total sketch × ONE-row row-count
+    "q283_uplift_deciles", // ONE-row corpus-midpoint-day broadcast (q275's class)
     "q281_ranking_eval") // composes q37's AND q41's broadcast scans (q167's class)
 
   /** Queries whose DESIGN composes several complete pipelines, so their

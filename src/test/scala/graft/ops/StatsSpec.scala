@@ -690,6 +690,50 @@ class StatsSpec extends SparkTestBase {
     assert(bad.getBoolean(8), s"18/2 split must trip SRM: $bad")
   }
 
+  test("upliftDeciles: exact ntile mirror, cumulative qini, perfect-score bulge") {
+    import org.apache.spark.sql.functions.col
+    def arm7(unit: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"7:$unit".getBytes("UTF-8"))
+      ((((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)) % 2)
+    }
+    // 43 units (non-multiple of 10 exercises ntile's uneven tiles);
+    // score = 1000 - i (unique); conversion concentrated in the
+    // high-score treated half -> early deciles must bulge
+    val rows = (1 to 43).map { i =>
+      val u = f"u$i%02d"
+      (u, 1000L - i, arm7(u) == 1L && i <= 15)
+    }
+    val out = Stats.upliftDeciles(rows.toDF("u", "sc", "cv"),
+      col("u"), col("sc"), col("cv"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          if (r.isNullAt(6)) Long.MinValue else r.getLong(6)))).toMap
+    // mirror: sort by (score desc, unit), SQL ntile tile sizes
+    val sorted = rows.sortBy { case (u, sc, _) => (-sc, u) }
+    val n = sorted.size
+    val sizes = (0 until 10).map(t => n / 10 + (if (t < n % 10) 1 else 0))
+    var idx = 0
+    var (ntc, ncc, ctc, ccc) = (0L, 0L, 0L, 0L)
+    sizes.zipWithIndex.foreach { case (sz, t) =>
+      val tile = sorted.slice(idx, idx + sz); idx += sz
+      val (tr, co) = tile.partition { case (u, _, _) => arm7(u) == 1L }
+      val (nt, nc) = (tr.size.toLong, co.size.toLong)
+      val (ct, cc) = (tr.count(_._3).toLong, co.count(_._3).toLong)
+      ntc += nt; ncc += nc; ctc += ct; ccc += cc
+      val qini = if (ncc > 0)
+        (BigInt(ctc) * ncc - BigInt(ccc) * ntc) * 1000 / ncc
+      else BigInt(Long.MinValue)
+      assert(out(t + 1L) == ((nt, nc, ct, cc, qini.toLong)),
+        s"decile ${t + 1}: ${out(t + 1L)} vs ($nt,$nc,$ct,$cc,$qini)")
+    }
+    // all conversions sit in the top ~3.5 deciles of the TREATED arm:
+    // the final qini equals total treated conversions (control = 0)
+    assert(out(10L)._5 == ctc * 1000L)
+    assert(ccc == 0L && ctc > 0L)
+  }
+
   test("groupEcdf: count-<= semantics, ties share a value, per-group isolation") {
     import org.apache.spark.sql.functions.col
     val df = Seq((1L, "s1", 10L), (2L, "s1", 20L), (3L, "s1", 20L),
