@@ -5181,6 +5181,49 @@ object OracleSql {
         |   (CAST(ct_cum AS HUGEINT) * nc_cum
         |     - CAST(cc_cum AS HUGEINT) * nt_cum) * 1000 // nc_cum END
         |   AS BIGINT) AS qini_milli
-        |FROM w ORDER BY decile""".stripMargin
+        |FROM w ORDER BY decile""".stripMargin,
+
+    // jackknife ratio SE: LOO ratios floored once per fold, the
+    // cross-multiplied variance (B-1)*sum((r*B - S)^2) // B^3, exact
+    // +-1-corrected isqrt, normal 95% interval
+    "q284_jackknife_ratio" ->
+      """WITH u AS (SELECT CAST(user_id AS VARCHAR) AS unit,
+        |   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS x,
+        |   CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS y
+        |  FROM events WHERE user_id IS NOT NULL),
+        | c AS (SELECT
+        |   ('0x'||substr(md5('23:'||unit),1,8))::BIGINT % 50 AS b,
+        |   CAST(sum(x) AS HUGEINT) AS nb, CAST(sum(y) AS HUGEINT) AS db
+        |  FROM u GROUP BY 1),
+        | t AS (SELECT sum(nb) AS nn, sum(db) AS dd FROM c),
+        | lo AS (SELECT
+        |   CASE WHEN dd - db > 0 THEN ((nn - nb) * 1000000) // (dd - db)
+        |   END AS r
+        |  FROM c CROSS JOIN t),
+        | s AS (SELECT sum(r) AS sr, CAST(count(r) AS HUGEINT) AS beff
+        |  FROM lo WHERE r IS NOT NULL),
+        | q AS (SELECT sum((lo.r * s.beff - s.sr) * (lo.r * s.beff - s.sr))
+        |     AS sq, max(s.beff) AS beff, max(s.sr) AS sr
+        |  FROM lo CROSS JOIN s WHERE lo.r IS NOT NULL),
+        | f AS (SELECT q.beff, q.sq, t.nn, t.dd,
+        |   CASE WHEN t.dd > 0 THEN (t.nn * 1000000) // t.dd END AS ratio,
+        |   CASE WHEN q.beff >= 2 THEN ((q.beff - 1) * q.sq)
+        |     // (q.beff * q.beff * q.beff) END AS v
+        |  FROM q CROSS JOIN t),
+        | g AS (SELECT f.*, CAST(floor(sqrt(CAST(v AS DOUBLE))) AS BIGINT)
+        |   AS c0 FROM f),
+        | h AS (SELECT g.*,
+        |   CASE WHEN v IS NULL THEN NULL
+        |    WHEN CAST(c0 + 1 AS HUGEINT) * (c0 + 1) <= v THEN c0 + 1
+        |    WHEN CAST(c0 AS HUGEINT) * c0 > v THEN c0 - 1
+        |    ELSE c0 END AS se FROM g)
+        |SELECT CAST(nn AS BIGINT) AS numerator,
+        | CAST(dd AS BIGINT) AS denominator,
+        | CAST(ratio AS BIGINT) AS ratio_ppm,
+        | CAST(beff AS BIGINT) AS n_buckets,
+        | CAST(se AS BIGINT) AS se_ppm,
+        | CAST(ratio - (196 * se) // 100 AS BIGINT) AS ci_lo_ppm,
+        | CAST(ratio + (196 * se) // 100 AS BIGINT) AS ci_hi_ppm
+        |FROM h ORDER BY numerator""".stripMargin
   )
 }

@@ -4045,6 +4045,20 @@ object SparkEntry {
     ops.Stats.upliftDeciles(split, col("user_id"), col("sc"), col("cv"))
   }
 
+  /** Jackknife SE for purchases-per-click ([[ops.Stats
+    * .jackknifeRatio]]): the ratio metric's error bar via 50
+    * delete-one-bucket folds hashed BY USER (within-user correlation
+    * respected — the thing naive binomial SEs get wrong). Every LOO
+    * ratio gets one floor, the cross-multiplied jackknife variance
+    * rides DECIMAL(38,0), and the SE is the exact integer sqrt.
+    */
+  private def q284(s: SparkSession, dir: String): DataFrame =
+    ops.Stats.jackknifeRatio(Tables.events(s, dir),
+        unitCol = col("user_id"),
+        numCol = expr("CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END"),
+        denCol = expr("CASE WHEN event_type = 'click' THEN 1 ELSE 0 END"),
+        buckets = 50, seed = 23)
+
   /** Keyless binned range join ([[ops.IntervalJoin.binnedPointJoin]]):
     * busy hours are detected from the FULL event stream (hourly count
     * strictly above 1.2× the mean hour, division-cleared to
@@ -4998,7 +5012,8 @@ object SparkEntry {
     "q280_kmv_rollup" -> q280 _,
     "q281_ranking_eval" -> q281 _,
     "q282_stratified_readout" -> q282 _,
-    "q283_uplift_deciles" -> q283 _
+    "q283_uplift_deciles" -> q283 _,
+    "q284_jackknife_ratio" -> q284 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

@@ -894,6 +894,73 @@ object Stats {
       .orderBy("decile")
   }
 
+  /** Delete-one-bucket jackknife SE for a RATIO metric — error bars
+    * for clicks/views-style metrics where BOTH numerator and
+    * denominator vary ([[poissonBootstrapCI]] covers means; ratios
+    * need the jackknife, the standard production method): units hash
+    * into `buckets` folds, each leave-one-out ratio
+    * `r_b = (N−n_b)·10⁶ DIV (D−d_b)` gets ONE floor, and
+    * `SE² = (B−1)·Σ(r_b·B − Σr)² DIV B³` (the cross-multiplied
+    * jackknife variance — no mean division), rooted with the exact
+    * [[isqrt]]. Bucketing is BY UNIT, so within-unit correlation
+    * (the thing that breaks naive binomial SEs) is respected.
+    *
+    * Output (one row): numerator, denominator, `ratio_ppm`,
+    * `n_buckets` (folds with a defined LOO ratio — a fold holding the
+    * entire denominator is excluded), `se_ppm`, and the normal 95%
+    * interval `ratio ± 196·se DIV 100`. NULL SE family when fewer
+    * than 2 defined folds or a zero total denominator.
+    *
+    * Scale: unit-grain shuffle → `buckets` cells → two one-row
+    * broadcasts. The fold count is configuration, never data-sized.
+    */
+  def jackknifeRatio(
+      df: DataFrame,
+      unitCol: Column,
+      numCol: Column,
+      denCol: Column,
+      buckets: Int = 50,
+      seed: Int = 23
+  ): DataFrame = {
+    require(buckets >= 2, "need at least two jackknife buckets")
+    import graft.functions.Hashing
+    val cells = df
+      .select(unitCol.cast("string").as("unit"),
+        coalesce(numCol.cast("long"), lit(0L)).as("x"),
+        coalesce(denCol.cast("long"), lit(0L)).as("y"))
+      .filter(col("unit").isNotNull)
+      .withColumn("b", pmod(Hashing.md5Hash32(seed, col("unit")),
+        lit(buckets.toLong)))
+      .groupBy("b").agg(sum(col("x")).as("nb"), sum(col("y")).as("db"))
+    val tot = cells.agg(sum(col("nb")).as("nn"), sum(col("db")).as("dd"))
+    val loo = cells.crossJoin(broadcast(tot))
+      .withColumn("r", expr(
+        "CASE WHEN dd - db > 0 THEN" +
+          " (CAST(nn - nb AS DECIMAL(38,0)) * 1000000) DIV (dd - db) END"))
+      .filter(col("r").isNotNull)
+    val s = loo.agg(sum(col("r")).as("sr"), count(lit(1)).as("beff"))
+    val q = loo.crossJoin(broadcast(s))
+      .agg(sum(expr(
+        "(CAST(r AS DECIMAL(38,0)) * beff - sr)" +
+          " * (CAST(r AS DECIMAL(38,0)) * beff - sr)")).as("sq"),
+        max(col("beff")).as("beff"), max(col("sr")).as("sr"))
+    q.crossJoin(broadcast(tot))
+      .withColumn("ratio_ppm", expr(
+        "CASE WHEN dd > 0 THEN (CAST(nn AS DECIMAL(38,0)) * 1000000)" +
+          " DIV dd END"))
+      .withColumn("var_ppm2", expr(
+        "CASE WHEN beff >= 2 THEN ((beff - 1) * sq)" +
+          " DIV (CAST(beff AS DECIMAL(38,0)) * beff * beff) END"))
+      .withColumn("se_ppm", isqrt(col("var_ppm2")))
+      .withColumn("ci_lo_ppm",
+        expr("ratio_ppm - (196 * se_ppm) DIV 100"))
+      .withColumn("ci_hi_ppm",
+        expr("ratio_ppm + (196 * se_ppm) DIV 100"))
+      .select(col("nn").as("numerator"), col("dd").as("denominator"),
+        col("ratio_ppm"), col("beff").as("n_buckets"), col("se_ppm"),
+        col("ci_lo_ppm"), col("ci_hi_ppm"))
+  }
+
   /** Robust per-group outlier detection via MAD (median absolute
     * deviation): a value is an outlier iff `|x − median| > k · MAD` —
     * the standard heavy-tail-safe alternative to z-scores (one extreme

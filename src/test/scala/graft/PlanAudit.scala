@@ -57,6 +57,7 @@ object PlanAudit {
     "q278_conformal_interval", // keys × ONE-row max-day anchor (q247's scored-grid class)
     "q280_kmv_rollup", // ONE-row grand-total sketch × ONE-row row-count
     "q283_uplift_deciles", // ONE-row corpus-midpoint-day broadcast (q275's class)
+    "q284_jackknife_ratio", // TWO one-row totals broadcasts onto 50 fold cells
     "q281_ranking_eval") // composes q37's AND q41's broadcast scans (q167's class)
 
   /** Queries whose DESIGN composes several complete pipelines, so their

@@ -734,6 +734,56 @@ class StatsSpec extends SparkTestBase {
     assert(ccc == 0L && ctc > 0L)
   }
 
+  test("jackknifeRatio: exact BigInt mirror, constant-ratio zero SE, small-fold NULLs") {
+    import org.apache.spark.sql.functions.col
+    def h32(seed: Int, unit: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$seed:$unit".getBytes("UTF-8"))
+      ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    }
+    val rows = (1 to 30).map(i => (s"u$i", (i % 3).toLong, (i % 5 + 1).toLong))
+    val B = 4
+    val byB = rows.groupBy { case (u, _, _) => h32(23, u) % B }
+    val (nn, dd) = (rows.map(_._2).sum, rows.map(_._3).sum)
+    val loo = byB.values.toSeq.map { cell =>
+      val (nb, db) = (cell.map(_._2).sum, cell.map(_._3).sum)
+      (BigInt(nn - nb) * 1000000) / (dd - db)
+    }
+    val sr = loo.sum; val beff = loo.size.toLong
+    val sq = loo.map(r => (r * beff - sr) * (r * beff - sr)).sum
+    val v = (sq * (beff - 1)) / (BigInt(beff) * beff * beff)
+    def isq(q: BigInt): Long = {
+      var x = BigInt(math.sqrt(q.toDouble).toLong + 2)
+      while (x * x > q) x -= 1
+      x.toLong
+    }
+    val se = isq(v); val ratio = BigInt(nn) * 1000000 / dd
+    val out = Stats.jackknifeRatio(rows.toDF("u", "x", "y"),
+      col("u"), col("x"), col("y"), buckets = B)
+      .collect().head
+    assert(out.getLong(0) == nn && out.getLong(1) == dd)
+    assert(out.getLong(2) == ratio.toLong && out.getLong(3) == beff)
+    assert(out.getLong(4) == se, s"se: ${out.getLong(4)} vs $se")
+    assert(out.getLong(5) == ratio.toLong - 196L * se / 100L)
+    assert(out.getLong(6) == ratio.toLong + 196L * se / 100L)
+    assert(out.getLong(5) <= out.getLong(2) && out.getLong(2) <= out.getLong(6))
+
+    // constant per-unit (1, 2): every LOO ratio is exactly 500000 -> SE 0
+    val const = (1 to 40).map(i => (s"c$i", 1L, 2L))
+    val cst = Stats.jackknifeRatio(const.toDF("u", "x", "y"),
+      col("u"), col("x"), col("y"), buckets = 8).collect().head
+    assert(cst.getLong(2) == 500000L && cst.getLong(4) == 0L)
+    assert(cst.getLong(5) == 500000L && cst.getLong(6) == 500000L)
+
+    // a single unit: every fold but one is empty-denominator on delete ->
+    // 1 defined LOO at most... with 1 unit, deleting its fold leaves
+    // dd - db = 0 -> zero defined folds -> NULL SE family
+    val solo = Stats.jackknifeRatio(Seq(("only", 1L, 2L)).toDF("u", "x", "y"),
+      col("u"), col("x"), col("y"), buckets = 4).collect().head
+    assert(solo.isNullAt(4) && solo.isNullAt(5) && solo.isNullAt(6))
+  }
+
   test("groupEcdf: count-<= semantics, ties share a value, per-group isolation") {
     import org.apache.spark.sql.functions.col
     val df = Seq((1L, "s1", 10L), (2L, "s1", 20L), (3L, "s1", 20L),
