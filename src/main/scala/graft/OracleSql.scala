@@ -5224,6 +5224,31 @@ object OracleSql {
         | CAST(se AS BIGINT) AS se_ppm,
         | CAST(ratio - (196 * se) // 100 AS BIGINT) AS ci_lo_ppm,
         | CAST(ratio + (196 * se) // 100 AS BIGINT) AS ci_hi_ppm
-        |FROM h ORDER BY numerator""".stripMargin
+        |FROM h ORDER BY numerator""".stripMargin,
+
+    // contribution analysis: exact per-segment period deltas + signed
+    // ppm shares of the total move, largest absolute mover first
+    "q285_delta_attribution" ->
+      """WITH e AS (SELECT event_type AS segment,
+        |   CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |   CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND value IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        | mx AS (SELECT (min(day) + max(day)) // 2 AS mid FROM e),
+        | c AS (SELECT segment,
+        |   CAST(sum(CASE WHEN day > mid THEN 0 ELSE cents END) AS BIGINT)
+        |     AS val_a,
+        |   CAST(sum(CASE WHEN day > mid THEN cents ELSE 0 END) AS BIGINT)
+        |     AS val_b
+        |  FROM e CROSS JOIN mx GROUP BY 1),
+        | d AS (SELECT segment, val_a, val_b, val_b - val_a AS delta FROM c),
+        | t AS (SELECT CAST(sum(delta) AS BIGINT) AS total_delta FROM d)
+        |SELECT segment, val_a, val_b, delta, total_delta,
+        | CAST(CASE WHEN total_delta != 0 THEN
+        |   (CAST(delta AS HUGEINT) * 1000000) // total_delta END AS BIGINT)
+        |   AS share_ppm
+        |FROM d CROSS JOIN t
+        |ORDER BY abs(delta) DESC, segment""".stripMargin
   )
 }

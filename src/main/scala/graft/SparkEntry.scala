@@ -4059,6 +4059,25 @@ object SparkEntry {
         denCol = expr("CASE WHEN event_type = 'click' THEN 1 ELSE 0 END"),
         buckets = 50, seed = 23)
 
+  /** Contribution analysis ([[Behavior.deltaAttribution]]): revenue
+    * (cents) moved between the first and second half of the corpus —
+    * which event_type drove it? Exact per-segment deltas and signed
+    * ppm shares of the total move, largest mover first.
+    */
+  private def q285(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .filter(col("ts").isNotNull && col("value").isNotNull &&
+        col("event_type").isNotNull)
+      .withColumn("day", expr("CAST(unix_timestamp(ts) AS BIGINT) DIV 86400"))
+      .withColumn("cents", expr("CAST(floor(value * 100) AS BIGINT)"))
+    val mid = e.agg(expr("(min(day) + max(day)) DIV 2").as("mid"))
+    Behavior.deltaAttribution(
+        e.crossJoin(broadcast(mid)),
+        dimCol = col("event_type"),
+        inBCol = col("day") > col("mid"),
+        valueCol = col("cents"))
+  }
+
   /** Keyless binned range join ([[ops.IntervalJoin.binnedPointJoin]]):
     * busy hours are detected from the FULL event stream (hourly count
     * strictly above 1.2× the mean hour, division-cleared to
@@ -5013,7 +5032,8 @@ object SparkEntry {
     "q281_ranking_eval" -> q281 _,
     "q282_stratified_readout" -> q282 _,
     "q283_uplift_deciles" -> q283 _,
-    "q284_jackknife_ratio" -> q284 _
+    "q284_jackknife_ratio" -> q284 _,
+    "q285_delta_attribution" -> q285 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

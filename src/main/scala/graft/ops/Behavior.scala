@@ -616,4 +616,46 @@ object Behavior {
         max(when(col("rn") === expr("(nn * 9 + 9) DIV 10"), col("lat_sec"))).as("p90_sec"),
         max(col("lat_sec")).as("max_sec"))
   }
+
+  /** Contribution analysis — "WHICH segment drove the move": a metric
+    * changed between period A and period B; decompose the total delta
+    * by a dimension, reporting each segment's exact delta and its
+    * SIGNED ppm share of the total (`share_ppm = Δ_seg·10⁶ DIV
+    * Δ_total` — shares can exceed 10⁶ or go negative when segments
+    * move in opposite directions; they always sum to ~10⁶ up to the
+    * per-segment floor). The first question every on-call metric
+    * review asks, answered with zero floating point.
+    *
+    * `inBCol` splits rows into the two periods; rows in neither/both
+    * are the caller's bug, not this operator's (it trusts the
+    * boolean). A zero total delta reports NULL shares (decomposition
+    * of nothing).
+    *
+    * Scale: ONE hash-aggregate to dimension cells + a one-row total
+    * broadcast — the groupBy().count() profile.
+    */
+  def deltaAttribution(
+      df: DataFrame,
+      dimCol: Column,
+      inBCol: Column,
+      valueCol: Column
+  ): DataFrame = {
+    val cells = df
+      .filter(dimCol.isNotNull && inBCol.isNotNull)
+      .select(dimCol.cast("string").as("segment"),
+        inBCol.cast("boolean").as("b"),
+        coalesce(valueCol.cast("long"), lit(0L)).as("v"))
+      .groupBy("segment")
+      .agg(sum(when(col("b"), 0L).otherwise(col("v"))).as("val_a"),
+        sum(when(col("b"), col("v")).otherwise(0L)).as("val_b"))
+      .withColumn("delta", expr("val_b - val_a"))
+    val tot = cells.agg(sum(col("delta")).as("total_delta"))
+    cells.crossJoin(broadcast(tot))
+      .withColumn("share_ppm", expr(
+        "CASE WHEN total_delta != 0 THEN" +
+          " (CAST(delta AS DECIMAL(38,0)) * 1000000) DIV total_delta END"))
+      .select(col("segment"), col("val_a"), col("val_b"), col("delta"),
+        col("total_delta"), col("share_ppm"))
+      .orderBy(abs(col("delta")).desc, col("segment"))
+  }
 }

@@ -58,6 +58,7 @@ object PlanAudit {
     "q280_kmv_rollup", // ONE-row grand-total sketch × ONE-row row-count
     "q283_uplift_deciles", // ONE-row corpus-midpoint-day broadcast (q275's class)
     "q284_jackknife_ratio", // TWO one-row totals broadcasts onto 50 fold cells
+    "q285_delta_attribution", // ONE-row midpoint + ONE-row total-delta broadcasts
     "q281_ranking_eval") // composes q37's AND q41's broadcast scans (q167's class)
 
   /** Queries whose DESIGN composes several complete pipelines, so their

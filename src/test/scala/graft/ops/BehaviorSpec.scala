@@ -328,4 +328,29 @@ class BehaviorSpec extends SparkTestBase {
       "view" -> ((1L, 333333L)),
       "view>click" -> ((1L, 333333L))))
   }
+
+  test("deltaAttribution: signed shares sum through opposing moves; zero-total NULLs") {
+    import org.apache.spark.sql.functions.col
+    // X: 50 -> 150 (+100), Y: 100 -> 60 (-40), Z: 10 -> 50 (+40); total +100
+    val rows = Seq(
+      ("X", false, 50L), ("X", true, 150L),
+      ("Y", false, 100L), ("Y", true, 60L),
+      ("Z", false, 10L), ("Z", true, 30L), ("Z", true, 20L))
+    val out = Behavior.deltaAttribution(rows.toDF("seg", "b", "v"),
+      col("seg"), col("b"), col("v"))
+      .as[(String, Long, Long, Long, Long, Option[Long])].collect()
+    assert(out.map(_._1).toSeq == Seq("X", "Y", "Z"), "largest mover first")
+    val m = out.map(r => r._1 -> r).toMap
+    assert(m("X") == (("X", 50L, 150L, 100L, 100L, Some(1000000L))))
+    assert(m("Y") == (("Y", 100L, 60L, -40L, 100L, Some(-400000L))))
+    assert(m("Z") == (("Z", 10L, 50L, 40L, 100L, Some(400000L))))
+    assert(out.flatMap(_._6).sum == 1000000L, "shares reconstruct the move")
+
+    // perfectly offsetting moves: total 0 -> decomposition undefined
+    val zero = Behavior.deltaAttribution(
+      Seq(("A", false, 10L), ("A", true, 20L),
+        ("B", false, 20L), ("B", true, 10L)).toDF("seg", "b", "v"),
+      col("seg"), col("b"), col("v")).collect()
+    assert(zero.forall(_.isNullAt(5)))
+  }
 }
