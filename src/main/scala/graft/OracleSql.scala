@@ -5249,6 +5249,54 @@ object OracleSql {
         |   (CAST(delta AS HUGEINT) * 1000000) // total_delta END AS BIGINT)
         |   AS share_ppm
         |FROM d CROSS JOIN t
-        |ORDER BY abs(delta) DESC, segment""".stripMargin
+        |ORDER BY abs(delta) DESC, segment""".stripMargin,
+
+    // intervention impact: conformal calibration width (rank 14 of 14)
+    // times the post window as the band; signed cumulative effect and
+    // cleared relative effect
+    "q286_intervention_impact" ->
+      """WITH daily AS (SELECT event_type AS key,
+        |   CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |   CAST(count(*) AS BIGINT) AS y
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        | mx AS (SELECT max(day) AS dmax FROM daily),
+        | cal AS (SELECT k.key, gs.day
+        |  FROM (SELECT DISTINCT key FROM daily) k,
+        |   (SELECT unnest(generate_series((SELECT dmax FROM mx) - 20,
+        |      (SELECT dmax FROM mx) - 7)) AS day) gs),
+        | cr AS (SELECT g.key, g.day,
+        |   abs(coalesce(a.y, 0) - coalesce(p.y, 0)) AS r
+        |  FROM cal g
+        |   LEFT JOIN daily a ON a.key = g.key AND a.day = g.day
+        |   LEFT JOIN daily p ON p.key = g.key AND p.day = g.day - 7),
+        | rk AS (SELECT key, r,
+        |   row_number() OVER (PARTITION BY key ORDER BY r, day) AS rn
+        |  FROM cr),
+        | qh AS (SELECT key, r AS width FROM rk WHERE rn = 14),
+        | te AS (SELECT k.key, gs.day
+        |  FROM (SELECT DISTINCT key FROM daily) k,
+        |   (SELECT unnest(generate_series((SELECT dmax FROM mx) - 6,
+        |      (SELECT dmax FROM mx))) AS day) gs),
+        | tr AS (SELECT g.key,
+        |   coalesce(a.y, 0) AS a, coalesce(p.y, 0) AS f
+        |  FROM te g
+        |   LEFT JOIN daily a ON a.key = g.key AND a.day = g.day
+        |   LEFT JOIN daily p ON p.key = g.key AND p.day = g.day - 7),
+        | ag AS (SELECT tr.key, CAST(count(*) AS BIGINT) AS n_post,
+        |   CAST(sum(a) AS BIGINT) AS actual_total,
+        |   CAST(sum(f) AS BIGINT) AS forecast_total,
+        |   CAST(sum(a - f) AS BIGINT) AS effect_total,
+        |   max(qh.width) AS width
+        |  FROM tr LEFT JOIN qh ON qh.key = tr.key GROUP BY 1)
+        |SELECT key AS event_type, n_post, actual_total, forecast_total,
+        | effect_total, CAST(width AS BIGINT) AS width,
+        | CAST(width * 7 AS BIGINT) AS band,
+        | CAST(CASE WHEN forecast_total > 0 THEN
+        |   (CAST(effect_total AS HUGEINT) * 1000000) // forecast_total END
+        |   AS BIGINT) AS rel_effect_ppm,
+        | CASE WHEN width IS NOT NULL THEN abs(effect_total) > width * 7 END
+        |   AS significant
+        |FROM ag ORDER BY event_type""".stripMargin
   )
 }

@@ -4078,6 +4078,21 @@ object SparkEntry {
         valueCol = col("cents"))
   }
 
+  /** Intervention impact ([[TimeSeries.interventionImpact]]): did
+    * something change event volume in the final week? Per event_type,
+    * the last 7 days against the week-lagged counterfactual, judged
+    * by the conformal calibration band (14 calibration days, 90%) —
+    * cumulative effect, relative effect in ppm, and an honest
+    * conservative significance flag. Every rank and floor replayed.
+    */
+  private def q286(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.interventionImpact(Tables.events(s, dir),
+        col("event_type"), col("ts"),
+        postDays = 7, seasonDays = 7, calibDays = 14,
+        alphaPpm = 100000L)
+      .withColumnRenamed("key", "event_type")
+      .orderBy("event_type")
+
   /** Keyless binned range join ([[ops.IntervalJoin.binnedPointJoin]]):
     * busy hours are detected from the FULL event stream (hourly count
     * strictly above 1.2× the mean hour, division-cleared to
@@ -5033,7 +5048,8 @@ object SparkEntry {
     "q282_stratified_readout" -> q282 _,
     "q283_uplift_deciles" -> q283 _,
     "q284_jackknife_ratio" -> q284 _,
-    "q285_delta_attribution" -> q285 _
+    "q285_delta_attribution" -> q285 _,
+    "q286_intervention_impact" -> q286 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

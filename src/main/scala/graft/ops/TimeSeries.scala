@@ -668,6 +668,91 @@ object TimeSeries {
         col("n_covered"), col("coverage_ppm"))
   }
 
+  /** Interrupted-time-series intervention impact with an honest
+    * conformal band — the deterministic skeleton of the CausalImpact
+    * readout: the last `postDays` days are the post-intervention
+    * window, the counterfactual is the season-lagged pre-intervention
+    * value (`postDays ≤ seasonDays` REQUIRED so every lag lands
+    * strictly before the intervention), and the cumulative effect
+    * `Σ(actual − counterfactual)` is judged against a conformal band:
+    * the [[conformalInterval]] calibration-quantile width `q̂` times
+    * `postDays` — a union bound, CONSERVATIVE by construction (a real
+    * effect that clears it clears any tighter bound; documented
+    * trade-off for keeping the guarantee assumption-free).
+    *
+    * Everything is integer: daily counts, residuals, the rank-selected
+    * `q̂`, the signed effect, the cleared relative effect
+    * `effect·10⁶ DIV Σcounterfactual`. `q̂` undefined (k > n) or a
+    * zero counterfactual total yields NULLs, not guesses.
+    *
+    * Output per key: `(key, n_post, actual_total, forecast_total,
+    * effect_total, width, band, rel_effect_ppm, significant)`.
+    *
+    * Scale: [[conformalInterval]]'s profile — one daily rollup
+    * shuffle, then keys × window-days frames.
+    */
+  def interventionImpact(
+      df: DataFrame,
+      keyCol: Column,
+      tsCol: Column,
+      postDays: Int,
+      seasonDays: Int,
+      calibDays: Int,
+      alphaPpm: Long = 100000L
+  ): DataFrame = {
+    require(postDays >= 1 && seasonDays >= 1 && calibDays >= 1,
+      "need postDays, seasonDays, calibDays >= 1")
+    require(postDays <= seasonDays,
+      "postDays must not exceed seasonDays: counterfactual lags must land " +
+        "strictly before the intervention")
+    require(alphaPpm > 0L && alphaPpm < 1000000L, "alphaPpm in (0, 1e6)")
+    val daily = df.filter(keyCol.isNotNull && tsCol.isNotNull)
+      .select(keyCol.as("key"), unix_timestamp(tsCol).cast("long").as("__ep"))
+      .withColumn("day", expr("__ep DIV 86400"))
+      .groupBy("key", "day")
+      .agg(count(lit(1)).as("y"))
+    val dmax = daily.agg(max(col("day")).as("__dmax"))
+    def grid(loOff: Int, hiOff: Int) = daily.select(col("key")).distinct()
+      .crossJoin(broadcast(dmax))
+      .select(col("key"),
+        explode(sequence(col("__dmax") + loOff, col("__dmax") + hiOff))
+          .as("day"))
+    val actual = daily.withColumnRenamed("y", "__ya")
+    val lagged = daily
+      .select(col("key"), (col("day") + seasonDays).as("day"),
+        col("y").as("__yp"))
+    def joined(g: DataFrame) = g
+      .join(actual, Seq("key", "day"), "left")
+      .join(lagged, Seq("key", "day"), "left")
+      .withColumn("__a", coalesce(col("__ya"), lit(0L)))
+      .withColumn("__f", coalesce(col("__yp"), lit(0L)))
+    val k = ((calibDays + 1L) * (1000000L - alphaPpm) + 999999L) / 1000000L
+    val qhat = joined(grid(-(postDays + calibDays) + 1, -postDays))
+      .withColumn("__r", abs(col("__a") - col("__f")))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("key")).orderBy(col("__r"), col("day"))))
+      .filter(col("__rn") === k)
+      .select(col("key"), col("__r").as("width"))
+    joined(grid(-postDays + 1, 0))
+      .join(qhat, Seq("key"), "left")
+      .groupBy("key")
+      .agg(count(lit(1)).as("n_post"),
+        sum(col("__a")).as("actual_total"),
+        sum(col("__f")).as("forecast_total"),
+        sum(col("__a") - col("__f")).as("effect_total"),
+        max(col("width")).as("width"))
+      .withColumn("band", expr(s"width * $postDays"))
+      .withColumn("rel_effect_ppm", expr(
+        "CASE WHEN forecast_total > 0 THEN" +
+          " (CAST(effect_total AS DECIMAL(38,0)) * 1000000)" +
+          " DIV forecast_total END"))
+      .withColumn("significant",
+        when(col("band").isNotNull, abs(col("effect_total")) > col("band")))
+      .select(col("key"), col("n_post"), col("actual_total"),
+        col("forecast_total"), col("effect_total"), col("width"),
+        col("band"), col("rel_effect_ppm"), col("significant"))
+  }
+
   /** Stream hygiene audit — the per-key delivery-quality report an
     * ingestion pipeline checks BEFORE trusting event-time logic
     * downstream: in (event-time, sequence) order, how many adjacent

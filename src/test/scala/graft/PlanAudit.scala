@@ -59,6 +59,7 @@ object PlanAudit {
     "q283_uplift_deciles", // ONE-row corpus-midpoint-day broadcast (q275's class)
     "q284_jackknife_ratio", // TWO one-row totals broadcasts onto 50 fold cells
     "q285_delta_attribution", // ONE-row midpoint + ONE-row total-delta broadcasts
+    "q286_intervention_impact", // keys × ONE-row max-day anchor (q278's class)
     "q281_ranking_eval") // composes q37's AND q41's broadcast scans (q167's class)
 
   /** Queries whose DESIGN composes several complete pipelines, so their

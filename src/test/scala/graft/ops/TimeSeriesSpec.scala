@@ -363,6 +363,36 @@ class TimeSeriesSpec extends SparkTestBase {
     assert(tight.isNullAt(2) && tight.isNullAt(4) && tight.isNullAt(5))
   }
 
+  test("interventionImpact: planted spike clears the zero band, flat key does not") {
+    def mk(key: String, counts: Map[Int, Int]): Seq[(String, Timestamp)] =
+      counts.toSeq.flatMap { case (d, n) =>
+        (1 to n).map(_ => (key, new Timestamp(d * 86400000L + 1000L)))
+      }
+    // key a: flat 2/day, except post-window day 24 spikes to 10 and
+    // day 26 is missing. Calib residuals all 0 -> width 0, band 0.
+    // post: actual 2*7 - 2 + 8 = 20, forecast 14, effect +6 -> significant
+    val ca = (0 to 27).filter(_ != 26)
+      .map(d => d -> (if (d == 24) 10 else 2)).toMap
+    // key b: perfectly flat -> width 0, effect 0 -> NOT significant
+    val cb = (0 to 27).map(d => d -> 3).toMap
+    val out = TimeSeries.interventionImpact(
+        (mk("a", ca) ++ mk("b", cb)).toDF("k", "ts"),
+        col("k"), col("ts"),
+        postDays = 7, seasonDays = 7, calibDays = 14)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Boolean)]
+      .collect().map(t => t._1 -> t).toMap
+    assert(out("a") == (("a", 7L, 20L, 14L, 6L, 0L, 0L,
+      6L * 1000000L / 14L, true)), s"${out("a")}")
+    assert(out("b") == (("b", 7L, 21L, 21L, 0L, 0L, 0L, 0L, false)))
+
+    // postDays > seasonDays would let counterfactual lags leak into the
+    // post window — the operator must refuse
+    intercept[IllegalArgumentException] {
+      TimeSeries.interventionImpact(mk("a", ca).toDF("k", "ts"),
+        col("k"), col("ts"), postDays = 8, seasonDays = 7, calibDays = 14)
+    }
+  }
+
   test("seasonalNaiveBacktest: lag-7 prediction, missing days are zero observations") {
     // key a: days 0..6 have 2/day, days 7..13 have 5/day except day 10 missing
     val days = (0 to 13).filter(_ != 10).map(d => d -> (if (d < 7) 2 else 5))
