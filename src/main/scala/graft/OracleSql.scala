@@ -5297,6 +5297,66 @@ object OracleSql {
         |   AS BIGINT) AS rel_effect_ppm,
         | CASE WHEN width IS NOT NULL THEN abs(effect_total) > width * 7 END
         |   AS significant
-        |FROM ag ORDER BY event_type""".stripMargin
+        |FROM ag ORDER BY event_type""".stripMargin,
+
+    // log-rank: per death-time O-E in micro lanes (one floor per step),
+    // hypergeometric variance (one floor), cleared chi2_1 readout
+    "q287_log_rank" ->
+      """WITH b AS (SELECT CAST(user_id AS VARCHAR) AS unit,
+        |   CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        | sp AS (SELECT unit, min(day) AS dd0, max(day) AS dd1
+        |  FROM b GROUP BY 1),
+        | mx AS (SELECT max(day) AS max_day FROM b),
+        | u AS (SELECT unit, dd1 - dd0 AS dur,
+        |   CASE WHEN dd1 + 7 <= max_day THEN 1 ELSE 0 END AS death,
+        |   ('0x'||substr(md5('7:'||unit),1,8))::BIGINT % 2 AS arm
+        |  FROM sp CROSS JOIN mx),
+        | ce AS (SELECT dur, arm, CAST(count(*) AS BIGINT) AS n_all,
+        |   CAST(sum(death) AS BIGINT) AS n_death FROM u GROUP BY 1, 2),
+        | gr AS (SELECT g.dur, g.arm,
+        |   coalesce(ce.n_all, 0) AS n_all, coalesce(ce.n_death, 0) AS n_death
+        |  FROM (SELECT d.dur, a.arm
+        |        FROM (SELECT DISTINCT dur FROM ce) d,
+        |         (SELECT unnest(generate_series(0, 1)) AS arm) a) g
+        |   LEFT JOIN ce ON ce.dur = g.dur AND ce.arm = g.arm),
+        | ra AS (SELECT dur, arm, n_death,
+        |   sum(n_all) OVER (PARTITION BY arm ORDER BY dur DESC
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nr
+        |  FROM gr),
+        | st AS (SELECT dur,
+        |   max(CASE WHEN arm = 1 THEN nr END) AS n1,
+        |   max(CASE WHEN arm = 0 THEN nr END) AS n0,
+        |   max(CASE WHEN arm = 1 THEN n_death END) AS d1,
+        |   max(CASE WHEN arm = 0 THEN n_death END) AS d0
+        |  FROM ra GROUP BY 1),
+        | sx AS (SELECT n1, n0, d1, d0, n1 + n0 AS n, d1 + d0 AS d
+        |  FROM st WHERE d1 + d0 > 0 AND n1 + n0 > 1),
+        | oe AS (SELECT
+        |   CAST(sum(d1 * 1000000
+        |     - (CAST(d AS HUGEINT) * n1 * 1000000) // n) AS BIGINT)
+        |     AS oe_sum,
+        |   CAST(sum((CAST(d AS HUGEINT) * n1 * (n - n1) * (n - d) * 1000000)
+        |     // (CAST(n AS HUGEINT) * n * (n - 1))) AS BIGINT) AS v_sum
+        |  FROM sx),
+        | at AS (SELECT
+        |   CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+        |   CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+        |   CAST(sum(CASE WHEN arm = 1 THEN death ELSE 0 END) AS BIGINT)
+        |     AS dt,
+        |   CAST(sum(CASE WHEN arm = 0 THEN death ELSE 0 END) AS BIGINT)
+        |     AS dc
+        |  FROM u)
+        |SELECT n_t AS n_treat, n_c AS n_control, dt AS deaths_treat,
+        | dc AS deaths_control, oe_sum AS oe_sum_micro,
+        | v_sum AS var_sum_micro,
+        | CAST(CASE WHEN v_sum > 0 THEN
+        |   (CAST(oe_sum AS HUGEINT) * oe_sum * 1000)
+        |   // (CAST(v_sum AS HUGEINT) * 1000000) END AS BIGINT)
+        |   AS chi2_milli,
+        | CASE WHEN v_sum > 0 THEN
+        |   (CAST(oe_sum AS HUGEINT) * oe_sum * 1000)
+        |   // (CAST(v_sum AS HUGEINT) * 1000000) >= 3841 END AS significant
+        |FROM oe CROSS JOIN at ORDER BY n_treat""".stripMargin
   )
 }

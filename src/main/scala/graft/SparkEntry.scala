@@ -4093,6 +4093,18 @@ object SparkEntry {
       .withColumnRenamed("key", "event_type")
       .orderBy("event_type")
 
+  /** Log-rank test ([[ops.Stats.logRank]]): does q250's treatment arm
+    * CHURN differently? The q274 Kaplan–Meier machinery compared
+    * between the md5 arms — per death-time observed-vs-expected in
+    * micro lanes, hypergeometric variance, cleared χ²₁ readout. The
+    * oracle replays every step's floors.
+    */
+  private def q287(s: SparkSession, dir: String): DataFrame =
+    ops.Stats.logRank(Tables.events(s, dir),
+        unitCol = col("user_id"),
+        tsCol = col("ts"),
+        censorDays = 7, seed = 7)
+
   /** Keyless binned range join ([[ops.IntervalJoin.binnedPointJoin]]):
     * busy hours are detected from the FULL event stream (hourly count
     * strictly above 1.2× the mean hour, division-cleared to
@@ -5049,7 +5061,8 @@ object SparkEntry {
     "q283_uplift_deciles" -> q283 _,
     "q284_jackknife_ratio" -> q284 _,
     "q285_delta_attribution" -> q285 _,
-    "q286_intervention_impact" -> q286 _
+    "q286_intervention_impact" -> q286 _,
+    "q287_log_rank" -> q287 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

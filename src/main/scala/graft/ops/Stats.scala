@@ -961,6 +961,111 @@ object Stats {
         col("ci_lo_ppm"), col("ci_hi_ppm"))
   }
 
+  /** Log-rank test between two arms' survival curves — the
+    * significance test [[kaplanMeier]] curves are eyeballed for,
+    * computed exactly: at each duration with ≥1 death, the treated
+    * arm's observed deaths are compared with the expectation under
+    * "no difference" (`E = d·n₁ DIV n` in micro lanes, one floor per
+    * step) and the hypergeometric variance
+    * `V = d·n₁·(n−n₁)·(n−d)·10⁶ DIV (n²·(n−1))` (one floor); the
+    * statistic is `χ² = (ΣOE)²·1000 DIV (ΣV·10⁶)` against the
+    * χ²₁ 3841-milli literal. Per-step floors make the whole test a
+    * fixed integer recurrence both engines replay — the price is a
+    * ≤1-milli statistic perturbation, paid identically on both sides.
+    *
+    * Units, lifespans, censoring: [[kaplanMeier]]'s convention (first
+    * to last observed day; alive within `censorDays` of corpus end =
+    * censored). Arms are the md5 seed split. Steps with n ≤ 1 carry
+    * no information and are skipped.
+    *
+    * Output (one row): arm sizes, per-arm death counts, `oe_sum_micro`
+    * (signed — positive means the TREATED arm died MORE than
+    * expected), `var_sum_micro`, `chi2_milli`, `significant` (NULL
+    * when the variance sum is zero — identical or empty curves).
+    *
+    * Scale: unit-grain shuffle → duration×arm cells (day-bounded) →
+    * windows over the day-bounded grid. Nothing corpus-sized past the
+    * first aggregate.
+    */
+  def logRank(
+      df: DataFrame,
+      unitCol: Column,
+      tsCol: Column,
+      censorDays: Int = 7,
+      seed: Int = 7
+  ): DataFrame = {
+    require(censorDays >= 0, "censor window must be nonnegative")
+    import graft.functions.Hashing
+    val base = df
+      .filter(unitCol.isNotNull && tsCol.isNotNull)
+      .select(unitCol.cast("string").as("unit"),
+        (unix_timestamp(tsCol).cast("long")).as("sec"))
+      .withColumn("day", expr("sec DIV 86400"))
+    val spans = base.groupBy("unit")
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val maxDay = base.agg(max(col("day")).as("max_day"))
+    val units = spans.crossJoin(broadcast(maxDay))
+      .select(col("unit"), (col("d1") - col("d0")).as("dur"),
+        when(col("d1") + censorDays <= col("max_day"), 1L).otherwise(0L)
+          .as("death"))
+      .withColumn("arm", pmod(Hashing.md5Hash32(seed, col("unit")), lit(2L)))
+    // day-bounded cell table consumed by the grid, the risk windows AND
+    // the arm totals — checkpoint stops the three consumers re-deriving
+    // the unit-grain aggregate (the tvDrift idiom)
+    val cells = units.groupBy("dur", "arm")
+      .agg(count(lit(1)).as("n_all"), sum(col("death")).as("n_death"))
+      .localCheckpoint(false)
+    // complete durs × arms grid so each arm's at-risk is defined at
+    // EVERY duration, then cumulative-from-above per arm
+    val grid = cells.select(col("dur")).distinct()
+      .crossJoin(df.sparkSession.range(2).select(col("id").as("arm")))
+      .join(cells, Seq("dur", "arm"), "left")
+      .na.fill(0L, Seq("n_all", "n_death"))
+    val fromAbove = Window.partitionBy(col("arm")).orderBy(col("dur").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val steps = grid
+      .withColumn("nr", sum(col("n_all")).over(fromAbove))
+      .groupBy("dur")
+      .agg(max(when(col("arm") === 1L, col("nr"))).as("n1"),
+        max(when(col("arm") === 0L, col("nr"))).as("n0"),
+        max(when(col("arm") === 1L, col("n_death"))).as("d1"),
+        max(when(col("arm") === 0L, col("n_death"))).as("d0"))
+      .withColumn("n", expr("n1 + n0"))
+      .withColumn("d", expr("d1 + d0"))
+      .filter(col("d") > 0 && col("n") > 1)
+      .withColumn("oe_micro", expr(
+        "d1 * 1000000 - (CAST(d AS DECIMAL(38,0)) * n1 * 1000000) DIV n"))
+      .withColumn("v_micro", expr(
+        "(CAST(d AS DECIMAL(38,0)) * n1 * (n - n1) * (n - d) * 1000000)" +
+          " DIV (CAST(n AS DECIMAL(38,0)) * n * (n - 1))"))
+    // arm totals fold from the day-bounded cells — no second pass over
+    // the unit table
+    val armTotals = cells.agg(
+      sum(when(col("arm") === 1L, col("n_all")).otherwise(0L)).as("n_treat"),
+      sum(when(col("arm") === 0L, col("n_all")).otherwise(0L))
+        .as("n_control"),
+      sum(when(col("arm") === 1L, col("n_death")).otherwise(0L))
+        .as("deaths_treat"),
+      sum(when(col("arm") === 0L, col("n_death")).otherwise(0L))
+        .as("deaths_control"))
+    steps
+      .agg(sum(col("oe_micro")).as("oe_sum_micro"),
+        sum(col("v_micro")).as("var_sum_micro"))
+      .crossJoin(broadcast(armTotals))
+      .withColumn("chi2_milli", expr(
+        "CASE WHEN var_sum_micro > 0 THEN" +
+          " (CAST(oe_sum_micro AS DECIMAL(38,0)) * oe_sum_micro * 1000)" +
+          " DIV (CAST(var_sum_micro AS DECIMAL(38,0)) * 1000000) END"))
+      .withColumn("significant",
+        when(col("chi2_milli").isNotNull, col("chi2_milli") >= 3841L))
+      .select(col("n_treat"), col("n_control"), col("deaths_treat"),
+        col("deaths_control"),
+        expr("CAST(oe_sum_micro AS BIGINT)").as("oe_sum_micro"),
+        expr("CAST(var_sum_micro AS BIGINT)").as("var_sum_micro"),
+        expr("CAST(chi2_milli AS BIGINT)").as("chi2_milli"),
+        col("significant"))
+  }
+
   /** Robust per-group outlier detection via MAD (median absolute
     * deviation): a value is an outlier iff `|x − median| > k · MAD` —
     * the standard heavy-tail-safe alternative to z-scores (one extreme

@@ -784,6 +784,64 @@ class StatsSpec extends SparkTestBase {
     assert(solo.isNullAt(4) && solo.isNullAt(5) && solo.isNullAt(6))
   }
 
+  test("logRank: step-exact mirror, separated curves flag, identical curves don't") {
+    import org.apache.spark.sql.functions.col
+    import java.sql.Timestamp
+    def arm7(unit: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"7:$unit".getBytes("UTF-8"))
+      ((((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)) % 2)
+    }
+    def ts(day: Long) = new Timestamp(day * 86400000L)
+    // treated units churn FAST (dur 1), control SLOW (dur 5); one unit
+    // per arm censored at the end; corpus max day 100 set by "cap"
+    val (ones, zeros) = (1 to 200).map(i => s"v$i").partition(arm7(_) == 1L)
+    val fast = ones.take(12) // arm 1, dur 1 (die)
+    val slow = zeros.take(12) // arm 0, dur 5 (die)
+    val cens = Seq(ones(12) -> 1L, zeros(12) -> 5L) // alive at the end
+    val rows =
+      fast.flatMap(u => Seq((u, ts(0L)), (u, ts(1L)))) ++
+      slow.flatMap(u => Seq((u, ts(0L)), (u, ts(5L)))) ++
+      cens.flatMap { case (u, d) => Seq((u, ts(99L - d)), (u, ts(99L))) } ++
+      Seq(("cap_unit", ts(100L)))
+    // mirror the operator's exact floors
+    case class U(arm: Long, dur: Long, death: Long)
+    val allU = fast.map(_ => U(1L, 1L, 1L)) ++ slow.map(_ => U(0L, 5L, 1L)) ++
+      Seq(U(arm7(ones(12)), 1L, 0L), U(arm7(zeros(12)), 5L, 0L),
+        U(arm7("cap_unit"), 0L, 0L))
+    val durs = allU.map(_.dur).distinct.sorted
+    def atRisk(arm: Long, t: Long) = allU.count(u => u.arm == arm && u.dur >= t).toLong
+    def deaths(arm: Long, t: Long) = allU.count(u => u.arm == arm && u.dur == t && u.death == 1L).toLong
+    var oeSum = 0L; var vSum = 0L
+    durs.foreach { t =>
+      val (n1, n0) = (atRisk(1L, t), atRisk(0L, t))
+      val (d1, d0) = (deaths(1L, t), deaths(0L, t))
+      val n = n1 + n0; val d = d1 + d0
+      if (d > 0 && n > 1) {
+        oeSum += d1 * 1000000L - (BigInt(d) * n1 * 1000000 / n).toLong
+        vSum += (BigInt(d) * n1 * (n - n1) * (n - d) * 1000000 /
+          (BigInt(n) * n * (n - 1))).toLong
+      }
+    }
+    val chi2 = (BigInt(oeSum) * oeSum * 1000 / (BigInt(vSum) * 1000000)).toLong
+    val out = Stats.logRank(rows.toDF("u", "t"), col("u"), col("t"))
+      .collect().head
+    assert(out.getLong(4) == oeSum, s"oe: ${out.getLong(4)} vs $oeSum")
+    assert(out.getLong(5) == vSum, s"v: ${out.getLong(5)} vs $vSum")
+    assert(out.getLong(6) == chi2 && out.getBoolean(7) == (chi2 >= 3841L))
+    assert(out.getBoolean(7), "cleanly separated curves must flag")
+
+    // identical curves: same durations in both arms -> every step's
+    // O-E has opposite-signed floors at most -> chi2 far below 3841
+    val bal = (ones.take(10) ++ zeros.take(10)).zipWithIndex.flatMap {
+      case (u, i) => Seq((u, ts(0L)), (u, ts((i % 5 + 1).toLong))) } ++
+      Seq(("cap_unit", ts(100L)))
+    val same = Stats.logRank(bal.toDF("u", "t"), col("u"), col("t"))
+      .collect().head
+    assert(!same.getBoolean(7), s"identical curves must not flag: $same")
+  }
+
   test("groupEcdf: count-<= semantics, ties share a value, per-group isolation") {
     import org.apache.spark.sql.functions.col
     val df = Seq((1L, "s1", 10L), (2L, "s1", 20L), (3L, "s1", 20L),
