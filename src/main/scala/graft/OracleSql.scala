@@ -5357,6 +5357,48 @@ object OracleSql {
         | CASE WHEN v_sum > 0 THEN
         |   (CAST(oe_sum AS HUGEINT) * oe_sum * 1000)
         |   // (CAST(v_sum AS HUGEINT) * 1000000) >= 3841 END AS significant
-        |FROM oe CROSS JOIN at ORDER BY n_treat""".stripMargin
+        |FROM oe CROSS JOIN at ORDER BY n_treat""".stripMargin,
+
+    // time-decay attribution: bit-shift halvings, proportional quotas,
+    // largest-remainder conservation to exactly 1e6 per conversion
+    "q288_timedecay_attribution" ->
+      """WITH b AS (SELECT user_id AS u,
+        |   CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+        |   event_type AS et, event_id AS eid
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        | convs AS (SELECT u, sec AS cs, eid AS cid FROM b
+        |   WHERE et = 'purchase'),
+        | tch AS (SELECT u, sec AS tsx, et AS channel, eid AS tid FROM b
+        |   WHERE et <> 'purchase'),
+        | j AS (SELECT c.cid, t.channel, t.tsx, t.tid,
+        |   least((c.cs - t.tsx) // 600, 19) AS h
+        |  FROM convs c JOIN tch t ON c.u = t.u
+        |   AND t.tsx >= c.cs - 3600 AND t.tsx < c.cs),
+        | w AS (SELECT cid, channel, tsx, tid,
+        |   1000000 // (CAST(1 AS BIGINT) << CAST(h AS INT)) AS wt FROM j),
+        | sums AS (SELECT cid, channel, tsx, tid, wt,
+        |   sum(wt) OVER (PARTITION BY cid) AS sw FROM w),
+        | q AS (SELECT cid, channel, tsx, tid,
+        |   (1000000 * wt) // sw AS qt, (1000000 * wt) % sw AS r,
+        |   1000000 - sum((1000000 * wt) // sw) OVER (PARTITION BY cid)
+        |     AS lft
+        |  FROM sums),
+        | cr AS (SELECT channel,
+        |   qt + CASE WHEN row_number() OVER (PARTITION BY cid
+        |       ORDER BY r DESC, tsx DESC, tid) <= lft
+        |     THEN 1 ELSE 0 END AS credit
+        |  FROM q),
+        | by_ch AS (SELECT channel, CAST(count(*) AS BIGINT) AS n_touches,
+        |   CAST(sum(credit) AS BIGINT) AS credit_ppm
+        |  FROM cr GROUP BY channel),
+        | direct AS (SELECT '__direct__' AS channel,
+        |   CAST(count(*) AS BIGINT) AS n_touches,
+        |   CAST(count(*) * 1000000 AS BIGINT) AS credit_ppm
+        |  FROM convs WHERE cid NOT IN (SELECT DISTINCT cid FROM j)
+        |  HAVING count(*) > 0)
+        |SELECT * FROM by_ch UNION ALL SELECT * FROM direct
+        |ORDER BY channel""".stripMargin
   )
 }

@@ -4105,6 +4105,20 @@ object SparkEntry {
         tsCol = col("ts"),
         censorDays = 7, seed = 7)
 
+  /** Time-decay attribution ([[Behavior.timeDecayAttribution]]): the
+    * q248 experiment's third model — touches in the 1-hour lookback
+    * weighted by 10-minute integer half-lives (bit-shift halvings, no
+    * pow), per-conversion credit conserved to exactly 10⁶ ppm by
+    * largest-remainder rounding. The oracle replays weights, quotas,
+    * remainder ranks, and the direct arm.
+    */
+  private def q288(s: SparkSession, dir: String): DataFrame =
+    Behavior.timeDecayAttribution(Tables.events(s, dir),
+        userCol = col("user_id"), tsCol = col("ts"),
+        typeCol = col("event_type"), idCol = col("event_id"),
+        convType = "purchase", windowSec = 3600L, halfLifeSec = 600L)
+      .orderBy("channel")
+
   /** Keyless binned range join ([[ops.IntervalJoin.binnedPointJoin]]):
     * busy hours are detected from the FULL event stream (hourly count
     * strictly above 1.2× the mean hour, division-cleared to
@@ -5062,7 +5076,8 @@ object SparkEntry {
     "q284_jackknife_ratio" -> q284 _,
     "q285_delta_attribution" -> q285 _,
     "q286_intervention_impact" -> q286 _,
-    "q287_log_rank" -> q287 _
+    "q287_log_rank" -> q287 _,
+    "q288_timedecay_attribution" -> q288 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

@@ -318,6 +318,73 @@ object Behavior {
     byChannel.unionByName(direct)
   }
 
+  /** Time-decay multi-touch attribution — the third standard model
+    * next to [[lastTouchAttribution]] and [[linearAttribution]]:
+    * each touch inside the lookback window earns weight
+    * `10⁶ DIV 2^(age DIV halfLifeSec)` (integer halvings via bit
+    * shift, capped at 2⁻¹⁹ so the weight never floors to zero — no
+    * floating `pow` anywhere), and each
+    * conversion's 10⁶ ppm of credit splits proportionally with
+    * LARGEST-REMAINDER rounding (`credit = ⌊10⁶·w/Σw⌋` + 1 for the
+    * touches with the largest remainders, ties to the most recent) —
+    * so per-conversion credit conserves EXACTLY 10⁶, the
+    * [[linearAttribution]] q248 contract, and the whole model replays
+    * bit for bit.
+    *
+    * Touchless conversions aggregate under `__direct__` with full
+    * credit. Scale: one user-keyed join + per-conversion windows —
+    * [[linearAttribution]]'s profile.
+    */
+  def timeDecayAttribution(
+      events: DataFrame,
+      userCol: Column,
+      tsCol: Column,
+      typeCol: Column,
+      idCol: Column,
+      convType: String,
+      windowSec: Long,
+      halfLifeSec: Long
+  ): DataFrame = {
+    require(windowSec > 0 && halfLifeSec > 0,
+      "window and half-life must be positive")
+    val base = events
+      .filter(userCol.isNotNull && tsCol.isNotNull && typeCol.isNotNull)
+      .select(userCol.as("user"), unix_timestamp(tsCol).cast("long").as("sec"),
+        typeCol.as("et"), idCol.as("eid"))
+    val convs = base.filter(col("et") === convType)
+      .select(col("user"), col("sec").as("conv_sec"), col("eid").as("conv_id"))
+    val touches = base.filter(col("et") =!= convType)
+      .select(col("user"), col("sec").as("touch_sec"),
+        col("et").as("channel"), col("eid").as("touch_id"))
+    val joined = convs.join(touches, Seq("user"))
+      .filter(col("touch_sec") >= col("conv_sec") - windowSec &&
+        col("touch_sec") < col("conv_sec"))
+    val wk = Window.partitionBy(col("conv_id"))
+    val credited = joined
+      .withColumn("__h", least(
+        expr(s"(conv_sec - touch_sec) DIV $halfLifeSec"), lit(19L)))
+      .withColumn("__w", expr(
+        "1000000 DIV shiftleft(CAST(1 AS BIGINT), CAST(__h AS INT))"))
+      .withColumn("__sw", sum(col("__w")).over(wk))
+      .withColumn("__q", expr("(1000000 * __w) DIV __sw"))
+      .withColumn("__r", expr("(1000000 * __w) % __sw"))
+      .withColumn("__left", lit(1000000L) - sum(col("__q")).over(wk))
+      .withColumn("__rn", row_number().over(Window.partitionBy(col("conv_id"))
+        .orderBy(col("__r").desc, col("touch_sec").desc, col("touch_id"))))
+      .withColumn("credit",
+        col("__q") + when(col("__rn") <= col("__left"), 1L).otherwise(0L))
+    val byChannel = credited.groupBy("channel")
+      .agg(count(lit(1)).as("n_touches"), sum(col("credit")).as("credit_ppm"))
+    val direct = convs
+      .join(credited.select(col("conv_id")).distinct(), Seq("conv_id"),
+        "left_anti")
+      .agg(count(lit(1)).as("n_touches"))
+      .filter(col("n_touches") > 0)
+      .select(lit("__direct__").as("channel"), col("n_touches"),
+        (col("n_touches") * 1000000L).as("credit_ppm"))
+    byChannel.unionByName(direct)
+  }
+
   /** Session path mining — the "how do sessions start" report: events
     * sessionize by inactivity gap (gaps-and-islands, the q91 shape),
     * each session contributes its first `depth` event types joined as

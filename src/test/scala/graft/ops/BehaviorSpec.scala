@@ -329,6 +329,43 @@ class BehaviorSpec extends SparkTestBase {
       "view>click" -> ((1L, 333333L))))
   }
 
+  test("timeDecayAttribution: halving weights, largest-remainder conservation, direct arm") {
+    import org.apache.spark.sql.functions.col
+    import java.sql.Timestamp
+    def ts(sec: Long) = new Timestamp(sec * 1000L)
+    // conversion at t=1000: touch A age 1 (w=1e6), B age 700 (h=1,
+    // w=500000), C age 1900... wait — window is 3600 so age 1900 is in.
+    val rows = Seq(
+      (1L, "u1", "click", ts(999L)),   // A: h=0, w=1000000
+      (2L, "u1", "view", ts(300L)),    // B: h=1, w=500000
+      (3L, "u1", "signup", ts(-900L)), // C: h=3, w=125000
+      (4L, "u1", "purchase", ts(1000L)),
+      (5L, "u2", "purchase", ts(50L))  // touchless -> __direct__
+    )
+    val out = Behavior.timeDecayAttribution(
+        rows.toDF("event_id", "user_id", "event_type", "ts"),
+        col("user_id"), col("ts"), col("event_type"), col("event_id"),
+        convType = "purchase", windowSec = 3600L, halfLifeSec = 600L)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // quotas 615384/307692/76923 sum 999999; leftover 1 -> largest
+    // remainder (A, r=1e6) takes it
+    assert(out("click") == ((1L, 615385L)), s"${out("click")}")
+    assert(out("view") == ((1L, 307692L)))
+    assert(out("signup") == ((1L, 76923L)))
+    assert(out("__direct__") == ((1L, 1000000L)))
+    assert(out.values.map(_._2).sum == 2000000L, "2 conversions x 1e6 exactly")
+
+    // cap: ancient touch inside a huge window decays to w = 1e6 >> 20
+    val far = Behavior.timeDecayAttribution(
+        Seq((1L, "u", "click", ts(0L)),
+          (2L, "u", "purchase", ts(100000000L)))
+          .toDF("event_id", "user_id", "event_type", "ts"),
+        col("user_id"), col("ts"), col("event_type"), col("event_id"),
+        convType = "purchase", windowSec = 200000000L, halfLifeSec = 600L)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(far("click") == 1000000L, "sole touch still gets ALL the credit")
+  }
+
   test("deltaAttribution: signed shares sum through opposing moves; zero-total NULLs") {
     import org.apache.spark.sql.functions.col
     // X: 50 -> 150 (+100), Y: 100 -> 60 (-40), Z: 10 -> 50 (+40); total +100
