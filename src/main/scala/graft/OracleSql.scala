@@ -5399,6 +5399,46 @@ object OracleSql {
         |  FROM convs WHERE cid NOT IN (SELECT DISTINCT cid FROM j)
         |  HAVING count(*) > 0)
         |SELECT * FROM by_ch UNION ALL SELECT * FROM direct
-        |ORDER BY channel""".stripMargin
+        |ORDER BY channel""".stripMargin,
+
+    // Holt smoothing: the milli-lane level/trend recurrence replayed
+    // step by step with a recursive CTE over the gap-filled series
+    "q289_holt_forecast" ->
+      """WITH RECURSIVE daily AS (SELECT event_type AS key,
+        |   CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |   CAST(count(*) AS BIGINT) AS y
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        | sp AS (SELECT key, min(day) AS dd0, max(day) AS dd1
+        |  FROM daily GROUP BY 1),
+        | g AS (SELECT sp.key, gs.day,
+        |   CAST(gs.day - sp.dd0 + 1 AS BIGINT) AS i
+        |  FROM sp, unnest(generate_series(sp.dd0, sp.dd1)) AS gs(day)),
+        | se AS (SELECT g.key, g.i, coalesce(d.y, 0) AS y
+        |  FROM g LEFT JOIN daily d ON d.key = g.key AND d.day = g.day),
+        | nn AS (SELECT key, CAST(max(i) AS BIGINT) AS n_days FROM se
+        |  GROUP BY 1),
+        | rec AS (
+        |  SELECT key, i, y * 1000 AS l, CAST(0 AS BIGINT) AS b,
+        |    CAST(0 AS BIGINT) AS sae
+        |  FROM se WHERE i = 1
+        |  UNION ALL
+        |  SELECT se.key, se.i,
+        |    (300000 * se.y * 1000 + 700000 * (rec.l + rec.b)) // 1000000,
+        |    (100000 * ((300000 * se.y * 1000 + 700000 * (rec.l + rec.b))
+        |        // 1000000 - rec.l)
+        |      + 900000 * rec.b) // 1000000,
+        |    rec.sae + abs(se.y * 1000 - (rec.l + rec.b))
+        |  FROM se JOIN rec ON se.key = rec.key AND se.i = rec.i + 1),
+        | fin AS (SELECT rec.key, rec.l, rec.b, rec.sae
+        |  FROM rec JOIN nn ON nn.key = rec.key AND rec.i = nn.n_days)
+        |SELECT fin.key AS event_type, CAST(h.h AS BIGINT) AS h,
+        | nn.n_days, CAST(fin.l AS BIGINT) AS level_milli,
+        | CAST(fin.b AS BIGINT) AS trend_milli,
+        | CAST(fin.sae AS BIGINT) AS sae_milli,
+        | CAST(fin.l + h.h * fin.b AS BIGINT) AS forecast_milli
+        |FROM fin JOIN nn ON nn.key = fin.key
+        | CROSS JOIN (SELECT unnest(generate_series(1, 7)) AS h) h
+        |ORDER BY event_type, h""".stripMargin
   )
 }

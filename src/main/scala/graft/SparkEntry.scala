@@ -4119,6 +4119,19 @@ object SparkEntry {
         convType = "purchase", windowSec = 3600L, halfLifeSec = 600L)
       .orderBy("channel")
 
+  /** Holt linear-trend forecast ([[TimeSeries.holtForecast]]): per
+    * event_type, level+trend smoothed over the gap-filled daily series
+    * in milli lanes (α=0.3, β=0.1 as ppm literals, one floor per
+    * step), 7-day linear forecasts plus the in-sample one-step SAE.
+    * The oracle replays the entire recurrence with a recursive CTE.
+    */
+  private def q289(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.holtForecast(Tables.events(s, dir),
+        col("event_type"), col("ts"),
+        horizonDays = 7, alphaPpm = 300000L, betaPpm = 100000L)
+      .withColumnRenamed("key", "event_type")
+      .orderBy("event_type", "h")
+
   /** Keyless binned range join ([[ops.IntervalJoin.binnedPointJoin]]):
     * busy hours are detected from the FULL event stream (hourly count
     * strictly above 1.2× the mean hour, division-cleared to
@@ -5077,7 +5090,8 @@ object SparkEntry {
     "q285_delta_attribution" -> q285 _,
     "q286_intervention_impact" -> q286 _,
     "q287_log_rank" -> q287 _,
-    "q288_timedecay_attribution" -> q288 _
+    "q288_timedecay_attribution" -> q288 _,
+    "q289_holt_forecast" -> q289 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

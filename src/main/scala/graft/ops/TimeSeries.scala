@@ -753,6 +753,80 @@ object TimeSeries {
         col("band"), col("rel_effect_ppm"), col("significant"))
   }
 
+  /** Holt's linear-trend forecast (double exponential smoothing) as a
+    * DETERMINISTIC integer recurrence — the trend-capable upgrade of
+    * the seasonal-naive baseline: per key, over the gap-filled daily
+    * series (missing days are 0-observations), level and trend update
+    * in MILLI-units with a floor per step —
+    * `l ← (α·y·10³ + (10⁶−α)·(l+b)) DIV 10⁶`,
+    * `b ← (β·(l−l_prev) + (10⁶−β)·b) DIV 10⁶` — initialized at
+    * `l = y₀·10³, b = 0`. α/β are ppm literals; every step replays on
+    * any engine (oracle: recursive CTE; here: the [[graft.ops.Stats
+    * .kaplanMeier]] `aggregate`-HOF scan over the per-key day array).
+    * Milli lanes keep `(10⁶−α)·(l+b)` inside BIGINT for daily counts
+    * up to ~9·10⁹ per key. The one-step-ahead in-sample absolute
+    * error `Σ|y_t·10³ − (l+b)_prev|` rides along as the fit
+    * diagnostic.
+    *
+    * Output: one row per (key, h) for `h = 1..horizonDays` with the
+    * linear forecast `l + h·b` (milli-units, can go negative — counts
+    * clamp at the CONSUMER's discretion, the estimator stays honest)
+    * plus the per-key `n_days`, final `level_milli`/`trend_milli`,
+    * and `sae_milli`.
+    *
+    * Scale: daily rollup (one shuffle) → per-key day arrays bounded by
+    * the day SPAN, not the corpus → one map-side scan.
+    */
+  def holtForecast(
+      df: DataFrame,
+      keyCol: Column,
+      tsCol: Column,
+      horizonDays: Int,
+      alphaPpm: Long = 300000L,
+      betaPpm: Long = 100000L
+  ): DataFrame = {
+    require(horizonDays >= 1, "horizonDays must be at least 1")
+    require(alphaPpm > 0 && alphaPpm <= 1000000L &&
+      betaPpm > 0 && betaPpm <= 1000000L, "alpha/beta in (0, 1e6] ppm")
+    val daily = df.filter(keyCol.isNotNull && tsCol.isNotNull)
+      .select(keyCol.as("key"), unix_timestamp(tsCol).cast("long").as("__ep"))
+      .withColumn("day", expr("__ep DIV 86400"))
+      .groupBy("key", "day")
+      .agg(count(lit(1)).as("y"))
+    // gap-filled per-key day series, collected to a span-bounded array
+    val series = daily.groupBy("key")
+      .agg(min(col("day")).as("__d0"), max(col("day")).as("__d1"),
+        map_from_entries(collect_list(struct(col("day"), col("y"))))
+          .as("__m"))
+      .withColumn("ys", expr(
+        "transform(sequence(__d0, __d1)," +
+          " d -> coalesce(__m[d], CAST(0 AS BIGINT)))"))
+      .select(col("key"), size(col("ys")).cast("long").as("n_days"),
+        col("ys"))
+    val a = alphaPpm; val b = betaPpm
+    series
+      .withColumn("st", expr(
+        s"""aggregate(slice(ys, 2, size(ys) - 1),
+           |  named_struct('l', element_at(ys, 1) * CAST(1000 AS BIGINT),
+           |    'b', CAST(0 AS BIGINT), 'sae', CAST(0 AS BIGINT)),
+           |  (acc, y) -> named_struct(
+           |    'l', ($a * y * 1000 + (1000000 - $a) * (acc.l + acc.b))
+           |      DIV 1000000,
+           |    'b', ($b * (($a * y * 1000 + (1000000 - $a)
+           |        * (acc.l + acc.b)) DIV 1000000 - acc.l)
+           |      + (1000000 - $b) * acc.b) DIV 1000000,
+           |    'sae', acc.sae + abs(y * 1000 - (acc.l + acc.b))))""".stripMargin))
+      .select(col("key"), col("n_days"),
+        col("st.l").as("level_milli"), col("st.b").as("trend_milli"),
+        col("st.sae").as("sae_milli"),
+        explode(expr(s"sequence(1, $horizonDays)")).as("h"))
+      .withColumn("forecast_milli",
+        expr("level_milli + h * trend_milli"))
+      .select(col("key"), col("h"), col("n_days"), col("level_milli"),
+        col("trend_milli"), col("sae_milli"), col("forecast_milli"))
+      .orderBy("key", "h")
+  }
+
   /** Stream hygiene audit — the per-key delivery-quality report an
     * ingestion pipeline checks BEFORE trusting event-time logic
     * downstream: in (event-time, sequence) order, how many adjacent

@@ -393,6 +393,40 @@ class TimeSeriesSpec extends SparkTestBase {
     }
   }
 
+  test("holtForecast: exact milli recurrence mirror, gap days are zeros, linear horizon") {
+    def mk(key: String, counts: Seq[(Long, Int)]): Seq[(String, Timestamp)] =
+      counts.flatMap { case (d, n) =>
+        (1 to n).map(_ => (key, new Timestamp(d * 86400000L + 1000L)))
+      }
+    // key a: clean linear growth; key g: day 1 missing (zero observation)
+    val ca = Seq(0L -> 2, 1L -> 4, 2L -> 6, 3L -> 8, 4L -> 10)
+    val cg = Seq(0L -> 3, 2L -> 3)
+    def mirror(ys: Seq[Long]): (Long, Long, Long) = {
+      var l = ys.head * 1000L; var b = 0L; var sae = 0L
+      ys.tail.foreach { y =>
+        val lNew = (300000L * y * 1000L + 700000L * (l + b)) / 1000000L
+        val bNew = (100000L * (lNew - l) + 900000L * b) / 1000000L
+        sae += math.abs(y * 1000L - (l + b))
+        l = lNew; b = bNew
+      }
+      (l, b, sae)
+    }
+    val (la, ba, sa) = mirror(Seq(2L, 4L, 6L, 8L, 10L))
+    val (lg, bg, sg) = mirror(Seq(3L, 0L, 3L))
+    val out = TimeSeries.holtForecast(
+        (mk("a", ca) ++ mk("g", cg)).toDF("k", "ts"),
+        col("k"), col("ts"), horizonDays = 3)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> t).toMap
+    (1L to 3L).foreach { h =>
+      assert(out(("a", h)) == (("a", h, 5L, la, ba, sa, la + h * ba)),
+        s"a/h$h: ${out(("a", h))} vs ($la,$ba,$sa)")
+      assert(out(("g", h)) == (("g", h, 3L, lg, bg, sg, lg + h * bg)))
+    }
+    // growth series must learn a positive trend; its forecast rises
+    assert(ba > 0L && out(("a", 3L))._7 > out(("a", 1L))._7)
+  }
+
   test("seasonalNaiveBacktest: lag-7 prediction, missing days are zero observations") {
     // key a: days 0..6 have 2/day, days 7..13 have 5/day except day 10 missing
     val days = (0 to 13).filter(_ != 10).map(d => d -> (if (d < 7) 2 else 5))
