@@ -5439,6 +5439,69 @@ object OracleSql {
         | CAST(fin.l + h.h * fin.b AS BIGINT) AS forecast_milli
         |FROM fin JOIN nn ON nn.key = fin.key
         | CROSS JOIN (SELECT unnest(generate_series(1, 7)) AS h) h
-        |ORDER BY event_type, h""".stripMargin
+        |ORDER BY event_type, h""".stripMargin,
+
+    // peeking-safe trajectory: cumulative daily 2x2 cells, cleared chi2
+    // per look, Bonferroni threshold picked by total look count
+    "q290_ab_trajectory" ->
+      """WITH u AS (SELECT CAST(user_id AS VARCHAR) AS unit,
+        |   min(CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS entry_day,
+        |   min(CASE WHEN event_type = 'purchase'
+        |     THEN CAST(floor(epoch(ts)) AS BIGINT) // 86400 END) AS conv_day
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IS NOT NULL
+        |  GROUP BY 1),
+        | a AS (SELECT entry_day, conv_day,
+        |   ('0x'||substr(md5('7:'||unit),1,8))::BIGINT % 2 AS arm FROM u),
+        | bd AS (SELECT min(entry_day) AS d0,
+        |   max(greatest(entry_day, coalesce(conv_day, entry_day))) AS d1
+        |  FROM a),
+        | ent AS (SELECT arm, entry_day AS day, CAST(count(*) AS BIGINT)
+        |   AS n_ent FROM a GROUP BY 1, 2),
+        | cnv AS (SELECT arm, conv_day AS day, CAST(count(*) AS BIGINT)
+        |   AS n_cnv FROM a WHERE conv_day IS NOT NULL GROUP BY 1, 2),
+        | g AS (SELECT gs.day, ar.arm
+        |  FROM bd, unnest(generate_series(bd.d0, bd.d1)) AS gs(day),
+        |   (SELECT unnest(generate_series(0, 1)) AS arm) ar),
+        | run AS (SELECT g.day, g.arm,
+        |   sum(coalesce(ent.n_ent, 0)) OVER w AS n_cum,
+        |   sum(coalesce(cnv.n_cnv, 0)) OVER w AS c_cum
+        |  FROM g LEFT JOIN ent ON ent.arm = g.arm AND ent.day = g.day
+        |   LEFT JOIN cnv ON cnv.arm = g.arm AND cnv.day = g.day
+        |  WINDOW w AS (PARTITION BY g.arm ORDER BY g.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        | byd AS (SELECT day,
+        |   CAST(max(CASE WHEN arm = 1 THEN c_cum END) AS BIGINT) AS a,
+        |   CAST(max(CASE WHEN arm = 1 THEN n_cum - c_cum END) AS BIGINT)
+        |     AS b,
+        |   CAST(max(CASE WHEN arm = 0 THEN c_cum END) AS BIGINT) AS c,
+        |   CAST(max(CASE WHEN arm = 0 THEN n_cum - c_cum END) AS BIGINT)
+        |     AS d,
+        |   count(*) OVER () AS n_looks
+        |  FROM run GROUP BY day),
+        | th AS (SELECT * FROM (VALUES (1,3841),(2,5024),(3,5731),(4,6239),
+        |   (5,6635),(6,6960),(7,7237),(8,7477),(9,7689),(10,7879),
+        |   (11,8052),(12,8210),(13,8355),(14,8490),(15,8615),(16,8733),
+        |   (17,8844),(18,8948),(19,9047),(20,9141),(21,9230),(22,9315),
+        |   (23,9397),(24,9475),(25,9550),(26,9622),(27,9691),(28,9758),
+        |   (29,9822),(30,9885),(31,9945),(32,10003),(33,10060),(34,10115),
+        |   (35,10169),(36,10220),(37,10271),(38,10320),(39,10368),
+        |   (40,10415)) AS t(k, thr)),
+        | fin AS (SELECT byd.*, th.thr,
+        |   CASE WHEN (a+b) > 0 AND (c+d) > 0 AND (a+c) > 0 AND (b+d) > 0
+        |     AND (a+b+c+d) <= 10000000 THEN
+        |     CAST((CAST(a AS HUGEINT)*d - CAST(b AS HUGEINT)*c)
+        |       * (CAST(a AS HUGEINT)*d - CAST(b AS HUGEINT)*c)
+        |       * (a+b+c+d) * 1000
+        |       // (CAST(a+b AS HUGEINT) * (c+d) * (a+c) * (b+d)) AS BIGINT)
+        |   END AS chi2
+        |  FROM byd LEFT JOIN th ON th.k = byd.n_looks)
+        |SELECT day, a + b AS n_treat, c + d AS n_control,
+        | a AS conv_treat, c AS conv_control, chi2 AS chi2_milli,
+        | CAST(thr AS BIGINT) AS threshold_milli,
+        | CASE WHEN chi2 IS NOT NULL AND thr IS NOT NULL
+        |   THEN chi2 >= thr END AS significant
+        |FROM fin ORDER BY day""".stripMargin
   )
 }

@@ -4132,6 +4132,20 @@ object SparkEntry {
       .withColumnRenamed("key", "event_type")
       .orderBy("event_type", "h")
 
+  /** Peeking-safe experiment trajectory ([[ops.Stats.abTrajectory]]):
+    * q250's experiment re-read cumulatively at EVERY day, each look's
+    * χ² judged against the Bonferroni ladder for the total look count
+    * — "when did it become decisive" without the 3× false-positive
+    * inflation of daily peeks at 3841. Every cumulative cell, χ², and
+    * the per-look-count threshold replay exactly.
+    */
+  private def q290(s: SparkSession, dir: String): DataFrame =
+    ops.Stats.abTrajectory(Tables.events(s, dir),
+        unitCol = col("user_id"),
+        convCol = col("event_type") === "purchase",
+        tsCol = col("ts"),
+        seed = 7)
+
   /** Keyless binned range join ([[ops.IntervalJoin.binnedPointJoin]]):
     * busy hours are detected from the FULL event stream (hourly count
     * strictly above 1.2× the mean hour, division-cleared to
@@ -5091,7 +5105,8 @@ object SparkEntry {
     "q286_intervention_impact" -> q286 _,
     "q287_log_rank" -> q287 _,
     "q288_timedecay_attribution" -> q288 _,
-    "q289_holt_forecast" -> q289 _
+    "q289_holt_forecast" -> q289 _,
+    "q290_ab_trajectory" -> q290 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

@@ -1066,6 +1066,103 @@ object Stats {
         col("significant"))
   }
 
+  /** χ²₁ upper quantiles at `α = 0.05/k` for `k = 1..40` looks, in
+    * milli — the Bonferroni multiple-testing ladder as INTEGER
+    * LITERALS (entry 1 is the familiar 3841). Authoring-time erfc
+    * bisection; shared verbatim with the oracle.
+    */
+  private[graft] val BonferroniChi2Milli: Seq[Long] = Seq(
+    3841L, 5024L, 5731L, 6239L, 6635L, 6960L, 7237L, 7477L, 7689L,
+    7879L, 8052L, 8210L, 8355L, 8490L, 8615L, 8733L, 8844L, 8948L,
+    9047L, 9141L, 9230L, 9315L, 9397L, 9475L, 9550L, 9622L, 9691L,
+    9758L, 9822L, 9885L, 9945L, 10003L, 10060L, 10115L, 10169L,
+    10220L, 10271L, 10320L, 10368L, 10415L)
+
+  /** Peeking-safe experiment trajectory — "WHEN did the test become
+    * decisive, without p-hacking the daily look": the cumulative 2×2
+    * table re-read at EVERY day of the experiment, with each day's
+    * χ² judged against the Bonferroni-corrected threshold for the
+    * TOTAL number of looks ([[BonferroniChi2Milli]] — a peek a day
+    * for a month needs ~9.9, not 3.84). Naive daily peeking at 3841
+    * inflates false positives ~3× over a month; this trajectory keeps
+    * the family-wise rate at 5%.
+    *
+    * Units enter on their first observed day and convert on their
+    * first converting day ([[abChiSquare]]'s max semantics,
+    * cumulative); arms are the md5 seed split. Every readout is the
+    * cleared integer χ² per cumulative table. More than 40 looks
+    * reports NULL flags — refuse, don't lie.
+    *
+    * Scale: one unit-grain shuffle → (arm, day) entry/conversion cells
+    * (day-bounded) → running windows over the days × 2 grid. Nothing
+    * corpus-sized past the first aggregate.
+    */
+  def abTrajectory(
+      df: DataFrame,
+      unitCol: Column,
+      convCol: Column,
+      tsCol: Column,
+      seed: Int = 7
+  ): DataFrame = {
+    import graft.functions.Hashing
+    val us = df
+      .filter(unitCol.isNotNull && tsCol.isNotNull && convCol.isNotNull)
+      .select(unitCol.cast("string").as("unit"),
+        convCol.cast("boolean").as("conv"),
+        unix_timestamp(tsCol).cast("long").as("sec"))
+      .withColumn("day", expr("sec DIV 86400"))
+      .groupBy("unit")
+      .agg(min(col("day")).as("entry_day"),
+        min(when(col("conv"), col("day"))).as("conv_day"))
+      .withColumn("arm", pmod(Hashing.md5Hash32(seed, col("unit")), lit(2L)))
+    val bounds = us.agg(min(col("entry_day")).as("d0"),
+      max(greatest(col("entry_day"), coalesce(col("conv_day"),
+        col("entry_day")))).as("d1"))
+    val ent = us.groupBy(col("arm"), col("entry_day").as("day"))
+      .agg(count(lit(1)).as("n_ent"))
+    val cnv = us.filter(col("conv_day").isNotNull)
+      .groupBy(col("arm"), col("conv_day").as("day"))
+      .agg(count(lit(1)).as("n_cnv"))
+    val grid = bounds
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      .crossJoin(df.sparkSession.range(2).select(col("id").as("arm")))
+    val run = Window.partitionBy(col("arm")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cells = grid
+      .join(ent, Seq("arm", "day"), "left")
+      .join(cnv, Seq("arm", "day"), "left")
+      .na.fill(0L, Seq("n_ent", "n_cnv"))
+      .withColumn("n_cum", sum(col("n_ent")).over(run))
+      .withColumn("c_cum", sum(col("n_cnv")).over(run))
+    cells.groupBy("day")
+      .agg(max(when(col("arm") === 1L, col("c_cum"))).as("a"),
+        max(when(col("arm") === 1L, col("n_cum") - col("c_cum"))).as("b"),
+        max(when(col("arm") === 0L, col("c_cum"))).as("c"),
+        max(when(col("arm") === 0L, col("n_cum") - col("c_cum"))).as("d"))
+      .withColumn("n_looks",
+        count(lit(1)).over(Window.partitionBy()).cast("int"))
+      .withColumn("threshold_milli",
+        when(col("n_looks") <= BonferroniChi2Milli.length,
+          element_at(typedlit(BonferroniChi2Milli), col("n_looks"))))
+      .withColumn("chi2_milli", expr(
+        "CASE WHEN (a+b) > 0 AND (c+d) > 0 AND (a+c) > 0 AND (b+d) > 0" +
+          " AND (a+b+c+d) <= 10000000 THEN " +
+          "CAST((CAST(a AS DECIMAL(38,0)) * d - CAST(b AS DECIMAL(38,0)) * c)" +
+          " * (CAST(a AS DECIMAL(38,0)) * d - CAST(b AS DECIMAL(38,0)) * c)" +
+          " * (a+b+c+d) * 1000" +
+          " DIV (CAST(a+b AS DECIMAL(38,0)) * (c+d) * (a+c) * (b+d)) AS BIGINT)" +
+          " END"))
+      .withColumn("significant",
+        when(col("chi2_milli").isNotNull && col("threshold_milli").isNotNull,
+          col("chi2_milli") >= col("threshold_milli")))
+      .select(col("day"), expr("a + b").as("n_treat"),
+        expr("c + d").as("n_control"), col("a").as("conv_treat"),
+        col("c").as("conv_control"), col("chi2_milli"),
+        col("threshold_milli").cast("long").as("threshold_milli"),
+        col("significant"))
+      .orderBy("day")
+  }
+
   /** Robust per-group outlier detection via MAD (median absolute
     * deviation): a value is an outlier iff `|x − median| > k · MAD` —
     * the standard heavy-tail-safe alternative to z-scores (one extreme

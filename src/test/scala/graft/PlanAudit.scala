@@ -61,6 +61,7 @@ object PlanAudit {
     "q285_delta_attribution", // ONE-row midpoint + ONE-row total-delta broadcasts
     "q286_intervention_impact", // keys × ONE-row max-day anchor (q278's class)
     "q287_log_rank", // ONE-row max-day + ONE-row arm-totals broadcasts; durs × 2-row arm grid
+    "q290_ab_trajectory", // ONE-row day-bounds broadcast; days × 2-row arm grid
     "q281_ranking_eval") // composes q37's AND q41's broadcast scans (q167's class)
 
   /** Queries whose DESIGN composes several complete pipelines, so their

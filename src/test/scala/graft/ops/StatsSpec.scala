@@ -842,6 +842,50 @@ class StatsSpec extends SparkTestBase {
     assert(!same.getBoolean(7), s"identical curves must not flag: $same")
   }
 
+  test("abTrajectory: cumulative cells mirror, Bonferroni threshold by look count") {
+    import org.apache.spark.sql.functions.col
+    import java.sql.Timestamp
+    def arm7(unit: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"7:$unit".getBytes("UTF-8"))
+      ((((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)) % 2)
+    }
+    def ts(day: Long) = new Timestamp(day * 86400000L + 1000L)
+    val (ones, zeros) = (1 to 300).map(i => s"w$i").partition(arm7(_) == 1L)
+    // 20 treated + 20 control enter day 0; treated convert on days 0..3
+    // (5/day), control never: the trajectory crosses significance as
+    // conversions accumulate
+    val t20 = ones.take(20); val c20 = zeros.take(20)
+    val rows =
+      t20.map(u => (u, false, ts(0L))) ++ c20.map(u => (u, false, ts(0L))) ++
+      t20.zipWithIndex.map { case (u, i) => (u, true, ts((i / 5).toLong)) }
+        .filter(_._3.getTime <= ts(3L).getTime)
+    val out = Stats.abTrajectory(rows.toDF("u", "cv", "t"),
+      col("u"), col("cv"), col("t"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.size == 4, s"4 looks: ${out.keys}")
+    // mirror cumulative cells: day d has 5(d+1) treated conversions
+    (0L to 3L).foreach { d =>
+      val row = out(d)
+      val a = 5L * (d + 1); val b = 20L - a; val (c, dd) = (0L, 20L)
+      assert(row.getLong(1) == 20L && row.getLong(2) == 20L)
+      assert(row.getLong(3) == a && row.getLong(4) == c, s"day $d: $row")
+      val n = a + b + c + dd
+      val chi2 = (BigInt(a) * dd - BigInt(b) * c).pow(2) * n * 1000 /
+        (BigInt(a + b) * (c + dd) * (a + c) * (b + dd))
+      assert(row.getLong(5) == chi2.toLong, s"day $d chi2: $row vs $chi2")
+      assert(row.getLong(6) == 6239L, "4 looks -> Bonferroni 0.05/4")
+      assert(row.getBoolean(7) == (chi2.toLong >= 6239L))
+    }
+    // the full-conversion day is decisive even at the corrected bar
+    assert(out(3L).getBoolean(7), "20/20 vs 0/20 must clear 6239 milli")
+    // day 0 (5/20 vs 0/20): chi2 = 5.7k > 3841 BUT the corrected bar is
+    // 6239 — the naive daily peek would have called it a day early
+    assert(out(0L).getLong(5) >= 3841L && !out(0L).getBoolean(7),
+      s"day 0 must flag naively but NOT under correction: ${out(0L)}")
+  }
+
   test("groupEcdf: count-<= semantics, ties share a value, per-group isolation") {
     import org.apache.spark.sql.functions.col
     val df = Seq((1L, "s1", 10L), (2L, "s1", 20L), (3L, "s1", 20L),
