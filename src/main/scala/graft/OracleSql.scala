@@ -5502,6 +5502,33 @@ object OracleSql {
         | CAST(thr AS BIGINT) AS threshold_milli,
         | CASE WHEN chi2 IS NOT NULL AND thr IS NOT NULL
         |   THEN chi2 >= thr END AS significant
-        |FROM fin ORDER BY day""".stripMargin
+        |FROM fin ORDER BY day""".stripMargin,
+
+    // winsorized mean: exact rank-selected decile bounds, clamp, count
+    // the clamps, truncating integer mean
+    "q291_winsorized_mean" ->
+      """WITH b AS (SELECT event_type AS key,
+        |   CAST(floor(value * 100) AS BIGINT) AS v
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        | r AS (SELECT key, v,
+        |   row_number() OVER (PARTITION BY key ORDER BY v) AS rn,
+        |   count(*) OVER (PARTITION BY key) AS n FROM b),
+        | t AS (SELECT key, v, rn, n, (n * 1) // 10 AS tt FROM r),
+        | bx AS (SELECT key, v, n,
+        |   max(CASE WHEN rn = tt + 1 THEN v END) OVER (PARTITION BY key)
+        |     AS lo,
+        |   max(CASE WHEN rn = n - tt THEN v END) OVER (PARTITION BY key)
+        |     AS hi
+        |  FROM t),
+        | w AS (SELECT key, n, lo, hi,
+        |   greatest(lo, least(hi, v)) AS wv, v FROM bx)
+        |SELECT key AS event_type, CAST(max(n) AS BIGINT) AS n,
+        | CAST(max(lo) AS BIGINT) AS lo_bound,
+        | CAST(max(hi) AS BIGINT) AS hi_bound,
+        | CAST(sum(CASE WHEN wv <> v THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_clamped,
+        | CAST(sum(wv) // count(*) AS BIGINT) AS winsorized_mean
+        |FROM w GROUP BY key ORDER BY event_type""".stripMargin
   )
 }

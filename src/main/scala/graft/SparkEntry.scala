@@ -4146,6 +4146,21 @@ object SparkEntry {
         tsCol = col("ts"),
         seed = 7)
 
+  /** Winsorized mean ([[ops.Stats.winsorizedMean]]): per event_type,
+    * value cents clipped to the exact rank-selected decile bounds
+    * (clip-don't-drop — n preserved, outliers lose their weight, not
+    * their vote). The oracle replays the rank bounds, every clamp,
+    * and the truncating mean.
+    */
+  private def q291(s: SparkSession, dir: String): DataFrame =
+    ops.Stats.winsorizedMean(Tables.events(s, dir)
+        .filter(col("value").isNotNull && col("event_type").isNotNull),
+        keyCol = col("event_type"),
+        valueCol = expr("CAST(floor(value * 100) AS BIGINT)"),
+        tailTenths = 1)
+      .withColumnRenamed("key", "event_type")
+      .orderBy("event_type")
+
   /** Keyless binned range join ([[ops.IntervalJoin.binnedPointJoin]]):
     * busy hours are detected from the FULL event stream (hourly count
     * strictly above 1.2× the mean hour, division-cleared to
@@ -5106,7 +5121,8 @@ object SparkEntry {
     "q287_log_rank" -> q287 _,
     "q288_timedecay_attribution" -> q288 _,
     "q289_holt_forecast" -> q289 _,
-    "q290_ab_trajectory" -> q290 _
+    "q290_ab_trajectory" -> q290 _,
+    "q291_winsorized_mean" -> q291 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

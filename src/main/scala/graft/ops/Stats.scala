@@ -1591,6 +1591,48 @@ object Stats {
     * and DuckDB integer `//` agree on that for negative sums, unlike
     * floor). One shuffle; rank and count share the key window.
     */
+  /** Winsorized mean per key — [[trimmedMean]]'s clip-don't-drop
+    * sibling, the standard training-pipeline preprocessing for heavy
+    * tails: values below the `tailTenths`-decile bound CLAMP to it
+    * (likewise above the mirrored upper bound) instead of leaving the
+    * sample, so n is preserved and every row still votes — just not
+    * with an outlier's weight. Bounds are exact rank-selected order
+    * statistics (`lo = value at rank t+1, hi = at rank n−t,
+    * t = n·tailTenths DIV 10` — value-deterministic under ties), the
+    * mean is the truncating integer DIV, and `n_clamped` reports how
+    * much winsorizing actually happened.
+    *
+    * Scale: one shuffle on the key; the rank and count windows share
+    * its sort ([[trimmedMean]]'s plan shape).
+    */
+  def winsorizedMean(
+      df: DataFrame,
+      keyCol: Column,
+      valueCol: Column,
+      tailTenths: Int = 1
+  ): DataFrame = {
+    require(tailTenths >= 0 && tailTenths <= 4, "tailTenths must be in 0..4")
+    val base = df.select(keyCol.as("key"), valueCol.cast("long").as("v"))
+      .filter(col("v").isNotNull)
+    val wr = Window.partitionBy(col("key")).orderBy(col("v"))
+    val wn = Window.partitionBy(col("key"))
+    base
+      .withColumn("rn", row_number().over(wr))
+      .withColumn("n", count(lit(1)).over(wn))
+      .withColumn("__t", expr(s"(n * $tailTenths) DIV 10"))
+      .withColumn("lo", max(when(col("rn") === col("__t") + 1, col("v")))
+        .over(wn))
+      .withColumn("hi", max(when(col("rn") === col("n") - col("__t"),
+        col("v"))).over(wn))
+      .withColumn("w", greatest(col("lo"), least(col("hi"), col("v"))))
+      .groupBy("key")
+      .agg(max(col("n")).as("n"),
+        max(col("lo")).as("lo_bound"),
+        max(col("hi")).as("hi_bound"),
+        sum(when(col("w") =!= col("v"), 1L).otherwise(0L)).as("n_clamped"),
+        expr("sum(w) DIV count(1)").as("winsorized_mean"))
+  }
+
   def trimmedMean(
       df: DataFrame,
       keyCol: Column,

@@ -922,6 +922,32 @@ class StatsSpec extends SparkTestBase {
     assert(neg == (("b", 2L, 2L, -3L)))
   }
 
+  test("winsorizedMean: rank bounds clamp the tails, n preserved, zero-tail passthrough") {
+    import org.apache.spark.sql.functions.col
+    // whale and bankrupt around a flat 5: bounds land ON 5 -> both clamp
+    val vals = Seq(-1000L, 5L, 5L, 5L, 5L, 5L, 5L, 5L, 5L, 1000L)
+    val out = Stats.winsorizedMean(vals.map(("a", _)).toDF("k", "v"),
+      col("k"), col("v"), tailTenths = 1)
+      .as[(String, Long, Long, Long, Long, Long)].collect().head
+    assert(out == (("a", 10L, 5L, 5L, 2L, 5L)), s"$out")
+
+    // tailTenths = 0: bounds are the extremes, nothing clamps,
+    // mean degenerates to the plain truncating mean
+    val plain = Stats.winsorizedMean(vals.map(("a", _)).toDF("k", "v"),
+      col("k"), col("v"), tailTenths = 0)
+      .as[(String, Long, Long, Long, Long, Long)].collect().head
+    assert(plain == (("a", 10L, -1000L, 1000L, 0L, vals.sum / 10L)))
+
+    // asymmetric clamp: only the high tail is extreme
+    val hi = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L, 900L)
+    val h = Stats.winsorizedMean(hi.map(("b", _)).toDF("k", "v"),
+      col("k"), col("v"), tailTenths = 1)
+      .as[(String, Long, Long, Long, Long, Long)].collect().head
+    // bounds: rank2=2, rank9=9 -> 1 clamps to 2, 900 clamps to 9
+    assert(h == (("b", 10L, 2L, 9L, 2L, (2L + 2L + 3L + 4L + 5L + 6L + 7L +
+      8L + 9L + 9L) / 10L)), s"$h")
+  }
+
   test("contingencyAudit: cell contributions and total match BigInt recomputation") {
     import org.apache.spark.sql.functions.col
     // dependent layout: s1 is mostly x, s2 mostly y
