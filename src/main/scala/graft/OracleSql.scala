@@ -4091,7 +4091,7 @@ object OracleSql {
         |   event_type AS et, event_id AS eid
         |  FROM events
         |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
-        |    AND event_type IS NOT NULL),
+        |    AND event_type IS NOT NULL AND event_id IS NOT NULL),
         | convs AS (SELECT u, sec AS cs, eid AS cid FROM b
         |   WHERE et = 'purchase'),
         | tch AS (SELECT u, sec AS tsx, et AS channel, eid AS tid FROM b
@@ -5367,7 +5367,7 @@ object OracleSql {
         |   event_type AS et, event_id AS eid
         |  FROM events
         |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
-        |    AND event_type IS NOT NULL),
+        |    AND event_type IS NOT NULL AND event_id IS NOT NULL),
         | convs AS (SELECT u, sec AS cs, eid AS cid FROM b
         |   WHERE et = 'purchase'),
         | tch AS (SELECT u, sec AS tsx, et AS channel, eid AS tid FROM b

@@ -285,8 +285,11 @@ object Behavior {
       convType: String,
       windowSec: Long
   ): DataFrame = {
+    // NULL ids excluded for the same reason as [[timeDecayAttribution]]:
+    // they merge partitions here but NULL-poison the oracle's NOT IN.
     val base = events
-      .filter(userCol.isNotNull && tsCol.isNotNull && typeCol.isNotNull)
+      .filter(userCol.isNotNull && tsCol.isNotNull && typeCol.isNotNull &&
+        idCol.isNotNull)
       .select(userCol.as("user"), unix_timestamp(tsCol).cast("long").as("sec"),
         typeCol.as("et"), idCol.as("eid"))
     val convs = base.filter(col("et") === convType)
@@ -347,8 +350,13 @@ object Behavior {
   ): DataFrame = {
     require(windowSec > 0 && halfLifeSec > 0,
       "window and half-life must be positive")
+    // idCol participates in per-conversion partitioning AND the
+    // oracle's NOT-IN anti-join: a NULL id would merge conversions on
+    // the Spark side while NULL-poisoning the SQL side — exclude it
+    // up front so both engines agree by construction.
     val base = events
-      .filter(userCol.isNotNull && tsCol.isNotNull && typeCol.isNotNull)
+      .filter(userCol.isNotNull && tsCol.isNotNull && typeCol.isNotNull &&
+        idCol.isNotNull)
       .select(userCol.as("user"), unix_timestamp(tsCol).cast("long").as("sec"),
         typeCol.as("et"), idCol.as("eid"))
     val convs = base.filter(col("et") === convType)

@@ -112,10 +112,26 @@ object Sketches {
       extends org.apache.spark.sql.expressions.Aggregator[Long, KmvState, KmvState] {
     import org.apache.spark.sql.{Encoder, Encoders}
     override def zero: KmvState = KmvState(Vector.empty)
-    override def reduce(b: KmvState, h: Long): KmvState =
-      if (b.hs.length >= k && h >= b.hs.last) b
-      else if (b.hs.contains(h)) b
-      else KmvState(((b.hs :+ h).sorted).take(k))
+    // The buffer is kept sorted ascending, so membership + insertion
+    // point come from one binary search — O(log k) compare + O(k)
+    // splice per admitted row, no per-row re-sort on the hot path.
+    override def reduce(b: KmvState, h: Long): KmvState = {
+      val hs = b.hs
+      if (hs.length >= k && h >= hs(hs.length - 1)) b
+      else {
+        var lo = 0
+        var hi = hs.length
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (hs(mid) < h) lo = mid + 1 else hi = mid
+        }
+        if (lo < hs.length && hs(lo) == h) b
+        else {
+          val spliced = (hs.take(lo) :+ h) ++ hs.drop(lo)
+          KmvState(if (spliced.length > k) spliced.take(k) else spliced)
+        }
+      }
+    }
     override def merge(a: KmvState, b: KmvState): KmvState =
       KmvState((a.hs ++ b.hs).distinct.sorted.take(k))
     override def finish(r: KmvState): KmvState = r
@@ -178,7 +194,8 @@ object Sketches {
       .drop("__s")
   }
 
-  /** KMV set-overlap estimates for every ORDERED PAIR of keys — union
+  /** KMV set-overlap estimates for every UNORDERED pair of keys,
+    * emitted once each under `key_a < key_b` — union
     * cardinality and Jaccard from the sketches alone, no second pass
     * over the data: for keys a < b, the union's min-k is the min-k of
     * the two sketches merged, the union estimate is [[kmvDistinct]]'s

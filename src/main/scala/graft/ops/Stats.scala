@@ -211,7 +211,11 @@ object Stats {
     * Significance is the cleared large-sample test at α = 0.05
     * (critical value 1.358): `D > 1.358·√((n_a+n_b)/(n_a·n_b))` ⟺
     * `D_num²·10⁴ > 18441·n_a·n_b·(n_a+n_b)` — DECIMAL(38,0)/HUGEINT
-    * lanes, no square root, headroom to n ≈ 10⁸ per key. `d_ppm`
+    * lanes, no square root, headroom to n ≈ 10⁸ per key. The integer
+    * literal 18441 FLOORS 1.358² = 1.844164, i.e. the critical
+    * threshold is ≤1 ulp below the exact value and the test is
+    * correspondingly ≤1 ulp LIBERAL — shared verbatim by the DuckDB
+    * oracle, so the two engines agree bit-exactly by construction. `d_ppm`
     * reports the gap itself (`D_num·10⁶ DIV (n_a·n_b)`). Keys missing
     * either group report NULLs.
     *
