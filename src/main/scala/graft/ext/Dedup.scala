@@ -395,6 +395,32 @@ object Dedup {
     override def outputEncoder: Encoder[CappedIds] = Encoders.product[CappedIds]
   }
 
+  /** Two-sided [[BoundedIdCollect]]: one aggregation pass collects BOTH
+    * corpora's ids per signature (`isA` tags the side), so a cross-corpus
+    * blocking join ([[linkPairs]]) needs ONE shuffle over the union
+    * instead of one aggregate per side plus a sig join. `ka`/`kb` count
+    * per-side EMISSIONS (the cap contract); id vectors stop growing at
+    * cap+1 so an over-cap signature carries bounded state.
+    */
+  private[graft] case class CappedSides(ka: Long, a: Seq[Long], kb: Long, b: Seq[Long])
+
+  private[graft] class BoundedSideCollect(cap: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[(Boolean, Long), CappedSides, CappedSides] {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    override def zero: CappedSides = CappedSides(0L, Vector.empty, 0L, Vector.empty)
+    override def reduce(s: CappedSides, in: (Boolean, Long)): CappedSides =
+      if (in._1)
+        CappedSides(s.ka + 1, if (s.a.length <= cap) s.a :+ in._2 else s.a, s.kb, s.b)
+      else
+        CappedSides(s.ka, s.a, s.kb + 1, if (s.b.length <= cap) s.b :+ in._2 else s.b)
+    override def merge(x: CappedSides, y: CappedSides): CappedSides =
+      CappedSides(x.ka + y.ka, (x.a ++ y.a).take(cap + 1),
+        x.kb + y.kb, (x.b ++ y.b).take(cap + 1))
+    override def finish(r: CappedSides): CappedSides = r
+    override def bufferEncoder: Encoder[CappedSides] = Encoders.product[CappedSides]
+    override def outputEncoder: Encoder[CappedSides] = Encoders.product[CappedSides]
+  }
+
   /** LSH tuning diagnostics: per band, the bucket count, how many buckets
     * collide (≥2 docs), and the candidate-pair volume Σ k·(k−1)/2 those
     * buckets emit. This is the observability an operator needs BEFORE
@@ -598,6 +624,13 @@ object Dedup {
     require(thresholdTenths >= 1 && thresholdTenths <= 10,
       s"thresholdTenths must be in [1,10], got $thresholdTenths")
     val t = thresholdTenths
+    // localCheckpoint(lazy): `sets` is consumed by FOUR branches (the
+    // shingle explode, the prefix-rank join, and both verify sides) and
+    // each would otherwise re-derive the whole tokenize→shingle→hash→
+    // sort pipeline — the dominant scan-side cost. The materialized
+    // frame is one row per doc with its sorted hash array (the same
+    // volume class as the shuffles around it); at cluster scale swap
+    // for persist(DISK_ONLY) if executor-loss recovery matters.
     val sets = docs
       .select(col(idCol).as("id"),
         array_sort(array_distinct(transform(
@@ -605,13 +638,15 @@ object Dedup {
           s => Hashing.md5Hash32(0, s)))).as("hs"))
       .withColumn("n", size(col("hs")))
       .filter(col("n") > 0)
-    val sh = sets.select(col("id"), explode(col("hs")).as("h"))
+      .localCheckpoint(false)
+    // `n` rides the explode (8 bytes per shingle row) so the prefix
+    // filter needs no join back onto `sets`
+    val sh = sets.select(col("id"), col("n"), explode(col("hs")).as("h"))
     val df = sh.groupBy("h").agg(count(lit(1)).as("d"))
     val ranked = sh.join(df, "h")
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("id")).orderBy(col("d"), col("h"))))
     val prefix = ranked
-      .join(sets.select(col("id"), col("n")), "id")
       // prefix length n − ⌈t·n/10⌉ + 1, ceil division in integers
       .filter(col("rk") <= col("n") - expr(s"($t * n + 9) DIV 10") + lit(1))
       .select(col("id"), col("h"))
@@ -623,6 +658,13 @@ object Dedup {
     candidates
       .join(sets.select(col("id").as("id_a"), col("hs").as("hs_a"), col("n").as("na")), Seq("id_a"))
       .join(sets.select(col("id").as("id_b"), col("hs").as("hs_b"), col("n").as("nb")), Seq("id_b"))
+      // size early-exit (the PPJoin length filter): J ≥ t implies
+      // t·max(|A|,|B|) ≤ 10·min(|A|,|B|) — size-incompatible candidates
+      // drop here on two ints, before the O(na+nb) intersection builds
+      // its hash set. Purely a compute skip: the set of emitted pairs
+      // is unchanged (any pair failing this also fails the exact test).
+      .filter(lit(10L) * least(col("na"), col("nb")) >=
+        lit(t.toLong) * greatest(col("na"), col("nb")))
       .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))))
       .filter(col("inter") * lit(10L) >= lit(t.toLong) * (col("na") + col("nb") - col("inter")))
       .select(col("id_a"), col("id_b"),
@@ -728,30 +770,35 @@ object Dedup {
     // with identical adjacent tokens) just emit duplicate CANDIDATES,
     // deduped at the far cheaper pair level below. Under the cap, `k`
     // therefore counts signature EMISSIONS, not distinct docs — a
-    // marginally conservative drop for repeated-token docs
-    // signature = ONE xxhash64 of the variant text: the tokens+1-per-doc
-    // shuffle moves an 8-byte long instead of a 32-char md5 hex string,
-    // and the hash aggregate compares primitives. A single 64-bit hash
-    // is enough HERE (unlike posGramTable's 128-bit pair) because every
-    // candidate pair is levenshtein-VERIFIED afterwards — on the
-    // UNCAPPED path a collision emits a false candidate that the exact
-    // filter rejects, costing one distance computation, never a wrong
-    // row. (Under a finite maxBucketSize a collision could additionally
-    // merge two buckets past the cap and drop that bucket's true pairs
-    // — a ~2⁻⁶⁴-probability conservative drop, same failure direction
-    // as the cap itself.) The ORACLE
-    // groups on its own md5 of the same variant texts and its candidate
-    // set differs at most by collision-only candidates, which the
-    // shared verify predicate removes from both sides.
+    // marginally conservative drop for repeated-token docs.
+    // signature = ONE xxhash64 of the variant TOKEN ARRAY (xxhash64
+    // chains element hashes, so boundaries are preserved): the slices
+    // copy token POINTERS, never building the variant string that the
+    // earlier concat_ws formulation allocated + memcpy'd per position.
+    // Because tokens = split(text, " ") exactly, two variant token
+    // arrays are equal iff the joined variant texts are equal — the
+    // blocking equivalence classes are IDENTICAL to text hashing, and
+    // the tokens+1-per-doc shuffle still moves an 8-byte long. A single
+    // 64-bit hash is enough HERE (unlike posGramTable's 128-bit pair)
+    // because every candidate pair is levenshtein-VERIFIED afterwards —
+    // on the UNCAPPED path a collision emits a false candidate that the
+    // exact filter rejects, costing one distance computation, never a
+    // wrong row. (Under a finite maxBucketSize a collision could
+    // additionally merge two buckets past the cap and drop that
+    // bucket's true pairs — a ~2⁻⁶⁴-probability conservative drop, same
+    // failure direction as the cap itself.) The ORACLE groups on its
+    // own md5 of the same variant texts and its candidate set differs
+    // at most by collision-only candidates, which the shared verify
+    // predicate removes from both sides.
     val sigs = base
-      .select(col("id"), col("txt"), col("__toks"),
+      .select(col("id"), col("__toks"),
         explode(sequence(lit(0), size(col("__toks")))).as("i"))
       .select(col("id"),
         xxhash64(lit(1),
-          when(col("i") === 0, col("txt"))
-            .otherwise(concat_ws(" ",
+          when(col("i") === 0, col("__toks"))
+            .otherwise(
               concat(slice(col("__toks"), lit(1), col("i") - 1),
-                slice(col("__toks"), col("i") + 1, size(col("__toks")))))))
+                slice(col("__toks"), col("i") + 1, size(col("__toks"))))))
           .as("sig"))
     val buckets =
       if (maxBucketSize == Int.MaxValue)
@@ -770,8 +817,19 @@ object Dedup {
       .distinct()
       .join(base.select(col("id").as("id_a"), col("txt").as("ta")), Seq("id_a"))
       .join(base.select(col("id").as("id_b"), col("txt").as("tb")), Seq("id_b"))
-      .withColumn("dist", levenshtein(col("ta"), col("tb")).cast("long"))
-      .filter(col("dist") <= maxDist)
+      // length pre-filter + trim-and-band verify: edit distance ≥
+      // |len Δ| drops incompatible candidates before any DP, and
+      // [[graft.functions.BoundedLevenshteinExpr]] trims the common
+      // prefix/suffix (near-dup pairs share almost everything, so the
+      // DP runs over the few differing characters) then runs the
+      // Ukkonen band — EXACT distance for every surviving pair, −1
+      // above the bound, so output is hash-identical to the full-DP
+      // `levenshtein ≤ maxDist` verify.
+      .filter(abs(length(col("ta")) - length(col("tb"))) <= maxDist)
+      .withColumn("dist",
+        graft.functions.BoundedLevenshteinExpr
+          .boundedLevenshtein(col("ta"), col("tb"), maxDist.toInt).cast("long"))
+      .filter(col("dist") >= 0)
       .select(col("id_a"), col("id_b"), col("dist"))
   }
 
@@ -784,13 +842,16 @@ object Dedup {
     * token-level edit provably share a deletion signature; the exact
     * `levenshtein ≤ maxDist` verify keeps collisions out.
     *
-    * Scale shape: tokens+1 signatures per row per side, each side's
-    * degenerate signatures dropped by a per-side count cap (finite BY
-    * DEFAULT — the q101/q35 convention; a boilerplate template on both
-    * sides would otherwise explode capA·capB candidates per signature),
-    * one signature equi-join A×B, pair distinct, then the O(len²)
-    * verify on candidates only. Caps count signature EMISSIONS
-    * (editDistancePairs' documented conservative-drop direction).
+    * Scale shape: tokens+1 signatures per row per side computed ONCE
+    * per side, aggregated into per-sig capped id buckets
+    * ([[BoundedIdCollect]] — finite cap BY DEFAULT, the q101/q35
+    * convention; a boilerplate template on both sides would otherwise
+    * explode capA·capB candidates per signature), a sig-keyed bucket
+    * join A×B moving one bounded id-array per signature, pair distinct,
+    * then a length pre-filter (dist ≤ d ⇒ |lenΔ| ≤ d) and the BANDED
+    * O(len·maxDist) levenshtein verify on surviving candidates only.
+    * Caps count signature EMISSIONS (editDistancePairs' documented
+    * conservative-drop direction).
     */
   def linkPairs(
       dfA: DataFrame,
@@ -803,34 +864,46 @@ object Dedup {
     def prep(df: DataFrame) = df.filter(col(textCol).isNotNull)
       .select(col(idCol).as("id"), col(textCol).as("txt"),
         TextOps.tokens(col(textCol)).as("__toks"))
-    // same explode-then-build + single-xxhash64 signature pipeline as
+    // same explode-then-slice token-array signature pipeline as
     // editDistancePairs (see the cost/collision contract there)
     def sigs(base: DataFrame) = base
-      .select(col("id"), col("txt"), col("__toks"),
+      .select(col("id"), col("__toks"),
         explode(sequence(lit(0), size(col("__toks")))).as("i"))
       .select(col("id"),
         xxhash64(lit(1),
-          when(col("i") === 0, col("txt"))
-            .otherwise(concat_ws(" ",
+          when(col("i") === 0, col("__toks"))
+            .otherwise(
               concat(slice(col("__toks"), lit(1), col("i") - 1),
-                slice(col("__toks"), col("i") + 1, size(col("__toks")))))))
+                slice(col("__toks"), col("i") + 1, size(col("__toks"))))))
           .as("sig"))
-    def capped(s: DataFrame) =
-      if (maxBucketSize == Int.MaxValue) s
-      else s.join(
-        s.groupBy("sig").agg(count(lit(1)).as("__k"))
-          .filter(col("__k") <= maxBucketSize).select("sig"),
-        Seq("sig"), "left_semi")
+    // bucket BOTH corpora in ONE aggregation pass: the union of
+    // side-tagged signatures shuffles once into [[BoundedSideCollect]]
+    // buckets (per-side bounded id vectors + per-side emission counts),
+    // replacing the earlier shape of one count+semi-join cap PER SIDE
+    // plus a sig equi-join — each of which re-derived its signature
+    // pipeline. Candidate set is unchanged: pairs sharing a sig where
+    // BOTH sides' emission count is in [1, maxBucketSize].
     val baseA = prep(dfA)
     val baseB = prep(dfB)
-    capped(sigs(baseA)).select(col("sig"), col("id").as("id_a"))
-      .join(capped(sigs(baseB)).select(col("sig"), col("id").as("id_b")),
-        Seq("sig"))
-      .select("id_a", "id_b").distinct()
+    val sides = udaf(new BoundedSideCollect(maxBucketSize))
+    val tagged = sigs(baseA).select(lit(true).as("__isa"), col("id"), col("sig"))
+      .unionByName(sigs(baseB).select(lit(false).as("__isa"), col("id"), col("sig")))
+    tagged.groupBy("sig")
+      .agg(sides(col("__isa"), col("id")).as("c"))
+      .filter(col("c.ka") >= 1 && col("c.kb") >= 1 &&
+        col("c.ka") <= maxBucketSize.toLong && col("c.kb") <= maxBucketSize.toLong)
+      .select(explode(col("c.a")).as("id_a"), col("c.b").as("__ib"))
+      .select(col("id_a"), explode(col("__ib")).as("id_b"))
+      .distinct()
       .join(baseA.select(col("id").as("id_a"), col("txt").as("ta")), Seq("id_a"))
       .join(baseB.select(col("id").as("id_b"), col("txt").as("tb")), Seq("id_b"))
-      .withColumn("dist", levenshtein(col("ta"), col("tb")).cast("long"))
-      .filter(col("dist") <= maxDist)
+      // length pre-filter + trim-and-band exact verify — the
+      // editDistancePairs contract ([[graft.functions.BoundedLevenshteinExpr]])
+      .filter(abs(length(col("ta")) - length(col("tb"))) <= maxDist)
+      .withColumn("dist",
+        graft.functions.BoundedLevenshteinExpr
+          .boundedLevenshtein(col("ta"), col("tb"), maxDist.toInt).cast("long"))
+      .filter(col("dist") >= 0)
       .select(col("id_a"), col("id_b"), col("dist"))
   }
 
