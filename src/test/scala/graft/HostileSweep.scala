@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Hostile-fixture system gate (the round-16 verdict item): run the FULL
+  * query registry against each adversarial variant of sf0.01 produced by
+  * `tools/make_hostile.py` (empty, single-row, 50%-hot-key skew, a 10 MB
+  * document, all-identical embeddings, all-NULL event_time, saturated
+  * shingle vocabulary) and assert the system property the per-op specs
+  * cannot: EVERY query completes without OOM/exception and returns its
+  * sf0.01 result SCHEMA unchanged (possibly with zero rows).
+  *
+  * `Test/runMain graft.HostileSweep [hostileRoot] [outPath]` — writes
+  * HOSTILE_r{N}.json and exits 1 on any failure or schema drift.
+  */
+object HostileSweep {
+
+  val Variants = Seq("empty", "single", "skew", "bigdoc", "flatvec",
+    "nullts", "satvocab")
+
+  def main(args: Array[String]): Unit = {
+    val root = args.headOption.getOrElse("target/hostile")
+    val outPath = args.drop(1).headOption.getOrElse("HOSTILE_r16.json")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // reference schemas from the REAL sf0.01 build (analysis only — no
+    // execution): hostile results must match these exactly
+    val refSchemas: Map[String, String] = SparkEntry.queries.map {
+      case (name, fn) =>
+        name -> fn(spark, "/root/testdata/sf0.01").schema.map(f =>
+          s"${f.name}:${f.dataType.sql}").mkString(",")
+    }
+
+    case class Res(variant: String, query: String, ok: Boolean, rows: Long,
+      ms: Long, err: String)
+    val results = for {
+      v <- Variants
+      (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
+    } yield {
+      val dir = s"$root/$v"
+      val t0 = System.nanoTime()
+      try {
+        val df = fn(spark, dir)
+        val got = df.schema.map(f => s"${f.name}:${f.dataType.sql}").mkString(",")
+        val rows = df.count()
+        val ms = (System.nanoTime() - t0) / 1000000
+        if (got != refSchemas(name))
+          Res(v, name, ok = false, rows, ms, s"schema drift: $got")
+        else Res(v, name, ok = true, rows, ms, "")
+      } catch {
+        case t: Throwable =>
+          val ms = (System.nanoTime() - t0) / 1000000
+          val msg = (t.getClass.getSimpleName + ": " +
+            Option(t.getMessage).getOrElse("").replaceAll("[\\s\"]+", " ").take(160))
+          Res(v, name, ok = false, -1, ms, msg)
+      }
+    }
+    spark.stop()
+
+    val failures = results.filterNot(_.ok)
+    failures.foreach(r =>
+      println(s"[hostile] FAIL ${r.variant}/${r.query}: ${r.err}"))
+    val byVariant = Variants.map { v =>
+      val rs = results.filter(_.variant == v)
+      val fails = rs.count(!_.ok)
+      val ms = rs.map(_.ms).sum
+      println(f"[hostile] $v%-9s ${rs.size}%4d queries, $fails%3d failed, ${ms / 1000.0}%7.1f s")
+      s""""$v":{"n":${rs.size},"failed":$fails,"total_ms":$ms}"""
+    }
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val failJson = failures.map(r =>
+      s"""{"variant":"${r.variant}","query":"${r.query}","err":"${esc(r.err)}"}""")
+      .mkString("[", ",", "]")
+    val json =
+      s"""{"round":16,"variants":{${byVariant.mkString(",")}},
+         |"contract":"every registered query completes on every hostile variant and preserves its sf0.01 output schema",
+         |"n_queries":${SparkEntry.queries.size},"n_failures":${failures.size},
+         |"failures":$failJson}""".stripMargin
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(s"[hostile] total failures: ${failures.size} -> $outPath")
+    if (failures.nonEmpty) sys.exit(1)
+  }
+}
