@@ -742,23 +742,33 @@ object Dedup {
     * share every signature), and the O(len²) levenshtein verify runs on
     * candidates only — bounded by cap²·buckets, never corpus².
     *
-    * COST CONTRACT: each deletion variant rebuilds the document minus
-    * one token, so the signature pass is O(tokens × chars) PER DOCUMENT
-    * (quadratic in doc length — it dominates the measured runtime even
-    * on ~20-token fixtures). FastSS is a short-string algorithm: apply
-    * this to titles, captions, queries, or pre-chunked lines; for long
-    * documents [[minhashPairs]] is the right tool at every edit scale.
+    * COST CONTRACT: each deletion variant copies the document's token
+    * pointers minus one, so the signature pass is O(tokens²) PER
+    * DOCUMENT (quadratic in doc length — it dominates the measured
+    * runtime even on ~20-token fixtures). FastSS is a short-string
+    * algorithm: apply this to titles, captions, queries, or pre-chunked
+    * lines; for long documents [[minhashPairs]] is the right tool at
+    * every edit scale. `maxSigTokens` enforces that contract
+    * defensively: a document longer than the cap (default 20 000
+    * tokens, far above any short-string workload — a single 10 MB
+    * pathological row would otherwise wedge an executor for minutes on
+    * ~10¹² pointer copies) is EXCLUDED from blocking entirely, the
+    * documented conservative-drop direction (such a doc can only be
+    * within `maxDist` character edits of near-identical-length docs
+    * anyway, which the same cap also excludes).
     */
   def editDistancePairs(
       docs: DataFrame,
       maxDist: Long = 10L,
       idCol: String = "doc_id",
       textCol: String = "text",
-      maxBucketSize: Int = Int.MaxValue
+      maxBucketSize: Int = Int.MaxValue,
+      maxSigTokens: Int = 20000
   ): DataFrame = {
     val base = docs.filter(col(textCol).isNotNull)
       .select(col(idCol).as("id"), col(textCol).as("txt"),
         TextOps.tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) <= maxSigTokens)
     // explode-then-build, NOT a transform() lambda building the variant
     // list per row: higher-order functions evaluate their lambda
     // INTERPRETED (md5 + slices + concat per position, measured 4.7 s →
@@ -859,11 +869,15 @@ object Dedup {
       maxDist: Long = 10L,
       idCol: String = "doc_id",
       textCol: String = "text",
-      maxBucketSize: Int = 1000
+      maxBucketSize: Int = 1000,
+      maxSigTokens: Int = 20000
   ): DataFrame = {
+    // maxSigTokens: editDistancePairs' short-string cost contract,
+    // enforced per side (conservative drop for pathological rows)
     def prep(df: DataFrame) = df.filter(col(textCol).isNotNull)
       .select(col(idCol).as("id"), col(textCol).as("txt"),
         TextOps.tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) <= maxSigTokens)
     // same explode-then-slice token-array signature pipeline as
     // editDistancePairs (see the cost/collision contract there)
     def sigs(base: DataFrame) = base

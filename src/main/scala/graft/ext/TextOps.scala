@@ -695,14 +695,23 @@ object TextOps {
     require(size > 0 && overlap >= 0 && overlap < size,
       s"need 0 <= overlap < size, got size=$size overlap=$overlap")
     val stride = size - overlap
-    val toks = tokens(text)
-    val n = size_(toks)
-    // number of windows: 1 + ceil(max(n - size, 0) / stride)
-    val extra = greatest(n - lit(size), lit(0))
-    val nWin = lit(1) + floor((extra + lit(stride - 1)) / lit(stride)).cast("int")
+    // BIND the token array once per row via a single-element transform:
+    // a lambda body referencing the outer `tokens(text)` expression
+    // re-evaluates the split PER WINDOW (higher-order functions run
+    // interpreted), which is O(windows × chars) — a 10 MB document
+    // wedged a whole executor task for minutes under the hostile-fixture
+    // gate. With `tk` as the lambda variable the split runs once and
+    // each window only pays its own slice+join.
+    def chunksOf(tk: Column): Column = {
+      val n = size_(tk)
+      // number of windows: 1 + ceil(max(n - size, 0) / stride)
+      val extra = greatest(n - lit(size), lit(0))
+      val nWin = lit(1) + floor((extra + lit(stride - 1)) / lit(stride)).cast("int")
+      transform(sequence(lit(0), nWin - 1),
+        i => concat_ws(" ", slice(tk, i * lit(stride) + lit(1), lit(size))))
+    }
     when(length(text) === 0, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(0), nWin - 1),
-        i => concat_ws(" ", slice(toks, i * lit(stride) + lit(1), lit(size)))))
+      .otherwise(flatten(transform(array(tokens(text)), tk => chunksOf(tk))))
   }
 
   // `size` the sql function, shadow-safe alias (chunkTokens takes a

@@ -727,6 +727,25 @@ object Stats {
     * `norm_score` (pooled value at that permille). NULL keys/scores
     * are dropped.
     */
+  /** The pooled 1001-point permille grid [[quantileNormalize]] joins
+    * against, exposed on its own so the streaming twin
+    * (`streaming.StatefulOps.quantileGridStream`) can be parity-pinned
+    * against the identical construction: `norm_score(g)` = the pooled
+    * value at rank `1 + (N−1)·g DIV 1000` (row_number over the value
+    * sort — value-deterministic under ties). NULL scores are dropped.
+    * Output: (`__g`, `norm_score`), 1001 rows.
+    */
+  def pooledGrid(df: DataFrame, scoreCol: Column): DataFrame = {
+    val base = df.filter(scoreCol.isNotNull)
+    val pooled = base.select(scoreCol.cast("long").as("__v"))
+      .withColumn("__rn", row_number().over(Window.orderBy(col("__v"))))
+    base.agg(count(lit(1)).as("__n"))
+      .select(explode(sequence(lit(0L), lit(1000L))).as("__g"), col("__n"))
+      .withColumn("__rn", expr("1 + ((__n - 1) * __g) DIV 1000"))
+      .join(pooled, Seq("__rn"))
+      .select(col("__g"), col("__v").as("norm_score"))
+  }
+
   def quantileNormalize(
       df: DataFrame,
       keyCol: Column,
@@ -743,16 +762,9 @@ object Stats {
           expr("CAST(((__rk - 1) * 1000000) DIV (__cnt - 1) AS BIGINT)"))
           .otherwise(lit(0L)))
       .drop("__rk", "__cnt")
-    val pooled = base.select(scoreCol.cast("long").as("__v"))
-      .withColumn("__rn", row_number().over(Window.orderBy(col("__v"))))
-    val grid = base.agg(count(lit(1)).as("__n"))
-      .select(explode(sequence(lit(0L), lit(1000L))).as("__g"), col("__n"))
-      .withColumn("__rn", expr("1 + ((__n - 1) * __g) DIV 1000"))
-      .join(pooled, Seq("__rn"))
-      .select(col("__g"), col("__v").as("norm_score"))
     pct
       .withColumn("__g", expr("pct_ppm DIV 1000"))
-      .join(broadcast(grid), Seq("__g"))
+      .join(broadcast(pooledGrid(base, scoreCol)), Seq("__g"))
       .drop("__g")
   }
 

@@ -266,6 +266,69 @@ object StatefulOps {
       case v => unknown("KmvSketch", v)
     }
 
+    /** v1: [nLeaves: i32][per leaf: l2Len i32 + utf8 bytes, nRows i64,
+      * nh i32, hashes nh × i64][horizonMs: i64].
+      */
+    def encodeRollup(s: RollupState): VersionedState = {
+      val leafBytes = s.leaves.map(l => (l, l.l2.getBytes("UTF-8")))
+      val size = 4 + leafBytes.map { case (l, b2) =>
+        4 + b2.length + 8 + 4 + 8 * l.hs.length }.sum + 8
+      val b = ByteBuffer.allocate(size)
+      b.putInt(s.leaves.length)
+      leafBytes.foreach { case (l, b2) =>
+        b.putInt(b2.length); b.put(b2); b.putLong(l.nRows)
+        b.putInt(l.hs.length); l.hs.foreach(b.putLong)
+      }
+      b.putLong(s.horizonMs)
+      VersionedState(1, b.array())
+    }
+
+    def decodeRollup(s: VersionedState): RollupState = s.version match {
+      case 1 =>
+        try {
+          val b = ByteBuffer.wrap(s.payload)
+          val nLeaves = b.getInt()
+          if (nLeaves < 0) corrupt("RollupState", s, null)
+          val leaves = List.fill(nLeaves) {
+            val len = b.getInt()
+            if (len < 0 || len > b.remaining()) corrupt("RollupState", s, null)
+            val arr = new Array[Byte](len); b.get(arr)
+            val nRows = b.getLong()
+            val nh = b.getInt()
+            if (nh < 0 || 8 * nh > b.remaining()) corrupt("RollupState", s, null)
+            RollupLeaf(new String(arr, "UTF-8"), List.fill(nh)(b.getLong()), nRows)
+          }
+          val horizon = b.getLong()
+          if (b.remaining() != 0) corrupt("RollupState", s, null)
+          RollupState(leaves, horizon)
+        } catch {
+          case e: java.nio.BufferUnderflowException => corrupt("RollupState", s, e)
+        }
+      case v => unknown("RollupState", v)
+    }
+
+    /** v1: [nEntries: i32][per entry: value i64, count i64]
+      * [total: i64][horizonMs: i64]. Entries sorted by value ascending.
+      */
+    def encodeGrid(s: GridHist): VersionedState = {
+      val b = ByteBuffer.allocate(4 + 16 * s.entries.length + 16)
+      b.putInt(s.entries.length)
+      s.entries.foreach { case (v, c) => b.putLong(v); b.putLong(c) }
+      b.putLong(s.total); b.putLong(s.horizonMs)
+      VersionedState(1, b.array())
+    }
+
+    def decodeGrid(s: VersionedState): GridHist = s.version match {
+      case 1 =>
+        if (s.payload.length < 4) corrupt("GridHist", s, null)
+        val b = ByteBuffer.wrap(s.payload)
+        val n = b.getInt()
+        if (n < 0 || s.payload.length != 4 + 16 * n + 16)
+          corrupt("GridHist", s, null)
+        GridHist(List.fill(n)((b.getLong(), b.getLong())), b.getLong(), b.getLong())
+      case v => unknown("GridHist", v)
+    }
+
     /** v1: [runMaxUs: i64][n: i64][nLate: i64][maxLateUs: i64]
       * [horizonMs: i64]. `runMaxUs = -1` marks "no prior event";
       * `maxLateUs = -1` marks "nothing late yet".
@@ -1177,6 +1240,203 @@ object StatefulOps {
               state.setTimeoutTimestamp(horizon + ttlMs)
             }
             hits.iterator
+          }
+      }
+  }
+
+  /** One leaf (l2) sketch inside [[RollupState]]. */
+  case class RollupLeaf(l2: String, hs: List[Long], nRows: Long)
+
+  /** Per-l1 state of [[kmvRollupStream]]: every child l2's min-k sketch
+    * plus the shared TTL horizon — O(|l2| · k) longs per l1 key.
+    */
+  case class RollupState(leaves: List[RollupLeaf], horizonMs: Long)
+
+  case class RollupEvent(l1: String, l2: String, hv: Long, event_time: Timestamp)
+
+  /** Hierarchy snapshot row: lvl 2 = (l1, l2) leaf, lvl 1 = l1 merged
+    * over its leaves. `hs` carries the sketch itself so any consumer
+    * (or the top-of-hierarchy fold) can keep merging without a rescan —
+    * the batch `kmvRollup` merge-not-rescan contract at ingest.
+    */
+  case class KmvRollupOut(lvl: Long, l1: String, l2: Option[String],
+      n_rows: Long, est_distinct: Long, hs: Seq[Long])
+
+  private def kmvEst(hs: Seq[Long], k: Int): Long =
+    if (hs.length < k) hs.length.toLong
+    else ((k - 1).toLong * 4294967296L) / hs.last
+
+  private def kmvInsert(hs0: Vector[Long], hv: Long, k: Int): Vector[Long] =
+    if (hs0.length >= k && hv >= hs0.last) hs0
+    else if (hs0.contains(hv)) hs0
+    else ((hs0 :+ hv).sorted).take(k)
+
+  /** Streaming KMV hierarchy rollup — the at-ingest twin of
+    * `ops.Sketches.kmvRollup`: events fold into per-(l1,l2) min-k
+    * sketches keyed BY l1, and each micro-batch emits the touched
+    * leaves' lvl-2 snapshots plus the l1 key's lvl-1 snapshot merged ON
+    * THE FLY from its child sketches (min-k of a union = min-k of the
+    * merged min-k sets — the same lossless merge the batch rollup
+    * uses, so a drained stream equals the batch hierarchy bit for bit
+    * regardless of batching). The top (lvl-0) row is deliberately NOT
+    * emitted by the operator — it would funnel every row through one
+    * global key; instead the emitted lvl-1 snapshots carry their `hs`
+    * sketches, and the top row is a bounded fold over |l1| k-vectors
+    * downstream (the parity spec pins that fold against the batch
+    * lvl-0 row).
+    *
+    * State: O(|l2 children| · k) longs per l1 key, versioned codec,
+    * event-time TTL like every twin in this file.
+    */
+  def kmvRollupStream(
+      df: DataFrame,
+      k: Int = 64,
+      l1Col: String = "l1",
+      l2Col: String = "l2",
+      itemCol: String = "item",
+      tsCol: String = "event_time",
+      seed: Int = 11,
+      watermarkDelay: String = "10 seconds",
+      ttlMs: Long = 3600000L
+  ): Dataset[KmvRollupOut] = {
+    require(k >= 2, "k must be at least 2")
+    import org.apache.spark.sql.functions._
+    import df.sparkSession.implicits._
+    val rows = df
+      .filter(col(l1Col).isNotNull && col(l2Col).isNotNull &&
+        col(itemCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(l1Col).cast("string").as("l1"),
+        col(l2Col).cast("string").as("l2"),
+        graft.functions.Hashing.md5Hash32(seed, col(itemCol).cast("string"))
+          .as("hv"),
+        col(tsCol).as("event_time"))
+      .withWatermark("event_time", watermarkDelay)
+      .as[RollupEvent]
+    rows
+      .groupByKey(_.l1)
+      .flatMapGroupsWithState[VersionedState, KmvRollupOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (l1: String, it: Iterator[RollupEvent], state: GroupState[VersionedState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val prior = state.getOption.map(StateCodec.decodeRollup)
+              .getOrElse(RollupState(Nil, 0L))
+            val rs = it.toSeq
+            var leaves = prior.leaves.map(l => l.l2 -> l).toMap
+            val touched = scala.collection.mutable.LinkedHashSet[String]()
+            rs.foreach { r =>
+              val leaf = leaves.getOrElse(r.l2, RollupLeaf(r.l2, Nil, 0L))
+              leaves += r.l2 -> RollupLeaf(r.l2,
+                kmvInsert(leaf.hs.toVector, r.hv, k).toList, leaf.nRows + 1)
+              touched += r.l2
+            }
+            val horizon = (prior.horizonMs +: rs.map(_.event_time.getTime) :+
+              state.getCurrentWatermarkMs()).max
+            // stable leaf order keeps the codec bytes deterministic
+            val leafList = leaves.values.toList.sortBy(_.l2)
+            state.update(StateCodec.encodeRollup(RollupState(leafList, horizon)))
+            state.setTimeoutTimestamp(horizon + ttlMs)
+            if (rs.isEmpty) Iterator.empty
+            else {
+              val leafOuts = touched.toList.sorted.map { l2 =>
+                val l = leaves(l2)
+                KmvRollupOut(2L, l1, Some(l2), l.nRows, kmvEst(l.hs, k), l.hs)
+              }
+              val merged = leafList.flatMap(_.hs).distinct.sorted.take(k)
+              val nAll = leafList.map(_.nRows).sum
+              val midOut = KmvRollupOut(1L, l1, None, nAll, kmvEst(merged, k), merged)
+              (leafOuts :+ midOut).iterator
+            }
+          }
+      }
+  }
+
+  /** Pooled value histogram of [[quantileGridStream]]: (value → count)
+    * sorted ascending, plus total and TTL horizon. State is O(distinct
+    * values) — the operator's contract is a BOUNDED score domain
+    * (quality scores, permille ranks, clamped features), where the
+    * histogram is the exact sufficient statistic for every order
+    * statistic.
+    */
+  case class GridHist(entries: List[(Long, Long)], total: Long, horizonMs: Long)
+
+  case class GridEvent(key: String, v: Long, event_time: Timestamp)
+
+  /** One permille grid point snapshot; `n` is the pooled count at
+    * emission, so "max n per (key, g)" is the final grid.
+    */
+  case class QuantileGridOut(key: String, n: Long, g: Long, norm_score: Long)
+
+  /** Streaming pooled quantile grid — the at-ingest twin of the pooled
+    * side of `ops.Stats.quantileNormalize` (exposed as
+    * `Stats.pooledGrid`): scores fold into an exact per-key value
+    * histogram, and each micro-batch emits the full 1001-point permille
+    * grid `norm_score(g) = value at rank 1 + (N−1)·g DIV 1000` — the
+    * rank-selected order statistics the batch operator broadcasts, now
+    * maintained live so arriving corpora can be normalized against the
+    * current pool without a rescan. The histogram is an
+    * order-independent (commutative, idempotent-per-event) fold, so a
+    * drained stream equals the batch grid bit for bit regardless of
+    * batching — the kmv parity class.
+    *
+    * `keyCol` names the pooled distribution (metric/score family), NOT
+    * a high-cardinality entity: each key funnels through one state row
+    * by design, exactly like the batch operator's one global sort. At
+    * scale, pre-aggregate events to (value, count) deltas per batch
+    * upstream if per-event traffic is heavy.
+    */
+  def quantileGridStream(
+      df: DataFrame,
+      keyCol: String = "key",
+      scoreCol: String = "score",
+      tsCol: String = "event_time",
+      watermarkDelay: String = "10 seconds",
+      ttlMs: Long = 3600000L
+  ): Dataset[QuantileGridOut] = {
+    import org.apache.spark.sql.functions._
+    import df.sparkSession.implicits._
+    val rows = df
+      .filter(col(keyCol).isNotNull && col(scoreCol).isNotNull &&
+        col(tsCol).isNotNull)
+      .select(col(keyCol).cast("string").as("key"),
+        col(scoreCol).cast("long").as("v"), col(tsCol).as("event_time"))
+      .withWatermark("event_time", watermarkDelay)
+      .as[GridEvent]
+    rows
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[VersionedState, QuantileGridOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: String, it: Iterator[GridEvent], state: GroupState[VersionedState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val prior = state.getOption.map(StateCodec.decodeGrid)
+              .getOrElse(GridHist(Nil, 0L, 0L))
+            val rs = it.toSeq
+            val hist = scala.collection.mutable.TreeMap[Long, Long]()
+            prior.entries.foreach { case (v, c) => hist(v) = c }
+            rs.foreach(r => hist(r.v) = hist.getOrElse(r.v, 0L) + 1L)
+            val total = prior.total + rs.length
+            val horizon = (prior.horizonMs +: rs.map(_.event_time.getTime) :+
+              state.getCurrentWatermarkMs()).max
+            state.update(StateCodec.encodeGrid(
+              GridHist(hist.toList, total, horizon)))
+            state.setTimeoutTimestamp(horizon + ttlMs)
+            if (rs.isEmpty || total == 0L) Iterator.empty
+            else {
+              // value at rank rn = smallest v whose cumulative count >= rn,
+              // walked once over the sorted histogram for all 1001 ranks
+              val entries = hist.toArray
+              val ranks = (0L to 1000L).map(g => (g, 1L + ((total - 1L) * g) / 1000L))
+              var idx = 0
+              var cum = entries(0)._2
+              val out = ranks.map { case (g, rn) =>
+                while (cum < rn && idx < entries.length - 1) {
+                  idx += 1; cum += entries(idx)._2
+                }
+                QuantileGridOut(key, total, g, entries(idx)._1)
+              }
+              out.iterator
+            }
           }
       }
   }

@@ -18,6 +18,12 @@ object HostileSweep {
   val Variants = Seq("empty", "single", "skew", "bigdoc", "flatvec",
     "nullts", "satvocab")
 
+  /** Per-query wall-clock bound: a hostile input that WEDGES a query
+    * (the very first sweep caught chunkTokens re-splitting a 10 MB doc
+    * per window) is a failure the gate must report, not hang on.
+    */
+  val QueryTimeout = scala.concurrent.duration.Duration(180, "seconds")
+
   def main(args: Array[String]): Unit = {
     val root = args.headOption.getOrElse("target/hostile")
     val outPath = args.drop(1).headOption.getOrElse("HOSTILE_r16.json")
@@ -26,6 +32,8 @@ object HostileSweep {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
 
     // reference schemas from the REAL sf0.01 build (analysis only — no
     // execution): hostile results must match these exactly
@@ -39,21 +47,32 @@ object HostileSweep {
       ms: Long, err: String)
     val results = for {
       v <- Variants
+      _ = { println(s"[hostile] sweeping variant $v ..."); Console.flush() }
       (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
     } yield {
       val dir = s"$root/$v"
+      val group = s"hostile-$v-$name"
       val t0 = System.nanoTime()
+      def ms = (System.nanoTime() - t0) / 1000000
       try {
-        val df = fn(spark, dir)
-        val got = df.schema.map(f => s"${f.name}:${f.dataType.sql}").mkString(",")
-        val rows = df.count()
-        val ms = (System.nanoTime() - t0) / 1000000
+        val fut = scala.concurrent.Future {
+          spark.sparkContext.setJobGroup(group, group, interruptOnCancel = true)
+          try {
+            val df = fn(spark, dir)
+            val got = df.schema.map(f => s"${f.name}:${f.dataType.sql}").mkString(",")
+            (got, df.count())
+          } finally spark.sparkContext.clearJobGroup()
+        }
+        val (got, rows) = scala.concurrent.Await.result(fut, QueryTimeout)
         if (got != refSchemas(name))
           Res(v, name, ok = false, rows, ms, s"schema drift: $got")
         else Res(v, name, ok = true, rows, ms, "")
       } catch {
+        case _: java.util.concurrent.TimeoutException =>
+          spark.sparkContext.cancelJobGroup(group)
+          println(s"[hostile] TIMEOUT $v/$name after ${QueryTimeout}")
+          Res(v, name, ok = false, -1, ms, s"timeout after ${QueryTimeout}")
         case t: Throwable =>
-          val ms = (System.nanoTime() - t0) / 1000000
           val msg = (t.getClass.getSimpleName + ": " +
             Option(t.getMessage).getOrElse("").replaceAll("[\\s\"]+", " ").take(160))
           Res(v, name, ok = false, -1, ms, msg)

@@ -1067,4 +1067,104 @@ class StatefulOpsSpec extends SparkTestBase {
     // identical vectors: cos exactly 1.0 -> 1,000,000 micro
     assert(vecHits == List((4L, 1L, 1000000L)), s"got $vecHits")
   }
+
+  test("kmvRollupStream: drained hierarchy equals batch kmvRollup bit for bit, across batches") {
+    import org.apache.spark.sql.functions.col
+    val k = 8
+    // two l1 groups, three l2 leaves; "big" leaves exceed k (estimator
+    // branch), "small" stays under (exact branch); duplicates everywhere
+    val all = ((0 until 40).map(i => ("srcA", "s1", s"u${i % 20}")) ++
+      (0 until 30).map(i => ("srcA", "s2", s"v${i % 6}")) ++
+      (0 until 50).map(i => ("srcB", "s3", s"w${i % 25}"))).map {
+      case (l1, l2, item) => (l1, l2, item, ts("2024-01-01 00:00:01"))
+    }
+    val mem = MemoryStream[(String, String, String, java.sql.Timestamp)](spark)
+    val query = StatefulOps.kmvRollupStream(
+        mem.toDS().toDF("l1", "l2", "item", "event_time"),
+        k = k, watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("rollup_parity")
+      .outputMode("append").start()
+    try {
+      // min-k merge is order-independent: split across batches
+      mem.addData(all.take(50)); query.processAllAvailable()
+      mem.addData(all.drop(50)); query.processAllAvailable()
+    } finally query.stop()
+    // final snapshot per (lvl, l1, l2) = max n_rows
+    val outs = spark.table("rollup_parity").as[StatefulOps.KmvRollupOut].collect()
+    val streamed = outs.groupBy(o => (o.lvl, o.l1, o.l2))
+      .map { case (kk, os) => kk -> {
+        val last = os.maxBy(_.n_rows); (last.n_rows, last.est_distinct) } }
+    val batch = graft.ops.Sketches.kmvRollup(
+        all.toDF("l1", "l2", "item", "ts"),
+        col("l1"), col("l2"), col("item"), k = k)
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)),
+        Option(r.getString(2))) -> ((r.getLong(3), r.getLong(4)))).toMap
+    // lvl 2 + lvl 1 emitted by the stream directly
+    streamed.foreach { case ((lvl, l1, l2), got) =>
+      assert(batch((lvl, Some(l1), l2)) == got,
+        s"(${lvl}, $l1, $l2): streamed $got vs batch ${batch((lvl, Some(l1), l2))}")
+    }
+    assert(streamed.size == 5, s"3 leaves + 2 mids expected: ${streamed.keys}")
+    // lvl 0: the downstream bounded fold over the final lvl-1 sketches
+    // (merge-not-rescan) must equal the batch top row
+    val finalMids = outs.filter(_.lvl == 1L).groupBy(_.l1)
+      .map { case (_, os) => os.maxBy(_.n_rows) }
+    val topHs = finalMids.flatMap(_.hs).toSeq.distinct.sorted.take(k)
+    val topEst = if (topHs.length < k) topHs.length.toLong
+      else ((k - 1).toLong * 4294967296L) / topHs.last
+    val topN = finalMids.map(_.n_rows).sum
+    assert(batch((0L, None, None)) == ((topN, topEst)),
+      s"lvl0 fold ($topN, $topEst) vs batch ${batch((0L, None, None))}")
+    // estimator branch must actually engage somewhere
+    assert(streamed.exists { case ((lvl, _, _), (n, est)) => lvl == 2L && est != n })
+
+    // v1 codec: roundtrip + unknown-version runbook
+    val enc = StatefulOps.StateCodec.encodeRollup(StatefulOps.RollupState(
+      List(StatefulOps.RollupLeaf("s1", List(3L, 9L), 5L)), 777L))
+    assert(enc.version == 1)
+    assert(StatefulOps.StateCodec.decodeRollup(enc) == StatefulOps.RollupState(
+      List(StatefulOps.RollupLeaf("s1", List(3L, 9L), 5L)), 777L))
+    assertThrows[IllegalStateException](
+      StatefulOps.StateCodec.decodeRollup(StatefulOps.VersionedState(99, Array[Byte]())))
+  }
+
+  test("quantileGridStream: drained grid equals batch Stats.pooledGrid bit for bit, across batches") {
+    import org.apache.spark.sql.functions.col
+    // skewed scores with heavy ties and negatives
+    val scores = (0 until 90).map(i => ((i * i * 7) % 101 - 13).toLong)
+    val all = scores.zipWithIndex.map { case (v, i) =>
+      ("quality", v, ts("2024-01-01 00:00:01")) }
+    val mem = MemoryStream[(String, Long, java.sql.Timestamp)](spark)
+    val query = StatefulOps.quantileGridStream(
+        mem.toDS().toDF("key", "score", "event_time"),
+        watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("grid_parity")
+      .outputMode("append").start()
+    try {
+      mem.addData(all.take(40)); query.processAllAvailable()
+      mem.addData(all.drop(40)); query.processAllAvailable()
+    } finally query.stop()
+    val outs = spark.table("grid_parity").as[StatefulOps.QuantileGridOut].collect()
+    val nFinal = outs.map(_.n).max
+    assert(nFinal == 90L, s"final pooled count must be 90: $nFinal")
+    val streamed = outs.filter(_.n == nFinal)
+      .map(o => o.g -> o.norm_score).toMap
+    val batch = graft.ops.Stats.pooledGrid(
+        scores.toDF("score"), col("score"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed.size == 1001 && batch.size == 1001)
+    assert(streamed == batch,
+      s"grid diverges at ${streamed.collect { case (g, v) if batch(g) != v => (g, v, batch(g)) }.take(5)}")
+    // a mid-stream snapshot exists too (the live-normalization surface)
+    assert(outs.exists(_.n == 40L), "first batch must emit its snapshot")
+
+    // v1 codec: roundtrip + unknown-version runbook
+    val enc = StatefulOps.StateCodec.encodeGrid(
+      StatefulOps.GridHist(List((-2L, 3L), (7L, 1L)), 4L, 555L))
+    assert(enc.version == 1)
+    assert(StatefulOps.StateCodec.decodeGrid(enc) ==
+      StatefulOps.GridHist(List((-2L, 3L), (7L, 1L)), 4L, 555L))
+    assertThrows[IllegalStateException](
+      StatefulOps.StateCodec.decodeGrid(StatefulOps.VersionedState(99, Array[Byte]())))
+  }
 }
