@@ -2883,7 +2883,12 @@ object SparkEntry {
       }
       val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
       val ranked = docs.withColumn("__rk", row_number().over(w))
-      val maxRk = ranked.agg(max(col("__rk"))).head().getInt(0)
+      val maxRkRow = ranked.agg(max(col("__rk"))).head()
+      // empty corpus: no batches to ingest and no out dir to read —
+      // the empty-out sentinel makes the final read emit the
+      // schema-stable empty result below
+      val maxRk = if (maxRkRow.isNullAt(0)) 0 else maxRkRow.getInt(0)
+      if (maxRk == 0) "" else {
       (1 to maxRk).foreach { k =>
         ranked.filter(col("__rk") === k).drop("__rk")
           .coalesce(1).write.parquet(s"$in/b$k")
@@ -2895,8 +2900,18 @@ object SparkEntry {
       require(replayed == drained,
         s"no-new-data replay must append nothing, got $drained -> $replayed")
       out
+      }
     })
-    s.read.parquet(outDir)
+    if (outDir.isEmpty) {
+      import org.apache.spark.sql.types._
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType),
+          StructField("lang_guess", StringType),
+          StructField("quality_ppm", LongType),
+          StructField("split", StringType),
+          StructField("event_sec", LongType))))
+    } else s.read.parquet(outDir)
       .select(col("doc_id"), col("text"), col("lang_guess"),
         col("quality_ppm"), col("split"),
         unix_timestamp(col("event_time")).as("event_sec"))
@@ -4310,9 +4325,13 @@ object SparkEntry {
     Profile.kAnonymize(
       Tables.customer(s, dir),
       names = Seq("seg", "geo", "bal"),
+      // geo cast to BIGINT at every level: the release schema must not
+      // depend on WHICH level the data selects (the raw INT nationkey
+      // at levels 0/1 leaked through on a degenerate corpus where
+      // level 0 is vacuously acceptable)
       levels = Seq(
-        Seq(col("c_mktsegment"), col("c_nationkey"), floorDiv(10000L)),
-        Seq(col("c_mktsegment"), col("c_nationkey"), floorDiv(100000L)),
+        Seq(col("c_mktsegment"), col("c_nationkey").cast("long"), floorDiv(10000L)),
+        Seq(col("c_mktsegment"), col("c_nationkey").cast("long"), floorDiv(100000L)),
         Seq(col("c_mktsegment"), expr("c_nationkey DIV 5"),
           when(cents >= 0L, 1L).otherwise(0L)),
         Seq(col("c_mktsegment"), lit(-1L), lit(0L))),
@@ -4362,12 +4381,16 @@ object SparkEntry {
       require(!put(signed(inserted.filter(pmod(col("event_id"), lit(3L)) === 1), 1L), "d1"),
         "committed-batch retry must be a no-op")
       // malformed producer: retracting every inserted fact TWICE drives
-      // every key's support negative — must be rejected before commit
-      val doubled = signed(inserted.union(inserted), -1L)
-      val rejected =
-        try { put(doubled, "bad"); false }
-        catch { case _: IllegalArgumentException => true }
-      require(rejected, "over-retraction must be rejected atomically")
+      // every key's support negative — must be rejected before commit.
+      // Vacuous on an EMPTY corpus (retracting nothing is legal), so the
+      // adversarial arm only runs when there are facts to over-retract.
+      if (!inserted.limit(1).isEmpty) {
+        val doubled = signed(inserted.union(inserted), -1L)
+        val rejected =
+          try { put(doubled, "bad"); false }
+          catch { case _: IllegalArgumentException => true }
+        require(rejected, "over-retraction must be rejected atomically")
+      }
       val erase = signed(inserted.filter(
         pmod(col("user_id"), lit(7L)) === 0 ||
           pmod(col("event_id"), lit(5L)) === 0), -1L)
@@ -4408,9 +4431,10 @@ object SparkEntry {
     Profile.lDiversify(
       Tables.customer(s, dir),
       names = Seq("geo", "bal"),
+      // geo cast to BIGINT at every level — q234's schema-stability fix
       levels = Seq(
-        Seq(col("c_nationkey"), floorDiv(10000L)),
-        Seq(col("c_nationkey"), floorDiv(100000L)),
+        Seq(col("c_nationkey").cast("long"), floorDiv(10000L)),
+        Seq(col("c_nationkey").cast("long"), floorDiv(100000L)),
         Seq(expr("c_nationkey DIV 5"), when(cents >= 0L, 1L).otherwise(0L)),
         Seq(lit(-1L), lit(0L))),
       sensitiveCol = col("c_mktsegment"),

@@ -717,6 +717,9 @@ object SimSearch {
       .orderBy(col("hsh"), col("vid")).limit(nlist)
       .collect().zipWithIndex
       .map { case (r, i) => ((i + 1).toLong, r.getSeq[Long](1).toList) }.toSeq
+    // empty corpus: no pivots to draw, nothing to iterate — callers get
+    // the empty codebook and must emit their empty (schema-stable) result
+    if (cents.isEmpty) return cents
     for (_ <- 1 to iters) {
       // two-step projection: extract the struct field in a SEPARATE node —
       // `array_min(array(struct(x.as("n"))...)).getField("n")` inside one
@@ -760,6 +763,15 @@ object SimSearch {
       seed: Int = 9
   ): DataFrame = {
     val cents = trainIvfCentroidsExact(corpus, idCol, vecCol, nlist, iters, seed)
+    // empty codebook (empty corpus): the search result is empty by
+    // definition — emit it with the normal output schema instead of
+    // building a zero-arm distStructs expression (which cannot analyze)
+    if (cents.isEmpty) {
+      return queries.select(col(idCol).as("qid")).limit(0)
+        .crossJoin(corpus.select(col(idCol).as("vid")).limit(0))
+        .select(col("qid"), col("vid"), lit(0.0).as("cos"),
+          lit(0).as("rank"))
+    }
     // same two-step field extraction as the trainer (struct names
     // materialize a node later than a same-projection getField resolves)
     val c = corpus.select(col(idCol).as("vid"), col(vecCol).as("cv"))

@@ -325,16 +325,21 @@ object TextOps {
   def phraseStats(text: Column, phrase: Seq[String]): (Column, Column) = {
     require(phrase.nonEmpty, "phrase must have at least one token")
     val m = phrase.length
-    val toks = tokens(text)
+    // BIND the token array once per row (the chunkTokens idiom): a
+    // lambda body referencing the outer tokens(text) expression
+    // re-evaluates the split PER CANDIDATE POSITION under interpreted
+    // HOF evaluation — O(positions × chars) per row, which wedged the
+    // hostile-fixture 10 MB document for >180 s.
     // descending-sequence guard: Spark's sequence(1, n) auto-reverses
     // for n < 1, which would fabricate bogus start positions for docs
     // shorter than the phrase
-    val starts = when(size_(toks) >= m,
-        filter(sequence(lit(1), size_(toks) - (m - 1)), i =>
+    val starts = flatten(transform(array(tokens(text)), tk =>
+      when(size_(tk) >= m,
+        filter(sequence(lit(1), size_(tk) - (m - 1)), i =>
           phrase.zipWithIndex
-            .map { case (w, j) => element_at(toks, i + j) === lit(w) }
+            .map { case (w, j) => element_at(tk, i + j) === lit(w) }
             .reduce(_ && _)))
-      .otherwise(array().cast("array<int>"))
+        .otherwise(array().cast("array<int>"))))
     // try_element_at: ANSI mode makes element_at THROW on the empty
     // no-hit array instead of returning NULL
     (size_(starts).cast("long"),
@@ -791,7 +796,12 @@ object TextOps {
     val stats = withDl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
       .head()
     val nDocs = stats.getLong(0)
-    val avgdl = stats.getLong(1).toDouble / nDocs
+    // empty corpus: sum(dl) aggregates to NULL and there is no average
+    // to take — any finite placeholder works because the tf frame below
+    // is empty too, so the output is the empty (schema-stable) result
+    val avgdl =
+      if (nDocs == 0L || stats.isNullAt(1)) 1.0
+      else stats.getLong(1).toDouble / nDocs
     val tf = withDl.select(col("id"), col("dl"), explode(col("toks")).as("token"))
       .groupBy("id", "dl", "token").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))

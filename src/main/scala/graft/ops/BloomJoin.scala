@@ -26,6 +26,10 @@ object BloomJoin {
     */
   def semiJoin(left: DataFrame, leftKey: String, right: DataFrame, rightKey: String,
                expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    // an EMPTY build side gives stat.bloomFilter a null buffer (NPE on
+    // first probe) — and the semi join against nothing is empty anyway;
+    // the limit(1) probe is one cheap job before the build-side scan
+    if (right.select(col(rightKey)).limit(1).isEmpty) return left.limit(0)
     val bloom = right.stat.bloomFilter(rightKey, expectedItems, fpp)
     // boxed Long, not Long: a NULL probe key must drop (like the equi
     // join will anyway), not NPE inside the UDF's unboxing

@@ -292,6 +292,20 @@ object Profile {
           .otherwise(lit(0L)))
   }
 
+  /** Release-ladder authoring contract shared by [[kAnonymize]] /
+    * [[lDiversify]] / [[tCloseness]]: every level must bind IDENTICAL
+    * column types, because the released schema must not depend on WHICH
+    * level the data selects (a degenerate corpus vacuously accepts
+    * level 0, and a raw-INT quasi column there would silently change
+    * the release schema). Analysis-only — no job runs.
+    */
+  private def requireUniformLevelTypes(df: DataFrame, levels: Seq[Seq[Column]]): Unit = {
+    val levelTypes = levels.map(lvl => df.select(lvl: _*).schema.map(_.dataType))
+    require(levelTypes.distinct.size == 1,
+      "all generalization levels must bind identical column TYPES " +
+        s"(the release schema must not depend on the chosen level); got ${levelTypes.distinct}")
+  }
+
   /** k-anonymity via full-domain generalization (Samarati's lattice,
     * walked as a single pre-declared ladder): `levels(i)` is one
     * generalization state — the quasi-identifier columns at coarseness
@@ -325,6 +339,7 @@ object Profile {
     require(levels.nonEmpty && k >= 1, "need at least one level and k >= 1")
     require(levels.forall(_.size == names.size),
       "every level must bind every quasi-identifier name")
+    requireUniformLevelTypes(df, levels)
     def classes(lvl: Seq[Column]): DataFrame = df
       .groupBy(lvl.zip(names).map { case (c, n) => c.as(n) }: _*)
       .agg(count(lit(1)).as("n"))
@@ -361,6 +376,7 @@ object Profile {
       "need at least one level, k >= 1 and l >= 1")
     require(levels.forall(_.size == names.size),
       "every level must bind every quasi-identifier name")
+    requireUniformLevelTypes(df, levels)
     def classes(lvl: Seq[Column]): DataFrame = df
       .groupBy(lvl.zip(names).map { case (c, n) => c.as(n) }: _*)
       .agg(count(lit(1)).as("n"),
@@ -408,6 +424,7 @@ object Profile {
       "need at least one level, k >= 1 and tPpm >= 0")
     require(levels.forall(_.size == names.size),
       "every level must bind every quasi-identifier name")
+    requireUniformLevelTypes(df, levels)
     val base = df.filter(sensitiveCol.isNotNull)
     val gv = base.groupBy(sensitiveCol.cast("string").as("__v"))
       .agg(count(lit(1)).as("__gv"))
