@@ -24,6 +24,103 @@ object OracleSql {
 
   private val trigrams = wordGrams(3)
 
+  /** q293's 8-round k-core peel, unrolled: each round recomputes
+    * degrees over the surviving symmetric adjacency and keeps nodes of
+    * degree ≥ k. The operator early-exits at the fixpoint; unrolling
+    * the full bound is the identical result (post-fixpoint rounds are
+    * no-ops). Recursive CTEs cannot express this (aggregation over the
+    * recursive term), hence the generated chain.
+    */
+  private lazy val q293Sql: String = {
+    val rounds = (0 until 8).map { r =>
+      s"""k$r AS MATERIALIZED (SELECT a FROM e$r GROUP BY a HAVING count(*) >= 4),
+         | e${r + 1} AS MATERIALIZED (SELECT e.a, e.b FROM e$r e
+         |   JOIN k$r x ON e.a = x.a JOIN k$r y ON e.b = y.a)""".stripMargin
+    }.mkString(",\n ")
+    s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+       | raw AS (SELECT doc_id AS src, (doc_id * (t.i * 2 + 5) + t.i) % nn.n AS dst
+       |   FROM documents, nn,
+       |     unnest(generate_series(1, 1 + CAST(doc_id % 4 AS INT))) AS t(i)),
+       | und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+       |   FROM raw WHERE src <> dst),
+       | e0 AS MATERIALIZED (SELECT u AS a, v AS b FROM und UNION ALL SELECT v, u FROM und),
+       | $rounds
+       |SELECT a AS node, CAST(count(*) AS BIGINT) AS core_deg
+       |FROM e8 GROUP BY 1 ORDER BY node""".stripMargin
+  }
+
+  /** q295's additive Holt–Winters recurrence as a recursive CTE with
+    * the seven season lanes as explicit columns. SQL lambdas/recursion
+    * cannot bind intermediates, so `l_t` (which feeds its own lane,
+    * the trend lane, and the updated season lane) and the season
+    * lookup are INLINED textually — the exact strategy the Spark
+    * operator documents, so both engines compute identical integer
+    * ops. NOTE deliberately NOT DuckDB `list_reduce`: its struct
+    * accumulator lanes observe partially-updated state (verified on
+    * 1.0.0), which silently corrupts any multi-lane recurrence.
+    */
+  private lazy val q295Sql: String = {
+    val m = 7
+    val (a, b, g) = (300000, 100000, 200000)
+    def slotCase(of: Int => String): String =
+      (0 until m).map(j => s"WHEN $j THEN ${of(j)}")
+        .mkString(s"CASE CAST((se.i - 1) % $m AS INT) ", " ", " END")
+    val sOld = slotCase(j => s"rec.s$j")
+    val yT = "se.y * 1000"
+    val lNew =
+      s"(($a * ($yT - $sOld) + ${1000000 - a} * (rec.l + rec.b)) // 1000000)"
+    val sLanes = (0 until m).map { j =>
+      s"""CASE WHEN CAST((se.i - 1) % $m AS INT) = $j
+         |     THEN ($g * ($yT - $lNew) + ${1000000 - g} * rec.s$j) // 1000000
+         |     ELSE rec.s$j END AS s$j""".stripMargin
+    }.mkString(",\n    ")
+    val initS = (0 until m).map(j =>
+      s"CAST(max(CASE WHEN se.i = ${j + 1} THEN se.y END) * 1000 - max(l0.l0) AS BIGINT) AS s$j")
+      .mkString(",\n    ")
+    val fcSlot = (0 until m).map(j =>
+      s"WHEN $j THEN fin.s$j")
+      .mkString(s"CASE CAST((nn2.n_days + h.h - 1) % $m AS INT) ", " ", " END")
+    s"""WITH RECURSIVE daily AS (SELECT event_type AS key,
+       |   CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+       |   CAST(count(*) AS BIGINT) AS y
+       |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+       |  GROUP BY 1, 2),
+       | sp AS (SELECT key, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+       | g AS (SELECT sp.key, gs.day, CAST(gs.day - sp.d0 + 1 AS BIGINT) AS i
+       |  FROM sp, unnest(generate_series(sp.d0, sp.d1)) AS gs(day)),
+       | se AS (SELECT g.key, g.i, coalesce(d.y, 0) AS y
+       |  FROM g LEFT JOIN daily d ON d.key = g.key AND d.day = g.day),
+       | nn2 AS (SELECT key, CAST(max(i) AS BIGINT) AS n_days FROM se
+       |  GROUP BY 1 HAVING max(i) > $m),
+       | l0 AS (SELECT key,
+       |   CAST((sum(CASE WHEN i <= $m THEN y ELSE 0 END) * 1000) // $m AS BIGINT) AS l0
+       |  FROM se GROUP BY 1),
+       | rec AS (
+       |  SELECT se.key, CAST($m AS BIGINT) AS i, max(l0.l0) AS l,
+       |    CAST(0 AS BIGINT) AS b,
+       |    $initS,
+       |    CAST(0 AS BIGINT) AS sae
+       |  FROM se JOIN l0 ON l0.key = se.key JOIN nn2 ON nn2.key = se.key
+       |  GROUP BY 1
+       |  UNION ALL
+       |  SELECT se.key, se.i,
+       |    $lNew AS l,
+       |    (($b * ($lNew - rec.l) + ${1000000 - b} * rec.b) // 1000000) AS b,
+       |    $sLanes,
+       |    rec.sae + abs($yT - (rec.l + rec.b + $sOld)) AS sae
+       |  FROM se JOIN rec ON se.key = rec.key AND se.i = rec.i + 1),
+       | fin AS (SELECT rec.* FROM rec
+       |   JOIN nn2 ON nn2.key = rec.key AND rec.i = nn2.n_days)
+       |SELECT fin.key AS event_type, CAST(h.h AS BIGINT) AS h, nn2.n_days,
+       | fin.l AS level_milli, fin.b AS trend_milli,
+       | $fcSlot AS season_milli,
+       | fin.sae AS sae_milli,
+       | fin.l + h.h * fin.b + ($fcSlot) AS forecast_milli
+       |FROM fin JOIN nn2 ON nn2.key = fin.key
+       | CROSS JOIN (SELECT unnest(generate_series(1, $m)) AS h) h
+       |ORDER BY event_type, h""".stripMargin
+  }
+
   private val q01Inner =
     """SELECT user_id, CAST(count(*) AS BIGINT) AS count_temp,
       | CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS start_sec
@@ -5529,6 +5626,224 @@ object OracleSql {
         | CAST(sum(CASE WHEN wv <> v THEN 1 ELSE 0 END) AS BIGINT)
         |   AS n_clamped,
         | CAST(sum(wv) // count(*) AS BIGINT) AS winsorized_mean
-        |FROM w GROUP BY key ORDER BY event_type""".stripMargin
+        |FROM w GROUP BY key ORDER BY event_type""".stripMargin,
+
+    // resource-allocation link prediction: wedge pairs at cap-eligible
+    // apexes, 1e6 // deg weights, existing edges anti-joined out,
+    // deterministic top-1000
+    "q292_link_prediction" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+        | raw AS (SELECT doc_id AS src, (doc_id*7+1) % nn.n AS dst FROM documents, nn
+        |   UNION ALL SELECT doc_id, (doc_id*13+5) % nn.n FROM documents, nn
+        |   UNION ALL SELECT doc_id, (doc_id*31+11) % nn.n FROM documents, nn),
+        | und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        |   FROM raw WHERE src <> dst),
+        | adj AS (SELECT u AS apex, v AS nb FROM und
+        |   UNION ALL SELECT v, u FROM und),
+        | deg AS (SELECT apex, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY 1),
+        | elig AS (SELECT adj.apex, adj.nb, 1000000 // deg.d AS w
+        |   FROM adj JOIN deg ON adj.apex = deg.apex
+        |   WHERE deg.d BETWEEN 2 AND 64),
+        | wedges AS (SELECT a.nb AS node_a, b.nb AS node_b,
+        |     CAST(count(*) AS BIGINT) AS n_common,
+        |     CAST(sum(a.w) AS BIGINT) AS ra_ppm
+        |   FROM elig a JOIN elig b ON a.apex = b.apex AND a.nb < b.nb
+        |   GROUP BY 1, 2)
+        |SELECT w.node_a, w.node_b, w.n_common, w.ra_ppm FROM wedges w
+        |WHERE NOT EXISTS (SELECT 1 FROM und
+        |  WHERE und.u = w.node_a AND und.v = w.node_b)
+        |ORDER BY ra_ppm DESC, node_a, node_b LIMIT 1000""".stripMargin,
+
+    "q293_kcore" -> q293Sql,
+
+    // ACF in ppm over n-scaled centered daily counts (no mean division);
+    // HUGEINT lanes replay the operator's DECIMAL(38,0) products
+    "q294_acf" ->
+      """WITH daily AS (SELECT event_type AS key,
+        |   CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |   CAST(count(*) AS BIGINT) AS y
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        | sp AS (SELECT key, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+        | g AS (SELECT sp.key, gs.day, CAST(gs.day - sp.d0 + 1 AS BIGINT) AS i
+        |  FROM sp, unnest(generate_series(sp.d0, sp.d1)) AS gs(day)),
+        | se AS (SELECT g.key, g.i, coalesce(d.y, 0) AS y
+        |  FROM g LEFT JOIN daily d ON d.key = g.key AND d.day = g.day),
+        | st AS (SELECT key, CAST(max(i) AS BIGINT) AS n_days,
+        |   CAST(sum(y) AS HUGEINT) AS s FROM se GROUP BY 1),
+        | c AS (SELECT se.key, se.i, st.n_days,
+        |   CAST(st.n_days AS HUGEINT) * se.y - st.s AS cv
+        |  FROM se JOIN st ON st.key = se.key),
+        | den AS (SELECT key, sum(cv * cv) AS dn FROM c GROUP BY 1),
+        | lg AS (SELECT unnest(generate_series(1, 7)) AS lag),
+        | num AS (SELECT a.key, lg.lag, sum(a.cv * b.cv) AS nm
+        |  FROM c a CROSS JOIN lg
+        |  JOIN c b ON b.key = a.key AND b.i = a.i + lg.lag
+        |  GROUP BY 1, 2)
+        |SELECT st.key AS event_type, CAST(num.lag AS BIGINT) AS lag, st.n_days,
+        | CAST(CASE WHEN den.dn > 0 THEN (num.nm * 1000000) // den.dn END
+        |   AS BIGINT) AS acf_ppm
+        |FROM num JOIN st ON st.key = num.key JOIN den ON den.key = num.key
+        |WHERE num.lag < st.n_days
+        |ORDER BY event_type, lag""".stripMargin,
+
+    "q295_holt_winters" -> q295Sql,
+
+    // Croston recurrence: (z, p, gap, nd) lanes in a recursive CTE
+    // (NOT list_reduce — see q295Sql note on its mutating accumulator)
+    "q296_croston" ->
+      """WITH RECURSIVE daily AS (SELECT event_type AS key,
+        |   CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |   CAST(count(*) AS BIGINT) AS y
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |    AND value > 250
+        |  GROUP BY 1, 2),
+        | sp AS (SELECT key, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+        | g AS (SELECT sp.key, gs.day, CAST(gs.day - sp.d0 + 1 AS BIGINT) AS i
+        |  FROM sp, unnest(generate_series(sp.d0, sp.d1)) AS gs(day)),
+        | se AS (SELECT g.key, g.i, coalesce(d.y, 0) AS y
+        |  FROM g LEFT JOIN daily d ON d.key = g.key AND d.day = g.day),
+        | nn2 AS (SELECT key, CAST(max(i) AS BIGINT) AS n_days FROM se GROUP BY 1),
+        | rec AS (
+        |  SELECT key, CAST(0 AS BIGINT) AS i, CAST(0 AS BIGINT) AS z,
+        |    CAST(0 AS BIGINT) AS p, CAST(1 AS BIGINT) AS gap,
+        |    CAST(0 AS BIGINT) AS nd
+        |  FROM nn2
+        |  UNION ALL
+        |  SELECT se.key, se.i,
+        |    CASE WHEN se.y > 0 THEN
+        |      CASE WHEN rec.nd = 0 THEN se.y * 1000
+        |        ELSE (200000 * se.y * 1000 + 800000 * rec.z) // 1000000 END
+        |      ELSE rec.z END,
+        |    CASE WHEN se.y > 0 THEN
+        |      CASE WHEN rec.nd = 0 THEN rec.gap * 1000
+        |        ELSE (200000 * rec.gap * 1000 + 800000 * rec.p) // 1000000 END
+        |      ELSE rec.p END,
+        |    CASE WHEN se.y > 0 THEN 1 ELSE rec.gap + 1 END,
+        |    CASE WHEN se.y > 0 THEN rec.nd + 1 ELSE rec.nd END
+        |  FROM se JOIN rec ON se.key = rec.key AND se.i = rec.i + 1)
+        |SELECT rec.key AS event_type, nn2.n_days, rec.nd AS n_demand,
+        | CASE WHEN rec.nd > 0 THEN rec.z END AS z_milli,
+        | CASE WHEN rec.nd > 0 THEN rec.p END AS p_milli,
+        | CASE WHEN rec.nd > 0 AND rec.p > 0 THEN (rec.z * 1000) // rec.p END
+        |   AS forecast_milli
+        |FROM rec JOIN nn2 ON nn2.key = rec.key AND rec.i = nn2.n_days
+        |ORDER BY event_type""".stripMargin,
+
+    // one-way ANOVA from (n_g, S_g, Q_g) sufficient statistics, the
+    // operator's documented per-group floor replayed verbatim
+    "q297_anova" ->
+      """WITH e AS (SELECT event_type AS key,
+        |   ((CAST(floor(epoch(ts)) AS BIGINT) // 86400) + 4) % 7 AS grp,
+        |   CAST(floor(value * 1000) AS BIGINT) AS v
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |    AND ts IS NOT NULL),
+        | g AS (SELECT key, grp, CAST(count(*) AS BIGINT) AS ng,
+        |   CAST(sum(v) AS HUGEINT) AS sg, sum(CAST(v AS HUGEINT) * v) AS qg
+        |  FROM e GROUP BY 1, 2),
+        | t AS (SELECT key, CAST(count(*) AS BIGINT) AS k_groups,
+        |   CAST(sum(ng) AS BIGINT) AS n, CAST(sum(sg) AS HUGEINT) AS s,
+        |   CAST(sum(qg) AS HUGEINT) AS q,
+        |   CAST(sum((sg * sg) // ng) AS HUGEINT) AS gsum FROM g GROUP BY 1),
+        | v2 AS (SELECT key, k_groups, n, gsum - (s * s) // n AS bet,
+        |   q - gsum AS wit FROM t)
+        |SELECT key AS event_type, k_groups, n,
+        | CAST(CASE WHEN k_groups >= 2 AND wit > 0 THEN
+        |   (bet * (n - k_groups) * 1000) // (wit * (k_groups - 1)) END
+        |   AS BIGINT) AS f_milli,
+        | CAST(CASE WHEN bet + wit > 0 THEN (bet * 1000000) // (bet + wit) END
+        |   AS BIGINT) AS eta2_ppm
+        |FROM v2 ORDER BY event_type""".stripMargin,
+
+    // Cochran-Armitage: exact integer N_t and variance product, cleared
+    // z-squared with the abChiSquare n <= 1e7 exactness guard
+    "q298_trend_test" ->
+      """WITH e AS (SELECT event_type AS key,
+        |   (CAST(floor(epoch(ts)) AS BIGINT) % 86400) // 21600 AS w,
+        |   CASE WHEN value > 35 THEN 1 ELSE 0 END AS y
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |    AND ts IS NOT NULL),
+        | l AS (SELECT key, w, CAST(count(*) AS BIGINT) AS ni,
+        |   CAST(sum(y) AS BIGINT) AS ri FROM e GROUP BY 1, 2),
+        | t AS (SELECT key, CAST(count(*) AS BIGINT) AS n_levels,
+        |   CAST(sum(ni) AS BIGINT) AS n, CAST(sum(ri) AS BIGINT) AS successes,
+        |   CAST(sum(CAST(w AS HUGEINT) * ri) AS HUGEINT) AS swr,
+        |   CAST(sum(CAST(w AS HUGEINT) * ni) AS HUGEINT) AS aa,
+        |   CAST(sum(CAST(w AS HUGEINT) * w * ni) AS HUGEINT) AS bb
+        |  FROM l GROUP BY 1),
+        | v AS (SELECT key, n_levels, n, successes,
+        |   CAST(n AS HUGEINT) * swr - CAST(successes AS HUGEINT) * aa AS nt,
+        |   CAST(successes AS HUGEINT) * (n - successes)
+        |     * (CAST(n AS HUGEINT) * bb - aa * aa) AS vr FROM t)
+        |SELECT key AS event_type, n, n_levels, successes,
+        | CAST(CASE WHEN n_levels >= 2 AND vr > 0 AND n <= 10000000 THEN
+        |   (CASE WHEN nt < 0 THEN -1 ELSE 1 END)
+        |     * ((nt * nt * n * 1000) // vr) END AS BIGINT) AS z2_signed_milli,
+        | CASE WHEN n_levels >= 2 AND vr > 0 AND n <= 10000000 THEN
+        |   10000 * nt * nt * n > 38416 * vr END AS significant
+        |FROM v ORDER BY event_type""".stripMargin,
+
+    // Mann-Kendall: pairwise sign sum + tie-corrected variance x18,
+    // continuity-corrected cleared z-squared
+    "q299_mann_kendall" ->
+      """WITH daily AS (SELECT event_type AS key,
+        |   CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |   CAST(count(*) AS BIGINT) AS y
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        | sp AS (SELECT key, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+        | g AS (SELECT sp.key, gs.day, CAST(gs.day - sp.d0 + 1 AS BIGINT) AS i
+        |  FROM sp, unnest(generate_series(sp.d0, sp.d1)) AS gs(day)),
+        | se AS (SELECT g.key, g.i, coalesce(d.y, 0) AS y
+        |  FROM g LEFT JOIN daily d ON d.key = g.key AND d.day = g.day),
+        | nn2 AS (SELECT key, CAST(max(i) AS BIGINT) AS n_days FROM se
+        |  GROUP BY 1 HAVING max(i) >= 2),
+        | s AS (SELECT a.key, CAST(sum(sign(b.y - a.y)) AS BIGINT) AS s_stat
+        |  FROM se a JOIN se b ON b.key = a.key AND b.i > a.i GROUP BY 1),
+        | ties AS (SELECT key, CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT)
+        |   AS tie FROM (SELECT key, y, CAST(count(*) AS BIGINT) AS t
+        |   FROM se GROUP BY 1, 2) GROUP BY 1),
+        | v AS (SELECT nn2.key, nn2.n_days, s.s_stat,
+        |   nn2.n_days * (nn2.n_days - 1) * (2 * nn2.n_days + 5) - ties.tie
+        |     AS var18
+        |  FROM nn2 JOIN s ON s.key = nn2.key JOIN ties ON ties.key = nn2.key)
+        |SELECT key AS event_type, n_days, s_stat, var18,
+        | CAST(CASE WHEN var18 > 0 THEN CAST(sign(s_stat) AS BIGINT)
+        |   * ((18000 * (abs(s_stat) - 1) * (abs(s_stat) - 1)) // var18) END
+        |   AS BIGINT) AS z2_signed_milli,
+        | COALESCE(var18 > 0 AND abs(s_stat) > 1
+        |   AND 180000 * (abs(s_stat) - 1) * (abs(s_stat) - 1) > 38416 * var18,
+        |   false) AS significant
+        |FROM v ORDER BY event_type""".stripMargin,
+
+    // duplicate-trigram exposure: corpus doc-frequency per shingle hash,
+    // per-doc dup share in ppm (the q35 shingle+hash conventions)
+    "q300_dup_ngram_rate" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+         | sh AS (SELECT doc_id AS id, unnest($trigrams) AS sh FROM d),
+         | hb AS (SELECT id, ('0x'||substr(md5('0:'||sh),1,8))::BIGINT AS h FROM sh),
+         | dup AS (SELECT h FROM hb GROUP BY h HAVING count(*) >= 2),
+         | sz AS (SELECT id, CAST(count(*) AS BIGINT) AS n_shingles FROM sh GROUP BY 1),
+         | nd AS (SELECT id, CAST(count(*) AS BIGINT) AS n_dup FROM hb
+         |   WHERE h IN (SELECT h FROM dup) GROUP BY 1)
+         |SELECT sz.id AS doc_id, sz.n_shingles,
+         | COALESCE(nd.n_dup, 0) AS n_dup,
+         | (COALESCE(nd.n_dup, 0) * 1000000) // sz.n_shingles AS dup_ppm
+         |FROM sz LEFT JOIN nd ON nd.id = sz.id
+         |WHERE sz.n_shingles > 0 ORDER BY doc_id""".stripMargin,
+
+    // ordered LISTAGG: top-5 suppliers by balance per nation, rank order,
+    // ties broken on name (the operator's struct-sort key, verbatim)
+    "q301_listagg" ->
+      """WITH s AS (SELECT n.n_name AS nation, s.s_name AS name,
+        |   -CAST(floor(s.s_acctbal * 100) AS BIGINT) AS negbal
+        |  FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey),
+        | r AS (SELECT nation, name,
+        |   row_number() OVER (PARTITION BY nation ORDER BY negbal, name) AS rk,
+        |   CAST(count(*) OVER (PARTITION BY nation) AS BIGINT) AS ns FROM s)
+        |SELECT nation, max(ns) AS n_suppliers,
+        | string_agg(name, '|' ORDER BY rk) FILTER (WHERE rk <= 5)
+        |   AS top_suppliers
+        |FROM r GROUP BY nation ORDER BY nation""".stripMargin
   )
 }

@@ -4176,6 +4176,143 @@ object SparkEntry {
       .withColumnRenamed("key", "event_type")
       .orderBy("event_type")
 
+  /** The shared synthetic link graph over `documents` (the q124
+    * PageRank construction — three hash out-edges per doc, so graph
+    * shape scales with the corpus): `(src, dst)` directed edges. */
+  private def docGraph(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id")
+    val n = math.max(docs.count(), 1L)
+    docs.select(col("doc_id").as("src"),
+      explode(array(
+        (col("doc_id") * 7 + 1) % n,
+        (col("doc_id") * 13 + 5) % n,
+        (col("doc_id") * 31 + 11) % n)).as("dst"))
+  }
+
+  /** Resource-Allocation link prediction ([[ops.Graph.resourceAllocationPpm]]):
+    * the top-1000 predicted missing links of the document graph —
+    * non-adjacent pairs scored by Σ 1e6 DIV deg over common
+    * neighbors, hub apexes excluded by the degree cap. Deterministic
+    * top-k tie-break on (score desc, pair). */
+  private def q292(s: SparkSession, dir: String): DataFrame =
+    Graph.resourceAllocationPpm(docGraph(s, dir), col("src"), col("dst"))
+      .orderBy(col("ra_ppm").desc, col("node_a"), col("node_b"))
+      .limit(1000)
+
+  /** k-core decomposition ([[ops.Graph.kCore]]): members of the
+    * VARIABLE-degree document graph's 4-core with their inside-core
+    * degree — the cohesion filter (every surviving page has ≥4
+    * surviving neighbors). The q124 graph is too regular to peel
+    * (every node survives k=5, none survives k=6), so this query
+    * builds a 1..4-out-edge variant whose 4-core converges through a
+    * real 5-round cascade; the oracle unrolls the operator's full
+    * 8-round bound, which is the identical fixpoint. */
+  private def q293(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id")
+    val n = math.max(docs.count(), 1L)
+    val edges = docs
+      .select(col("doc_id"),
+        explode(expr("sequence(1, 1 + CAST(doc_id % 4 AS INT))")).as("i"))
+      .select(col("doc_id").as("src"),
+        ((col("doc_id") * (col("i") * 2 + 5) + col("i")) % n).as("dst"))
+    Graph.kCore(edges, col("src"), col("dst"), k = 4)
+      .orderBy("node")
+  }
+
+  /** Autocorrelation function ([[ops.TimeSeries.acfPpm]]): per event
+    * type, the daily-count series' ACF at lags 1..7 in exact integer
+    * ppm — the seasonality fingerprint (weekly cycle = lag-7 spike). */
+  private def q294(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.acfPpm(Tables.events(s, dir), col("event_type"), col("ts"),
+        maxLag = 7)
+      .withColumnRenamed("key", "event_type")
+      .orderBy("event_type", "lag")
+
+  /** Additive Holt–Winters ([[ops.TimeSeries.holtWintersForecast]]):
+    * q289's Holt forecast plus a 7-day seasonal lane, all truncating
+    * integer milli recurrences, 7-day horizon per event type. */
+  private def q295(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.holtWintersForecast(Tables.events(s, dir),
+        col("event_type"), col("ts"), m = 7, horizon = 7)
+      .withColumnRenamed("key", "event_type")
+      .orderBy("event_type", "h")
+
+  /** Croston intermittent-demand forecast
+    * ([[ops.TimeSeries.crostonForecast]]) on a genuinely intermittent
+    * series: daily counts of the rare value > 250 events per type —
+    * mostly-zero days, exactly where plain smoothing fails. */
+  private def q296(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.crostonForecast(Tables.events(s, dir)
+        .filter(col("value") > 250d),
+        col("event_type"), col("ts"))
+      .withColumnRenamed("key", "event_type")
+      .orderBy("event_type")
+
+  /** One-way ANOVA ([[ops.Stats.anovaF]]): per event type, does the
+    * mean value differ across the seven weekdays — F and eta² in
+    * integer lanes from one two-level aggregate. Weekday via the
+    * portable Thursday-anchored epoch formula (the q270 convention). */
+  private def q297(s: SparkSession, dir: String): DataFrame =
+    ops.Stats.anovaF(Tables.events(s, dir)
+        .filter(col("value").isNotNull && col("ts").isNotNull),
+        keyCol = col("event_type"),
+        groupCol = expr(
+          "((CAST(unix_timestamp(ts) AS BIGINT) DIV 86400) + 4) % 7"),
+        valueCol = expr("CAST(floor(value * 1000) AS BIGINT)"))
+      .withColumnRenamed("key", "event_type")
+      .orderBy("event_type")
+
+  /** Cochran–Armitage trend test ([[ops.Stats.cochranArmitage]]): per
+    * event type, does the probability of an above-median value (> 35)
+    * TREND across the four ordered 6-hour day bands — the ordered-dose
+    * test an omnibus chi² wastes power on. */
+  private def q298(s: SparkSession, dir: String): DataFrame =
+    ops.Stats.cochranArmitage(Tables.events(s, dir)
+        .filter(col("value").isNotNull && col("ts").isNotNull),
+        keyCol = col("event_type"),
+        doseCol = expr(
+          "(CAST(unix_timestamp(ts) AS BIGINT) % 86400) DIV 21600"),
+        outcomeCol = col("value") > 35d)
+      .withColumnRenamed("key", "event_type")
+      .orderBy("event_type")
+
+  /** Mann–Kendall trend test ([[ops.TimeSeries.mannKendall]]): per
+    * event type, is the daily count trending — S, tie-corrected
+    * variance ×18, and the continuity-corrected cleared z² in exact
+    * integers. */
+  private def q299(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.mannKendall(Tables.events(s, dir), col("event_type"),
+        col("ts"))
+      .withColumnRenamed("key", "event_type")
+      .orderBy("event_type")
+
+  /** Duplicate-n-gram exposure ([[ext.Dedup.dupNgramRate]]): per
+    * document, the ppm share of its distinct trigrams appearing in ≥2
+    * documents — the corpus boilerplate readout that decides whether a
+    * dedup pass is worth running (Lee et al. 2022). */
+  private def q300(s: SparkSession, dir: String): DataFrame =
+    ext.Dedup.dupNgramRate(Tables.documents(s, dir))
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
+  /** Ordered LISTAGG / STRING_AGG (the SQL:2016 T625 surface): per
+    * nation, the top-5 suppliers by account balance concatenated in
+    * rank order — `sort_array(collect_list(struct))` + `slice` +
+    * `concat_ws`, the codegen-friendly Spark spelling (no UDF).
+    * Deterministic: ties on balance break on supplier name. */
+  private def q301(s: SparkSession, dir: String): DataFrame =
+    Tables.supplier(s, dir)
+      .join(Tables.nation(s, dir), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        concat_ws("|", expr(
+          """transform(
+            |  slice(array_sort(collect_list(named_struct(
+            |    'negbal', -CAST(floor(s_acctbal * 100) AS BIGINT),
+            |    'name', s_name))), 1, 5),
+            |  x -> x.name)""".stripMargin)).as("top_suppliers"))
+      .orderBy("nation")
+
   /** Keyless binned range join ([[ops.IntervalJoin.binnedPointJoin]]):
     * busy hours are detected from the FULL event stream (hourly count
     * strictly above 1.2× the mean hour, division-cleared to
@@ -5146,7 +5283,17 @@ object SparkEntry {
     "q288_timedecay_attribution" -> q288 _,
     "q289_holt_forecast" -> q289 _,
     "q290_ab_trajectory" -> q290 _,
-    "q291_winsorized_mean" -> q291 _
+    "q291_winsorized_mean" -> q291 _,
+    "q292_link_prediction" -> q292 _,
+    "q293_kcore" -> q293 _,
+    "q294_acf" -> q294 _,
+    "q295_holt_winters" -> q295 _,
+    "q296_croston" -> q296 _,
+    "q297_anova" -> q297 _,
+    "q298_trend_test" -> q298 _,
+    "q299_mann_kendall" -> q299 _,
+    "q300_dup_ngram_rate" -> q300 _,
+    "q301_listagg" -> q301 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

@@ -1697,4 +1697,54 @@ object Dedup {
         when(col("n_candidates") > 0,
           expr("(n_true * 1000000) DIV n_candidates")).otherwise(lit(0L)))
   }
+
+  /** Duplicate-n-gram exposure rate — the corpus-level "how much of
+    * each document is boilerplate/duplicated text" readout that decides
+    * whether a dedup pass is worth running at all (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * measures exactly this before/after): per document, the fraction
+    * of its DISTINCT word n-grams whose corpus document frequency is
+    * ≥ `minDf` (they appear in at least that many distinct documents).
+    * A 90%-duplicated page is boilerplate even if no single whole-doc
+    * near-dup pair exists — this catches what pairwise dedup misses.
+    *
+    * Exactness: shingles are per-doc DISTINCT (the [[jaccardPairs]]
+    * shingle-set), so one `groupBy(hash)` count IS the document
+    * frequency; a 32-bit hash collision merges two shingles'
+    * frequencies (probability < 2⁻³² per pair, deterministic, oracle
+    * hashes identically). Rate in integer ppm.
+    *
+    * Scale shape: explode → one hash-aggregate on the shingle hash →
+    * one semi-join back — all linear in total shingles, NO pair
+    * generation anywhere (this is the dedup-family operator that needs
+    * no bucket cap: document frequency is a count, not a combination).
+    */
+  def dupNgramRate(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleN: Int = 3,
+      minDf: Long = 2L
+  ): DataFrame = {
+    require(minDf >= 2, s"minDf must be >= 2: $minDf")
+    val shingleArr = TextOps.shingleSet(col(textCol), shingleN)
+    val hashed = docs
+      .select(col(idCol).as("id"), explode(shingleArr).as("sh"))
+      .select(col("id"), Hashing.md5Hash32(0, col("sh")).as("h"))
+      .localCheckpoint(true)
+    val dupShingles = hashed.groupBy("h")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .select("h")
+    val perDoc = hashed
+      .join(dupShingles, Seq("h"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("n_dup"))
+    docs.select(col(idCol).as("id"), size(shingleArr).as("n_shingles"))
+      .filter(col("n_shingles") > 0)
+      .join(perDoc, Seq("id"), "left")
+      .withColumn("n_dup", coalesce(col("n_dup"), lit(0L)))
+      .withColumn("dup_ppm", expr("(n_dup * 1000000) DIV n_shingles"))
+      .select(col("id"), col("n_shingles").cast("long").as("n_shingles"),
+        col("n_dup"), col("dup_ppm"))
+  }
 }

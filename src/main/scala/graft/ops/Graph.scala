@@ -186,4 +186,119 @@ object Graph {
         coalesce(col("out_deg"), lit(0L)).as("out_deg"),
         coalesce(col("in_deg"), lit(0L)).as("in_deg"))
   }
+
+  /** Canonical undirected edge set: self-loops dropped, each edge once
+    * as `(u, v)` with `u < v`. Shared by the pair-scoring operators. */
+  private def undirected(edges: DataFrame, srcCol: Column, dstCol: Column): DataFrame =
+    edges.select(srcCol.as("a"), dstCol.as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+      .select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
+      .distinct()
+
+  /** Resource-Allocation link prediction (Zhou, Lü & Zhang 2009): for
+    * every NON-adjacent pair `(a, b)` sharing at least one neighbor,
+    * `RA(a,b) = Σ_{v ∈ Γ(a)∩Γ(b)} 1/deg(v)` — each common neighbor
+    * spreads one unit of "resource" evenly over its neighborhood, so
+    * low-degree common neighbors are strong evidence and hubs are
+    * near-noise. The index is computed in exact integer ppm
+    * (`1_000_000 DIV deg(v)`, summed), so results are bit-identical
+    * across engines and partitionings.
+    *
+    * Scale shape: common-neighbor pairs are wedges — two adjacency
+    * entries at one apex — and a hub apex of degree d generates d²
+    * candidate pairs. The `maxApexDeg` cap excludes apexes with
+    * deg > cap from SCORING (documented conservative drop, like the
+    * LSH bucket caps): their per-pair weight is already < 1e6/cap
+    * ≈ noise, and the cap bounds wedge volume at
+    * Σ_{deg(v)≤c} deg(v)² ≤ c·2m = O(m) — linear in edges, never
+    * quadratic in a hub. One wedge self-join keyed on the apex + one
+    * anti-join against the edge set; both shuffle-partition on their
+    * keys.
+    *
+    * Output: `(node_a, node_b, n_common, ra_ppm)` for non-adjacent
+    * pairs with ≥1 (cap-eligible) common neighbor, `node_a < node_b`.
+    */
+  def resourceAllocationPpm(
+      edges: DataFrame,
+      srcCol: Column,
+      dstCol: Column,
+      maxApexDeg: Int = 64
+  ): DataFrame = {
+    require(maxApexDeg >= 2, s"maxApexDeg must be >= 2: $maxApexDeg")
+    // the undirected set feeds three consumers (adjacency both ways +
+    // the final anti-join) — checkpoint so canonicalization runs once
+    val und = undirected(edges, srcCol, dstCol).localCheckpoint(true)
+    val adj = und.select(col("u").as("apex"), col("v").as("n"))
+      .union(und.select(col("v").as("apex"), col("u").as("n")))
+    val deg = adj.groupBy("apex").agg(count(lit(1)).as("d"))
+    val eligible = adj.join(
+        deg.filter(col("d") >= 2 && col("d") <= maxApexDeg), Seq("apex"))
+      .withColumn("w_ppm", expr("CAST(1000000 DIV d AS BIGINT)"))
+      .localCheckpoint(true)
+    val l = eligible.select(col("apex"), col("n").as("node_a"), col("w_ppm"))
+    val r = eligible.select(col("apex"), col("n").as("node_b"))
+    val wedges = l.join(r, Seq("apex"))
+      .filter(col("node_a") < col("node_b"))
+      .groupBy("node_a", "node_b")
+      .agg(count(lit(1)).as("n_common"), sum(col("w_ppm")).as("ra_ppm"))
+    wedges.join(und,
+        wedges("node_a") === und("u") && wedges("node_b") === und("v"),
+        "left_anti")
+  }
+
+  /** k-core decomposition by iterative peel (Seidman 1983; the
+    * Matula–Beck algorithm's bulk-synchronous form): repeatedly delete
+    * every node of degree < k until the fixpoint — what survives is
+    * the maximal subgraph where every node has ≥ k neighbors, the
+    * standard cohesion filter for link-graph curation (a page kept by
+    * the 3-core has 3 independent neighbors that also survived, a far
+    * stronger prior than raw degree).
+    *
+    * Each round is one degree aggregate + two semi-joins that restrict
+    * the symmetric adjacency to surviving endpoints — all keyed
+    * shuffles, no all-pairs anywhere; adjacency is eagerly
+    * `localCheckpoint`ed per round so the plan stays O(1) deep (the
+    * [[pageRankPpm]] lineage contract). The loop exits as soon as a
+    * round deletes nothing (the fixpoint — one driver-side count per
+    * round, the same bounded-rounds pattern as
+    * `Dedup.clusterLabelsLargeSmallStar`) or after `maxRounds`, so a
+    * replayed engine that unrolls exactly `maxRounds` rounds computes
+    * the identical result: post-fixpoint rounds are no-ops.
+    *
+    * Output: `(node, core_deg)` — every member of the k-core (after
+    * `maxRounds` rounds) with its degree INSIDE the core.
+    */
+  def kCore(
+      edges: DataFrame,
+      srcCol: Column,
+      dstCol: Column,
+      k: Int,
+      maxRounds: Int = 8
+  ): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(maxRounds >= 1, s"maxRounds must be >= 1: $maxRounds")
+    val und = undirected(edges, srcCol, dstCol)
+    var sym = und.select(col("u").as("a"), col("v").as("b"))
+      .union(und.select(col("v").as("a"), col("u").as("b")))
+      .localCheckpoint(true)
+    var n = sym.count()
+    var round = 0
+    var stable = false
+    while (round < maxRounds && !stable && n > 0) {
+      val keep = sym.groupBy(col("a").as("node"))
+        .agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k)
+        .select("node")
+      sym = sym
+        .join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+        .localCheckpoint(true)
+      val n2 = sym.count()
+      stable = n2 == n
+      n = n2
+      round += 1
+    }
+    sym.groupBy(col("a").as("node")).agg(count(lit(1)).as("core_deg"))
+  }
 }

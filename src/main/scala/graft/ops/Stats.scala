@@ -1840,6 +1840,117 @@ object Stats {
       .select("bin", "bin_lo", "n_ref", "n_cur", "p_ppm", "q_ppm", "psi_micro")
   }
 
+  /** One-way ANOVA F readout in exact integer lanes (Fisher 1925): per
+    * key, does the metric's MEAN differ across the groups — the k-arm
+    * generalization of the two-sample t readout, computed entirely
+    * from the sufficient statistics `(n_g, Σv, Σv²)` so it is one
+    * hash-aggregate pass at any scale. Sums of squares are carried
+    * with a DOCUMENTED floor per group (`S_g² DIV n_g` — absolute
+    * error < 1 per group against squared-sum magnitudes ≥ 1e10,
+    * identical in both engines because the oracle shares the literal;
+    * NOT scaled up further, so the DIV result stays inside BIGINT for
+    * any |v| ≤ 1e6-lane metric to n ≈ 1e9 rows — pre-aggregate
+    * beyond):
+    * `between = Σ_g (S_g² DIV n_g) − (S² DIV n)`,
+    * `within = Q − Σ_g (S_g² DIV n_g)`, then
+    * `F_milli = (between·(n−k)·1000) DIV (within·(k−1))` and
+    * `eta2_ppm = between·1e6 DIV (between+within)` (the effect size —
+    * report it WITH the test, the [[cuped]]-family convention). All
+    * products run in DECIMAL(38,0); only bounded ratios are output.
+    * NULL F when within-variance is zero or k < 2 (the test is
+    * undefined, not zero).
+    *
+    * Scale: one shuffle to (key, group) grain, one to key grain —
+    * the canonical two-level aggregate; no row² anywhere.
+    */
+  def anovaF(
+      df: DataFrame,
+      keyCol: Column,
+      groupCol: Column,
+      valueCol: Column
+  ): DataFrame = {
+    val d38 = "DECIMAL(38,0)"
+    val groups = df
+      .filter(keyCol.isNotNull && groupCol.isNotNull && valueCol.isNotNull)
+      .select(keyCol.as("key"), groupCol.as("grp"),
+        valueCol.cast("long").as("v"))
+      .groupBy("key", "grp")
+      .agg(count(lit(1)).as("ng"), sum(col("v")).as("sg"),
+        sum(expr(s"CAST(v AS $d38) * v")).as("qg"))
+    groups.groupBy("key")
+      .agg(count(lit(1)).as("k_groups"),
+        sum(col("ng")).as("n"),
+        sum(col("sg")).as("__s"),
+        sum(col("qg")).as("__q"),
+        sum(expr(s"(CAST(sg AS $d38) * sg) DIV ng")).as("__gsum"))
+      .withColumn("__between",
+        expr(s"__gsum - (CAST(__s AS $d38) * __s) DIV n"))
+      .withColumn("__within", expr("__q - __gsum"))
+      .withColumn("f_milli",
+        when(col("k_groups") >= 2 && col("__within") > 0, expr(
+          "CAST((__between * (n - k_groups) * 1000)" +
+            " DIV (__within * (k_groups - 1)) AS BIGINT)")))
+      .withColumn("eta2_ppm",
+        when(col("__between") + col("__within") > 0, expr(
+          "CAST((__between * 1000000) DIV (__between + __within) AS BIGINT)")))
+      .select("key", "k_groups", "n", "f_milli", "eta2_ppm")
+  }
+
+  /** Cochran–Armitage trend test (Cochran 1954; Armitage 1955): per
+    * key, is there a MONOTONE trend in a binary outcome's rate across
+    * ORDERED dose levels — the right test when the grouping has an
+    * order (bucketed exposure, time-of-day bands), where an omnibus
+    * chi² wastes power ignoring it. With dose weights `w_i = level`,
+    * level sizes `n_i`, successes `r_i`, totals `n`, `R`:
+    * `Z² = N_t²·n / (R(n−R)(nB − A²))` where `N_t = n·Σw_i r_i −
+    * R·Σw_i n_i`, `A = Σw_i n_i`, `B = Σw_i² n_i` — all exact
+    * integers (DECIMAL(38,0) lanes), no floors until the final
+    * reported ratio. Cleared test at α=0.05:
+    * `significant ⟺ 10000·N_t²·n > 38416·R(n−R)(nB−A²)`, the
+    * [[abChiSquare]] convention, with the same explicit n ≤ 10⁷
+    * exactness guard (beyond it, pre-aggregate). Degenerate margins
+    * (all/none successes, single level) report NULL.
+    *
+    * Output per key: `n`, `n_levels`, `successes`,
+    * `z2_signed_milli` (sign = trend direction), `significant`.
+    * Scale: two-level hash aggregate, same shape as [[anovaF]].
+    */
+  def cochranArmitage(
+      df: DataFrame,
+      keyCol: Column,
+      doseCol: Column,
+      outcomeCol: Column
+  ): DataFrame = {
+    val d38 = "DECIMAL(38,0)"
+    val levels = df
+      .filter(keyCol.isNotNull && doseCol.isNotNull && outcomeCol.isNotNull)
+      .select(keyCol.as("key"), doseCol.cast("long").as("w"),
+        when(outcomeCol, 1L).otherwise(0L).as("y"))
+      .groupBy("key", "w")
+      .agg(count(lit(1)).as("ni"), sum(col("y")).as("ri"))
+    levels.groupBy("key")
+      .agg(count(lit(1)).as("n_levels"),
+        sum(col("ni")).as("n"),
+        sum(col("ri")).as("successes"),
+        sum(expr(s"CAST(w AS $d38) * ri")).as("__swr"),
+        sum(expr(s"CAST(w AS $d38) * ni")).as("__a"),
+        sum(expr(s"CAST(w AS $d38) * w * ni")).as("__b"))
+      .withColumn("__nt",
+        expr(s"CAST(n AS $d38) * __swr - CAST(successes AS $d38) * __a"))
+      .withColumn("__var",
+        expr(s"CAST(successes AS $d38) * (n - successes)" +
+          s" * (CAST(n AS $d38) * __b - __a * __a)"))
+      .withColumn("z2_signed_milli",
+        when(col("n_levels") >= 2 && col("__var") > 0 && col("n") <= 10000000L,
+          expr("CAST(CASE WHEN __nt < 0 THEN -1 ELSE 1 END" +
+            " * ((__nt * __nt * n * 1000) DIV __var) AS BIGINT)")))
+      .withColumn("significant",
+        when(col("z2_signed_milli").isNotNull,
+          expr("10000 * __nt * __nt * n > 38416 * __var")))
+      .select("key", "n", "n_levels", "successes", "z2_signed_milli",
+        "significant")
+  }
+
   def skyline2D(df: DataFrame, costCol: String, gainCol: String): DataFrame = {
     val levels = df.groupBy(col(costCol))
       .agg(max(col(gainCol)).as("__bg"))

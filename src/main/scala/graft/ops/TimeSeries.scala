@@ -1005,4 +1005,252 @@ object TimeSeries {
       .select(col("key"), col("ts_sec"), col("seq"), col("x"),
         col("cusum_nx"), col("__n").as("n"), col("is_drift"))
   }
+
+  /** Per-key gap-filled daily count ARRAY — `(key, n_days, ys)` where
+    * `ys[i]` is the count on the key's `i`-th calendar day (1-based,
+    * zero-filled gaps). The shared front half of every
+    * recurrence/series operator below ([[holtForecast]] predates the
+    * factoring and keeps its inline copy). Scale shape: one
+    * `groupBy(key, day)` count + one `groupBy(key)` collect; the array
+    * is bounded by the key's calendar span (`maxDays` guard — a key
+    * whose span exceeds it is DROPPED, the [[gapFillDaily]] contract,
+    * never truncated into a silently-different series).
+    */
+  private def dailyCountSeries(
+      df: DataFrame,
+      keyCol: Column,
+      tsCol: Column,
+      maxDays: Int = 100000
+  ): DataFrame =
+    df.filter(keyCol.isNotNull && tsCol.isNotNull)
+      .select(keyCol.as("key"), unix_timestamp(tsCol).cast("long").as("__ep"))
+      .withColumn("day", expr("__ep DIV 86400"))
+      .groupBy("key", "day")
+      .agg(count(lit(1)).as("y"))
+      .groupBy("key")
+      .agg(min(col("day")).as("__d0"), max(col("day")).as("__d1"),
+        map_from_entries(collect_list(struct(col("day"), col("y"))))
+          .as("__m"))
+      .filter(col("__d1") - col("__d0") < lit(maxDays.toLong))
+      .withColumn("ys", expr(
+        "transform(sequence(__d0, __d1)," +
+          " d -> coalesce(__m[d], CAST(0 AS BIGINT)))"))
+      .select(col("key"), size(col("ys")).cast("long").as("n_days"),
+        col("ys"))
+
+  /** Sample autocorrelation function in exact integer ppm: per key, the
+    * gap-filled daily count series' ACF at lags `1..maxLag`,
+    * `r_l = Σ_{t≤n-l} (y_t-ȳ)(y_{t+l}-ȳ) / Σ_t (y_t-ȳ)²` — the
+    * seasonality/persistence fingerprint read before picking a forecast
+    * model (a weekly cycle shows as a spike at lag 7). Exactness: work
+    * with n-scaled centered values `c_t = n·y_t − S` (integers — no ȳ
+    * division), so `r_l_ppm = (1e6·Σ c_t·c_{t+l}) DIV (Σ c_t²)`
+    * bit-replays anywhere; products run in DECIMAL(38,0) lanes so a
+    * 10-year key at 1e9 events/day cannot overflow (|c| ≤ n·max_y ≈
+    * 4e12, c² ≈ 1.6e25, well inside 38 digits), output is BIGINT ppm.
+    * NULL ppm for a constant series (zero variance); lags ≥ n_days are
+    * not emitted.
+    *
+    * Scale shape: the [[dailyCountSeries]] shuffles plus per-row array
+    * folds bounded by the calendar span — no join, no window, nothing
+    * row²: the lag structure lives INSIDE each key's bounded array.
+    */
+  def acfPpm(
+      df: DataFrame,
+      keyCol: Column,
+      tsCol: Column,
+      maxLag: Int = 7
+  ): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1: $maxLag")
+    dailyCountSeries(df, keyCol, tsCol)
+      .withColumn("__s", expr("aggregate(ys, CAST(0 AS BIGINT), (a, y) -> a + y)"))
+      .withColumn("__den", expr(
+        """aggregate(ys, CAST(0 AS DECIMAL(38,0)),
+          |  (a, y) -> a + (CAST(n_days AS DECIMAL(38,0)) * y - __s)
+          |    * (CAST(n_days AS DECIMAL(38,0)) * y - __s))""".stripMargin))
+      .select(col("key"), col("n_days"), col("ys"), col("__s"), col("__den"),
+        explode(expr(s"sequence(1, $maxLag)")).as("lag"))
+      .filter(col("lag") < col("n_days"))
+      .withColumn("__num", expr(
+        """aggregate(sequence(1, CAST(n_days - lag AS INT)),
+          |  CAST(0 AS DECIMAL(38,0)),
+          |  (a, i) -> a + (CAST(n_days AS DECIMAL(38,0)) * element_at(ys, i) - __s)
+          |    * (CAST(n_days AS DECIMAL(38,0)) * element_at(ys, CAST(i + lag AS INT)) - __s))""".stripMargin))
+      .withColumn("acf_ppm",
+        when(col("__den") > 0,
+          expr("CAST((__num * 1000000) DIV __den AS BIGINT)")))
+      .select(col("key"), col("lag"), col("n_days"), col("acf_ppm"))
+  }
+
+  /** Additive Holt–Winters (triple exponential smoothing, Winters 1960)
+    * over the gap-filled daily count series, season length `m`, in
+    * exact integer milli lanes. Init from the first season: `l₀ =
+    * (Σ_{i≤m} y_i·1000) DIV m`, `b₀ = 0`, `s_i = y_i·1000 − l₀`; then
+    * for `t = m+1..n`
+    * `l_t = (α(y_t·1000 − s_{t−m}) + (1e6−α)(l+b)) DIV 1e6`,
+    * `b_t = (β(l_t − l) + (1e6−β)b) DIV 1e6`,
+    * `s_t = (γ(y_t·1000 − l_t) + (1e6−γ)s_{t−m}) DIV 1e6` — every step
+    * a truncating integer division, so the recurrence bit-replays in
+    * any engine (float HW is run-order-sensitive; this is not).
+    * Forecast `h` steps out adds the matching season slot:
+    * `f_h = l + h·b + s_{(n+h−1) mod m}`. Keys with fewer than `m+1`
+    * observed days are dropped (no season to fit), the documented
+    * [[holtForecast]]-family contract.
+    *
+    * Scale shape: identical to [[holtForecast]] — two keyed shuffles,
+    * then a per-row `aggregate` fold carrying `(l, b, s[m], sae)`;
+    * state is O(m) per key and the fold is O(n_days), both
+    * calendar-bounded.
+    */
+  def holtWintersForecast(
+      df: DataFrame,
+      keyCol: Column,
+      tsCol: Column,
+      m: Int = 7,
+      horizon: Int = 7,
+      alphaPpm: Long = 300000L,
+      betaPpm: Long = 100000L,
+      gammaPpm: Long = 200000L
+  ): DataFrame = {
+    require(m >= 2 && horizon >= 1, "m >= 2 and horizon >= 1")
+    require(Seq(alphaPpm, betaPpm, gammaPpm)
+      .forall(p => p > 0 && p <= 1000000L), "alpha/beta/gamma in (0, 1e6] ppm")
+    val (a, b, g) = (alphaPpm, betaPpm, gammaPpm)
+    // SQL lambdas cannot bind intermediates, so y_t and l_t are
+    // INLINED wherever they appear (l_t three times: its own lane,
+    // inside b_t, inside s_t); the oracle inlines the identical text,
+    // so both engines compute the same integer ops
+    val yT = "element_at(ys, t) * 1000"
+    val sOld = s"element_at(acc.s, CAST((t - 1) % $m AS INT) + 1)"
+    val lNew =
+      s"(($a * ($yT - $sOld) + (1000000 - $a) * (acc.l + acc.b)) DIV 1000000)"
+    dailyCountSeries(df, keyCol, tsCol)
+      .filter(col("n_days") > lit(m.toLong))
+      .withColumn("__l0", expr(
+        s"aggregate(slice(ys, 1, $m), CAST(0 AS BIGINT), (a, y) -> a + y * 1000) DIV $m"))
+      .withColumn("__st", expr(
+        s"""aggregate(sequence($m + 1, CAST(n_days AS INT)),
+           |  named_struct(
+           |    'l', __l0, 'b', CAST(0 AS BIGINT),
+           |    's', transform(slice(ys, 1, $m), y -> y * 1000 - __l0),
+           |    'sae', CAST(0 AS BIGINT)),
+           |  (acc, t) -> named_struct(
+           |    'l', $lNew,
+           |    'b', (($b * ($lNew - acc.l) + (1000000 - $b) * acc.b) DIV 1000000),
+           |    's', transform(acc.s, (sv, j) ->
+           |      IF(j = (t - 1) % $m,
+           |        ($g * ($yT - $lNew) + (1000000 - $g) * sv) DIV 1000000,
+           |        sv)),
+           |    'sae', acc.sae + abs($yT - (acc.l + acc.b + $sOld))))""".stripMargin))
+      .select(col("key"), col("n_days"),
+        col("__st.l").as("level_milli"), col("__st.b").as("trend_milli"),
+        col("__st.s").as("__s"), col("__st.sae").as("sae_milli"),
+        explode(expr(s"sequence(1, $horizon)")).as("h"))
+      .withColumn("season_milli",
+        expr(s"element_at(__s, CAST((n_days + h - 1) % $m AS INT) + 1)"))
+      .withColumn("forecast_milli",
+        expr("level_milli + h * trend_milli + season_milli"))
+      .select(col("key"), col("h"), col("n_days"), col("level_milli"),
+        col("trend_milli"), col("season_milli"), col("sae_milli"),
+        col("forecast_milli"))
+  }
+
+  /** Croston's method (Croston 1972) — the standard forecaster for
+    * INTERMITTENT demand (series that are mostly zeros: rare-event
+    * keys, long-tail SKUs), where plain exponential smoothing decays
+    * to uselessness between demands. Maintains two EWMA lanes over the
+    * gap-filled daily series: demand SIZE `z` (updated only on nonzero
+    * days) and inter-demand INTERVAL `p` (the gap length, updated on
+    * the same days); the per-period forecast is their ratio. First
+    * demand initializes `z = y·1000`, `p = gap·1000`; later demands
+    * fold `z' = (α·y·1000 + (1e6−α)z) DIV 1e6`,
+    * `p' = (α·gap·1000 + (1e6−α)p) DIV 1e6` — all truncating integer
+    * milli arithmetic, bit-replayable. Output per key: `n_days`,
+    * `n_demand`, `z_milli`, `p_milli`, and
+    * `forecast_milli = (z·1000) DIV p` (NULL when the key never
+    * demanded). Keys with zero demand days still appear (their audit
+    * row is the interesting one).
+    *
+    * Scale shape: the [[dailyCountSeries]] shuffles + an O(n_days)
+    * per-row fold with O(1) state.
+    */
+  def crostonForecast(
+      df: DataFrame,
+      keyCol: Column,
+      tsCol: Column,
+      alphaPpm: Long = 200000L
+  ): DataFrame = {
+    require(alphaPpm > 0 && alphaPpm <= 1000000L, "alpha in (0, 1e6] ppm")
+    val a = alphaPpm
+    dailyCountSeries(df, keyCol, tsCol)
+      .withColumn("__st", expr(
+        s"""aggregate(ys,
+           |  named_struct('z', CAST(0 AS BIGINT), 'p', CAST(0 AS BIGINT),
+           |    'gap', CAST(1 AS BIGINT), 'nd', CAST(0 AS BIGINT)),
+           |  (acc, y) -> IF(y > 0,
+           |    named_struct(
+           |      'z', IF(acc.nd = 0, y * 1000,
+           |        ($a * y * 1000 + (1000000 - $a) * acc.z) DIV 1000000),
+           |      'p', IF(acc.nd = 0, acc.gap * 1000,
+           |        ($a * acc.gap * 1000 + (1000000 - $a) * acc.p) DIV 1000000),
+           |      'gap', CAST(1 AS BIGINT), 'nd', acc.nd + 1),
+           |    named_struct('z', acc.z, 'p', acc.p, 'gap', acc.gap + 1,
+           |      'nd', acc.nd)))""".stripMargin))
+      .select(col("key"), col("n_days"),
+        col("__st.nd").as("n_demand"),
+        when(col("__st.nd") > 0, col("__st.z")).as("z_milli"),
+        when(col("__st.nd") > 0, col("__st.p")).as("p_milli"))
+      .withColumn("forecast_milli",
+        when(col("p_milli") > 0, expr("(z_milli * 1000) DIV p_milli")))
+  }
+
+  /** Mann–Kendall trend test (Mann 1945; Kendall 1975) on the
+    * gap-filled daily count series — the standard nonparametric "is
+    * this metric trending" monitor (no distribution or linearity
+    * assumption; robust to the outliers that wreck an OLS slope).
+    * `S = Σ_{i<j} sign(y_j − y_i)`; the tie-corrected variance is
+    * `Var·18 = n(n−1)(2n+5) − Σ_ties t(t−1)(2t+5)` — kept ×18 so it
+    * stays integer — and the continuity-corrected z² clears in exact
+    * integers: `significant ⟺ 180000·(|S|−1)² > 38416·var18` (both
+    * sides = 10⁴·18·z²·var18 with z_crit² = 1.96² = 3.8416, the
+    * [[ops.Stats]] cleared-test convention). Also emits
+    * `z2_signed_milli = sign(S)·(18000·(|S|−1)²) DIV var18`.
+    *
+    * Scale shape: the series is calendar-bounded, so the O(n²) pair
+    * fold runs INSIDE each key's array — no join, nothing row². S and
+    * the tie term are exact integers; var18 fits BIGINT to n ≈ 10⁶
+    * days (≫ any calendar).
+    */
+  def mannKendall(
+      df: DataFrame,
+      keyCol: Column,
+      tsCol: Column
+  ): DataFrame =
+    dailyCountSeries(df, keyCol, tsCol)
+      .filter(col("n_days") >= 2)
+      .withColumn("s_stat", expr(
+        """aggregate(sequence(1, CAST(n_days - 1 AS INT)), CAST(0 AS BIGINT),
+          |  (a, i) -> a + aggregate(
+          |    sequence(CAST(i + 1 AS INT), CAST(n_days AS INT)),
+          |    CAST(0 AS BIGINT),
+          |    (b, j) -> b + CAST(sign(element_at(ys, j) - element_at(ys, i)) AS BIGINT)))""".stripMargin))
+      .withColumn("__ties", expr(
+        """aggregate(array_distinct(ys), CAST(0 AS BIGINT),
+          |  (a, v) -> a
+          |    + CAST(size(filter(ys, x -> x = v)) AS BIGINT)
+          |      * (CAST(size(filter(ys, x -> x = v)) AS BIGINT) - 1)
+          |      * (2 * CAST(size(filter(ys, x -> x = v)) AS BIGINT) + 5))""".stripMargin))
+      .withColumn("var18", expr(
+        "n_days * (n_days - 1) * (2 * n_days + 5) - __ties"))
+      .withColumn("z2_signed_milli",
+        when(col("var18") > 0, expr(
+          """CAST(sign(s_stat) AS BIGINT)
+            |  * ((18000 * (abs(s_stat) - 1) * (abs(s_stat) - 1)) DIV var18)""".stripMargin)))
+      .withColumn("significant",
+        coalesce(expr(
+          """var18 > 0 AND abs(s_stat) > 1
+            |  AND 180000 * (abs(s_stat) - 1) * (abs(s_stat) - 1) > 38416 * var18""".stripMargin),
+          lit(false)))
+      .select(col("key"), col("n_days"), col("s_stat"), col("var18"),
+        col("z2_signed_milli"), col("significant"))
 }

@@ -819,4 +819,38 @@ class DedupSpec extends SparkTestBase {
       .as[(Long, Long, Long)].collect().toSet
     assert(capped == Set((3L, 103L, 5L)), s"got $capped")
   }
+
+  test("dupNgramRate: per-doc share of trigrams with corpus df >= 2") {
+    // d1/d2 share exactly the trigram "a b c"; d3 shares nothing;
+    // d4 is too short for any trigram and is excluded (not a 0-rate row)
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "a b c x"), (3L, "z y x2 q w"), (4L, "a b"))
+      .toDF("doc_id", "text")
+    val got = Dedup.dupNgramRate(docs)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 2L, 1L, 500000L),
+      (2L, 2L, 1L, 500000L),
+      (3L, 3L, 0L, 0L)), s"got $got")
+  }
+
+  test("dupNgramRate: within-doc repeats do not self-count (shingles are a SET)") {
+    // "p q r p q r p q r" has distinct trigrams {p q r, q r p, r p q} —
+    // each appears once per doc, so a single doc has zero dup exposure
+    val docs = Seq((1L, "p q r p q r p q r")).toDF("doc_id", "text")
+    val got = Dedup.dupNgramRate(docs)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 3L, 0L, 0L)), s"got $got")
+  }
+
+  test("dupNgramRate: minDf raises the duplication bar") {
+    val docs = Seq((1L, "a b c"), (2L, "a b c"), (3L, "a b c"))
+      .toDF("doc_id", "text")
+    assert(Dedup.dupNgramRate(docs, minDf = 3L)
+      .as[(Long, Long, Long, Long)].collect()
+      .forall(r => r._3 == 1L && r._4 == 1000000L))
+    assert(Dedup.dupNgramRate(docs, minDf = 4L)
+      .as[(Long, Long, Long, Long)].collect()
+      .forall(r => r._3 == 0L && r._4 == 0L))
+  }
 }

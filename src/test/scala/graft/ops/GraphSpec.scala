@@ -93,4 +93,61 @@ class GraphSpec extends SparkTestBase {
       .as[(Long, Long)].collect().toMap
     assert(m == Map(0L -> 0L, 9L -> 0L, 1L -> 1L, 2L -> 1L), s"got $m")
   }
+
+  test("resourceAllocationPpm: hand-scored star+edge, adjacent pairs excluded") {
+    // star 0-{1,2,3} plus edge 1-2. deg: 0->3, 1->2, 2->2, 3->1.
+    // apexes with deg in [2,64]: 0 (w=333333), 1 (w=500000), 2 (w=500000).
+    // wedges at 0: (1,2) (1,3) (2,3); at 1: (0,2); at 2: (0,1).
+    // adjacent pairs (0,1) (0,2) (0,3) (1,2) drop -> only (1,3) and (2,3)
+    val e = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L)).toDF("src", "dst")
+    val got = Graph.resourceAllocationPpm(e, col("src"), col("dst"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 3L, 1L, 333333L), (2L, 3L, 1L, 333333L)), s"got $got")
+  }
+
+  test("resourceAllocationPpm: the apex degree cap excludes hub wedges") {
+    // same graph, cap 2: node 0 (deg 3) no longer scores, and the
+    // remaining wedges at 1 and 2 only propose already-adjacent pairs
+    val e = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L)).toDF("src", "dst")
+    val got = Graph.resourceAllocationPpm(e, col("src"), col("dst"),
+      maxApexDeg = 2).count()
+    assert(got == 0L)
+  }
+
+  test("resourceAllocationPpm: direction and duplicate edges are canonicalized") {
+    // the same star encoded with reversed + doubled edges scores identically
+    val e = Seq((1L, 0L), (0L, 2L), (2L, 0L), (3L, 0L), (2L, 1L))
+      .toDF("src", "dst")
+    val got = Graph.resourceAllocationPpm(e, col("src"), col("dst"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 3L, 1L, 333333L), (2L, 3L, 1L, 333333L)))
+  }
+
+  test("kCore: K4 plus a tail — the tail peels, the clique survives with core degrees") {
+    val e = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L),
+      (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val got = Graph.kCore(e, col("src"), col("dst"), k = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L), s"got $got")
+  }
+
+  test("kCore: a peel CASCADE removes the chain one round at a time") {
+    // triangle 0-1-2 plus path 2-3-4: round 1 drops 4 (deg 1), which
+    // only THEN exposes 3 (deg falls 2 -> 1) — a genuine fixpoint loop
+    val e = Seq((0L, 1L), (1L, 2L), (0L, 2L), (2L, 3L), (3L, 4L))
+      .toDF("src", "dst")
+    val got = Graph.kCore(e, col("src"), col("dst"), k = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 2L, 1L -> 2L, 2L -> 2L), s"got $got")
+  }
+
+  test("kCore: k above the max degree empties; empty input stays empty with schema") {
+    val e = Seq((0L, 1L), (1L, 2L)).toDF("src", "dst")
+    val got = Graph.kCore(e, col("src"), col("dst"), k = 5)
+    assert(got.count() == 0L)
+    assert(got.columns.toSeq == Seq("node", "core_deg"))
+    val empty = Graph.kCore(e.limit(0), col("src"), col("dst"), k = 2)
+    assert(empty.count() == 0L)
+    assert(empty.columns.toSeq == Seq("node", "core_deg"))
+  }
 }

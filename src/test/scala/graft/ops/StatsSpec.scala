@@ -979,4 +979,54 @@ class StatsSpec extends SparkTestBase {
   private implicit class Map2[A, B, C, D](rows: Array[(A, B, C, D)]) {
     def toMap2: Map[A, (B, C, D)] = rows.map(r => r._1 -> ((r._2, r._3, r._4))).toMap
   }
+
+  test("anovaF: hand case — F=8 exactly; zero within-variance reports NULL F") {
+    // key v: groups {1,3} and {5,7}: between=16, within=4,
+    // F_milli = (16*2*1000) DIV 4 = 8000, eta2 = 16e6 DIV 20 = 800000.
+    // key z: groups {10,10} and {20,20}: within=0 -> NULL F, eta2=1e6
+    val rows = Seq(("v", 0L, 1L), ("v", 0L, 3L), ("v", 1L, 5L), ("v", 1L, 7L),
+      ("z", 0L, 10L), ("z", 0L, 10L), ("z", 1L, 20L), ("z", 1L, 20L))
+    val got = Stats.anovaF(rows.toDF("k", "g", "x"),
+        col("k"), col("g"), col("x"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          r.getLong(4)))).toMap
+    assert(got("v") == ((2L, 4L, Some(8000L), 800000L)), s"got $got")
+    assert(got("z") == ((2L, 4L, None, 1000000L)), s"got $got")
+  }
+
+  test("anovaF: a single group is undefined (NULL F), not an error") {
+    val rows = Seq(("k", 0L, 1L), ("k", 0L, 9L))
+    val r = Stats.anovaF(rows.toDF("k", "g", "x"),
+      col("k"), col("g"), col("x")).collect().head
+    assert(r.getLong(1) == 1L && r.isNullAt(3))
+  }
+
+  test("cochranArmitage: a perfect dose trend clears; a flat one scores zero") {
+    // doses 0,1,2 with 2 units each; successes 0,1,2:
+    // nt=12, var=216, z2 = (144*6*1000) DIV 216 = 4000,
+    // cleared: 10000*144*6 = 8.64e6 > 38416*216 = 8.298e6 -> significant
+    val trend = Seq((0L, false), (0L, false), (1L, true), (1L, false),
+      (2L, true), (2L, true)).map { case (w, y) => ("t", w, y) }
+    val flat = Seq((0L, true), (0L, false), (1L, true), (1L, false),
+      (2L, true), (2L, false)).map { case (w, y) => ("f", w, y) }
+    val got = Stats.cochranArmitage((trend ++ flat).toDF("k", "w", "y"),
+        col("k"), col("w"), col("y"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)),
+          if (r.isNullAt(5)) None else Some(r.getBoolean(5))))).toMap
+    assert(got("t") == ((6L, 3L, 3L, Some(4000L), Some(true))), s"got $got")
+    assert(got("f") == ((6L, 3L, 3L, Some(0L), Some(false))), s"got $got")
+  }
+
+  test("cochranArmitage: degenerate margins (all successes / one level) report NULL") {
+    val rows = Seq(("all", 0L, true), ("all", 1L, true),
+      ("one", 0L, true), ("one", 0L, false))
+    val got = Stats.cochranArmitage(rows.toDF("k", "w", "y"),
+        col("k"), col("w"), col("y"))
+      .collect().map(r => r.getString(0) -> r.isNullAt(4)).toMap
+    assert(got == Map("all" -> true, "one" -> true), s"got $got")
+  }
 }

@@ -439,4 +439,94 @@ class TimeSeriesSpec extends SparkTestBase {
     // scored days 7..13: |5-2|x6 for present days, day 10: |0-2| = 2 -> 20
     assert(out == (("a", 7L, 20L, 20L * 1000000L / 7L)))
   }
+
+  /** n events on day d (epoch-based, TZ-proof). */
+  private def onDay(d: Int, n: Int, key: String = "a"): Seq[(String, Timestamp)] =
+    (1 to n).map(_ => (key, new Timestamp(d * 86400000L + 1000L)))
+
+  test("acfPpm: hand case, truncating ppm; constant series reports NULL") {
+    // counts [2, 1]: n=2, S=3, centered c = [1, -1]; den = 2;
+    // lag-1 num = -1 -> (-1e6) DIV 2 = -500000 (truncation toward zero)
+    val rows = onDay(0, 2) ++ onDay(1, 1) ++
+      (onDay(0, 3, "flat") ++ onDay(1, 3, "flat") ++ onDay(2, 3, "flat"))
+    val got = TimeSeries.acfPpm(rows.toDF("k", "ts"), col("k"), col("ts"),
+        maxLag = 7)
+      .collect()
+      .map(r => ((r.getString(0), r.getInt(1)),
+        (r.getLong(2), if (r.isNullAt(3)) None else Some(r.getLong(3)))))
+      .toMap
+    // key "a": only lag 1 emitted (lags >= n_days dropped)
+    assert(got == Map(
+      ("a", 1) -> ((2L, Some(-500000L))),
+      ("flat", 1) -> ((3L, None)),
+      ("flat", 2) -> ((3L, None))), s"got $got")
+  }
+
+  test("acfPpm: a period-2 series autocorrelates negative at lag 1, positive at lag 2") {
+    val counts = Seq(5, 1, 5, 1, 5, 1, 5, 1)
+    val rows = counts.zipWithIndex.flatMap { case (n, d) => onDay(d, n) }
+    val got = TimeSeries.acfPpm(rows.toDF("k", "ts"), col("k"), col("ts"),
+        maxLag = 2)
+      .collect().map(r => r.getInt(1) -> r.getLong(3)).toMap
+    // exact: c = 8y-24 over [5,1,...]: den=2048, num_1=-1792, num_2=1536
+    assert(got == Map(1 -> -875000L, 2 -> 750000L), s"got $got")
+  }
+
+  test("holtWintersForecast: hand-stepped m=2 recurrence, forecast adds the right slot") {
+    // series [3,1,4,1,5]: l0 = 2000, s = [1000, -1000];
+    // t=3: l=2300 b=30 s0=1140 sae=1000
+    // t=4: l=2231 b=20 s1=-1046 sae=1330
+    // t=5: l=2733 b=68 s0=1365 sae=2939
+    // forecast time t=n+h, slot (t-1)%2: h=1 -> slot 1: 2733+68-1046 = 1755;
+    // h=2 -> slot 0: 2733+136+1365 = 4234
+    val rows = Seq(3, 1, 4, 1, 5).zipWithIndex.flatMap { case (n, d) => onDay(d, n) }
+    val got = TimeSeries.holtWintersForecast(rows.toDF("k", "ts"),
+        col("k"), col("ts"), m = 2, horizon = 2)
+      .as[(String, Int, Long, Long, Long, Long, Long, Long)]
+      .collect().sortBy(_._2).toSeq
+    assert(got == Seq(
+      ("a", 1, 5L, 2733L, 68L, -1046L, 2939L, 1755L),
+      ("a", 2, 5L, 2733L, 68L, 1365L, 2939L, 4234L)), s"got $got")
+  }
+
+  test("holtWintersForecast: keys shorter than one season are dropped") {
+    val rows = onDay(0, 3) ++ onDay(1, 2) // 2 days < m+1 at m=7
+    assert(TimeSeries.holtWintersForecast(rows.toDF("k", "ts"),
+      col("k"), col("ts")).count() == 0L)
+  }
+
+  test("crostonForecast: first demand initializes, later demands fold size and interval") {
+    // days 10..15 -> [2,0,0,3,0,1]:
+    // y=2: z=2000 p=1000 nd=1; gaps 2,3; y=3: z=2200 p=1400 nd=2;
+    // gap 2; y=1: z=1960 p=1520 nd=3; forecast = 1960000 DIV 1520 = 1289
+    val rows = onDay(10, 2) ++ onDay(13, 3) ++ onDay(15, 1)
+    val got = TimeSeries.crostonForecast(rows.toDF("k", "ts"),
+        col("k"), col("ts"))
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("a", 6L, 3L, 1960L, 1520L, 1289L)), s"got $got")
+  }
+
+  test("mannKendall: monotone trend vs constant series (NULL z2, never-NULL significant)") {
+    // increasing [1,2,3,4]: S=6, no ties, var18 = 4*3*13 = 156,
+    // z2 = (18000*25) DIV 156 = 2884; cleared test: 4.5e6 > 5.99e6 false
+    val up = Seq(1, 2, 3, 4).zipWithIndex.flatMap { case (n, d) => onDay(d, n) }
+    val flat = Seq(2, 2, 2, 2).zipWithIndex.flatMap { case (n, d) =>
+      onDay(d, n, "flat") }
+    val got = TimeSeries.mannKendall((up ++ flat).toDF("k", "ts"),
+        col("k"), col("ts"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)),
+          r.getBoolean(5)))).toMap
+    assert(got("a") == ((4L, 6L, 156L, Some(2884L), false)), s"got $got")
+    // constant: S=0, tie term 4*3*13 = 156 -> var18 = 0 -> undefined z2
+    assert(got("flat") == ((4L, 0L, 0L, None, false)), s"got $got")
+  }
+
+  test("mannKendall: a long monotone run clears significance") {
+    val rows = (0 until 12).flatMap(d => onDay(d, d + 1))
+    val r = TimeSeries.mannKendall(rows.toDF("k", "ts"), col("k"), col("ts"))
+      .collect().head
+    assert(r.getLong(2) == 66L && r.getBoolean(5), s"got $r") // S = C(12,2)
+  }
 }
