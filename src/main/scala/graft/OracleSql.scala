@@ -49,6 +49,31 @@ object OracleSql {
        |FROM e8 GROUP BY 1 ORDER BY node""".stripMargin
   }
 
+  /** q302's deterministic label propagation, unrolled: per round, each
+    * node adopts the most frequent neighbor label, frequency ties on
+    * the smallest label. Labels tables MATERIALIZED (the q293Sql
+    * inlining lesson). */
+  private lazy val q302Sql: String = {
+    val rounds = (0 until 4).map { r =>
+      s"""c$r AS (SELECT s.a AS node, l.lab, count(*) AS cnt
+         |   FROM sym s JOIN l$r l ON l.node = s.b GROUP BY 1, 2),
+         | l${r + 1} AS MATERIALIZED (SELECT node, min(lab) AS lab FROM (
+         |   SELECT node, lab, cnt, max(cnt) OVER (PARTITION BY node) AS mx
+         |   FROM c$r) WHERE cnt = mx GROUP BY 1)""".stripMargin
+    }.mkString(",\n ")
+    s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+       | raw AS (SELECT doc_id AS src, (doc_id * (t.i * 2 + 5) + t.i) % nn.n AS dst
+       |   FROM documents, nn,
+       |     unnest(generate_series(1, 1 + CAST(doc_id % 4 AS INT))) AS t(i)),
+       | und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+       |   FROM raw WHERE src <> dst),
+       | sym AS MATERIALIZED (SELECT u AS a, v AS b FROM und
+       |   UNION ALL SELECT v, u FROM und),
+       | l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS lab FROM sym),
+       | $rounds
+       |SELECT node, lab AS label FROM l4 ORDER BY node""".stripMargin
+  }
+
   /** q295's additive Holt–Winters recurrence as a recursive CTE with
     * the seven season lanes as explicit columns. SQL lambdas/recursion
     * cannot bind intermediates, so `l_t` (which feeds its own lane,
@@ -5831,6 +5856,70 @@ object OracleSql {
          | (COALESCE(nd.n_dup, 0) * 1000000) // sz.n_shingles AS dup_ppm
          |FROM sz LEFT JOIN nd ON nd.id = sz.id
          |WHERE sz.n_shingles > 0 ORDER BY doc_id""".stripMargin,
+
+    "q302_label_prop" -> q302Sql,
+
+    // tokenizer fertility: the q142 BPE merge replay aggregated per
+    // language — tokens/word and chars/token in truncating milli
+    "q303_tokenizer_fertility" ->
+      s"""WITH RECURSIVE
+         | dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+         | w AS (SELECT DISTINCT word FROM dw WHERE length(word) > 0),
+         | seg(word, parts) AS (
+         |   SELECT word, list_transform(generate_series(1, length(word)), i -> word[i:i]) FROM w
+         |   UNION ALL
+         |   SELECT word, parts[1:pos-1] || [parts[pos] || parts[pos+1]] || parts[pos+2:len(parts)]
+         |   FROM (SELECT word, parts, list_min(rk) AS mr, list_position(rk, list_min(rk)) AS pos
+         |         FROM (SELECT word, parts,
+         |                list_transform(generate_series(1, len(parts)-1),
+         |                  i -> ${bpeRankCase("parts[i]", "parts[i+1]")}) AS rk
+         |               FROM seg))
+         |   WHERE mr < 999999),
+         | fin AS (SELECT word, CAST(min(len(parts)) AS BIGINT) AS n_sub FROM seg GROUP BY 1),
+         | perdoc AS (SELECT dw.doc_id, CAST(count(*) AS BIGINT) AS nw,
+         |   CAST(sum(fin.n_sub) AS BIGINT) AS nt
+         |   FROM dw JOIN fin ON dw.word = fin.word GROUP BY 1),
+         | agg AS (SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |   CAST(sum(COALESCE(p.nw, 0)) AS BIGINT) AS n_words,
+         |   CAST(sum(COALESCE(p.nt, 0)) AS BIGINT) AS n_bpe_tokens,
+         |   CAST(sum(COALESCE(d.n_chars, 0)) AS BIGINT) AS n_chars
+         |   FROM documents d LEFT JOIN perdoc p ON p.doc_id = d.doc_id
+         |   WHERE d.lang IS NOT NULL GROUP BY 1)
+         |SELECT lang, n_docs, n_words, n_bpe_tokens, n_chars,
+         | CAST(CASE WHEN n_words > 0 THEN (n_bpe_tokens * 1000) // n_words END
+         |   AS BIGINT) AS fertility_milli,
+         | CAST(CASE WHEN n_bpe_tokens > 0 THEN (n_chars * 1000) // n_bpe_tokens END
+         |   AS BIGINT) AS chars_per_token_milli
+         |FROM agg ORDER BY lang""".stripMargin,
+
+    // JL projection recall: signed-sum 16-d projection replayed with the
+    // identical md5-parity signs and left-to-right double folds, recall
+    // vs the exact 64-d top-10 (the q167 harness)
+    "q304_jl_recall" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         | q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+         | c AS (SELECT vec_id AS vid, v AS cv FROM e),
+         | xs AS (SELECT qid, vid, $cosExpr AS cos FROM q, c WHERE qid <> vid),
+         | xr AS (SELECT qid, vid,
+         |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rk FROM xs),
+         | ex AS (SELECT qid, vid FROM xr WHERE rk <= 10),
+         | pj AS (SELECT vec_id, list_transform(generate_series(0, 15), j ->
+         |     list_sum(list_transform(generate_series(1, len(v)), i ->
+         |       ((('0x'||substr(md5('7:'||j::VARCHAR||'_'||i::VARCHAR),1,8))::BIGINT
+         |         % 2) * 2 - 1)::DOUBLE * v[i]))) AS p
+         |   FROM e),
+         | pq AS (SELECT vec_id AS qid, p AS qv FROM pj WHERE vec_id < 5),
+         | pc AS (SELECT vec_id AS vid, p AS cv FROM pj),
+         | ps AS (SELECT qid, vid, $cosExpr AS cos FROM pq, pc WHERE qid <> vid),
+         | pr AS (SELECT qid, vid,
+         |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rk FROM ps),
+         | pp AS (SELECT qid, vid FROM pr WHERE rk <= 10),
+         | j AS (SELECT ex.qid, CASE WHEN pp.vid IS NULL THEN 0 ELSE 1 END AS hit
+         |       FROM ex LEFT JOIN pp ON ex.qid = pp.qid AND ex.vid = pp.vid)
+         |SELECT qid, CAST(count(*) AS BIGINT) AS n_exact,
+         | CAST(sum(hit) AS BIGINT) AS n_hit,
+         | CAST(sum(hit) * 1000000 // count(*) AS BIGINT) AS recall_ppm
+         |FROM j GROUP BY qid ORDER BY qid""".stripMargin,
 
     // ordered LISTAGG: top-5 suppliers by balance per nation, rank order,
     // ties broken on name (the operator's struct-sort key, verbatim)

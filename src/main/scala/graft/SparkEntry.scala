@@ -4295,6 +4295,69 @@ object SparkEntry {
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
 
+  /** Deterministic label-propagation communities
+    * ([[ops.Graph.labelPropagation]]): 4 synchronous rounds over the
+    * q293 variable-degree graph, most-frequent-neighbor label with
+    * smallest-label tie-break — the community-detection family member
+    * next to components (q46), PageRank (q124), triangles (q148) and
+    * k-core (q293). */
+  private def q302(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id")
+    val n = math.max(docs.count(), 1L)
+    val edges = docs
+      .select(col("doc_id"),
+        explode(expr("sequence(1, 1 + CAST(doc_id % 4 AS INT))")).as("i"))
+      .select(col("doc_id").as("src"),
+        ((col("doc_id") * (col("i") * 2 + 5) + col("i")) % n).as("dst"))
+    Graph.labelPropagation(edges, col("src"), col("dst"), rounds = 4)
+      .orderBy("node")
+  }
+
+  /** Tokenizer fertility audit: per language, BPE tokens per word and
+    * characters per BPE token in milli — the tokenizer-efficiency
+    * readout a multilingual corpus is budgeted with (a language at 2×
+    * fertility costs 2× the context window per word). Rides the q142
+    * trained-merge BPE ([[ext.Bpe.tokenCount]]); word count = nonempty
+    * single-space splits, the corpus-wide convention. */
+  private def q303(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .filter(col("lang").isNotNull)
+      .select(col("lang"),
+        when(col("text").isNotNull,
+          size(filter(split(col("text"), " "), w => length(w) > 0))
+            .cast("long")).otherwise(0L).as("__w"),
+        when(col("text").isNotNull,
+          coalesce(Bpe.tokenCount(col("text"), Bpe.sampleMerges), lit(0L)))
+          .otherwise(0L).as("__t"),
+        coalesce(col("n_chars"), lit(0L)).as("__c"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("__w")).as("n_words"),
+        sum(col("__t")).as("n_bpe_tokens"), sum(col("__c")).as("n_chars"))
+      .withColumn("fertility_milli",
+        when(col("n_words") > 0,
+          expr("(n_bpe_tokens * 1000) DIV n_words")))
+      .withColumn("chars_per_token_milli",
+        when(col("n_bpe_tokens") > 0,
+          expr("(n_chars * 1000) DIV n_bpe_tokens")))
+      .orderBy("lang")
+
+  /** JL random-projection ANN ([[ext.SimSearch.jlProject]]): recall@10
+    * of brute-force search in the 16-d signed-sum projected space
+    * against the exact 64-d ranking — the dimensionality-reduction
+    * scale lever evaluated with the same harness as IVF (q167) and PQ
+    * (q197): 4× cheaper distances, measured recall. */
+  private def q304(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val proj = SimSearch.jlProject(emb, dims = 16)
+      .select(col("vec_id"), col("jl_proj"))
+    SimSearch.recallAtK(
+        SimSearch.topKBruteForce(emb, emb.filter(col("vec_id") < 5), k = 10),
+        SimSearch.topKBruteForce(proj, proj.filter(col("vec_id") < 5),
+          k = 10, vecCol = "jl_proj"),
+        k = 10)
+      .orderBy("qid")
+  }
+
   /** Ordered LISTAGG / STRING_AGG (the SQL:2016 T625 surface): per
     * nation, the top-5 suppliers by account balance concatenated in
     * rank order — `sort_array(collect_list(struct))` + `slice` +
@@ -5293,7 +5356,10 @@ object SparkEntry {
     "q298_trend_test" -> q298 _,
     "q299_mann_kendall" -> q299 _,
     "q300_dup_ngram_rate" -> q300 _,
-    "q301_listagg" -> q301 _
+    "q301_listagg" -> q301 _,
+    "q302_label_prop" -> q302 _,
+    "q303_tokenizer_fertility" -> q303 _,
+    "q304_jl_recall" -> q304 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

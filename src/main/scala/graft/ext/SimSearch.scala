@@ -832,4 +832,41 @@ object SimSearch {
       .filter(col("rank") <= k)
       .select(col("qid"), col("vid"), round(col("cos"), 6).as("cos"), col("rank"))
   }
+
+  /** Johnson–Lindenstrauss signed-sum random projection (Achlioptas
+    * 2003's ±1 database-friendly variant): each output component is
+    * `p_j = Σ_i s_{j,i}·v_i` with `s_{j,i} ∈ {−1, +1}` decided by the
+    * parity of the portable md5 hash of `"j_i"` under `seed` — fully
+    * deterministic, no stored projection matrix, bit-replayable in any
+    * engine (the [[graft.functions.Hashing]] family). Dimensionality
+    * reduction is the third ANN scale lever next to bucketing (IVF/LSH)
+    * and code compression (PQ): a 64-d→16-d projection cuts every
+    * downstream distance evaluation 4× while JL guarantees pairwise
+    * distances distort by at most (1±ε) w.h.p.
+    *
+    * Arithmetic is a SEQUENTIAL double fold in array order (the
+    * [[graft.functions.VectorOps]] bit-parity contract). Map-side only:
+    * no shuffle, no state — the projection is a pure per-row transform,
+    * so it composes with any downstream search operator unchanged.
+    *
+    * Output: the input frame with `outCol` = array<double> of `dims`.
+    */
+  def jlProject(
+      df: DataFrame,
+      dims: Int,
+      seed: Int = 7,
+      vecCol: String = "embedding",
+      outCol: String = "jl_proj"
+  ): DataFrame = {
+    require(dims >= 1, s"dims must be >= 1: $dims")
+    import graft.functions.Hashing
+    val v = col(vecCol)
+    df.withColumn(outCol,
+      transform(sequence(lit(0), lit(dims - 1)), j =>
+        aggregate(sequence(lit(1), size(v)), lit(0.0), (acc, i) =>
+          acc + (Hashing.md5Hash32(lit(seed),
+              concat(j.cast("string"), lit("_"), i.cast("string"))) % 2L
+            * 2L - 1L).cast("double")
+            * element_at(v, i).cast("double"))))
+  }
 }

@@ -247,6 +247,57 @@ object Graph {
         "left_anti")
   }
 
+  /** Community detection by synchronous label propagation (Raghavan,
+    * Albert & Kumara 2007), made DETERMINISTIC: every node starts
+    * labeled with its own id; each round every node simultaneously
+    * adopts the label that is most frequent among its neighbors,
+    * breaking frequency ties on the SMALLEST label (the classic
+    * algorithm breaks ties randomly — this variant is a pure function
+    * of the graph, so it bit-replays in any engine). Runs a FIXED
+    * `rounds` count — the operator's contract is "the label state
+    * after R synchronous rounds", not convergence (synchronous LPA can
+    * 2-cycle on bipartite structures; a fixed horizon makes the output
+    * well-defined and oracle-checkable).
+    *
+    * Scale shape per round: one join of the label table onto the
+    * symmetric adjacency (keyed on the neighbor endpoint) + one
+    * two-level aggregate (count per (node, label), then the
+    * deterministic argmax via a max over (count, −label) structs — no
+    * window, no sort); labels are eagerly `localCheckpoint`ed per
+    * round (the [[pageRankPpm]] lineage contract). Isolated nodes
+    * never appear (the node set is the edge endpoints), matching the
+    * published algorithm.
+    *
+    * Output: `(node, label)` after `rounds` rounds.
+    */
+  def labelPropagation(
+      edges: DataFrame,
+      srcCol: Column,
+      dstCol: Column,
+      rounds: Int = 4
+  ): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    val und = undirected(edges, srcCol, dstCol)
+    val sym = und.select(col("u").as("a"), col("v").as("b"))
+      .union(und.select(col("v").as("a"), col("u").as("b")))
+      .localCheckpoint(true)
+    var labels = sym.select(col("a").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      labels = sym
+        .join(labels.withColumnRenamed("node", "b"), Seq("b"))
+        .groupBy(col("a").as("node"), col("label"))
+        .agg(count(lit(1)).as("__cnt"))
+        .groupBy("node")
+        .agg(max(struct(col("__cnt"), (-col("label")).as("__neg")))
+          .as("__best"))
+        .select(col("node"), (-col("__best.__neg")).as("label"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
+
   /** k-core decomposition by iterative peel (Seidman 1983; the
     * Matula–Beck algorithm's bulk-synchronous form): repeatedly delete
     * every node of degree < k until the fixpoint — what survives is

