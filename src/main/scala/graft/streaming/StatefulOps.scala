@@ -1441,6 +1441,117 @@ object StatefulOps {
       }
   }
 
+  /** One Holt–Winters snapshot row; `n_events` is the key's total
+    * event count at emission, so "rows at max n_events" is the final
+    * forecast block (the QuantileGridOut convention).
+    */
+  case class HoltWintersOut(key: String, n_events: Long, h: Int,
+      n_days: Long, level_milli: Long, trend_milli: Long,
+      season_milli: Long, sae_milli: Long, forecast_milli: Long)
+
+  /** Streaming additive Holt–Winters — the at-ingest twin of
+    * [[graft.ops.TimeSeries.holtWintersForecast]]: events fold into an
+    * exact per-key (day → count) histogram (REUSING the GridHist state
+    * + v1 codec — a day histogram IS a value histogram), and each
+    * micro-batch replays the batch operator's integer milli recurrence
+    * over the gap-filled span and emits the full horizon block. The
+    * histogram fold is order-independent, so a drained stream equals
+    * the batch forecast bit for bit REGARDLESS of batching — late or
+    * reordered events simply land in their day bucket (the kmv parity
+    * class; a forecaster that folded state per-batch in arrival order
+    * would diverge under reordering, which is why the sufficient
+    * statistic is the histogram, not the smoothing state).
+    *
+    * Replay cost per batch is O(day span) per key — calendar-bounded,
+    * the batch operator's own array bound (spans over `maxDays` are
+    * dropped, same contract). Keys shorter than one season emit
+    * nothing yet (they start forecasting the batch they cross m+1
+    * days, the batch drop rule live).
+    */
+  def holtWintersStream(
+      df: DataFrame,
+      keyCol: String = "key",
+      tsCol: String = "event_time",
+      m: Int = 7,
+      horizon: Int = 7,
+      alphaPpm: Long = 300000L,
+      betaPpm: Long = 100000L,
+      gammaPpm: Long = 200000L,
+      maxDays: Int = 100000,
+      watermarkDelay: String = "10 seconds",
+      ttlMs: Long = 3600000L
+  ): Dataset[HoltWintersOut] = {
+    require(m >= 2 && horizon >= 1, "m >= 2 and horizon >= 1")
+    import org.apache.spark.sql.functions._
+    import df.sparkSession.implicits._
+    val rows = df
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol).cast("string").as("key"), lit(0L).as("v"),
+        col(tsCol).as("event_time"))
+      .withWatermark("event_time", watermarkDelay)
+      .as[GridEvent]
+    val (a, b, g) = (alphaPpm, betaPpm, gammaPpm)
+    rows
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[VersionedState, HoltWintersOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: String, it: Iterator[GridEvent], state: GroupState[VersionedState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val prior = state.getOption.map(StateCodec.decodeGrid)
+              .getOrElse(GridHist(Nil, 0L, 0L))
+            val rs = it.toSeq
+            val hist = scala.collection.mutable.TreeMap[Long, Long]()
+            prior.entries.foreach { case (d, c) => hist(d) = c }
+            rs.foreach { r =>
+              // day bucket exactly as the batch twin: floor-seconds
+              // (the ewmaStream convention), then truncating DIV 86400
+              val day = Math.floorDiv(r.event_time.getTime, 1000L) / 86400L
+              hist(day) = hist.getOrElse(day, 0L) + 1L
+            }
+            val total = prior.total + rs.length
+            val horizonMs = (prior.horizonMs +: rs.map(_.event_time.getTime)
+              :+ state.getCurrentWatermarkMs()).max
+            state.update(StateCodec.encodeGrid(
+              GridHist(hist.toList, total, horizonMs)))
+            state.setTimeoutTimestamp(horizonMs + ttlMs)
+            if (rs.isEmpty || hist.isEmpty) Iterator.empty
+            else {
+              val d0 = hist.firstKey; val d1 = hist.lastKey
+              val span = d1 - d0 + 1
+              if (span > maxDays || span <= m) Iterator.empty
+              else {
+                val n = span.toInt
+                val ys = new Array[Long](n)
+                hist.foreach { case (d, c) => ys((d - d0).toInt) = c }
+                // the batch recurrence verbatim: Java / truncates toward
+                // zero exactly like Spark DIV
+                var l = (0 until m).map(ys(_) * 1000L).sum / m
+                val s = Array.tabulate(m)(i => ys(i) * 1000L - l)
+                var bb = 0L; var sae = 0L
+                var t = m + 1
+                while (t <= n) {
+                  val y = ys(t - 1) * 1000L
+                  val slot = (t - 1) % m
+                  val sold = s(slot)
+                  val lN = (a * (y - sold) + (1000000L - a) * (l + bb)) / 1000000L
+                  val bN = (b * (lN - l) + (1000000L - b) * bb) / 1000000L
+                  val sN = (g * (y - lN) + (1000000L - g) * sold) / 1000000L
+                  sae += Math.abs(y - (l + bb + sold))
+                  l = lN; bb = bN; s(slot) = sN
+                  t += 1
+                }
+                (1 to horizon).iterator.map { h =>
+                  val season = s((n + h - 1) % m)
+                  HoltWintersOut(key, total, h, span, l, bb, season, sae,
+                    l + h * bb + season)
+                }
+              }
+            }
+          }
+      }
+  }
+
   /** Sequential-fold cosine matching `VectorOps.dot / (norm·norm)`
     * term-for-term (cast each float to double, accumulate left to
     * right) — needed because the streaming verify runs on JVM arrays

@@ -69,6 +69,10 @@ object ScalingBench {
     Q("q197_ann_pq_adc", "embeddings"),
     Q("q198_ann_ivf_pq", "embeddings"),
     Q("q156_basket_rules", "events"),
+    Q("q292_link_prediction", "documents"),
+    Q("q293_kcore", "documents"),
+    Q("q300_dup_ngram_rate", "documents"),
+    Q("q302_label_prop", "documents"),
     Q("q37_cosine_topk", "embeddings", gated = false),
     Q("q38_embed_neardup", "embeddings", gated = false))
 
@@ -83,6 +87,10 @@ object ScalingBench {
     Q("q131_bm25_topk", "documents"),
     Q("q132_phrase_search", "documents"),
     Q("q110_keep_best", "documents"),
+    Q("q292_link_prediction", "documents"),
+    Q("q293_kcore", "documents"),
+    Q("q300_dup_ngram_rate", "documents"),
+    Q("q302_label_prop", "documents"),
     Q("q141_ann_ivf_kmeans", "embeddings"),
     Q("q197_ann_pq_adc", "embeddings"),
     Q("q198_ann_ivf_pq", "embeddings"),

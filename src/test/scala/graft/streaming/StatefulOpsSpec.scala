@@ -1167,4 +1167,57 @@ class StatefulOpsSpec extends SparkTestBase {
     assertThrows[IllegalStateException](
       StatefulOps.StateCodec.decodeGrid(StatefulOps.VersionedState(99, Array[Byte]())))
   }
+
+  test("holtWintersStream: drained forecast equals batch bit for bit under reordering") {
+    import org.apache.spark.sql.functions.col
+    // two keys, uneven day counts over 10 days (m=3 season), events
+    // deliberately DELIVERED OUT OF DAY ORDER across two batches — the
+    // day-histogram fold must make arrival order irrelevant
+    // 2024 base: event times at epoch ~0 collide with the INITIAL
+    // watermark (0 ms) and get late-dropped — a fixture hazard, not an
+    // operator property
+    def at(day: Int, i: Int) =
+      new java.sql.Timestamp(1704067200000L + day * 86400000L + i * 1000L)
+    val counts = Map(
+      "a" -> Seq(3, 1, 4, 1, 5, 9, 2, 6, 5, 3),
+      "b" -> Seq(2, 7, 1, 8, 2, 8, 1, 0, 4, 5)) // a zero day -> gap fill
+    val all = counts.toSeq.flatMap { case (k, cs) =>
+      cs.zipWithIndex.flatMap { case (c, d) =>
+        (0 until c).map(i => (k, at(d, i))) }
+    }
+    // shuffle deterministically: interleave late days first
+    val shuffled = all.sortBy { case (k, t) => ((t.getTime / 1000 + 3) % 7, k) }
+    val mem = MemoryStream[(String, java.sql.Timestamp)](spark)
+    val query = StatefulOps.holtWintersStream(
+        mem.toDS().toDF("key", "event_time"),
+        // the delivery order spans DAYS backwards: a tight watermark
+        // would late-drop batch-2 rows before the state fn sees them —
+        // reordering robustness is the fold's job, lateness policy is
+        // the caller's (the lateStream accounting op exists for that)
+        m = 3, horizon = 4, watermarkDelay = "30 days")
+      .writeStream.format("memory").queryName("hw_parity")
+      .outputMode("append").start()
+    try {
+      mem.addData(shuffled.take(40)); query.processAllAvailable()
+      mem.addData(shuffled.drop(40)); query.processAllAvailable()
+    } finally query.stop()
+    val outs = spark.table("hw_parity").as[StatefulOps.HoltWintersOut].collect()
+    val finals = outs.groupBy(_.key).map { case (k, rows) =>
+      val n = rows.map(_.n_events).max
+      k -> rows.filter(_.n_events == n)
+        .map(r => r.h -> ((r.n_days, r.level_milli, r.trend_milli,
+          r.season_milli, r.sae_milli, r.forecast_milli))).toMap
+    }
+    val batchDf = all.toDF("k", "ts")
+    val batch = graft.ops.TimeSeries.holtWintersForecast(
+        batchDf, col("k"), col("ts"), m = 3, horizon = 4)
+      .collect().groupBy(_.getString(0)).map { case (k, rows) =>
+      k -> rows.map(r => r.getInt(1) -> ((r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    }
+    assert(finals == batch, s"stream $finals\nbatch $batch")
+    // a mid-stream snapshot exists once a key crosses m+1 days
+    assert(outs.exists(o => o.n_events < counts(o.key).sum),
+      "first batch must emit a live snapshot")
+  }
 }
