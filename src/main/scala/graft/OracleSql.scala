@@ -74,6 +74,42 @@ object OracleSql {
        |SELECT node, lab AS label FROM l4 ORDER BY node""".stripMargin
   }
 
+  /** q305's greedy farthest-point traversal, unrolled: round r picks
+    * the not-yet-chosen row with max running min-L2² (ties on smaller
+    * id), then tightens every row's min distance against it. The L2²
+    * spelling is the VectorOps bit-parity contract verbatim. */
+  private lazy val q305Sql: String = {
+    val k = 8
+    def l2(a: String, b: String) =
+      s"list_sum(list_transform(list_zip($a, $b), x -> (x[1]-x[2])*(x[1]-x[2])))"
+    def chosenUpTo(r: Int): String =
+      (Seq("SELECT id FROM cv1") ++ (2 until r).map(j => s"SELECT id FROM p$j"))
+        .mkString(" UNION ALL ")
+    val rounds = (2 to k).map { r =>
+      val prev = if (r == 2) "d1" else s"d${r - 1}"
+      s"""p$r AS MATERIALIZED (SELECT id, v, mind FROM $prev
+         |   WHERE id NOT IN (${chosenUpTo(r)})
+         |   ORDER BY mind DESC, id LIMIT 1),
+         | d$r AS MATERIALIZED (SELECT d.id, d.v,
+         |     least(d.mind, ${l2("d.v", "p.v")}) AS mind
+         |   FROM $prev d, p$r p)""".stripMargin
+    }.mkString(",\n ")
+    val ranks = (2 to k).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS rank, p$r.id AS center_id, " +
+        s"round(p$r.mind, 6) AS dist_sq FROM p$r")
+      .mkString("\n UNION ALL ")
+    s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       | cv1 AS MATERIALIZED (SELECT e.id, e.v FROM e
+       |   WHERE e.id = (SELECT min(id) FROM e)),
+       | d1 AS MATERIALIZED (SELECT e.id, e.v,
+       |     ${l2("e.v", "c.v")} AS mind FROM e, cv1 c),
+       | $rounds
+       |SELECT CAST(1 AS BIGINT) AS rank, cv1.id AS center_id,
+       |  CAST(NULL AS DOUBLE) AS dist_sq FROM cv1
+       | UNION ALL $ranks
+       |ORDER BY rank""".stripMargin
+  }
+
   /** q295's additive Holt–Winters recurrence as a recursive CTE with
     * the seven season lanes as explicit columns. SQL lambdas/recursion
     * cannot bind intermediates, so `l_t` (which feeds its own lane,
@@ -5858,6 +5894,74 @@ object OracleSql {
          |WHERE sz.n_shingles > 0 ORDER BY doc_id""".stripMargin,
 
     "q302_label_prop" -> q302Sql,
+
+    "q305_kcenter_coreset" -> q305Sql,
+
+    // classical additive decomposition: centered 7-day MA trend (full
+    // windows only), slot means of the detrended series, residual
+    "q306_seasonal_decomp" ->
+      """WITH daily AS (SELECT event_type AS key,
+        |   CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |   CAST(count(*) AS BIGINT) AS y
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        | sp AS (SELECT key, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+        | g AS (SELECT sp.key, gs.day, CAST(gs.day - sp.d0 + 1 AS BIGINT) AS i
+        |  FROM sp, unnest(generate_series(sp.d0, sp.d1)) AS gs(day)),
+        | se AS (SELECT g.key, g.i, coalesce(d.y, 0) AS y
+        |  FROM g LEFT JOIN daily d ON d.key = g.key AND d.day = g.day),
+        | t AS (SELECT key, i, y,
+        |   CASE WHEN count(*) OVER w = 7
+        |     THEN CAST(sum(y * 1000) OVER w // 7 AS BIGINT) END AS trend
+        |  FROM se WINDOW w AS (PARTITION BY key ORDER BY i
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        | dtr AS (SELECT key, (i - 1) % 7 AS slot, y * 1000 - trend AS det
+        |  FROM t WHERE trend IS NOT NULL),
+        | seas AS (SELECT key, slot,
+        |   CAST(sum(det) // count(*) AS BIGINT) AS seasonal
+        |  FROM dtr GROUP BY 1, 2)
+        |SELECT t.key AS event_type, t.i, CAST((t.i - 1) % 7 AS BIGINT) AS slot,
+        | t.y, t.trend AS trend_milli, seas.seasonal AS seasonal_milli,
+        | t.y * 1000 - t.trend - seas.seasonal AS residual_milli
+        |FROM t LEFT JOIN seas ON seas.key = t.key AND seas.slot = (t.i - 1) % 7
+        |ORDER BY event_type, i""".stripMargin,
+
+    // cross-correlation: day-aligned pair overlap, spearman-style signed
+    // r-squared decomposition with the explicit magnitude guard
+    "q307_cross_corr" ->
+      """WITH daily AS (SELECT event_type AS key,
+        |   CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |   CAST(count(*) AS BIGINT) AS y
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        | sp AS (SELECT key, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+        | g AS (SELECT sp.key, gs.day FROM sp,
+        |   unnest(generate_series(sp.d0, sp.d1)) AS gs(day)),
+        | se AS (SELECT g.key, g.day, coalesce(d.y, 0) AS y
+        |  FROM g LEFT JOIN daily d ON d.key = g.key AND d.day = g.day),
+        | lags AS (SELECT unnest(generate_series(-3, 3)) AS lag),
+        | agg AS (SELECT a.key AS key_a, b.key AS key_b, l.lag,
+        |   CAST(count(*) AS BIGINT) AS n,
+        |   CAST(sum(a.y) AS HUGEINT) AS sa, CAST(sum(b.y) AS HUGEINT) AS sb,
+        |   sum(CAST(a.y AS HUGEINT) * a.y) AS saa,
+        |   sum(CAST(b.y AS HUGEINT) * b.y) AS sbb,
+        |   sum(CAST(a.y AS HUGEINT) * b.y) AS sab,
+        |   CAST(max(a.y) AS HUGEINT) AS ma, CAST(max(b.y) AS HUGEINT) AS mb
+        |  FROM se a CROSS JOIN lags l
+        |  JOIN se b ON b.key > a.key AND b.day = a.day + l.lag
+        |  GROUP BY 1, 2, 3),
+        | v AS (SELECT key_a, key_b, lag, n, ma, mb,
+        |   n * sab - sa * sb AS cov, n * saa - sa * sa AS vx,
+        |   n * sbb - sb * sb AS vy FROM agg)
+        |SELECT key_a, key_b, CAST(lag AS BIGINT) AS lag, n AS n_overlap,
+        | CAST(CASE WHEN CAST(n AS HUGEINT) * n * ma * mb
+        |     <= CAST(300000000000000000 AS HUGEINT)
+        |   AND vx > 0 AND vy > 0 THEN
+        |   (CASE WHEN cov < 0 THEN -1 ELSE 1 END)
+        |   * (((cov * cov * 1000) // (vx * vy)) * 1000
+        |      + (((cov * cov * 1000) % (vx * vy)) * 1000) // (vx * vy))
+        |   END AS BIGINT) AS r2_signed_ppm
+        |FROM v ORDER BY key_a, key_b, lag""".stripMargin,
 
     // tokenizer fertility: the q142 BPE merge replay aggregated per
     // language — tokens/word and chars/token in truncating milli

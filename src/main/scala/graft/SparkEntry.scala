@@ -4358,6 +4358,35 @@ object SparkEntry {
       .orderBy("qid")
   }
 
+  /** k-center diversity coreset ([[ext.SimSearch.kCenterCoreset]]):
+    * greedy farthest-point traversal (Gonzalez 2-approximation) over
+    * the embeddings — 8 centers that COVER the space, with the
+    * coverage-radius curve read off the dist_sq column. The
+    * diversity-selection counterweight to similarity search. */
+  private def q305(s: SparkSession, dir: String): DataFrame =
+    SimSearch.kCenterCoreset(Tables.embeddings(s, dir), k = 8)
+      .orderBy("rank")
+
+  /** Classical additive seasonal decomposition
+    * ([[ops.TimeSeries.seasonalDecompose]]): per event type,
+    * y = centered-7-day-MA trend + weekday-slot seasonal + residual in
+    * exact milli lanes; edges NULL, not extrapolated. */
+  private def q306(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.seasonalDecompose(Tables.events(s, dir),
+        col("event_type"), col("ts"), m = 7)
+      .withColumnRenamed("key", "event_type")
+      .orderBy("event_type", "i")
+
+  /** Cross-correlation lead–lag matrix ([[ops.TimeSeries.crossCorrPpm]]):
+    * for every event-type pair and lag −3..3, the signed r² of the two
+    * daily series over their day overlap — does one metric LEAD
+    * another (spearman-style integer decomposition, no sqrt). */
+  private def q307(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.crossCorrPpm(Tables.events(s, dir)
+        .filter(col("event_type").isNotNull),
+        col("event_type"), col("ts"), maxLag = 3)
+      .orderBy("key_a", "key_b", "lag")
+
   /** Ordered LISTAGG / STRING_AGG (the SQL:2016 T625 surface): per
     * nation, the top-5 suppliers by account balance concatenated in
     * rank order — `sort_array(collect_list(struct))` + `slice` +
@@ -5359,7 +5388,10 @@ object SparkEntry {
     "q301_listagg" -> q301 _,
     "q302_label_prop" -> q302 _,
     "q303_tokenizer_fertility" -> q303 _,
-    "q304_jl_recall" -> q304 _
+    "q304_jl_recall" -> q304 _,
+    "q305_kcenter_coreset" -> q305 _,
+    "q306_seasonal_decomp" -> q306 _,
+    "q307_cross_corr" -> q307 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

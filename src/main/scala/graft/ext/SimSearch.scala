@@ -833,6 +833,79 @@ object SimSearch {
       .select(col("qid"), col("vid"), round(col("cos"), 6).as("cos"), col("rank"))
   }
 
+  /** k-center coreset by greedy farthest-point traversal (Gonzalez
+    * 1985, the 2-approximation): start from the minimum-id row (the
+    * deterministic stand-in for a random seed), then repeatedly add
+    * the point FARTHEST from the chosen set (max min-L2², ties on the
+    * smaller id). The canonical diversity-selection primitive for
+    * training data — k rows that COVER the embedding space rather than
+    * oversample its densest mode (the opposite bias of similarity
+    * search), with the guarantee that every point is within 2× the
+    * optimal k-center radius of some chosen center.
+    *
+    * Scale shape: k−1 rounds, each ONE corpus scan that tightens a
+    * running min-distance column against the single broadcast new
+    * center + one max-struct aggregate (no sort, no window); the frame
+    * is localCheckpointed per round (the pageRankPpm lineage contract),
+    * so total work is O(k·n) with k driver-bounded — the exact
+    * dataflow of a k-means++ seeding pass. Distances are the
+    * [[graft.functions.VectorOps.l2Sq]] sequential double fold
+    * (bit-replayable); the per-round argmax collect moves ONE row.
+    *
+    * Output: `(rank, center_id, dist_sq)` — dist_sq is the distance to
+    * the PREVIOUSLY chosen set (rank 1's is NULL; monotonically
+    * non-increasing thereafter, the coverage-radius curve read
+    * directly off the result).
+    */
+  def kCenterCoreset(
+      corpus: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val base = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .filter(col("id").isNotNull && col("v").isNotNull)
+    val first = base.orderBy("id").limit(1)
+      .select(col("id"), col("v")).collect().headOption
+    first match {
+      case None => Seq.empty[(Long, Long, Option[Double])]
+        .toDF("rank", "center_id", "dist_sq")
+      case Some(f0) =>
+        var chosen = List[(Long, Long, Option[Double])](
+          (1L, f0.getLong(0), None))
+        var lastVec = f0.getSeq[Float](1)
+        var scored = base
+          .withColumn("__mind", lit(Double.MaxValue))
+          .localCheckpoint(true)
+        for (r <- 2 to k) {
+          val centerVec = array(lastVec.map(x => lit(x)): _*)
+          scored = scored
+            .withColumn("__mind",
+              least(col("__mind"), VectorOps.l2Sq(col("v"), centerVec)))
+            .localCheckpoint(true)
+          val next = scored
+            .filter(!col("id").isInCollection(chosen.map(_._2)))
+            .agg(max(struct(col("__mind").as("d"), (-col("id")).as("nid"),
+              col("v").as("cv"))).as("best"))
+            .select(col("best.d"), col("best.nid"), col("best.cv"))
+            .collect().headOption
+            .filter(!_.isNullAt(0))
+          next match {
+            case Some(row) =>
+              chosen = (r.toLong, -row.getLong(1), Some(row.getDouble(0))) :: chosen
+              lastVec = row.getSeq[Float](2)
+            case None => // corpus exhausted before k
+          }
+        }
+        chosen.reverse.toDF("rank", "center_id", "dist_sq")
+          .select(col("rank"), col("center_id"),
+            round(col("dist_sq"), 6).as("dist_sq"))
+    }
+  }
+
   /** Johnson–Lindenstrauss signed-sum random projection (Achlioptas
     * 2003's ±1 database-friendly variant): each output component is
     * `p_j = Σ_i s_{j,i}·v_i` with `s_{j,i} ∈ {−1, +1}` decided by the

@@ -1204,6 +1204,121 @@ object TimeSeries {
         when(col("p_milli") > 0, expr("(z_milli * 1000) DIV p_milli")))
   }
 
+  /** Classical additive seasonal decomposition (the moving-average
+    * method, Persons 1919 — STL's deterministic ancestor):
+    * `y = trend + seasonal + residual` over the gap-filled daily count
+    * series. Trend is the centered m-day moving average in milli
+    * (defined only where the full window exists — edges are NULL, not
+    * extrapolated); the seasonal component of slot `s = (i−1) mod m`
+    * is the truncating mean of all detrended values at that slot;
+    * residual is what remains. All integer milli arithmetic with one
+    * floor in the trend and one in the seasonal mean — bit-replayable.
+    *
+    * Scale shape: the [[dailyCountSeries]] shuffles, a posexplode back
+    * to (key, day) grain, one m-bounded window per key (ROWS frame),
+    * and a slot aggregate joined back — every step keyed, nothing
+    * global.
+    */
+  def seasonalDecompose(
+      df: DataFrame,
+      keyCol: Column,
+      tsCol: Column,
+      m: Int = 7
+  ): DataFrame = {
+    require(m >= 2 && m % 2 == 1, s"m must be odd and >= 3: $m")
+    val half = m / 2
+    val days = dailyCountSeries(df, keyCol, tsCol)
+      .select(col("key"), col("n_days"),
+        posexplode(col("ys")).as(Seq("__i0", "y")))
+      .select(col("key"), col("n_days"),
+        (col("__i0") + 1).cast("long").as("i"), col("y"))
+    val w = Window.partitionBy("key").orderBy("i")
+      .rowsBetween(-half, half)
+    val trended = days
+      .withColumn("__wn", count(lit(1)).over(w))
+      .withColumn("__wsum", sum(col("y") * 1000L).over(w))
+      .withColumn("trend_milli",
+        when(col("__wn") === m, expr(s"__wsum DIV $m")))
+      .withColumn("__detr", col("y") * 1000L - col("trend_milli"))
+      .withColumn("slot", expr(s"CAST((i - 1) % $m AS BIGINT)"))
+    val seasonal = trended.filter(col("__detr").isNotNull)
+      .groupBy("key", "slot")
+      .agg(expr("CAST(sum(__detr) DIV count(*) AS BIGINT)").as("seasonal_milli"))
+    trended.join(seasonal, Seq("key", "slot"), "left")
+      .withColumn("residual_milli",
+        col("y") * 1000L - col("trend_milli") - col("seasonal_milli"))
+      .select(col("key"), col("i"), col("slot"), col("y"),
+        col("trend_milli"), col("seasonal_milli"), col("residual_milli"))
+  }
+
+  /** Cross-correlation function between every PAIR of keys' daily
+    * count series in signed ppm — the lead-lag detector ("does an
+    * error spike precede a purchase dip?"): for keys a < b and lag
+    * `l ∈ [−maxLag, maxLag]`, the Pearson correlation between `a(d)`
+    * and `b(d + l)` over the days where both series are defined
+    * (each gap-filled over its own span). No sqrt: the
+    * [[graft.ops.Stats.spearman]] signed-r² decomposition
+    * `r²_signed_ppm = sign(cov)·(cov²·1e6) DIV (vx·vy)` with
+    * n-scaled centered sums over the OVERLAP sample, DECIMAL(38,0)
+    * lanes. NULL when either side is constant on the overlap; pairs
+    * emitted once under `key_a < key_b`.
+    *
+    * Scale shape: the day grain is calendar-bounded, and the pair
+    * grid is key²-bounded (metric families, not entities) — the
+    * overlap join is (pair, lag, day) rows ≤ |keys|²·(2L+1)·days,
+    * configuration-sized at any corpus scale.
+    */
+  def crossCorrPpm(
+      df: DataFrame,
+      keyCol: Column,
+      tsCol: Column,
+      maxLag: Int = 7
+  ): DataFrame = {
+    require(maxLag >= 0, s"maxLag must be >= 0: $maxLag")
+    val d38 = "DECIMAL(38,0)"
+    // absolute-day alignment via gapFillDaily (each key zero-filled over
+    // its own span); checkpointed — it feeds both sides of the pair join
+    val daily = gapFillDaily(
+        df.filter(keyCol.isNotNull && tsCol.isNotNull), keyCol, tsCol)
+      .select(col("key"), expr("day_sec DIV 86400").as("day"),
+        col("n_events").as("y"))
+      .localCheckpoint(true)
+    val a = daily.select(col("key").as("key_a"), col("day"),
+        col("y").as("ya"))
+      .crossJoin(broadcast(
+        daily.sparkSession.range(-maxLag.toLong, maxLag + 1L)
+          .select(col("id").as("lag"))))
+    val b = daily.select(col("key").as("key_b"), col("day").as("__db"),
+      col("y").as("yb"))
+    val agg = a.join(b,
+        col("key_a") < col("key_b") && col("__db") === col("day") + col("lag"))
+      .groupBy("key_a", "key_b", "lag")
+      .agg(count(lit(1)).as("n"),
+        sum(expr(s"CAST(ya AS $d38)")).as("sa"),
+        sum(expr(s"CAST(yb AS $d38)")).as("sb"),
+        sum(expr(s"CAST(ya AS $d38) * ya")).as("saa"),
+        sum(expr(s"CAST(yb AS $d38) * yb")).as("sbb"),
+        sum(expr(s"CAST(ya AS $d38) * yb")).as("sab"),
+        max(col("ya")).as("__ma"), max(col("yb")).as("__mb"))
+    agg
+      .withColumn("__cov", expr("n * sab - sa * sb"))
+      .withColumn("__vx", expr("n * saa - sa * sa"))
+      .withColumn("__vy", expr("n * sbb - sb * sb"))
+      // exactness guard (the spearman convention): cov <= n^2*ma*mb must
+      // stay <= 3e17 so cov^2*1000 fits DECIMAL(38,0); pre-scale the
+      // series beyond (any calendar-bounded count series is far inside)
+      .withColumn("__ok", expr(
+        s"CAST(n AS $d38) * n * __ma * __mb <= CAST(300000000000000000 AS $d38)"))
+      .withColumn("r2_signed_ppm",
+        when(col("__ok") && col("__vx") > 0 && col("__vy") > 0, expr(
+          """CAST((CASE WHEN __cov < 0 THEN -1 ELSE 1 END)
+            |  * (((__cov * __cov * 1000) DIV (__vx * __vy)) * 1000
+            |     + (((__cov * __cov * 1000) % (__vx * __vy)) * 1000)
+            |       DIV (__vx * __vy)) AS BIGINT)""".stripMargin)))
+      .select(col("key_a"), col("key_b"), col("lag"),
+        col("n").as("n_overlap"), col("r2_signed_ppm"))
+  }
+
   /** Mann–Kendall trend test (Mann 1945; Kendall 1975) on the
     * gap-filled daily count series — the standard nonparametric "is
     * this metric trending" monitor (no distribution or linearity

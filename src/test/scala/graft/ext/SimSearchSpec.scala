@@ -354,6 +354,31 @@ class SimSearchSpec extends SparkTestBase {
     }
   }
 
+  test("kCenterCoreset: greedy farthest-point with min-id start and tie-break") {
+    // 2-d points on a line: 0, 1, 10, 11, 100. Start = min id (pos 0);
+    // farthest is 100 (d2=10000); then 11 beats 10 (min-dist 121 vs 100)
+    val emb = Seq(
+      (1L, Array(0f, 0f)), (2L, Array(1f, 0f)), (3L, Array(10f, 0f)),
+      (4L, Array(11f, 0f)), (5L, Array(100f, 0f)))
+      .toDF("vec_id", "embedding")
+    val got = SimSearch.kCenterCoreset(emb, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toList
+    assert(got == List(
+      (1L, 1L, None), (2L, 5L, Some(10000.0)), (3L, 4L, Some(121.0))),
+      s"got $got")
+  }
+
+  test("kCenterCoreset: distance ties break to the smaller id; short corpus stops early") {
+    // two points equidistant from the start: id 2 wins the tie
+    val emb = Seq((1L, Array(0f)), (2L, Array(5f)), (3L, Array(-5f)))
+      .toDF("vec_id", "embedding")
+    val got = SimSearch.kCenterCoreset(emb, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    assert(got.take(2) == List((1L, 1L), (2L, 2L)), s"got $got")
+    assert(got.size == 3, s"3-row corpus yields 3 centers, got $got")
+  }
+
   test("jlProject: seeds decorrelate — different seed, different signs somewhere") {
     val df = Seq((1L, Array.fill(16)(1.0f))).toDF("vec_id", "embedding")
     val a = SimSearch.jlProject(df, dims = 8, seed = 7)

@@ -523,6 +523,42 @@ class TimeSeriesSpec extends SparkTestBase {
     assert(got("flat") == ((4L, 0L, 0L, None, false)), s"got $got")
   }
 
+  test("seasonalDecompose: hand m=3 case — trend floors, slot means, NULL edges") {
+    // series [1,5,3,7,5,9]: trends 3000/5000/5000/7000 at i=2..5,
+    // detrended 2000/-2000/2000/-2000 at slots 1/2/0/1 -> seasonal
+    // s0=2000, s1=0, s2=-2000; residuals 2000/0/0/-2000
+    val rows = Seq(1, 5, 3, 7, 5, 9).zipWithIndex.flatMap { case (n, d) =>
+      onDay(d, n) }
+    val got = TimeSeries.seasonalDecompose(rows.toDF("k", "ts"),
+        col("k"), col("ts"), m = 3)
+      .collect().map(r => r.getLong(1) ->
+        ((r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)),
+          if (r.isNullAt(5)) None else Some(r.getLong(5)),
+          if (r.isNullAt(6)) None else Some(r.getLong(6))))).toMap
+    assert(got(1L) == ((0L, 1L, None, Some(2000L), None)), s"got $got")
+    assert(got(2L) == ((1L, 5L, Some(3000L), Some(0L), Some(2000L))))
+    assert(got(3L) == ((2L, 3L, Some(5000L), Some(-2000L), Some(0L))))
+    assert(got(4L) == ((0L, 7L, Some(5000L), Some(2000L), Some(0L))))
+    assert(got(5L) == ((1L, 5L, Some(7000L), Some(0L), Some(-2000L))))
+    assert(got(6L) == ((2L, 9L, None, Some(-2000L), None)))
+  }
+
+  test("crossCorrPpm: a one-day-shifted copy correlates perfectly at exactly lag +1") {
+    val base = Seq(1, 2, 3, 9, 3, 2)
+    val rows = base.zipWithIndex.flatMap { case (n, d) => onDay(d, n, "a") } ++
+      base.zipWithIndex.flatMap { case (n, d) => onDay(d + 1, n, "b") }
+    val got = TimeSeries.crossCorrPpm(rows.toDF("k", "ts"),
+        col("k"), col("ts"), maxLag = 2)
+      .collect().map(r => r.getLong(2) ->
+        ((r.getLong(3), if (r.isNullAt(4)) None else Some(r.getLong(4)))))
+      .toMap
+    assert(got(1L) == ((6L, Some(1000000L))), s"got $got")
+    // other lags are weaker; overlap = span intersection (a: 0-5, b: 1-6)
+    assert(got(0L)._1 == 5L && got(0L)._2.get < 1000000L, s"got $got")
+    assert(got(2L)._1 == 5L && got(-2L)._1 == 3L, s"got $got")
+  }
+
   test("mannKendall: a long monotone run clears significance") {
     val rows = (0 until 12).flatMap(d => onDay(d, d + 1))
     val r = TimeSeries.mannKendall(rows.toDF("k", "ts"), col("k"), col("ts"))
