@@ -110,6 +110,92 @@ object OracleSql {
        |ORDER BY rank""".stripMargin
   }
 
+  /** q308's Markov removal-effect attribution: journeys → floored-ppm
+    * transitions → per-chain value iteration UNROLLED (the recursive
+    * term would need GROUP BY — disallowed), one floor per state per
+    * round, exactly the operator's driver solve. */
+  private lazy val q308Sql: String = {
+    val iters = 24
+    val steps = (1 to iters).map { k =>
+      s"""v$k AS MATERIALIZED (
+         |  SELECT v.chain, v.state,
+         |    CASE WHEN v.state IN ('__conv__', '__drop__') THEN v.p
+         |         ELSE COALESCE(nx.np, 0) END AS p
+         |  FROM v${k - 1} v LEFT JOIN (
+         |    SELECT t.chain, t.src AS state,
+         |      CAST(sum(t.p * vv.p) // 1000000 AS BIGINT) AS np
+         |    FROM tr t JOIN v${k - 1} vv
+         |      ON vv.chain = t.chain AND vv.state = t.dst
+         |    GROUP BY 1, 2) nx
+         |    ON nx.chain = v.chain AND nx.state = v.state)""".stripMargin
+    }.mkString(",\n ")
+    s"""WITH e AS (SELECT user_id AS u, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+       |   event_type AS et, event_id AS eid
+       |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+       |    AND event_type IS NOT NULL AND event_id IS NOT NULL),
+       | cv AS (SELECT u, sec AS conv_sec, eid AS conv_id FROM (
+       |   SELECT u, sec, eid,
+       |     row_number() OVER (PARTITION BY u ORDER BY sec, eid) AS r
+       |   FROM e WHERE et = 'purchase') WHERE r = 1),
+       | tch AS (SELECT e.u, e.et,
+       |    cv.conv_sec IS NOT NULL AS converted,
+       |    row_number() OVER (PARTITION BY e.u ORDER BY e.sec, e.eid) AS rn
+       |   FROM e LEFT JOIN cv ON cv.u = e.u
+       |   WHERE e.et <> 'purchase' AND (cv.conv_sec IS NULL
+       |     OR e.sec < cv.conv_sec
+       |     OR (e.sec = cv.conv_sec AND e.eid < cv.conv_id))),
+       | tc AS MATERIALIZED (SELECT * FROM tch WHERE rn <= 50),
+       | mx AS (SELECT u, max(rn) AS mxrn, bool_or(converted) AS conv
+       |   FROM tc GROUP BY 1),
+       | tr0 AS (
+       |   SELECT '__start__' AS src, et AS dst FROM tc WHERE rn = 1
+       |   UNION ALL
+       |   SELECT a.et, b.et FROM tc a JOIN tc b ON b.u = a.u AND b.rn = a.rn + 1
+       |   UNION ALL
+       |   SELECT tc.et, CASE WHEN mx.conv THEN '__conv__' ELSE '__drop__' END
+       |   FROM tc JOIN mx ON mx.u = tc.u AND tc.rn = mx.mxrn
+       |   UNION ALL
+       |   SELECT '__start__', '__conv__' FROM cv
+       |   WHERE cv.u NOT IN (SELECT u FROM tc)),
+       | cnt AS MATERIALIZED (SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+       |   FROM tr0 GROUP BY 1, 2),
+       | ot AS MATERIALIZED (SELECT src, CAST(sum(n) AS BIGINT) AS tot
+       |   FROM cnt GROUP BY 1),
+       | pb AS MATERIALIZED (SELECT c.src, c.dst, (c.n * 1000000) // o.tot AS p
+       |   FROM cnt c JOIN ot o ON o.src = c.src),
+       | ch AS MATERIALIZED (SELECT DISTINCT s AS c FROM (
+       |    SELECT src AS s FROM cnt UNION SELECT dst FROM cnt)
+       |   WHERE s NOT IN ('__start__', '__conv__', '__drop__')),
+       | chains AS MATERIALIZED (
+       |   SELECT '__base__' AS chain UNION ALL SELECT c FROM ch),
+       | tr AS MATERIALIZED (
+       |   SELECT chs.chain, p.src, p.dst, p.p FROM chains chs
+       |     JOIN pb p ON p.src <> chs.chain
+       |   UNION ALL
+       |   SELECT ch.c, ch.c, '__drop__', CAST(1000000 AS BIGINT) FROM ch),
+       | sts AS (SELECT chains.chain, ss.s AS state FROM chains, (
+       |    SELECT '__start__' AS s UNION ALL SELECT '__conv__'
+       |    UNION ALL SELECT '__drop__' UNION ALL SELECT c FROM ch) ss),
+       | v0 AS MATERIALIZED (SELECT chain, state,
+       |    CAST(CASE WHEN state = '__conv__' THEN 1000000 ELSE 0 END
+       |      AS BIGINT) AS p FROM sts),
+       | $steps,
+       | fin AS MATERIALIZED (SELECT chain, p FROM v$iters
+       |   WHERE state = '__start__'),
+       | bse AS (SELECT p FROM fin WHERE chain = '__base__'),
+       | pos AS (SELECT CAST(sum(greatest(bse.p - f.p, 0)) AS BIGINT) AS tot
+       |   FROM fin f, bse WHERE f.chain <> '__base__')
+       |SELECT ch.c AS channel,
+       | COALESCE((SELECT tot FROM ot WHERE ot.src = ch.c), 0) AS n_out,
+       | bse.p AS base_conv_ppm, f.p AS removed_conv_ppm,
+       | bse.p - f.p AS removal_ppm,
+       | CAST(CASE WHEN pos.tot > 0 THEN
+       |   (greatest(bse.p - f.p, 0) * 1000000) // pos.tot END AS BIGINT)
+       |   AS share_ppm
+       |FROM ch JOIN fin f ON f.chain = ch.c CROSS JOIN bse CROSS JOIN pos
+       |ORDER BY channel""".stripMargin
+  }
+
   /** q295's additive Holt–Winters recurrence as a recursive CTE with
     * the seven season lanes as explicit columns. SQL lambdas/recursion
     * cannot bind intermediates, so `l_t` (which feeds its own lane,
@@ -5896,6 +5982,8 @@ object OracleSql {
     "q302_label_prop" -> q302Sql,
 
     "q305_kcenter_coreset" -> q305Sql,
+
+    "q308_markov_attribution" -> q308Sql,
 
     // classical additive decomposition: centered 7-day MA trend (full
     // windows only), slot means of the detrended series, residual

@@ -4387,6 +4387,19 @@ object SparkEntry {
         col("event_type"), col("ts"), maxLag = 3)
       .orderBy("key_a", "key_b", "lag")
 
+  /** Markov removal-effect attribution
+    * ([[ops.Behavior.markovAttribution]]): the fourth standard
+    * multi-touch model (with last-touch q138, linear q248, time-decay
+    * q288) — channels credited by the conversions LOST when their node
+    * is removed from the journey chain, solved by floored-ppm value
+    * iteration on the driver over the configuration-sized transition
+    * table. */
+  private def q308(s: SparkSession, dir: String): DataFrame =
+    Behavior.markovAttribution(Tables.events(s, dir),
+        col("user_id"), col("ts"), col("event_type"), col("event_id"),
+        convType = "purchase")
+      .orderBy("channel")
+
   /** Ordered LISTAGG / STRING_AGG (the SQL:2016 T625 surface): per
     * nation, the top-5 suppliers by account balance concatenated in
     * rank order — `sort_array(collect_list(struct))` + `slice` +
@@ -5391,7 +5404,8 @@ object SparkEntry {
     "q304_jl_recall" -> q304 _,
     "q305_kcenter_coreset" -> q305 _,
     "q306_seasonal_decomp" -> q306 _,
-    "q307_cross_corr" -> q307 _
+    "q307_cross_corr" -> q307 _,
+    "q308_markov_attribution" -> q308 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

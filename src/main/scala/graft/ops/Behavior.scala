@@ -733,4 +733,131 @@ object Behavior {
         col("total_delta"), col("share_ppm"))
       .orderBy(abs(col("delta")).desc, col("segment"))
   }
+
+  /** Markov-chain multi-touch attribution by REMOVAL EFFECT (Anderl,
+    * Becker, v. Wangenheim & Schumann 2016) — the fourth standard model
+    * next to [[lastTouchAttribution]], [[linearAttribution]] and
+    * [[timeDecayAttribution]], and the only one that credits a channel
+    * by what conversions would be LOST without it rather than by
+    * position. Each user's pre-conversion journey becomes a path
+    * `__start__ -> c1 -> ... -> cn -> __conv__/__drop__` (truncated at
+    * the first conversion; first `maxPrefix` touches); transition
+    * probabilities are floored ppm counts. The chain's conversion rate
+    * is solved by `iters` rounds of value iteration with ONE floor per
+    * state per round (`p'(s) = (Σ_t P_ppm(s→t)·p(t)) DIV 1e6`) —
+    * bit-replayable, no linear-algebra library; geometric convergence
+    * makes 24 rounds exact to well below 1 ppm for any chain whose
+    * per-step continuation mass ≤ ~50%. A channel's removal chain
+    * redirects ITS outgoing mass to `__drop__` (paths through it die);
+    * `removal_ppm = base − removed` and shares are the clamped
+    * normalized removals.
+    *
+    * Scale shape: journeys/transitions are two keyed shuffles over the
+    * fact table; the SOLVE runs on the driver over the collected
+    * (src, dst, count) table — configuration-sized by the
+    * `maxChannels` REQUIRE (the bounded-driver-work precedent of
+    * `Dedup.clusterLabels`' union-find and `QualityModel`'s GD), never
+    * row-scaled. Determinism: counts are exact integers, the solve is
+    * a pure function of them.
+    *
+    * Output per channel: `n_out` (journey transitions leaving it),
+    * `base_conv_ppm` (the full chain, same every row),
+    * `removed_conv_ppm`, `removal_ppm`, `share_ppm` (NULL when no
+    * channel has positive removal).
+    */
+  def markovAttribution(
+      events: DataFrame,
+      userCol: Column,
+      tsCol: Column,
+      typeCol: Column,
+      idCol: Column,
+      convType: String,
+      maxPrefix: Int = 50,
+      iters: Int = 24,
+      maxChannels: Int = 50
+  ): DataFrame = {
+    require(maxPrefix >= 1 && iters >= 1 && maxChannels >= 1)
+    val spark = events.sparkSession
+    import spark.implicits._
+    val S = "__start__"; val CONV = "__conv__"; val DROP = "__drop__"
+    val base = events
+      .filter(userCol.isNotNull && tsCol.isNotNull && typeCol.isNotNull &&
+        idCol.isNotNull)
+      .select(userCol.as("user"), unix_timestamp(tsCol).cast("long").as("sec"),
+        typeCol.cast("string").as("et"), idCol.cast("long").as("eid"))
+    val convs = base.filter(col("et") === convType)
+      .groupBy("user")
+      .agg(min(struct(col("sec"), col("eid"))).as("__c"))
+      .select(col("user"), col("__c.sec").as("conv_sec"),
+        col("__c.eid").as("conv_id"))
+    val w = Window.partitionBy("user").orderBy("sec", "eid")
+    val touches = base.filter(col("et") =!= convType)
+      .join(convs, Seq("user"), "left")
+      .filter(col("conv_sec").isNull ||
+        col("sec") < col("conv_sec") ||
+        (col("sec") === col("conv_sec") && col("eid") < col("conv_id")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= maxPrefix)
+      .withColumn("converted", col("conv_sec").isNotNull)
+      .localCheckpoint(true)
+    val wcap = Window.partitionBy("user")
+    val withNext = touches
+      .withColumn("__next", lead(col("et"), 1)
+        .over(Window.partitionBy("user").orderBy("rn")))
+      .withColumn("__maxrn", max(col("rn")).over(wcap))
+    val tFirst = withNext.filter(col("rn") === 1)
+      .select(lit(S).as("src"), col("et").as("dst"))
+    val tMid = withNext.filter(col("__next").isNotNull)
+      .select(col("et").as("src"), col("__next").as("dst"))
+    val tLast = withNext.filter(col("rn") === col("__maxrn"))
+      .select(col("et").as("src"),
+        when(col("converted"), CONV).otherwise(DROP).as("dst"))
+    val tDirect = convs.join(touches.select("user").distinct(),
+        Seq("user"), "left_anti")
+      .select(lit(S).as("src"), lit(CONV).as("dst"))
+    val counts = tFirst.union(tMid).union(tLast).union(tDirect)
+      .groupBy("src", "dst").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val channels = counts.flatMap(t => Seq(t._1, t._2))
+      .filter(s => s != S && s != CONV && s != DROP).distinct.sorted
+    require(channels.size <= maxChannels,
+      s"markovAttribution: ${channels.size} channels exceed maxChannels=" +
+        s"$maxChannels - bucket the channel dimension first")
+    if (channels.isEmpty) {
+      Seq.empty[(String, Long, Long, Long, Long, Option[Long])]
+        .toDF("channel", "n_out", "base_conv_ppm", "removed_conv_ppm",
+          "removal_ppm", "share_ppm")
+    } else {
+      val outTotals = counts.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+      // floored ppm transition rows of the BASE chain
+      val probs = counts.map { case (src, dst, n) =>
+        (src, dst, n * 1000000L / outTotals(src)) }
+      val states = (S +: channels) ++ Seq(CONV, DROP)
+      def solve(removed: Option[String]): Long = {
+        val tr = probs.flatMap { case (src, dst, p) =>
+          if (removed.contains(src)) None else Some((src, dst, p))
+        } ++ removed.map(c => (c, DROP, 1000000L))
+        val bySrc = tr.groupBy(_._1)
+        var p = states.map(s => s -> (if (s == CONV) 1000000L else 0L)).toMap
+        for (_ <- 1 to iters) {
+          p = states.map { s =>
+            if (s == CONV || s == DROP) s -> p(s)
+            else s -> bySrc.get(s).map(_.map { case (_, dst, pr) =>
+              pr * p(dst) }.sum / 1000000L).getOrElse(0L)
+          }.toMap
+        }
+        p(S)
+      }
+      val basePpm = solve(None)
+      val removals = channels.map(c => c -> solve(Some(c)))
+      val posTotal = removals.map { case (_, r) => math.max(basePpm - r, 0L) }.sum
+      removals.toSeq.map { case (c, r) =>
+        val rem = basePpm - r
+        (c, outTotals.getOrElse(c, 0L), basePpm, r, rem,
+          if (posTotal > 0) Some(math.max(rem, 0L) * 1000000L / posTotal)
+          else None)
+      }.toDF("channel", "n_out", "base_conv_ppm", "removed_conv_ppm",
+        "removal_ppm", "share_ppm")
+    }
+  }
 }

@@ -390,4 +390,53 @@ class BehaviorSpec extends SparkTestBase {
       col("seg"), col("b"), col("v")).collect()
     assert(zero.forall(_.isNullAt(5)))
   }
+
+  test("markovAttribution: hand chain — removal effects and shares exact") {
+    // u1: a -> buy; u2: a -> b -> buy; u3: b -> (no buy)
+    // probs ppm: S: a 666666, b 333333; a: conv 500000, b 500000;
+    // b: conv 500000, drop 500000 -> base p(S) = 666666.
+    // remove a: p(S) = 166666 -> removal 500000; remove b: 333333 ->
+    // removal 333333; shares 600000 / 399999 (floors)
+    def t(s: Int) = new Timestamp(1704067200000L + s * 1000L)
+    val rows = Seq(
+      (1L, t(1), "a", 10L), (1L, t(2), "buy", 11L),
+      (2L, t(1), "a", 20L), (2L, t(2), "b", 21L), (2L, t(3), "buy", 22L),
+      (3L, t(1), "b", 30L))
+      .toDF("u", "ts", "et", "eid")
+    val got = Behavior.markovAttribution(rows, col("u"), col("ts"),
+        col("et"), col("eid"), convType = "buy")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) None else Some(r.getLong(5))))).toMap
+    assert(got("a") == ((2L, 666666L, 166666L, 500000L, Some(600000L))),
+      s"got $got")
+    assert(got("b") == ((2L, 666666L, 333333L, 333333L, Some(399999L))),
+      s"got $got")
+  }
+
+  test("markovAttribution: post-conversion events ignored; direct conversions count") {
+    // u1 converts FIRST then touches a (ignored -> a never in a journey);
+    // u2: b -> buy. Direct S->conv arm from u1.
+    def t(s: Int) = new Timestamp(1704067200000L + s * 1000L)
+    val rows = Seq(
+      (1L, t(1), "buy", 10L), (1L, t(2), "a", 11L),
+      (2L, t(1), "b", 20L), (2L, t(2), "buy", 21L))
+      .toDF("u", "ts", "et", "eid")
+    val got = Behavior.markovAttribution(rows, col("u"), col("ts"),
+        col("et"), col("eid"), convType = "buy")
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    // S: conv 500000 (u1 direct), b 500000; b -> conv 1e6.
+    // base = 1e6; remove b: 500000 -> removal 500000, all of it b's
+    assert(got == Map("b" -> 500000L), s"got $got")
+  }
+
+  test("markovAttribution: no channels at all yields an empty, schema-stable frame") {
+    def t(s: Int) = new Timestamp(1704067200000L + s * 1000L)
+    val rows = Seq((1L, t(1), "buy", 10L)).toDF("u", "ts", "et", "eid")
+    val got = Behavior.markovAttribution(rows, col("u"), col("ts"),
+      col("et"), col("eid"), convType = "buy")
+    assert(got.count() == 0L)
+    assert(got.columns.toSeq == Seq("channel", "n_out", "base_conv_ppm",
+      "removed_conv_ppm", "removal_ppm", "share_ppm"))
+  }
 }
