@@ -5985,6 +5985,53 @@ object OracleSql {
 
     "q308_markov_attribution" -> q308Sql,
 
+    // RAKE: stopword-free runs, deg/freq word scores (one floor),
+    // phrase = sum of member scores; stopword list generated from
+    // TextOps.stopwords so the engines cannot disagree
+    "q309_rake_keyphrases" -> {
+      val stops = graft.ext.TextOps.stopwords.flatMap(_._2).distinct
+        .map(w => s"'${w.replace("'", "''")}'").mkString(", ")
+      s"""WITH tk AS (SELECT d.doc_id AS id, CAST(t.i AS BIGINT) AS pos,
+         |   d.l[t.i] AS w
+         |  FROM (SELECT doc_id,
+         |     list_filter(string_split(text, ' '), x -> length(x) > 0) AS l
+         |    FROM documents WHERE text IS NOT NULL) d,
+         |  unnest(generate_series(1, len(d.l))) AS t(i)),
+         | st AS (SELECT id, pos, w, w IN ($stops) AS stop FROM tk),
+         | seg AS (SELECT id, pos, w, stop,
+         |   sum(CASE WHEN stop THEN 1 ELSE 0 END)
+         |     OVER (PARTITION BY id ORDER BY pos) AS pid FROM st),
+         | ns AS (SELECT id, pid, pos, w FROM seg WHERE NOT stop),
+         | wl AS (SELECT id, pid, pos, w,
+         |   count(*) OVER (PARTITION BY id, pid) AS plen FROM ns),
+         | ws AS (SELECT w, CAST(count(*) AS BIGINT) AS freq,
+         |   CAST(sum(plen) AS BIGINT) AS deg FROM wl GROUP BY 1),
+         | wsc AS (SELECT w, (deg * 1000) // freq AS wscore FROM ws),
+         | ph AS (SELECT wl.id, wl.pid,
+         |    string_agg(wl.w, ' ' ORDER BY wl.pos) AS phrase,
+         |    CAST(count(*) AS BIGINT) AS n_words,
+         |    CAST(sum(wsc.wscore) AS BIGINT) AS score_milli
+         |   FROM wl JOIN wsc ON wsc.w = wl.w GROUP BY 1, 2)
+         |SELECT phrase, max(n_words) AS n_words,
+         | CAST(count(*) AS BIGINT) AS n_occurrences,
+         | max(score_milli) AS score_milli
+         |FROM ph GROUP BY 1
+         |ORDER BY score_milli DESC, phrase LIMIT 50""".stripMargin
+    },
+
+    // decayed popularity: bit-shift halvings off the corpus max day
+    "q310_decayed_popularity" ->
+      """WITH d AS (SELECT event_type AS key,
+        |   CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+        | a AS (SELECT max(day) AS maxd FROM d)
+        |SELECT key AS event_type, CAST(count(*) AS BIGINT) AS n_events,
+        | CAST(min(a.maxd - d.day) AS BIGINT) AS last_day_age,
+        | CAST(sum(1000000 // (CAST(1 AS BIGINT)
+        |   << CAST(least((a.maxd - d.day) // 7, 19) AS INT))) AS BIGINT)
+        |   AS decayed_ppm
+        |FROM d, a GROUP BY 1 ORDER BY event_type""".stripMargin,
+
     // classical additive decomposition: centered 7-day MA trend (full
     // windows only), slot means of the detrended series, residual
     "q306_seasonal_decomp" ->

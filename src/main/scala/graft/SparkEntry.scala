@@ -4400,6 +4400,24 @@ object SparkEntry {
         convType = "purchase")
       .orderBy("channel")
 
+  /** RAKE keyphrase extraction ([[ext.TextOps.rakeKeyphrases]]): the
+    * classic unsupervised keyphrase ranker — stopword-free runs scored
+    * by Σ deg(w)/freq(w) in exact milli — top-50 corpus keyphrases.
+    * Completes the text-analysis family next to collocations (q152),
+    * distinctive tokens (q190) and TF-IDF (q52). */
+  private def q309(s: SparkSession, dir: String): DataFrame =
+    TextOps.rakeKeyphrases(Tables.documents(s, dir), topK = 50)
+
+  /** Exponentially-decayed popularity
+    * ([[ops.TimeSeries.decayedPopularity]]): per event type, the
+    * bit-shift-halved trending score anchored at the corpus' latest
+    * day — recency-weighted rank without a hard window. */
+  private def q310(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.decayedPopularity(Tables.events(s, dir),
+        col("event_type"), col("ts"), halfLifeDays = 7)
+      .withColumnRenamed("key", "event_type")
+      .orderBy("event_type")
+
   /** Ordered LISTAGG / STRING_AGG (the SQL:2016 T625 surface): per
     * nation, the top-5 suppliers by account balance concatenated in
     * rank order — `sort_array(collect_list(struct))` + `slice` +
@@ -5405,7 +5423,9 @@ object SparkEntry {
     "q305_kcenter_coreset" -> q305 _,
     "q306_seasonal_decomp" -> q306 _,
     "q307_cross_corr" -> q307 _,
-    "q308_markov_attribution" -> q308 _
+    "q308_markov_attribution" -> q308 _,
+    "q309_rake_keyphrases" -> q309 _,
+    "q310_decayed_popularity" -> q310 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

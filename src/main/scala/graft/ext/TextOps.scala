@@ -1149,4 +1149,64 @@ object TextOps {
           expr("__t_q DIV __t_docs - (__t_q - __sum_q) DIV (__t_docs - n_docs)"))
           .as("lift_ppm"))
   }
+
+  /** RAKE keyphrase extraction (Rose, Engel, Cramer & Cowley 2010):
+    * candidate phrases are maximal stopword-free token runs; each
+    * word's score is its co-occurrence degree over its frequency
+    * (`deg(w) = Σ |phrase|` over occurrences, favoring words that live
+    * in LONG phrases), and a phrase scores the sum of its members'
+    * scores — the classic unsupervised keyphrase ranker. All integer
+    * milli arithmetic (one floor per word score); identical phrase
+    * texts collapse with an occurrence count; top-k by
+    * (score desc, phrase) is fully deterministic.
+    *
+    * The stopword boundary list defaults to the union of the
+    * [[stopwords]] language lists (tiny by design — the same
+    * oracle-shared tables langId uses).
+    *
+    * Scale shape: one posexplode (linear), a per-doc running-count
+    * window for phrase ids (bounded by document length), then three
+    * hash aggregates — (doc, phrase), word, phrase-text — all keyed,
+    * nothing pairwise; the top-k is a single bounded sort.
+    */
+  def rakeKeyphrases(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      topK: Int = 50,
+      stopwordList: Seq[String] = stopwords.flatMap(_._2).distinct
+  ): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1: $topK")
+    val toks = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        posexplode(filter(tokens(col(textCol)), t => length(t) > 0))
+          .as(Seq("pos", "w")))
+      .withColumn("__stop", col("w").isInCollection(stopwordList))
+    val wSeg = Window.partitionBy("id").orderBy("pos")
+    val seg = toks
+      .withColumn("pid",
+        sum(when(col("__stop"), 1L).otherwise(0L)).over(wSeg))
+      .filter(!col("__stop"))
+      .localCheckpoint(true)
+    val wLen = Window.partitionBy("id", "pid")
+    val withLen = seg.withColumn("plen", count(lit(1)).over(wLen))
+    val wordScores = withLen.groupBy("w")
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+      .withColumn("wscore_milli", expr("(deg * 1000) DIV freq"))
+    val phrases = withLen
+      .join(wordScores.select(col("w"), col("wscore_milli")), Seq("w"))
+      .groupBy("id", "pid")
+      .agg(concat_ws(" ", expr(
+          "transform(array_sort(collect_list(named_struct" +
+            "('pos', pos, 'w', w))), x -> x.w)")).as("phrase"),
+        count(lit(1)).as("n_words"),
+        sum(col("wscore_milli")).as("score_milli"))
+    phrases.groupBy("phrase")
+      .agg(max(col("n_words")).as("n_words"),
+        count(lit(1)).as("n_occurrences"),
+        max(col("score_milli")).as("score_milli"))
+      .orderBy(col("score_milli").desc, col("phrase"))
+      .limit(topK)
+  }
 }

@@ -1319,6 +1319,43 @@ object TimeSeries {
         col("n").as("n_overlap"), col("r2_signed_ppm"))
   }
 
+  /** Exponentially-decayed popularity — "what is trending NOW": each
+    * event contributes `1e6 DIV 2^min(age DIV halfLifeDays, 19)` ppm of
+    * weight relative to the corpus' LATEST day (the
+    * `Behavior.timeDecayAttribution` bit-shift convention: halvings,
+    * never `pow`, capped so weight never floors to zero), so yesterday
+    * outweighs last month without a hard cutoff window. Output per
+    * key: `n_events`, `last_day_age` (freshness), `decayed_ppm` — the
+    * ranking signal.
+    *
+    * Scale shape: ONE hash aggregate keyed on the key after a map-side
+    * weight projection; the one-row max-day anchor is broadcast (the
+    * q178 recency-anchor shape).
+    */
+  def decayedPopularity(
+      df: DataFrame,
+      keyCol: Column,
+      tsCol: Column,
+      halfLifeDays: Int = 7
+  ): DataFrame = {
+    require(halfLifeDays >= 1, s"halfLifeDays must be >= 1: $halfLifeDays")
+    val days = df.filter(keyCol.isNotNull && tsCol.isNotNull)
+      .select(keyCol.as("key"),
+        unix_timestamp(tsCol).cast("long").as("__ep"))
+      .withColumn("day", expr("__ep DIV 86400"))
+      .drop("__ep")
+    val anchor = days.agg(max(col("day")).as("__maxd"))
+    days.crossJoin(broadcast(anchor))
+      .withColumn("__age", col("__maxd") - col("day"))
+      .withColumn("__w", expr(
+        s"CAST(1000000 DIV shiftleft(CAST(1 AS BIGINT)," +
+          s" CAST(least(__age DIV $halfLifeDays, 19) AS INT)) AS BIGINT)"))
+      .groupBy("key")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("__age")).as("last_day_age"),
+        sum(col("__w")).as("decayed_ppm"))
+  }
+
   /** Mann–Kendall trend test (Mann 1945; Kendall 1975) on the
     * gap-filled daily count series — the standard nonparametric "is
     * this metric trending" monitor (no distribution or linearity

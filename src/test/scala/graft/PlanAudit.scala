@@ -35,6 +35,7 @@ object PlanAudit {
     "q167_ann_recall", // composes q37's AND q41's broadcast scans (eval legs)
     "q304_jl_recall", // q167's harness: both recall legs are q37 broadcast scans
     "q307_cross_corr", // (2L+1)-row lag-grid broadcast onto the day series
+    "q310_decayed_popularity", // ONE-row max-day anchor broadcast (q178 shape)
     "q175_source_drift", // keys × (V+1) grid from two vocab-bounded broadcasts
     "q177_idle_rich_customers", // ONE-row threshold broadcast (scalar-subquery shape)
     "q178_rfm_segments", // ONE-row global-max recency anchor broadcast

@@ -597,4 +597,29 @@ class TextOpsSpec extends SparkTestBase {
       col("source"), col("text")).collect().head
     assert(solo.isNullAt(5) && solo.isNullAt(6))
   }
+
+  test("rakeKeyphrases: hand-scored deg/freq phrases, identical phrases collapse") {
+    // stopword "of" splits runs. freq: red 1, green 1, apple 4;
+    // deg: red 2, green 2, apple 6 -> wscores 2000/2000/1500;
+    // phrases: "red apple" 3500, "green apple" 3500, "apple" x2 @1500
+    val docs = Seq(
+      (1L, "red apple of green apple"),
+      (2L, "apple of apple")).toDF("doc_id", "text")
+    val got = TextOps.rakeKeyphrases(docs, topK = 10)
+      .as[(String, Long, Long, Long)].collect().toList
+    assert(got == List(
+      ("green apple", 2L, 1L, 3500L),
+      ("red apple", 2L, 1L, 3500L),
+      ("apple", 1L, 2L, 1500L)), s"got $got")
+  }
+
+  test("rakeKeyphrases: double spaces ignored, all-stopword doc contributes nothing") {
+    val docs = Seq(
+      (1L, "the of and"), (2L, "big  data")).toDF("doc_id", "text")
+    val got = TextOps.rakeKeyphrases(docs, topK = 10)
+      .as[(String, Long, Long, Long)].collect().toList
+    // "big data" is one phrase (the empty token vanishes): deg 2 each,
+    // freq 1 each -> phrase score 4000
+    assert(got == List(("big data", 2L, 1L, 4000L)), s"got $got")
+  }
 }

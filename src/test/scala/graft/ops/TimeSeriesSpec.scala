@@ -559,6 +559,28 @@ class TimeSeriesSpec extends SparkTestBase {
     assert(got(2L)._1 == 5L && got(-2L)._1 == 3L, s"got $got")
   }
 
+  test("decayedPopularity: bit-shift halvings off the corpus max day") {
+    // anchor = day 10. key a ages [10,10,1,0] -> halvings [1,1,0,0]
+    // -> 500000+500000+1e6+1e6 = 3e6; key b age 7 -> one halving
+    val rows = onDay(0, 2) ++ onDay(9, 1) ++ onDay(10, 1) ++
+      onDay(3, 1, "b")
+    val m = TimeSeries.decayedPopularity(rows.toDF("k", "ts"),
+        col("k"), col("ts"), halfLifeDays = 7)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(m("a") == ((4L, 0L, 3000000L)), s"got $m")
+    assert(m("b") == ((1L, 7L, 500000L)), s"got $m")
+  }
+
+  test("decayedPopularity: the halving cap keeps ancient events above zero weight") {
+    val rows = onDay(0, 1) ++ onDay(1000, 1) // age 1000 -> 142 halvings, capped 19
+    val m = TimeSeries.decayedPopularity(rows.toDF("k", "ts"),
+        col("k"), col("ts"), halfLifeDays = 7)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(m("a") == ((2L, 0L, 1000000L + 1000000L / (1L << 19))), s"got $m")
+  }
+
   test("mannKendall: a long monotone run clears significance") {
     val rows = (0 until 12).flatMap(d => onDay(d, d + 1))
     val r = TimeSeries.mannKendall(rows.toDF("k", "ts"), col("k"), col("ts"))
