@@ -6019,6 +6019,38 @@ object OracleSql {
          |ORDER BY score_milli DESC, phrase LIMIT 50""".stripMargin
     },
 
+    // Nelson-Aalen: KM's risk sets verbatim, one floor per hazard step,
+    // plain window cumsum (no recursion - addition is order-free)
+    "q311_nelson_aalen" ->
+      """WITH b AS (SELECT event_type AS key,
+        |   CAST(user_id AS VARCHAR) AS unit,
+        |   CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+        |    AND ts IS NOT NULL),
+        | sp AS (SELECT key, unit, min(day) AS d0, max(day) AS d1
+        |  FROM b GROUP BY 1, 2),
+        | mx AS (SELECT max(day) AS max_day FROM b),
+        | cl AS (SELECT key, d1 - d0 AS dur,
+        |   CASE WHEN d1 + 7 <= max_day THEN 1 ELSE 0 END AS death
+        |  FROM sp CROSS JOIN mx),
+        | ce AS (SELECT key, dur, CAST(count(*) AS BIGINT) AS n_all,
+        |   CAST(sum(death) AS BIGINT) AS n_death
+        |  FROM cl GROUP BY 1, 2),
+        | st AS (SELECT key, dur, n_death,
+        |   CAST(sum(n_all) OVER (PARTITION BY key ORDER BY dur DESC
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |     AS nr
+        |  FROM ce),
+        | h AS (SELECT key, dur, nr, n_death,
+        |   (n_death * 1000000) // nr AS hz FROM st WHERE n_death > 0)
+        |SELECT key AS event_type, dur AS t_day, nr AS n_risk,
+        | n_death AS n_deaths, CAST(hz AS BIGINT) AS hazard_step_ppm,
+        | CAST(sum(hz) OVER (PARTITION BY key ORDER BY dur
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |   AS cum_hazard_ppm
+        |FROM h ORDER BY event_type, t_day""".stripMargin,
+
     // decayed popularity: bit-shift halvings off the corpus max day
     "q310_decayed_popularity" ->
       """WITH d AS (SELECT event_type AS key,

@@ -3910,6 +3910,18 @@ object SparkEntry {
       .withColumnRenamed("key", "event_type")
       .orderBy("event_type", "t_day")
 
+  /** Nelson–Aalen cumulative hazard ([[ops.Stats.nelsonAalen]]): q274's
+    * survival curve re-estimated additively on the IDENTICAL risk sets
+    * — the hazard-rate readout (one floor per step, window cumsum). */
+  private def q311(s: SparkSession, dir: String): DataFrame =
+    ops.Stats.nelsonAalen(Tables.events(s, dir),
+        keyCol = col("event_type"),
+        unitCol = col("user_id"),
+        tsCol = col("ts"),
+        censorDays = 7)
+      .withColumnRenamed("key", "event_type")
+      .orderBy("event_type", "t_day")
+
   /** CUPED variance-reduced readout ([[ops.Stats.cupedReadout]]):
     * q250's experiment re-read with each user's FIRST-half-of-corpus
     * spend (cents) as the pre-experiment covariate for their
@@ -5425,7 +5437,8 @@ object SparkEntry {
     "q307_cross_corr" -> q307 _,
     "q308_markov_attribution" -> q308 _,
     "q309_rake_keyphrases" -> q309 _,
-    "q310_decayed_popularity" -> q310 _
+    "q310_decayed_popularity" -> q310 _,
+    "q311_nelson_aalen" -> q311 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

@@ -439,12 +439,18 @@ object Stats {
     * corpus) → one map-side scan. Three narrow shuffles, nothing
     * proportional to unit count past the first.
     */
-  def kaplanMeier(
+  /** Shared survival front half: unit lifespans → (key, dur) duration
+    * cells with death/censor marks → at-risk counts from above; the
+    * death-step rows `(key, dur, nr, n_death)` both estimators
+    * ([[kaplanMeier]], [[nelsonAalen]]) consume — ONE definition so
+    * their risk sets can never drift.
+    */
+  private def survivalSteps(
       df: DataFrame,
       keyCol: Column,
       unitCol: Column,
       tsCol: Column,
-      censorDays: Int = 7
+      censorDays: Int
   ): DataFrame = {
     require(censorDays >= 0, "censor window must be nonnegative")
     val base = df
@@ -463,9 +469,19 @@ object Stats {
       .agg(count(lit(1)).as("n_all"), sum(col("death")).as("n_death"))
     val fromAbove = Window.partitionBy(col("key")).orderBy(col("dur").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val steps = cells
+    cells
       .withColumn("nr", sum(col("n_all")).over(fromAbove))
       .filter(col("n_death") > 0)
+  }
+
+  def kaplanMeier(
+      df: DataFrame,
+      keyCol: Column,
+      unitCol: Column,
+      tsCol: Column,
+      censorDays: Int = 7
+  ): DataFrame = {
+    val steps = survivalSteps(df, keyCol, unitCol, tsCol, censorDays)
       .groupBy("key")
       .agg(sort_array(collect_list(struct(
         col("dur").as("t"), col("nr"), col("n_death").as("d")))).as("steps"))
@@ -484,6 +500,39 @@ object Stats {
           |  acc -> acc.out)""".stripMargin)).as("st"))
       .select(col("key"), col("st.t").as("t_day"), col("st.nr").as("n_risk"),
         col("st.d").as("n_deaths"), col("st.s").as("survival_ppm"))
+      .orderBy("key", "t_day")
+  }
+
+  /** Nelson–Aalen cumulative hazard (Nelson 1972; Aalen 1978) —
+    * [[kaplanMeier]]'s additive sibling on the IDENTICAL risk sets
+    * ([[survivalSteps]]): `Ĥ(t) = Σ_{t_i ≤ t} d_i/n_i`, the estimator
+    * of choice when hazard RATES are compared or fed downstream
+    * (KM multiplies survival, NA adds hazard — near ties they differ
+    * exactly where heavy per-step death fractions make −log S a bad
+    * hazard proxy). Each step floors once (`(d·1e6) DIV nr`); the
+    * cumulative lane is a plain running SUM of the floored steps —
+    * order-independent, so it rides a window cumsum, no HOF scan.
+    *
+    * Output per death step: `t_day`, `n_risk`, `n_deaths`,
+    * `hazard_step_ppm`, `cum_hazard_ppm`. Scale: identical to KM —
+    * two keyed aggregates + one key-partitioned window over the
+    * duration-bounded step rows.
+    */
+  def nelsonAalen(
+      df: DataFrame,
+      keyCol: Column,
+      unitCol: Column,
+      tsCol: Column,
+      censorDays: Int = 7
+  ): DataFrame = {
+    val cum = Window.partitionBy(col("key")).orderBy(col("dur"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    survivalSteps(df, keyCol, unitCol, tsCol, censorDays)
+      .withColumn("hazard_step_ppm", expr("(n_death * 1000000) DIV nr"))
+      .withColumn("cum_hazard_ppm", sum(col("hazard_step_ppm")).over(cum))
+      .select(col("key"), col("dur").as("t_day"), col("nr").as("n_risk"),
+        col("n_death").as("n_deaths"), col("hazard_step_ppm"),
+        col("cum_hazard_ppm"))
       .orderBy("key", "t_day")
   }
 

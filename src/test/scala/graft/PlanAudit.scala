@@ -56,6 +56,7 @@ object PlanAudit {
     "q272_permutation_test", // ONE-row observed-statistic broadcast onto b perm rows
     "q273_poisson_bootstrap", // ONE-row observed-mean broadcast onto the CI row
     "q274_kaplan_meier", // ONE-row corpus-max-day broadcast onto unit spans
+    "q311_nelson_aalen", // same survivalSteps front as q274, same anchor
     "q275_cuped", // ONE-row corpus-midpoint-day broadcast onto the event scan
     "q278_conformal_interval", // keys × ONE-row max-day anchor (q247's scored-grid class)
     "q280_kmv_rollup", // ONE-row grand-total sketch × ONE-row row-count

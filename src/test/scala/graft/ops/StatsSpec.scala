@@ -980,6 +980,30 @@ class StatsSpec extends SparkTestBase {
     def toMap2: Map[A, (B, C, D)] = rows.map(r => r._1 -> ((r._2, r._3, r._4))).toMap
   }
 
+  test("nelsonAalen: KM's risk sets, additive floored hazard, window cumsum") {
+    import org.apache.spark.sql.functions.col
+    import java.sql.Timestamp
+    def ts(day: Long): Timestamp = new Timestamp(day * 86400000L)
+    // the kaplanMeier fixture verbatim: steps t=2 (d=2,nr=5),
+    // t=5 (d=1,nr=3), t=10 (d=1,nr=1)
+    // hazards: 400000, 333333, 1000000; cum: 400000, 733333, 1733333
+    val rows =
+      Seq(("a", "u1", 0L), ("a", "u1", 2L), ("a", "u2", 0L), ("a", "u2", 2L),
+        ("a", "u3", 10L), ("a", "u3", 15L),
+        ("a", "u4", 90L), ("a", "u4", 97L),
+        ("a", "u5", 50L), ("a", "u5", 60L),
+        ("b", "w1", 100L))
+    val df = rows.map { case (k, u, d) => (k, u, ts(d)) }.toDF("k", "u", "t")
+    val out = Stats.nelsonAalen(df, col("k"), col("u"), col("t"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out.size == 3, s"steps: ${out.keys}")
+    assert(out(("a", 2L)) == ((5L, 2L, 400000L, 400000L)), s"got $out")
+    assert(out(("a", 5L)) == ((3L, 1L, 333333L, 733333L)))
+    assert(out(("a", 10L)) == ((1L, 1L, 1000000L, 1733333L)))
+    assert(!out.keys.exists(_._1 == "b"), "fully-censored key emits no steps")
+  }
+
   test("anovaF: hand case — F=8 exactly; zero within-variance reports NULL F") {
     // key v: groups {1,3} and {5,7}: between=16, within=4,
     // F_milli = (16*2*1000) DIV 4 = 8000, eta2 = 16e6 DIV 20 = 800000.
