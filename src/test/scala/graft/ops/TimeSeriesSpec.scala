@@ -581,6 +581,48 @@ class TimeSeriesSpec extends SparkTestBase {
     assert(m("a") == ((2L, 0L, 1000000L + 1000000L / (1L << 19))), s"got $m")
   }
 
+  test("property: mannKendall is antisymmetric under time reversal (S flips, var18 holds)") {
+    val counts = Seq(4, 1, 7, 2, 9, 3, 5)
+    val fwd = counts.zipWithIndex.flatMap { case (n, d) => onDay(d, n) }
+    val rev = counts.reverse.zipWithIndex.flatMap { case (n, d) => onDay(d, n) }
+    def run(rows: Seq[(String, Timestamp)]) =
+      TimeSeries.mannKendall(rows.toDF("k", "ts"), col("k"), col("ts"))
+        .collect().map(r => (r.getLong(2), r.getLong(3))).head
+    val (sF, vF) = run(fwd); val (sR, vR) = run(rev)
+    assert(sF == -sR && vF == vR, s"fwd ($sF,$vF) rev ($sR,$vR)")
+  }
+
+  test("property: acfPpm is invariant to adding a constant to every day's count") {
+    val counts = Seq(2, 5, 1, 6, 3, 4)
+    def run(extra: Int) = {
+      val rows = counts.zipWithIndex.flatMap { case (n, d) => onDay(d, n + extra) }
+      TimeSeries.acfPpm(rows.toDF("k", "ts"), col("k"), col("ts"), maxLag = 3)
+        .collect().map(r => r.getInt(1) ->
+          (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    }
+    // c_t = n*y_t - S is exactly shift-invariant: +10 everywhere, same ACF
+    assert(run(0) == run(10))
+  }
+
+  test("property: crossCorrPpm mirrors under key swap — r2(a,b,l) = r2 at the overlap of (b,a,-l)") {
+    // keys chosen so swapping the SERIES (not the names) flips the lag:
+    // attach series X to key a / Y to key b, then X to b / Y to a —
+    // pair ordering stays (a, b), so the correlation must appear at -l
+    val x = Seq(1, 2, 9, 2, 1, 5); val y = Seq(3, 1, 4, 8, 2, 2)
+    def rows(first: Seq[Int], second: Seq[Int]) =
+      first.zipWithIndex.flatMap { case (n, d) => onDay(d, n, "a") } ++
+        second.zipWithIndex.flatMap { case (n, d) => onDay(d, n, "b") }
+    def run(first: Seq[Int], second: Seq[Int]) =
+      TimeSeries.crossCorrPpm(rows(first, second).toDF("k", "ts"),
+          col("k"), col("ts"), maxLag = 2)
+        .collect().map(r => r.getLong(2) ->
+          (if (r.isNullAt(4)) None else Some(r.getLong(4)))).toMap
+    val ab = run(x, y); val ba = run(y, x)
+    (-2L to 2L).foreach { l =>
+      assert(ab(l) == ba(-l), s"lag $l: ${ab(l)} vs ${ba(-l)}")
+    }
+  }
+
   test("mannKendall: a long monotone run clears significance") {
     val rows = (0 until 12).flatMap(d => onDay(d, d + 1))
     val r = TimeSeries.mannKendall(rows.toDF("k", "ts"), col("k"), col("ts"))
