@@ -73,6 +73,9 @@ object ScalingBench {
     Q("q293_kcore", "documents"),
     Q("q300_dup_ngram_rate", "documents"),
     Q("q302_label_prop", "documents"),
+    Q("q309_rake_keyphrases", "documents"),
+    Q("q308_markov_attribution", "events"),
+    Q("q305_kcenter_coreset", "embeddings"),
     Q("q37_cosine_topk", "embeddings", gated = false),
     Q("q38_embed_neardup", "embeddings", gated = false))
 
@@ -91,6 +94,10 @@ object ScalingBench {
     Q("q293_kcore", "documents"),
     Q("q300_dup_ngram_rate", "documents"),
     Q("q302_label_prop", "documents"),
+    Q("q309_rake_keyphrases", "documents"),
+    // q308 (events-driven) is fixture-gated only: the synthetic
+    // corpora replicate documents/embeddings, events ships verbatim
+    Q("q305_kcenter_coreset", "embeddings"),
     Q("q141_ann_ivf_kmeans", "embeddings"),
     Q("q197_ann_pq_adc", "embeddings"),
     Q("q198_ann_ivf_pq", "embeddings"),
@@ -229,7 +236,8 @@ object ScalingBench {
       (for (sf <- Sfs; t <- FixtureQueries.map(_.table).distinct)
         yield (sf, t) -> rowsOf(s"/root/testdata/sf$sf", t)).toMap
     val synthRows: Map[(String, String), Long] =
-      (for (d <- Seq(BaseDir, x4, x8, x16); t <- Seq("documents", "embeddings"))
+      (for (d <- Seq(BaseDir, x4, x8, x16);
+            t <- Seq("documents", "embeddings", "events"))
         yield (d, t) -> rowsOf(d, t)).toMap
     spark.stop()
 
