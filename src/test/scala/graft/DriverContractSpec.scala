@@ -56,4 +56,31 @@ class DriverContractSpec extends SparkTestBase {
         s"$name oracle contains tab/CR control characters")
     }
   }
+
+  test("round-16 composition queries hold their structural invariants on real data") {
+    // the query-level-only entries (no dedicated operator spec) pinned
+    // beyond the oracle: invariants that must hold at ANY scale factor
+    val dir = "/root/testdata/sf0.001"
+    // q301 LISTAGG: at most 5 pipe-joined names, no empty segments
+    SparkEntry.queries("q301_listagg")(spark, dir).collect().foreach { r =>
+      val parts = r.getString(2).split('|')
+      assert(parts.length >= 1 && parts.length <= 5 &&
+        parts.forall(_.nonEmpty), s"listagg row $r")
+      assert(parts.length <= r.getLong(1), "top-5 cannot exceed group size")
+    }
+    // q303 fertility: BPE splits every word into >= 1 subword, so
+    // fertility >= 1000 milli; chars-per-token positive when defined
+    SparkEntry.queries("q303_tokenizer_fertility")(spark, dir)
+      .collect().foreach { r =>
+        if (!r.isNullAt(5)) assert(r.getLong(5) >= 1000L, s"fertility $r")
+        if (!r.isNullAt(6)) assert(r.getLong(6) > 0L, s"chars/token $r")
+      }
+    // q310 decayed popularity: weight per event is in (0, 1e6], so the
+    // decayed mass is bounded by n_events * 1e6 and strictly positive
+    SparkEntry.queries("q310_decayed_popularity")(spark, dir)
+      .collect().foreach { r =>
+        val (n, age, d) = (r.getLong(1), r.getLong(2), r.getLong(3))
+        assert(d > 0L && d <= n * 1000000L && age >= 0L, s"decayed row $r")
+      }
+  }
 }
