@@ -232,7 +232,8 @@ object OracleSql {
        |   CAST(count(*) AS BIGINT) AS y
        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
        |  GROUP BY 1, 2),
-       | sp AS (SELECT key, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+       | sp AS (SELECT key, min(day) AS d0, max(day) AS d1 FROM daily
+        |  GROUP BY 1 HAVING max(day) - min(day) < 100000),
        | g AS (SELECT sp.key, gs.day, CAST(gs.day - sp.d0 + 1 AS BIGINT) AS i
        |  FROM sp, unnest(generate_series(sp.d0, sp.d1)) AS gs(day)),
        | se AS (SELECT g.key, g.i, coalesce(d.y, 0) AS y
@@ -1047,7 +1048,8 @@ object OracleSql {
     "q70_gap_fill" ->
       """WITH c AS (SELECT user_id, CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS day_sec,
         |   count(*) AS n FROM events GROUP BY 1, 2),
-        | s AS (SELECT user_id, min(day_sec) AS lo, max(day_sec) AS hi FROM c GROUP BY 1),
+        | s AS (SELECT user_id, min(day_sec) AS lo, max(day_sec) AS hi FROM c
+        |   GROUP BY 1 HAVING max(day_sec) - min(day_sec) < CAST(100000 AS BIGINT) * 86400),
         | g AS (SELECT user_id, unnest(generate_series(lo, hi, 86400)) AS day_sec FROM s)
         |SELECT g.user_id AS user_id, g.day_sec AS day_sec,
         | CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
@@ -2044,7 +2046,8 @@ object OracleSql {
         |   CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS day_sec,
         |   count(*) AS n FROM events GROUP BY 1, 2),
         | sp AS (SELECT event_type, min(day_sec) AS lo, max(day_sec) AS hi
-        |   FROM c GROUP BY 1),
+        |   FROM c GROUP BY 1
+        |   HAVING max(day_sec) - min(day_sec) < CAST(100000 AS BIGINT) * 86400),
         | g AS (SELECT event_type, unnest(generate_series(lo, hi, 86400)) AS day_sec
         |   FROM sp),
         | d AS (SELECT g.event_type, g.day_sec,
@@ -5811,7 +5814,8 @@ object OracleSql {
         |   CAST(count(*) AS BIGINT) AS y
         |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
         |  GROUP BY 1, 2),
-        | sp AS (SELECT key, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+        | sp AS (SELECT key, min(day) AS d0, max(day) AS d1 FROM daily
+        |  GROUP BY 1 HAVING max(day) - min(day) < 100000),
         | g AS (SELECT sp.key, gs.day, CAST(gs.day - sp.d0 + 1 AS BIGINT) AS i
         |  FROM sp, unnest(generate_series(sp.d0, sp.d1)) AS gs(day)),
         | se AS (SELECT g.key, g.i, coalesce(d.y, 0) AS y
@@ -5845,7 +5849,8 @@ object OracleSql {
         |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
         |    AND value > 250
         |  GROUP BY 1, 2),
-        | sp AS (SELECT key, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+        | sp AS (SELECT key, min(day) AS d0, max(day) AS d1 FROM daily
+        |  GROUP BY 1 HAVING max(day) - min(day) < 100000),
         | g AS (SELECT sp.key, gs.day, CAST(gs.day - sp.d0 + 1 AS BIGINT) AS i
         |  FROM sp, unnest(generate_series(sp.d0, sp.d1)) AS gs(day)),
         | se AS (SELECT g.key, g.i, coalesce(d.y, 0) AS y
@@ -5892,7 +5897,8 @@ object OracleSql {
         |   CAST(sum(ng) AS BIGINT) AS n, CAST(sum(sg) AS HUGEINT) AS s,
         |   CAST(sum(qg) AS HUGEINT) AS q,
         |   CAST(sum((sg * sg) // ng) AS HUGEINT) AS gsum FROM g GROUP BY 1),
-        | v2 AS (SELECT key, k_groups, n, gsum - (s * s) // n AS bet,
+        | v2 AS (SELECT key, k_groups, n,
+        |   greatest(gsum - (s * s) // n, CAST(0 AS HUGEINT)) AS bet,
         |   q - gsum AS wit FROM t)
         |SELECT key AS event_type, k_groups, n,
         | CAST(CASE WHEN k_groups >= 2 AND wit > 0 THEN
@@ -5938,7 +5944,8 @@ object OracleSql {
         |   CAST(count(*) AS BIGINT) AS y
         |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
         |  GROUP BY 1, 2),
-        | sp AS (SELECT key, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+        | sp AS (SELECT key, min(day) AS d0, max(day) AS d1 FROM daily
+        |  GROUP BY 1 HAVING max(day) - min(day) < 100000),
         | g AS (SELECT sp.key, gs.day, CAST(gs.day - sp.d0 + 1 AS BIGINT) AS i
         |  FROM sp, unnest(generate_series(sp.d0, sp.d1)) AS gs(day)),
         | se AS (SELECT g.key, g.i, coalesce(d.y, 0) AS y
@@ -5956,10 +5963,12 @@ object OracleSql {
         |  FROM nn2 JOIN s ON s.key = nn2.key JOIN ties ON ties.key = nn2.key)
         |SELECT key AS event_type, n_days, s_stat, var18,
         | CAST(CASE WHEN var18 > 0 THEN CAST(sign(s_stat) AS BIGINT)
-        |   * ((18000 * (abs(s_stat) - 1) * (abs(s_stat) - 1)) // var18) END
+        |   * ((18000 * CAST(abs(s_stat) - 1 AS HUGEINT)
+        |       * (abs(s_stat) - 1)) // var18) END
         |   AS BIGINT) AS z2_signed_milli,
         | COALESCE(var18 > 0 AND abs(s_stat) > 1
-        |   AND 180000 * (abs(s_stat) - 1) * (abs(s_stat) - 1) > 38416 * var18,
+        |   AND 180000 * CAST(abs(s_stat) - 1 AS HUGEINT) * (abs(s_stat) - 1)
+        |     > 38416 * CAST(var18 AS HUGEINT),
         |   false) AS significant
         |FROM v ORDER BY event_type""".stripMargin,
 
@@ -6072,7 +6081,8 @@ object OracleSql {
         |   CAST(count(*) AS BIGINT) AS y
         |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
         |  GROUP BY 1, 2),
-        | sp AS (SELECT key, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+        | sp AS (SELECT key, min(day) AS d0, max(day) AS d1 FROM daily
+        |  GROUP BY 1 HAVING max(day) - min(day) < 100000),
         | g AS (SELECT sp.key, gs.day, CAST(gs.day - sp.d0 + 1 AS BIGINT) AS i
         |  FROM sp, unnest(generate_series(sp.d0, sp.d1)) AS gs(day)),
         | se AS (SELECT g.key, g.i, coalesce(d.y, 0) AS y
@@ -6101,7 +6111,8 @@ object OracleSql {
         |   CAST(count(*) AS BIGINT) AS y
         |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
         |  GROUP BY 1, 2),
-        | sp AS (SELECT key, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+        | sp AS (SELECT key, min(day) AS d0, max(day) AS d1 FROM daily
+        |  GROUP BY 1 HAVING max(day) - min(day) < 100000),
         | g AS (SELECT sp.key, gs.day FROM sp,
         |   unnest(generate_series(sp.d0, sp.d1)) AS gs(day)),
         | se AS (SELECT g.key, g.day, coalesce(d.y, 0) AS y

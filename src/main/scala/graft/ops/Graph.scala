@@ -262,8 +262,10 @@ object Graph {
     * Scale shape per round: one join of the label table onto the
     * symmetric adjacency (keyed on the neighbor endpoint) + one
     * two-level aggregate (count per (node, label), then the
-    * deterministic argmax via a max over (count, −label) structs — no
-    * window, no sort); labels are eagerly `localCheckpoint`ed per
+    * deterministic argmax via a min over (−count, label) structs —
+    * only the count is negated, so node ids of ANY orderable type
+    * (strings included) work; no window, no sort); labels are eagerly
+    * `localCheckpoint`ed per
     * round (the [[pageRankPpm]] lineage contract). Isolated nodes
     * never appear (the node set is the edge endpoints), matching the
     * published algorithm.
@@ -290,9 +292,12 @@ object Graph {
         .groupBy(col("a").as("node"), col("label"))
         .agg(count(lit(1)).as("__cnt"))
         .groupBy("node")
-        .agg(max(struct(col("__cnt"), (-col("label")).as("__neg")))
+        // (count desc, label asc) argmax as ONE struct-min: negate the
+        // COUNT (always numeric), never the label — so string-keyed
+        // edge lists work identically to numeric ones
+        .agg(min(struct((-col("__cnt")).as("__negcnt"), col("label")))
           .as("__best"))
-        .select(col("node"), (-col("__best.__neg")).as("label"))
+        .select(col("node"), col("__best.label").as("label"))
         .localCheckpoint(true)
     }
     labels

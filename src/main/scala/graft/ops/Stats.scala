@@ -1900,7 +1900,11 @@ object Stats {
     * NOT scaled up further, so the DIV result stays inside BIGINT for
     * any |v| ≤ 1e6-lane metric to n ≈ 1e9 rows — pre-aggregate
     * beyond):
-    * `between = Σ_g (S_g² DIV n_g) − (S² DIV n)`,
+    * `between = max(Σ_g (S_g² DIV n_g) − (S² DIV n), 0)` — clamped at
+    * zero because at small magnitudes the k-group floor error can push
+    * the raw difference below zero (groups {1,2},{1,2}: gsum=8,
+    * S² DIV n=9), and a negative between-sum is a nonsensical readout
+    * (true between-SS is ≥ 0; the clamp is replayed by the oracle) —
     * `within = Q − Σ_g (S_g² DIV n_g)`, then
     * `F_milli = (between·(n−k)·1000) DIV (within·(k−1))` and
     * `eta2_ppm = between·1e6 DIV (between+within)` (the effect size —
@@ -1933,7 +1937,8 @@ object Stats {
         sum(col("qg")).as("__q"),
         sum(expr(s"(CAST(sg AS $d38) * sg) DIV ng")).as("__gsum"))
       .withColumn("__between",
-        expr(s"__gsum - (CAST(__s AS $d38) * __s) DIV n"))
+        expr(s"greatest(__gsum - (CAST(__s AS $d38) * __s) DIV n," +
+          s" CAST(0 AS $d38))"))
       .withColumn("__within", expr("__q - __gsum"))
       .withColumn("f_milli",
         when(col("k_groups") >= 2 && col("__within") > 0, expr(

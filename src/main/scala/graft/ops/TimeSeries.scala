@@ -1371,7 +1371,11 @@ object TimeSeries {
     * Scale shape: the series is calendar-bounded, so the O(n²) pair
     * fold runs INSIDE each key's array — no join, nothing row². S and
     * the tie term are exact integers; var18 fits BIGINT to n ≈ 10⁶
-    * days (≫ any calendar).
+    * days (≫ any calendar), and since |S| reaches n(n−1)/2 the
+    * (|S|−1)² products run in DECIMAL(38,0) lanes (|S| ≈ 5·10⁹ at the
+    * [[dailyCountSeries]] maxDays bound squares past BIGINT; the
+    * oracle's HUGEINT lanes replay them — same values, no silent
+    * non-ANSI wrap on one side only).
     */
   def mannKendall(
       df: DataFrame,
@@ -1397,11 +1401,13 @@ object TimeSeries {
       .withColumn("z2_signed_milli",
         when(col("var18") > 0, expr(
           """CAST(sign(s_stat) AS BIGINT)
-            |  * ((18000 * (abs(s_stat) - 1) * (abs(s_stat) - 1)) DIV var18)""".stripMargin)))
+            |  * CAST((18000 * CAST(abs(s_stat) - 1 AS DECIMAL(38,0))
+            |          * (abs(s_stat) - 1)) DIV var18 AS BIGINT)""".stripMargin)))
       .withColumn("significant",
         coalesce(expr(
           """var18 > 0 AND abs(s_stat) > 1
-            |  AND 180000 * (abs(s_stat) - 1) * (abs(s_stat) - 1) > 38416 * var18""".stripMargin),
+            |  AND 180000 * CAST(abs(s_stat) - 1 AS DECIMAL(38,0)) * (abs(s_stat) - 1)
+            |      > 38416 * CAST(var18 AS DECIMAL(38,0))""".stripMargin),
           lit(false)))
       .select(col("key"), col("n_days"), col("s_stat"), col("var18"),
         col("z2_signed_milli"), col("significant"))

@@ -169,6 +169,17 @@ class GraphSpec extends SparkTestBase {
     assert(got == Map(0L -> 1L, 1L -> 0L, 2L -> 0L, 3L -> 0L), s"got $got")
   }
 
+  test("labelPropagation: string node ids work, mirroring the numeric result") {
+    // the one-round star case with string keys: the tie-break argmax
+    // negates the COUNT, not the label, so any orderable id type works
+    // and ties still take the lexicographically smallest label
+    val e = Seq(("n0", "n1"), ("n0", "n2"), ("n0", "n3")).toDF("src", "dst")
+    val got = Graph.labelPropagation(e, col("src"), col("dst"), rounds = 1)
+      .as[(String, String)].collect().toMap
+    assert(got == Map("n0" -> "n1", "n1" -> "n0", "n2" -> "n0", "n3" -> "n0"),
+      s"got $got")
+  }
+
   test("kCore: k above the max degree empties; empty input stays empty with schema") {
     val e = Seq((0L, 1L), (1L, 2L)).toDF("src", "dst")
     val got = Graph.kCore(e, col("src"), col("dst"), k = 5)

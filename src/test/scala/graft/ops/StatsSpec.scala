@@ -1020,6 +1020,17 @@ class StatsSpec extends SparkTestBase {
     assert(got("z") == ((2L, 4L, None, 1000000L)), s"got $got")
   }
 
+  test("anovaF: near-identical group means clamp between-SS at 0, never negative") {
+    // the ADVICE case: groups {1,2} and {1,2}: gsum = 2*(9 DIV 2) = 8,
+    // S^2 DIV n = 36 DIV 4 = 9 -> raw between = -1, clamped to 0 ->
+    // F_milli = 0 (not negative), eta2_ppm = 0 (not -1e6)
+    val rows = Seq(("c", 0L, 1L), ("c", 0L, 2L), ("c", 1L, 1L), ("c", 1L, 2L))
+    val r = Stats.anovaF(rows.toDF("k", "g", "x"),
+      col("k"), col("g"), col("x")).collect().head
+    assert(r.getLong(3) == 0L, s"f_milli must clamp to 0: $r")
+    assert(r.getLong(4) == 0L, s"eta2_ppm must clamp to 0: $r")
+  }
+
   test("anovaF: a single group is undefined (NULL F), not an error") {
     val rows = Seq(("k", 0L, 1L), ("k", 0L, 9L))
     val r = Stats.anovaF(rows.toDF("k", "g", "x"),
