@@ -113,9 +113,24 @@ object OracleSql {
   /** q308's Markov removal-effect attribution: journeys → floored-ppm
     * transitions → per-chain value iteration UNROLLED (the recursive
     * term would need GROUP BY — disallowed), one floor per state per
-    * round, exactly the operator's driver solve. */
-  private lazy val q308Sql: String = {
+    * round, exactly the operator's driver solve. `chanExpr` is the
+    * channel column (q312 derives a high-cardinality one); `bucketTopN`
+    * replays [[graft.ops.Behavior.markovAttributionBucketed]]'s
+    * graceful-degrade pre-pass (top-N channels by pre-truncation touch
+    * volume keep identity, ties on name; the tail becomes __other__). */
+  private def markovChainSql(chanExpr: String, bucketTopN: Option[Int]): String = {
     val iters = 24
+    val remap = bucketTopN match {
+      case Some(n) =>
+        s""" tcnt AS (SELECT et, count(*) AS n FROM e0
+           |   WHERE et <> 'purchase' GROUP BY 1),
+           | topc AS MATERIALIZED (SELECT et FROM tcnt
+           |   ORDER BY n DESC, et LIMIT $n),
+           | e AS MATERIALIZED (SELECT u, sec,
+           |    CASE WHEN et = 'purchase' OR et IN (SELECT et FROM topc)
+           |      THEN et ELSE '__other__' END AS et, eid FROM e0),""".stripMargin
+      case None => " e AS (SELECT * FROM e0),"
+    }
     val steps = (1 to iters).map { k =>
       s"""v$k AS MATERIALIZED (
          |  SELECT v.chain, v.state,
@@ -129,10 +144,11 @@ object OracleSql {
          |    GROUP BY 1, 2) nx
          |    ON nx.chain = v.chain AND nx.state = v.state)""".stripMargin
     }.mkString(",\n ")
-    s"""WITH e AS (SELECT user_id AS u, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
-       |   event_type AS et, event_id AS eid
+    s"""WITH e0 AS (SELECT user_id AS u, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+       |   $chanExpr AS et, event_id AS eid
        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
-       |    AND event_type IS NOT NULL AND event_id IS NOT NULL),
+       |    AND ($chanExpr) IS NOT NULL AND event_id IS NOT NULL),
+       |$remap
        | cv AS (SELECT u, sec AS conv_sec, eid AS conv_id FROM (
        |   SELECT u, sec, eid,
        |     row_number() OVER (PARTITION BY u ORDER BY sec, eid) AS r
@@ -195,6 +211,19 @@ object OracleSql {
        |FROM ch JOIN fin f ON f.chain = ch.c CROSS JOIN bse CROSS JOIN pos
        |ORDER BY channel""".stripMargin
   }
+
+  private lazy val q308Sql: String = markovChainSql("event_type", None)
+
+  /** q312: event_type × 13-way value bucket (up to 52 channels — past
+    * the raw cap), degraded to top-10 + __other__ exactly as the
+    * wrapper does. floor(double) is integral, so the BIGINT cast is
+    * rounding-free in both engines. */
+  private lazy val q312Sql: String = markovChainSql(
+    "CASE WHEN event_type = 'purchase' THEN event_type" +
+      " ELSE event_type || '_b' ||" +
+      " CAST(abs(CAST(floor(coalesce(value, -1)) AS BIGINT)) % 13 AS VARCHAR)" +
+      " END",
+    Some(10))
 
   /** q295's additive Holt–Winters recurrence as a recursive CTE with
     * the seven season lanes as explicit columns. SQL lambdas/recursion
@@ -5993,6 +6022,8 @@ object OracleSql {
     "q305_kcenter_coreset" -> q305Sql,
 
     "q308_markov_attribution" -> q308Sql,
+
+    "q312_markov_bucketed" -> q312Sql,
 
     // RAKE: stopword-free runs, deg/freq word scores (one floor),
     // phrase = sum of member scores; stopword list generated from

@@ -4430,6 +4430,25 @@ object SparkEntry {
       .withColumnRenamed("key", "event_type")
       .orderBy("event_type")
 
+  /** Bucketed Markov attribution
+    * ([[ops.Behavior.markovAttributionBucketed]]): q308's removal-effect
+    * solve on a HIGH-CARDINALITY channel dimension — each touch channel
+    * is `event_type` crossed with a 13-way value bucket (up to 52
+    * distinct channels, past the raw operator's cap at this
+    * `topChannels = 10`), so the graceful-degrade pre-pass must
+    * actually fire: the top 10 channels by touch volume keep their
+    * identity, the tail becomes `__other__`, and the chain solves on
+    * the bounded 11-channel alphabet the raw call would have rejected.
+    */
+  private def q312(s: SparkSession, dir: String): DataFrame =
+    Behavior.markovAttributionBucketed(Tables.events(s, dir),
+        col("user_id"), col("ts"),
+        when(col("event_type") === "purchase", col("event_type"))
+          .otherwise(concat(col("event_type"), lit("_b"), expr(
+            "CAST(abs(CAST(floor(coalesce(value, -1)) AS BIGINT)) % 13 AS STRING)"))),
+        col("event_id"), convType = "purchase", topChannels = 10)
+      .orderBy("channel")
+
   /** Ordered LISTAGG / STRING_AGG (the SQL:2016 T625 surface): per
     * nation, the top-5 suppliers by account balance concatenated in
     * rank order — `sort_array(collect_list(struct))` + `slice` +
@@ -5438,7 +5457,8 @@ object SparkEntry {
     "q308_markov_attribution" -> q308 _,
     "q309_rake_keyphrases" -> q309 _,
     "q310_decayed_popularity" -> q310 _,
-    "q311_nelson_aalen" -> q311 _
+    "q311_nelson_aalen" -> q311 _,
+    "q312_markov_bucketed" -> q312 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

@@ -439,4 +439,49 @@ class BehaviorSpec extends SparkTestBase {
     assert(got.columns.toSeq == Seq("channel", "n_out", "base_conv_ppm",
       "removed_conv_ppm", "removal_ppm", "share_ppm"))
   }
+
+  test("markovAttributionBucketed: degrades where the raw operator fail-stops") {
+    // 12 distinct channels c01..c12 (cap below at topChannels+1 = 4):
+    // touch volumes c01 ×3, c02 ×2, c03 ×2, the rest ×1 — top-3 is
+    // {c01, c02, c03} (the c02/c03-vs-c04.. tie breaks on name)
+    def t(s: Int) = new Timestamp(1704067200000L + s * 1000L)
+    val rows = (
+      Seq((1L, t(1), "c01", 10L), (1L, t(2), "buy", 11L),
+        (2L, t(1), "c01", 20L), (2L, t(2), "c02", 21L), (2L, t(3), "buy", 22L),
+        (3L, t(1), "c01", 30L), (3L, t(2), "c02", 31L), (3L, t(3), "c03", 32L),
+        (4L, t(1), "c03", 40L)) ++
+      (4 to 12).map(i => (10L + i, t(1), f"c$i%02d", 100L + i))
+    ).toDF("u", "ts", "et", "eid")
+    val raw = intercept[IllegalArgumentException] {
+      Behavior.markovAttribution(rows, col("u"), col("ts"), col("et"),
+        col("eid"), convType = "buy", maxChannels = 4).collect()
+    }
+    assert(raw.getMessage.contains("exceed maxChannels"), raw.getMessage)
+    val got = Behavior.markovAttributionBucketed(rows, col("u"), col("ts"),
+        col("et"), col("eid"), convType = "buy", topChannels = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet == Set("c01", "c02", "c03", "__other__"), s"got $got")
+    // pre-truncation touch volumes survive as n_out sources: the 9 tail
+    // touches all fold into __other__'s outgoing mass
+    assert(got("__other__") == 9L, s"got $got")
+    assert(got("c01") == 3L && got("c02") == 2L && got("c03") == 2L, s"got $got")
+  }
+
+  test("markovAttributionBucketed: below the cap it IS the raw operator") {
+    def t(s: Int) = new Timestamp(1704067200000L + s * 1000L)
+    val rows = Seq(
+      (1L, t(1), "a", 10L), (1L, t(2), "buy", 11L),
+      (2L, t(1), "a", 20L), (2L, t(2), "b", 21L), (2L, t(3), "buy", 22L),
+      (3L, t(1), "b", 30L))
+      .toDF("u", "ts", "et", "eid")
+    def key(r: org.apache.spark.sql.Row) = r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    val raw = Behavior.markovAttribution(rows, col("u"), col("ts"),
+      col("et"), col("eid"), convType = "buy").collect().map(key).toMap
+    val bucketed = Behavior.markovAttributionBucketed(rows, col("u"),
+      col("ts"), col("et"), col("eid"), convType = "buy", topChannels = 10)
+      .collect().map(key).toMap
+    assert(bucketed == raw, s"raw $raw vs bucketed $bucketed")
+    assert(!bucketed.contains("__other__"))
+  }
 }
