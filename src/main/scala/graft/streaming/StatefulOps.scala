@@ -1552,6 +1552,178 @@ object StatefulOps {
       }
   }
 
+  /** One ACF snapshot row per (key, lag); `n_events` is the key's total
+    * event count at emission, so "rows at max n_events" is the final
+    * ACF block (the HoltWintersOut convention). `acf_ppm` is None for a
+    * constant series (zero variance), exactly the batch NULL.
+    */
+  case class AcfOut(key: String, n_events: Long, lag: Int, n_days: Long,
+      acf_ppm: Option[Long])
+
+  /** Streaming autocorrelation — the at-ingest twin of
+    * [[graft.ops.TimeSeries.acfPpm]]: events fold into the exact per-key
+    * (day → count) histogram (the [[holtWintersStream]] GridHist reuse —
+    * the day histogram is the series' sufficient statistic), and each
+    * micro-batch replays the batch operator's n-scaled centered fold
+    * `r_l_ppm = (10⁶·Σ c_t·c_{t+l}) DIV (Σ c_t²)`, `c_t = n·y_t − S`,
+    * over the gap-filled span and emits the full lag block. Products run
+    * in BigInt — the JVM replay of the batch DECIMAL(38,0) lanes (both
+    * divisions truncate toward zero), so a drained stream equals the
+    * batch ACF bit for bit regardless of batching or reordering (late
+    * events just land in their day bucket; the kmv parity class).
+    *
+    * Replay cost per batch is O(span·maxLag) per key — calendar-bounded,
+    * the batch operator's own array bound; spans over `maxDays` emit
+    * nothing (the batch DROP contract live).
+    */
+  def acfStream(
+      df: DataFrame,
+      keyCol: String = "key",
+      tsCol: String = "event_time",
+      maxLag: Int = 7,
+      maxDays: Int = 100000,
+      watermarkDelay: String = "10 seconds",
+      ttlMs: Long = 3600000L
+  ): Dataset[AcfOut] = {
+    require(maxLag >= 1, s"maxLag must be >= 1: $maxLag")
+    import org.apache.spark.sql.functions._
+    import df.sparkSession.implicits._
+    val rows = df
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol).cast("string").as("key"), lit(0L).as("v"),
+        col(tsCol).as("event_time"))
+      .withWatermark("event_time", watermarkDelay)
+      .as[GridEvent]
+    rows
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[VersionedState, AcfOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: String, it: Iterator[GridEvent], state: GroupState[VersionedState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val prior = state.getOption.map(StateCodec.decodeGrid)
+              .getOrElse(GridHist(Nil, 0L, 0L))
+            val rs = it.toSeq
+            val hist = scala.collection.mutable.TreeMap[Long, Long]()
+            prior.entries.foreach { case (d, c) => hist(d) = c }
+            rs.foreach { r =>
+              val day = Math.floorDiv(r.event_time.getTime, 1000L) / 86400L
+              hist(day) = hist.getOrElse(day, 0L) + 1L
+            }
+            val total = prior.total + rs.length
+            val horizonMs = (prior.horizonMs +: rs.map(_.event_time.getTime)
+              :+ state.getCurrentWatermarkMs()).max
+            state.update(StateCodec.encodeGrid(
+              GridHist(hist.toList, total, horizonMs)))
+            state.setTimeoutTimestamp(horizonMs + ttlMs)
+            if (rs.isEmpty || hist.isEmpty) Iterator.empty
+            else {
+              val d0 = hist.firstKey; val d1 = hist.lastKey
+              val span = d1 - d0 + 1
+              if (span > maxDays) Iterator.empty
+              else {
+                val n = span.toInt
+                val ys = new Array[Long](n)
+                hist.foreach { case (d, c) => ys((d - d0).toInt) = c }
+                val s = ys.sum
+                // c_t = n·y_t − S in BigInt: the DECIMAL(38,0) lane replay
+                val c = ys.map(y => BigInt(n) * y - s)
+                val den = c.map(x => x * x).sum
+                (1 to maxLag).iterator.filter(_ < n).map { l =>
+                  val num = (0 until n - l).map(i => c(i) * c(i + l)).sum
+                  val ppm =
+                    if (den > 0) Some(((num * 1000000) / den).toLong) else None
+                  AcfOut(key, total, l, span, ppm)
+                }
+              }
+            }
+          }
+      }
+  }
+
+  /** One decayed-popularity snapshot row; `n_events` marks the final
+    * block (the HoltWintersOut convention).
+    */
+  case class DecayedPopOut(key: String, n_events: Long, last_day_age: Long,
+      decayed_ppm: Long)
+
+  /** Streaming exponentially-decayed popularity — the at-ingest twin of
+    * [[graft.ops.TimeSeries.decayedPopularity]]: the same GridHist day
+    * histogram, re-read each batch as
+    * `Σ_d count(d) · (10⁶ DIV 2^min(age(d) DIV halfLifeDays, 19))` — the
+    * batch operator's per-event bit-shift weight grouped by day.
+    *
+    * The batch anchor is the CORPUS max day (a one-row broadcast) —
+    * global state a keyed twin cannot see — so the anchor is explicit
+    * here: pass `anchorDay` (epoch days) to reproduce the batch readout
+    * bit for bit (the parity pin does); leave it None for the live
+    * semantics "each key anchored at its own latest day" (freshness
+    * relative to the key's own activity). Ages clamp at 0 so an anchor
+    * earlier than observed days (clock skew, a stale anchor) degrades
+    * to weight 10⁶, never a negative shift. Keys whose day span exceeds
+    * `maxDays` emit nothing — the state histogram must stay
+    * calendar-bounded; the batch operator has no such bound (its
+    * aggregate never materializes the span), so pre-filter ancient
+    * events upstream if a key can straddle 274 years.
+    */
+  def decayedPopularityStream(
+      df: DataFrame,
+      keyCol: String = "key",
+      tsCol: String = "event_time",
+      halfLifeDays: Int = 7,
+      anchorDay: Option[Long] = None,
+      maxDays: Int = 100000,
+      watermarkDelay: String = "10 seconds",
+      ttlMs: Long = 3600000L
+  ): Dataset[DecayedPopOut] = {
+    require(halfLifeDays >= 1, s"halfLifeDays must be >= 1: $halfLifeDays")
+    import org.apache.spark.sql.functions._
+    import df.sparkSession.implicits._
+    val rows = df
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol).cast("string").as("key"), lit(0L).as("v"),
+        col(tsCol).as("event_time"))
+      .withWatermark("event_time", watermarkDelay)
+      .as[GridEvent]
+    rows
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[VersionedState, DecayedPopOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: String, it: Iterator[GridEvent], state: GroupState[VersionedState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val prior = state.getOption.map(StateCodec.decodeGrid)
+              .getOrElse(GridHist(Nil, 0L, 0L))
+            val rs = it.toSeq
+            val hist = scala.collection.mutable.TreeMap[Long, Long]()
+            prior.entries.foreach { case (d, c) => hist(d) = c }
+            rs.foreach { r =>
+              val day = Math.floorDiv(r.event_time.getTime, 1000L) / 86400L
+              hist(day) = hist.getOrElse(day, 0L) + 1L
+            }
+            val total = prior.total + rs.length
+            val horizonMs = (prior.horizonMs +: rs.map(_.event_time.getTime)
+              :+ state.getCurrentWatermarkMs()).max
+            state.update(StateCodec.encodeGrid(
+              GridHist(hist.toList, total, horizonMs)))
+            state.setTimeoutTimestamp(horizonMs + ttlMs)
+            if (rs.isEmpty || hist.isEmpty ||
+                hist.lastKey - hist.firstKey + 1 > maxDays) Iterator.empty
+            else {
+              val anchor = anchorDay.getOrElse(hist.lastKey)
+              var decayed = 0L
+              hist.foreach { case (d, cnt) =>
+                val age = Math.max(anchor - d, 0L)
+                val w = 1000000L / (1L << Math.min(age / halfLifeDays, 19L).toInt)
+                decayed += cnt * w
+              }
+              Iterator.single(DecayedPopOut(key, total,
+                Math.max(anchor - hist.lastKey, 0L), decayed))
+            }
+          }
+      }
+  }
+
   /** Sequential-fold cosine matching `VectorOps.dot / (norm·norm)`
     * term-for-term (cast each float to double, accumulate left to
     * right) — needed because the streaming verify runs on JVM arrays

@@ -158,6 +158,28 @@ class RocksDbParitySpec extends SparkTestBase {
       Seq(all.take(36), all.drop(36)), maxStateRows = Some(2L))
   }
 
+  test("acfStream parity + bounded state (2 keys)") {
+    val all = (0 until 72).map { i =>
+      (s"k${i % 2}",
+        new java.sql.Timestamp(1704067200000L + (i * 29 % 9) * 86400000L + i * 1000L))
+    }
+    parity("rdbm_acf", Seq("key", "event_time"),
+      df => StatefulOps.acfStream(df, maxLag = 3,
+        watermarkDelay = "30 days").toDF(),
+      Seq(all.take(36), all.drop(36)), maxStateRows = Some(2L))
+  }
+
+  test("decayedPopularityStream parity + bounded state (2 keys)") {
+    val all = (0 until 72).map { i =>
+      (s"k${i % 2}",
+        new java.sql.Timestamp(1704067200000L + (i * 29 % 9) * 86400000L + i * 1000L))
+    }
+    parity("rdbm_decpop", Seq("key", "event_time"),
+      df => StatefulOps.decayedPopularityStream(df, halfLifeDays = 2,
+        watermarkDelay = "30 days").toDF(),
+      Seq(all.take(36), all.drop(36)), maxStateRows = Some(2L))
+  }
+
   test("funnelStream parity (8 user keys)") {
     val rows = (0 until 120).map { i =>
       val u = (i * 31 % 8).toLong

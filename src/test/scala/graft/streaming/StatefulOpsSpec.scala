@@ -1220,4 +1220,87 @@ class StatefulOpsSpec extends SparkTestBase {
     assert(outs.exists(o => o.n_events < counts(o.key).sum),
       "first batch must emit a live snapshot")
   }
+
+  test("acfStream: drained ACF block equals batch acfPpm bit for bit under reordering") {
+    import org.apache.spark.sql.functions.col
+    // same fixture family as the Holt-Winters pin: day-histogram fold,
+    // events delivered out of day order across two batches
+    def at(day: Int, i: Int) =
+      new java.sql.Timestamp(1704067200000L + day * 86400000L + i * 1000L)
+    val counts = Map(
+      "a" -> Seq(3, 1, 4, 1, 5, 9, 2, 6, 5, 3),
+      "b" -> Seq(2, 7, 1, 8, 2, 8, 1, 0, 4, 5),
+      "c" -> Seq(2, 2, 2, 2, 2, 2)) // constant series -> NULL acf_ppm
+    val all = counts.toSeq.flatMap { case (k, cs) =>
+      cs.zipWithIndex.flatMap { case (c, d) =>
+        (0 until c).map(i => (k, at(d, i))) }
+    }
+    val shuffled = all.sortBy { case (k, t) => ((t.getTime / 1000 + 3) % 7, k) }
+    val mem = MemoryStream[(String, java.sql.Timestamp)](spark)
+    val query = StatefulOps.acfStream(
+        mem.toDS().toDF("key", "event_time"),
+        maxLag = 3, watermarkDelay = "30 days")
+      .writeStream.format("memory").queryName("acf_parity")
+      .outputMode("append").start()
+    try {
+      mem.addData(shuffled.take(40)); query.processAllAvailable()
+      mem.addData(shuffled.drop(40)); query.processAllAvailable()
+    } finally query.stop()
+    val outs = spark.table("acf_parity").as[StatefulOps.AcfOut].collect()
+    val finals = outs.groupBy(_.key).map { case (k, rows) =>
+      val n = rows.map(_.n_events).max
+      k -> rows.filter(_.n_events == n)
+        .map(r => r.lag -> ((r.n_days, r.acf_ppm))).toMap
+    }
+    val batch = graft.ops.TimeSeries.acfPpm(
+        all.toDF("k", "ts"), col("k"), col("ts"), maxLag = 3)
+      .collect().groupBy(_.getString(0)).map { case (k, rows) =>
+      k -> rows.map(r => r.getInt(1) -> ((r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    }
+    assert(finals == batch, s"stream $finals\nbatch $batch")
+    assert(finals("c").values.forall(_._2.isEmpty),
+      "constant series must report NULL acf_ppm")
+  }
+
+  test("decayedPopularityStream: drained snapshot equals batch with the corpus anchor") {
+    import org.apache.spark.sql.functions.col
+    def at(day: Int, i: Int) =
+      new java.sql.Timestamp(1704067200000L + day * 86400000L + i * 1000L)
+    // key b STOPS four days before a: the batch anchor (corpus max day)
+    // differs from b's own last day, so the explicit-anchor contract is
+    // exercised, not just the trivially-shared case
+    val counts = Map(
+      "a" -> Seq(3, 1, 4, 1, 5, 9, 2, 6, 5, 3),
+      "b" -> Seq(2, 7, 1, 8, 2, 8))
+    val all = counts.toSeq.flatMap { case (k, cs) =>
+      cs.zipWithIndex.flatMap { case (c, d) =>
+        (0 until c).map(i => (k, at(d, i))) }
+    }
+    val shuffled = all.sortBy { case (k, t) => ((t.getTime / 1000 + 3) % 7, k) }
+    val corpusMaxDay = 1704067200000L / 86400000L + 9L
+    val mem = MemoryStream[(String, java.sql.Timestamp)](spark)
+    val query = StatefulOps.decayedPopularityStream(
+        mem.toDS().toDF("key", "event_time"),
+        halfLifeDays = 2, anchorDay = Some(corpusMaxDay),
+        watermarkDelay = "30 days")
+      .writeStream.format("memory").queryName("decpop_parity")
+      .outputMode("append").start()
+    try {
+      mem.addData(shuffled.take(30)); query.processAllAvailable()
+      mem.addData(shuffled.drop(30)); query.processAllAvailable()
+    } finally query.stop()
+    val outs = spark.table("decpop_parity").as[StatefulOps.DecayedPopOut].collect()
+    val finals = outs.groupBy(_.key).map { case (k, rows) =>
+      val r = rows.maxBy(_.n_events)
+      k -> ((r.n_events, r.last_day_age, r.decayed_ppm))
+    }
+    val batch = graft.ops.TimeSeries.decayedPopularity(
+        all.toDF("k", "ts"), col("k"), col("ts"), halfLifeDays = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(finals == batch, s"stream $finals\nbatch $batch")
+    // b's freshness is read against the CORPUS anchor: 4 days stale
+    assert(finals("b")._2 == 4L, s"got ${finals("b")}")
+  }
 }
