@@ -187,13 +187,29 @@ object StatefulOps {
       case v => unknown("FunnelTimes", v)
     }
 
-    /** v1: [n: i32][recent: n × i64, oldest first][horizonMs: i64]. */
-    def encodeEwma(s: EwmaTail): VersionedState = {
-      val b = ByteBuffer.allocate(4 + 8 * s.recent.length + 8)
-      b.putInt(s.recent.length)
-      s.recent.foreach(b.putLong)
-      b.putLong(s.horizonMs)
-      VersionedState(1, b.array())
+    /** v1: [n: i32][recent: n × i64, oldest first][horizonMs: i64].
+      * v2 (current): v1 + [nSeen: i64] — the lifetime observation count
+      * behind `EwmaOut.n_seen` (the round-17 widening drill). `version
+      * = 1` writes the v1 layout, DROPPING nSeen — the rolling-upgrade
+      * escape hatch: a fleet mid-upgrade keeps writing state the
+      * previous engine still reads, at the cost of the widened field.
+      */
+    def encodeEwma(s: EwmaTail, version: Int = 2): VersionedState = version match {
+      case 1 =>
+        val b = ByteBuffer.allocate(4 + 8 * s.recent.length + 8)
+        b.putInt(s.recent.length)
+        s.recent.foreach(b.putLong)
+        b.putLong(s.horizonMs)
+        VersionedState(1, b.array())
+      case 2 =>
+        val b = ByteBuffer.allocate(4 + 8 * s.recent.length + 16)
+        b.putInt(s.recent.length)
+        s.recent.foreach(b.putLong)
+        b.putLong(s.horizonMs)
+        b.putLong(s.nSeen)
+        VersionedState(2, b.array())
+      case v => throw new IllegalArgumentException(
+        s"EwmaTail encoder knows layout versions 1 and 2, not $v")
     }
 
     def decodeEwma(s: VersionedState): EwmaTail = s.version match {
@@ -203,7 +219,17 @@ object StatefulOps {
         val n = b.getInt()
         if (n < 0 || s.payload.length != 4 + 8 * n + 8)
           corrupt("EwmaTail", s, null)
-        EwmaTail(List.fill(n)(b.getLong()), b.getLong())
+        // nSeen predates v1: the DOCUMENTED default is 0 — after a
+        // v1 -> v2 checkpoint upgrade the lifetime counter restarts;
+        // the smoothing tail (what the math needs) carries over exactly
+        EwmaTail(List.fill(n)(b.getLong()), b.getLong(), nSeen = 0L)
+      case 2 =>
+        if (s.payload.length < 4) corrupt("EwmaTail", s, null)
+        val b = ByteBuffer.wrap(s.payload)
+        val n = b.getInt()
+        if (n < 0 || s.payload.length != 4 + 8 * n + 16)
+          corrupt("EwmaTail", s, null)
+        EwmaTail(List.fill(n)(b.getLong()), b.getLong(), b.getLong())
       case v => unknown("EwmaTail", v)
     }
 
@@ -449,8 +475,12 @@ object StatefulOps {
   case class FunnelProgress(user: Long, stage: Long, stage_time: Timestamp)
 
   case class EwmaEvent(key: Long, v: Long, ord: Long, event_time: Timestamp)
-  case class EwmaTail(recent: List[Long], horizonMs: Long)
-  case class EwmaOut(key: Long, event_time: Timestamp, ord: Long, v: Long, ewma: Long)
+  /** `nSeen` (v2) is the key's lifetime observation count; it decodes
+    * to 0 from a v1 checkpoint (the field predates that layout).
+    */
+  case class EwmaTail(recent: List[Long], horizonMs: Long, nSeen: Long = 0L)
+  case class EwmaOut(key: Long, event_time: Timestamp, ord: Long, v: Long,
+      ewma: Long, n_seen: Long)
 
   /** In-memory state of [[cusumStream]] (stored as [[VersionedState]]
     * payload v1 — see [[StateCodec]]): the running CUSUM statistic plus
@@ -587,9 +617,12 @@ object StatefulOps {
       valCol: String = "v",
       ordCol: String = "ord",
       watermarkDelay: String = "10 seconds",
-      ttlMs: Long = 3600000L
+      ttlMs: Long = 3600000L,
+      stateVersion: Int = 2
   ): Dataset[EwmaOut] = {
     require(weights.nonEmpty && weights.forall(_ > 0), "weights must be positive")
+    require(stateVersion == 1 || stateVersion == 2,
+      s"stateVersion must be 1 (rolling-upgrade compat) or 2: $stateVersion")
     import org.apache.spark.sql.functions._
     import df.sparkSession.implicits._
     val tail = weights.size - 1
@@ -618,6 +651,7 @@ object StatefulOps {
             val rs = it.toSeq.sortBy(r =>
               (Math.floorDiv(r.event_time.getTime, 1000L), r.ord))
             var recent = prior.map(_.recent).getOrElse(Nil) // oldest first
+            var seen = prior.map(_.nSeen).getOrElse(0L)
             val out = rs.map { r =>
               // taps: weights(0)·current, weights(k)·k-th newest of the tail
               val newestFirst = (r.v :: recent.reverse)
@@ -627,11 +661,13 @@ object StatefulOps {
               }
               val ewma = Math.floorDiv(num, den)
               recent = (recent :+ r.v).takeRight(tail)
-              EwmaOut(r.key, r.event_time, r.ord, r.v, ewma)
+              seen += 1
+              EwmaOut(r.key, r.event_time, r.ord, r.v, ewma, seen)
             }
             val horizon = (prior.map(_.horizonMs).toSeq ++
               rs.map(_.event_time.getTime) :+ state.getCurrentWatermarkMs()).max
-            state.update(StateCodec.encodeEwma(EwmaTail(recent, horizon)))
+            state.update(StateCodec.encodeEwma(EwmaTail(recent, horizon, seen),
+              stateVersion))
             state.setTimeoutTimestamp(horizon + ttlMs)
             out.iterator
           }

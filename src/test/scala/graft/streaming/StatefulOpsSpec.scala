@@ -960,14 +960,84 @@ class StatefulOpsSpec extends SparkTestBase {
     // second batch must see the first batch's 10: (128*20+64*10)/192 = 16
     assert(got == List(10L, 16L), s"got $got")
 
-    // v1 layout: [n][recent…][horizon] big-endian
+    // v2 (current) layout: [n][recent…][horizon][nSeen] big-endian
+    def hex(b: Array[Byte]) = b.map("%02x".format(_)).mkString
     val enc = StatefulOps.StateCodec.encodeEwma(
-      StatefulOps.EwmaTail(List(7L, 9L), 1234L))
-    assert(enc.version == 1 && enc.payload.length == 4 + 16 + 8)
-    val dec = StatefulOps.StateCodec.decodeEwma(enc)
-    assert(dec == StatefulOps.EwmaTail(List(7L, 9L), 1234L))
+      StatefulOps.EwmaTail(List(7L, 9L), 1234L, nSeen = 5L))
+    assert(enc.version == 2 && hex(enc.payload) ==
+      "00000002" + "0000000000000007" + "0000000000000009" +
+        "00000000000004d2" + "0000000000000005")
+    assert(StatefulOps.StateCodec.decodeEwma(enc) ==
+      StatefulOps.EwmaTail(List(7L, 9L), 1234L, 5L))
+    // v1 GOLDEN BYTES still decode (nSeen defaults to 0 — the field
+    // predates the layout), and the rolling-upgrade encoder still
+    // WRITES them byte-identically
+    val v1Bytes = {
+      val b = java.nio.ByteBuffer.allocate(4 + 16 + 8)
+      b.putInt(2).putLong(7L).putLong(9L).putLong(1234L); b.array()
+    }
+    assert(StatefulOps.StateCodec.decodeEwma(
+        StatefulOps.VersionedState(1, v1Bytes)) ==
+      StatefulOps.EwmaTail(List(7L, 9L), 1234L, 0L))
+    val encV1 = StatefulOps.StateCodec.encodeEwma(
+      StatefulOps.EwmaTail(List(7L, 9L), 1234L, nSeen = 5L), version = 1)
+    assert(encV1.version == 1 && hex(encV1.payload) == hex(v1Bytes))
     assertThrows[IllegalStateException](
       StatefulOps.StateCodec.decodeEwma(StatefulOps.VersionedState(99, Array[Byte]())))
+    // corrupt v2 (v1-sized payload under a v2 tag) is the runbook
+    // failure, not an underflow
+    assertThrows[IllegalStateException](
+      StatefulOps.StateCodec.decodeEwma(StatefulOps.VersionedState(2, v1Bytes)))
+  }
+
+  test("ewmaStream: a v2 engine resumes a committed v1 checkpoint (upgrade drill, both providers)") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.streaming.Trigger
+    val rocks =
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    for (provider <- Seq(None, Some(rocks))) {
+      provider.foreach(
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", _))
+      try {
+        val in = Files.createTempDirectory("graft_ewma_in_")
+        val out = Files.createTempDirectory("graft_ewma_out_").toString
+        val chk = Files.createTempDirectory("graft_ewma_chk_").toString
+        val schema = "user_id LONG, v LONG, ord LONG, event_time TIMESTAMP"
+        def writeBatch(name: String,
+            rows: Seq[(Long, Long, Long, java.sql.Timestamp)]): Unit =
+          rows.toDF("user_id", "v", "ord", "event_time")
+            .coalesce(1).write.parquet(s"$in/$name")
+        def runOnce(version: Int): Unit = {
+          val stream = spark.readStream.schema(schema)
+            .option("latestFirst", "false").parquet(s"$in/*/")
+          val query = StatefulOps.ewmaStream(stream,
+              watermarkDelay = "10 minutes", stateVersion = version)
+            .writeStream.format("json")
+            .option("path", out).option("checkpointLocation", chk)
+            .outputMode("append").trigger(Trigger.AvailableNow()).start()
+          query.awaitTermination(120000)
+        }
+        // run 1: the PREVIOUS engine (v1 state layout) smooths one value
+        writeBatch("b1", Seq((1L, 10L, 1L, ts("2024-01-01 00:00:00"))))
+        runOnce(version = 1)
+        // run 2: the UPGRADED engine (v2 default) resumes that
+        // checkpoint — the smoothing tail must CONTINUE (ewma parity
+        // with an uninterrupted run), and the widened n_seen counter
+        // restarts from the documented v1-decode default of 0
+        writeBatch("b2", Seq(
+          (1L, 20L, 2L, ts("2024-01-01 00:01:00")),
+          (1L, 30L, 3L, ts("2024-01-01 00:01:01"))))
+        runOnce(version = 2)
+        val got = spark.read
+          .schema("key LONG, ord LONG, ewma LONG, n_seen LONG")
+          .json(s"$out/*.json").as[(Long, Long, Long, Long)].collect()
+          .sortBy(_._2).map(r => (r._3, r._4)).toList
+        // ewma: 10; (128*20+64*10)/192 = 16; (128*30+64*20+32*10)/224 = 24
+        assert(got == List((10L, 1L), (16L, 1L), (24L, 2L)),
+          s"provider=$provider got $got")
+      } finally if (provider.isDefined)
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
   }
 
   test("NULL event_time/event_type rows are dropped, never NPE the query (all stateful ops)") {
