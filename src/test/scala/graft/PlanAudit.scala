@@ -79,10 +79,45 @@ object PlanAudit {
     "q198_ann_ivf_pq", // IVF routing pipeline + PQ encode pipeline + ADC rerank
     "q281_ranking_eval") // exact + IVF retrieval pipelines side by side (q167's class)
 
+  val BudgetPath = "tools/expected_exchanges.json"
+
+  /** (shuffle, broadcast) Exchange node counts of a physical-plan
+    * string — the per-query shape invariant `ExchangeBudgetSpec` pins
+    * against [[BudgetPath]]. `ReusedExchange` references are not
+    * counted (they are the OPPOSITE of a regression).
+    */
+  def exchangeCounts(plan: String): (Int, Int) = {
+    val lines = plan.linesIterator.toSeq
+    val bc = lines.count(_.contains("BroadcastExchange"))
+    val sh = lines.count(l =>
+      l.contains("Exchange ") && !l.contains("BroadcastExchange") &&
+        !l.contains("ReusedExchange"))
+    (sh, bc)
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkTestBase.spark
     spark.sparkContext.setLogLevel("WARN")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+    if (args.headOption.contains("--write-budget")) {
+      // freeze every query's exchange counts as the CI budget: a
+      // refactor that silently adds a shuffle then fails
+      // ExchangeBudgetSpec instead of surfacing as a bench regression
+      // rounds later. Regenerate ONLY after reviewing why a plan grew.
+      val rows = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val (sh, bc) = exchangeCounts(
+          fn(spark, dir).queryExecution.executedPlan.toString)
+        println(f"[budget] $name%-28s shuffle=$sh%-2d broadcast=$bc")
+        s"""  "$name": {"shuffle": $sh, "broadcast": $bc}"""
+      }
+      val json = rows.mkString(
+        s"""{\n  "_dir": "$dir",\n""", ",\n", "\n}\n")
+      java.nio.file.Files.write(java.nio.file.Paths.get(BudgetPath),
+        json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      println(s"[budget] wrote ${rows.size} entries -> $BudgetPath")
+      spark.stop(); return
+    }
 
     if (args.headOption.contains("--full")) {
       val name = args(1)
