@@ -6,7 +6,8 @@ import org.apache.spark.sql.SparkSession
   * query registry against each adversarial variant of sf0.01 produced by
   * `tools/make_hostile.py` (empty, single-row, 50%-hot-key skew, a 10 MB
   * document, all-identical embeddings, all-NULL event_time, saturated
-  * shingle vocabulary) and assert the system property the per-op specs
+  * shingle vocabulary, calendar-edge timestamps straddling a year
+  * boundary / leap day / both US DST transitions) and assert the system property the per-op specs
   * cannot: EVERY query completes without OOM/exception and returns its
   * sf0.01 result SCHEMA unchanged (possibly with zero rows).
   *
@@ -16,7 +17,7 @@ import org.apache.spark.sql.SparkSession
 object HostileSweep {
 
   val Variants = Seq("empty", "single", "skew", "bigdoc", "flatvec",
-    "nullts", "satvocab")
+    "nullts", "satvocab", "dst")
 
   /** Per-query wall-clock bound: a hostile input that WEDGES a query
     * (the very first sweep caught chunkTokens re-splitting a 10 MB doc
@@ -26,7 +27,7 @@ object HostileSweep {
 
   def main(args: Array[String]): Unit = {
     val root = args.headOption.getOrElse("target/hostile")
-    val outPath = args.drop(1).headOption.getOrElse("HOSTILE_r16.json")
+    val outPath = args.drop(1).headOption.getOrElse("HOSTILE_r17.json")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -95,7 +96,7 @@ object HostileSweep {
       s"""{"variant":"${r.variant}","query":"${r.query}","err":"${esc(r.err)}"}""")
       .mkString("[", ",", "]")
     val json =
-      s"""{"round":16,"variants":{${byVariant.mkString(",")}},
+      s"""{"round":17,"variants":{${byVariant.mkString(",")}},
          |"contract":"every registered query completes on every hostile variant and preserves its sf0.01 output schema",
          |"n_queries":${SparkEntry.queries.size},"n_failures":${failures.size},
          |"failures":$failJson}""".stripMargin

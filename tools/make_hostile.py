@@ -18,6 +18,12 @@ the driver fixtures) stressing one documented failure class:
              corpus: the 3-gram space saturates, every shingle's df
              grows with n - the bounded-vocabulary regime where the
              bucket caps (not the exponent gate) are the defense
+  dst      - events.ts remapped into four 4-day windows straddling a
+             year boundary (2023-12-31), a leap day (2024-02-29), the
+             US spring-forward (2024-03-10) and fall-back (2024-11-03):
+             UTC epoch-day bucketing must stay calendar-correct through
+             all four edges (the calendar-grain class: daily series,
+             business days, seasonal slots)
 
 Usage: python3 tools/make_hostile.py [srcDir] [outRoot]
 """
@@ -120,7 +126,42 @@ def main(src, root):
         return pa.table(out, schema=tab.schema)
 
     copy_all(src, f"{root}/satvocab", {"documents": satvocab})
-    print(f"[hostile] wrote 7 variants under {root}")
+
+    # dst: round-robin events across four 4-day windows, each straddling
+    # one calendar edge; the event keeps its deterministic in-window
+    # offset (orig epoch-us mod 4 days), so ordering inside a window is
+    # a pure function of the source row. Timestamps stay naive (the
+    # driver's physical flavor) - epoch math avoids local-TZ .timestamp()
+    def dstts(tab):
+        import datetime as dt
+
+        epoch = dt.datetime(1970, 1, 1)
+        window_us = 4 * 86400 * 1_000_000
+
+        def edge(y, m, d, h=0):
+            return int((dt.datetime(y, m, d, h) - epoch).total_seconds())
+
+        anchors = [  # window starts: edge lands mid-window
+            edge(2023, 12, 30),       # year boundary 2023-12-31 -> 01-01
+            edge(2024, 2, 27),        # leap day 2024-02-29
+            edge(2024, 3, 8, 12),     # US spring-forward 2024-03-10
+            edge(2024, 11, 1, 12),    # US fall-back 2024-11-03
+        ]
+        d = tab.to_pydict()
+        out = []
+        for i, t in enumerate(d["ts"]):
+            if t is None:
+                out.append(None)
+                continue
+            orig_us = int((t - epoch).total_seconds() * 1_000_000)
+            off = orig_us % window_us
+            new_us = anchors[i % 4] * 1_000_000 + off
+            out.append(epoch + dt.timedelta(microseconds=new_us))
+        d["ts"] = out
+        return pa.table(d, schema=tab.schema)
+
+    copy_all(src, f"{root}/dst", {"events": dstts})
+    print(f"[hostile] wrote 8 variants under {root}")
 
 
 if __name__ == "__main__":
