@@ -74,6 +74,50 @@ object OracleSql {
        |SELECT node, lab AS label FROM l4 ORDER BY node""".stripMargin
   }
 
+  /** q315's HITS rounds unrolled (the recursive term would need GROUP
+    * BY): each round's authority side joins the prior hub scores, each
+    * hub side the fresh authority scores, both max-normalized to ppm
+    * with the operator's single truncating floor per node; every level
+    * is referenced twice+ → MATERIALIZED (the q293 inlining lesson). */
+  private lazy val q315Sql: String = {
+    val rounds = (1 to 4).map { r =>
+      s"""araw$r AS (SELECT e.dst AS node, CAST(sum(h${r - 1}.ppm) AS HUGEINT)
+         |   AS raw FROM e JOIN h${r - 1} ON h${r - 1}.node = e.src GROUP BY 1),
+         | amx$r AS (SELECT max(raw) AS mx FROM araw$r),
+         | a$r AS MATERIALIZED (SELECT nodes.node,
+         |   CAST(CASE WHEN amx$r.mx > 0
+         |     THEN (COALESCE(araw$r.raw, 0) * 1000000) // amx$r.mx
+         |     ELSE 0 END AS BIGINT) AS ppm
+         |  FROM nodes LEFT JOIN araw$r ON araw$r.node = nodes.node
+         |  CROSS JOIN amx$r),
+         | hraw$r AS (SELECT e.src AS node, CAST(sum(a$r.ppm) AS HUGEINT)
+         |   AS raw FROM e JOIN a$r ON a$r.node = e.dst GROUP BY 1),
+         | hmx$r AS (SELECT max(raw) AS mx FROM hraw$r),
+         | h$r AS MATERIALIZED (SELECT nodes.node,
+         |   CAST(CASE WHEN hmx$r.mx > 0
+         |     THEN (COALESCE(hraw$r.raw, 0) * 1000000) // hmx$r.mx
+         |     ELSE 0 END AS BIGINT) AS ppm
+         |  FROM nodes LEFT JOIN hraw$r ON hraw$r.node = nodes.node
+         |  CROSS JOIN hmx$r)""".stripMargin
+    }.mkString(",\n ")
+    s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+       | raw0 AS (SELECT doc_id AS src,
+       |    (doc_id * (t.i * 2 + 5) + t.i) % nn.n AS dst
+       |   FROM documents, nn,
+       |     unnest(generate_series(1, 1 + CAST(doc_id % 4 AS INT))) AS t(i)),
+       | e AS MATERIALIZED (SELECT DISTINCT src, dst FROM raw0
+       |   WHERE src <> dst),
+       | nodes AS MATERIALIZED (SELECT DISTINCT node FROM (
+       |   SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+       | h0 AS MATERIALIZED (SELECT node, CAST(1000000 AS BIGINT) AS ppm
+       |   FROM nodes),
+       | $rounds
+       |SELECT nodes.node AS node, h4.ppm AS hub_ppm, a4.ppm AS auth_ppm
+       |FROM nodes JOIN h4 ON h4.node = nodes.node
+       | JOIN a4 ON a4.node = nodes.node
+       |ORDER BY nodes.node""".stripMargin
+  }
+
   /** q305's greedy farthest-point traversal, unrolled: round r picks
     * the not-yet-chosen row with max running min-L2² (ties on smaller
     * id), then tightens every row's min distance against it. The L2²
@@ -6024,6 +6068,107 @@ object OracleSql {
     "q308_markov_attribution" -> q308Sql,
 
     "q312_markov_bucketed" -> q312Sql,
+
+    // Hyndman strength features over the q306 decomposition: n-scaled
+    // variance ratios of the milli components, one truncating // per
+    // strength, clamped at 0, NULL on zero denominator variance
+    "q313_seasonal_strength" ->
+      """WITH daily AS (SELECT event_type AS key,
+        |   CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |   CAST(count(*) AS BIGINT) AS y
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        | sp AS (SELECT key, min(day) AS d0, max(day) AS d1 FROM daily
+        |  GROUP BY 1 HAVING max(day) - min(day) < 100000),
+        | g AS (SELECT sp.key, gs.day, CAST(gs.day - sp.d0 + 1 AS BIGINT) AS i
+        |  FROM sp, unnest(generate_series(sp.d0, sp.d1)) AS gs(day)),
+        | se AS (SELECT g.key, g.i, coalesce(d.y, 0) AS y
+        |  FROM g LEFT JOIN daily d ON d.key = g.key AND d.day = g.day),
+        | t AS (SELECT key, i, y,
+        |   CASE WHEN count(*) OVER w = 7
+        |     THEN CAST(sum(y * 1000) OVER w // 7 AS BIGINT) END AS trend
+        |  FROM se WINDOW w AS (PARTITION BY key ORDER BY i
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        | dtr AS (SELECT key, (i - 1) % 7 AS slot, y * 1000 - trend AS det
+        |  FROM t WHERE trend IS NOT NULL),
+        | seas AS (SELECT key, slot,
+        |   CAST(sum(det) // count(*) AS BIGINT) AS seasonal
+        |  FROM dtr GROUP BY 1, 2),
+        | comp AS (SELECT t.key,
+        |   t.y * 1000 - t.trend - seas.seasonal AS r,
+        |   t.y * 1000 - t.trend AS dt,
+        |   t.y * 1000 - seas.seasonal AS ds
+        |  FROM t JOIN seas ON seas.key = t.key AND seas.slot = (t.i - 1) % 7
+        |  WHERE t.trend IS NOT NULL),
+        | agg AS (SELECT key, CAST(count(*) AS BIGINT) AS n,
+        |   CAST(sum(r) AS HUGEINT) AS sr, sum(CAST(r AS HUGEINT) * r) AS qr,
+        |   CAST(sum(dt) AS HUGEINT) AS sdt,
+        |   sum(CAST(dt AS HUGEINT) * dt) AS qdt,
+        |   CAST(sum(ds) AS HUGEINT) AS sds,
+        |   sum(CAST(ds AS HUGEINT) * ds) AS qds
+        |  FROM comp GROUP BY 1),
+        | v AS (SELECT key, n, n * qr - sr * sr AS vr,
+        |   n * qdt - sdt * sdt AS vdt, n * qds - sds * sds AS vds FROM agg)
+        |SELECT key AS event_type, n,
+        | CAST(CASE WHEN vds > 0 THEN
+        |   greatest(1000000 - (vr * 1000000) // vds, 0) END
+        |   AS BIGINT) AS strength_trend_ppm,
+        | CAST(CASE WHEN vdt > 0 THEN
+        |   greatest(1000000 - (vr * 1000000) // vdt, 0) END
+        |   AS BIGINT) AS strength_seasonal_ppm
+        |FROM v ORDER BY event_type""".stripMargin,
+
+    // Wald-Wolfowitz runs: lower-median dichotomization (equal days
+    // dropped), runs via lag, cleared z-squared in HUGEINT lanes; keys
+    // with every day at the median keep a (0,0,0,NULL,false) row
+    "q314_runs_test" ->
+      """WITH daily AS (SELECT event_type AS key,
+        |   CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |   CAST(count(*) AS BIGINT) AS y
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        | sp AS (SELECT key, min(day) AS d0, max(day) AS d1 FROM daily
+        |  GROUP BY 1 HAVING max(day) - min(day) < 100000),
+        | g AS (SELECT sp.key, gs.day, CAST(gs.day - sp.d0 + 1 AS BIGINT) AS i
+        |  FROM sp, unnest(generate_series(sp.d0, sp.d1)) AS gs(day)),
+        | se AS MATERIALIZED (SELECT g.key, g.i, coalesce(d.y, 0) AS y
+        |  FROM g LEFT JOIN daily d ON d.key = g.key AND d.day = g.day),
+        | nn2 AS (SELECT key, CAST(max(i) AS BIGINT) AS n_days FROM se GROUP BY 1),
+        | med AS (SELECT key, y AS med FROM (
+        |   SELECT key, y, row_number() OVER (PARTITION BY key ORDER BY y) AS rn,
+        |     count(*) OVER (PARTITION BY key) AS m FROM se)
+        |  WHERE rn = (m + 1) // 2),
+        | sgn AS (SELECT se.key, se.i,
+        |   CASE WHEN se.y > med.med THEN 1 ELSE -1 END AS s
+        |  FROM se JOIN med ON med.key = se.key WHERE se.y <> med.med),
+        | srk AS (SELECT key, s,
+        |   lag(s) OVER (PARTITION BY key ORDER BY i) AS prev FROM sgn),
+        | st AS (SELECT key,
+        |   CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+        |   CAST(sum(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+        |   CAST(1 + sum(CASE WHEN prev IS NOT NULL AND s <> prev
+        |     THEN 1 ELSE 0 END) AS BIGINT) AS runs
+        |  FROM srk GROUP BY 1),
+        | v AS (SELECT nn2.key, nn2.n_days,
+        |   COALESCE(st.n_above, 0) AS n_above,
+        |   COALESCE(st.n_below, 0) AS n_below,
+        |   COALESCE(st.runs, 0) AS runs,
+        |   COALESCE(st.n_above, 0) + COALESCE(st.n_below, 0) AS nnx,
+        |   2 * COALESCE(st.n_above, 0) * COALESCE(st.n_below, 0) AS ax
+        |  FROM nn2 LEFT JOIN st ON st.key = nn2.key),
+        | w AS (SELECT *, runs * nnx - nnx - ax AS dx FROM v)
+        |SELECT key AS event_type, n_days, n_above, n_below, runs,
+        | CAST(CASE WHEN CAST(ax AS HUGEINT) * (ax - nnx) > 0 THEN
+        |   CAST(sign(dx) AS BIGINT)
+        |     * ((1000 * CAST(abs(dx) AS HUGEINT) * abs(dx) * (nnx - 1))
+        |        // (CAST(ax AS HUGEINT) * (ax - nnx))) END
+        |   AS BIGINT) AS z2_signed_milli,
+        | COALESCE(CAST(ax AS HUGEINT) * (ax - nnx) > 0
+        |   AND 10000 * CAST(abs(dx) AS HUGEINT) * abs(dx) * (nnx - 1)
+        |     > 38416 * CAST(ax AS HUGEINT) * (ax - nnx), false) AS significant
+        |FROM w ORDER BY event_type""".stripMargin,
+
+    "q315_hits" -> q315Sql,
 
     // RAKE: stopword-free runs, deg/freq word scores (one floor),
     // phrase = sum of member scores; stopword list generated from

@@ -4449,6 +4449,45 @@ object SparkEntry {
         col("event_id"), convType = "purchase", topChannels = 10)
       .orderBy("channel")
 
+  /** Trend/seasonal strength features
+    * ([[ops.TimeSeries.seasonalStrength]]): per event type, the
+    * Hyndman `max(0, 1 − Var(resid)/Var(component + resid))` pair in
+    * exact ppm over the q306 decomposition — the model-selection
+    * readout that says whether q295's seasonal model or q289's trend
+    * model fits this metric at all. */
+  private def q313(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.seasonalStrength(Tables.events(s, dir), col("event_type"),
+        col("ts"), m = 7)
+      .withColumnRenamed("key", "event_type")
+      .orderBy("event_type")
+
+  /** Wald–Wolfowitz runs test ([[ops.TimeSeries.runsTest]]): per event
+    * type, are above/below-median days randomly interleaved — the
+    * regime-persistence readout (too FEW runs = clustering/trend, too
+    * MANY = oscillation) with the z² cleared in exact integers. */
+  private def q314(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.runsTest(Tables.events(s, dir), col("event_type"), col("ts"))
+      .withColumnRenamed("key", "event_type")
+      .orderBy("event_type")
+
+  /** HITS hubs & authorities ([[ops.Graph.hits]]): 4 synchronous
+    * max-normalized ppm rounds over the q302 synthetic digraph KEPT
+    * DIRECTED — the link-analysis family member that separates
+    * "points at good pages" from "is pointed at by good hubs", next to
+    * PageRank (q124), triangles (q148), k-core (q293) and label
+    * propagation (q302). */
+  private def q315(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id")
+    val n = math.max(docs.count(), 1L)
+    val edges = docs
+      .select(col("doc_id"),
+        explode(expr("sequence(1, 1 + CAST(doc_id % 4 AS INT))")).as("i"))
+      .select(col("doc_id").as("src"),
+        ((col("doc_id") * (col("i") * 2 + 5) + col("i")) % n).as("dst"))
+    Graph.hits(edges, col("src"), col("dst"), rounds = 4)
+      .orderBy("node")
+  }
+
   /** Ordered LISTAGG / STRING_AGG (the SQL:2016 T625 surface): per
     * nation, the top-5 suppliers by account balance concatenated in
     * rank order — `sort_array(collect_list(struct))` + `slice` +
@@ -5458,7 +5497,10 @@ object SparkEntry {
     "q309_rake_keyphrases" -> q309 _,
     "q310_decayed_popularity" -> q310 _,
     "q311_nelson_aalen" -> q311 _,
-    "q312_markov_bucketed" -> q312 _
+    "q312_markov_bucketed" -> q312 _,
+    "q313_seasonal_strength" -> q313 _,
+    "q314_runs_test" -> q314 _,
+    "q315_hits" -> q315 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

@@ -303,6 +303,74 @@ object Graph {
     labels
   }
 
+  /** HITS hubs & authorities (Kleinberg 1999) on the DIRECTED edge
+    * list, fixed `rounds` synchronous iterations in exact integer ppm —
+    * the link-analysis companion to [[pageRankPpm]] that separates
+    * "points at good pages" (hub) from "is pointed at by good hubs"
+    * (authority), the curation signal for directory/spam-farm shapes a
+    * single centrality conflates. Per round: `a(v) = Σ_{u→v} h(u)` then
+    * `h(u) = Σ_{u→v} a(v)`, each side MAX-normalized to ppm with ONE
+    * truncating floor per node (`ppm = raw·10⁶ DIV max(raw)` — the
+    * integer-deterministic stand-in for the paper's L2 norm: same
+    * ranking, bit-replayable; products run in DECIMAL(38,0) so degree
+    * × 10⁶ cannot wrap). Self-loops and duplicate edges are dropped
+    * (canonicalization, the [[triangleCounts]] precedent); a fixed
+    * horizon, not convergence, defines the output (the
+    * [[labelPropagation]] contract).
+    *
+    * Scale shape per round: two keyed join+aggregate passes over the
+    * edge list plus a ONE-ROW max broadcast per side; scores are
+    * eagerly `localCheckpoint`ed (the [[pageRankPpm]] lineage
+    * contract). Nothing all-pairs, nothing row².
+    *
+    * Output: `(node, hub_ppm, auth_ppm)` after `rounds` rounds; nodes
+    * with no out-edges (in-edges) score 0 on the hub (authority) side.
+    */
+  def hits(
+      edges: DataFrame,
+      srcCol: Column,
+      dstCol: Column,
+      rounds: Int = 4
+  ): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    val e = edges.filter(srcCol.isNotNull && dstCol.isNotNull)
+      .select(srcCol.as("src"), dstCol.as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
+    def normalize(raw: DataFrame): DataFrame = {
+      val mx = raw.agg(max(col("__raw")).as("__mx"))
+      nodes.join(raw, Seq("node"), "left")
+        .crossJoin(broadcast(mx))
+        .select(col("node"),
+          when(col("__mx") > 0, expr(
+            "CAST((CAST(coalesce(__raw, CAST(0 AS BIGINT)) AS DECIMAL(38,0))" +
+              " * 1000000) DIV __mx AS BIGINT)"))
+            .otherwise(lit(0L)).as("ppm"))
+        .localCheckpoint(true)
+    }
+    var hub = nodes.select(col("node"), lit(1000000L).as("ppm"))
+      .localCheckpoint(true)
+    var auth = hub
+    for (_ <- 1 to rounds) {
+      auth = normalize(e
+        .join(hub.select(col("node").as("src"), col("ppm").as("__h")), Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("__h")).as("__raw")))
+      hub = normalize(e
+        .join(auth.select(col("node").as("dst"), col("ppm").as("__a")), Seq("dst"))
+        .groupBy(col("src").as("node"))
+        .agg(sum(col("__a")).as("__raw")))
+    }
+    nodes
+      .join(hub.select(col("node"), col("ppm").as("hub_ppm")), Seq("node"))
+      .join(auth.select(col("node"), col("ppm").as("auth_ppm")), Seq("node"))
+      .select(col("node"), col("hub_ppm"), col("auth_ppm"))
+  }
+
   /** k-core decomposition by iterative peel (Seidman 1983; the
     * Matula–Beck algorithm's bulk-synchronous form): repeatedly delete
     * every node of degree < k until the fixpoint — what survives is

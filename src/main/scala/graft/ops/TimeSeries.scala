@@ -1377,6 +1377,125 @@ object TimeSeries {
     * oracle's HUGEINT lanes replay them — same values, no silent
     * non-ANSI wrap on one side only).
     */
+  /** Trend/seasonal STRENGTH features (Wang, Smith & Hyndman 2006; the
+    * `feasts`/tsfeatures measures) read off the [[seasonalDecompose]]
+    * components in exact integer ppm — the model-selection readout
+    * ("is this series worth a seasonal model, a trend model, or
+    * neither?") that turns the decomposition into two comparable
+    * numbers per key:
+    * `strength_trend = max(0, 1 − Var(resid)/Var(trend + resid))`,
+    * `strength_seasonal = max(0, 1 − Var(resid)/Var(seasonal + resid))`
+    * — both over the FULL-WINDOW rows only (the decomposition's NULL
+    * edges carry no components). Variances compare as n-scaled sums of
+    * squares (`n·Σx² − (Σx)²` — same n both sides, so the common
+    * factor cancels), one truncating DIV per strength, DECIMAL(38,0)
+    * lanes (milli components square past BIGINT for large daily
+    * counts). NULL when the denominator variance is 0 (a flat
+    * deseasoned/detrended series — the ratio is undefined, not 0 or
+    * 1); the clamp at 0 mirrors the published definition.
+    *
+    * Scale shape: [[seasonalDecompose]]'s keyed shuffles + ONE more
+    * key-grain hash aggregate — nothing new beyond the decomposition
+    * it reads.
+    */
+  def seasonalStrength(
+      df: DataFrame,
+      keyCol: Column,
+      tsCol: Column,
+      m: Int = 7
+  ): DataFrame = {
+    val d38 = "DECIMAL(38,0)"
+    seasonalDecompose(df, keyCol, tsCol, m)
+      .filter(col("residual_milli").isNotNull)
+      .select(col("key"),
+        col("residual_milli").as("__r"),
+        (col("y") * 1000L - col("trend_milli")).as("__dt"),
+        (col("y") * 1000L - col("seasonal_milli")).as("__ds"))
+      .groupBy("key")
+      .agg(count(lit(1)).as("n"),
+        sum(expr(s"CAST(__r AS $d38)")).as("__sr"),
+        sum(expr(s"CAST(__r AS $d38) * __r")).as("__qr"),
+        sum(expr(s"CAST(__dt AS $d38)")).as("__sdt"),
+        sum(expr(s"CAST(__dt AS $d38) * __dt")).as("__qdt"),
+        sum(expr(s"CAST(__ds AS $d38)")).as("__sds"),
+        sum(expr(s"CAST(__ds AS $d38) * __ds")).as("__qds"))
+      .withColumn("__vr", expr("n * __qr - __sr * __sr"))
+      .withColumn("__vdt", expr("n * __qdt - __sdt * __sdt"))
+      .withColumn("__vds", expr("n * __qds - __sds * __sds"))
+      .withColumn("strength_trend_ppm",
+        when(col("__vds") > 0, expr(
+          """greatest(CAST(1000000 AS BIGINT)
+            |  - CAST((__vr * 1000000) DIV __vds AS BIGINT),
+            |  CAST(0 AS BIGINT))""".stripMargin)))
+      .withColumn("strength_seasonal_ppm",
+        when(col("__vdt") > 0, expr(
+          """greatest(CAST(1000000 AS BIGINT)
+            |  - CAST((__vr * 1000000) DIV __vdt AS BIGINT),
+            |  CAST(0 AS BIGINT))""".stripMargin)))
+      .select(col("key"), col("n"), col("strength_trend_ppm"),
+        col("strength_seasonal_ppm"))
+  }
+
+  /** Wald–Wolfowitz runs test (1940) on the gap-filled daily count
+    * series: are above-median and below-median days RANDOMLY
+    * interleaved, or do they cluster (trend/regime persistence — fewer
+    * runs than chance) or alternate (oscillation — more)? Days equal
+    * to the LOWER median are dropped (the classical dichotomization);
+    * with `n₁`/`n₂` days above/below, `N = n₁+n₂`, `A = 2n₁n₂` and `R`
+    * runs, the z² clears in exact integers — from
+    * `E[R] = 1 + A/N` and `Var = A(A−N)/(N²(N−1))`, multiplying
+    * through by N²(N−1): with `d = R·N − N − A`,
+    * `significant ⟺ 10000·d²·(N−1) > 38416·A·(A−N)` and
+    * `z2_signed_milli = sign(d)·(1000·d²·(N−1)) DIV (A·(A−N))` (sign
+    * +: more runs than expected = anti-persistence; −: clustering).
+    * d² runs in DECIMAL(38,0) lanes (|d| ≤ N²; the [[mannKendall]]
+    * overflow lesson applied from day one). NULL when every kept day
+    * is on one side (A·(A−N) = 0 — the statistic is undefined).
+    *
+    * Scale shape: the [[dailyCountSeries]] shuffles + O(span) array
+    * folds — the lag structure lives inside each key's bounded array.
+    */
+  def runsTest(
+      df: DataFrame,
+      keyCol: Column,
+      tsCol: Column
+  ): DataFrame =
+    dailyCountSeries(df, keyCol, tsCol)
+      .withColumn("__med", expr(
+        "element_at(array_sort(ys), CAST((n_days + 1) DIV 2 AS INT))"))
+      .withColumn("__signs", expr(
+        """filter(transform(ys, y -> CASE WHEN y > __med THEN 1
+          |  WHEN y < __med THEN -1 ELSE 0 END), s -> s != 0)""".stripMargin))
+      .withColumn("n_above",
+        expr("CAST(size(filter(__signs, s -> s = 1)) AS BIGINT)"))
+      .withColumn("n_below",
+        expr("CAST(size(filter(__signs, s -> s = -1)) AS BIGINT)"))
+      .withColumn("runs", expr(
+        """CASE WHEN size(__signs) <= 1 THEN CAST(size(__signs) AS BIGINT)
+          |  ELSE 1 + CAST(size(filter(sequence(2, size(__signs)),
+          |    i -> element_at(__signs, i)
+          |      != element_at(__signs, CAST(i - 1 AS INT)))) AS BIGINT)
+          |END""".stripMargin))
+      .withColumn("__nn", col("n_above") + col("n_below"))
+      .withColumn("__a", expr("2 * n_above * n_below"))
+      .withColumn("__d", expr("runs * __nn - __nn - __a"))
+      .withColumn("z2_signed_milli",
+        when(expr("CAST(__a AS DECIMAL(38,0)) * (__a - __nn) > 0"), expr(
+          """CAST(sign(__d) AS BIGINT)
+            |  * CAST((1000 * CAST(abs(__d) AS DECIMAL(38,0)) * abs(__d)
+            |          * (__nn - 1))
+            |      DIV (CAST(__a AS DECIMAL(38,0)) * (__a - __nn))
+            |      AS BIGINT)""".stripMargin)))
+      .withColumn("significant",
+        coalesce(expr(
+          """CAST(__a AS DECIMAL(38,0)) * (__a - __nn) > 0
+            |  AND 10000 * CAST(abs(__d) AS DECIMAL(38,0)) * abs(__d)
+            |      * (__nn - 1)
+            |    > 38416 * CAST(__a AS DECIMAL(38,0)) * (__a - __nn)""".stripMargin),
+          lit(false)))
+      .select(col("key"), col("n_days"), col("n_above"), col("n_below"),
+        col("runs"), col("z2_signed_milli"), col("significant"))
+
   def mannKendall(
       df: DataFrame,
       keyCol: Column,

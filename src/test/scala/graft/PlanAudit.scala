@@ -66,7 +66,8 @@ object PlanAudit {
     "q286_intervention_impact", // keys × ONE-row max-day anchor (q278's class)
     "q287_log_rank", // ONE-row max-day + ONE-row arm-totals broadcasts; durs × 2-row arm grid
     "q290_ab_trajectory", // ONE-row day-bounds broadcast; days × 2-row arm grid
-    "q281_ranking_eval") // composes q37's AND q41's broadcast scans (q167's class)
+    "q281_ranking_eval", // composes q37's AND q41's broadcast scans (q167's class)
+    "q315_hits") // per-round ONE-ROW max-normalization broadcasts (q178's anchor class)
 
   /** Queries whose DESIGN composes several complete pipelines, so their
     * exchange count legitimately exceeds the single-pipeline budget —

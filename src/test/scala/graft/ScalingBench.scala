@@ -94,6 +94,9 @@ object ScalingBench {
     Q("q310_decayed_popularity", "events"),
     Q("q311_nelson_aalen", "events"),
     Q("q312_markov_bucketed", "events"),
+    Q("q313_seasonal_strength", "events"),
+    Q("q314_runs_test", "events"),
+    Q("q315_hits", "documents"),
     Q("q37_cosine_topk", "embeddings", gated = false),
     Q("q38_embed_neardup", "embeddings", gated = false))
 
@@ -136,6 +139,9 @@ object ScalingBench {
     Q("q310_decayed_popularity", "events"),
     Q("q311_nelson_aalen", "events"),
     Q("q312_markov_bucketed", "events"),
+    Q("q313_seasonal_strength", "events"),
+    Q("q314_runs_test", "events"),
+    Q("q315_hits", "documents"),
     Q("q37_cosine_topk", "embeddings", gated = false),
     Q("q38_embed_neardup", "embeddings", gated = false))
 

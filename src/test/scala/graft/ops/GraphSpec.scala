@@ -180,6 +180,34 @@ class GraphSpec extends SparkTestBase {
       s"got $got")
   }
 
+  test("hits: hand chain — hub/authority separate; dup edges and self-loops dropped") {
+    // 1->3, 2->3, 3->4 (plus a duplicate 1->3 and a self-loop 2->2,
+    // both canonicalized away). Four max-normalized ppm rounds:
+    // auth: 3 = 1e6 every round, 4 halves each round (5e5, 2.5e5,
+    // 1.25e5, 62500); hub: 1 = 2 = 1e6, 3 follows 4's auth one step
+    // behind (ends 62500), 4 has no out-edges -> 0
+    val e = Seq((1L, 3L), (1L, 3L), (2L, 2L), (2L, 3L), (3L, 4L))
+      .toDF("src", "dst")
+    val got = Graph.hits(e, col("src"), col("dst"), rounds = 4)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(
+      1L -> ((1000000L, 0L)), 2L -> ((1000000L, 0L)),
+      3L -> ((62500L, 1000000L)), 4L -> ((0L, 62500L))), s"got $got")
+  }
+
+  test("hits: empty edges stay empty with schema; a lone cycle saturates both sides") {
+    val empty = Graph.hits(Seq.empty[(Long, Long)].toDF("src", "dst"),
+      col("src"), col("dst"))
+    assert(empty.count() == 0L)
+    assert(empty.columns.toSeq == Seq("node", "hub_ppm", "auth_ppm"))
+    // 1->2->1: perfectly symmetric, every score pins at the max -> 1e6
+    val cyc = Graph.hits(Seq((1L, 2L), (2L, 1L)).toDF("src", "dst"),
+        col("src"), col("dst"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(cyc == Set((1L, 1000000L, 1000000L), (2L, 1000000L, 1000000L)),
+      s"got $cyc")
+  }
+
   test("kCore: k above the max degree empties; empty input stays empty with schema") {
     val e = Seq((0L, 1L), (1L, 2L)).toDF("src", "dst")
     val got = Graph.kCore(e, col("src"), col("dst"), k = 5)

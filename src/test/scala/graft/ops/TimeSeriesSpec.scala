@@ -506,6 +506,63 @@ class TimeSeriesSpec extends SparkTestBase {
     assert(got == Seq(("a", 6L, 3L, 1960L, 1520L, 1289L)), s"got $got")
   }
 
+  test("seasonalStrength: pure-seasonal and pure-trend keys land where they should") {
+    // key a = the q306 fixture [1,5,3,7,5,9] (m=3): full-window rows
+    // i=2..5 have residuals [2000,0,0,-2000] (vr=3.2e7), detrended
+    // [2000,-2000,2000,-2000] (vdt=6.4e7), deseasoned all 5000 (vds=0):
+    // strength_seasonal = 1e6 - 3.2e7*1e6 DIV 6.4e7 = 500000;
+    // strength_trend NULL (flat deseasoned series - undefined, not 0)
+    val a = Seq(1, 5, 3, 7, 5, 9).zipWithIndex.flatMap { case (n, d) =>
+      onDay(d, n) }
+    // key b = pure trend [1,2,3,4,5,6]: residuals all 0, detrended all
+    // 0 (vdt=0 -> seasonal NULL), deseasoned = the trend itself
+    // (vds=2e7 > 0) -> strength_trend = 1e6 exactly
+    val b = Seq(1, 2, 3, 4, 5, 6).zipWithIndex.flatMap { case (n, d) =>
+      onDay(d, n, "b") }
+    val got = TimeSeries.seasonalStrength((a ++ b).toDF("k", "ts"),
+        col("k"), col("ts"), m = 3)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    assert(got("a") == ((4L, None, Some(500000L))), s"got $got")
+    assert(got("b") == ((4L, Some(1000000L), None)), s"got $got")
+  }
+
+  test("runsTest: hand case — runs, cleared z2; degenerate keys report NULL") {
+    // counts [1,5,2,6,3,7]: lower median 3; signs (3 dropped)
+    // -,+,-,+,+ -> runs 4, n_above 3, n_below 2; N=5 A=12
+    // d = 4*5-5-12 = 3 -> z2 = (1000*9*4) DIV 84 = 428, not significant
+    val rows = Seq(1, 5, 2, 6, 3, 7).zipWithIndex.flatMap { case (n, d) =>
+      onDay(d, n) }
+    // constant series: every day equals the median -> all dropped
+    val flat = Seq(2, 2, 2).zipWithIndex.flatMap { case (n, d) =>
+      onDay(d, n, "flat") }
+    val got = TimeSeries.runsTest((rows ++ flat).toDF("k", "ts"),
+        col("k"), col("ts"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) None else Some(r.getLong(5)),
+          r.getBoolean(6)))).toMap
+    assert(got("a") == ((6L, 3L, 2L, 4L, Some(428L), false)), s"got $got")
+    assert(got("flat") == ((3L, 0L, 0L, 0L, None, false)), s"got $got")
+  }
+
+  test("runsTest: a long clustered split clears significance with NEGATIVE sign") {
+    // 8 low days, one median day (dropped), 8 high days: lower median
+    // of the 17 counts is the middle 5, so signs are -x8 then +x8 ->
+    // runs = 2 (maximal clustering). n1 = n2 = 8, N = 16, A = 128,
+    // d = 2*16 - 16 - 128 = -112:
+    // z2 = -(1000*12544*15) DIV (128*112) = -13125;
+    // cleared: 10000*12544*15 = 1.88e9 > 38416*14336 = 5.5e8 -> true
+    val rows = (Seq.fill(8)(1) ++ Seq(5) ++ Seq.fill(8)(9)).zipWithIndex
+      .flatMap { case (n, d) => onDay(d, n) }
+    val r = TimeSeries.runsTest(rows.toDF("k", "ts"), col("k"), col("ts"))
+      .collect().head
+    assert(r.getLong(4) == 2L && r.getLong(5) == -13125L && r.getBoolean(6),
+      s"got $r")
+  }
+
   test("mannKendall: monotone trend vs constant series (NULL z2, never-NULL significant)") {
     // increasing [1,2,3,4]: S=6, no ties, var18 = 4*3*13 = 156,
     // z2 = (18000*25) DIV 156 = 2884; cleared test: 4.5e6 > 5.99e6 false
