@@ -53,7 +53,10 @@ object OracleSql {
     * node adopts the most frequent neighbor label, frequency ties on
     * the smallest label. Labels tables MATERIALIZED (the q293Sql
     * inlining lesson). */
-  private lazy val q302Sql: String = {
+  /** Shared WITH-chain: the q302 synthetic graph (canonical undirected
+    * `und`, symmetric `sym`) plus 4 unrolled LPA rounds ending at `l4`
+    * — reused by q302 (the labels) and q316 (modularity OF them). */
+  private lazy val lpaChainPrefix: String = {
     val rounds = (0 until 4).map { r =>
       s"""c$r AS (SELECT s.a AS node, l.lab, count(*) AS cnt
          |   FROM sym s JOIN l$r l ON l.node = s.b GROUP BY 1, 2),
@@ -65,14 +68,76 @@ object OracleSql {
        | raw AS (SELECT doc_id AS src, (doc_id * (t.i * 2 + 5) + t.i) % nn.n AS dst
        |   FROM documents, nn,
        |     unnest(generate_series(1, 1 + CAST(doc_id % 4 AS INT))) AS t(i)),
-       | und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
-       |   FROM raw WHERE src <> dst),
+       | und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u,
+       |   greatest(src, dst) AS v FROM raw WHERE src <> dst),
        | sym AS MATERIALIZED (SELECT u AS a, v AS b FROM und
        |   UNION ALL SELECT v, u FROM und),
        | l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS lab FROM sym),
-       | $rounds
-       |SELECT node, lab AS label FROM l4 ORDER BY node""".stripMargin
+       | $rounds""".stripMargin
   }
+
+  private lazy val q302Sql: String =
+    lpaChainPrefix + "\nSELECT node, lab AS label FROM l4 ORDER BY node"
+
+  /** q316: Newman modularity decomposition of the q302 LPA partition —
+    * per-community internal edges + summed degrees over the SAME
+    * graph, one HUGEINT floor per community. */
+  private lazy val q316Sql: String = lpaChainPrefix +
+    """,
+      | mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM und),
+      | ein AS (SELECT la.lab AS label, CAST(count(*) AS BIGINT) AS e_in
+      |  FROM und JOIN l4 la ON la.node = und.u
+      |   JOIN l4 lb ON lb.node = und.v
+      |  WHERE la.lab = lb.lab GROUP BY 1),
+      | degs AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS d
+      |  FROM sym GROUP BY 1),
+      | ds AS (SELECT l4.lab AS label, CAST(count(*) AS BIGINT) AS n_nodes,
+      |   CAST(sum(coalesce(degs.d, 0)) AS BIGINT) AS deg_sum
+      |  FROM l4 LEFT JOIN degs ON degs.node = l4.node GROUP BY 1)
+      |SELECT ds.label, ds.n_nodes, COALESCE(ein.e_in, 0) AS e_in,
+      | ds.deg_sum,
+      | CAST(CASE WHEN mm.m > 0 THEN
+      |   ((4 * CAST(mm.m AS HUGEINT) * COALESCE(ein.e_in, 0)
+      |     - CAST(ds.deg_sum AS HUGEINT) * ds.deg_sum) * 1000000)
+      |   // (4 * CAST(mm.m AS HUGEINT) * mm.m) END AS BIGINT)
+      |   AS q_contrib_ppm
+      |FROM ds LEFT JOIN ein ON ein.label = ds.label CROSS JOIN mm
+      |ORDER BY ds.label""".stripMargin
+
+  /** q317: degree assortativity over the symmetrized edge list, the
+    * spearman signed-r² decomposition with the crossCorr magnitude
+    * guard. */
+  private lazy val q317Sql: String =
+    """WITH nn AS (SELECT count(*) AS n FROM documents),
+      | raw AS (SELECT doc_id AS src, (doc_id * (t.i * 2 + 5) + t.i) % nn.n AS dst
+      |   FROM documents, nn,
+      |     unnest(generate_series(1, 1 + CAST(doc_id % 4 AS INT))) AS t(i)),
+      | und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+      |   FROM raw WHERE src <> dst),
+      | sym AS MATERIALIZED (SELECT u AS a, v AS b FROM und
+      |   UNION ALL SELECT v, u FROM und),
+      | degs AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS d
+      |  FROM sym GROUP BY 1),
+      | j AS (SELECT dx.d AS x, dy.d AS y FROM sym
+      |  JOIN degs dx ON dx.node = sym.a JOIN degs dy ON dy.node = sym.b),
+      | agg AS (SELECT CAST(count(*) AS BIGINT) AS n_ends,
+      |   CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+      |   sum(CAST(x AS HUGEINT) * x) AS qx,
+      |   sum(CAST(y AS HUGEINT) * y) AS qy,
+      |   sum(CAST(x AS HUGEINT) * y) AS qxy,
+      |   CAST(max(x) AS HUGEINT) AS mx, CAST(max(y) AS HUGEINT) AS my
+      |  FROM j),
+      | v AS (SELECT n_ends, n_ends * qxy - sx * sy AS cov,
+      |   n_ends * qx - sx * sx AS vx, n_ends * qy - sy * sy AS vy,
+      |   mx, my FROM agg)
+      |SELECT n_ends,
+      | CAST(CASE WHEN CAST(n_ends AS HUGEINT) * n_ends * mx * my
+      |     <= 300000000000000000 AND vx > 0 AND vy > 0 THEN
+      |   (CASE WHEN cov < 0 THEN -1 ELSE 1 END)
+      |   * (((cov * cov * 1000) // (vx * vy)) * 1000
+      |      + (((cov * cov * 1000) % (vx * vy)) * 1000) // (vx * vy))
+      |   END AS BIGINT) AS r2_signed_ppm
+      |FROM v ORDER BY n_ends""".stripMargin
 
   /** q315's HITS rounds unrolled (the recursive term would need GROUP
     * BY): each round's authority side joins the prior hub scores, each
@@ -6169,6 +6234,10 @@ object OracleSql {
         |FROM w ORDER BY event_type""".stripMargin,
 
     "q315_hits" -> q315Sql,
+
+    "q316_modularity" -> q316Sql,
+
+    "q317_assortativity" -> q317Sql,
 
     // RAKE: stopword-free runs, deg/freq word scores (one floor),
     // phrase = sum of member scores; stopword list generated from

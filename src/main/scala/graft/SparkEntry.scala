@@ -4313,17 +4313,10 @@ object SparkEntry {
     * smallest-label tie-break — the community-detection family member
     * next to components (q46), PageRank (q124), triangles (q148) and
     * k-core (q293). */
-  private def q302(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir).select("doc_id")
-    val n = math.max(docs.count(), 1L)
-    val edges = docs
-      .select(col("doc_id"),
-        explode(expr("sequence(1, 1 + CAST(doc_id % 4 AS INT))")).as("i"))
-      .select(col("doc_id").as("src"),
-        ((col("doc_id") * (col("i") * 2 + 5) + col("i")) % n).as("dst"))
-    Graph.labelPropagation(edges, col("src"), col("dst"), rounds = 4)
+  private def q302(s: SparkSession, dir: String): DataFrame =
+    Graph.labelPropagation(syntheticEdges(s, dir), col("src"), col("dst"),
+        rounds = 4)
       .orderBy("node")
-  }
 
   /** Tokenizer fertility audit: per language, BPE tokens per word and
     * characters per BPE token in milli — the tokenizer-efficiency
@@ -4476,17 +4469,42 @@ object SparkEntry {
     * "points at good pages" from "is pointed at by good hubs", next to
     * PageRank (q124), triangles (q148), k-core (q293) and label
     * propagation (q302). */
-  private def q315(s: SparkSession, dir: String): DataFrame = {
+  private def q315(s: SparkSession, dir: String): DataFrame =
+    Graph.hits(syntheticEdges(s, dir), col("src"), col("dst"), rounds = 4)
+      .orderBy("node")
+
+  /** The q302 synthetic digraph, shared by the graph-readout queries. */
+  private def syntheticEdges(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select("doc_id")
     val n = math.max(docs.count(), 1L)
-    val edges = docs
+    docs
       .select(col("doc_id"),
         explode(expr("sequence(1, 1 + CAST(doc_id % 4 AS INT))")).as("i"))
       .select(col("doc_id").as("src"),
         ((col("doc_id") * (col("i") * 2 + 5) + col("i")) % n).as("dst"))
-    Graph.hits(edges, col("src"), col("dst"), rounds = 4)
-      .orderBy("node")
   }
+
+  /** Partition modularity ([[ops.Graph.modularityPpm]]): was q302's
+    * label-propagation clustering any GOOD — each community's exact
+    * `(4m·e_c − d_c²)·10⁶ DIV 4m²` contribution over the same graph,
+    * the Newman–Girvan quality decomposition in one floored ppm lane
+    * per community. */
+  private def q316(s: SparkSession, dir: String): DataFrame = {
+    val edges = syntheticEdges(s, dir)
+    val labels = Graph.labelPropagation(edges, col("src"), col("dst"),
+      rounds = 4)
+    Graph.modularityPpm(edges, col("src"), col("dst"), labels)
+      .orderBy("label")
+  }
+
+  /** Degree assortativity ([[ops.Graph.degreeAssortativityPpm]]): do
+    * the synthetic graph's hubs link to hubs — the one-row signed
+    * r²-ppm fingerprint (spearman decomposition, no sqrt) that decides
+    * skew strategy before any graph job. */
+  private def q317(s: SparkSession, dir: String): DataFrame =
+    Graph.degreeAssortativityPpm(syntheticEdges(s, dir),
+        col("src"), col("dst"))
+      .orderBy("n_ends")
 
   /** Ordered LISTAGG / STRING_AGG (the SQL:2016 T625 surface): per
     * nation, the top-5 suppliers by account balance concatenated in
@@ -5500,7 +5518,9 @@ object SparkEntry {
     "q312_markov_bucketed" -> q312 _,
     "q313_seasonal_strength" -> q313 _,
     "q314_runs_test" -> q314 _,
-    "q315_hits" -> q315 _
+    "q315_hits" -> q315 _,
+    "q316_modularity" -> q316 _,
+    "q317_assortativity" -> q317 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

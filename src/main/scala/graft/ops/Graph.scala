@@ -371,6 +371,117 @@ object Graph {
       .select(col("node"), col("hub_ppm"), col("auth_ppm"))
   }
 
+  /** Newman modularity of a community partition in exact integer ppm
+    * (Newman & Girvan 2004) — the "was that clustering any good"
+    * readout for [[labelPropagation]]'s output (or any (node, label)
+    * table): per community `c` with `e_c` internal edges and `d_c`
+    * summed member degrees over an undirected graph of `m` edges,
+    * `Q = Σ_c (e_c/m − (d_c/2m)²) = Σ_c (4m·e_c − d_c²) / (4m²)`.
+    * Each community's contribution floors ONCE
+    * (`(4m·e_c − d_c²)·10⁶ DIV 4m²`, DECIMAL(38,0) lanes — 4m²
+    * passes BIGINT beyond m ≈ 1.5·10⁹ edges), so the per-community
+    * rows are the decomposition and their exact sum is the partition's
+    * Q up to one floor per community — deterministic in any engine.
+    * Nodes missing from `labels` contribute degree to no community
+    * (their edges can still be internal to nothing) — feed a TOTAL
+    * assignment for textbook Q.
+    *
+    * Scale shape: canonicalize + two label joins + two hash aggregates
+    * — all keyed on node/community, nothing pairwise.
+    *
+    * Output per community: `label`, `n_nodes`, `e_in`, `deg_sum`,
+    * `q_contrib_ppm` (can be negative — a community worse than random).
+    */
+  def modularityPpm(
+      edges: DataFrame,
+      srcCol: Column,
+      dstCol: Column,
+      labels: DataFrame
+  ): DataFrame = {
+    val d38 = "DECIMAL(38,0)"
+    val und = undirected(edges, srcCol, dstCol).localCheckpoint(true)
+    val lab = labels.select(col("node"), col("label")).localCheckpoint(true)
+    val withLabs = und
+      .join(lab.select(col("node").as("u"), col("label").as("__lu")), Seq("u"))
+      .join(lab.select(col("node").as("v"), col("label").as("__lv")), Seq("v"))
+    val eIn = withLabs.filter(col("__lu") === col("__lv"))
+      .groupBy(col("__lu").as("label"))
+      .agg(count(lit(1)).as("e_in"))
+    val deg = und.select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("__d"))
+    val dSum = lab.join(deg, Seq("node"), "left")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(coalesce(col("__d"), lit(0L))).as("deg_sum"))
+    val m = und.agg(count(lit(1)).as("__m"))
+    dSum.join(eIn, Seq("label"), "left")
+      .withColumn("e_in", coalesce(col("e_in"), lit(0L)))
+      .crossJoin(broadcast(m))
+      .withColumn("q_contrib_ppm", expr(
+        s"""CAST(CASE WHEN __m > 0 THEN
+           |  ((4 * CAST(__m AS $d38) * e_in - CAST(deg_sum AS $d38) * deg_sum)
+           |    * 1000000)
+           |  DIV (4 * CAST(__m AS $d38) * __m) END AS BIGINT)""".stripMargin))
+      .select(col("label"), col("n_nodes"), col("e_in"), col("deg_sum"),
+        col("q_contrib_ppm"))
+  }
+
+  /** Degree assortativity in signed r²-ppm (Newman 2002) — do hubs
+    * link to hubs? Pearson correlation of endpoint degrees over the
+    * SYMMETRIZED undirected edge list (each edge contributes both
+    * orientations, the published convention — without it r is
+    * direction-biased), reported as the [[graft.ops.Stats]] spearman
+    * convention `sign(cov)·(cov²·10⁶) DIV (vx·vy)` — no sqrt, exact
+    * integers in DECIMAL(38,0) lanes with the explicit magnitude guard
+    * `n²·max_dx·max_dy ≤ 3·10¹⁷` (NULL beyond — pre-bucket degrees
+    * past that scale). NULL when degrees are constant (zero variance).
+    * Social graphs: positive; web/biology: typically negative — the
+    * one-row fingerprint that decides hub-salting strategy before a
+    * graph job.
+    *
+    * Scale shape: one degree aggregate + two broadcast-joins of the
+    * degree table onto the edge list + ONE global aggregate (the
+    * groupBy().count() profile).
+    *
+    * Output (one row): `n_ends` (2m), `r2_signed_ppm`.
+    */
+  def degreeAssortativityPpm(
+      edges: DataFrame,
+      srcCol: Column,
+      dstCol: Column
+  ): DataFrame = {
+    val d38 = "DECIMAL(38,0)"
+    val und = undirected(edges, srcCol, dstCol)
+    val sym = und.select(col("u").as("a"), col("v").as("b"))
+      .union(und.select(col("v").as("a"), col("u").as("b")))
+      .localCheckpoint(true)
+    val deg = sym.groupBy(col("a").as("node"))
+      .agg(count(lit(1)).as("d"))
+    sym
+      .join(deg.select(col("node").as("a"), col("d").as("__x")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("d").as("__y")), Seq("b"))
+      .agg(count(lit(1)).as("n_ends"),
+        sum(expr(s"CAST(__x AS $d38)")).as("__sx"),
+        sum(expr(s"CAST(__y AS $d38)")).as("__sy"),
+        sum(expr(s"CAST(__x AS $d38) * __x")).as("__qx"),
+        sum(expr(s"CAST(__y AS $d38) * __y")).as("__qy"),
+        sum(expr(s"CAST(__x AS $d38) * __y")).as("__qxy"),
+        max(col("__x")).as("__mx"), max(col("__y")).as("__my"))
+      .withColumn("__cov", expr("n_ends * __qxy - __sx * __sy"))
+      .withColumn("__vx", expr("n_ends * __qx - __sx * __sx"))
+      .withColumn("__vy", expr("n_ends * __qy - __sy * __sy"))
+      .withColumn("__ok", expr(
+        s"CAST(n_ends AS $d38) * n_ends * __mx * __my" +
+          s" <= CAST(300000000000000000 AS $d38)"))
+      .withColumn("r2_signed_ppm",
+        when(col("__ok") && col("__vx") > 0 && col("__vy") > 0, expr(
+          """CAST((CASE WHEN __cov < 0 THEN -1 ELSE 1 END)
+            |  * (((__cov * __cov * 1000) DIV (__vx * __vy)) * 1000
+            |     + (((__cov * __cov * 1000) % (__vx * __vy)) * 1000)
+            |       DIV (__vx * __vy)) AS BIGINT)""".stripMargin)))
+      .select(col("n_ends"), col("r2_signed_ppm"))
+  }
+
   /** k-core decomposition by iterative peel (Seidman 1983; the
     * Matula–Beck algorithm's bulk-synchronous form): repeatedly delete
     * every node of degree < k until the fixpoint — what survives is

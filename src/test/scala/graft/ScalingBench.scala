@@ -97,6 +97,8 @@ object ScalingBench {
     Q("q313_seasonal_strength", "events"),
     Q("q314_runs_test", "events"),
     Q("q315_hits", "documents"),
+    Q("q316_modularity", "documents"),
+    Q("q317_assortativity", "documents"),
     Q("q37_cosine_topk", "embeddings", gated = false),
     Q("q38_embed_neardup", "embeddings", gated = false))
 
@@ -142,6 +144,8 @@ object ScalingBench {
     Q("q313_seasonal_strength", "events"),
     Q("q314_runs_test", "events"),
     Q("q315_hits", "documents"),
+    Q("q316_modularity", "documents"),
+    Q("q317_assortativity", "documents"),
     Q("q37_cosine_topk", "embeddings", gated = false),
     Q("q38_embed_neardup", "embeddings", gated = false))
 

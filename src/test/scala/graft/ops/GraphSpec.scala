@@ -208,6 +208,39 @@ class GraphSpec extends SparkTestBase {
       s"got $cyc")
   }
 
+  test("modularityPpm: two-clique hand case — exact per-community contributions") {
+    // two triangles + bridge (m=7), communities {0,1,2} / {3,4,5}:
+    // e_c=3, d_c=7 each -> contrib = (4*7*3 - 49)*1e6 DIV 196 = 178571
+    // per community (Q = 2*0.178571 = 0.357, the textbook value)
+    val e = Seq((0L, 1L), (1L, 2L), (0L, 2L), (2L, 3L),
+      (3L, 4L), (4L, 5L), (3L, 5L)).toDF("src", "dst")
+    val labels = Seq((0L, "A"), (1L, "A"), (2L, "A"),
+      (3L, "B"), (4L, "B"), (5L, "B")).toDF("node", "label")
+    val got = Graph.modularityPpm(e, col("src"), col("dst"), labels)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got == Map("A" -> ((3L, 3L, 7L, 178571L)),
+      "B" -> ((3L, 3L, 7L, 178571L))), s"got $got")
+    // everything in ONE community: e_in = m, deg_sum = 2m -> Q = 0
+    val one = Seq((0L, "X"), (1L, "X"), (2L, "X"), (3L, "X"), (4L, "X"),
+      (5L, "X")).toDF("node", "label")
+    val flat = Graph.modularityPpm(e, col("src"), col("dst"), one)
+      .collect().head
+    assert(flat.getLong(4) == 0L, s"got $flat")
+  }
+
+  test("degreeAssortativityPpm: a star is perfectly disassortative; constant degree is NULL") {
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "dst")
+    val r = Graph.degreeAssortativityPpm(star, col("src"), col("dst"))
+      .collect().head
+    assert(r.getLong(0) == 6L && r.getLong(1) == -1000000L, s"got $r")
+    // a cycle: every degree 2, zero variance -> undefined, not 0
+    val cyc = Seq((0L, 1L), (1L, 2L), (2L, 0L)).toDF("src", "dst")
+    val c = Graph.degreeAssortativityPpm(cyc, col("src"), col("dst"))
+      .collect().head
+    assert(c.getLong(0) == 6L && c.isNullAt(1), s"got $c")
+  }
+
   test("kCore: k above the max degree empties; empty input stays empty with schema") {
     val e = Seq((0L, 1L), (1L, 2L)).toDF("src", "dst")
     val got = Graph.kCore(e, col("src"), col("dst"), k = 5)
