@@ -4506,6 +4506,18 @@ object SparkEntry {
         col("src"), col("dst"))
       .orderBy("n_ends")
 
+  /** Observed-coalition Shapley attribution
+    * ([[ops.Behavior.shapleyAttribution]]): the FIFTH standard
+    * multi-touch model (with q138 last-touch, q248 linear, q288
+    * time-decay, q308 Markov removal) — channels credited by their
+    * exact marginal ppm contribution over the journey channel SETS
+    * actually observed, fully distributed (no driver solve). */
+  private def q318(s: SparkSession, dir: String): DataFrame =
+    Behavior.shapleyAttribution(Tables.events(s, dir),
+        col("user_id"), col("ts"), col("event_type"), col("event_id"),
+        convType = "purchase")
+      .orderBy("channel")
+
   /** Ordered LISTAGG / STRING_AGG (the SQL:2016 T625 surface): per
     * nation, the top-5 suppliers by account balance concatenated in
     * rank order — `sort_array(collect_list(struct))` + `slice` +
@@ -5520,7 +5532,8 @@ object SparkEntry {
     "q314_runs_test" -> q314 _,
     "q315_hits" -> q315 _,
     "q316_modularity" -> q316 _,
-    "q317_assortativity" -> q317 _
+    "q317_assortativity" -> q317 _,
+    "q318_shapley" -> q318 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

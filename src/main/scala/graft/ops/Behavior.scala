@@ -780,26 +780,9 @@ object Behavior {
     val spark = events.sparkSession
     import spark.implicits._
     val S = "__start__"; val CONV = "__conv__"; val DROP = "__drop__"
-    val base = events
-      .filter(userCol.isNotNull && tsCol.isNotNull && typeCol.isNotNull &&
-        idCol.isNotNull)
-      .select(userCol.as("user"), unix_timestamp(tsCol).cast("long").as("sec"),
-        typeCol.cast("string").as("et"), idCol.cast("long").as("eid"))
-    val convs = base.filter(col("et") === convType)
-      .groupBy("user")
-      .agg(min(struct(col("sec"), col("eid"))).as("__c"))
-      .select(col("user"), col("__c.sec").as("conv_sec"),
-        col("__c.eid").as("conv_id"))
-    val w = Window.partitionBy("user").orderBy("sec", "eid")
-    val touches = base.filter(col("et") =!= convType)
-      .join(convs, Seq("user"), "left")
-      .filter(col("conv_sec").isNull ||
-        col("sec") < col("conv_sec") ||
-        (col("sec") === col("conv_sec") && col("eid") < col("conv_id")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= maxPrefix)
-      .withColumn("converted", col("conv_sec").isNotNull)
-      .localCheckpoint(true)
+    val (touches, convs) =
+      journeyTouches(events, userCol, tsCol, typeCol, idCol, convType,
+        maxPrefix)
     val wcap = Window.partitionBy("user")
     val withNext = touches
       .withColumn("__next", lead(col("et"), 1)
@@ -859,6 +842,126 @@ object Behavior {
       }.toDF("channel", "n_out", "base_conv_ppm", "removed_conv_ppm",
         "removal_ppm", "share_ppm")
     }
+  }
+
+  /** The shared journey front of the chain-based attribution models:
+    * pre-conversion touches per user (strict (sec, eid) order,
+    * truncated at the user's FIRST conversion and at `maxPrefix`),
+    * with `rn` and a `converted` flag, eagerly checkpointed — plus the
+    * per-user first-conversion table. Extracted from
+    * [[markovAttribution]] verbatim so [[shapleyAttribution]] cannot
+    * drift from it.
+    */
+  private def journeyTouches(
+      events: DataFrame,
+      userCol: Column,
+      tsCol: Column,
+      typeCol: Column,
+      idCol: Column,
+      convType: String,
+      maxPrefix: Int
+  ): (DataFrame, DataFrame) = {
+    val base = events
+      .filter(userCol.isNotNull && tsCol.isNotNull && typeCol.isNotNull &&
+        idCol.isNotNull)
+      .select(userCol.as("user"), unix_timestamp(tsCol).cast("long").as("sec"),
+        typeCol.cast("string").as("et"), idCol.cast("long").as("eid"))
+    val convs = base.filter(col("et") === convType)
+      .groupBy("user")
+      .agg(min(struct(col("sec"), col("eid"))).as("__c"))
+      .select(col("user"), col("__c.sec").as("conv_sec"),
+        col("__c.eid").as("conv_id"))
+    val w = Window.partitionBy("user").orderBy("sec", "eid")
+    val touches = base.filter(col("et") =!= convType)
+      .join(convs, Seq("user"), "left")
+      .filter(col("conv_sec").isNull ||
+        col("sec") < col("conv_sec") ||
+        (col("sec") === col("conv_sec") && col("eid") < col("conv_id")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= maxPrefix)
+      .withColumn("converted", col("conv_sec").isNotNull)
+      .localCheckpoint(true)
+    (touches, convs)
+  }
+
+  /** Observed-coalition Shapley attribution (Shapley 1953; the
+    * simplified marketing form of Zhao, Mahboobi & Bagheri 2018) — the
+    * FIFTH standard multi-touch model next to [[lastTouchAttribution]],
+    * [[linearAttribution]], [[timeDecayAttribution]] and
+    * [[markovAttribution]], and the only one whose credits are
+    * position-free AND marginal: a channel earns what it ADDS to the
+    * coalitions it appears in. Each user's journey reduces to its
+    * DISTINCT channel set `S`; every observed set's conversion rate is
+    * the floored ppm `v(S) = conv·10⁶ DIV journeys`; and each journey
+    * with set `S` pays every member `c` the marginal share
+    * `(v(S) − v(S∖{c})) DIV |S|` — unobserved sub-coalitions value 0
+    * (the observed-coalition simplification: fabricating rates for
+    * never-seen sets would be model invention, not measurement).
+    * Channel credit is the exact integer sum over journeys;
+    * `share_ppm` normalizes the CLAMPED-positive credits (the
+    * [[markovAttribution]] share convention). Direct conversions (no
+    * touches) have no coalition to pay — same as the linear model.
+    *
+    * Scale shape: the [[journeyTouches]] front (two keyed shuffles), a
+    * set-grain aggregate (bounded by distinct users), one explode +
+    * one equi-join on the set string key, one channel-grain aggregate,
+    * and a one-row positive-total broadcast. Fully distributed — no
+    * driver solve, no channel-count cap needed (the set STRING is
+    * bounded by `maxPrefix` channels).
+    *
+    * Channel names must not contain `|` (the set-key separator — a
+    * require guards it).
+    *
+    * Output per channel: `n_journeys` (journeys whose set contains the
+    * channel), `credit_ppm` (signed exact sum), `share_ppm`.
+    */
+  def shapleyAttribution(
+      events: DataFrame,
+      userCol: Column,
+      tsCol: Column,
+      typeCol: Column,
+      idCol: Column,
+      convType: String,
+      maxPrefix: Int = 50
+  ): DataFrame = {
+    require(maxPrefix >= 1, s"maxPrefix must be >= 1: $maxPrefix")
+    val (touches, _) =
+      journeyTouches(events, userCol, tsCol, typeCol, idCol, convType,
+        maxPrefix)
+    val sets = touches
+      .groupBy("user")
+      .agg(array_sort(collect_set(col("et"))).as("s"),
+        max(col("converted")).as("__conv"))
+    val vset = sets
+      .groupBy("s")
+      .agg(count(lit(1)).as("n_j"),
+        sum(when(col("__conv"), 1L).otherwise(0L)).as("__nc"))
+      .withColumn("sk", concat_ws("|", col("s")))
+      .withColumn("v_ppm", expr("(__nc * 1000000) DIV n_j"))
+      .localCheckpoint(true)
+    // the set key must be injective: a channel containing the
+    // separator would alias two different sets
+    require(vset.filter(expr("exists(s, x -> x LIKE '%|%')")).isEmpty,
+      "shapleyAttribution: channel names must not contain '|'")
+    val contrib = vset
+      .select(col("sk"), col("n_j"), col("v_ppm"), col("s"),
+        explode(col("s")).as("channel"))
+      .withColumn("__pk", expr("concat_ws('|', filter(s, x -> x != channel))"))
+      .join(vset.select(col("sk").as("__pk"), col("v_ppm").as("__pv")),
+        Seq("__pk"), "left")
+      .withColumn("__c", expr(
+        "(v_ppm - coalesce(__pv, CAST(0 AS BIGINT))) DIV size(s)"))
+      .groupBy("channel")
+      .agg(sum(col("n_j")).as("n_journeys"),
+        sum(col("n_j") * col("__c")).as("credit_ppm"))
+    val tot = contrib.agg(
+      sum(greatest(col("credit_ppm"), lit(0L))).as("__pos"))
+    contrib.crossJoin(broadcast(tot))
+      .withColumn("share_ppm",
+        when(col("__pos") > 0, expr(
+          "(greatest(credit_ppm, CAST(0 AS BIGINT)) * 1000000) DIV __pos")))
+      .select(col("channel"), col("n_journeys"), col("credit_ppm"),
+        col("share_ppm"))
   }
 
   /** Graceful-degrade front for [[markovAttribution]] on HIGH-CARDINALITY

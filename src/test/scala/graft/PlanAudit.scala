@@ -68,7 +68,8 @@ object PlanAudit {
     "q290_ab_trajectory", // ONE-row day-bounds broadcast; days × 2-row arm grid
     "q281_ranking_eval", // composes q37's AND q41's broadcast scans (q167's class)
     "q315_hits", // per-round ONE-ROW max-normalization broadcasts (q178's anchor class)
-    "q316_modularity") // ONE-ROW edge-count broadcast onto the community cells
+    "q316_modularity", // ONE-ROW edge-count broadcast onto the community cells
+    "q318_shapley") // ONE-ROW positive-total broadcast onto the channel credits
 
   /** Queries whose DESIGN composes several complete pipelines, so their
     * exchange count legitimately exceeds the single-pipeline budget —

@@ -33,6 +33,9 @@ import org.apache.spark.sql.types._
   *     canaries run UNGATED at ×1→×4 only (all-pairs at ×16 is the
   *     exact scale wall they are scaladoc'd VERIFIER SCALE ONLY for)
   *     and demonstrate the instrument's sensitivity.
+  *  3. DEEP section (r17) — [[DeepQueries]] re-measured on the
+  *     ×16→×64 step of a documents-only upscale, gated: the steepest
+  *     synthetic exponents must FLATTEN with depth, not creep.
   *
   * `Test/runMain graft.ScalingBench [outPath] [passes]` — writes the
   * JSON artifact and exits 1 if any GATED exponent exceeds the
@@ -99,6 +102,7 @@ object ScalingBench {
     Q("q315_hits", "documents"),
     Q("q316_modularity", "documents"),
     Q("q317_assortativity", "documents"),
+    Q("q318_shapley", "events"),
     Q("q37_cosine_topk", "embeddings", gated = false),
     Q("q38_embed_neardup", "embeddings", gated = false))
 
@@ -146,6 +150,7 @@ object ScalingBench {
     Q("q315_hits", "documents"),
     Q("q316_modularity", "documents"),
     Q("q317_assortativity", "documents"),
+    Q("q318_shapley", "events"),
     Q("q37_cosine_topk", "embeddings", gated = false),
     Q("q38_embed_neardup", "embeddings", gated = false))
 

@@ -440,6 +440,48 @@ class BehaviorSpec extends SparkTestBase {
       "removed_conv_ppm", "removal_ppm", "share_ppm"))
   }
 
+  test("shapleyAttribution: hand coalitions — marginal credits and shares exact") {
+    // u1: a -> buy ({a}: v=1e6); u2: a,b -> buy ({a,b}: v=1e6);
+    // u3: b (no buy) ({b}: v=0).
+    // a: from {a} (1e6-0)/1 = 1e6; from {a,b} vs {b}: (1e6-0)/2 = 5e5
+    //    -> credit 1.5e6 over 2 journeys
+    // b: from {a,b} vs {a}: (1e6-1e6)/2 = 0; from {b} vs {}: 0 -> 0
+    // shares: a 1e6, b 0
+    def t(s: Int) = new Timestamp(1704067200000L + s * 1000L)
+    val rows = Seq(
+      (1L, t(1), "a", 10L), (1L, t(2), "buy", 11L),
+      (2L, t(1), "a", 20L), (2L, t(2), "b", 21L), (2L, t(3), "buy", 22L),
+      (3L, t(1), "b", 30L))
+      .toDF("u", "ts", "et", "eid")
+    val got = Behavior.shapleyAttribution(rows, col("u"), col("ts"),
+        col("et"), col("eid"), convType = "buy")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    assert(got("a") == ((2L, 1500000L, Some(1000000L))), s"got $got")
+    assert(got("b") == ((2L, 0L, Some(0L))), s"got $got")
+  }
+
+  test("shapleyAttribution: post-conversion touches ignored; no-touch corpus is empty") {
+    def t(s: Int) = new Timestamp(1704067200000L + s * 1000L)
+    // u1 converts FIRST: the later 'a' touch is outside the journey ->
+    // no coalition ever contains a
+    val rows = Seq(
+      (1L, t(1), "buy", 10L), (1L, t(2), "a", 11L),
+      (2L, t(1), "b", 20L), (2L, t(2), "buy", 21L))
+      .toDF("u", "ts", "et", "eid")
+    val got = Behavior.shapleyAttribution(rows, col("u"), col("ts"),
+        col("et"), col("eid"), convType = "buy")
+      .collect().map(_.getString(0)).toSet
+    assert(got == Set("b"), s"got $got")
+    val none = Behavior.shapleyAttribution(
+      Seq((1L, t(1), "buy", 10L)).toDF("u", "ts", "et", "eid"),
+      col("u"), col("ts"), col("et"), col("eid"), convType = "buy")
+    assert(none.count() == 0L)
+    assert(none.columns.toSeq ==
+      Seq("channel", "n_journeys", "credit_ppm", "share_ppm"))
+  }
+
   test("markovAttributionBucketed: degrades where the raw operator fail-stops") {
     // 12 distinct channels c01..c12 (cap below at topChannels+1 = 4):
     // touch volumes c01 ×3, c02 ×2, c03 ×2, the rest ×1 — top-3 is
