@@ -1760,6 +1760,188 @@ object StatefulOps {
       }
   }
 
+  /** One Mann–Kendall snapshot row; `n_events` marks the final block
+    * (the HoltWintersOut convention). `z2_signed_milli` is None when
+    * the tie-corrected variance is 0 (every day equal).
+    */
+  case class MkOut(key: String, n_events: Long, n_days: Long, s_stat: Long,
+      var18: Long, z2_signed_milli: Option[Long], significant: Boolean)
+
+  /** Streaming Mann–Kendall — the at-ingest twin of
+    * [[graft.ops.TimeSeries.mannKendall]] on the same GridHist day
+    * histogram: each micro-batch replays the pairwise sign fold, the
+    * tie-corrected `Var·18` and the continuity-corrected cleared z²
+    * over the gap-filled span, with the (|S|−1)² products in BigInt
+    * (the JVM replay of the batch DECIMAL(38,0) lanes), and emits one
+    * snapshot row — the live "is this metric trending" monitor.
+    * Histogram fold is order-independent → drained ≡ batch bit for bit
+    * (the kmv parity class). Keys under 2 days or over `maxDays` emit
+    * nothing (the batch filter/drop contract live); the O(span²) pair
+    * fold is calendar-bounded, the batch operator's own cost.
+    */
+  def mannKendallStream(
+      df: DataFrame,
+      keyCol: String = "key",
+      tsCol: String = "event_time",
+      maxDays: Int = 100000,
+      watermarkDelay: String = "10 seconds",
+      ttlMs: Long = 3600000L
+  ): Dataset[MkOut] = {
+    import org.apache.spark.sql.functions._
+    import df.sparkSession.implicits._
+    val rows = df
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol).cast("string").as("key"), lit(0L).as("v"),
+        col(tsCol).as("event_time"))
+      .withWatermark("event_time", watermarkDelay)
+      .as[GridEvent]
+    rows
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[VersionedState, MkOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: String, it: Iterator[GridEvent], state: GroupState[VersionedState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val prior = state.getOption.map(StateCodec.decodeGrid)
+              .getOrElse(GridHist(Nil, 0L, 0L))
+            val rs = it.toSeq
+            val hist = scala.collection.mutable.TreeMap[Long, Long]()
+            prior.entries.foreach { case (d, c) => hist(d) = c }
+            rs.foreach { r =>
+              val day = Math.floorDiv(r.event_time.getTime, 1000L) / 86400L
+              hist(day) = hist.getOrElse(day, 0L) + 1L
+            }
+            val total = prior.total + rs.length
+            val horizonMs = (prior.horizonMs +: rs.map(_.event_time.getTime)
+              :+ state.getCurrentWatermarkMs()).max
+            state.update(StateCodec.encodeGrid(
+              GridHist(hist.toList, total, horizonMs)))
+            state.setTimeoutTimestamp(horizonMs + ttlMs)
+            if (rs.isEmpty || hist.isEmpty) Iterator.empty
+            else {
+              val span = hist.lastKey - hist.firstKey + 1
+              if (span > maxDays || span < 2) Iterator.empty
+              else {
+                val n = span.toInt
+                val d0 = hist.firstKey
+                val ys = new Array[Long](n)
+                hist.foreach { case (d, c) => ys((d - d0).toInt) = c }
+                var s = 0L
+                var i = 0
+                while (i < n) {
+                  var j = i + 1
+                  while (j < n) {
+                    s += java.lang.Long.signum(ys(j) - ys(i)); j += 1
+                  }
+                  i += 1
+                }
+                val ties = ys.groupBy(identity).values
+                  .map { g => val t = g.length.toLong; t * (t - 1) * (2 * t + 5) }
+                  .sum
+                val nL = n.toLong
+                val var18 = nL * (nL - 1) * (2 * nL + 5) - ties
+                val absS = BigInt(math.abs(s)) - 1
+                val z2 =
+                  if (var18 > 0)
+                    Some((BigInt(java.lang.Long.signum(s))
+                      * ((BigInt(18000) * absS * absS) / var18)).toLong)
+                  else None
+                val sig = var18 > 0 && math.abs(s) > 1 &&
+                  BigInt(180000) * absS * absS > BigInt(38416) * var18
+                Iterator.single(MkOut(key, total, span, s, var18, z2, sig))
+              }
+            }
+          }
+      }
+  }
+
+  /** One Croston snapshot row; `n_events` marks the final block. */
+  case class CrostonOut(key: String, n_events: Long, n_days: Long,
+      n_demand: Long, z_milli: Option[Long], p_milli: Option[Long],
+      forecast_milli: Option[Long])
+
+  /** Streaming Croston intermittent-demand forecast — the at-ingest
+    * twin of [[graft.ops.TimeSeries.crostonForecast]] on the same
+    * GridHist day histogram (filter the input stream to the demand
+    * event class exactly as the batch caller does): each micro-batch
+    * replays the (z, p, gap, nd) integer milli recurrence over the
+    * gap-filled span — one truncating division per smoothed lane per
+    * demand day, Java `/` ≡ Spark DIV on the non-negative lanes — and
+    * emits one snapshot row. Drained ≡ batch bit for bit under
+    * reordering (the histogram is the sufficient statistic; folding
+    * smoothing state in arrival order would diverge, which is exactly
+    * why the state is the histogram, not (z, p)).
+    */
+  def crostonStream(
+      df: DataFrame,
+      keyCol: String = "key",
+      tsCol: String = "event_time",
+      alphaPpm: Long = 200000L,
+      maxDays: Int = 100000,
+      watermarkDelay: String = "10 seconds",
+      ttlMs: Long = 3600000L
+  ): Dataset[CrostonOut] = {
+    require(alphaPpm > 0 && alphaPpm <= 1000000L, "alpha in (0, 1e6] ppm")
+    import org.apache.spark.sql.functions._
+    import df.sparkSession.implicits._
+    val a = alphaPpm
+    val rows = df
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol).cast("string").as("key"), lit(0L).as("v"),
+        col(tsCol).as("event_time"))
+      .withWatermark("event_time", watermarkDelay)
+      .as[GridEvent]
+    rows
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[VersionedState, CrostonOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: String, it: Iterator[GridEvent], state: GroupState[VersionedState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val prior = state.getOption.map(StateCodec.decodeGrid)
+              .getOrElse(GridHist(Nil, 0L, 0L))
+            val rs = it.toSeq
+            val hist = scala.collection.mutable.TreeMap[Long, Long]()
+            prior.entries.foreach { case (d, c) => hist(d) = c }
+            rs.foreach { r =>
+              val day = Math.floorDiv(r.event_time.getTime, 1000L) / 86400L
+              hist(day) = hist.getOrElse(day, 0L) + 1L
+            }
+            val total = prior.total + rs.length
+            val horizonMs = (prior.horizonMs +: rs.map(_.event_time.getTime)
+              :+ state.getCurrentWatermarkMs()).max
+            state.update(StateCodec.encodeGrid(
+              GridHist(hist.toList, total, horizonMs)))
+            state.setTimeoutTimestamp(horizonMs + ttlMs)
+            if (rs.isEmpty || hist.isEmpty ||
+                hist.lastKey - hist.firstKey + 1 > maxDays) Iterator.empty
+            else {
+              val span = hist.lastKey - hist.firstKey + 1
+              val n = span.toInt
+              val d0 = hist.firstKey
+              val ys = new Array[Long](n)
+              hist.foreach { case (d, c) => ys((d - d0).toInt) = c }
+              // the batch recurrence verbatim (all lanes non-negative,
+              // so Java / is the same truncation as Spark DIV)
+              var z = 0L; var p = 0L; var gap = 1L; var nd = 0L
+              ys.foreach { y =>
+                if (y > 0) {
+                  z = if (nd == 0) y * 1000
+                      else (a * y * 1000 + (1000000 - a) * z) / 1000000
+                  p = if (nd == 0) gap * 1000
+                      else (a * gap * 1000 + (1000000 - a) * p) / 1000000
+                  gap = 1; nd += 1
+                } else gap += 1
+              }
+              val zM = if (nd > 0) Some(z) else None
+              val pM = if (nd > 0) Some(p) else None
+              val fc = if (nd > 0 && p > 0) Some(z * 1000 / p) else None
+              Iterator.single(CrostonOut(key, total, span, nd, zM, pM, fc))
+            }
+          }
+      }
+  }
+
   /** Sequential-fold cosine matching `VectorOps.dot / (norm·norm)`
     * term-for-term (cast each float to double, accumulate left to
     * right) — needed because the streaming verify runs on JVM arrays

@@ -180,6 +180,28 @@ class RocksDbParitySpec extends SparkTestBase {
       Seq(all.take(36), all.drop(36)), maxStateRows = Some(2L))
   }
 
+  test("mannKendallStream parity + bounded state (2 keys)") {
+    val all = (0 until 72).map { i =>
+      (s"k${i % 2}",
+        new java.sql.Timestamp(1704067200000L + (i * 29 % 9) * 86400000L + i * 1000L))
+    }
+    parity("rdbm_mk", Seq("key", "event_time"),
+      df => StatefulOps.mannKendallStream(df,
+        watermarkDelay = "30 days").toDF(),
+      Seq(all.take(36), all.drop(36)), maxStateRows = Some(2L))
+  }
+
+  test("crostonStream parity + bounded state (2 keys)") {
+    val all = (0 until 40).map { i =>
+      (s"k${i % 2}",
+        new java.sql.Timestamp(1704067200000L + (i * 31 % 11) * 86400000L + i * 1000L))
+    }
+    parity("rdbm_croston", Seq("key", "event_time"),
+      df => StatefulOps.crostonStream(df,
+        watermarkDelay = "30 days").toDF(),
+      Seq(all.take(20), all.drop(20)), maxStateRows = Some(2L))
+  }
+
   test("funnelStream parity (8 user keys)") {
     val rows = (0 until 120).map { i =>
       val u = (i * 31 % 8).toLong

@@ -1373,4 +1373,80 @@ class StatefulOpsSpec extends SparkTestBase {
     // b's freshness is read against the CORPUS anchor: 4 days stale
     assert(finals("b")._2 == 4L, s"got ${finals("b")}")
   }
+
+  test("mannKendallStream: drained trend test equals batch bit for bit under reordering") {
+    import org.apache.spark.sql.functions.col
+    def at(day: Int, i: Int) =
+      new java.sql.Timestamp(1704067200000L + day * 86400000L + i * 1000L)
+    val counts = Map(
+      "a" -> Seq(1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12), // monotone: clears
+      "b" -> Seq(3, 1, 4, 1, 5, 9, 2, 6),
+      "c" -> Seq(2, 2, 2, 2)) // constant: var18 = 0 -> NULL z2
+    val all = counts.toSeq.flatMap { case (k, cs) =>
+      cs.zipWithIndex.flatMap { case (c, d) =>
+        (0 until c).map(i => (k, at(d, i))) }
+    }
+    val shuffled = all.sortBy { case (k, t) => ((t.getTime / 1000 + 3) % 7, k) }
+    val mem = MemoryStream[(String, java.sql.Timestamp)](spark)
+    val query = StatefulOps.mannKendallStream(
+        mem.toDS().toDF("key", "event_time"), watermarkDelay = "30 days")
+      .writeStream.format("memory").queryName("mk_parity")
+      .outputMode("append").start()
+    try {
+      mem.addData(shuffled.take(50)); query.processAllAvailable()
+      mem.addData(shuffled.drop(50)); query.processAllAvailable()
+    } finally query.stop()
+    val outs = spark.table("mk_parity").as[StatefulOps.MkOut].collect()
+    val finals = outs.groupBy(_.key).map { case (k, rows) =>
+      val r = rows.maxBy(_.n_events)
+      k -> ((r.n_days, r.s_stat, r.var18, r.z2_signed_milli, r.significant))
+    }
+    val batch = graft.ops.TimeSeries.mannKendall(
+        all.toDF("k", "ts"), col("k"), col("ts"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)),
+          r.getBoolean(5)))).toMap
+    assert(finals == batch, s"stream $finals\nbatch $batch")
+    assert(finals("a")._5, "the monotone key must clear significance")
+    assert(finals("c")._4.isEmpty, "constant series must report NULL z2")
+  }
+
+  test("crostonStream: drained intermittent forecast equals batch bit for bit") {
+    import org.apache.spark.sql.functions.col
+    def at(day: Int, i: Int) =
+      new java.sql.Timestamp(1704067200000L + day * 86400000L + i * 1000L)
+    // intermittent demand: mostly-zero days, exactly Croston's regime
+    val counts = Map(
+      "a" -> Seq(3, 0, 0, 2, 0, 0, 0, 5, 0, 1),
+      "b" -> Seq(0, 4, 0, 0, 4)) // leading zero day never observed: the
+      // span starts at b's first EVENT day, matching the batch operator
+    val all = counts.toSeq.flatMap { case (k, cs) =>
+      cs.zipWithIndex.flatMap { case (c, d) =>
+        (0 until c).map(i => (k, at(d, i))) }
+    }
+    val shuffled = all.sortBy { case (k, t) => ((t.getTime / 1000 + 5) % 5, k) }
+    val mem = MemoryStream[(String, java.sql.Timestamp)](spark)
+    val query = StatefulOps.crostonStream(
+        mem.toDS().toDF("key", "event_time"), watermarkDelay = "30 days")
+      .writeStream.format("memory").queryName("croston_parity")
+      .outputMode("append").start()
+    try {
+      mem.addData(shuffled.take(10)); query.processAllAvailable()
+      mem.addData(shuffled.drop(10)); query.processAllAvailable()
+    } finally query.stop()
+    val outs = spark.table("croston_parity").as[StatefulOps.CrostonOut].collect()
+    val finals = outs.groupBy(_.key).map { case (k, rows) =>
+      val r = rows.maxBy(_.n_events)
+      k -> ((r.n_days, r.n_demand, r.z_milli, r.p_milli, r.forecast_milli))
+    }
+    val batch = graft.ops.TimeSeries.crostonForecast(
+        all.toDF("k", "ts"), col("k"), col("ts"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)),
+          if (r.isNullAt(5)) None else Some(r.getLong(5))))).toMap
+    assert(finals == batch, s"stream $finals\nbatch $batch")
+  }
 }
