@@ -23,7 +23,11 @@ class ExchangeBudgetSpec extends AnyFunSuite {
   test("every query plan stays within its frozen exchange budget") {
     val spark = SparkTestBase.spark
     spark.sparkContext.setLogLevel("WARN")
-    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    // PINNED to the SF the budget was recorded at — NOT the env var:
+    // plan shapes (broadcast-vs-shuffle picks) are size-dependent, and
+    // an sbt test run under a different SPARK_GRAFT_SF_DIR must not
+    // fail against an sf0.01 budget
+    val dir = "/root/testdata/sf0.01"
     val raw = new String(
       java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(PlanAudit.BudgetPath)),

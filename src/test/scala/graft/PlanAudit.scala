@@ -108,14 +108,16 @@ object PlanAudit {
       // refactor that silently adds a shuffle then fails
       // ExchangeBudgetSpec instead of surfacing as a bench regression
       // rounds later. Regenerate ONLY after reviewing why a plan grew.
+      // PINNED to sf0.01 (the SF the spec checks at), not the env var.
+      val budgetDir = "/root/testdata/sf0.01"
       val rows = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val (sh, bc) = exchangeCounts(
-          fn(spark, dir).queryExecution.executedPlan.toString)
+          fn(spark, budgetDir).queryExecution.executedPlan.toString)
         println(f"[budget] $name%-28s shuffle=$sh%-2d broadcast=$bc")
         s"""  "$name": {"shuffle": $sh, "broadcast": $bc}"""
       }
       val json = rows.mkString(
-        s"""{\n  "_dir": "$dir",\n""", ",\n", "\n}\n")
+        s"""{\n  "_dir": "$budgetDir",\n""", ",\n", "\n}\n")
       java.nio.file.Files.write(java.nio.file.Paths.get(BudgetPath),
         json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       println(s"[budget] wrote ${rows.size} entries -> $BudgetPath")
