@@ -5370,6 +5370,21 @@ object OracleSql {
          |FROM p JOIN grid ON grid.g = p.pct_ppm // 1000
          |ORDER BY doc_id""".stripMargin,
 
+    // the grid alone (q319): the oracle builds it with a plain global
+    // row_number sort — the engine's histogram/rank decomposition must
+    // reproduce every one of the 1001 order statistics exactly
+    "q319_pooled_grid" ->
+      s"""WITH q AS (SELECT CAST($qualityPpmSql AS BIGINT) AS quality_ppm
+         |  FROM documents),
+         | pool AS (SELECT quality_ppm AS v,
+         |   row_number() OVER (ORDER BY quality_ppm) AS rn FROM q),
+         | n1 AS (SELECT count(*) AS n FROM q)
+         |SELECT CAST(gs.g AS BIGINT) AS g, CAST(pool.v AS BIGINT) AS norm_score
+         |FROM (SELECT unnest(generate_series(0, 1000)) AS g) gs
+         | CROSS JOIN n1
+         | JOIN pool ON pool.rn = 1 + ((n1.n - 1) * gs.g) // 1000
+         |ORDER BY g""".stripMargin,
+
     // KMV rollup: min-k merge is lossless, so every level recomputed
     // from scratch here must equal the engine's leaf-merged sketches
     "q280_kmv_rollup" ->

@@ -4518,6 +4518,21 @@ object SparkEntry {
         convType = "purchase")
       .orderBy("channel")
 
+  /** The pooled permille grid itself ([[ops.Stats.pooledGridHist]] —
+    * the r17 verdict's top item): q279's 1001 pooled order statistics
+    * computed by the histogram/rank decomposition — exact ranks from
+    * per-value counts via the distributed prefix-sum (range partitions
+    * + partition-id offsets), never a single-partition sort. The
+    * oracle recomputes the grid with a plain `row_number` global sort;
+    * agreement at every SF IS the decomposition's exactness proof. */
+  private def q319(s: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(s, dir)
+      .select(TextOps.qualityScorePpm(col("text")).as("quality_ppm"))
+    ops.Stats.pooledGridHist(scored, col("quality_ppm"))
+      .select(col("__g").as("g"), col("norm_score"))
+      .orderBy("g")
+  }
+
   /** Ordered LISTAGG / STRING_AGG (the SQL:2016 T625 surface): per
     * nation, the top-5 suppliers by account balance concatenated in
     * rank order — `sort_array(collect_list(struct))` + `slice` +
@@ -5533,7 +5548,8 @@ object SparkEntry {
     "q315_hits" -> q315 _,
     "q316_modularity" -> q316 _,
     "q317_assortativity" -> q317 _,
-    "q318_shapley" -> q318 _
+    "q318_shapley" -> q318 _,
+    "q319_pooled_grid" -> q319 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

@@ -766,22 +766,24 @@ object Stats {
     * are sorted by value), and each row equi-joins the grid at
     * `g = pct_ppm DIV 1000` — a broadcast lookup, no as-of needed.
     *
-    * Scale: the pooled grid needs one global sort window (the
-    * percentileRankPpm verifier-scale formulation — swap in the
-    * histogram decomposition `Sampling.selectTokenBudget` uses when a
-    * single key dominates); the grid itself is 1001 rows broadcast,
-    * and the normalization join is map-side.
+    * Scale: the pooled grid is built by [[pooledGridHist]] (the
+    * histogram/rank decomposition — exact, distinct-value-grained, no
+    * single-partition sort anywhere); the grid itself is 1001 rows
+    * broadcast, and the normalization join is map-side. The remaining
+    * windows partition by key.
     *
     * Output: the input columns plus `pct_ppm` (within-key) and
     * `norm_score` (pooled value at that permille). NULL keys/scores
     * are dropped.
     */
-  /** The pooled 1001-point permille grid [[quantileNormalize]] joins
-    * against, exposed on its own so the streaming twin
-    * (`streaming.StatefulOps.quantileGridStream`) can be parity-pinned
-    * against the identical construction: `norm_score(g)` = the pooled
-    * value at rank `1 + (N−1)·g DIV 1000` (row_number over the value
-    * sort — value-deterministic under ties). NULL scores are dropped.
+  /** The pooled 1001-point permille grid — REFERENCE formulation
+    * (`row_number` over one global value sort; single-reducer, so
+    * VERIFIER SCALE ONLY): `norm_score(g)` = the pooled value at rank
+    * `1 + (N−1)·g DIV 1000` (value-deterministic under ties). Kept as
+    * the spec twin the scale-safe [[pooledGridHist]] and the streaming
+    * twin (`streaming.StatefulOps.quantileGridStream`) are both
+    * parity-pinned against; [[quantileNormalize]] and the q319 grid
+    * query run [[pooledGridHist]]. NULL scores are dropped.
     * Output: (`__g`, `norm_score`), 1001 rows.
     */
   def pooledGrid(df: DataFrame, scoreCol: Column): DataFrame = {
@@ -793,6 +795,76 @@ object Stats {
       .withColumn("__rn", expr("1 + ((__n - 1) * __g) DIV 1000"))
       .join(pooled, Seq("__rn"))
       .select(col("__g"), col("__v").as("norm_score"))
+  }
+
+  /** [[pooledGrid]]'s SCALE-SAFE twin — bit-identical output (pinned by
+    * `StatsGridSpec`), but the single-reducer `row_number` sort over
+    * every score is replaced by the histogram/rank decomposition (the
+    * machinery `ext.Sampling.selectTokenBudget` proved): order
+    * statistics are computed from exact per-VALUE counts, so nothing
+    * corpus-sized is ever sorted on one partition.
+    *
+    *  1. Histogram: one hash-aggregate to `(value, count)` — grain =
+    *     DISTINCT scores (for ppm-scaled scores ≤ 10⁶+1 rows however
+    *     large the corpus).
+    *  2. Exact cumulative ranks WITHOUT a global sort window: the
+    *     histogram is range-repartitioned by value and the running sum
+    *     runs PARTITIONED by `spark_partition_id()` (range partitions
+    *     are value-contiguous, so partition-local prefix + a broadcast
+    *     per-partition offset = the exact global prefix — the classic
+    *     distributed prefix-sum). The offsets are a ≤-numPartitions-row
+    *     collect (partition-bounded, never row-scaled); the histogram
+    *     is eagerly localCheckpointed first so the offsets job and the
+    *     main query see the SAME frozen range partitioning.
+    *  3. Each value row covers ranks `(cs, ce]`; grid point `g` asks
+    *     for rank `rn_g = 1 + (N−1)·g DIV 1000`, monotone in `g`, so a
+    *     row's covered grid points are the CONTIGUOUS integer range
+    *     `⌈1000·cs/(N−1)⌉ ≤ g ≤ (1000·ce − 1) DIV (N−1)` (N=1: the
+    *     single rank covers all 1001) — derived arithmetically per row
+    *     and exploded map-side. Exactly 1001 rows come out.
+    *
+    * Ties agree with [[pooledGrid]] by construction: `row_number` over
+    * the value sort separates tied rows arbitrarily but every rank in
+    * `(cs, ce]` carries the same VALUE, which is all the grid keeps.
+    */
+  def pooledGridHist(df: DataFrame, scoreCol: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hist = df.filter(scoreCol.isNotNull)
+      .select(scoreCol.cast("long").as("__v"))
+      .groupBy("__v").agg(count(lit(1)).as("__c"))
+    val parts = hist.repartitionByRange(col("__v"))
+      .sortWithinPartitions("__v")
+      .withColumn("__pid", spark_partition_id().cast("long"))
+      .localCheckpoint(true)
+    val perPart = parts.groupBy("__pid").agg(sum(col("__c")).as("__s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val n = perPart.iterator.map(_._2).sum
+    if (n == 0L)
+      return spark.range(0)
+        .select(col("id").as("__g"), col("id").as("norm_score"))
+    var acc = 0L
+    val offs = perPart.toSeq.map { case (pid, s) =>
+      val o = acc; acc += s; (pid, o)
+    }
+    val wcum = Window.partitionBy(col("__pid")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gLo =
+      if (n == 1L) lit(0L)
+      else greatest(expr(s"(1000 * __cs + ${n - 2}) DIV ${n - 1}"), lit(0L))
+    val gHi =
+      if (n == 1L) lit(1000L)
+      else least(expr(s"(1000 * __ce - 1) DIV ${n - 1}"), lit(1000L))
+    parts
+      .withColumn("__ce", sum(col("__c")).over(wcum))
+      .join(broadcast(offs.toDF("__pid", "__off")), Seq("__pid"))
+      .withColumn("__ce", col("__ce") + col("__off"))
+      .withColumn("__cs", col("__ce") - col("__c"))
+      .withColumn("__glo", gLo)
+      .withColumn("__ghi", gHi)
+      .filter(col("__glo") <= col("__ghi"))
+      .select(explode(sequence(col("__glo"), col("__ghi"))).as("__g"),
+        col("__v").as("norm_score"))
   }
 
   def quantileNormalize(
@@ -813,7 +885,7 @@ object Stats {
       .drop("__rk", "__cnt")
     pct
       .withColumn("__g", expr("pct_ppm DIV 1000"))
-      .join(broadcast(pooledGrid(base, scoreCol)), Seq("__g"))
+      .join(broadcast(pooledGridHist(base, scoreCol)), Seq("__g"))
       .drop("__g")
   }
 

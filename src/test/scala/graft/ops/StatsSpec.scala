@@ -643,6 +643,46 @@ class StatsSpec extends SparkTestBase {
     assert(solo == 10L)
   }
 
+  test("pooledGridHist: hand-computed ranks with ties (N=5)") {
+    import org.apache.spark.sql.functions.col
+    // values 10,10,20,30,30: ranks (0,2]->10, (2,3]->20, (3,5]->30;
+    // rn_g = 1 + 4g DIV 1000, so g 0..499 -> 10, 500..749 -> 20,
+    // 750..1000 -> 30
+    val df = Seq(10L, 30L, 10L, 20L, 30L).toDF("s")
+    val got = Stats.pooledGridHist(df, col("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 1001)
+    assert(got(0L) == 10L && got(499L) == 10L)
+    assert(got(500L) == 20L && got(749L) == 20L)
+    assert(got(750L) == 30L && got(1000L) == 30L)
+  }
+
+  test("pooledGridHist: bit-identical to the row_number pooledGrid") {
+    import org.apache.spark.sql.functions.col
+    def grid(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      Stats.pooledGrid(df, col("s")).as[(Long, Long)].collect().toSeq.sorted
+    def gridH(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      Stats.pooledGridHist(df, col("s")).as[(Long, Long)].collect().toSeq.sorted
+    // heavy-tie fixture larger than the grid, odd N, plus NULLs to drop
+    val vals = (1 to 2777).map(i => ((i * i) % 97).toLong)
+    val mixed = (vals.map(Option(_)) :+ (None: Option[Long]))
+      .toDF("s").repartition(7)
+    assert(gridH(mixed) == grid(mixed))
+    assert(gridH(mixed).size == 1001)
+    // single row: every permille is that value
+    val one = Seq(42L).toDF("s")
+    assert(gridH(one) == grid(one))
+    assert(gridH(one).forall(_._2 == 42L))
+    // all-equal values collapse to one histogram cell covering the grid
+    val flat = Seq.fill(500)(7L).toDF("s")
+    assert(gridH(flat) == grid(flat))
+    // empty input: empty grid, same schema
+    val empty = Seq.empty[Long].toDF("s")
+    assert(gridH(empty).isEmpty && grid(empty).isEmpty)
+    assert(Stats.pooledGridHist(empty, col("s")).schema ==
+      Stats.pooledGrid(empty, col("s")).schema)
+  }
+
   test("stratifiedReadout: per-stratum floors, exclusion, SRM mirror") {
     import org.apache.spark.sql.functions.col
     def arm7(unit: String): Long = {
