@@ -479,6 +479,76 @@ object OracleSql {
     * drift (the same role `minhashCtes` plays for cluster definitions).
     * Callers wrap with `CAST(... AS BIGINT)` / alias as needed.
     */
+  /** q178's RFM-quintile oracle, shared verbatim with q320 (the
+    * histogram-rank twin): one text, so the ntile semantics the two
+    * engine paths must reproduce cannot drift apart.
+    */
+  private val rfmNtileSql: String =
+    """WITH per AS (SELECT user_id,
+      |    max(CAST(floor(epoch(ts)) AS BIGINT)) AS last_t,
+      |    count(*) AS frequency,
+      |    sum(CAST(floor(value * 100) AS BIGINT)) AS monetary_cents
+      |   FROM events
+      |   WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+      |   GROUP BY 1),
+      | g AS (SELECT max(last_t) AS gmax FROM per),
+      | r AS (SELECT user_id, (g.gmax - last_t) // 86400 AS recency_days,
+      |    frequency, monetary_cents FROM per, g),
+      | qn AS (SELECT user_id, recency_days, frequency, monetary_cents,
+      |    CAST(ntile(5) OVER (ORDER BY recency_days, user_id) AS BIGINT) AS r_q,
+      |    CAST(ntile(5) OVER (ORDER BY frequency, user_id) AS BIGINT) AS f_q,
+      |    CAST(ntile(5) OVER (ORDER BY monetary_cents, user_id) AS BIGINT) AS m_q
+      |   FROM r)
+      |SELECT user_id, CAST(recency_days AS BIGINT) AS recency_days,
+      | CAST(frequency AS BIGINT) AS frequency,
+      | CAST(monetary_cents AS BIGINT) AS monetary_cents,
+      | r_q, f_q, m_q, r_q * 100 + f_q * 10 + m_q AS rfm_code
+      |FROM qn ORDER BY user_id""".stripMargin
+
+  /** q283's Qini-decile oracle, shared verbatim with q321 (the
+    * histogram-rank twin) for the same no-drift reason.
+    */
+  private val upliftNtileSql: String =
+    """WITH e AS (SELECT CAST(user_id AS VARCHAR) AS unit,
+      |   CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+      |   CAST(floor(value * 100) AS BIGINT) AS cents, event_type
+      |  FROM events
+      |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      |    AND value IS NOT NULL AND event_type IS NOT NULL),
+      | mx AS (SELECT (min(day) + max(day)) // 2 AS mid FROM e),
+      | u AS (SELECT unit,
+      |   CAST(sum(CASE WHEN day <= mid THEN cents ELSE 0 END) AS BIGINT)
+      |     AS score,
+      |   max(CASE WHEN day > mid AND event_type = 'purchase'
+      |     THEN 1 ELSE 0 END) AS y
+      |  FROM e CROSS JOIN mx GROUP BY 1),
+      | a AS (SELECT score, y,
+      |   ('0x'||substr(md5('7:'||unit),1,8))::BIGINT % 2 AS arm,
+      |   CAST(ntile(10) OVER (ORDER BY score DESC, unit) AS BIGINT)
+      |     AS decile
+      |  FROM u),
+      | c AS (SELECT decile,
+      |   CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+      |   CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+      |   CAST(sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT) AS ct,
+      |   CAST(sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT) AS cc
+      |  FROM a GROUP BY 1),
+      | w AS (SELECT decile, nt, nc, ct, cc,
+      |   sum(nt) OVER o AS nt_cum, sum(nc) OVER o AS nc_cum,
+      |   sum(ct) OVER o AS ct_cum, sum(cc) OVER o AS cc_cum
+      |  FROM c WINDOW o AS (ORDER BY decile
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT decile, nt AS n_treat, nc AS n_control,
+      | ct AS conv_treat, cc AS conv_control,
+      | CAST(CASE WHEN nt > 0 AND nc > 0 THEN
+      |   (ct * 1000000) // nt - (cc * 1000000) // nc END AS BIGINT)
+      |   AS uplift_ppm,
+      | CAST(CASE WHEN nc_cum > 0 THEN
+      |   (CAST(ct_cum AS HUGEINT) * nc_cum
+      |     - CAST(cc_cum AS HUGEINT) * nt_cum) * 1000 // nc_cum END
+      |   AS BIGINT) AS qini_milli
+      |FROM w ORDER BY decile""".stripMargin
+
   private val qualityPpmSql: String =
     "8000*least(len(string_split(text,' ')), 50)" +
       " + (300000*len(list_distinct(string_split(text,' ')))) // len(string_split(text,' '))" +
@@ -2972,27 +3042,11 @@ object OracleSql {
 
     // per-user rollup, global-max recency anchor, three ntile(5)
     // windows with the user-id tie-break, the 3-digit code
-    "q178_rfm_segments" ->
-      """WITH per AS (SELECT user_id,
-        |    max(CAST(floor(epoch(ts)) AS BIGINT)) AS last_t,
-        |    count(*) AS frequency,
-        |    sum(CAST(floor(value * 100) AS BIGINT)) AS monetary_cents
-        |   FROM events
-        |   WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
-        |   GROUP BY 1),
-        | g AS (SELECT max(last_t) AS gmax FROM per),
-        | r AS (SELECT user_id, (g.gmax - last_t) // 86400 AS recency_days,
-        |    frequency, monetary_cents FROM per, g),
-        | qn AS (SELECT user_id, recency_days, frequency, monetary_cents,
-        |    CAST(ntile(5) OVER (ORDER BY recency_days, user_id) AS BIGINT) AS r_q,
-        |    CAST(ntile(5) OVER (ORDER BY frequency, user_id) AS BIGINT) AS f_q,
-        |    CAST(ntile(5) OVER (ORDER BY monetary_cents, user_id) AS BIGINT) AS m_q
-        |   FROM r)
-        |SELECT user_id, CAST(recency_days AS BIGINT) AS recency_days,
-        | CAST(frequency AS BIGINT) AS frequency,
-        | CAST(monetary_cents AS BIGINT) AS monetary_cents,
-        | r_q, f_q, m_q, r_q * 100 + f_q * 10 + m_q AS rfm_code
-        |FROM qn ORDER BY user_id""".stripMargin,
+    "q178_rfm_segments" -> rfmNtileSql,
+
+    // the histogram-rank twin must reproduce the SAME plain-ntile
+    // oracle bit for bit — sharing the text makes drift impossible
+    "q320_rfm_hist" -> rfmNtileSql,
 
     // the distinct-rhs rollup with both witness values; NULL rhs can't
     // witness a contradiction, NULL lhs is its own group
@@ -5542,46 +5596,10 @@ object OracleSql {
 
     // Qini deciles: ntile over the total (score DESC, unit) order,
     // cumulative cells, cleared incremental-conversion readout
-    "q283_uplift_deciles" ->
-      """WITH e AS (SELECT CAST(user_id AS VARCHAR) AS unit,
-        |   CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
-        |   CAST(floor(value * 100) AS BIGINT) AS cents, event_type
-        |  FROM events
-        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
-        |    AND value IS NOT NULL AND event_type IS NOT NULL),
-        | mx AS (SELECT (min(day) + max(day)) // 2 AS mid FROM e),
-        | u AS (SELECT unit,
-        |   CAST(sum(CASE WHEN day <= mid THEN cents ELSE 0 END) AS BIGINT)
-        |     AS score,
-        |   max(CASE WHEN day > mid AND event_type = 'purchase'
-        |     THEN 1 ELSE 0 END) AS y
-        |  FROM e CROSS JOIN mx GROUP BY 1),
-        | a AS (SELECT score, y,
-        |   ('0x'||substr(md5('7:'||unit),1,8))::BIGINT % 2 AS arm,
-        |   CAST(ntile(10) OVER (ORDER BY score DESC, unit) AS BIGINT)
-        |     AS decile
-        |  FROM u),
-        | c AS (SELECT decile,
-        |   CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nt,
-        |   CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nc,
-        |   CAST(sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT) AS ct,
-        |   CAST(sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT) AS cc
-        |  FROM a GROUP BY 1),
-        | w AS (SELECT decile, nt, nc, ct, cc,
-        |   sum(nt) OVER o AS nt_cum, sum(nc) OVER o AS nc_cum,
-        |   sum(ct) OVER o AS ct_cum, sum(cc) OVER o AS cc_cum
-        |  FROM c WINDOW o AS (ORDER BY decile
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-        |SELECT decile, nt AS n_treat, nc AS n_control,
-        | ct AS conv_treat, cc AS conv_control,
-        | CAST(CASE WHEN nt > 0 AND nc > 0 THEN
-        |   (ct * 1000000) // nt - (cc * 1000000) // nc END AS BIGINT)
-        |   AS uplift_ppm,
-        | CAST(CASE WHEN nc_cum > 0 THEN
-        |   (CAST(ct_cum AS HUGEINT) * nc_cum
-        |     - CAST(cc_cum AS HUGEINT) * nt_cum) * 1000 // nc_cum END
-        |   AS BIGINT) AS qini_milli
-        |FROM w ORDER BY decile""".stripMargin,
+    "q283_uplift_deciles" -> upliftNtileSql,
+
+    // the histogram-rank twin reproduces the SAME ntile oracle
+    "q321_uplift_hist" -> upliftNtileSql,
 
     // jackknife ratio SE: LOO ratios floored once per fold, the
     // cross-multiplied variance (B-1)*sum((r*B - S)^2) // B^3, exact

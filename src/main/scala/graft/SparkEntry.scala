@@ -4533,6 +4533,38 @@ object SparkEntry {
       .orderBy("g")
   }
 
+  /** RFM quintiles past the sort-window scale wall
+    * ([[ops.Behavior.rfmSegmentsHist]]): q178's exact segmentation
+    * recomputed from histogram ranks — per-value counts + the
+    * distributed prefix-sum replace all three global `ntile(5)`
+    * windows. Gated against the SAME plain-ntile oracle text as q178:
+    * bit-equality here is the proof the decomposition changes the
+    * plan, not the answer. */
+  private def q320(s: SparkSession, dir: String): DataFrame =
+    Behavior.rfmSegmentsHist(Tables.events(s, dir),
+        col("user_id"), col("ts"), col("value"))
+      .withColumnRenamed("user", "user_id")
+      .orderBy("user_id")
+
+  /** Qini deciles past the sort-window scale wall
+    * ([[ops.Stats.upliftDecilesHist]]): q283's curve with the global
+    * `ntile(10)` replaced by histogram ranks over the negated score
+    * (DESC spelled as ASC). Same oracle text as q283. */
+  private def q321(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("value").isNotNull && col("event_type").isNotNull)
+      .withColumn("day", expr("CAST(unix_timestamp(ts) AS BIGINT) DIV 86400"))
+      .withColumn("cents", expr("CAST(floor(value * 100) AS BIGINT)"))
+    val mid = e.agg(expr("(min(day) + max(day)) DIV 2").as("mid"))
+    val split = e.crossJoin(broadcast(mid))
+      .select(col("user_id"),
+        when(col("day") <= col("mid"), col("cents")).otherwise(0L).as("sc"),
+        (col("day") > col("mid") && col("event_type") === "purchase")
+          .as("cv"))
+    ops.Stats.upliftDecilesHist(split, col("user_id"), col("sc"), col("cv"))
+  }
+
   /** Ordered LISTAGG / STRING_AGG (the SQL:2016 T625 surface): per
     * nation, the top-5 suppliers by account balance concatenated in
     * rank order — `sort_array(collect_list(struct))` + `slice` +
@@ -5549,7 +5581,9 @@ object SparkEntry {
     "q316_modularity" -> q316 _,
     "q317_assortativity" -> q317 _,
     "q318_shapley" -> q318 _,
-    "q319_pooled_grid" -> q319 _
+    "q319_pooled_grid" -> q319 _,
+    "q320_rfm_hist" -> q320 _,
+    "q321_uplift_hist" -> q321 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

@@ -613,9 +613,9 @@ object Behavior {
     * (one shuffle, map-side partials); the three ntile windows then
     * sort the USER table, not the log — cardinality-bounded. The
     * windows are global by definition (population quintiles); past
-    * ~10⁸ users swap exact ntile for percentile-threshold bucketing
-    * ([[graft.ops.Stats]] rank machinery) at the cost of boundary-tie
-    * exactness.
+    * ~10⁸ users use [[rfmSegmentsHist]] — the bit-identical
+    * histogram-rank twin with no single-reducer sort, no boundary-tie
+    * loss.
     */
   def rfmSegments(
       events: DataFrame,
@@ -638,6 +638,46 @@ object Behavior {
       .withColumn("r_q", q(col("recency_days"), col("user")))
       .withColumn("f_q", q(col("frequency"), col("user")))
       .withColumn("m_q", q(col("monetary_cents"), col("user")))
+      .withColumn("rfm_code",
+        col("r_q") * 100L + col("f_q") * 10L + col("m_q"))
+      .select(col("user"), col("recency_days"), col("frequency"),
+        col("monetary_cents"), col("r_q"), col("f_q"), col("m_q"),
+        col("rfm_code"))
+  }
+
+  /** [[rfmSegments]]'s SCALE-SAFE twin — bit-identical output (pinned
+    * in `BehaviorSpec`, oracle-gated as q320 against the plain-ntile
+    * oracle), with the three global `ntile(5)` sort windows replaced
+    * by [[graft.ops.Stats.ntileHist]]'s exact histogram ranks: each
+    * metric's quintile comes from per-value counts + the distributed
+    * prefix-sum, so past ~10⁸ users nothing ever sorts the user table
+    * on one reducer. The per-user frame is lazily localCheckpointed
+    * once and shared by the three rank machines.
+    */
+  def rfmSegmentsHist(
+      events: DataFrame,
+      userCol: Column,
+      tsCol: Column,
+      valueCol: Column
+  ): DataFrame = {
+    val per = events
+      .filter(userCol.isNotNull && tsCol.isNotNull && valueCol.isNotNull)
+      .select(userCol.as("user"), unix_timestamp(tsCol).cast("long").as("__t"),
+        floor(valueCol * 100d).cast("long").as("__cents"))
+      .groupBy("user")
+      .agg(max(col("__t")).as("__last"), count(lit(1)).as("frequency"),
+        sum(col("__cents")).as("monetary_cents"))
+    val gmax = per.agg(max(col("__last")).as("__gmax"))
+    val base = per.crossJoin(broadcast(gmax))
+      .withColumn("recency_days", expr("(__gmax - __last) DIV 86400"))
+      .localCheckpoint(false)
+    val tiled = Seq(
+      ("recency_days", "r_q"), ("frequency", "f_q"),
+      ("monetary_cents", "m_q")
+    ).foldLeft(base) { case (df, (metric, q)) =>
+      graft.ops.Stats.ntileHist(df, 5, col(metric), col("user"), q)
+    }
+    tiled
       .withColumn("rfm_code",
         col("r_q") * 100L + col("f_q") * 10L + col("m_q"))
       .select(col("user"), col("recency_days"), col("frequency"),

@@ -829,9 +829,46 @@ object Stats {
     */
   def pooledGridHist(df: DataFrame, scoreCol: Column): DataFrame = {
     val spark = df.sparkSession
+    val (cells, n) = cumHist(df, scoreCol)
+    if (n == 0L)
+      return spark.range(0)
+        .select(col("id").as("__g"), col("id").as("norm_score"))
+    val gLo =
+      if (n == 1L) lit(0L)
+      else greatest(expr(s"(1000 * __cs + ${n - 2}) DIV ${n - 1}"), lit(0L))
+    val gHi =
+      if (n == 1L) lit(1000L)
+      else least(expr(s"(1000 * __ce - 1) DIV ${n - 1}"), lit(1000L))
+    cells
+      .withColumn("__glo", gLo)
+      .withColumn("__ghi", gHi)
+      .filter(col("__glo") <= col("__ghi"))
+      .select(explode(sequence(col("__glo"), col("__ghi"))).as("__g"),
+        col("__v").as("norm_score"))
+  }
+
+  /** Exact per-DISTINCT-VALUE cumulative counts — the shared engine
+    * under [[pooledGridHist]], [[globalRankHist]] and [[ntileHist]]:
+    * one hash-aggregate to `(value, count)`, then the classic
+    * distributed prefix-sum (range-repartition by value, eager
+    * localCheckpoint to freeze the partitioning, a ≤-numPartitions-row
+    * offsets collect, and a running sum PARTITIONED by
+    * `spark_partition_id()` — range partitions are value-contiguous,
+    * so local prefix + broadcast offset = the exact global prefix).
+    * Nothing corpus-sized ever sorts on one partition; the only
+    * collect is partition-count-bounded.
+    *
+    * Returns the cells `(__v, __c, __cs, __ce)` — count, exclusive
+    * cumulative start, inclusive cumulative end (so value `__v` holds
+    * exactly the global ranks `(__cs, __ce]` of the ascending value
+    * order) — and the total non-NULL row count N.
+    */
+  private[graft] def cumHist(
+      df: DataFrame, valueCol: Column): (DataFrame, Long) = {
+    val spark = df.sparkSession
     import spark.implicits._
-    val hist = df.filter(scoreCol.isNotNull)
-      .select(scoreCol.cast("long").as("__v"))
+    val hist = df.filter(valueCol.isNotNull)
+      .select(valueCol.cast("long").as("__v"))
       .groupBy("__v").agg(count(lit(1)).as("__c"))
     val parts = hist.repartitionByRange(col("__v"))
       .sortWithinPartitions("__v")
@@ -840,31 +877,85 @@ object Stats {
     val perPart = parts.groupBy("__pid").agg(sum(col("__c")).as("__s"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     val n = perPart.iterator.map(_._2).sum
-    if (n == 0L)
-      return spark.range(0)
-        .select(col("id").as("__g"), col("id").as("norm_score"))
     var acc = 0L
     val offs = perPart.toSeq.map { case (pid, s) =>
       val o = acc; acc += s; (pid, o)
     }
     val wcum = Window.partitionBy(col("__pid")).orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val gLo =
-      if (n == 1L) lit(0L)
-      else greatest(expr(s"(1000 * __cs + ${n - 2}) DIV ${n - 1}"), lit(0L))
-    val gHi =
-      if (n == 1L) lit(1000L)
-      else least(expr(s"(1000 * __ce - 1) DIV ${n - 1}"), lit(1000L))
-    parts
+    val cells = parts
       .withColumn("__ce", sum(col("__c")).over(wcum))
       .join(broadcast(offs.toDF("__pid", "__off")), Seq("__pid"))
       .withColumn("__ce", col("__ce") + col("__off"))
       .withColumn("__cs", col("__ce") - col("__c"))
-      .withColumn("__glo", gLo)
-      .withColumn("__ghi", gHi)
-      .filter(col("__glo") <= col("__ghi"))
-      .select(explode(sequence(col("__glo"), col("__ghi"))).as("__g"),
-        col("__v").as("norm_score"))
+      .select(col("__v"), col("__c"), col("__cs"), col("__ce"))
+    (cells, n)
+  }
+
+  /** Exact 1-based global rank over `(value ASC, tie ASC)` WITHOUT a
+    * corpus-wide single-partition sort: per-value start ranks come
+    * from [[cumHist]]; the within-value order is a `row_number`
+    * PARTITIONED by value (bounded by the heaviest tie group — the
+    * honest residual: a corpus where one value holds most rows is the
+    * skew regime, not the rank regime). Rows with NULL `value` are
+    * dropped. Adds `out` (BIGINT); the tie column must be unique per
+    * row for a deterministic total order.
+    */
+  def globalRankHist(
+      df: DataFrame,
+      valueCol: Column,
+      tieCol: Column,
+      out: String = "__rk"
+  ): DataFrame = rankWithN(df, valueCol, tieCol, out)._1
+
+  private def rankWithN(
+      df: DataFrame,
+      valueCol: Column,
+      tieCol: Column,
+      out: String
+  ): (DataFrame, Long) = {
+    val base = df.filter(valueCol.isNotNull)
+    val (cells, n) = cumHist(base, valueCol)
+    val ranked = base
+      .withColumn("__v", valueCol.cast("long"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__v")).orderBy(tieCol)).cast("long"))
+      .join(cells.select(col("__v"), col("__cs")), Seq("__v"))
+      .withColumn(out, col("__cs") + col("__rn"))
+      .drop("__v", "__rn", "__cs")
+    (ranked, n)
+  }
+
+  /** `ntile(k)` over the total order `(value ASC, tie ASC)` computed
+    * from [[globalRankHist]]'s exact ranks instead of a global sort
+    * window — the scale path past ~10⁸ units for quantile segmentation
+    * ([[graft.ops.Behavior.rfmSegmentsHist]], [[upliftDecilesHist]]).
+    * The tile is the standard SQL assignment, a pure function of the
+    * rank: with `b = N DIV k`, `r = N MOD k` the first `r` tiles hold
+    * `b+1` rows — `tile = (rk−1) DIV (b+1) + 1` up to the cut
+    * `r·(b+1)`, else `r + 1 + (rk−cut−1) DIV b` — so it equals
+    * `ntile(k)` bit for bit (pinned in `StatsSpec`). For DESC value
+    * order pass the negated column.
+    */
+  def ntileHist(
+      df: DataFrame,
+      k: Int,
+      valueCol: Column,
+      tieCol: Column,
+      out: String
+  ): DataFrame = {
+    require(k >= 1, s"ntile k must be >= 1: $k")
+    val (ranked, n) = rankWithN(df, valueCol, tieCol, "__nt_rk")
+    val b = n / k
+    val rem = n % k
+    val cut = rem * (b + 1)
+    val tile =
+      if (n == 0L) lit(null).cast("long")
+      else if (b == 0L) col("__nt_rk") // n < k: one row per tile
+      else expr(
+        s"CASE WHEN __nt_rk <= $cut THEN (__nt_rk - 1) DIV ${b + 1} + 1" +
+          s" ELSE $rem + 1 + (__nt_rk - $cut - 1) DIV $b END")
+    ranked.withColumn(out, tile.cast("long")).drop("__nt_rk")
   }
 
   def quantileNormalize(
@@ -981,9 +1072,9 @@ object Stats {
     * convention); deciles are `ntile(10)` over the TOTAL order
     * `(score DESC, unit)` — unit is unique, so the tile assignment is
     * a pure function of the data and replays on any engine. The
-    * ranking window is global (the [[quantileNormalize]]
-    * verifier-scale caveat — swap in threshold-grid bucketing when a
-    * corpus-sized sort window won't do).
+    * ranking window is global — fine up to ~10⁸ per-unit aggregate
+    * rows; past that use [[upliftDecilesHist]], the bit-identical
+    * histogram-rank twin.
     *
     * Cells with an empty cumulative control arm report NULL qini.
     */
@@ -993,9 +1084,39 @@ object Stats {
       scoreCol: Column,
       convCol: Column,
       seed: Int = 7
+  ): DataFrame =
+    upliftCurve(upliftUnits(df, unitCol, scoreCol, convCol, seed)
+      .withColumn("decile", ntile(10).over(
+        Window.orderBy(col("score").desc, col("unit"))).cast("long")))
+
+  /** [[upliftDeciles]]'s SCALE-SAFE twin (bit-identical output, pinned
+    * in `StatsSpec` and oracle-gated as q321): the global `ntile(10)`
+    * sort window over every unit is replaced by [[ntileHist]]'s exact
+    * histogram ranks — `(score DESC, unit)` spelled as the negated
+    * score ascending — so unit segmentation survives past ~10⁸ units
+    * where a single-reducer sort window will not. (Negation is exact
+    * for every score a cents-sum can reach; only Long.MinValue itself
+    * has no negation.)
+    */
+  def upliftDecilesHist(
+      df: DataFrame,
+      unitCol: Column,
+      scoreCol: Column,
+      convCol: Column,
+      seed: Int = 7
+  ): DataFrame =
+    upliftCurve(ntileHist(upliftUnits(df, unitCol, scoreCol, convCol, seed),
+      10, -col("score"), col("unit"), "decile"))
+
+  private def upliftUnits(
+      df: DataFrame,
+      unitCol: Column,
+      scoreCol: Column,
+      convCol: Column,
+      seed: Int
   ): DataFrame = {
     import graft.functions.Hashing
-    val units = df
+    df
       .select(unitCol.cast("string").as("unit"),
         coalesce(scoreCol.cast("long"), lit(0L)).as("sc"),
         convCol.cast("boolean").as("cv"))
@@ -1003,8 +1124,9 @@ object Stats {
       .groupBy("unit").agg(sum(col("sc")).as("score"),
         max(when(col("cv"), 1L).otherwise(0L)).as("y"))
       .withColumn("arm", pmod(Hashing.md5Hash32(seed, col("unit")), lit(2L)))
-      .withColumn("decile", ntile(10).over(
-        Window.orderBy(col("score").desc, col("unit"))).cast("long"))
+  }
+
+  private def upliftCurve(units: DataFrame): DataFrame = {
     val cells = units.groupBy("decile").agg(
       sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("nt"),
       sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("nc"),

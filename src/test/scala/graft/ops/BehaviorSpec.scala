@@ -482,6 +482,23 @@ class BehaviorSpec extends SparkTestBase {
       Seq("channel", "n_journeys", "credit_ppm", "share_ppm"))
   }
 
+  test("rfmSegmentsHist: bit-identical to the sort-window rfmSegments") {
+    // heavy metric ties (few distinct recencies/frequencies over many
+    // users) — exactly where quintile boundaries are tie-broken by user
+    val log = (1 to 240).map { i =>
+      (s"u${i % 80}", ts(f"2026-01-${(i % 9) + 1}%02d 00:00:00"),
+        ((i * 13) % 40).toDouble / 4d)
+    }.toDF("user_id", "ts", "value")
+    val ref = Behavior.rfmSegments(log,
+        col("user_id"), col("ts"), col("value"))
+      .collect().map(_.toString).toSeq.sorted
+    val got = Behavior.rfmSegmentsHist(log,
+        col("user_id"), col("ts"), col("value"))
+      .collect().map(_.toString).toSeq.sorted
+    assert(got == ref)
+    assert(ref.size == 80)
+  }
+
   test("markovAttributionBucketed: degrades where the raw operator fail-stops") {
     // 12 distinct channels c01..c12 (cap below at topChannels+1 = 4):
     // touch volumes c01 ×3, c02 ×2, c03 ×2, the rest ×1 — top-3 is

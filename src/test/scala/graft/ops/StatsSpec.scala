@@ -683,6 +683,51 @@ class StatsSpec extends SparkTestBase {
       Stats.pooledGrid(empty, col("s")).schema)
   }
 
+  test("ntileHist: bit-identical to ntile across n/k shapes and ties") {
+    import org.apache.spark.sql.functions.{col, ntile}
+    import org.apache.spark.sql.expressions.Window
+    def both(rows: Seq[(Long, String)], k: Int): Unit = {
+      val df = rows.toDF("v", "u").repartition(5)
+      val ref = df.withColumn("t",
+          ntile(k).over(Window.orderBy(col("v"), col("u"))).cast("long"))
+        .as[(Long, String, Long)].collect().toSeq.sorted
+      val got = Stats.ntileHist(df, k, col("v"), col("u"), "t")
+        .as[(Long, String, Long)].collect().toSeq.sorted
+      assert(got == ref, s"k=$k n=${rows.size}")
+    }
+    // heavy ties, n % k != 0
+    val tied = (1 to 103).map(i => ((i % 7).toLong, s"u$i"))
+    both(tied, 5)
+    both(tied, 10)
+    both(tied, 103) // n == k
+    both(tied, 200) // n < k: one row per tile
+    both(Seq((5L, "only")), 5) // single row
+    // exact multiples and a descending spelling via negation
+    val asc = (1 to 100).map(i => (i.toLong, f"u$i%03d"))
+    both(asc, 4)
+    val df = asc.toDF("v", "u")
+    val refDesc = df.withColumn("t",
+        ntile(4).over(Window.orderBy(col("v").desc, col("u"))).cast("long"))
+      .as[(Long, String, Long)].collect().toSeq.sorted
+    val gotDesc = Stats.ntileHist(df, 4, -col("v"), col("u"), "t")
+      .as[(Long, String, Long)].collect().toSeq.sorted
+    assert(gotDesc == refDesc)
+  }
+
+  test("upliftDecilesHist: bit-identical to the sort-window upliftDeciles") {
+    import org.apache.spark.sql.functions.col
+    val rows = (1 to 200).map { i =>
+      (s"u${i % 60}", (i * 37 % 50).toLong, i % 11 == 0)
+    }
+    val df = rows.toDF("unit", "sc", "cv")
+    val ref = Stats.upliftDeciles(df, col("unit"), col("sc"), col("cv"))
+      .collect().map(_.toString).toSeq.sorted
+    val got = Stats.upliftDecilesHist(df, col("unit"), col("sc"), col("cv"))
+      .collect().map(_.toString).toSeq.sorted
+    assert(got == ref)
+    assert(ref.nonEmpty)
+  }
+
   test("stratifiedReadout: per-stratum floors, exclusion, SRM mirror") {
     import org.apache.spark.sql.functions.col
     def arm7(unit: String): Long = {
