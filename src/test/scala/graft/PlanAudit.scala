@@ -67,6 +67,7 @@ object PlanAudit {
     "q287_log_rank", // ONE-row max-day + ONE-row arm-totals broadcasts; durs × 2-row arm grid
     "q290_ab_trajectory", // ONE-row day-bounds broadcast; days × 2-row arm grid
     "q281_ranking_eval", // composes q37's AND q41's broadcast scans (q167's class)
+    "q321_uplift_hist", // ONE-row corpus-midpoint-day broadcast (q283's class)
     "q315_hits", // per-round ONE-ROW max-normalization broadcasts (q178's anchor class)
     "q316_modularity", // ONE-ROW edge-count broadcast onto the community cells
     "q318_shapley") // ONE-ROW positive-total broadcast onto the channel credits
@@ -80,7 +81,59 @@ object PlanAudit {
     "q167_ann_recall", // exact + IVF retrieval pipelines side by side + overlap agg
     "q188_lsh_precision", // full minhash-band pipeline + the exact-Jaccard verifier
     "q198_ann_ivf_pq", // IVF routing pipeline + PQ encode pipeline + ADC rerank
-    "q281_ranking_eval") // exact + IVF retrieval pipelines side by side (q167's class)
+    "q281_ranking_eval", // exact + IVF retrieval pipelines side by side (q167's class)
+    "q320_rfm_hist") // three complete histogram-rank pipelines (r/f/m), each within budget
+
+  /** Queries whose optimized plan legitimately contains an
+    * UNPARTITIONED Window — each justified by a BOUNDED input (the
+    * window runs over an aggregate/grid intermediate, never the
+    * corpus), mirroring the `nljByDesign` precedent. The audit fails
+    * any query with an unlisted unpartitioned window AND any stale
+    * entry whose plan no longer has one — so a refactor that
+    * accidentally drops the partitioning of a corpus-sized window
+    * surfaces here, not as a single-reducer sort three rounds later.
+    */
+  private val unpartWindowByDesign: Map[String, String] = Map(
+    "q41_ann_ivf" -> "pivot-sample rank (row_number over the k-bounded pivot sample, SimSearch:255)",
+    "q112_semantic_pairs" -> "q41's pivot-sample ranks by composition (SemDeDup pivots)",
+    "q113_temperature_sample" -> "cumulative over the per-score histogram (score-domain-bounded, Sampling scaladoc)",
+    "q167_ann_recall" -> "q41's pivot-sample ranks by composition (IVF eval leg)",
+    "q178_rfm_segments" -> "three population-quintile ntiles over the per-user aggregate (documented <=~1e8 users; q320 is the scale path)",
+    "q181_join_forecast" -> "rank over the per-join-key count table, then the top-N slice (key-grain, Profile:253)",
+    "q185_pareto" -> "cumulative revenue share over the per-entity rollup (dimension-grain; the fact log never enters the window)",
+    "q197_ann_pq_adc" -> "PQ codebook construction ranks (m x 16-row codebooks, config-bounded)",
+    "q198_ann_ivf_pq" -> "IVF pivot-sample + PQ codebook ranks (both config-bounded)",
+    "q199_zone_map_skipping" -> "file/zone grid windows (file-count-bounded layout table)",
+    "q202_layout_bakeoff" -> "three candidate layouts x file-grid windows (config-bounded file counts)",
+    "q206_cluster_purity" -> "q41's pivot-sample ranks by composition (cluster assignment)",
+    "q209_skyline" -> "skyline scan over the DISTINCT-level frame (distinct-combination-bounded)",
+    "q211_benford" -> "cumulative over the 9 leading-digit cells",
+    "q214_negative_samples" -> "item-universe index (row_number over the DISTINCT item dictionary)",
+    "q230_binned_range_join" -> "busy-hour threshold over the hours intermediate (one row per hour, scaladoc'd benign)",
+    "q249_session_paths" -> "rank over the path-grain aggregate (event-type alphabet^depth cells)",
+    "q258_proportional_alloc" -> "largest-remainder ranks over the strata-count table (|strata| rows)",
+    "q259_contingency" -> "marginal windows over the category-grid cells (|A| x |B|)",
+    "q260_allocated_sample" -> "q258's strata-table windows by composition (the draw itself partitions by stratum)",
+    "q273_poisson_bootstrap" -> "per-replicate windows over the b bootstrap cells",
+    "q281_ranking_eval" -> "q41's pivot-sample ranks by composition (IVF eval leg)",
+    "q283_uplift_deciles" -> "decile ntile over per-unit aggregates (documented <=~1e8; q321 is the scale path) + the 10-row decile cumulative",
+    "q290_ab_trajectory" -> "cumulative over day-grain arm cells (calendar-bounded)",
+    "q321_uplift_hist" -> "the 10-row decile cumulative only (the ntile window is GONE - that is the point of the hist twin)",
+    "q83_histogram" -> "cumulative over the occupied-bin cells",
+    "q88_zipf_coverage" -> "rank over the top-100 token slice")
+
+  /** Count of UNPARTITIONED logical Window nodes in a query's
+    * optimized plan (the structural form of the runtime
+    * "WindowExec: No Partition Defined" warning).
+    */
+  def unpartitionedWindows(
+      df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+      case w: org.apache.spark.sql.catalyst.plans.logical.WindowGroupLimit
+          if w.partitionSpec.isEmpty => w
+    }.size
 
   val BudgetPath = "tools/expected_exchanges.json"
 
@@ -136,12 +189,18 @@ object PlanAudit {
 
     var findings = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val plan = fn(spark, dir).queryExecution.executedPlan.toString
+      val df = fn(spark, dir)
+      val plan = df.queryExecution.executedPlan.toString
       val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+      val unpart = unpartitionedWindows(df)
       val issues = Seq(
         Option.when(plan.contains("CartesianProduct"))("CARTESIAN"),
         Option.when(plan.contains("BroadcastNestedLoopJoin") && !nljByDesign(name))(
           "UNPLANNED-NLJ"),
+        Option.when(unpart > 0 && !unpartWindowByDesign.contains(name))(
+          s"UNPARTITIONED-WINDOW=$unpart"),
+        Option.when(unpart == 0 && unpartWindowByDesign.contains(name))(
+          "STALE-UNPART-WINDOW-ALLOWLIST"),
         Option.when(exchanges > 6 && !wideByDesign(name))(s"EXCHANGES=$exchanges")
       ).flatten
       println(f"[audit] $name%-28s exchanges=$exchanges%-2d ${issues.mkString(" ")}")
