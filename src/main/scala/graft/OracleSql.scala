@@ -6315,6 +6315,51 @@ object OracleSql {
         |   AS share_ppm
         |FROM agg CROSS JOIN tot ORDER BY channel""".stripMargin,
 
+    // hostile-alphabet Shapley (q322): ground truth over LIST coalition
+    // keys — the engine's percent-escaped string keys must agree, which
+    // proves the escape injective rather than assuming it
+    "q322_shapley_sanitized" ->
+      """WITH e AS (SELECT user_id AS u, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+        |   CASE event_type WHEN 'click' THEN 'cl|ick' WHEN 'view' THEN ''
+        |     WHEN 'signup' THEN 'sign%up' WHEN 'error' THEN '%E'
+        |     ELSE event_type END AS et, event_id AS eid
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IS NOT NULL AND event_id IS NOT NULL),
+        | cv AS (SELECT u, sec AS conv_sec, eid AS conv_id FROM (
+        |   SELECT u, sec, eid,
+        |     row_number() OVER (PARTITION BY u ORDER BY sec, eid) AS r
+        |   FROM e WHERE et = 'purchase') WHERE r = 1),
+        | tch AS (SELECT e.u, e.et, cv.conv_sec IS NOT NULL AS converted,
+        |    row_number() OVER (PARTITION BY e.u ORDER BY e.sec, e.eid) AS rn
+        |   FROM e LEFT JOIN cv ON cv.u = e.u
+        |   WHERE e.et <> 'purchase' AND (cv.conv_sec IS NULL
+        |     OR e.sec < cv.conv_sec
+        |     OR (e.sec = cv.conv_sec AND e.eid < cv.conv_id))),
+        | tc AS (SELECT * FROM tch WHERE rn <= 50),
+        | sets AS (SELECT u, list_sort(list_distinct(list(et))) AS s,
+        |   bool_or(converted) AS conv FROM tc GROUP BY 1),
+        | vset AS MATERIALIZED (SELECT s, CAST(count(*) AS BIGINT) AS n_j,
+        |   CAST(sum(CASE WHEN conv THEN 1 ELSE 0 END) AS BIGINT) AS nc
+        |  FROM sets GROUP BY 1),
+        | ex AS MATERIALIZED (SELECT s, n_j, (nc * 1000000) // n_j AS v,
+        |   unnest(s) AS channel FROM vset),
+        | par AS (SELECT ex.channel, ex.n_j, ex.v, len(ex.s) AS sz,
+        |   list_filter(ex.s, x -> x <> ex.channel) AS pk FROM ex),
+        | pj AS (SELECT par.channel, par.n_j,
+        |   (par.v - COALESCE(v2.v, 0)) // par.sz AS contrib
+        |  FROM par LEFT JOIN (SELECT s, (nc * 1000000) // n_j AS v FROM vset)
+        |    v2 ON v2.s = par.pk),
+        | agg AS (SELECT channel, CAST(sum(n_j) AS BIGINT) AS n_journeys,
+        |   CAST(sum(n_j * contrib) AS BIGINT) AS credit_ppm FROM pj
+        |  GROUP BY 1),
+        | tot AS (SELECT CAST(sum(greatest(credit_ppm, 0)) AS BIGINT) AS pos
+        |  FROM agg)
+        |SELECT channel, n_journeys, credit_ppm,
+        | CAST(CASE WHEN tot.pos > 0 THEN
+        |   (greatest(credit_ppm, 0) * 1000000) // tot.pos END AS BIGINT)
+        |   AS share_ppm
+        |FROM agg CROSS JOIN tot ORDER BY channel""".stripMargin,
+
     "q317_assortativity" -> q317Sql,
 
     // RAKE: stopword-free runs, deg/freq word scores (one floor),

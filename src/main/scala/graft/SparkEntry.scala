@@ -4533,6 +4533,27 @@ object SparkEntry {
       .orderBy("g")
   }
 
+  /** Shapley on a HOSTILE channel alphabet
+    * ([[ops.Behavior.shapleyAttributionSanitized]]): event types are
+    * remapped IN the query to the injectivity hazards — a `|` name,
+    * the empty string, a `%` name, and the literal `%E` escape token —
+    * and the sanitizing front must produce the exact credits the raw
+    * operator fail-stops on. The oracle computes Shapley over
+    * LIST-valued coalition keys (no string keys anywhere), so the
+    * escape's injectivity is checked against ground truth rather than
+    * replayed. */
+  private def q322(s: SparkSession, dir: String): DataFrame = {
+    val hostile = when(col("event_type") === "click", lit("cl|ick"))
+      .when(col("event_type") === "view", lit(""))
+      .when(col("event_type") === "signup", lit("sign%up"))
+      .when(col("event_type") === "error", lit("%E"))
+      .otherwise(col("event_type"))
+    Behavior.shapleyAttributionSanitized(Tables.events(s, dir),
+        col("user_id"), col("ts"), hostile, col("event_id"),
+        convType = "purchase")
+      .orderBy("channel")
+  }
+
   /** RFM quintiles past the sort-window scale wall
     * ([[ops.Behavior.rfmSegmentsHist]]): q178's exact segmentation
     * recomputed from histogram ranks — per-value counts + the
@@ -5583,7 +5604,8 @@ object SparkEntry {
     "q318_shapley" -> q318 _,
     "q319_pooled_grid" -> q319 _,
     "q320_rfm_hist" -> q320 _,
-    "q321_uplift_hist" -> q321 _
+    "q321_uplift_hist" -> q321 _,
+    "q322_shapley_sanitized" -> q322 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

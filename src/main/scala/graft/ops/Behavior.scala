@@ -949,8 +949,10 @@ object Behavior {
     * driver solve, no channel-count cap needed (the set STRING is
     * bounded by `maxPrefix` channels).
     *
-    * Channel names must not contain `|` (the set-key separator — a
-    * require guards it).
+    * Channel names must be non-empty and must not contain `|` (the
+    * set-key separator; an empty name would key the singleton `{""}`
+    * like the empty coalition) — a require fail-stops on both;
+    * [[shapleyAttributionSanitized]] is the front that never throws.
     *
     * Output per channel: `n_journeys` (journeys whose set contains the
     * channel), `credit_ppm` (signed exact sum), `share_ppm`.
@@ -980,9 +982,15 @@ object Behavior {
       .withColumn("v_ppm", expr("(__nc * 1000000) DIV n_j"))
       .localCheckpoint(true)
     // the set key must be injective: a channel containing the
-    // separator would alias two different sets
-    require(vset.filter(expr("exists(s, x -> x LIKE '%|%')")).isEmpty,
-      "shapleyAttribution: channel names must not contain '|'")
+    // separator would alias two different sets, and an EMPTY channel
+    // name would alias the singleton {""} with the empty coalition
+    // (concat_ws keys both as "") — silently skewing every singleton's
+    // marginal. Fail-stop on both; shapleyAttributionSanitized is the
+    // never-throws front.
+    require(
+      vset.filter(expr("exists(s, x -> x = '' OR x LIKE '%|%')")).isEmpty,
+      "shapleyAttribution: channel names must be non-empty and must " +
+        "not contain '|' (use shapleyAttributionSanitized)")
     val contrib = vset
       .select(col("sk"), col("n_j"), col("v_ppm"), col("s"),
         explode(col("s")).as("channel"))
@@ -1002,6 +1010,55 @@ object Behavior {
           "(greatest(credit_ppm, CAST(0 AS BIGINT)) * 1000000) DIV __pos")))
       .select(col("channel"), col("n_journeys"), col("credit_ppm"),
         col("share_ppm"))
+  }
+
+  /** Sanitizing front for [[shapleyAttribution]] on UNTRUSTED channel
+    * dimensions (the r17 verdict's "mirror the Markov treatment" item):
+    * where the raw operator fail-stops on a channel name that would
+    * break set-key injectivity — a `|` (the separator) or the empty
+    * string (aliases the empty coalition) — this front PERCENT-ESCAPES
+    * the alphabet instead of throwing six hours into a 100 TB job:
+    * `%`→`%25` first, then `|`→`%7C`, and the empty name becomes `%E`
+    * (collision-free: a LITERAL `%E` channel escapes to `%25E`). The
+    * map is injective, so credits computed on the escaped alphabet are
+    * exactly the credits on the original one — unlike the Markov
+    * bucketing this degrade loses NOTHING — and the output channel
+    * column is unescaped back to the original names. The conversion
+    * marker is escaped consistently, so journey/conversion matching is
+    * preserved by injectivity. NULL types stay NULL (missing, not a
+    * channel). The q322 oracle recomputes Shapley over LIST-valued
+    * coalition keys — no string keys at all — so an aliasing bug in
+    * this escape could not hide behind a matching oracle.
+    */
+  def shapleyAttributionSanitized(
+      events: DataFrame,
+      userCol: Column,
+      tsCol: Column,
+      typeCol: Column,
+      idCol: Column,
+      convType: String,
+      maxPrefix: Int = 50
+  ): DataFrame = {
+    def escCol(c: Column): Column =
+      when(c === "", lit("%E"))
+        .otherwise(call_function("replace",
+          call_function("replace", c, lit("%"), lit("%25")),
+          lit("|"), lit("%7C")))
+    def escStr(s: String): String =
+      if (s == "") "%E" else s.replace("%", "%25").replace("|", "%7C")
+    val et = typeCol.cast("string")
+    // decode order inverts encode order: %7C first (no '%25'-escaped
+    // byte sequence can spell it), then %25
+    def unesc(c: Column): Column =
+      when(c === "%E", lit(""))
+        .otherwise(call_function("replace",
+          call_function("replace", c, lit("%7C"), lit("|")),
+          lit("%25"), lit("%")))
+    shapleyAttribution(events, userCol, tsCol,
+        when(et.isNull, et).otherwise(escCol(et)), idCol,
+        escStr(convType), maxPrefix)
+      .withColumn("channel", unesc(col("channel")))
+      .select("channel", "n_journeys", "credit_ppm", "share_ppm")
   }
 
   /** Graceful-degrade front for [[markovAttribution]] on HIGH-CARDINALITY

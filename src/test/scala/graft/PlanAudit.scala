@@ -70,7 +70,8 @@ object PlanAudit {
     "q321_uplift_hist", // ONE-row corpus-midpoint-day broadcast (q283's class)
     "q315_hits", // per-round ONE-ROW max-normalization broadcasts (q178's anchor class)
     "q316_modularity", // ONE-ROW edge-count broadcast onto the community cells
-    "q318_shapley") // ONE-ROW positive-total broadcast onto the channel credits
+    "q318_shapley", // ONE-ROW positive-total broadcast onto the channel credits
+    "q322_shapley_sanitized") // q318's one-row positive-total broadcast by composition
 
   /** Queries whose DESIGN composes several complete pipelines, so their
     * exchange count legitimately exceeds the single-pipeline budget —

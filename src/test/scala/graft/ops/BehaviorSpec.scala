@@ -482,6 +482,54 @@ class BehaviorSpec extends SparkTestBase {
       Seq("channel", "n_journeys", "credit_ppm", "share_ppm"))
   }
 
+  test("shapleyAttribution: fail-stops on '|' and on empty channel names") {
+    def log(ch: String) = Seq(
+      (1L, ts("2026-01-01 00:00:00"), ch, 1L),
+      (1L, ts("2026-01-02 00:00:00"), "buy", 2L)
+    ).toDF("user_id", "ts", "event_type", "event_id")
+    intercept[IllegalArgumentException] {
+      Behavior.shapleyAttribution(log("a|b"), col("user_id"), col("ts"),
+        col("event_type"), col("event_id"), convType = "buy")
+    }
+    intercept[IllegalArgumentException] {
+      Behavior.shapleyAttribution(log(""), col("user_id"), col("ts"),
+        col("event_type"), col("event_id"), convType = "buy")
+    }
+  }
+
+  test("shapleyAttributionSanitized: hostile alphabet gets the clean alphabet's exact credits") {
+    // channel bijection A/B/C -> '|'-name / empty / the literal escape
+    // token; u2/u5 are SINGLETON-{B} journeys — the exact shape the
+    // empty-name aliasing bug would zero out (parent lookup resolving
+    // to v({""}) instead of v(emptyset)=0)
+    def mk(a: String, b: String, c: String, conv: String) = Seq(
+      (1L, ts("2026-01-01 00:00:00"), a, 1L),
+      (1L, ts("2026-01-01 01:00:00"), b, 2L),
+      (1L, ts("2026-01-02 00:00:00"), conv, 3L),
+      (2L, ts("2026-01-01 00:00:00"), b, 4L),
+      (3L, ts("2026-01-01 00:00:00"), b, 5L),
+      (3L, ts("2026-01-01 02:00:00"), c, 6L),
+      (3L, ts("2026-01-02 00:00:00"), conv, 7L),
+      (4L, ts("2026-01-01 00:00:00"), c, 8L),
+      (5L, ts("2026-01-01 00:00:00"), b, 9L),
+      (5L, ts("2026-01-03 00:00:00"), conv, 10L)
+    ).toDF("user_id", "ts", "event_type", "event_id")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    val clean = rows(Behavior.shapleyAttribution(mk("A", "B", "C", "buy"),
+      col("user_id"), col("ts"), col("event_type"), col("event_id"), "buy"))
+    val hostile = rows(Behavior.shapleyAttributionSanitized(
+      mk("a|b", "", "%E", "bu|y"),
+      col("user_id"), col("ts"), col("event_type"), col("event_id"), "bu|y"))
+    val names = Map("A" -> "a|b", "B" -> "", "C" -> "%E")
+    assert(hostile == clean.map { case (k, v) => names(k) -> v })
+    // the singleton-{B} marginal is non-zero: v({B}) = 500000 (1 of 2
+    // singleton journeys converts), parent = the TRUE empty coalition
+    assert(clean("B")._2 != 0L)
+  }
+
   test("rfmSegmentsHist: bit-identical to the sort-window rfmSegments") {
     // heavy metric ties (few distinct recencies/frequencies over many
     // users) — exactly where quintile boundaries are tie-broken by user
