@@ -4363,13 +4363,16 @@ object SparkEntry {
       .orderBy("qid")
   }
 
-  /** k-center diversity coreset ([[ext.SimSearch.kCenterCoreset]]):
-    * greedy farthest-point traversal (Gonzalez 2-approximation) over
-    * the embeddings — 8 centers that COVER the space, with the
-    * coverage-radius curve read off the dist_sq column. The
-    * diversity-selection counterweight to similarity search. */
+  /** k-center diversity coreset
+    * ([[ext.SimSearch.kCenterCoresetBatched]]): greedy farthest-point
+    * traversal (Gonzalez 2-approximation) over the embeddings — 8
+    * centers that COVER the space, with the coverage-radius curve read
+    * off the dist_sq column. The diversity-selection counterweight to
+    * similarity search. Since r18 this runs the certified-batch
+    * variant (fewer driver rounds, bit-identical greedy result —
+    * parity-pinned in `SimSearchSpec`); the oracle is unchanged. */
   private def q305(s: SparkSession, dir: String): DataFrame =
-    SimSearch.kCenterCoreset(Tables.embeddings(s, dir), k = 8)
+    SimSearch.kCenterCoresetBatched(Tables.embeddings(s, dir), k = 8)
       .orderBy("rank")
 
   /** Classical additive seasonal decomposition

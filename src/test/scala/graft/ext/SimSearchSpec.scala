@@ -379,6 +379,42 @@ class SimSearchSpec extends SparkTestBase {
     assert(got.size == 3, s"3-row corpus yields 3 centers, got $got")
   }
 
+  test("kCenterCoresetBatched: bit-identical to sequential, passes sub-linear in k") {
+    // a deterministic 2-d cloud with repeated points (distance ties) —
+    // the shape that forces the certification fallback now and then
+    val emb = (1 to 60).map { i =>
+      (i.toLong, Array(((i * 13) % 7).toFloat, ((i * 29) % 5).toFloat))
+    }.toDF("vec_id", "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toList
+    for (k <- Seq(1, 3, 12)) {
+      val seqr = rows(SimSearch.kCenterCoreset(emb, k))
+      val (bdf, passes) =
+        SimSearch.kCenterCoresetBatchedWithStats(emb, k, 8, "vec_id", "embedding")
+      assert(rows(bdf) == seqr, s"k=$k")
+      // tie-heavy worst case may fall back often, but never BELOW the
+      // sequential job count's improvement floor (>= 1 pick per pass)
+      assert(passes < math.max(k, 2), s"k=$k passes=$passes")
+    }
+    // distinct-distance cloud: certification succeeds and the job count
+    // is ~k/batch, the designed sub-linear regime
+    val spread = (1 to 60).map(i => (i.toLong, Array((i * i).toFloat)))
+      .toDF("vec_id", "embedding")
+    val seqr = rows(SimSearch.kCenterCoreset(spread, 12))
+    val (bdf, passes) =
+      SimSearch.kCenterCoresetBatchedWithStats(spread, 12, 8, "vec_id", "embedding")
+    assert(rows(bdf) == seqr)
+    // ~2-3 certified picks per pass on spread data (see scaladoc):
+    // strictly fewer jobs than the k-1 sequential scans
+    assert(passes <= 1 + 12 / 2, s"passes=$passes on the distinct cloud")
+    // short corpus + k past exhaustion, batch=1 degenerates to sequential
+    val tiny = Seq((1L, Array(0f)), (2L, Array(5f)), (3L, Array(-5f)))
+      .toDF("vec_id", "embedding")
+    assert(rows(SimSearch.kCenterCoresetBatched(tiny, 5, batch = 1)) ==
+      rows(SimSearch.kCenterCoreset(tiny, 5)))
+  }
+
   test("jlProject: seeds decorrelate — different seed, different signs somewhere") {
     val df = Seq((1L, Array.fill(16)(1.0f))).toDF("vec_id", "embedding")
     val a = SimSearch.jlProject(df, dims = 8, seed = 7)
