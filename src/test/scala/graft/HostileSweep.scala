@@ -9,7 +9,10 @@ import org.apache.spark.sql.SparkSession
   * shingle vocabulary, calendar-edge timestamps straddling a year
   * boundary / leap day / both US DST transitions) and assert the system property the per-op specs
   * cannot: EVERY query completes without OOM/exception and returns its
-  * sf0.01 result SCHEMA unchanged (possibly with zero rows).
+  * sf0.01 result SCHEMA unchanged (possibly with zero rows). Since r18
+  * the artifact also merges the 9th variant — `graft.DriverHeapSweep`'s
+  * full-registry run under a 1 GiB JVM (`lowheap`), which must be run
+  * first in its own capped process.
   *
   * `Test/runMain graft.HostileSweep [hostileRoot] [outPath]` — writes
   * HOSTILE_r{N}.json and exits 1 on any failure or schema drift.
@@ -27,7 +30,7 @@ object HostileSweep {
 
   def main(args: Array[String]): Unit = {
     val root = args.headOption.getOrElse("target/hostile")
-    val outPath = args.drop(1).headOption.getOrElse("HOSTILE_r17.json")
+    val outPath = args.drop(1).headOption.getOrElse("HOSTILE_r18.json")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -81,6 +84,31 @@ object HostileSweep {
     }
     spark.stop()
 
+    // the 9th variant runs in its OWN JVM (a heap cap is set at launch,
+    // not mid-process): graft.DriverHeapSweep under SPARK_DRIVER_MEM=1g
+    // writes this fragment, and the sweep REQUIRES it so the artifact
+    // always records all 9 variants
+    val lowheapPath = "target/hostile_lowheap.json"
+    require(java.nio.file.Files.exists(java.nio.file.Paths.get(lowheapPath)),
+      s"missing $lowheapPath - run SPARK_DRIVER_MEM=1g " +
+        "sbt 'Test/runMain graft.DriverHeapSweep' first")
+    val lowheap = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(lowheapPath)),
+      java.nio.charset.StandardCharsets.UTF_8)
+    def lhField(k: String): Long =
+      s""""$k":\\s*(\\d+)""".r.findFirstMatchIn(lowheap)
+        .map(_.group(1).toLong)
+        .getOrElse(sys.error(s"$lowheapPath missing field $k"))
+    val (lhN, lhFailed, lhMs) = (lhField("n"), lhField("failed"),
+      lhField("total_ms"))
+    require(lhN == SparkEntry.queries.size,
+      s"$lowheapPath covers $lhN queries, registry has " +
+        s"${SparkEntry.queries.size} - rerun DriverHeapSweep")
+    val lhFailures = {
+      val s = lowheap.indexOf("\"failures\":[")
+      lowheap.substring(s + "\"failures\":[".length, lowheap.lastIndexOf("]"))
+    }
+
     val failures = results.filterNot(_.ok)
     failures.foreach(r =>
       println(s"[hostile] FAIL ${r.variant}/${r.query}: ${r.err}"))
@@ -90,19 +118,24 @@ object HostileSweep {
       val ms = rs.map(_.ms).sum
       println(f"[hostile] $v%-9s ${rs.size}%4d queries, $fails%3d failed, ${ms / 1000.0}%7.1f s")
       s""""$v":{"n":${rs.size},"failed":$fails,"total_ms":$ms}"""
+    } :+ {
+      println(f"[hostile] lowheap  $lhN%4d queries, $lhFailed%3d failed, ${lhMs / 1000.0}%7.1f s (merged from $lowheapPath)")
+      s""""lowheap":{"n":$lhN,"failed":$lhFailed,"total_ms":$lhMs}"""
     }
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
-    val failJson = failures.map(r =>
-      s"""{"variant":"${r.variant}","query":"${r.query}","err":"${esc(r.err)}"}""")
+    val failJson = (failures.map(r =>
+      s"""{"variant":"${r.variant}","query":"${r.query}","err":"${esc(r.err)}"}""") ++
+      Option.when(lhFailures.trim.nonEmpty)(lhFailures))
       .mkString("[", ",", "]")
+    val totalFailures = failures.size + lhFailed
     val json =
-      s"""{"round":17,"variants":{${byVariant.mkString(",")}},
-         |"contract":"every registered query completes on every hostile variant and preserves its sf0.01 output schema",
-         |"n_queries":${SparkEntry.queries.size},"n_failures":${failures.size},
+      s"""{"round":18,"variants":{${byVariant.mkString(",")}},
+         |"contract":"every registered query completes on every hostile variant (8 data variants + the 1 GiB lowheap JVM) and preserves its sf0.01 output schema",
+         |"n_queries":${SparkEntry.queries.size},"n_failures":$totalFailures,
          |"failures":$failJson}""".stripMargin
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    println(s"[hostile] total failures: ${failures.size} -> $outPath")
-    if (failures.nonEmpty) sys.exit(1)
+    println(s"[hostile] total failures: $totalFailures -> $outPath")
+    if (totalFailures > 0) sys.exit(1)
   }
 }

@@ -153,7 +153,10 @@ def main(src, root):
             if t is None:
                 out.append(None)
                 continue
-            orig_us = int((t - epoch).total_seconds() * 1_000_000)
+            # exact integer microseconds: timedelta floordiv — NOT
+            # total_seconds(), whose float granularity (~0.4 us at 2024
+            # epochs) can perturb the documented pure-integer offset
+            orig_us = (t - epoch) // dt.timedelta(microseconds=1)
             off = orig_us % window_us
             new_us = anchors[i % 4] * 1_000_000 + off
             out.append(epoch + dt.timedelta(microseconds=new_us))
