@@ -193,6 +193,11 @@ object StatefulOps {
       * = 1` writes the v1 layout, DROPPING nSeen — the rolling-upgrade
       * escape hatch: a fleet mid-upgrade keeps writing state the
       * previous engine still reads, at the cost of the widened field.
+      * CONSUMER CAVEAT: under `stateVersion = 1` the emitted
+      * `EwmaOut.n_seen` column restarts from the decode default 0 on
+      * EVERY micro-batch (the counter is never persisted), so it reads
+      * as a per-batch position, NOT the lifetime count — treat it as
+      * meaningless until the fleet is back on v2.
       */
     def encodeEwma(s: EwmaTail, version: Int = 2): VersionedState = version match {
       case 1 =>
@@ -608,6 +613,12 @@ object StatefulOps {
     * Scale: one shuffle on the key; state is ≤ `weights.size − 1`
     * longs + the monotone TTL horizon (same eviction contract as
     * [[capPerKeyStream]]) — the live-keys working set, not history.
+    *
+    * `stateVersion = 1` (the rolling-upgrade escape hatch) writes the
+    * v1 state layout, which does not persist the lifetime counter: the
+    * emitted `n_seen` then restarts at 0 every micro-batch and must be
+    * read as a per-batch position, not the lifetime count (see
+    * `StateCodec.encodeEwma`).
     */
   def ewmaStream(
       df: DataFrame,

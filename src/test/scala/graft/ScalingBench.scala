@@ -103,6 +103,11 @@ object ScalingBench {
     Q("q316_modularity", "documents"),
     Q("q317_assortativity", "documents"),
     Q("q318_shapley", "events"),
+    // the r18 additions: the histogram-rank family + sanitized shapley
+    Q("q319_pooled_grid", "documents"),
+    Q("q320_rfm_hist", "events"),
+    Q("q321_uplift_hist", "events"),
+    Q("q322_shapley_sanitized", "events"),
     Q("q37_cosine_topk", "embeddings", gated = false),
     Q("q38_embed_neardup", "embeddings", gated = false))
 
@@ -151,17 +156,27 @@ object ScalingBench {
     Q("q316_modularity", "documents"),
     Q("q317_assortativity", "documents"),
     Q("q318_shapley", "events"),
+    Q("q319_pooled_grid", "documents"),
+    Q("q320_rfm_hist", "events"),
+    Q("q321_uplift_hist", "events"),
+    Q("q322_shapley_sanitized", "events"),
     Q("q37_cosine_topk", "embeddings", gated = false),
     Q("q38_embed_neardup", "embeddings", gated = false))
 
-  /** Deep section (the r17 "push to ×64" item): the two steepest gated
-    * synthetic exponents of r16 (q309 = 0.76, q119 = 0.72) measured on
-    * the ×16→×64 step of a documents-only upscale — confirming they
-    * FLATTEN with depth rather than creep toward the gate.
+  /** Deep section (the r17 "push to ×64" item, widened per the r17
+    * verdict): the steepest gated synthetic exponents measured on the
+    * ×16→×64 step — r17's q309/q119 (text tail) plus r18's
+    * next-steepest three: q118 (edit-distance blocking, 0.578 synth),
+    * q35 (jaccard buckets, 0.709 fixture) and q312 (bucketed Markov,
+    * 0.484 synth) — confirming they FLATTEN with depth rather than
+    * creep toward the gate. The ×64 corpus scales documents AND events.
     */
   val DeepQueries: Seq[Q] = Seq(
     Q("q309_rake_keyphrases", "documents"),
-    Q("q119_boilerplate_scrub", "documents"))
+    Q("q119_boilerplate_scrub", "documents"),
+    Q("q118_edit_dist_pairs", "documents"),
+    Q("q35_jaccard_pairs", "documents"),
+    Q("q312_markov_bucketed", "events"))
 
   val Sfs = Seq("0.001", "0.01", "0.1")
   private val BaseDir = "/root/testdata/sf0.1"
@@ -201,17 +216,18 @@ object ScalingBench {
     * keys and timestamps (organic growth: ×k traffic on the same
     * metric families over the same calendar — daily counts deepen,
     * series lengths and the key alphabet do not); every other table
-    * copied byte-for-byte from sf0.1. `docsOnly` (the ×64 deep corpus)
-    * scales documents alone. Idempotent via a versioned _built marker
-    * (bumped when the generator changes so stale corpora rebuild).
+    * copied byte-for-byte from sf0.1. `scaled` picks the tables to
+    * upscale (the ×64 deep corpus scales documents+events, not
+    * embeddings). Idempotent via a versioned _built marker per flavor
+    * (bumped when the generator OR the scaled set changes so stale
+    * corpora rebuild — the r18 ×64 bump is `_built_v3`).
     */
   private def buildSynthetic(spark: SparkSession, scale: Int,
-      docsOnly: Boolean = false): String = {
+      scaled: Set[String] = Set("documents", "embeddings", "events"),
+      markerName: String = "_built_v2"): String = {
     val dir = s"$SynthRoot/x$scale"
-    val marker = java.nio.file.Paths.get(dir, "_built_v2")
+    val marker = java.nio.file.Paths.get(dir, markerName)
     if (java.nio.file.Files.exists(marker)) return dir
-    val scaled: Set[String] =
-      if (docsOnly) Set("documents") else Set("documents", "embeddings", "events")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     for (t <- Tables if !scaled(t)) {
       java.nio.file.Files.copy(
@@ -219,7 +235,7 @@ object ScalingBench {
         java.nio.file.Paths.get(s"$dir/$t.parquet"),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
-    if (!docsOnly) {
+    if (scaled("events")) {
       // events are replicated IN SPARK (×16 of 100k rows is too big for
       // a driver-side Seq): replica r keeps ts/event_type/value/props
       // and offsets the id spaces so per-user ops see ×k users
@@ -253,7 +269,7 @@ object ScalingBench {
     spark.createDataFrame(
         spark.sparkContext.parallelize(outDocs, 8), docSchema)
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    if (!docsOnly) {
+    if (scaled("embeddings")) {
       val embs = spark.read.parquet(s"$BaseDir/embeddings.parquet")
         .collect().toSeq
       val embSchema = spark.read.parquet(s"$BaseDir/embeddings.parquet").schema
@@ -278,7 +294,7 @@ object ScalingBench {
   }
 
   def main(args: Array[String]): Unit = {
-    val outPath = args.headOption.getOrElse("SCALING_r17.json")
+    val outPath = args.headOption.getOrElse("SCALING_r18.json")
     val passes = args.drop(1).headOption.map(_.toInt).getOrElse(3)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -291,7 +307,9 @@ object ScalingBench {
     val x4 = buildSynthetic(spark, 4)
     val x8 = buildSynthetic(spark, 8) // canary top end: all-pairs at x16 is off the wall
     val x16 = buildSynthetic(spark, 16)
-    val x64 = buildSynthetic(spark, 64, docsOnly = true) // deep text corpus
+    // deep corpus: documents + events (q312's driving table), v3 marker
+    val x64 = buildSynthetic(spark, 64, Set("documents", "events"),
+      "_built_v3")
 
     // warmup (JIT/codegen) on the smallest sf
     FixtureQueries.foreach(q =>
@@ -326,8 +344,9 @@ object ScalingBench {
     val synthRows: Map[(String, String), Long] =
       ((for (d <- Seq(BaseDir, x4, x8, x16);
              t <- Seq("documents", "embeddings", "events"))
-        yield (d, t) -> rowsOf(d, t)) :+
-        ((x64, "documents") -> rowsOf(x64, "documents"))).toMap
+        yield (d, t) -> rowsOf(d, t)) ++
+        Seq((x64, "documents") -> rowsOf(x64, "documents"),
+          (x64, "events") -> rowsOf(x64, "events"))).toMap
     spark.stop()
 
     case class Fit(q: Q, section: String, exp: Double, detail: String)
@@ -368,8 +387,8 @@ object ScalingBench {
     def section(fits: Seq[Fit]): String =
       fits.map(f => s"""  "${f.q.name}":{${f.detail}}""").mkString("{\n", ",\n", "\n }")
     val json =
-      s"""{"round":17,"passes":$passes,"gate_threshold":$GateThreshold,
-         |"method":"exp = log(t_hi/t_lo)/log(rows_hi/rows_lo) over each query's driving table; min of $passes interleaved passes per point. Fixture section: sf0.01->sf0.1 (overhead-deflated, sanity only). Synthetic section: x4->x16 of sf0.1 under the ORGANIC-GROWTH model (documents: replica batches are structural copies over per-replica DISJOINT vocabularies, so per-shingle dfs and pair structure replicate per batch instead of compounding; embeddings: seeded perturbations; events since r17: xk traffic with remapped user/event ids on the SAME event_type alphabet and calendar, so daily series deepen in value, not length, and key-pair grids stay configuration-bounded) - the powered gate. Deep section since r17: the two steepest r16 text exponents (q309, q119) re-measured on the x16->x64 step of a documents-only upscale, gated, to confirm they flatten with depth. q37/q38 are ungated brute-force canaries measured x4->x8; the bounded-vocabulary saturation regime (dfs growing with n) is covered by the hostile-fixture suite, not this exponent.",
+      s"""{"round":18,"passes":$passes,"gate_threshold":$GateThreshold,
+         |"method":"exp = log(t_hi/t_lo)/log(rows_hi/rows_lo) over each query's driving table; min of $passes interleaved passes per point. Fixture section: sf0.01->sf0.1 (overhead-deflated, sanity only). Synthetic section: x4->x16 of sf0.1 under the ORGANIC-GROWTH model (documents: replica batches are structural copies over per-replica DISJOINT vocabularies, so per-shingle dfs and pair structure replicate per batch instead of compounding; embeddings: seeded perturbations; events since r17: xk traffic with remapped user/event ids on the SAME event_type alphabet and calendar, so daily series deepen in value, not length, and key-pair grids stay configuration-bounded) - the powered gate. Deep section since r17 (widened r18): the steepest synthetic exponents (q309, q119, q118, q35, q312) re-measured on the x16->x64 step of a documents+events upscale, gated, to confirm they flatten with depth. q37/q38 are ungated brute-force canaries measured x4->x8; the bounded-vocabulary saturation regime (dfs growing with n) is covered by the hostile-fixture suite, not this exponent.",
          |"violations":[${violations.map(v => "\"" + v.q.name + ":" + v.section + "\"").mkString(",")}],
          |"fixture":${section(fixtureFits)},
          |"synthetic":${section(synthFits)},
