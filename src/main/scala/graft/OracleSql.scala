@@ -2078,6 +2078,82 @@ object OracleSql {
         |   FROM nd LEFT JOIN c3 USING (node))
         |SELECT node AS doc_id, r AS rank_ppm FROM r3 ORDER BY doc_id""".stripMargin,
 
+    // q124's unrolled chain with the restart paid ONLY to the seed
+    // flag (doc_id % 83 = 0): three integer-ppm personalized rounds
+    "q323_ppr" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+        | e AS (SELECT doc_id AS src, (doc_id*7+1) % nn.n AS dst FROM documents, nn
+        |   UNION ALL SELECT doc_id, (doc_id*13+5) % nn.n FROM documents, nn
+        |   UNION ALL SELECT doc_id, (doc_id*31+11) % nn.n FROM documents, nn),
+        | od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+        | nd AS (SELECT DISTINCT src AS node FROM e
+        |   UNION SELECT DISTINCT dst FROM e),
+        | fl AS (SELECT node, CASE WHEN node % 83 = 0 THEN 1 ELSE 0 END AS sd
+        |   FROM nd),
+        | r0 AS (SELECT node, CAST(sd * 1000000 AS BIGINT) AS r FROM fl),
+        | c1 AS (SELECT e.dst AS node, sum(r0.r // od.outdeg) AS s FROM e
+        |   JOIN r0 ON e.src = r0.node JOIN od ON e.src = od.src GROUP BY 1),
+        | r1 AS (SELECT fl.node,
+        |   CAST(fl.sd * 150000 + (85 * COALESCE(c1.s, 0)) // 100 AS BIGINT) AS r
+        |   FROM fl LEFT JOIN c1 USING (node)),
+        | c2 AS (SELECT e.dst AS node, sum(r1.r // od.outdeg) AS s FROM e
+        |   JOIN r1 ON e.src = r1.node JOIN od ON e.src = od.src GROUP BY 1),
+        | r2 AS (SELECT fl.node,
+        |   CAST(fl.sd * 150000 + (85 * COALESCE(c2.s, 0)) // 100 AS BIGINT) AS r
+        |   FROM fl LEFT JOIN c2 USING (node)),
+        | c3 AS (SELECT e.dst AS node, sum(r2.r // od.outdeg) AS s FROM e
+        |   JOIN r2 ON e.src = r2.node JOIN od ON e.src = od.src GROUP BY 1),
+        | r3 AS (SELECT fl.node,
+        |   CAST(fl.sd * 150000 + (85 * COALESCE(c3.s, 0)) // 100 AS BIGINT) AS r
+        |   FROM fl LEFT JOIN c3 USING (node))
+        |SELECT node AS doc_id, r AS rank_ppm FROM r3 ORDER BY doc_id""".stripMargin,
+
+    // blocking eval (q324): the banded candidates (minhashCtes' px) and
+    // the prefix-filter truth (q233's chain, t-prefixed to avoid CTE
+    // name collisions) recomputed from scratch, then the Christen
+    // completeness/reduction metrics over the two pair sets
+    "q324_blocking_eval" ->
+      s"""WITH $minhashCtes,
+         | tsets AS (SELECT doc_id AS id,
+         |    list_sort(list_distinct(list_transform($trigrams,
+         |      s -> ('0x'||substr(md5('0:'||s),1,8))::BIGINT))) AS hs
+         |   FROM d),
+         | tsized AS (SELECT id, hs, len(hs) AS n FROM tsets WHERE len(hs) > 0),
+         | tsh AS (SELECT id, unnest(hs) AS th FROM tsized),
+         | tdf AS (SELECT th, count(*) AS dd FROM tsh GROUP BY 1),
+         | tranked AS (SELECT id, th,
+         |    row_number() OVER (PARTITION BY id ORDER BY dd, th) AS rk
+         |   FROM tsh JOIN tdf USING (th)),
+         | tprefix AS (SELECT r.id, r.th FROM tranked r JOIN tsized s ON r.id = s.id
+         |   WHERE r.rk <= s.n - (7 * s.n + 9) // 10 + 1),
+         | tcand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |   FROM tprefix a JOIN tprefix b ON a.th = b.th AND a.id < b.id),
+         | tv AS (SELECT id_a, id_b,
+         |    len(list_intersect(sa.hs, sb.hs)) AS inter, sa.n AS na, sb.n AS nb
+         |   FROM tcand JOIN tsized sa ON id_a = sa.id JOIN tsized sb ON id_b = sb.id),
+         | tru AS MATERIALIZED (SELECT id_a, id_b FROM tv
+         |   WHERE inter * 10 >= 7 * (na + nb - inter)),
+         | pxm AS MATERIALIZED (SELECT id_a, id_b FROM px),
+         | nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM tsized),
+         | cnts AS (SELECT
+         |   (SELECT count(*) FROM tru) AS n_true,
+         |   (SELECT count(*) FROM pxm) AS n_candidates,
+         |   (SELECT count(*) FROM tru JOIN pxm USING (id_a, id_b)) AS n_found)
+         |SELECT nd.n_docs,
+         | CAST((CAST(nd.n_docs AS HUGEINT) * (nd.n_docs - 1)) // 2 AS BIGINT)
+         |   AS n_total_pairs,
+         | CAST(cnts.n_candidates AS BIGINT) AS n_candidates,
+         | CAST(cnts.n_true AS BIGINT) AS n_true,
+         | CAST(cnts.n_found AS BIGINT) AS n_found,
+         | CAST(CASE WHEN cnts.n_true > 0
+         |   THEN (cnts.n_found * 1000000) // cnts.n_true ELSE 0 END AS BIGINT)
+         |   AS completeness_ppm,
+         | CAST(CASE WHEN nd.n_docs > 1
+         |   THEN 1000000 - (CAST(cnts.n_candidates AS HUGEINT) * 1000000)
+         |     // ((CAST(nd.n_docs AS HUGEINT) * (nd.n_docs - 1)) // 2)
+         |   ELSE 0 END AS BIGINT) AS reduction_ratio_ppm
+         |FROM nd CROSS JOIN cnts ORDER BY n_docs""".stripMargin,
+
     // q37's cosine with the different-label predicate; null labels out
     // on both sides
     "q125_hard_negatives" ->

@@ -4536,6 +4536,37 @@ object SparkEntry {
       .orderBy("g")
   }
 
+  /** Personalized PageRank ([[ops.Graph.personalizedPageRankPpm]]):
+    * q124's synthetic graph re-ranked FROM a seed set (doc_id % 83 ==
+    * 0) — restart mass paid only to seeds, the seed-expansion
+    * primitive for curating a corpus around trusted sources. Exact ppm
+    * lanes; with seeds = all nodes the operator IS q124
+    * (`GraphSpec`-pinned). */
+  private def q323(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id")
+    val n = docs.count()
+    val e = docs.select(col("doc_id").as("src"),
+      explode(array(
+        (col("doc_id") * 7 + 1) % n,
+        (col("doc_id") * 13 + 5) % n,
+        (col("doc_id") * 31 + 11) % n)).as("dst"))
+    val seeds = docs.filter(col("doc_id") % 83 === 0)
+    Graph.personalizedPageRankPpm(e, col("src"), col("dst"), seeds,
+        iters = 3)
+      .withColumnRenamed("node", "doc_id")
+      .orderBy("doc_id")
+  }
+
+  /** Blocking-quality eval ([[ext.Dedup.blockingEval]]): pairs
+    * completeness + reduction ratio of the banded-MinHash candidate
+    * scheme against the provably-complete prefix-filter truth — with
+    * q188's precision, the full blocking quality sheet. The oracle
+    * recomputes BOTH pair sets (the banded candidates and the prefix
+    * truth) and every metric. */
+  private def q324(s: SparkSession, dir: String): DataFrame =
+    Dedup.blockingEval(Tables.documents(s, dir))
+      .orderBy("n_docs")
+
   /** Shapley on a HOSTILE channel alphabet
     * ([[ops.Behavior.shapleyAttributionSanitized]]): event types are
     * remapped IN the query to the injectivity hazards — a `|` name,
@@ -5608,7 +5639,9 @@ object SparkEntry {
     "q319_pooled_grid" -> q319 _,
     "q320_rfm_hist" -> q320 _,
     "q321_uplift_hist" -> q321 _,
-    "q322_shapley_sanitized" -> q322 _
+    "q322_shapley_sanitized" -> q322 _,
+    "q323_ppr" -> q323 _,
+    "q324_blocking_eval" -> q324 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

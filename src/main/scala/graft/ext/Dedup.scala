@@ -1698,6 +1698,62 @@ object Dedup {
           expr("(n_true * 1000000) DIV n_candidates")).otherwise(lit(0L)))
   }
 
+  /** Blocking-quality eval — the two standard candidate-generation
+    * metrics for record linkage (Christen 2012): PAIRS COMPLETENESS
+    * (the share of TRUE matching pairs the blocking scheme surfaces —
+    * blocking recall) and REDUCTION RATIO (the share of the n(n−1)/2
+    * comparison space it prunes). Together with
+    * [[lshCandidatePrecision]] this is the full quality sheet for
+    * band/row tuning: precision says the candidates aren't junk,
+    * completeness says nothing real was pruned, reduction says the
+    * pruning was worth it.
+    *
+    * Truth is [[jaccardPairsPrefix]] — the PROVABLY-COMPLETE exact
+    * pair set at `thresholdTenths` — so BOTH legs of the eval are
+    * blocked/bounded (no brute-force side, unlike the q37/q38
+    * canaries). Candidates are [[minhashPairs]]' banded set. One
+    * summary row; `n_total_pairs` computes in a DECIMAL lane and
+    * NULL-guards past BIGINT (the magnitude-guard convention).
+    */
+  def blockingEval(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      thresholdTenths: Int = 7,
+      numHashes: Int = 16,
+      rowsPerBand: Int = 4,
+      shingleN: Int = 3
+  ): DataFrame = {
+    val truth = jaccardPairsPrefix(docs, idCol, textCol, shingleN,
+        thresholdTenths)
+      .select("id_a", "id_b").localCheckpoint(false)
+    val cands = minhashPairs(docs, idCol, textCol, numHashes, rowsPerBand,
+        shingleN)
+      .select("id_a", "id_b").localCheckpoint(false)
+    val nTrue = truth.agg(count(lit(1)).as("n_true"))
+    val nCand = cands.agg(count(lit(1)).as("n_candidates"))
+    val nFound = truth.join(cands, Seq("id_a", "id_b"), "left_semi")
+      .agg(count(lit(1)).as("n_found"))
+    val nDocs = docs.agg(coalesce(sum(when(
+        size(TextOps.shingleSet(col(textCol), shingleN)) > 0, 1L)
+        .otherwise(0L)), lit(0L)).as("n_docs"))
+    nDocs.crossJoin(broadcast(nTrue)).crossJoin(broadcast(nCand))
+      .crossJoin(broadcast(nFound))
+      .withColumn("n_total_pairs", expr(
+        "CAST((CAST(n_docs AS DECIMAL(38,0)) * (n_docs - 1)) DIV 2" +
+          " AS BIGINT)"))
+      .withColumn("completeness_ppm", expr(
+        "CASE WHEN n_true > 0 THEN (n_found * 1000000) DIV n_true" +
+          " ELSE CAST(0 AS BIGINT) END"))
+      .withColumn("reduction_ratio_ppm", expr(
+        "CASE WHEN n_total_pairs > 0 THEN CAST(1000000 -" +
+          " (CAST(n_candidates AS DECIMAL(38,0)) * 1000000)" +
+          " DIV n_total_pairs AS BIGINT) ELSE CAST(0 AS BIGINT) END"))
+      .select(col("n_docs"), col("n_total_pairs"), col("n_candidates"),
+        col("n_true"), col("n_found"), col("completeness_ppm"),
+        col("reduction_ratio_ppm"))
+  }
+
   /** Duplicate-n-gram exposure rate — the corpus-level "how much of
     * each document is boilerplate/duplicated text" readout that decides
     * whether a dedup pass is worth running at all (Lee et al. 2022,

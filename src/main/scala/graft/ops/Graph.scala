@@ -68,6 +68,62 @@ object Graph {
     ranks
   }
 
+  /** Personalized PageRank (Page et al. 1999 §6; Jeh & Widom 2002's
+    * preference-set form) — [[pageRankPpm]] with the restart mass paid
+    * ONLY to a SEED set: ranks answer "importance as seen FROM these
+    * nodes" (a crawl frontier, a trusted-domain whitelist, a user's
+    * home set) instead of global importance — the standard
+    * seed-expansion primitive for curating a corpus around trusted
+    * sources. Integer convention mirrors [[pageRankPpm]] exactly:
+    * seeds start (and restart) at `(100−damp)·10⁴` ppm, non-seeds at
+    * 0, per-edge contributions floored identically — so with seeds =
+    * ALL nodes this IS the uniform operator (spec-pinned).
+    *
+    * Scale shape: identical to [[pageRankPpm]] — `iters` keyed
+    * join+aggregate rounds over localCheckpointed edge/degree
+    * projections; the seed flag rides ONE broadcast left join (seed
+    * sets are frontier-sized, not corpus-sized).
+    */
+  def personalizedPageRankPpm(
+      edges: DataFrame,
+      srcCol: Column,
+      dstCol: Column,
+      seeds: DataFrame,
+      iters: Int = 3,
+      dampPct: Int = 85
+  ): DataFrame = {
+    require(iters >= 1 && dampPct >= 0 && dampPct <= 100)
+    val e = edges.select(srcCol.as("src"), dstCol.as("dst"))
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val sd = seeds.toDF("node").distinct()
+    val flagged = nodes
+      .join(broadcast(sd.withColumn("__s", lit(1L))), Seq("node"), "left")
+      .select(col("node"), coalesce(col("__s"), lit(0L)).as("__seed"))
+      .localCheckpoint(true)
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("__outdeg"))
+      .localCheckpoint(true)
+    val basePpm = (100L - dampPct) * 10000L
+    var ranks = flagged
+      .select(col("node"), (col("__seed") * 1000000L).as("rank_ppm"))
+    for (_ <- 1 to iters) {
+      val contribs = e
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .join(outdeg, Seq("src"))
+        .select(col("dst").as("node"),
+          expr("CAST(rank_ppm DIV __outdeg AS BIGINT)").as("__c"))
+        .groupBy("node").agg(sum(col("__c")).as("__sum"))
+      ranks = flagged.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (col("__seed") * basePpm +
+            expr(s"CAST(($dampPct * coalesce(__sum, 0L)) DIV 100 AS BIGINT)"))
+            .as("rank_ppm"))
+        .localCheckpoint(true)
+    }
+    ranks
+  }
+
   /** Per-node triangle counts via DEGREE-ORDERED edge orientation — the
     * compact-forward algorithm (Latapy 2008; Suri & Vassilvitskii's
     * MapReduce form): canonicalize to undirected distinct edges, orient

@@ -67,12 +67,13 @@ object ZOrder {
     * layout-invariant and rides the same aggregate, so the scan runs
     * once per layout with no extra pass.
     *
-    * Scale shape: the file assignment here is an `ntile` over the
-    * global sort order — exact and oracle-replayable for the gate; the
-    * production spelling of the SAME decision is
-    * `repartitionByRange(files, key)` + real footer stats, which this
-    * forecast predicts. Everything downstream of the ntile is one
-    * ≤`files`-key aggregate per layout.
+    * Scale shape: the file assignment is the exact `ntile` of the
+    * global `(key, a, b)` order, computed by `Stats.ntileHist`'s
+    * histogram ranks (per-value counts + distributed prefix-sum — no
+    * corpus-global sort window); the production spelling of the SAME
+    * decision is `repartitionByRange(files, key)` + real footer stats,
+    * which this forecast predicts. Everything downstream of the tile
+    * is one ≤`files`-key aggregate per layout.
     */
   def skippingStats(
       df: org.apache.spark.sql.DataFrame,
@@ -106,10 +107,21 @@ object ZOrder {
       bLo: Long, bHi: Long
   ): org.apache.spark.sql.DataFrame = {
     require(files > 0, "files must be positive")
-    import org.apache.spark.sql.expressions.Window
     layouts.map { case (name, frame) =>
-      val tiled = frame.withColumn("f",
-        ntile(files).over(Window.orderBy(col("__k"), col("a"), col("b"))))
+      // exact ntile over (__k, a, b) WITHOUT a corpus-global sort
+      // window: Stats.ntileHist's histogram ranks (the r18 swap — the
+      // last named single-reducer ntile site); ties in __k order by
+      // the (a, b) struct, which is the same lexicographic order the
+      // sort window used. The lineage cut before the tile is
+      // LOAD-BEARING twice over: ntileHist consumes the frame three
+      // times (histogram, rank window, rank join), and withHilbertKey's
+      // chained per-bit projections EXPLODE exponentially if project
+      // collapse inlines them into those consumers (measured: optimizer
+      // OOM on q202 without the cut)
+      val cut = frame.select(col("__k"), col("a"), col("b"))
+        .localCheckpoint(false)
+      val tiled = Stats.ntileHist(cut, files, col("__k"),
+        struct(col("a"), col("b")), "f")
       val perFile = tiled.groupBy("f").agg(
         count(lit(1)).as("n"),
         min(col("a")).as("mina"), max(col("a")).as("maxa"),

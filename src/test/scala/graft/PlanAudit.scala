@@ -71,7 +71,8 @@ object PlanAudit {
     "q315_hits", // per-round ONE-ROW max-normalization broadcasts (q178's anchor class)
     "q316_modularity", // ONE-ROW edge-count broadcast onto the community cells
     "q318_shapley", // ONE-ROW positive-total broadcast onto the channel credits
-    "q322_shapley_sanitized") // q318's one-row positive-total broadcast by composition
+    "q322_shapley_sanitized", // q318's one-row positive-total broadcast by composition
+    "q324_blocking_eval") // four ONE-row metric-count broadcasts onto the summary row
 
   /** Queries whose DESIGN composes several complete pipelines, so their
     * exchange count legitimately exceeds the single-pipeline budget —
@@ -83,7 +84,9 @@ object PlanAudit {
     "q188_lsh_precision", // full minhash-band pipeline + the exact-Jaccard verifier
     "q198_ann_ivf_pq", // IVF routing pipeline + PQ encode pipeline + ADC rerank
     "q281_ranking_eval", // exact + IVF retrieval pipelines side by side (q167's class)
-    "q320_rfm_hist") // three complete histogram-rank pipelines (r/f/m), each within budget
+    "q320_rfm_hist", // three complete histogram-rank pipelines (r/f/m), each within budget
+    "q199_zone_map_skipping", // two layout pipelines x the histogram-rank tile (r18 swap)
+    "q202_layout_bakeoff") // three layout pipelines x the histogram-rank tile (r18 swap)
 
   /** Queries whose optimized plan legitimately contains an
     * UNPARTITIONED Window — each justified by a BOUNDED input (the
@@ -104,8 +107,6 @@ object PlanAudit {
     "q185_pareto" -> "cumulative revenue share over the per-entity rollup (dimension-grain; the fact log never enters the window)",
     "q197_ann_pq_adc" -> "PQ codebook construction ranks (m x 16-row codebooks, config-bounded)",
     "q198_ann_ivf_pq" -> "IVF pivot-sample + PQ codebook ranks (both config-bounded)",
-    "q199_zone_map_skipping" -> "file/zone grid windows (file-count-bounded layout table)",
-    "q202_layout_bakeoff" -> "three candidate layouts x file-grid windows (config-bounded file counts)",
     "q206_cluster_purity" -> "q41's pivot-sample ranks by composition (cluster assignment)",
     "q209_skyline" -> "skyline scan over the DISTINCT-level frame (distinct-combination-bounded)",
     "q211_benford" -> "cumulative over the 9 leading-digit cells",

@@ -713,6 +713,29 @@ class DedupSpec extends SparkTestBase {
     assert(exact == Set((1L, 2L)))
   }
 
+  test("blockingEval: completeness and reduction from hand-counted pair sets") {
+    // docs 1/2: identical text -> the ONE true pair (jac = 1e6 >= 0.7)
+    // and a guaranteed band collision; docs 3/4 unrelated to everything
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, base),
+      (2L, base),
+      (3L, (1 to 30).map(i => s"x$i").mkString(" ")),
+      (4L, (1 to 30).map(i => s"y$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val r = Dedup.blockingEval(docs)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().head
+    val (nDocs, total, nCand, nTrue, nFound, compl, red) = r
+    assert(nDocs == 4L && total == 6L, s"got $r")
+    assert(nTrue == 1L && nFound == 1L && compl == 1000000L, s"got $r")
+    // identical docs always collide in every band; unrelated docs may
+    // not collide at all -> candidates is at least the true pair
+    assert(nCand >= 1L && red == 1000000L - nCand * 1000000L / 6L, s"got $r")
+    // cross-check the candidate count against the banded pipeline itself
+    val cands = Dedup.minhashPairs(docs).select("id_a", "id_b").count()
+    assert(nCand == cands)
+  }
+
   test("jaccardPairs: a bucket over maxBucketSize is dropped exactly, not truncated") {
     // "x y z" lives in all three docs -> bucket size 3 > cap 2 -> dropped
     // from the INTERSECTION counts; docs 1,2 still share three cold

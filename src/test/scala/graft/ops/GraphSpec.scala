@@ -38,6 +38,28 @@ class GraphSpec extends SparkTestBase {
     assert(got(1L) == 150000L + 850000L)
   }
 
+  test("personalizedPageRankPpm: hand-computed seed restart; all-seeds = uniform") {
+    // a->b->c->a cycle, seed {0}. r0 = (1e6, 0, 0).
+    // round 1: a = 150000 + 0 (in from c=0), b = 0 + 85*1e6//100 = 850000,
+    //          c = 0. round 2: a = 150000, b = 85*150000//100 = 127500,
+    //          c = 85*850000//100 = 722500.
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 0L)).toDF("src", "dst")
+    val seeds = Seq(0L).toDF("node")
+    val r2 = Graph.personalizedPageRankPpm(e, col("src"), col("dst"),
+        seeds, iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(r2 == Map(0L -> 150000L, 1L -> 127500L, 2L -> 722500L), s"$r2")
+    // seeds = ALL nodes degenerates to the uniform operator exactly
+    val all = Seq(0L, 1L, 2L, 3L).toDF("node")
+    val e2 = Seq((0L, 1L), (0L, 1L), (2L, 0L), (1L, 3L)).toDF("src", "dst")
+    val ppr = Graph.personalizedPageRankPpm(e2, col("src"), col("dst"),
+        all, iters = 3)
+      .as[(Long, Long)].collect().toSeq.sorted
+    val uni = Graph.pageRankPpm(e2, col("src"), col("dst"), iters = 3)
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(ppr == uni)
+  }
+
   test("degrees counts both directions with zero-fill") {
     val e = Seq((0L, 1L), (0L, 2L), (1L, 2L)).toDF("src", "dst")
     val m = Graph.degrees(e, col("src"), col("dst"))
