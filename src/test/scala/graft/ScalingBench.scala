@@ -108,6 +108,8 @@ object ScalingBench {
     Q("q320_rfm_hist", "events"),
     Q("q321_uplift_hist", "events"),
     Q("q322_shapley_sanitized", "events"),
+    Q("q323_ppr", "documents"),
+    Q("q324_blocking_eval", "documents"),
     Q("q37_cosine_topk", "embeddings", gated = false),
     Q("q38_embed_neardup", "embeddings", gated = false))
 
@@ -160,6 +162,8 @@ object ScalingBench {
     Q("q320_rfm_hist", "events"),
     Q("q321_uplift_hist", "events"),
     Q("q322_shapley_sanitized", "events"),
+    Q("q323_ppr", "documents"),
+    Q("q324_blocking_eval", "documents"),
     Q("q37_cosine_topk", "embeddings", gated = false),
     Q("q38_embed_neardup", "embeddings", gated = false))
 
