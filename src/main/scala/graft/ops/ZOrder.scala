@@ -68,12 +68,14 @@ object ZOrder {
     * once per layout with no extra pass.
     *
     * Scale shape: the file assignment is the exact `ntile` of the
-    * global `(key, a, b)` order, computed by `Stats.ntileHist`'s
-    * histogram ranks (per-value counts + distributed prefix-sum — no
-    * corpus-global sort window); the production spelling of the SAME
-    * decision is `repartitionByRange(files, key)` + real footer stats,
-    * which this forecast predicts. Everything downstream of the tile
-    * is one ≤`files`-key aggregate per layout.
+    * global `(key, a, b)` order — one bounded sort window at or below
+    * [[HistTileThreshold]] rows, `Stats.ntileHist`'s histogram ranks
+    * (per-value counts + distributed prefix-sum, no corpus-global sort
+    * window) above it; the two are bit-identical, so the switch is
+    * cost-only. The production spelling of the SAME decision is
+    * `repartitionByRange(files, key)` + real footer stats, which this
+    * forecast predicts. Everything downstream of the tile is one
+    * ≤`files`-key aggregate per layout.
     */
   def skippingStats(
       df: org.apache.spark.sql.DataFrame,
@@ -95,6 +97,17 @@ object ZOrder {
       files, aLo, aHi, bLo, bHi)
   }
 
+  /** Row count at or below which [[skippingForecast]] tiles with one
+    * bounded sort window instead of `Stats.ntileHist`'s distributed
+    * histogram ranks — the two produce bit-identical tiles
+    * (`ZOrderSpec`), so this is a pure cost threshold, the same
+    * adaptive shape as Spark's broadcast-join threshold. 2M rows of
+    * (key, a, b) is ~50 MB through one reducer — comfortably cheap;
+    * past it the single partition becomes the wall and the histogram
+    * path wins.
+    */
+  val HistTileThreshold: Long = 2000000L
+
   /** The tiling + zone-map + summary machinery behind [[skippingStats]],
     * exposed for ADDITIONAL layout keys (e.g. [[withHilbertKey]], whose
     * rotation state cannot be a single column expression): each layout
@@ -104,24 +117,36 @@ object ZOrder {
       layouts: Seq[(String, org.apache.spark.sql.DataFrame)],
       files: Int,
       aLo: Long, aHi: Long,
-      bLo: Long, bHi: Long
+      bLo: Long, bHi: Long,
+      histTileThreshold: Long = HistTileThreshold
   ): org.apache.spark.sql.DataFrame = {
     require(files > 0, "files must be positive")
     layouts.map { case (name, frame) =>
-      // exact ntile over (__k, a, b) WITHOUT a corpus-global sort
-      // window: Stats.ntileHist's histogram ranks (the r18 swap — the
-      // last named single-reducer ntile site); ties in __k order by
-      // the (a, b) struct, which is the same lexicographic order the
-      // sort window used. The lineage cut before the tile is
-      // LOAD-BEARING twice over: ntileHist consumes the frame three
-      // times (histogram, rank window, rank join), and withHilbertKey's
-      // chained per-bit projections EXPLODE exponentially if project
-      // collapse inlines them into those consumers (measured: optimizer
-      // OOM on q202 without the cut)
+      // exact ntile over (__k, a, b), ADAPTIVE (the broadcast-threshold
+      // shape): at or below histTileThreshold rows the tile is one sort
+      // window — a bounded single-reducer sort is cheaper than five
+      // distributed stages (measured 8–10× on the sf0.1 bench) — and
+      // above it Stats.ntileHist's histogram ranks take over with
+      // BIT-IDENTICAL output (ZOrderSpec pins the two paths equal), so
+      // the choice is pure physics, never semantics. Ties in __k order
+      // by the (a, b) struct, the same lexicographic order either way.
+      // The lineage cut before the tile is LOAD-BEARING twice over: the
+      // tile machinery consumes the frame repeatedly, and
+      // withHilbertKey's chained per-bit projections EXPLODE
+      // exponentially if project collapse inlines them into those
+      // consumers (measured: optimizer OOM on q202 without the cut).
+      // count() both decides the path and materializes the checkpoint
+      // the chosen path reuses.
       val cut = frame.select(col("__k"), col("a"), col("b"))
         .localCheckpoint(false)
-      val tiled = Stats.ntileHist(cut, files, col("__k"),
-        struct(col("a"), col("b")), "f")
+      val tiled =
+        if (cut.count() <= histTileThreshold)
+          cut.withColumn("f",
+            ntile(files).over(
+              org.apache.spark.sql.expressions.Window
+                .orderBy(col("__k"), col("a"), col("b"))))
+        else Stats.ntileHist(cut, files, col("__k"),
+          struct(col("a"), col("b")), "f")
       val perFile = tiled.groupBy("f").agg(
         count(lit(1)).as("n"),
         min(col("a")).as("mina"), max(col("a")).as("maxa"),

@@ -84,9 +84,7 @@ object PlanAudit {
     "q188_lsh_precision", // full minhash-band pipeline + the exact-Jaccard verifier
     "q198_ann_ivf_pq", // IVF routing pipeline + PQ encode pipeline + ADC rerank
     "q281_ranking_eval", // exact + IVF retrieval pipelines side by side (q167's class)
-    "q320_rfm_hist", // three complete histogram-rank pipelines (r/f/m), each within budget
-    "q199_zone_map_skipping", // two layout pipelines x the histogram-rank tile (r18 swap)
-    "q202_layout_bakeoff") // three layout pipelines x the histogram-rank tile (r18 swap)
+    "q320_rfm_hist") // three complete histogram-rank pipelines (r/f/m), each within budget
 
   /** Queries whose optimized plan legitimately contains an
     * UNPARTITIONED Window — each justified by a BOUNDED input (the
@@ -106,6 +104,8 @@ object PlanAudit {
     "q181_join_forecast" -> "rank over the per-join-key count table, then the top-N slice (key-grain, Profile:253)",
     "q185_pareto" -> "cumulative revenue share over the per-entity rollup (dimension-grain; the fact log never enters the window)",
     "q197_ann_pq_adc" -> "PQ codebook construction ranks (m x 16-row codebooks, config-bounded)",
+    "q199_zone_map_skipping" -> "adaptive tile: the sort window runs ONLY at/below ZOrder.HistTileThreshold rows (bounded by construction); above it ntileHist takes over, bit-identical (ZOrderSpec)",
+    "q202_layout_bakeoff" -> "adaptive tile per layout: same ZOrder.HistTileThreshold contract as q199",
     "q198_ann_ivf_pq" -> "IVF pivot-sample + PQ codebook ranks (both config-bounded)",
     "q206_cluster_purity" -> "q41's pivot-sample ranks by composition (cluster assignment)",
     "q209_skyline" -> "skyline scan over the DISTINCT-level frame (distinct-combination-bounded)",

@@ -103,4 +103,18 @@ class ZOrderSpec extends SparkTestBase {
     assert(aSlice("linear")._3 == 4L && aSlice("zorder")._3 == 4L, s"$aSlice")
     assert(aSlice("linear")._5 == 64L && aSlice("zorder")._5 == 64L)
   }
+
+  test("skippingForecast: window and histogram tile paths are bit-identical") {
+    // heavy key ties (a % 3) force the (a, b) struct tie-break through
+    // both paths; threshold 0 forces the histogram path, the default
+    // takes the bounded window path on this small frame
+    val frame = (for (a <- 0L until 12L; b <- 0L until 6L) yield (a, b))
+      .toDF("a", "b").withColumn("__k", col("a") % 3)
+    def run(thr: Long) =
+      ZOrder.skippingForecast(Seq(("t", frame)), files = 5,
+          aLo = 2L, aHi = 9L, bLo = 1L, bHi = 4L, histTileThreshold = thr)
+        .as[(String, Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(run(0L) == run(ZOrder.HistTileThreshold))
+    assert(run(0L).nonEmpty)
+  }
 }
