@@ -42,6 +42,32 @@ class PartitionInvarianceSpec extends SparkTestBase {
       rows(Dedup.nearDupClusters(shuffled, Dedup.minhashPairs(shuffled))))
   }
 
+  test("histogram-rank family is invariant to placement AND prefix-sum width") {
+    // the r18 cumHist engine's one distributed-correctness risk is its
+    // partitioning-dependence: per-partition offsets must compose to the
+    // SAME exact ranks whatever the range-partition layout. Vary both
+    // the input placement and the shuffle width the prefix-sum runs at.
+    requireFixtures()
+    val docs = Tables.documents(spark, dir)
+    val shuffled = docs.repartition(7, col("lang"))
+    val scored = docs.select(col("doc_id"),
+      graft.ext.TextOps.qualityScorePpm(col("text")).as("q"))
+    val scoredSh = shuffled.select(col("doc_id"),
+      graft.ext.TextOps.qualityScorePpm(col("text")).as("q"))
+    assert(rows(graft.ops.Stats.pooledGridHist(scored, col("q"))) ==
+      rows(graft.ops.Stats.pooledGridHist(scoredSh, col("q"))))
+    assert(rows(graft.ops.Stats.ntileHist(scored, 5, col("q"), col("doc_id"), "t")) ==
+      rows(graft.ops.Stats.ntileHist(scoredSh, 5, col("q"), col("doc_id"), "t")))
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "1")
+      val one = rows(graft.ops.Stats.pooledGridHist(scored, col("q")))
+      spark.conf.set("spark.sql.shuffle.partitions", "13")
+      val thirteen = rows(graft.ops.Stats.pooledGridHist(scored, col("q")))
+      assert(one == thirteen)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("round-4 operators are invariant to input repartitioning") {
     requireFixtures()
     import graft.ops.{Skew, Stats}
