@@ -288,29 +288,22 @@ object TextOps {
     * sort FIRST explicitly (Spark's asc default, pinned so the oracle's
     * NULLS LAST default can't diverge).
     *
-    * Scale shape: one shuffle on the key; rank + count share the
-    * partition sort. A dominant stratum (en ≈ half the web) makes this
-    * window skewed — at that scale swap in the histogram + boundary-
-    * class decomposition `Sampling.selectTokenBudget` uses; the
-    * per-key rank here is the verifier-scale formulation.
+    * Scale shape: `ops.Stats.pctRankPpmByKey` — the keyed
+    * histogram-rank engine (`Stats.cumHistByKey`): one hash aggregate
+    * to (key, value) cells, the distributed per-key prefix sum, and an
+    * equi-join back. A dominant stratum (en ≈ half the web) costs a
+    * hash-aggregate spread over its distinct scores — the
+    * `Window.partitionBy(key).orderBy(score)` formulation this
+    * replaced routed that stratum's whole slice through one reducer.
+    * RANK ties (a (key, value) cell shares one rank) and NULLS FIRST
+    * fall out of the cell decomposition by construction.
     */
   def percentileRankPpm(
       df: DataFrame,
       keyCol: Column,
       scoreCol: Column
-  ): DataFrame = {
-    val w = Window.partitionBy(keyCol).orderBy(scoreCol.asc_nulls_first)
-    val wAll = Window.partitionBy(keyCol)
-    // rank() is IntegerType — widen BEFORE the ×10⁶ or groups past
-    // ~2148 rows overflow int (ANSI mode: ArithmeticException)
-    df.withColumn("__rk", rank().over(w).cast("long"))
-      .withColumn("__cnt", count(lit(1)).over(wAll))
-      .withColumn("pct_ppm",
-        when(col("__cnt") > 1,
-          expr("CAST(((__rk - 1) * 1000000) DIV (__cnt - 1) AS BIGINT)"))
-          .otherwise(lit(0L)))
-      .drop("__rk", "__cnt")
-  }
+  ): DataFrame =
+    graft.ops.Stats.pctRankPpmByKey(df, keyCol, scoreCol)
 
   /** Phrase occurrence stats — exact ADJACENT-token phrase matching,
     * the positional-index query of a search engine (q77's index and

@@ -766,11 +766,14 @@ object Stats {
     * are sorted by value), and each row equi-joins the grid at
     * `g = pct_ppm DIV 1000` — a broadcast lookup, no as-of needed.
     *
-    * Scale: the pooled grid is built by [[pooledGridHist]] (the
-    * histogram/rank decomposition — exact, distinct-value-grained, no
-    * single-partition sort anywhere); the grid itself is 1001 rows
-    * broadcast, and the normalization join is map-side. The remaining
-    * windows partition by key.
+    * Scale: ONE keyed histogram ([[cumHistByKey]]) feeds both legs —
+    * the within-key percentile reads its (key, value) cells and the
+    * pooled grid folds them into the global histogram
+    * ([[cumHistOfHist]] + [[gridOfCells]]), so there is no per-key
+    * sort window anywhere (a dominant stratum costs a hash-aggregate,
+    * never one reducer) and no second corpus scan for the pooled leg;
+    * the grid itself is 1001 rows broadcast and the normalization join
+    * is map-side.
     *
     * Output: the input columns plus `pct_ppm` (within-key) and
     * `norm_score` (pooled value at that permille). NULL keys/scores
@@ -828,8 +831,20 @@ object Stats {
     * `(cs, ce]` carries the same VALUE, which is all the grid keeps.
     */
   def pooledGridHist(df: DataFrame, scoreCol: Column): DataFrame = {
-    val spark = df.sparkSession
     val (cells, n) = cumHist(df, scoreCol)
+    gridOfCells(df.sparkSession, cells, n)
+  }
+
+  /** The 1001-point permille grid derived from [[cumHist]]-shaped cells
+    * — split out so [[quantileNormalize]] can feed it the GLOBAL
+    * histogram folded from [[cumHistByKey]]'s keyed cells (one corpus
+    * scan serves both the within-key and the pooled leg) while
+    * [[pooledGridHist]] keeps its one-argument contract.
+    */
+  private def gridOfCells(
+      spark: org.apache.spark.sql.SparkSession,
+      cells: DataFrame,
+      n: Long): DataFrame = {
     if (n == 0L)
       return spark.range(0)
         .select(col("id").as("__g"), col("id").as("norm_score"))
@@ -865,11 +880,38 @@ object Stats {
     */
   private[graft] def cumHist(
       df: DataFrame, valueCol: Column): (DataFrame, Long) = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val hist = df.filter(valueCol.isNotNull)
+    requireIntegral(df, valueCol, "cumHist")
+    cumHistOfHist(df.filter(valueCol.isNotNull)
       .select(valueCol.cast("long").as("__v"))
-      .groupBy("__v").agg(count(lit(1)).as("__c"))
+      .groupBy("__v").agg(count(lit(1)).as("__c")))
+  }
+
+  /** Advertised-equivalence guard for the histogram-rank family: the
+    * engine aggregates on the value's LONG image, so a fractional value
+    * column would silently merge distinct values under truncation (and
+    * a non-null value whose long-cast is null would be counted in N yet
+    * dropped by the rank join). All the ppm/milli lanes are integral by
+    * convention; fail loudly instead of casting.
+    */
+  private def requireIntegral(
+      df: DataFrame, valueCol: Column, who: String): Unit = {
+    import org.apache.spark.sql.types._
+    val dt = df.select(valueCol.as("__t")).schema.head.dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"$who requires an integral value column (the ppm/milli-lane " +
+        s"convention) — got ${dt.simpleString}; scale fractional scores " +
+        "to an integer lane first")
+  }
+
+  /** The distributed prefix-sum over an already-built `(__v, __c)`
+    * histogram — [[cumHist]]'s core, split out so callers that ALREADY
+    * hold a histogram (e.g. [[quantileNormalize]] folding the global
+    * histogram out of [[cumHistByKey]]'s keyed cells) skip the second
+    * corpus scan.
+    */
+  private[graft] def cumHistOfHist(hist: DataFrame): (DataFrame, Long) = {
+    val spark = hist.sparkSession
+    import spark.implicits._
     val parts = hist.repartitionByRange(col("__v"))
       .sortWithinPartitions("__v")
       .withColumn("__pid", spark_partition_id().cast("long"))
@@ -890,6 +932,110 @@ object Stats {
       .withColumn("__cs", col("__ce") - col("__c"))
       .select(col("__v"), col("__c"), col("__cs"), col("__ce"))
     (cells, n)
+  }
+
+  /** KEYED twin of [[cumHist]] — exact per-DISTINCT-(key, value)
+    * cumulative counts WITHIN each key, with no driver collect and no
+    * per-key sort wall: this is the engine that retires the last
+    * sort-based rank windows (`Window.partitionBy(key).orderBy(score)`
+    * in [[graft.ext.TextOps.percentileRankPpm]], [[groupEcdf]] and
+    * [[quantileNormalize]]'s within-key leg), where a dominant stratum
+    * — one language at 60% of a web corpus is the NORM — routes its
+    * whole slice through one reducer.
+    *
+    *  1. Histogram to `(key, value, count)` — one hash aggregate;
+    *     grain = distinct (key, value) pairs (for ppm lanes ≤ 10⁶+1
+    *     rows PER KEY however large the corpus).
+    *  2. Range-repartition by `(key, value)` (a dominant key spreads
+    *     over many contiguous partitions) and freeze the layout with a
+    *     lazy localCheckpoint so every consumer sees one
+    *     `spark_partition_id()` assignment.
+    *  3. The offsets walk, fully distributed: per-(partition, key)
+    *     subtotals (one aggregate over the histogram), then a running
+    *     sum per KEY across partition ids — that window holds at most
+    *     `numPartitions` rows per key (partition-bounded, never
+    *     value-scaled), the keyed analogue of [[cumHist]]'s
+    *     ≤-numPartitions-row driver collect. The same window also
+    *     emits the per-key total `__n` (whole-partition frame), so no
+    *     separate per-key aggregate or extra join is needed.
+    *  4. Partition-local running sums per `(partition, key)` ordered by
+    *     value + the broadcast-free offset join = the exact per-key
+    *     global prefix (range partitions are (key, value)-contiguous).
+    *
+    * Values keep their NATIVE type (no long cast — grouping and the
+    * callers' join-back only need equality, so the integral-lane
+    * precondition of [[cumHist]] does not apply). NULL values form
+    * their own cell and sort FIRST (Spark's asc default) in both the
+    * range partitioning and the running sum, matching
+    * `orderBy(asc_nulls_first)` window semantics; NULL keys form their
+    * own key group, matching `Window.partitionBy`. Callers that want
+    * NULLs out filter first.
+    *
+    * Returns one row per distinct (key, value): `(__k, __v, __c, __cs,
+    * __ce, __n)` — count, exclusive cumulative start, inclusive
+    * cumulative end within the key (value `__v` holds exactly the
+    * within-key ranks `(__cs, __ce]` of the ascending value order) and
+    * the key's total row count.
+    */
+  private[graft] def cumHistByKey(
+      df: DataFrame, keyCol: Column, valueCol: Column): DataFrame = {
+    val hist = df.select(keyCol.as("__k"), valueCol.as("__v"))
+      .groupBy("__k", "__v").agg(count(lit(1)).as("__c"))
+    // no sortWithinPartitions: the range partitioner fixes __pid on its
+    // own, and both downstream windows re-sort after their exchanges —
+    // a pre-sort here would be a pure extra pass over the histogram
+    val parts = hist.repartitionByRange(col("__k"), col("__v"))
+      .withColumn("__pid", spark_partition_id().cast("long"))
+      .localCheckpoint(false)
+    // the offsets walk: per-(pid, key) subtotals, then per key a running
+    // sum across pids (≤ numPartitions rows per key) — `__off` excludes
+    // the own pid's subtotal; the unbounded frame on the same window
+    // spec rides along as the per-key total
+    val wOff = Window.partitionBy(col("__k")).orderBy(col("__pid"))
+    val offs = parts.groupBy("__pid", "__k").agg(sum(col("__c")).as("__s"))
+      .withColumn("__off", coalesce(sum(col("__s")).over(
+        wOff.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__n", sum(col("__s")).over(
+        wOff.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("__pid").as("__opid"), col("__k").as("__ok"),
+        col("__off"), col("__n"))
+    val wcum = Window.partitionBy(col("__pid"), col("__k"))
+      .orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    parts
+      .withColumn("__ce", sum(col("__c")).over(wcum))
+      .join(offs, col("__pid") === col("__opid") && col("__k") <=> col("__ok"))
+      .withColumn("__ce", col("__ce") + col("__off"))
+      .withColumn("__cs", col("__ce") - col("__c"))
+      .select(col("__k"), col("__v"), col("__c"), col("__cs"), col("__ce"),
+        col("__n"))
+  }
+
+  /** Within-key integer percentile rank in ppm off [[cumHistByKey]] —
+    * the scale-safe spelling of `(rank(value)−1)·10⁶ DIV (n−1)` with
+    * RANK ties (every row of a (key, value) cell shares `__cs + 1`) and
+    * single-member keys pinned to 0, joined back to the input on the
+    * (key, value) pair (null-safe on both sides, so NULL scores keep
+    * their rank-1 cell and NULL keys their own stratum). Appends `out`;
+    * every input column rides through.
+    *
+    * Scale shape vs the window formulation it replaces: the input is
+    * scanned twice (histogram build + join-back — both column-pruned
+    * scans) instead of once, but nothing is ever sorted at corpus
+    * grain: the heaviest stratum costs one hash-aggregate and an
+    * equi-join spread over its (key, value) cells.
+    */
+  private[graft] def pctRankPpmByKey(
+      df: DataFrame, keyCol: Column, scoreCol: Column,
+      out: String = "pct_ppm"): DataFrame = {
+    val cells = cumHistByKey(df, keyCol, scoreCol)
+      .withColumn(out,
+        when(col("__n") > 1,
+          expr("CAST((__cs * 1000000) DIV (__n - 1) AS BIGINT)"))
+          .otherwise(lit(0L)))
+      .select(col("__k").as("__hk"), col("__v").as("__hv"), col(out))
+    df.join(cells, keyCol <=> col("__hk") && scoreCol <=> col("__hv"))
+      .drop("__hk", "__hv")
   }
 
   /** Exact 1-based global rank over `(value ASC, tie ASC)` WITHOUT a
@@ -963,20 +1109,30 @@ object Stats {
       keyCol: Column,
       scoreCol: Column
   ): DataFrame = {
+    requireIntegral(df, scoreCol, "quantileNormalize")
     val base = df.filter(keyCol.isNotNull && scoreCol.isNotNull)
-    val wk = Window.partitionBy(keyCol).orderBy(scoreCol.asc)
-    val wkAll = Window.partitionBy(keyCol)
-    val pct = base
-      .withColumn("__rk", rank().over(wk).cast("long"))
-      .withColumn("__cnt", count(lit(1)).over(wkAll))
-      .withColumn("pct_ppm",
-        when(col("__cnt") > 1,
-          expr("CAST(((__rk - 1) * 1000000) DIV (__cnt - 1) AS BIGINT)"))
-          .otherwise(lit(0L)))
-      .drop("__rk", "__cnt")
+    // ONE keyed histogram feeds both legs: the within-key percentile
+    // (pct via the (key, value) cells) and the pooled 1001-point grid
+    // (the global histogram is the keyed cells folded over keys —
+    // hist-grain, so the second corpus scan the old window formulation
+    // paid for the pooled leg is gone)
+    val kcells = cumHistByKey(base, keyCol, scoreCol)
+      .localCheckpoint(false)
+    val pct = base.join(
+        kcells.withColumn("pct_ppm",
+            when(col("__n") > 1,
+              expr("CAST((__cs * 1000000) DIV (__n - 1) AS BIGINT)"))
+              .otherwise(lit(0L)))
+          .select(col("__k").as("__hk"), col("__v").as("__hv"),
+            col("pct_ppm")),
+        keyCol <=> col("__hk") && scoreCol <=> col("__hv"))
+      .drop("__hk", "__hv")
+    val (gcells, n) = cumHistOfHist(
+      kcells.groupBy(col("__v").cast("long").as("__v"))
+        .agg(sum(col("__c")).as("__c")))
     pct
       .withColumn("__g", expr("pct_ppm DIV 1000"))
-      .join(broadcast(pooledGridHist(base, scoreCol)), Seq("__g"))
+      .join(broadcast(gridOfCells(df.sparkSession, gcells, n)), Seq("__g"))
       .drop("__g")
   }
 
@@ -1813,8 +1969,11 @@ object Stats {
     * peers — count-≤, the textbook ECDF), so equal scores can never
     * straddle a downstream cut.
     *
-    * Scale: one shuffle on the group key; the running count is the
-    * standard sort-based keyed window. No global ordering anywhere.
+    * Scale: [[cumHistByKey]]'s keyed histogram ranks — the count-≤ of a
+    * value is exactly its cell's inclusive cumulative end `__ce`, ties
+    * share a cell by construction, and no per-key sort window exists
+    * anywhere (the window formulation this replaces put a dominant
+    * source's whole slice through one reducer).
     */
   def groupEcdf(
       df: DataFrame,
@@ -1825,13 +1984,11 @@ object Stats {
     val base = df.select(idCol.as("id"), keyCol.as("key"),
         valueCol.cast("long").as("v"))
       .filter(col("v").isNotNull)
-    val wle = Window.partitionBy(col("key")).orderBy(col("v"))
-      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
-    val wn = Window.partitionBy(col("key"))
-    base
-      .withColumn("n", count(lit(1)).over(wn))
-      .withColumn("__le", count(lit(1)).over(wle))
-      .withColumn("ecdf_ppm", expr("(__le * 1000000) DIV n"))
+    val cells = cumHistByKey(base, col("key"), col("v"))
+      .withColumn("ecdf_ppm", expr("(__ce * 1000000) DIV __n"))
+      .select(col("__k").as("__hk"), col("__v").as("__hv"),
+        col("__n").as("n"), col("ecdf_ppm"))
+    base.join(cells, col("key") <=> col("__hk") && col("v") === col("__hv"))
       .select(col("id"), col("key"), col("v"), col("n"), col("ecdf_ppm"))
   }
 

@@ -68,6 +68,32 @@ class PartitionInvarianceSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("KEYED histogram-rank family is invariant to placement AND prefix-sum width") {
+    // cumHistByKey composes per-(partition, key) subtotals across range
+    // partitions — the same layout-dependence class as cumHist, one
+    // level down. Vary input placement and the shuffle width the keyed
+    // prefix-sum runs at; the within-key ranks must not move.
+    requireFixtures()
+    val docs = Tables.documents(spark, dir)
+    val scored = docs.select(col("doc_id"), col("lang"),
+      graft.ext.TextOps.qualityScorePpm(col("text")).as("q"))
+    val scoredSh = docs.repartition(7, col("source")).select(col("doc_id"),
+      col("lang"), graft.ext.TextOps.qualityScorePpm(col("text")).as("q"))
+    def pct(df: org.apache.spark.sql.DataFrame): List[String] =
+      rows(graft.ext.TextOps.percentileRankPpm(df, col("lang"), col("q")))
+    assert(pct(scored) == pct(scoredSh))
+    assert(rows(graft.ops.Stats.groupEcdf(scored, col("doc_id"), col("lang"), col("q"))) ==
+      rows(graft.ops.Stats.groupEcdf(scoredSh, col("doc_id"), col("lang"), col("q"))))
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "1")
+      val one = pct(scored)
+      spark.conf.set("spark.sql.shuffle.partitions", "13")
+      val thirteen = pct(scored)
+      assert(one == thirteen)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("round-4 operators are invariant to input repartitioning") {
     requireFixtures()
     import graft.ops.{Skew, Stats}

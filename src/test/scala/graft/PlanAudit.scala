@@ -84,7 +84,8 @@ object PlanAudit {
     "q188_lsh_precision", // full minhash-band pipeline + the exact-Jaccard verifier
     "q198_ann_ivf_pq", // IVF routing pipeline + PQ encode pipeline + ADC rerank
     "q281_ranking_eval", // exact + IVF retrieval pipelines side by side (q167's class)
-    "q320_rfm_hist") // three complete histogram-rank pipelines (r/f/m), each within budget
+    "q320_rfm_hist", // three complete histogram-rank pipelines (r/f/m), each within budget
+    "q277_calibration") // keyed histogram-rank percentile (q128's r19 engine) + the calibration aggregate — two complete pipelines
 
   /** Queries whose optimized plan legitimately contains an
     * UNPARTITIONED Window — each justified by a BOUNDED input (the

@@ -643,6 +643,77 @@ class StatsSpec extends SparkTestBase {
     assert(solo == 10L)
   }
 
+  test("cumHistByKey family: bit-parity with the retired window formulations " +
+    "(seeded random data, NULL keys/values, dominant stratum)") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.col
+    // the keyed histogram-rank engine replaced per-key rank/ecdf sort
+    // windows in percentileRankPpm/groupEcdf/quantileNormalize; replay
+    // the retired window spellings as in-test oracles over data that
+    // hits every edge the swap must preserve: a NULL key stratum, NULL
+    // scores (rank-1 cell, NULLS FIRST), heavy ties, a dominant key
+    // (~55% of rows), and single-member keys
+    val rnd = new scala.util.Random(4242)
+    val rows = (1 to 2000).map { i =>
+      val k = rnd.nextInt(20) match {
+        case 0 => null
+        case j if j < 12 => "en"
+        case j => s"l$j"
+      }
+      val v: java.lang.Long =
+        if (rnd.nextInt(15) == 0) null
+        else java.lang.Long.valueOf(rnd.nextInt(40).toLong)
+      (i.toLong, k, v)
+    } :+ ((9999L, "solo", java.lang.Long.valueOf(7L)))
+    val df = rows.toDF("id", "k", "v")
+
+    val got = graft.ext.TextOps.percentileRankPpm(df, col("k"), col("v"))
+      .select("id", "pct_ppm").as[(Long, Long)].collect().toMap
+    val w = Window.partitionBy(col("k")).orderBy(col("v").asc_nulls_first)
+    val wAll = Window.partitionBy(col("k"))
+    val want = df.withColumn("__rk", rank().over(w).cast("long"))
+      .withColumn("__cnt", count(lit(1)).over(wAll))
+      .withColumn("pct",
+        when(col("__cnt") > 1,
+          expr("CAST(((__rk - 1) * 1000000) DIV (__cnt - 1) AS BIGINT)"))
+          .otherwise(lit(0L)))
+      .select("id", "pct").as[(Long, Long)].collect().toMap
+    assert(got.size == rows.size,
+      "join-back must keep every row, including NULL keys and NULL scores")
+    assert(got == want)
+    assert(got(9999L) == 0L, "single-member key pins pct to 0")
+
+    val gotE = Stats.groupEcdf(df, col("id"), col("k"), col("v"))
+      .select("id", "n", "ecdf_ppm")
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    val baseE = df.filter(col("v").isNotNull)
+    val wle = Window.partitionBy(col("k")).orderBy(col("v"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val wantE = baseE
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("le", count(lit(1)).over(wle))
+      .withColumn("e", expr("(le * 1000000) DIV n"))
+      .select("id", "n", "e")
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(gotE == wantE)
+  }
+
+  test("cumHist integral-lane guard: fractional value columns fail loudly") {
+    import org.apache.spark.sql.functions.col
+    val frac = Seq(1.5, 2.5).toDF("x")
+    val e = intercept[IllegalArgumentException] {
+      Stats.pooledGridHist(frac, col("x"))
+    }
+    assert(e.getMessage.contains("integral"))
+    intercept[IllegalArgumentException] {
+      Stats.ntileHist(frac, 2, col("x"), col("x"), "t")
+    }
+    intercept[IllegalArgumentException] {
+      Stats.quantileNormalize(Seq(("a", 1.5)).toDF("k", "x"),
+        col("k"), col("x"))
+    }
+  }
+
   test("pooledGridHist: hand-computed ranks with ties (N=5)") {
     import org.apache.spark.sql.functions.col
     // values 10,10,20,30,30: ranks (0,2]->10, (2,3]->20, (3,5]->30;
