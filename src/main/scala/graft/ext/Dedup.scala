@@ -353,11 +353,18 @@ object Dedup {
       shingleN: Int = 3,
       maxBucketSize: Int = Int.MaxValue
   ): DataFrame = {
-    val bands = bandKeys(
+    bucketPairs(bandKeys(
       minhashSignatureArray(docs, idCol, textCol, numHashes, shingleN),
-      numHashes, rowsPerBand)
-    // group per bucket and emit in-bucket combinations — ONE pass over the
-    // signature pipeline (a self-join would compute it twice)
+      numHashes, rowsPerBand), maxBucketSize)
+  }
+
+  /** The in-bucket pair emission shared by [[minhashPairs]] and
+    * [[minhashPairsFromSets]]: group per (band, bkey) bucket and emit
+    * the member combinations — ONE pass over the signature pipeline (a
+    * self-join would compute it twice), with the capped collector
+    * bounding degenerate buckets when `maxBucketSize` is finite.
+    */
+  private def bucketPairs(bands: DataFrame, maxBucketSize: Int): DataFrame = {
     val buckets =
       if (maxBucketSize == Int.MaxValue)
         bands.groupBy("band", "bkey")
@@ -372,6 +379,30 @@ object Dedup {
           .select(sort_array(col("c.ids")).as("ids"))
       }
     explodePairs(buckets).distinct()
+  }
+
+  /** [[minhashPairs]] from pre-built [[shingleHashSets]]: the MinHash
+    * signature is derived from the stored base hashes
+    * ([[graft.functions.MinhashSigFromHashesExpr]] — bit-identical to
+    * the from-text signature because min over affine images is
+    * invariant to the dedup/sort the sets table applied, and the
+    * `n > 0` row filter equals [[minhashSignatureArray]]'s
+    * `size(tokens) ≥ shingleN` pre-filter), so [[blockingEval]]'s
+    * candidate leg re-reads the one materialized gram table instead of
+    * re-tokenizing the corpus.
+    */
+  private[graft] def minhashPairsFromSets(
+      sets: DataFrame,
+      numHashes: Int,
+      rowsPerBand: Int,
+      maxBucketSize: Int = Int.MaxValue
+  ): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val (as, bs) = Hashing.minhashParams(numHashes)
+    val withSig = sets.select(col("id"),
+      ColumnBridge.column(graft.functions.MinhashSigFromHashesExpr(
+        ColumnBridge.expression(col("hs")), as, bs)).as("sig"))
+    bucketPairs(bandKeys(withSig, numHashes, rowsPerBand), maxBucketSize)
   }
 
   /** Bounded bucket accumulator for [[minhashPairs]]' capped path: exact
@@ -624,14 +655,29 @@ object Dedup {
     require(thresholdTenths >= 1 && thresholdTenths <= 10,
       s"thresholdTenths must be in [1,10], got $thresholdTenths")
     val t = thresholdTenths
-    // localCheckpoint(lazy): `sets` is consumed by FOUR branches (the
-    // shingle explode, the prefix-rank join, and both verify sides) and
-    // each would otherwise re-derive the whole tokenize→shingle→hash→
-    // sort pipeline — the dominant scan-side cost. The materialized
-    // frame is one row per doc with its sorted hash array (the same
-    // volume class as the shuffles around it); at cluster scale swap
-    // for persist(DISK_ONLY) if executor-loss recovery matters.
-    val sets = docs
+    val sets = shingleHashSets(docs, idCol, textCol, shingleN)
+    jaccardPairsPrefixFromSets(sets, t)
+  }
+
+  /** The sorted-distinct shingle-hash sets `(id, hs, n)` — ONE
+    * tokenize→shingle→hash→sort pass over the corpus, lazily
+    * localCheckpointed because its consumers branch several ways (the
+    * shingle explode, the prefix-rank join, both verify sides of
+    * [[jaccardPairsPrefixFromSets]], and in [[blockingEval]] also the
+    * MinHash signature leg and the doc count). The materialized frame
+    * is one row per doc with its sorted hash array (the same volume
+    * class as the shuffles around it); at cluster scale swap for
+    * persist(DISK_ONLY) if executor-loss recovery matters. Docs with an
+    * empty shingle set are excluded (`n > 0` ⟺ `size(tokens) ≥ n`,
+    * the same row set every shingle-family operator keeps).
+    */
+  private[graft] def shingleHashSets(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int
+  ): DataFrame =
+    docs
       .select(col(idCol).as("id"),
         array_sort(array_distinct(transform(
           TextOps.shingleSet(col(textCol), shingleN),
@@ -639,6 +685,18 @@ object Dedup {
       .withColumn("n", size(col("hs")))
       .filter(col("n") > 0)
       .localCheckpoint(false)
+
+  /** [[jaccardPairsPrefix]] from pre-built [[shingleHashSets]] — split
+    * out so [[blockingEval]] can feed its truth leg the SAME sets table
+    * its candidate leg and doc count read.
+    */
+  private[graft] def jaccardPairsPrefixFromSets(
+      sets: DataFrame,
+      thresholdTenths: Int
+  ): DataFrame = {
+    require(thresholdTenths >= 1 && thresholdTenths <= 10,
+      s"thresholdTenths must be in [1,10], got $thresholdTenths")
+    val t = thresholdTenths
     // `n` rides the explode (8 bytes per shingle row) so the prefix
     // filter needs no join back onto `sets`
     val sh = sets.select(col("id"), col("n"), explode(col("hs")).as("h"))
@@ -1724,19 +1782,21 @@ object Dedup {
       rowsPerBand: Int = 4,
       shingleN: Int = 3
   ): DataFrame = {
-    val truth = jaccardPairsPrefix(docs, idCol, textCol, shingleN,
-        thresholdTenths)
+    // ONE shingle pass feeds all three legs (the q119 duplicateSpans
+    // idiom): the prefix-filter truth, the banded candidates (signature
+    // from the stored base hashes), and the doc count — the corpus was
+    // previously tokenized three times, which dominated the runtime
+    val sets = shingleHashSets(docs, idCol, textCol, shingleN)
+    val truth = jaccardPairsPrefixFromSets(sets, thresholdTenths)
       .select("id_a", "id_b").localCheckpoint(false)
-    val cands = minhashPairs(docs, idCol, textCol, numHashes, rowsPerBand,
-        shingleN)
+    val cands = minhashPairsFromSets(sets, numHashes, rowsPerBand)
       .select("id_a", "id_b").localCheckpoint(false)
     val nTrue = truth.agg(count(lit(1)).as("n_true"))
     val nCand = cands.agg(count(lit(1)).as("n_candidates"))
     val nFound = truth.join(cands, Seq("id_a", "id_b"), "left_semi")
       .agg(count(lit(1)).as("n_found"))
-    val nDocs = docs.agg(coalesce(sum(when(
-        size(TextOps.shingleSet(col(textCol), shingleN)) > 0, 1L)
-        .otherwise(0L)), lit(0L)).as("n_docs"))
+    // sets keeps exactly the docs with a non-empty shingle set
+    val nDocs = sets.agg(coalesce(count(lit(1)), lit(0L)).as("n_docs"))
     nDocs.crossJoin(broadcast(nTrue)).crossJoin(broadcast(nCand))
       .crossJoin(broadcast(nFound))
       .withColumn("n_total_pairs", expr(

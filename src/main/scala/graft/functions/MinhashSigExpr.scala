@@ -90,3 +90,69 @@ case class MinhashSigExpr(child: Expression, seed: Int, as: Seq[Long], bs: Seq[L
 
   override def prettyName: String = "minhash_sig"
 }
+
+/** [[MinhashSigExpr]] over PRECOMPUTED base hashes — same signature,
+  * no md5: for each base hash h in the input array,
+  * `sig[j] = min(sig[j], (a_j·h + b_j) mod prime)`.
+  *
+  * Bit-identical to [[MinhashSigExpr]] whenever the input holds the
+  * `Hashing.md5Hash32(seed, shingle)` images of the shingle array
+  * (seed-0 is what [[MinhashSigExpr]] computes internally), INCLUDING
+  * deduplicated/sorted arrays: min over affine images is invariant to
+  * duplicate removal and order (pinned in `DedupSpec`). This lets a
+  * caller that already materialized the distinct-hash sets for an exact
+  * set-similarity leg (`Dedup.blockingEval`) derive the banded MinHash
+  * candidates from the SAME table instead of re-tokenizing the corpus.
+  * Empty arrays yield the fold seed: an all-`prime` signature.
+  */
+case class MinhashSigFromHashesExpr(child: Expression, as: Seq[Long], bs: Seq[Long],
+                                    prime: Long = Hashing.MinhashPrime)
+    extends UnaryExpression {
+
+  require(as.nonEmpty && as.length == bs.length, "coefficient arrays must match")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<bigint> input (md5Hash32 images), got ${other.sql}")
+    }
+
+  @transient private lazy val aArr = as.toArray
+  @transient private lazy val bArr = bs.toArray
+
+  /** Public so generated code can call it; shared by the interpreted path. */
+  def compute(arr: ArrayData): ArrayData = {
+    val n = aArr.length
+    val sig = Array.fill(n)(prime)
+    var i = 0
+    while (i < arr.numElements()) {
+      val h = arr.getLong(i)
+      var j = 0
+      while (j < n) {
+        val v = (aArr(j) * h + bArr(j)) % prime
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhashSigFromHashesExpr", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "minhash_sig_from_hashes"
+}

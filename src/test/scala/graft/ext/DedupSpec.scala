@@ -736,6 +736,37 @@ class DedupSpec extends SparkTestBase {
     assert(nCand == cands)
   }
 
+  test("MinhashSigFromHashesExpr: bit-parity with the from-text signature " +
+    "(dedup/sort invariance) and pair parity on a seeded corpus") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import graft.functions.{Hashing, MinhashSigFromHashesExpr}
+    // seeded random corpus with heavy token reuse so shingle MULTISETS
+    // repeat within a doc — the exact case where the sets table's
+    // array_distinct must not move the signature
+    val rnd = new scala.util.Random(77)
+    val docs = (1L to 40L).map { i =>
+      (i, (1 to 25).map(_ => s"w${rnd.nextInt(12)}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val fromText = Dedup.minhashSignatureArray(docs)
+      .as[(Long, Seq[Long])].collect().toMap
+    val (as, bs) = Hashing.minhashParams(16)
+    val fromSets = Dedup.shingleHashSets(docs, "doc_id", "text", 3)
+      .select(col("id"), ColumnBridge.column(MinhashSigFromHashesExpr(
+        ColumnBridge.expression(col("hs")), as, bs)).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(fromText.keySet == fromSets.keySet)
+    fromText.foreach { case (id, sig) =>
+      assert(fromSets(id) == sig, s"signature diverged for doc $id")
+    }
+    // and the banded pair sets agree end to end
+    val pairsText = Dedup.minhashPairs(docs)
+      .as[(Long, Long)].collect().toSet
+    val pairsSets = Dedup.minhashPairsFromSets(
+        Dedup.shingleHashSets(docs, "doc_id", "text", 3), 16, 4)
+      .as[(Long, Long)].collect().toSet
+    assert(pairsText == pairsSets)
+  }
+
   test("jaccardPairs: a bucket over maxBucketSize is dropped exactly, not truncated") {
     // "x y z" lives in all three docs -> bucket size 3 > cap 2 -> dropped
     // from the INTERSECTION counts; docs 1,2 still share three cold
