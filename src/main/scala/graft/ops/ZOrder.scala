@@ -112,6 +112,11 @@ object ZOrder {
     * exposed for ADDITIONAL layout keys (e.g. [[withHilbertKey]], whose
     * rotation state cannot be a single column expression): each layout
     * is `(name, frame)` with columns `a`, `b` and the sort key `__k`.
+    * CONTRACT: every layout holds the SAME rows under a different sort
+    * key (that is what a layout bake-off means), so ONE count decides
+    * the tile path for all of them — per-layout counts were pure
+    * overhead (a full materialize-and-count job per extra layout,
+    * measured ~⅓ of q202's runtime).
     */
   def skippingForecast(
       layouts: Seq[(String, org.apache.spark.sql.DataFrame)],
@@ -121,31 +126,35 @@ object ZOrder {
       histTileThreshold: Long = HistTileThreshold
   ): org.apache.spark.sql.DataFrame = {
     require(files > 0, "files must be positive")
-    layouts.map { case (name, frame) =>
-      // exact ntile over (__k, a, b), ADAPTIVE (the broadcast-threshold
-      // shape): at or below histTileThreshold rows the tile is one sort
-      // window — a bounded single-reducer sort is cheaper than five
-      // distributed stages (measured 8–10× on the sf0.1 bench) — and
-      // above it Stats.ntileHist's histogram ranks take over with
-      // BIT-IDENTICAL output (ZOrderSpec pins the two paths equal), so
-      // the choice is pure physics, never semantics. Ties in __k order
-      // by the (a, b) struct, the same lexicographic order either way.
-      // The lineage cut before the tile is LOAD-BEARING twice over: the
-      // tile machinery consumes the frame repeatedly, and
-      // withHilbertKey's chained per-bit projections EXPLODE
-      // exponentially if project collapse inlines them into those
-      // consumers (measured: optimizer OOM on q202 without the cut).
-      // count() both decides the path and materializes the checkpoint
-      // the chosen path reuses.
-      val cut = frame.select(col("__k"), col("a"), col("b"))
-        .localCheckpoint(false)
+    // exact ntile over (__k, a, b), ADAPTIVE (the broadcast-threshold
+    // shape): at or below histTileThreshold rows the tile is one sort
+    // window — a bounded single-reducer sort is cheaper than five
+    // distributed stages (measured 8–10× on the sf0.1 bench) — and
+    // above it Stats.ntileHist's histogram ranks take over with
+    // BIT-IDENTICAL output (ZOrderSpec pins the two paths equal), so
+    // the choice is pure physics, never semantics. Ties in __k order
+    // by the (a, b) struct, the same lexicographic order either way.
+    // The lineage cut before the HISTOGRAM tile is LOAD-BEARING twice
+    // over: ntileHist consumes the frame repeatedly, and
+    // withHilbertKey's chained per-bit projections EXPLODE
+    // exponentially if project collapse inlines them into those
+    // consumers (measured: optimizer OOM on q202 without the cut).
+    // The WINDOW tile path is one linear consumer chain — window →
+    // per-file aggregate — so below the threshold no cut (and no
+    // materialize-and-count job per layout) is paid at all; the one
+    // decision count runs on the head layout's bare projection.
+    val sels = layouts.map { case (name, frame) =>
+      (name, frame.select(col("__k"), col("a"), col("b")))
+    }
+    val nRows = sels.head._2.count()
+    sels.map { case (name, sel) =>
       val tiled =
-        if (cut.count() <= histTileThreshold)
-          cut.withColumn("f",
+        if (nRows <= histTileThreshold)
+          sel.withColumn("f",
             ntile(files).over(
               org.apache.spark.sql.expressions.Window
                 .orderBy(col("__k"), col("a"), col("b"))))
-        else Stats.ntileHist(cut, files, col("__k"),
+        else Stats.ntileHist(sel.localCheckpoint(false), files, col("__k"),
           struct(col("a"), col("b")), "f")
       val perFile = tiled.groupBy("f").agg(
         count(lit(1)).as("n"),
