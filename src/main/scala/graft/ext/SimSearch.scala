@@ -17,6 +17,25 @@ import graft.functions.VectorOps
   */
 object SimSearch {
 
+  /** The exact driver replay of `VectorOps.l2Sq`'s SEQUENTIAL
+    * elementwise fold Σ(aᵢ−bᵢ)² — [[kCenterCoresetBatched]]'s
+    * certification compares driver-updated distances against
+    * cluster-computed `__mind` values, so this must match the column
+    * expression bit for bit. A future change to either side's
+    * summation order (SIMD, pairwise, the |a|²−2a·b+|b|² expansion)
+    * breaks the property pin in `SimSearchSpec` next to its cause.
+    */
+  private[graft] def l2sqDriver(a: Seq[Float], b: Seq[Float]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) {
+      val d = a(i).toDouble - b(i).toDouble
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
   /** Exact top-k by cosine: broadcast the queries, scan the corpus once,
     * per-query heap via window rank. Deterministic tie-break on candidate
     * id.
@@ -958,19 +977,12 @@ object SimSearch {
   ): (DataFrame, Int) = {
     require(k >= 1, s"k must be >= 1: $k")
     require(batch >= 1, s"batch must be >= 1: $batch")
+    // (l2sqDriver parity with VectorOps.l2Sq is property-pinned in
+    // SimSearchSpec — a summation-order change on either side fails
+    // loudly there instead of silently skewing certified picks)
     val spark = corpus.sparkSession
     import spark.implicits._
-    // the exact driver replay of VectorOps.l2Sq's sequential left fold
-    def l2sq(a: Seq[Float], b: Seq[Float]): Double = {
-      var s = 0.0
-      var i = 0
-      while (i < a.length) {
-        val d = a(i).toDouble - b(i).toDouble
-        s += d * d
-        i += 1
-      }
-      s
-    }
+    def l2sq(a: Seq[Float], b: Seq[Float]): Double = l2sqDriver(a, b)
     val base = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
       .filter(col("id").isNotNull && col("v").isNotNull)
     val first = base.orderBy("id").limit(1)

@@ -81,8 +81,12 @@ object Graph {
     *
     * Scale shape: identical to [[pageRankPpm]] — `iters` keyed
     * join+aggregate rounds over localCheckpointed edge/degree
-    * projections; the seed flag rides ONE broadcast left join (seed
-    * sets are frontier-sized, not corpus-sized).
+    * projections. The seed flag rides ONE left join with NO forced
+    * broadcast hint: a frontier-sized seed set broadcasts on the
+    * planner's own size estimate (AQE re-plans at runtime), while a
+    * corpus-sized seed set — legitimate, e.g. "every 83rd doc" — takes
+    * a plain shuffle join instead of becoming a driver/executor memory
+    * hazard.
     */
   def personalizedPageRankPpm(
       edges: DataFrame,
@@ -99,7 +103,7 @@ object Graph {
       .union(e.select(col("dst").as("node"))).distinct()
     val sd = seeds.toDF("node").distinct()
     val flagged = nodes
-      .join(broadcast(sd.withColumn("__s", lit(1L))), Seq("node"), "left")
+      .join(sd.withColumn("__s", lit(1L)), Seq("node"), "left")
       .select(col("node"), coalesce(col("__s"), lit(0L)).as("__seed"))
       .localCheckpoint(true)
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("__outdeg"))

@@ -30,7 +30,7 @@ object HostileSweep {
 
   def main(args: Array[String]): Unit = {
     val root = args.headOption.getOrElse("target/hostile")
-    val outPath = args.drop(1).headOption.getOrElse("HOSTILE_r18.json")
+    val outPath = args.drop(1).headOption.getOrElse("HOSTILE_r19.json")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -92,22 +92,30 @@ object HostileSweep {
     require(java.nio.file.Files.exists(java.nio.file.Paths.get(lowheapPath)),
       s"missing $lowheapPath - run SPARK_DRIVER_MEM=1g " +
         "sbt 'Test/runMain graft.DriverHeapSweep' first")
-    val lowheap = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(lowheapPath)),
-      java.nio.charset.StandardCharsets.UTF_8)
-    def lhField(k: String): Long =
-      s""""$k":\\s*(\\d+)""".r.findFirstMatchIn(lowheap)
-        .map(_.group(1).toLong)
-        .getOrElse(sys.error(s"$lowheapPath missing field $k"))
+    // parse the fragment with a REAL JSON parser (jackson rides Spark's
+    // classpath) — the previous regex-scrape + raw substring splice
+    // would silently corrupt the artifact if DriverHeapSweep ever added
+    // a field after the failures array or an earlier string field
+    // contained the literal `"n":`
+    val lowheapTree = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(lowheapPath)))
+    def lhField(k: String): Long = {
+      val node = lowheapTree.get(k)
+      require(node != null && node.canConvertToLong,
+        s"$lowheapPath missing numeric field $k")
+      node.asLong()
+    }
     val (lhN, lhFailed, lhMs) = (lhField("n"), lhField("failed"),
       lhField("total_ms"))
     require(lhN == SparkEntry.queries.size,
       s"$lowheapPath covers $lhN queries, registry has " +
         s"${SparkEntry.queries.size} - rerun DriverHeapSweep")
-    val lhFailures = {
-      val s = lowheap.indexOf("\"failures\":[")
-      lowheap.substring(s + "\"failures\":[".length, lowheap.lastIndexOf("]"))
-    }
+    val lhFailuresNode = lowheapTree.get("failures")
+    require(lhFailuresNode != null && lhFailuresNode.isArray,
+      s"$lowheapPath missing failures array")
+    val lhFailures = (0 until lhFailuresNode.size())
+      .map(i => lhFailuresNode.get(i).toString).mkString(",")
 
     val failures = results.filterNot(_.ok)
     failures.foreach(r =>
@@ -129,7 +137,7 @@ object HostileSweep {
       .mkString("[", ",", "]")
     val totalFailures = failures.size + lhFailed
     val json =
-      s"""{"round":18,"variants":{${byVariant.mkString(",")}},
+      s"""{"round":19,"variants":{${byVariant.mkString(",")}},
          |"contract":"every registered query completes on every hostile variant (8 data variants + the 1 GiB lowheap JVM) and preserves its sf0.01 output schema",
          |"n_queries":${SparkEntry.queries.size},"n_failures":$totalFailures,
          |"failures":$failJson}""".stripMargin

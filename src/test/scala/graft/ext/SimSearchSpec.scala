@@ -379,6 +379,31 @@ class SimSearchSpec extends SparkTestBase {
     assert(got.size == 3, s"3-row corpus yields 3 centers, got $got")
   }
 
+  test("l2sqDriver: bit-parity with the VectorOps.l2Sq column on random vectors") {
+    // kCenterCoresetBatched's certification replays the distributed
+    // squared-distance on the driver; if either side ever changes
+    // summation order (SIMD, pairwise, the norm expansion) certified
+    // picks would silently diverge — this property pin fails loudly
+    // next to the cause instead. Random float vectors, exact ==
+    // comparison on the accumulated doubles.
+    import graft.functions.VectorOps
+    val rnd = new scala.util.Random(1717)
+    val pairs = (1 to 50).map { i =>
+      val d = 1 + rnd.nextInt(40)
+      (i.toLong,
+        Seq.fill(d)((rnd.nextFloat() - 0.5f) * 1000f),
+        Seq.fill(d)((rnd.nextFloat() - 0.5f) * 1000f))
+    }
+    val got = pairs.toDF("id", "a", "b")
+      .select(col("id"), VectorOps.l2Sq(col("a"), col("b")).as("d"))
+      .as[(Long, Double)].collect().toMap
+    pairs.foreach { case (id, a, b) =>
+      val want = SimSearch.l2sqDriver(a.map(_.toFloat), b.map(_.toFloat))
+      assert(got(id) == want,
+        s"id=$id driver=$want cluster=${got(id)} — summation order diverged")
+    }
+  }
+
   test("kCenterCoresetBatched: bit-identical to sequential, passes sub-linear in k") {
     // a deterministic 2-d cloud with repeated points (distance ties) —
     // the shape that forces the certification fallback now and then
