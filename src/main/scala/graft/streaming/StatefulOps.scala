@@ -89,7 +89,15 @@ object StatefulOps {
   }
 
   case class BandDoc(id: Long, band: Int, bkey: String, event_time: Timestamp)
-  case class BandHit(id: Long, band: Int, first_id: Long)
+
+  /** One band collision from [[nearDupHits]]: `id` shares `band` with
+    * the earlier `first_id`; `n_seen` is how many documents this band
+    * bucket had ALREADY seen when the hit fired (bucket heat — a
+    * boilerplate bucket reads in the thousands while a genuine near-dup
+    * pair reads 1; under `stateVersion = 1` writes it is per-batch
+    * only, see `StateCodec.encodeMinSeen`).
+    */
+  case class BandHit(id: Long, band: Int, first_id: Long, n_seen: Long)
 
   /** The PERMANENT stored-state schema of the envelope-wrapped stateful
     * ops ([[nearDupHits]]/[[capPerKeyStream]]/[[funnelStream]]): a
@@ -138,10 +146,27 @@ object StatefulOps {
           s"does not match that version's layout — corrupt checkpoint state. $runbook",
         cause)
 
-    /** v1: [id: i64][horizonMs: i64]. */
-    def encodeMinSeen(s: MinSeen): VersionedState =
-      VersionedState(1,
-        ByteBuffer.allocate(16).putLong(s.id).putLong(s.horizonMs).array())
+    /** v1: [id: i64][horizonMs: i64].
+      * v2 (current): v1 + [nSeen: i64] — the lifetime bucket-traffic
+      * count behind `BandHit.n_seen` (the round-19 widening drill,
+      * EwmaTail's precedent). `version = 1` writes the v1 layout,
+      * DROPPING nSeen — the rolling-upgrade escape hatch. CONSUMER
+      * CAVEAT: under `stateVersion = 1` the emitted `BandHit.n_seen`
+      * restarts from the decode default 0 on EVERY micro-batch (never
+      * persisted) — treat it as meaningless until the fleet is back on
+      * v2; the dedup verdict (id/band/first_id) is version-independent.
+      */
+    def encodeMinSeen(s: MinSeen, version: Int = 2): VersionedState = version match {
+      case 1 =>
+        VersionedState(1,
+          ByteBuffer.allocate(16).putLong(s.id).putLong(s.horizonMs).array())
+      case 2 =>
+        VersionedState(2,
+          ByteBuffer.allocate(24).putLong(s.id).putLong(s.horizonMs)
+            .putLong(s.nSeen).array())
+      case v => throw new IllegalArgumentException(
+        s"MinSeen encoder knows layout versions 1 and 2, not $v")
+    }
 
     def decodeMinSeen(s: VersionedState): MinSeen = s.version match {
       case 1 =>
@@ -149,7 +174,14 @@ object StatefulOps {
         // an encoder grew the layout without bumping the version
         if (s.payload.length != 16) corrupt("MinSeen", s, null)
         val b = ByteBuffer.wrap(s.payload)
-        MinSeen(b.getLong(), b.getLong())
+        // nSeen predates v1: the DOCUMENTED default is 0 — after a
+        // v1 -> v2 checkpoint upgrade the bucket-heat counter restarts;
+        // the dedup verdict (min id seen) carries over exactly
+        MinSeen(b.getLong(), b.getLong(), nSeen = 0L)
+      case 2 =>
+        if (s.payload.length != 24) corrupt("MinSeen", s, null)
+        val b = ByteBuffer.wrap(s.payload)
+        MinSeen(b.getLong(), b.getLong(), b.getLong())
       case v => unknown("MinSeen", v)
     }
 
@@ -395,9 +427,13 @@ object StatefulOps {
   }
 
   /** In-memory state of [[nearDupHits]] (stored as [[VersionedState]]
-    * payload v1 — see [[StateCodec]]).
+    * payload, v2 current — see [[StateCodec]]). `nSeen` is the lifetime
+    * count of documents observed in this band bucket (the round-19
+    * widening drill — bucket heat, the online analogue of the batch
+    * path's `maxBucketSize` diagnostics); it predates v1 layouts, whose
+    * decode default is 0.
     */
-  case class MinSeen(id: Long, horizonMs: Long)
+  case class MinSeen(id: Long, horizonMs: Long, nSeen: Long = 0L)
 
   case class QuotaDoc(id: Long, key: String, event_time: Timestamp)
   case class QuotaCount(accepted: Long, horizonMs: Long)
@@ -1060,8 +1096,11 @@ object StatefulOps {
       ttlMs: Long = 3600000L,
       numHashes: Int = 16,
       rowsPerBand: Int = 4,
-      shingleN: Int = 3
+      shingleN: Int = 3,
+      stateVersion: Int = 2
   ): Dataset[BandHit] = {
+    require(stateVersion == 1 || stateVersion == 2,
+      s"stateVersion must be 1 (rolling-upgrade compat) or 2: $stateVersion")
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.graftbridge.ColumnBridge
     import docs.sparkSession.implicits._
@@ -1097,9 +1136,13 @@ object StatefulOps {
             val prior = state.getOption.map(StateCodec.decodeMinSeen)
             val rs = rows.toSeq.sortBy(_.id)
             var minSeen = prior.map(_.id).getOrElse(Long.MaxValue)
+            var seen = prior.map(_.nSeen).getOrElse(0L)
             val hits = rs.flatMap { r =>
-              val hit = if (minSeen < r.id) Some(BandHit(r.id, r.band, minSeen)) else None
+              val hit =
+                if (minSeen < r.id) Some(BandHit(r.id, r.band, minSeen, seen))
+                else None
               if (r.id < minSeen) minSeen = r.id
+              seen += 1
               hit
             }
             // sliding TTL anchored on event time, not the watermark alone:
@@ -1112,7 +1155,8 @@ object StatefulOps {
             // horizon a previous batch established.
             val horizon = (prior.map(_.horizonMs).toSeq ++
               rs.map(_.event_time.getTime) :+ state.getCurrentWatermarkMs()).max
-            state.update(StateCodec.encodeMinSeen(MinSeen(minSeen, horizon)))
+            state.update(StateCodec.encodeMinSeen(
+              MinSeen(minSeen, horizon, seen), stateVersion))
             state.setTimeoutTimestamp(horizon + ttlMs)
             hits.iterator
           }

@@ -82,6 +82,62 @@ class StatefulOpsSpec extends SparkTestBase {
     // 5 is the minimum: 7 and 9 flag against it on every band; 5 never flags
     assert(flagged == List(7L -> 5L, 9L -> 5L))
     assert(hits.count(_.id == 7L) == 4 && hits.count(_.id == 9L) == 4)
+    // bucket heat: processing is id-ascending, so 7 fired with 1 doc
+    // already in each bucket and 9 with 2
+    assert(hits.filter(_.id == 7L).forall(_.n_seen == 1L))
+    assert(hits.filter(_.id == 9L).forall(_.n_seen == 2L))
+  }
+
+  test("nearDupHits: a v2 engine resumes a committed v1 checkpoint (upgrade drill, both providers)") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.streaming.Trigger
+    val doc = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val rocks =
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    for (provider <- Seq(None, Some(rocks))) {
+      provider.foreach(
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", _))
+      try {
+        val in = Files.createTempDirectory("graft_ndh_in_")
+        val out = Files.createTempDirectory("graft_ndh_out_").toString
+        val chk = Files.createTempDirectory("graft_ndh_chk_").toString
+        val schema = "doc_id LONG, text STRING, event_time TIMESTAMP"
+        def writeBatch(name: String,
+            rows: Seq[(Long, String, java.sql.Timestamp)]): Unit =
+          rows.toDF("doc_id", "text", "event_time")
+            .coalesce(1).write.parquet(s"$in/$name")
+        def runOnce(version: Int): Unit = {
+          val stream = spark.readStream.schema(schema)
+            .option("latestFirst", "false").parquet(s"$in/*/")
+          val query = StatefulOps.nearDupHits(stream,
+              watermarkDelay = "10 minutes", stateVersion = version)
+            .writeStream.format("json")
+            .option("path", out).option("checkpointLocation", chk)
+            .outputMode("append").trigger(Trigger.AvailableNow()).start()
+          query.awaitTermination(120000)
+        }
+        // run 1: the PREVIOUS engine (v1 state layout) sees the original
+        writeBatch("b1", Seq((3L, doc, ts("2024-01-01 00:00:00"))))
+        runOnce(version = 1)
+        // run 2: the UPGRADED engine (v2 default) resumes that
+        // checkpoint — the dedup verdict must CONTINUE (doc 9 flags
+        // against the v1-era doc 3 on every band), while the widened
+        // bucket-heat counter restarts from the documented v1-decode
+        // default of 0
+        writeBatch("b2", Seq((9L, doc, ts("2024-01-01 00:01:00"))))
+        runOnce(version = 2)
+        val got = spark.read
+          .schema("id LONG, band INT, first_id LONG, n_seen LONG")
+          .json(s"$out/*.json")
+          .as[(Long, Int, Long, Long)].collect().sortBy(_._2).toList
+        assert(got.map(r => (r._1, r._3)).distinct == List((9L, 3L)),
+          s"provider=$provider got $got")
+        assert(got.size == 4, s"provider=$provider: all 4 bands must hit")
+        assert(got.forall(_._4 == 0L),
+          s"provider=$provider: n_seen restarts from the v1-decode default")
+      } finally if (provider.isDefined)
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
   }
 
   test("nearDupHits: band state evicts after the TTL horizon — a re-arrival is fresh") {
@@ -379,10 +435,22 @@ class StatefulOpsSpec extends SparkTestBase {
     // refactor that changes them breaks existing checkpoints and must
     // instead add a NEW version arm
     def hex(b: Array[Byte]) = b.map("%02x".format(_)).mkString
-    val ms = StateCodec.encodeMinSeen(MinSeen(7L, 0x11223344L))
-    assert(ms.version == 1 && hex(ms.payload) ==
+    // MinSeen v2 (current): [id][horizonMs][nSeen]
+    val ms = StateCodec.encodeMinSeen(MinSeen(7L, 0x11223344L, 5L))
+    assert(ms.version == 2 && hex(ms.payload) ==
+      "0000000000000007" + "0000000011223344" + "0000000000000005")
+    assert(StateCodec.decodeMinSeen(ms) == MinSeen(7L, 0x11223344L, 5L))
+    // MinSeen v1 GOLDEN BYTES still decode (nSeen defaults to 0 — the
+    // field predates that layout), and the rolling-upgrade encoder
+    // still WRITES them byte-identically
+    val msV1 = StateCodec.encodeMinSeen(MinSeen(7L, 0x11223344L, 5L), version = 1)
+    assert(msV1.version == 1 && hex(msV1.payload) ==
       "0000000000000007" + "0000000011223344")
-    assert(StateCodec.decodeMinSeen(ms) == MinSeen(7L, 0x11223344L))
+    assert(StateCodec.decodeMinSeen(msV1) == MinSeen(7L, 0x11223344L, 0L))
+    // a v1-sized payload under a v2 tag is the runbook corrupt-state
+    // failure, never an underflow
+    assertThrows[IllegalStateException](
+      StateCodec.decodeMinSeen(VersionedState(2, msV1.payload)))
 
     val qc = StateCodec.encodeQuota(QuotaCount(3L, 256L))
     assert(qc.version == 1 && hex(qc.payload) ==
