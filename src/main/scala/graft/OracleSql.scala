@@ -2154,6 +2154,35 @@ object OracleSql {
          |   ELSE 0 END AS BIGINT) AS reduction_ratio_ppm
          |FROM nd CROSS JOIN cnts ORDER BY n_docs""".stripMargin,
 
+    // per-key rank-selected order statistics: the oracle picks each
+    // language's value at rank 1 + (n-1)*p // 1000 with a per-key
+    // row_number — value-deterministic under ties, same rule as q319's
+    // pooled grid one key down
+    "q325_group_quantiles" ->
+      s"""WITH q AS (SELECT lang,
+         |    CAST($qualityPpmSql AS BIGINT) AS v FROM documents
+         |   WHERE lang IS NOT NULL),
+         | r AS (SELECT lang, v,
+         |   row_number() OVER (PARTITION BY lang ORDER BY v) AS rn,
+         |   count(*) OVER (PARTITION BY lang) AS n FROM q),
+         | g AS (SELECT unnest([500, 900, 990]) AS p)
+         |SELECT r.lang, CAST(g.p AS BIGINT) AS permille,
+         | CAST(r.v AS BIGINT) AS q_ppm, CAST(r.n AS BIGINT) AS n_docs
+         |FROM r JOIN g ON r.rn = 1 + ((r.n - 1) * g.p) // 1000
+         |ORDER BY lang, permille""".stripMargin,
+
+    // per-key ntile against DuckDB's NATIVE window ntile — an
+    // independent implementation of the standard assignment the
+    // engine computes arithmetically from keyed histogram ranks
+    "q326_group_ntile" ->
+      s"""WITH q AS (SELECT doc_id, lang,
+         |    CAST($qualityPpmSql AS BIGINT) AS quality_ppm FROM documents
+         |   WHERE lang IS NOT NULL)
+         |SELECT doc_id, lang, quality_ppm,
+         | CAST(ntile(4) OVER (PARTITION BY lang
+         |   ORDER BY quality_ppm, doc_id) AS BIGINT) AS quartile
+         |FROM q ORDER BY doc_id""".stripMargin,
+
     // q37's cosine with the different-label predicate; null labels out
     // on both sides
     "q125_hard_negatives" ->

@@ -4567,6 +4567,39 @@ object SparkEntry {
     Dedup.blockingEval(Tables.documents(s, dir))
       .orderBy("n_docs")
 
+  /** Per-language exact quantile sheet ([[ops.Stats.groupQuantilesHist]]):
+    * each language's p50/p90/p99 of q31's quality score as rank-selected
+    * order statistics off the r19 keyed histogram engine — the per-key
+    * counterpart of q319's pooled grid, with no per-key sort window and
+    * no percentile_approx sketch error. The oracle selects the same
+    * ranks with a per-key row_number. */
+  private def q325(s: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(s, dir)
+      .select(col("lang"), TextOps.qualityScorePpm(col("text")).as("q_ppm"))
+    ops.Stats.groupQuantilesHist(scored, col("lang"), col("q_ppm"),
+        Seq(500, 900, 990))
+      .withColumnRenamed("key", "lang")
+      .withColumnRenamed("value", "q_ppm")
+      .withColumnRenamed("n", "n_docs")
+      .select("lang", "permille", "q_ppm", "n_docs")
+      .orderBy("lang", "permille")
+  }
+
+  /** Per-language quality quartiles ([[ops.Stats.ntileHistByKey]]):
+    * `ntile(4)` WITHIN each language over (quality, doc_id) computed
+    * from keyed histogram ranks + the arithmetic tile assignment — the
+    * within-key twin of q320/q321's global hist ntiles, against
+    * DuckDB's native per-key `ntile` window. */
+  private def q326(s: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        TextOps.qualityScorePpm(col("text")).as("quality_ppm"))
+    ops.Stats.ntileHistByKey(scored, 4, col("lang"), col("quality_ppm"),
+        col("doc_id"), "quartile")
+      .select("doc_id", "lang", "quality_ppm", "quartile")
+      .orderBy("doc_id")
+  }
+
   /** Shapley on a HOSTILE channel alphabet
     * ([[ops.Behavior.shapleyAttributionSanitized]]): event types are
     * remapped IN the query to the injectivity hazards — a `|` name,
@@ -5641,7 +5674,9 @@ object SparkEntry {
     "q321_uplift_hist" -> q321 _,
     "q322_shapley_sanitized" -> q322 _,
     "q323_ppr" -> q323 _,
-    "q324_blocking_eval" -> q324 _
+    "q324_blocking_eval" -> q324 _,
+    "q325_group_quantiles" -> q325 _,
+    "q326_group_ntile" -> q326 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

@@ -1038,6 +1038,81 @@ object Stats {
       .drop("__hk", "__hv")
   }
 
+  /** Exact per-key order statistics off [[cumHistByKey]] — "p50/p90/p99
+    * FOR EACH source/language" in one pass, the keyed counterpart of
+    * [[pooledGridHist]]'s rank selection: for each requested permille
+    * `p`, the key's value at rank `1 + (n−1)·p DIV 1000` of its
+    * ascending value order (value-deterministic under ties — every rank
+    * a cell covers carries the cell's value). NULL keys/values are
+    * dropped. Output: one row per (key, permille): `(key, permille,
+    * value, n)`.
+    *
+    * Scale shape: the keyed histogram + distributed prefix sum, then a
+    * |permilles|-way explode over the CELLS (hist grain) with an
+    * arithmetic rank test — no percentile_approx sketch error, no
+    * per-key sort window, nothing corpus-sized on one partition.
+    */
+  def groupQuantilesHist(
+      df: DataFrame,
+      keyCol: Column,
+      valueCol: Column,
+      permilles: Seq[Int]
+  ): DataFrame = {
+    require(permilles.nonEmpty, "need at least one permille")
+    require(permilles.forall(p => p >= 0 && p <= 1000),
+      s"permilles must be in [0,1000]: $permilles")
+    require(permilles.distinct.size == permilles.size,
+      s"duplicate permilles: $permilles")
+    val base = df.filter(keyCol.isNotNull && valueCol.isNotNull)
+    cumHistByKey(base, keyCol, valueCol)
+      .withColumn("permille",
+        explode(typedlit(permilles.sorted.map(_.toLong))))
+      .withColumn("__rn", expr("1 + ((__n - 1) * permille) DIV 1000"))
+      .filter(col("__cs") < col("__rn") && col("__rn") <= col("__ce"))
+      .select(col("__k").as("key"), col("permille"),
+        col("__v").as("value"), col("__n").as("n"))
+  }
+
+  /** `ntile(k)` WITHIN each key over `(value ASC, tie ASC)` — the keyed
+    * twin of [[ntileHist]] ("quality quartiles per language"): per-key
+    * ranks come from [[cumHistByKey]]'s cells plus a `row_number`
+    * partitioned by (key, value) (bounded by the heaviest tie cell,
+    * the same honest residual as [[globalRankHist]]), and the tile is
+    * the standard SQL assignment computed arithmetically from the rank
+    * with the per-key `n` riding the cells — so it equals
+    * `ntile(k) OVER (PARTITION BY key ORDER BY value, tie)` bit for bit
+    * (`StatsSpec`) with no per-key sort window anywhere. NULL
+    * keys/values are dropped; the tie column must be unique per row
+    * within its key for a deterministic total order. Appends `out`.
+    */
+  def ntileHistByKey(
+      df: DataFrame,
+      k: Int,
+      keyCol: Column,
+      valueCol: Column,
+      tieCol: Column,
+      out: String
+  ): DataFrame = {
+    require(k >= 1, s"ntile k must be >= 1: $k")
+    val base = df.filter(keyCol.isNotNull && valueCol.isNotNull)
+    val cells = cumHistByKey(base, keyCol, valueCol)
+      .select(col("__k").as("__hk"), col("__v").as("__hv"),
+        col("__cs"), col("__n"))
+    base
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(keyCol, valueCol).orderBy(tieCol)).cast("long"))
+      .join(cells, keyCol <=> col("__hk") && valueCol <=> col("__hv"))
+      .withColumn("__rk", col("__cs") + col("__rn"))
+      .withColumn(out, expr(
+        s"""CASE WHEN __n DIV $k = 0 THEN __rk
+           | WHEN __rk <= (__n % $k) * (__n DIV $k + 1)
+           |   THEN (__rk - 1) DIV (__n DIV $k + 1) + 1
+           | ELSE __n % $k + 1 +
+           |   (__rk - (__n % $k) * (__n DIV $k + 1) - 1) DIV (__n DIV $k)
+           |END""".stripMargin).cast("long"))
+      .drop("__hk", "__hv", "__cs", "__n", "__rn", "__rk")
+  }
+
   /** Exact 1-based global rank over `(value ASC, tie ASC)` WITHOUT a
     * corpus-wide single-partition sort: per-value start ranks come
     * from [[cumHist]]; the within-value order is a `row_number`

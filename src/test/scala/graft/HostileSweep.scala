@@ -6,13 +6,15 @@ import org.apache.spark.sql.SparkSession
   * query registry against each adversarial variant of sf0.01 produced by
   * `tools/make_hostile.py` (empty, single-row, 50%-hot-key skew, a 10 MB
   * document, all-identical embeddings, all-NULL event_time, saturated
-  * shingle vocabulary, calendar-edge timestamps straddling a year
-  * boundary / leap day / both US DST transitions) and assert the system property the per-op specs
+  * shingle vocabulary, an 80%-dominant language/source stratum, and
+  * calendar-edge timestamps straddling a year boundary / leap day /
+  * both US DST transitions) and assert the system property the per-op specs
   * cannot: EVERY query completes without OOM/exception and returns its
   * sf0.01 result SCHEMA unchanged (possibly with zero rows). Since r18
-  * the artifact also merges the 9th variant — `graft.DriverHeapSweep`'s
+  * the artifact also merges one extra variant — `graft.DriverHeapSweep`'s
   * full-registry run under a 1 GiB JVM (`lowheap`), which must be run
-  * first in its own capped process.
+  * first in its own capped process (10 variants total since r19's
+  * skewlang).
   *
   * `Test/runMain graft.HostileSweep [hostileRoot] [outPath]` — writes
   * HOSTILE_r{N}.json and exits 1 on any failure or schema drift.
@@ -20,7 +22,7 @@ import org.apache.spark.sql.SparkSession
 object HostileSweep {
 
   val Variants = Seq("empty", "single", "skew", "bigdoc", "flatvec",
-    "nullts", "satvocab", "dst")
+    "nullts", "satvocab", "skewlang", "dst")
 
   /** Per-query wall-clock bound: a hostile input that WEDGES a query
     * (the very first sweep caught chunkTokens re-splitting a 10 MB doc
@@ -84,10 +86,10 @@ object HostileSweep {
     }
     spark.stop()
 
-    // the 9th variant runs in its OWN JVM (a heap cap is set at launch,
-    // not mid-process): graft.DriverHeapSweep under SPARK_DRIVER_MEM=1g
-    // writes this fragment, and the sweep REQUIRES it so the artifact
-    // always records all 9 variants
+    // the lowheap variant runs in its OWN JVM (a heap cap is set at
+    // launch, not mid-process): graft.DriverHeapSweep under
+    // SPARK_DRIVER_MEM=1g writes this fragment, and the sweep REQUIRES
+    // it so the artifact always records every variant
     val lowheapPath = "target/hostile_lowheap.json"
     require(java.nio.file.Files.exists(java.nio.file.Paths.get(lowheapPath)),
       s"missing $lowheapPath - run SPARK_DRIVER_MEM=1g " +
@@ -138,7 +140,7 @@ object HostileSweep {
     val totalFailures = failures.size + lhFailed
     val json =
       s"""{"round":19,"variants":{${byVariant.mkString(",")}},
-         |"contract":"every registered query completes on every hostile variant (8 data variants + the 1 GiB lowheap JVM) and preserves its sf0.01 output schema",
+         |"contract":"every registered query completes on every hostile variant (9 data variants + the 1 GiB lowheap JVM) and preserves its sf0.01 output schema",
          |"n_queries":${SparkEntry.queries.size},"n_failures":$totalFailures,
          |"failures":$failJson}""".stripMargin
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),

@@ -110,6 +110,11 @@ object ScalingBench {
     Q("q322_shapley_sanitized", "events"),
     Q("q323_ppr", "documents"),
     Q("q324_blocking_eval", "documents"),
+    // the r19 keyed-rank swaps (normal stratum mix here; the skew
+    // section is their dominant-stratum gate)
+    Q("q128_quality_percentile", "documents"),
+    Q("q251_source_ecdf", "documents"),
+    Q("q279_quantile_normalize", "documents"),
     Q("q37_cosine_topk", "embeddings", gated = false),
     Q("q38_embed_neardup", "embeddings", gated = false))
 
@@ -164,6 +169,13 @@ object ScalingBench {
     Q("q322_shapley_sanitized", "events"),
     Q("q323_ppr", "documents"),
     Q("q324_blocking_eval", "documents"),
+    // the r19 keyed-rank swaps (normal stratum mix here; the skew
+    // section is their dominant-stratum gate)
+    Q("q128_quality_percentile", "documents"),
+    Q("q251_source_ecdf", "documents"),
+    Q("q279_quantile_normalize", "documents"),
+    Q("q325_group_quantiles", "documents"),
+    Q("q326_group_ntile", "documents"),
     Q("q37_cosine_topk", "embeddings", gated = false),
     Q("q38_embed_neardup", "embeddings", gated = false))
 
@@ -181,6 +193,23 @@ object ScalingBench {
     Q("q118_edit_dist_pairs", "documents"),
     Q("q35_jaccard_pairs", "documents"),
     Q("q312_markov_bucketed", "events"))
+
+  /** Dominant-stratum section (the r18 verdict item alongside the
+    * keyed-rank swap): the queries that retired their per-key sort
+    * windows this round (percentileRankPpm / groupEcdf /
+    * quantileNormalize — q128/q251/q279, plus q277 by composition),
+    * measured on a corpus where ONE language holds ~80% of documents —
+    * the exact regime the old `Window.partitionBy(lang)` formulation
+    * funneled through one reducer. Gated: the keyed histogram ranks
+    * must grow ~linearly even when the stratum mix is maximally skewed.
+    */
+  val SkewQueries: Seq[Q] = Seq(
+    Q("q128_quality_percentile", "documents"),
+    Q("q251_source_ecdf", "documents"),
+    Q("q279_quantile_normalize", "documents"),
+    Q("q277_calibration", "documents"),
+    Q("q325_group_quantiles", "documents"),
+    Q("q326_group_ntile", "documents"))
 
   val Sfs = Seq("0.001", "0.01", "0.1")
   private val BaseDir = "/root/testdata/sf0.1"
@@ -228,8 +257,10 @@ object ScalingBench {
     */
   private def buildSynthetic(spark: SparkSession, scale: Int,
       scaled: Set[String] = Set("documents", "embeddings", "events"),
-      markerName: String = "_built_v2"): String = {
-    val dir = s"$SynthRoot/x$scale"
+      markerName: String = "_built_v2",
+      skewStrata: Boolean = false): String = {
+    val dir = if (skewStrata) s"$SynthRoot/skew_x$scale"
+      else s"$SynthRoot/x$scale"
     val marker = java.nio.file.Paths.get(dir, markerName)
     if (java.nio.file.Files.exists(marker)) return dir
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
@@ -260,7 +291,7 @@ object ScalingBench {
     val docs = spark.read.parquet(s"$BaseDir/documents.parquet")
       .collect().toSeq
     val docSchema = spark.read.parquet(s"$BaseDir/documents.parquet").schema
-    val outDocs: Seq[Row] = docs ++ (for {
+    val replicated: Seq[Row] = docs ++ (for {
       r <- 1 until scale
       row <- docs
     } yield {
@@ -270,6 +301,17 @@ object ScalingBench {
       Row(id + r * 100000L, remapped, row.get(2), row.get(3),
         if (remapped == null) row.get(4) else remapped.length.toLong)
     })
+    // dominant-stratum flavor: 80% of ALL rows (originals included)
+    // collapse onto one lang AND one source — the regime where a
+    // per-key sort window is one reducer and the keyed histogram ranks
+    // must stay linear (deterministic by doc_id, so reruns agree)
+    val outDocs: Seq[Row] =
+      if (!skewStrata) replicated
+      else replicated.map { row =>
+        if (row.getLong(0) % 10L < 8L)
+          Row(row.get(0), row.get(1), "en", "src0", row.get(4))
+        else row
+      }
     spark.createDataFrame(
         spark.sparkContext.parallelize(outDocs, 8), docSchema)
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
@@ -298,7 +340,7 @@ object ScalingBench {
   }
 
   def main(args: Array[String]): Unit = {
-    val outPath = args.headOption.getOrElse("SCALING_r18.json")
+    val outPath = args.headOption.getOrElse("SCALING_r19.json")
     val passes = args.drop(1).headOption.map(_.toInt).getOrElse(3)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -314,20 +356,35 @@ object ScalingBench {
     // deep corpus: documents + events (q312's driving table), v3 marker
     val x64 = buildSynthetic(spark, 64, Set("documents", "events"),
       "_built_v3")
+    // r19: one more octave for q118 specifically — its x16->x64 reading
+    // (1.115) sat 0.135 under the gate with no error bar; creep would
+    // show as x128 > x64
+    val x128 = buildSynthetic(spark, 128, Set("documents"), "_built_v1")
+    // r19: dominant-stratum corpora for the keyed-rank swap gate
+    val skew4 = buildSynthetic(spark, 4, Set("documents"),
+      "_skew_built_v1", skewStrata = true)
+    val skew16 = buildSynthetic(spark, 16, Set("documents"),
+      "_skew_built_v1", skewStrata = true)
 
     // warmup (JIT/codegen) on the smallest sf
-    FixtureQueries.foreach(q =>
+    (FixtureQueries ++ SkewQueries).foreach(q =>
       SparkEntry.queries(q.name)(spark, "/root/testdata/sf0.001").count())
 
     def ms(v: Double): Long = math.round(v * 1000)
-    val times = scala.collection.mutable.Map[(String, String), Double]()
+    val allT = scala.collection.mutable
+      .Map[(String, String), Vector[Double]]().withDefaultValue(Vector.empty)
     def timeOne(name: String, dir: String): Unit = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).count()
       val sec = (System.nanoTime() - t0) / 1e9
-      val k = (name, dir)
-      times(k) = math.min(times.getOrElse(k, Double.MaxValue), sec)
+      allT((name, dir)) = allT((name, dir)) :+ sec
     }
+    def tMin(name: String, dir: String): Double = allT((name, dir)).min
+    def tMed(name: String, dir: String): Double = {
+      val s = allT((name, dir)).sorted
+      s(s.length / 2)
+    }
+    def times(k: (String, String)): Double = tMin(k._1, k._2)
 
     // fixture section: min over `passes` interleaved passes
     for (_ <- 1 to passes; sf <- Sfs; q <- FixtureQueries)
@@ -339,8 +396,16 @@ object ScalingBench {
       timeOne(q.name, x4)
       timeOne(q.name, if (q.gated) x16 else x8)
     }
-    // deep section: x16 points already timed above
-    for (_ <- 1 to passes; q <- DeepQueries) timeOne(q.name, x64)
+    // deep section: x16 points already timed above; q118 adds x128
+    for (_ <- 1 to passes) {
+      DeepQueries.foreach(q => timeOne(q.name, x64))
+      timeOne("q118_edit_dist_pairs", x128)
+    }
+    // dominant-stratum section
+    for (_ <- 1 to passes; q <- SkewQueries) {
+      timeOne(q.name, skew4)
+      timeOne(q.name, skew16)
+    }
 
     val fixtureRows: Map[(String, String), Long] =
       (for (sf <- Sfs; t <- FixtureQueries.map(_.table).distinct)
@@ -350,7 +415,10 @@ object ScalingBench {
              t <- Seq("documents", "embeddings", "events"))
         yield (d, t) -> rowsOf(d, t)) ++
         Seq((x64, "documents") -> rowsOf(x64, "documents"),
-          (x64, "events") -> rowsOf(x64, "events"))).toMap
+          (x64, "events") -> rowsOf(x64, "events"),
+          (x128, "documents") -> rowsOf(x128, "documents"),
+          (skew4, "documents") -> rowsOf(skew4, "documents"),
+          (skew16, "documents") -> rowsOf(skew16, "documents"))).toMap
     spark.stop()
 
     case class Fit(q: Q, section: String, exp: Double, detail: String)
@@ -376,31 +444,59 @@ object ScalingBench {
       Fit(q, "synthetic", e,
         f""""table":"${q.table}","gated":${q.gated},"t_ms":{$t},"rows":{$r},"exp":$e%.3f""")
     }
-    val deepFits = DeepQueries.map { q =>
-      val e = fitExp(synthRows((x16, q.table)), times((q.name, x16)),
-        synthRows((x64, q.table)), times((q.name, x64)))
-      val dirs = Seq(x16 -> "x16", x64 -> "x64")
-      val t = dirs.map { case (d, l) => s""""$l":${ms(times((q.name, d)))}""" }.mkString(",")
+    // deep fits carry the per-point spread (every pass's ms) and a
+    // median-based exponent next to the min-based one — the r18 verdict
+    // item: single-step log-ratios near the gate need error bars
+    def deepDetail(q: Q, dirs: Seq[(String, String)]): String = {
+      val eMin = fitExp(
+        synthRows((dirs.head._1, q.table)), tMin(q.name, dirs.head._1),
+        synthRows((dirs.last._1, q.table)), tMin(q.name, dirs.last._1))
+      val eMed = fitExp(
+        synthRows((dirs.head._1, q.table)), tMed(q.name, dirs.head._1),
+        synthRows((dirs.last._1, q.table)), tMed(q.name, dirs.last._1))
+      val t = dirs.map { case (d, l) => s""""$l":${ms(tMin(q.name, d))}""" }.mkString(",")
+      val tp = dirs.map { case (d, l) =>
+        s""""$l":[${allT((q.name, d)).map(ms).mkString(",")}]""" }.mkString(",")
       val r = dirs.map { case (d, l) => s""""$l":${synthRows((d, q.table))}""" }.mkString(",")
-      Fit(q, "deep", e,
-        f""""table":"${q.table}","gated":${q.gated},"t_ms":{$t},"rows":{$r},"exp":$e%.3f""")
+      f""""table":"${q.table}","gated":${q.gated},"t_ms":{$t},"t_ms_passes":{$tp},"rows":{$r},"exp":$eMin%.3f,"exp_med":$eMed%.3f"""
     }
-    val violations = (fixtureFits ++ synthFits ++ deepFits)
+    val deepFits = DeepQueries.map { q =>
+      val e = fitExp(synthRows((x16, q.table)), tMin(q.name, x16),
+        synthRows((x64, q.table)), tMin(q.name, x64))
+      Fit(q, "deep", e, deepDetail(q, Seq(x16 -> "x16", x64 -> "x64")))
+    } :+ {
+      // the x64->x128 octave for q118: creep past its x16->x64 reading
+      // would surface here as a LARGER exponent
+      val q = Q("q118_edit_dist_pairs_x128", "documents")
+      val e = fitExp(synthRows((x64, "documents")),
+        tMin("q118_edit_dist_pairs", x64),
+        synthRows((x128, "documents")), tMin("q118_edit_dist_pairs", x128))
+      val qq = Q("q118_edit_dist_pairs", "documents")
+      Fit(q, "deep", e, deepDetail(qq, Seq(x64 -> "x64", x128 -> "x128")))
+    }
+    val skewFits = SkewQueries.map { q =>
+      val e = fitExp(synthRows((skew4, q.table)), tMin(q.name, skew4),
+        synthRows((skew16, q.table)), tMin(q.name, skew16))
+      Fit(q, "skew", e, deepDetail(q, Seq(skew4 -> "skew_x4", skew16 -> "skew_x16")))
+    }
+    val violations = (fixtureFits ++ synthFits ++ deepFits ++ skewFits)
       .filter(f => f.q.gated && f.exp > GateThreshold)
 
     def section(fits: Seq[Fit]): String =
       fits.map(f => s"""  "${f.q.name}":{${f.detail}}""").mkString("{\n", ",\n", "\n }")
     val json =
-      s"""{"round":18,"passes":$passes,"gate_threshold":$GateThreshold,
-         |"method":"exp = log(t_hi/t_lo)/log(rows_hi/rows_lo) over each query's driving table; min of $passes interleaved passes per point. Fixture section: sf0.01->sf0.1 (overhead-deflated, sanity only). Synthetic section: x4->x16 of sf0.1 under the ORGANIC-GROWTH model (documents: replica batches are structural copies over per-replica DISJOINT vocabularies, so per-shingle dfs and pair structure replicate per batch instead of compounding; embeddings: seeded perturbations; events since r17: xk traffic with remapped user/event ids on the SAME event_type alphabet and calendar, so daily series deepen in value, not length, and key-pair grids stay configuration-bounded) - the powered gate. Deep section since r17 (widened r18): the steepest synthetic exponents (q309, q119, q118, q35, q312) re-measured on the x16->x64 step of a documents+events upscale, gated, to confirm they flatten with depth. q37/q38 are ungated brute-force canaries measured x4->x8; the bounded-vocabulary saturation regime (dfs growing with n) is covered by the hostile-fixture suite, not this exponent.",
+      s"""{"round":19,"passes":$passes,"gate_threshold":$GateThreshold,
+         |"method":"exp = log(t_hi/t_lo)/log(rows_hi/rows_lo) over each query's driving table; min of $passes interleaved passes per point. Fixture section: sf0.01->sf0.1 (overhead-deflated, sanity only). Synthetic section: x4->x16 of sf0.1 under the ORGANIC-GROWTH model (documents: replica batches are structural copies over per-replica DISJOINT vocabularies, so per-shingle dfs and pair structure replicate per batch instead of compounding; embeddings: seeded perturbations; events since r17: xk traffic with remapped user/event ids on the SAME event_type alphabet and calendar, so daily series deepen in value, not length, and key-pair grids stay configuration-bounded) - the powered gate. Deep section since r17 (widened r18): the steepest synthetic exponents (q309, q119, q118, q35, q312) re-measured on the x16->x64 step of a documents+events upscale, gated, to confirm they flatten with depth. q37/q38 are ungated brute-force canaries measured x4->x8; the bounded-vocabulary saturation regime (dfs growing with n) is covered by the hostile-fixture suite, not this exponent. r19: deep points carry t_ms_passes (every pass) and exp_med (median-based fit) as the error bar; q118 adds the x64->x128 octave (creep would read larger than its x16->x64 exponent); the skew section gates the keyed-rank swap (q128/q251/q279/q277) on a corpus where one lang/source holds 80% of documents.",
          |"violations":[${violations.map(v => "\"" + v.q.name + ":" + v.section + "\"").mkString(",")}],
          |"fixture":${section(fixtureFits)},
          |"synthetic":${section(synthFits)},
-         |"deep":${section(deepFits)}}""".stripMargin
+         |"deep":${section(deepFits)},
+         |"skew":${section(skewFits)}}""".stripMargin
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
-    (fixtureFits ++ synthFits ++ deepFits).sortBy(f => (f.section, -f.exp)).foreach { f =>
+    (fixtureFits ++ synthFits ++ deepFits ++ skewFits)
+      .sortBy(f => (f.section, -f.exp)).foreach { f =>
       println(f"[scaling] ${f.section}%-9s ${f.q.name}%-26s exp=${f.exp}%6.3f gated=${f.q.gated}")
     }
     println(s"[scaling] gate threshold $GateThreshold; violations: " +

@@ -698,6 +698,50 @@ class StatsSpec extends SparkTestBase {
     assert(gotE == wantE)
   }
 
+  test("groupQuantilesHist: rank-selected per-key order statistics, ties and singletons") {
+    import org.apache.spark.sql.functions.col
+    // key a: sorted values 10,10,20,30,30 (n=5): rank(p) = 1 + 4p DIV 1000
+    //   p=0 -> rank 1 -> 10; p=500 -> rank 3 -> 20; p=900 -> rank 4 -> 30;
+    //   p=1000 -> rank 5 -> 30
+    // key b: one value (n=1): every permille selects rank 1 -> 7
+    val df = Seq(("a", 10L), ("a", 30L), ("a", 10L), ("a", 20L), ("a", 30L),
+      ("b", 7L)).toDF("k", "v")
+    val got = Stats.groupQuantilesHist(df, col("k"), col("v"),
+        Seq(0, 500, 900, 1000))
+      .as[(String, Long, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> ((t._3, t._4))).toMap
+    assert(got.size == 8, s"got $got")
+    assert(got(("a", 0L)) == ((10L, 5L)))
+    assert(got(("a", 500L)) == ((20L, 5L)))
+    assert(got(("a", 900L)) == ((30L, 5L)))
+    assert(got(("a", 1000L)) == ((30L, 5L)))
+    assert(Seq(0L, 500L, 900L, 1000L).forall(p => got(("b", p)) == ((7L, 1L))))
+    // guard rails
+    intercept[IllegalArgumentException](
+      Stats.groupQuantilesHist(df, col("k"), col("v"), Seq(1001)))
+    intercept[IllegalArgumentException](
+      Stats.groupQuantilesHist(df, col("k"), col("v"), Seq(500, 500)))
+  }
+
+  test("ntileHistByKey: bit-identical to the per-key ntile window (seeded random)") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(99)
+    val rows = (1 to 500).map { i =>
+      (i.toLong, s"k${rnd.nextInt(7)}", rnd.nextInt(12).toLong)
+    } :+ ((9001L, "solo", 3L))
+    val df = rows.toDF("id", "k", "v")
+    for (k <- Seq(1, 3, 4, 10)) {
+      val got = Stats.ntileHistByKey(df, k, col("k"), col("v"), col("id"), "t")
+        .select("id", "t").as[(Long, Long)].collect().toMap
+      val want = df.withColumn("t",
+          ntile(k).over(Window.partitionBy(col("k"))
+            .orderBy(col("v"), col("id"))).cast("long"))
+        .select("id", "t").as[(Long, Long)].collect().toMap
+      assert(got == want, s"k=$k")
+    }
+  }
+
   test("cumHist integral-lane guard: fractional value columns fail loudly") {
     import org.apache.spark.sql.functions.col
     val frac = Seq(1.5, 2.5).toDF("x")

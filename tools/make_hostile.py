@@ -18,6 +18,8 @@ the driver fixtures) stressing one documented failure class:
              corpus: the 3-gram space saturates, every shingle's df
              grows with n - the bounded-vocabulary regime where the
              bucket caps (not the exponent gate) are the defense
+  skewlang - one documents.lang (and one source) holds 80% of docs:
+             the dominant-stratum regime for the keyed histogram ranks
   dst      - events.ts remapped into four 4-day windows straddling a
              year boundary (2023-12-31), a leap day (2024-02-29), the
              US spring-forward (2024-03-10) and fall-back (2024-11-03):
@@ -127,6 +129,20 @@ def main(src, root):
 
     copy_all(src, f"{root}/satvocab", {"documents": satvocab})
 
+    # skewlang: one language holds 80% of documents (and one source the
+    # same 80%) - the dominant-stratum regime the r19 keyed histogram
+    # ranks (percentileRankPpm/groupEcdf/quantileNormalize) are built
+    # for; the retired per-key sort windows put this whole slice
+    # through one reducer
+    def skewlang(tab):
+        d = tab.to_pydict()
+        d["lang"] = ["en" if i % 10 < 8 else v for i, v in enumerate(d["lang"])]
+        d["source"] = ["src0" if i % 10 < 8 else v
+                       for i, v in enumerate(d["source"])]
+        return pa.table(d, schema=tab.schema)
+
+    copy_all(src, f"{root}/skewlang", {"documents": skewlang})
+
     # dst: round-robin events across four 4-day windows, each straddling
     # one calendar edge; the event keeps its deterministic in-window
     # offset (orig epoch-us mod 4 days), so ordering inside a window is
@@ -164,7 +180,7 @@ def main(src, root):
         return pa.table(d, schema=tab.schema)
 
     copy_all(src, f"{root}/dst", {"events": dstts})
-    print(f"[hostile] wrote 8 variants under {root}")
+    print(f"[hostile] wrote 9 variants under {root}")
 
 
 if __name__ == "__main__":
