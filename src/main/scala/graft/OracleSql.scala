@@ -2183,6 +2183,66 @@ object OracleSql {
          |   ORDER BY quality_ppm, doc_id) AS BIGINT) AS quartile
          |FROM q ORDER BY doc_id""".stripMargin,
 
+    // leakage-safe split: q46's recursive closure gives the cluster
+    // label; q51's tag arithmetic applied to the LABEL instead of the
+    // doc id. Same md5 basis-point buckets, seed 2.
+    "q327_leak_safe_split" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         | edges AS (SELECT id_a AS src, id_b AS dst FROM px
+         |           UNION ALL SELECT id_b, id_a FROM px),
+         | reach(id, r) AS (
+         |   SELECT doc_id, doc_id FROM documents
+         |   UNION
+         |   SELECT e.src, reach.r FROM reach JOIN edges e ON e.dst = reach.id),
+         | lbl AS (SELECT id AS doc_id, min(r) AS cluster_id
+         |         FROM reach GROUP BY 1),
+         | s AS (SELECT doc_id, cluster_id,
+         |   ('0x'||substr(md5('2:'||cluster_id),1,8))::BIGINT % 10000 AS sk
+         |  FROM lbl)
+         |SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+         | CASE WHEN sk < 9000 THEN 'train' WHEN sk < 9500 THEN 'valid'
+         |      ELSE 'test' END AS split
+         |FROM s ORDER BY doc_id""".stripMargin,
+
+    // split-leakage audit: straddle counts of the SAME banded candidate
+    // pairs under the per-document tag vs the per-cluster tag; the
+    // cluster row must read 0 leaked by construction
+    "q328_split_leakage" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         | edges AS (SELECT id_a AS src, id_b AS dst FROM px
+         |           UNION ALL SELECT id_b, id_a FROM px),
+         | reach(id, r) AS (
+         |   SELECT doc_id, doc_id FROM documents
+         |   UNION
+         |   SELECT e.src, reach.r FROM reach JOIN edges e ON e.dst = reach.id),
+         | lbl AS (SELECT id AS doc_id, min(r) AS cluster_id
+         |         FROM reach GROUP BY 1),
+         | nv AS (SELECT doc_id AS id,
+         |   CASE WHEN ('0x'||substr(md5('2:'||doc_id),1,8))::BIGINT % 10000 < 9000 THEN 'train'
+         |        WHEN ('0x'||substr(md5('2:'||doc_id),1,8))::BIGINT % 10000 < 9500 THEN 'valid'
+         |        ELSE 'test' END AS tag FROM documents),
+         | cv AS (SELECT doc_id AS id,
+         |   CASE WHEN ('0x'||substr(md5('2:'||cluster_id),1,8))::BIGINT % 10000 < 9000 THEN 'train'
+         |        WHEN ('0x'||substr(md5('2:'||cluster_id),1,8))::BIGINT % 10000 < 9500 THEN 'valid'
+         |        ELSE 'test' END AS tag FROM lbl),
+         | pc AS (SELECT count(*) AS n_pairs,
+         |         coalesce(sum(CASE WHEN a.tag <> b.tag THEN 1 ELSE 0 END), 0) AS n_leaked
+         |        FROM px JOIN cv a ON px.id_a = a.id JOIN cv b ON px.id_b = b.id),
+         | pn AS (SELECT count(*) AS n_pairs,
+         |         coalesce(sum(CASE WHEN a.tag <> b.tag THEN 1 ELSE 0 END), 0) AS n_leaked
+         |        FROM px JOIN nv a ON px.id_a = a.id JOIN nv b ON px.id_b = b.id)
+         |SELECT 'cluster' AS scheme, CAST(n_pairs AS BIGINT) AS n_pairs,
+         | CAST(n_leaked AS BIGINT) AS n_leaked,
+         | CAST(CASE WHEN n_pairs = 0 THEN 0
+         |      ELSE n_leaked * 1000000 // n_pairs END AS BIGINT) AS leak_ppm
+         |FROM pc
+         |UNION ALL
+         |SELECT 'naive', CAST(n_pairs AS BIGINT), CAST(n_leaked AS BIGINT),
+         | CAST(CASE WHEN n_pairs = 0 THEN 0
+         |      ELSE n_leaked * 1000000 // n_pairs END AS BIGINT)
+         |FROM pn
+         |ORDER BY scheme""".stripMargin,
+
     // q37's cosine with the different-label predicate; null labels out
     // on both sides
     "q125_hard_negatives" ->

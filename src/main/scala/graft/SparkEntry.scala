@@ -4600,6 +4600,30 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Leakage-safe split ([[ext.Dedup.leakSafeSplit]]): train/valid/test
+    * tags hashed from the near-dup cluster representative (q46's
+    * clusters) instead of the document id, so near-duplicates can never
+    * straddle a split boundary. The oracle replays the recursive
+    * reachability closure plus q51's tag arithmetic one level up (on
+    * `cluster_id`). */
+  private def q327(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Dedup.leakSafeSplit(docs, Dedup.minhashPairs(docs))
+      .orderBy("doc_id")
+  }
+
+  /** Split-leakage audit ([[ext.Dedup.splitLeakageAudit]]): candidate
+    * near-dup pairs whose endpoints land in DIFFERENT splits, under the
+    * naive per-document hash tag vs the cluster-aware tag — the
+    * cluster row is structurally zero, the naive row measures the
+    * leakage a per-document split ships. The oracle recomputes both
+    * schemes' straddle counts from the same banded candidates. */
+  private def q328(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Dedup.splitLeakageAudit(docs, Dedup.minhashPairs(docs))
+      .orderBy("scheme")
+  }
+
   /** Shapley on a HOSTILE channel alphabet
     * ([[ops.Behavior.shapleyAttributionSanitized]]): event types are
     * remapped IN the query to the injectivity hazards — a `|` name,
@@ -5676,7 +5700,9 @@ object SparkEntry {
     "q323_ppr" -> q323 _,
     "q324_blocking_eval" -> q324 _,
     "q325_group_quantiles" -> q325 _,
-    "q326_group_ntile" -> q326 _
+    "q326_group_ntile" -> q326 _,
+    "q327_leak_safe_split" -> q327 _,
+    "q328_split_leakage" -> q328 _
   )
 
   val oracleSql: Map[String, String] = OracleSql.all

@@ -1370,6 +1370,69 @@ object Dedup {
     docs.join(winners, Seq(idCol), "left_semi")
   }
 
+  /** Leakage-safe train/valid/test split: the split tag hashes the
+    * near-dup CLUSTER representative ([[nearDupClusters]] label), not the
+    * document id, so near-duplicates can never straddle a split boundary
+    * — the classic eval-leakage failure of per-document hashing, where a
+    * paraphrase of a training document lands in the test set and inflates
+    * eval scores. Same tag arithmetic as [[Sampling.splitTag]] (md5
+    * basis-point buckets), applied one level up. Output:
+    * `(idCol, cluster_id, split)` for every document (singletons are
+    * their own cluster and split like a plain hash split).
+    *
+    * Scale shape: clustering cost is [[nearDupClusters]]' (the dup
+    * subgraph, not the corpus); the tag itself is a codegen'd scalar on
+    * the label — no extra shuffle beyond the cluster label join.
+    */
+  def leakSafeSplit(
+      docs: DataFrame,
+      pairs: DataFrame,
+      idCol: String = "doc_id",
+      trainBp: Int = 9000,
+      validBp: Int = 500,
+      seed: Int = 2
+  ): DataFrame =
+    nearDupClusters(docs, pairs, idCol)
+      .withColumn("split",
+        Sampling.splitTag(col("cluster_id"), trainBp, validBp, seed))
+
+  /** Split-leakage audit: for each split scheme — `naive` (per-document
+    * hash tag) vs `cluster` ([[leakSafeSplit]]) — count the candidate
+    * near-dup pairs whose endpoints landed in DIFFERENT splits. The
+    * cluster row is structurally 0 (both endpoints share a cluster,
+    * hence a tag); the naive row measures the leakage a per-document
+    * split would ship. One row per scheme:
+    * `(scheme, n_pairs, n_leaked, leak_ppm)`.
+    *
+    * Scale shape: `pairs` (dup-subgraph-sized) is lazily checkpointed
+    * and joined twice per scheme against the per-doc assignment — keyed
+    * shuffle joins linear in pairs + corpus, then a 1-row aggregate per
+    * scheme.
+    */
+  def splitLeakageAudit(
+      docs: DataFrame,
+      pairs: DataFrame,
+      idCol: String = "doc_id",
+      trainBp: Int = 9000,
+      validBp: Int = 500,
+      seed: Int = 2
+  ): DataFrame = {
+    val p = pairs.localCheckpoint(false)
+    val naive = docs.select(col(idCol).as("__id"),
+      Sampling.splitTag(col(idCol), trainBp, validBp, seed).as("__split"))
+    val clustered = leakSafeSplit(docs, p, idCol, trainBp, validBp, seed)
+      .select(col(idCol).as("__id"), col("split").as("__split"))
+    def audit(assign: DataFrame, scheme: String): DataFrame =
+      p.join(assign.select(col("__id").as("id_a"), col("__split").as("__sa")), Seq("id_a"))
+        .join(assign.select(col("__id").as("id_b"), col("__split").as("__sb")), Seq("id_b"))
+        .agg(count(lit(1)).as("n_pairs"),
+          coalesce(sum(when(col("__sa") =!= col("__sb"), 1L)), lit(0L)).as("n_leaked"))
+        .select(lit(scheme).as("scheme"), col("n_pairs"), col("n_leaked"),
+          when(col("n_pairs") === 0L, 0L)
+            .otherwise(expr("n_leaked * 1000000 DIV n_pairs")).as("leak_ppm"))
+    audit(clustered, "cluster").unionByName(audit(naive, "naive"))
+  }
+
   // ---------------------------------------------------------- contamination
 
   /** Benchmark-contamination check: for every corpus document, the number

@@ -328,6 +328,48 @@ class DedupSpec extends SparkTestBase {
     assert(tied == List(10L, 20L), "all-equal scores fall back to lowest id")
   }
 
+  test("leakSafeSplit: cluster members share a tag; tag equals splitTag of the label") {
+    import org.apache.spark.sql.functions.col
+    val ids = (0L to 6L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val got = Dedup.leakSafeSplit(ids, pairs)
+      .as[(Long, Long, String)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    // labels are nearDupClusters' (min reachable id)
+    assert(got.view.mapValues(_._1).toMap ==
+      Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L))
+    // every member of a cluster carries the SAME tag, and that tag is
+    // splitTag of the label (checked against the scalar on a 1-col frame)
+    val tagOf = Seq(0L, 1L, 4L, 5L).map { l =>
+      l -> Seq(l).toDF("k")
+        .select(Sampling.splitTag(col("k")).as("t")).as[String].head()
+    }.toMap
+    got.foreach { case (id, (lbl, tag)) =>
+      assert(tag == tagOf(lbl), s"doc $id: tag $tag != splitTag($lbl)")
+    }
+  }
+
+  test("splitLeakageAudit: cluster scheme leaks zero; naive counts straddling pairs") {
+    val ids = (0L to 9L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L)).toDF("id_a", "id_b")
+    val got = Dedup.splitLeakageAudit(ids, pairs)
+      .as[(String, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(got("cluster")._1 == 4L && got("naive")._1 == 4L)
+    assert(got("cluster")._2 == 0L, "cluster-aware split can never straddle a pair")
+    assert(got("cluster")._3 == 0L)
+    // naive straddles = pairs whose endpoint doc-level tags differ —
+    // recompute with the same scalar
+    import org.apache.spark.sql.functions.col
+    val tags = (0L to 9L).map { i =>
+      i -> Seq(i).toDF("k")
+        .select(Sampling.splitTag(col("k")).as("t")).as[String].head()
+    }.toMap
+    val wantLeak = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L))
+      .count { case (a, b) => tags(a) != tags(b) }.toLong
+    assert(got("naive")._2 == wantLeak)
+    assert(got("naive")._3 == (if (wantLeak == 0) 0L else wantLeak * 1000000L / 4L))
+  }
+
   test("simhash: identical docs hash equal; near docs within small hamming") {
     val h = Dedup.simhash(docs).as[(Long, Long)].collect().toMap
     assert(h(0L) == h(1L))
