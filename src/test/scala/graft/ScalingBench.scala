@@ -176,6 +176,9 @@ object ScalingBench {
     Q("q279_quantile_normalize", "documents"),
     Q("q325_group_quantiles", "documents"),
     Q("q326_group_ntile", "documents"),
+    // r19 cluster-aware split: minhash pairs + connected components +
+    // the tag scalar — gates the whole leak-safe path
+    Q("q327_leak_safe_split", "documents"),
     Q("q37_cosine_topk", "embeddings", gated = false),
     Q("q38_embed_neardup", "embeddings", gated = false))
 
