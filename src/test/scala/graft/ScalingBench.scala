@@ -115,6 +115,11 @@ object ScalingBench {
     Q("q128_quality_percentile", "documents"),
     Q("q251_source_ecdf", "documents"),
     Q("q279_quantile_normalize", "documents"),
+    // every SyntheticQueries entry must ALSO appear here: the synthetic
+    // fits read their x1 point from the fixture section's sf0.1 timing
+    Q("q325_group_quantiles", "documents"),
+    Q("q326_group_ntile", "documents"),
+    Q("q327_leak_safe_split", "documents"),
     Q("q37_cosine_topk", "embeddings", gated = false),
     Q("q38_embed_neardup", "embeddings", gated = false))
 
@@ -343,6 +348,12 @@ object ScalingBench {
   }
 
   def main(args: Array[String]): Unit = {
+    // the synthetic fits read their x1 point from the fixture section's
+    // sf0.1 timing — fail in seconds, not after a 25-minute sweep
+    val noX1 = SyntheticQueries.map(_.name).toSet --
+      FixtureQueries.map(_.name).toSet
+    require(noX1.isEmpty,
+      s"SyntheticQueries missing from FixtureQueries (no x1 timing): $noX1")
     val outPath = args.headOption.getOrElse("SCALING_r19.json")
     val passes = args.drop(1).headOption.map(_.toInt).getOrElse(3)
     val spark = SparkSession.builder().master("local[32]")
