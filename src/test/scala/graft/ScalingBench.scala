@@ -387,11 +387,17 @@ object ScalingBench {
     def ms(v: Double): Long = math.round(v * 1000)
     val allT = scala.collection.mutable
       .Map[(String, String), Vector[Double]]().withDefaultValue(Vector.empty)
-    def timeOne(name: String, dir: String): Unit = {
+    // `tag` gives a section a PRIVATE timing pool: the deep fits must
+    // compare two points measured under the same loop conditions — in
+    // r19 reusing the synthetic section's x16 minima (warm from ~50
+    // adjacent queries on the same corpus) against x64 points timed
+    // cold in the deep loop inflated q35's exponent to a false 1.32
+    // (an isolated 6-pass probe of both points read 0.91)
+    def timeOne(name: String, dir: String, tag: String = ""): Unit = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).count()
       val sec = (System.nanoTime() - t0) / 1e9
-      allT((name, dir)) = allT((name, dir)) :+ sec
+      allT((name + tag, dir)) = allT((name + tag, dir)) :+ sec
     }
     def tMin(name: String, dir: String): Double = allT((name, dir)).min
     def tMed(name: String, dir: String): Double = {
@@ -410,10 +416,15 @@ object ScalingBench {
       timeOne(q.name, x4)
       timeOne(q.name, if (q.gated) x16 else x8)
     }
-    // deep section: x16 points already timed above; q118 adds x128
+    // deep section: BOTH octave endpoints timed HERE, adjacent in the
+    // same tight loop, under the section-private "@deep" pool (see
+    // timeOne); q118 adds the x128 octave
     for (_ <- 1 to passes) {
-      DeepQueries.foreach(q => timeOne(q.name, x64))
-      timeOne("q118_edit_dist_pairs", x128)
+      DeepQueries.foreach { q =>
+        timeOne(q.name, x16, "@deep")
+        timeOne(q.name, x64, "@deep")
+      }
+      timeOne("q118_edit_dist_pairs", x128, "@deep")
     }
     // dominant-stratum section
     for (_ <- 1 to passes; q <- SkewQueries) {
@@ -461,32 +472,33 @@ object ScalingBench {
     // deep fits carry the per-point spread (every pass's ms) and a
     // median-based exponent next to the min-based one — the r18 verdict
     // item: single-step log-ratios near the gate need error bars
-    def deepDetail(q: Q, dirs: Seq[(String, String)]): String = {
+    def deepDetail(q: Q, dirs: Seq[(String, String)], tag: String = ""): String = {
+      val nm = q.name + tag
       val eMin = fitExp(
-        synthRows((dirs.head._1, q.table)), tMin(q.name, dirs.head._1),
-        synthRows((dirs.last._1, q.table)), tMin(q.name, dirs.last._1))
+        synthRows((dirs.head._1, q.table)), tMin(nm, dirs.head._1),
+        synthRows((dirs.last._1, q.table)), tMin(nm, dirs.last._1))
       val eMed = fitExp(
-        synthRows((dirs.head._1, q.table)), tMed(q.name, dirs.head._1),
-        synthRows((dirs.last._1, q.table)), tMed(q.name, dirs.last._1))
-      val t = dirs.map { case (d, l) => s""""$l":${ms(tMin(q.name, d))}""" }.mkString(",")
+        synthRows((dirs.head._1, q.table)), tMed(nm, dirs.head._1),
+        synthRows((dirs.last._1, q.table)), tMed(nm, dirs.last._1))
+      val t = dirs.map { case (d, l) => s""""$l":${ms(tMin(nm, d))}""" }.mkString(",")
       val tp = dirs.map { case (d, l) =>
-        s""""$l":[${allT((q.name, d)).map(ms).mkString(",")}]""" }.mkString(",")
+        s""""$l":[${allT((nm, d)).map(ms).mkString(",")}]""" }.mkString(",")
       val r = dirs.map { case (d, l) => s""""$l":${synthRows((d, q.table))}""" }.mkString(",")
       f""""table":"${q.table}","gated":${q.gated},"t_ms":{$t},"t_ms_passes":{$tp},"rows":{$r},"exp":$eMin%.3f,"exp_med":$eMed%.3f"""
     }
     val deepFits = DeepQueries.map { q =>
-      val e = fitExp(synthRows((x16, q.table)), tMin(q.name, x16),
-        synthRows((x64, q.table)), tMin(q.name, x64))
-      Fit(q, "deep", e, deepDetail(q, Seq(x16 -> "x16", x64 -> "x64")))
+      val e = fitExp(synthRows((x16, q.table)), tMin(q.name + "@deep", x16),
+        synthRows((x64, q.table)), tMin(q.name + "@deep", x64))
+      Fit(q, "deep", e, deepDetail(q, Seq(x16 -> "x16", x64 -> "x64"), "@deep"))
     } :+ {
       // the x64->x128 octave for q118: creep past its x16->x64 reading
       // would surface here as a LARGER exponent
       val q = Q("q118_edit_dist_pairs_x128", "documents")
       val e = fitExp(synthRows((x64, "documents")),
-        tMin("q118_edit_dist_pairs", x64),
-        synthRows((x128, "documents")), tMin("q118_edit_dist_pairs", x128))
+        tMin("q118_edit_dist_pairs@deep", x64),
+        synthRows((x128, "documents")), tMin("q118_edit_dist_pairs@deep", x128))
       val qq = Q("q118_edit_dist_pairs", "documents")
-      Fit(q, "deep", e, deepDetail(qq, Seq(x64 -> "x64", x128 -> "x128")))
+      Fit(q, "deep", e, deepDetail(qq, Seq(x64 -> "x64", x128 -> "x128"), "@deep"))
     }
     val skewFits = SkewQueries.map { q =>
       val e = fitExp(synthRows((skew4, q.table)), tMin(q.name, skew4),
@@ -500,7 +512,7 @@ object ScalingBench {
       fits.map(f => s"""  "${f.q.name}":{${f.detail}}""").mkString("{\n", ",\n", "\n }")
     val json =
       s"""{"round":19,"passes":$passes,"gate_threshold":$GateThreshold,
-         |"method":"exp = log(t_hi/t_lo)/log(rows_hi/rows_lo) over each query's driving table; min of $passes interleaved passes per point. Fixture section: sf0.01->sf0.1 (overhead-deflated, sanity only). Synthetic section: x4->x16 of sf0.1 under the ORGANIC-GROWTH model (documents: replica batches are structural copies over per-replica DISJOINT vocabularies, so per-shingle dfs and pair structure replicate per batch instead of compounding; embeddings: seeded perturbations; events since r17: xk traffic with remapped user/event ids on the SAME event_type alphabet and calendar, so daily series deepen in value, not length, and key-pair grids stay configuration-bounded) - the powered gate. Deep section since r17 (widened r18): the steepest synthetic exponents (q309, q119, q118, q35, q312) re-measured on the x16->x64 step of a documents+events upscale, gated, to confirm they flatten with depth. q37/q38 are ungated brute-force canaries measured x4->x8; the bounded-vocabulary saturation regime (dfs growing with n) is covered by the hostile-fixture suite, not this exponent. r19: deep points carry t_ms_passes (every pass) and exp_med (median-based fit) as the error bar; q118 adds the x64->x128 octave (creep would read larger than its x16->x64 exponent); the skew section gates the keyed-rank swap (q128/q251/q279/q277) on a corpus where one lang/source holds 80% of documents.",
+         |"method":"exp = log(t_hi/t_lo)/log(rows_hi/rows_lo) over each query's driving table; min of $passes interleaved passes per point. Fixture section: sf0.01->sf0.1 (overhead-deflated, sanity only). Synthetic section: x4->x16 of sf0.1 under the ORGANIC-GROWTH model (documents: replica batches are structural copies over per-replica DISJOINT vocabularies, so per-shingle dfs and pair structure replicate per batch instead of compounding; embeddings: seeded perturbations; events since r17: xk traffic with remapped user/event ids on the SAME event_type alphabet and calendar, so daily series deepen in value, not length, and key-pair grids stay configuration-bounded) - the powered gate. Deep section since r17 (widened r18): the steepest synthetic exponents (q309, q119, q118, q35, q312) re-measured on the x16->x64 step of a documents+events upscale, gated, to confirm they flatten with depth. q37/q38 are ungated brute-force canaries measured x4->x8; the bounded-vocabulary saturation regime (dfs growing with n) is covered by the hostile-fixture suite, not this exponent. r19: deep points carry t_ms_passes (every pass) and exp_med (median-based fit) as the error bar; BOTH deep octave endpoints are timed inside the deep loop itself (a section-private pool — reusing the synthetic section's x16 minima, warm from ~50 adjacent queries, against cold-loop x64 points inflated q35 to a false 1.32 that an isolated 6-pass probe read as 0.91); q118 adds the x64->x128 octave (creep would read larger than its x16->x64 exponent); the skew section gates the keyed-rank swap (q128/q251/q279/q277) on a corpus where one lang/source holds 80% of documents.",
          |"violations":[${violations.map(v => "\"" + v.q.name + ":" + v.section + "\"").mkString(",")}],
          |"fixture":${section(fixtureFits)},
          |"synthetic":${section(synthFits)},
