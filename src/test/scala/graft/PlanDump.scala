@@ -1,18 +1,33 @@
 package graft
-
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.ExplainMode
 
-/** Scratch plan dumper: `sbt "Test/runMain graft.PlanDump <query> [sfDir]"`. */
+/** Dump `.explain("formatted")` for named registry queries to files:
+  * `Test/runMain graft.PlanDump <outDir> <suffix> qA qB ...` writes
+  * `<outDir>/<name>_<suffix>.txt` per query — the plans/rNN evidence
+  * convention (suffix `before`/`after`). Data dir via
+  * SPARK_GRAFT_SF_DIR (default sf0.1 — plan shape, not timing, so any
+  * SF with the full schema works; sf0.1 matches the bench).
+  */
 object PlanDump {
   def main(args: Array[String]): Unit = {
-    val name = args.headOption.getOrElse("q62_lateral_topn")
-    val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+    require(args.length >= 3, "usage: PlanDump <outDir> <suffix> <query>...")
+    val outDir = java.nio.file.Paths.get(args(0))
+    val suffix = args(1)
+    val names = args.drop(2).toSeq
+    java.nio.file.Files.createDirectories(outDir)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    val df = SparkEntry.queries(name)(spark, dir)
-    println(df.queryExecution.executedPlan.toString)
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    names.foreach { n =>
+      val df = SparkEntry.queries(n)(spark, dir)
+      val txt = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      java.nio.file.Files.write(outDir.resolve(s"${n}_$suffix.txt"),
+        txt.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      println(s"[plandump] wrote ${n}_$suffix.txt (${txt.length} chars)")
+    }
     spark.stop()
   }
 }
