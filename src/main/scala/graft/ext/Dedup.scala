@@ -1102,7 +1102,7 @@ object Dedup {
         explode(sequence(lit(0), lit(3))).as("band"))
       .withColumn("bkey",
         call_function("shiftright", col("h"), col("band") * 16).bitwiseAND(lit(65535L)))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val kept =
       if (maxBucketSize == Int.MaxValue) banded
       else banded.join(
@@ -1141,7 +1141,7 @@ object Dedup {
     import org.apache.spark.sql.types.DecimalType
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // Hybrid strategy: near-dup subgraphs are a small fraction of any
     // corpus (the edges are CANDIDATE DUPLICATES, not the corpus), so up
     // to `driverMaxEdges` the component labels come from a driver-side
@@ -1187,7 +1187,7 @@ object Dedup {
     var labels = edges.groupBy(col("src"))
       .agg(min(col("dst")).as("nmin"))
       .select(col("src").as("id"), least(col("src"), col("nmin")).as("label"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // Convergence check: labels only ever decrease under min-propagation,
     // so Σ(label) strictly decreases iff any label changed — one scalar
     // aggregate over the already-checkpointed iterate, instead of a
@@ -1202,7 +1202,7 @@ object Dedup {
         .select(edges("src").as("id"), col("label"))
         .union(labels)
         .groupBy("id").agg(min(col("label")).as("label"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val s = labelSum(updated)
       changed = s.compareTo(prevSum) != 0
       prevSum = s
@@ -1272,12 +1272,12 @@ object Dedup {
         greatest(col("id_a"), col("id_b")).as("hi"))
       .filter(col("lo") =!= col("hi"))
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
 
     var converged = edges.isEmpty
     var iter = 0
     while (!converged && iter < maxIterations) {
-      val next = smallStarStep(largeStarStep(edges)).localCheckpoint(true)
+      val next = smallStarStep(largeStarStep(edges)).localCheckpoint(false)
       // exact fixed-point check: equal edge count and no edge outside the
       // previous set (anti-join) — both one small job over star edges
       converged = next.count() == edges.count() &&
@@ -1926,7 +1926,7 @@ object Dedup {
     val hashed = docs
       .select(col(idCol).as("id"), explode(shingleArr).as("sh"))
       .select(col("id"), Hashing.md5Hash32(0, col("sh")).as("h"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val dupShingles = hashed.groupBy("h")
       .agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)

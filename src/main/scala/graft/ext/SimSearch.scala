@@ -898,13 +898,13 @@ object SimSearch {
         var lastVec = f0.getSeq[Float](1)
         var scored = base
           .withColumn("__mind", lit(Double.MaxValue))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         for (r <- 2 to k) {
           val centerVec = array(lastVec.map(x => lit(x)): _*)
           scored = scored
             .withColumn("__mind",
               least(col("__mind"), VectorOps.l2Sq(col("v"), centerVec)))
-            .localCheckpoint(true)
+            .localCheckpoint(false)
           val next = scored
             .filter(!col("id").isInCollection(chosen.map(_._2)))
             .agg(max(struct(col("__mind").as("d"), (-col("id")).as("nid"),
@@ -998,7 +998,7 @@ object SimSearch {
         var pending = List[Seq[Float]](f0.getSeq[Float](1))
         var scored = base
           .withColumn("__mind", lit(Double.MaxValue))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         var passes = 0
         var exhausted = false
         while (chosen.size < k && !exhausted) {
@@ -1009,7 +1009,7 @@ object SimSearch {
                 least(col("__mind") +: pending.map(c =>
                   VectorOps.l2Sq(col("v"),
                     array(c.map(x => lit(x)): _*))): _*))
-              .localCheckpoint(true)
+              .localCheckpoint(false)
             pending = Nil
           }
           val chosenIds = chosen.map(_._2)

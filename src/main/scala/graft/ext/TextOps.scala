@@ -1181,7 +1181,7 @@ object TextOps {
       .withColumn("pid",
         sum(when(col("__stop"), 1L).otherwise(0L)).over(wSeg))
       .filter(!col("__stop"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val wLen = Window.partitionBy("id", "pid")
     val withLen = seg.withColumn("plen", count(lit(1)).over(wLen))
     val wordScores = withLen.groupBy("w")

@@ -920,7 +920,7 @@ object Behavior {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= maxPrefix)
       .withColumn("converted", col("conv_sec").isNotNull)
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     (touches, convs)
   }
 
@@ -980,7 +980,7 @@ object Behavior {
         sum(when(col("__conv"), 1L).otherwise(0L)).as("__nc"))
       .withColumn("sk", concat_ws("|", col("s")))
       .withColumn("v_ppm", expr("(__nc * 1000000) DIV n_j"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // the set key must be injective: a channel containing the
     // separator would alias two different sets, and an EMPTY channel
     // name would alias the singleton {""} with the empty coalition

@@ -915,7 +915,7 @@ object Stats {
     val parts = hist.repartitionByRange(col("__v"))
       .sortWithinPartitions("__v")
       .withColumn("__pid", spark_partition_id().cast("long"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val perPart = parts.groupBy("__pid").agg(sum(col("__c")).as("__s"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     val n = perPart.iterator.map(_._2).sum

@@ -39,7 +39,7 @@ object TimeSeries {
     val counts = df.select(keyCol.as("key"), daySec.as("day_sec"))
       .groupBy("key", "day_sec")
       .agg(count(lit(1)).as("n"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val spans = counts.groupBy("key")
       .agg(min(col("day_sec")).as("lo"), max(col("day_sec")).as("hi"))
       .filter((col("hi") - col("lo")) / 86400L < maxBuckets)
@@ -1282,7 +1282,7 @@ object TimeSeries {
         df.filter(keyCol.isNotNull && tsCol.isNotNull), keyCol, tsCol)
       .select(col("key"), expr("day_sec DIV 86400").as("day"),
         col("n_events").as("y"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val a = daily.select(col("key").as("key_a"), col("day"),
         col("y").as("ya"))
       .crossJoin(broadcast(
