@@ -426,33 +426,6 @@ object Dedup {
     */
   private[graft] case class CappedIds(k: Long, ids: Seq[Long])
 
-  /** One collected (id, set size) bucket member — [[BoundedIdNCollect]]'s
-    * element, field-named so `sort_array` orders by id (unique per
-    * bucket) and [[explodePairsWithSize]] can read `pa.id` / `pa.n`.
-    */
-  private[graft] case class CappedIdN(id: Long, n: Int)
-  private[graft] case class CappedIdNs(k: Long, ids: Seq[CappedIdN])
-
-  /** [[BoundedIdCollect]] with the document's shingle-set size riding
-    * each collected id, so [[shingleIntersections]]' pair aggregate
-    * needs no size join (and no second corpus scan to build a sizes
-    * table). Same cap contract: `k` is the TRUE member count, the
-    * buffer stops growing at cap+1.
-    */
-  private[graft] class BoundedIdNCollect(cap: Int)
-      extends org.apache.spark.sql.expressions.Aggregator[(Long, Int), CappedIdNs, CappedIdNs] {
-    import org.apache.spark.sql.{Encoder, Encoders}
-    override def zero: CappedIdNs = CappedIdNs(0L, Vector.empty)
-    override def reduce(b: CappedIdNs, in: (Long, Int)): CappedIdNs =
-      CappedIdNs(b.k + 1,
-        if (b.ids.length <= cap) b.ids :+ CappedIdN(in._1, in._2) else b.ids)
-    override def merge(a: CappedIdNs, b: CappedIdNs): CappedIdNs =
-      CappedIdNs(a.k + b.k, (a.ids ++ b.ids).take(cap + 1))
-    override def finish(r: CappedIdNs): CappedIdNs = r
-    override def bufferEncoder: Encoder[CappedIdNs] = Encoders.product[CappedIdNs]
-    override def outputEncoder: Encoder[CappedIdNs] = Encoders.product[CappedIdNs]
-  }
-
   private[graft] class BoundedIdCollect(cap: Int)
       extends org.apache.spark.sql.expressions.Aggregator[Long, CappedIds, CappedIds] {
     import org.apache.spark.sql.{Encoder, Encoders}
@@ -579,35 +552,38 @@ object Dedup {
       maxBucketSize: Int
   ): DataFrame = {
     val shingleArr = TextOps.shingleSet(col(textCol), shingleN)
-    // ONE tokenize→shingle→hash pass: the set size rides the explode
-    // (4 bytes per shingle row) and then the bucket structs, so no
-    // second corpus scan builds a sizes table and no size joins follow
-    // the pair aggregate — the [[jaccardPairsPrefixFromSets]] idiom.
-    // Grouping the pair aggregate on (id, n) pairs is grouping on the
-    // ids alone (n is a function of the id), so counts are unchanged.
-    val hashed = docs
-      .select(col(idCol).as("id"), shingleArr.as("__arr"))
-      .select(col("id"), size(col("__arr")).as("n"),
-        explode(col("__arr")).as("sh"))
-      .select(col("id"), col("n"), Hashing.md5Hash32(0, col("sh")).as("h"))
+    // NOTE (r19): a one-pass variant that rode the set size through the
+    // bucket structs (no sizes table, no size joins — the
+    // [[jaccardPairsPrefixFromSets]] idiom) was built, measured
+    // locally neutral, and REVERTED on the deep scaling sweep: n riding
+    // every pair row pushed the heaviest shuffle's bytes up and read
+    // q35's ×16→×64 exponent at 1.26 (was 1.00). The sizes table is
+    // doc-grain and its joins attach n AFTER the pair aggregate — the
+    // correct side of the pair/doc volume asymmetry at scale.
+    val sizes = docs.select(col(idCol).as("id"), size(shingleArr).as("n"))
+      .filter(col("n") > 0)
+    val hashed = docs.select(col(idCol).as("id"), explode(shingleArr).as("sh"))
+      .select(col("id"), Hashing.md5Hash32(0, col("sh")).as("h"))
     val buckets =
       if (maxBucketSize == Int.MaxValue)
         hashed.groupBy("h")
-          .agg(sort_array(collect_list(struct(col("id"), col("n")))).as("ids"))
+          .agg(sort_array(collect_list(col("id"))).as("ids"))
           .filter(size(col("ids")) > 1)
       else {
-        val bounded = udaf(new BoundedIdNCollect(maxBucketSize))
+        val bounded = udaf(new BoundedIdCollect(maxBucketSize))
         hashed.groupBy("h")
-          .agg(bounded(col("id"), col("n")).as("c"))
+          .agg(bounded(col("id")).as("c"))
           // k is the TRUE document frequency even though the buffer is
           // truncated at cap+1 — the filter decides drop-vs-keep exactly
           .filter(col("c.k") > 1 && col("c.k") <= maxBucketSize)
           .select(sort_array(col("c.ids")).as("ids"))
       }
-    explodePairsWithSize(buckets)
+    explodePairs(buckets)
       .filter(col("id_a") =!= col("id_b"))
-      .groupBy("id_a", "id_b", "na", "nb")
+      .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("id").as("id_a"), col("n").as("na")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n").as("nb")), Seq("id_b"))
   }
 
   def jaccardPairs(
