@@ -45,18 +45,23 @@ object Dedup {
       .select(col("id_a"),
         explode(slice(col("ids"), col("i") + lit(2), size(col("ids")))).as("id_b"))
 
-  /** [[explodePairs]] over an `ids: array<struct<id, n>>` bucket column —
-    * emits `(id_a, na, id_b, nb)` so a size predicate can run on the raw
-    * in-bucket pairs before any dedup or join. Pair order matches
-    * [[explodePairs]]: the array is sorted by (id, n) = by id (one entry
-    * per id per bucket), so `id_a` sorts before `id_b`.
+  /** [[explodePairs]] over an `ids: array<struct<id, n, rk>>` bucket
+    * column — emits `(id_a, na, rka, id_b, nb, rkb)` so the PPJoin size
+    * AND positional predicates can run on the raw in-bucket pairs before
+    * any dedup or join (`rk` = the member's prefix rank at this bucket's
+    * shingle, i.e. its 1-based position in the doc's canonical (df, h)
+    * order). Pair order matches [[explodePairs]]: the array is sorted by
+    * (id, n, rk) = by id (one entry per id per bucket), so `id_a` sorts
+    * before `id_b`.
     */
   private def explodePairsWithSize(buckets: DataFrame): DataFrame =
     buckets
       .select(posexplode(col("ids")).as(Seq("i", "pa")), col("ids"))
       .select(col("pa.id").as("id_a"), col("pa.n").as("na"),
+        col("pa.rk").as("rka"),
         explode(slice(col("ids"), col("i") + lit(2), size(col("ids")))).as("pb"))
-      .select(col("id_a"), col("na"), col("pb.id").as("id_b"), col("pb.n").as("nb"))
+      .select(col("id_a"), col("na"), col("rka"),
+        col("pb.id").as("id_b"), col("pb.n").as("nb"), col("pb.rk").as("rkb"))
 
   // ---------------------------------------------------------------- exact
 
@@ -728,7 +733,7 @@ object Dedup {
     val prefix = ranked
       // prefix length n − ⌈t·n/10⌉ + 1, ceil division in integers
       .filter(col("rk") <= col("n") - expr(s"($t * n + 9) DIV 10") + lit(1))
-      .select(col("id"), col("n"), col("h"))
+      .select(col("id"), col("n"), col("h"), col("rk"))
     // size early-exit (the PPJoin length filter): J ≥ t implies
     // t·max(|A|,|B|) ≤ 10·min(|A|,|B|). The set size rides the bucket
     // structs so the filter runs on the RAW in-bucket pairs, BEFORE the
@@ -737,17 +742,47 @@ object Dedup {
     // distinct shuffles and the verify joins move arrays for. Purely a
     // compute skip: any pair failing it also fails the exact threshold,
     // so the emitted pair set is unchanged bit for bit.
+    //
+    // Positional early-exit (the PPJoin position filter): both docs
+    // list their shingles in the SAME global total order (df, then
+    // hash), so at a shared shingle with prefix ranks (rka, rkb) the
+    // overlap is bounded by min(rka, rkb) common slots at or before it
+    // plus min(na−rka, nb−rkb) after it; J ≥ t/10 needs overlap
+    // ≥ ⌈t·(na+nb)/(10+t)⌉, i.e. keep iff ub·(10+t) ≥ t·(na+nb).
+    // Sound per occurrence: a TRUE pair's every shared slot satisfies
+    // ub ≥ inter ≥ the bound, so it still reaches the distinct from
+    // all its buckets; a killed occurrence could only have fed the
+    // exact verify with a pair that fails it. The ranks are dropped
+    // BEFORE the distinct (a pair surviving via two buckets carries
+    // two rank pairs — distinct must collapse them).
     val candidates = prefix.groupBy("h")
-      .agg(sort_array(collect_list(struct(col("id"), col("n")))).as("ids"))
+      .agg(sort_array(collect_list(struct(col("id"), col("n"), col("rk"))))
+        .as("ids"))
       .filter(size(col("ids")) > 1)
       .transform(explodePairsWithSize)
       .filter(lit(10L) * least(col("na"), col("nb")) >=
         lit(t.toLong) * greatest(col("na"), col("nb")))
+      .filter((least(col("rka"), col("rkb")) +
+          least(col("na") - col("rka"), col("nb") - col("rkb"))) *
+          lit(10L + t) >=
+        lit(t.toLong) * (col("na") + col("nb")))
+      .select("id_a", "na", "id_b", "nb")
       .distinct()
+    // verify kernel: two-pointer merge count over the sorted hash sets
+    // (SortedIntersectSizeExpr) instead of size(array_intersect(...)) —
+    // the builtin hashes one side and MATERIALIZES the intersection
+    // array per candidate pair just to take its length; the sets are
+    // sorted-distinct by construction, so the merge count is the same
+    // integer with zero allocation (DedupSpec pins the operator against
+    // the brute-force join)
+    import org.apache.spark.sql.graftbridge.ColumnBridge
     candidates
       .join(sets.select(col("id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
       .join(sets.select(col("id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
-      .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))))
+      .withColumn("inter", ColumnBridge.column(
+        graft.functions.SortedIntersectSizeExpr(
+          ColumnBridge.expression(col("hs_a")),
+          ColumnBridge.expression(col("hs_b")))))
       .filter(col("inter") * lit(10L) >= lit(t.toLong) * (col("na") + col("nb") - col("inter")))
       .select(col("id_a"), col("id_b"),
         floor(col("inter") * lit(1000000L) / (col("na") + col("nb") - col("inter")))

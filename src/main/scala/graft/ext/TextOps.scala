@@ -728,9 +728,20 @@ object TextOps {
     * N is computed from the corpus, not passed in.
     */
   def tfIdf(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val terms = docs.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("token"))
+    // one tokenize pass (lazy checkpoint — both legs and n read it),
+    // then df straight off the per-doc DISTINCT tokens: one row per
+    // (doc, token) feeds the count either way (id is unique), but the
+    // tf-derived formulation re-computed the whole tf subtree (pruning
+    // defeats ReuseExchange) and shuffled the exploded corpus twice —
+    // the df leg now aggregates map-side to TOKEN grain (the bm25
+    // shape, measured in the r20 q131 plan).
+    val toks = docs.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .localCheckpoint(false)
+    val terms = toks.select(col("id"), explode(col("toks")).as("token"))
     val tf = terms.groupBy("id", "token").agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val dfreq = toks
+      .select(explode(array_distinct(col("toks"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("df"))
     val n = docs.count()
     tf.join(broadcast(dfreq), "token")
       .withColumn("tf_idf", col("tf") * log(lit(n.toDouble) / col("df")))
@@ -797,7 +808,19 @@ object TextOps {
       else stats.getLong(1).toDouble / nDocs
     val tf = withDl.select(col("id"), col("dl"), explode(col("toks")).as("token"))
       .groupBy("id", "dl", "token").agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    // df straight off the per-doc DISTINCT tokens instead of
+    // `tf.groupBy("token")`: one row per (doc, token) feeds the count
+    // either way (id is unique), but the tf-derived formulation
+    // re-computed the whole tf subtree — the df branch loses its count
+    // column to pruning, so ReuseExchange cannot dedup the two
+    // (id, dl, token) exchanges and the exploded corpus was SHUFFLED
+    // TWICE (r20 q131 plan, Exchanges (5)/(11)). Here the df leg
+    // aggregates map-side to TOKEN grain (vocab-bounded per task) off
+    // the already-checkpointed tokenized blocks — the second wide
+    // exchange is gone and nothing cell-grain is ever materialized.
+    val dfreq = withDl
+      .select(explode(array_distinct(col("toks"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("df"))
     tf.join(broadcast(dfreq), "token")
       .withColumn("idf",
         log(lit(1.0) + (lit(nDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5)))

@@ -823,22 +823,39 @@ object Behavior {
     val (touches, convs) =
       journeyTouches(events, userCol, tsCol, typeCol, idCol, convType,
         maxPrefix)
-    val wcap = Window.partitionBy("user")
-    val withNext = touches
-      .withColumn("__next", lead(col("et"), 1)
-        .over(Window.partitionBy("user").orderBy("rn")))
-      .withColumn("__maxrn", max(col("rn")).over(wcap))
-    val tFirst = withNext.filter(col("rn") === 1)
-      .select(lit(S).as("src"), col("et").as("dst"))
-    val tMid = withNext.filter(col("__next").isNotNull)
-      .select(col("et").as("src"), col("__next").as("dst"))
-    val tLast = withNext.filter(col("rn") === col("__maxrn"))
-      .select(col("et").as("src"),
-        when(col("converted"), CONV).otherwise(DROP).as("dst"))
-    val tDirect = convs.join(touches.select("user").distinct(),
-        Seq("user"), "left_anti")
+    // ONE journey-grain pass builds the transition multiset. The 4-union
+    // formulation this replaces (lead/max windows for first/mid/last rows
+    // + a distinct + anti-join for direct conversions) re-scanned the
+    // checkpointed touches three times and shuffled a touch-grain
+    // distinct; here each user's sorted touch array emits its whole
+    // chain map-side — (S, j₁), (jᵢ, jᵢ₊₁)…, (jₙ, CONV/DROP) — and the
+    // direct-conversion rows anti-join against the already-user-grain
+    // journey table. Multiset equivalence with the union shape (the
+    // oracle replays it): element 0 of the sorted array is the rn=1 row
+    // (tFirst), consecutive array slots are exactly lead() over the rn
+    // order (tMid), the last slot is the rn=maxrn row with the per-user
+    // constant converted flag (tLast), and conv users absent from
+    // touches are absent from journeys (tDirect) — pinned old-vs-new in
+    // BehaviorSpec. The per-journey transform is interpreted (HOF), but
+    // runs over ≤ maxPrefix elements per user.
+    val journeys = touches
+      .groupBy("user")
+      .agg(array_sort(collect_list(struct(col("rn"), col("et")))).as("__j"),
+        max(col("converted")).as("__conv"))
+    val chain = journeys
+      .select(explode(expr(
+        s"""concat(
+           |  transform(__j, (x, i) ->
+           |    named_struct('src', IF(i = 0, '$S', __j[i - 1].et),
+           |                 'dst', x.et)),
+           |  array(named_struct('src', element_at(__j, -1).et,
+           |                     'dst', IF(__conv, '$CONV', '$DROP'))))"""
+          .stripMargin)).as("t"))
+      .select(col("t.src").as("src"), col("t.dst").as("dst"))
+    val tDirect = convs.select("user")
+      .join(journeys.select("user"), Seq("user"), "left_anti")
       .select(lit(S).as("src"), lit(CONV).as("dst"))
-    val counts = tFirst.union(tMid).union(tLast).union(tDirect)
+    val counts = chain.union(tDirect)
       .groupBy("src", "dst").agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     val channels = counts.flatMap(t => Seq(t._1, t._2))

@@ -35,6 +35,14 @@ object Graph {
     * grain; blocks still materialize exactly once and are reused).
     * Iterations are a fixed small count — convergence detection would
     * add a count job per round for little benefit at 3–10 rounds.
+    * Retained-blocks footprint: with no per-round action and no
+    * unpersist, every round's checkpointed blocks stay cached for the
+    * lifetime of the final frame, so storage grows with `iters` ×
+    * ranks-table size — bounded today by the small fixed round counts
+    * (3–10) every caller uses; a caller looping to convergence at
+    * cluster scale should unpersist the previous iterate once the next
+    * round materializes (the loops that DO take a per-round action —
+    * k-core, BFS, label-prop convergence counts — can do so safely).
     */
   def pageRankPpm(
       edges: DataFrame,

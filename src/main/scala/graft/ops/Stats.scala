@@ -91,9 +91,9 @@ object Stats {
     * deterministic sample ([[graft.ext.Sampling]]) — at that n the
     * estimate is already ±0.6% at 95% confidence.
     *
-    * Scale: the two rank windows and the final aggregate all shuffle
-    * on the key — one narrow shuffle, sort-based windows, no global
-    * window.
+    * Scale: ranks come from [[cumHistByKey]] cells (hash aggregates +
+    * cell-grain windows/joins) — no per-key sort window anywhere, so a
+    * dominant key never routes its slice through one reducer.
     */
   def spearman(
       df: DataFrame,
@@ -104,21 +104,47 @@ object Stats {
     val base = df.select(keyCol.as("key"), xCol.cast("long").as("x"),
         yCol.cast("long").as("y"))
       .filter(col("x").isNotNull && col("y").isNotNull)
-    def ranks2(c: String): Column = {
-      val w = Window.partitionBy(col("key")).orderBy(col(c))
-      val tie = Window.partitionBy(col("key"), col(c))
-      // doubled average rank: 2·rank + ties − 1 (integral for any tie run)
-      lit(2L) * rank().over(w) + count(lit(1)).over(tie) - 1L
-    }
-    base
-      .withColumn("rx", ranks2("x"))
-      .withColumn("ry", ranks2("y"))
+    // Ranks off [[cumHistByKey]] cells instead of two
+    // `Window.partitionBy(key).orderBy(side)` rank passes: a value
+    // cell's doubled tie-averaged rank is 2·rank + ties − 1 =
+    // 2·__ce − __c + 1, constant for every row of the cell, so each
+    // side's ranks join back at CELL grain onto the (key, x, y) pair
+    // cells and every component sum folds as count·term — bit-identical
+    // to the row-grain window sums (StatsSpec pins it). A dominant key
+    // costs hash aggregates, cell-grain windows and cell-grain joins,
+    // never a corpus-grain single-reducer sort (guide §2.5 — the
+    // q128/q279 swap, applied to the test family).
+    val pairs = base.groupBy("key", "x", "y").agg(count(lit(1)).as("__c"))
+    // ONE keyed-histogram pass serves BOTH sides: x and y rows stack
+    // under a side flag folded into the histogram key (struct grouping
+    // and the <=> join treat a null key field as a value, matching
+    // groupBy semantics), so the fixed machinery — range partition,
+    // offsets walk, cum window — runs once over 2n rows instead of
+    // twice over n
+    val stacked = base
+      .select(col("key"), lit(true).as("__sx"), col("x").as("__sv"))
+      .unionByName(base
+        .select(col("key"), lit(false).as("__sx"), col("y").as("__sv")))
+    val cells2 = cumHistByKey(stacked,
+        struct(col("key"), col("__sx")), col("__sv"))
+      .select(col("__k.key").as("__ck"), col("__k.__sx").as("__cx"),
+        col("__v"), (lit(2L) * col("__ce") - col("__c") + lit(1L)).as("__r2"))
+    def sideRanks(isX: Boolean, rk: String): DataFrame =
+      cells2.filter(if (isX) col("__cx") else !col("__cx"))
+        .select(col("__ck").as(s"__${rk}k"), col("__v").as(s"__${rk}v"),
+          col("__r2").as(rk))
+    pairs
+      .join(sideRanks(isX = true, "rx"),
+        col("key") <=> col("__rxk") && col("x") === col("__rxv"))
+      .join(sideRanks(isX = false, "ry"),
+        col("key") <=> col("__ryk") && col("y") === col("__ryv"))
       .groupBy("key")
-      .agg(count(lit(1)).as("n"),
-        sum(col("rx")).as("sx"), sum(col("ry")).as("sy"),
-        sum(expr("CAST(rx AS DECIMAL(38,0)) * ry")).as("sxy"),
-        sum(expr("CAST(rx AS DECIMAL(38,0)) * rx")).as("sxx"),
-        sum(expr("CAST(ry AS DECIMAL(38,0)) * ry")).as("syy"))
+      .agg(sum(col("__c")).as("n"),
+        sum(col("__c") * col("rx")).as("sx"),
+        sum(col("__c") * col("ry")).as("sy"),
+        sum(expr("CAST(__c AS DECIMAL(38,0)) * rx * ry")).as("sxy"),
+        sum(expr("CAST(__c AS DECIMAL(38,0)) * rx * rx")).as("sxx"),
+        sum(expr("CAST(__c AS DECIMAL(38,0)) * ry * ry")).as("syy"))
       .withColumn("__cov", expr(
         "CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy"))
       .withColumn("__vx", expr(
@@ -160,8 +186,9 @@ object Stats {
     * where the z-approximation is already exact for practical
     * purposes.
     *
-    * Scale: one rank window and one aggregate, both shuffling on the
-    * key — one narrow shuffle, no global window.
+    * Scale: rank sums come from [[cumHist2ByKey]] cells (hash
+    * aggregates + cell-grain windows) — no per-key sort window, so a
+    * dominant key never routes its slice through one reducer.
     */
   def mannWhitney(
       df: DataFrame,
@@ -172,15 +199,22 @@ object Stats {
     val base = df.select(keyCol.as("key"), inGroupBCol.cast("boolean").as("b"),
         valueCol.cast("long").as("v"))
       .filter(col("b").isNotNull && col("v").isNotNull)
-    val w = Window.partitionBy(col("key")).orderBy(col("v"))
-    val tie = Window.partitionBy(col("key"), col("v"))
-    base
-      .withColumn("r2", lit(2L) * rank().over(w) + count(lit(1)).over(tie) - 1L)
-      .groupBy("key")
+    // per-(key, value) cells off the keyed two-group histogram instead
+    // of a `Window.partitionBy(key).orderBy(v)` rank pass: a cell's
+    // doubled tie-averaged rank is 2·rank + ties − 1 with
+    // rank = (total exclusive cum) + 1 and ties = the cell count, i.e.
+    // 2·(cea+ceb) − (ca+cb) + 1 — summed over group-b rows as
+    // cb · r2 per cell. Bit-identical to the window formulation
+    // (StatsSpec pins it); a dominant key costs hash aggregates and
+    // cell-grain windows, never a corpus-grain single-reducer sort
+    // (guide §2.5 — the q128/q279 swap, applied to the test family).
+    cumHist2ByKey(base, col("key"), col("v"), col("b"))
+      .groupBy(col("__k").as("key"))
       .agg(
-        sum(when(col("b"), 0L).otherwise(1L)).as("n_a"),
-        sum(when(col("b"), 1L).otherwise(0L)).as("n_b"),
-        sum(when(col("b"), col("r2")).otherwise(0L)).as("__r2b"))
+        max(col("__na")).as("n_a"),
+        max(col("__nb")).as("n_b"),
+        sum(col("__cb") * (lit(2L) * (col("__cea") + col("__ceb"))
+          - (col("__ca") + col("__cb")) + lit(1L))).as("__r2b"))
       .withColumn("u2_b", expr(
         "CASE WHEN n_a > 0 AND n_b > 0 THEN" +
           " __r2b - n_b * (n_b + 1) END"))
@@ -204,9 +238,10 @@ object Stats {
     * with different variances, bimodality, tail weight). The statistic
     * is the max ECDF gap over the pooled values, carried as the
     * integer numerator `D_num = max_v |cum_a(v)·n_b − cum_b(v)·n_a|`
-    * (D = D_num/(n_a·n_b)); cumulative counts are RANGE-frame windows
-    * over the pooled sort so ties collapse to one evaluation point on
-    * both engines.
+    * (D = D_num/(n_a·n_b)); cumulative counts are the inclusive
+    * per-cell cumulatives of the keyed two-group histogram
+    * ([[cumHist2ByKey]] — tie values ARE one cell), matching the
+    * RANGE-frame window semantics the oracle evaluates per row.
     *
     * Significance is the cleared large-sample test at α = 0.05
     * (critical value 1.358): `D > 1.358·√((n_a+n_b)/(n_a·n_b))` ⟺
@@ -219,8 +254,9 @@ object Stats {
     * reports the gap itself (`D_num·10⁶ DIV (n_a·n_b)`). Keys missing
     * either group report NULLs.
     *
-    * Scale: one pooled sort window + one aggregate on the key — one
-    * narrow shuffle, the [[mannWhitney]] profile.
+    * Scale: cumulative counts come from [[cumHist2ByKey]] cells (hash
+    * aggregates + cell-grain windows) — no per-key sort window, the
+    * [[mannWhitney]] profile.
     */
   def ksTest(
       df: DataFrame,
@@ -231,18 +267,19 @@ object Stats {
     val base = df.select(keyCol.as("key"), inGroupBCol.cast("boolean").as("b"),
         valueCol.cast("long").as("v"))
       .filter(col("b").isNotNull && col("v").isNotNull)
-    // RANGE frame: cum counts INCLUDE all ties of v (one step per value)
-    val cum = Window.partitionBy(col("key")).orderBy(col("v"))
-      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
-    val all = Window.partitionBy(col("key"))
-    base
-      .withColumn("ca", sum(when(col("b"), 0L).otherwise(1L)).over(cum))
-      .withColumn("cb", sum(when(col("b"), 1L).otherwise(0L)).over(cum))
-      .withColumn("na", sum(when(col("b"), 0L).otherwise(1L)).over(all))
-      .withColumn("nb", sum(when(col("b"), 1L).otherwise(0L)).over(all))
-      .groupBy("key")
-      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
-        max(abs(expr("CAST(ca AS DECIMAL(38,0)) * nb - CAST(cb AS DECIMAL(38,0)) * na")))
+    // ECDF gap off the keyed two-group histogram cells instead of a
+    // `Window.partitionBy(key).orderBy(v)` RANGE-frame cum pass: the
+    // inclusive per-cell cumulative counts (__cea/__ceb) ARE the
+    // RANGE-frame values every row of the cell shared, so the per-key
+    // max over cells equals the max over rows bit for bit (StatsSpec
+    // pins it). A dominant key costs hash aggregates and cell-grain
+    // windows, never a corpus-grain single-reducer sort (guide §2.5).
+    cumHist2ByKey(base, col("key"), col("v"), col("b"))
+      .groupBy(col("__k").as("key"))
+      .agg(max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
+        max(abs(expr(
+          "CAST(__cea AS DECIMAL(38,0)) * __nb" +
+            " - CAST(__ceb AS DECIMAL(38,0)) * __na")))
           .as("__dnum"))
       .withColumn("d_ppm", expr(
         "CASE WHEN n_a > 0 AND n_b > 0 THEN CAST((__dnum * 1000000)" +
@@ -467,6 +504,13 @@ object Stats {
           .as("death"))
       .groupBy("key", "dur")
       .agg(count(lit(1)).as("n_all"), sum(col("death")).as("n_death"))
+    // keyed sort window, BOUNDED INPUT by construction: it runs over
+    // the (key, dur) duration cells the aggregate above just built —
+    // ≤ one row per observed day-span per key, calendar-bounded, never
+    // unit- or event-scaled — so a dominant key sorts at most #days
+    // rows on one reducer (the r20 window audit's benign class; the
+    // cumHist swap would buy nothing here because the input is already
+    // a histogram).
     val fromAbove = Window.partitionBy(col("key")).orderBy(col("dur").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     cells
@@ -525,6 +569,9 @@ object Stats {
       tsCol: Column,
       censorDays: Int = 7
   ): DataFrame = {
+    // keyed sort window over [[survivalSteps]]' death-step cells —
+    // duration-cell grain, calendar-bounded per key (same benign class
+    // as the fromAbove window inside survivalSteps)
     val cum = Window.partitionBy(col("key")).orderBy(col("dur"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     survivalSteps(df, keyCol, unitCol, tsCol, censorDays)
@@ -817,8 +864,11 @@ object Stats {
     *     per-partition offset = the exact global prefix — the classic
     *     distributed prefix-sum). The offsets are a ≤-numPartitions-row
     *     collect (partition-bounded, never row-scaled); the histogram
-    *     is eagerly localCheckpointed first so the offsets job and the
-    *     main query see the SAME frozen range partitioning.
+    *     is LAZILY localCheckpointed and pid consistency relies on the
+    *     offsets collect being the FIRST action that fully
+    *     materializes the checkpointed partitions — the main query
+    *     then reuses the frozen blocks (the cumHistByKey step-2
+    *     contract).
     *  3. Each value row covers ranks `(cs, ce]`; grid point `g` asks
     *     for rank `rn_g = 1 + (N−1)·g DIV 1000`, monotone in `g`, so a
     *     row's covered grid points are the CONTIGUOUS integer range
@@ -865,10 +915,12 @@ object Stats {
   /** Exact per-DISTINCT-VALUE cumulative counts — the shared engine
     * under [[pooledGridHist]], [[globalRankHist]] and [[ntileHist]]:
     * one hash-aggregate to `(value, count)`, then the classic
-    * distributed prefix-sum (range-repartition by value, eager
-    * localCheckpoint to freeze the partitioning, a ≤-numPartitions-row
-    * offsets collect, and a running sum PARTITIONED by
-    * `spark_partition_id()` — range partitions are value-contiguous,
+    * distributed prefix-sum (range-repartition by value, LAZY
+    * localCheckpoint whose partitioning is frozen by the offsets
+    * collect — the FIRST action to fully materialize the checkpointed
+    * partitions, which every later consumer then reuses — a
+    * ≤-numPartitions-row offsets collect, and a running sum PARTITIONED
+    * by `spark_partition_id()` — range partitions are value-contiguous,
     * so local prefix + broadcast offset = the exact global prefix).
     * Nothing corpus-sized ever sorts on one partition; the only
     * collect is partition-count-bounded.
@@ -1009,6 +1061,59 @@ object Stats {
       .withColumn("__cs", col("__ce") - col("__c"))
       .select(col("__k"), col("__v"), col("__c"), col("__cs"), col("__ce"),
         col("__n"))
+  }
+
+  /** TWO-GROUP twin of [[cumHistByKey]] — the same keyed histogram +
+    * distributed prefix sum carrying a (group-a, group-b) count PAIR
+    * per (key, value) cell, for the rank/ECDF statistics that compare
+    * two samples within each key ([[mannWhitney]], [[ksTest]]): both
+    * groups' cells, cumulative counts and totals ride ONE range
+    * partitioning and ONE pair of cell-grain windows, so neither group
+    * ever sorts at corpus grain (the dominant-stratum wall the
+    * `Window.partitionBy(key).orderBy(v)` formulation routed through
+    * one reducer). Same NULL semantics, same (pid, key) offset walk.
+    *
+    * Returns one row per distinct (key, value): `(__k, __v, __ca,
+    * __cb, __cea, __ceb, __na, __nb)` — per-group cell counts,
+    * per-group INCLUSIVE cumulative counts within the key (ties
+    * included: the RANGE-frame convention) and per-group key totals.
+    */
+  private[graft] def cumHist2ByKey(
+      df: DataFrame, keyCol: Column, valueCol: Column,
+      inGroupBCol: Column): DataFrame = {
+    val hist = df
+      .select(keyCol.as("__k"), valueCol.as("__v"),
+        inGroupBCol.cast("boolean").as("__b"))
+      .groupBy("__k", "__v")
+      .agg(sum(when(col("__b"), 0L).otherwise(1L)).as("__ca"),
+        sum(when(col("__b"), 1L).otherwise(0L)).as("__cb"))
+    val parts = hist.repartitionByRange(col("__k"), col("__v"))
+      .withColumn("__pid", spark_partition_id().cast("long"))
+      .localCheckpoint(false)
+    val wOff = Window.partitionBy(col("__k")).orderBy(col("__pid"))
+    val offs = parts.groupBy("__pid", "__k")
+      .agg(sum(col("__ca")).as("__sa"), sum(col("__cb")).as("__sb"))
+      .withColumn("__offa", coalesce(sum(col("__sa")).over(
+        wOff.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__offb", coalesce(sum(col("__sb")).over(
+        wOff.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__na", sum(col("__sa")).over(
+        wOff.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("__nb", sum(col("__sb")).over(
+        wOff.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("__pid").as("__opid"), col("__k").as("__ok"),
+        col("__offa"), col("__offb"), col("__na"), col("__nb"))
+    val wcum = Window.partitionBy(col("__pid"), col("__k"))
+      .orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    parts
+      .withColumn("__cea", sum(col("__ca")).over(wcum))
+      .withColumn("__ceb", sum(col("__cb")).over(wcum))
+      .join(offs, col("__pid") === col("__opid") && col("__k") <=> col("__ok"))
+      .withColumn("__cea", col("__cea") + col("__offa"))
+      .withColumn("__ceb", col("__ceb") + col("__offb"))
+      .select(col("__k"), col("__v"), col("__ca"), col("__cb"),
+        col("__cea"), col("__ceb"), col("__na"), col("__nb"))
   }
 
   /** Within-key integer percentile rank in ppm off [[cumHistByKey]] —

@@ -16,8 +16,12 @@ object PlanDump {
     val suffix = args(1)
     val names = args.drop(2).toSeq
     java.nio.file.Files.createDirectories(outDir)
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+    // parallelism from the bench's env contract (default 32 — the value
+    // every committed plans/rNN artifact was dumped at), so plan
+    // evidence reproduces on any box: SPARK_GRAFT_CPUS=8 PlanDump ...
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -217,7 +217,16 @@ object ScalingBench {
     Q("q279_quantile_normalize", "documents"),
     Q("q277_calibration", "documents"),
     Q("q325_group_quantiles", "documents"),
-    Q("q326_group_ntile", "documents"))
+    Q("q326_group_ntile", "documents"),
+    // r20: the stats-test family joined the keyed-histogram engine
+    // (mannWhitney/ksTest via cumHist2ByKey, spearman via cumHistByKey
+    // cell ranks) — gated on the events-side dominant stratum (one
+    // event_type at 80% of ALL rows), the regime their retired
+    // Window.partitionBy(event_type) rank/cum windows funneled through
+    // one reducer
+    Q("q269_spearman", "events"),
+    Q("q270_mann_whitney", "events"),
+    Q("q271_ks_test", "events"))
 
   val Sfs = Seq("0.001", "0.01", "0.1")
   private val BaseDir = "/root/testdata/sf0.1"
@@ -291,8 +300,16 @@ object ScalingBench {
           col("ts"),
           (col("user_id") + col("__r") * 10000000L).as("user_id"),
           col("event_type"), col("value"), col("props"))
-      ev.unionByName(reps.select(ev.columns.map(col): _*))
-        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val unioned = ev.unionByName(reps.select(ev.columns.map(col): _*))
+      // dominant-stratum flavor (r20, the stats-test swap gate): 80% of
+      // ALL rows collapse onto one event_type — replicas preserve
+      // event_id % 10, so the cut is deterministic across reruns
+      val outEv =
+        if (!skewStrata) unioned
+        else unioned.withColumn("event_type",
+          when(pmod(col("event_id"), lit(10L)) < 8L, lit("view"))
+            .otherwise(col("event_type")))
+      outEv.write.mode("overwrite").parquet(s"$dir/events.parquet")
     }
     // documents: driver-side generation is fine for a dev fixture tool
     // (5000 × 300 B source rows)
@@ -354,7 +371,7 @@ object ScalingBench {
       FixtureQueries.map(_.name).toSet
     require(noX1.isEmpty,
       s"SyntheticQueries missing from FixtureQueries (no x1 timing): $noX1")
-    val outPath = args.headOption.getOrElse("SCALING_r19.json")
+    val outPath = args.headOption.getOrElse("SCALING_r20.json")
     val passes = args.drop(1).headOption.map(_.toInt).getOrElse(3)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -374,11 +391,16 @@ object ScalingBench {
     // (1.115) sat 0.135 under the gate with no error bar; creep would
     // show as x128 > x64
     val x128 = buildSynthetic(spark, 128, Set("documents"), "_built_v1")
-    // r19: dominant-stratum corpora for the keyed-rank swap gate
-    val skew4 = buildSynthetic(spark, 4, Set("documents"),
-      "_skew_built_v1", skewStrata = true)
-    val skew16 = buildSynthetic(spark, 16, Set("documents"),
-      "_skew_built_v1", skewStrata = true)
+    // r20: one more octave for q118 — its x64->x128 exp_med read 1.185
+    // against the 1.25 gate (0.065 headroom); creep would show as
+    // x256 > x128
+    val x256 = buildSynthetic(spark, 256, Set("documents"), "_built_v1")
+    // r19: dominant-stratum corpora for the keyed-rank swap gate;
+    // r20 adds the events-side stratum (marker bumped so both rebuild)
+    val skew4 = buildSynthetic(spark, 4, Set("documents", "events"),
+      "_skew_built_v2", skewStrata = true)
+    val skew16 = buildSynthetic(spark, 16, Set("documents", "events"),
+      "_skew_built_v2", skewStrata = true)
 
     // warmup (JIT/codegen) on the smallest sf
     (FixtureQueries ++ SkewQueries).foreach(q =>
@@ -425,6 +447,7 @@ object ScalingBench {
         timeOne(q.name, x64, "@deep")
       }
       timeOne("q118_edit_dist_pairs", x128, "@deep")
+      timeOne("q118_edit_dist_pairs", x256, "@deep")
     }
     // dominant-stratum section
     for (_ <- 1 to passes; q <- SkewQueries) {
@@ -442,8 +465,11 @@ object ScalingBench {
         Seq((x64, "documents") -> rowsOf(x64, "documents"),
           (x64, "events") -> rowsOf(x64, "events"),
           (x128, "documents") -> rowsOf(x128, "documents"),
+          (x256, "documents") -> rowsOf(x256, "documents"),
           (skew4, "documents") -> rowsOf(skew4, "documents"),
-          (skew16, "documents") -> rowsOf(skew16, "documents"))).toMap
+          (skew16, "documents") -> rowsOf(skew16, "documents"),
+          (skew4, "events") -> rowsOf(skew4, "events"),
+          (skew16, "events") -> rowsOf(skew16, "events"))).toMap
     spark.stop()
 
     case class Fit(q: Q, section: String, exp: Double, detail: String)
@@ -499,6 +525,15 @@ object ScalingBench {
         synthRows((x128, "documents")), tMin("q118_edit_dist_pairs@deep", x128))
       val qq = Q("q118_edit_dist_pairs", "documents")
       Fit(q, "deep", e, deepDetail(qq, Seq(x64 -> "x64", x128 -> "x128"), "@deep"))
+    } :+ {
+      // r20: the x128->x256 octave — x128's exp_med (1.185) left 0.065
+      // of gate headroom, so one more doubling adjudicates the tail
+      val q = Q("q118_edit_dist_pairs_x256", "documents")
+      val e = fitExp(synthRows((x128, "documents")),
+        tMin("q118_edit_dist_pairs@deep", x128),
+        synthRows((x256, "documents")), tMin("q118_edit_dist_pairs@deep", x256))
+      val qq = Q("q118_edit_dist_pairs", "documents")
+      Fit(q, "deep", e, deepDetail(qq, Seq(x128 -> "x128", x256 -> "x256"), "@deep"))
     }
     val skewFits = SkewQueries.map { q =>
       val e = fitExp(synthRows((skew4, q.table)), tMin(q.name, skew4),
@@ -511,8 +546,8 @@ object ScalingBench {
     def section(fits: Seq[Fit]): String =
       fits.map(f => s"""  "${f.q.name}":{${f.detail}}""").mkString("{\n", ",\n", "\n }")
     val json =
-      s"""{"round":19,"passes":$passes,"gate_threshold":$GateThreshold,
-         |"method":"exp = log(t_hi/t_lo)/log(rows_hi/rows_lo) over each query's driving table; min of $passes interleaved passes per point. Fixture section: sf0.01->sf0.1 (overhead-deflated, sanity only). Synthetic section: x4->x16 of sf0.1 under the ORGANIC-GROWTH model (documents: replica batches are structural copies over per-replica DISJOINT vocabularies, so per-shingle dfs and pair structure replicate per batch instead of compounding; embeddings: seeded perturbations; events since r17: xk traffic with remapped user/event ids on the SAME event_type alphabet and calendar, so daily series deepen in value, not length, and key-pair grids stay configuration-bounded) - the powered gate. Deep section since r17 (widened r18): the steepest synthetic exponents (q309, q119, q118, q35, q312) re-measured on the x16->x64 step of a documents+events upscale, gated, to confirm they flatten with depth. q37/q38 are ungated brute-force canaries measured x4->x8; the bounded-vocabulary saturation regime (dfs growing with n) is covered by the hostile-fixture suite, not this exponent. r19: deep points carry t_ms_passes (every pass) and exp_med (median-based fit) as the error bar; BOTH deep octave endpoints are timed inside the deep loop itself (a section-private pool — reusing the synthetic section's x16 minima, warm from ~50 adjacent queries, against cold-loop x64 points inflated q35 to a false 1.32 that an isolated 6-pass probe read as 0.91); q118 adds the x64->x128 octave (creep would read larger than its x16->x64 exponent); the skew section gates the keyed-rank swap (q128/q251/q279/q277) on a corpus where one lang/source holds 80% of documents.",
+      s"""{"round":20,"passes":$passes,"gate_threshold":$GateThreshold,
+         |"method":"exp = log(t_hi/t_lo)/log(rows_hi/rows_lo) over each query's driving table; min of $passes interleaved passes per point. Fixture section: sf0.01->sf0.1 (overhead-deflated, sanity only). Synthetic section: x4->x16 of sf0.1 under the ORGANIC-GROWTH model (documents: replica batches are structural copies over per-replica DISJOINT vocabularies, so per-shingle dfs and pair structure replicate per batch instead of compounding; embeddings: seeded perturbations; events since r17: xk traffic with remapped user/event ids on the SAME event_type alphabet and calendar, so daily series deepen in value, not length, and key-pair grids stay configuration-bounded) - the powered gate. Deep section since r17 (widened r18): the steepest synthetic exponents (q309, q119, q118, q35, q312) re-measured on the x16->x64 step of a documents+events upscale, gated, to confirm they flatten with depth. q37/q38 are ungated brute-force canaries measured x4->x8; the bounded-vocabulary saturation regime (dfs growing with n) is covered by the hostile-fixture suite, not this exponent. r19: deep points carry t_ms_passes (every pass) and exp_med (median-based fit) as the error bar; BOTH deep octave endpoints are timed inside the deep loop itself (a section-private pool — reusing the synthetic section's x16 minima, warm from ~50 adjacent queries, against cold-loop x64 points inflated q35 to a false 1.32 that an isolated 6-pass probe read as 0.91); q118 adds the x64->x128 octave (creep would read larger than its x16->x64 exponent); the skew section gates the keyed-rank swap (q128/q251/q279/q277) on a corpus where one lang/source holds 80% of documents. r20: q118 adds the x128->x256 octave (the x128 exp_med of 1.185 left 0.065 of gate headroom); the skew corpora also put 80% of ALL events on one event_type to gate the stats-test family's cumHist swap (q269/q270/q271).",
          |"violations":[${violations.map(v => "\"" + v.q.name + ":" + v.section + "\"").mkString(",")}],
          |"fixture":${section(fixtureFits)},
          |"synthetic":${section(synthFits)},
