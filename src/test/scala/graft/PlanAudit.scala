@@ -85,7 +85,8 @@ object PlanAudit {
     "q198_ann_ivf_pq", // IVF routing pipeline + PQ encode pipeline + ADC rerank
     "q281_ranking_eval", // exact + IVF retrieval pipelines side by side (q167's class)
     "q320_rfm_hist", // three complete histogram-rank pipelines (r/f/m), each within budget
-    "q277_calibration") // keyed histogram-rank percentile (q128's r19 engine) + the calibration aggregate — two complete pipelines
+    "q277_calibration", // keyed histogram-rank percentile (q128's r19 engine) + the calibration aggregate — two complete pipelines
+    "q269_spearman") // r20 keyed-histogram ranks for BOTH sides (one stacked cumHistByKey pass) + two cell-grain join-backs onto the (key,x,y) pair cells — each leg within budget; the retired per-key sort windows were the q128-class skew wall
 
   /** Queries whose optimized plan legitimately contains an
     * UNPARTITIONED Window — each justified by a BOUNDED input (the

@@ -414,6 +414,88 @@ class BehaviorSpec extends SparkTestBase {
       s"got $got")
   }
 
+  test("markovAttribution: chain emit equals the retired 4-union transition build") {
+    // the r20 single-pass claim, pinned on the REAL fixture: the sorted
+    // journey array's chain emit (slot 0 / consecutive slots / last
+    // slot / journeys-absent direct arm) produces EXACTLY the multiset
+    // the lead/max-window union formulation did. Both formulations are
+    // replicated here over the shared journey front (verbatim from
+    // journeyTouches' documented dataflow) and compared as
+    // (src, dst) -> n maps; the operator's OUTPUT is pinned end-to-end
+    // by the hand-chain tests and the q308/q312 oracles.
+    import org.apache.spark.sql.expressions.Window
+    val dir = "/root/testdata/sf0.001"
+    val events = graft.core.Tables.events(spark, dir)
+    val convType = "purchase"
+    val base = events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("event_type").isNotNull && col("event_id").isNotNull)
+      .select(col("user_id").as("user"),
+        unix_timestamp(col("ts")).cast("long").as("sec"),
+        col("event_type").cast("string").as("et"),
+        col("event_id").cast("long").as("eid"))
+    val convs = base.filter(col("et") === convType)
+      .groupBy("user")
+      .agg(min(struct(col("sec"), col("eid"))).as("__c"))
+      .select(col("user"), col("__c.sec").as("conv_sec"),
+        col("__c.eid").as("conv_id"))
+    val w = Window.partitionBy("user").orderBy("sec", "eid")
+    val touches = base.filter(col("et") =!= convType)
+      .join(convs, Seq("user"), "left")
+      .filter(col("conv_sec").isNull ||
+        col("sec") < col("conv_sec") ||
+        (col("sec") === col("conv_sec") && col("eid") < col("conv_id")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 50)
+      .withColumn("converted", col("conv_sec").isNotNull)
+      .localCheckpoint(false)
+    val S = "__start__"; val CONV = "__conv__"; val DROP = "__drop__"
+    // OLD: 4-union windowed build
+    val wcap = Window.partitionBy("user")
+    val withNext = touches
+      .withColumn("__next", lead(col("et"), 1)
+        .over(Window.partitionBy("user").orderBy("rn")))
+      .withColumn("__maxrn", max(col("rn")).over(wcap))
+    val oldCounts = withNext.filter(col("rn") === 1)
+      .select(lit(S).as("src"), col("et").as("dst"))
+      .union(withNext.filter(col("__next").isNotNull)
+        .select(col("et").as("src"), col("__next").as("dst")))
+      .union(withNext.filter(col("rn") === col("__maxrn"))
+        .select(col("et").as("src"),
+          when(col("converted"), CONV).otherwise(DROP).as("dst")))
+      .union(convs.join(touches.select("user").distinct(),
+          Seq("user"), "left_anti")
+        .select(lit(S).as("src"), lit(CONV).as("dst")))
+      .groupBy("src", "dst").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    // NEW: journey-grain chain emit (the shipped formulation)
+    val journeys = touches
+      .groupBy("user")
+      .agg(array_sort(collect_list(struct(col("rn"), col("et")))).as("__j"),
+        max(col("converted")).as("__conv"))
+    val newCounts = journeys
+      .select(explode(expr(
+        s"""concat(
+           |  transform(__j, (x, i) ->
+           |    named_struct('src', IF(i = 0, '$S', __j[i - 1].et),
+           |                 'dst', x.et)),
+           |  array(named_struct('src', element_at(__j, -1).et,
+           |                     'dst', IF(__conv, '$CONV', '$DROP'))))"""
+          .stripMargin)).as("t"))
+      .select(col("t.src").as("src"), col("t.dst").as("dst"))
+      .union(convs.select("user")
+        .join(journeys.select("user"), Seq("user"), "left_anti")
+        .select(lit(S).as("src"), lit(CONV).as("dst")))
+      .groupBy("src", "dst").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(oldCounts.nonEmpty && oldCounts.contains((S, CONV)),
+      "fixture must exercise the direct-conversion arm")
+    assert(newCounts == oldCounts,
+      s"transition multisets diverged: old=$oldCounts new=$newCounts")
+  }
+
   test("markovAttribution: post-conversion events ignored; direct conversions count") {
     // u1 converts FIRST then touches a (ignored -> a never in a journey);
     // u2: b -> buy. Direct S->conv arm from u1.
